@@ -1,0 +1,231 @@
+"""End-to-end golden tests mirroring the reference's integration corpus
+(`/root/reference/tests/config.rs:34-131` — five config cases, exact
+output strings) plus the merge lifecycle (`tests/merge.rs:26-100`).
+Fixture schemas/rows/goldens per FIXTURES.md.
+"""
+
+import json
+import os
+
+import pytest
+
+from toshokan_spark.config import FieldConfig, IndexConfig
+from toshokan_spark.indexer import index_batch
+from toshokan_spark.maintenance import create_index, drop_index, merge_segments, MergeError
+from toshokan_spark.search import search
+
+HDFS_ROWS = [
+    '{"timestamp":1460530013,"severity_text":"INFO","body":"PacketResponder: BP-108841162-10.10.34.11-1440074360971:blk_1074072698_331874, type=HAS_DOWNSTREAM_IN_PIPELINE terminating","resource":{"service":"datanode/01"},"attributes":{"class":"org.apache.hadoop.hdfs.server.datanode.DataNode"},"tenant_id":58}',
+    '{"timestamp":1460530014,"severity_text":"INFO","body":"Receiving BP-108841162-10.10.34.11-1440074360971:blk_1074072706_331882 src: /10.10.34.33:42666 dest: /10.10.34.11:50010","resource":{"service":"datanode/01"},"attributes":{"class":"org.apache.hadoop.hdfs.server.datanode.DataNode"},"tenant_id":46}',
+]
+
+GOLDEN_F1 = '{"attributes":{"class":"org.apache.hadoop.hdfs.server.datanode.DataNode"},"body":"PacketResponder: BP-108841162-10.10.34.11-1440074360971:blk_1074072698_331874, type=HAS_DOWNSTREAM_IN_PIPELINE terminating","resource":{"service":"datanode/01"},"severity_text":"INFO","tenant_id":58,"timestamp":"2016-04-13T06:46:53Z"}'
+
+
+def hdfs_config(tmp_path) -> IndexConfig:
+    # example_config.yaml semantics: timestamp datetime, tenant_id u64,
+    # resource dynamic_object, attributes static_object{class text};
+    # severity_text/body unlisted -> _dynamic
+    return IndexConfig(
+        name="hdfs-logs",
+        path=str(tmp_path / "data" / "hdfs-logs"),
+        time_field="timestamp",
+        fields=[
+            FieldConfig(name="timestamp", type="datetime", formats=["rfc3339", "timestamp"], fast=True),
+            FieldConfig(name="tenant_id", type="number", number_type="u64"),
+            FieldConfig(name="resource", type="dynamic_object"),
+            FieldConfig(
+                name="attributes",
+                type="static_object",
+                fields=[FieldConfig(name="class", type="text")],
+            ),
+        ],
+    )
+
+
+def write_jsonl(tmp_path, rows, name="input.jsonl"):
+    p = tmp_path / name
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def seg_count(config: IndexConfig) -> int:
+    base = config.path
+    if not os.path.isdir(base):
+        return 0
+    return len([d for d in os.listdir(base) if d.startswith("seg-")])
+
+
+# ---------------------------------------------------------------------------
+# F1 hdfs-logs (`tests/config.rs:36-41`)
+# ---------------------------------------------------------------------------
+
+def test_f1_hdfs_logs(spark, catalog, tmp_path):
+    config = hdfs_config(tmp_path)
+    create_index(catalog, config)
+    index_batch(spark, catalog, "hdfs-logs", write_jsonl(tmp_path, HDFS_ROWS))
+
+    out = search(spark, catalog, "hdfs-logs", "tenant_id:>50 AND severity_text:INFO", limit=10)
+    assert out == [GOLDEN_F1]
+
+    # README.md:34 range form
+    out = search(spark, catalog, "hdfs-logs", "tenant_id:[50 TO 65} AND severity_text:INFO", limit=10)
+    assert out == [GOLDEN_F1]
+
+    # body term routed to _dynamic (`tests/merge.rs:82`)
+    out = search(spark, catalog, "hdfs-logs", "body:Receiving", limit=10)
+    assert len(out) == 1 and json.loads(out[0])["tenant_id"] == 46
+
+    # exactly one segment after one batch (`tests/config.rs:172`)
+    assert seg_count(config) == 1
+
+    drop_index(catalog, "hdfs-logs")
+    assert seg_count(config) == 0  # `tests/config.rs:181`
+    assert not catalog.index_exists("hdfs-logs")
+
+
+# ---------------------------------------------------------------------------
+# F2 array of u64 (`tests/config.rs:42-56`)
+# ---------------------------------------------------------------------------
+
+def test_f2_array(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="array_test",
+        path=str(tmp_path / "data" / "array_test"),
+        fields=[FieldConfig(name="array", type="number", number_type="u64", array=True)],
+    )
+    create_index(catalog, config)
+    index_batch(spark, catalog, "array_test", write_jsonl(tmp_path, ['{"array":[1,2,3,4]}']))
+    out = search(spark, catalog, "array_test", "*", limit=10)
+    assert out == ['{"array":[1,2,3,4]}']
+    # term match against an array element
+    out = search(spark, catalog, "array_test", "array:3", limit=10)
+    assert out == ['{"array":[1,2,3,4]}']
+
+
+# ---------------------------------------------------------------------------
+# F3 boolean (`tests/config.rs:58-73`)
+# ---------------------------------------------------------------------------
+
+def test_f3_boolean(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="boolean_test",
+        path=str(tmp_path / "data" / "boolean_test"),
+        fields=[FieldConfig(name="something", type="boolean")],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "boolean_test",
+        write_jsonl(tmp_path, ['{"something":true}', '{"something":false}']),
+    )
+    out = search(spark, catalog, "boolean_test", "something:false", limit=10)
+    assert out == ['{"something":false}']
+
+
+# ---------------------------------------------------------------------------
+# F4 ip range (`tests/config.rs:75-91`)
+# ---------------------------------------------------------------------------
+
+def test_f4_ip_range(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="ip_test",
+        path=str(tmp_path / "data" / "ip_test"),
+        fields=[FieldConfig(name="something", type="ip")],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "ip_test",
+        write_jsonl(
+            tmp_path,
+            [
+                '{"something":"127.0.0.1"}',
+                '{"something":"2001:db8::ff00:42:8329"}',
+                '{"something":"192.168.0.1"}',
+            ],
+        ),
+    )
+    out = search(spark, catalog, "ip_test", "something:[190.0.0.1 TO 195.200.10.1]", limit=10)
+    assert out == ['{"something":"192.168.0.1"}']
+    # exact-term ip
+    out = search(spark, catalog, "ip_test", "something:127.0.0.1", limit=10)
+    assert out == ['{"something":"127.0.0.1"}']
+    # ipv6 term with colons parses + matches
+    out = search(spark, catalog, "ip_test", "something:2001:db8::ff00:42:8329", limit=10)
+    assert out == ['{"something":"2001:db8::ff00:42:8329"}']
+
+
+# ---------------------------------------------------------------------------
+# F5 parse_string coercions (`tests/config.rs:93-121`)
+# ---------------------------------------------------------------------------
+
+def test_f5_parse_string(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="parse_string_test",
+        path=str(tmp_path / "data" / "parse_string_test"),
+        fields=[
+            FieldConfig(name="negative", type="number", number_type="i64"),
+            FieldConfig(name="positive", type="number", number_type="u64"),
+            FieldConfig(name="float", type="number", number_type="f64"),
+            FieldConfig(name="boolean", type="boolean"),
+        ],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "parse_string_test",
+        write_jsonl(
+            tmp_path,
+            [
+                '{"negative": "-100", "positive": "100", "float": "25.52", "boolean": "FaLsE"}',
+                '{"negative": "100", "positive": "500", "float": "-25.52", "boolean": "trUe"}',
+            ],
+        ),
+    )
+    out = search(spark, catalog, "parse_string_test", "negative:<0", limit=10)
+    assert out == ['{"boolean":false,"float":25.52,"negative":-100,"positive":100}']
+
+
+# ---------------------------------------------------------------------------
+# merge lifecycle (`tests/merge.rs:26-100`)
+# ---------------------------------------------------------------------------
+
+def test_merge_lifecycle(spark, catalog, tmp_path):
+    config = hdfs_config(tmp_path)
+    create_index(catalog, config)
+    # two batches -> two segments
+    index_batch(spark, catalog, "hdfs-logs", write_jsonl(tmp_path, [HDFS_ROWS[0]], "a.jsonl"))
+    index_batch(spark, catalog, "hdfs-logs", write_jsonl(tmp_path, [HDFS_ROWS[1]], "b.jsonl"))
+    assert len(catalog.segments("hdfs-logs")) == 2
+
+    before_a = search(spark, catalog, "hdfs-logs", "tenant_id:>50 AND severity_text:INFO", limit=10)
+    before_b = search(spark, catalog, "hdfs-logs", "body:Receiving", limit=10)
+    assert before_a == [GOLDEN_F1]
+    assert len(before_b) == 1
+
+    merge_segments(spark, catalog, "hdfs-logs")
+    assert len(catalog.segments("hdfs-logs")) == 1  # `tests/merge.rs:85`
+    assert seg_count(config) == 1
+
+    # compaction-invariance: same answers after merge
+    assert search(spark, catalog, "hdfs-logs", "tenant_id:>50 AND severity_text:INFO", limit=10) == before_a
+    assert search(spark, catalog, "hdfs-logs", "body:Receiving", limit=10) == before_b
+
+    # cannot merge a single segment (`merge.rs:28-31`)
+    with pytest.raises(MergeError):
+        merge_segments(spark, catalog, "hdfs-logs")
+
+    drop_index(catalog, "hdfs-logs")
+    assert seg_count(config) == 0
+
+
+# ---------------------------------------------------------------------------
+# validation: array of static_object rejected (`create.rs:15-22`)
+# ---------------------------------------------------------------------------
+
+def test_array_of_static_object_rejected():
+    from toshokan_spark.config import ConfigError
+
+    with pytest.raises(ConfigError):
+        FieldConfig(
+            name="o", type="static_object", array=True,
+            fields=[FieldConfig(name="x", type="text")],
+        )

@@ -1,0 +1,144 @@
+"""CLI with the reference's command surface
+(`/root/reference/src/args.rs:129-132`: create | drop | index | merge
+| search, plus the same flag names where they still make sense).
+
+    python -m toshokan_spark.cli create  <config.yaml|json>
+    python -m toshokan_spark.cli drop    <index>
+    python -m toshokan_spark.cli index   <index> <file.jsonl|kafka://..> [--stream] [--commit-interval 30]
+    python -m toshokan_spark.cli merge   <index>
+    python -m toshokan_spark.cli search  <index> <query> [--limit 1]
+
+The Postgres ``--db`` flag becomes ``--catalog <dir>`` (env
+``TOSHOKAN_CATALOG``, default ``./.toshokan``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from toshokan_spark.catalog import FsCatalog
+from toshokan_spark.config import IndexConfig
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("toshokan_spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="toshokan_spark")
+    p.add_argument("--catalog", default=os.environ.get("TOSHOKAN_CATALOG", ".toshokan"))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("create")
+    pc.add_argument("config_path")
+
+    pd = sub.add_parser("drop")
+    pd.add_argument("index")
+
+    pi = sub.add_parser("index")
+    pi.add_argument("index")
+    pi.add_argument("input")
+    pi.add_argument("--stream", action="store_true")
+    # reference default 30 s (`src/args.rs:71-79`)
+    pi.add_argument("--commit-interval", type=float, default=30.0)
+
+    pm = sub.add_parser("merge")
+    pm.add_argument("index")
+
+    ps = sub.add_parser("search")
+    ps.add_argument("index")
+    ps.add_argument("query")
+    # reference default limit 1 (`src/args.rs:120-126`)
+    ps.add_argument("--limit", type=int, default=1)
+
+    a = p.parse_args(argv)
+    catalog = FsCatalog(a.catalog)
+
+    if a.cmd == "create":
+        with open(a.config_path, encoding="utf-8") as f:
+            text = f.read()
+        if a.config_path.endswith((".yaml", ".yml")):
+            config = IndexConfig.from_yaml(text)
+        else:
+            config = IndexConfig.from_dict(json.loads(text))
+        from toshokan_spark.maintenance import create_index
+
+        create_index(catalog, config)
+        print(f"created index {config.name}")
+        return 0
+
+    if a.cmd == "drop":
+        from toshokan_spark.maintenance import drop_index
+
+        drop_index(catalog, a.index)
+        print(f"dropped index {a.index}")
+        return 0
+
+    if a.cmd == "index":
+        spark = _spark()
+        if a.input.startswith("kafka://"):
+            from toshokan_spark.sources.kafka import kafka_batch, kafka_stream
+
+            if a.stream:
+                from toshokan_spark.streaming import stream_index
+
+                lines = kafka_stream(spark, a.input)
+                q = stream_index(
+                    lines,
+                    catalog,
+                    a.index,
+                    checkpoint_dir=os.path.join(a.catalog, "checkpoints", a.index),
+                    commit_interval=f"{a.commit_interval} seconds",
+                )
+                q.awaitTermination()
+                return 0
+            lines = kafka_batch(spark, a.input)
+            from toshokan_spark.indexer import index_batch
+
+            entry = index_batch(spark, catalog, a.index, lines=lines)
+        else:
+            from toshokan_spark.indexer import index_batch
+
+            src = a.input if a.input != "-" else None
+            if src is None:
+                from toshokan_spark.sources.jsonl import read_stdin
+
+                entry = index_batch(spark, catalog, a.index, lines=read_stdin(spark))
+            else:
+                entry = index_batch(spark, catalog, a.index, jsonl_path=src)
+        print(f"committed segment {entry.id} ({entry.num_rows} rows)" if entry else "empty batch")
+        return 0
+
+    if a.cmd == "merge":
+        from toshokan_spark.maintenance import merge_segments
+
+        spark = _spark()
+        entry = merge_segments(spark, catalog, a.index)
+        print(f"merged into segment {entry.id} ({entry.num_rows} rows)")
+        return 0
+
+    if a.cmd == "search":
+        from toshokan_spark.search import search
+
+        spark = _spark()
+        for line in search(spark, catalog, a.index, a.query, limit=a.limit):
+            print(line)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

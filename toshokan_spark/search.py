@@ -1,0 +1,139 @@
+"""Search: manifest scan -> compiled predicate -> limit -> JSON docs.
+
+Replaces the reference's per-segment tantivy search + mpsc merge
+(`/root/reference/src/commands/search.rs:111-238`) with one
+declarative plan::
+
+    spark.read.parquet(*manifested_segments).filter(pred).limit(k)
+
+Catalyst/Parquet give predicate pushdown, column pruning, partition
+pruning (on the time_field layout) and a short-circuiting global
+limit. Two deliberate deviations from the reference, both stricter
+(SURVEY §2.5, §3.1):
+
+* results are globally deterministic under ``sort_by`` — the
+  reference returns the first ``limit`` docs to arrive over a channel
+  with no cross-file re-rank;
+* only segments of the *queried* index are opened — the reference
+  opens every file of every index (`src/commands/mod.rs:107`).
+
+Output shaping parity (`search.rs:25-94`): one JSON object per doc,
+keys sorted lexically, ``_dynamic`` keys spliced into the top level,
+static objects emitted nested, datetimes as RFC3339 ``Z``, absent /
+null fields omitted. The shaping runs driver-side over the ≤ limit
+collected rows — O(k), while the scan/filter stays distributed.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from decimal import Decimal
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toshokan_spark.catalog import FsCatalog
+from toshokan_spark.config import DYNAMIC_FIELD_NAME, IndexConfig
+from toshokan_spark.ingest import is_internal
+from toshokan_spark.query import compile_query
+
+
+def read_segments(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union of per-segment scans. Each segment may carry its own
+    ``__day=`` partition layout (time_field pruning), so segments are
+    opened individually and combined with ``unionByName`` — Catalyst
+    still pushes filters/pruning into every scan, and the union is a
+    plan-level concat, not a shuffle (the reference's equivalent is the
+    implicit union-of-segments at search, `search.rs:162-204`)."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def search_df(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    query: str,
+    limit: Optional[int] = 1,
+    sort_by: Optional[list] = None,
+) -> DataFrame:
+    """The distributed part: scan manifested segments, filter, limit."""
+    paths = catalog.segment_paths(index_name)
+    config = catalog.get_index(index_name)
+    if not paths:
+        return spark.createDataFrame([], config.spark_schema())
+    df = read_segments(spark, paths)
+    pred = compile_query(query, config, set(df.columns))
+    out = df.filter(pred)
+    if sort_by:
+        out = out.orderBy(*sort_by)
+    if limit is not None:
+        if limit == 0:
+            # early exit (`search.rs:117-119`)
+            return out.limit(0)
+        out = out.limit(limit)
+    return out
+
+
+def search(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    query: str,
+    limit: int = 1,
+    sort_by: Optional[list] = None,
+) -> list[str]:
+    """Reference-CLI-shaped search: JSON lines, prettified."""
+    if limit == 0:
+        return []
+    df = search_df(spark, catalog, index_name, query, limit, sort_by)
+    config = catalog.get_index(index_name)
+    return [prettify_doc(r.asDict(recursive=True), config) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# output shaping (`search.rs:25-94`)
+# ---------------------------------------------------------------------------
+
+def _json_value(v):
+    if isinstance(v, datetime):
+        # stored UTC; RFC3339 with Z and no sub-second when zero, the
+        # shape the reference's goldens assert ("2016-04-13T06:46:53Z")
+        dt = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+        dt = dt.astimezone(timezone.utc)
+        if dt.microsecond:
+            return dt.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0") + "Z"
+        return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    if isinstance(v, Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items() if x is not None}
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    return v
+
+
+def prettify_doc(row: dict, config: IndexConfig) -> str:
+    doc: dict = {}
+    for k, v in row.items():
+        if is_internal(k) or k == DYNAMIC_FIELD_NAME or v is None:
+            continue
+        doc[k] = _json_value(v)
+    # splice _dynamic to the top level (`search.rs:47-60`); values are
+    # exact raw-JSON text captured at ingest
+    dyn = row.get(DYNAMIC_FIELD_NAME) or {}
+    for k, raw in dyn.items():
+        if raw is None or k in doc:
+            continue
+        try:
+            doc[k] = json.loads(raw)
+        except (ValueError, TypeError):
+            doc[k] = raw
+    # keys in sorted (BTreeMap) order, compact separators — the golden
+    # outputs compare exact strings
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"), ensure_ascii=False)

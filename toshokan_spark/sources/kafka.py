@@ -1,0 +1,76 @@
+"""Kafka sources.
+
+Replaces the reference's 394-line rdkafka consumer
+(`/root/reference/src/commands/sources/kafka_source.rs`) with Spark's
+built-in Kafka connector — partition assignment, rebalance recovery,
+offset checkpointing and backpressure are the connector's problem
+(SURVEY §3.3). URL syntax parity: ``kafka://host:port/topic``
+(`sources/mod.rs:46-63`).
+
+* batch: ``startingOffsets=earliest`` consume-to-EOF, like the
+  reference's non-stream mode (`kafka_source.rs:232-301`)
+* stream: use with streaming/ingest_stream.py; offsets commit via
+  ``checkpointLocation`` *after* the sink write -> the same
+  at-least-once contract as the reference's checkpoint-after-upload
+  (`kafka_source.rs:380-394`, `kafka_checkpoint.rs:59-85`)
+* tombstone (null-value) messages are skipped
+  (`kafka_source.rs:205-214`)
+
+The Kafka connector JAR isn't bundled in this container, so these
+fail at runtime with a clear message unless
+``spark.jars.packages org.apache.spark:spark-sql-kafka-0-10...`` is
+configured; unit tests cover URL parsing and the line-extraction
+projection only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_kafka_url(url: str) -> tuple[str, str]:
+    """``kafka://host:port/topic`` -> (bootstrap_servers, topic),
+    mirroring `sources/mod.rs:46-63` / `kafka_source.rs:244-268`."""
+    if not url.startswith("kafka://"):
+        raise ValueError(f"not a kafka url: {url!r}")
+    rest = url[len("kafka://"):]
+    if "/" not in rest:
+        raise ValueError(f"kafka url needs /topic: {url!r}")
+    servers, topic = rest.split("/", 1)
+    if not servers or not topic:
+        raise ValueError(f"bad kafka url: {url!r}")
+    return servers, topic
+
+
+def _lines(df: DataFrame) -> DataFrame:
+    # skip tombstones (`kafka_source.rs:205-214`), decode as UTF-8
+    return (
+        df.filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def kafka_batch(spark: SparkSession, url: str) -> DataFrame:
+    servers, topic = parse_kafka_url(url)
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+    return _lines(raw)
+
+
+def kafka_stream(spark: SparkSession, url: str, starting_offsets: str = "latest") -> DataFrame:
+    servers, topic = parse_kafka_url(url)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return _lines(raw)

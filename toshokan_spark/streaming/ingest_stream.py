@@ -1,0 +1,62 @@
+"""Streaming ingestion: micro-batches -> one segment per batch.
+
+The Spark reshape of `toshokan index <index> kafka://... --stream`
+(`/root/reference/src/commands/index.rs:106-124`): the reference
+collects documents until ``commit_interval`` (default 30 s,
+`src/args.rs:71-79`) then commits one index file per interval.
+Structured Streaming's ``trigger(processingTime=...)`` is the same
+micro-batch model; ``foreachBatch`` writes one Parquet segment +
+manifest entry per non-empty micro-batch.
+
+Delivery semantics: Spark commits stream offsets to
+``checkpointLocation`` only after ``foreachBatch`` returns, i.e. after
+data + manifest are durable -> at-least-once with possible duplicate
+segments on crash, exactly the reference's contract
+(`kafka_source.rs:380-394` commits checkpoints after upload; SURVEY
+§2.7). Empty micro-batches are suppressed (`index.rs:164-170`).
+
+Works with ANY streaming lines source (Kafka via sources/kafka.py,
+file streams, rate+map in tests) — the sink logic is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from toshokan_spark.catalog import FsCatalog
+from toshokan_spark.indexer import write_segment
+from toshokan_spark.ingest import ingest_projection
+
+
+def stream_index(
+    lines: DataFrame,
+    catalog: FsCatalog,
+    index_name: str,
+    checkpoint_dir: str,
+    commit_interval: str = "30 seconds",
+    query_name: Optional[str] = None,
+) -> StreamingQuery:
+    """Start the stream; returns the StreamingQuery handle.
+
+    *lines* must be a streaming DataFrame with a string ``value``
+    column (one JSON document per row).
+    """
+    config = catalog.get_index(index_name)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        typed = ingest_projection(batch_df, config)
+        # write_segment suppresses empty batches and appends the
+        # manifest entry only after the Parquet data is durable
+        write_segment(catalog, config, typed)
+
+    writer = (
+        lines.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=commit_interval)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
