@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline (MinHash-LSH near-dedup) at
+sf0.001. ``queries()`` — one callable per implemented operator from
+SURVEY.md §2 plus the beyond-reference pipeline operators;
+``oracle_sql()`` — the DuckDB-equivalent SQL for every
+SQL-expressible query (value formulas are written with identical
+arithmetic on both sides: decimal-cast sums, sequential-order dot
+products, shared regexes — so value hashes match bit-for-bit).
+
+Non-SQL-expressible entries (MinHash/SimHash/LSH signatures use
+Spark's xxhash64 hash family, which DuckDB cannot reproduce) have no
+oracle entry and get the driver's rows-only check — the *verified*
+exact variants of the same operators (ngram jaccard / exact dedup /
+brute-force knn / blocked cosine) are oracle-checked.
 """
 
 from __future__ import annotations
@@ -12,27 +20,713 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from toshokan_spark.config import FieldConfig, IndexConfig
+from toshokan_spark.query import compile_query
+from toshokan_spark.operators import dedup, similarity, text as textops, multimodal
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+#: driver parquet writes these with TIMESTAMP(NANOS) physical type,
+#: which vanilla Spark scans reject — read them as long and convert
+#: (truncating ns -> us exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP)
+_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps must hash identically to DuckDB's naive-UTC reading
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def _dec(c) -> F.Column:
+    """double -> exact decimal for deterministic (order-independent)
+    sums; final results are cast back to double."""
+    return c.cast("decimal(18,4)")
+
+
+def _us(c) -> F.Column:
+    return F.unix_micros(c)
+
+
+# index configs over the driver tables, so the search queries go
+# through the real query compiler (parser -> Column), SURVEY §2.4
+EVENTS_CONFIG = IndexConfig(
+    name="events",
+    path="",
+    fields=[
+        FieldConfig(name="event_id", type="number", number_type="i64"),
+        FieldConfig(name="ts", type="datetime"),
+        FieldConfig(name="user_id", type="number", number_type="i64"),
+        FieldConfig(name="event_type", type="text", tokenizer="raw"),
+        FieldConfig(name="value", type="number", number_type="f64"),
+        FieldConfig(name="props", type="text", tokenizer="raw"),
+    ],
+)
+
+DOCS_CONFIG = IndexConfig(
+    name="documents",
+    path="",
+    fields=[
+        FieldConfig(name="doc_id", type="number", number_type="i64"),
+        FieldConfig(name="text", type="text", tokenizer="default"),
+        FieldConfig(name="lang", type="text", tokenizer="raw"),
+        FieldConfig(name="source", type="text", tokenizer="raw"),
+        FieldConfig(name="n_chars", type="number", number_type="i64"),
+    ],
+)
+
+
+def _search(df: DataFrame, config: IndexConfig, q: str) -> DataFrame:
+    return df.filter(compile_query(q, config, set(df.columns)))
+
+
+# ---------------------------------------------------------------------------
+# search-language parity queries (reference surface, §2.4/§2.5)
+# ---------------------------------------------------------------------------
+
+def q_search_term(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _search(ev, EVENTS_CONFIG, "event_type:error AND user_id:>=90")
+    return out.select("event_id", _us(F.col("ts")).alias("ts_us"), "user_id", "event_type", "value")
+
+
+def q_search_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _search(ev, EVENTS_CONFIG, "value:[100 TO 200} AND event_type:purchase")
+    return out.select("event_id", "user_id", "value")
+
+
+def q_search_bool(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _search(
+        ev, EVENTS_CONFIG,
+        "(event_type:signup OR event_type:click) AND user_id:>50 AND NOT value:>=250",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def q_search_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _search(ev, EVENTS_CONFIG, "*")
+    return (
+        out.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .limit(10)
+        .select("event_id", _us(F.col("ts")).alias("ts_us"))
+    )
+
+
+def q_search_dt_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _search(
+        ev, EVENTS_CONFIG,
+        "ts:[2024-01-03T00:00:00Z TO 2024-01-04T00:00:00Z} AND event_type:error",
+    )
+    return out.select("event_id", "user_id")
+
+
+def q_search_text_term(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = _search(docs, DOCS_CONFIG, "text:spark AND lang:es")
+    return out.select("doc_id", "lang")
+
+
+def q_search_phrase(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = _search(docs, DOCS_CONFIG, 'text:"key order"')
+    return out.select("doc_id")
+
+
+def q_json_path_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.filter(k > 80).select("event_id", k.alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# relational analytics (Spark-native surface the reference lacks, §2.8)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # cast each factor to decimal BEFORE multiplying: a 4-decimal-exact
+    # double product can be a rounding tie at scale 4, and Spark
+    # (HALF_UP) and DuckDB (HALF_EVEN) break ties differently; factor
+    # casts are tie-free and the decimal multiply is exact
+    disc_price = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    charge = _dec(F.col("l_extendedprice")) * _dec(
+        (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+def q_brand_revenue(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_priority_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_window_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_user_event_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = _us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(w)
+    return ev.select("event_id", "user_id", gap.alias("gap_us"))
+
+
+def q_hourly_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_us(F.date_trunc("hour", F.col("ts"))).alias("hour_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).alias("sum_value"),
+        )
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication (north-star operators)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ shifted-id copy — a corpus with guaranteed exact
+    duplicates so the exact-dedup check has non-trivial output."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return docs.unionAll(copy)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs_with_dups(spark, sf_dir)).select(
+        "content_hash", "keeper_id", F.col("n_copies").cast("long").alias("n_copies")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=128, bands=32, k=3, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, block_col="label", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.knn_bruteforce(emb, queries, k=5)
+
+
+def q_knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.knn_lsh(emb, queries, k=5, num_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "n_bpe_est",
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "diversity",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.lang_id(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{l}").cast("long").alias(f"score_{l}") for l in ("de", "en", "es", "fr")],
+        "lang_pred",
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textops.fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = multimodal.attach_blob(docs)
+    return out.select(
+        "doc_id",
+        F.col("blob_bytes").cast("long").alias("blob_bytes"),
+        "blob_sha256",
+    )
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = multimodal.decode_image_meta(multimodal.attach_blob(docs))
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").cast("long").alias("width"),
+        F.col("image_meta.height").cast("long").alias("height"),
+        F.col("image_meta.channels").cast("long").alias("channels"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    docs = multimodal.attach_blob(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    frames = multimodal.sample_frames(docs, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH near-dedup over sf0.001 documents."""
+    return q_dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # search-language parity (SURVEY §2.4/§2.5)
+        "search_term": q_search_term,
+        "search_range": q_search_range,
+        "search_bool": q_search_bool,
+        "search_topk": q_search_topk,
+        "search_dt_range": q_search_dt_range,
+        "search_text_term": q_search_text_term,
+        "search_phrase": q_search_phrase,
+        "json_path_filter": q_json_path_filter,
+        # relational analytics
+        "q1_pricing": q_q1_pricing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "brand_revenue": q_brand_revenue,
+        "priority_counts": q_priority_counts,
+        "window_top_orders": q_window_top_orders,
+        "user_event_gaps": q_user_event_gaps,
+        "hourly_events": q_hourly_events,
+        "distinct_users": q_distinct_users,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        # similarity search
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        # text analysis
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        # multimodal
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_frames": q_multimodal_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# shared SQL fragments (kept in lockstep with the Spark operators)
+_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+_SHINGLES = f"""
+CASE WHEN len({_WORDS}) >= 3
+     THEN list_distinct(list_transform(range(1, len({_WORDS}) - 1),
+              i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]))
+     ELSE [array_to_string({_WORDS}, ' ')] END
+"""
+_COS = """
+list_reduce(list_prepend(0.0::DOUBLE,
+    list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
+    (x, y) -> x + y)
+/ sqrt(
+  list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)),
+      (x, y) -> x + y)
+  *
+  list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)),
+      (x, y) -> x + y)
+)
+"""
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+_LANG_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in textops.LANG_MARKERS.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wl = _WORDS.replace("text", "lower(text)")  # lowercased token list
+    return {
+        "search_term": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+            FROM events WHERE event_type = 'error' AND user_id >= 90
+        """,
+        "search_range": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value >= 100 AND value < 200 AND event_type = 'purchase'
+        """,
+        "search_bool": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE (event_type = 'signup' OR event_type = 'click')
+              AND user_id > 50 AND NOT (value >= 250)
+        """,
+        "search_topk": """
+            SELECT event_id, epoch_us(ts) AS ts_us FROM events
+            ORDER BY ts DESC, event_id ASC LIMIT 10
+        """,
+        "search_dt_range": """
+            SELECT event_id, user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+              AND event_type = 'error'
+        """,
+        "search_text_term": """
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+              AND lang = 'es'
+        """,
+        "search_phrase": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])key[^a-z0-9]+order([^a-z0-9]|$)')
+        """,
+        "json_path_filter": """
+            SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+            FROM events WHERE json_extract_string(props, '$.k')::BIGINT > 80
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1-l_discount)*(1+l_tax) AS DECIMAL(18,4))) AS sum_charge,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT l_orderkey,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS revenue,
+              count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY p_brand
+        """,
+        "priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "user_event_gaps": """
+            SELECT event_id, user_id,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts ASC, event_id ASC) AS gap_us
+            FROM events WHERE user_id < 20
+        """,
+        "hourly_events": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+              count(*) AS n_events,
+              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+              count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM u GROUP BY text HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT a_id, b_id,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = a_id
+            JOIN sz sb ON sb.doc_id = b_id
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """,
+        # dedup_minhash_lsh / dedup_simhash / knn_lsh: Spark xxhash64
+        # family — not reproducible in DuckDB; rows-only check.
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+        """,
+        "knn_bruteforce": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS.format(a="q.embedding", b="c.embedding")} AS score
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 3),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+              len({_WORDS}) AS n_tokens,
+              len(list_distinct({_WORDS})) AS n_distinct_tokens,
+              length(text) AS n_chars,
+              strlen(text) AS n_bytes,
+              CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe_est
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+              len({wl}) AS n_tokens,
+              round(len(list_distinct({wl})) * 1.0 / len({wl}), 6) AS diversity,
+              round(len(list_filter({wl}, t -> t IN ({_EN_STOP_SQL}))) * 1.0 / len({wl}), 6) AS stopword_ratio,
+              round(0.4 * least(len({wl}) / 32.0, 1.0)
+                  + 0.3 * (len(list_distinct({wl})) * 1.0 / len({wl}))
+                  + 0.3 * least(len(list_filter({wl}, t -> t IN ({_EN_STOP_SQL}))) * 1.0 / len({wl}) * 4.0, 1.0),
+                6) AS quality
+            FROM documents
+        """,
+        "text_langid": f"""
+            WITH s AS (
+              SELECT doc_id,
+                len(list_filter({wl}, t -> t IN ({_LANG_SQL['de']}))) AS score_de,
+                len(list_filter({wl}, t -> t IN ({_LANG_SQL['en']}))) AS score_en,
+                len(list_filter({wl}, t -> t IN ({_LANG_SQL['es']}))) AS score_es,
+                len(list_filter({wl}, t -> t IN ({_LANG_SQL['fr']}))) AS score_fr
+              FROM documents)
+            SELECT doc_id, score_de, score_en, score_es, score_fr,
+              CASE
+                WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(
+                    list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), c -> c <> ''),
+                    c -> ord(c)::BIGINT)),
+                (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, strlen(text) AS blob_bytes, sha256(text) AS blob_sha256
+            FROM documents
+        """,
+        "multimodal_image_meta": """
+            SELECT doc_id,
+              64 + (CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192) AS width,
+              64 + (CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192) AS height,
+              CASE WHEN CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) % 4 = 0
+                   THEN 1 ELSE 3 END AS channels
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT doc_id, t.i AS frame_idx,
+              strlen(substr(text, (t.i * 64 + 1)::INT, 64)) AS frame_bytes,
+              sha256(substr(text, (t.i * 64 + 1)::INT, 64)) AS frame_sha256
+            FROM documents, (SELECT unnest(range(0, 8)) AS i) t
+            WHERE strlen(substr(text, (t.i * 64 + 1)::INT, 64)) > 0
+        """,
+    }

@@ -1,0 +1,119 @@
+"""Local replica of the driver's t2 correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet tables, compare row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def canon(rows: list[dict]) -> list[tuple]:
+    if not rows:
+        return []
+    cols = sorted(rows[0].keys())
+    out = [tuple(str(_norm(r[c])) for c in cols) for r in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only) [{dt:.1f}s]")
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            dcols = [d[0] for d in ddf.description]
+            drows = [dict(zip(dcols, row)) for row in ddf.fetchall()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)} [{dt:.1f}s]")
+            continue
+        scols = sorted(srows[0].keys()) if srows else sorted(sdf.columns)
+        if scols != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={scols} duckdb={sorted(dcols)}")
+            continue
+        sc, dc = canon(srows), canon(drows)
+        if sc != dc:
+            failures.append(name)
+            bad = next(i for i, (a, b) in enumerate(zip(sc, dc)) if a != b)
+            print(f"FAIL  {name}: value mismatch at sorted-row {bad}:")
+            print(f"      spark : {sc[bad]}")
+            print(f"      duckdb: {dc[bad]}")
+            continue
+        print(f"OK    {name}: {len(srows)} rows match [{dt:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,457 @@
+"""Deduplication operators.
+
+All plain DataFrame transformations (JVM-side, whole-stage codegen;
+the hash family is ``xxhash64`` with a per-function seed column, so
+signatures are deterministic across runs/engines).
+
+Scale design (the point of each choice at 100 TB):
+
+* exact:    group on a 256-bit content hash, not the raw text — the
+            shuffle moves 32-byte keys instead of documents; partial
+            aggregation (map-side combine) collapses heavy duplicate
+            clusters before the exchange.
+* MinHash:  signatures are computed per-row with higher-order
+            functions (no explode -> no shuffle for the signature
+            pass); only band keys are shuffled for the LSH self-join.
+            Candidate pairs are verified with exact Jaccard, so the
+            output is exact over the candidate set.
+* SimHash:  64-bit signature per row, banded into 4x16-bit chunks for
+            the hamming-neighbor join (standard simhash blocking).
+* n-gram Jaccard: the exact (quadratic-safe) path — the self-join is
+            on shingle values, so only co-shingled pairs materialize;
+            a frequency cap drops stop-shingles that would otherwise
+            create O(n^2) joins on boilerplate.
+* embedding: cosine over a blocking key (coarse quantization /
+            label / LSH bucket) — never the full cross product.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# shared text shingling
+# ---------------------------------------------------------------------------
+
+def words_col(text: Column) -> Column:
+    """Whitespace words, empties dropped (mirrors the DuckDB oracle:
+    list_filter(string_split_regex(trim(text), ' +'), w -> w <> ''))."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles joined with single spaces."""
+    w = words_col(text)
+    n = F.size(w)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(w, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(w, " ")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: one row per duplicated content value
+    with the keeper (min id) and the copy count.
+
+    Group key is sha2-256 of the content, so the exchange carries
+    fixed 64-char keys; map-side partial agg means a cluster of 10^6
+    identical docs contributes one row per map task, not 10^6 rows.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def deduplicate_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct content value."""
+    h = F.sha2(F.col(text_col), 256)
+    ranked = df.withColumn("__h", h).withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__h").orderBy(id_col))
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__h", "__rn")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup over co-shingled pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """All pairs with k-word-shingle Jaccard >= threshold.
+
+    Exact: |A ∩ B| via a self-join on shingle value, |A ∪ B| =
+    |A|+|B|-|A∩B|. Only pairs sharing >=1 shingle are ever
+    materialized. ``max_shingle_freq`` drops shingles appearing in
+    more than that many docs (boilerplate guard — at corpus scale a
+    header shingle shared by 10^6 docs would alone create 10^12 join
+    rows; dropping it can only lose pairs whose overlap is pure
+    boilerplate).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            ex.groupBy("s").count().filter(F.col("count") <= max_shingle_freq).select("s")
+        )
+        ex = ex.join(freq_ok, "s")
+
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 128, k: int = 3) -> Column:
+    """array<long> MinHash signature as a single Column (per-row HOF
+    evaluation; prefer :func:`minhash_signatures` for pipelines — see
+    its scale note).
+
+    Hash family: xxhash64(i, shingle) for i in 0..num_hashes-1 —
+    deterministic, JVM-side, 64-bit.
+    """
+    sh = shingles_col(text, k)
+
+    def one(i: int):
+        # closure (not a default arg) — a 2-param lambda would be
+        # treated as transform's (value, index) signature
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    return F.array(*[one(i) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    sh_df: DataFrame, num_hashes: int = 128, id_col: str = "id", sh_col: str = "sh"
+) -> DataFrame:
+    """(id, shingles) -> (id, sig array<long>) via explode + partial
+    aggregation.
+
+    Scale rationale: the pure-Column form duplicates its lambda
+    expression tree at every downstream reference (Spark disables
+    subexpression elimination for expressions containing lambdas), so
+    a band fan-out would re-run the whole num_hashes × shingles hash
+    matrix per band. Here the signature is the OUTPUT of an
+    aggregation — physically materialized once; the shuffle carries
+    only num_hashes longs per doc, and map-side partial agg does the
+    min-combining before the exchange.
+    """
+    ex = sh_df.select(id_col, F.explode(sh_col).alias("s"))
+    mins = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard (so: recall bounded by the S-curve of (bands, rows_per_
+    band), precision exact).
+
+    One narrow pass computes signatures; the only shuffle is the
+    band-key self-join (64-bit keys). With 128 hashes / 32 bands /
+    r=4, the candidate-capture probability at J=0.5 is
+    1-(1-0.5^4)^32 ≈ 0.87, at J=0.7 ≈ 0.9998.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
+    ).persist()  # referenced 3x (signature build + both verify sides)
+    sig = minhash_signatures(sh_df, num_hashes)
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # candidate ids only — shingle arrays never travel through the
+    # band-key shuffle; they re-join after pair dedup
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sha = sh_df.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+    shb = sh_df.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    return (
+        cand.join(sha, "a_id")
+        .join(shb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signature(text: Column, bits: int = 64) -> Column:
+    """Classic SimHash (Charikar 2002): per-token 64-bit hash, sum
+    ±1 per bit position, sign -> signature bit. Returns a long.
+
+    Pure higher-order functions — per-row, no shuffle.
+    """
+    toks = words_col(F.lower(text))
+
+    def bit_votes(t):
+        # per-token ±1 vote per bit position (j is a Python int so the
+        # shift amount is a literal — shiftright takes no Column count)
+        return F.array(
+            *[
+                (
+                    F.shiftrightunsigned(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("long")
+                for j in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+    )
+    def pack32(arr: Column) -> Column:
+        # MSB-first fold of 32 vote signs into a long (max 2^32-1, no
+        # ANSI overflow; the full 64-bit fold would overflow at bit 63)
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+        )
+
+    lo = pack32(F.reverse(F.slice(votes, 1, bits // 2)))
+    hi = pack32(F.reverse(F.slice(votes, bits // 2 + 1, bits // 2)))
+    return F.shiftleft(hi, bits // 2).bitwiseOR(lo)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, sig) via explode + partial aggregation — same scale
+    rationale as :func:`minhash_signatures`: the signature becomes a
+    physical aggregation output (64 small sums, map-side combined)
+    instead of a lambda tree duplicated per downstream reference."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(words_col(F.lower(F.col(text_col)))).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+
+    def pack(js: range) -> Column:
+        out = F.lit(0).cast("long")
+        for pos, j in enumerate(js):
+            bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            out = out.bitwiseOR(F.shiftleft(bit, pos))
+        return out
+
+    lo = pack(range(0, bits // 2))
+    hi = pack(range(bits // 2, bits))
+    return votes.select("id", F.shiftleft(hi, bits // 2).bitwiseOR(lo).alias("sig"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit chunks — any
+    pair within hamming distance 3 agrees exactly on >= 1 chunk
+    (pigeonhole), so the join on (chunk_idx, chunk_value) has full
+    recall for max_hamming <= 3 and touches only same-chunk pairs.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned("sig", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("siga"),
+            F.col("b.sig").alias("sigb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Sequential-order dot/norms over double-cast elements — the
+    exact same arithmetic the DuckDB oracle SQL spells out, so values
+    hash-match bit-for-bit."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / F.sqrt(na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: Optional[str] = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Pairs with cosine >= threshold inside a blocking key.
+
+    The block join is the scale lever: with a coarse quantizer (or an
+    existing class label) of B buckets the pair count drops ~B× vs
+    the full cross product. For unblocked corpora use
+    similarity.random_hyperplane_bucket as the block column.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+    )
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+    )

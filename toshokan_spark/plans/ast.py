@@ -214,8 +214,15 @@ def _parse_and(sc: _Scanner) -> Node:
         sc.skip_ws()
         if _keyword_at(sc, "AND"):
             sc.i += 3
-            right = _parse_implicit(sc)
-            left = BoolQuery(must=(left, right))
+            sc.skip_ws()
+            if _keyword_at(sc, "NOT"):
+                # `a AND NOT b` == (+a -b), not a pure-negation clause
+                sc.i += 3
+                right = _parse_clause(sc)
+                left = BoolQuery(must=(left,), must_not=(right,))
+            else:
+                right = _parse_implicit(sc)
+                left = BoolQuery(must=(left, right))
         else:
             return left
 
