@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from toshokan_spark.operators.util import spread
+
 # ---------------------------------------------------------------------------
 # shared text shingling
 # ---------------------------------------------------------------------------
@@ -115,8 +117,10 @@ def ngram_jaccard_pairs(
     rows; dropping it can only lose pairs whose overlap is pure
     boilerplate).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
+    sh = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", shingles_col(F.col(text_col), k).alias("sh"))
+        .persist()  # referenced twice (sizes + both self-join sides)
     )
     sizes = sh.select("id", F.size("sh").alias("n"))
     ex = sh.select("id", F.explode("sh").alias("s"))
@@ -182,10 +186,25 @@ def minhash_signatures(
     aggregation — physically materialized once; the shuffle carries
     only num_hashes longs per doc, and map-side partial agg does the
     min-combining before the exchange.
+
+    Hash family: Kirsch-Mitzenmacher double hashing — two base
+    xxhash64 draws per shingle, h_i = (h1 + i*h2) mod (2^31 - 1) —
+    instead of num_hashes independent xxhash64 evaluations (64× less
+    hashing work per shingle for the same MinHash collision
+    statistics; the mod keeps every intermediate < 2^63, so it is
+    safe under ANSI overflow checking).
     """
-    ex = sh_df.select(id_col, F.explode(sh_col).alias("s"))
+    M = (1 << 31) - 1
+    ex = sh_df.select(id_col, F.explode(sh_col).alias("s")).select(
+        id_col,
+        F.pmod(F.xxhash64(F.col("s")), F.lit(M)).alias("h1"),
+        F.pmod(F.xxhash64(F.lit(-1), F.col("s")), F.lit(M)).alias("h2"),
+    )
     mins = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(M))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return mins.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -212,8 +231,8 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh_df = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
+    sh_df = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", shingles_col(F.col(text_col), k).alias("sh")
     ).persist()  # referenced 3x (signature build + both verify sides)
     sig = minhash_signatures(sh_df, num_hashes)
 
@@ -318,11 +337,18 @@ def simhash_signatures(
     rationale as :func:`minhash_signatures`: the signature becomes a
     physical aggregation output (64 small sums, map-side combined)
     instead of a lambda tree duplicated per downstream reference."""
-    ex = df.select(F.col(id_col).alias("id"), F.explode(words_col(F.lower(F.col(text_col)))).alias("t"))
-    h = F.xxhash64(F.col("t"))
+    ex = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(words_col(F.lower(F.col(text_col)))).alias("t"))
+        # hash ONCE per token row — referencing xxhash64(t) inside all
+        # 64 vote aggregates would re-evaluate it per bit position
+        .select("id", F.xxhash64(F.col("t")).alias("h"))
+    )
     votes = ex.groupBy("id").agg(
         *[
-            F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
             for j in range(bits)
         ]
     )
@@ -398,26 +424,36 @@ def simhash_near_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    """Sequential-order dot/norms over double-cast elements — the
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-order fold of elementwise double products — the
     exact same arithmetic the DuckDB oracle SQL spells out, so values
     hash-match bit-for-bit."""
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+
+
+def sq_norm(v: Column) -> Column:
+    """Sequential-order sum of squares (same fold order as the
+    oracle's self-dot-product)."""
+    return F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    nb = F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return dot / F.sqrt(na * nb)
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """dot(a,b)/sqrt(|a|²·|b|²), all sequential-order folds.
+
+    Scale note: in the pairwise operators below the norms are
+    precomputed ONCE per vector before the pair join (identical
+    values — sqrt(na*nb) is the same double either way), so the
+    per-pair work is a single dot product, not three array folds.
+    """
+    return dot_product(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
 
 
 def embedding_dup_pairs(
@@ -434,11 +470,13 @@ def embedding_dup_pairs(
     the full cross product. For unblocked corpora use
     similarity.random_hyperplane_bucket as the block column.
     """
-    e = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
-    )
+    e = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        )
+    ).withColumn("n2", sq_norm(F.col("v")))
     pairs = (
         e.alias("a")
         .join(
@@ -448,7 +486,10 @@ def embedding_dup_pairs(
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (
+                dot_product(F.col("a.v"), F.col("b.v"))
+                / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+            ).alias("cos"),
         )
     )
     return (

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from toshokan_spark.operators.dedup import cosine_sim
+from toshokan_spark.operators.dedup import cosine_sim, dot_product, sq_norm
+from toshokan_spark.operators.util import spread
 
 
 def knn_bruteforce(
@@ -44,13 +45,19 @@ def knn_bruteforce(
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+        ).withColumn("qn2", sq_norm(F.col("qv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("cn2", sq_norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "score",
+            dot_product(F.col("qv"), F.col("cv"))
+            / F.sqrt(F.col("qn2") * F.col("cn2")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -122,15 +129,19 @@ def knn_lsh(
     multiprobe). Same output shape as knn_bruteforce; recall < 1 by
     construction — the point is scoring ~(1+b)/2^b of the corpus.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        hyperplane_signature(F.col("cv"), num_planes).alias("bucket"),
+        sq_norm(F.col("cv")).alias("cn2"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         hyperplane_signature(F.col(vec_col), num_planes).alias("qbucket"),
+        sq_norm(F.col(vec_col)).alias("qn2"),
     )
     if multiprobe:
         probes = F.array(
@@ -147,7 +158,11 @@ def knn_lsh(
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "score",
+            dot_product(F.col("qv"), F.col("cv"))
+            / F.sqrt(F.col("qn2") * F.col("cn2")),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
