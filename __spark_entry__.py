@@ -150,6 +150,14 @@ def q_search_phrase(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_search_bm25(spark, sf_dir):
+    from toshokan_spark.functions.bm25 import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, "spark table", id_col="doc_id", text_col="text")
+    return out.select(F.col("id").alias("doc_id"), "bm25")
+
+
 def q_json_path_filter(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -441,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dt_range": q_search_dt_range,
         "search_text_term": q_search_text_term,
         "search_phrase": q_search_phrase,
+        "search_bm25": q_search_bm25,
         "json_path_filter": q_json_path_filter,
         # relational analytics
         "q1_pricing": q_q1_pricing,
@@ -540,6 +549,40 @@ def oracle_sql() -> dict[str, str]:
         "json_path_filter": """
             SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
             FROM events WHERE json_extract_string(props, '$.k')::BIGINT > 80
+        """,
+        # identical arithmetic to functions/bm25.py (k1=1.2, b=0.75;
+        # per-term scores summed left-to-right, round to 4 decimals)
+        "search_bm25": """
+            WITH base AS (
+              SELECT doc_id,
+                list_transform(
+                  list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                              w -> w <> '' AND strlen(w) <= 40),
+                  w -> lower(w)) AS toks
+              FROM documents),
+            b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+            st AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+                sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1
+              FROM b2),
+            tf AS (
+              SELECT doc_id, dl,
+                len(list_filter(toks, x -> x = 'spark')) AS tf0,
+                len(list_filter(toks, x -> x = 'table')) AS tf1
+              FROM b2)
+            SELECT doc_id, round(
+                (CASE WHEN tf0 > 0 THEN
+                   ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                   / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                 ELSE 0.0 END)
+                +
+                (CASE WHEN tf1 > 0 THEN
+                   ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                   / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                 ELSE 0.0 END), 4) AS bm25
+            FROM tf, st
+            WHERE tf0 > 0 OR tf1 > 0
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,183 @@
+"""Unit tests for the pipeline operators (dedup / similarity / text /
+multimodal) and BM25 scoring over tiny hand-checkable corpora. The
+sf0.01 DuckDB oracle sweep (tools/check_oracle.py) is the volume
+check; these pin the semantics with exact expected values."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from toshokan_spark.functions.bm25 import bm25_scores, bm25_topk
+from toshokan_spark.operators import dedup, multimodal, similarity
+from toshokan_spark.operators import text as textops
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="completely different content about spark engines and tables"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].keeper_id == 1 and out[0].n_copies == 2
+
+
+def test_deduplicate_exact_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in dedup.deduplicate_exact(docs).collect())
+    assert kept == [1, 2, 4, 5]
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = {(r.a_id, r.b_id): r.jaccard for r in
+           dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    # docs 1/3 identical (J=1); 1-2 and 2-3 share 6 of 8 distinct
+    # 3-shingles (J=0.75); 4-5 share 4 of 6 (J≈0.667)
+    assert out[(1, 3)] == 1.0
+    assert out[(1, 2)] == 0.75 and out[(2, 3)] == 0.75
+    assert abs(out[(4, 5)] - round(4 / 6, 6)) < 1e-9
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = {(r.a_id, r.b_id): r.jaccard for r in
+           dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # identical docs always collide in every band; verified jaccard is
+    # exact, so values match the exact operator's
+    assert out[(1, 3)] == 1.0
+    assert (1, 2) in out and out[(1, 2)] == 0.75
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    out = {(r.a_id, r.b_id): r.hamming for r in
+           dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert out[(1, 3)] == 0
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        Row(vec_id=1, label="a", embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, label="a", embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=3, label="a", embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, label="b", embedding=[1.0, 0.0, 0.0]),  # other block
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r.a_id, r.b_id): r.cosine for r in
+           dedup.embedding_dup_pairs(df, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - round(0.9 / math.sqrt(0.82), 6)) < 1e-9
+
+
+def test_knn_bruteforce_exact_ranking(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.8, 0.6]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].score == 0.8
+
+
+def test_knn_lsh_self_bucket_recall(spark):
+    # identical vectors share every hyperplane sign -> always same
+    # bucket, so the near-duplicate is always retrieved
+    rows = [Row(vec_id=i, embedding=[1.0, 2.0, 3.0]) for i in range(4)]
+    df = spark.createDataFrame(rows)
+    out = similarity.knn_lsh(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert sorted(r.neighbor_id for r in out) == [1, 2, 3]
+    assert all(r.score == 1.0 for r in out)
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a bb  a ccc")])
+    r = textops.token_stats(df).collect()[0]
+    assert (r.n_tokens, r.n_distinct_tokens, r.n_chars, r.n_bytes) == (4, 3, 11, 11)
+    assert r.n_bpe_est == 3  # ceil(11/4)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog is in"),
+            Row(doc_id=2, text="el perro y la casa de los"),
+            Row(doc_id=3, text="zzz qqq www"),
+        ]
+    )
+    out = {r.doc_id: r.lang_pred for r in textops.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello   World"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="hello worlds"),
+        ]
+    )
+    out = {r.doc_id: r.fingerprint for r in textops.fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    blobbed = multimodal.attach_blob(df)
+    r = blobbed.collect()[0]
+    assert bytes(r.blob) == b"abc" and r.blob_bytes == 3
+    meta = multimodal.decode_image_meta(blobbed).collect()[0].image_meta
+    assert 64 <= meta.width <= 255 and meta.channels in (1, 3)
+    frames = multimodal.sample_frames(blobbed, every_n_bytes=2, max_frames=4).collect()
+    assert [bytes(f.frame) for f in frames] == [b"ab", b"c"]
+
+
+def test_bm25_scores_and_topk(docs):
+    scored = {r.id: r.bm25 for r in bm25_scores(docs, "spark engines").collect()}
+    # only docs 4 and 5 contain the terms; doc 4 is shorter -> higher
+    assert set(scored) == {4, 5}
+    assert scored[4] > scored[5] > 0
+    top = bm25_topk(docs, "spark engines", k=1).collect()
+    assert [r.id for r in top] == [4]
+
+
+def test_scored_search_end_to_end(spark, catalog, tmp_path):
+    import json
+
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import index_batch
+    from toshokan_spark.maintenance import create_index
+    from toshokan_spark.search import scored_search_df
+
+    config = IndexConfig(
+        name="scored",
+        path=str(tmp_path / "data" / "scored"),
+        fields=[
+            FieldConfig(name="doc_id", type="number", number_type="i64"),
+            FieldConfig(name="body", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    rows = [
+        {"doc_id": 1, "body": "spark spark spark is fast"},
+        {"doc_id": 2, "body": "spark is a distributed engine"},
+        {"doc_id": 3, "body": "nothing relevant here"},
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    index_batch(spark, catalog, "scored", jsonl_path=str(p))
+
+    out = scored_search_df(spark, catalog, "scored", "body:spark", "body", limit=5).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0]._score > out[1]._score

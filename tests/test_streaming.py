@@ -1,0 +1,108 @@
+"""Streaming ingestion tests mirroring the reference's Kafka suite
+(`/root/reference/tests/kafka_indexing.rs`): a stream commits one
+segment per non-empty micro-batch (143-189), offsets checkpoint so a
+restart never re-ingests (266-329), and empty batches write nothing
+(`src/commands/index.rs:164-170`). The transport here is a file
+stream — the sink/checkpoint logic under test is source-agnostic
+(Kafka is configuration, `sources/kafka.py`)."""
+
+import json
+import time
+
+import pytest
+
+from toshokan_spark.config import FieldConfig, IndexConfig
+from toshokan_spark.maintenance import create_index
+from toshokan_spark.search import search
+from toshokan_spark.streaming import stream_index
+
+
+def _config(tmp_path) -> IndexConfig:
+    return IndexConfig(
+        name="stream-logs",
+        path=str(tmp_path / "data" / "stream-logs"),
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+            FieldConfig(name="msg", type="text"),
+        ],
+    )
+
+
+def _drain(lines, catalog, checkpoint, timeout=120):
+    q = stream_index(
+        lines, catalog, "stream-logs", checkpoint_dir=checkpoint, available_now=True
+    )
+    q.awaitTermination(timeout)
+    assert not q.isActive
+    if q.exception():
+        raise AssertionError(q.exception())
+
+
+def test_stream_commits_segments_and_checkpoints(spark, catalog, tmp_path):
+    config = _config(tmp_path)
+    create_index(catalog, config)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    (indir / "batch1.jsonl").write_text(
+        json.dumps({"ts": 1716822728, "level": "INFO", "msg": "first message"})
+        + "\n"
+        + json.dumps({"ts": 1716822729, "level": "ERROR", "msg": "bad thing"})
+        + "\n"
+    )
+    lines = spark.readStream.text(str(indir))
+    _drain(lines, catalog, ckpt)
+
+    segs = catalog.segments("stream-logs")
+    assert len(segs) == 1
+    assert segs[0].num_rows == 2
+    assert search(spark, catalog, "stream-logs", "level:ERROR", limit=10) == [
+        '{"level":"ERROR","msg":"bad thing","ts":"2024-05-27T15:12:09Z"}'
+    ]
+
+    # restart with the SAME checkpoint and no new data: the already-
+    # consumed file must not be re-ingested (offset restore,
+    # `kafka_indexing.rs:266-329` analog) and the empty micro-batch
+    # must not commit a segment (`index.rs:164-170`)
+    _drain(spark.readStream.text(str(indir)), catalog, ckpt)
+    assert len(catalog.segments("stream-logs")) == 1
+
+    # new file after restart -> exactly one more segment with only the
+    # new rows (at-least-once boundary: data+manifest before offsets)
+    (indir / "batch2.jsonl").write_text(
+        json.dumps({"ts": 1716822730, "level": "INFO", "msg": "second wave"}) + "\n"
+    )
+    _drain(spark.readStream.text(str(indir)), catalog, ckpt)
+    segs = catalog.segments("stream-logs")
+    assert [s.num_rows for s in segs] == [2, 1]
+    assert len(search(spark, catalog, "stream-logs", "*", limit=10)) == 3
+
+
+def test_stream_interval_trigger_runs(spark, catalog, tmp_path):
+    """processingTime path (the reference's --commit-interval loop):
+    one live micro-batch commits, then the query stops cleanly."""
+    config = _config(tmp_path)
+    create_index(catalog, config)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b.jsonl").write_text(
+        json.dumps({"ts": 1716822728, "level": "WARN", "msg": "live"}) + "\n"
+    )
+    q = stream_index(
+        spark.readStream.text(str(indir)),
+        catalog,
+        "stream-logs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        commit_interval="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not catalog.segments("stream-logs"):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    segs = catalog.segments("stream-logs")
+    assert len(segs) == 1 and segs[0].num_rows == 1

@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("query")
     # reference default limit 1 (`src/args.rs:120-126`)
     ps.add_argument("--limit", type=int, default=1)
+    # rank matches by BM25 of the query's term literals against FIELD
+    # (the reference's relevance ordering, globally re-ranked)
+    ps.add_argument("--score-field", default=None)
 
     a = p.parse_args(argv)
     catalog = FsCatalog(a.catalog)
@@ -130,9 +133,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "search":
+        spark = _spark()
+        if a.score_field:
+            from toshokan_spark.search import prettify_doc, scored_search_df
+
+            df = scored_search_df(
+                spark, catalog, a.index, a.query, a.score_field, limit=a.limit
+            )
+            config = catalog.get_index(a.index)
+            for r in df.collect():
+                d = r.asDict(recursive=True)
+                score = d.pop("_score", None)
+                print(json.dumps({"score": score, "doc": json.loads(prettify_doc(d, config))},
+                                 sort_keys=True, separators=(",", ":")))
+            return 0
         from toshokan_spark.search import search
 
-        spark = _spark()
         for line in search(spark, catalog, a.index, a.query, limit=a.limit):
             print(line)
         return 0

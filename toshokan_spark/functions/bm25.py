@@ -1,0 +1,127 @@
+"""BM25 relevance scoring as a DataFrame computation.
+
+The reference ranks per-file top-k by tantivy's BM25
+(`/root/reference/src/commands/search.rs:188`, `TopDocs` collector) but
+never re-ranks across files (SURVEY §2.5). This implementation is the
+stricter upgrade promised there: one *global* score per document and a
+deterministic global top-k.
+
+Formula (Robertson/Spärck Jones, the Lucene/tantivy variant)::
+
+    idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(d,q) = Σ_t  idf(t) · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+Scale shape (100 TB): one narrow tokenize pass, ONE corpus-stats
+aggregation (count / Σdl / per-term document frequencies — a single
+row), broadcast back with a crossJoin, then a narrow per-doc score
+projection. No per-term shuffle, no explode: term frequencies come
+from ``size(filter(tokens, = t))`` over the token array. Query terms
+are literals, so the per-term sum is an explicit left-to-right
+expression chain — bit-reproducible in any engine that follows IEEE
+doubles (the DuckDB oracle spells out the identical arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from toshokan_spark.functions.tokenizers import analyze_term, tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def with_bm25(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    out_col: str = "bm25",
+    k1: float = K1,
+    b: float = B,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """All original columns + a ``out_col`` BM25 score (rounded to 4
+    decimals), keeping only rows matching ≥ 1 analyzed query term.
+
+    *query* is analyzed with the same tokenizer as the field (tantivy
+    QueryParser behavior), so ``"Spark TABLE"`` scores terms
+    ``["spark", "table"]``.
+    """
+    cols = docs.columns
+    terms = list(dict.fromkeys(analyze_term(query, tokenizer)))
+    if not terms:
+        return docs.withColumn(out_col, F.lit(0.0)).limit(0)
+
+    base = docs.withColumn(
+        "__toks", tokenize(F.col(text_col), tokenizer)
+    ).withColumn("__dl", F.size("__toks"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum(F.array_contains("__toks", F.lit(t)).cast("int")).alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl") / F.col("__n")
+
+    def term_score(i: int, t: str) -> Column:
+        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+        dfreq = F.col(f"__df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("__n") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        num = tf * F.lit(k1 + 1.0)
+        den = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+        return F.when(tf > 0, idf * num / den).otherwise(F.lit(0.0))
+
+    score = term_score(0, terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        score = score + term_score(i, t)
+
+    return (
+        j.withColumn("__s", score)
+        .filter(F.col("__s") > 0)
+        .select(*cols, F.round("__s", 4).alias(out_col))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """(id, bm25) projection of :func:`with_bm25` — the oracle-checked
+    shape."""
+    scored = with_bm25(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+        query,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        tokenizer=tokenizer,
+    )
+    return scored.select("id", "bm25")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+) -> DataFrame:
+    """Global deterministic top-k: highest rounded score, ties broken
+    by id (the cross-engine-stable sort; ordering on the unrounded
+    double could flip rows on last-ulp library differences)."""
+    scored = bm25_scores(docs, query, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
+    return scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(k)

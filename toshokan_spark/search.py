@@ -80,6 +80,50 @@ def search_df(
     return out
 
 
+def scored_search_df(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    query: str,
+    score_field: str,
+    limit: int = 10,
+) -> DataFrame:
+    """BM25-ranked search (the reference's relevance path,
+    `search.rs:188` — but globally re-ranked, SURVEY §2.5 deviation):
+    docs matching the compiled query, ordered by the BM25 score of the
+    query's positive term literals against *score_field*."""
+    from toshokan_spark.functions.bm25 import with_bm25
+    from toshokan_spark.plans import ast
+
+    config = catalog.get_index(index_name)
+    paths = catalog.segment_paths(index_name)
+    if not paths:
+        return spark.createDataFrame([], config.spark_schema())
+
+    def positive_terms(node: ast.Node) -> list[str]:
+        if isinstance(node, (ast.Term, ast.Phrase)):
+            if node.field is None or node.field == (score_field,):
+                return [node.text]
+            return []
+        if isinstance(node, ast.BoolQuery):
+            out: list[str] = []
+            for child in node.must + node.should:  # never must_not
+                out.extend(positive_terms(child))
+            return out
+        return []
+
+    terms = " ".join(positive_terms(ast.parse_query(query)))
+    fld = next((f for f in config.fields if f.name == score_field), None)
+    tokenizer = getattr(fld, "tokenizer", None) or "default"
+
+    df = read_segments(spark, paths)
+    matched = df.filter(compile_query(query, config, set(df.columns)))
+    scored = with_bm25(
+        matched, terms, text_col=score_field, out_col="_score", tokenizer=tokenizer
+    )
+    return scored.orderBy(F.col("_score").desc()).limit(limit)
+
+
 def search(
     spark: SparkSession,
     catalog: FsCatalog,

@@ -38,11 +38,15 @@ def stream_index(
     checkpoint_dir: str,
     commit_interval: str = "30 seconds",
     query_name: Optional[str] = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Start the stream; returns the StreamingQuery handle.
 
     *lines* must be a streaming DataFrame with a string ``value``
-    column (one JSON document per row).
+    column (one JSON document per row). ``available_now=True`` drains
+    everything currently available then stops (used by tests and
+    catch-up runs); otherwise micro-batches fire every
+    *commit_interval* like the reference's ``--stream`` loop.
     """
     config = catalog.get_index(index_name)
 
@@ -52,11 +56,13 @@ def stream_index(
         # manifest entry only after the Parquet data is durable
         write_segment(catalog, config, typed)
 
-    writer = (
-        lines.writeStream.foreachBatch(commit_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=commit_interval)
+    writer = lines.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=commit_interval)
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()
