@@ -196,9 +196,11 @@ def q_q3_top_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    # no broadcast hint on customer: it scales with the corpus (AQE
+    # broadcasts it when runtime stats allow; shuffles otherwise)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(F.sum(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -216,11 +218,14 @@ def q_q5_region_revenue(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    # broadcast hints only on the bounded dims (nation=25, region=5
+    # rows at any scale); customer/supplier grow with the corpus — AQE
+    # picks broadcast vs shuffle from runtime stats
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -237,8 +242,9 @@ def q_brand_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    # part scales with the corpus — no forced broadcast (AQE decides)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(rev).alias("revenue"),

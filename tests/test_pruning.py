@@ -1,0 +1,71 @@
+"""Partition pruning on the time_field ``__day`` layout: a range query
+on the time field must reach the Parquet source as a PartitionFilter
+(the scale lever the reference's dead ``time_field`` config promised —
+SURVEY §1.1, `/root/reference/src/config/mod.rs:229-231`)."""
+
+import json
+
+from toshokan_spark.config import FieldConfig, IndexConfig
+from toshokan_spark.indexer import index_batch
+from toshokan_spark.maintenance import create_index
+from toshokan_spark.search import search, search_df
+
+
+def _setup(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="tsidx",
+        path=str(tmp_path / "data" / "tsidx"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(catalog, config)
+    rows = [
+        {"ts": "2024-01-01T10:00:00Z", "level": "A"},
+        {"ts": "2024-01-02T10:00:00Z", "level": "B"},
+        {"ts": "2024-01-03T10:00:00Z", "level": "C"},
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    index_batch(spark, catalog, "tsidx", jsonl_path=str(p))
+    return config
+
+
+def test_day_partition_pruning_in_plan(spark, catalog, tmp_path):
+    _setup(spark, catalog, tmp_path)
+    df = search_df(
+        spark,
+        catalog,
+        "tsidx",
+        "ts:[2024-01-02T00:00:00Z TO 2024-01-02T23:59:59Z]",
+        limit=None,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__day" in plan
+    # the pruned scan must read exactly the one matching day
+    assert [r.level for r in df.collect()] == ["B"]
+
+
+def test_one_sided_and_disjunctive_bounds(spark, catalog, tmp_path):
+    _setup(spark, catalog, tmp_path)
+    assert sorted(
+        json.loads(d)["level"]
+        for d in search(spark, catalog, "tsidx", "ts:>2024-01-01T23:00:00Z", limit=10)
+    ) == ["B", "C"]
+    # disjunction of two bounded ranges still prunes (union of bounds)
+    q = (
+        "ts:[2024-01-01T00:00:00Z TO 2024-01-01T12:00:00Z]"
+        " OR ts:[2024-01-03T00:00:00Z TO 2024-01-03T12:00:00Z]"
+    )
+    df = search_df(spark, catalog, "tsidx", q, limit=None)
+    assert sorted(r.level for r in df.collect()) == ["A", "C"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__day" in plan
+
+
+def test_unbounded_query_still_correct(spark, catalog, tmp_path):
+    _setup(spark, catalog, tmp_path)
+    # term query implies no time bounds -> no pruning, full results
+    assert len(search(spark, catalog, "tsidx", "*", limit=10)) == 3

@@ -418,3 +418,48 @@ def compile_query(
     """Parse + compile a query string into a boolean Column."""
     ast = parse_query(query)
     return QueryCompiler(config, available_columns).compile(ast)
+
+
+def time_bounds(
+    node: Node, time_field: str
+) -> tuple[Optional[datetime], Optional[datetime]]:
+    """Conservative (lo, hi) datetime bounds the query implies on
+    *time_field*, for partition pruning on the ``__day`` layout.
+
+    Mirrors ``_compile_bool``'s semantics: bounds intersect across
+    ``must`` conjuncts (``should`` is ignored when ``must`` is
+    present), union across pure-``should`` disjuncts — and any
+    disjunct without a bound kills that side entirely. ``must_not``
+    never produces bounds. Returning (None, None) means "cannot
+    prune", never "prune everything"."""
+    parse = QueryCompiler._datetime_lit
+    if isinstance(node, RangeQ) and node.field == (time_field,):
+        lo = parse(node.lo) if node.lo is not None else None
+        hi = parse(node.hi) if node.hi is not None else None
+        return lo, hi
+    if isinstance(node, Cmp) and node.field == (time_field,):
+        v = parse(node.value)
+        if v is None:
+            return None, None
+        return (v, None) if node.op.startswith(">") else (None, v)
+    if isinstance(node, BoolQuery):
+        if node.must:
+            lo: Optional[datetime] = None
+            hi: Optional[datetime] = None
+            for c in node.must:
+                clo, chi = time_bounds(c, time_field)
+                if clo is not None:
+                    lo = clo if lo is None else max(lo, clo)
+                if chi is not None:
+                    hi = chi if hi is None else min(hi, chi)
+            return lo, hi
+        if node.should:
+            los, his = [], []
+            for c in node.should:
+                clo, chi = time_bounds(c, time_field)
+                los.append(clo)
+                his.append(chi)
+            lo = min(los) if all(v is not None for v in los) else None
+            hi = max(his) if all(v is not None for v in his) else None
+            return lo, hi
+    return None, None

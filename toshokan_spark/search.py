@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from toshokan_spark.catalog import FsCatalog
 from toshokan_spark.config import DYNAMIC_FIELD_NAME, IndexConfig
 from toshokan_spark.ingest import is_internal
-from toshokan_spark.query import compile_query
+from toshokan_spark.query import QueryCompiler, compile_query, time_bounds
+from toshokan_spark.plans.ast import parse_query
 
 
 def read_segments(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -68,7 +69,18 @@ def search_df(
     if not paths:
         return spark.createDataFrame([], config.spark_schema())
     df = read_segments(spark, paths)
-    pred = compile_query(query, config, set(df.columns))
+    node = parse_query(query)
+    pred = QueryCompiler(config, set(df.columns)).compile(node)
+    # resurrect the reference's dead time_field as real partition
+    # pruning: a range/cmp on the time field also constrains the
+    # ``__day`` layout, so whole day-directories (and at 100 TB,
+    # whole object-store prefixes) drop out of the scan
+    if config.time_field and "__day" in df.columns:
+        lo, hi = time_bounds(node, config.time_field)
+        if lo is not None:
+            pred = pred & (F.col("__day") >= F.lit(lo.date()))
+        if hi is not None:
+            pred = pred & (F.col("__day") <= F.lit(hi.date()))
     out = df.filter(pred)
     if sort_by:
         out = out.orderBy(*sort_by)
