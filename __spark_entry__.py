@@ -356,6 +356,21 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, queries, k=5, num_planes=8)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN, approximate settings (probes 2 of 8 buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.knn_ivf(emb, queries, k=5, num_centroids=8, n_probe=2)
+
+
+def q_knn_ivf_exact(spark, sf_dir):
+    """IVF with full probing — must equal brute force exactly, so it
+    shares the knn_bruteforce oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.knn_ivf(emb, queries, k=5, num_centroids=8, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -476,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_exact": q_knn_ivf_exact,
         # text analysis
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -697,6 +714,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+        """,
+        # knn_ivf_exact: full-probe IVF scores every (query, corpus)
+        # pair exactly once -> identical to brute force
+        "knn_ivf_exact": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS.format(a="q.embedding", b="c.embedding")} AS score
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 3),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 5
         """,
         "knn_bruteforce": f"""
             WITH scored AS (

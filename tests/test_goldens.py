@@ -76,6 +76,22 @@ def test_f1_hdfs_logs(spark, catalog, tmp_path):
     out = search(spark, catalog, "hdfs-logs", "body:Receiving", limit=10)
     assert len(out) == 1 and json.loads(out[0])["tenant_id"] == 46
 
+    # dotted path into a static_object (struct column; tantivy
+    # resolves `a.b` to the flattened field, `config/mod.rs:147-162`)
+    out = search(
+        spark, catalog, "hdfs-logs", "attributes.class:datanode AND tenant_id:>50",
+        limit=10,
+    )
+    assert out == [GOLDEN_F1]
+
+    # dotted path into a dynamic_object (expand_dots JSON addressing,
+    # `dynamic_object.rs:67-69`; default tokenizer raw -> exact value)
+    out = search(
+        spark, catalog, "hdfs-logs",
+        'resource.service:"datanode/01" AND severity_text:INFO', limit=10,
+    )
+    assert len(out) == 2
+
     # exactly one segment after one batch (`tests/config.rs:172`)
     assert seg_count(config) == 1
 

@@ -91,6 +91,33 @@ def test_knn_bruteforce_exact_ranking(spark):
     assert out[0].score == 0.8
 
 
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") < 2)
+    exact = similarity.knn_bruteforce(df, q, k=5).collect()
+    ivf = similarity.knn_ivf(df, q, k=5, num_centroids=4, n_probe=4).collect()
+    key = lambda rs: sorted((r.query_id, r.rank, r.neighbor_id, r.score) for r in rs)
+    assert key(ivf) == key(exact)
+
+
+def test_knn_ivf_approximate_partial_probe(spark):
+    # two tight, well-separated clusters: probing 1 of 2 centroids
+    # still retrieves the same-cluster neighbors
+    rows = [Row(vec_id=i, embedding=[10.0 + i * 0.01, 0.0]) for i in range(5)]
+    rows += [Row(vec_id=100 + i, embedding=[0.0, 10.0 + i * 0.01]) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.knn_ivf(df, q, k=3, num_centroids=2, n_probe=1, iters=2).collect()
+    assert sorted(r.neighbor_id for r in out) == [1, 2, 3]
+
+
 def test_knn_lsh_self_bucket_recall(spark):
     # identical vectors share every hyperplane sign -> always same
     # bucket, so the near-duplicate is always retrieved

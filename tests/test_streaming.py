@@ -80,6 +80,73 @@ def test_stream_commits_segments_and_checkpoints(spark, catalog, tmp_path):
     assert len(search(spark, catalog, "stream-logs", "*", limit=10)) == 3
 
 
+def test_windowed_counts_with_watermark_and_late_data(spark, tmp_path):
+    """Watermarked tumbling windows over a stream: finalized windows
+    land exactly once in the append-mode parquet sink; rows later than
+    the watermark are dropped."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import stream_windowed_counts
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def events():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        return parsed
+
+    def drain():
+        q = stream_windowed_counts(
+            events(), out, ckpt, time_col="ts", window_duration="1 hour",
+            watermark="30 minutes", keys=("k",),
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    def emit(name, *rows):
+        (indir / name).write_text(
+            "\n".join(json.dumps({"ts": ts, "k": k}) for ts, k in rows) + "\n"
+        )
+
+    # batch 1: two events in hour 10, one in hour 11
+    emit("b1.jsonl",
+         ("2024-01-01T10:05:00", "a"),
+         ("2024-01-01T10:20:00", "a"),
+         ("2024-01-01T11:10:00", "b"))
+    drain()
+    # batch 2: event at 13:00 advances the watermark to 12:30 ->
+    # windows 10:00 and 11:00 finalize and are emitted exactly once
+    emit("b2.jsonl", ("2024-01-01T13:00:00", "b"))
+    drain()
+    got = {
+        (str(r.window_start), r.k): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("2024-01-01 10:00:00", "a"): 2, ("2024-01-01 11:00:00", "b"): 1}
+
+    # batch 3: a row in the already-finalized hour 10 is later than
+    # the watermark -> dropped, the closed window is never re-emitted
+    emit("b3.jsonl", ("2024-01-01T10:40:00", "a"), ("2024-01-01T15:00:00", "b"))
+    drain()
+    # hour-13 window finalizes (watermark now 14:30); hour 10 unchanged
+    got = {
+        (str(r.window_start), r.k): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2024-01-01 10:00:00", "a")] == 2
+    assert got[("2024-01-01 13:00:00", "b")] == 1
+    assert ("2024-01-01 15:00:00", "b") not in got  # still open
+
+
 def test_stream_interval_trigger_runs(spark, catalog, tmp_path):
     """processingTime path (the reference's --commit-interval loop):
     one live micro-batch commits, then the query stops cleanly."""

@@ -114,6 +114,154 @@ def random_hyperplane_bucket(vec: Column, bits: int = 8) -> Column:
     return hyperplane_signature(vec, bits)
 
 
+def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """cid of the L2-nearest centroid (literal centroid vectors —
+    the 'model' is broadcast inside the expression; ties break to the
+    lowest cid via the struct ordering)."""
+    def l2(c: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array_min(
+        F.array(*[F.struct(l2(c).alias("d"), F.lit(cid).alias("cid")) for cid, c in centroids])
+    ).getField("cid")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Init: the ``num_centroids`` corpus vectors with the smallest
+    ``xxhash64(id)`` (a seeded pseudo-random sample, reproducible with
+    no stored model). Refine: ``iters`` Lloyd rounds where the new
+    centroid is the elementwise mean of its assigned vectors, summed
+    in ``decimal`` so the result is independent of partition/agg order
+    (a plain double sum would make bucket assignments — and therefore
+    ANN candidate sets — vary run to run).
+
+    Driver state is only the C×dim centroid matrix (the model), never
+    data rows; each Lloyd round is one distributed agg job.
+    """
+    e = spread(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).persist()
+    seed_rows = (
+        e.orderBy(F.xxhash64(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(num_centroids)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r.v]) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,10)")) / F.count(F.lit(1))
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        centroids = [
+            (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cid.items())
+        ]
+    e.unpersist()
+    return centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, each corpus
+    vector in exactly one centroid bucket; a query scores only the
+    buckets of its ``n_probe`` nearest centroids (~n_probe/C of the
+    corpus). Same output shape as knn_bruteforce; with
+    ``n_probe == num_centroids`` it degrades to exact brute force.
+
+    Scale: the centroid matrix is the only broadcast state; the corpus
+    is scanned once for assignment and once for scoring (assignment
+    would be a stored column in a persisted IVF index), and the
+    probe join keys are small ints.
+    """
+    centroids = train_ivf_centroids(
+        corpus, num_centroids=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        _nearest_centroid(F.col("cv"), centroids).alias("cid"),
+        sq_norm(F.col("cv")).alias("cn2"),
+    )
+
+    def probe_cids(vec: Column) -> Column:
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                vec,
+                                F.array(*[F.lit(float(x)) for x in cv]),
+                                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in centroids
+                ]
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("cid"))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sq_norm(F.col(vec_col)).alias("qn2"),
+        F.explode(probe_cids(F.col(vec_col))).alias("cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            dot_product(F.col("qv"), F.col("cv"))
+            / F.sqrt(F.col("qn2") * F.col("cn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,5 +1,6 @@
-"""Structured Streaming ingestion."""
+"""Structured Streaming: segment ingestion + windowed aggregation."""
 
 from toshokan_spark.streaming.ingest_stream import stream_index
+from toshokan_spark.streaming.windowed import stream_windowed_counts, windowed_counts
 
-__all__ = ["stream_index"]
+__all__ = ["stream_index", "stream_windowed_counts", "windowed_counts"]
