@@ -237,6 +237,33 @@ def test_merge_lifecycle(spark, catalog, tmp_path):
 # validation: array of static_object rejected (`create.rs:15-22`)
 # ---------------------------------------------------------------------------
 
+def test_en_stem_tokenizer_end_to_end(spark, catalog, tmp_path):
+    """en_stem field: stemmed query terms match stemmed index tokens
+    (`src/config/mod.rs:78-83` tantivy en_stem analyzer; our Porter
+    stand-in, functions/tokenizers.py)."""
+    config = IndexConfig(
+        name="stem_test",
+        path=str(tmp_path / "data" / "stem_test"),
+        fields=[FieldConfig(name="body", type="text", tokenizer="en_stem")],
+    )
+    create_index(catalog, config)
+    rows = [
+        '{"body":"connections terminating quickly"}',
+        '{"body":"unrelated words here"}',
+    ]
+    index_batch(spark, catalog, "stem_test", write_jsonl(tmp_path, rows))
+    # query analyzed with the same stemmer: connection/connected/
+    # connections all stem to "connect"
+    for q in ("body:connection", "body:connected", "body:terminate"):
+        out = search(spark, catalog, "stem_test", q, limit=10)
+        assert len(out) == 1 and "terminating" in out[0], q
+    # "quickly" stems to "quickli", not "quick" — different stems
+    # must NOT match (Porter semantics, not substring match)
+    assert search(spark, catalog, "stem_test", "body:quickly", limit=10)
+    assert not search(spark, catalog, "stem_test", "body:quick", limit=10)
+    drop_index(catalog, "stem_test")
+
+
 def test_array_of_static_object_rejected():
     from toshokan_spark.config import ConfigError
 

@@ -80,6 +80,30 @@ def test_stream_commits_segments_and_checkpoints(spark, catalog, tmp_path):
     assert len(search(spark, catalog, "stream-logs", "*", limit=10)) == 3
 
 
+def test_replayed_batch_commits_exactly_once(spark, catalog, tmp_path):
+    """Simulates the crash window the reference documents as its
+    at-least-once gap (data+manifest durable, offsets not yet
+    checkpointed -> the batch replays): the manifest's batch_id
+    dedup makes the replay a no-op."""
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.ingest import ingest_projection
+
+    config = _config(tmp_path)
+    create_index(catalog, config)
+    lines = spark.createDataFrame(
+        [(json.dumps({"ts": 1716822728, "level": "INFO", "msg": "once"}),)], ["value"]
+    )
+    typed = ingest_projection(lines, config)
+    e1 = write_segment(catalog, config, typed, batch_id="ck:7")
+    assert e1 is not None
+    # replay of the same micro-batch: skipped, no new segment or data
+    assert write_segment(catalog, config, typed, batch_id="ck:7") is None
+    # a different checkpoint lineage with the same numeric id commits
+    assert write_segment(catalog, config, typed, batch_id="ck2:7") is not None
+    segs = catalog.segments("stream-logs")
+    assert [s.batch_id for s in segs] == ["ck:7", "ck2:7"]
+
+
 def test_windowed_counts_with_watermark_and_late_data(spark, tmp_path):
     """Watermarked tumbling windows over a stream: finalized windows
     land exactly once in the append-mode parquet sink; rows later than

@@ -62,6 +62,13 @@ class SegmentEntry:
     file_name: str  # segment directory name under the index path
     num_rows: int
     created_at_ms: int
+    #: stream micro-batch id that produced this segment (None for
+    #: batch ingestion). Replaying a checkpointed batch after a crash
+    #: finds its id already manifested and skips the commit — upgrading
+    #: the reference's at-least-once offset contract
+    #: (`kafka_source.rs:380-394`: duplicates possible on crash between
+    #: upload and checkpoint save) to exactly-once segments.
+    batch_id: Optional[str] = None
 
 
 class CatalogError(RuntimeError):
@@ -140,12 +147,23 @@ class FsCatalog:
             json.dumps({"segments": [asdict(s) for s in segs]}, indent=1),
         )
 
-    def commit_segment(self, name: str, entry: SegmentEntry) -> None:
+    def commit_segment(self, name: str, entry: SegmentEntry) -> bool:
         """Append one segment (data must already be on storage —
-        data-first, manifest-second, `src/commands/mod.rs:178-187`)."""
+        data-first, manifest-second, `src/commands/mod.rs:178-187`).
+        Returns False (no-op) when the entry's ``batch_id`` is already
+        manifested — the idempotence that makes a replayed stream
+        micro-batch exactly-once."""
         segs = self.segments(name)
+        if entry.batch_id is not None and any(
+            s.batch_id == entry.batch_id for s in segs
+        ):
+            return False
         segs.append(entry)
         self._write_segments(name, segs)
+        return True
+
+    def has_batch(self, name: str, batch_id: str) -> bool:
+        return any(s.batch_id == batch_id for s in self.segments(name))
 
     def swap_segments(
         self, name: str, remove_ids: list[str], add: Optional[SegmentEntry]

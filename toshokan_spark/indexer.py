@@ -57,7 +57,14 @@ def write_segment(
     config: IndexConfig,
     typed: DataFrame,
     target_files: Optional[int] = None,
+    batch_id: Optional[str] = None,
 ) -> Optional[SegmentEntry]:
+    if batch_id is not None and catalog.has_batch(config.name, batch_id):
+        # replayed stream micro-batch (crash after manifest commit,
+        # before offset checkpoint): already durable, skip — this is
+        # the exactly-once upgrade over the reference's at-least-once
+        # contract (`kafka_source.rs:380-394`, SURVEY §2.7)
+        return None
     seg_id = uuid7()
     seg_name = f"seg-{seg_id}"
     base = _strip_file_scheme(config.path)
@@ -94,7 +101,13 @@ def write_segment(
         file_name=seg_name,
         num_rows=num_rows,
         created_at_ms=int(time.time() * 1000),
+        batch_id=batch_id,
     )
     # data first, manifest second (`src/commands/mod.rs:178-187`)
-    catalog.commit_segment(config.name, entry)
+    if not catalog.commit_segment(config.name, entry):
+        # lost the idempotence race — leave no orphan data behind
+        import shutil
+
+        shutil.rmtree(seg_path, ignore_errors=True)
+        return None
     return entry

@@ -21,6 +21,8 @@ file streams, rate+map in tests) — the sink logic is source-agnostic.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -49,12 +51,18 @@ def stream_index(
     *commit_interval* like the reference's ``--stream`` loop.
     """
     config = catalog.get_index(index_name)
+    # idempotence keys are scoped to the checkpoint: batch ids are only
+    # unique within one checkpoint lineage (a fresh checkpoint restarts
+    # at 0 and must not be deduplicated against the old one)
+    ckpt_scope = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         typed = ingest_projection(batch_df, config)
         # write_segment suppresses empty batches and appends the
-        # manifest entry only after the Parquet data is durable
-        write_segment(catalog, config, typed)
+        # manifest entry only after the Parquet data is durable; the
+        # batch_id makes a checkpoint-replayed micro-batch a no-op
+        # (exactly-once segments, vs the reference's at-least-once)
+        write_segment(catalog, config, typed, batch_id=f"{ckpt_scope}:{batch_id}")
 
     writer = lines.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir
