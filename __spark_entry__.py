@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from toshokan_spark.config import FieldConfig, IndexConfig
 from toshokan_spark.query import compile_query
-from toshokan_spark.operators import dedup, similarity, text as textops, multimodal
+from toshokan_spark.operators import asof, dedup, similarity, text as textops, multimodal
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -302,6 +302,40 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_asof_last_click(spark, sf_dir):
+    """As-of join: each purchase event annotated with the user's most
+    recent click (value) at or before the purchase time."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe clicks to one row per (user, ts) so tie order is defined
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max(F.col("value")).alias("cvalue"))
+    )
+    out = asof.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        payload=["cts", "cvalue"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        _us(F.col("asof_cts")).alias("last_click_ts_us"),
+        F.col("asof_cvalue").alias("last_click_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication (north-star operators)
 # ---------------------------------------------------------------------------
@@ -482,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_last_click": q_asof_last_click,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -681,6 +717,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
               count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+              count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "asof_last_click": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, ts AS cts, max(value) AS cvalue FROM events
+              WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   epoch_us(c.cts) AS last_click_ts_us,
+                   c.cvalue AS last_click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.cts
         """,
         "dedup_exact": """
             WITH u AS (

@@ -170,6 +170,29 @@ def test_multimodal_roundtrip(spark):
     assert [bytes(f.frame) for f in frames] == [b"ab", b"c"]
 
 
+def test_asof_join_semantics(spark):
+    from toshokan_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(id=1, k="a", t=10), Row(id=2, k="a", t=20), Row(id=3, k="b", t=5),
+         Row(id=4, k="c", t=50)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=8, v="a8"), Row(k="a", rt=20, v="a20"),
+         Row(k="a", rt=25, v="a25"), Row(k="b", rt=9, v="b9")]
+    )
+    out = {
+        r.id: (r.asof_rt, r.asof_v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt", payload=["rt", "v"]
+        ).collect()
+    }
+    assert out[1] == (8, "a8")       # strictly-before match
+    assert out[2] == (20, "a20")     # equal timestamp is inclusive
+    assert out[3] == (None, None)    # right row is later -> no match
+    assert out[4] == (None, None)    # key with no right rows at all
+
+
 def test_bm25_scores_and_topk(docs):
     scored = {r.id: r.bm25 for r in bm25_scores(docs, "spark engines").collect()}
     # only docs 4 and 5 contain the terms; doc 4 is shorter -> higher

@@ -65,6 +65,47 @@ def test_one_sided_and_disjunctive_bounds(spark, catalog, tmp_path):
     assert "PartitionFilters" in plan and "__day" in plan
 
 
+def test_merge_preserves_partition_layout(spark, catalog, tmp_path):
+    """Compaction must not flatten the __day layout — pruning still
+    works on the merged segment."""
+    from toshokan_spark.maintenance import merge_segments
+
+    _setup(spark, catalog, tmp_path)
+    rows = [{"ts": "2024-01-04T10:00:00Z", "level": "D"}]
+    p = tmp_path / "in2.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    index_batch(spark, catalog, "tsidx", jsonl_path=str(p))
+    merge_segments(spark, catalog, "tsidx")
+    assert len(catalog.segments("tsidx")) == 1
+
+    df = search_df(
+        spark, catalog, "tsidx",
+        "ts:[2024-01-02T00:00:00Z TO 2024-01-02T23:59:59Z]", limit=None,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__day" in plan
+    assert [r.level for r in df.collect()] == ["B"]
+    assert len(search(spark, catalog, "tsidx", "*", limit=10)) == 4
+
+
+def test_size_tiered_merge_smallest_first(spark, catalog, tmp_path):
+    from toshokan_spark.maintenance import merge_segments
+
+    _setup(spark, catalog, tmp_path)  # 3 rows in one segment
+    for i, n in enumerate((1, 2)):
+        rows = [
+            {"ts": f"2024-02-0{i+1}T10:00:00Z", "level": f"X{i}{j}"} for j in range(n)
+        ]
+        p = tmp_path / f"extra{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        index_batch(spark, catalog, "tsidx", jsonl_path=str(p))
+    assert sorted(s.num_rows for s in catalog.segments("tsidx")) == [1, 2, 3]
+    # tiered: merge only the 2 smallest; the 3-row segment is untouched
+    merge_segments(spark, catalog, "tsidx", max_segments=2)
+    assert sorted(s.num_rows for s in catalog.segments("tsidx")) == [3, 3]
+    assert len(search(spark, catalog, "tsidx", "*", limit=10)) == 6
+
+
 def test_unbounded_query_still_correct(spark, catalog, tmp_path):
     _setup(spark, catalog, tmp_path)
     # term query implies no time bounds -> no pruning, full results

@@ -52,12 +52,24 @@ def merge_segments(
     catalog: FsCatalog,
     index_name: str,
     rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+    max_segments: int | None = None,
 ) -> SegmentEntry:
-    """Compact all manifested segments into one."""
+    """Compact manifested segments into one.
+
+    ``max_segments`` enables size-tiered compaction: only the N
+    smallest segments merge (the reference always merges everything,
+    `merge.rs:38-48` — fine for its scale, but at 100 TB rewriting the
+    full index per compaction is O(index) churn; tiering rewrites only
+    the small-file tail that actually hurts scan planning).
+    """
     segs = catalog.segments(index_name)
     if len(segs) < 2:
         # `merge.rs:28-31`: "need at least 2 files to merge"
         raise MergeError("need at least 2 segments to merge")
+    if max_segments is not None:
+        if max_segments < 2:
+            raise MergeError("max_segments must be >= 2")
+        segs = sorted(segs, key=lambda s: (s.num_rows, s.id))[:max_segments]
     config = catalog.get_index(index_name)
     base = _strip_file_scheme(config.path)
     paths = [os.path.join(base, s.file_name) for s in segs]
@@ -67,12 +79,19 @@ def merge_segments(
     df = read_segments(spark, paths)
     total = sum(s.num_rows for s in segs)
     nfiles = max(1, math.ceil(total / rows_per_file))
-    df = df.coalesce(nfiles)
 
     seg_id = uuid7()
     seg_name = f"seg-{seg_id}"
     seg_path = os.path.join(base, seg_name)
-    df.write.mode("error").parquet(seg_path)
+    if "__day" in df.columns:
+        # preserve the time_field partition layout (and its pruning)
+        # across compaction: repartition on the partition value so each
+        # task writes few files, then write partitioned
+        df.repartition(nfiles, "__day").write.mode("error").partitionBy(
+            "__day"
+        ).parquet(seg_path)
+    else:
+        df.coalesce(nfiles).write.mode("error").parquet(seg_path)
 
     entry = SegmentEntry(
         id=seg_id, file_name=seg_name, num_rows=total, created_at_ms=int(time.time() * 1000)
