@@ -302,6 +302,26 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: per-user activity sessions split at 30-minute
+    gaps, via Spark's native session_window (works identically on a
+    stream with a watermark). The reference has no session concept at
+    all (SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    out = ev.groupBy("user_id", sw.alias("sw")).agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        "user_id",
+        _us(F.col("min_ts")).alias("session_start_us"),
+        _us(F.col("max_ts")).alias("session_end_us"),
+        "n_events",
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -516,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
+        "user_sessions": q_user_sessions,
         "rollup_revenue": q_rollup_revenue,
         "asof_last_click": q_asof_last_click,
         # dedup
@@ -717,6 +738,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
               count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # session semantics: a new session starts when the gap to the
+        # previous event is >= 30 min (Spark session_window contract)
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,

@@ -171,6 +171,64 @@ def test_windowed_counts_with_watermark_and_late_data(spark, tmp_path):
     assert ("2024-01-01 15:00:00", "b") not in got  # still open
 
 
+def test_dedup_stream_drops_repeats_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: first occurrence wins, repeats
+    arriving in later micro-batches (within the watermark) are
+    dropped; state is watermark-bounded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import dedup_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        q = (
+            dedup_stream(parsed, keys=["k"], time_col="ts", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T10:00:00", "k": "a"})
+        + "\n"
+        + json.dumps({"ts": "2024-01-01T10:01:00", "k": "b"})
+        + "\n"
+        + json.dumps({"ts": "2024-01-01T10:02:00", "k": "a"})  # in-batch dup
+        + "\n"
+    )
+    drain()
+    # cross-batch duplicate of "b" within the watermark + one new key
+    (indir / "b2.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01T10:10:00", "k": "b"})
+        + "\n"
+        + json.dumps({"ts": "2024-01-01T10:11:00", "k": "c"})
+        + "\n"
+    )
+    drain()
+    got = sorted((r.k, str(r.ts)) for r in spark.read.parquet(out).collect())
+    assert got == [
+        ("a", "2024-01-01 10:00:00"),
+        ("b", "2024-01-01 10:01:00"),
+        ("c", "2024-01-01 10:11:00"),
+    ]
+
+
 def test_stream_interval_trigger_runs(spark, catalog, tmp_path):
     """processingTime path (the reference's --commit-interval loop):
     one live micro-batch commits, then the query stops cleanly."""

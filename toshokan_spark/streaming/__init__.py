@@ -1,6 +1,10 @@
 """Structured Streaming: segment ingestion + windowed aggregation."""
 
 from toshokan_spark.streaming.ingest_stream import stream_index
-from toshokan_spark.streaming.windowed import stream_windowed_counts, windowed_counts
+from toshokan_spark.streaming.windowed import (
+    dedup_stream,
+    stream_windowed_counts,
+    windowed_counts,
+)
 
-__all__ = ["stream_index", "stream_windowed_counts", "windowed_counts"]
+__all__ = ["dedup_stream", "stream_index", "stream_windowed_counts", "windowed_counts"]

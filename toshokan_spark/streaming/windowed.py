@@ -13,6 +13,8 @@ mode) each finalized window is emitted exactly once.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -41,6 +43,23 @@ def windowed_counts(
     src = events.withWatermark(time_col, watermark) if events.isStreaming else events
     return src.groupBy(win.alias("win"), *[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("n_events"), *aggs
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first row per key,
+    dropping re-occurrences that arrive within *watermark* of event
+    time. State is bounded — a key's entry is evicted once the
+    watermark passes it (vs plain ``dropDuplicates``, whose state
+    grows forever on an unbounded stream). The batch analog is
+    ``operators.dedup.deduplicate_exact``."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 
