@@ -237,6 +237,39 @@ def test_merge_lifecycle(spark, catalog, tmp_path):
 # validation: array of static_object rejected (`create.rs:15-22`)
 # ---------------------------------------------------------------------------
 
+def test_bad_documents_skipped_not_failed(spark, catalog, tmp_path):
+    """Unparseable field values / malformed JSON skip the whole
+    document with the batch continuing (`src/commands/index.rs:150-156`);
+    keep_rejects=True surfaces them for a dead-letter flow."""
+    from toshokan_spark.ingest import REJECT_COL, ingest_projection
+
+    config = IndexConfig(
+        name="rej_test",
+        path=str(tmp_path / "data" / "rej_test"),
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="n", type="number", number_type="i64"),
+        ],
+    )
+    create_index(catalog, config)
+    rows = [
+        '{"ts": 1716822728, "n": 1}',            # good
+        '{"ts": "not-a-date", "n": 2}',          # bad datetime -> skip
+        '{"ts": 1716822730, "n": "not-a-num"}',  # bad number -> skip
+        'this is not json at all',               # malformed line -> skip
+        '{"ts": 1716822731, "n": "4"}',          # parse_string coercion -> good
+    ]
+    index_batch(spark, catalog, "rej_test", write_jsonl(tmp_path, rows))
+    out = search(spark, catalog, "rej_test", "*", limit=10)
+    assert sorted(json.loads(d)["n"] for d in out) == [1, 4]
+
+    # the dead-letter view: rejects kept and flagged
+    lines = spark.createDataFrame([(r,) for r in rows], ["value"])
+    flagged = ingest_projection(lines, config, keep_rejects=True)
+    assert flagged.filter(flagged[REJECT_COL]).count() == 3
+    drop_index(catalog, "rej_test")
+
+
 def test_en_stem_tokenizer_end_to_end(spark, catalog, tmp_path):
     """en_stem field: stemmed query terms match stemmed index tokens
     (`src/config/mod.rs:78-83` tantivy en_stem analyzer; our Porter

@@ -229,6 +229,53 @@ def test_dedup_stream_drops_repeats_across_batches(spark, tmp_path):
     ]
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state carries across
+    micro-batches; each batch emits the updated running totals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import running_totals
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        q = (
+            running_totals(parsed, key_col="k", value_col="v")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"k": "a", "v": 1.0}) + "\n" + json.dumps({"k": "a", "v": 2.0})
+        + "\n" + json.dumps({"k": "b", "v": 10.0}) + "\n"
+    )
+    drain()
+    (indir / "b2.jsonl").write_text(json.dumps({"k": "a", "v": 4.0}) + "\n")
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    emissions = sorted((r.k, r.n_events, r.total) for r in rows)
+    # batch 1 emitted a:(2, 3.0) and b:(1, 10.0); batch 2 carried a's
+    # state forward -> a:(3, 7.0); b silent (not in batch 2)
+    assert emissions == [("a", 2, 3.0), ("a", 3, 7.0), ("b", 1, 10.0)]
+
+
 def test_stream_interval_trigger_runs(spark, catalog, tmp_path):
     """processingTime path (the reference's --commit-interval loop):
     one live micro-batch commits, then the query stops cleanly."""

@@ -1,10 +1,17 @@
 """Structured Streaming: segment ingestion + windowed aggregation."""
 
 from toshokan_spark.streaming.ingest_stream import stream_index
+from toshokan_spark.streaming.stateful import running_totals
 from toshokan_spark.streaming.windowed import (
     dedup_stream,
     stream_windowed_counts,
     windowed_counts,
 )
 
-__all__ = ["dedup_stream", "stream_index", "stream_windowed_counts", "windowed_counts"]
+__all__ = [
+    "dedup_stream",
+    "running_totals",
+    "stream_index",
+    "stream_windowed_counts",
+    "windowed_counts",
+]
