@@ -150,6 +150,32 @@ def q_search_phrase(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_ingest_roundtrip(spark, sf_dir):
+    """The full ingestion pipeline (JSON parse -> schema coercion ->
+    typed columns, `toshokan_spark/ingest.py`) applied to the
+    documents table re-serialized as JSON lines: output values must be
+    bit-identical to the source (oracle = plain SELECT)."""
+    from toshokan_spark.ingest import ingest_projection
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("value")
+    )
+    config = IndexConfig(
+        name="roundtrip",
+        path="",
+        fields=[
+            FieldConfig(name="doc_id", type="number", number_type="i64"),
+            FieldConfig(name="text", type="text"),
+            FieldConfig(name="lang", type="text", tokenizer="raw"),
+            FieldConfig(name="source", type="text", tokenizer="raw"),
+            FieldConfig(name="n_chars", type="number", number_type="i64"),
+        ],
+    )
+    typed = ingest_projection(lines, config)
+    return typed.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_search_bm25(spark, sf_dir):
     from toshokan_spark.functions.bm25 import bm25_scores
 
@@ -525,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_text_term": q_search_text_term,
         "search_phrase": q_search_phrase,
         "search_bm25": q_search_bm25,
+        "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
         # relational analytics
         "q1_pricing": q_q1_pricing,
@@ -629,6 +656,9 @@ def oracle_sql() -> dict[str, str]:
         "json_path_filter": """
             SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
             FROM events WHERE json_extract_string(props, '$.k')::BIGINT > 80
+        """,
+        "ingest_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # identical arithmetic to functions/bm25.py (k1=1.2, b=0.75;
         # per-term scores summed left-to-right, round to 4 decimals)

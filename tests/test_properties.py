@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the driver-side pure logic,
+plus batch consistency checks between driver-side analysis and the
+Column-expression implementations — coverage the reference lacks
+entirely (SURVEY §5: golden integration tests only)."""
+
+import re
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from toshokan_spark.functions.datetime_ import (
+    MAX_TS_SECONDS,
+    MIN_TS_SECONDS,
+    epoch_any_to_timestamp,
+)
+from toshokan_spark.functions.tokenizers import analyze_term, porter_stem, tokenize
+from toshokan_spark.plans.ast import ParseError, parse_query
+
+
+# ---------------------------------------------------------------------------
+# parser totality: any input either parses or raises ParseError —
+# never an unrelated exception (the CLI surfaces ParseError cleanly)
+# ---------------------------------------------------------------------------
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes(q):
+    try:
+        parse_query(q)
+    except ParseError:
+        pass
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["a:b", "x:>3", "y:[1 TO 5}", "*", "NOT", "AND", "OR", '"p q"',
+             "(", ")", "f.g:h", "-a:b", "+c:d"]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_parser_on_token_soup(parts):
+    try:
+        parse_query(" ".join(parts))
+    except ParseError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# porter stemmer: total, idempotent-ish, never grows a word
+# ---------------------------------------------------------------------------
+
+@given(st.from_regex(r"[a-z]{1,20}", fullmatch=True))
+@settings(max_examples=500, deadline=None)
+def test_porter_stem_total_and_bounded(w):
+    s = porter_stem(w)
+    assert isinstance(s, str)
+    assert len(s) <= len(w) + 1  # +1 for the "e"-restoring rules
+
+
+# ---------------------------------------------------------------------------
+# driver-side query analysis == executor-side tokenize column
+# (a mismatch would silently break term-query recall)
+# ---------------------------------------------------------------------------
+
+def test_analyze_term_matches_tokenize_column(spark):
+    samples = [
+        "Hello World", "a-b_c.d", "UPPER lower MiXeD", "  spaces   ",
+        "x" * 41, "x" * 40, "tab\tsep", "num8er5", "", "...", "é café",
+        "snake_case and-dash", "a.b.c:d", "123 456",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    for tok in ("default", "whitespace"):
+        got = {
+            r.t: r.toks
+            for r in df.select("t", tokenize(F.col("t"), tok).alias("toks")).collect()
+        }
+        for s in samples:
+            assert got[s] == analyze_term(s, tok), (tok, s)
+
+
+# ---------------------------------------------------------------------------
+# epoch-magnitude inference: Column impl == reference rules
+# (`/root/reference/src/config/datetime.rs:16-46`)
+# ---------------------------------------------------------------------------
+
+def _py_epoch_model(v: int):
+    for unit in (1, 10**3, 10**6, 10**9):
+        if MIN_TS_SECONDS * unit <= abs(v) <= MAX_TS_SECONDS * unit:
+            us = (v * 10**6) // unit if unit <= 10**6 else v // (unit // 10**6)
+            return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+    return None
+
+
+def test_epoch_magnitude_inference_matches_model(spark):
+    edges = []
+    for unit in (1, 10**3, 10**6, 10**9):
+        for base in (MIN_TS_SECONDS, MAX_TS_SECONDS):
+            v = base * unit
+            edges += [v - 1, v, v + 1]
+    edges += [0, 1, -1, 1716822728, 1716822728_000, 1716822728_000_000]
+    # negative epochs (pre-1968 instants): |v| drives unit inference
+    edges += [-100_000_000, -100_000_000_000, -MIN_TS_SECONDS, -MAX_TS_SECONDS - 1]
+    df = spark.createDataFrame([(v,) for v in edges], ["v"])
+    got = {
+        r.v: r.ts
+        for r in df.select("v", epoch_any_to_timestamp(F.col("v")).alias("ts")).collect()
+    }
+    for v in edges:
+        expected = _py_epoch_model(v)
+        actual = got[v]
+        if expected is None:
+            assert actual is None, v
+        else:
+            assert actual is not None and abs((actual - expected).total_seconds()) < 1e-3, v

@@ -229,6 +229,27 @@ def test_dedup_stream_drops_repeats_across_batches(spark, tmp_path):
     ]
 
 
+def test_kafka_url_parsing_and_tombstone_skip(spark):
+    """Driver-side Kafka plumbing (the broker itself isn't in this
+    env): URL parity with `sources/mod.rs:46-63`, and the
+    tombstone-skip projection (`kafka_source.rs:205-214`)."""
+    import pytest
+
+    from toshokan_spark.sources.kafka import _lines, parse_kafka_url
+
+    assert parse_kafka_url("kafka://broker:9092/logs") == ("broker:9092", "logs")
+    assert parse_kafka_url("kafka://a:1,b:2/t/with/slash") == ("a:1,b:2", "t/with/slash")
+    for bad in ("http://x/t", "kafka://hostonly", "kafka:///topic", "kafka://h/"):
+        with pytest.raises(ValueError):
+            parse_kafka_url(bad)
+
+    raw = spark.createDataFrame(
+        [(bytearray(b'{"a":1}'),), (None,), (bytearray(b'{"a":2}'),)],
+        "value binary",
+    )
+    assert [r.value for r in _lines(raw).collect()] == ['{"a":1}', '{"a":2}']
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-key state carries across
     micro-batches; each batch emits the updated running totals."""

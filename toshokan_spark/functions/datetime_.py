@@ -26,22 +26,29 @@ MAX_TS_SECONDS = 8_589_934_591
 
 def epoch_any_to_timestamp(v: Column) -> Column:
     """Magnitude-inferred epoch (long) -> timestamp. Null when out of
-    the supported range (the caller treats null as a parse failure)."""
+    the supported range (the caller treats null as a parse failure).
+
+    Classification is on |v| (`datetime.rs:16-46` checks the absolute
+    value), so negative epochs — instants before ~1967 — parse with
+    the same unit rules."""
+    a = F.abs(v)
     return (
         F.when(
-            v.between(MIN_TS_SECONDS, MAX_TS_SECONDS), F.timestamp_seconds(v)
+            a.between(MIN_TS_SECONDS, MAX_TS_SECONDS), F.timestamp_seconds(v)
         )
         .when(
-            v.between(MIN_TS_SECONDS * 1_000, MAX_TS_SECONDS * 1_000),
+            a.between(MIN_TS_SECONDS * 1_000, MAX_TS_SECONDS * 1_000),
             F.timestamp_millis(v),
         )
         .when(
-            v.between(MIN_TS_SECONDS * 1_000_000, MAX_TS_SECONDS * 1_000_000),
+            a.between(MIN_TS_SECONDS * 1_000_000, MAX_TS_SECONDS * 1_000_000),
             F.timestamp_micros(v),
         )
         .when(
-            v.between(MIN_TS_SECONDS * 1_000_000_000, MAX_TS_SECONDS * 1_000_000_000),
-            F.timestamp_micros((v / 1000).cast("long")),  # nanos -> micros
+            a.between(MIN_TS_SECONDS * 1_000_000_000, MAX_TS_SECONDS * 1_000_000_000),
+            # nanos -> micros (double-div + cast truncates toward zero
+            # for both signs, like the reference's ns->us conversion)
+            F.timestamp_micros((v / 1000).cast("long")),
         )
         .otherwise(F.lit(None).cast("timestamp"))
     )
