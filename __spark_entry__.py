@@ -328,6 +328,31 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): distributed as a broadcast/shuffled
+    left-anti hash join, no row explosion."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_click_only_users(spark, sf_dir):
+    """Set difference (EXCEPT DISTINCT): users who clicked but never
+    purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    big_buys = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 450)
+    ).select("user_id")
+    return clicks.distinct().subtract(big_buys.distinct())
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization: per-user activity sessions split at 30-minute
     gaps, via Spark's native session_window (works identically on a
@@ -563,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
+        "customers_without_orders": q_customers_without_orders,
+        "click_only_users": q_click_only_users,
         "user_sessions": q_user_sessions,
         "rollup_revenue": q_rollup_revenue,
         "asof_last_click": q_asof_last_click,
@@ -768,6 +795,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
               count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1998-01-01')
+        """,
+        "click_only_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 450
         """,
         # session semantics: a new session starts when the gap to the
         # previous event is >= 30 min (Spark session_window contract)
