@@ -54,8 +54,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _dec(c) -> F.Column:
     """double -> exact decimal for deterministic (order-independent)
-    sums; final results are cast back to double."""
+    sums; final results are cast back to double via _dbl."""
     return c.cast("decimal(18,4)")
+
+
+def _dbl(c) -> F.Column:
+    """Decimal aggregate -> double, representation-parity safe.
+
+    The inputs carry at most 6 real decimal digits (2dp prices x 4dp
+    factors), so round(x, 6) is exact (never a rounding tie), and the
+    resulting scale-6 numerator is < 2^53 for any plausible sum, making
+    the decimal->double conversion a single correctly-rounded IEEE
+    division in both Spark and DuckDB. Without the round, a scale-8
+    sum near 1e9 converts with a 1-ulp discrepancy between engines.
+    Mirror in oracle SQL as round(sum(...), 6)::DOUBLE."""
+    return F.round(c, 6).cast("double")
 
 
 def _us(c) -> F.Column:
@@ -208,10 +221,10 @@ def q_q1_pricing(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "2000-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            _dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+            _dbl(F.sum(_dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+            _dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            _dbl(F.sum(charge)).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -228,7 +241,7 @@ def q_q3_top_revenue(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -258,7 +271,7 @@ def q_q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
     )
 
 
@@ -273,7 +286,7 @@ def q_brand_revenue(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(rev).alias("revenue"),
+            _dbl(F.sum(rev)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -315,7 +328,7 @@ def q_hourly_events(spark, sf_dir):
         ev.groupBy(_us(F.date_trunc("hour", F.col("ts"))).alias("hour_us"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec(F.col("value"))).alias("sum_value"),
+            _dbl(F.sum(_dec(F.col("value")))).alias("sum_value"),
         )
     )
 
@@ -376,7 +389,7 @@ def q_user_sessions(spark, sf_dir):
 def q_rollup_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        _dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -723,17 +736,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS sum_disc_price,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1-l_discount)*(1+l_tax) AS DECIMAL(18,4))) AS sum_charge,
+              round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6)::DOUBLE AS sum_qty,
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6)::DOUBLE AS sum_base_price,
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE AS sum_disc_price,
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1-l_discount)*(1+l_tax) AS DECIMAL(18,4))), 6)::DOUBLE AS sum_charge,
               count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
             GROUP BY l_returnflag, l_linestatus
         """,
         "q3_top_revenue": """
             SELECT l_orderkey,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS revenue
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -745,7 +758,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS revenue
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -759,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "brand_revenue": """
             SELECT p_brand,
-              sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))) AS revenue,
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE AS revenue,
               count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -788,7 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_events": """
             SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
               count(*) AS n_events,
-              sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+              round(sum(CAST(value AS DECIMAL(18,4))), 6)::DOUBLE AS sum_value
             FROM events GROUP BY 1
         """,
         "distinct_users": """
@@ -832,7 +845,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+              round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6)::DOUBLE AS sum_qty,
               count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
