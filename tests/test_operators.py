@@ -57,6 +57,45 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 2) in out and out[(1, 2)] == 0.75
 
 
+def test_ngram_jaccard_shingle_freq_cap_bounds_boilerplate(spark):
+    """A shared boilerplate header must not quadratically blow up the
+    co-shingle join: with the frequency cap at its default the header
+    shingles (present in every doc) are dropped, and docs whose ONLY
+    overlap is boilerplate produce no pair."""
+    header = "subscribe to our newsletter for updates today"
+    rows = [Row(doc_id=i, text=f"{header} unique body number {i} talks about topic {i}")
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows)
+    # cap of 5 << 20 docs: every header-only shingle is dropped
+    out = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.2, max_shingle_freq=5).collect()
+    assert out == []
+    # without the cap the boilerplate alone joins all C(20,2) pairs
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, k=3, threshold=0.2, max_shingle_freq=None).count()
+    assert uncapped == 190
+
+
+def test_minhash_band_freq_cap_bounds_degenerate_buckets(spark):
+    """Identical docs share every band key; with max_band_freq below
+    the clone-cluster size those buckets are dropped entirely, so no
+    candidate pairs survive — proving the bucket bound is enforced."""
+    rows = [Row(doc_id=i, text="exactly the same document text repeated verbatim here")
+            for i in range(1, 11)]
+    df = spark.createDataFrame(rows)
+    capped = dedup.minhash_lsh_pairs(df, threshold=0.5, max_band_freq=5).count()
+    assert capped == 0
+    uncapped = dedup.minhash_lsh_pairs(df, threshold=0.5, max_band_freq=None).count()
+    assert uncapped == 45  # C(10,2)
+
+
+def test_simhash_wide_docs_path_matches_narrow(docs):
+    narrow = {(r.a_id, r.b_id): r.hamming for r in
+              dedup.simhash_near_pairs(docs, max_hamming=64).collect()}
+    wide = {(r.a_id, r.b_id): r.hamming for r in
+            dedup.simhash_near_pairs(docs, max_hamming=64, wide_docs=True).collect()}
+    assert narrow == wide and narrow
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     out = {(r.a_id, r.b_id): r.hamming for r in
            dedup.simhash_near_pairs(docs, max_hamming=3).collect()}

@@ -105,7 +105,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = 1000,
 ) -> DataFrame:
     """All pairs with k-word-shingle Jaccard >= threshold.
 
@@ -115,7 +115,9 @@ def ngram_jaccard_pairs(
     more than that many docs (boilerplate guard — at corpus scale a
     header shingle shared by 10^6 docs would alone create 10^12 join
     rows; dropping it can only lose pairs whose overlap is pure
-    boilerplate).
+    boilerplate). ON by default (1000): a single stop-shingle must
+    never be able to quadratically blow up the join. Pass ``None``
+    only for corpora known to be boilerplate-free.
     """
     sh = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -216,6 +218,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     k: int = 3,
     threshold: float = 0.5,
+    max_band_freq: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard (so: recall bounded by the S-curve of (bands, rows_per_
@@ -225,6 +228,13 @@ def minhash_lsh_pairs(
     band-key self-join (64-bit keys). With 128 hashes / 32 bands /
     r=4, the candidate-capture probability at J=0.5 is
     1-(1-0.5^4)^32 ≈ 0.87, at J=0.7 ≈ 0.9998.
+
+    ``max_band_freq`` (ON by default) drops any (band, key) bucket
+    holding more than that many docs before the self-join: a
+    degenerate band key shared by 10^5 docs would otherwise form
+    10^10 candidate pairs on its own. Docs in an over-full bucket
+    still pair through their other bands, so recall loss is confined
+    to pairs whose ONLY agreement is the degenerate band.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -257,6 +267,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_band_freq is not None:
+        # one extra count-shuffle on the (already shuffled) band keys
+        # buys a hard bound on bucket fan-out
+        bucket_n = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "key")
+        )
+        banded = (
+            banded.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_band_freq)
+            .drop("__bn")
+        )
 
     # candidate ids only — shingle arrays never travel through the
     # band-key shuffle; they re-join after pair dedup
@@ -332,10 +354,16 @@ def simhash_signature(text: Column, bits: int = 64) -> Column:
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """(id, sig) via explode + partial aggregation — same scale
-    rationale as :func:`minhash_signatures`: the signature becomes a
-    physical aggregation output (64 small sums, map-side combined)
-    instead of a lambda tree duplicated per downstream reference."""
+    """(id, sig) via explode + partial aggregation.
+
+    Scale note (measured at sf0.1): this formulation is ~5× SLOWER
+    than the per-row HOF (:func:`simhash_signature`) — the explode
+    materializes one row per token and the 64-column aggregate sits
+    at the codegen field limit — but its per-row memory is O(1) in
+    document length, so it remains the right path for pathologically
+    wide documents (100 MB+ blobs) where the HOF's per-row token
+    array would not fit an executor's row buffer. Default pipelines
+    should use :func:`simhash_near_pairs` (narrow path)."""
     ex = (
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
         .select("id", F.explode(words_col(F.lower(F.col(text_col)))).alias("t"))
@@ -369,6 +397,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    wide_docs: bool = False,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -376,8 +405,23 @@ def simhash_near_pairs(
     pair within hamming distance 3 agrees exactly on >= 1 chunk
     (pigeonhole), so the join on (chunk_idx, chunk_value) has full
     recall for max_hamming <= 3 and touches only same-chunk pairs.
+
+    Signatures come from the narrow per-row HOF
+    (:func:`simhash_signature`): one pass, no explode, no shuffle —
+    the same trick that made MinHash 4× faster. Persisted because the
+    chunk fan-out + self-join reference it multiple times and
+    lambda expressions get no subexpression elimination. Pass
+    ``wide_docs=True`` to use the explode+aggregate formulation for
+    corpora of pathologically long documents (see
+    :func:`simhash_signatures`).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    if wide_docs:
+        sig = simhash_signatures(df, id_col, text_col)
+    else:
+        sig = spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col))
+        ).select("id", simhash_signature(F.col(text_col)).alias("sig"))
+    sig = sig.persist()
     chunks = sig.select(
         "id",
         "sig",
