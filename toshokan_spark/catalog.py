@@ -1,21 +1,24 @@
-"""Filesystem manifest catalog.
+"""Manifest catalog over a pluggable storage backend.
 
 Replaces the reference's PostgreSQL catalog
 (`/root/reference/migrations/0001_base.up.sql:1-21`: tables
 ``indexes(name, config)`` and ``index_files(id, index_name,
 file_name, len, footer_len)``) with a JSON manifest on the same
 storage the data lives on — the Delta-log pattern, minus the
-dependency. Works identically on a local fs or an object store
-mounted path.
+dependency. The storage seam (`toshokan_spark/storage.py`) makes the
+catalog work identically on a local fs and on object storage
+(``s3a://`` etc. via the Hadoop FileSystem connectors), mirroring the
+reference's dual fs/S3 OpenDAL operators
+(`/root/reference/tests/config.rs:133-233`).
 
 Guarantees preserved from the reference:
 
 * **commit order**: segment data is fully written *before* the
   manifest references it (`src/commands/mod.rs:147-187`) — a crash
   leaves an orphan directory, never a dangling manifest entry;
-* **atomic manifest updates**: write-temp + ``os.replace`` (the
-  reference gets this from Postgres transactions); single writer per
-  index, as in the reference CLI model;
+* **atomic manifest updates**: temp + rename locally, single-PUT on
+  object stores (the reference gets this from Postgres transactions);
+  single writer per index, as in the reference CLI model;
 * **search reads only manifested segments** — and unlike the
   reference, filtered by index name (the reference opens every file of
   every index, `src/commands/mod.rs:107` has no WHERE clause; SURVEY
@@ -29,14 +32,27 @@ recursive object-store LIST.
 from __future__ import annotations
 
 import json
-import os
 import secrets
-import shutil
 import time
 from dataclasses import asdict, dataclass
 from typing import Optional
 
 from toshokan_spark.config import IndexConfig
+from toshokan_spark.storage import (
+    HadoopStorage,
+    Storage,
+    join_path,
+    storage_for,
+    strip_file_scheme as _strip_file_scheme,  # re-export (legacy name)
+)
+
+__all__ = [
+    "CatalogError",
+    "FsCatalog",
+    "SegmentEntry",
+    "uuid7",
+    "_strip_file_scheme",
+]
 
 
 def uuid7() -> str:
@@ -76,73 +92,79 @@ class CatalogError(RuntimeError):
 
 
 class FsCatalog:
-    def __init__(self, root: str):
+    """Catalog rooted at ``root`` — a local directory or an object
+    store prefix (scheme-routed via :func:`storage_for`; pass
+    ``storage`` to override, e.g. force the Hadoop backend in tests).
+    """
+
+    def __init__(self, root: str, storage: Optional[Storage] = None):
         self.root = root
-        os.makedirs(os.path.join(root, "indexes"), exist_ok=True)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        self._st = storage if storage is not None else storage_for(root)
+        self._st.mkdirs(join_path(root, "indexes"))
+        self._st.mkdirs(join_path(root, "manifests"))
+
+    # -- data-path storage --------------------------------------------
+    def data_storage(self, config: IndexConfig) -> Storage:
+        """Backend for the index's *data* path (may differ from the
+        catalog root's backend, e.g. local catalog + s3a data)."""
+        if isinstance(self._st, HadoopStorage):
+            # one Hadoop instance serves every scheme; also keeps the
+            # force-hadoop test hook covering the data plane
+            return self._st
+        return storage_for(config.path)
 
     # -- paths ---------------------------------------------------------
     def _config_path(self, name: str) -> str:
-        return os.path.join(self.root, "indexes", f"{name}.json")
+        return join_path(self.root, "indexes", f"{name}.json")
 
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self.root, "manifests", f"{name}.json")
-
-    @staticmethod
-    def _atomic_write(path: str, payload: str) -> None:
-        tmp = f"{path}.tmp.{secrets.token_hex(4)}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        return join_path(self.root, "manifests", f"{name}.json")
 
     # -- index lifecycle (`src/commands/create.rs`, `drop.rs`) ---------
     def create_index(self, config: IndexConfig) -> None:
         p = self._config_path(config.name)
-        if os.path.exists(p):
+        if self._st.exists(p):
             raise CatalogError(f"index {config.name!r} already exists")
-        self._atomic_write(p, json.dumps(config.to_dict(), indent=2))
-        self._atomic_write(self._manifest_path(config.name), json.dumps({"segments": []}))
+        self._st.write_text_atomic(p, json.dumps(config.to_dict(), indent=2))
+        self._st.write_text_atomic(
+            self._manifest_path(config.name), json.dumps({"segments": []})
+        )
 
     def get_index(self, name: str) -> IndexConfig:
         p = self._config_path(name)
-        if not os.path.exists(p):
+        if not self._st.exists(p):
             raise CatalogError(f"no such index {name!r}")
-        with open(p, encoding="utf-8") as f:
-            return IndexConfig.from_dict(json.load(f))
+        return IndexConfig.from_dict(json.loads(self._st.read_text(p)))
 
     def index_exists(self, name: str) -> bool:
-        return os.path.exists(self._config_path(name))
+        return self._st.exists(self._config_path(name))
 
     def list_indexes(self) -> list[str]:
-        d = os.path.join(self.root, "indexes")
-        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+        names = self._st.list_names(join_path(self.root, "indexes"))
+        return sorted(f[:-5] for f in names if f.endswith(".json"))
 
     def drop_index(self, name: str) -> None:
         """Delete catalog rows, then best-effort data deletion — leaked
         files are tolerated and never re-read, exactly the reference's
         stance (`src/commands/drop.rs:11-48`)."""
         config = self.get_index(name)
-        os.remove(self._config_path(name))
+        self._st.delete_file(self._config_path(name))
         mp = self._manifest_path(name)
-        if os.path.exists(mp):
-            os.remove(mp)
-        data_dir = _strip_file_scheme(config.path)
-        if data_dir and os.path.isdir(data_dir):
-            shutil.rmtree(data_dir, ignore_errors=True)
+        if self._st.exists(mp):
+            self._st.delete_file(mp)
+        if config.path:
+            self.data_storage(config).delete_tree(config.path)
 
     # -- segment manifest ----------------------------------------------
     def segments(self, name: str) -> list[SegmentEntry]:
         mp = self._manifest_path(name)
-        if not os.path.exists(mp):
+        if not self._st.exists(mp):
             return []
-        with open(mp, encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = json.loads(self._st.read_text(mp))
         return [SegmentEntry(**s) for s in doc.get("segments", [])]
 
     def _write_segments(self, name: str, segs: list[SegmentEntry]) -> None:
-        self._atomic_write(
+        self._st.write_text_atomic(
             self._manifest_path(name),
             json.dumps({"segments": [asdict(s) for s in segs]}, indent=1),
         )
@@ -177,10 +199,9 @@ class FsCatalog:
         self._write_segments(name, segs)
 
     def segment_paths(self, name: str) -> list[str]:
+        """Full segment URIs, scheme preserved — Spark reads these
+        directly whatever the backend (file://, s3a://, ...)."""
         config = self.get_index(name)
-        base = _strip_file_scheme(config.path)
-        return [os.path.join(base, s.file_name) for s in self.segments(name)]
-
-
-def _strip_file_scheme(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
+        return [
+            join_path(config.path, s.file_name) for s in self.segments(name)
+        ]

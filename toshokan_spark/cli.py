@@ -20,6 +20,7 @@ import os
 import sys
 
 from toshokan_spark.catalog import FsCatalog
+from toshokan_spark.storage import join_path
 from toshokan_spark.config import IndexConfig
 
 
@@ -102,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
                     lines,
                     catalog,
                     a.index,
-                    checkpoint_dir=os.path.join(a.catalog, "checkpoints", a.index),
+                    checkpoint_dir=join_path(a.catalog, "checkpoints", a.index),
                     commit_interval=f"{a.commit_interval} seconds",
                 )
                 q.awaitTermination()

@@ -19,16 +19,16 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7, _strip_file_scheme
+from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7
 from toshokan_spark.config import IndexConfig
 from toshokan_spark.ingest import ingest_projection
+from toshokan_spark.storage import join_path
 
 PARTITION_COL = "__day"
 
@@ -67,8 +67,9 @@ def write_segment(
         return None
     seg_id = uuid7()
     seg_name = f"seg-{seg_id}"
-    base = _strip_file_scheme(config.path)
-    seg_path = os.path.join(base, seg_name)
+    # scheme-preserving join: the same URI drives the Spark write
+    # below and the storage-backend deletes (file://, s3a://, ...)
+    seg_path = join_path(config.path, seg_name)
 
     df = typed
     partition_cols: list[str] = []
@@ -91,9 +92,7 @@ def write_segment(
     num_rows = df.sparkSession.read.parquet(seg_path).count()
     if num_rows == 0:
         # empty-batch suppression (`index.rs:164-170`)
-        import shutil
-
-        shutil.rmtree(seg_path, ignore_errors=True)
+        catalog.data_storage(config).delete_tree(seg_path)
         return None
 
     entry = SegmentEntry(
@@ -106,8 +105,6 @@ def write_segment(
     # data first, manifest second (`src/commands/mod.rs:178-187`)
     if not catalog.commit_segment(config.name, entry):
         # lost the idempotence race — leave no orphan data behind
-        import shutil
-
-        shutil.rmtree(seg_path, ignore_errors=True)
+        catalog.data_storage(config).delete_tree(seg_path)
         return None
     return entry

@@ -18,14 +18,13 @@ Compaction on Spark is read -> coalesce -> write; there is no shuffle
 from __future__ import annotations
 
 import math
-import os
-import shutil
 import time
 
 from pyspark.sql import SparkSession
 
-from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7, _strip_file_scheme
+from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7
 from toshokan_spark.config import IndexConfig
+from toshokan_spark.storage import join_path
 
 #: target rows per output file at compaction; at 100 TB this is the
 #: knob that keeps files ~0.5-1 GiB so scans get good split sizes
@@ -38,9 +37,8 @@ class MergeError(RuntimeError):
 
 def create_index(catalog: FsCatalog, config: IndexConfig) -> None:
     catalog.create_index(config)
-    base = _strip_file_scheme(config.path)
-    if base:
-        os.makedirs(base, exist_ok=True)
+    if config.path:
+        catalog.data_storage(config).mkdirs(config.path)
 
 
 def drop_index(catalog: FsCatalog, name: str) -> None:
@@ -71,8 +69,7 @@ def merge_segments(
             raise MergeError("max_segments must be >= 2")
         segs = sorted(segs, key=lambda s: (s.num_rows, s.id))[:max_segments]
     config = catalog.get_index(index_name)
-    base = _strip_file_scheme(config.path)
-    paths = [os.path.join(base, s.file_name) for s in segs]
+    paths = [join_path(config.path, s.file_name) for s in segs]
 
     from toshokan_spark.search import read_segments
 
@@ -82,7 +79,7 @@ def merge_segments(
 
     seg_id = uuid7()
     seg_name = f"seg-{seg_id}"
-    seg_path = os.path.join(base, seg_name)
+    seg_path = join_path(config.path, seg_name)
     if "__day" in df.columns:
         # preserve the time_field partition layout (and its pruning)
         # across compaction: repartition on the partition value so each
@@ -99,6 +96,7 @@ def merge_segments(
     # one atomic manifest write: new in, old out (`merge.rs:63-66`)
     catalog.swap_segments(index_name, [s.id for s in segs], entry)
     # best-effort old-data delete; leaks tolerated (`merge.rs:68-71`)
+    st = catalog.data_storage(config)
     for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+        st.delete_tree(p)
     return entry
