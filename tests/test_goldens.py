@@ -201,6 +201,130 @@ def test_f5_parse_string(spark, catalog, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# F3b boolean parse_string=false: JSON strings rejected
+# (`field_parser.rs:121-128` common_parse)
+# ---------------------------------------------------------------------------
+
+def test_f3b_boolean_strict(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="bool_strict",
+        path=str(tmp_path / "data" / "bool_strict"),
+        fields=[FieldConfig(name="something", type="boolean", parse_string=False)],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "bool_strict",
+        write_jsonl(
+            tmp_path,
+            [
+                '{"something":true}',      # real JSON bool -> accepted
+                '{"something":"TRUE"}',    # string -> doc skipped
+                '{"something":"false"}',   # even exact-case string -> skipped
+                '{"something":false}',     # real JSON bool -> accepted
+            ],
+        ),
+    )
+    out = search(spark, catalog, "bool_strict", "*", limit=10)
+    assert sorted(out) == ['{"something":false}', '{"something":true}']
+
+
+# ---------------------------------------------------------------------------
+# F4b array ip: ingest + term + range (ADVICE: UDF-in-lambda crash)
+# ---------------------------------------------------------------------------
+
+def test_f4b_array_ip(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="ip_arr",
+        path=str(tmp_path / "data" / "ip_arr"),
+        fields=[FieldConfig(name="addrs", type="ip", array=True)],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "ip_arr",
+        write_jsonl(
+            tmp_path,
+            [
+                '{"addrs":["127.0.0.1","192.168.0.1"]}',
+                '{"addrs":["10.0.0.7"]}',
+            ],
+        ),
+    )
+    # element term match
+    out = search(spark, catalog, "ip_arr", "addrs:192.168.0.1", limit=10)
+    assert len(out) == 1 and "192.168.0.1" in out[0]
+    # element range match (numeric on the hex key, not lexical)
+    out = search(spark, catalog, "ip_arr", "addrs:[190.0.0.1 TO 195.200.10.1]", limit=10)
+    assert len(out) == 1 and "192.168.0.1" in out[0]
+    out = search(spark, catalog, "ip_arr", "addrs:[9.0.0.0 TO 11.0.0.0]", limit=10)
+    assert len(out) == 1 and "10.0.0.7" in out[0]
+
+
+# ---------------------------------------------------------------------------
+# F2b u64 full range (`src/config/number.rs:8-14`: parse::<u64>)
+# ---------------------------------------------------------------------------
+
+def test_f2b_u64_full_range(spark, catalog, tmp_path):
+    config = IndexConfig(
+        name="u64_test",
+        path=str(tmp_path / "data" / "u64_test"),
+        fields=[FieldConfig(name="n", type="number", number_type="u64")],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "u64_test",
+        write_jsonl(
+            tmp_path,
+            [
+                '{"n":18446744073709551615}',   # 2^64-1: legal u64
+                '{"n":9223372036854775808}',    # 2^63: overflows i64
+                '{"n":1}',
+                '{"n":-5}',                      # negative -> parse error, skipped
+                '{"n":18446744073709551616}',    # 2^64 -> overflow, skipped
+            ],
+        ),
+    )
+    out = search(spark, catalog, "u64_test", "*", limit=10)
+    assert sorted(json.loads(d)["n"] for d in out) == [1, 9223372036854775808, 18446744073709551615]
+    # exact term on a > 2^63 value
+    out = search(spark, catalog, "u64_test", "n:18446744073709551615", limit=10)
+    assert out == ['{"n":18446744073709551615}']
+    # one-sided range across the i64 boundary
+    out = search(spark, catalog, "u64_test", "n:>9223372036854775807", limit=10)
+    assert len(out) == 2
+
+
+def test_dynamic_object_declared_tokenizer(spark, catalog, tmp_path):
+    """A dynamic_object declared with a non-raw tokenizer tokenizes its
+    values for term matching (`dynamic_object.rs:28-45` allows
+    `indexed: {tokenizer}`; previously silently forced raw)."""
+    config = IndexConfig(
+        name="dyn_tok",
+        path=str(tmp_path / "data" / "dyn_tok"),
+        fields=[FieldConfig(name="meta", type="dynamic_object", tokenizer="default")],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "dyn_tok",
+        write_jsonl(tmp_path, ['{"meta":{"svc":"Edge Gateway West"}}']),
+    )
+    # default tokenizer: term membership, case-insensitive
+    assert len(search(spark, catalog, "dyn_tok", "meta.svc:gateway", limit=10)) == 1
+    # raw default (no tokenizer declared) would require the exact value
+    config2 = IndexConfig(
+        name="dyn_raw",
+        path=str(tmp_path / "data" / "dyn_raw"),
+        fields=[FieldConfig(name="meta", type="dynamic_object")],
+    )
+    create_index(catalog, config2)
+    index_batch(
+        spark, catalog, "dyn_raw",
+        write_jsonl(tmp_path, ['{"meta":{"svc":"Edge Gateway West"}}'], "r.jsonl"),
+    )
+    assert len(search(spark, catalog, "dyn_raw", "meta.svc:gateway", limit=10)) == 0
+    assert len(search(spark, catalog, "dyn_raw", 'meta.svc:"Edge Gateway West"', limit=10)) == 1
+
+
+# ---------------------------------------------------------------------------
 # merge lifecycle (`tests/merge.rs:26-100`)
 # ---------------------------------------------------------------------------
 
@@ -257,6 +381,9 @@ def test_bad_documents_skipped_not_failed(spark, catalog, tmp_path):
         '{"ts": "not-a-date", "n": 2}',          # bad datetime -> skip
         '{"ts": 1716822730, "n": "not-a-num"}',  # bad number -> skip
         'this is not json at all',               # malformed line -> skip
+        '',                                      # blank line -> skip
+        '   ',                                   # whitespace-only -> skip
+        '{"ts": -1716822731, "n": 5}',           # negative epoch -> skip
         '{"ts": 1716822731, "n": "4"}',          # parse_string coercion -> good
     ]
     index_batch(spark, catalog, "rej_test", write_jsonl(tmp_path, rows))
@@ -266,7 +393,7 @@ def test_bad_documents_skipped_not_failed(spark, catalog, tmp_path):
     # the dead-letter view: rejects kept and flagged
     lines = spark.createDataFrame([(r,) for r in rows], ["value"])
     flagged = ingest_projection(lines, config, keep_rejects=True)
-    assert flagged.filter(flagged[REJECT_COL]).count() == 3
+    assert flagged.filter(flagged[REJECT_COL]).count() == 6
     drop_index(catalog, "rej_test")
 
 

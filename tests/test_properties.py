@@ -90,8 +90,10 @@ def test_analyze_term_matches_tokenize_column(spark):
 # ---------------------------------------------------------------------------
 
 def _py_epoch_model(v: int):
+    # positive-only ranges matched against the RAW value
+    # (`datetime.rs:30-46`): negative epochs are parse errors
     for unit in (1, 10**3, 10**6, 10**9):
-        if MIN_TS_SECONDS * unit <= abs(v) <= MAX_TS_SECONDS * unit:
+        if MIN_TS_SECONDS * unit <= v <= MAX_TS_SECONDS * unit:
             us = (v * 10**6) // unit if unit <= 10**6 else v // (unit // 10**6)
             return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
     return None
@@ -104,7 +106,8 @@ def test_epoch_magnitude_inference_matches_model(spark):
             v = base * unit
             edges += [v - 1, v, v + 1]
     edges += [0, 1, -1, 1716822728, 1716822728_000, 1716822728_000_000]
-    # negative epochs (pre-1968 instants): |v| drives unit inference
+    # negative epochs: parse errors in the reference (positive-only
+    # range match) -> must null out
     edges += [-100_000_000, -100_000_000_000, -MIN_TS_SECONDS, -MAX_TS_SECONDS - 1]
     df = spark.createDataFrame([(v,) for v in edges], ["v"])
     got = {

@@ -80,7 +80,9 @@ class FieldConfig:
     stored: bool = True
     indexed: bool = True
     fast: bool = False
-    tokenizer: str = "default"
+    #: None -> per-type default: 'default' for text, 'raw' for
+    #: dynamic_object (`src/config/dynamic_object.rs:28-45`)
+    tokenizer: Optional[str] = None
     number_type: str = "i64"  # u64 | i64 | f64
     parse_string: bool = True
     formats: list[str] = dc_field(default_factory=lambda: ["rfc3339", "timestamp"])
@@ -95,7 +97,9 @@ class FieldConfig:
             raise ConfigError(
                 f"field {self.name!r}: array of static_object is unsupported"
             )
-        if self.type == "text" and self.tokenizer not in VALID_TOKENIZERS:
+        if self.tokenizer is None:
+            self.tokenizer = "raw" if self.type == "dynamic_object" else "default"
+        if self.type in ("text", "dynamic_object") and self.tokenizer not in VALID_TOKENIZERS:
             raise ConfigError(f"unknown tokenizer {self.tokenizer!r}")
         if self.type == "number" and self.number_type not in {"u64", "i64", "f64"}:
             raise ConfigError(f"unknown number type {self.number_type!r}")
@@ -111,7 +115,16 @@ class FieldConfig:
         if self.type == "text":
             inner: T.DataType = T.StringType()
         elif self.type == "number":
-            inner = T.DoubleType() if self.number_type == "f64" else T.LongType()
+            # u64 -> decimal(20,0): the reference accepts the FULL u64
+            # range (`src/config/number.rs:8-14`, parse::<u64>), and
+            # values in [2^63, 2^64) overflow LongType; decimal(20,0)
+            # holds 2^64-1 exactly (SURVEY §1.3)
+            if self.number_type == "f64":
+                inner = T.DoubleType()
+            elif self.number_type == "u64":
+                inner = T.DecimalType(20, 0)
+            else:
+                inner = T.LongType()
         elif self.type == "boolean":
             inner = T.BooleanType()
         elif self.type == "datetime":
@@ -149,7 +162,7 @@ class FieldConfig:
         out: dict[str, Any] = {"name": self.name, "type": self.type}
         if self.array:
             out["array"] = True
-        if self.type == "text":
+        if self.type in ("text", "dynamic_object"):
             out["tokenizer"] = self.tokenizer
         if self.type == "number":
             out["number_type"] = self.number_type

@@ -40,6 +40,7 @@ def with_bm25(
     k1: float = K1,
     b: float = B,
     tokenizer: str = "default",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """All original columns + a ``out_col`` BM25 score (rounded to 4
     decimals), keeping only rows matching ≥ 1 analyzed query term.
@@ -47,6 +48,12 @@ def with_bm25(
     *query* is analyzed with the same tokenizer as the field (tantivy
     QueryParser behavior), so ``"Spark TABLE"`` scores terms
     ``["spark", "table"]``.
+
+    ``corpus`` is the document set the N / avgdl / df statistics are
+    computed over; it defaults to *docs* but MUST be the full index
+    scan when *docs* is already query-filtered — idf over the match
+    set distorts multi-term weights (the reference's stats are
+    corpus-level, tantivy per-segment searcher).
     """
     cols = docs.columns
     terms = list(dict.fromkeys(analyze_term(query, tokenizer)))
@@ -57,7 +64,10 @@ def with_bm25(
         "__toks", tokenize(F.col(text_col), tokenizer)
     ).withColumn("__dl", F.size("__toks"))
 
-    stats = base.agg(
+    stats_src = base if corpus is None else corpus.withColumn(
+        "__toks", tokenize(F.col(text_col), tokenizer)
+    ).withColumn("__dl", F.size("__toks"))
+    stats = stats_src.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__sumdl"),
         *[

@@ -7,10 +7,14 @@ their unit inferred by magnitude (`datetime.rs:16-46`):
     seconds  if 72_057_595        <= v <= 8_589_934_591
     millis   if 72_057_595_000    <= v <= 8_589_934_591_000
     micros   if 72_057_595e6      <= v <= 8_589_934_591e6
-    nanos    if 72_057_595e9      <= v <= 8_589_934_591e9
+    nanos    if 72_057_595e9     <= v <= 8_589_934_591e9
     else     -> parse error (document skipped)
 
-(i.e. 13 Apr 1972 23:59:55 GMT .. 16 Mar 2242 12:56:31 GMT)
+(i.e. 13 Apr 1972 23:59:55 GMT .. 16 Mar 2242 12:56:31 GMT).
+The ranges are positive-only — `datetime.rs:30-40` matches the RAW
+i64 against them, so a negative epoch is a parse error and the
+document is skipped (query-side numeric literals, `query.py
+_datetime_lit`, are symmetric).
 
 All pure Column expressions — no UDFs.
 """
@@ -28,27 +32,30 @@ def epoch_any_to_timestamp(v: Column) -> Column:
     """Magnitude-inferred epoch (long) -> timestamp. Null when out of
     the supported range (the caller treats null as a parse failure).
 
-    Classification is on |v| (`datetime.rs:16-46` checks the absolute
-    value), so negative epochs — instants before ~1967 — parse with
-    the same unit rules."""
-    a = F.abs(v)
+    The ranges are positive-only, matched against the raw value —
+    exactly `datetime.rs:30-46` — so negative epochs null out and the
+    document is skipped."""
+    # nanos -> micros exactly: strip the sub-us remainder, then divide
+    # via decimal (a double division of an i64 near 8.6e18 exceeds the
+    # 53-bit mantissa and would perturb the microsecond)
+    ns_to_us = (
+        (v - F.pmod(v, F.lit(1000))).cast("decimal(20,0)") / F.lit(1000)
+    ).cast("long")
     return (
         F.when(
-            a.between(MIN_TS_SECONDS, MAX_TS_SECONDS), F.timestamp_seconds(v)
+            v.between(MIN_TS_SECONDS, MAX_TS_SECONDS), F.timestamp_seconds(v)
         )
         .when(
-            a.between(MIN_TS_SECONDS * 1_000, MAX_TS_SECONDS * 1_000),
+            v.between(MIN_TS_SECONDS * 1_000, MAX_TS_SECONDS * 1_000),
             F.timestamp_millis(v),
         )
         .when(
-            a.between(MIN_TS_SECONDS * 1_000_000, MAX_TS_SECONDS * 1_000_000),
+            v.between(MIN_TS_SECONDS * 1_000_000, MAX_TS_SECONDS * 1_000_000),
             F.timestamp_micros(v),
         )
         .when(
-            a.between(MIN_TS_SECONDS * 1_000_000_000, MAX_TS_SECONDS * 1_000_000_000),
-            # nanos -> micros (double-div + cast truncates toward zero
-            # for both signs, like the reference's ns->us conversion)
-            F.timestamp_micros((v / 1000).cast("long")),
+            v.between(MIN_TS_SECONDS * 1_000_000_000, MAX_TS_SECONDS * 1_000_000_000),
+            F.timestamp_micros(ns_to_us),
         )
         .otherwise(F.lit(None).cast("timestamp"))
     )

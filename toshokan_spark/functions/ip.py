@@ -7,10 +7,17 @@ so that range queries compare numerically in a single 128-bit space
 ``192.168.0.1`` — `tests/config.rs:75-91`).
 
 Spark has no uint128, so each ip field gets a shadow sort-key column
-of ``DecimalType(39, 0)`` (holds 2^128-1) computed at ingest by an
-Arrow-batched pandas UDF; range/equality predicates compile against
-the key column, output shows the original string form (the golden
-outputs print ``192.168.0.1``, not ``::ffff:192.168.0.1``).
+of **fixed-width 32-char lowercase hex strings** (lexicographic order
+== numeric order at constant width; decimal128 was rejected because
+it tops out at 38 digits, one short of 2^128-1) computed at ingest by
+an Arrow-batched pandas UDF; range/equality predicates compile
+against the key column, output shows the original string form (the
+golden outputs print ``192.168.0.1``, not ``::ffff:192.168.0.1``).
+
+Array ip fields get their keys from :func:`ip_sort_key_array` — a
+pandas UDF over the whole ``array<string>`` — because Spark rejects a
+Python UDF inside a higher-order-function lambda
+(UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF).
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ from typing import Optional
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 #: the 128-bit key is a fixed-width 32-char lowercase hex string:
 #: lexicographic order == numeric order at constant width, and it
@@ -61,9 +68,22 @@ def _ip_norm_udf(s: pd.Series) -> pd.Series:
     return s.map(norm)
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def _ip_key_arr_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda lst: None if lst is None else [_key(x) for x in lst]
+    )
+
+
 def ip_sort_key(col: Column) -> Column:
     """128-bit key (32-char hex string) for an IP string column."""
     return _ip_key_udf(col)
+
+
+def ip_sort_key_array(col: Column) -> Column:
+    """Elementwise keys for an ``array<string>`` IP column (whole-array
+    pandas UDF — see module docstring for why not transform+UDF)."""
+    return _ip_key_arr_udf(col)
 
 
 def ip_normalize(col: Column) -> Column:

@@ -18,20 +18,28 @@ Semantics preserved:
   (`src/commands/index.rs:143-159`)
 * a document with any unparseable *present* field value is skipped,
   not failed (`index.rs:150-156`) — permissive ingest; callers can
-  also collect the rejects.
+  also collect the rejects. Blank / whitespace-only lines and
+  malformed JSON lines are rejects too (deviation, documented: the
+  reference ABORTS the whole batch on a non-JSON line — serde error
+  propagation in `index.rs` — which at 100 TB would let one corrupt
+  record kill a multi-hour job; we skip-and-count instead).
+* ``parse_string: false`` on a **boolean** field rejects JSON strings
+  (only real JSON ``true``/``false`` pass), matching
+  `field_parser.rs:121-128` — detected via a second typed extraction,
+  since a JSON bool and the string "true" are identical after
+  string-leaf extraction.
 
 Deviation (documented): with ``parse_string: false`` the reference
-rejects JSON *strings* for number fields; after raw-leaf extraction
-the original JSON type is erased, so we enforce strictness only for
-``boolean`` (where the golden tests exercise it) and accept numeric
-strings for numbers. Superset acceptance, never wrong values.
+also rejects JSON strings for *number* fields; for numbers we accept
+numeric strings regardless (superset acceptance, never wrong values).
 
 Index shadow columns (the engine's "inverted index", SURVEY §1.2):
 
 * ``__tokens__<field>``  array<string> of analyzed tokens for every
   indexed text field — term queries become ``array_contains``
-* ``__ipkey__<field>``   decimal(39,0) numeric key for ip fields —
-  range queries compare numerically
+* ``__ipkey__<field>``   fixed-width 32-char hex-string key for ip
+  fields (lexicographic == numeric order) — range queries compare
+  on the key
 """
 
 from __future__ import annotations
@@ -44,8 +52,12 @@ from pyspark.sql import types as T
 
 from toshokan_spark.config import DYNAMIC_FIELD_NAME, FieldConfig, IndexConfig
 from toshokan_spark.functions.datetime_ import parse_datetime
-from toshokan_spark.functions.ip import ip_sort_key
+from toshokan_spark.functions.ip import ip_sort_key, ip_sort_key_array
 from toshokan_spark.functions.tokenizers import tokenize
+
+#: u64 bounds (`src/config/number.rs:8-14`: parse::<u64> — negatives
+#: and values > 2^64-1 are parse errors)
+U64_MAX = (1 << 64) - 1
 
 TOKENS_PREFIX = "__tokens__"
 IPKEY_PREFIX = "__ipkey__"
@@ -84,6 +96,42 @@ def raw_schema(config: IndexConfig) -> T.StructType:
     return T.StructType([T.StructField(f.name, _raw_type(f), True) for f in config.fields])
 
 
+# -- strict boolean (parse_string: false) -----------------------------------
+#
+# After string-leaf extraction a JSON bool `true` and a JSON string
+# "true" are indistinguishable, so strict booleans get a SECOND
+# from_json pass whose leaves are BooleanType: Jackson only converts
+# real JSON booleans there, strings null out — present-but-null ==
+# reject, which is exactly `field_parser.rs:121-128` common_parse.
+
+def _needs_strict(fc: FieldConfig) -> bool:
+    if fc.type == "boolean" and not fc.parse_string:
+        return True
+    if fc.type == "static_object":
+        return any(_needs_strict(c) for c in fc.fields)
+    return False
+
+
+def _strict_raw_type(fc: FieldConfig) -> T.DataType:
+    if fc.type == "static_object":
+        inner: T.DataType = T.StructType(
+            [T.StructField(f.name, _strict_raw_type(f), True) for f in fc.fields]
+        )
+    elif fc.type == "dynamic_object":
+        inner = T.MapType(T.StringType(), T.StringType())
+    elif fc.type == "boolean" and not fc.parse_string:
+        inner = T.BooleanType()
+    else:
+        inner = T.StringType()
+    return T.ArrayType(inner) if fc.array else inner
+
+
+def strict_schema(config: IndexConfig) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, _strict_raw_type(f), True) for f in config.fields]
+    )
+
+
 # ---------------------------------------------------------------------------
 # coercion: raw leaf -> typed value, plus "present but unparseable" flag
 # ---------------------------------------------------------------------------
@@ -92,8 +140,17 @@ def _coerce_scalar(fc: FieldConfig, raw: Column) -> Column:
     if fc.type == "text":
         return raw
     if fc.type == "number":
-        target = "double" if fc.number_type == "f64" else "long"
-        return raw.try_cast(target)
+        if fc.number_type == "f64":
+            return raw.try_cast("double")
+        if fc.number_type == "u64":
+            # decimal(20,0) carries the full u64 range; enforce the
+            # reference's parse::<u64> bounds (negatives and > 2^64-1
+            # are parse errors -> doc skipped)
+            d = raw.try_cast("decimal(20,0)")
+            # U64_MAX exceeds a java long — literal goes via string
+            umax = F.lit(str(U64_MAX)).cast("decimal(20,0)")
+            return F.when((d >= 0) & (d <= umax), d)
+        return raw.try_cast("long")
     if fc.type == "boolean":
         t = F.trim(raw)
         return (
@@ -110,33 +167,49 @@ def _coerce_scalar(fc: FieldConfig, raw: Column) -> Column:
     raise AssertionError(fc.type)
 
 
-def _coerce(fc: FieldConfig, raw: Column) -> Column:
-    """Typed value of one field from its raw (string-leaf) extraction."""
+def _is_strict_bool(fc: FieldConfig) -> bool:
+    return fc.type == "boolean" and not fc.parse_string
+
+
+def _coerce(fc: FieldConfig, raw: Column, sraw: Optional[Column] = None) -> Column:
+    """Typed value of one field from its raw (string-leaf) extraction;
+    ``sraw`` is the parallel strict extraction (boolean leaves typed)
+    when the schema has strict booleans."""
     if fc.type == "dynamic_object":
         return raw  # already map<string,string>
     if fc.type == "static_object":
-        def struct_of(raw_struct: Column) -> Column:
-            return F.struct(
-                *[
-                    _coerce(child, raw_struct.getField(child.name)).alias(child.name)
-                    for child in fc.fields
-                ]
-            )
-
-        return struct_of(raw)  # array-of-static_object rejected at config
+        return F.struct(
+            *[
+                _coerce(
+                    child,
+                    raw.getField(child.name),
+                    sraw.getField(child.name) if sraw is not None else None,
+                ).alias(child.name)
+                for child in fc.fields
+            ]
+        )  # array-of-static_object rejected at config
+    if _is_strict_bool(fc) and sraw is not None:
+        return sraw  # already boolean (or null == reject)
     if fc.array:
         return F.transform(raw, lambda e: _coerce_scalar(fc, e))
     return _coerce_scalar(fc, raw)
 
 
-def _bad(fc: FieldConfig, raw: Column, typed: Column) -> Column:
+def _bad(
+    fc: FieldConfig, raw: Column, typed: Column, sraw: Optional[Column] = None
+) -> Column:
     """True when the value is present but failed to parse -> the whole
     document is skipped (`index.rs:150-156`)."""
     if fc.type == "dynamic_object":
         return F.lit(False)
     if fc.type == "static_object":
         parts = [
-            _bad(child, raw.getField(child.name), typed.getField(child.name))
+            _bad(
+                child,
+                raw.getField(child.name),
+                typed.getField(child.name),
+                sraw.getField(child.name) if sraw is not None else None,
+            )
             for child in fc.fields
         ]
         out = F.lit(False)
@@ -145,6 +218,13 @@ def _bad(fc: FieldConfig, raw: Column, typed: Column) -> Column:
         return out
     if fc.type == "text":
         return F.lit(False)
+    if _is_strict_bool(fc) and sraw is not None:
+        if fc.array:
+            return F.exists(
+                F.zip_with(raw, sraw, lambda r, s: r.isNotNull() & s.isNull()),
+                lambda x: x,
+            )
+        return raw.isNotNull() & sraw.isNull()
     if fc.array:
         return F.exists(raw, lambda e: e.isNotNull() & _coerce_scalar(fc, e).isNull())
     return raw.isNotNull() & typed.isNull()
@@ -174,18 +254,23 @@ def ingest_projection(
         F.from_json(v, "map<string,variant>"), lambda k, val: F.to_json(val)
     ).alias("__all")
 
-    df = lines.select(v.alias(value_col)).withColumns({"__raw": raw, "__all": allmap})
+    extra: dict[str, Column] = {"__raw": raw, "__all": allmap}
+    have_strict = any(_needs_strict(f) for f in config.fields)
+    if have_strict:
+        extra["__rawb"] = F.from_json(v, strict_schema(config)).alias("__rawb")
+    df = lines.select(v.alias(value_col)).withColumns(extra)
 
     declared = [f.name for f in config.fields]
     cols: dict[str, Column] = {}
     bads: list[Column] = []
     for fc in config.fields:
         rawf = F.col("__raw").getField(fc.name)
-        typed = _coerce(fc, rawf)
+        srawf = F.col("__rawb").getField(fc.name) if have_strict else None
+        typed = _coerce(fc, rawf, srawf)
         # null out the whole field when the raw key was absent (struct
         # coercion would otherwise produce a struct of nulls)
         cols[fc.name] = F.when(rawf.isNull(), F.lit(None).cast(fc.spark_type())).otherwise(typed)
-        bads.append(_bad(fc, rawf, typed))
+        bads.append(_bad(fc, rawf, typed, srawf))
 
     # _dynamic remainder: every key not claimed by the schema
     # (`src/commands/index.rs:143-159`)
@@ -193,14 +278,16 @@ def ingest_projection(
         F.col("__all"), lambda k, _: ~k.isin(*declared) if declared else F.lit(True)
     )
 
-    # malformed JSON line (both parses null while text non-empty)
-    bad_line = F.col("__all").isNull() & (F.length(F.trim(v)) > 0)
+    # malformed OR effectively-empty line: a blank line must not become
+    # an all-null committed row (the reference errors on any non-JSON
+    # line — serde propagation in `index.rs`; we reject-and-continue)
+    bad_line = F.col("__all").isNull() | (F.length(F.trim(v)) == 0)
     reject = bad_line
     for b in bads:
         reject = reject | b
 
     out = df.withColumns(cols).withColumn(REJECT_COL, F.coalesce(reject, F.lit(False)))
-    out = out.drop("__raw", "__all", value_col)
+    out = out.drop("__raw", "__all", "__rawb", value_col)
 
     # index shadow columns
     shadows: dict[str, Column] = {}
@@ -216,7 +303,9 @@ def ingest_projection(
         if fc.type == "ip":
             base = F.col(fc.name)
             if fc.array:
-                shadows[ipkey_col(fc.name)] = F.transform(base, ip_sort_key)
+                # whole-array pandas UDF: a scalar UDF inside
+                # F.transform raises LAMBDA_FUNCTION_WITH_PYTHON_UDF
+                shadows[ipkey_col(fc.name)] = ip_sort_key_array(base)
             else:
                 shadows[ipkey_col(fc.name)] = ip_sort_key(base)
     if shadows:

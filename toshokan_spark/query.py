@@ -95,7 +95,10 @@ class QueryCompiler:
         if fc.type == "dynamic_object":
             if len(path) == 1:
                 raise CompileError(f"{path[0]!r} is a dynamic object; query a path into it")
-            return self._dynamic_target(fc.name, path[1:], tokenizer=fc.tokenizer if fc.type == "text" else "raw")
+            # the field's own declared tokenizer (config defaults it to
+            # 'raw' for dynamic_object, `dynamic_object.rs:28-45` — a
+            # declared non-raw tokenizer must be honored)
+            return self._dynamic_target(fc.name, path[1:], tokenizer=fc.tokenizer)
 
         if len(path) > 1:
             raise CompileError(f"field {path[0]!r} has no sub-field {path[1]!r}")
@@ -119,11 +122,11 @@ class QueryCompiler:
             if shadow_ok and self._have(shadow):
                 ipkey = F.col(shadow)
             else:
-                from toshokan_spark.functions.ip import ip_sort_key
+                from toshokan_spark.functions.ip import ip_sort_key, ip_sort_key_array
 
-                ipkey = (
-                    F.transform(col, ip_sort_key) if fc.array else ip_sort_key(col)
-                )
+                # array: whole-array pandas UDF (a UDF inside
+                # F.transform raises LAMBDA_FUNCTION_WITH_PYTHON_UDF)
+                ipkey = ip_sort_key_array(col) if fc.array else ip_sort_key(col)
         return _Target(
             kind=fc.type,
             col=col,
@@ -190,6 +193,14 @@ class QueryCompiler:
                 return None
             if t.number_type == "f64":
                 return F.lit(float(n)).cast("double")
+            if t.number_type == "u64":
+                # decimal(20,0) column; literal via string (a python
+                # int >= 2^63 cannot become a long literal)
+                if isinstance(n, int) and 0 <= n <= (1 << 64) - 1:
+                    return F.lit(str(n)).cast("decimal(20,0)")
+                if not isinstance(n, int):
+                    return F.lit(float(n))
+                return None
             return F.lit(int(n)).cast("long") if float(n).is_integer() else F.lit(float(n))
         if t.kind == "boolean":
             low = lit.strip().lower()
@@ -336,7 +347,9 @@ class QueryCompiler:
             litc = mk(side_val)
             if litc is None:
                 return F.lit(False)
-            if t.array and t.kind != "ip":
+            if t.array:
+                # ip arrays range over the hex-key shadow (target),
+                # other arrays over their typed elements
                 op = (
                     (lambda e: e >= litc if inc else e > litc)
                     if is_lo
@@ -351,12 +364,12 @@ class QueryCompiler:
         hi_c = bound(node.hi, node.hi_inc, False)
         if lo_c is None and hi_c is None:
             return target.isNotNull()  # `field:*` — field exists
-        if t.array and t.kind != "ip" and lo_c is not None and hi_c is not None:
+        if t.array and lo_c is not None and hi_c is not None:
             # an array matches when SOME element is inside the range
             litlo, lithi = mk(node.lo), mk(node.hi)
             return F.coalesce(
                 F.exists(
-                    t.col,
+                    target,
                     lambda e: ((e >= litlo) if node.lo_inc else (e > litlo))
                     & ((e <= lithi) if node.hi_inc else (e < lithi)),
                 ),

@@ -130,8 +130,13 @@ def scored_search_df(
 
     df = read_segments(spark, paths)
     matched = df.filter(compile_query(query, config, set(df.columns)))
+    # corpus-level stats (N / avgdl / df over the FULL index scan, one
+    # 1-row agg broadcast back) — idf over the filtered match set
+    # would distort multi-term weights vs the reference's
+    # corpus-stats BM25
     scored = with_bm25(
-        matched, terms, text_col=score_field, out_col="_score", tokenizer=tokenizer
+        matched, terms, text_col=score_field, out_col="_score",
+        tokenizer=tokenizer, corpus=df,
     )
     return scored.orderBy(F.col("_score").desc()).limit(limit)
 
