@@ -110,3 +110,37 @@ def test_unbounded_query_still_correct(spark, catalog, tmp_path):
     _setup(spark, catalog, tmp_path)
     # term query implies no time bounds -> no pruning, full results
     assert len(search(spark, catalog, "tsidx", "*", limit=10)) == 3
+
+
+def test_unpartitioned_index_single_scan_node(spark, catalog, tmp_path):
+    """An N-segment index without a time_field layout must plan as ONE
+    multi-path scan, not an N-arm union — at 10k segments the union's
+    analysis cost alone is minutes."""
+    config = IndexConfig(
+        name="flatidx",
+        path=str(tmp_path / "data" / "flatidx"),
+        fields=[FieldConfig(name="level", type="text", tokenizer="raw")],
+    )
+    create_index(catalog, config)
+    for i in range(3):
+        p = tmp_path / f"b{i}.jsonl"
+        p.write_text(json.dumps({"level": f"L{i}"}) + "\n")
+        index_batch(spark, catalog, "flatidx", jsonl_path=str(p))
+    assert len(catalog.segments("flatidx")) == 3
+
+    df = search_df(spark, catalog, "flatidx", "*", limit=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert sorted(r.level for r in df.collect()) == ["L0", "L1", "L2"]
+
+    # schema drift across segments still null-fills like unionByName:
+    # mergeSchema unifies the three segment schemas in the single scan
+    from toshokan_spark.search import read_segments
+
+    paths = catalog.segment_paths("flatidx")
+    extra = spark.createDataFrame([("X", 7)], ["level", "new_col"])
+    extra.write.parquet(str(tmp_path / "data" / "flatidx" / "seg-drift"))
+    merged = read_segments(spark, paths + [str(tmp_path / "data" / "flatidx" / "seg-drift")])
+    assert set(["level", "new_col"]).issubset(set(merged.columns))
+    assert merged.filter(merged.new_col.isNull()).count() >= 3

@@ -73,7 +73,7 @@ def merge_segments(
 
     from toshokan_spark.search import read_segments
 
-    df = read_segments(spark, paths)
+    df = read_segments(spark, paths, partitioned=config.time_field is not None)
     total = sum(s.num_rows for s in segs)
     nfiles = max(1, math.ceil(total / rows_per_file))
 

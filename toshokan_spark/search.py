@@ -41,13 +41,37 @@ from toshokan_spark.query import QueryCompiler, compile_query, time_bounds
 from toshokan_spark.plans.ast import parse_query
 
 
-def read_segments(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Union of per-segment scans. Each segment may carry its own
-    ``__day=`` partition layout (time_field pruning), so segments are
-    opened individually and combined with ``unionByName`` — Catalyst
-    still pushes filters/pruning into every scan, and the union is a
-    plan-level concat, not a shuffle (the reference's equivalent is the
-    implicit union-of-segments at search, `search.rs:162-204`)."""
+def read_segments(
+    spark: SparkSession, paths: list[str], partitioned: bool = False
+) -> DataFrame:
+    """Scan of all manifested segments (the reference's equivalent is
+    the implicit union-of-segments at search, `search.rs:162-204`).
+
+    Unpartitioned indexes get ONE multi-path scan node —
+    ``mergeSchema`` makes cross-segment schema drift behave exactly
+    like ``unionByName(allowMissingColumns=True)`` (missing columns
+    null-fill) while keeping the plan a single scan: a 10k-segment
+    index analyzes in O(1) plan nodes instead of a 10k-arm union
+    (footer reads for the merged schema run as one distributed job).
+
+    Indexes with the ``__day=`` time-partition layout fall back to
+    per-segment scans + ``unionByName``: Spark's partition discovery
+    rejects multiple partitioned roots (CONFLICTING_DIRECTORY_
+    STRUCTURES — the ``seg-*`` level between the roots and the
+    ``__day=`` dirs is not a partition component), and collapsing the
+    layout would forfeit PartitionFilters pruning. The union is a
+    plan-level concat, not a shuffle, and Catalyst still pushes
+    filters/pruning into every arm.
+    """
+    if len(paths) == 1:
+        return spark.read.parquet(paths[0])
+    if not partitioned:
+        try:
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
+        except Exception:
+            # unexpected layout (e.g. partition dirs without the
+            # partitioned hint) — per-segment fallback below
+            pass
     dfs = [spark.read.parquet(p) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:
@@ -68,7 +92,7 @@ def search_df(
     config = catalog.get_index(index_name)
     if not paths:
         return spark.createDataFrame([], config.spark_schema())
-    df = read_segments(spark, paths)
+    df = read_segments(spark, paths, partitioned=config.time_field is not None)
     node = parse_query(query)
     pred = QueryCompiler(config, set(df.columns)).compile(node)
     # resurrect the reference's dead time_field as real partition
@@ -128,7 +152,7 @@ def scored_search_df(
     fld = next((f for f in config.fields if f.name == score_field), None)
     tokenizer = getattr(fld, "tokenizer", None) or "default"
 
-    df = read_segments(spark, paths)
+    df = read_segments(spark, paths, partitioned=config.time_field is not None)
     matched = df.filter(compile_query(query, config, set(df.columns)))
     # corpus-level stats (N / avgdl / df over the FULL index scan, one
     # 1-row agg broadcast back) — idf over the filtered match set
