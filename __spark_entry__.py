@@ -475,10 +475,20 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF ANN, approximate settings (probes 2 of 8 buckets)."""
+    """IVF ANN, approximate settings (probes 2 of 8 buckets).
+
+    Centroids come from the deterministic SQL-auditable seeding
+    (lowest-id vectors, `seed_ivf_centroids`) rather than per-query
+    k-means — training is split from the query path (an operational
+    IVF index persists `assign_ivf` output; the oracle reproduces the
+    identical quantizer in SQL, giving the approximate path a full
+    value-level gate)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.knn_ivf(emb, queries, k=5, num_centroids=8, n_probe=2)
+    cents = similarity.seed_ivf_centroids(emb, num_centroids=8)
+    return similarity.knn_ivf(
+        emb, queries, k=5, num_centroids=8, n_probe=2, centroids=cents
+    )
 
 
 def q_knn_ivf_exact(spark, sf_dir):
@@ -486,7 +496,10 @@ def q_knn_ivf_exact(spark, sf_dir):
     shares the knn_bruteforce oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.knn_ivf(emb, queries, k=5, num_centroids=8, n_probe=8)
+    cents = similarity.seed_ivf_centroids(emb, num_centroids=8)
+    return similarity.knn_ivf(
+        emb, queries, k=5, num_centroids=8, n_probe=8, centroids=cents
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -650,6 +663,15 @@ list_reduce(list_prepend(0.0::DOUBLE,
       list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)),
       (x, y) -> x + y)
 )
+"""
+
+#: sequential-order L2 distance between two list columns — the same
+#: left fold the Spark HOF expressions evaluate, bit-for-bit
+_L2 = """
+list_reduce(list_prepend(0.0::DOUBLE,
+    list_transform(range(1, len({a})+1),
+        i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))),
+    (x, y) -> x + y)
 """
 
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
@@ -886,6 +908,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = a_id
             JOIN sz sb ON sb.doc_id = b_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """,
+        # IVF, approximate path: the oracle reproduces the ENTIRE
+        # pipeline — lowest-id seed centroids, L2 argmin assignment
+        # (ties to lowest cid), top-2 probe selection, in-bucket exact
+        # cosine, rank — with identical sequential-fold arithmetic
+        "knn_ivf": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+            assigned AS (
+              SELECT e.vec_id AS neighbor_id, e.embedding AS ev,
+                (SELECT c.cid FROM cent c
+                 ORDER BY {_L2.format(a="e.embedding", b="c.cv")} ASC, c.cid ASC
+                 LIMIT 1) AS cid
+              FROM embeddings e
+            ),
+            probes AS (
+              SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_L2.format(a="q.embedding", b="c.cv")} ASC, c.cid ASC) AS pr
+                FROM q, cent c) WHERE pr <= 2
+            ),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     {_COS.format(a="p.qv", b="a.ev")} AS score
+              FROM probes p JOIN assigned a ON p.cid = a.cid
+              WHERE p.query_id <> a.neighbor_id
+            )
+            SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+            FROM (
+              SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         # dedup_minhash_lsh / dedup_simhash / knn_lsh: Spark xxhash64
         # family — not reproducible in DuckDB; rows-only check.

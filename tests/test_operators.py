@@ -157,6 +157,31 @@ def test_knn_ivf_approximate_partial_probe(spark):
     assert sorted(r.neighbor_id for r in out) == [1, 2, 3]
 
 
+def test_knn_ivf_persisted_assignment_equals_inline(spark, tmp_path):
+    """Training/query split: a persisted assign_ivf index column gives
+    the same answers as on-the-fly assignment — the query path reads
+    the parquet instead of re-scanning/assigning the corpus."""
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7) % 5), float((i * 3) % 4), 1.0])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") < 2)
+    cents = similarity.seed_ivf_centroids(df, num_centroids=4)
+    inline = similarity.knn_ivf(
+        df, q, k=4, num_centroids=4, n_probe=2, centroids=cents
+    ).collect()
+    # persist the index (centroid assignment as a column), reload, query
+    idx_path = str(tmp_path / "ivf_index")
+    similarity.assign_ivf(df, cents).write.parquet(idx_path)
+    reloaded = spark.read.parquet(idx_path)
+    persisted = similarity.knn_ivf(
+        df, q, k=4, num_centroids=4, n_probe=2, centroids=cents, assigned=reloaded
+    ).collect()
+    key = lambda rs: sorted((r.query_id, r.rank, r.neighbor_id, r.score) for r in rs)
+    assert key(inline) == key(persisted) and inline
+
+
 def test_knn_lsh_self_bucket_recall(spark):
     # identical vectors share every hyperplane sign -> always same
     # bucket, so the near-duplicate is always retrieved

@@ -180,6 +180,49 @@ def train_ivf_centroids(
     return centroids
 
 
+def seed_ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeding WITHOUT Lloyd refinement: the centroids
+    are the ``num_centroids`` lowest-id corpus vectors (cid = rank by
+    id). Lower quality than :func:`train_ivf_centroids` but fully
+    auditable from SQL — the DuckDB oracle reproduces the exact same
+    quantizer, so the whole IVF path gets a value-level correctness
+    gate, not just a row count. Model state is C×dim, collected once.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.col("id").asc())
+        .limit(num_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r.v]) for i, r in enumerate(rows)]
+
+
+def assign_ivf(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The *index build* half of IVF: corpus + ``cid`` (nearest
+    centroid) + ``cn2`` (squared norm). Persist/write this once; every
+    query then skips both training and assignment (`knn_ivf(...,
+    assigned=...)`). At 100 TB this is the difference between a
+    per-query corpus scan for assignment and a parquet column."""
+    return spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        _nearest_centroid(F.col("cv"), centroids).alias("cid"),
+        sq_norm(F.col("cv")).alias("cn2"),
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,28 +233,36 @@ def knn_ivf(
     num_centroids: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    centroids: Optional[list[tuple[int, list[float]]]] = None,
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer, each corpus
-    vector in exactly one centroid bucket; a query scores only the
-    buckets of its ``n_probe`` nearest centroids (~n_probe/C of the
-    corpus). Same output shape as knn_bruteforce; with
+    """IVF approximate top-k: coarse quantizer, each corpus vector in
+    exactly one centroid bucket; a query scores only the buckets of
+    its ``n_probe`` nearest centroids (~n_probe/C of the corpus).
+    Same output shape as knn_bruteforce; with
     ``n_probe == num_centroids`` it degrades to exact brute force.
 
-    Scale: the centroid matrix is the only broadcast state; the corpus
-    is scanned once for assignment and once for scoring (assignment
-    would be a stored column in a persisted IVF index), and the
+    Training is SPLIT from the query path: pass ``centroids`` (from
+    :func:`train_ivf_centroids` or :func:`seed_ivf_centroids`) to skip
+    the k-means job, and ``assigned`` (a persisted
+    :func:`assign_ivf` output) to skip the assignment scan too — the
+    per-query work is then probe-select + bucket-join + score only.
+    With neither given, trains ad hoc (exploratory use).
+
+    Scale: the centroid matrix is the only broadcast state, and the
     probe join keys are small ints.
     """
-    centroids = train_ivf_centroids(
-        corpus, num_centroids=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    c = spread(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    ).select(
-        "neighbor_id",
-        "cv",
-        _nearest_centroid(F.col("cv"), centroids).alias("cid"),
-        sq_norm(F.col("cv")).alias("cn2"),
+    if assigned is not None and centroids is None:
+        raise ValueError("assigned requires the matching centroids for probing")
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, num_centroids=num_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    c = (
+        assigned
+        if assigned is not None
+        else assign_ivf(corpus, centroids, id_col=id_col, vec_col=vec_col)
     )
 
     def probe_cids(vec: Column) -> Column:
