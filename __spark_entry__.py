@@ -8,11 +8,14 @@ SQL-expressible query (value formulas are written with identical
 arithmetic on both sides: decimal-cast sums, sequential-order dot
 products, shared regexes — so value hashes match bit-for-bit).
 
-Non-SQL-expressible entries (MinHash/SimHash/LSH signatures use
-Spark's xxhash64 hash family, which DuckDB cannot reproduce) have no
-oracle entry and get the driver's rows-only check — the *verified*
-exact variants of the same operators (ngram jaccard / exact dedup /
-brute-force knn / blocked cosine) are oracle-checked.
+EVERY entry has an oracle: the sketch/ANN queries (MinHash-LSH,
+SimHash, hyperplane LSH, IVF) run with SQL-auditable hash families —
+polynomial codepoint hashes and an LCG plane generator whose integer
+arithmetic DuckDB reproduces bit-for-bit — so signatures, band keys,
+buckets, candidate sets and verified scores are all value-checked,
+not just row-counted. The operator APIs keep xxhash64 as the
+production default (single JVM intrinsic vs per-char folds); the
+auditable families exercise the identical pipeline shapes.
 """
 
 from __future__ import annotations
@@ -444,13 +447,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash banding with the SQL-auditable polynomial hash family —
+    the oracle reproduces every signature, band key, candidate pair
+    and verified Jaccard (the xxhash64 family stays the production
+    default in the operator API; pipeline shape is identical)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=128, bands=32, k=3, threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=128, bands=32, k=3, threshold=0.5, hash_family="poly"
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash (60-bit poly family) — fully oracle-checked: signatures,
+    chunk blocking and hamming filter all reproduced in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=3)
+    return dedup.simhash_near_pairs(docs, max_hamming=3, hash_family="poly")
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -469,9 +480,12 @@ def q_knn_bruteforce(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
+    """Hyperplane LSH with the LCG plane family — bucketing is pure
+    integer arithmetic, so the oracle reproduces buckets, multi-probe
+    candidates and scores exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.knn_lsh(emb, queries, k=5, num_planes=8)
+    return similarity.knn_lsh(emb, queries, k=5, num_planes=8, hash_family="lcg")
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -673,6 +687,59 @@ list_reduce(list_prepend(0.0::DOUBLE,
         i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))),
     (x, y) -> x + y)
 """
+
+# -- SQL-auditable hash families (mirror operators/dedup.py poly_hash
+#    and operators/similarity.py _plane_component 'lcg') --------------
+
+def _poly_sql(var: str, base: int, add: int, mod: int, init: int = 0) -> str:
+    """DuckDB twin of dedup.poly_hash: fold (acc*base + code + add) %
+    mod from ``init``."""
+    return (
+        f"list_reduce(list_prepend({init}::BIGINT, list_transform("
+        f"list_filter(string_split({var}, ''), c -> c <> ''), "
+        f"c -> ord(c)::BIGINT)), (a, b) -> (a * {base} + b + {add}) % {mod})"
+    )
+
+
+#: 128 KM-combined minhash values from the h1/h2 lists
+_MH_SIGS = ", ".join(
+    f"list_min(list_transform(range(1, len(h1)+1), t -> (h1[t] + {i} * h2[t]) % 2147483647))"
+    for i in range(128)
+)
+
+
+def _simhash_sig_sql() -> str:
+    """60-bit poly simhash from h1/h2 30-bit hash lists (bit j < 30
+    from h1, else h2), exactly dedup.simhash_signature('poly')."""
+    terms = []
+    for j in range(60):
+        src, sh = ("h1", j) if j < 30 else ("h2", j - 30)
+        votes = (
+            f"list_sum(list_transform({src}, h -> ((h // {1 << sh}) % 2) * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {votes} > 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_dot_sql(vec: str, p: int) -> str:
+    comp = (
+        f"(CASE WHEN ((1103515245 * ({p} * 1024 + (i-1)) + 12345) % 2147483648)"
+        f" < 1073741824 THEN 1.0 ELSE -1.0 END)"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+        f"range(1, len({vec})+1), i -> {vec}[i]::DOUBLE * {comp})), (x, y) -> x + y)"
+    )
+
+
+def _lsh_sig_sql(vec: str, planes: int = 8) -> str:
+    # MSB-first: plane p contributes 2^(planes-1-p), matching the
+    # out*2+bit fold in similarity.hyperplane_signature
+    return " + ".join(
+        f"(CASE WHEN {_lsh_dot_sql(vec, p)} > 0 THEN {1 << (planes - 1 - p)} ELSE 0 END)"
+        for p in range(planes)
+    )
+
 
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
 _LANG_SQL = {
@@ -948,8 +1015,85 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        # dedup_minhash_lsh / dedup_simhash / knn_lsh: Spark xxhash64
-        # family — not reproducible in DuckDB; rows-only check.
+        # MinHash-LSH, poly family: the oracle rebuilds all 128
+        # signatures, the 32 band keys, the candidate self-join, the
+        # bucket set and the exact-Jaccard verification
+        "dedup_minhash_lsh": f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+            hs AS (
+              SELECT doc_id, shingles,
+                list_transform(shingles, s -> {_poly_sql('s', 31, 0, 1_000_000_007)}) AS h1,
+                list_transform(shingles, s -> {_poly_sql('s', 37, 7, 1_000_000_007)}) AS h2
+              FROM sh),
+            sig AS (SELECT doc_id, [{_MH_SIGS}] AS sig FROM hs),
+            banded AS (
+              SELECT doc_id, b.band,
+                array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 32)) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            j AS (
+              SELECT c.a_id, c.b_id,
+                len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id)
+            SELECT a_id, b_id, round(jaccard, 6) AS jaccard
+            FROM j WHERE jaccard >= 0.5
+        """,
+        # SimHash, 60-bit poly family: signatures + 4x15-bit chunk
+        # blocking + hamming, all reproduced
+        "dedup_simhash": f"""
+            WITH t AS (SELECT doc_id, {_WORDS.replace('text', 'lower(text)')} AS w FROM documents),
+            hs AS (
+              SELECT doc_id,
+                list_transform(w, tk -> {_poly_sql('tk', 1103515245, 0, 1 << 30, 5381)}) AS h1,
+                list_transform(w, tk -> {_poly_sql('tk', 1588635695, 1, 1 << 30, 7919)}) AS h2
+              FROM t),
+            sig AS (SELECT doc_id, ({_simhash_sig_sql()}) AS sig FROM hs),
+            chunks AS (
+              SELECT doc_id, sig, c.ci,
+                (sig // (CASE c.ci WHEN 0 THEN 1 WHEN 1 THEN 32768
+                         WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) % 32768 AS cv
+              FROM sig, (SELECT unnest(range(0, 4)) AS ci) c),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                     a.sig AS siga, b.sig AS sigb
+              FROM chunks a JOIN chunks b
+                ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id, bit_count(xor(siga, sigb)) AS hamming
+            FROM cand WHERE bit_count(xor(siga, sigb)) <= 3
+        """,
+        # hyperplane LSH, LCG plane family: buckets + multi-probe
+        # (radius 1) + in-bucket cosine + rank, all reproduced
+        "knn_lsh": f"""
+            WITH sigged AS (
+              SELECT vec_id, embedding,
+                     ({_lsh_sig_sql('embedding', 8)}) AS bucket
+              FROM embeddings),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv, bucket AS qb
+              FROM sigged WHERE vec_id < 3),
+            probes AS (
+              SELECT query_id, qv,
+                unnest([qb, {", ".join(f"xor(qb, {1 << i})" for i in range(8))}]) AS bucket
+              FROM q),
+            scored AS (
+              SELECT p.query_id, s.vec_id AS neighbor_id,
+                     {_COS.format(a="p.qv", b="s.embedding")} AS score
+              FROM probes p JOIN sigged s ON p.bucket = s.bucket
+              WHERE p.query_id <> s.vec_id)
+            SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+            FROM (
+              SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "dedup_embedding": f"""
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cosine

@@ -45,6 +45,41 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
 
 
+#: modulus of the SQL-auditable polynomial hash family (same family
+#: as operators/text.py fingerprint; everything stays < 2^63)
+POLY_MOD = 1_000_000_007
+#: power-of-two modulus variant for SimHash (bit extraction needs
+#: uniformly random LOW bits, i.e. a clean 30-bit hash)
+POLY_MOD_POW2 = 1 << 30
+
+
+def poly_hash(
+    s: Column, base: int = 31, add: int = 0, mod: int = POLY_MOD, init: int = 0
+) -> Column:
+    """Polynomial codepoint hash: fold (acc*base + code + add) % mod,
+    starting from ``init``.
+
+    The cross-engine-reproducible alternative to xxhash64 — DuckDB
+    computes the identical value with list_reduce/ord, so operators
+    built on it get full value-level oracles. xxhash64 remains the
+    production default (single JVM intrinsic per value vs a per-char
+    fold); this family exists to make the *same pipeline shape*
+    auditable end-to-end.
+
+    For power-of-two moduli pass a LARGE odd ``base`` and a nonzero
+    ``init`` (djb2-style): with base 31 / init 0 a 1-2 char token
+    hashes to a small value whose high bits are all zero — SimHash
+    bit votes then correlate across documents and near-pair counts
+    explode. Keep base*mod < 2^63 (ANSI overflow).
+    """
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(init).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c) + add) % mod,
+    )
+
+
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles joined with single spaces."""
     w = words_col(text)
@@ -175,7 +210,11 @@ def minhash_signature(text: Column, num_hashes: int = 128, k: int = 3) -> Column
 
 
 def minhash_signatures(
-    sh_df: DataFrame, num_hashes: int = 128, id_col: str = "id", sh_col: str = "sh"
+    sh_df: DataFrame,
+    num_hashes: int = 128,
+    id_col: str = "id",
+    sh_col: str = "sh",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """(id, shingles) -> (id, sig array<long>) as ONE narrow
     projection — no explode, no shuffle.
@@ -195,8 +234,14 @@ def minhash_signatures(
     reference would otherwise re-run the whole hash matrix.
     """
     M = (1 << 31) - 1
-    h1 = F.transform(F.col(sh_col), lambda s: F.pmod(F.xxhash64(s), F.lit(M)))
-    h2 = F.transform(F.col(sh_col), lambda s: F.pmod(F.xxhash64(F.lit(-1), s), F.lit(M)))
+    if hash_family == "poly":
+        # SQL-auditable base hashes (see poly_hash); the KM combine
+        # below is identical
+        h1 = F.transform(F.col(sh_col), lambda s: poly_hash(s, 31, 0))
+        h2 = F.transform(F.col(sh_col), lambda s: poly_hash(s, 37, 7))
+    else:
+        h1 = F.transform(F.col(sh_col), lambda s: F.pmod(F.xxhash64(s), F.lit(M)))
+        h2 = F.transform(F.col(sh_col), lambda s: F.pmod(F.xxhash64(F.lit(-1), s), F.lit(M)))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
@@ -219,6 +264,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_band_freq: Optional[int] = 1000,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard (so: recall bounded by the S-curve of (bands, rows_per_
@@ -235,6 +281,12 @@ def minhash_lsh_pairs(
     10^10 candidate pairs on its own. Docs in an over-full bucket
     still pair through their other bands, so recall loss is confined
     to pairs whose ONLY agreement is the degenerate band.
+
+    ``hash_family``: 'xxhash' (default — fastest, 8-byte band keys)
+    or 'poly' (SQL-auditable: DuckDB reproduces every signature, so
+    the output gets a value-level oracle; band keys are the joined
+    signature strings since xxhash64 key narrowing would break
+    auditability).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -243,25 +295,23 @@ def minhash_lsh_pairs(
     ).persist()  # referenced 3x (signature build + both verify sides)
     # persist: the band fan-out references sig 2×bands times and
     # lambda expressions don't get subexpression elimination
-    sig = minhash_signatures(sh_df, num_hashes).persist()
+    sig = minhash_signatures(sh_df, num_hashes, hash_family=hash_family).persist()
+
+    def band_key(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
+            ",",
+        )
+        # narrow the shuffle key to 8 bytes in production; keep the
+        # raw string for the auditable family
+        return joined if hash_family == "poly" else F.xxhash64(joined)
 
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
                     for b in range(bands)
                 ]
             )
@@ -312,12 +362,57 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signature(text: Column, bits: int = 64) -> Column:
-    """Classic SimHash (Charikar 2002): per-token 64-bit hash, sum
-    ±1 per bit position, sign -> signature bit. Returns a long.
+def simhash_signature(
+    text: Column, bits: int = 64, hash_family: str = "xxhash"
+) -> Column:
+    """Classic SimHash (Charikar 2002): per-token hash, sum ±1 per bit
+    position, sign -> signature bit. Returns a long.
 
     Pure higher-order functions — per-row, no shuffle.
+
+    ``hash_family='poly'`` uses two 30-bit polynomial codepoint hashes
+    per token (bits 0-29 from h1, 30-59 from h2 — a 60-bit signature)
+    so DuckDB reproduces the signature exactly; 'xxhash' (default)
+    keeps the single 64-bit JVM intrinsic.
     """
+    if hash_family == "poly":
+        bits = 60
+        toks = words_col(F.lower(text))
+        # hash each token ONCE (two 30-bit folds), then fan out bits
+        # large odd multipliers + nonzero inits: the first fold step
+        # already wraps the 2^30 modulus, so every bit is mixed even
+        # for 1-char tokens (acc*base stays < 2^63: 2^30 * 1.6e9)
+        hs = F.transform(
+            toks,
+            lambda t: F.struct(
+                poly_hash(t, 1103515245, 0, POLY_MOD_POW2, init=5381).alias("h1"),
+                poly_hash(t, 1588635695, 1, POLY_MOD_POW2, init=7919).alias("h2"),
+            ),
+        )
+
+        def bit_votes(h):
+            return F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(
+                            h.getField("h1" if j < 30 else "h2"), j % 30
+                        ).bitwiseAND(F.lit(1))
+                        * 2
+                        - 1
+                    ).cast("long")
+                    for j in range(bits)
+                ]
+            )
+
+        votes = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
+        )
+        lo = _pack_half(F.reverse(F.slice(votes, 1, bits // 2)))
+        hi = _pack_half(F.reverse(F.slice(votes, bits // 2 + 1, bits // 2)))
+        return F.shiftleft(hi, bits // 2).bitwiseOR(lo)
+
     toks = words_col(F.lower(text))
 
     def bit_votes(t):
@@ -337,18 +432,20 @@ def simhash_signature(text: Column, bits: int = 64) -> Column:
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
     )
-    def pack32(arr: Column) -> Column:
-        # MSB-first fold of 32 vote signs into a long (max 2^32-1, no
-        # ANSI overflow; the full 64-bit fold would overflow at bit 63)
-        return F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
-        )
-
-    lo = pack32(F.reverse(F.slice(votes, 1, bits // 2)))
-    hi = pack32(F.reverse(F.slice(votes, bits // 2 + 1, bits // 2)))
+    lo = _pack_half(F.reverse(F.slice(votes, 1, bits // 2)))
+    hi = _pack_half(F.reverse(F.slice(votes, bits // 2 + 1, bits // 2)))
     return F.shiftleft(hi, bits // 2).bitwiseOR(lo)
+
+
+def _pack_half(arr: Column) -> Column:
+    """MSB-first fold of <=32 vote signs into a long (stays below
+    2^32, no ANSI overflow; a full 64-bit fold would overflow at bit
+    63)."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+    )
 
 
 def simhash_signatures(
@@ -398,11 +495,13 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     wide_docs: bool = False,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Blocking: split the 64-bit signature into 4 16-bit chunks — any
-    pair within hamming distance 3 agrees exactly on >= 1 chunk
+    Blocking: split the signature into 4 equal-width chunks (16 bits
+    for the 64-bit xxhash family, 15 for the 60-bit poly family) —
+    any pair within hamming distance 3 agrees exactly on >= 1 chunk
     (pigeonhole), so the join on (chunk_idx, chunk_value) has full
     recall for max_hamming <= 3 and touches only same-chunk pairs.
 
@@ -413,15 +512,21 @@ def simhash_near_pairs(
     lambda expressions get no subexpression elimination. Pass
     ``wide_docs=True`` to use the explode+aggregate formulation for
     corpora of pathologically long documents (see
-    :func:`simhash_signatures`).
+    :func:`simhash_signatures`; xxhash family only).
     """
     if wide_docs:
+        if hash_family != "xxhash":
+            raise ValueError("wide_docs path supports the xxhash family only")
         sig = simhash_signatures(df, id_col, text_col)
     else:
         sig = spread(
             df.select(F.col(id_col).alias("id"), F.col(text_col))
-        ).select("id", simhash_signature(F.col(text_col)).alias("sig"))
+        ).select(
+            "id",
+            simhash_signature(F.col(text_col), hash_family=hash_family).alias("sig"),
+        )
     sig = sig.persist()
+    cw = 15 if hash_family == "poly" else 16  # chunk width (bits/4)
     chunks = sig.select(
         "id",
         "sig",
@@ -430,8 +535,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("sig", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", cw * i)
+                        .bitwiseAND(F.lit((1 << cw) - 1))
                         .alias("cv"),
                     )
                     for i in range(4)

@@ -78,14 +78,31 @@ def knn_bruteforce(
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
-def _plane_component(p: int, j: Column) -> Column:
+#: LCG constants (glibc rand): the SQL-auditable ±1 plane family —
+#: pure integer arithmetic both engines compute identically
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _plane_component(p: int, j: Column, hash_family: str = "xxhash") -> Column:
     """Deterministic ±1 hyperplane component (seeded by plane index p
     and dimension j) — the classic sign-random-projection family
-    (Charikar 2002), reproducible with no stored model."""
+    (Charikar 2002), reproducible with no stored model.
+
+    ``hash_family='lcg'`` derives the sign from a linear-congruential
+    step on (p*1024 + j) — DuckDB reproduces it exactly, giving the
+    LSH path a value-level oracle; 'xxhash' (default) is the faster
+    production family."""
+    if hash_family == "lcg":
+        # long arithmetic: the int32 literal would overflow under ANSI
+        a = F.lit(_LCG_A).cast("long")
+        x = (a * (p * 1024 + j).cast("long") + F.lit(_LCG_C)) % F.lit(_LCG_M)
+        return F.when(x < _LCG_M // 2, F.lit(1.0)).otherwise(F.lit(-1.0))
     return (F.xxhash64(F.lit(p), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
 
 
-def hyperplane_signature(vec: Column, num_planes: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, num_planes: int = 16, hash_family: str = "xxhash"
+) -> Column:
     """b-bit signature: bit p = sign(<v, r_p>) with r_p ∈ {±1}^d."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
 
@@ -93,7 +110,9 @@ def hyperplane_signature(vec: Column, num_planes: int = 16) -> Column:
         # closure, not a default arg — zip_with lambdas must be 2-param
         return F.aggregate(
             F.zip_with(
-                vec, idx, lambda x, j: x.cast("double") * _plane_component(p, j)
+                vec,
+                idx,
+                lambda x, j: x.cast("double") * _plane_component(p, j, hash_family),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -322,24 +341,27 @@ def knn_lsh(
     query_id_col: str = "vec_id",
     num_planes: int = 8,
     multiprobe: bool = True,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose hyperplane
     signature matches the query's bucket (or differs by one bit with
     multiprobe). Same output shape as knn_bruteforce; recall < 1 by
     construction — the point is scoring ~(1+b)/2^b of the corpus.
+    ``hash_family='lcg'`` makes the bucketing DuckDB-reproducible
+    (value-level oracle); 'xxhash' is the production default.
     """
     c = spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).select(
         "neighbor_id",
         "cv",
-        hyperplane_signature(F.col("cv"), num_planes).alias("bucket"),
+        hyperplane_signature(F.col("cv"), num_planes, hash_family).alias("bucket"),
         sq_norm(F.col("cv")).alias("cn2"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("qbucket"),
+        hyperplane_signature(F.col(vec_col), num_planes, hash_family).alias("qbucket"),
         sq_norm(F.col(vec_col)).alias("qn2"),
     )
     if multiprobe:
