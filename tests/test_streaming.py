@@ -229,6 +229,104 @@ def test_dedup_stream_drops_repeats_across_batches(spark, tmp_path):
     ]
 
 
+def test_stream_kill_and_restart_no_dup_no_loss(spark, catalog, tmp_path):
+    """The reference's rebalance-restart case
+    (`kafka_indexing.rs:192-246`) reshaped for Spark's recovery model:
+    kill a live stream mid-way through its input, restart from the
+    same checkpoint, and require every input row exactly once across
+    the committed segments — no duplicate (manifest batch_id dedup
+    covers the offsets-not-yet-committed window) and no loss (the
+    checkpoint resumes from the first unprocessed file)."""
+    config = _config(tmp_path)
+    create_index(catalog, config)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    n = 5
+    for i in range(n):
+        (indir / f"f{i}.jsonl").write_text(
+            json.dumps({"ts": 1716822728 + i, "level": "INFO", "msg": f"m{i}"}) + "\n"
+        )
+
+    def lines():
+        # one file per micro-batch -> one segment per file
+        return spark.readStream.option("maxFilesPerTrigger", 1).text(str(indir))
+
+    q = stream_index(
+        lines(), catalog, "stream-logs", checkpoint_dir=ckpt,
+        commit_interval="1 seconds",
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(catalog.segments("stream-logs")) < 2:
+            time.sleep(0.2)
+        assert len(catalog.segments("stream-logs")) >= 2
+    finally:
+        q.stop()  # the kill — mid-stream, files still unprocessed
+        q.awaitTermination(30)
+
+    assert len(catalog.segments("stream-logs")) < n  # genuinely mid-way
+    # restart from the same checkpoint, drain the rest
+    _drain(lines(), catalog, ckpt)
+
+    segs = catalog.segments("stream-logs")
+    assert sum(s.num_rows for s in segs) == n  # no loss, no dup
+    out = search(spark, catalog, "stream-logs", "*", limit=100)
+    msgs = sorted(json.loads(d)["msg"] for d in out)
+    assert msgs == [f"m{i}" for i in range(n)]
+
+
+def test_stdin_source(spark, catalog, tmp_path, monkeypatch):
+    """stdin source (`buf_source.rs:25-28`, selected at
+    `sources/mod.rs:61`): driver-side line read feeding the same
+    ingest projection."""
+    import io
+
+    from toshokan_spark.indexer import index_batch
+    from toshokan_spark.sources.jsonl import read_stdin
+
+    config = _config(tmp_path)
+    create_index(catalog, config)
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            json.dumps({"ts": 1716822728, "level": "INFO", "msg": "from stdin"})
+            + "\n\n"  # blank line: skipped by the source
+            + json.dumps({"ts": 1716822729, "level": "ERROR", "msg": "also stdin"})
+            + "\n"
+        ),
+    )
+    entry = index_batch(spark, catalog, "stream-logs", lines=read_stdin(spark))
+    assert entry is not None and entry.num_rows == 2
+    assert search(spark, catalog, "stream-logs", "level:ERROR", limit=10) == [
+        '{"level":"ERROR","msg":"also stdin","ts":"2024-05-27T15:12:09Z"}'
+    ]
+
+
+def test_kafka_option_plumbing(spark):
+    """The exact connector options the reference's consumer config
+    encodes (`kafka_source.rs:244-268`): batch reads earliest→EOF,
+    stream starts latest (or checkpoint-provided)."""
+    from toshokan_spark.sources.kafka import kafka_options
+
+    assert kafka_options("kafka://b1:9092,b2:9092/logs", "batch") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "logs",
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+    }
+    assert kafka_options("kafka://h:1/t", "stream") == {
+        "kafka.bootstrap.servers": "h:1",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+    }
+    assert kafka_options("kafka://h:1/t", "stream", '{"t":{"0":5}}')[
+        "startingOffsets"
+    ] == '{"t":{"0":5}}'
+    with pytest.raises(ValueError):
+        kafka_options("kafka://h:1/t", "nope")
+
+
 def test_kafka_url_parsing_and_tombstone_skip(spark):
     """Driver-side Kafka plumbing (the broker itself isn't in this
     env): URL parity with `sources/mod.rs:46-63`, and the

@@ -51,26 +51,34 @@ def _lines(df: DataFrame) -> DataFrame:
     )
 
 
-def kafka_batch(spark: SparkSession, url: str) -> DataFrame:
+def kafka_options(
+    url: str, mode: str = "batch", starting_offsets: str | None = None
+) -> dict[str, str]:
+    """Connector options for a ``kafka://`` URL — the exact settings
+    the reference's consumer config encodes (`kafka_source.rs:244-268`:
+    batch = earliest→EOF, stream = latest/checkpoint). Split out so the
+    plumbing is unit-testable without a broker in the environment."""
     servers, topic = parse_kafka_url(url)
-    raw = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
-        .load()
-    )
+    opts = {"kafka.bootstrap.servers": servers, "subscribe": topic}
+    if mode == "batch":
+        opts["startingOffsets"] = "earliest"
+        opts["endingOffsets"] = "latest"
+    elif mode == "stream":
+        opts["startingOffsets"] = starting_offsets or "latest"
+    else:
+        raise ValueError(f"unknown kafka mode {mode!r}")
+    return opts
+
+
+def kafka_batch(spark: SparkSession, url: str) -> DataFrame:
+    raw = spark.read.format("kafka").options(**kafka_options(url, "batch")).load()
     return _lines(raw)
 
 
 def kafka_stream(spark: SparkSession, url: str, starting_offsets: str = "latest") -> DataFrame:
-    servers, topic = parse_kafka_url(url)
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_options(url, "stream", starting_offsets))
         .load()
     )
     return _lines(raw)
