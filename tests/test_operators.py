@@ -157,6 +157,28 @@ def test_knn_ivf_approximate_partial_probe(spark):
     assert sorted(r.neighbor_id for r in out) == [1, 2, 3]
 
 
+def test_vectorized_cosine_matches_fold(spark):
+    """The Arrow/BLAS cosine path must agree with the sequential fold
+    to ~1 ulp: same pair/neighbor sets, scores within 1e-9."""
+    rows = [
+        Row(vec_id=i, label="x", embedding=[float((i * 13) % 7) + 0.25, float(i % 5), 1.5])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    fold = {(r.a_id, r.b_id): r.cosine
+            for r in dedup.embedding_dup_pairs(df, threshold=0.5).collect()}
+    vec = {(r.a_id, r.b_id): r.cosine
+           for r in dedup.embedding_dup_pairs(df, threshold=0.5, vectorized=True).collect()}
+    assert set(fold) == set(vec) and fold
+    assert all(abs(fold[k] - vec[k]) < 1e-9 for k in fold)
+
+    q = df.filter(F.col("vec_id") < 2)
+    bf = similarity.knn_bruteforce(df, q, k=4).collect()
+    bv = similarity.knn_bruteforce(df, q, k=4, vectorized=True).collect()
+    key = lambda rs: sorted((r.query_id, r.rank, r.neighbor_id) for r in rs)
+    assert key(bf) == key(bv)
+
+
 def test_knn_ivf_persisted_assignment_equals_inline(spark, tmp_path):
     """Training/query split: a persisted assign_ivf index column gives
     the same answers as on-the-fly assignment — the query path reads

@@ -29,8 +29,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from toshokan_spark.operators.util import spread
@@ -593,6 +595,30 @@ def sq_norm(v: Column) -> Column:
     )
 
 
+@F.pandas_udf(DoubleType())
+def _cosine_batch_udf(pa: "pd.Series", pb: "pd.Series") -> "pd.Series":
+    import numpy as np
+
+    A = np.stack(pa.to_numpy()).astype(np.float64)
+    B = np.stack(pb.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)
+
+
+def cosine_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched BLAS cosine (numpy einsum over the whole batch).
+
+    The scale path for embedding workloads: one matrix op per Arrow
+    batch instead of a per-element lambda fold. NOT used by the oracle
+    queries — numpy's pairwise-summed dot differs from the
+    sequential-order fold in final ulps, so the parity defaults stay
+    on :func:`dot_product`; flip the operators' ``vectorized=True``
+    for production runs where 1-ulp score differences are irrelevant.
+    """
+    return _cosine_batch_udf(a, b)
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """dot(a,b)/sqrt(|a|²·|b|²), all sequential-order folds.
 
@@ -610,6 +636,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     block_col: Optional[str] = "label",
     threshold: float = 0.4,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Pairs with cosine >= threshold inside a blocking key.
 
@@ -617,6 +644,11 @@ def embedding_dup_pairs(
     existing class label) of B buckets the pair count drops ~B× vs
     the full cross product. For unblocked corpora use
     similarity.random_hyperplane_bucket as the block column.
+
+    ``vectorized=True`` switches the per-pair cosine to the
+    Arrow-batched BLAS path (:func:`cosine_vectorized`) — the
+    production choice at scale; the default sequential fold exists
+    for bit-exact oracle parity (see cosine_vectorized docstring).
     """
     e = spread(
         df.select(
@@ -625,6 +657,12 @@ def embedding_dup_pairs(
             (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
         )
     ).withColumn("n2", sq_norm(F.col("v")))
+    if vectorized:
+        cos = cosine_vectorized(F.col("a.v"), F.col("b.v"))
+    else:
+        cos = dot_product(F.col("a.v"), F.col("b.v")) / F.sqrt(
+            F.col("a.n2") * F.col("b.n2")
+        )
     pairs = (
         e.alias("a")
         .join(
@@ -634,10 +672,7 @@ def embedding_dup_pairs(
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            (
-                dot_product(F.col("a.v"), F.col("b.v"))
-                / F.sqrt(F.col("a.n2") * F.col("b.n2"))
-            ).alias("cos"),
+            cos.alias("cos"),
         )
     )
     return (

@@ -34,6 +34,7 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -41,7 +42,13 @@ def knn_bruteforce(
     top-k per query is a window over (query, score) — Catalyst turns
     the rank filter into a per-partition partial top-k before the
     exchange when AQE is on.
+
+    ``vectorized=True`` scores with the Arrow-batched BLAS cosine
+    (production path at scale); the default sequential fold is kept
+    for bit-exact oracle parity (see dedup.cosine_vectorized).
     """
+    from toshokan_spark.operators.dedup import cosine_vectorized
+
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -50,14 +57,15 @@ def knn_bruteforce(
     c = spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn("cn2", sq_norm(F.col("cv")))
+    score = (
+        cosine_vectorized(F.col("qv"), F.col("cv"))
+        if vectorized
+        else dot_product(F.col("qv"), F.col("cv")) / F.sqrt(F.col("qn2") * F.col("cn2"))
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            dot_product(F.col("qv"), F.col("cv"))
-            / F.sqrt(F.col("qn2") * F.col("cn2")),
-        )
+        .withColumn("score", score)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -4,10 +4,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _size_bytes(s: str) -> int:
+    s = s.strip().lower()
+    for suf, mult in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(s)
+
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition ``df`` up to the cluster's default parallelism when
-    the scan produced fewer partitions than cores.
+    the scan would produce fewer partitions than cores.
 
     Why: per-row-heavy operators (shingling, 128-way MinHash, SimHash
     bit votes, pairwise cosine) are narrow — Spark runs them with the
@@ -16,11 +26,26 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     exchange costs one shuffle of the (slim, pre-projected) input and
     buys full-cluster parallelism for the expensive expression work.
 
-    At real scale this is a no-op: a 100 TB table scans as tens of
-    thousands of splits, which already exceeds ``defaultParallelism``,
-    so no exchange is added.
+    The decision uses the optimizer's size estimate (plan stats), NOT
+    ``df.rdd.getNumPartitions()`` — materializing the RDD lineage per
+    operator call compiles a non-AQE physical plan on the driver and
+    defeats AQE's own runtime coalescing. An input larger than
+    cores × maxPartitionBytes already scans as ≥ one split per core,
+    so this is a no-op at real scale (a 100 TB table is tens of
+    thousands of splits).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df.repartition(target)
+    try:
+        max_pb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(_DEFAULT_MAX_PARTITION_BYTES))
+        )
+    except Exception:
+        max_pb = _DEFAULT_MAX_PARTITION_BYTES
+    if size <= target * max_pb:
         return df.repartition(target)
     return df
