@@ -424,7 +424,43 @@ def test_en_stem_tokenizer_end_to_end(spark, catalog, tmp_path):
     assert search(spark, catalog, "stem_test", "body:quick", limit=10)
     # different stems still don't match
     assert not search(spark, catalog, "stem_test", "body:quit", limit=10)
+    # phrase on a stemmed field matches in STEM space: the index holds
+    # [connect, termin, quick]; the phrase words stem to adjacent
+    # tokens even though the raw text never contains them (VERDICT
+    # wrong #5 — the unstemmed-regex strategy missed this)
+    out = search(spark, catalog, "stem_test", 'body:"connection terminate"', limit=10)
+    assert len(out) == 1 and "terminating" in out[0]
+    assert not search(spark, catalog, "stem_test", 'body:"terminate connection"', limit=10)
     drop_index(catalog, "stem_test")
+
+
+def test_phrase_slop_end_to_end(spark, catalog, tmp_path):
+    """``"a b"~N`` proximity: up to N extra token positions between
+    the words, in order (tantivy QueryParser slop syntax)."""
+    config = IndexConfig(
+        name="slop_test",
+        path=str(tmp_path / "data" / "slop_test"),
+        fields=[FieldConfig(name="body", type="text")],
+    )
+    create_index(catalog, config)
+    index_batch(
+        spark, catalog, "slop_test",
+        write_jsonl(tmp_path, ['{"body":"the quick brown fox jumps high"}']),
+    )
+
+    def hit(q):
+        return len(search(spark, catalog, "slop_test", q, limit=10)) == 1
+
+    assert hit('body:"quick brown"')        # adjacent
+    assert not hit('body:"quick fox"')      # one word apart, slop 0
+    assert hit('body:"quick fox"~1')
+    assert hit('body:"quick fox"~2')        # slop is an upper bound
+    assert not hit('body:"quick jumps"~1')  # two apart
+    assert hit('body:"quick jumps"~2')
+    assert not hit('body:"fox quick"~5')    # order matters
+    assert hit('body:"quick fox high"~3')   # 3-word, gaps 1+1 <= 3
+    assert not hit('body:"quick fox high"~1')
+    drop_index(catalog, "slop_test")
 
 
 def test_array_of_static_object_rejected():

@@ -135,3 +135,14 @@ def test_errors():
         parse_query("a:[1 TO")
     with pytest.raises(ParseError):
         parse_query('body:"unterminated')
+
+
+def test_phrase_slop():
+    assert parse_query('body:"a b"~2') == Phrase(("body",), "a b", 2)
+    assert parse_query('"x y"~3') == Phrase(None, "x y", 3)
+    assert parse_query('body:"a b"~12') == Phrase(("body",), "a b", 12)
+    # no slop marker -> 0
+    assert parse_query('body:"a b"') == Phrase(("body",), "a b", 0)
+    # slop composes inside boolean structure
+    q = parse_query('body:"a b"~1 AND x:1')
+    assert q == BoolQuery(must=(Phrase(("body",), "a b", 1), Term(("x",), "1")))

@@ -58,6 +58,10 @@ class Term(Node):
 class Phrase(Node):
     field: Optional[tuple[str, ...]]
     text: str  # raw phrase text (analyzed at compile time)
+    #: ``"a b"~N`` proximity (tantivy QueryParser slop syntax):
+    #: up to N extra token positions distributed between the words,
+    #: in order. 0 == exact adjacency.
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -264,6 +268,22 @@ def _parse_implicit(sc: _Scanner) -> Node:
     return BoolQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
 
 
+def _read_slop(sc: _Scanner) -> int:
+    """``~N`` immediately after a closing phrase quote (tantivy
+    QueryParser proximity syntax)."""
+    if sc.peek() != "~":
+        return 0
+    j = sc.i + 1
+    digits = ""
+    while j < len(sc.s) and sc.s[j].isdigit():
+        digits += sc.s[j]
+        j += 1
+    if not digits:
+        return 0
+    sc.i = j
+    return int(digits)
+
+
 def _parse_clause(sc: _Scanner) -> Node:
     sc.skip_ws()
     if sc.eof():
@@ -284,7 +304,8 @@ def _parse_clause(sc: _Scanner) -> Node:
             sc.i += 1
             return All()
     if c == '"':
-        return Phrase(None, sc.read_quoted())
+        text = sc.read_quoted()
+        return Phrase(None, text, _read_slop(sc))
 
     fieldp = sc.read_field_path()
     if fieldp is None:
@@ -316,7 +337,8 @@ def _parse_clause(sc: _Scanner) -> Node:
             sc.i += 1
         return Cmp(fieldp, op, sc.read_value_word())
     if c == '"':
-        return Phrase(fieldp, sc.read_quoted())
+        text = sc.read_quoted()
+        return Phrase(fieldp, text, _read_slop(sc))
     if c == "*":
         nxt = sc.s[sc.i + 1] if sc.i + 1 < len(sc.s) else ""
         if not nxt or nxt.isspace() or nxt in ")":

@@ -44,6 +44,47 @@ from toshokan_spark.plans.ast import (
 
 _NON_ALNUM_RE = r"[^\p{L}\p{N}]"
 
+#: combinatorial guard for phrase slop: gap combinations grow as
+#: C(slop+k-1, k-1); tantivy accepts arbitrary slop but beyond this
+#: the compiled expression would explode
+MAX_SLOP = 8
+
+
+def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
+    """True when *words* appear IN ORDER in *tokens* with at most
+    ``slop`` extra token positions distributed between them (Lucene/
+    tantivy in-order proximity; we don't model the transposition
+    move). slop=0 is exact adjacency — the positional equivalent of
+    the regex strategy, required when index tokens are stems."""
+    from itertools import product
+
+    k = len(words)
+    if k == 1:
+        return F.array_contains(tokens, words[0])
+    slop = min(slop, MAX_SLOP)
+    combos = [
+        gs for gs in product(range(slop + 1), repeat=k - 1) if sum(gs) <= slop
+    ]
+    n = F.size(tokens)
+
+    def match_at(i: Column) -> Column:
+        out = F.lit(False)
+        for gs in combos:
+            cond = F.get(tokens, i) == F.lit(words[0])
+            off = 0
+            for j in range(1, k):
+                off += 1 + gs[j - 1]
+                # F.get returns null past the end (no ANSI error);
+                # null comparisons collapse to false via the coalesce
+                cond = cond & (F.get(tokens, i + off) == F.lit(words[j]))
+            out = out | F.coalesce(cond, F.lit(False))
+        return out
+
+    return F.when(
+        n >= k,
+        F.coalesce(F.exists(F.sequence(F.lit(0), n - k), match_at), F.lit(False)),
+    ).otherwise(F.lit(False))
+
 
 class CompileError(ValueError):
     pass
@@ -274,19 +315,44 @@ class QueryCompiler:
             return F.array_contains(t.tokens, toks[0])
         return self._adjacency(t, toks)
 
-    def _adjacency(self, t: _Target, words: list[str]) -> Column:
-        """Phrase semantics: analyzed words adjacent in the original
-        text, with non-alphanumeric separators (equivalent to token
-        adjacency under the default tokenizer)."""
-        pat = (
-            f"(^|{_NON_ALNUM_RE})"
-            + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
-            + f"({_NON_ALNUM_RE}|$)"
-        )
-        src = t.col
+    def _adjacency(self, t: _Target, words: list[str], slop: int = 0) -> Column:
+        """Phrase semantics: analyzed words adjacent (or within
+        ``slop`` extra positions, in order) in the analyzed token
+        stream.
+
+        Two strategies:
+        * raw-text regex for slop-0 on non-stemmed fields — adjacency
+          under the default tokenizer is exactly "separated by one
+          non-alphanumeric run", and the regex is cheaper than the
+          positional scan;
+        * token-position matching otherwise — REQUIRED for stemmed
+          fields (the index tokens are stems, so an unstemmed regex
+          against the raw text can miss, e.g. "connections
+          terminating" vs query "connection terminate") and for any
+          nonzero slop.
+        """
+        stemmed = t.tokenizer == "en_stem"
+        if slop == 0 and not stemmed:
+            pat = (
+                f"(^|{_NON_ALNUM_RE})"
+                + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
+                + f"({_NON_ALNUM_RE}|$)"
+            )
+            src = t.col
+            if t.kind == "text" and t.array:
+                return F.exists(src, lambda e: F.lower(e).rlike(pat))
+            return F.lower(src).rlike(pat)
+        # token-position path
         if t.kind == "text" and t.array:
-            return F.exists(src, lambda e: F.lower(e).rlike(pat))
-        return F.lower(src).rlike(pat)
+            # the flattened shadow array loses per-element order; run
+            # the positional match per element
+            return F.exists(
+                t.col,
+                lambda e: _token_seq_match(tokenize(e, t.tokenizer), words, slop),
+            )
+        if t.kind == "text" and t.tokens is not None:
+            return _token_seq_match(t.tokens, words, slop)
+        return _token_seq_match(tokenize(t.col, t.tokenizer or "default"), words, slop)
 
     def _compile_term(self, node: Term) -> Column:
         if node.field is None:
@@ -305,7 +371,7 @@ class QueryCompiler:
     def _compile_phrase(self, node: Phrase) -> Column:
         if node.field is None:
             clauses = [
-                Phrase((f.name,), node.text)
+                Phrase((f.name,), node.text, node.slop)
                 for f in self.config.fields
                 if f.type == "text" and f.indexed
             ]
@@ -318,12 +384,17 @@ class QueryCompiler:
         t = self.resolve(node.field)
         if t.tokenizer == "raw" and t.kind == "text":
             return F.coalesce(t.col == node.text, F.lit(False))
-        words = analyze_term(node.text, "default")
+        # analyze with the FIELD's tokenizer (tantivy QueryParser
+        # behavior) — on an en_stem field the phrase words are stemmed
+        # to match the stemmed index tokens
+        words = analyze_term(
+            node.text, t.tokenizer if t.kind == "text" else "default"
+        )
         if not words:
             return F.lit(False)
         if len(words) == 1:
             return F.coalesce(self._token_match(t, words[0]), F.lit(False))
-        return F.coalesce(self._adjacency(t, words), F.lit(False))
+        return F.coalesce(self._adjacency(t, words, node.slop), F.lit(False))
 
     def _compile_range(self, node: RangeQ) -> Column:
         t = self.resolve(node.field)
