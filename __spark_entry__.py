@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from toshokan_spark.config import FieldConfig, IndexConfig
 from toshokan_spark.query import compile_query
 from toshokan_spark.operators import asof, dedup, similarity, text as textops, multimodal
+from toshokan_spark.operators.dedup import words_col as dedup_words
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -469,6 +470,79 @@ def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(emb, block_col="label", threshold=0.35)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs: every doc in a pair
+    gets its component's min id as cluster_id — the keeper-selection
+    step after any pair-producing dedup operator."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# training-data selection (sampling / budgeting / mixing / scrubbing)
+# ---------------------------------------------------------------------------
+
+def q_sample_documents(spark, sf_dir):
+    """Deterministic 25% hash-sample of documents by doc_id."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_by_hash(docs, 0.25, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """Greedy per-source packing: keep docs (in doc_id order) while
+    each source's running whitespace-token total stays <= 800."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    out = sampling.token_budget_pack(with_tokens, budget_tokens=800)
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def q_source_mixture(spark, sf_dir):
+    """Per-source stats + temperature-0.5 sampling weights."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    return sampling.source_mixture(with_tokens, alpha=0.5)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction counts + cleaned text. The synthetic corpus has
+    no natural PII, so a deterministic contact line is appended per
+    doc before scrubbing (the oracle appends the identical line)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0.1 or 555-123-4567"),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(docs).select(
+        "doc_id",
+        "clean_text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -639,6 +713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        # training-data selection
+        "sample_documents": q_sample_documents,
+        "token_budget_pack": q_token_budget_pack,
+        "source_mixture": q_source_mixture,
+        "pii_scrub": q_pii_scrub,
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -975,6 +1055,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = a_id
             JOIN sz sb ON sb.doc_id = b_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """,
+        # connected components over the (already-oracled) jaccard
+        # pairs: min reachable id via recursive closure
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a_id, b_id FROM inter
+              JOIN sz sa ON sa.doc_id = a_id
+              JOIN sz sb ON sb.doc_id = b_id
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+            edges AS (
+              SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "sample_documents": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
+                  % 10000 < 2500
+        """,
+        "token_budget_pack": f"""
+            SELECT doc_id, source, n_tokens, cum_tokens FROM (
+              SELECT doc_id, source, len({_WORDS}) AS n_tokens,
+                sum(len({_WORDS})) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM documents)
+            WHERE cum_tokens <= 800
+        """,
+        "source_mixture": f"""
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(len({_WORDS})) AS n_tokens
+              FROM documents GROUP BY source),
+            sc AS (SELECT *, sqrt(n_tokens::DOUBLE) AS scaled FROM per),
+            tot AS (SELECT sum(scaled) AS total_scaled FROM sc)
+            SELECT source, n_docs, n_tokens,
+                   round(scaled / total_scaled, 6) AS weight
+            FROM sc, tot
+        """,
+        "pii_scrub": """
+            WITH t AS (
+              SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR
+                     || '@example.com at 10.0.0.1 or 555-123-4567' AS text
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(text,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+              len(regexp_extract_all(text,
+                '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b')) AS n_phone
+            FROM t
         """,
         # IVF, approximate path: the oracle reproduces the ENTIRE
         # pipeline — lowest-id seed centroids, L2 argmin assignment

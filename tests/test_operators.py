@@ -317,3 +317,72 @@ def test_scored_search_end_to_end(spark, catalog, tmp_path):
     out = scored_search_df(spark, catalog, "scored", "body:spark", "body", limit=5).collect()
     assert [r.doc_id for r in out] == [1, 2]
     assert out[0]._score > out[1]._score
+
+
+# ---------------------------------------------------------------------------
+# training-data selection operators (sampling.py) + cluster resolution
+# ---------------------------------------------------------------------------
+
+def test_duplicate_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 9), (9, 12), (12, 13)],
+        ["a_id", "b_id"],
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 9: 4, 12: 4, 13: 4}
+
+
+def test_sample_by_hash_deterministic_and_nested(spark):
+    from toshokan_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    s30 = {r.doc_id for r in sampling.sample_by_hash(df, 0.3, "doc_id").collect()}
+    s30b = {r.doc_id for r in sampling.sample_by_hash(df, 0.3, "doc_id").collect()}
+    s60 = {r.doc_id for r in sampling.sample_by_hash(df, 0.6, "doc_id").collect()}
+    assert s30 == s30b            # reproducible
+    assert s30 <= s60             # rate increase only adds rows
+    assert 0.2 < len(s30) / 500 < 0.4
+    # different seed -> different (but still deterministic) subset
+    s30s = {r.doc_id for r in sampling.sample_by_hash(df, 0.3, "doc_id", seed=7).collect()}
+    assert s30s != s30
+    assert sampling.sample_by_hash(df, 0.0, "doc_id").count() == 0
+    assert sampling.sample_by_hash(df, 1.0, "doc_id").count() == 500
+
+
+def test_token_budget_pack(spark):
+    from toshokan_spark.operators import sampling
+
+    rows = [
+        Row(source="a", doc_id=1, n_tokens=40),
+        Row(source="a", doc_id=2, n_tokens=50),
+        Row(source="a", doc_id=3, n_tokens=20),   # 40+50+20 > 100 -> cut
+        Row(source="b", doc_id=4, n_tokens=99),
+        Row(source="b", doc_id=5, n_tokens=2),    # 101 > 100 -> cut
+    ]
+    out = sampling.token_budget_pack(spark.createDataFrame(rows), budget_tokens=100)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 2, 4]
+
+
+def test_source_mixture_weights(spark):
+    from toshokan_spark.operators import sampling
+
+    rows = [Row(source="a", n_tokens=900), Row(source="a", n_tokens=100),
+            Row(source="b", n_tokens=100)]
+    out = {r.source: r for r in
+           sampling.source_mixture(spark.createDataFrame(rows), alpha=0.5).collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_tokens == 1000
+    # sqrt(1000) : sqrt(100) ~ 0.759747 : 0.240253
+    assert abs(out["a"].weight + out["b"].weight - 1.0) < 1e-6
+    assert abs(out["a"].weight - 0.759747) < 1e-6
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1,
+             text="mail bob@example.com or 10.1.2.3 or 555-123-4567 twice bob@example.com")]
+    )
+    r = textops.pii_scrub(df).collect()[0]
+    assert r.n_email == 2 and r.n_ipv4 == 1 and r.n_phone == 1
+    assert "bob@example.com" not in r.clean_text
+    assert r.clean_text == "mail <EMAIL> or <IP> or <PHONE> twice <EMAIL>"

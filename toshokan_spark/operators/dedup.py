@@ -571,6 +571,73 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc that
+    appears in a pair gets the component's minimum id as
+    ``cluster_id`` (the canonical "keeper"); a real dedup pipeline
+    then drops rows where ``doc_id != cluster_id``.
+
+    Algorithm: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels;
+    converges in O(component diameter) rounds. Near-dup clusters are
+    overwhelmingly tiny cliques/chains (diameter ≤ a few hops), so
+    the loop exits after 2-3 rounds in practice; ``max_iterations``
+    bounds adversarial chain shapes. Each round is one join + one
+    groupBy on (id, label) pairs — id-only shuffles, no payloads.
+    A fixpoint check (labels unchanged) terminates early; persisted
+    per round, previous round unpersisted.
+    """
+    # symmetric edge list
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

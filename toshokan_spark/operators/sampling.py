@@ -1,0 +1,130 @@
+"""Training-data selection operators: deterministic sampling, token
+budgeting, and source mixture weighting.
+
+These are the selection half of a pretraining-data pipeline (the
+dedup/quality half lives in operators/dedup.py and operators/text.py):
+decide WHICH surviving documents make the training set and at what
+proportions. All pure Column algebra — the sampling keys use the
+SQL-auditable polynomial hash family (operators/dedup.py poly_hash),
+so every operator here has a full DuckDB value-level oracle.
+
+Scale notes (100 TB):
+
+* hash sampling is a stateless narrow filter — no shuffle, no RNG
+  state, reproducible across runs/engines, and stable under
+  repartitioning (a row's fate depends only on its key);
+* token-budget packing shuffles once on the group key and runs one
+  window cumsum inside each group;
+* mixture weighting is a tiny two-level aggregate (one row per
+  source) — broadcast it back to drive per-source hash-sampling
+  rates for an actual mixed dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from toshokan_spark.operators.dedup import poly_hash
+
+#: denominator of the sampling hash: rates are expressed in 1/10000ths
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_key(col: Column, seed: int = 0) -> Column:
+    """Deterministic per-row bucket in [0, SAMPLE_BUCKETS): polynomial
+    hash of the key string, seeded. The same (key, seed) always lands
+    in the same bucket — sampling is reproducible and set-stable
+    (a rate increase only ADDS rows, never swaps them).
+
+    Large multiplier + nonzero init (see dedup.poly_hash): with the
+    naive base-31 fold a short key like "42" hashes to a tiny value
+    and the modulo buckets skew badly."""
+    return (
+        poly_hash(col.cast("string"), base=1103515245, add=seed, init=5381)
+        % SAMPLE_BUCKETS
+    )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash.
+
+    Unlike ``df.sample()`` this is reproducible across runs, engines
+    and partitionings, and consistent across tables sharing the key
+    (sampling documents and their embeddings by the same id keeps
+    them aligned)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * SAMPLE_BUCKETS)
+    return df.filter(sample_key(F.col(key_col), seed) < threshold)
+
+
+def token_budget_pack(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy per-group packing: walk each group's docs in
+    ``order_col`` order and keep documents while the running token
+    total stays within ``budget_tokens`` (the per-source cap step of
+    a data-mixing recipe).
+
+    One shuffle (window partition by group), one cumsum. The kept
+    set is deterministic given the ordering column — use a hash or
+    quality rank there to control WHICH docs fill the budget.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("cum_tokens", F.sum(F.col(tokens_col)).over(w))
+    return out.filter(F.col("cum_tokens") <= budget_tokens)
+
+
+def source_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source corpus statistics + temperature-scaled sampling
+    weights: weight_s ∝ tokens_s^alpha, normalized to sum 1 (the
+    standard mixing-temperature scheme — alpha=1 is proportional,
+    alpha→0 approaches uniform; used to rebalance dominant sources).
+
+    Arithmetic ordering is deterministic (sum over groups of exact
+    token counts, single double power/divide per group), so the
+    weights oracle-match bit-for-bit.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col)).alias("n_tokens"),
+    )
+    # sqrt for the common temperature 0.5: IEEE sqrt is correctly
+    # rounded everywhere, pow is libm-dependent (cross-engine ulp
+    # drift would break the value oracle)
+    if alpha == 0.5:
+        scaled = per.withColumn("scaled", F.sqrt(F.col("n_tokens").cast("double")))
+    else:
+        scaled = per.withColumn(
+            "scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+        )
+    total = scaled.agg(F.sum("scaled").alias("total_scaled"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("scaled") / F.col("total_scaled"), 6).alias("weight"),
+        )
+    )

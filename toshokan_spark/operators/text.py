@@ -132,3 +132,39 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+#: regex patterns chosen to behave identically under Java regex
+#: (Spark) and RE2 (DuckDB): no lookaround, no backrefs
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, simple phone
+    numbers) and count what was removed — the scrubbing pass of a
+    training-data pipeline.
+
+    One narrow projection; patterns applied in declared order (email
+    first so an address containing digits.dots is never half-eaten by
+    the IP rule), each replacement global. The same patterns in the
+    same order run in the DuckDB oracle, so clean text and counts are
+    value-checked.
+    """
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
