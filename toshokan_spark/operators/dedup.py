@@ -592,19 +592,26 @@ def duplicate_clusters(
     the loop exits after 2-3 rounds in practice; ``max_iterations``
     bounds adversarial chain shapes. Each round is one join + one
     groupBy on (id, label) pairs — id-only shuffles, no payloads.
-    A fixpoint check (labels unchanged) terminates early; persisted
-    per round, previous round unpersisted.
+
+    Every round is ``localCheckpoint``-ed: iterative DataFrame
+    algorithms otherwise DOUBLE their logical plan per round (each
+    iteration references the previous twice), and after 10 rounds the
+    driver is analyzing a 1000-scan plan — checkpointing truncates
+    the lineage to the materialized partitions, keeping analysis O(1)
+    per round. (On a real cluster with executor churn, swap
+    localCheckpoint for reliable ``checkpoint()`` with a checkpoint
+    dir — same shape, replicated storage.)
     """
     # symmetric edge list
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -620,20 +627,18 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("label"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
