@@ -521,6 +521,31 @@ def q_source_mixture(spark, sf_dir):
     return sampling.source_mixture(with_tokens, alpha=0.5)
 
 
+def q_select_training_set(spark, sf_dir):
+    """The full selection pipeline composed end-to-end: drop near-dup
+    losers (cluster keepers survive), keep quality >= 0.55, then a
+    deterministic 50% hash-sample — each stage is an already-oracled
+    operator; this entry proves the COMPOSITION oracle-exact too."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    losers = (
+        dedup.duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    quality = textops.quality_score(docs).select("doc_id", "quality")
+    kept = (
+        docs.join(losers, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.55)
+    )
+    return sampling.sample_by_hash(kept, 0.5, "doc_id").select(
+        "doc_id", "source", "quality"
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction counts + cleaned text. The synthetic corpus has
     no natural PII, so a deterministic contact line is appended per
@@ -719,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": q_token_budget_pack,
         "source_mixture": q_source_mixture,
         "pii_scrub": q_pii_scrub,
+        "select_training_set": q_select_training_set,
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1103,6 +1129,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens,
                    round(scaled / total_scaled, 6) AS weight
             FROM sc, tot
+        """,
+        "select_training_set": f"""
+            WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            prs AS (
+              SELECT a_id, b_id FROM inter
+              JOIN sz sa ON sa.doc_id = a_id
+              JOIN sz sb ON sb.doc_id = b_id
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+            edges AS (
+              SELECT a_id AS src, b_id AS dst FROM prs
+              UNION ALL SELECT b_id, a_id FROM prs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+            losers AS (
+              SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) <> id),
+            quality AS (
+              SELECT doc_id,
+                round(0.4 * least(len({wl}) / 32.0, 1.0)
+                    + 0.3 * (len(list_distinct({wl})) * 1.0 / len({wl}))
+                    + 0.3 * least(len(list_filter({wl}, t -> t IN ({_EN_STOP_SQL}))) * 1.0 / len({wl}) * 4.0, 1.0),
+                  6) AS quality
+              FROM documents)
+            SELECT d.doc_id, d.source, q.quality
+            FROM documents d
+            JOIN quality q ON q.doc_id = d.doc_id
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+              AND q.quality >= 0.55
+              AND ({_poly_sql('d.doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
+                  % 10000 < 5000
         """,
         "pii_scrub": """
             WITH t AS (
