@@ -386,3 +386,16 @@ def test_pii_scrub(spark):
     assert r.n_email == 2 and r.n_ipv4 == 1 and r.n_phone == 1
     assert "bob@example.com" not in r.clean_text
     assert r.clean_text == "mail <EMAIL> or <IP> or <PHONE> twice <EMAIL>"
+
+
+def test_sample_by_hash_partition_invariant(spark):
+    """A row's fate depends only on its key: the sampled set must be
+    identical whatever the physical partitioning."""
+    from toshokan_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    one = {r.doc_id for r in
+           sampling.sample_by_hash(df.repartition(1), 0.4, "doc_id").collect()}
+    many = {r.doc_id for r in
+            sampling.sample_by_hash(df.repartition(16), 0.4, "doc_id").collect()}
+    assert one == many

@@ -144,3 +144,21 @@ def test_unpartitioned_index_single_scan_node(spark, catalog, tmp_path):
     merged = read_segments(spark, paths + [str(tmp_path / "data" / "flatidx" / "seg-drift")])
     assert set(["level", "new_col"]).issubset(set(merged.columns))
     assert merged.filter(merged.new_col.isNull()).count() >= 3
+
+
+def test_read_segments_partitioned_without_hint_falls_back(spark, catalog, tmp_path):
+    """Passing day-partitioned segment roots WITHOUT the partitioned
+    hint must transparently fall back to per-segment scans (the
+    single multi-path read raises CONFLICTING_DIRECTORY_STRUCTURES
+    internally) and still return every row."""
+    from toshokan_spark.search import read_segments
+
+    _setup(spark, catalog, tmp_path)  # 3 rows, one partitioned segment
+    rows = [{"ts": "2024-02-01T10:00:00Z", "level": "Z"}]
+    p = tmp_path / "more.jsonl"
+    p.write_text(json.dumps(rows[0]) + "\n")
+    index_batch(spark, catalog, "tsidx", jsonl_path=str(p))
+    paths = catalog.segment_paths("tsidx")
+    assert len(paths) == 2
+    df = read_segments(spark, paths)  # no partitioned=True hint
+    assert df.count() == 4 and "__day" in df.columns

@@ -421,3 +421,13 @@ def test_stream_interval_trigger_runs(spark, catalog, tmp_path):
         q.awaitTermination(30)
     segs = catalog.segments("stream-logs")
     assert len(segs) == 1 and segs[0].num_rows == 1
+
+
+def test_kafka_batch_reaches_connector_lookup(spark):
+    """Without the Kafka connector JAR the read must fail at data-
+    source LOOKUP (proving the option plumbing drove spark.read all
+    the way to load()), not earlier in our code."""
+    from toshokan_spark.sources.kafka import kafka_batch
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_batch(spark, "kafka://broker:9092/topic")
