@@ -162,3 +162,54 @@ def test_read_segments_partitioned_without_hint_falls_back(spark, catalog, tmp_p
     assert len(paths) == 2
     df = read_segments(spark, paths)  # no partitioned=True hint
     assert df.count() == 4 and "__day" in df.columns
+
+
+def test_manifest_level_segment_pruning(spark, catalog, tmp_path):
+    """Per-segment day-range stats in the manifest prune whole
+    segments BEFORE any Spark plan exists: a one-day query over an
+    index of three single-day segments must plan exactly ONE scan
+    (the Delta/Iceberg file-statistics pattern — at 10k segments this
+    is what keeps the partitioned-index union narrow)."""
+    from toshokan_spark.maintenance import merge_segments
+
+    config = IndexConfig(
+        name="msidx",
+        path=str(tmp_path / "data" / "msidx"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(catalog, config)
+    for i, day in enumerate(("2024-03-01", "2024-03-02", "2024-03-03")):
+        p = tmp_path / f"d{i}.jsonl"
+        p.write_text(json.dumps({"ts": f"{day}T10:00:00Z", "level": f"L{i}"}) + "\n")
+        index_batch(spark, catalog, "msidx", jsonl_path=str(p))
+    segs = catalog.segments("msidx")
+    assert [(s.min_day, s.max_day) for s in segs] == [
+        ("2024-03-01", "2024-03-01"),
+        ("2024-03-02", "2024-03-02"),
+        ("2024-03-03", "2024-03-03"),
+    ]
+
+    df = search_df(
+        spark, catalog, "msidx",
+        "ts:[2024-03-02T00:00:00Z TO 2024-03-02T23:59:59Z]", limit=None,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan  # 2 of 3 segments never planned
+    assert [r.level for r in df.collect()] == ["L1"]
+
+    # no time bounds -> all segments planned, all rows
+    assert len(search(spark, catalog, "msidx", "*", limit=10)) == 3
+
+    # a query whose bounds miss every segment reads nothing
+    df = search_df(spark, catalog, "msidx", "ts:>2025-01-01T00:00:00Z", limit=None)
+    assert df.count() == 0
+
+    # compaction carries the stats through (union of input ranges)
+    merge_segments(spark, catalog, "msidx")
+    seg = catalog.segments("msidx")[0]
+    assert (seg.min_day, seg.max_day) == ("2024-03-01", "2024-03-03")
+    assert len(search(spark, catalog, "msidx", "*", limit=10)) == 3

@@ -85,6 +85,15 @@ class SegmentEntry:
     #: (`kafka_source.rs:380-394`: duplicates possible on crash between
     #: upload and checkpoint save) to exactly-once segments.
     batch_id: Optional[str] = None
+    #: time_field day range covered by this segment (ISO dates,
+    #: inclusive), recorded at write time. Enables MANIFEST-LEVEL
+    #: pruning: a time-bounded query drops non-overlapping segments
+    #: before any Spark plan is built — at 10k segments this collapses
+    #: the per-segment-scan union for partitioned indexes to just the
+    #: overlapping few (the Delta/Iceberg file-statistics pattern;
+    #: Catalyst partition pruning still prunes WITHIN survivors).
+    min_day: Optional[str] = None
+    max_day: Optional[str] = None
 
 
 class CatalogError(RuntimeError):

@@ -89,11 +89,23 @@ def write_segment(
     writer.parquet(seg_path)
 
     # count from what was written (one cheap metadata-only scan)
-    num_rows = df.sparkSession.read.parquet(seg_path).count()
+    written = df.sparkSession.read.parquet(seg_path)
+    num_rows = written.count()
     if num_rows == 0:
         # empty-batch suppression (`index.rs:164-170`)
         catalog.data_storage(config).delete_tree(seg_path)
         return None
+
+    # record the covered day range for manifest-level pruning (one
+    # cheap agg over the partition column — with the __day layout it
+    # reads directory names, not data)
+    min_day = max_day = None
+    if partition_cols:
+        r = written.agg(
+            F.min(PARTITION_COL).alias("lo"), F.max(PARTITION_COL).alias("hi")
+        ).collect()[0]
+        if r.lo is not None:
+            min_day, max_day = str(r.lo), str(r.hi)
 
     entry = SegmentEntry(
         id=seg_id,
@@ -101,6 +113,8 @@ def write_segment(
         num_rows=num_rows,
         created_at_ms=int(time.time() * 1000),
         batch_id=batch_id,
+        min_day=min_day,
+        max_day=max_day,
     )
     # data first, manifest second (`src/commands/mod.rs:178-187`)
     if not catalog.commit_segment(config.name, entry):

@@ -90,8 +90,16 @@ def merge_segments(
     else:
         df.coalesce(nfiles).write.mode("error").parquet(seg_path)
 
+    # carry the day-range stats through compaction (conservative: any
+    # input without stats leaves the merged range unknown)
+    min_day = max_day = None
+    if all(s.min_day and s.max_day for s in segs):
+        min_day = min(s.min_day for s in segs)
+        max_day = max(s.max_day for s in segs)
     entry = SegmentEntry(
-        id=seg_id, file_name=seg_name, num_rows=total, created_at_ms=int(time.time() * 1000)
+        id=seg_id, file_name=seg_name, num_rows=total,
+        created_at_ms=int(time.time() * 1000),
+        min_day=min_day, max_day=max_day,
     )
     # one atomic manifest write: new in, old out (`merge.rs:63-66`)
     catalog.swap_segments(index_name, [s.id for s in segs], entry)

@@ -88,19 +88,38 @@ def search_df(
     sort_by: Optional[list] = None,
 ) -> DataFrame:
     """The distributed part: scan manifested segments, filter, limit."""
-    paths = catalog.segment_paths(index_name)
+    from toshokan_spark.storage import join_path
+
     config = catalog.get_index(index_name)
+    segs = catalog.segments(index_name)
+    node = parse_query(query)
+    lo = hi = None
+    if config.time_field:
+        lo, hi = time_bounds(node, config.time_field)
+
+    # MANIFEST-LEVEL pruning: drop segments whose recorded day range
+    # cannot overlap the query's time bounds BEFORE building any scan
+    # — at 10k segments this collapses the per-segment union for
+    # partitioned indexes to the overlapping few; Catalyst partition
+    # pruning then prunes WITHIN the survivors. Segments without
+    # recorded stats are conservatively kept.
+    paths = []
+    for s in segs:
+        if s.min_day and s.max_day:
+            if hi is not None and s.min_day > str(hi.date()):
+                continue
+            if lo is not None and s.max_day < str(lo.date()):
+                continue
+        paths.append(join_path(config.path, s.file_name))
     if not paths:
         return spark.createDataFrame([], config.spark_schema())
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
-    node = parse_query(query)
     pred = QueryCompiler(config, set(df.columns)).compile(node)
     # resurrect the reference's dead time_field as real partition
     # pruning: a range/cmp on the time field also constrains the
     # ``__day`` layout, so whole day-directories (and at 100 TB,
     # whole object-store prefixes) drop out of the scan
     if config.time_field and "__day" in df.columns:
-        lo, hi = time_bounds(node, config.time_field)
         if lo is not None:
             pred = pred & (F.col("__day") >= F.lit(lo.date()))
         if hi is not None:
