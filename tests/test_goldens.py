@@ -471,3 +471,50 @@ def test_array_of_static_object_rejected():
             name="o", type="static_object", array=True,
             fields=[FieldConfig(name="x", type="text")],
         )
+
+
+def test_concurrent_manifest_commits_lose_nothing(spark, catalog, tmp_path):
+    """Optimistic concurrency on the versioned manifest log: a second
+    writer stealing the next version mid-commit forces the first into
+    a CAS retry that re-reads and re-applies — both segments end up
+    manifested (the reference relied on Postgres transactions here)."""
+    import time as _time
+
+    from toshokan_spark.catalog import FsCatalog, SegmentEntry
+
+    config = IndexConfig(
+        name="cc_test",
+        path=str(tmp_path / "data" / "cc_test"),
+        fields=[FieldConfig(name="x", type="text")],
+    )
+    create_index(catalog, config)
+    other = FsCatalog(catalog.root)  # an independent writer
+
+    def entry(i):
+        return SegmentEntry(
+            id=f"seg{i}", file_name=f"seg-{i}", num_rows=1,
+            created_at_ms=int(_time.time() * 1000),
+        )
+
+    # inject a competing commit between catalog's read and its write
+    orig = catalog._try_write_version
+    fired = []
+
+    def race(name, version, segs):
+        if not fired:
+            fired.append(1)
+            assert other.commit_segment("cc_test", entry(2))
+        return orig(name, version, segs)
+
+    catalog._try_write_version = race
+    try:
+        assert catalog.commit_segment("cc_test", entry(1))
+    finally:
+        catalog._try_write_version = orig
+
+    ids = sorted(s.id for s in catalog.segments("cc_test"))
+    assert ids == ["seg1", "seg2"]  # neither commit lost
+    # the loser's retry produced a THIRD version (v1 create, v2 stolen,
+    # v3 merged) — the log records the conflict history
+    ver, _ = catalog._read_versioned("cc_test")
+    assert ver == 3

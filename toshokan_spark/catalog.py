@@ -16,9 +16,15 @@ Guarantees preserved from the reference:
 * **commit order**: segment data is fully written *before* the
   manifest references it (`src/commands/mod.rs:147-187`) — a crash
   leaves an orphan directory, never a dangling manifest entry;
-* **atomic manifest updates**: temp + rename locally, single-PUT on
-  object stores (the reference gets this from Postgres transactions);
-  single writer per index, as in the reference CLI model;
+* **atomic manifest updates with optimistic concurrency**: the
+  manifest is a versioned log (``manifests/<index>/v<N>.json``, each
+  file a full snapshot — manifests are tiny); every mutation
+  compare-and-swaps the next version via exclusive create (O_EXCL
+  locally, ``create(overwrite=false)`` on Hadoop — atomic on HDFS,
+  Delta-on-S3-grade best-effort on object stores) and retries on
+  conflict by re-reading and re-applying. Two concurrent ingest jobs
+  can commit segments to the same index without losing either (the
+  reference gets this from Postgres transactions);
 * **search reads only manifested segments** — and unlike the
   reference, filtered by index name (the reference opens every file of
   every index, `src/commands/mod.rs:107` has no WHERE clause; SURVEY
@@ -126,8 +132,11 @@ class FsCatalog:
     def _config_path(self, name: str) -> str:
         return join_path(self.root, "indexes", f"{name}.json")
 
-    def _manifest_path(self, name: str) -> str:
-        return join_path(self.root, "manifests", f"{name}.json")
+    def _manifest_dir(self, name: str) -> str:
+        return join_path(self.root, "manifests", name)
+
+    def _version_path(self, name: str, version: int) -> str:
+        return join_path(self._manifest_dir(name), f"v{version:020d}.json")
 
     # -- index lifecycle (`src/commands/create.rs`, `drop.rs`) ---------
     def create_index(self, config: IndexConfig) -> None:
@@ -135,8 +144,9 @@ class FsCatalog:
         if self._st.exists(p):
             raise CatalogError(f"index {config.name!r} already exists")
         self._st.write_text_atomic(p, json.dumps(config.to_dict(), indent=2))
-        self._st.write_text_atomic(
-            self._manifest_path(config.name), json.dumps({"segments": []})
+        self._st.mkdirs(self._manifest_dir(config.name))
+        self._st.write_text_exclusive(
+            self._version_path(config.name, 1), json.dumps({"segments": []})
         )
 
     def get_index(self, name: str) -> IndexConfig:
@@ -158,40 +168,59 @@ class FsCatalog:
         stance (`src/commands/drop.rs:11-48`)."""
         config = self.get_index(name)
         self._st.delete_file(self._config_path(name))
-        mp = self._manifest_path(name)
-        if self._st.exists(mp):
-            self._st.delete_file(mp)
+        self._st.delete_tree(self._manifest_dir(name))
         if config.path:
             self.data_storage(config).delete_tree(config.path)
 
-    # -- segment manifest ----------------------------------------------
-    def segments(self, name: str) -> list[SegmentEntry]:
-        mp = self._manifest_path(name)
-        if not self._st.exists(mp):
-            return []
-        doc = json.loads(self._st.read_text(mp))
-        return [SegmentEntry(**s) for s in doc.get("segments", [])]
+    # -- segment manifest (versioned log + CAS) ------------------------
+    #: retry bound for optimistic-concurrency conflicts; each retry
+    #: re-reads the latest snapshot and re-applies the mutation
+    CAS_RETRIES = 50
 
-    def _write_segments(self, name: str, segs: list[SegmentEntry]) -> None:
-        self._st.write_text_atomic(
-            self._manifest_path(name),
+    def _read_versioned(self, name: str) -> tuple[int, list[SegmentEntry]]:
+        d = self._manifest_dir(name)
+        try:
+            names = self._st.list_names(d)
+        except Exception:
+            return 0, []
+        versions = sorted(
+            n for n in names if n.startswith("v") and n.endswith(".json")
+        )
+        if not versions:
+            return 0, []
+        latest = versions[-1]
+        ver = int(latest[1:-5])
+        doc = json.loads(self._st.read_text(join_path(d, latest)))
+        return ver, [SegmentEntry(**s) for s in doc.get("segments", [])]
+
+    def _try_write_version(
+        self, name: str, version: int, segs: list[SegmentEntry]
+    ) -> bool:
+        return self._st.write_text_exclusive(
+            self._version_path(name, version),
             json.dumps({"segments": [asdict(s) for s in segs]}, indent=1),
         )
+
+    def segments(self, name: str) -> list[SegmentEntry]:
+        return self._read_versioned(name)[1]
 
     def commit_segment(self, name: str, entry: SegmentEntry) -> bool:
         """Append one segment (data must already be on storage —
         data-first, manifest-second, `src/commands/mod.rs:178-187`).
         Returns False (no-op) when the entry's ``batch_id`` is already
         manifested — the idempotence that makes a replayed stream
-        micro-batch exactly-once."""
-        segs = self.segments(name)
-        if entry.batch_id is not None and any(
-            s.batch_id == entry.batch_id for s in segs
-        ):
-            return False
-        segs.append(entry)
-        self._write_segments(name, segs)
-        return True
+        micro-batch exactly-once. Concurrent committers CAS the next
+        manifest version; the loser re-reads and re-applies, so no
+        commit is ever lost."""
+        for _ in range(self.CAS_RETRIES):
+            ver, segs = self._read_versioned(name)
+            if entry.batch_id is not None and any(
+                s.batch_id == entry.batch_id for s in segs
+            ):
+                return False
+            if self._try_write_version(name, ver + 1, segs + [entry]):
+                return True
+        raise CatalogError(f"manifest CAS contention on {name!r}")
 
     def has_batch(self, name: str, batch_id: str) -> bool:
         return any(s.batch_id == batch_id for s in self.segments(name))
@@ -201,11 +230,16 @@ class FsCatalog:
     ) -> None:
         """Atomic replace used by merge/compaction: new segment in, old
         segments out, one manifest write (the reference does this in
-        one Postgres transaction, `src/commands/merge.rs:63-66`)."""
-        segs = [s for s in self.segments(name) if s.id not in set(remove_ids)]
-        if add is not None:
-            segs.append(add)
-        self._write_segments(name, segs)
+        one Postgres transaction, `src/commands/merge.rs:63-66`); CAS
+        + retry like commit_segment."""
+        for _ in range(self.CAS_RETRIES):
+            ver, segs = self._read_versioned(name)
+            out = [s for s in segs if s.id not in set(remove_ids)]
+            if add is not None:
+                out.append(add)
+            if self._try_write_version(name, ver + 1, out):
+                return
+        raise CatalogError(f"manifest CAS contention on {name!r}")
 
     def segment_paths(self, name: str) -> list[str]:
         """Full segment URIs, scheme preserved — Spark reads these

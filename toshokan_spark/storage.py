@@ -75,6 +75,12 @@ class Storage(ABC):
     def write_text_atomic(self, path: str, payload: str) -> None: ...
 
     @abstractmethod
+    def write_text_exclusive(self, path: str, payload: str) -> bool:
+        """Create *path* with *payload* only if it does not already
+        exist; returns False (writing nothing) when it does. The CAS
+        primitive for the versioned manifest log."""
+
+    @abstractmethod
     def delete_file(self, path: str) -> None: ...
 
     @abstractmethod
@@ -107,6 +113,21 @@ class LocalStorage(Storage):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+
+    def write_text_exclusive(self, path: str, payload: str) -> bool:
+        # O_EXCL create: atomic on POSIX — exactly one concurrent
+        # writer wins a given version file
+        try:
+            fd = os.open(
+                strip_file_scheme(path), os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
 
     def delete_file(self, path: str) -> None:
         os.remove(strip_file_scheme(path))
@@ -170,6 +191,23 @@ class HadoopStorage(Storage):
             out.write(bytearray(payload.encode("utf-8")))
         finally:
             out.close()
+
+    def write_text_exclusive(self, path: str, payload: str) -> bool:
+        # create(overwrite=false): atomic create-if-absent on HDFS;
+        # on S3A it is check-then-put (modern object stores offer
+        # If-None-Match conditional PUTs underneath — the residual
+        # race window matches what Delta Lake accepts on S3 without
+        # an external coordinator)
+        fs, p = self._fs(path)
+        try:
+            out = fs.create(p, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     def delete_file(self, path: str) -> None:
         fs, p = self._fs(path)
