@@ -518,3 +518,30 @@ def test_concurrent_manifest_commits_lose_nothing(spark, catalog, tmp_path):
     # v3 merged) — the log records the conflict history
     ver, _ = catalog._read_versioned("cc_test")
     assert ver == 3
+
+
+def test_manifest_version_gc_bounds_log_growth(spark, catalog, tmp_path):
+    """The versioned manifest log must not grow unboundedly: after N
+    commits only the last KEEP_VERSIONS (+ current) files remain, and
+    the latest snapshot still lists every segment."""
+    import time as _time
+
+    from toshokan_spark.catalog import SegmentEntry
+    from toshokan_spark.storage import join_path
+
+    config = IndexConfig(
+        name="gc_test",
+        path=str(tmp_path / "data" / "gc_test"),
+        fields=[FieldConfig(name="x", type="text")],
+    )
+    create_index(catalog, config)
+    for i in range(25):
+        catalog.commit_segment(
+            "gc_test",
+            SegmentEntry(id=f"s{i}", file_name=f"seg-{i}", num_rows=1,
+                         created_at_ms=int(_time.time() * 1000)),
+        )
+    assert len(catalog.segments("gc_test")) == 25
+    files = [n for n in catalog._st.list_names(join_path(catalog.root, "manifests", "gc_test"))
+             if n.endswith(".json")]
+    assert len(files) <= catalog.KEEP_VERSIONS + 1

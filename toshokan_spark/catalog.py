@@ -176,6 +176,11 @@ class FsCatalog:
     #: retry bound for optimistic-concurrency conflicts; each retry
     #: re-reads the latest snapshot and re-applies the mutation
     CAS_RETRIES = 50
+    #: versions kept behind the latest (history for debugging /
+    #: in-flight readers); older ones are GC'd after each successful
+    #: write — without this a 30s-interval stream grows the manifest
+    #: dir by ~3k files/day forever
+    KEEP_VERSIONS = 10
 
     def _read_versioned(self, name: str) -> tuple[int, list[SegmentEntry]]:
         d = self._manifest_dir(name)
@@ -196,10 +201,30 @@ class FsCatalog:
     def _try_write_version(
         self, name: str, version: int, segs: list[SegmentEntry]
     ) -> bool:
-        return self._st.write_text_exclusive(
+        ok = self._st.write_text_exclusive(
             self._version_path(name, version),
             json.dumps({"segments": [asdict(s) for s in segs]}, indent=1),
         )
+        if ok:
+            self._gc_versions(name, version)
+        return ok
+
+    def _gc_versions(self, name: str, current: int) -> None:
+        """Best-effort deletion of versions more than KEEP_VERSIONS
+        behind *current*. Readers always take the LATEST listed
+        version, so only a reader stalled for KEEP_VERSIONS commits
+        between list and read could miss — it retries. Failures are
+        ignored (a leaked old version is harmless)."""
+        floor = current - self.KEEP_VERSIONS
+        if floor <= 0:
+            return
+        try:
+            for n in self._st.list_names(self._manifest_dir(name)):
+                if n.startswith("v") and n.endswith(".json"):
+                    if int(n[1:-5]) < floor:
+                        self._st.delete_file(join_path(self._manifest_dir(name), n))
+        except Exception:
+            pass
 
     def segments(self, name: str) -> list[SegmentEntry]:
         return self._read_versioned(name)[1]
