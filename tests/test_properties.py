@@ -188,3 +188,59 @@ def test_epoch_magnitude_inference_matches_model(spark):
             assert actual is None, v
         else:
             assert actual is not None and abs((actual - expected).total_seconds()) < 1e-3, v
+
+
+# ---------------------------------------------------------------------------
+# declared datetime formats (`src/config/datetime.rs:50-55`, tried in
+# order `datetime.rs:107-122`)
+# ---------------------------------------------------------------------------
+
+def test_datetime_formats_rfc2822_iso8601(spark):
+    from pyspark.sql import functions as F
+
+    from toshokan_spark.functions.datetime_ import parse_datetime
+
+    rows = [
+        ("Tue, 1 Jul 2003 10:52:37 +0200", "rfc2822"),
+        ("1 Jul 2003 10:52:37 +0000", "rfc2822"),
+        ("2003-07-01T10:52:37Z", "iso8601"),
+        ("not a date", "rfc2822"),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in rows], ["raw"])
+    got = {
+        r.raw: r.ts
+        for r in df.select(
+            "raw", parse_datetime(F.col("raw"), ["rfc2822", "iso8601"]).alias("ts")
+        ).collect()
+    }
+    assert str(got["Tue, 1 Jul 2003 10:52:37 +0200"]) == "2003-07-01 08:52:37"
+    assert str(got["1 Jul 2003 10:52:37 +0000"]) == "2003-07-01 10:52:37"
+    assert str(got["2003-07-01T10:52:37Z"]) == "2003-07-01 10:52:37"
+    assert got["not a date"] is None  # -> doc skipped by permissive ingest
+
+    # declared-order precedence: an ambiguous integer is an epoch only
+    # when 'timestamp' is declared
+    df2 = spark.createDataFrame([("1716822728",)], ["raw"])
+    with_ts = df2.select(parse_datetime(F.col("raw"), ["timestamp"]).alias("ts")).collect()[0].ts
+    without = df2.select(parse_datetime(F.col("raw"), ["rfc3339"]).alias("ts")).collect()[0].ts
+    assert with_ts is not None and without is None
+
+
+# ---------------------------------------------------------------------------
+# parser totality: arbitrary input either parses or raises ParseError —
+# never crashes with anything else (query strings are user input)
+# ---------------------------------------------------------------------------
+
+def test_parse_query_total_over_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(max_size=40))
+    def run(q):
+        try:
+            parse_query(q)
+        except ParseError:
+            pass
+
+    run()

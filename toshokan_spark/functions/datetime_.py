@@ -76,9 +76,13 @@ def _try_format(raw: Column, fmt: str) -> Column:
             F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
         )
     if fmt == "rfc2822":
+        # Spark >= 3 rejects the EEE (day-of-week) parse pattern
+        # (DATETIME_PATTERN_RECOGNITION); strip the optional leading
+        # day name instead — RFC 2822 makes it purely decorative
+        body = F.regexp_replace(raw, r"^[A-Za-z]{3},\s*", "")
         return F.coalesce(
-            F.try_to_timestamp(raw, F.lit("EEE, d MMM yyyy HH:mm:ss Z")),
-            F.try_to_timestamp(raw, F.lit("d MMM yyyy HH:mm:ss Z")),
+            F.try_to_timestamp(body, F.lit("d MMM yyyy HH:mm:ss Z")),
+            F.try_to_timestamp(body, F.lit("d MMM yyyy HH:mm:ss z")),
         )
     raise ValueError(f"unknown datetime format {fmt!r}")
 
