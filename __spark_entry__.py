@@ -1112,7 +1112,10 @@ def oracle_sql() -> dict[str, str]:
                   % 10000 < 2500
         """,
         "token_budget_pack": f"""
-            SELECT doc_id, source, n_tokens, cum_tokens FROM (
+            -- ::BIGINT casts: DuckDB types sum(BIGINT) as HUGEINT, whose
+            -- driver-side stringification differs from Spark's long
+            SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+                   cum_tokens::BIGINT AS cum_tokens FROM (
               SELECT doc_id, source, len({_WORDS}) AS n_tokens,
                 sum(len({_WORDS})) OVER (PARTITION BY source ORDER BY doc_id
                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
@@ -1120,14 +1123,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_tokens <= 800
         """,
         "source_mixture": f"""
+            -- n_tokens ::BIGINT: DuckDB sum(BIGINT) -> HUGEINT, whose
+            -- stringification differs from Spark's long.  The normalizer
+            -- sums per-source doubles as DECIMAL(38,18) so the total is
+            -- exact and associative (partition/engine order can't drift
+            -- it by an ulp and flip round(weight, 6) at a tie).
             WITH per AS (
               SELECT source, count(*) AS n_docs,
-                     sum(len({_WORDS})) AS n_tokens
+                     sum(len({_WORDS}))::BIGINT AS n_tokens
               FROM documents GROUP BY source),
             sc AS (SELECT *, sqrt(n_tokens::DOUBLE) AS scaled FROM per),
-            tot AS (SELECT sum(scaled) AS total_scaled FROM sc)
+            tot AS (SELECT sum(scaled::DECIMAL(38,18)) AS total_scaled FROM sc)
             SELECT source, n_docs, n_tokens,
-                   round(scaled / total_scaled, 6) AS weight
+                   round(scaled / total_scaled::DOUBLE, 6) AS weight
             FROM sc, tot
         """,
         "select_training_set": f"""

@@ -377,6 +377,24 @@ def test_source_mixture_weights(spark):
     assert abs(out["a"].weight - 0.759747) < 1e-6
 
 
+def test_source_mixture_order_independent(spark):
+    """The normalizer sums scaled weights as decimal(38,18), so the
+    weights are bit-identical regardless of partition count / fold
+    order (a plain double sum folds in partition order and can drift
+    an ulp, flipping round(weight, 6) at a tie)."""
+    from toshokan_spark.operators import sampling
+
+    rows = [Row(source=f"s{i % 37}", n_tokens=(i * 7919) % 5000 + 1)
+            for i in range(2000)]
+    base = spark.createDataFrame(rows)
+    outs = []
+    for nparts in (1, 7, 32):
+        out = sampling.source_mixture(base.repartition(nparts), alpha=0.5)
+        outs.append(sorted((r.source, r.n_docs, r.n_tokens, repr(r.weight))
+                           for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_pii_scrub(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1,

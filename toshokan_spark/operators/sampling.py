@@ -101,9 +101,12 @@ def source_mixture(
     standard mixing-temperature scheme — alpha=1 is proportional,
     alpha→0 approaches uniform; used to rebalance dominant sources).
 
-    Arithmetic ordering is deterministic (sum over groups of exact
-    token counts, single double power/divide per group), so the
-    weights oracle-match bit-for-bit.
+    Arithmetic is order-independent: the normalizer sums the scaled
+    doubles as ``decimal(38,18)`` — exact and associative — so the
+    total (and hence ``round(weight, 6)``) is identical across
+    partition counts, shuffle orders, and engines; a plain double
+    sum folds in partition order and a 1-ulp drift near a rounding
+    tie could flip the 6th decimal.
     """
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -118,13 +121,17 @@ def source_mixture(
         scaled = per.withColumn(
             "scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
         )
-    total = scaled.agg(F.sum("scaled").alias("total_scaled"))
+    total = scaled.agg(
+        F.sum(F.col("scaled").cast("decimal(38,18)")).alias("total_scaled")
+    )
     return (
         scaled.crossJoin(F.broadcast(total))
         .select(
             group_col,
             "n_docs",
             "n_tokens",
-            F.round(F.col("scaled") / F.col("total_scaled"), 6).alias("weight"),
+            F.round(
+                F.col("scaled") / F.col("total_scaled").cast("double"), 6
+            ).alias("weight"),
         )
     )
