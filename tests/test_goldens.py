@@ -463,6 +463,45 @@ def test_phrase_slop_end_to_end(spark, catalog, tmp_path):
     drop_index(catalog, "slop_test")
 
 
+def test_phrase_slop_long_phrase_compiles_fast(spark):
+    """The slop match compiles as a greedy O(k) chain — a 13-word
+    phrase at slop 8 must not enumerate the ~126k gap compositions
+    (the old compile exploded as (slop+1)^(k-1) before filtering,
+    ~2.8e11 tuples: a query-of-death)."""
+    import time
+    from pyspark.sql import Row
+    from toshokan_spark.query import CompileError, _token_seq_match
+    from pyspark.sql import functions as F
+
+    words = [f"w{i}" for i in range(13)]
+    toks = (
+        words[:4] + ["pad"] + words[4:9] + ["pad", "pad"] + words[9:]
+    )  # gaps sum to 3
+    df = spark.createDataFrame(
+        [Row(toks=toks), Row(toks=["w0", "pad"] + words[2:])]
+    )
+    t0 = time.monotonic()
+    col = _token_seq_match(F.col("toks"), words, slop=8)
+    compile_s = time.monotonic() - t0
+    assert compile_s < 2.0, f"slop compile took {compile_s:.1f}s"
+    got = [r.m for r in df.select(col.alias("m")).collect()]
+    assert got == [True, False]  # second row is missing w1
+
+    # greedy earliest-match is exact: the earliest 'b' at slop 1
+    # dead-ends but slop 2 reaches past it
+    df2 = spark.createDataFrame([Row(toks=["a", "b", "b", "c"])])
+    abc = ["a", "b", "c"]
+    assert not df2.select(
+        _token_seq_match(F.col("toks"), abc, slop=0).alias("m")
+    ).first().m
+    assert df2.select(
+        _token_seq_match(F.col("toks"), abc, slop=1).alias("m")
+    ).first().m
+
+    with pytest.raises(CompileError):
+        _token_seq_match(F.col("toks"), [f"x{i}" for i in range(200)], slop=1)
+
+
 def test_array_of_static_object_rejected():
     from toshokan_spark.config import ConfigError
 
@@ -518,6 +557,75 @@ def test_concurrent_manifest_commits_lose_nothing(spark, catalog, tmp_path):
     # v3 merged) — the log records the conflict history
     ver, _ = catalog._read_versioned("cc_test")
     assert ver == 3
+
+
+def test_catalog_storage_failures_not_masked(catalog, tmp_path):
+    """A transient storage failure (auth/network/quota) during
+    manifest listing must PROPAGATE — only genuinely-missing paths
+    read as an empty manifest. A bare except here once made a
+    storage outage look like 0 search results."""
+    from toshokan_spark.catalog import SegmentEntry
+
+    config = IndexConfig(
+        name="err_test",
+        path=str(tmp_path / "data" / "err_test"),
+        fields=[FieldConfig(name="x", type="text")],
+    )
+    create_index(catalog, config)
+    catalog.commit_segment(
+        "err_test",
+        SegmentEntry(id="s0", file_name="seg-0", num_rows=1, created_at_ms=0),
+    )
+    orig = catalog._st.list_names
+
+    def boom(path):
+        raise PermissionError("simulated credential expiry")
+
+    catalog._st.list_names = boom
+    try:
+        with pytest.raises(PermissionError):
+            catalog.segments("err_test")
+    finally:
+        catalog._st.list_names = orig
+    # missing manifest dir is still just "no segments"
+    assert catalog.segments("never_created_index") == []
+
+
+def test_catalog_read_survives_gc_race(catalog, tmp_path):
+    """A reader whose listed latest version is GC'd between list and
+    read re-lists and takes the newer latest (the list->read retry)."""
+    from toshokan_spark.catalog import SegmentEntry
+    from toshokan_spark.storage import StorageNotFound, join_path
+
+    config = IndexConfig(
+        name="race_test",
+        path=str(tmp_path / "data" / "race_test"),
+        fields=[FieldConfig(name="x", type="text")],
+    )
+    create_index(catalog, config)
+    for i in range(3):
+        catalog.commit_segment(
+            "race_test",
+            SegmentEntry(id=f"s{i}", file_name=f"seg-{i}", num_rows=1,
+                         created_at_ms=0),
+        )
+    st = catalog._st
+    orig_read = st.read_text
+    fired = {"n": 0}
+
+    def read_gone_once(path):
+        # first manifest read: pretend GC deleted the version we listed
+        if "race_test" in path and path.endswith(".json") and fired["n"] == 0:
+            fired["n"] += 1
+            raise StorageNotFound(path)
+        return orig_read(path)
+
+    st.read_text = read_gone_once
+    try:
+        segs = catalog.segments("race_test")
+    finally:
+        st.read_text = orig_read
+    assert fired["n"] == 1 and len(segs) == 3
 
 
 def test_manifest_version_gc_bounds_log_growth(spark, catalog, tmp_path):

@@ -332,6 +332,55 @@ def test_duplicate_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 9: 4, 12: 4, 13: 4}
 
 
+def test_operators_release_cache_entries(spark):
+    """Operators that persist() intermediates must release them before
+    returning: DataFrame caches are held by the session CacheManager,
+    which never garbage-collects — in a long-lived pipeline service
+    each leaked entry pins its partitions for the session lifetime.
+    (localCheckpoint blocks are plan-referenced and ContextCleaner'd
+    when results are dropped, so only CacheManager entries count.)"""
+    from toshokan_spark.operators import similarity
+
+    def cached_plans_empty():
+        return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i % 7} epsilon zeta")
+         for i in range(40)]
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * j) % 5) for j in range(4)])
+         for i in range(30)]
+    )
+    assert cached_plans_empty(), "leaked cache before the test ran"
+
+    dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert cached_plans_empty(), "ngram_jaccard_pairs leaked its cache"
+
+    dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    assert cached_plans_empty(), "minhash_lsh_pairs leaked its cache"
+
+    dedup.simhash_near_pairs(docs).collect()
+    assert cached_plans_empty(), "simhash_near_pairs leaked its cache"
+
+    similarity.train_ivf_centroids(emb, num_centroids=4, iters=1)
+    assert cached_plans_empty(), "train_ivf_centroids leaked its cache"
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """Min-label propagation moves labels one hop per round: a chain
+    longer than max_iterations must REFUSE (split cluster ids are
+    silently wrong), and converge fine with an adequate bound."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], ["a_id", "b_id"]
+    )
+    with pytest.raises(ValueError, match="converge"):
+        dedup.duplicate_clusters(chain, max_iterations=3)
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(chain, max_iterations=12).collect()}
+    assert set(got.values()) == {1}
+
+
 def test_sample_by_hash_deterministic_and_nested(spark):
     from toshokan_spark.operators import sampling
 

@@ -205,6 +205,11 @@ def test_datetime_formats_rfc2822_iso8601(spark):
         ("1 Jul 2003 10:52:37 +0000", "rfc2822"),
         ("2003-07-01T10:52:37Z", "iso8601"),
         ("not a date", "rfc2822"),
+        # chrono's rfc2822 parser errors on a fake weekday -> doc
+        # skipped; only real weekday names are decorative
+        ("Foo, 1 Jul 2003 10:52:37 +0200", "rfc2822"),
+        # obsolete syntax: weekday without the comma still parses
+        ("Tue 1 Jul 2003 10:52:37 +0200", "rfc2822"),
     ]
     df = spark.createDataFrame([(v,) for v, _ in rows], ["raw"])
     got = {
@@ -217,6 +222,8 @@ def test_datetime_formats_rfc2822_iso8601(spark):
     assert str(got["1 Jul 2003 10:52:37 +0000"]) == "2003-07-01 10:52:37"
     assert str(got["2003-07-01T10:52:37Z"]) == "2003-07-01 10:52:37"
     assert got["not a date"] is None  # -> doc skipped by permissive ingest
+    assert got["Foo, 1 Jul 2003 10:52:37 +0200"] is None
+    assert str(got["Tue 1 Jul 2003 10:52:37 +0200"]) == "2003-07-01 08:52:37"
 
     # declared-order precedence: an ambiguous integer is an epoch only
     # when 'timestamp' is declared

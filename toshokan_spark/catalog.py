@@ -47,6 +47,7 @@ from toshokan_spark.config import IndexConfig
 from toshokan_spark.storage import (
     HadoopStorage,
     Storage,
+    StorageNotFound,
     join_path,
     storage_for,
     strip_file_scheme as _strip_file_scheme,  # re-export (legacy name)
@@ -183,20 +184,37 @@ class FsCatalog:
     KEEP_VERSIONS = 10
 
     def _read_versioned(self, name: str) -> tuple[int, list[SegmentEntry]]:
+        """Latest manifest snapshot. Only *missing* paths read as an
+        empty manifest (``StorageNotFound``); any other storage
+        failure propagates — a transient auth/network error must not
+        silently turn ``segments()`` into 0 rows. The list->read pair
+        retries: a reader stalled more than KEEP_VERSIONS commits
+        between listing and reading can find its listed latest
+        GC'd — re-listing observes a strictly newer latest."""
         d = self._manifest_dir(name)
-        try:
-            names = self._st.list_names(d)
-        except Exception:
-            return 0, []
-        versions = sorted(
-            n for n in names if n.startswith("v") and n.endswith(".json")
-        )
-        if not versions:
-            return 0, []
-        latest = versions[-1]
-        ver = int(latest[1:-5])
-        doc = json.loads(self._st.read_text(join_path(d, latest)))
-        return ver, [SegmentEntry(**s) for s in doc.get("segments", [])]
+        last_exc: Optional[Exception] = None
+        for _ in range(5):
+            try:
+                names = self._st.list_names(d)
+            except StorageNotFound:
+                return 0, []
+            versions = sorted(
+                n for n in names if n.startswith("v") and n.endswith(".json")
+            )
+            if not versions:
+                return 0, []
+            latest = versions[-1]
+            ver = int(latest[1:-5])
+            try:
+                doc = json.loads(self._st.read_text(join_path(d, latest)))
+            except StorageNotFound as e:
+                last_exc = e
+                continue
+            return ver, [SegmentEntry(**s) for s in doc.get("segments", [])]
+        raise CatalogError(
+            f"manifest for {name!r} kept disappearing between list and "
+            f"read (GC race persisted across retries)"
+        ) from last_exc
 
     def _try_write_version(
         self, name: str, version: int, segs: list[SegmentEntry]

@@ -78,8 +78,14 @@ def _try_format(raw: Column, fmt: str) -> Column:
     if fmt == "rfc2822":
         # Spark >= 3 rejects the EEE (day-of-week) parse pattern
         # (DATETIME_PATTERN_RECOGNITION); strip the optional leading
-        # day name instead — RFC 2822 makes it purely decorative
-        body = F.regexp_replace(raw, r"^[A-Za-z]{3},\s*", "")
+        # day name instead — RFC 2822 makes it purely decorative.
+        # Only REAL weekday names are stripped (chrono's rfc2822
+        # parser errors on "Foo, 5 Jan ..." and the doc is skipped;
+        # stripping any 3-letter prefix would wrongly accept it), and
+        # the comma is optional (obsolete-syntax folding whitespace).
+        body = F.regexp_replace(
+            raw, r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)(,\s*|\s+)", ""
+        )
         return F.coalesce(
             F.try_to_timestamp(body, F.lit("d MMM yyyy HH:mm:ss Z")),
             F.try_to_timestamp(body, F.lit("d MMM yyyy HH:mm:ss z")),

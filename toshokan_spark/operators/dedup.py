@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
-from toshokan_spark.operators.util import spread
+from toshokan_spark.operators.util import finalize_cached, spread
 
 # ---------------------------------------------------------------------------
 # shared text shingling
@@ -177,7 +177,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn(
@@ -187,6 +187,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    return finalize_cached(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +348,7 @@ def minhash_lsh_pairs(
     )
     sha = sh_df.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
     shb = sh_df.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
-    return (
+    out = (
         cand.join(sha, "a_id")
         .join(shb, "b_id")
         .withColumn(
@@ -358,6 +359,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    return finalize_cached(out, sh_df, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -563,11 +565,12 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+    return finalize_cached(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -613,6 +616,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -638,7 +642,18 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # labels move one hop per round, so a component whose diameter
+        # exceeds the bound would silently get SPLIT cluster ids —
+        # refuse rather than return wrong clusters (raise the bound,
+        # or pre-contract pathological chain graphs)
+        raise ValueError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            f"rounds (a component's diameter exceeds the bound); "
+            f"increase max_iterations"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -179,32 +179,35 @@ def train_ivf_centroids(
     data rows; each Lloyd round is one distributed agg job.
     """
     e = spread(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))).persist()
-    seed_rows = (
-        e.orderBy(F.xxhash64(F.col("id").cast("string")).asc(), F.col("id").asc())
-        .limit(num_centroids)
-        .collect()
-    )
-    centroids = [(i, [float(x) for x in r.v]) for i, r in enumerate(seed_rows)]
-    for _ in range(iters):
-        assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), centroids))
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,10)")) / F.count(F.lit(1))
-                ).cast("double").alias("m")
-            )
+    try:
+        seed_rows = (
+            e.orderBy(F.xxhash64(F.col("id").cast("string")).asc(), F.col("id").asc())
+            .limit(num_centroids)
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r.cid, {})[r.pos] = r.m
-        centroids = [
-            (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cid.items())
-        ]
-    e.unpersist()
-    return centroids
+        centroids = [(i, [float(x) for x in r.v]) for i, r in enumerate(seed_rows)]
+        for _ in range(iters):
+            assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+            means = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(28,10)")) / F.count(F.lit(1))
+                    ).cast("double").alias("m")
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r.cid, {})[r.pos] = r.m
+            centroids = [
+                (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cid.items())
+            ]
+        return centroids
+    finally:
+        # unpersist in every exit path — the CacheManager never GCs
+        e.unpersist()
 
 
 def seed_ivf_centroids(

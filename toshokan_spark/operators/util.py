@@ -15,6 +15,28 @@ def _size_bytes(s: str) -> int:
     return int(s)
 
 
+def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize *result* now (``localCheckpoint``, one job during
+    which the persisted intermediates give their cache hits), then
+    release every intermediate's cache entry.
+
+    Why not just return the lazy plan: ``DataFrame.persist()``
+    registers the plan in the session-wide CacheManager, which holds
+    a reference until an explicit ``unpersist()`` — in a long-lived
+    pipeline service each operator call would leak its cached
+    partitions forever. The checkpointed result's blocks are only
+    plan-referenced, so the ContextCleaner frees them once the caller
+    drops the returned DataFrame. The results this wraps (candidate /
+    duplicate pairs) are output-sized — tiny next to the corpus —
+    so eager materialization is the cheap side of the trade.
+    """
+    try:
+        return result.localCheckpoint()
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition ``df`` up to the cluster's default parallelism when
     the scan would produce fewer partitions than cores.

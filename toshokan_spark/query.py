@@ -44,10 +44,10 @@ from toshokan_spark.plans.ast import (
 
 _NON_ALNUM_RE = r"[^\p{L}\p{N}]"
 
-#: combinatorial guard for phrase slop: gap combinations grow as
-#: C(slop+k-1, k-1); tantivy accepts arbitrary slop but beyond this
-#: the compiled expression would explode
-MAX_SLOP = 8
+#: expression-size guard: the compiled phrase match chains O(k)
+#: slice/array_position nodes; beyond this a pathological query would
+#: stress codegen rather than explode combinatorially
+MAX_PHRASE_WORDS = 128
 
 
 def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
@@ -55,30 +55,57 @@ def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
     ``slop`` extra token positions distributed between them (Lucene/
     tantivy in-order proximity; we don't model the transposition
     move). slop=0 is exact adjacency — the positional equivalent of
-    the regex strategy, required when index tokens are stems."""
-    from itertools import product
+    the regex strategy, required when index tokens are stems.
 
+    Compiled as a greedy earliest-match chain: from each candidate
+    start, take each next word at its EARLIEST occurrence inside the
+    remaining slop window. Greedy is exact for in-order proximity
+    (the earliest choice minimizes every prefix position, so it
+    dominates any other chain), and the expression is O(k) nodes —
+    enumerating gap compositions would be C(slop+k-1, k-1) of them,
+    a compile-time explosion for long phrases (a 13-word phrase at
+    slop 8 has ~126k compositions)."""
     k = len(words)
     if k == 1:
         return F.array_contains(tokens, words[0])
-    slop = min(slop, MAX_SLOP)
-    combos = [
-        gs for gs in product(range(slop + 1), repeat=k - 1) if sum(gs) <= slop
-    ]
+    if k > MAX_PHRASE_WORDS:
+        raise CompileError(
+            f"phrase has {k} words; the compiled match is capped at "
+            f"{MAX_PHRASE_WORDS}"
+        )
     n = F.size(tokens)
+    rest = F.array(*[F.lit(w) for w in words[1:]])
 
     def match_at(i: Column) -> Column:
-        out = F.lit(False)
-        for gs in combos:
-            cond = F.get(tokens, i) == F.lit(words[0])
-            off = 0
-            for j in range(1, k):
-                off += 1 + gs[j - 1]
-                # F.get returns null past the end (no ANSI error);
-                # null comparisons collapse to false via the coalesce
-                cond = cond & (F.get(tokens, i + off) == F.lit(words[j]))
-            out = out | F.coalesce(cond, F.lit(False))
-        return out
+        # last 0-based position the final word may occupy
+        limit = (i + F.lit(k - 1 + slop)).cast("long")
+
+        # fold over the remaining words, state = 0-based position of
+        # the last matched word (-1 = dead).  The state is a lambda
+        # VARIABLE, not an inlined subtree — chaining column
+        # expressions instead would re-embed the position expression
+        # ~3x per word and grow the tree exponentially (k=13 OOMed
+        # the driver while *constructing* the plan).
+        def step(acc: Column, w: Column) -> Column:
+            # earliest w strictly after acc, at or before limit:
+            # slice() is 1-based, so the window [acc+1 .. limit]
+            # (0-based) starts at acc+2 and holds limit-acc elements
+            window = F.slice(
+                tokens,
+                (acc + F.lit(2)).cast("int"),
+                F.greatest(limit - acc, F.lit(0).cast("long")).cast("int"),
+            )
+            rel = F.array_position(window, w)  # 1-based, 0 = absent
+            return (
+                F.when((acc >= 0) & (rel > 0), acc + rel)
+                .otherwise(F.lit(-1).cast("long"))
+            )
+
+        init = (
+            F.when(F.get(tokens, i) == F.lit(words[0]), i.cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+        )
+        return F.coalesce(F.aggregate(rest, init, step) >= 0, F.lit(False))
 
     return F.when(
         n >= k,

@@ -40,6 +40,15 @@ from abc import ABC, abstractmethod
 from typing import Optional
 
 
+class StorageNotFound(FileNotFoundError):
+    """A path that does not exist, normalized across backends (the
+    local backend's ``FileNotFoundError`` and the JVM side's
+    ``FileNotFoundException`` both map here). Callers that want to
+    treat "missing" as empty catch THIS — anything else (auth,
+    network, quota) propagates, so a transient storage failure can
+    never masquerade as an empty catalog."""
+
+
 def path_scheme(path: str) -> str:
     """"s3a://bucket/key" -> "s3a"; "" for scheme-less local paths."""
     i = path.find("://")
@@ -102,8 +111,11 @@ class LocalStorage(Storage):
         return os.path.exists(strip_file_scheme(path))
 
     def read_text(self, path: str) -> str:
-        with open(strip_file_scheme(path), encoding="utf-8") as f:
-            return f.read()
+        try:
+            with open(strip_file_scheme(path), encoding="utf-8") as f:
+                return f.read()
+        except FileNotFoundError as e:
+            raise StorageNotFound(str(e)) from e
 
     def write_text_atomic(self, path: str, payload: str) -> None:
         path = strip_file_scheme(path)
@@ -139,7 +151,10 @@ class LocalStorage(Storage):
         os.makedirs(strip_file_scheme(path), exist_ok=True)
 
     def list_names(self, path: str) -> list[str]:
-        return sorted(os.listdir(strip_file_scheme(path)))
+        try:
+            return sorted(os.listdir(strip_file_scheme(path)))
+        except (FileNotFoundError, NotADirectoryError) as e:
+            raise StorageNotFound(str(e)) from e
 
 
 class HadoopStorage(Storage):
@@ -168,13 +183,25 @@ class HadoopStorage(Storage):
         jpath = self._jvm.org.apache.hadoop.fs.Path(path)
         return jpath.getFileSystem(self._conf), jpath
 
+    @staticmethod
+    def _java_is(e: Exception, *class_names: str) -> bool:
+        """Match a py4j-wrapped JVM exception by Java class name (the
+        class name is embedded in the rendered message)."""
+        s = str(e)
+        return any(c in s for c in class_names)
+
     def exists(self, path: str) -> bool:
         fs, p = self._fs(path)
         return bool(fs.exists(p))
 
     def read_text(self, path: str) -> str:
         fs, p = self._fs(path)
-        stream = fs.open(p)
+        try:
+            stream = fs.open(p)
+        except Exception as e:
+            if self._java_is(e, "FileNotFoundException", "PathNotFoundException"):
+                raise StorageNotFound(path) from e
+            raise
         try:
             return self._jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
@@ -193,16 +220,23 @@ class HadoopStorage(Storage):
             out.close()
 
     def write_text_exclusive(self, path: str, payload: str) -> bool:
-        # create(overwrite=false): atomic create-if-absent on HDFS;
-        # on S3A it is check-then-put (modern object stores offer
-        # If-None-Match conditional PUTs underneath — the residual
-        # race window matches what Delta Lake accepts on S3 without
-        # an external coordinator)
+        # create(overwrite=false): atomic create-if-absent on HDFS.
+        # On S3A it is check-then-put, NOT atomic: two concurrent
+        # committers can both win the same manifest version and one
+        # commit is silently lost — so object-store indexes require
+        # a single writer per index (the reference relied on Postgres
+        # transactions for the same guarantee), or a backend with
+        # conditional PUT (If-None-Match) wired in here. Only the
+        # already-exists failure may report False; anything else
+        # (auth, network, quota) must propagate, or an infrastructure
+        # outage shows up as 50 bogus "CAS contention" retries.
         fs, p = self._fs(path)
         try:
             out = fs.create(p, False)
-        except Exception:
-            return False
+        except Exception as e:
+            if self._java_is(e, "FileAlreadyExistsException", "AlreadyExists"):
+                return False
+            raise
         try:
             out.write(bytearray(payload.encode("utf-8")))
         finally:
@@ -227,9 +261,13 @@ class HadoopStorage(Storage):
 
     def list_names(self, path: str) -> list[str]:
         fs, p = self._fs(path)
-        return sorted(
-            s.getPath().getName() for s in fs.listStatus(p)
-        )
+        try:
+            statuses = fs.listStatus(p)
+        except Exception as e:
+            if self._java_is(e, "FileNotFoundException", "PathNotFoundException"):
+                raise StorageNotFound(path) from e
+            raise
+        return sorted(s.getPath().getName() for s in statuses)
 
 
 def storage_for(path: str, spark=None, force_hadoop: bool = False) -> Storage:
