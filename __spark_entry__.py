@@ -525,7 +525,18 @@ def q_select_training_set(spark, sf_dir):
     """The full selection pipeline composed end-to-end: drop near-dup
     losers (cluster keepers survive), keep quality >= 0.55, then a
     deterministic 50% hash-sample — each stage is an already-oracled
-    operator; this entry proves the COMPOSITION oracle-exact too."""
+    operator; this entry proves the COMPOSITION oracle-exact too.
+
+    Deliberately self-contained: it recomputes the shingle->jaccard->
+    cluster pipeline that the `dedup_clusters` entry also runs,
+    because driver entries are independent correctness probes (each
+    must be reproducible from the raw tables alone). In a production
+    pipeline the cluster assignment is a persisted table written once
+    by the dedup stage and joined here — the recomputation is a
+    harness artifact, not the deployment shape. (Within THIS entry
+    nothing is computed twice: ngram_jaccard_pairs returns an
+    eagerly-materialized pair set, so the cluster loop and the
+    left-anti drop share one shingle pass.)"""
     from toshokan_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents")

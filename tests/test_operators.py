@@ -319,6 +319,85 @@ def test_scored_search_end_to_end(spark, catalog, tmp_path):
     assert out[0]._score > out[1]._score
 
 
+def test_scored_search_merges_commit_time_stats(spark, catalog, tmp_path):
+    """Scored search must read the per-segment stats parquets instead
+    of re-aggregating the corpus per query: the plan gets exactly one
+    data FileScan (matching) plus one _stats FileScan, and the scores
+    are bit-identical to the full-corpus-agg fallback (integer stats
+    sum exactly across segments)."""
+    import json
+
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import index_batch, stats_path
+    from toshokan_spark.maintenance import create_index, merge_segments
+    from toshokan_spark.search import scored_search_df
+
+    config = IndexConfig(
+        name="scored_stats",
+        path=str(tmp_path / "data" / "scored_stats"),
+        fields=[
+            FieldConfig(name="doc_id", type="number", number_type="i64"),
+            FieldConfig(name="body", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    batches = [
+        [
+            {"doc_id": 1, "body": "spark spark spark is fast"},
+            {"doc_id": 2, "body": "spark is a distributed engine"},
+        ],
+        [
+            {"doc_id": 3, "body": "nothing relevant in this one"},
+            {"doc_id": 4, "body": "the spark engine shuffles data"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = tmp_path / f"docs{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        index_batch(spark, catalog, "scored_stats", jsonl_path=str(p))
+
+    st = catalog.data_storage(config)
+    segs = catalog.segments("scored_stats")
+    assert len(segs) == 2
+    assert all(st.exists(stats_path(config, s.file_name)) for s in segs)
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "500")
+
+    def run():
+        df = scored_search_df(
+            spark, catalog, "scored_stats", "body:spark engine", "body", limit=10
+        )
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        # the stats scan is identifiable by its fixed read schema
+        n_scans = plan.count("FileScan")
+        n_stats = plan.count("struct<field:string,term:string")
+        # ties on equal scores have no deterministic order; compare
+        # as a (score desc, id) sorted list
+        rows = sorted(((r.doc_id, r._score) for r in df.collect()),
+                      key=lambda t: (-t[1], t[0]))
+        return rows, n_scans, n_stats
+
+    with_stats, n_scans, n_stats = run()
+    assert n_stats == 1, "scored search did not read the stats parquets"
+    assert n_scans == 2, "expected exactly one data scan + one stats scan"
+
+    # fallback (stats removed) must produce bit-identical scores
+    for s in segs:
+        st.delete_tree(stats_path(config, s.file_name))
+    fallback, _, fb_stats = run()
+    assert fb_stats == 0
+    assert fallback == with_stats
+
+    # compaction recomputes stats for the merged segment and scoring
+    # still matches
+    merge_segments(spark, catalog, "scored_stats")
+    (merged_seg,) = catalog.segments("scored_stats")
+    assert st.exists(stats_path(config, merged_seg.file_name))
+    merged, _, m_stats = run()
+    assert m_stats == 1
+    assert merged == with_stats
+
+
 # ---------------------------------------------------------------------------
 # training-data selection operators (sampling.py) + cluster resolution
 # ---------------------------------------------------------------------------

@@ -1,0 +1,87 @@
+"""Plan-health gate: run tools/plan_audit.py's auditor over headline
+driver queries so scan-count / pushdown / join-strategy regressions
+fail the suite loudly instead of silently shipping a 100 TB-hostile
+plan. (The audit tool existed since round 2; this wires it into CI —
+VERDICT r2 item 9.)
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.plan_audit import audit  # noqa: E402
+
+#: queries whose plans we pin invariants on; dedup entries are excluded
+#: from scan asserts (they return eagerly-materialized pair sets, so
+#: their plans are ExistingRDD scans by design)
+HEADLINE = [
+    "search_term",
+    "search_bm25",
+    "q1_pricing",
+    "q3_top_revenue",
+    "dedup_exact",
+    "knn_bruteforce",
+    "token_budget_pack",
+    "text_quality",
+]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        # execute first: AQE only materializes join strategies and
+        # whole-stage-codegen spans in the FINAL plan
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends the pre-execution plan after the
+        # final one; auditing both would double every count
+        plan = plan.split("== Initial Plan ==")[0]
+        out[name] = audit(plan)
+    return out
+
+
+def test_no_unbounded_cartesian_products(plans):
+    """CartesianProduct (non-broadcast) is the canonical scale
+    killer; broadcast nested-loop against a bounded side is the only
+    acceptable cross shape."""
+    for name, a in plans.items():
+        assert "CartesianProduct" not in a["joins"], (name, a)
+
+
+def test_filters_reach_the_parquet_scan(plans):
+    # a filtering query whose predicate never reaches the scan reads
+    # the whole table at 100 TB
+    assert plans["search_term"]["pushed_scans"] >= 1, plans["search_term"]
+    assert plans["q1_pricing"]["pushed_scans"] >= 1, plans["q1_pricing"]
+
+
+def test_single_scan_per_table(plans):
+    # q1 touches lineitem once; a plan that scans it twice doubled
+    # the dominant cost
+    assert plans["q1_pricing"]["scans"] == 1, plans["q1_pricing"]
+    # token_budget_pack: one documents scan, one window shuffle
+    assert plans["token_budget_pack"]["scans"] == 1, plans["token_budget_pack"]
+
+
+def test_broadcast_where_hinted(plans):
+    # knn broadcasts the query side — corpus must never shuffle for a
+    # pointwise scoring pass
+    assert "BroadcastNestedLoopJoin" in plans["knn_bruteforce"]["joins"], (
+        plans["knn_bruteforce"]
+    )
+
+
+def test_whole_stage_codegen_present(plans):
+    # the scoring/agg pipelines must stay JVM-side: at least one WSCG
+    # span in every headline plan (0 would mean everything fell off
+    # codegen, e.g. a row-at-a-time Python UDF crept into the path)
+    for name in ("search_term", "q1_pricing", "text_quality", "search_bm25"):
+        assert plans[name]["wscg_spans"] >= 1, (name, plans[name])

@@ -213,3 +213,61 @@ def test_manifest_level_segment_pruning(spark, catalog, tmp_path):
     seg = catalog.segments("msidx")[0]
     assert (seg.min_day, seg.max_day) == ("2024-03-01", "2024-03-03")
     assert len(search(spark, catalog, "msidx", "*", limit=10)) == 3
+
+
+def test_manifest_pruning_at_10k_segments(spark, catalog, tmp_path):
+    """Planning scale: a 10,000-segment manifest must (a) prune down
+    to the few overlapping segments before any Spark plan exists and
+    (b) keep end-to-end search_df planning within a sane time bound —
+    the 100×-scale claim for manifest-level pruning, previously
+    resting on a 3-segment test. Only the surviving segments need
+    data files: pruned entries are never opened, which is itself part
+    of the assertion."""
+    import time as _time
+
+    from toshokan_spark.catalog import SegmentEntry, uuid7
+
+    config = IndexConfig(
+        name="bigidx",
+        path=str(tmp_path / "data" / "bigidx"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(catalog, config)
+    # two REAL segments covering 2024-06-10 and 2024-06-11
+    for i, day in enumerate(("2024-06-10", "2024-06-11")):
+        p = tmp_path / f"big{i}.jsonl"
+        p.write_text(json.dumps({"ts": f"{day}T09:00:00Z", "level": f"R{i}"}) + "\n")
+        index_batch(spark, catalog, "bigidx", jsonl_path=str(p))
+
+    # ~10k synthetic manifest entries whose day ranges can't overlap
+    # the query window; their data paths don't even exist
+    ver, segs = catalog._read_versioned("bigidx")
+    fakes = []
+    for i in range(9_998):
+        day = f"20{10 + i % 10}-01-{1 + i % 28:02d}"  # 2010..2019, far away
+        fakes.append(
+            SegmentEntry(
+                id=uuid7(), file_name=f"seg-fake-{i}", num_rows=1,
+                created_at_ms=0, min_day=day, max_day=day,
+            )
+        )
+    assert catalog._try_write_version("bigidx", ver + 1, segs + fakes)
+    assert len(catalog.segments("bigidx")) == 10_000
+
+    t0 = _time.monotonic()
+    df = search_df(
+        spark, catalog, "bigidx",
+        "ts:[2024-06-10T00:00:00Z TO 2024-06-11T23:59:59Z]", limit=None,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    planning_s = _time.monotonic() - t0
+    # generous bound: pruning is O(n) driver-side python over entries
+    # + a 2-path scan build; without manifest pruning this would open
+    # 9,998 nonexistent paths and fail outright
+    assert planning_s < 15.0, f"planning took {planning_s:.1f}s"
+    assert plan.count("Scan parquet") == 2, plan
+    assert sorted(r.level for r in df.collect()) == ["R0", "R1"]

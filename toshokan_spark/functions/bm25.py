@@ -41,6 +41,7 @@ def with_bm25(
     b: float = B,
     tokenizer: str = "default",
     corpus: DataFrame | None = None,
+    stats_provider=None,
 ) -> DataFrame:
     """All original columns + a ``out_col`` BM25 score (rounded to 4
     decimals), keeping only rows matching ≥ 1 analyzed query term.
@@ -54,6 +55,14 @@ def with_bm25(
     scan when *docs* is already query-filtered — idf over the match
     set distorts multi-term weights (the reference's stats are
     corpus-level, tantivy per-segment searcher).
+
+    ``stats_provider`` short-circuits the corpus aggregation entirely:
+    a callable receiving the analyzed term list and returning a 1-row
+    DataFrame with columns ``__n``, ``__sumdl``, ``__df0..__df{k-1}``
+    (the merge of commit-time per-segment stats — see
+    :func:`segment_field_stats`). At index scale this turns every
+    scored query's full-corpus tokenize+agg into a metadata-sized
+    stats read.
     """
     cols = docs.columns
     terms = list(dict.fromkeys(analyze_term(query, tokenizer)))
@@ -64,17 +73,20 @@ def with_bm25(
         "__toks", tokenize(F.col(text_col), tokenizer)
     ).withColumn("__dl", F.size("__toks"))
 
-    stats_src = base if corpus is None else corpus.withColumn(
-        "__toks", tokenize(F.col(text_col), tokenizer)
-    ).withColumn("__dl", F.size("__toks"))
-    stats = stats_src.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__dl").alias("__sumdl"),
-        *[
-            F.sum(F.array_contains("__toks", F.lit(t)).cast("int")).alias(f"__df{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
+    if stats_provider is not None:
+        stats = stats_provider(terms)
+    else:
+        stats_src = base if corpus is None else corpus.withColumn(
+            "__toks", tokenize(F.col(text_col), tokenizer)
+        ).withColumn("__dl", F.size("__toks"))
+        stats = stats_src.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__dl").alias("__sumdl"),
+            *[
+                F.sum(F.array_contains("__toks", F.lit(t)).cast("int")).alias(f"__df{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
 
     j = base.crossJoin(F.broadcast(stats))
     avgdl = F.col("__sumdl") / F.col("__n")
@@ -98,6 +110,88 @@ def with_bm25(
         .filter(F.col("__s") > 0)
         .select(*cols, F.round("__s", 4).alias(out_col))
     )
+
+
+def segment_field_stats(df: DataFrame, fields: list[tuple[str, str]]) -> DataFrame | None:
+    """Commit-time BM25 corpus statistics for one segment: per
+    (field, term) document frequencies plus one per-field summary row
+    (term NULL) carrying doc count and total token length.
+
+    Written next to each segment at index/merge time so scored search
+    merges per-segment stats (ints — exact and associative across
+    segments) instead of re-tokenizing the whole corpus per query: at
+    index scale that converts every BM25 query's full-corpus
+    aggregation into a metadata-sized read with term-predicate
+    pushdown. The arithmetic mirrors :func:`with_bm25`'s corpus agg
+    exactly — ``n_docs = count(*)``, ``sum_dl = sum(size(tokens))``
+    (null text contributes no dl, as there), ``df = #docs whose token
+    array contains the term``.
+
+    *fields* is ``[(name, tokenizer), ...]`` for the scalar text
+    fields; returns None when empty.
+    """
+    frames = []
+    for name, tok in fields:
+        toks = tokenize(F.col(name), tok)
+        proj = df.select(
+            F.array_distinct(toks).alias("__t"), F.size(toks).alias("__dl")
+        )
+        summary = proj.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("__dl").alias("sum_dl")
+        ).select(
+            F.lit(name).alias("field"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("df"),
+            F.col("n_docs"),
+            F.col("sum_dl"),
+        )
+        per_term = (
+            proj.select(F.explode("__t").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                F.lit(name).alias("field"),
+                F.col("term"),
+                F.col("df"),
+                F.lit(None).cast("long").alias("n_docs"),
+                F.lit(None).cast("long").alias("sum_dl"),
+            )
+        )
+        frames.append(summary.unionAll(per_term))
+    if not frames:
+        return None
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
+def merged_stats_provider(spark, stats_paths: list[str], score_field: str):
+    """A ``stats_provider`` for :func:`with_bm25` that merges the
+    commit-time per-segment stats parquets: integer sums across
+    segments reproduce the corpus-level N / Σdl / df exactly. The
+    term/field filters push down to the parquet scan, so a scored
+    query reads a handful of stats rows, never the corpus."""
+
+    def provide(terms: list[str]) -> DataFrame:
+        sdf = (
+            spark.read.parquet(*stats_paths)
+            .filter(F.col("field") == F.lit(score_field))
+            .filter(F.col("term").isNull() | F.col("term").isin(list(terms)))
+        )
+        return sdf.agg(
+            F.sum(F.when(F.col("term").isNull(), F.col("n_docs"))).alias("__n"),
+            F.sum(F.when(F.col("term").isNull(), F.col("sum_dl"))).alias("__sumdl"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == F.lit(t), F.col("df"))),
+                    F.lit(0).cast("long"),
+                ).alias(f"__df{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+
+    return provide
 
 
 def bm25_scores(

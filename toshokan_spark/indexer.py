@@ -31,6 +31,42 @@ from toshokan_spark.ingest import ingest_projection
 from toshokan_spark.storage import join_path
 
 PARTITION_COL = "__day"
+#: per-segment BM25 stats live under <index path>/_stats/<seg name>;
+#: the underscore prefix keeps Spark's file-listing from ever treating
+#: them as data
+STATS_DIR = "_stats"
+
+
+def text_stat_fields(config: IndexConfig) -> list[tuple[str, str]]:
+    """(name, tokenizer) for the scalar text fields that get
+    commit-time BM25 stats."""
+    return [
+        (f.name, f.tokenizer or "default")
+        for f in config.fields
+        if f.type == "text" and not f.array
+    ]
+
+
+def stats_path(config: IndexConfig, seg_name: str) -> str:
+    return join_path(config.path, STATS_DIR, seg_name)
+
+
+def write_segment_stats(config: IndexConfig, seg_name: str, written: DataFrame) -> None:
+    """Compute + write the segment's BM25 corpus stats (see
+    `functions/bm25.py:segment_field_stats`): one extra pass over the
+    segment's text columns at write time buys scored search a
+    metadata-sized stats read instead of a per-query full-corpus
+    tokenize+agg — the pay-once-at-commit trade every index format
+    makes (the reference's tantivy segments store term dictionaries
+    for the same reason)."""
+    from toshokan_spark.functions.bm25 import segment_field_stats
+
+    fields = [(n, t) for n, t in text_stat_fields(config) if n in written.columns]
+    stats = segment_field_stats(written, fields) if fields else None
+    if stats is not None:
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            stats_path(config, seg_name)
+        )
 
 
 def index_batch(
@@ -107,6 +143,10 @@ def write_segment(
         if r.lo is not None:
             min_day, max_day = str(r.lo), str(r.hi)
 
+    # stats are derived data: write them BEFORE the manifest commit so
+    # a manifested segment always has its stats sibling
+    write_segment_stats(config, seg_name, written)
+
     entry = SegmentEntry(
         id=seg_id,
         file_name=seg_name,
@@ -120,5 +160,6 @@ def write_segment(
     if not catalog.commit_segment(config.name, entry):
         # lost the idempotence race — leave no orphan data behind
         catalog.data_storage(config).delete_tree(seg_path)
+        catalog.data_storage(config).delete_tree(stats_path(config, seg_name))
         return None
     return entry

@@ -96,6 +96,12 @@ def merge_segments(
     if all(s.min_day and s.max_day for s in segs):
         min_day = min(s.min_day for s in segs)
         max_day = max(s.max_day for s in segs)
+    # recompute the merged segment's BM25 stats before it is
+    # manifested (stats follow data through compaction)
+    from toshokan_spark.indexer import stats_path, write_segment_stats
+
+    write_segment_stats(config, seg_name, spark.read.parquet(seg_path))
+
     entry = SegmentEntry(
         id=seg_id, file_name=seg_name, num_rows=total,
         created_at_ms=int(time.time() * 1000),
@@ -105,6 +111,7 @@ def merge_segments(
     catalog.swap_segments(index_name, [s.id for s in segs], entry)
     # best-effort old-data delete; leaks tolerated (`merge.rs:68-71`)
     st = catalog.data_storage(config)
-    for p in paths:
+    for s, p in zip(segs, paths):
         st.delete_tree(p)
+        st.delete_tree(stats_path(config, s.file_name))
     return entry

@@ -146,12 +146,23 @@ def scored_search_df(
     """BM25-ranked search (the reference's relevance path,
     `search.rs:188` — but globally re-ranked, SURVEY §2.5 deviation):
     docs matching the compiled query, ordered by the BM25 score of the
-    query's positive term literals against *score_field*."""
-    from toshokan_spark.functions.bm25 import with_bm25
+    query's positive term literals against *score_field*.
+
+    Corpus statistics come from the commit-time per-segment stats
+    parquets when every manifested segment has one (integer sums
+    across segments reproduce the corpus-level N / Σdl / df exactly,
+    and the term filter pushes down to the stats scan) — so scoring
+    costs one scan of the index for MATCHING, zero for stats. Indexes
+    with pre-stats segments, or score fields outside the declared
+    text schema, fall back to the full-corpus aggregation."""
+    from toshokan_spark.functions.bm25 import merged_stats_provider, with_bm25
+    from toshokan_spark.indexer import stats_path, text_stat_fields
     from toshokan_spark.plans import ast
+    from toshokan_spark.storage import join_path
 
     config = catalog.get_index(index_name)
-    paths = catalog.segment_paths(index_name)
+    segs = catalog.segments(index_name)
+    paths = [join_path(config.path, s.file_name) for s in segs]
     if not paths:
         return spark.createDataFrame([], config.spark_schema())
 
@@ -173,13 +184,21 @@ def scored_search_df(
 
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
     matched = df.filter(compile_query(query, config, set(df.columns)))
-    # corpus-level stats (N / avgdl / df over the FULL index scan, one
-    # 1-row agg broadcast back) — idf over the filtered match set
-    # would distort multi-term weights vs the reference's
-    # corpus-stats BM25
+
+    provider = None
+    if any(n == score_field for n, _ in text_stat_fields(config)):
+        st = catalog.data_storage(config)
+        spaths = [stats_path(config, s.file_name) for s in segs]
+        if all(st.exists(p) for p in spaths):
+            provider = merged_stats_provider(spark, spaths, score_field)
+    # corpus-level stats (N / avgdl / df — one 1-row frame broadcast
+    # back); from the per-segment stats parquets when available, else
+    # one full-index agg. Either way NEVER over the filtered match
+    # set — idf over matches would distort multi-term weights vs the
+    # reference's corpus-stats BM25
     scored = with_bm25(
         matched, terms, text_col=score_field, out_col="_score",
-        tokenizer=tokenizer, corpus=df,
+        tokenizer=tokenizer, corpus=df, stats_provider=provider,
     )
     return scored.orderBy(F.col("_score").desc()).limit(limit)
 
