@@ -70,15 +70,49 @@ def kafka_options(
     return opts
 
 
+#: session conf keys for the connector seam: tests (and local dev
+#: without a broker) swap the wire format for the fake_kafka emulator
+#: while every line of THIS module still executes
+FORMAT_CONF = "spark.toshokan.kafka.format"
+EXTRA_OPT_PREFIX = "spark.toshokan.kafka.option."
+
+
+def _format_and_extras(spark: SparkSession) -> tuple[str, dict[str, str]]:
+    fmt = "kafka"
+    try:
+        fmt = spark.conf.get(FORMAT_CONF, "kafka")
+    except Exception:
+        pass
+    extras: dict[str, str] = {}
+    if fmt != "kafka":
+        # pass-through options the substitute source needs (e.g. the
+        # fake emulator's broker-log directory)
+        for k, v in spark.sparkContext.getConf().getAll():
+            if k.startswith(EXTRA_OPT_PREFIX):
+                extras[k[len(EXTRA_OPT_PREFIX):]] = v
+        for k in ("path",):
+            try:
+                extras[k] = spark.conf.get(EXTRA_OPT_PREFIX + k)
+            except Exception:
+                pass
+    return fmt, extras
+
+
 def kafka_batch(spark: SparkSession, url: str) -> DataFrame:
-    raw = spark.read.format("kafka").options(**kafka_options(url, "batch")).load()
+    fmt, extras = _format_and_extras(spark)
+    raw = (
+        spark.read.format(fmt)
+        .options(**kafka_options(url, "batch"), **extras)
+        .load()
+    )
     return _lines(raw)
 
 
 def kafka_stream(spark: SparkSession, url: str, starting_offsets: str = "latest") -> DataFrame:
+    fmt, extras = _format_and_extras(spark)
     raw = (
-        spark.readStream.format("kafka")
-        .options(**kafka_options(url, "stream", starting_offsets))
+        spark.readStream.format(fmt)
+        .options(**kafka_options(url, "stream", starting_offsets), **extras)
         .load()
     )
     return _lines(raw)
