@@ -46,9 +46,11 @@ def main() -> int:
     import __spark_entry__ as entry
 
     results: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in entry.queries().items():
         best = -1.0
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             try:
@@ -58,8 +60,14 @@ def main() -> int:
             except Exception as e:  # keep the bench line parseable on errors
                 print(f"# {name} failed: {e}", file=sys.stderr)
                 dt = -1.0
+                runs.append(dt)
                 break
+            runs.append(round(dt, 3))
             best = dt if best < 0 else min(best, dt)
+        # raw per-run times let a reader tell "one CPU-steal burst"
+        # (one slow run, one fast) from a real plan regression (both
+        # runs slow) — best-of-2 alone hides that distinction
+        raw_runs[name] = runs
         results[name] = round(best, 3)
         if best > 0:
             total += best
@@ -71,6 +79,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": results,
+                "runs": raw_runs,
                 "sf": sf,
             }
         )

@@ -502,6 +502,23 @@ def test_phrase_slop_long_phrase_compiles_fast(spark):
         _token_seq_match(F.col("toks"), [f"x{i}" for i in range(200)], slop=1)
 
 
+def test_phrase_huge_slop_no_overflow(spark):
+    """A crafted ``"a b"~3000000000`` must not become a runtime
+    CAST_OVERFLOW (ANSI) inside the compiled slice expression — slop
+    is clamped at compile time, and clamping is semantically exact
+    (any slop wider than the doc is 'in order anywhere')."""
+    from pyspark.sql import Row
+    from toshokan_spark.query import _token_seq_match
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(toks=["a", "x", "x", "b"]), Row(toks=["b", "x", "a"])]
+    )
+    col = _token_seq_match(F.col("toks"), ["a", "b"], slop=3_000_000_000)
+    got = [r.m for r in df.select(col.alias("m")).collect()]
+    assert got == [True, False]
+
+
 def test_array_of_static_object_rejected():
     from toshokan_spark.config import ConfigError
 

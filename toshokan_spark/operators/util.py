@@ -29,10 +29,23 @@ def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     drops the returned DataFrame. The results this wraps (candidate /
     duplicate pairs) are output-sized — tiny next to the corpus —
     so eager materialization is the cheap side of the trade.
+    The materialization MUST run through the adaptive (AQE) plan:
+    ``localCheckpoint()`` alone compiles ``queryExecution.toRdd``, a
+    physical plan WITHOUT adaptive execution — no runtime shuffle
+    coalescing, no dynamic broadcast/skew joins — which at sf0.1 made
+    the banded-LSH self-join ~4× slower, and at 100 TB would forfeit
+    the skew handling that matters most. So: persist the result, run
+    ``count()`` (a Dataset action — executes WITH AQE and fills the
+    cache), and only then ``localCheckpoint()`` — whose physical plan
+    is a trivial ``InMemoryTableScan`` over the already-computed
+    blocks instead of a non-adaptive recompute.
     """
     try:
+        result = result.persist()
+        result.count()
         return result.localCheckpoint()
     finally:
+        result.unpersist()
         for df in cached:
             df.unpersist()
 

@@ -49,6 +49,14 @@ _NON_ALNUM_RE = r"[^\p{L}\p{N}]"
 #: stress codegen rather than explode combinatorially
 MAX_PHRASE_WORDS = 128
 
+#: slop clamp: a slop wider than any document's token count is
+#: semantically identical to "words in order anywhere in the doc",
+#: so clamping loses nothing — and an unbounded user value (``~N``
+#: parses arbitrary digits) would overflow the int cast inside the
+#: compiled slice expression (ANSI CAST_OVERFLOW at runtime, i.e. a
+#: single crafted query killing the whole search job)
+MAX_SLOP = 1_000_000
+
 
 def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
     """True when *words* appear IN ORDER in *tokens* with at most
@@ -66,6 +74,7 @@ def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
     a compile-time explosion for long phrases (a 13-word phrase at
     slop 8 has ~126k compositions)."""
     k = len(words)
+    slop = min(max(slop, 0), MAX_SLOP)
     if k == 1:
         return F.array_contains(tokens, words[0])
     if k > MAX_PHRASE_WORDS:
@@ -90,10 +99,15 @@ def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
             # earliest w strictly after acc, at or before limit:
             # slice() is 1-based, so the window [acc+1 .. limit]
             # (0-based) starts at acc+2 and holds limit-acc elements
+            # length is additionally capped at size(tokens): with the
+            # MAX_SLOP clamp the value already fits an int, but the
+            # cap keeps the cast overflow-proof by construction
             window = F.slice(
                 tokens,
                 (acc + F.lit(2)).cast("int"),
-                F.greatest(limit - acc, F.lit(0).cast("long")).cast("int"),
+                F.greatest(
+                    F.least(limit - acc, n.cast("long")), F.lit(0).cast("long")
+                ).cast("int"),
             )
             rel = F.array_position(window, w)  # 1-based, 0 = absent
             return (

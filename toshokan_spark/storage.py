@@ -185,8 +185,32 @@ class HadoopStorage(Storage):
 
     @staticmethod
     def _java_is(e: Exception, *class_names: str) -> bool:
-        """Match a py4j-wrapped JVM exception by Java class name (the
-        class name is embedded in the rendered message)."""
+        """Match a py4j-wrapped JVM exception by Java class NAME,
+        walking the ``getCause()`` chain.
+
+        The class name must come from ``getClass().getName()``, not
+        from ``str(e)``: py4j renders the FULL stack trace and cause
+        chain into the message, so an unrelated failure whose trace
+        merely *mentions* ``FileNotFoundException`` (e.g. an S3A retry
+        log line inside a throttling error) would substring-match and
+        be misclassified as not-found — masked as an empty manifest,
+        the exact failure mode the error taxonomy exists to prevent.
+        The substring check over ``str(e)`` survives only as the
+        fallback for non-py4j wrappers or a broken gateway object.
+        """
+        jexc = getattr(e, "java_exception", None)
+        if jexc is not None:
+            try:
+                cur, hops = jexc, 0
+                while cur is not None and hops < 16:
+                    name = str(cur.getClass().getName())
+                    if any(c in name for c in class_names):
+                        return True
+                    cur = cur.getCause()
+                    hops += 1
+                return False
+            except Exception:
+                pass  # gateway hiccup mid-inspection: fall back
         s = str(e)
         return any(c in s for c in class_names)
 
