@@ -545,3 +545,34 @@ def test_sample_by_hash_partition_invariant(spark):
     many = {r.doc_id for r in
             sampling.sample_by_hash(df.repartition(16), 0.4, "doc_id").collect()}
     assert one == many
+
+
+def test_poly_udf_signatures_match_sql_spec(spark):
+    """The Arrow-batched poly-family signature UDFs must be
+    bit-identical to the pure-SQL-expression formulation
+    (hash_family='poly_expr') they replaced for speed — the SQL
+    version IS the executable spec DuckDB oracles mirror. Covers
+    empty text, single word, multi-space, BMP unicode, long docs."""
+    texts = [
+        "", "one", "a b c d e", "  spaced   out  text here ",
+        "héllo wörld ünïcode tokens again", "x " * 200, "a b c " * 50,
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, text=t) for i, t in enumerate(texts)]
+    )
+    sh = df.select("id", dedup.shingles_col(F.col("text"), 3).alias("sh"))
+    fast = {r.id: list(r.sig) for r in
+            dedup.minhash_signatures(sh, 128, id_col="id",
+                                     hash_family="poly").collect()}
+    spec = {r.id: list(r.sig) for r in
+            dedup.minhash_signatures(sh, 128, id_col="id",
+                                     hash_family="poly_expr").collect()}
+    assert fast == spec
+
+    sf = {r.id: r.s for r in df.select(
+        "id", dedup.simhash_signature(
+            F.col("text"), hash_family="poly").alias("s")).collect()}
+    ss = {r.id: r.s for r in df.select(
+        "id", dedup.simhash_signature(
+            F.col("text"), hash_family="poly_expr").alias("s")).collect()}
+    assert sf == ss

