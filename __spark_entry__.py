@@ -35,9 +35,13 @@ from toshokan_spark.operators.dedup import words_col as dedup_words
 # helpers
 # ---------------------------------------------------------------------------
 
-#: driver parquet writes these with TIMESTAMP(NANOS) physical type,
-#: which vanilla Spark scans reject — read them as long and convert
-#: (truncating ns -> us exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP)
+#: timestamp columns per driver table. Generations of the driver's
+#: testdata have shipped two physical shapes: TIMESTAMP(NANOS)
+#: (vanilla Spark scans reject it — read as long via nanosAsLong and
+#: truncate ns -> us, exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP) and
+#: naive TIMESTAMP(MICROS) (isAdjustedToUTC=false, which Spark 4
+#: infers as TIMESTAMP_NTZ — cast to TIMESTAMP under the UTC session
+#: zone: same wall clock = same instant DuckDB's naive read produces)
 _TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
@@ -51,8 +55,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

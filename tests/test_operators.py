@@ -447,17 +447,33 @@ def test_operators_release_cache_entries(spark):
 
 
 def test_duplicate_clusters_raises_on_non_convergence(spark):
-    """Min-label propagation moves labels one hop per round: a chain
-    longer than max_iterations must REFUSE (split cluster ids are
-    silently wrong), and converge fine with an adequate bound."""
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 9)], ["a_id", "b_id"]
+    """A budget too small for the component diameter must REFUSE
+    (split cluster ids are silently wrong). Star alternations cover
+    ~2^rounds of diameter, so one round cannot finish a 40-node
+    chain — and the verification alternation runs OUTSIDE the budget,
+    so a 2-node component (fixed point after one productive round)
+    converges even with max_iterations=1."""
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["a_id", "b_id"]
     )
     with pytest.raises(ValueError, match="converge"):
-        dedup.duplicate_clusters(chain, max_iterations=3)
+        dedup.duplicate_clusters(deep, max_iterations=1)
+    tiny = spark.createDataFrame([(1, 2)], ["a_id", "b_id"])
     got = {r.doc_id: r.cluster_id
-           for r in dedup.duplicate_clusters(chain, max_iterations=12).collect()}
-    assert set(got.values()) == {1}
+           for r in dedup.duplicate_clusters(tiny, max_iterations=1).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_duplicate_clusters_deep_chain_converges_by_default(spark):
+    """O(log diameter) rounds: a 40-node chain (diameter 39 — the
+    old min-label propagation refused anything past its per-hop
+    budget) converges well inside the DEFAULT budget, labeling the
+    whole component with its minimum id."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["a_id", "b_id"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(chain).collect()}
+    assert got == {i: 1 for i in range(1, 41)}
 
 
 def test_sample_by_hash_deterministic_and_nested(spark):

@@ -79,6 +79,28 @@ def read_segments(
     return out
 
 
+def _pruned_segments(config, segs, node):
+    """MANIFEST-LEVEL pruning: drop segments whose recorded day range
+    cannot overlap the query's time bounds BEFORE building any scan —
+    at 10k segments this collapses the per-segment union for
+    partitioned indexes to the overlapping few; Catalyst partition
+    pruning then prunes WITHIN the survivors. Segments without
+    recorded day stats are conservatively kept. Returns
+    ``(lo, hi, surviving_segments)``."""
+    lo = hi = None
+    if config.time_field:
+        lo, hi = time_bounds(node, config.time_field)
+    out = []
+    for s in segs:
+        if s.min_day and s.max_day:
+            if hi is not None and s.min_day > str(hi.date()):
+                continue
+            if lo is not None and s.max_day < str(lo.date()):
+                continue
+        out.append(s)
+    return lo, hi, out
+
+
 def search_df(
     spark: SparkSession,
     catalog: FsCatalog,
@@ -93,24 +115,8 @@ def search_df(
     config = catalog.get_index(index_name)
     segs = catalog.segments(index_name)
     node = parse_query(query)
-    lo = hi = None
-    if config.time_field:
-        lo, hi = time_bounds(node, config.time_field)
-
-    # MANIFEST-LEVEL pruning: drop segments whose recorded day range
-    # cannot overlap the query's time bounds BEFORE building any scan
-    # — at 10k segments this collapses the per-segment union for
-    # partitioned indexes to the overlapping few; Catalyst partition
-    # pruning then prunes WITHIN the survivors. Segments without
-    # recorded stats are conservatively kept.
-    paths = []
-    for s in segs:
-        if s.min_day and s.max_day:
-            if hi is not None and s.min_day > str(hi.date()):
-                continue
-            if lo is not None and s.max_day < str(lo.date()):
-                continue
-        paths.append(join_path(config.path, s.file_name))
+    lo, hi, segs = _pruned_segments(config, segs, node)
+    paths = [join_path(config.path, s.file_name) for s in segs]
     if not paths:
         return spark.createDataFrame([], config.spark_schema())
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
