@@ -59,7 +59,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         elif dt == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # NOT a bare cast("timestamp"): that resolves against
+            # spark.sql.session.timeZone at EXECUTION time, so the lazy
+            # plan would silently shift instants if later code changed
+            # the session zone. to_utc_timestamp pins the wall-clock ->
+            # instant mapping to UTC inside the expression itself.
+            df = df.withColumn(
+                c, F.to_utc_timestamp(F.col(c).cast("timestamp_ntz"), "UTC")
+            )
     return df
 
 

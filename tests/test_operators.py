@@ -402,12 +402,22 @@ def test_scored_search_merges_commit_time_stats(spark, catalog, tmp_path):
 # training-data selection operators (sampling.py) + cluster resolution
 # ---------------------------------------------------------------------------
 
-def test_duplicate_clusters_connected_components(spark):
+@pytest.mark.parametrize("local_threshold", [0, 1_000_000])
+def test_duplicate_clusters_connected_components(spark, local_threshold):
+    """Identical labels from both execution paths: the distributed
+    star loop (local_threshold=0 forces it) and the driver-side
+    union-find fast path the default threshold selects for small
+    edge sets."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (4, 9), (9, 12), (12, 13)],
         ["a_id", "b_id"],
     )
-    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(
+            pairs, local_threshold=local_threshold
+        ).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 9: 4, 12: 4, 13: 4}
 
 
@@ -457,10 +467,14 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(1, 40)], ["a_id", "b_id"]
     )
     with pytest.raises(ValueError, match="converge"):
-        dedup.duplicate_clusters(deep, max_iterations=1)
+        dedup.duplicate_clusters(deep, max_iterations=1, local_threshold=0)
     tiny = spark.createDataFrame([(1, 2)], ["a_id", "b_id"])
-    got = {r.doc_id: r.cluster_id
-           for r in dedup.duplicate_clusters(tiny, max_iterations=1).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(
+            tiny, max_iterations=1, local_threshold=0
+        ).collect()
+    }
     assert got == {1: 1, 2: 1}
 
 
@@ -472,7 +486,10 @@ def test_duplicate_clusters_deep_chain_converges_by_default(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], ["a_id", "b_id"]
     )
-    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(chain).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(chain, local_threshold=0).collect()
+    }
     assert got == {i: 1 for i in range(1, 41)}
 
 

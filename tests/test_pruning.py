@@ -271,3 +271,77 @@ def test_manifest_pruning_at_10k_segments(spark, catalog, tmp_path):
     assert planning_s < 15.0, f"planning took {planning_s:.1f}s"
     assert plan.count("Scan parquet") == 2, plan
     assert sorted(r.level for r in df.collect()) == ["R0", "R1"]
+
+
+def test_scored_search_prunes_stats_read(spark, catalog, tmp_path, monkeypatch):
+    """Time-bounded SCORED search must prune at the manifest level on
+    BOTH sides: the match scan plans only the surviving segments, and
+    the BM25 stats read lists only the surviving segments' _stats
+    parquets (previously stats merged across ALL segments even under
+    a day filter — at 10k segments that is a 10k-file metadata read
+    per query)."""
+    import toshokan_spark.functions.bm25 as bm25mod
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import index_batch, stats_path
+    from toshokan_spark.maintenance import create_index
+    from toshokan_spark.search import scored_search_df
+
+    config = IndexConfig(
+        name="scored_ts",
+        path=str(tmp_path / "data" / "scored_ts"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="doc_id", type="number", number_type="i64"),
+            FieldConfig(name="body", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    batches = [
+        ("2024-05-01", [{"doc_id": 1, "body": "spark spark is fast"},
+                        {"doc_id": 2, "body": "unrelated text"}]),
+        ("2024-05-02", [{"doc_id": 3, "body": "spark is a distributed engine"}]),
+        ("2024-05-03", [{"doc_id": 4, "body": "spark again elsewhere"}]),
+    ]
+    for i, (day, rows) in enumerate(batches):
+        p = tmp_path / f"sts{i}.jsonl"
+        p.write_text(
+            "\n".join(
+                json.dumps({**r, "ts": f"{day}T10:00:00Z"}) for r in rows
+            ) + "\n"
+        )
+        index_batch(spark, catalog, "scored_ts", jsonl_path=str(p))
+    segs = catalog.segments("scored_ts")
+    assert len(segs) == 3
+
+    captured = {}
+    real_provider = bm25mod.merged_stats_provider
+
+    def spy(spark_, stats_paths, score_field):
+        captured["paths"] = list(stats_paths)
+        return real_provider(spark_, stats_paths, score_field)
+
+    monkeypatch.setattr(bm25mod, "merged_stats_provider", spy)
+
+    q = "body:spark AND ts:[2024-05-02T00:00:00Z TO 2024-05-02T23:59:59Z]"
+    df = scored_search_df(spark, catalog, "scored_ts", q, "body", limit=10)
+    rows = df.collect()
+    assert [r.doc_id for r in rows] == [3]
+
+    surviving = [s for s in segs if s.min_day == "2024-05-02"]
+    assert captured["paths"] == [
+        stats_path(config, s.file_name) for s in surviving
+    ], "stats read was not pruned to the surviving segments"
+
+    # one data scan (the surviving segment) + one stats scan — the
+    # pruned siblings never enter the plan (sparkPlan: the AQE
+    # executedPlan string repeats scans in its Initial Plan section)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+
+    # bounds that miss every segment: empty result, scored shape kept
+    missed = scored_search_df(
+        spark, catalog, "scored_ts", "body:spark AND ts:>2030-01-01T00:00:00Z",
+        "body", limit=10,
+    )
+    assert missed.count() == 0 and "_score" in missed.columns

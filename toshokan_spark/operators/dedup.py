@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from toshokan_spark.operators.util import finalize_cached, spread
@@ -712,77 +712,169 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.unionAll(self_edge).distinct()
 
 
+def _local_min_labels(edges: list) -> dict:
+    """Driver-side union-find over (u, v) edge tuples; returns
+    {node: component_min} for every node that appears in an edge."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc that
     appears in a pair gets the component's minimum id as
     ``cluster_id`` (the canonical "keeper"); a real dedup pipeline
     then drops rows where ``doc_id != cluster_id``.
 
+    Hybrid execution: while the (distinct, id-pairs-only) edge count
+    exceeds ``local_threshold`` the graph is contracted with
+    distributed star alternations; once it fits (≤ ~16 MB at the
+    default 10⁶), a driver-side union-find finishes in one pass —
+    each distributed alternation costs several tiny shuffles plus a
+    driver round-trip, which for a small graph is pure scheduling
+    overhead (measured ~1.6 s/round for 250 edges on local[32]).
+    This is the standard two-phase shape for MapReduce connected
+    components (contract distributed, finish local); the collect is
+    bounded by the measured edge count, never data-sized.
+
     Algorithm: alternating large-star / small-star (Kiveris et al.
     2014) — each alternation roughly doubles how far the component
-    minimum has propagated, so convergence is O(log diameter) rounds
-    instead of min-label propagation's O(diameter). The default
-    budget of 20 alternations therefore covers component diameters up
-    to ~2^20 — web-scale dup chains converge in single digits — where
-    the old propagation loop needed one round PER hop and refused on
-    a 30-hop chain. At the fixed point every component is a star
+    minimum has propagated, so convergence is typically O(log
+    diameter) rounds instead of min-label propagation's O(diameter).
+    Per-alternation doubling is a heuristic, not the paper's bound —
+    the proven worst case is O(log² n) rounds — but in practice the
+    default budget of 20 alternations clears any realistic dup graph
+    (web-scale chains converge in single digits), where the old
+    propagation loop needed one round PER hop and refused on a
+    30-hop chain. At the fixed point every component is a star
     centered on its minimum id, read off directly as the labels.
     Per round: two groupBy-min's + two joins, all on bare id pairs —
     id-only shuffles, no payloads.
 
-    Every round is ``localCheckpoint``-ed: iterative DataFrame
-    algorithms otherwise DOUBLE their logical plan per round (each
-    iteration references the previous twice), and after 10 rounds the
-    driver is analyzing a 1000-scan plan — checkpointing truncates
-    the lineage to the materialized partitions, keeping analysis O(1)
-    per round. (On a real cluster with executor churn, swap
-    localCheckpoint for reliable ``checkpoint()`` with a checkpoint
-    dir — same shape, replicated storage.)
+    Every round is lineage-truncated: iterative DataFrame algorithms
+    otherwise DOUBLE their logical plan per round (each iteration
+    references the previous twice), and after 10 rounds the driver is
+    analyzing a 1000-scan plan. The truncation runs through the AQE
+    plan (persist → one Dataset action → ``localCheckpoint`` reading
+    the cached blocks → unpersist, the ``finalize_cached`` recipe): a
+    bare eager ``localCheckpoint`` compiles the physical plan WITHOUT
+    adaptive execution, so every round's half-dozen tiny shuffles
+    would run at the full ``spark.sql.shuffle.partitions`` width
+    instead of AQE-coalescing to a handful of tasks — measured ~2×
+    on the whole loop at sf0.1, and at real scale it would also
+    forfeit AQE skew handling. (On a cluster with executor churn,
+    swap localCheckpoint for reliable ``checkpoint()`` — same shape.)
 
-    Convergence is detected by edge-set stability, which costs one
-    extra verification alternation; that round runs OUTSIDE the
-    ``max_iterations`` budget (``range(max_iterations + 1)``), so all
-    budgeted rounds are productive — a component finishing exactly on
-    round ``max_iterations`` still converges instead of raising.
+    Convergence is detected by edge-set stability. The per-round
+    probe is O(1): the materializing action already aggregates
+    ``(count, bit_xor(xxhash64(u, v)))``, an order-independent
+    set signature, and only when the signature repeats does the
+    definitive ``exceptAll`` check run (once per call, not per
+    round — a signature collision on distinct sets just costs one
+    wasted confirm and the loop continues, so correctness never
+    rests on the hash). The verification alternation runs OUTSIDE
+    the ``max_iterations`` budget (``range(max_iterations + 1)``),
+    so all budgeted rounds are productive — a component finishing
+    exactly on round ``max_iterations`` still converges instead of
+    raising.
     """
+
+    def _materialize(df: DataFrame):
+        """AQE-executed round materialization: returns the
+        lineage-truncated frame plus its (count, xor-of-hashes) set
+        signature, computed by the same action that fills the cache."""
+        df = df.persist()
+        try:
+            n, sig = df.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).first()
+            return df.localCheckpoint(), n, sig
+        finally:
+            df.unpersist()
+
     # canonical u > v edge set; self-pairs carry no connectivity
     e = pairs.select(
         F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
         F.least(F.col(a_col), F.col(b_col)).alias("v"),
     )
-    prev = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev, prev_n, prev_sig = _materialize(
+        e.filter(F.col("u") != F.col("v")).distinct()
+    )
+    spark = pairs.sparkSession
+    id_type = prev.schema["u"].dataType
+    members = None
     converged = False
     for _ in range(max_iterations + 1):
-        cur = _small_star(_large_star(prev)).localCheckpoint()
-        same = (
-            cur.count() == prev.count()
-            and cur.exceptAll(prev).limit(1).count() == 0
-        )
-        if same:
+        if prev_n <= local_threshold:
+            # Small-graph fast path: the edge set (id pairs only — at
+            # the default threshold ≤ ~16 MB) fits the driver, where
+            # union-find labels it in one pass with ZERO per-round
+            # Spark jobs. At corpus scale the loop above this line
+            # runs distributed star alternations until the graph
+            # shrinks under the threshold (each alternation collapses
+            # members onto component minima, so the edge count is
+            # non-increasing after the first round) — the collect is
+            # bounded by construction, never data-sized.
+            labels = _local_min_labels([(r["u"], r["v"]) for r in prev.collect()])
+            members = spark.createDataFrame(
+                list(labels.items()),
+                StructType(
+                    [
+                        StructField("doc_id", id_type),
+                        StructField("cluster_id", id_type),
+                    ]
+                ),
+            )
             converged = True
             break
-        prev = cur
+        cur, cur_n, cur_sig = _materialize(_small_star(_large_star(prev)))
+        if (
+            cur_n == prev_n
+            and cur_sig == prev_sig
+            and cur.exceptAll(prev).limit(1).count() == 0
+        ):
+            converged = True
+            break
+        prev, prev_n, prev_sig = cur, cur_n, cur_sig
     if not converged:
         # a non-stable edge set means some component's minimum has not
         # reached every member — returning would emit SPLIT cluster
-        # ids. With O(log d) rounds this needs a diameter over
-        # 2^max_iterations, so hitting it signals a pathological input
-        # (or a tiny explicit budget), not a tuning problem.
+        # ids. Convergence is roughly exponential in rounds (proven
+        # worst case O(log² n) alternations), so a default budget of
+        # 20 clearing signals a pathological input (or a tiny explicit
+        # budget), not a tuning problem.
         raise ValueError(
             f"duplicate_clusters did not converge in {max_iterations} "
-            f"alternations (component diameter exceeds ~2^{max_iterations}); "
+            f"alternations (convergence is roughly exponential in rounds; "
+            f"worst case O(log² n) rounds — Kiveris et al. 2014); "
             f"increase max_iterations"
         )
-    # fixed point = stars: (member u) -> (center v = component min).
-    # Centers and self-pair-only docs label themselves.
-    members = prev.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
-        F.col("u").alias("doc_id"), "cluster_id"
-    )
+    if members is None:
+        # fixed point = stars: (member u) -> (center v = component
+        # min). Centers and self-pair-only docs label themselves.
+        members = prev.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+            F.col("u").alias("doc_id"), "cluster_id"
+        )
     all_ids = (
         pairs.select(F.col(a_col).alias("doc_id"))
         .unionAll(pairs.select(F.col(b_col).alias("doc_id")))

@@ -160,7 +160,17 @@ def scored_search_df(
     and the term filter pushes down to the stats scan) — so scoring
     costs one scan of the index for MATCHING, zero for stats. Indexes
     with pre-stats segments, or score fields outside the declared
-    text schema, fall back to the full-corpus aggregation."""
+    text schema, fall back to the full-corpus aggregation.
+
+    Time-bounded queries prune at the MANIFEST level before either
+    scan is built (same :func:`_pruned_segments` walk as unscored
+    search): both the match scan and the stats read list only the
+    surviving segments' files, so at 10k segments a one-day query
+    plans and scores against the overlapping few. The corpus for
+    BM25 statistics is therefore the time-bounded corpus — idf is
+    computed over the documents the query can actually reach, which
+    keeps a segment-merge (compaction) from changing scores of
+    time-bounded queries."""
     from toshokan_spark.functions.bm25 import merged_stats_provider, with_bm25
     from toshokan_spark.indexer import stats_path, text_stat_fields
     from toshokan_spark.plans import ast
@@ -168,9 +178,16 @@ def scored_search_df(
 
     config = catalog.get_index(index_name)
     segs = catalog.segments(index_name)
+    node = parse_query(query)
+    lo, hi, segs = _pruned_segments(config, segs, node)
     paths = [join_path(config.path, s.file_name) for s in segs]
     if not paths:
-        return spark.createDataFrame([], config.spark_schema())
+        # keep the scored shape (schema + _score) even when pruning
+        # eliminates every segment
+        return (
+            spark.createDataFrame([], config.spark_schema())
+            .withColumn("_score", F.lit(0.0))
+        )
 
     def positive_terms(node: ast.Node) -> list[str]:
         if isinstance(node, (ast.Term, ast.Phrase)):
@@ -189,7 +206,15 @@ def scored_search_df(
     tokenizer = getattr(fld, "tokenizer", None) or "default"
 
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
-    matched = df.filter(compile_query(query, config, set(df.columns)))
+    pred = compile_query(query, config, set(df.columns))
+    # same partition-level pruning as unscored search: the query's
+    # time bounds also constrain the __day layout inside survivors
+    if config.time_field and "__day" in df.columns:
+        if lo is not None:
+            pred = pred & (F.col("__day") >= F.lit(lo.date()))
+        if hi is not None:
+            pred = pred & (F.col("__day") <= F.lit(hi.date()))
+    matched = df.filter(pred)
 
     provider = None
     if any(n == score_field for n, _ in text_stat_fields(config)):
