@@ -684,6 +684,34 @@ def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(docs)
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher-style repetition/quality rule signals + pass flag."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.gopher_rules(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "frac_alpha_words",
+        "symbol_word_ratio",
+        "dup_line_frac",
+        "top_bigram_frac",
+        "passes",
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incoming-batch dedup against the standing corpus: docs with
+    doc_id % 4 == 0 play the arriving batch, the rest the corpus;
+    each new doc reports its best corpus match at jaccard >= 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return dedup.incremental_jaccard_matches(
+        new_batch, corpus, k=3, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 # ---------------------------------------------------------------------------
@@ -699,8 +727,11 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_image_meta(spark, sf_dir):
+    # codec='stub' pinned: the oracle reproduces the deterministic
+    # content-hash fake; with PIL installed 'auto' would decode for
+    # real and the text blobs would all be NULL-meta
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = multimodal.decode_image_meta(multimodal.attach_blob(docs))
+    out = multimodal.decode_image_meta(multimodal.attach_blob(docs), codec="stub")
     return out.select(
         "doc_id",
         F.col("image_meta.width").cast("long").alias("width"),
@@ -764,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
         # training-data selection
         "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,
@@ -780,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -1131,6 +1164,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
+        # mirrors operators/dedup.py incremental_jaccard_matches: the
+        # doc_id % 4 == 0 slice plays the arriving batch, best corpus
+        # match per new doc, ties by lowest corpus id
+        "dedup_incremental": f"""
+            WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+            corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+            shn AS (SELECT doc_id, {_SHINGLES} AS shingles FROM newb),
+            shc AS (SELECT doc_id, {_SHINGLES} AS shingles FROM corp),
+            exn AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+            exc AS (SELECT doc_id, unnest(shingles) AS s FROM shc),
+            szn AS (SELECT doc_id, len(shingles) AS n FROM shn),
+            szc AS (SELECT doc_id, len(shingles) AS n FROM shc),
+            inter AS (
+              SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS i
+              FROM exn n JOIN exc c ON n.s = c.s GROUP BY 1, 2),
+            j AS (
+              SELECT new_id, corpus_id, i * 1.0 / (sn.n + sc.n - i) AS jac
+              FROM inter
+              JOIN szn sn ON sn.doc_id = new_id
+              JOIN szc sc ON sc.doc_id = corpus_id
+              WHERE i * 1.0 / (sn.n + sc.n - i) >= 0.5),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rn
+              FROM j)
+            SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM r WHERE rn = 1
+        """,
         "sample_documents": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
@@ -1422,6 +1482,52 @@ def oracle_sql() -> dict[str, str]:
                     c -> ord(c)::BIGINT)),
                 (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
             FROM documents
+        """,
+        # mirrors operators/text.py gopher_rules exactly: rounded
+        # metric columns feed the pass conjunction, greatest(n,1)
+        # guards match the Spark side
+        "text_gopher_rules": f"""
+            WITH b AS (
+              SELECT doc_id, text, {_WORDS} AS w,
+                list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id, text, w, lines,
+                len(w) AS n_words,
+                greatest(len(w), 1) AS nd,
+                CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                     ELSE []::VARCHAR[] END AS bg
+              FROM b),
+            -- top-bigram via unnest/group-by (relational, linear) —
+            -- a per-distinct-bigram list_filter lambda is O(n^2) in
+            -- DuckDB's interpreter and took ~90s over 500 docs
+            topbg AS (
+              SELECT doc_id, max(c) AS topc FROM (
+                SELECT doc_id, b, count(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS b FROM m)
+                GROUP BY doc_id, b)
+              GROUP BY doc_id),
+            sel AS (
+              SELECT m.doc_id AS doc_id,
+                n_words::BIGINT AS n_words,
+                round(list_reduce(list_prepend(0::BIGINT,
+                        list_transform(w, x -> length(x)::BIGINT)),
+                      (a, c) -> a + c) * 1.0 / nd, 6) AS mean_word_len,
+                round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / nd, 6) AS frac_alpha_words,
+                round((length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / nd, 6) AS symbol_word_ratio,
+                round((len(lines) - len(list_distinct(lines))) * 1.0
+                      / greatest(len(lines), 1), 6) AS dup_line_frac,
+                CASE WHEN n_words >= 2
+                     THEN round(topbg.topc * 1.0 / (n_words - 1), 6)
+                     ELSE 0.0 END AS top_bigram_frac
+              FROM m LEFT JOIN topbg ON topbg.doc_id = m.doc_id)
+            SELECT *,
+              (n_words >= 10 AND mean_word_len >= 3 AND mean_word_len <= 10
+               AND frac_alpha_words > 0.8 AND symbol_word_ratio < 0.1
+               AND dup_line_frac < 0.3 AND top_bigram_frac < 0.2) AS passes
+            FROM sel
         """,
         "multimodal_meta": """
             SELECT doc_id, strlen(text) AS blob_bytes, sha256(text) AS blob_sha256

@@ -1,0 +1,67 @@
+"""Bench-regression gate: the five most expensive driver queries run
+at sf0.01 and must stay under 2.5× a checked-in wall-time floor.
+
+Why this exists: round 3 shipped a plan regression (a helper
+materialized results through the non-AQE physical plan) that made
+`dedup_minhash_lsh` ~4× slower, and nothing in CI caught it — the
+correctness suite doesn't time anything and the bench only runs
+per-round. This gate would have tripped on that change.
+
+Calibration: floors are ~1.3× the warm best-of-3 measured on the test
+session config (local[4], 8 shuffle partitions, sf0.01) on an idle
+host. The 2.5× multiplier gives total headroom of ~3× over the
+typical warm time — loose enough for this host's episodic CPU-steal
+bursts (each query takes its best of three runs, and a JVM/JIT warmup
+query runs untimed first), tight enough that a 4× plan regression
+still trips every entry.
+
+If a LEGITIMATE change moves a floor (e.g. an operator gains work on
+purpose), re-measure with three warm runs on an idle machine and
+update FLOORS with the new best — don't widen the multiplier.
+"""
+
+import os
+import time
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: query -> wall-time floor in seconds (see calibration note above)
+FLOORS = {
+    "dedup_minhash_lsh": 3.5,
+    "dedup_clusters": 2.4,
+    "select_training_set": 2.9,
+    "dedup_ngram_jaccard": 1.5,
+    "knn_ivf": 2.6,
+}
+MULTIPLIER = 2.5
+RUNS = 3
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.01 testdata absent")
+def test_expensive_queries_within_wall_time_floor(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    # untimed warmup: first JVM/JIT/codegen pass of the session should
+    # not count against any query's budget
+    qs["dedup_ngram_jaccard"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    failures = []
+    for name, floor in FLOORS.items():
+        best = None
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+            if best <= floor * MULTIPLIER:
+                break  # already inside budget — skip remaining runs
+        if best > floor * MULTIPLIER:
+            failures.append(f"{name}: best-of-{RUNS} {best:.2f}s > "
+                            f"{MULTIPLIER}×floor({floor}s)")
+    assert not failures, "bench regression gate tripped:\n" + "\n".join(failures)

@@ -250,10 +250,65 @@ def test_multimodal_roundtrip(spark):
     blobbed = multimodal.attach_blob(df)
     r = blobbed.collect()[0]
     assert bytes(r.blob) == b"abc" and r.blob_bytes == 3
-    meta = multimodal.decode_image_meta(blobbed).collect()[0].image_meta
+    meta = multimodal.decode_image_meta(blobbed, codec="stub").collect()[0].image_meta
     assert 64 <= meta.width <= 255 and meta.channels in (1, 3)
     frames = multimodal.sample_frames(blobbed, every_n_bytes=2, max_frames=4).collect()
     assert [bytes(f.frame) for f in frames] == [b"ab", b"c"]
+
+
+def test_multimodal_codec_selection(spark):
+    """codec='stub' works everywhere; 'real' raises a clear
+    NotImplementedError when PIL is absent; 'auto' matches REAL_CODECS."""
+    df = spark.createDataFrame([Row(doc_id=1, text="xyz")])
+    blobbed = multimodal.attach_blob(df)
+    stub = multimodal.decode_image_meta(blobbed, codec="stub").collect()[0].image_meta
+    auto = multimodal.decode_image_meta(blobbed, codec="auto").collect()[0].image_meta
+    if multimodal.REAL_CODECS:
+        # text bytes are not a decodable image -> real path yields NULL
+        assert auto is None
+    else:
+        assert auto == stub
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.decode_image_meta(blobbed, codec="real")
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.resize_images(blobbed, codec="real")
+    with pytest.raises(ValueError, match="codec"):
+        multimodal.decode_image_meta(blobbed, codec="bogus")
+
+
+@pytest.mark.skipif(
+    not multimodal.REAL_CODECS, reason="PIL not importable in this environment"
+)
+def test_multimodal_real_codec_roundtrip(spark):
+    """Real-branch proof where PIL exists: a genuine PNG decodes to
+    its true dimensions and resizes within the target box; corrupt
+    bytes yield NULL instead of failing the batch."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 200), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [Row(doc_id=1, blob=bytearray(png)),
+         Row(doc_id=2, blob=bytearray(b"not an image"))]
+    )
+    metas = {
+        r.doc_id: r.image_meta
+        for r in multimodal.decode_image_meta(df, codec="real").collect()
+    }
+    assert (metas[1].width, metas[1].height, metas[1].channels) == (320, 200, 3)
+    assert metas[1].format == "PNG"
+    assert metas[2] is None
+
+    resized = {
+        r.doc_id: r.blob
+        for r in multimodal.resize_images(df, target=(64, 64), codec="real").collect()
+    }
+    out = Image.open(io.BytesIO(bytes(resized[1])))
+    assert max(out.size) <= 64 and out.size[0] / out.size[1] == 320 / 200
+    assert resized[2] is None
 
 
 def test_asof_join_semantics(spark):
@@ -609,3 +664,61 @@ def test_poly_udf_signatures_match_sql_spec(spark):
         "id", dedup.simhash_signature(
             F.col("text"), hash_family="poly_expr").alias("s")).collect()}
     assert sf == ss
+
+
+def test_gopher_rules_metrics_and_pass_flag(spark):
+    good = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(5))  # 20 distinct words
+    repeat_bg = "spam ham " * 20  # one bigram dominates
+    symbolic = "### ... ### ... " * 5 + "a b c d e f g h i j"
+    dup_lines = "\n".join(["same line of text"] * 8 + ["unique closer line"])
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=good), Row(doc_id=2, text=repeat_bg),
+         Row(doc_id=3, text=symbolic), Row(doc_id=4, text=dup_lines),
+         Row(doc_id=5, text="short")]
+    )
+    got = {r.doc_id: r for r in textops.gopher_rules(df).collect()}
+    assert got[1].passes  # varied 20-word text clears every rule
+    assert got[1].n_words == 20 and got[1].frac_alpha_words == 1.0
+    # degenerate repetition: 'ham spam' fills ~half the bigrams
+    assert got[2].top_bigram_frac > 0.2 and not got[2].passes
+    # markup debris: hashes + ellipses per word over the 0.1 line
+    assert got[3].symbol_word_ratio > 0.1 and not got[3].passes
+    # 8 of 9 non-blank lines repeat
+    assert got[4].dup_line_frac > 0.3 and not got[4].passes
+    # below the word-count floor
+    assert got[5].n_words == 1 and not got[5].passes
+
+
+def test_incremental_jaccard_matches_best_corpus_match(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=11, text="alpha beta gamma delta epsilon eta"),
+        Row(doc_id=12, text="totally different corpus content here"),
+    ])
+    new = spark.createDataFrame([
+        # near-dup of both 10 and 11; 10 wins on higher overlap
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta theta"),
+        # matches nothing
+        Row(doc_id=101, text="unrelated fresh novel document text"),
+    ])
+    out = {r.new_id: (r.corpus_id, r.jaccard)
+           for r in dedup.incremental_jaccard_matches(new, corpus, threshold=0.3).collect()}
+    assert set(out) == {100}
+    assert out[100][0] == 10 and out[100][1] > 0.5
+    # new x new pairs must never appear: two identical new docs still
+    # only report corpus matches
+    twin = new.union(spark.createDataFrame(
+        [Row(doc_id=102, text="alpha beta gamma delta epsilon zeta theta")]))
+    out2 = {r.new_id for r in
+            dedup.incremental_jaccard_matches(twin, corpus, threshold=0.3).collect()}
+    assert out2 == {100, 102}
+
+
+def test_incremental_jaccard_tie_breaks_lowest_corpus_id(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=21, text="one two three four five"),
+        Row(doc_id=20, text="one two three four five"),  # identical twins
+    ])
+    new = spark.createDataFrame([Row(doc_id=1, text="one two three four five")])
+    (r,) = dedup.incremental_jaccard_matches(new, corpus, threshold=0.5).collect()
+    assert (r.new_id, r.corpus_id, r.jaccard) == (1, 20, 1.0)

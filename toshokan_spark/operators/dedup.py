@@ -270,6 +270,78 @@ def ngram_jaccard_pairs(
     return finalize_cached(out, sh)
 
 
+def incremental_jaccard_matches(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus: for every
+    new doc whose best corpus match has k-shingle Jaccard >=
+    threshold, emit (new_id, corpus_id, jaccard) for that best match
+    (ties on score broken by lowest corpus id). New docs with no
+    match are absent — the caller anti-joins to keep them.
+
+    This is the steady-state shape of corpus-scale dedup: the corpus
+    is ingested once, and each arriving batch is checked against it —
+    never corpus x corpus. The join is strictly new x corpus on
+    shingle values, so its size is bounded by the BATCH's shingle
+    fan-out, not the corpus's; at 100 TB the corpus-side shingle
+    projection (and the frequency cap counts) would come from a
+    precomputed shingle table maintained at ingest, leaving one
+    shuffle keyed on the small batch's shingles. ``max_shingle_freq``
+    drops shingles whose CORPUS frequency exceeds the cap
+    (boilerplate lives in the corpus) from both sides, bounding any
+    single shingle's join fan-out.
+    """
+    shn = (
+        spread(new_df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", shingles_col(F.col(text_col), k).alias("sh"))
+        .persist()  # sizes + join side
+    )
+    shc = (
+        spread(corpus_df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", shingles_col(F.col(text_col), k).alias("sh"))
+        .persist()
+    )
+    exn = shn.select("id", F.explode("sh").alias("s"))
+    exc = shc.select("id", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            exc.groupBy("s").count().filter(F.col("count") <= max_shingle_freq).select("s")
+        )
+        exn = exn.join(freq_ok, "s")
+        exc = exc.join(freq_ok, "s")
+    inter = (
+        exn.alias("n")
+        .join(exc.alias("c"), F.col("n.s") == F.col("c.s"))
+        .groupBy(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    szn = shn.select(F.col("id").alias("new_id"), F.size("sh").alias("nn"))
+    szc = shc.select(F.col("id").alias("corpus_id"), F.size("sh").alias("nc"))
+    j = (
+        inter.join(szn, "new_id")
+        .join(szc, "corpus_id")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("nn") + F.col("nc") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    out = (
+        j.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return finalize_cached(out, shn, shc)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -812,50 +884,67 @@ def duplicate_clusters(
         finally:
             df.unpersist()
 
-    # canonical u > v edge set; self-pairs carry no connectivity
+    spark = pairs.sparkSession
+    members = None
+    converged = False
+
+    # canonical u > v edge set; self-pairs carry no connectivity.
+    # The initial distinct is persisted and counted WITHOUT a
+    # localCheckpoint: when the count already fits the local
+    # threshold (the common case for post-dedup pair sets) the edges
+    # go straight from cache to the driver and the checkpoint job
+    # never runs.
     e = pairs.select(
         F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
         F.least(F.col(a_col), F.col(b_col)).alias("v"),
     )
-    prev, prev_n, prev_sig = _materialize(
-        e.filter(F.col("u") != F.col("v")).distinct()
-    )
-    spark = pairs.sparkSession
-    id_type = prev.schema["u"].dataType
-    members = None
-    converged = False
-    for _ in range(max_iterations + 1):
-        if prev_n <= local_threshold:
-            # Small-graph fast path: the edge set (id pairs only — at
-            # the default threshold ≤ ~16 MB) fits the driver, where
-            # union-find labels it in one pass with ZERO per-round
-            # Spark jobs. At corpus scale the loop above this line
-            # runs distributed star alternations until the graph
-            # shrinks under the threshold (each alternation collapses
-            # members onto component minima, so the edge count is
-            # non-increasing after the first round) — the collect is
-            # bounded by construction, never data-sized.
-            labels = _local_min_labels([(r["u"], r["v"]) for r in prev.collect()])
-            members = spark.createDataFrame(
-                list(labels.items()),
-                StructType(
-                    [
-                        StructField("doc_id", id_type),
-                        StructField("cluster_id", id_type),
-                    ]
-                ),
-            )
-            converged = True
-            break
-        cur, cur_n, cur_sig = _materialize(_small_star(_large_star(prev)))
-        if (
-            cur_n == prev_n
-            and cur_sig == prev_sig
-            and cur.exceptAll(prev).limit(1).count() == 0
-        ):
-            converged = True
-            break
-        prev, prev_n, prev_sig = cur, cur_n, cur_sig
+    e_dist = e.filter(F.col("u") != F.col("v")).distinct().persist()
+    prev_n = e_dist.count()
+    id_type = e_dist.schema["u"].dataType
+
+    def _finish_local(edge_df: DataFrame) -> DataFrame:
+        # Small-graph fast path: the edge set (id pairs only — at
+        # the default threshold ≤ ~16 MB) fits the driver, where
+        # union-find labels it in one pass with ZERO per-round
+        # Spark jobs. At corpus scale the distributed star loop runs
+        # until the graph shrinks under the threshold (each
+        # alternation collapses members onto component minima, so
+        # the edge count is non-increasing after the first round) —
+        # the collect is bounded by the just-measured edge count,
+        # never data-sized.
+        labels = _local_min_labels([(r["u"], r["v"]) for r in edge_df.collect()])
+        return spark.createDataFrame(
+            list(labels.items()),
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("cluster_id", id_type),
+                ]
+            ),
+        )
+
+    if prev_n <= local_threshold:
+        members = _finish_local(e_dist)
+        e_dist.unpersist()
+        converged = True
+    else:
+        prev = e_dist.localCheckpoint()
+        e_dist.unpersist()
+        prev_sig = object()  # round-0 sentinel: never equals a real signature
+        for _ in range(max_iterations + 1):
+            cur, cur_n, cur_sig = _materialize(_small_star(_large_star(prev)))
+            if cur_n <= local_threshold:
+                members = _finish_local(cur)
+                converged = True
+                break
+            if (
+                cur_n == prev_n
+                and cur_sig == prev_sig
+                and cur.exceptAll(prev).limit(1).count() == 0
+            ):
+                converged = True
+                break
+            prev, prev_n, prev_sig = cur, cur_n, cur_sig
     if not converged:
         # a non-stable edge set means some component's minimum has not
         # reached every member — returning would emit SPLIT cluster

@@ -134,6 +134,109 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality filter signals (Rae et al.
+    2021, "Scaling Language Models" appendix A — the public
+    rule-based quality suite most training pipelines start from),
+    reduced to SQL-expressible Column algebra:
+
+    * ``n_words``, ``mean_word_len`` — length plausibility;
+    * ``frac_alpha_words`` — fraction of words containing a letter
+      (drops symbol/number soup);
+    * ``symbol_word_ratio`` — ``#`` chars + ``...`` runs per word
+      (markup/navigation debris);
+    * ``dup_line_frac`` — fraction of non-blank lines that repeat
+      (boilerplate repetition);
+    * ``top_bigram_frac`` — share of the most frequent word bigram
+      (degenerate repetition);
+    * ``passes`` — the conjunction at (corpus-scaled) thresholds.
+
+    Narrow projections, no shuffle, no UDFs; every formula is
+    mirrored verbatim in the DuckDB oracle. Thresholds follow the
+    paper's shape with the word-count floor scaled to this corpus's
+    short documents (10 words instead of 50).
+
+    Evaluation-cost note: the word/bigram arrays are STAGED as real
+    projected columns instead of inlined expressions. Higher-order
+    lambdas are excluded from Catalyst subexpression elimination, so
+    an inlined ``words`` expression re-splits the document inside
+    every bigram element (O(n³) interpreted work per row — measured
+    ~90 s for 500 docs); a projected column is computed once per row
+    and referenced as a bound attribute, and CollapseProject leaves
+    the stages alone because merging would duplicate the expensive
+    expressions.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        words_col(F.col(text_col)).alias("__w"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+        ).alias("__lines"),
+    ).withColumn("__n", F.size("__w"))
+    staged = staged.withColumn(
+        "__bg",
+        F.when(
+            F.col("__n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("__w"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("__w"), i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    n = F.col("__n")
+    nd = F.greatest(n, F.lit(1))  # identical guard in the oracle SQL
+    sum_len = F.aggregate(
+        F.transform(F.col("__w"), F.length), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    mean_word_len = F.round(sum_len / nd, 6)
+    n_alpha = F.size(F.filter(F.col("__w"), lambda t: t.rlike("[A-Za-z]")))
+    frac_alpha = F.round(n_alpha / nd, 6)
+    n_hash = F.length(F.col("__t")) - F.length(
+        F.regexp_replace(F.col("__t"), "#", "")
+    )
+    n_ellipsis = F.regexp_count(F.col("__t"), F.lit(r"\.\.\."))
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nd, 6)
+    nl = F.greatest(F.size(F.col("__lines")), F.lit(1))
+    dup_line_frac = F.round(
+        (F.size(F.col("__lines")) - F.size(F.array_distinct(F.col("__lines")))) / nl, 6
+    )
+    top_bg = F.when(
+        n >= 2,
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("__bg")),
+                lambda b: F.size(F.filter(F.col("__bg"), lambda x: x == b)),
+            )
+        )
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    top_bigram_frac = F.round(top_bg, 6)
+    passes = (
+        (n >= 10)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (frac_alpha > 0.8)
+        & (symbol_ratio < 0.1)
+        & (dup_line_frac < 0.3)
+        & (top_bigram_frac < 0.2)
+    )
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        passes.alias("passes"),
+    )
+
+
 # -- PII scrubbing -----------------------------------------------------------
 
 #: regex patterns chosen to behave identically under Java regex

@@ -2,8 +2,10 @@
 API — the closest this sandbox gets to the reference's live-broker
 integration tests (`/root/reference/tests/kafka_indexing.rs:143-329`).
 
-The "broker" is a directory of append-only topic logs:
-``<dir>/<topic>.jsonl``, one message per line as
+The "broker" is a directory of append-only topic logs. A topic is
+either a single file ``<dir>/<topic>.jsonl`` (one partition, id 0) or
+a sharded set ``<dir>/<topic>-p<N>.jsonl`` (one file per partition,
+like a real topic's partition logs). Messages are one per line as
 ``{"key": str|null, "value": str|null}`` (``value: null`` is a
 tombstone, like a compacted-topic delete). The emulator exposes the
 Kafka connector's wire schema (key/value binary, topic, partition,
@@ -15,18 +17,24 @@ commits — execute end-to-end in tests instead of being asserted by
 configuration. Swap it in via ``spark.toshokan.kafka.format`` (see
 ``kafka.py``); production sessions never touch it.
 
-Offsets are line numbers (single partition 0): ``startingOffsets``
-honors ``earliest``/``latest`` exactly as the connector does, batch
-reads run earliest -> current EOF, and the stream reader hands Spark
-``{"offset": N}`` checkpoints — a restarted query resumes from its
-checkpoint, not from the log head.
+Offsets are per-partition line numbers, exactly the connector's
+model: batch reads plan ONE input split per partition (earliest ->
+current EOF, executed in parallel like the real source's
+topic-partition splits), and the stream reader hands Spark
+``{"<pid>": N, ...}`` checkpoints — a restarted query resumes every
+partition from its own checkpointed offset, not from the log head.
+``startingOffsets`` honors ``earliest``/``latest`` per partition.
+Partitions that appear after a checkpoint was taken resume from 0
+(the connector's new-partition behavior).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-from typing import Iterator, Tuple
+import re
+from typing import Iterator, List, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,12 +49,22 @@ SCHEMA = (
 )
 
 
-def _topic_file(options: dict) -> str:
+def _broker_layout(options: dict) -> List[Tuple[int, str]]:
+    """[(partition_id, log_path)] for the topic — the sharded
+    ``<topic>-p<N>.jsonl`` layout when present, else the single-file
+    ``<topic>.jsonl`` as partition 0."""
     d = options.get("path")
     topic = options.get("subscribe")
     if not d or not topic:
         raise ValueError("fake_kafka needs 'path' and 'subscribe' options")
-    return os.path.join(d, f"{topic}.jsonl")
+    sharded = []
+    for p in glob.glob(os.path.join(d, f"{topic}-p*.jsonl")):
+        m = re.fullmatch(rf"{re.escape(topic)}-p(\d+)\.jsonl", os.path.basename(p))
+        if m:
+            sharded.append((int(m.group(1)), p))
+    if sharded:
+        return sorted(sharded)
+    return [(0, os.path.join(d, f"{topic}.jsonl"))]
 
 
 def _read_log(path: str) -> list[dict]:
@@ -56,56 +74,87 @@ def _read_log(path: str) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
-def _row(topic: str, offset: int, msg: dict) -> Tuple:
+def _row(topic: str, pid: int, offset: int, msg: dict) -> Tuple:
     key = msg.get("key")
     val = msg.get("value")
     return (
         key.encode("utf-8") if key is not None else None,
         val.encode("utf-8") if val is not None else None,
         topic,
-        0,
+        pid,
         offset,
     )
+
+
+class _TopicPartition(InputPartition):
+    def __init__(self, pid: int, path: str):
+        self.pid = pid
+        self.path = path
 
 
 class _BatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = options
 
-    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+    def partitions(self) -> List[InputPartition]:
+        # one input split per topic partition — the planner
+        # parallelizes partitions exactly like the real connector's
+        # topic-partition splits
+        return [_TopicPartition(pid, p) for pid, p in _broker_layout(self.options)]
+
+    def read(self, partition: _TopicPartition) -> Iterator[Tuple]:
         topic = self.options["subscribe"]
-        msgs = _read_log(_topic_file(self.options))
+        msgs = _read_log(partition.path)
         # batch mode: earliest -> EOF, the connector's
         # startingOffsets=earliest / endingOffsets=latest contract
         start = 0
         if self.options.get("startingOffsets", "earliest") == "latest":
             start = len(msgs)
         for i, m in enumerate(msgs[start:], start=start):
-            yield _row(topic, i, m)
+            yield _row(topic, partition.pid, i, m)
 
 
 class _StreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = options
 
+    def _eof(self) -> dict:
+        return {
+            str(pid): len(_read_log(p)) for pid, p in _broker_layout(self.options)
+        }
+
     def initialOffset(self) -> dict:
         if self.options.get("startingOffsets", "latest") == "earliest":
-            return {"offset": 0}
-        return {"offset": len(_read_log(_topic_file(self.options)))}
+            return {str(pid): 0 for pid, _ in _broker_layout(self.options)}
+        return self._eof()
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         topic = self.options["subscribe"]
-        msgs = _read_log(_topic_file(self.options))
-        lo = int(start["offset"])
-        rows = iter([_row(topic, i, m) for i, m in enumerate(msgs[lo:], start=lo)])
-        return rows, {"offset": len(msgs)}
+        end = {}
+        rows: list[Tuple] = []
+        for pid, path in _broker_layout(self.options):
+            msgs = _read_log(path)
+            # a partition created after the checkpoint starts at 0
+            lo = int(start.get(str(pid), 0))
+            rows.extend(
+                _row(topic, pid, i, m) for i, m in enumerate(msgs[lo:], start=lo)
+            )
+            end[str(pid)] = len(msgs)
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        # checkpoint replay of a committed-but-unprocessed range
+        # checkpoint replay of a committed-but-unprocessed range,
+        # per partition
         topic = self.options["subscribe"]
-        msgs = _read_log(_topic_file(self.options))
-        lo, hi = int(start["offset"]), int(end["offset"])
-        return iter([_row(topic, i, m) for i, m in enumerate(msgs[lo:hi], start=lo)])
+        rows: list[Tuple] = []
+        for pid, path in _broker_layout(self.options):
+            msgs = _read_log(path)
+            lo = int(start.get(str(pid), 0))
+            hi = int(end.get(str(pid), len(msgs)))
+            rows.extend(
+                _row(topic, pid, i, m) for i, m in enumerate(msgs[lo:hi], start=lo)
+            )
+        return iter(rows)
 
 
 class FakeKafkaDataSource(DataSource):
