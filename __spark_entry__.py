@@ -712,6 +712,22 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """The sub-linear incremental path: the corpus side is the
+    PRECOMPUTED (id, shingles, signature) product of
+    corpus_minhash_signatures — hashed once at ingest in a real
+    deployment — and the arriving batch band-joins against it.
+    SQL-auditable poly family, so signatures, band keys, candidates
+    and verified scores all get the value oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    corpus_sigs = dedup.corpus_minhash_signatures(corpus, hash_family="poly")
+    return dedup.incremental_minhash_matches(
+        new_batch, corpus_sigs, threshold=0.5, hash_family="poly"
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 # ---------------------------------------------------------------------------
@@ -796,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         # training-data selection
         "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,
@@ -1191,6 +1208,51 @@ def oracle_sql() -> dict[str, str]:
               FROM j)
             SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM r WHERE rn = 1
         """,
+        # mirrors dedup.incremental_minhash_matches with the poly
+        # family: corpus signatures precomputed, batch band-joins in,
+        # exact-jaccard verify, best match per new doc
+        "dedup_incremental_minhash": f"""
+            WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+            corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+            shn AS (SELECT doc_id, {_SHINGLES} AS shingles FROM newb),
+            shc AS (SELECT doc_id, {_SHINGLES} AS shingles FROM corp),
+            hsn AS (
+              SELECT doc_id, shingles,
+                list_transform(shingles, s -> {_poly_sql('s', 31, 0, 1_000_000_007)}) AS h1,
+                list_transform(shingles, s -> {_poly_sql('s', 37, 7, 1_000_000_007)}) AS h2
+              FROM shn),
+            hsc AS (
+              SELECT doc_id, shingles,
+                list_transform(shingles, s -> {_poly_sql('s', 31, 0, 1_000_000_007)}) AS h1,
+                list_transform(shingles, s -> {_poly_sql('s', 37, 7, 1_000_000_007)}) AS h2
+              FROM shc),
+            sign AS (SELECT doc_id, [{_MH_SIGS}] AS sig FROM hsn),
+            sigc AS (SELECT doc_id, [{_MH_SIGS}] AS sig FROM hsc),
+            bn AS (
+              SELECT doc_id, b.band,
+                array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS key
+              FROM sign, (SELECT unnest(range(0, 32)) AS band) b),
+            bc AS (
+              SELECT doc_id, b.band,
+                array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS key
+              FROM sigc, (SELECT unnest(range(0, 32)) AS band) b),
+            cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM bn n JOIN bc c
+                ON n.band = c.band AND n.key = c.key AND n.doc_id <> c.doc_id),
+            j AS (
+              SELECT cand.new_id, cand.corpus_id,
+                len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+              FROM cand
+              JOIN shn sa ON sa.doc_id = cand.new_id
+              JOIN shc sb ON sb.doc_id = cand.corpus_id),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rn
+              FROM j WHERE jac >= 0.5)
+            SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM r WHERE rn = 1
+        """,
         "sample_documents": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
@@ -1491,14 +1553,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text, {_WORDS} AS w,
                 list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
               FROM documents),
+            -- ws: the 1000-word repetition window (gopher_rules's
+            -- repetition_window default), full doc when shorter
+            bw AS (
+              SELECT *, list_slice(w, 1, 1000) AS ws FROM b),
             m AS (
               SELECT doc_id, text, w, lines,
                 len(w) AS n_words,
                 greatest(len(w), 1) AS nd,
-                CASE WHEN len(w) >= 2
-                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                len(ws) AS n_win,
+                CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])
                      ELSE []::VARCHAR[] END AS bg
-              FROM b),
+              FROM bw),
             -- top-bigram via unnest/group-by (relational, linear) —
             -- a per-distinct-bigram list_filter lambda is O(n^2) in
             -- DuckDB's interpreter and took ~90s over 500 docs
@@ -1519,8 +1587,8 @@ def oracle_sql() -> dict[str, str]:
                        + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / nd, 6) AS symbol_word_ratio,
                 round((len(lines) - len(list_distinct(lines))) * 1.0
                       / greatest(len(lines), 1), 6) AS dup_line_frac,
-                CASE WHEN n_words >= 2
-                     THEN round(topbg.topc * 1.0 / (n_words - 1), 6)
+                CASE WHEN n_win >= 2
+                     THEN round(topbg.topc * 1.0 / (n_win - 1), 6)
                      ELSE 0.0 END AS top_bigram_frac
               FROM m LEFT JOIN topbg ON topbg.doc_id = m.doc_id)
             SELECT *,

@@ -722,3 +722,30 @@ def test_incremental_jaccard_tie_breaks_lowest_corpus_id(spark):
     new = spark.createDataFrame([Row(doc_id=1, text="one two three four five")])
     (r,) = dedup.incremental_jaccard_matches(new, corpus, threshold=0.5).collect()
     assert (r.new_id, r.corpus_id, r.jaccard) == (1, 20, 1.0)
+
+
+def test_incremental_minhash_matches_vs_precomputed_sigs(spark):
+    """Band-joining a batch against precomputed corpus signatures
+    finds the same matches the exact incremental operator reports
+    (identical docs collide in every band; verification is exact)."""
+    corpus = spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=11, text="alpha beta gamma delta epsilon eta"),
+        Row(doc_id=12, text="totally different corpus content here"),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta theta"),
+        Row(doc_id=101, text="unrelated fresh novel document text"),
+    ])
+    sigs = dedup.corpus_minhash_signatures(corpus)
+    got = {r.new_id: (r.corpus_id, r.jaccard)
+           for r in dedup.incremental_minhash_matches(new, sigs, threshold=0.3).collect()}
+    exact = {r.new_id: (r.corpus_id, r.jaccard)
+             for r in dedup.incremental_jaccard_matches(new, corpus, threshold=0.3).collect()}
+    assert got == exact and set(got) == {100}
+    # poly family agrees with the production xxhash family
+    psigs = dedup.corpus_minhash_signatures(corpus, hash_family="poly")
+    pgot = {r.new_id: (r.corpus_id, r.jaccard)
+            for r in dedup.incremental_minhash_matches(
+                new, psigs, threshold=0.3, hash_family="poly").collect()}
+    assert pgot == got

@@ -424,6 +424,153 @@ def minhash_signatures(
     )
 
 
+def _band_key(sig_col: str, b: int, r: int, hash_family: str) -> Column:
+    """LSH band key for band ``b``: the r signature slots joined as a
+    string; narrowed to an 8-byte xxhash64 for the production family,
+    kept raw for the SQL-auditable poly family."""
+    joined = F.array_join(
+        F.transform(F.slice(sig_col, b * r + 1, r), lambda x: x.cast("string")),
+        ",",
+    )
+    return joined if hash_family.startswith("poly") else F.xxhash64(joined)
+
+
+def _banded(sig_df: DataFrame, bands: int, r: int, hash_family: str) -> DataFrame:
+    """(id, sig) -> (id, band, key) via one explode — each row fans
+    out to ``bands`` (band, key) rows in a single projection."""
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key("sig", b, r, hash_family).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def corpus_minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    k: int = 3,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """The INGEST-TIME product for incremental dedup: (id, sh, sig)
+    computed in one narrow pass, meant to be written alongside the
+    corpus (like the per-segment BM25 ``_stats``) so arriving batches
+    are matched against stored signatures instead of re-hashing the
+    corpus per batch. ``sh`` (the shingle set) rides along because
+    candidate verification needs it; at 100 TB you would persist this
+    frame partitioned/bucketed by id and let the verify join read
+    only the candidate ids."""
+    sh_df = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", shingles_col(F.col(text_col), k).alias("sh")
+    )
+    if hash_family == "poly":
+        return sh_df.select(
+            "id", "sh", _minhash_poly_sig_udf(num_hashes)(F.col("sh")).alias("sig")
+        )
+    M = (1 << 31) - 1
+    if hash_family == "poly_expr":
+        h1 = F.transform(F.col("sh"), lambda s: poly_hash(s, 31, 0))
+        h2 = F.transform(F.col("sh"), lambda s: poly_hash(s, 37, 7))
+    else:
+        h1 = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(M)))
+        h2 = F.transform(
+            F.col("sh"), lambda s: F.pmod(F.xxhash64(F.lit(-1), s), F.lit(M))
+        )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.zip_with(
+                F.col("__h1"), F.col("__h2"), lambda a, b: F.pmod(a + i * b, F.lit(M))
+            )
+        ),
+    )
+    return sh_df.select("id", "sh", h1.alias("__h1"), h2.alias("__h2")).select(
+        "id", "sh", sig.alias("sig")
+    )
+
+
+def incremental_minhash_matches(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_band_freq: Optional[int] = 1000,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Sub-linear incremental dedup: match an ARRIVING batch against a
+    corpus's PRECOMPUTED MinHash signatures
+    (:func:`corpus_minhash_signatures`) — the steady-state shape at
+    100 TB, where the corpus is hashed once at ingest and each batch
+    only pays its own signature build plus a band-bucket join whose
+    size is driven by the batch, never corpus × corpus. Candidates
+    are verified with exact Jaccard; the best corpus match per new
+    doc is returned as (new_id, corpus_id, jaccard), ties broken by
+    lowest corpus id. ``max_band_freq`` drops CORPUS band buckets
+    larger than the cap (a degenerate bucket of 10⁵ docs would
+    otherwise fan every colliding new doc into 10⁵ candidates).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    ns = corpus_minhash_signatures(
+        new_df, id_col, text_col, num_hashes, k, hash_family
+    ).persist()  # banded fan-out + verify both read it
+    banded_n = _banded(ns, bands, r, hash_family)
+    banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
+    if max_band_freq is not None:
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        banded_c = (
+            banded_c.withColumn("__bn", bucket_n)
+            .filter(F.col("__bn") <= max_band_freq)
+            .drop("__bn")
+        )
+    cand = (
+        banded_n.alias("n")
+        .join(
+            banded_c.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.key") == F.col("c.key"))
+            & (F.col("n.id") != F.col("c.id")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    shn = ns.select(F.col("id").alias("new_id"), F.col("sh").alias("shn"))
+    shc = corpus_sigs.select(F.col("id").alias("corpus_id"), F.col("sh").alias("shc"))
+    j = (
+        cand.join(shn, "new_id")
+        .join(shc, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("shn", "shc"))
+            / F.size(F.array_union("shn", "shc")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    out = (
+        j.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return finalize_cached(out, ns)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -465,27 +612,7 @@ def minhash_lsh_pairs(
     # persist: the band fan-out references sig 2×bands times and
     # lambda expressions don't get subexpression elimination
     sig = minhash_signatures(sh_df, num_hashes, hash_family=hash_family).persist()
-
-    def band_key(b: int) -> Column:
-        joined = F.array_join(
-            F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
-            ",",
-        )
-        # narrow the shuffle key to 8 bytes in production; keep the
-        # raw string for the auditable family
-        return joined if hash_family.startswith("poly") else F.xxhash64(joined)
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded(sig, bands, r, hash_family)
 
     if max_band_freq is not None:
         # one extra count-shuffle on the (already shuffled) band keys
@@ -913,7 +1040,7 @@ def duplicate_clusters(
         # the collect is bounded by the just-measured edge count,
         # never data-sized.
         labels = _local_min_labels([(r["u"], r["v"]) for r in edge_df.collect()])
-        return spark.createDataFrame(
+        local = spark.createDataFrame(
             list(labels.items()),
             StructType(
                 [
@@ -922,6 +1049,11 @@ def duplicate_clusters(
                 ]
             ),
         )
+        # createDataFrame parallelizes an RDD with UNKNOWN size stats,
+        # so the final label join would plan a sort-merge exchange of
+        # all_ids; the label table is bounded by local_threshold —
+        # broadcast it explicitly
+        return F.broadcast(local)
 
     if prev_n <= local_threshold:
         members = _finish_local(e_dist)

@@ -134,7 +134,12 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
-def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    repetition_window: int = 1000,
+) -> DataFrame:
     """Gopher-style repetition/quality filter signals (Rae et al.
     2021, "Scaling Language Models" appendix A — the public
     rule-based quality suite most training pipelines start from),
@@ -165,6 +170,12 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     and referenced as a bound attribute, and CollapseProject leaves
     the stages alone because merging would duplicate the expensive
     expressions.
+
+    ``repetition_window`` caps the top-bigram analysis to the first N
+    words: the distinct-bigram count is O(window²) comparisons per
+    row, which is bounded work at the default 1000 but would be 10⁸
+    per row on a pathological 10k-word document. Documents shorter
+    than the window (all of this corpus) are analyzed in full.
     """
     staged = df.select(
         F.col(id_col),
@@ -175,15 +186,18 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         ).alias("__lines"),
     ).withColumn("__n", F.size("__w"))
     staged = staged.withColumn(
+        "__ws", F.slice(F.col("__w"), 1, repetition_window)
+    ).withColumn("__nw", F.size("__ws"))
+    staged = staged.withColumn(
         "__bg",
         F.when(
-            F.col("__n") >= 2,
+            F.col("__nw") >= 2,
             F.transform(
-                F.sequence(F.lit(1), F.col("__n") - 1),
+                F.sequence(F.lit(1), F.col("__nw") - 1),
                 lambda i: F.concat(
-                    F.element_at(F.col("__w"), i),
+                    F.element_at(F.col("__ws"), i),
                     F.lit(" "),
-                    F.element_at(F.col("__w"), i + 1),
+                    F.element_at(F.col("__ws"), i + 1),
                 ),
             ),
         ).otherwise(F.array().cast("array<string>")),
@@ -206,14 +220,14 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         (F.size(F.col("__lines")) - F.size(F.array_distinct(F.col("__lines")))) / nl, 6
     )
     top_bg = F.when(
-        n >= 2,
+        F.col("__nw") >= 2,
         F.array_max(
             F.transform(
                 F.array_distinct(F.col("__bg")),
                 lambda b: F.size(F.filter(F.col("__bg"), lambda x: x == b)),
             )
         )
-        / (n - 1),
+        / (F.col("__nw") - 1),
     ).otherwise(F.lit(0.0))
     top_bigram_frac = F.round(top_bg, 6)
     passes = (
