@@ -571,6 +571,24 @@ def q_select_training_set(spark, sf_dir):
     )
 
 
+def q_source_token_profile(spark, sf_dir):
+    """Per-source token-count distribution (exact percentiles)."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    out = sampling.source_token_profile(with_tokens)
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "p50_tokens", "p90_tokens", "p95_tokens",
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction counts + cleaned text. The synthetic corpus has
     no natural PII, so a deterministic contact line is appended per
@@ -817,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,
         "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
         "pii_scrub": q_pii_scrub,
         "select_training_set": q_select_training_set,
         # similarity search
@@ -1284,6 +1303,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens,
                    round(scaled / total_scaled::DOUBLE, 6) AS weight
             FROM sc, tot
+        """,
+        "source_token_profile": f"""
+            -- ::BIGINT: DuckDB sums/counts to HUGEINT; quantile_cont's
+            -- linear interpolation matches Spark's exact percentile
+            -- repr-for-repr (both sort + interpolate in doubles)
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len({_WORDS}))::BIGINT AS total_tokens,
+                   quantile_cont(len({_WORDS}), 0.5) AS p50_tokens,
+                   quantile_cont(len({_WORDS}), 0.9) AS p90_tokens,
+                   quantile_cont(len({_WORDS}), 0.95) AS p95_tokens,
+                   max(len({_WORDS}))::BIGINT AS max_tokens
+            FROM documents GROUP BY source
         """,
         "select_training_set": f"""
             WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),

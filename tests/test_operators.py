@@ -749,3 +749,20 @@ def test_incremental_minhash_matches_vs_precomputed_sigs(spark):
             for r in dedup.incremental_minhash_matches(
                 new, psigs, threshold=0.3, hash_family="poly").collect()}
     assert pgot == got
+
+
+def test_source_token_profile_exact_percentiles(spark):
+    from toshokan_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [Row(source="a", n_tokens=t) for t in (10, 20, 30, 40)]
+        + [Row(source="b", n_tokens=t) for t in (5, 100)]
+    )
+    got = {r.source: r for r in sampling.source_token_profile(df).collect()}
+    # linear interpolation: p50 of [10,20,30,40] = 25.0
+    assert got["a"].p50_tokens == 25.0
+    assert got["a"].n_docs == 4 and got["a"].total_tokens == 100
+    assert got["a"].max_tokens == 40
+    # p95 of [10,20,30,40]: pos=0.95*3=2.85 -> 30 + 0.85*10 = 38.5
+    assert abs(got["a"].p95_tokens - 38.5) < 1e-12
+    assert got["b"].p50_tokens == 52.5 and got["b"].max_tokens == 100

@@ -135,3 +135,32 @@ def source_mixture(
             ).alias("weight"),
         )
     )
+
+
+def source_token_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source token-count distribution profile: doc count, total,
+    and exact p50/p90/p95 percentiles (linear interpolation) plus the
+    max — the "know your corpus" step that precedes mixture weighting
+    and budget packing (spotting a source whose p95 dwarfs its median
+    is how outlier-document problems surface before training).
+
+    Exact ``percentile`` (sort-based within each group), not
+    ``approx_percentile``: per-group sort cost is what makes the
+    values engine-reproducible (DuckDB's ``quantile_cont`` computes
+    the identical interpolation — verified repr-equal). At 100 TB the
+    group count (sources) is tiny, so the single groupBy shuffle is
+    keyed well; for percentiles over high-cardinality groups swap in
+    ``approx_percentile`` and drop the oracle to rows-only.
+    """
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col)).alias("total_tokens"),
+        F.percentile(F.col(tokens_col), F.lit(0.5)).alias("p50_tokens"),
+        F.percentile(F.col(tokens_col), F.lit(0.9)).alias("p90_tokens"),
+        F.percentile(F.col(tokens_col), F.lit(0.95)).alias("p95_tokens"),
+        F.max(F.col(tokens_col)).alias("max_tokens"),
+    )

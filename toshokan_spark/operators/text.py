@@ -219,15 +219,31 @@ def gopher_rules(
     dup_line_frac = F.round(
         (F.size(F.col("__lines")) - F.size(F.array_distinct(F.col("__lines")))) / nl, 6
     )
-    top_bg = F.when(
-        F.col("__nw") >= 2,
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("__bg")),
-                lambda b: F.size(F.filter(F.col("__bg"), lambda x: x == b)),
-            )
+    # top-bigram count = longest equal run in the SORTED bigram array:
+    # O(n log n) compares per row instead of the O(distinct × n)
+    # nested filter (the count is identical — duplicates are adjacent
+    # once sorted)
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _run_step(a, x):
+        nxt = F.when(x == a.getField("prev"), a.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
         )
-        / (F.col("__nw") - 1),
+        return F.struct(
+            x.alias("prev"),
+            nxt.alias("run"),
+            F.greatest(a.getField("best"), nxt).alias("best"),
+        )
+
+    top_count = F.aggregate(F.array_sort(F.col("__bg")), run0, _run_step).getField(
+        "best"
+    )
+    top_bg = F.when(
+        F.col("__nw") >= 2, top_count / (F.col("__nw") - 1)
     ).otherwise(F.lit(0.0))
     top_bigram_frac = F.round(top_bg, 6)
     passes = (
