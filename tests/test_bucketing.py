@@ -1,0 +1,84 @@
+"""Bucketed signature store: the 100 TB lever for incremental dedup —
+the corpus side of id-keyed joins must come off disk pre-partitioned
+(no Exchange on the stored side), so each arriving batch shuffles
+only itself. These tests pin the seam: bucket metadata survives the
+write, the join plan carries no exchange on the bucketed side, and
+the results are identical to the unbucketed path.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from toshokan_spark.operators import dedup
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=11, text="alpha beta gamma delta epsilon eta"),
+            Row(doc_id=12, text="totally different corpus content here"),
+        ]
+    )
+
+
+def test_bucketed_signature_join_has_no_exchange_on_stored_side(
+    spark, corpus, tmp_path
+):
+    sigs = dedup.corpus_minhash_signatures(corpus)
+    dedup.write_bucketed_signatures(
+        sigs, "bucketed_sigs_t1", str(tmp_path / "sigs"), buckets=4
+    )
+    try:
+        stored = spark.table("bucketed_sigs_t1")
+        # id-keyed join against the store: the probe side is tiny and
+        # explicitly repartitioned INTO the store's bucketing, so the
+        # stored side needs no Exchange — only the probe side moves
+        probe = spark.createDataFrame([Row(id=10), Row(id=12), Row(id=99)])
+        joined = stored.join(probe.repartition(4, "id").hint("merge"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the bucketed scan reads pre-partitioned (Bucketed: true,
+        # SelectedBucketsCount printed) and the plan's ONLY exchange
+        # belongs to the probe side — the stored side never shuffles
+        assert "Bucketed: true" in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert sorted(r.id for r in joined.collect()) == [10, 12]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_sigs_t1")
+
+
+def test_incremental_minhash_against_bucketed_store_matches_inline(
+    spark, corpus, tmp_path
+):
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="alpha beta gamma delta epsilon zeta theta"),
+            Row(doc_id=101, text="unrelated fresh novel document text"),
+        ]
+    )
+    inline = {
+        r.new_id: (r.corpus_id, r.jaccard)
+        for r in dedup.incremental_minhash_matches(
+            new, dedup.corpus_minhash_signatures(corpus), threshold=0.3
+        ).collect()
+    }
+    dedup.write_bucketed_signatures(
+        dedup.corpus_minhash_signatures(corpus),
+        "bucketed_sigs_t2",
+        str(tmp_path / "sigs2"),
+        buckets=4,
+    )
+    try:
+        stored = spark.table("bucketed_sigs_t2")
+        via_store = {
+            r.new_id: (r.corpus_id, r.jaccard)
+            for r in dedup.incremental_minhash_matches(
+                new, stored, threshold=0.3
+            ).collect()
+        }
+        assert via_store == inline and set(inline) == {100}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_sigs_t2")

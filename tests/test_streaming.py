@@ -608,3 +608,53 @@ def test_kafka_stream_multi_partition_offset_resume(spark, catalog, tmp_path, fa
     out = search(spark, catalog, "stream-logs", "*", limit=10)
     msgs = sorted(json.loads(d)["msg"] for d in out)
     assert msgs == ["p0m1", "p0m2", "p0m3", "p1m1", "p2m1"]  # no dup, no loss
+
+
+def test_stream_dedup_against_corpus_signatures(spark, tmp_path):
+    """Each arriving micro-batch is near-dup-filtered against the
+    precomputed corpus signature store; only novel docs reach the
+    sink, and a second batch through the same checkpoint appends
+    exactly once."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup as dedup_ops
+    from toshokan_spark.streaming.windowed import stream_dedup_against_corpus
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=12, text="totally different corpus content here"),
+    ])
+    corpus_sigs = dedup_ops.corpus_minhash_signatures(corpus).localCheckpoint()
+
+    indir = tmp_path / "stream_in"
+    indir.mkdir()
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "sd_ckpt")
+    schema = "doc_id bigint, text string"
+
+    (indir / "b1.json").write_text(
+        json.dumps({"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta eta"})
+        + "\n"
+        + json.dumps({"doc_id": 101, "text": "a genuinely novel incoming document"})
+        + "\n"
+    )
+    docs = spark.readStream.schema(schema).json(str(indir))
+    q = stream_dedup_against_corpus(docs, corpus_sigs, out, ckpt, threshold=0.3)
+    q.awaitTermination(120)
+    assert not q.isActive and q.exception() is None
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {101}  # 100 is a near-dup of corpus doc 10
+
+    # second batch: restart from the checkpoint, only new file read
+    (indir / "b2.json").write_text(
+        json.dumps({"doc_id": 102, "text": "totally different corpus content here today"})
+        + "\n"
+        + json.dumps({"doc_id": 103, "text": "another fresh unseen piece of text"})
+        + "\n"
+    )
+    docs = spark.readStream.schema(schema).json(str(indir))
+    q = stream_dedup_against_corpus(docs, corpus_sigs, out, ckpt, threshold=0.3)
+    q.awaitTermination(120)
+    assert not q.isActive and q.exception() is None
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [101, 103]  # 102 matched corpus doc 12; no re-emits

@@ -499,6 +499,35 @@ def corpus_minhash_signatures(
     )
 
 
+def write_bucketed_signatures(
+    sigs: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 64,
+) -> None:
+    """Persist a :func:`corpus_minhash_signatures` frame as a
+    BUCKETED table (bucketed + sorted by id): the candidate-verify
+    join of :func:`incremental_minhash_matches` — and any other
+    id-keyed join against the signature store — then reads the
+    corpus side pre-partitioned, so Spark plans it WITHOUT an
+    Exchange on the stored side (asserted in
+    ``tests/test_bucketing.py``). At 100 TB this is the difference
+    between re-shuffling the whole signature store per arriving
+    batch and shuffling only the batch: bucket pruning + co-located
+    SMJ leave the big side untouched on disk.
+
+    ``saveAsTable`` is required — bucket metadata lives in the
+    session catalog, plain ``parquet(path)`` writes lose it."""
+    (
+        sigs.write.bucketBy(buckets, "id")
+        .sortBy("id")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def incremental_minhash_matches(
     new_df: DataFrame,
     corpus_sigs: DataFrame,

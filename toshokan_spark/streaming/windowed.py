@@ -100,3 +100,56 @@ def stream_windowed_counts(
     else:
         writer = writer.trigger(processingTime=commit_interval)
     return writer.start()
+
+
+def stream_dedup_against_corpus(
+    docs: DataFrame,
+    corpus_sigs: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+    hash_family: str = "xxhash",
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate filtering against a standing corpus:
+    each micro-batch runs ``incremental_minhash_matches`` against the
+    precomputed signature store and only docs with NO corpus match at
+    ``threshold`` survive into the Parquet sink — the streaming
+    steady-state of a training-data ingest pipeline (hash the corpus
+    once; every arriving batch pays its own signatures plus a
+    band-bucket probe).
+
+    ``foreachBatch`` is the right seam: the match is a multi-stage
+    batch join (band fan-out, bucket join, verify, window), which
+    streaming's incremental planner cannot express — inside the hook
+    each micro-batch is a plain DataFrame, so the exact batch
+    operator is reused unchanged, and the store can be the bucketed
+    table from :func:`~toshokan_spark.operators.dedup.write_bucketed_signatures`
+    (no shuffle on the stored side). Checkpointing makes each batch's
+    output exactly-once into the sink directory.
+    """
+    from toshokan_spark.operators.dedup import incremental_minhash_matches
+
+    def drop_corpus_dups(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        matches = incremental_minhash_matches(
+            batch,
+            corpus_sigs,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            hash_family=hash_family,
+        ).select(F.col("new_id").alias(id_col))
+        kept = batch.join(matches, id_col, "left_anti")
+        kept.write.mode("append").parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(drop_corpus_dups)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
