@@ -26,6 +26,8 @@ HEADLINE = [
     "knn_bruteforce",
     "token_budget_pack",
     "text_quality",
+    "text_gopher_rules",
+    "source_token_profile",
 ]
 
 

@@ -345,3 +345,38 @@ def test_scored_search_prunes_stats_read(spark, catalog, tmp_path, monkeypatch):
         "body", limit=10,
     )
     assert missed.count() == 0 and "_score" in missed.columns
+
+
+def test_segment_files_time_sorted_within_day(spark, catalog, tmp_path):
+    """Rows inside each written segment file are time-ordered (the
+    within-file analog of __day pruning): parquet row-group min/max
+    on a sorted column lets time-range predicates skip row groups
+    a day partition would otherwise scan whole."""
+    import glob as _glob
+
+    config = IndexConfig(
+        name="sortidx",
+        path=str(tmp_path / "data" / "sortidx"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(catalog, config)
+    # deliberately unsorted input, all inside one day
+    rows = [
+        {"ts": f"2024-07-01T{h:02d}:00:00Z", "level": f"L{h}"}
+        for h in (9, 3, 17, 1, 12, 5)
+    ]
+    p = tmp_path / "unsorted.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    index_batch(spark, catalog, "sortidx", jsonl_path=str(p))
+
+    files = _glob.glob(
+        str(tmp_path / "data" / "sortidx" / "seg-*" / "__day=*" / "*.parquet")
+    )
+    assert files
+    for f in files:
+        ts = [r.ts for r in spark.read.parquet(f).select("ts").collect()]
+        assert ts == sorted(ts), f

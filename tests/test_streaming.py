@@ -658,3 +658,30 @@ def test_stream_dedup_against_corpus_signatures(spark, tmp_path):
     assert not q.isActive and q.exception() is None
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [101, 103]  # 102 matched corpus doc 12; no re-emits
+
+
+def test_kafka_security_options_passthrough():
+    """Auth/TLS settings reach the connector with the kafka. consumer
+    prefix; reserved read options cannot be smuggled through."""
+    from toshokan_spark.sources.kafka import kafka_options
+
+    opts = kafka_options(
+        "kafka://b:9092/t", "stream",
+        security={
+            "security.protocol": "SASL_SSL",
+            "sasl.mechanism": "SCRAM-SHA-512",
+            "kafka.ssl.truststore.location": "/etc/tls/trust.jks",
+        },
+    )
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+    # already-prefixed keys pass through unchanged
+    assert opts["kafka.ssl.truststore.location"] == "/etc/tls/trust.jks"
+    assert opts["subscribe"] == "t" and opts["startingOffsets"] == "latest"
+
+    with pytest.raises(ValueError, match="override"):
+        kafka_options("kafka://b:9092/t", security={"subscribe": "other"})
+    with pytest.raises(ValueError, match="override"):
+        kafka_options(
+            "kafka://b:9092/t", security={"kafka.bootstrap.servers": "evil:9092"}
+        )

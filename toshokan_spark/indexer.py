@@ -118,6 +118,15 @@ def write_segment(
         partition_cols = [PARTITION_COL]
     if target_files:
         df = df.repartition(target_files)
+    if partition_cols:
+        # cluster rows by time WITHIN each task's output files (no
+        # extra shuffle): parquet records per-row-group min/max for
+        # the sorted column, so a time-range predicate inside a day
+        # skips whole row groups — the within-file analog of the
+        # __day partition pruning above (SURVEY §7 item 7's
+        # "Z-order-ish sort"; one sort column, so a plain sort is
+        # strictly better than an actual Z-curve here)
+        df = df.sortWithinPartitions(PARTITION_COL, config.time_field)
 
     writer = df.write.mode("error")
     if partition_cols:

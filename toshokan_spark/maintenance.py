@@ -83,10 +83,15 @@ def merge_segments(
     if "__day" in df.columns:
         # preserve the time_field partition layout (and its pruning)
         # across compaction: repartition on the partition value so each
-        # task writes few files, then write partitioned
-        df.repartition(nfiles, "__day").write.mode("error").partitionBy(
-            "__day"
-        ).parquet(seg_path)
+        # task writes few files, then write partitioned. The
+        # within-file time sort survives compaction too (same
+        # row-group-skipping rationale as the initial segment write,
+        # indexer.py) — without it a merge would silently degrade
+        # time-range scans over merged segments.
+        out = df.repartition(nfiles, "__day")
+        if config.time_field and config.time_field in df.columns:
+            out = out.sortWithinPartitions("__day", config.time_field)
+        out.write.mode("error").partitionBy("__day").parquet(seg_path)
     else:
         df.coalesce(nfiles).write.mode("error").parquet(seg_path)
 

@@ -52,12 +52,24 @@ def _lines(df: DataFrame) -> DataFrame:
 
 
 def kafka_options(
-    url: str, mode: str = "batch", starting_offsets: str | None = None
+    url: str,
+    mode: str = "batch",
+    starting_offsets: str | None = None,
+    security: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Connector options for a ``kafka://`` URL — the exact settings
     the reference's consumer config encodes (`kafka_source.rs:244-268`:
     batch = earliest→EOF, stream = latest/checkpoint). Split out so the
-    plumbing is unit-testable without a broker in the environment."""
+    plumbing is unit-testable without a broker in the environment.
+
+    ``security`` passes auth/TLS settings through to the connector
+    with the required ``kafka.`` consumer-config prefix added when
+    absent — e.g. ``{"security.protocol": "SASL_SSL",
+    "sasl.mechanism": "SCRAM-SHA-512", "sasl.jaas.config": ...,
+    "ssl.truststore.location": ...}``. Reserved read options
+    (subscribe / offsets / bootstrap servers) cannot be overridden
+    through it — a typo'd override would silently re-point the
+    read."""
     servers, topic = parse_kafka_url(url)
     opts = {"kafka.bootstrap.servers": servers, "subscribe": topic}
     if mode == "batch":
@@ -67,6 +79,15 @@ def kafka_options(
         opts["startingOffsets"] = starting_offsets or "latest"
     else:
         raise ValueError(f"unknown kafka mode {mode!r}")
+    for k, v in (security or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        if key in ("kafka.bootstrap.servers",) or k in (
+            "subscribe",
+            "startingOffsets",
+            "endingOffsets",
+        ):
+            raise ValueError(f"security option may not override {k!r}")
+        opts[key] = v
     return opts
 
 
@@ -98,21 +119,28 @@ def _format_and_extras(spark: SparkSession) -> tuple[str, dict[str, str]]:
     return fmt, extras
 
 
-def kafka_batch(spark: SparkSession, url: str) -> DataFrame:
+def kafka_batch(
+    spark: SparkSession, url: str, security: dict[str, str] | None = None
+) -> DataFrame:
     fmt, extras = _format_and_extras(spark)
     raw = (
         spark.read.format(fmt)
-        .options(**kafka_options(url, "batch"), **extras)
+        .options(**kafka_options(url, "batch", security=security), **extras)
         .load()
     )
     return _lines(raw)
 
 
-def kafka_stream(spark: SparkSession, url: str, starting_offsets: str = "latest") -> DataFrame:
+def kafka_stream(
+    spark: SparkSession,
+    url: str,
+    starting_offsets: str = "latest",
+    security: dict[str, str] | None = None,
+) -> DataFrame:
     fmt, extras = _format_and_extras(spark)
     raw = (
         spark.readStream.format(fmt)
-        .options(**kafka_options(url, "stream", starting_offsets), **extras)
+        .options(**kafka_options(url, "stream", starting_offsets, security=security), **extras)
         .load()
     )
     return _lines(raw)
