@@ -718,6 +718,26 @@ def q_text_gopher_rules(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_char(spark, sf_dir):
+    """Char-5-gram MinHash-LSH near-dup pairs — the shingle unit for
+    unsegmented scripts (CJK has no whitespace words), exercised on
+    this corpus so the char pipeline is value-oracled end-to-end.
+    LSH (not the exact co-shingle join) is deliberate: common char
+    5-grams appear in nearly every English/template document, so the
+    exact path's shingle self-join explodes (measured 50s+ at sf0.1
+    where banding stays bounded); banding joins a fixed key set per
+    doc regardless of shingle frequency. The operating point is
+    STEEP — 8 bands × 16 rows at threshold 0.8 — because char-5
+    similarity is dense on template corpora (32×4 banding yielded
+    1.9M candidates at sf0.1, r=16 keeps candidates to genuine
+    near-identicals: capture ≈ 99% at J=0.95, ≈ 20% at J=0.80)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=128, bands=8, k=5, threshold=0.8,
+        hash_family="poly", shingle_unit="char",
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incoming-batch dedup against the standing corpus: docs with
     doc_id % 4 == 0 play the arriving batch, the rest the corpus;
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_char": q_dedup_minhash_char,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1175,6 +1196,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = a_id
             JOIN sz sb ON sb.doc_id = b_id
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """,
+        # char-5-gram MinHash variant: shingles are codepoint windows
+        # over normalized text (lower/trim/collapse-ws), mirroring
+        # dedup.staged_shingles(unit='char'); banding/verify identical
+        # to dedup_minhash_lsh
+        "dedup_minhash_char": f"""
+            WITH nrm AS (
+              SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN length(t) >= 5
+                     THEN list_distinct(list_transform(range(1, length(t) - 3),
+                              i -> substr(t, i, 5)))
+                     ELSE [t] END AS shingles
+              FROM nrm),
+            hs AS (
+              SELECT doc_id, shingles,
+                list_transform(shingles, s -> {_poly_sql('s', 31, 0, 1_000_000_007)}) AS h1,
+                list_transform(shingles, s -> {_poly_sql('s', 37, 7, 1_000_000_007)}) AS h2
+              FROM sh),
+            sig AS (SELECT doc_id, [{_MH_SIGS}] AS sig FROM hs),
+            banded AS (
+              SELECT doc_id, b.band,
+                array_to_string(sig[b.band*16+1 : b.band*16+16], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+            bfreq AS (
+              SELECT band, key FROM banded
+              GROUP BY band, key HAVING count(*) <= 1000),
+            bok AS (
+              SELECT banded.doc_id, banded.band, banded.key
+              FROM banded JOIN bfreq USING (band, key)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bok a JOIN bok b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            j AS (
+              SELECT c.a_id, c.b_id,
+                len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id)
+            SELECT a_id, b_id, round(jaccard, 6) AS jaccard
+            FROM j WHERE jaccard >= 0.8
         """,
         # connected components over the (already-oracled) jaccard
         # pairs: min reachable id via recursive closure

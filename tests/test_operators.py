@@ -766,3 +766,28 @@ def test_source_token_profile_exact_percentiles(spark):
     # p95 of [10,20,30,40]: pos=0.95*3=2.85 -> 30 + 0.85*10 = 38.5
     assert abs(got["a"].p95_tokens - 38.5) < 1e-12
     assert got["b"].p50_tokens == 52.5 and got["b"].max_tokens == 100
+
+
+def test_char_shingle_dedup_for_unsegmented_text(spark):
+    """Word shingles collapse to one giant token on unsegmented (CJK)
+    text; char shingles recover near-dup detection there, and the
+    word/char paths agree on segmented text."""
+    cjk = spark.createDataFrame([
+        Row(doc_id=1, text="深層学習モデルの訓練データを重複排除する"),
+        Row(doc_id=2, text="深層学習モデルの訓練データを重複排除します"),
+        Row(doc_id=3, text="全く別の内容の文書ですここに共通点はない"),
+    ])
+    # word unit: no whitespace -> each doc is ONE shingle, no pairs
+    words = dedup.ngram_jaccard_pairs(cjk, k=3, threshold=0.3).collect()
+    assert words == []
+    chars = {(r.a_id, r.b_id): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(
+                 cjk, k=5, threshold=0.3, shingle_unit="char").collect()}
+    assert set(chars) == {(1, 2)} and chars[(1, 2)] > 0.5
+
+    # char-unit incremental matching works the same way
+    new = spark.createDataFrame(
+        [Row(doc_id=100, text="深層学習モデルの訓練データを重複排除するのだ")])
+    out = dedup.incremental_jaccard_matches(
+        new, cjk, k=5, threshold=0.3, shingle_unit="char").collect()
+    assert [(r.new_id, r.corpus_id) for r in out] == [(100, 1)]

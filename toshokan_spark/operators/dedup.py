@@ -95,6 +95,16 @@ def _poly_fold_py(s: str, base: int, add: int, mod: int, init: int = 0) -> int:
     return acc
 
 
+def _poly_fold_matrix(cps: "np.ndarray", base: int, add: int, mod: int) -> "np.ndarray":
+    """Horner fold over a (n_shingles × len) codepoint matrix —
+    vectorized across shingles, stepping the columns. Every
+    intermediate stays < mod·base + 2^21 « 2^63 (exact int64)."""
+    acc = np.zeros(cps.shape[0], dtype=np.int64)
+    for j in range(cps.shape[1]):
+        acc = (acc * base + cps[:, j] + add) % mod
+    return acc
+
+
 def _minhash_poly_sig_udf(num_hashes: int):
     """Arrow-batched twin of the ``poly_expr`` signature build in
     :func:`minhash_signatures`: h1=poly(31,0), h2=poly(37,7) per
@@ -105,6 +115,14 @@ def _minhash_poly_sig_udf(num_hashes: int):
     128*(10^9+7) — comfortably inside int64), combine vectorized as a
     num_hashes × n_shingles numpy matrix. Per-partition batches, so
     the work distributes exactly like the expression it replaces.
+
+    Uniform-length shingle sets (the char-shingle unit: every window
+    is exactly k codepoints) take a fully-vectorized path — the
+    row's shingles decode to ONE utf-32 codepoint matrix and Horner-
+    fold column-wise, ~100× fewer Python-level calls than the
+    per-string fold (which remains the variable-length word-shingle
+    path). utf-32 decoding yields true codepoints, matching
+    ``ord()`` exactly (supplementary plane included).
     """
     M = (1 << 31) - 1
     ii = np.arange(num_hashes, dtype=np.int64)[:, None]
@@ -118,16 +136,28 @@ def _minhash_poly_sig_udf(num_hashes: int):
                 out.append([None] * num_hashes)
                 continue
             n = len(arr)
-            h1 = np.fromiter(
-                (_poly_fold_py(s, 31, 0, POLY_MOD) for s in arr),
-                dtype=np.int64,
-                count=n,
-            )
-            h2 = np.fromiter(
-                (_poly_fold_py(s, 37, 7, POLY_MOD) for s in arr),
-                dtype=np.int64,
-                count=n,
-            )
+            w = len(arr[0])
+            if w > 0 and all(len(s) == w for s in arr):
+                cps = (
+                    np.frombuffer(
+                        "".join(arr).encode("utf-32-le"), dtype=np.uint32
+                    )
+                    .astype(np.int64)
+                    .reshape(n, w)
+                )
+                h1 = _poly_fold_matrix(cps, 31, 0, POLY_MOD)
+                h2 = _poly_fold_matrix(cps, 37, 7, POLY_MOD)
+            else:
+                h1 = np.fromiter(
+                    (_poly_fold_py(s, 31, 0, POLY_MOD) for s in arr),
+                    dtype=np.int64,
+                    count=n,
+                )
+                h2 = np.fromiter(
+                    (_poly_fold_py(s, 37, 7, POLY_MOD) for s in arr),
+                    dtype=np.int64,
+                    count=n,
+                )
             out.append(((h1[None, :] + ii * h2[None, :]) % M).min(axis=1))
         return pd.Series(out)
 
@@ -163,8 +193,17 @@ def _simhash_poly_sig_udf():
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles joined with single spaces."""
-    w = words_col(text)
+    """Distinct k-word shingles joined with single spaces.
+
+    NOTE: the words array is INLINED here and re-evaluated per
+    shingle element (HOF lambdas get no subexpression elimination) —
+    fine for a one-off Column, but pipelines should go through
+    :func:`staged_shingles`, which projects the words array once per
+    row before fanning out."""
+    return _shingles_from_words(words_col(text), k)
+
+
+def _shingles_from_words(w: Column, k: int) -> Column:
     n = F.size(w)
     return F.array_distinct(
         F.when(
@@ -175,6 +214,57 @@ def shingles_col(text: Column, k: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.array_join(w, " ")))
     )
+
+
+def _char_shingles_from(norm: Column, k: int) -> Column:
+    n = F.length(norm)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.substr(norm, i, F.lit(k)),
+            ),
+        ).otherwise(F.array(norm))
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercased, trimmed, whitespace runs collapsed to one space —
+    the char-shingle normalization (same as the fingerprint's)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def staged_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    unit: str = "word",
+) -> DataFrame:
+    """(id, sh) with the shingle base array STAGED as a projected
+    column: higher-order lambdas get no subexpression elimination, so
+    inlining the words/normalized-text expression re-evaluates it per
+    shingle element — O(doc²) interpreted work on long documents.
+    Staging computes it once per row; CollapseProject leaves the
+    two projections alone because merging would duplicate a non-cheap
+    expression.
+
+    ``unit='word'``: k-word shingles (space-joined). ``unit='char'``:
+    k-codepoint shingles over :func:`normalized_text` — the right
+    unit for unsegmented scripts (CJK), where whitespace
+    tokenization yields one giant "word". (Code-point counting
+    matches DuckDB for BMP text; supplementary-plane chars count as
+    two units in Spark — same caveat as poly_hash.)
+    """
+    base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    if unit == "word":
+        staged = base.select("id", words_col(F.col(text_col)).alias("__b"))
+        return staged.select("id", _shingles_from_words(F.col("__b"), k).alias("sh"))
+    if unit == "char":
+        staged = base.select("id", normalized_text(F.col(text_col)).alias("__b"))
+        return staged.select("id", _char_shingles_from(F.col("__b"), k).alias("sh"))
+    raise ValueError(f"shingle unit must be word|char, got {unit!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -223,8 +313,12 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: Optional[int] = 1000,
+    shingle_unit: str = "word",
 ) -> DataFrame:
-    """All pairs with k-word-shingle Jaccard >= threshold.
+    """All pairs with k-shingle Jaccard >= threshold
+    (``shingle_unit='word'`` by default; ``'char'`` shingles
+    normalized codepoints — the right unit for unsegmented scripts,
+    see :func:`staged_shingles`).
 
     Exact: |A ∩ B| via a self-join on shingle value, |A ∪ B| =
     |A|+|B|-|A∩B|. Only pairs sharing >=1 shingle are ever
@@ -235,12 +329,19 @@ def ngram_jaccard_pairs(
     boilerplate). ON by default (1000): a single stop-shingle must
     never be able to quadratically blow up the join. Pass ``None``
     only for corpora known to be boilerplate-free.
+
+    Char-unit guidance: prefer :func:`minhash_lsh_pairs` (or the
+    incremental variants) with ``shingle_unit='char'`` over this
+    exact path for char shingles on natural-language corpora —
+    common char k-grams appear in nearly every document, so the
+    co-shingle self-join explodes even under the frequency cap
+    (measured 50 s+ at sf0.1 where LSH banding stays ~4 s); banding
+    joins a fixed 32 keys per doc regardless of shingle frequency.
+    The exact path with char units is right for short-field exact-ish
+    matching (names, titles), not full documents.
     """
-    sh = (
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", shingles_col(F.col(text_col), k).alias("sh"))
-        .persist()  # referenced twice (sizes + both self-join sides)
-    )
+    sh = staged_shingles(df, id_col, text_col, k, shingle_unit).persist()
+    # persisted: referenced twice (sizes + both self-join sides)
     sizes = sh.select("id", F.size("sh").alias("n"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
@@ -278,6 +379,7 @@ def incremental_jaccard_matches(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: Optional[int] = 1000,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Dedup an INCOMING batch against an EXISTING corpus: for every
     new doc whose best corpus match has k-shingle Jaccard >=
@@ -297,16 +399,9 @@ def incremental_jaccard_matches(
     (boilerplate lives in the corpus) from both sides, bounding any
     single shingle's join fan-out.
     """
-    shn = (
-        spread(new_df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", shingles_col(F.col(text_col), k).alias("sh"))
-        .persist()  # sizes + join side
-    )
-    shc = (
-        spread(corpus_df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", shingles_col(F.col(text_col), k).alias("sh"))
-        .persist()
-    )
+    shn = staged_shingles(new_df, id_col, text_col, k, shingle_unit).persist()
+    shc = staged_shingles(corpus_df, id_col, text_col, k, shingle_unit).persist()
+    # both persisted: sizes + join side each
     exn = shn.select("id", F.explode("sh").alias("s"))
     exc = shc.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
@@ -461,6 +556,7 @@ def corpus_minhash_signatures(
     num_hashes: int = 128,
     k: int = 3,
     hash_family: str = "xxhash",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """The INGEST-TIME product for incremental dedup: (id, sh, sig)
     computed in one narrow pass, meant to be written alongside the
@@ -470,9 +566,7 @@ def corpus_minhash_signatures(
     candidate verification needs it; at 100 TB you would persist this
     frame partitioned/bucketed by id and let the verify join read
     only the candidate ids."""
-    sh_df = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", shingles_col(F.col(text_col), k).alias("sh")
-    )
+    sh_df = staged_shingles(df, id_col, text_col, k, shingle_unit)
     if hash_family == "poly":
         return sh_df.select(
             "id", "sh", _minhash_poly_sig_udf(num_hashes)(F.col("sh")).alias("sig")
@@ -539,6 +633,7 @@ def incremental_minhash_matches(
     threshold: float = 0.5,
     max_band_freq: Optional[int] = 1000,
     hash_family: str = "xxhash",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Sub-linear incremental dedup: match an ARRIVING batch against a
     corpus's PRECOMPUTED MinHash signatures
@@ -555,7 +650,7 @@ def incremental_minhash_matches(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     ns = corpus_minhash_signatures(
-        new_df, id_col, text_col, num_hashes, k, hash_family
+        new_df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
     ).persist()  # banded fan-out + verify both read it
     banded_n = _banded(ns, bands, r, hash_family)
     banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
@@ -610,6 +705,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_band_freq: Optional[int] = 1000,
     hash_family: str = "xxhash",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard (so: recall bounded by the S-curve of (bands, rows_per_
@@ -635,11 +731,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh_df = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", shingles_col(F.col(text_col), k).alias("sh")
-    ).persist()  # referenced 3x (signature build + both verify sides)
-    # persist: the band fan-out references sig 2×bands times and
+    # The shingle arrays are NOT cached corpus-wide: signatures
+    # consume them in one inline pass, and exact-Jaccard verification
+    # re-shingles only the CANDIDATE docs (semi-join below). At
+    # corpus scale that is the difference between pinning every
+    # document's shingle set in executor memory and materializing
+    # shingles for the candidate fraction only; locally it cut the
+    # char-unit entry ~2× (1M shingle strings never hit the cache).
+    # persist sig: the band fan-out references it 2×bands times and
     # lambda expressions don't get subexpression elimination
+    sh_df = staged_shingles(df, id_col, text_col, k, shingle_unit)
     sig = minhash_signatures(sh_df, num_hashes, hash_family=hash_family).persist()
     banded = _banded(sig, bands, r, hash_family)
 
@@ -667,9 +768,18 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+        .persist()  # referenced 3x: candidate-id union + verify join
     )
-    sha = sh_df.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
-    shb = sh_df.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    cand_ids = (
+        cand.select(F.col("a_id").alias(id_col))
+        .unionAll(cand.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = staged_shingles(
+        df.join(cand_ids, id_col, "leftsemi"), id_col, text_col, k, shingle_unit
+    )
+    sha = cand_sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+    shb = cand_sh.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
     out = (
         cand.join(sha, "a_id")
         .join(shb, "b_id")
@@ -681,7 +791,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    return finalize_cached(out, sh_df, sig)
+    return finalize_cached(out, cand, sig)
 
 
 # ---------------------------------------------------------------------------
