@@ -34,6 +34,8 @@ FLOORS = {
     "select_training_set": 2.9,
     "dedup_ngram_jaccard": 1.5,
     "knn_ivf": 2.6,
+    "dedup_minhash_char": 3.0,
+    "dedup_incremental_minhash": 3.3,
 }
 MULTIPLIER = 2.5
 RUNS = 3
