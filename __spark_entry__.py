@@ -359,6 +359,30 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_heavy_hitter_users(spark, sf_dir):
+    """Grouped heavy hitters: per event_type, the top-3 users by
+    event count (rank ties broken by user_id — deterministic). One
+    partial-agg shuffle + one window; at corpus scale the group
+    count bounds window state, and the count agg map-side-combines
+    before the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type", "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     """Anti join (NOT EXISTS): distributed as a broadcast/shuffled
     left-anti hash join, no row explosion."""
@@ -837,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
+        "heavy_hitter_users": q_heavy_hitter_users,
         "customers_without_orders": q_customers_without_orders,
         "click_only_users": q_click_only_users,
         "user_sessions": q_user_sessions,
@@ -1118,6 +1143,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
               count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "heavy_hitter_users": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*)::BIGINT AS n_events
+              FROM events GROUP BY event_type, user_id)
+            SELECT event_type, user_id, n_events, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY n_events DESC, user_id)::BIGINT AS rank
+              FROM c)
+            WHERE rank <= 3
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
