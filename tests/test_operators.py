@@ -791,3 +791,58 @@ def test_char_shingle_dedup_for_unsegmented_text(spark):
     out = dedup.incremental_jaccard_matches(
         new, cjk, k=5, threshold=0.3, shingle_unit="char").collect()
     assert [(r.new_id, r.corpus_id) for r in out] == [(100, 1)]
+
+
+def test_simhash_char_tokens_for_unsegmented_text(spark):
+    """Word-token SimHash sees ONE token per CJK doc (the signature
+    is that token's raw hash — near and unrelated docs land at
+    indistinguishable distances); char-gram tokens restore graded
+    similarity. Signature-level assertions are deterministic; the
+    chunk-blocked pair join is exercised via identical docs (h=0 is
+    inside the pigeonhole guarantee)."""
+    from toshokan_spark.operators.dedup import (
+        _simhash_from_tokens,
+        normalized_text,
+    )
+
+    near_a = "深層学習モデルの訓練データを重複排除する処理の説明"
+    near_b = near_a + "だ"  # one appended char
+    far = "株式市場の動向と金利の変化に関する全く別の記事"
+    cjk = spark.createDataFrame(
+        [Row(doc_id=1, text=near_a), Row(doc_id=2, text=near_b),
+         Row(doc_id=3, text=far)]
+    )
+    staged = cjk.select("doc_id", normalized_text(F.col("text")).alias("__t"))
+    n = F.length("__t")
+    win = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.substr(F.col("__t"), i, F.lit(3)),
+        ),
+    ).otherwise(F.array(F.col("__t")))
+    sigs = {
+        r.doc_id: r.s
+        for r in staged.select("doc_id", win.alias("__tk"))
+        .select("doc_id", _simhash_from_tokens(F.col("__tk")).alias("s"))
+        .collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near pair clearly separable from the unrelated doc
+    assert ham(sigs[1], sigs[2]) < 12 < ham(sigs[1], sigs[3])
+
+    # end-to-end char path through the pair join: identical docs sit
+    # at hamming 0 (guaranteed capture), both hash families
+    twin = spark.createDataFrame(
+        [Row(doc_id=1, text=near_a), Row(doc_id=2, text=near_a),
+         Row(doc_id=3, text=far)]
+    )
+    for fam in ("xxhash", "poly"):
+        got = {(r.a_id, r.b_id): r.hamming for r in
+               dedup.simhash_near_pairs(
+                   twin, max_hamming=3, token_unit="char",
+                   hash_family=fam).collect()}
+        assert got == {(1, 2): 0}, fam

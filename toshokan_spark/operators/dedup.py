@@ -855,7 +855,19 @@ def simhash_signature(
         hi = _pack_half(F.reverse(F.slice(votes, bits // 2 + 1, bits // 2)))
         return F.shiftleft(hi, bits // 2).bitwiseOR(lo)
 
-    toks = words_col(F.lower(text))
+    return _simhash_from_tokens(words_col(F.lower(text)), "xxhash", bits)
+
+
+def _simhash_from_tokens(
+    toks: Column, hash_family: str = "xxhash", bits: int = 64
+) -> Column:
+    """Signature from an arbitrary token Column (words, char n-grams,
+    …): the xxhash family folds per-token ±1 bit votes JVM-side; the
+    poly family routes through the Arrow-batched UDF (60-bit)."""
+    if hash_family == "poly":
+        return _simhash_poly_sig_udf()(toks)
+    if hash_family != "xxhash":
+        raise ValueError(f"unknown simhash family {hash_family!r}")
 
     def bit_votes(t):
         # per-token ±1 vote per bit position (j is a Python int so the
@@ -938,8 +950,13 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     wide_docs: bool = False,
     hash_family: str = "xxhash",
+    token_unit: str = "word",
+    char_k: int = 3,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+    ``token_unit='char'`` votes with char ``char_k``-gram windows
+    instead of whitespace words — the unit for unsegmented scripts
+    (CJK), where word tokenization yields one token per document.
 
     Blocking: split the signature into 4 equal-width chunks (16 bits
     for the 64-bit xxhash family, 15 for the 60-bit poly family) —
@@ -959,7 +976,28 @@ def simhash_near_pairs(
     if wide_docs:
         if hash_family != "xxhash":
             raise ValueError("wide_docs path supports the xxhash family only")
+        if token_unit != "word":
+            raise ValueError("wide_docs path supports word tokens only")
         sig = simhash_signatures(df, id_col, text_col)
+    elif token_unit == "char":
+        # char n-gram tokens (non-distinct sliding windows — SimHash
+        # votes weight by occurrence) for unsegmented scripts, staged
+        # as a projected column so the normalization isn't re-run per
+        # window (HOF lambdas get no subexpression elimination)
+        base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        staged = base.select("id", normalized_text(F.col(text_col)).alias("__t"))
+        n = F.length(F.col("__t"))
+        windows = F.when(
+            n >= char_k,
+            F.transform(
+                F.sequence(F.lit(1), n - (char_k - 1)),
+                lambda i: F.substr(F.col("__t"), i, F.lit(char_k)),
+            ),
+        ).otherwise(F.array(F.col("__t")))
+        toked = staged.select("id", windows.alias("__tk"))
+        sig = toked.select(
+            "id", _simhash_from_tokens(F.col("__tk"), hash_family).alias("sig")
+        )
     else:
         sig = spread(
             df.select(F.col(id_col).alias("id"), F.col(text_col))
