@@ -670,3 +670,38 @@ def test_manifest_version_gc_bounds_log_growth(spark, catalog, tmp_path):
     files = [n for n in catalog._st.list_names(join_path(catalog.root, "manifests", "gc_test"))
              if n.endswith(".json")]
     assert len(files) <= catalog.KEEP_VERSIONS + 1
+
+
+def test_vacuum_removes_orphaned_segments(spark, catalog, tmp_path):
+    """Crash residue (seg dirs written but never manifested) is
+    removed; manifested segments and their stats survive."""
+    from toshokan_spark.indexer import stats_path
+    from toshokan_spark.maintenance import vacuum
+
+    config = hdfs_config(tmp_path)
+    create_index(catalog, config)
+    index_batch(spark, catalog, "hdfs-logs", write_jsonl(tmp_path, HDFS_ROWS))
+    (live_seg,) = [s.file_name for s in catalog.segments("hdfs-logs")]
+
+    st = catalog.data_storage(config)
+    # fake a crash between data write and manifest commit
+    orphan = os.path.join(config.path, "seg-01900000-dead-7000-8000-000000000000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    # and an orphaned stats sibling without a data dir
+    stats_orphan = stats_path(config, "seg-01900000-bead-7000-8000-000000000001")
+    os.makedirs(stats_orphan)
+
+    deleted = vacuum(catalog, "hdfs-logs")
+    assert deleted == sorted([
+        "seg-01900000-dead-7000-8000-000000000000",
+        "seg-01900000-bead-7000-8000-000000000001",
+    ])
+    assert not os.path.exists(orphan) and not os.path.exists(stats_orphan)
+    # the manifested segment is untouched (this config has no scalar
+    # text field, so it never had a stats sibling to preserve)
+    assert st.exists(os.path.join(config.path, live_seg))
+    assert len(search(spark, catalog, "hdfs-logs", "tenant_id:>50 AND severity_text:INFO", limit=10)) == 1
+    # idempotent
+    assert vacuum(catalog, "hdfs-logs") == []

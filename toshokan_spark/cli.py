@@ -7,6 +7,7 @@
     python -m toshokan_spark.cli index   <index> <file.jsonl|kafka://..> [--stream] [--commit-interval 30]
     python -m toshokan_spark.cli merge   <index>
     python -m toshokan_spark.cli search  <index> <query> [--limit 1]
+    python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
 
 The Postgres ``--db`` flag becomes ``--catalog <dir>`` (env
 ``TOSHOKAN_CATALOG``, default ``./.toshokan``).
@@ -57,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
 
     pm = sub.add_parser("merge")
     pm.add_argument("index")
+
+    pv = sub.add_parser("vacuum")
+    pv.add_argument("index")
 
     ps = sub.add_parser("search")
     ps.add_argument("index")
@@ -131,6 +135,15 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark()
         entry = merge_segments(spark, catalog, a.index)
         print(f"merged into segment {entry.id} ({entry.num_rows} rows)")
+        return 0
+
+    if a.cmd == "vacuum":
+        # no Spark session needed: pure storage-listing cleanup
+        from toshokan_spark.maintenance import vacuum
+
+        deleted = vacuum(catalog, a.index)
+        print(f"vacuumed {len(deleted)} orphaned segment(s)"
+              + (": " + ", ".join(deleted) if deleted else ""))
         return 0
 
     if a.cmd == "search":

@@ -120,3 +120,43 @@ def merge_segments(
         st.delete_tree(p)
         st.delete_tree(stats_path(config, s.file_name))
     return entry
+
+
+def vacuum(catalog: FsCatalog, index_name: str) -> list[str]:
+    """Delete ORPHANED segment data: ``seg-*`` directories (and their
+    ``_stats`` siblings) present on storage but absent from the
+    manifest. Orphans are the expected residue of the data-first /
+    manifest-second commit order — a crash after the parquet write
+    but before the manifest CAS leaves a durable directory no query
+    will ever read (the reference tolerates the same leak at merge,
+    `merge.rs:68-71`; this is the cleanup pass it lacks). Returns the
+    deleted segment names.
+
+    Safety comes from commit ordering alone: a segment becomes
+    visible ONLY via the manifest, so anything not manifested is
+    either an orphan or a write in flight. Run vacuum when no writer
+    is active (same single-writer window the manifest CAS already
+    assumes on S3A); a grace period is deliberately not implied by
+    wall clocks, which object stores make untrustworthy.
+    """
+    config = catalog.get_index(index_name)
+    st = catalog.data_storage(config)
+    live = {s.file_name for s in catalog.segments(index_name)}
+    from toshokan_spark.indexer import STATS_DIR, stats_path
+
+    deleted = []
+    for name in st.list_names(config.path):
+        if name.startswith("seg-") and name not in live:
+            st.delete_tree(join_path(config.path, name))
+            st.delete_tree(stats_path(config, name))
+            deleted.append(name)
+    # stats orphaned the other way around (stats written, data commit
+    # never happened, data dir already vacuumed or absent)
+    stats_root = join_path(config.path, STATS_DIR)
+    if st.exists(stats_root):
+        for name in st.list_names(stats_root):
+            if name.startswith("seg-") and name not in live:
+                st.delete_tree(join_path(stats_root, name))
+                if name not in deleted:
+                    deleted.append(name)
+    return sorted(deleted)
