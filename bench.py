@@ -5,10 +5,14 @@ ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 
 Each query is forced through full materialization with the noop sink
 (count() would let Catalyst prune the projected columns and
-under-report the work). Every query runs twice and reports the best
-run: the host shows episodic multi-second CPU-steal bursts, and
-best-of-2 keeps a burst that lands mid-query from being recorded as
-the query's cost.
+under-report the work). One untimed warmup query runs first (JVM/
+codegen warm), then every query runs at least twice and reports the
+best run: the host shows episodic multi-second CPU-steal bursts, and
+best-of-N keeps a burst that lands mid-query from being recorded as
+the query's cost. Entries whose first run exceeds HEAVY_SECS get a
+third run — a burst long enough to span two runs of a heavy query
+otherwise stands as the recorded number (round-5 recorded
+dedup_minhash_char at ~2x its real warm cost that way).
 """
 
 from __future__ import annotations
@@ -46,13 +50,27 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
+    HEAVY_SECS = 2.0  # first-run threshold that earns a third run
+
+    qs = entry.queries()
+
+    # Untimed warmup: the first measured query otherwise pays one-off JVM
+    # classloading + codegen compilation that no later query pays.
+    try:
+        warm = next(iter(qs.values()))
+        warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as e:
+        print(f"# warmup failed: {e}", file=sys.stderr)
+
     results: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
-    for name, fn in entry.queries().items():
+    for name, fn in qs.items():
         best = -1.0
         runs: list[float] = []
-        for _ in range(2):
+        n_runs = 2
+        i = 0
+        while i < n_runs:
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -65,9 +83,12 @@ def main() -> int:
                 break
             runs.append(round(dt, 3))
             best = dt if best < 0 else min(best, dt)
+            if i == 0 and dt > HEAVY_SECS:
+                n_runs = 3
+            i += 1
         # raw per-run times let a reader tell "one CPU-steal burst"
-        # (one slow run, one fast) from a real plan regression (both
-        # runs slow) — best-of-2 alone hides that distinction
+        # (one slow run, one fast) from a real plan regression (all
+        # runs slow) — best-of-N alone hides that distinction
         raw_runs[name] = runs
         results[name] = round(best, 3)
         if best > 0:

@@ -82,3 +82,13 @@ def test_incremental_minhash_against_bucketed_store_matches_inline(
         assert via_store == inline and set(inline) == {100}
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_sigs_t2")
+
+
+def test_incremental_minhash_rejects_mismatched_store(spark, corpus):
+    """A store built with a different num_hashes must raise, not
+    silently pass every duplicate through (ADVICE r5: mismatched sig
+    width makes band keys that never match)."""
+    sigs64 = dedup.corpus_minhash_signatures(corpus, num_hashes=64)
+    new = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta")])
+    with pytest.raises(ValueError, match="num_hashes=64"):
+        dedup.incremental_minhash_matches(new, sigs64, num_hashes=128, bands=32)

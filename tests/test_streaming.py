@@ -685,3 +685,138 @@ def test_kafka_security_options_passthrough():
         kafka_options(
             "kafka://b:9092/t", security={"kafka.bootstrap.servers": "evil:9092"}
         )
+
+
+def test_fake_kafka_late_partition_not_double_delivered(tmp_path):
+    """A partition created AFTER a range was committed contributes
+    nothing to that range's replay — its messages arrive exactly once,
+    via the next read(start) from offset 0 (ADVICE r5: defaulting the
+    missing-pid end offset to EOF delivered them under two batch_ids)."""
+    import json as _json
+
+    from toshokan_spark.sources.fake_kafka import _StreamReader
+
+    d = tmp_path / "broker"
+    d.mkdir()
+    (d / "t-p0.jsonl").write_text(
+        _json.dumps({"key": "a", "value": "v0"}) + "\n"
+    )
+    opts = {"path": str(d), "subscribe": "t"}
+    # committed range over p0 only: p1 did not exist yet
+    start = {"0": 0}
+    end = {"0": 1}
+    # p1 appears after the commit
+    (d / "t-p1.jsonl").write_text(
+        _json.dumps({"key": "b", "value": "v1"}) + "\n"
+    )
+    reader = _StreamReader(opts)
+    replayed = list(reader.readBetweenOffsets(start, end))
+    assert [(r[3], r[4]) for r in replayed] == [(0, 0)]  # p0 only
+
+    rows, new_end = reader.read(end)
+    # the next live batch picks p1 up from 0 — exactly once overall
+    assert [(r[3], r[4]) for r in rows] == [(1, 0)]
+    assert new_end == {"0": 1, "1": 1}
+
+
+def _no_hash_exchange_over_scan(plan: str, table: str) -> bool:
+    """True when no Exchange hashpartitioning sits anywhere on the
+    ancestor path of a FileScan of *table* — i.e. the scanned store is
+    never re-shuffled. Only the executed (Final) plan sections are
+    considered; BroadcastExchange is allowed (AQE's size-based choice
+    of broadcast side, which at scale lands on the small batch side)."""
+    final = plan.split("== Initial Plan ==")[0]
+    lines = final.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*()0123456789":
+            i += 1
+        return i
+
+    for idx, line in enumerate(lines):
+        if "FileScan" in line and table in line:
+            d = depth(line)
+            for j in range(idx - 1, -1, -1):
+                dj = depth(lines[j])
+                if dj < d:  # an ancestor of the scan
+                    if "Exchange hashpartitioning" in lines[j]:
+                        return False
+                    d = dj
+                if dj == 0:
+                    break
+    return True
+
+
+def test_stream_dedup_bucketed_store_exchange_free_and_idempotent(spark, tmp_path):
+    """The streaming steady-state end-to-end: the per-batch verify
+    join reads the BUCKETED signature store plus the store-time
+    hot-bucket table, and the executed micro-batch plan never
+    hash-shuffles the corpus side. A simulated crash between the sink
+    write and the checkpoint commit (commit marker removed) replays
+    the batch into its own batch_id directory — no double-append."""
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup as dedup_ops
+    from toshokan_spark.streaming.windowed import stream_dedup_against_corpus
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=12, text="totally different corpus content here"),
+    ])
+    sigs = dedup_ops.corpus_minhash_signatures(corpus)
+    dedup_ops.write_bucketed_signatures(
+        sigs, "sd_store", str(tmp_path / "store"), buckets=4
+    )
+    dedup_ops.write_hot_band_buckets(sigs, "sd_hot", str(tmp_path / "hot"))
+    try:
+        indir = tmp_path / "sdb_in"
+        indir.mkdir()
+        out = str(tmp_path / "sdb_kept")
+        ckpt = str(tmp_path / "sdb_ckpt")
+        schema = "doc_id bigint, text string"
+        (indir / "b1.json").write_text(
+            json.dumps({"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta eta"})
+            + "\n"
+            + json.dumps({"doc_id": 101, "text": "a genuinely novel incoming document"})
+            + "\n"
+        )
+        plans: list = []
+        docs = spark.readStream.schema(schema).json(str(indir))
+        q = stream_dedup_against_corpus(
+            docs, None, out, ckpt, threshold=0.3,
+            corpus_table="sd_store", hot_bands_table="sd_hot",
+            plan_sink=plans,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive and q.exception() is None
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {101}
+
+        assert plans, "foreachBatch never captured a plan"
+        plan = plans[-1]
+        assert "sd_store" in plan and "Bucketed: true" in plan, plan
+        assert _no_hash_exchange_over_scan(plan, "sd_store"), plan
+
+        # crash replay: with the commit marker gone the restarted query
+        # re-executes batch 0 — the idempotent batch_id-dir sink must
+        # absorb it (the sidecar .crc must go too: a stale checksum
+        # file makes the commit-log's atomic rename read as a
+        # concurrent-writer conflict)
+        _os.remove(_os.path.join(ckpt, "commits", "0"))
+        crc = _os.path.join(ckpt, "commits", ".0.crc")
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        docs = spark.readStream.schema(schema).json(str(indir))
+        q = stream_dedup_against_corpus(
+            docs, None, out, ckpt, threshold=0.3,
+            corpus_table="sd_store", hot_bands_table="sd_hot",
+        )
+        q.awaitTermination(120)
+        assert not q.isActive and q.exception() is None
+        kept = [r.doc_id for r in spark.read.parquet(out).collect()]
+        assert sorted(kept) == [101]  # replay did not double-append
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sd_store")
+        spark.sql("DROP TABLE IF EXISTS sd_hot")

@@ -68,9 +68,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -109,6 +111,12 @@ def main() -> int:
             print(f"      duckdb: {dc[bad]}")
             continue
         print(f"OK    {name}: {len(srows)} rows match [{dt:.1f}s]")
+
+    # Completeness gate: a silent cap on recorded entries must never read
+    # as green (round-5 driver recorded only the first 50 of 52 keys).
+    if not only and checked != len(qs):
+        failures.append("__completeness__")
+        print(f"FAIL  completeness: checked {checked} of {len(qs)} queries()")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()

@@ -622,6 +622,63 @@ def write_bucketed_signatures(
     )
 
 
+def hot_band_buckets(
+    corpus_sigs: DataFrame,
+    bands: int = 32,
+    max_band_freq: int = 1000,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """The (band, key) buckets of a signature store whose member count
+    EXCEEDS ``max_band_freq`` — the degenerate boilerplate buckets that
+    :func:`incremental_minhash_matches` must drop before candidate
+    generation. By construction this frame is tiny (over-cap buckets
+    only), so it broadcasts.
+
+    Compute it ONCE at store-build time (:func:`write_hot_band_buckets`)
+    and pass it to every arriving batch: the per-batch alternative —
+    counting bucket sizes with a window over the corpus band fan-out —
+    re-shuffles the ENTIRE corpus band table on every micro-batch,
+    which at 100 TB is the dominant cost of the whole match. Band
+    geometry (bands, hash_family) is pinned here exactly like
+    num_hashes is pinned by the signature build."""
+    sig_len = corpus_sigs.select(F.size("sig").alias("n")).limit(1).collect()
+    if not sig_len:  # empty corpus: no buckets, keep the (band, key) shape
+        key_t = "string" if hash_family.startswith("poly") else "bigint"
+        return corpus_sigs.select(
+            F.lit(0).alias("band"), F.lit(None).cast(key_t).alias("key")
+        ).limit(0)
+    num_hashes = sig_len[0]["n"]
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    banded_c = _banded(corpus_sigs.select("id", "sig"), bands, r, hash_family)
+    return (
+        banded_c.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_band_freq)
+        .select("band", "key")
+    )
+
+
+def write_hot_band_buckets(
+    corpus_sigs: DataFrame,
+    table_name: str,
+    path: str,
+    bands: int = 32,
+    max_band_freq: int = 1000,
+    hash_family: str = "xxhash",
+) -> None:
+    """Persist :func:`hot_band_buckets` next to the signature store —
+    the ingest-time side product that lets every arriving batch skip
+    the corpus-wide bucket count entirely (see the scale note there)."""
+    (
+        hot_band_buckets(corpus_sigs, bands, max_band_freq, hash_family)
+        .write.option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def incremental_minhash_matches(
     new_df: DataFrame,
     corpus_sigs: DataFrame,
@@ -634,6 +691,8 @@ def incremental_minhash_matches(
     max_band_freq: Optional[int] = 1000,
     hash_family: str = "xxhash",
     shingle_unit: str = "word",
+    corpus_hot_bands: Optional[DataFrame] = None,
+    plan_sink: Optional[list] = None,
 ) -> DataFrame:
     """Sub-linear incremental dedup: match an ARRIVING batch against a
     corpus's PRECOMPUTED MinHash signatures
@@ -649,17 +708,37 @@ def incremental_minhash_matches(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # Guard against a store built with different params: a mismatched
+    # signature width makes F.slice produce band keys that silently
+    # never (or wrongly) match, so every duplicate would pass through
+    # undetected. One-row probe — against the bucketed parquet store
+    # this reads a single row group, not the table.
+    probe = corpus_sigs.select(F.size("sig").alias("n")).limit(1).collect()
+    if probe and probe[0]["n"] != num_hashes:
+        raise ValueError(
+            f"corpus_sigs was built with num_hashes={probe[0]['n']}, "
+            f"caller asked for {num_hashes}: rebuild the store or pass "
+            "matching (num_hashes, bands, k, hash_family, shingle_unit)"
+        )
     ns = corpus_minhash_signatures(
         new_df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
     ).persist()  # banded fan-out + verify both read it
     banded_n = _banded(ns, bands, r, hash_family)
     banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
-    if max_band_freq is not None:
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-        banded_c = (
-            banded_c.withColumn("__bn", bucket_n)
-            .filter(F.col("__bn") <= max_band_freq)
-            .drop("__bn")
+    if corpus_hot_bands is None and max_band_freq is not None:
+        corpus_hot_bands = hot_band_buckets(
+            corpus_sigs, bands, max_band_freq, hash_family
+        )
+    if corpus_hot_bands is not None:
+        # Drop over-cap corpus buckets via a broadcast ANTI-join of the
+        # (tiny) hot-bucket list — the corpus band rows are filtered in
+        # place, never shuffled. The previous window-count formulation
+        # (count().over(partitionBy(band, key))) hash-partitioned the
+        # ENTIRE corpus band fan-out on every call; with a store-time
+        # hot-bucket table (write_hot_band_buckets) even the bucket
+        # counting is off the per-batch path.
+        banded_c = banded_c.join(
+            F.broadcast(corpus_hot_bands), ["band", "key"], "left_anti"
         )
     cand = (
         banded_n.alias("n")
@@ -692,7 +771,13 @@ def incremental_minhash_matches(
         .filter(F.col("__rn") == 1)
         .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    return finalize_cached(out, ns)
+    res = finalize_cached(out, ns)
+    if plan_sink is not None:
+        # test seam: the executed (post-AQE) plan of the match join —
+        # finalize_cached already ran it, so this is the real plan, and
+        # tests assert the corpus side was scanned, never shuffled
+        plan_sink.append(out._jdf.queryExecution().executedPlan().toString())
+    return res
 
 
 def minhash_lsh_pairs(

@@ -166,11 +166,13 @@ def scored_search_df(
     scan is built (same :func:`_pruned_segments` walk as unscored
     search): both the match scan and the stats read list only the
     surviving segments' files, so at 10k segments a one-day query
-    plans and scores against the overlapping few. The corpus for
-    BM25 statistics is therefore the time-bounded corpus — idf is
-    computed over the documents the query can actually reach, which
-    keeps a segment-merge (compaction) from changing scores of
-    time-bounded queries."""
+    plans and scores against the overlapping few. Trade-off: the BM25
+    corpus becomes the set of time-OVERLAPPING segments (Lucene-style
+    per-segment stats), so scores depend on segment layout — a
+    compaction that merges a window-overlapping segment with others
+    enlarges the stats corpus and can shift time-bounded scores.
+    Full-corpus stats (the fallback path) are the merge-invariant
+    choice; pruned stats are the cheaper one at 10k segments."""
     from toshokan_spark.functions.bm25 import merged_stats_provider, with_bm25
     from toshokan_spark.indexer import stats_path, text_stat_fields
     from toshokan_spark.plans import ast

@@ -150,7 +150,12 @@ class _StreamReader(SimpleDataSourceStreamReader):
         for pid, path in _broker_layout(self.options):
             msgs = _read_log(path)
             lo = int(start.get(str(pid), 0))
-            hi = int(end.get(str(pid), len(msgs)))
+            # a partition absent from the committed `end` checkpoint did
+            # not exist when that range was committed, so it contributes
+            # NOTHING to its replay (defaulting to len(msgs) would both
+            # replay it here and re-read it from 0 in the next read(),
+            # delivering its messages under two batch_ids)
+            hi = int(end.get(str(pid), 0))
             rows.extend(
                 _row(topic, pid, i, m) for i, m in enumerate(msgs[lo:hi], start=lo)
             )

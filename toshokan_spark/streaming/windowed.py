@@ -104,7 +104,7 @@ def stream_windowed_counts(
 
 def stream_dedup_against_corpus(
     docs: DataFrame,
-    corpus_sigs: DataFrame,
+    corpus_sigs: DataFrame | None,
     out_path: str,
     checkpoint_dir: str,
     id_col: str = "doc_id",
@@ -112,6 +112,9 @@ def stream_dedup_against_corpus(
     threshold: float = 0.5,
     available_now: bool = True,
     hash_family: str = "xxhash",
+    corpus_table: str | None = None,
+    hot_bands_table: str | None = None,
+    plan_sink: list | None = None,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate filtering against a standing corpus:
     each micro-batch runs ``incremental_minhash_matches`` against the
@@ -125,26 +128,56 @@ def stream_dedup_against_corpus(
     batch join (band fan-out, bucket join, verify, window), which
     streaming's incremental planner cannot express — inside the hook
     each micro-batch is a plain DataFrame, so the exact batch
-    operator is reused unchanged, and the store can be the bucketed
-    table from :func:`~toshokan_spark.operators.dedup.write_bucketed_signatures`
-    (no shuffle on the stored side). Checkpointing makes each batch's
-    output exactly-once into the sink directory.
+    operator is reused unchanged.
+
+    The corpus side: pass ``corpus_table`` (the BUCKETED table written
+    by :func:`~toshokan_spark.operators.dedup.write_bucketed_signatures`)
+    plus ``hot_bands_table``
+    (:func:`~toshokan_spark.operators.dedup.write_hot_band_buckets`)
+    and the per-batch plan touches the corpus only as a bucketed scan —
+    no Exchange on the stored side, asserted in ``tests/test_streaming.py``.
+    A plain ``corpus_sigs`` DataFrame also works (tests, ad-hoc runs)
+    but recomputes the hot-bucket counts every batch.
+
+    Delivery: the sink is idempotent per micro-batch — each batch
+    overwrites its own ``batch_id=<scope>-<n>`` partition directory, so
+    a crash between the parquet write and the checkpoint commit replays
+    the batch into the SAME directory instead of double-appending
+    (exactly-once in the sink, the same has_batch idea as
+    ``indexer.write_segment``). The scope token ties batch ids to this
+    checkpoint lineage: a fresh checkpoint restarts numbering at 0 and
+    must not collide with an old run's directories. Readers see
+    ``batch_id`` as a string partition column via partition discovery.
     """
+    import hashlib
+    import os
+
     from toshokan_spark.operators.dedup import incremental_minhash_matches
+
+    ckpt_scope = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def drop_corpus_dups(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        spark = batch.sparkSession
+        corpus = spark.table(corpus_table) if corpus_table else corpus_sigs
+        hot = spark.table(hot_bands_table) if hot_bands_table else None
         matches = incremental_minhash_matches(
             batch,
-            corpus_sigs,
+            corpus,
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
             hash_family=hash_family,
+            corpus_hot_bands=hot,
+            plan_sink=plan_sink,
         ).select(F.col("new_id").alias(id_col))
         kept = batch.join(matches, id_col, "left_anti")
-        kept.write.mode("append").parquet(out_path)
+        kept.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={ckpt_scope}-{batch_id}"
+        )
 
     writer = (
         docs.writeStream.foreachBatch(drop_corpus_dups)
