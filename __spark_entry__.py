@@ -829,6 +829,22 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize kernel over the blob column (stub codec pinned: the
+    deterministic truncate/pad to target-area bytes, reproducible from
+    the blob alone — with PIL, 'auto' would decode/thumbnail for real).
+    The resized bytes are compared by value via their hex rendering
+    (DuckDB in this sandbox cannot hash BLOBs, and hex round-trips the
+    exact bytes either way)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = multimodal.resize_images(multimodal.attach_blob(docs), codec="stub")
+    return out.select(
+        "doc_id",
+        F.octet_length("blob").cast("long").alias("resized_bytes"),
+        F.hex(F.col("blob")).alias("resized_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -858,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1765,5 +1782,23 @@ def oracle_sql() -> dict[str, str]:
               sha256(substr(text, (t.i * 64 + 1)::INT, 64)) AS frame_sha256
             FROM documents, (SELECT unnest(range(0, 8)) AS i) t
             WHERE strlen(substr(text, (t.i * 64 + 1)::INT, 64)) > 0
+        """,
+        # the stub resize truncates/pads the blob to 784 bytes
+        # (224*224/64); the byte math runs in hex space because this
+        # DuckDB build has no BLOB substr/sha256 — hex() here and
+        # F.hex() on the Spark side are both uppercase, so the strings
+        # compare exactly
+        "multimodal_resize": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS bl
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                substr(repeat(hx, (784 // greatest(bl, 1))::INT + 1), 1, 1568) AS rh
+              FROM b)
+            SELECT doc_id, (strlen(rh) // 2)::BIGINT AS resized_bytes,
+                   rh AS resized_hex
+            FROM r
         """,
     }

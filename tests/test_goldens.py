@@ -693,7 +693,11 @@ def test_vacuum_removes_orphaned_segments(spark, catalog, tmp_path):
     stats_orphan = stats_path(config, "seg-01900000-bead-7000-8000-000000000001")
     os.makedirs(stats_orphan)
 
-    deleted = vacuum(catalog, "hdfs-logs")
+    # default min_age protects the freshly-written dirs (they are
+    # indistinguishable from an in-flight commit); min_age=0 is the
+    # no-writer-active fast path
+    assert vacuum(catalog, "hdfs-logs") == []
+    deleted = vacuum(catalog, "hdfs-logs", min_age_seconds=0)
     assert deleted == sorted([
         "seg-01900000-dead-7000-8000-000000000000",
         "seg-01900000-bead-7000-8000-000000000001",
@@ -704,4 +708,47 @@ def test_vacuum_removes_orphaned_segments(spark, catalog, tmp_path):
     assert st.exists(os.path.join(config.path, live_seg))
     assert len(search(spark, catalog, "hdfs-logs", "tenant_id:>50 AND severity_text:INFO", limit=10)) == 1
     # idempotent
-    assert vacuum(catalog, "hdfs-logs") == []
+    assert vacuum(catalog, "hdfs-logs", min_age_seconds=0) == []
+
+
+def test_vacuum_spares_inflight_write_then_reaps_stale(spark, catalog, tmp_path):
+    """The age guard end-to-end: a concurrent writer's not-yet-
+    manifested segment dir survives a default vacuum and its commit
+    completes afterwards; a genuinely stale orphan (backdated mtimes)
+    is reaped by the same call."""
+    from toshokan_spark.catalog import SegmentEntry, uuid7
+    from toshokan_spark.maintenance import vacuum
+
+    config = hdfs_config(tmp_path)
+    create_index(catalog, config)
+
+    # in-flight: data written moments ago, manifest CAS still pending
+    inflight = "seg-" + str(uuid7())
+    inflight_path = os.path.join(config.path, inflight)
+    os.makedirs(inflight_path)
+    with open(os.path.join(inflight_path, "part-0.parquet"), "w") as f:
+        f.write("being written")
+
+    # stale orphan: same shape, but every mtime is an hour old
+    stale = "seg-01900000-dead-7000-8000-00000000aaaa"
+    stale_path = os.path.join(config.path, stale)
+    os.makedirs(stale_path)
+    with open(os.path.join(stale_path, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    old = __import__("time").time() - 3600
+    os.utime(os.path.join(stale_path, "part-0.parquet"), (old, old))
+    os.utime(stale_path, (old, old))
+
+    assert vacuum(catalog, "hdfs-logs") == [stale]
+    assert os.path.exists(inflight_path) and not os.path.exists(stale_path)
+
+    # the surviving writer finishes its commit and the segment is live
+    catalog.commit_segment(
+        "hdfs-logs",
+        SegmentEntry(id=inflight[4:], file_name=inflight, num_rows=1,
+                     created_at_ms=0),
+    )
+    assert inflight in {s.file_name for s in catalog.segments("hdfs-logs")}
+    # and a later vacuum (even unconditional) leaves it alone
+    assert vacuum(catalog, "hdfs-logs", min_age_seconds=0) == []
+    assert os.path.exists(inflight_path)

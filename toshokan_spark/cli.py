@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser("vacuum")
     pv.add_argument("index")
+    # in-flight write guard: dirs younger than this survive (0 = reap all)
+    pv.add_argument("--min-age", type=float, default=900.0)
 
     ps = sub.add_parser("search")
     ps.add_argument("index")
@@ -141,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         # no Spark session needed: pure storage-listing cleanup
         from toshokan_spark.maintenance import vacuum
 
-        deleted = vacuum(catalog, a.index)
+        deleted = vacuum(catalog, a.index, min_age_seconds=a.min_age)
         print(f"vacuumed {len(deleted)} orphaned segment(s)"
               + (": " + ", ".join(deleted) if deleted else ""))
         return 0

@@ -122,7 +122,28 @@ def merge_segments(
     return entry
 
 
-def vacuum(catalog: FsCatalog, index_name: str) -> list[str]:
+def _newest_mtime(st, path: str) -> float | None:
+    """Newest store-reported mtime across *path* and its direct
+    children (a segment dir's files are direct children, so an active
+    parquet write keeps this fresh). None when the path is gone."""
+    from toshokan_spark.storage import StorageNotFound
+
+    newest = st.mtime(path)
+    if newest is None:
+        return None
+    try:
+        for child in st.list_names(path):
+            cm = st.mtime(join_path(path, child))
+            if cm is not None and cm > newest:
+                newest = cm
+    except StorageNotFound:
+        pass
+    return newest
+
+
+def vacuum(
+    catalog: FsCatalog, index_name: str, min_age_seconds: float = 900.0
+) -> list[str]:
     """Delete ORPHANED segment data: ``seg-*`` directories (and their
     ``_stats`` siblings) present on storage but absent from the
     manifest. Orphans are the expected residue of the data-first /
@@ -132,21 +153,38 @@ def vacuum(catalog: FsCatalog, index_name: str) -> list[str]:
     `merge.rs:68-71`; this is the cleanup pass it lacks). Returns the
     deleted segment names.
 
-    Safety comes from commit ordering alone: a segment becomes
-    visible ONLY via the manifest, so anything not manifested is
-    either an orphan or a write in flight. Run vacuum when no writer
-    is active (same single-writer window the manifest CAS already
-    assumes on S3A); a grace period is deliberately not implied by
-    wall clocks, which object stores make untrustworthy.
+    Correctness comes from commit ordering: a segment becomes visible
+    ONLY via the manifest, so anything not manifested is either an
+    orphan or a write IN FLIGHT. ``min_age_seconds`` protects the
+    in-flight case — a directory whose newest store-reported mtime is
+    younger than the threshold is skipped, so a slow writer that has
+    put its parquet down but not yet won the manifest CAS cannot be
+    reaped out from under its commit. The age uses the STORE's mtimes
+    (one vacuum-host clock reading against them — tolerate skew by
+    keeping the default generous, 15 min, comfortably above any real
+    commit gap). ``min_age_seconds=0`` restores unconditional reaping
+    for when the caller can guarantee no writer is active.
     """
+    import time as _time
+
     config = catalog.get_index(index_name)
     st = catalog.data_storage(config)
     live = {s.file_name for s in catalog.segments(index_name)}
     from toshokan_spark.indexer import STATS_DIR, stats_path
 
+    now = _time.time()
+
+    def age_ok(path: str) -> bool:
+        if min_age_seconds <= 0:
+            return True
+        newest = _newest_mtime(st, path)
+        return newest is None or now - newest >= min_age_seconds
+
     deleted = []
     for name in st.list_names(config.path):
         if name.startswith("seg-") and name not in live:
+            if not age_ok(join_path(config.path, name)):
+                continue  # possibly an in-flight commit — next run
             st.delete_tree(join_path(config.path, name))
             st.delete_tree(stats_path(config, name))
             deleted.append(name)
@@ -156,6 +194,8 @@ def vacuum(catalog: FsCatalog, index_name: str) -> list[str]:
     if st.exists(stats_root):
         for name in st.list_names(stats_root):
             if name.startswith("seg-") and name not in live:
+                if not age_ok(join_path(stats_root, name)):
+                    continue
                 st.delete_tree(join_path(stats_root, name))
                 if name not in deleted:
                     deleted.append(name)

@@ -103,6 +103,12 @@ class Storage(ABC):
     def list_names(self, path: str) -> list[str]:
         """Immediate child names (not full paths) of a directory/prefix."""
 
+    @abstractmethod
+    def mtime(self, path: str) -> Optional[float]:
+        """Store-reported modification time (seconds since epoch);
+        None when the path does not exist. Used by vacuum's in-flight
+        write guard."""
+
 
 class LocalStorage(Storage):
     """POSIX fs backend (default for bare and ``file://`` paths)."""
@@ -155,6 +161,12 @@ class LocalStorage(Storage):
             return sorted(os.listdir(strip_file_scheme(path)))
         except (FileNotFoundError, NotADirectoryError) as e:
             raise StorageNotFound(str(e)) from e
+
+    def mtime(self, path: str) -> Optional[float]:
+        try:
+            return os.path.getmtime(strip_file_scheme(path))
+        except OSError:
+            return None
 
 
 class HadoopStorage(Storage):
@@ -292,6 +304,15 @@ class HadoopStorage(Storage):
                 raise StorageNotFound(path) from e
             raise
         return sorted(s.getPath().getName() for s in statuses)
+
+    def mtime(self, path: str) -> Optional[float]:
+        fs, p = self._fs(path)
+        try:
+            return fs.getFileStatus(p).getModificationTime() / 1000.0
+        except Exception as e:
+            if self._java_is(e, "FileNotFoundException", "PathNotFoundException"):
+                return None
+            raise
 
 
 def storage_for(path: str, spark=None, force_hadoop: bool = False) -> Storage:
