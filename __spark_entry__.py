@@ -754,11 +754,14 @@ def q_dedup_minhash_char(spark, sf_dir):
     STEEP — 8 bands × 16 rows at threshold 0.8 — because char-5
     similarity is dense on template corpora (32×4 banding yielded
     1.9M candidates at sf0.1, r=16 keeps candidates to genuine
-    near-identicals: capture ≈ 99% at J=0.95, ≈ 20% at J=0.80)."""
+    near-identicals: capture ≈ 99% at J=0.95, ≈ 20% at J=0.80).
+    cache_shingles: dense char similarity makes ~half the corpus a
+    candidate, so ONE persisted (id, sh, sig) pass beats re-scanning
+    and re-shingling the candidate set for verification."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, num_hashes=128, bands=8, k=5, threshold=0.8,
-        hash_family="poly", shingle_unit="char",
+        hash_family="poly", shingle_unit="char", cache_shingles=True,
     )
 
 

@@ -791,6 +791,7 @@ def minhash_lsh_pairs(
     max_band_freq: Optional[int] = 1000,
     hash_family: str = "xxhash",
     shingle_unit: str = "word",
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard (so: recall bounded by the S-curve of (bands, rows_per_
@@ -816,30 +817,47 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # The shingle arrays are NOT cached corpus-wide: signatures
-    # consume them in one inline pass, and exact-Jaccard verification
-    # re-shingles only the CANDIDATE docs (semi-join below). At
-    # corpus scale that is the difference between pinning every
-    # document's shingle set in executor memory and materializing
-    # shingles for the candidate fraction only; locally it cut the
-    # char-unit entry ~2× (1M shingle strings never hit the cache).
-    # persist sig: the band fan-out references it 2×bands times and
-    # lambda expressions don't get subexpression elimination
-    sh_df = staged_shingles(df, id_col, text_col, k, shingle_unit)
-    sig = minhash_signatures(sh_df, num_hashes, hash_family=hash_family).persist()
+    # Two verify strategies, one memory/pass trade:
+    # * cache_shingles=False (default): shingle arrays are NOT cached
+    #   corpus-wide — signatures consume them in one inline pass, and
+    #   exact-Jaccard verification re-shingles only the CANDIDATE docs
+    #   (semi-join below). At corpus scale this avoids pinning every
+    #   document's shingle set in executor memory: the right default
+    #   when candidates are a small fraction of the corpus.
+    # * cache_shingles=True: ONE (id, sh, sig) pass (the
+    #   corpus_minhash_signatures shape) is persisted and the verify
+    #   join reads shingles from the cache — no second scan, no second
+    #   shingle computation, several fewer stages. The right choice
+    #   when the candidate fraction is large (dense char-shingle
+    #   corpora: ~half the docs are candidates at sf0.1) or the input
+    #   is expensive to rescan.
+    # persist either way: the band fan-out references sig 2×bands
+    # times and lambda expressions don't get subexpression elimination
+    if cache_shingles:
+        css = corpus_minhash_signatures(
+            df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
+        ).persist()
+        sig = css.select("id", "sig")
+    else:
+        css = None
+        sh_df = staged_shingles(df, id_col, text_col, k, shingle_unit)
+        sig = minhash_signatures(sh_df, num_hashes, hash_family=hash_family).persist()
     banded = _banded(sig, bands, r, hash_family)
 
     if max_band_freq is not None:
-        # one extra count-shuffle on the (already shuffled) band keys
-        # buys a hard bound on bucket fan-out
-        bucket_n = F.count(F.lit(1)).over(
-            Window.partitionBy("band", "key")
+        # Drop over-cap buckets via a broadcast anti-join of the tiny
+        # over-cap key list: the partial-aggregated bucket count
+        # shuffles one row per distinct (band, key) per map task,
+        # where the previous window-count formulation re-shuffled the
+        # ENTIRE banded table (id + band + key per row) just to count
+        # bucket sizes.
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_band_freq)
+            .select("band", "key")
         )
-        banded = (
-            banded.withColumn("__bn", bucket_n)
-            .filter(F.col("__bn") <= max_band_freq)
-            .drop("__bn")
-        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
 
     # candidate ids only — shingle arrays never travel through the
     # band-key shuffle; they re-join after pair dedup
@@ -855,16 +873,20 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a_id", "b_id"])
         .persist()  # referenced 3x: candidate-id union + verify join
     )
-    cand_ids = (
-        cand.select(F.col("a_id").alias(id_col))
-        .unionAll(cand.select(F.col("b_id").alias(id_col)))
-        .distinct()
-    )
-    cand_sh = staged_shingles(
-        df.join(cand_ids, id_col, "leftsemi"), id_col, text_col, k, shingle_unit
-    )
-    sha = cand_sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
-    shb = cand_sh.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    if css is not None:
+        sha = css.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+        shb = css.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    else:
+        cand_ids = (
+            cand.select(F.col("a_id").alias(id_col))
+            .unionAll(cand.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        cand_sh = staged_shingles(
+            df.join(cand_ids, id_col, "leftsemi"), id_col, text_col, k, shingle_unit
+        )
+        sha = cand_sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+        shb = cand_sh.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
     out = (
         cand.join(sha, "a_id")
         .join(shb, "b_id")
@@ -876,7 +898,8 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    return finalize_cached(out, cand, sig)
+    cached = (cand, sig) if css is None else (cand, css)
+    return finalize_cached(out, *cached)
 
 
 # ---------------------------------------------------------------------------
