@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from toshokan_spark.config import FieldConfig, IndexConfig
 from toshokan_spark.query import compile_query
-from toshokan_spark.operators import asof, dedup, similarity, text as textops, multimodal
+from toshokan_spark.operators import asof, decontaminate, dedup, similarity, text as textops, multimodal
 from toshokan_spark.operators.dedup import words_col as dedup_words
 
 # ---------------------------------------------------------------------------
@@ -765,6 +765,19 @@ def q_dedup_minhash_char(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Pile-style n-gram collision):
+    docs with doc_id % 7 == 0 play the held-out eval set, the rest
+    the training corpus; every training doc sharing a word 8-gram
+    with the benchmark is reported with its collision count and a
+    deterministic witness gram. n=8 (not the published 13) because
+    the synthetic docs are short; the operator shape is n-agnostic."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate.contamination_report(corpus, bench, n=8)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incoming-batch dedup against the standing corpus: docs with
     doc_id % 4 == 0 play the arriving batch, the rest the corpus;
@@ -904,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "decontaminate": q_decontaminate,
         # training-data selection
         "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,
@@ -927,12 +941,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # shared SQL fragments (kept in lockstep with the Spark operators)
 _WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
-_SHINGLES = f"""
-CASE WHEN len({_WORDS}) >= 3
-     THEN list_distinct(list_transform(range(1, len({_WORDS}) - 1),
-              i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]))
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB twin of dedup._shingles_from_words for any k: distinct
+    space-joined k-word windows, whole-doc fallback under k words."""
+    joined = " || ' ' || ".join(f"{_WORDS}[i+{j}]" for j in range(k))
+    return f"""
+CASE WHEN len({_WORDS}) >= {k}
+     THEN list_distinct(list_transform(range(1, len({_WORDS}) - {k - 2}),
+              i -> {joined}))
      ELSE [array_to_string({_WORDS}, ' ')] END
 """
+
+
+_SHINGLES = _shingles_sql(3)
 _COS = """
 list_reduce(list_prepend(0.0::DOUBLE,
     list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
@@ -1409,6 +1432,18 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rn
               FROM j WHERE jac >= 0.5)
             SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM r WHERE rn = 1
+        """,
+        # mirrors decontaminate.contamination_report: distinct word
+        # 8-grams per doc (whole-doc fallback under 8 words), hits =
+        # grams also present anywhere in the benchmark split
+        "decontaminate": f"""
+            WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+            bg AS (SELECT DISTINCT unnest({_shingles_sql(8)}) AS gram FROM bench),
+            cg AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS gram FROM corp)
+            SELECT doc_id, count(*)::BIGINT AS n_hits, min(gram) AS sample_gram
+            FROM cg JOIN bg USING (gram)
+            GROUP BY doc_id
         """,
         "sample_documents": f"""
             SELECT doc_id, lang, source FROM documents

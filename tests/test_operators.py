@@ -846,3 +846,46 @@ def test_simhash_char_tokens_for_unsegmented_text(spark):
                    twin, max_hamming=3, token_unit="char",
                    hash_family=fam).collect()}
         assert got == {(1, 2): 0}, fam
+
+
+def test_decontaminate_flags_and_drops_overlapping_docs(spark):
+    """Docs sharing an n-gram with the benchmark are reported with the
+    right hit count and removed by decontaminate; clean docs pass."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import decontaminate as dc
+
+    bench = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+    ])
+    docs = spark.createDataFrame([
+        # shares the 4-grams "quick brown fox jumps" etc.
+        Row(doc_id=10, text="a quick brown fox jumps over fences daily"),
+        Row(doc_id=11, text="completely unrelated training content here now"),
+        # short doc, whole-text fallback, no benchmark collision
+        Row(doc_id=12, text="tiny doc"),
+    ])
+    rep = {r.doc_id: (r.n_hits, r.sample_gram)
+           for r in dc.contamination_report(docs, bench, n=4).collect()}
+    # doc 10's distinct 4-grams intersecting the benchmark's:
+    # "quick brown fox jumps", "brown fox jumps over" -> 2 hits
+    assert rep == {10: (2, "brown fox jumps over")}
+
+    kept = sorted(r.doc_id for r in dc.decontaminate(docs, bench, n=4).collect())
+    assert kept == [11, 12]
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    """The benchmark gram set must reach the corpus explode as a
+    broadcast — the corpus-side n-gram fan-out never shuffles."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import decontaminate as dc
+
+    bench = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma delta")])
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta doc {i}") for i in range(20)]
+    )
+    rep = dc.contamination_report(docs, bench, n=4)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -1,0 +1,98 @@
+"""Benchmark decontamination: remove training documents that overlap
+an evaluation/benchmark set — the standard n-gram-collision pass of
+LLM data pipelines (GPT-3 appendix C and The Pile both decontaminate
+on 13-gram overlap; the reference engine has no analog, this is part
+of the training-data-pipeline layer this repo adds on top of it).
+
+Scale shape (the whole point at 100 TB):
+* the BENCHMARK side is small by construction (eval sets are
+  thousands of documents) — its distinct n-gram set is aggregated
+  and BROADCAST;
+* the corpus side explodes its n-grams in a narrow pipelined pass
+  and semi-joins the broadcast set map-side, so the n-gram fan-out
+  (corpus_tokens × 1 rows) never reaches a shuffle — only the HITS
+  (contaminated gram occurrences, tiny) flow into the per-doc
+  aggregation;
+* per-doc hit counting is a partial-aggregated groupBy on doc id.
+
+Everything is built-in Column algebra over word arrays (no UDFs) and
+deliberately DuckDB-expressible, so the contamination report gets a
+full value-level oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from toshokan_spark.operators.dedup import _shingles_from_words, words_col
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) — DISTINCT word n-grams per document (set semantics:
+    a gram repeated inside one doc counts once), with the same
+    short-doc fallback as the dedup shinglers (docs under n words
+    contribute their whole token sequence as one gram)."""
+    staged = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__w")
+    )
+    return staged.select(
+        "id", F.explode(_shingles_from_words(F.col("__w"), n)).alias("gram")
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: Optional[str] = None,
+    n: int = 13,
+) -> DataFrame:
+    """One row per CONTAMINATED training document: (doc_id, n_hits,
+    sample_gram) where ``n_hits`` counts the doc's distinct word
+    n-grams that also occur anywhere in *benchmark* and
+    ``sample_gram`` is the lexicographically first such gram (a
+    deterministic witness for spot-checking). Clean documents are
+    absent — pipe through :func:`decontaminate` to drop the flagged
+    ones.
+
+    ``n=13`` is the published operating point (GPT-3 / The Pile);
+    lower it for short-document corpora. The benchmark gram set is
+    explicitly broadcast — see the module docstring for why the
+    corpus-side explode never shuffles.
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        _doc_grams(benchmark, id_col, bench_text, n).select("gram").distinct()
+    )
+    doc_grams = _doc_grams(docs, id_col, text_col, n)
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram")
+    return (
+        hits.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("gram").alias("sample_gram"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: Optional[str] = None,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training docs with fewer than ``min_hits`` benchmark n-gram
+    collisions (default: any collision disqualifies). The anti-join
+    keys on doc id only — document payloads never enter the
+    contamination join."""
+    flagged = contamination_report(
+        docs, benchmark, id_col, text_col, bench_text_col, n
+    ).filter(F.col("n_hits") >= min_hits).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")
