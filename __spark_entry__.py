@@ -765,6 +765,20 @@ def q_dedup_minhash_char(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: IVF-cluster the embedding corpus (seeded quantizer so
+    the oracle reproduces it), drop within-cluster vectors with a
+    lower-id cosine-neighbor at the threshold, return the survivors.
+    θ=0.42 because the synthetic embeddings have no true near-dups
+    (max within-cluster cosine ≈ 0.49); production θ is 0.95+ — the
+    operator is threshold-agnostic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.seed_ivf_centroids(emb, num_centroids=8)
+    return similarity.semantic_dedup(emb, cents, threshold=0.42).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Pile-style n-gram collision):
     docs with doc_id % 7 == 0 play the held-out eval set, the rest
@@ -918,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "decontaminate": q_decontaminate,
+        "semantic_dedup": q_semantic_dedup,
         # training-data selection
         "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,
@@ -1432,6 +1447,29 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rn
               FROM j WHERE jac >= 0.5)
             SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM r WHERE rn = 1
+        """,
+        # mirrors similarity.semantic_dedup over the seeded (SQL-
+        # reproducible) IVF quantizer: assign each vector to its
+        # L2-nearest of the 8 lowest-id centroids, drop vectors with a
+        # lower-id within-cluster cosine-neighbor at the threshold
+        "semantic_dedup": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            assigned AS (
+              SELECT e.vec_id, e.embedding AS ev,
+                (SELECT c.cid FROM cent c
+                 ORDER BY {_L2.format(a="e.embedding", b="c.cv")} ASC, c.cid ASC
+                 LIMIT 1) AS cid
+              FROM embeddings e),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM assigned a JOIN assigned b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE {_COS.format(a="a.ev", b="b.ev")} >= 0.42)
+            SELECT s.vec_id, s.cid::BIGINT AS cid
+            FROM assigned s ANTI JOIN dropped d ON s.vec_id = d.vec_id
         """,
         # mirrors decontaminate.contamination_report: distinct word
         # 8-grams per doc (whole-doc fallback under 8 words), hits =

@@ -889,3 +889,26 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     rep = dc.contamination_report(docs, bench, n=4)
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_semantic_dedup_drops_near_identical_cluster_mates(spark):
+    """Within-cluster cosine-duplicates above threshold lose all but
+    the min id; cross-cluster similarity never triggers a drop."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),   # centroid seed 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),   # centroid seed 1
+        Row(vec_id=10, embedding=[0.99, 0.01, 0.0, 0.0]),  # dup of 1's cluster
+        Row(vec_id=11, embedding=[0.98, 0.02, 0.0, 0.0]),  # chain: dup of 10
+        Row(vec_id=20, embedding=[0.0, 0.97, 0.03, 0.0]),  # dup in cluster 1
+        Row(vec_id=30, embedding=[0.1, 0.9, 0.4, 0.0]),    # same cluster, far
+    ]
+    emb = spark.createDataFrame(rows)
+    cents = sim.seed_ivf_centroids(emb, num_centroids=2)
+    kept = {r.vec_id: r.cid for r in
+            sim.semantic_dedup(emb, cents, threshold=0.95).collect()}
+    # 10 and 11 collapse onto 1; 20 collapses onto 2; 30 survives
+    assert set(kept) == {1, 2, 30}

@@ -405,3 +405,62 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — cluster with the IVF coarse
+    quantizer, then inside each cluster drop every vector whose cosine
+    to a LOWER-ID cluster-mate reaches ``threshold``. Returns the KEPT
+    rows as (id_col, cid); dropped ids are exactly those with a
+    lower-id θ-neighbor, so the survivor set is deterministic (the
+    minimum of each within-cluster duplicate chain survives — the
+    paper keeps the lowest-centroid-similarity member; min-id is the
+    order-free analog).
+
+    Scale shape: assignment is one narrow pass against the broadcast
+    C×dim model (:func:`assign_ivf` — persist/write it once and pass
+    precomputed work through there at 100 TB); the only quadratic
+    step is the within-cluster self-join, which is the SemDeDup
+    design point — ``num_centroids`` must scale like
+    corpus_size / target_cluster_size (the paper uses 50k clusters
+    for LAION) so clusters stay small enough to pair off. Cosines
+    use the sequential-fold expression for oracle bit-parity.
+    """
+    assigned = spread(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).select(
+        "id",
+        "v",
+        _nearest_centroid(F.col("v"), centroids).alias("cid"),
+        sq_norm(F.col("v")).alias("n2"),
+    ).persist()
+    a = assigned.select(
+        F.col("id").alias("a_id"), F.col("v").alias("av"),
+        "cid", F.col("n2").alias("an2"),
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("cid").alias("bcid"), F.col("n2").alias("bn2"),
+    )
+    cos = dot_product(F.col("av"), F.col("bv")) / F.sqrt(
+        F.col("an2") * F.col("bn2")
+    )
+    dropped = (
+        a.join(b, (F.col("cid") == F.col("bcid")) & (F.col("a_id") < F.col("b_id")))
+        .where(cos >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    from toshokan_spark.operators.util import finalize_cached
+
+    kept = assigned.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cid"
+    )
+    return finalize_cached(kept, assigned)
