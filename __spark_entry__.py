@@ -521,6 +521,22 @@ def q_dedup_clusters(spark, sf_dir):
 # training-data selection (sampling / budgeting / mixing / scrubbing)
 # ---------------------------------------------------------------------------
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 24-token chunks, 8-token overlap
+    (sized to the short synthetic docs; the operator is
+    parameter-agnostic). One narrow tokenize+explode pass."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.chunk_documents(docs, max_tokens=24, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic 25% hash-sample of documents by doc_id."""
     from toshokan_spark.operators import sampling
@@ -935,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         # training-data selection
         "sample_documents": q_sample_documents,
+        "chunk_documents": q_chunk_documents,
         "token_budget_pack": q_token_budget_pack,
         "source_mixture": q_source_mixture,
         "source_token_profile": q_source_token_profile,
@@ -1487,6 +1504,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
                   % 10000 < 2500
+        """,
+        # mirrors sampling.chunk_documents(max_tokens=24, overlap=8):
+        # starts stride by 16 up to max(n_words - 8, 1); DuckDB list
+        # slicing is 1-based inclusive and clamps, same as F.slice
+        "chunk_documents": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            ex AS (
+              SELECT doc_id, ws,
+                t.s AS start,
+                (row_number() OVER (PARTITION BY doc_id ORDER BY t.s) - 1) AS chunk_idx
+              FROM w, LATERAL (
+                SELECT unnest(range(1, greatest(len(ws) - 8, 1) + 1, 16)) AS s) t)
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   array_to_string(ws[start : start + 23], ' ') AS chunk_text,
+                   len(ws[start : start + 23])::BIGINT AS n_tokens
+            FROM ex
         """,
         "token_budget_pack": f"""
             -- ::BIGINT casts: DuckDB types sum(BIGINT) as HUGEINT, whose

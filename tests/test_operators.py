@@ -912,3 +912,30 @@ def test_semantic_dedup_drops_near_identical_cluster_mates(spark):
             sim.semantic_dedup(emb, cents, threshold=0.95).collect()}
     # 10 and 11 collapse onto 1; 20 collapses onto 2; 30 survives
     assert set(kept) == {1, 2, 30}
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunk starts stride by max-overlap; final short chunk kept;
+    docs at/under max yield one chunk; overlap tokens repeat."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import sampling
+
+    words40 = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=words40),          # 40 tokens
+        Row(doc_id=2, text="a b c"),          # under max -> one chunk
+    ])
+    out = sorted(
+        ((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+         for r in sampling.chunk_documents(
+             docs, max_tokens=16, overlap=4
+         ).collect())
+    )
+    # doc 1: starts 1, 13, 25 (stride 12, up to 40-4=36) -> 16,16,16
+    assert [(d, i, n) for d, i, n, _ in out] == [
+        (1, 0, 16), (1, 1, 16), (1, 2, 16), (2, 0, 3),
+    ]
+    c0, c1 = out[0][3].split(), out[1][3].split()
+    assert c0 == [f"w{i}" for i in range(16)]
+    assert c1[:4] == c0[-4:]  # the 4-token overlap

@@ -164,3 +164,47 @@ def source_token_profile(
         F.percentile(F.col(tokens_col), F.lit(0.95)).alias("p95_tokens"),
         F.max(F.col(tokens_col)).alias("max_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-bounded chunks — the
+    context-window preparation step between selection and training:
+    (id, chunk_idx, chunk_text, n_tokens), chunk_idx 0-based in
+    document order. Chunk starts stride by ``max_tokens - overlap``;
+    the final chunk may be short, and a document at or under
+    ``max_tokens`` tokens yields itself as its only chunk.
+
+    One narrow pass: tokenize once per row, fan out start offsets
+    with sequence+explode, slice the staged token array per chunk —
+    no shuffle, no UDF, chunk boundaries reproducible from the text
+    alone (the DuckDB oracle rebuilds them exactly).
+    """
+    assert 0 <= overlap < max_tokens
+    from toshokan_spark.operators.dedup import words_col
+
+    stride = max_tokens - overlap
+    staged = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__w")
+    )
+    n = F.size("__w")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    # posexplode keeps __w available on the exploded row, so each
+    # chunk slices the staged array without re-tokenizing
+    ex = staged.select(
+        "id", F.posexplode(starts).alias("chunk_idx", "start"), "__w"
+    )
+    chunk = F.slice(F.col("__w"), F.col("start"), max_tokens)
+    return ex.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
