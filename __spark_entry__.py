@@ -795,6 +795,14 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column
+    (4 bytes/dim -> 1): the storage-compression step before writing an
+    embedding corpus or signature store."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Pile-style n-gram collision):
     docs with doc_id % 7 == 0 play the held-out eval set, the rest
@@ -949,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
         # training-data selection
         "sample_documents": q_sample_documents,
         "chunk_documents": q_chunk_documents,
@@ -1464,6 +1473,23 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rn
               FROM j WHERE jac >= 0.5)
             SELECT new_id, corpus_id, round(jac, 6) AS jaccard FROM r WHERE rn = 1
+        """,
+        # mirrors similarity.quantize_embeddings: scale = max|x|/127,
+        # q_i = floor(x/scale + 0.5) — the tie rule native round()
+        # disagrees on across engines; floor(+0.5) is IEEE-identical
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> x::DOUBLE) AS v,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+                  AS scale
+              FROM embeddings)
+            SELECT vec_id, round(scale, 6) AS scale,
+              CASE WHEN scale = 0
+                   THEN list_transform(v, x -> 0)
+                   ELSE list_transform(v, x -> floor(x / scale + 0.5)::INT)
+              END AS qvec
+            FROM s
         """,
         # mirrors similarity.semantic_dedup over the seeded (SQL-
         # reproducible) IVF quantizer: assign each vector to its

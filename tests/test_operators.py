@@ -939,3 +939,23 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     c0, c1 = out[0][3].split(), out[1][3].split()
     assert c0 == [f"w{i}" for i in range(16)]
     assert c1[:4] == c0[-4:]  # the 4-token overlap
+
+
+def test_quantize_embeddings_int8_roundtrip(spark):
+    """q_i in [-127,127], extreme component hits exactly ±127, zero
+    vector quantizes to zeros with scale 0, dequant error <= scale/2."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+    ])
+    out = {r.vec_id: r for r in sim.quantize_embeddings(emb).collect()}
+    r1 = out[1]
+    assert r1.qvec[1] == -127 and max(abs(q) for q in r1.qvec) == 127
+    scale = 1.0 / 127.0
+    for orig, q in zip([0.5, -1.0, 0.25, 0.0], r1.qvec):
+        assert abs(orig - q * scale) <= scale / 2 + 1e-12
+    assert out[2].scale == 0.0 and out[2].qvec == [0, 0, 0, 0]

@@ -464,3 +464,51 @@ def semantic_dedup(
         F.col("id").alias(id_col), "cid"
     )
     return finalize_cached(kept, assigned)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    compression step for embedding columns (4 bytes/dim -> 1): scale =
+    max|x| / 127, q_i = floor(x_i / scale + 0.5) in [-127, 127]
+    (round-half-toward-+inf: engines disagree on .5 ties under their
+    native round(), floor(+0.5) is IEEE-identical everywhere). Returns
+    (id, scale, qvec array<int>); an all-zero vector quantizes to
+    zeros with scale 0. Dequantize as q_i * scale with max abs error
+    scale/2.
+
+    One narrow per-row HOF projection (no shuffle, no UDF); every
+    arithmetic step is a deterministic double-precision expression the
+    DuckDB oracle reproduces bit-for-bit. |x_i/scale| <= 127 by
+    construction, so no clamp is needed. The scale is STAGED as a
+    projected column before the qvec transform (HOF lambdas get no
+    subexpression elimination — inlining amax would recompute it per
+    element)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # the staged raw scale must NOT share a name with the rounded
+    # output column: Spark's lateral column alias resolution would
+    # make the qvec transform divide by the ROUNDED value
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        v.alias(vec_col),
+        (amax / F.lit(127.0)).alias("__scale"),
+    )
+    return staged.select(
+        F.col("id").alias(id_col),
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.when(
+            F.col("__scale") == 0,
+            F.transform(F.col(vec_col), lambda x: F.lit(0)),
+        )
+        .otherwise(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x / F.col("__scale") + F.lit(0.5)).cast("int"),
+            )
+        )
+        .alias("qvec"),
+    )
