@@ -345,10 +345,17 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("n"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        freq_ok = (
-            ex.groupBy("s").count().filter(F.col("count") <= max_shingle_freq).select("s")
+        # anti-join the (tiny) OVER-cap shingle list, broadcast — the
+        # inner-join-with-ok-list formulation carried the near-full
+        # distinct-shingle set through an extra exchange; over-cap
+        # boilerplate shingles are few by definition
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_shingle_freq)
+            .select("s")
         )
-        ex = ex.join(freq_ok, "s")
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
 
     inter = (
         ex.alias("a")
@@ -405,11 +412,18 @@ def incremental_jaccard_matches(
     exn = shn.select("id", F.explode("sh").alias("s"))
     exc = shc.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        freq_ok = (
-            exc.groupBy("s").count().filter(F.col("count") <= max_shingle_freq).select("s")
+        # over-CORPUS-cap shingles leave both sides via a broadcast
+        # anti-join (tiny over-cap list; see ngram_jaccard_pairs) —
+        # at 100 TB this list would come precomputed from the ingest
+        # pass, like the hot band buckets of the minhash store
+        hot = (
+            exc.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_shingle_freq)
+            .select("s")
         )
-        exn = exn.join(freq_ok, "s")
-        exc = exc.join(freq_ok, "s")
+        exn = exn.join(F.broadcast(hot), "s", "left_anti")
+        exc = exc.join(F.broadcast(hot), "s", "left_anti")
     inter = (
         exn.alias("n")
         .join(exc.alias("c"), F.col("n.s") == F.col("c.s"))
