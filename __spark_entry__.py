@@ -575,6 +575,20 @@ def q_source_mixture(spark, sf_dir):
     return sampling.source_mixture(with_tokens, alpha=0.5)
 
 
+def q_apply_mixture(spark, sf_dir):
+    """Close the mixing loop: compute temperature-0.5 weights, then
+    downsample each source at the rate that realizes those weights
+    exactly (binding source kept whole). Kept rows only."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    weights = sampling.source_mixture(with_tokens, alpha=0.5)
+    return sampling.apply_mixture(docs, weights).select("doc_id", "source")
+
+
 def q_select_training_set(spark, sf_dir):
     """The full selection pipeline composed end-to-end: drop near-dup
     losers (cluster keepers survive), keep quality >= 0.55, then a
@@ -963,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "token_budget_pack": q_token_budget_pack,
         "source_mixture": q_source_mixture,
+        "apply_mixture": q_apply_mixture,
         "source_token_profile": q_source_token_profile,
         "pii_scrub": q_pii_scrub,
         "select_training_set": q_select_training_set,
@@ -1573,6 +1588,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens,
                    round(scaled / total_scaled::DOUBLE, 6) AS weight
             FROM sc, tot
+        """,
+        # mirrors sampling.apply_mixture over the source_mixture
+        # weights: budget B = min(tokens/weight), per-source rate =
+        # min(1, weight*B/tokens), keep rows whose sampling-hash
+        # bucket < floor(rate*10000). All-double IEEE arithmetic from
+        # the 6-decimal rounded weight, identical in both engines.
+        "apply_mixture": f"""
+            WITH per AS (
+              SELECT source, sum(len({_WORDS}))::BIGINT AS n_tokens
+              FROM documents GROUP BY source),
+            sc AS (SELECT *, sqrt(n_tokens::DOUBLE) AS scaled FROM per),
+            tot AS (SELECT sum(scaled::DECIMAL(38,18)) AS total_scaled FROM sc),
+            w AS (
+              SELECT source, n_tokens::DOUBLE AS t,
+                     round(scaled / total_scaled::DOUBLE, 6) AS wt
+              FROM sc, tot),
+            b AS (SELECT min(t / wt) AS budget FROM w),
+            r AS (
+              SELECT source, least(wt * budget / t, 1.0) AS rate
+              FROM w, b)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE ({_poly_sql('d.doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
+                  % 10000 < floor(r.rate * 10000.0)
         """,
         "source_token_profile": f"""
             -- ::BIGINT: DuckDB sums/counts to HUGEINT; quantile_cont's

@@ -959,3 +959,32 @@ def test_quantize_embeddings_int8_roundtrip(spark):
     for orig, q in zip([0.5, -1.0, 0.25, 0.0], r1.qvec):
         assert abs(orig - q * scale) <= scale / 2 + 1e-12
     assert out[2].scale == 0.0 and out[2].qvec == [0, 0, 0, 0]
+
+
+def test_apply_mixture_realizes_target_weights(spark):
+    """Per-source rates: binding source kept whole (rate 1); the
+    over-represented source downsampled toward its weight; kept sets
+    are deterministic subsets of the input."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import sampling
+
+    # source a: 9x the tokens of source b -> temperature 0.5 pushes
+    # weight toward b, so a is the downsampled one. 6-digit ids: the
+    # polynomial sampling hash buckets 1-2 char keys unevenly, so tiny
+    # consecutive ids would make the realized fraction meaningless.
+    rows = [Row(doc_id=100000 + i, source="a", n_tokens=90) for i in range(300)]
+    rows += [Row(doc_id=900000 + i, source="b", n_tokens=10) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    weights = sampling.source_mixture(df, tokens_col="n_tokens", alpha=0.5)
+    kept = sampling.apply_mixture(df, weights, key_col="doc_id").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # b binds (smallest tokens/weight) -> kept whole
+    assert len(by_src["b"]) == 300
+    # a's target rate = w_a*B/t_a = (3/4 * 3000/(1/4)) / 27000 = 1/3
+    assert 70 <= len(by_src["a"]) <= 130  # hash sampling near 100
+    # deterministic: same call, same set
+    kept2 = sampling.apply_mixture(df, weights, key_col="doc_id").collect()
+    assert sorted(r.doc_id for r in kept2) == sorted(r.doc_id for r in kept)

@@ -208,3 +208,45 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """APPLY a :func:`source_mixture` recipe: per-source deterministic
+    hash-downsampling at the rates that make the surviving token mass
+    match the target weights exactly — the largest such corpus
+    reachable by downsampling alone (the most under-weighted source
+    is kept whole at rate 1; upsampling/repetition is a training-time
+    concern, not a filter's).
+
+    rate_s = min(1, weight_s * B / tokens_s) with
+    B = min_s(tokens_s / weight_s) — B is the total token budget at
+    which the binding source saturates. ``weights`` is the
+    source_mixture output ((group, n_docs, n_tokens, weight)); it is
+    model-sized, so both the budget aggregate and the rate join are
+    broadcasts — the corpus pass stays a narrow stateless filter,
+    exactly like :func:`sample_by_hash`.
+    """
+    w = weights.select(
+        group_col,
+        F.col("n_tokens").cast("double").alias("__t"),
+        F.col("weight").cast("double").alias("__w"),
+    )
+    budget = w.agg(F.min(F.col("__t") / F.col("__w")).alias("__b"))
+    rates = w.crossJoin(F.broadcast(budget)).select(
+        group_col,
+        F.least(
+            F.col("__w") * F.col("__b") / F.col("__t"), F.lit(1.0)
+        ).alias("__rate"),
+    )
+    thr = F.floor(F.col("__rate") * F.lit(float(SAMPLE_BUCKETS)))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(sample_key(F.col(key_col), seed) < thr)
+        .drop("__rate")
+    )
