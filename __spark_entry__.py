@@ -725,6 +725,7 @@ def q_text_token_stats(spark, sf_dir):
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_regex_tokens").cast("long").alias("n_regex_tokens"),
         "n_bpe_est",
     )
 
@@ -1845,6 +1846,8 @@ def oracle_sql() -> dict[str, str]:
               len(list_distinct({_WORDS})) AS n_distinct_tokens,
               length(text) AS n_chars,
               strlen(text) AS n_bytes,
+              len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                AS n_regex_tokens,
               CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe_est
             FROM documents
         """,

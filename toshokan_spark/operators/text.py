@@ -32,10 +32,18 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
 
 
+#: GPT-2-style pretokenizer classes, lookahead-free so Java regex and
+#: RE2 (DuckDB) split identically: optional-space letter runs, digit
+#: runs, non-alnum punctuation runs
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens,
-    char/byte lengths, a BPE-ish subword estimate (ceil(bytes/4) — the
-    common ~4-bytes-per-token rule of thumb)."""
+    char/byte lengths, a BPE-ish REGEX token count (GPT-2-style
+    pretokenizer classes, :data:`BPE_TOKEN_RE` — each match is what a
+    BPE vocab would then merge within), and the cruder ceil(bytes/4)
+    rule-of-thumb estimate."""
     w = words_col(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -43,6 +51,9 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("n_regex_tokens"),
         F.ceil(F.octet_length(F.col(text_col)) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
     )
 
