@@ -92,3 +92,24 @@ def test_incremental_minhash_rejects_mismatched_store(spark, corpus):
     new = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta")])
     with pytest.raises(ValueError, match="num_hashes=64"):
         dedup.incremental_minhash_matches(new, sigs64, num_hashes=128, bands=32)
+
+
+def test_incremental_minhash_rejects_mismatched_hot_bands(spark, corpus):
+    """A hot-band table with the wrong geometry/family would silently
+    disable the fan-out cap — both cheap invariants must raise."""
+    sigs = dedup.corpus_minhash_signatures(corpus)
+    new = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta")])
+    # wrong hash family: poly keys are strings, caller expects bigint
+    hot_poly = spark.createDataFrame([Row(band=0, key="1,2,3,4")])
+    with pytest.raises(ValueError, match="key type"):
+        dedup.incremental_minhash_matches(
+            new, sigs, corpus_hot_bands=hot_poly
+        )
+    # wrong band count: band id out of range for bands=32
+    hot_wide = spark.createDataFrame([Row(band=40, key=123)]).select(
+        "band", F.col("key").cast("bigint").alias("key")
+    )
+    with pytest.raises(ValueError, match="band 40"):
+        dedup.incremental_minhash_matches(
+            new, sigs, corpus_hot_bands=hot_wide, bands=32
+        )

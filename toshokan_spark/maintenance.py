@@ -165,14 +165,12 @@ def vacuum(
     commit gap). ``min_age_seconds=0`` restores unconditional reaping
     for when the caller can guarantee no writer is active.
     """
-    import time as _time
-
     config = catalog.get_index(index_name)
     st = catalog.data_storage(config)
     live = {s.file_name for s in catalog.segments(index_name)}
     from toshokan_spark.indexer import STATS_DIR, stats_path
 
-    now = _time.time()
+    now = time.time()
 
     def age_ok(path: str) -> bool:
         if min_age_seconds <= 0:

@@ -739,6 +739,27 @@ def incremental_minhash_matches(
     ).persist()  # banded fan-out + verify both read it
     banded_n = _banded(ns, bands, r, hash_family)
     banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
+    if corpus_hot_bands is not None:
+        # a hot-bucket table built with different band geometry or hash
+        # family would filter NOTHING (its keys never match), silently
+        # disabling the fan-out cap — validate the cheap invariants:
+        # key dtype pins the hash family, band ids must fit the band
+        # count (tiny table, trivial agg)
+        expected_t = "string" if hash_family.startswith("poly") else "bigint"
+        actual_t = dict(corpus_hot_bands.dtypes).get("key")
+        if actual_t != expected_t:
+            raise ValueError(
+                f"corpus_hot_bands key type {actual_t!r} does not match "
+                f"hash_family={hash_family!r} (expected {expected_t!r}): "
+                "rebuild the hot-band table with matching params"
+            )
+        max_band = corpus_hot_bands.agg(F.max("band")).first()[0]
+        if max_band is not None and max_band >= bands:
+            raise ValueError(
+                f"corpus_hot_bands contains band {max_band} but caller "
+                f"asked for bands={bands}: rebuild the hot-band table "
+                "with matching band geometry"
+            )
     if corpus_hot_bands is None and max_band_freq is not None:
         corpus_hot_bands = hot_band_buckets(
             corpus_sigs, bands, max_band_freq, hash_family
