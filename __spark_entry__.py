@@ -944,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        # registered early (changed this round — see the multimodal
+        # note above about the driver's 50-entry recording horizon)
+        "text_token_stats": q_text_token_stats,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -988,7 +991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_exact": q_knn_ivf_exact,
         # text analysis
-        "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
