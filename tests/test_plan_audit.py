@@ -87,3 +87,40 @@ def test_whole_stage_codegen_present(plans):
     # codegen, e.g. a row-at-a-time Python UDF crept into the path)
     for name in ("search_term", "q1_pricing", "text_quality", "search_bm25"):
         assert plans[name]["wscg_spans"] >= 1, (name, plans[name])
+
+
+#: round-6 additions with pinned plan invariants of their own
+ROUND6 = ["chunk_documents", "quantize_embeddings", "text_token_stats", "decontaminate"]
+
+
+@pytest.fixture(scope="module")
+def plans6(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND6:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_narrow_ops_have_no_shuffle(plans6):
+    """Chunking, quantization and token stats are single-scan narrow
+    projections — any Exchange means a shuffle crept into a pass that
+    must stream at 100 TB."""
+    for name in ("chunk_documents", "quantize_embeddings", "text_token_stats"):
+        a = plans6[name]
+        assert a["scans"] == 1, (name, a)
+        assert a["exchanges"] == 0, (name, a)
+        assert a["wscg_spans"] >= 1, (name, a)
+
+
+def test_decontaminate_joins_are_broadcast(plans6):
+    """The benchmark gram set must broadcast — a shuffled join here
+    would move the corpus n-gram fan-out."""
+    a = plans6["decontaminate"]
+    assert "BroadcastHashJoin" in a["joins"], a
+    assert "SortMergeJoin" not in a["joins"] and "CartesianProduct" not in a["joins"], a
