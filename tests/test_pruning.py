@@ -380,3 +380,66 @@ def test_segment_files_time_sorted_within_day(spark, catalog, tmp_path):
     for f in files:
         ts = [r.ts for r in spark.read.parquet(f).select("ts").collect()]
         assert ts == sorted(ts), f
+
+
+def test_zone_map_pruning_on_number_fields(spark, catalog, tmp_path):
+    """Per-number-field [min, max] zone maps recorded at write prune
+    non-overlapping segments at the MANIFEST (no time field needed);
+    merge combines the maps exactly; queries stay correct throughout."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="zm",
+        path=str(tmp_path / "data" / "zm"),
+        fields=[
+            FieldConfig(name="tenant_id", type="number", number_type="u64"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(catalog, config)
+    for lo in (0, 100):  # two segments: tenants 0-9 and 100-109
+        rows = [
+            {"tenant_id": lo + i, "level": f"t{lo + i}"} for i in range(10)
+        ]
+        p = tmp_path / f"zm-{lo}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        index_batch(spark, catalog, "zm", jsonl_path=str(p))
+
+    segs = catalog.segments("zm")
+    assert [s.field_stats["tenant_id"] for s in segs] == [[0, 9], [100, 109]]
+
+    def survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return [s.field_stats["tenant_id"] for s in out]
+
+    assert survivors("tenant_id:>50") == [[100, 109]]
+    assert survivors("tenant_id:[3 TO 7]") == [[0, 9]]
+    assert survivors("tenant_id:105") == [[100, 109]]
+    assert survivors("tenant_id:>5 AND tenant_id:<8") == [[0, 9]]
+    # disjunction unions bounds; unbounded disjunct kills pruning
+    assert survivors("tenant_id:2 OR tenant_id:104") == [[0, 9], [100, 109]]
+    assert survivors("tenant_id:2 OR level:t5") == [[0, 9], [100, 109]]
+    # results stay correct through the pruned scan
+    assert [
+        json.loads(d)["tenant_id"]
+        for d in search(spark, catalog, "zm", "tenant_id:>107", limit=10)
+    ] == [108, 109]
+
+    # merge combines zone maps exactly (min of mins, max of maxes)
+    merge_segments(spark, catalog, "zm")
+    (merged,) = catalog.segments("zm")
+    assert merged.field_stats["tenant_id"] == [0, 109]
+    assert sorted(
+        json.loads(d)["tenant_id"]
+        for d in search(spark, catalog, "zm", "tenant_id:[8 TO 101]", limit=10)
+    ) == [8, 9, 100, 101]
+
+
+def test_segment_entry_backcompat_without_field_stats(catalog):
+    """Old manifests (no field_stats key) still load and never prune."""
+    from toshokan_spark.catalog import SegmentEntry
+
+    s = SegmentEntry(id="x", file_name="seg-x", num_rows=1, created_at_ms=0)
+    assert s.field_stats is None

@@ -101,6 +101,13 @@ class SegmentEntry:
     #: Catalyst partition pruning still prunes WITHIN survivors).
     min_day: Optional[str] = None
     max_day: Optional[str] = None
+    #: per-NUMBER-field [min, max] zone maps recorded at write time
+    #: (``{"tenant_id": [3, 97]}``) — the numeric analog of the day
+    #: range: a range/comparison/equality query on the field drops
+    #: non-overlapping segments at the manifest, before any Spark plan
+    #: exists. None (old manifests, empty segments) means "cannot
+    #: prune on this segment", never "prune it".
+    field_stats: Optional[dict] = None
 
 
 class CatalogError(RuntimeError):

@@ -141,16 +141,41 @@ def write_segment(
         catalog.data_storage(config).delete_tree(seg_path)
         return None
 
-    # record the covered day range for manifest-level pruning (one
-    # cheap agg over the partition column — with the __day layout it
-    # reads directory names, not data)
+    # record the covered day range + per-number-field zone maps for
+    # manifest-level pruning, in ONE agg over the written segment
+    # (day min/max reads directory names under the __day layout; the
+    # numeric min/maxes ride the same job)
     min_day = max_day = None
+    field_stats = None
+    aggs = []
+    num_fields = [
+        f.name
+        for f in config.fields
+        # scalar number columns only: min/max of an ARRAY column is
+        # element-wise array ordering, not a value bound
+        if f.type == "number" and not f.array and f.name in written.columns
+    ]
     if partition_cols:
-        r = written.agg(
-            F.min(PARTITION_COL).alias("lo"), F.max(PARTITION_COL).alias("hi")
-        ).collect()[0]
-        if r.lo is not None:
-            min_day, max_day = str(r.lo), str(r.hi)
+        aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]
+    for name in num_fields:
+        aggs += [F.min(name).alias(f"__lo_{name}"), F.max(name).alias(f"__hi_{name}")]
+    if aggs:
+        r = written.agg(*aggs).collect()[0]
+        if partition_cols and r["__dlo"] is not None:
+            min_day, max_day = str(r["__dlo"]), str(r["__dhi"])
+        def _plain(v):
+            # u64 columns are decimal(20,0) — Decimal is not JSON-
+            # serializable and int keeps the full range exactly
+            from decimal import Decimal
+
+            return int(v) if isinstance(v, Decimal) else v
+
+        stats = {
+            name: [_plain(r[f"__lo_{name}"]), _plain(r[f"__hi_{name}"])]
+            for name in num_fields
+            if r[f"__lo_{name}"] is not None
+        }
+        field_stats = stats or None
 
     # stats are derived data: write them BEFORE the manifest commit so
     # a manifested segment always has its stats sibling
@@ -164,6 +189,7 @@ def write_segment(
         batch_id=batch_id,
         min_day=min_day,
         max_day=max_day,
+        field_stats=field_stats,
     )
     # data first, manifest second (`src/commands/mod.rs:178-187`)
     if not catalog.commit_segment(config.name, entry):

@@ -101,6 +101,21 @@ def merge_segments(
     if all(s.min_day and s.max_day for s in segs):
         min_day = min(s.min_day for s in segs)
         max_day = max(s.max_day for s in segs)
+    # zone maps combine exactly under union: min of mins, max of maxes
+    # — but only when EVERY input recorded the field (a missing map
+    # means unknown values, so the merged map must stay conservative)
+    field_stats = None
+    if all(s.field_stats for s in segs):
+        names = set(segs[0].field_stats)
+        for s in segs[1:]:
+            names &= set(s.field_stats)
+        field_stats = {
+            n: [
+                min(s.field_stats[n][0] for s in segs),
+                max(s.field_stats[n][1] for s in segs),
+            ]
+            for n in names
+        } or None
     # recompute the merged segment's BM25 stats before it is
     # manifested (stats follow data through compaction)
     from toshokan_spark.indexer import stats_path, write_segment_stats
@@ -110,7 +125,7 @@ def merge_segments(
     entry = SegmentEntry(
         id=seg_id, file_name=seg_name, num_rows=total,
         created_at_ms=int(time.time() * 1000),
-        min_day=min_day, max_day=max_day,
+        min_day=min_day, max_day=max_day, field_stats=field_stats,
     )
     # one atomic manifest write: new in, old out (`merge.rs:63-66`)
     catalog.swap_segments(index_name, [s.id for s in segs], entry)

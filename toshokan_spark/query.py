@@ -588,3 +588,57 @@ def time_bounds(
             hi = max(his) if all(v is not None for v in his) else None
             return lo, hi
     return None, None
+
+
+def _num_lit(v: Optional[str]):
+    """Numeric literal for zone-map pruning: exact int when possible
+    (u64 values past 2^53 must not round through float), else float,
+    else None (unparseable — no bound)."""
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+
+def numeric_bounds(node: Node, field: str):
+    """Conservative (lo, hi) numeric bounds the query implies on
+    *field*, for manifest-level zone-map pruning (same conjunct/
+    disjunct algebra as :func:`time_bounds`; equality terms bound both
+    ends). (None, None) means "cannot prune", never "prune
+    everything"; exclusive range ends are treated inclusively —
+    pruning may only ever keep too much."""
+    if isinstance(node, Term) and node.field == (field,):
+        v = _num_lit(node.text)
+        return (v, v) if v is not None else (None, None)
+    if isinstance(node, RangeQ) and node.field == (field,):
+        return _num_lit(node.lo), _num_lit(node.hi)
+    if isinstance(node, Cmp) and node.field == (field,):
+        v = _num_lit(node.value)
+        if v is None:
+            return None, None
+        return (v, None) if node.op.startswith(">") else (None, v)
+    if isinstance(node, BoolQuery):
+        if node.must:
+            lo = hi = None
+            for c in node.must:
+                clo, chi = numeric_bounds(c, field)
+                if clo is not None:
+                    lo = clo if lo is None else max(lo, clo)
+                if chi is not None:
+                    hi = chi if hi is None else min(hi, chi)
+            return lo, hi
+        if node.should:
+            los, his = [], []
+            for c in node.should:
+                clo, chi = numeric_bounds(c, field)
+                los.append(clo)
+                his.append(chi)
+            lo = min(los) if los and all(v is not None for v in los) else None
+            hi = max(his) if his and all(v is not None for v in his) else None
+            return lo, hi
+    return None, None

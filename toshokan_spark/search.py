@@ -80,22 +80,46 @@ def read_segments(
 
 
 def _pruned_segments(config, segs, node):
-    """MANIFEST-LEVEL pruning: drop segments whose recorded day range
-    cannot overlap the query's time bounds BEFORE building any scan —
-    at 10k segments this collapses the per-segment union for
-    partitioned indexes to the overlapping few; Catalyst partition
-    pruning then prunes WITHIN the survivors. Segments without
-    recorded day stats are conservatively kept. Returns
-    ``(lo, hi, surviving_segments)``."""
+    """MANIFEST-LEVEL pruning: drop segments whose recorded stats
+    cannot overlap the query's bounds BEFORE building any scan — the
+    day range against the query's time bounds, and each NUMBER
+    field's [min, max] zone map (``SegmentEntry.field_stats``)
+    against the query's numeric bounds. At 10k segments this
+    collapses the per-segment union to the overlapping few; Catalyst
+    partition pruning and parquet row-group stats then prune WITHIN
+    the survivors. Segments without recorded stats are conservatively
+    kept. Returns ``(lo, hi, surviving_segments)``."""
+    from toshokan_spark.query import numeric_bounds
+
     lo = hi = None
     if config.time_field:
         lo, hi = time_bounds(node, config.time_field)
+    num_bounds = {}
+    for f in config.fields:
+        if f.type == "number":
+            nlo, nhi = numeric_bounds(node, f.name)
+            if nlo is not None or nhi is not None:
+                num_bounds[f.name] = (nlo, nhi)
     out = []
     for s in segs:
         if s.min_day and s.max_day:
             if hi is not None and s.min_day > str(hi.date()):
                 continue
             if lo is not None and s.max_day < str(lo.date()):
+                continue
+        if num_bounds and s.field_stats:
+            dead = False
+            for name, (nlo, nhi) in num_bounds.items():
+                st = s.field_stats.get(name)
+                if not st:
+                    continue
+                smin, smax = st
+                if (nhi is not None and smin > nhi) or (
+                    nlo is not None and smax < nlo
+                ):
+                    dead = True
+                    break
+            if dead:
                 continue
         out.append(s)
     return lo, hi, out
