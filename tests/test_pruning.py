@@ -443,3 +443,49 @@ def test_segment_entry_backcompat_without_field_stats(catalog):
 
     s = SegmentEntry(id="x", file_name="seg-x", num_rows=1, created_at_ms=0)
     assert s.field_stats is None
+
+
+def test_zone_map_pruning_on_raw_text_terms(spark, catalog, tmp_path):
+    """Scalar raw-tokenizer text fields get string zone maps: an
+    equality term prunes non-overlapping segments; tokenized fields
+    and non-term predicates never prune."""
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="zs",
+        path=str(tmp_path / "data" / "zs"),
+        fields=[
+            FieldConfig(name="host", type="text", tokenizer="raw"),
+            FieldConfig(name="body", type="text"),  # tokenized: no map
+        ],
+    )
+    create_index(catalog, config)
+    for batch in (["alpha", "bravo"], ["xray", "zulu"]):
+        p = tmp_path / f"zs-{batch[0]}.jsonl"
+        p.write_text(
+            "\n".join(
+                json.dumps({"host": h, "body": f"msg from {h}"}) for h in batch
+            )
+            + "\n"
+        )
+        index_batch(spark, catalog, "zs", jsonl_path=str(p))
+
+    segs = catalog.segments("zs")
+    assert [s.field_stats["host"] for s in segs] == [
+        ["alpha", "bravo"], ["xray", "zulu"],
+    ]
+    assert "body" not in segs[0].field_stats
+
+    def survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return [s.field_stats["host"] for s in out]
+
+    assert survivors("host:zulu") == [["xray", "zulu"]]
+    assert survivors("host:bravo") == [["alpha", "bravo"]]
+    assert survivors("host:charlie") == []  # between the maps: nothing
+    assert survivors("body:msg") == [["alpha", "bravo"], ["xray", "zulu"]]
+    assert sorted(
+        json.loads(d)["host"]
+        for d in search(spark, catalog, "zs", "host:xray", limit=10)
+    ) == ["xray"]

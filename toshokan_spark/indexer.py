@@ -152,8 +152,16 @@ def write_segment(
         f.name
         for f in config.fields
         # scalar number columns only: min/max of an ARRAY column is
-        # element-wise array ordering, not a value bound
-        if f.type == "number" and not f.array and f.name in written.columns
+        # element-wise array ordering, not a value bound. Scalar
+        # raw-tokenizer text fields ride along — a raw term compiles
+        # to exact equality, so a string [min, max] prunes it the same
+        # way (UTF-8 byte order == codepoint order, engine-agnostic).
+        if (
+            f.type == "number"
+            or (f.type == "text" and f.tokenizer == "raw")
+        )
+        and not f.array
+        and f.name in written.columns
     ]
     if partition_cols:
         aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]

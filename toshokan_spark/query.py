@@ -642,3 +642,35 @@ def numeric_bounds(node: Node, field: str):
             hi = max(his) if his and all(v is not None for v in his) else None
             return lo, hi
     return None, None
+
+
+def raw_term_bounds(node: Node, field: str):
+    """Conservative (lo, hi) STRING bounds the query implies on a
+    scalar raw-tokenizer text *field* — equality terms only (a raw
+    term compiles to exact equality, so ``level:B`` bounds both ends;
+    ranges/comparisons on text are left unbounded to avoid collation
+    subtleties). Same conjunct/disjunct algebra as the numeric walk;
+    UTF-8 byte order (Spark min/max) and Python codepoint order agree,
+    so manifest comparisons are safe."""
+    if isinstance(node, Term) and node.field == (field,):
+        return node.text, node.text
+    if isinstance(node, BoolQuery):
+        if node.must:
+            lo = hi = None
+            for c in node.must:
+                clo, chi = raw_term_bounds(c, field)
+                if clo is not None:
+                    lo = clo if lo is None else max(lo, clo)
+                if chi is not None:
+                    hi = chi if hi is None else min(hi, chi)
+            return lo, hi
+        if node.should:
+            los, his = [], []
+            for c in node.should:
+                clo, chi = raw_term_bounds(c, field)
+                los.append(clo)
+                his.append(chi)
+            lo = min(los) if los and all(v is not None for v in los) else None
+            hi = max(his) if his and all(v is not None for v in his) else None
+            return lo, hi
+    return None, None

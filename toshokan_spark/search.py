@@ -89,17 +89,23 @@ def _pruned_segments(config, segs, node):
     partition pruning and parquet row-group stats then prune WITHIN
     the survivors. Segments without recorded stats are conservatively
     kept. Returns ``(lo, hi, surviving_segments)``."""
-    from toshokan_spark.query import numeric_bounds
+    from toshokan_spark.query import numeric_bounds, raw_term_bounds
 
     lo = hi = None
     if config.time_field:
         lo, hi = time_bounds(node, config.time_field)
     num_bounds = {}
     for f in config.fields:
+        if f.array:
+            continue  # no zone maps for array columns
         if f.type == "number":
             nlo, nhi = numeric_bounds(node, f.name)
-            if nlo is not None or nhi is not None:
-                num_bounds[f.name] = (nlo, nhi)
+        elif f.type == "text" and f.tokenizer == "raw":
+            nlo, nhi = raw_term_bounds(node, f.name)
+        else:
+            continue
+        if nlo is not None or nhi is not None:
+            num_bounds[f.name] = (nlo, nhi)
     out = []
     for s in segs:
         if s.min_day and s.max_day:
