@@ -8,6 +8,7 @@
     python -m toshokan_spark.cli merge   <index>
     python -m toshokan_spark.cli search  <index> <query> [--limit 1]
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
+    python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
 
 The Postgres ``--db`` flag becomes ``--catalog <dir>`` (env
 ``TOSHOKAN_CATALOG``, default ``./.toshokan``).
@@ -63,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("index")
     # in-flight write guard: dirs younger than this survive (0 = reap all)
     pv.add_argument("--min-age", type=float, default=900.0)
+
+    pst = sub.add_parser("stats")
+    pst.add_argument("index")
 
     ps = sub.add_parser("search")
     ps.add_argument("index")
@@ -146,6 +150,21 @@ def main(argv: list[str] | None = None) -> int:
         deleted = vacuum(catalog, a.index, min_age_seconds=a.min_age)
         print(f"vacuumed {len(deleted)} orphaned segment(s)"
               + (": " + ", ".join(deleted) if deleted else ""))
+        return 0
+
+    if a.cmd == "stats":
+        # no Spark session: everything prints from the manifest alone
+        segs = catalog.segments(a.index)
+        total = sum(s.num_rows for s in segs)
+        print(f"{a.index}: {len(segs)} segment(s), {total} row(s)")
+        for s in segs:
+            days = f" days={s.min_day}..{s.max_day}" if s.min_day else ""
+            zm = ""
+            if s.field_stats:
+                zm = " zones=" + ",".join(
+                    f"{k}:[{v[0]}..{v[1]}]" for k, v in sorted(s.field_stats.items())
+                )
+            print(f"  {s.file_name} rows={s.num_rows}{days}{zm}")
         return 0
 
     if a.cmd == "search":
