@@ -489,3 +489,43 @@ def test_zone_map_pruning_on_raw_text_terms(spark, catalog, tmp_path):
         json.loads(d)["host"]
         for d in search(spark, catalog, "zs", "host:xray", limit=10)
     ) == ["xray"]
+
+
+def test_zone_map_pruning_on_ip_fields(spark, catalog, tmp_path):
+    """IP zone maps live in the order-preserving 32-hex key space of
+    the __ipkey__ shadow column; terms and ranges prune through the
+    same key the compiled predicate compares in (IPv4 and IPv6)."""
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="zi",
+        path=str(tmp_path / "data" / "zi"),
+        fields=[FieldConfig(name="addr", type="ip")],
+    )
+    create_index(catalog, config)
+    for batch in (["10.0.0.1", "10.0.0.9"], ["192.168.1.1", "192.168.1.9"]):
+        p = tmp_path / f"zi-{batch[0].replace('.', '_')}.jsonl"
+        p.write_text(
+            "\n".join(json.dumps({"addr": a}) for a in batch) + "\n"
+        )
+        index_batch(spark, catalog, "zi", jsonl_path=str(p))
+
+    segs = catalog.segments("zi")
+    assert all(s.field_stats and "addr" in s.field_stats for s in segs)
+
+    def n_survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return len(out)
+
+    assert n_survivors("addr:10.0.0.5") == 1       # inside segment 1's map
+    assert n_survivors("addr:10.0.0.200") == 0     # between the maps
+    assert n_survivors("addr:192.168.1.3") == 1    # segment 2
+    assert n_survivors("addr:[10.0.0.0 TO 10.255.255.255]") == 1
+    assert n_survivors("addr:>9.0.0.0") == 2
+    assert n_survivors("addr:not-an-ip") == 2      # unparseable: no pruning
+    # correctness through the pruned scan
+    assert sorted(
+        json.loads(d)["addr"]
+        for d in search(spark, catalog, "zi", "addr:>192.168.1.2", limit=10)
+    ) == ["192.168.1.9"]

@@ -148,25 +148,34 @@ def write_segment(
     min_day = max_day = None
     field_stats = None
     aggs = []
-    num_fields = [
-        f.name
-        for f in config.fields
-        # scalar number columns only: min/max of an ARRAY column is
-        # element-wise array ordering, not a value bound. Scalar
-        # raw-tokenizer text fields ride along — a raw term compiles
-        # to exact equality, so a string [min, max] prunes it the same
-        # way (UTF-8 byte order == codepoint order, engine-agnostic).
-        if (
-            f.type == "number"
-            or (f.type == "text" and f.tokenizer == "raw")
-        )
-        and not f.array
-        and f.name in written.columns
-    ]
+    # (field_name, source_column) pairs to zone-map. Scalar columns
+    # only: min/max of an ARRAY column is element-wise array ordering,
+    # not a value bound. Raw-tokenizer text fields ride along — a raw
+    # term compiles to exact equality, so a string [min, max] prunes
+    # it the same way (UTF-8 byte order == codepoint order). IP fields
+    # map through their order-preserving 32-hex __ipkey__ shadow — the
+    # exact space the compiled predicate compares in.
+    from toshokan_spark.ingest import ipkey_col
+
+    stat_cols: list[tuple[str, str]] = []
+    for f in config.fields:
+        if f.array:
+            continue
+        if f.type == "number" and f.name in written.columns:
+            stat_cols.append((f.name, f.name))
+        elif (
+            f.type == "text"
+            and f.tokenizer == "raw"
+            and f.name in written.columns
+        ):
+            stat_cols.append((f.name, f.name))
+        elif f.type == "ip" and ipkey_col(f.name) in written.columns:
+            stat_cols.append((f.name, ipkey_col(f.name)))
+    num_fields = [n for n, _ in stat_cols]
     if partition_cols:
         aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]
-    for name in num_fields:
-        aggs += [F.min(name).alias(f"__lo_{name}"), F.max(name).alias(f"__hi_{name}")]
+    for name, src in stat_cols:
+        aggs += [F.min(src).alias(f"__lo_{name}"), F.max(src).alias(f"__hi_{name}")]
     if aggs:
         r = written.agg(*aggs).collect()[0]
         if partition_cols and r["__dlo"] is not None:

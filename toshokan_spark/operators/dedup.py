@@ -734,17 +734,13 @@ def incremental_minhash_matches(
             f"caller asked for {num_hashes}: rebuild the store or pass "
             "matching (num_hashes, bands, k, hash_family, shingle_unit)"
         )
-    ns = corpus_minhash_signatures(
-        new_df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
-    ).persist()  # banded fan-out + verify both read it
-    banded_n = _banded(ns, bands, r, hash_family)
-    banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
     if corpus_hot_bands is not None:
         # a hot-bucket table built with different band geometry or hash
         # family would filter NOTHING (its keys never match), silently
         # disabling the fan-out cap — validate the cheap invariants:
         # key dtype pins the hash family, band ids must fit the band
-        # count (tiny table, trivial agg)
+        # count (tiny table, trivial agg). Validate BEFORE any persist:
+        # a raise after persist() would leak a CacheManager entry.
         expected_t = "string" if hash_family.startswith("poly") else "bigint"
         actual_t = dict(corpus_hot_bands.dtypes).get("key")
         if actual_t != expected_t:
@@ -760,6 +756,11 @@ def incremental_minhash_matches(
                 f"asked for bands={bands}: rebuild the hot-band table "
                 "with matching band geometry"
             )
+    ns = corpus_minhash_signatures(
+        new_df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
+    ).persist()  # banded fan-out + verify both read it
+    banded_n = _banded(ns, bands, r, hash_family)
+    banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
     if corpus_hot_bands is None and max_band_freq is not None:
         corpus_hot_bands = hot_band_buckets(
             corpus_sigs, bands, max_band_freq, hash_family

@@ -674,3 +674,46 @@ def raw_term_bounds(node: Node, field: str):
             hi = max(his) if his and all(v is not None for v in his) else None
             return lo, hi
     return None, None
+
+
+def ip_bounds(node: Node, field: str):
+    """Conservative (lo, hi) bounds on an ip *field* in the 32-hex
+    sort-key space (``functions/ip.py``): terms bound both ends,
+    ranges/comparisons map through the same order-preserving key the
+    compiled predicate uses, so manifest zone maps recorded from the
+    ``__ipkey__`` shadow column prune exactly. Same algebra as
+    :func:`numeric_bounds`."""
+    from toshokan_spark.functions.ip import _key
+
+    if isinstance(node, Term) and node.field == (field,):
+        k = _key(node.text)
+        return (k, k) if k is not None else (None, None)
+    if isinstance(node, RangeQ) and node.field == (field,):
+        lo = _key(node.lo) if node.lo is not None else None
+        hi = _key(node.hi) if node.hi is not None else None
+        return lo, hi
+    if isinstance(node, Cmp) and node.field == (field,):
+        k = _key(node.value)
+        if k is None:
+            return None, None
+        return (k, None) if node.op.startswith(">") else (None, k)
+    if isinstance(node, BoolQuery):
+        if node.must:
+            lo = hi = None
+            for c in node.must:
+                clo, chi = ip_bounds(c, field)
+                if clo is not None:
+                    lo = clo if lo is None else max(lo, clo)
+                if chi is not None:
+                    hi = chi if hi is None else min(hi, chi)
+            return lo, hi
+        if node.should:
+            los, his = [], []
+            for c in node.should:
+                clo, chi = ip_bounds(c, field)
+                los.append(clo)
+                his.append(chi)
+            lo = min(los) if los and all(v is not None for v in los) else None
+            hi = max(his) if his and all(v is not None for v in his) else None
+            return lo, hi
+    return None, None

@@ -89,7 +89,7 @@ def _pruned_segments(config, segs, node):
     partition pruning and parquet row-group stats then prune WITHIN
     the survivors. Segments without recorded stats are conservatively
     kept. Returns ``(lo, hi, surviving_segments)``."""
-    from toshokan_spark.query import numeric_bounds, raw_term_bounds
+    from toshokan_spark.query import ip_bounds, numeric_bounds, raw_term_bounds
 
     lo = hi = None
     if config.time_field:
@@ -102,6 +102,8 @@ def _pruned_segments(config, segs, node):
             nlo, nhi = numeric_bounds(node, f.name)
         elif f.type == "text" and f.tokenizer == "raw":
             nlo, nhi = raw_term_bounds(node, f.name)
+        elif f.type == "ip":
+            nlo, nhi = ip_bounds(node, f.name)
         else:
             continue
         if nlo is not None or nhi is not None:
