@@ -1539,9 +1539,23 @@ def oracle_sql() -> dict[str, str]:
             WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
             corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
             bg AS (SELECT DISTINCT unnest({_shingles_sql(8)}) AS gram FROM bench),
-            cg AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS gram FROM corp)
+            cg AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS gram FROM corp),
+            -- short-benchmark containment: corpus also grams at every
+            -- distinct under-n benchmark length (docs with MORE than
+            -- L words only — the n-path fallback covers the rest)
+            slen AS (SELECT DISTINCT len({_WORDS}) AS L FROM bench
+                     WHERE len({_WORDS}) > 0 AND len({_WORDS}) < 8),
+            cgx AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len({_WORDS}) > t.L
+                     THEN list_distinct(list_transform(
+                            range(1, len({_WORDS}) - t.L + 2),
+                            i -> array_to_string(({_WORDS})[i : i + t.L - 1], ' ')))
+                     ELSE []::VARCHAR[] END) AS gram
+              FROM corp, slen t),
+            cga AS (SELECT * FROM cg UNION ALL SELECT * FROM cgx)
             SELECT doc_id, count(*)::BIGINT AS n_hits, min(gram) AS sample_gram
-            FROM cg JOIN bg USING (gram)
+            FROM cga JOIN bg USING (gram)
             GROUP BY doc_id
         """,
         "sample_documents": f"""
@@ -1614,7 +1628,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN r ON d.source = r.source
             WHERE ({_poly_sql('d.doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
-                  % 10000 < floor(r.rate * 10000.0)
+                  % 10000 < floor(r.rate * 10000.0 + 1e-6)
         """,
         "source_token_profile": f"""
             -- ::BIGINT: DuckDB sums/counts to HUGEINT; quantile_cont's

@@ -739,8 +739,24 @@ def test_vacuum_spares_inflight_write_then_reaps_stale(spark, catalog, tmp_path)
     os.utime(os.path.join(stale_path, "part-0.parquet"), (old, old))
     os.utime(stale_path, (old, old))
 
+    # deep in-flight write: only a DEPTH-2 task-attempt file is fresh
+    # (the _temporary layout of an active Spark write) — the top dir
+    # and its direct children look an hour old, and POSIX only bumps
+    # the immediate parent's mtime, so a shallow probe would reap it
+    deep = "seg-01900000-dead-7000-8000-00000000bbbb"
+    deep_tmp = os.path.join(config.path, deep, "_temporary", "0")
+    os.makedirs(deep_tmp)
+    with open(os.path.join(deep_tmp, "task-attempt.parquet"), "w") as f:
+        f.write("writing")
+    for p in (
+        os.path.join(config.path, deep),
+        os.path.join(config.path, deep, "_temporary"),
+    ):
+        os.utime(p, (old, old))
+
     assert vacuum(catalog, "hdfs-logs") == [stale]
     assert os.path.exists(inflight_path) and not os.path.exists(stale_path)
+    assert os.path.exists(deep_tmp)  # deep write survived the reap
 
     # the surviving writer finishes its commit and the segment is live
     catalog.commit_segment(
@@ -749,6 +765,7 @@ def test_vacuum_spares_inflight_write_then_reaps_stale(spark, catalog, tmp_path)
                      created_at_ms=0),
     )
     assert inflight in {s.file_name for s in catalog.segments("hdfs-logs")}
-    # and a later vacuum (even unconditional) leaves it alone
-    assert vacuum(catalog, "hdfs-logs", min_age_seconds=0) == []
+    # a later unconditional vacuum leaves the MANIFESTED segment alone;
+    # the never-committed deep write is a legitimate orphan by then
+    assert vacuum(catalog, "hdfs-logs", min_age_seconds=0) == [deep]
     assert os.path.exists(inflight_path)

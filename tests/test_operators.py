@@ -988,3 +988,27 @@ def test_apply_mixture_realizes_target_weights(spark):
     # deterministic: same call, same set
     kept2 = sampling.apply_mixture(df, weights, key_col="doc_id").collect()
     assert sorted(r.doc_id for r in kept2) == sorted(r.doc_id for r in kept)
+
+
+def test_decontaminate_catches_short_benchmark_inside_long_doc(spark):
+    """A benchmark item shorter than n, quoted verbatim inside a long
+    training doc, must be flagged (the containment path: corpus grams
+    at the short-benchmark length)."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import decontaminate as dc
+
+    bench = spark.createDataFrame([
+        Row(doc_id=1, text="what is the capital of france"),  # 6 words < n
+    ])
+    docs = spark.createDataFrame([
+        Row(doc_id=10, text="quiz time everyone please answer what is the "
+                            "capital of france before the bell rings"),
+        Row(doc_id=11, text="a completely unrelated training document with "
+                            "plenty of words to spare here"),
+    ])
+    rep = {r.doc_id: r.n_hits
+           for r in dc.contamination_report(docs, bench, n=8).collect()}
+    assert rep == {10: 1}
+    kept = sorted(r.doc_id for r in dc.decontaminate(docs, bench, n=8).collect())
+    assert kept == [11]

@@ -820,3 +820,20 @@ def test_stream_dedup_bucketed_store_exchange_free_and_idempotent(spark, tmp_pat
     finally:
         spark.sql("DROP TABLE IF EXISTS sd_store")
         spark.sql("DROP TABLE IF EXISTS sd_hot")
+
+
+def test_stream_dedup_requires_a_corpus(spark, tmp_path):
+    """Both corpus args None must fail at construction with a clear
+    error, not mid-stream inside foreachBatch."""
+    import pytest as _pytest
+
+    from toshokan_spark.streaming.windowed import stream_dedup_against_corpus
+
+    (tmp_path / "in").mkdir()
+    docs = spark.readStream.schema("doc_id bigint, text string").json(
+        str(tmp_path / "in")
+    )
+    with _pytest.raises(ValueError, match="needs a corpus"):
+        stream_dedup_against_corpus(
+            docs, None, str(tmp_path / "o"), str(tmp_path / "c")
+        )

@@ -128,26 +128,12 @@ def write_segment(
         # strictly better than an actual Z-curve here)
         df = df.sortWithinPartitions(PARTITION_COL, config.time_field)
 
-    writer = df.write.mode("error")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(seg_path)
-
-    # count from what was written (one cheap metadata-only scan)
-    written = df.sparkSession.read.parquet(seg_path)
-    num_rows = written.count()
-    if num_rows == 0:
-        # empty-batch suppression (`index.rs:164-170`)
-        catalog.data_storage(config).delete_tree(seg_path)
-        return None
-
-    # record the covered day range + per-number-field zone maps for
-    # manifest-level pruning, in ONE agg over the written segment
-    # (day min/max reads directory names under the __day layout; the
-    # numeric min/maxes ride the same job)
-    min_day = max_day = None
-    field_stats = None
-    aggs = []
+    # Row count + day range + per-field zone maps are OBSERVED during
+    # the write itself (df.observe piggybacks aggregates on the write
+    # job's pass over the rows) — zero extra scans per batch; the old
+    # formulation re-read every zone-mapped column after the write,
+    # roughly doubling ingest I/O on large/streaming batches.
+    #
     # (field_name, source_column) pairs to zone-map. Scalar columns
     # only: min/max of an ARRAY column is element-wise array ordering,
     # not a value bound. Raw-tokenizer text fields ride along — a raw
@@ -155,47 +141,61 @@ def write_segment(
     # it the same way (UTF-8 byte order == codepoint order). IP fields
     # map through their order-preserving 32-hex __ipkey__ shadow — the
     # exact space the compiled predicate compares in.
+    from pyspark.sql import Observation
+
     from toshokan_spark.ingest import ipkey_col
 
     stat_cols: list[tuple[str, str]] = []
     for f in config.fields:
         if f.array:
             continue
-        if f.type == "number" and f.name in written.columns:
+        if f.type == "number" and f.name in df.columns:
             stat_cols.append((f.name, f.name))
-        elif (
-            f.type == "text"
-            and f.tokenizer == "raw"
-            and f.name in written.columns
-        ):
+        elif f.type == "text" and f.tokenizer == "raw" and f.name in df.columns:
             stat_cols.append((f.name, f.name))
-        elif f.type == "ip" and ipkey_col(f.name) in written.columns:
+        elif f.type == "ip" and ipkey_col(f.name) in df.columns:
             stat_cols.append((f.name, ipkey_col(f.name)))
-    num_fields = [n for n, _ in stat_cols]
+    aggs = [F.count(F.lit(1)).alias("__n")]
     if partition_cols:
         aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]
     for name, src in stat_cols:
         aggs += [F.min(src).alias(f"__lo_{name}"), F.max(src).alias(f"__hi_{name}")]
-    if aggs:
-        r = written.agg(*aggs).collect()[0]
-        if partition_cols and r["__dlo"] is not None:
-            min_day, max_day = str(r["__dlo"]), str(r["__dhi"])
-        def _plain(v):
-            # u64 columns are decimal(20,0) — Decimal is not JSON-
-            # serializable and int keeps the full range exactly
-            from decimal import Decimal
+    obs = Observation(f"seg_stats_{seg_id}")
+    df = df.observe(obs, *aggs)
 
-            return int(v) if isinstance(v, Decimal) else v
+    writer = df.write.mode("error")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(seg_path)
 
-        stats = {
-            name: [_plain(r[f"__lo_{name}"]), _plain(r[f"__hi_{name}"])]
-            for name in num_fields
-            if r[f"__lo_{name}"] is not None
-        }
-        field_stats = stats or None
+    r = obs.get
+    num_rows = int(r["__n"])
+    if num_rows == 0:
+        # empty-batch suppression (`index.rs:164-170`)
+        catalog.data_storage(config).delete_tree(seg_path)
+        return None
+
+    min_day = max_day = None
+    if partition_cols and r["__dlo"] is not None:
+        min_day, max_day = str(r["__dlo"]), str(r["__dhi"])
+
+    def _plain(v):
+        # u64 columns are decimal(20,0) — Decimal is not JSON-
+        # serializable and int keeps the full range exactly
+        from decimal import Decimal
+
+        return int(v) if isinstance(v, Decimal) else v
+
+    stats = {
+        name: [_plain(r[f"__lo_{name}"]), _plain(r[f"__hi_{name}"])]
+        for name, _ in stat_cols
+        if r[f"__lo_{name}"] is not None
+    }
+    field_stats = stats or None
 
     # stats are derived data: write them BEFORE the manifest commit so
     # a manifested segment always has its stats sibling
+    written = df.sparkSession.read.parquet(seg_path)
     write_segment_stats(config, seg_name, written)
 
     entry = SegmentEntry(

@@ -137,22 +137,27 @@ def merge_segments(
     return entry
 
 
-def _newest_mtime(st, path: str) -> float | None:
-    """Newest store-reported mtime across *path* and its direct
-    children (a segment dir's files are direct children, so an active
-    parquet write keeps this fresh). None when the path is gone."""
+def _newest_mtime(st, path: str, depth: int = 6) -> float | None:
+    """Newest store-reported mtime across the WHOLE tree under *path*
+    (depth-capped). Recursion matters: an active Spark write touches
+    only deep entries — ``seg-X/_temporary/<job>/<attempt>/part-...``
+    and, for partitioned indexes, ``seg-X/__day=.../part-*.parquet`` —
+    while POSIX/HDFS only bump a directory's mtime when its IMMEDIATE
+    entries change, so a direct-children-only probe would let vacuum
+    reap a long-running write mid-flight. None when the path is gone."""
     from toshokan_spark.storage import StorageNotFound
 
     newest = st.mtime(path)
-    if newest is None:
-        return None
+    if newest is None or depth <= 0:
+        return newest
     try:
-        for child in st.list_names(path):
-            cm = st.mtime(join_path(path, child))
-            if cm is not None and cm > newest:
-                newest = cm
+        children = st.list_names(path)
     except StorageNotFound:
-        pass
+        return newest  # a file, or vanished mid-walk: its own mtime stands
+    for child in children:
+        cm = _newest_mtime(st, join_path(path, child), depth - 1)
+        if cm is not None and cm > newest:
+            newest = cm
     return newest
 
 

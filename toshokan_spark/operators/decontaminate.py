@@ -63,12 +63,51 @@ def contamination_report(
     lower it for short-document corpora. The benchmark gram set is
     explicitly broadcast — see the module docstring for why the
     corpus-side explode never shuffles.
+
+    Short-benchmark containment: a benchmark doc UNDER n words emits
+    its whole token sequence as one gram, which plain n-gramming of
+    the corpus could only ever equality-match against an identically
+    short training doc — a longer doc quoting the eval item verbatim
+    would slip through. So the corpus side ALSO emits L-grams for
+    every distinct short-benchmark length L (collected once,
+    model-sized: at most n-1 values), restricted to docs with MORE
+    than L words so no gram is double-emitted against the n-path's
+    own short-doc fallback. Hit counts stay per-distinct-gram across
+    all probed lengths (cross-length string collisions are impossible
+    — a gram's word count is recoverable from its spaces).
     """
     bench_text = bench_text_col or text_col
     bench_grams = (
         _doc_grams(benchmark, id_col, bench_text, n).select("gram").distinct()
     )
     doc_grams = _doc_grams(docs, id_col, text_col, n)
+
+    short_lens = (
+        benchmark.select(F.size(words_col(F.col(bench_text))).alias("L"))
+        .filter((F.col("L") > 0) & (F.col("L") < n))
+        .distinct()
+    )
+    if short_lens.limit(1).count():
+        staged = docs.select(
+            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__w")
+        )
+        ex = staged.crossJoin(F.broadcast(short_lens))
+        nw = F.size("__w")
+        l_grams = F.when(
+            nw > F.col("L"),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw - F.col("L") + 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__w"), i, F.col("L")), " "
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        doc_grams = doc_grams.unionAll(
+            ex.select("id", F.explode(l_grams).alias("gram"))
+        )
+
     hits = doc_grams.join(F.broadcast(bench_grams), "gram")
     return (
         hits.groupBy(F.col("id").alias(id_col))

@@ -345,17 +345,20 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("n"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        # anti-join the (tiny) OVER-cap shingle list, broadcast — the
-        # inner-join-with-ok-list formulation carried the near-full
-        # distinct-shingle set through an extra exchange; over-cap
-        # boilerplate shingles are few by definition
+        # anti-join the OVER-cap shingle list — the inner-join-with-
+        # ok-list formulation carried the near-full distinct-shingle
+        # set through an extra exchange. No broadcast HINT: the list is
+        # usually tiny (AQE broadcasts it at runtime), but at a fixed
+        # cap its size grows with the corpus, and a forced broadcast
+        # would hit the 8 GB collect cliff where an AQE-chosen shuffle
+        # join just degrades gracefully
         hot = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_shingle_freq)
             .select("s")
         )
-        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+        ex = ex.join(hot, "s", "left_anti")
 
     inter = (
         ex.alias("a")
@@ -412,9 +415,10 @@ def incremental_jaccard_matches(
     exn = shn.select("id", F.explode("sh").alias("s"))
     exc = shc.select("id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        # over-CORPUS-cap shingles leave both sides via a broadcast
-        # anti-join (tiny over-cap list; see ngram_jaccard_pairs) —
-        # at 100 TB this list would come precomputed from the ingest
+        # over-CORPUS-cap shingles leave both sides via an anti-join
+        # (un-hinted: AQE broadcasts the usually-tiny list, shuffle-
+        # joins if it ever is not — see ngram_jaccard_pairs); at
+        # 100 TB this list would come precomputed from the ingest
         # pass, like the hot band buckets of the minhash store
         hot = (
             exc.groupBy("s")
@@ -422,8 +426,8 @@ def incremental_jaccard_matches(
             .filter(F.col("__n") > max_shingle_freq)
             .select("s")
         )
-        exn = exn.join(F.broadcast(hot), "s", "left_anti")
-        exc = exc.join(F.broadcast(hot), "s", "left_anti")
+        exn = exn.join(hot, "s", "left_anti")
+        exc = exc.join(hot, "s", "left_anti")
     inter = (
         exn.alias("n")
         .join(exc.alias("c"), F.col("n.s") == F.col("c.s"))
@@ -693,40 +697,20 @@ def write_hot_band_buckets(
     )
 
 
-def incremental_minhash_matches(
-    new_df: DataFrame,
+def validate_incremental_store(
     corpus_sigs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
     num_hashes: int = 128,
     bands: int = 32,
-    k: int = 3,
-    threshold: float = 0.5,
-    max_band_freq: Optional[int] = 1000,
     hash_family: str = "xxhash",
-    shingle_unit: str = "word",
     corpus_hot_bands: Optional[DataFrame] = None,
-    plan_sink: Optional[list] = None,
-) -> DataFrame:
-    """Sub-linear incremental dedup: match an ARRIVING batch against a
-    corpus's PRECOMPUTED MinHash signatures
-    (:func:`corpus_minhash_signatures`) — the steady-state shape at
-    100 TB, where the corpus is hashed once at ingest and each batch
-    only pays its own signature build plus a band-bucket join whose
-    size is driven by the batch, never corpus × corpus. Candidates
-    are verified with exact Jaccard; the best corpus match per new
-    doc is returned as (new_id, corpus_id, jaccard), ties broken by
-    lowest corpus id. ``max_band_freq`` drops CORPUS band buckets
-    larger than the cap (a degenerate bucket of 10⁵ docs would
-    otherwise fan every colliding new doc into 10⁵ candidates).
-    """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    # Guard against a store built with different params: a mismatched
-    # signature width makes F.slice produce band keys that silently
-    # never (or wrongly) match, so every duplicate would pass through
-    # undetected. One-row probe — against the bucketed parquet store
-    # this reads a single row group, not the table.
+) -> None:
+    """Guard a signature store (and optional hot-band table) against
+    parameter drift: a mismatched signature width makes F.slice
+    produce band keys that silently never (or wrongly) match — every
+    duplicate would then pass through undetected — and a hot-band
+    table with the wrong geometry/family filters NOTHING, silently
+    disabling the fan-out cap. One-row / tiny-agg probes (a bucketed
+    parquet store reads a single row group, not the table)."""
     probe = corpus_sigs.select(F.size("sig").alias("n")).limit(1).collect()
     if probe and probe[0]["n"] != num_hashes:
         raise ValueError(
@@ -735,12 +719,6 @@ def incremental_minhash_matches(
             "matching (num_hashes, bands, k, hash_family, shingle_unit)"
         )
     if corpus_hot_bands is not None:
-        # a hot-bucket table built with different band geometry or hash
-        # family would filter NOTHING (its keys never match), silently
-        # disabling the fan-out cap — validate the cheap invariants:
-        # key dtype pins the hash family, band ids must fit the band
-        # count (tiny table, trivial agg). Validate BEFORE any persist:
-        # a raise after persist() would leak a CacheManager entry.
         expected_t = "string" if hash_family.startswith("poly") else "bigint"
         actual_t = dict(corpus_hot_bands.dtypes).get("key")
         if actual_t != expected_t:
@@ -756,6 +734,47 @@ def incremental_minhash_matches(
                 f"asked for bands={bands}: rebuild the hot-band table "
                 "with matching band geometry"
             )
+
+
+def incremental_minhash_matches(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_band_freq: Optional[int] = 1000,
+    hash_family: str = "xxhash",
+    shingle_unit: str = "word",
+    corpus_hot_bands: Optional[DataFrame] = None,
+    plan_sink: Optional[list] = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Sub-linear incremental dedup: match an ARRIVING batch against a
+    corpus's PRECOMPUTED MinHash signatures
+    (:func:`corpus_minhash_signatures`) — the steady-state shape at
+    100 TB, where the corpus is hashed once at ingest and each batch
+    only pays its own signature build plus a band-bucket join whose
+    size is driven by the batch, never corpus × corpus. Candidates
+    are verified with exact Jaccard; the best corpus match per new
+    doc is returned as (new_id, corpus_id, jaccard), ties broken by
+    lowest corpus id. ``max_band_freq`` drops CORPUS band buckets
+    larger than the cap (a degenerate bucket of 10⁵ docs would
+    otherwise fan every colliding new doc into 10⁵ candidates).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    if validate:
+        # store-parameter guards run BEFORE any persist (a raise after
+        # persist() would leak a CacheManager entry). Long-lived
+        # callers — the streaming filter validates once at stream
+        # construction — pass validate=False to keep the two tiny
+        # probe jobs off every micro-batch.
+        validate_incremental_store(
+            corpus_sigs, num_hashes, bands, hash_family, corpus_hot_bands
+        )
     ns = corpus_minhash_signatures(
         new_df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
     ).persist()  # banded fan-out + verify both read it
@@ -766,15 +785,17 @@ def incremental_minhash_matches(
             corpus_sigs, bands, max_band_freq, hash_family
         )
     if corpus_hot_bands is not None:
-        # Drop over-cap corpus buckets via a broadcast ANTI-join of the
-        # (tiny) hot-bucket list — the corpus band rows are filtered in
-        # place, never shuffled. The previous window-count formulation
+        # Drop over-cap corpus buckets via an ANTI-join of the hot-
+        # bucket list (un-hinted: AQE broadcasts it while it is small
+        # and falls back to a shuffle join past the broadcast limit) —
+        # the corpus band rows are filtered in place, not re-shuffled
+        # for counting. The previous window-count formulation
         # (count().over(partitionBy(band, key))) hash-partitioned the
         # ENTIRE corpus band fan-out on every call; with a store-time
         # hot-bucket table (write_hot_band_buckets) even the bucket
         # counting is off the per-batch path.
         banded_c = banded_c.join(
-            F.broadcast(corpus_hot_bands), ["band", "key"], "left_anti"
+            corpus_hot_bands, ["band", "key"], "left_anti"
         )
     cand = (
         banded_n.alias("n")
@@ -893,7 +914,7 @@ def minhash_lsh_pairs(
             .filter(F.col("__bn") > max_band_freq)
             .select("band", "key")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        banded = banded.join(hot, ["band", "key"], "left_anti")
 
     # candidate ids only — shingle arrays never travel through the
     # band-key shuffle; they re-join after pair dedup

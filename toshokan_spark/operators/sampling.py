@@ -244,7 +244,12 @@ def apply_mixture(
             F.col("__w") * F.col("__b") / F.col("__t"), F.lit(1.0)
         ).alias("__rate"),
     )
-    thr = F.floor(F.col("__rate") * F.lit(float(SAMPLE_BUCKETS)))
+    # +1e-6 before the floor: the binding source's rate is w*(t/w)/t in
+    # doubles, which can land a few ulps BELOW 1.0 — a bare floor then
+    # yields 9999 and silently drops its bucket-9999 rows despite the
+    # "kept whole" contract. The epsilon absorbs that rounding (and is
+    # mirrored verbatim in the SQL oracle).
+    thr = F.floor(F.col("__rate") * F.lit(float(SAMPLE_BUCKETS)) + F.lit(1e-6))
     return (
         df.join(F.broadcast(rates), group_col)
         .filter(sample_key(F.col(key_col), seed) < thr)

@@ -545,11 +545,11 @@ def compile_query(
     return QueryCompiler(config, available_columns).compile(ast)
 
 
-def time_bounds(
-    node: Node, time_field: str
-) -> tuple[Optional[datetime], Optional[datetime]]:
-    """Conservative (lo, hi) datetime bounds the query implies on
-    *time_field*, for partition pruning on the ``__day`` layout.
+def _interval_bounds(node: Node, field: str, leaf) -> tuple:
+    """Generic conservative (lo, hi) bounds walk shared by every
+    pruning domain (time / numeric / raw string / ip) — *leaf* maps a
+    Term/RangeQ/Cmp on *field* to its (lo, hi) contribution, or
+    (None, None) when that leaf type does not bound this domain.
 
     Mirrors ``_compile_bool``'s semantics: bounds intersect across
     ``must`` conjuncts (``should`` is ignored when ``must`` is
@@ -557,22 +557,13 @@ def time_bounds(
     disjunct without a bound kills that side entirely. ``must_not``
     never produces bounds. Returning (None, None) means "cannot
     prune", never "prune everything"."""
-    parse = QueryCompiler._datetime_lit
-    if isinstance(node, RangeQ) and node.field == (time_field,):
-        lo = parse(node.lo) if node.lo is not None else None
-        hi = parse(node.hi) if node.hi is not None else None
-        return lo, hi
-    if isinstance(node, Cmp) and node.field == (time_field,):
-        v = parse(node.value)
-        if v is None:
-            return None, None
-        return (v, None) if node.op.startswith(">") else (None, v)
+    if isinstance(node, (Term, RangeQ, Cmp)) and node.field == (field,):
+        return leaf(node)
     if isinstance(node, BoolQuery):
         if node.must:
-            lo: Optional[datetime] = None
-            hi: Optional[datetime] = None
+            lo = hi = None
             for c in node.must:
-                clo, chi = time_bounds(c, time_field)
+                clo, chi = _interval_bounds(c, field, leaf)
                 if clo is not None:
                     lo = clo if lo is None else max(lo, clo)
                 if chi is not None:
@@ -581,13 +572,49 @@ def time_bounds(
         if node.should:
             los, his = [], []
             for c in node.should:
-                clo, chi = time_bounds(c, time_field)
+                clo, chi = _interval_bounds(c, field, leaf)
                 los.append(clo)
                 his.append(chi)
-            lo = min(los) if all(v is not None for v in los) else None
-            hi = max(his) if all(v is not None for v in his) else None
+            lo = min(los) if los and all(v is not None for v in los) else None
+            hi = max(his) if his and all(v is not None for v in his) else None
             return lo, hi
     return None, None
+
+
+def _range_cmp_leaf(parse, terms: bool = False):
+    """Leaf extractor over a literal parser: RangeQ maps ends through
+    *parse*, Cmp maps one side (exclusive treated inclusively — keep
+    too much, never too little), Term bounds both ends iff *terms*
+    (equality semantics hold for that domain)."""
+
+    def leaf(node):
+        if isinstance(node, Term):
+            if not terms:
+                return None, None
+            v = parse(node.text)
+            return (v, v) if v is not None else (None, None)
+        if isinstance(node, RangeQ):
+            lo = parse(node.lo) if node.lo is not None else None
+            hi = parse(node.hi) if node.hi is not None else None
+            return lo, hi
+        v = parse(node.value)  # Cmp
+        if v is None:
+            return None, None
+        return (v, None) if node.op.startswith(">") else (None, v)
+
+    return leaf
+
+
+def time_bounds(
+    node: Node, time_field: str
+) -> tuple[Optional[datetime], Optional[datetime]]:
+    """Conservative (lo, hi) datetime bounds on *time_field*, for
+    ``__day`` partition + manifest pruning (see _interval_bounds for
+    the algebra; terms excluded — a datetime equality literal is
+    already covered by the range syntax)."""
+    return _interval_bounds(
+        node, time_field, _range_cmp_leaf(QueryCompiler._datetime_lit)
+    )
 
 
 def _num_lit(v: Optional[str]):
@@ -606,74 +633,24 @@ def _num_lit(v: Optional[str]):
 
 
 def numeric_bounds(node: Node, field: str):
-    """Conservative (lo, hi) numeric bounds the query implies on
-    *field*, for manifest-level zone-map pruning (same conjunct/
-    disjunct algebra as :func:`time_bounds`; equality terms bound both
-    ends). (None, None) means "cannot prune", never "prune
-    everything"; exclusive range ends are treated inclusively —
-    pruning may only ever keep too much."""
-    if isinstance(node, Term) and node.field == (field,):
-        v = _num_lit(node.text)
-        return (v, v) if v is not None else (None, None)
-    if isinstance(node, RangeQ) and node.field == (field,):
-        return _num_lit(node.lo), _num_lit(node.hi)
-    if isinstance(node, Cmp) and node.field == (field,):
-        v = _num_lit(node.value)
-        if v is None:
-            return None, None
-        return (v, None) if node.op.startswith(">") else (None, v)
-    if isinstance(node, BoolQuery):
-        if node.must:
-            lo = hi = None
-            for c in node.must:
-                clo, chi = numeric_bounds(c, field)
-                if clo is not None:
-                    lo = clo if lo is None else max(lo, clo)
-                if chi is not None:
-                    hi = chi if hi is None else min(hi, chi)
-            return lo, hi
-        if node.should:
-            los, his = [], []
-            for c in node.should:
-                clo, chi = numeric_bounds(c, field)
-                los.append(clo)
-                his.append(chi)
-            lo = min(los) if los and all(v is not None for v in los) else None
-            hi = max(his) if his and all(v is not None for v in his) else None
-            return lo, hi
-    return None, None
+    """Conservative (lo, hi) numeric bounds on a NUMBER *field* for
+    manifest-level zone-map pruning; equality terms bound both ends."""
+    return _interval_bounds(node, field, _range_cmp_leaf(_num_lit, terms=True))
 
 
 def raw_term_bounds(node: Node, field: str):
-    """Conservative (lo, hi) STRING bounds the query implies on a
-    scalar raw-tokenizer text *field* — equality terms only (a raw
-    term compiles to exact equality, so ``level:B`` bounds both ends;
-    ranges/comparisons on text are left unbounded to avoid collation
-    subtleties). Same conjunct/disjunct algebra as the numeric walk;
-    UTF-8 byte order (Spark min/max) and Python codepoint order agree,
-    so manifest comparisons are safe."""
-    if isinstance(node, Term) and node.field == (field,):
-        return node.text, node.text
-    if isinstance(node, BoolQuery):
-        if node.must:
-            lo = hi = None
-            for c in node.must:
-                clo, chi = raw_term_bounds(c, field)
-                if clo is not None:
-                    lo = clo if lo is None else max(lo, clo)
-                if chi is not None:
-                    hi = chi if hi is None else min(hi, chi)
-            return lo, hi
-        if node.should:
-            los, his = [], []
-            for c in node.should:
-                clo, chi = raw_term_bounds(c, field)
-                los.append(clo)
-                his.append(chi)
-            lo = min(los) if los and all(v is not None for v in los) else None
-            hi = max(his) if his and all(v is not None for v in his) else None
-            return lo, hi
-    return None, None
+    """Conservative (lo, hi) STRING bounds on a scalar raw-tokenizer
+    text *field* — equality terms only (a raw term compiles to exact
+    equality; ranges/comparisons on text are left unbounded to avoid
+    collation subtleties). UTF-8 byte order (Spark min/max) and Python
+    codepoint order agree, so manifest comparisons are safe."""
+
+    def leaf(node):
+        if isinstance(node, Term):
+            return node.text, node.text
+        return None, None
+
+    return _interval_bounds(node, field, leaf)
 
 
 def ip_bounds(node: Node, field: str):
@@ -681,39 +658,7 @@ def ip_bounds(node: Node, field: str):
     sort-key space (``functions/ip.py``): terms bound both ends,
     ranges/comparisons map through the same order-preserving key the
     compiled predicate uses, so manifest zone maps recorded from the
-    ``__ipkey__`` shadow column prune exactly. Same algebra as
-    :func:`numeric_bounds`."""
+    ``__ipkey__`` shadow column prune exactly."""
     from toshokan_spark.functions.ip import _key
 
-    if isinstance(node, Term) and node.field == (field,):
-        k = _key(node.text)
-        return (k, k) if k is not None else (None, None)
-    if isinstance(node, RangeQ) and node.field == (field,):
-        lo = _key(node.lo) if node.lo is not None else None
-        hi = _key(node.hi) if node.hi is not None else None
-        return lo, hi
-    if isinstance(node, Cmp) and node.field == (field,):
-        k = _key(node.value)
-        if k is None:
-            return None, None
-        return (k, None) if node.op.startswith(">") else (None, k)
-    if isinstance(node, BoolQuery):
-        if node.must:
-            lo = hi = None
-            for c in node.must:
-                clo, chi = ip_bounds(c, field)
-                if clo is not None:
-                    lo = clo if lo is None else max(lo, clo)
-                if chi is not None:
-                    hi = chi if hi is None else min(hi, chi)
-            return lo, hi
-        if node.should:
-            los, his = [], []
-            for c in node.should:
-                clo, chi = ip_bounds(c, field)
-                los.append(clo)
-                his.append(chi)
-            lo = min(los) if los and all(v is not None for v in los) else None
-            hi = max(his) if his and all(v is not None for v in his) else None
-            return lo, hi
-    return None, None
+    return _interval_bounds(node, field, _range_cmp_leaf(_key, terms=True))

@@ -152,10 +152,34 @@ def stream_dedup_against_corpus(
     import hashlib
     import os
 
-    from toshokan_spark.operators.dedup import incremental_minhash_matches
+    from toshokan_spark.operators.dedup import (
+        incremental_minhash_matches,
+        validate_incremental_store,
+    )
+    from toshokan_spark.storage import strip_file_scheme
 
+    if corpus_sigs is None and corpus_table is None:
+        raise ValueError(
+            "stream_dedup_against_corpus needs a corpus: pass corpus_sigs "
+            "or corpus_table"
+        )
+
+    # validate the store ONCE at construction (probes are two tiny
+    # jobs — running them inside foreachBatch would tax every
+    # micro-batch for parameters that cannot change mid-stream)
+    session = docs.sparkSession
+    _corpus0 = session.table(corpus_table) if corpus_table else corpus_sigs
+    _hot0 = session.table(hot_bands_table) if hot_bands_table else None
+    validate_incremental_store(
+        _corpus0, hash_family=hash_family, corpus_hot_bands=_hot0
+    )
+
+    # scope token: normalize the checkpoint path (scheme stripped,
+    # symlinks resolved) so equivalent spellings — 'file:///x' vs
+    # '/x' — of the SAME checkpoint produce the SAME batch_id dirs;
+    # otherwise a crash-replay under the other spelling double-appends
     ckpt_scope = hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
+        os.path.realpath(strip_file_scheme(checkpoint_dir)).encode()
     ).hexdigest()[:12]
 
     def drop_corpus_dups(batch: DataFrame, batch_id: int) -> None:
@@ -173,6 +197,7 @@ def stream_dedup_against_corpus(
             hash_family=hash_family,
             corpus_hot_bands=hot,
             plan_sink=plan_sink,
+            validate=False,  # validated at construction above
         ).select(F.col("new_id").alias(id_col))
         kept = batch.join(matches, id_col, "left_anti")
         kept.write.mode("overwrite").parquet(
