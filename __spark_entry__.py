@@ -757,6 +757,13 @@ def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(docs)
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM score per doc (the SQL-expressible
+    analog of CCNet's perplexity filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.unigram_logprob(docs)
+
+
 def q_text_gopher_rules(spark, sf_dir):
     """Gopher-style repetition/quality rule signals + pass flag."""
     docs = _t(spark, sf_dir, "documents")
@@ -944,9 +951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        # registered early (changed this round — see the multimodal
+        # registered early (changed/new this round — see the multimodal
         # note above about the driver's 50-entry recording horizon)
         "text_token_stats": q_text_token_stats,
+        "text_unigram_logprob": q_text_unigram_logprob,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1866,6 +1874,19 @@ def oracle_sql() -> dict[str, str]:
                 AS n_regex_tokens,
               CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe_est
             FROM documents
+        """,
+        # mirrors text.unigram_logprob: per-occurrence ln of the
+        # token's corpus MLE probability, summed as DECIMAL(38,18) so
+        # partition/engine fold order cannot drift round(avg, 6)
+        "text_unigram_logprob": f"""
+            WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS t FROM toks)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              round((sum(ln(c / t::DOUBLE)::DECIMAL(38,18))
+                     / count(*))::DOUBLE, 6) AS avg_logprob
+            FROM toks JOIN freq USING (w), tot
+            GROUP BY doc_id
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -1012,3 +1012,25 @@ def test_decontaminate_catches_short_benchmark_inside_long_doc(spark):
     assert rep == {10: 1}
     kept = sorted(r.doc_id for r in dc.decontaminate(docs, bench, n=8).collect())
     assert kept == [11]
+
+
+def test_unigram_logprob_hand_checked(spark):
+    """MLE unigram scores over a tiny corpus, hand-computed: common
+    tokens score near zero, a rare-token doc scores very negative."""
+    import math
+
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a a a a"),         # 4x 'a'
+        Row(doc_id=2, text="a a b"),           # 2x 'a', 1x 'b'
+        Row(doc_id=3, text="zzz"),             # 1x rare token
+    ])
+    # totals: a=6, b=1, zzz=1, t=8
+    out = {r.doc_id: (r.n_tokens, r.avg_logprob)
+           for r in textops.unigram_logprob(docs).collect()}
+    assert out[1] == (4, round(math.log(6 / 8), 6))
+    assert out[2] == (3, round((2 * math.log(6 / 8) + math.log(1 / 8)) / 3, 6))
+    assert out[3] == (1, round(math.log(1 / 8), 6))
+    # the rare-token doc is the most negative (the pruning signal)
+    assert out[3][1] < out[2][1] < out[1][1]

@@ -1,8 +1,10 @@
 """Text-analysis operators: token stats, quality scoring, language
 identification, document fingerprinting.
 
-Everything is built-in-function Column algebra (no UDFs, no shuffle —
-one narrow projection whatever the corpus size), and every formula is
+Everything is built-in-function Column algebra (no UDFs; narrow
+one-pass projections whatever the corpus size — the single exception
+is :func:`unigram_logprob`, whose model is learned FROM the corpus
+and therefore pays one frequency aggregation), and every formula is
 deliberately expressible in ANSI-ish SQL so the DuckDB oracle can
 verify values bit-for-bit.
 """
@@ -311,4 +313,48 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col),
         clean.alias("clean_text"),
         *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document —
+    the SQL-expressible analog of CCNet's KenLM perplexity filter:
+    p(w) is the token's corpus MLE frequency and ``avg_logprob`` the
+    mean ln p over the doc's token OCCURRENCES. Very negative =
+    rare-token-heavy (gibberish, mojibake, outliers); near zero =
+    boilerplate built from the corpus's most common tokens. Both
+    tails are the standard pruning targets.
+
+    The one exception to this module's no-shuffle rule (the model is
+    learned FROM the corpus): one partial-aggregated token-frequency
+    pass, then a frequency join keyed on the token. At 100 TB the
+    frequency table is vocabulary-sized — cap it to the top-K tokens
+    with an OOV floor and broadcast, leaving the corpus side a narrow
+    pass; uncapped, AQE picks the join side. The per-doc sum runs in
+    ``decimal(38,18)`` so partition order cannot drift the rounded
+    result (same rationale as sampling.source_mixture).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    scored = toks.join(freq, "w").crossJoin(F.broadcast(total))
+    lp = F.log(F.col("c") / F.col("t").cast("double"))
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(lp.cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__alp"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("__alp", 6).alias("avg_logprob"),
+        )
     )
