@@ -675,6 +675,25 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(emb, queries, k=5)
 
 
+def q_knn_quantized(spark, sf_dir):
+    """Exact top-k over DEQUANTIZED int8 vectors — the end-to-end
+    demo of the quantized-storage path: quantize (4 bytes/dim -> 1),
+    reconstruct q_i * scale, brute-force rank. Integer dot products
+    over exact q*scale doubles keep the whole chain value-oracled;
+    ranking differences vs the float corpus bound the quantization
+    error a deployment would accept for the 4x memory cut."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    queries = deq.filter(F.col("vec_id") < 3)
+    return similarity.knn_bruteforce(deq, queries, k=5)
+
+
 def q_knn_lsh(spark, sf_dir):
     """Hyperplane LSH with the LCG plane family — bucketing is pure
     integer arithmetic, so the oracle reproduces buckets, multi-probe
@@ -955,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # note above about the driver's 50-entry recording horizon)
         "text_token_stats": q_text_token_stats,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "knn_quantized": q_knn_quantized,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1855,6 +1875,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      {_COS.format(a="q.embedding", b="c.embedding")} AS score
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 3),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # mirrors q_knn_quantized: quantize -> dequantize with the
+        # ROUNDED scale (exactly what the Spark entry reads from the
+        # quantize output) -> exact cosine top-k
+        "knn_quantized": f"""
+            WITH s AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> x::DOUBLE) AS v,
+                list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+                  AS rscale
+              FROM embeddings),
+            qz AS (
+              SELECT vec_id, round(rscale, 6) AS scale,
+                CASE WHEN rscale = 0 THEN list_transform(v, x -> 0)
+                     ELSE list_transform(v, x -> floor(x / rscale + 0.5)::INT)
+                END AS qvec
+              FROM s),
+            deq AS (
+              SELECT vec_id,
+                list_transform(qvec, x -> x::DOUBLE * scale) AS embedding
+              FROM qz),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS.format(a="q.embedding", b="c.embedding")} AS score
+              FROM deq q JOIN deq c ON q.vec_id <> c.vec_id
               WHERE q.vec_id < 3),
             ranked AS (
               SELECT query_id, neighbor_id, score,
