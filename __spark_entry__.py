@@ -975,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_unigram_logprob": q_text_unigram_logprob,
         "knn_quantized": q_knn_quantized,
+        "select_training_set": q_select_training_set,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1012,7 +1013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_mixture": q_apply_mixture,
         "source_token_profile": q_source_token_profile,
         "pii_scrub": q_pii_scrub,
-        "select_training_set": q_select_training_set,
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
