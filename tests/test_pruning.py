@@ -529,3 +529,51 @@ def test_zone_map_pruning_on_ip_fields(spark, catalog, tmp_path):
         json.loads(d)["addr"]
         for d in search(spark, catalog, "zi", "addr:>192.168.1.2", limit=10)
     ) == ["192.168.1.9"]
+
+
+def test_subday_time_zone_map_prunes_same_day_segments(spark, catalog, tmp_path):
+    """Streaming cadence: several segments inside ONE day — the
+    sub-day [min, max] epoch-micros zone map drops non-overlapping
+    micro-batches where the day range cannot."""
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="sub",
+        path=str(tmp_path / "data" / "sub"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(catalog, config)
+    for hour, lvl in ((8, "morning"), (20, "evening")):
+        p = tmp_path / f"sub-{hour}.jsonl"
+        p.write_text(
+            json.dumps({"ts": f"2024-03-05T{hour:02d}:15:00Z", "level": lvl})
+            + "\n"
+        )
+        index_batch(spark, catalog, "sub", jsonl_path=str(p))
+
+    segs = catalog.segments("sub")
+    assert len(segs) == 2 and all(s.field_stats and "ts" in s.field_stats for s in segs)
+    assert all(s.min_day == s.max_day == "2024-03-05" for s in segs)
+
+    def n_survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return len(out)
+
+    # same day, morning-only window: day range keeps both, sub-day
+    # micros keep exactly the morning segment
+    assert n_survivors("ts:[2024-03-05T07:00:00Z TO 2024-03-05T12:00:00Z]") == 1
+    assert n_survivors("ts:>2024-03-05T19:00:00Z") == 1
+    assert n_survivors("ts:[2024-03-05T00:00:00Z TO 2024-03-05T23:59:59Z]") == 2
+    # results stay correct through the pruned scan
+    assert [
+        json.loads(d)["level"]
+        for d in search(
+            spark, catalog, "sub",
+            "ts:[2024-03-05T07:00:00Z TO 2024-03-05T12:00:00Z]", limit=10,
+        )
+    ] == ["morning"]

@@ -155,6 +155,12 @@ def write_segment(
             stat_cols.append((f.name, f.name))
         elif f.type == "ip" and ipkey_col(f.name) in df.columns:
             stat_cols.append((f.name, ipkey_col(f.name)))
+    if config.time_field and config.time_field in df.columns:
+        # SUB-DAY time zone map (epoch micros): the day range above
+        # prunes at day granularity, but a streaming index commits many
+        # segments per day — a five-minute query should drop the other
+        # micro-batches of the same day at the manifest too
+        stat_cols.append((config.time_field, config.time_field))
     aggs = [F.count(F.lit(1)).alias("__n")]
     if partition_cols:
         aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]
@@ -181,10 +187,17 @@ def write_segment(
 
     def _plain(v):
         # u64 columns are decimal(20,0) — Decimal is not JSON-
-        # serializable and int keeps the full range exactly
+        # serializable and int keeps the full range exactly; timestamps
+        # (naive UTC under the session timezone) become epoch MICROS —
+        # exact, ordered, and min/max-combinable at merge
+        from datetime import datetime, timezone
         from decimal import Decimal
 
-        return int(v) if isinstance(v, Decimal) else v
+        if isinstance(v, Decimal):
+            return int(v)
+        if isinstance(v, datetime):
+            return int(v.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        return v
 
     stats = {
         name: [_plain(r[f"__lo_{name}"]), _plain(r[f"__hi_{name}"])]

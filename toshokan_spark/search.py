@@ -92,8 +92,15 @@ def _pruned_segments(config, segs, node):
     from toshokan_spark.query import ip_bounds, numeric_bounds, raw_term_bounds
 
     lo = hi = None
+    lo_us = hi_us = None
     if config.time_field:
         lo, hi = time_bounds(node, config.time_field)
+        # sub-day pruning compares in the epoch-micros space the
+        # manifest records (lo/hi are tz-aware UTC datetimes)
+        if lo is not None:
+            lo_us = int(lo.timestamp() * 1_000_000)
+        if hi is not None:
+            hi_us = int(hi.timestamp() * 1_000_000)
     num_bounds = {}
     for f in config.fields:
         if f.array:
@@ -114,6 +121,15 @@ def _pruned_segments(config, segs, node):
             if hi is not None and s.min_day > str(hi.date()):
                 continue
             if lo is not None and s.max_day < str(lo.date()):
+                continue
+        # sub-day time zone map: at streaming cadence many segments
+        # share a day — the recorded [min, max] epoch micros drop the
+        # non-overlapping micro-batches the day range cannot
+        ts = (s.field_stats or {}).get(config.time_field) if config.time_field else None
+        if ts:
+            if (hi_us is not None and ts[0] > hi_us) or (
+                lo_us is not None and ts[1] < lo_us
+            ):
                 continue
         if num_bounds and s.field_stats:
             dead = False
