@@ -154,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.cmd == "stats":
         # no Spark session: everything prints from the manifest alone
+        from datetime import datetime, timezone
+
+        config = catalog.get_index(a.index)
+
+        def render(field, v):
+            if field == config.time_field:  # stored as epoch micros
+                return datetime.fromtimestamp(
+                    v / 1_000_000, tz=timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            return v
+
         segs = catalog.segments(a.index)
         total = sum(s.num_rows for s in segs)
         print(f"{a.index}: {len(segs)} segment(s), {total} row(s)")
@@ -162,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
             zm = ""
             if s.field_stats:
                 zm = " zones=" + ",".join(
-                    f"{k}:[{v[0]}..{v[1]}]" for k, v in sorted(s.field_stats.items())
+                    f"{k}:[{render(k, v[0])}..{render(k, v[1])}]"
+                    for k, v in sorted(s.field_stats.items())
                 )
             print(f"  {s.file_name} rows={s.num_rows}{days}{zm}")
         return 0
