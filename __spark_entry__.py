@@ -462,6 +462,75 @@ def q_asof_last_click(spark, sf_dir):
     )
 
 
+def q_event_conversions(spark, sf_dir):
+    """Conversion-window attribution: for every click, the purchases
+    by the same user within the following 5 minutes — pair production
+    via the time-bucketed interval join (`asof.window_join`, one
+    equi-shuffle on (user, bucket), fan-out bounded by ~2 windows of
+    per-user density), then a per-click aggregate left-joined back so
+    clicks without conversions keep a 0 row."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = asof.window_join(
+        clicks, buys, on=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=300,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.min(_us(F.col("r_ts"))).alias("first_conversion_us"),
+        _dbl(F.round(F.sum(_dec(F.col("r_value"))), 6)).alias("conv_value"),
+    )
+    return clicks.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_conversions", F.lit(0).cast("long")).alias("n_conversions"),
+        "first_conversion_us",
+        "conv_value",
+    )
+
+
+def q_text_dup_ngrams(spark, sf_dir):
+    """CCNet/Dolma-style duplicate-content fraction: share of each
+    doc's distinct 5-grams that appear in >= 2 docs corpus-wide."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.dup_ngram_fraction(docs, k=5, min_docs=2)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-training input: top-200 corpus tokens with rank and
+    cumulative coverage of all token occurrences."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.build_vocab(docs, top_k=200)
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25('spark table') ∪ cosine-kNN(vec 0),
+    reciprocal-rank fusion, top-10 — the one query that exercises the
+    search half and the vector half of the engine in a single plan."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hybrid_rrf(
+        docs, emb, "spark table", query_vec_id=0, k=10, pool=50
+    )
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup with keeper selection: n-gram Jaccard pairs ->
+    connected components -> keep the best-quality member per cluster
+    (every singleton keeps itself). filter(keep) IS the training
+    corpus; the complement is the drop list with provenance."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    scores = textops.quality_score(docs).select("doc_id", "quality")
+    return dedup.select_canonical(docs, clusters, scores)
+
+
 # ---------------------------------------------------------------------------
 # deduplication (north-star operators)
 # ---------------------------------------------------------------------------
@@ -976,6 +1045,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "knn_quantized": q_knn_quantized,
         "select_training_set": q_select_training_set,
+        # new this round (same horizon note)
+        "event_conversions": q_event_conversions,
+        "text_dup_ngrams": q_text_dup_ngrams,
+        "vocab_coverage": q_vocab_coverage,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_canonical": q_dedup_canonical,
+        "chunk_documents": q_chunk_documents,
+        "apply_mixture": q_apply_mixture,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1005,12 +1082,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
         "quantize_embeddings": q_quantize_embeddings,
-        # training-data selection
+        # training-data selection (chunk_documents / apply_mixture are
+        # registered in the new-this-round block above)
         "sample_documents": q_sample_documents,
-        "chunk_documents": q_chunk_documents,
         "token_budget_pack": q_token_budget_pack,
         "source_mixture": q_source_mixture,
-        "apply_mixture": q_apply_mixture,
         "source_token_profile": q_source_token_profile,
         "pii_scrub": q_pii_scrub,
         # similarity search
@@ -1043,6 +1119,67 @@ CASE WHEN len({_WORDS}) >= {k}
 
 
 _SHINGLES = _shingles_sql(3)
+
+#: shared recursive-CTE chain (word-3-gram Jaccard >= 0.5 pairs ->
+#: connected components), ending in ``clus(doc_id, cluster_id)`` —
+#: used by the dedup_clusters and dedup_canonical oracles so the two
+#: can never drift apart
+_CLUSTERS_CTE = f"""sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a_id, b_id FROM inter
+              JOIN sz sa ON sa.doc_id = a_id
+              JOIN sz sb ON sb.doc_id = b_id
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+            edges AS (
+              SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+            clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
+#: BM25 CTE chain for the query 'spark table' over documents, ending
+#: in ``lexsc(doc_id, bm25)`` (matching docs only) — shared by the
+#: search_bm25 and hybrid_search_rrf oracles
+_BM25_SPARK_TABLE_CTE = """base AS (
+              SELECT doc_id,
+                list_transform(
+                  list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                              w -> w <> '' AND strlen(w) <= 40),
+                  w -> lower(w)) AS toks
+              FROM documents),
+            b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+            st AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+                sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1
+              FROM b2),
+            tf AS (
+              SELECT doc_id, dl,
+                len(list_filter(toks, x -> x = 'spark')) AS tf0,
+                len(list_filter(toks, x -> x = 'table')) AS tf1
+              FROM b2),
+            lexsc AS (
+              SELECT doc_id, round(
+                (CASE WHEN tf0 > 0 THEN
+                   ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                   / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                 ELSE 0.0 END)
+                +
+                (CASE WHEN tf1 > 0 THEN
+                   ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                   / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+                 ELSE 0.0 END), 4) AS bm25
+              FROM tf, st
+              WHERE tf0 > 0 OR tf1 > 0)"""
+
 _COS = """
 list_reduce(list_prepend(0.0::DOUBLE,
     list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
@@ -1170,37 +1307,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical arithmetic to functions/bm25.py (k1=1.2, b=0.75;
         # per-term scores summed left-to-right, round to 4 decimals)
-        "search_bm25": """
-            WITH base AS (
-              SELECT doc_id,
-                list_transform(
-                  list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
-                              w -> w <> '' AND strlen(w) <= 40),
-                  w -> lower(w)) AS toks
-              FROM documents),
-            b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
-            st AS (
-              SELECT count(*) AS n, sum(dl) AS sumdl,
-                sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
-                sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1
-              FROM b2),
-            tf AS (
-              SELECT doc_id, dl,
-                len(list_filter(toks, x -> x = 'spark')) AS tf0,
-                len(list_filter(toks, x -> x = 'table')) AS tf1
-              FROM b2)
-            SELECT doc_id, round(
-                (CASE WHEN tf0 > 0 THEN
-                   ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
-                   / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
-                 ELSE 0.0 END)
-                +
-                (CASE WHEN tf1 > 0 THEN
-                   ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
-                   / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
-                 ELSE 0.0 END), 4) AS bm25
-            FROM tf, st
-            WHERE tf0 > 0 OR tf1 > 0
+        "search_bm25": f"""
+            WITH {_BM25_SPARK_TABLE_CTE}
+            SELECT doc_id, bm25 FROM lexsc
+        """,
+        # mirrors q_hybrid_search_rrf: BM25('spark table') list ∪
+        # cosine-kNN(vec 0) list, each ranked/truncated to pool=50,
+        # reciprocal-rank fused at rrf_k=60, top-10 by (rrf, id)
+        "hybrid_search_rrf": f"""
+            WITH {_BM25_SPARK_TABLE_CTE},
+            lex_top AS (
+              SELECT doc_id AS id,
+                row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+              FROM lexsc ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+            vscored AS (
+              SELECT c.vec_id AS id,
+                     {_COS.format(a="q.embedding", b="c.embedding")} AS s
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id = 0),
+            vec_top AS (
+              SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS vec_rank
+              FROM vscored ORDER BY s DESC, id ASC LIMIT 50),
+            fused AS (
+              SELECT coalesce(l.id, v.id) AS doc_id, l.lex_rank, v.vec_rank,
+                round(coalesce(1.0 / (60 + l.lex_rank), 0.0)
+                    + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf_score
+              FROM lex_top l FULL OUTER JOIN vec_top v ON l.id = v.id),
+            ranked AS (
+              SELECT doc_id, lex_rank, vec_rank, rrf_score,
+                row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+              FROM fused)
+            SELECT doc_id, lex_rank, vec_rank, rrf_score, rank
+            FROM ranked WHERE rank <= 10
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -1415,26 +1553,84 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the (already-oracled) jaccard
         # pairs: min reachable id via recursive closure
         "dedup_clusters": f"""
-            WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
-            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-            sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-            inter AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            pairs AS (
-              SELECT a_id, b_id FROM inter
-              JOIN sz sa ON sa.doc_id = a_id
-              JOIN sz sb ON sb.doc_id = b_id
-              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
-            edges AS (
-              SELECT a_id AS src, b_id AS dst FROM pairs
-              UNION ALL SELECT b_id, a_id FROM pairs),
-            reach(id, r) AS (
-              SELECT DISTINCT src, src FROM edges
-              UNION
-              SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
-            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            WITH RECURSIVE {_CLUSTERS_CTE}
+            SELECT doc_id, cluster_id FROM clus
+        """,
+        # mirrors q_dedup_canonical: the clusters CTE above + the
+        # text_quality formula + per-cluster best-quality keeper
+        # (singletons cluster with themselves and keep themselves)
+        "dedup_canonical": f"""
+            WITH RECURSIVE {_CLUSTERS_CTE},
+            q AS (
+              SELECT doc_id,
+                round(0.4 * least(len({wl}) / 32.0, 1.0)
+                    + 0.3 * (len(list_distinct({wl})) * 1.0 / len({wl}))
+                    + 0.3 * least(len(list_filter({wl}, t -> t IN ({_EN_STOP_SQL}))) * 1.0 / len({wl}) * 4.0, 1.0),
+                  6) AS quality
+              FROM documents),
+            lab AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                     q.quality
+              FROM documents d
+              LEFT JOIN clus c ON c.doc_id = d.doc_id
+              JOIN q ON q.doc_id = d.doc_id)
+            SELECT doc_id, cluster_id, quality,
+              (row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+            FROM lab
+        """,
+        # mirrors q_event_conversions: purchases by the same user in
+        # (click_ts, click_ts + 300s], aggregated per click; clicks
+        # without conversions keep a 0/NULL row
+        "event_conversions": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            buys AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+            prs AS (
+              SELECT c.event_id, b.ts AS bts, b.value
+              FROM clicks c JOIN buys b
+                ON c.user_id = b.user_id
+               AND epoch_us(b.ts) > epoch_us(c.ts)
+               AND epoch_us(b.ts) <= epoch_us(c.ts) + 300000000),
+            agg AS (
+              SELECT event_id, count(*)::BIGINT AS n_conversions,
+                min(epoch_us(bts)) AS first_conversion_us,
+                round(sum(CAST(value AS DECIMAL(18,4))), 6)::DOUBLE AS conv_value
+              FROM prs GROUP BY event_id)
+            SELECT c.event_id, c.user_id,
+              coalesce(a.n_conversions, 0) AS n_conversions,
+              a.first_conversion_us, a.conv_value
+            FROM clicks c LEFT JOIN agg a ON a.event_id = c.event_id
+        """,
+        # mirrors textops.dup_ngram_fraction(k=5, min_docs=2)
+        "text_dup_ngrams": f"""
+            WITH sh AS (SELECT doc_id, {_shingles_sql(5)} AS shingles FROM documents),
+            ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            dfq AS (SELECT g, count(*) AS nd FROM ex GROUP BY g),
+            j AS (SELECT e.doc_id, d.nd FROM ex e JOIN dfq d ON d.g = e.g)
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+              sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+              round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                AS dup_frac
+            FROM j GROUP BY doc_id
+        """,
+        # mirrors textops.build_vocab(top_k=200)
+        "vocab_coverage": f"""
+            WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+            freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS t FROM toks),
+            head AS (
+              SELECT token, n FROM freq
+              ORDER BY n DESC, token ASC LIMIT 200)
+            SELECT token, n::BIGINT AS n,
+              row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+              round(sum(n) OVER (ORDER BY n DESC, token ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 1.0 / t, 6) AS cum_coverage
+            FROM head, tot
         """,
         # mirrors operators/dedup.py incremental_jaccard_matches: the
         # doc_id % 4 == 0 slice plays the arriving batch, best corpus

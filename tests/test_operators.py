@@ -1034,3 +1034,130 @@ def test_unigram_logprob_hand_checked(spark):
     assert out[3] == (1, round(math.log(1 / 8), 6))
     # the rare-token doc is the most negative (the pruning signal)
     assert out[3][1] < out[2][1] < out[1][1]
+
+
+def test_window_join_interval_semantics(spark):
+    """window_join pairs left rows with right rows strictly after and
+    within the window, per key — boundary-inclusive at +W, exclusive
+    at 0, never across keys, and never emits a pair twice even though
+    the left side is exploded to two bucket keys."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import asof
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s) if s < 60 else datetime(
+            2024, 1, 1, 0, s // 60, s % 60
+        )
+
+    left = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=t0),
+        Row(event_id=2, user_id=2, ts=t0),
+    ])
+    right = spark.createDataFrame([
+        Row(user_id=1, ts=at(0), value=1.0),    # same instant: excluded
+        Row(user_id=1, ts=at(5), value=2.0),    # in window
+        Row(user_id=1, ts=at(10), value=3.0),   # exactly +W: included
+        Row(user_id=1, ts=at(11), value=4.0),   # past window
+        Row(user_id=2, ts=at(5), value=5.0),    # other key
+    ])
+    out = asof.window_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=10,
+    ).collect()
+    got = sorted((r.event_id, r.r_value) for r in out)
+    assert got == [(1, 2.0), (1, 3.0), (2, 5.0)]
+
+
+def test_dup_ngram_fraction_flags_shared_grams(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f"),    # grams abc..def shared with 2
+        Row(doc_id=2, text="a b c d e g"),    # abc, bcd shared; cde g not
+        Row(doc_id=3, text="x y z w v u"),    # nothing shared
+    ])
+    out = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac)
+           for r in textops.dup_ngram_fraction(docs, k=3, min_docs=2).collect()}
+    # doc1 grams: abc bcd cde def; doc2: abc bcd cde(g differs at 'cdeg'? no:
+    # doc2 3-grams = abc bcd cde(d e g -> 'c d e','d e g') => shared: abc bcd cde
+    assert out[1] == (4, 3, 0.75)
+    assert out[2] == (4, 3, 0.75)
+    assert out[3] == (4, 0, 0.0)
+
+
+def test_build_vocab_rank_and_coverage(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a a a b b c"),
+        Row(doc_id=2, text="a b d"),
+    ])
+    # totals: a=4, b=3, c=1, d=1 (t=9); ties c/d rank by token text
+    out = [(r.token, r.n, r.rank, r.cum_coverage)
+           for r in textops.build_vocab(docs, top_k=3)
+           .orderBy("rank").collect()]
+    assert out == [
+        ("a", 4, 1, round(4 / 9, 6)),
+        ("b", 3, 2, round(7 / 9, 6)),
+        ("c", 1, 3, round(8 / 9, 6)),
+    ]
+
+
+def test_select_canonical_keeps_best_quality_member(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in (1, 2, 3, 9)]
+    )
+    clusters = spark.createDataFrame([
+        Row(doc_id=1, cluster_id=1),
+        Row(doc_id=2, cluster_id=1),
+        Row(doc_id=3, cluster_id=1),
+    ])
+    scores = spark.createDataFrame([
+        Row(doc_id=1, quality=0.5),
+        Row(doc_id=2, quality=0.9),
+        Row(doc_id=3, quality=0.9),
+        Row(doc_id=9, quality=0.1),
+    ])
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup.select_canonical(docs, clusters, scores).collect()}
+    # doc2 wins the cluster (tie with 3 broken by lower id);
+    # 9 is a singleton and keeps itself
+    assert out == {1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)}
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """A doc present in both lists outranks docs present in one; rrf
+    arithmetic is the textbook 1/(k+rank) sum."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="spark table engine"),
+        Row(doc_id=1, text="spark only here"),
+        Row(doc_id=2, text="nothing relevant"),
+        Row(doc_id=3, text="table table table"),
+    ])
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),   # closest to query 0
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0]),
+    ])
+    out = {r.doc_id: (r.lex_rank, r.vec_rank, r.rrf_score, r.rank)
+           for r in similarity.hybrid_rrf(
+               docs, emb, "spark table", query_vec_id=0, k=4, pool=3
+           ).collect()}
+    # doc 1: lexical hit AND best vector neighbor -> both ranks set
+    assert out[1][0] is not None and out[1][1] is not None
+    lex_r, vec_r, score, _ = out[1]
+    assert score == round(1.0 / (60 + lex_r) + 1.0 / (60 + vec_r), 6)
+    # doc 0 is the query vector itself: excluded from the vector list
+    assert out[0][1] is None
+    # fusion ordering: two-list doc 1 beats every single-list doc
+    assert out[1][3] == 1

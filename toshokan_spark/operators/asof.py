@@ -29,6 +29,67 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Interval (range) join — pair every *left* row with the *right*
+    rows of equal *on* keys whose timestamp lands strictly after the
+    left's, within ``window_seconds``::
+
+        left_ts < right_ts <= left_ts + window_seconds
+
+    The conversion-window / attribution primitive (click -> purchases
+    within 30 min). Spark plans the naive encoding
+    ``l JOIN r ON key AND r.ts BETWEEN ...`` as an equi-join on the
+    key alone with the range as a post-filter — every (left, right)
+    pair per key materializes first, quadratic on hot keys. This
+    implementation time-buckets both sides at the window width and
+    joins on ``(key, bucket)``: a left row in bucket b can only match
+    right rows in buckets {b, b+1}, so the left side is exploded to
+    those two bucket keys (2x a slim projection) and the equi-join's
+    fan-out is bounded by per-key density within ~2 windows, never by
+    the key's total history. One shuffle, both sides narrow.
+
+    Returns the matched pairs with left columns as-is and right
+    payload columns prefixed ``r_`` (inner semantics — aggregate and
+    re-join to the left set for left-outer counts).
+    """
+    w_us = int(window_seconds) * 1_000_000
+    keys = list(on)
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l = left.select(
+        "*",
+        l_us.alias("__l_us"),
+        F.explode(
+            F.array(
+                F.floor(l_us / w_us).cast("long"),
+                (F.floor(l_us / w_us) + 1).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        r_us.alias("__r_us"),
+        F.floor(r_us / w_us).cast("long").alias("__bucket"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    pairs = l.join(r, [*keys, "__bucket"]).filter(
+        (F.col("__r_us") > F.col("__l_us"))
+        & (F.col("__r_us") <= F.col("__l_us") + F.lit(w_us))
+    )
+    return pairs.drop("__l_us", "__r_us", "__bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

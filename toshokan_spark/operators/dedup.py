@@ -1448,6 +1448,43 @@ def duplicate_clusters(
     )
 
 
+def select_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Keeper selection — the step after clustering that actually
+    produces the deduplicated corpus: every document gets its cluster
+    id (itself when it is in no near-dup cluster) and a ``keep`` flag
+    marking the cluster's best-scoring member (ties broken by lowest
+    id). ``filter(keep)`` is the training corpus; the rest is the
+    drop list with full provenance (what was dropped, for which
+    keeper, at what score).
+
+    Shape: one left join of ids onto the (tiny relative to the
+    corpus) cluster table — AQE broadcasts it — one join onto the
+    per-doc scores, and a per-cluster window whose partitions are
+    cluster-sized (bounded by near-dup group size, not corpus size).
+    """
+    base = docs.select(F.col(id_col)).join(
+        clusters.withColumnRenamed(id_col, id_col), id_col, "left"
+    )
+    labeled = base.select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    ).join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

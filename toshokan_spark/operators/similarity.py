@@ -82,6 +82,79 @@ def knn_bruteforce(
     )
 
 
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    text_query: str,
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking ∪ cosine vector ranking,
+    fused with reciprocal-rank fusion (Cormack et al. 2009)::
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    Each list contributes its top-``pool``; a document missing from a
+    list contributes 0 for it. The standard first stage of a RAG /
+    retrieval pipeline — and the query shape this engine is FOR, since
+    it exercises both halves (inverted-index-style BM25 over the text
+    field, ANN over the embedding column) in one plan.
+
+    Scale: both lists end in a global top-``pool`` (distributed
+    take-ordered), so the fusion join runs over at most 2·pool rows —
+    driver-free, broadcast-sized regardless of corpus size.
+    """
+    from toshokan_spark.functions.bm25 import bm25_scores
+
+    lex = bm25_scores(docs, text_query, id_col=id_col, text_col=text_col)
+    lex_top = (
+        lex.orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(pool)
+        .select(
+            F.col("id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("id").asc()))
+            .alias("lex_rank"),
+        )
+    )
+    vec_top = knn_bruteforce(
+        emb,
+        emb.filter(F.col(vec_id_col) == query_vec_id),
+        k=pool,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        query_id_col=vec_id_col,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("vec_rank"))
+    fused = lex_top.join(vec_top, "id", "full_outer").select(
+        F.col("id").alias(id_col),
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf_score",
+            "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------

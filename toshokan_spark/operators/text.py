@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from toshokan_spark.operators.dedup import words_col
 
@@ -313,6 +314,85 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col),
         clean.alias("clean_text"),
         *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-content fraction (the CCNet/Dolma
+    "duplicated n-gram" measure): of a document's DISTINCT word
+    k-grams, the fraction that also appear in at least ``min_docs``
+    documents corpus-wide. High values mark boilerplate assembled
+    from text the corpus already contains many times — the
+    paragraph-level complement to whole-document dedup.
+
+    Shape at 100 TB: one (doc, gram) explode -> one partial-aggregated
+    count-distinct-docs shuffle keyed on the gram -> join back on the
+    gram (both sides slim: gram + id / gram + count) -> per-doc
+    re-aggregation. Identical skeleton to ngram_jaccard's corpus pass;
+    no gram ever meets more than its own postings row, so hot grams
+    cost a count, not a pair blow-up.
+    """
+    from toshokan_spark.operators.dedup import _shingles_from_words
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        _shingles_from_words(words_col(F.col(text_col)), k).alias("sh"),
+    )
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    docfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    joined = ex.join(docfreq, "g")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    top_k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent whitespace
+    tokens with rank and cumulative corpus coverage — the input a
+    tokenizer-training (BPE/unigram) run starts from, and the curve
+    that decides the vocab-size knob.
+
+    The frequency table is partial-aggregated (map-side combine), the
+    top-k is ``orderBy().limit()`` — Spark's distributed take-ordered,
+    never a full sort — and only the k survivors pass through the
+    single-partition cumulative window, so the ordered-window state is
+    bounded by the REQUESTED vocab size, not the corpus vocabulary.
+    Ties rank by token text for cross-engine determinism.
+    """
+    toks = df.select(F.explode(words_col(F.col(text_col))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    head = freq.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.round(F.sum("n").over(w) / F.col("t"), 6).alias("cum_coverage"),
+        )
     )
 
 
