@@ -1053,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "chunk_documents": q_chunk_documents,
         "apply_mixture": q_apply_mixture,
+        "semantic_dedup": q_semantic_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "decontaminate": q_decontaminate,
         # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1079,10 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "decontaminate": q_decontaminate,
-        "semantic_dedup": q_semantic_dedup,
-        "quantize_embeddings": q_quantize_embeddings,
-        # training-data selection (chunk_documents / apply_mixture are
+        # training-data selection (chunk_documents / apply_mixture /
+        # semantic_dedup / quantize_embeddings / decontaminate are
         # registered in the new-this-round block above)
         "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,

@@ -837,3 +837,63 @@ def test_stream_dedup_requires_a_corpus(spark, tmp_path):
         stream_dedup_against_corpus(
             docs, None, str(tmp_path / "o"), str(tmp_path / "c")
         )
+
+
+def test_stream_session_windows_finalize_and_merge(spark, tmp_path):
+    """Session windows (dynamic gap): events within the gap extend a
+    session; a silence longer than the gap starts a new one. Sessions
+    are emitted exactly once, after the watermark passes their close."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import stream_session_windows
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        q = stream_session_windows(
+            parsed, out, ckpt, keys=("k",), time_col="ts",
+            gap="5 minutes", watermark="10 minutes",
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    def emit(name, *rows):
+        (indir / name).write_text(
+            "\n".join(_json.dumps({"ts": ts, "k": k}) for ts, k in rows) + "\n"
+        )
+
+    # a's first session: 10:00, 10:03, 10:06 (each within 5 min of the
+    # last -> one session closing 10:11); then silence; a again at
+    # 10:30 (second session). b: one event.
+    emit("b1.jsonl",
+         ("2024-01-01T10:00:00", "a"),
+         ("2024-01-01T10:03:00", "a"),
+         ("2024-01-01T10:06:00", "a"),
+         ("2024-01-01T10:30:00", "a"),
+         ("2024-01-01T10:31:00", "b"))
+    drain()
+    # advance the watermark far past every session close
+    emit("b2.jsonl", ("2024-01-01T11:00:00", "c"))
+    drain()
+    got = {
+        (str(r.session_start), r.k): (str(r.session_end), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2024-01-01 10:00:00", "a")] == ("2024-01-01 10:11:00", 3)
+    assert got[("2024-01-01 10:30:00", "a")] == ("2024-01-01 10:35:00", 1)
+    assert got[("2024-01-01 10:31:00", "b")] == ("2024-01-01 10:36:00", 1)
+    # c's session is still open (watermark has not passed 11:05)
+    assert not any(k == "c" for _, k in got)

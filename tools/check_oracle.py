@@ -3,7 +3,13 @@ queries() entry on Spark and its oracle_sql() on DuckDB over the same
 parquet tables, compare row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query results in the driver's
+CORRECTNESS_r{N}.json shape. The driver records only the first 50
+``queries()`` entries (observed in round 5); this artifact, committed
+as ``CORRECTNESS_LOCAL_r{N}.json``, is the full-coverage record for
+the entries past that horizon.
 """
 
 from __future__ import annotations
@@ -49,8 +55,14 @@ def canon(rows: list[dict]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict[str, dict] = {}
 
     from pyspark.sql import SparkSession
 
@@ -73,6 +85,18 @@ def main() -> int:
     oracles = entry.oracle_sql()
     failures = []
     rows_only: list[str] = []
+    def rec(name, **kw):
+        base = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        base.update(kw)
+        record[name] = base
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -84,10 +108,12 @@ def main() -> int:
             srows = [r.asDict() for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            rec(name, err=f"spark error: {e}")
             print(f"FAIL  {name}: spark error: {e}")
             continue
         dt = time.time() - t0
         if name not in oracles:
+            rec(name, spark_rows=len(srows), err="rows-only (no oracle)")
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only) [{dt:.1f}s]")
             continue
         try:
@@ -96,25 +122,43 @@ def main() -> int:
             drows = [dict(zip(dcols, row)) for row in ddf.fetchall()]
         except Exception as e:
             failures.append(name)
+            rec(name, spark_rows=len(srows), err=f"duckdb error: {e}")
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
+            rec(name, spark_rows=len(srows), oracle_rows=len(drows))
             print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)} [{dt:.1f}s]")
             continue
         scols = sorted(srows[0].keys()) if srows else sorted(sdf.columns)
         if scols != sorted(dcols):
             failures.append(name)
+            rec(name, rows_match=True, spark_rows=len(srows), oracle_rows=len(drows))
             print(f"FAIL  {name}: columns spark={scols} duckdb={sorted(dcols)}")
             continue
         sc, dc = canon(srows), canon(drows)
         if sc != dc:
             failures.append(name)
+            rec(
+                name,
+                rows_match=True,
+                schema_match=True,
+                spark_rows=len(srows),
+                oracle_rows=len(drows),
+            )
             bad = next(i for i, (a, b) in enumerate(zip(sc, dc)) if a != b)
             print(f"FAIL  {name}: value mismatch at sorted-row {bad}:")
             print(f"      spark : {sc[bad]}")
             print(f"      duckdb: {dc[bad]}")
             continue
+        rec(
+            name,
+            rows_match=True,
+            schema_match=True,
+            hash_match=True,
+            spark_rows=len(srows),
+            oracle_rows=len(drows),
+        )
         print(f"OK    {name}: {len(srows)} rows match [{dt:.1f}s]")
 
     # Completeness gate: every queries() entry must be VALUE-checked —
@@ -127,6 +171,13 @@ def main() -> int:
         print(f"FAIL  completeness: no oracle_sql for {unexpected}")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+            f.write("\n")
+        print(f"wrote {json_out} ({len(record)} entries)")
     spark.stop()
     return 1 if failures else 0
 

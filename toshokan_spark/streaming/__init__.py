@@ -4,6 +4,8 @@ from toshokan_spark.streaming.ingest_stream import stream_index
 from toshokan_spark.streaming.stateful import running_totals
 from toshokan_spark.streaming.windowed import (
     dedup_stream,
+    session_windows,
+    stream_session_windows,
     stream_windowed_counts,
     windowed_counts,
 )
@@ -11,7 +13,9 @@ from toshokan_spark.streaming.windowed import (
 __all__ = [
     "dedup_stream",
     "running_totals",
+    "session_windows",
     "stream_index",
+    "stream_session_windows",
     "stream_windowed_counts",
     "windowed_counts",
 ]

@@ -46,6 +46,67 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    keys: Sequence[str],
+    time_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    aggs: tuple[Column, ...] = (),
+) -> DataFrame:
+    """Session windows — dynamic-gap windowing: a session is a maximal
+    run of a key's events with no silence longer than *gap*; the
+    window CLOSES when event time advances past last_event + gap (vs
+    the fixed grid of :func:`windowed_counts`). This is the streaming
+    analog of the batch `user_sessions` query (gap-based sessionization
+    via lag/cumsum): same semantics, but incremental — state per open
+    session only, merged as late rows bridge two sessions, finalized
+    and evicted by the watermark.
+
+    Works on batch DataFrames too (same plan); on a stream the
+    watermark is REQUIRED by Spark for session windows in append mode
+    (unbounded sessions would never finalize).
+    """
+    src = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window(F.col(time_col), gap).alias("session"),
+        *[F.col(k) for k in keys],
+    ).agg(F.count(F.lit(1)).alias("n_events"), *aggs)
+
+
+def stream_session_windows(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    time_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run sessionization as a stream into a Parquet sink: one row per
+    FINALIZED session (append mode — a session is emitted exactly once,
+    after the watermark passes its close)."""
+    agg = session_windows(
+        events, keys, time_col=time_col, gap=gap, watermark=watermark
+    )
+    flat = agg.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *[F.col(k) for k in keys],
+        "n_events",
+    )
+    writer = (
+        flat.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str],
