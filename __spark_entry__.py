@@ -494,6 +494,54 @@ def q_event_conversions(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-active day, activity
+    counted per (cohort, day-offset) — the standard growth-analytics
+    triangle. One distinct-projection, one per-user min, one join
+    (AQE-broadcast: the cohort table is |users|-sized), one partial
+    aggregated groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = d.join(first, "user_id")
+    return act.groupBy(
+        "cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase: each
+    stage counts users whose first stage-event falls strictly AFTER
+    their previous stage's first event (event order matters, not mere
+    presence). Three per-user min aggregations chained by joins, each
+    stage's table strictly shrinking; final counts are three scalar
+    aggregates broadcast-joined into one row."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    r1 = s.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    r2 = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_signup"))
+    r3 = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
+    return r1.crossJoin(F.broadcast(r2)).crossJoin(F.broadcast(r3))
+
+
 def q_text_dup_ngrams(spark, sf_dir):
     """CCNet/Dolma-style duplicate-content fraction: share of each
     doc's distinct 5-grams that appear in >= 2 docs corpus-wide."""
@@ -1047,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_training_set": q_select_training_set,
         # new this round (same horizon note)
         "event_conversions": q_event_conversions,
+        "cohort_retention": q_cohort_retention,
+        "funnel_stages": q_funnel_stages,
         "text_dup_ngrams": q_text_dup_ngrams,
         "vocab_coverage": q_vocab_coverage,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -1605,6 +1655,35 @@ def oracle_sql() -> dict[str, str]:
               coalesce(a.n_conversions, 0) AS n_conversions,
               a.first_conversion_us, a.conv_value
             FROM clicks c LEFT JOIN agg a ON a.event_id = c.event_id
+        """,
+        # mirrors q_cohort_retention
+        "cohort_retention": """
+            WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+            SELECT f.cohort_day,
+              date_diff('day', f.cohort_day, d.day)::BIGINT AS day_offset,
+              count(*)::BIGINT AS n_users
+            FROM d JOIN f ON d.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        # mirrors q_funnel_stages: strictly-ordered stage times
+        "funnel_stages": """
+            WITH s AS (
+              SELECT user_id, min(ts) AS s_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS c_ts
+              FROM events e JOIN s ON s.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.s_ts
+              GROUP BY e.user_id),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS p_ts
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+                   (SELECT count(*) FROM c)::BIGINT AS n_click_after_signup,
+                   (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click
         """,
         # mirrors textops.dup_ngram_fraction(k=5, min_docs=2)
         "text_dup_ngrams": f"""

@@ -36,6 +36,8 @@ FLOORS = {
     "knn_ivf": 2.6,
     "dedup_minhash_char": 3.0,
     "dedup_incremental_minhash": 3.3,
+    "text_dup_ngrams": 2.0,
+    "dedup_canonical": 1.8,
 }
 MULTIPLIER = 2.5
 RUNS = 3
