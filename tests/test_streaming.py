@@ -897,3 +897,65 @@ def test_stream_session_windows_finalize_and_merge(spark, tmp_path):
     assert got[("2024-01-01 10:31:00", "b")] == ("2024-01-01 10:36:00", 1)
     # c's session is still open (watermark has not passed 11:05)
     assert not any(k == "c" for _, k in got)
+
+
+def test_stream_stream_conversion_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: left events pair with
+    same-key right events strictly after and within the window — both
+    sides real streams, matches across micro-batches included."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import stream_conversion_join
+
+    lin = tmp_path / "lin"; lin.mkdir()
+    rin = tmp_path / "rin"; rin.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lschema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def drain():
+        lraw = spark.readStream.text(str(lin)).select(
+            F.from_json("value", lschema).alias("j")).select("j.*")
+        rraw = spark.readStream.text(str(rin)).select(
+            F.from_json("value", rschema).alias("j")).select("j.*")
+        joined = stream_conversion_join(
+            lraw, rraw, key="user_id", window_seconds=300,
+        )
+        q = (joined.writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    def emit(d, name, rows):
+        (d / name).write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    # batch 1: click for user 1 at 10:00; purchases at 10:02 (match),
+    # 10:06 (past 5-min window), other user at 10:01 (no match)
+    emit(lin, "l1.jsonl", [{"ts": "2024-01-01T10:00:00", "user_id": 1, "click_id": 100}])
+    emit(rin, "r1.jsonl", [
+        {"ts": "2024-01-01T10:02:00", "user_id": 1, "value": 5.0},
+        {"ts": "2024-01-01T10:06:00", "user_id": 1, "value": 7.0},
+        {"ts": "2024-01-01T10:01:00", "user_id": 2, "value": 9.0},
+    ])
+    drain()
+    # batch 2: a LATER purchase for user 1 still inside the window
+    # arrives in a separate micro-batch — buffered left state matches it
+    emit(rin, "r2.jsonl", [{"ts": "2024-01-01T10:04:00", "user_id": 1, "value": 6.0}])
+    drain()
+    got = sorted((r.click_id, r.r_value) for r in spark.read.parquet(out).collect())
+    assert got == [(100, 5.0), (100, 6.0)]

@@ -5,6 +5,7 @@ from toshokan_spark.streaming.stateful import running_totals
 from toshokan_spark.streaming.windowed import (
     dedup_stream,
     session_windows,
+    stream_conversion_join,
     stream_session_windows,
     stream_windowed_counts,
     windowed_counts,
@@ -14,6 +15,7 @@ __all__ = [
     "dedup_stream",
     "running_totals",
     "session_windows",
+    "stream_conversion_join",
     "stream_index",
     "stream_session_windows",
     "stream_windowed_counts",

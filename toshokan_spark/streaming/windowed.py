@@ -107,6 +107,49 @@ def stream_session_windows(
     return writer.start()
 
 
+def stream_conversion_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 300,
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: pair each left event
+    with right events of the same *key* within
+    ``(left_ts, left_ts + window_seconds]`` — both sides unbounded
+    streams (the streaming form of ``operators.asof.window_join``).
+
+    Spark buffers each side's rows in state until the OTHER side's
+    watermark proves no more matches can arrive, then evicts — the
+    time-range condition is what makes state bounded, so it is part
+    of the JOIN condition, not a post-filter. State per key is
+    O(events within watermark + window), independent of stream
+    length.
+
+    Returns the joined pairs (left columns as-is, right's payload
+    prefixed ``r_``); works only on streaming DataFrames (batch
+    callers use ``asof.window_join``).
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r_pref = right.select(
+        F.col(key).alias(f"r_{key}"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    r = r_pref.withWatermark(f"r_{right_ts}", right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.r_{key}"))
+        & (F.col(f"r.r_{right_ts}") > F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.r_{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner").drop(f"r_{key}")
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str],
