@@ -124,3 +124,50 @@ def test_decontaminate_joins_are_broadcast(plans6):
     a = plans6["decontaminate"]
     assert "BroadcastHashJoin" in a["joins"], a
     assert "SortMergeJoin" not in a["joins"] and "CartesianProduct" not in a["joins"], a
+
+
+#: round-6 batch-2 additions (interval join / fusion / analytics)
+ROUND6B = ["event_conversions", "hybrid_search_rrf", "cohort_retention", "text_dup_ngrams"]
+
+
+@pytest.fixture(scope="module")
+def plans6b(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND6B:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_interval_join_is_an_equi_join(plans6b):
+    """window_join exists precisely to avoid the range-join
+    cartesian/nested-loop shape: the pair production must plan as an
+    equi-join on (key, bucket) — a BroadcastNestedLoopJoin or
+    CartesianProduct here means the bucketing stopped reaching the
+    join keys and every per-key pair would materialize at scale."""
+    a = plans6b["event_conversions"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "BroadcastNestedLoopJoin" not in a["joins"], a
+    assert any(
+        j in a["joins"] for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    ), a
+
+
+def test_hybrid_fusion_join_stays_small(plans6b):
+    """The RRF fusion join runs over two top-pool lists; the only
+    unbounded-side cross shape allowed in the plan is the
+    broadcast-queries kNN scan."""
+    a = plans6b["hybrid_search_rrf"]
+    assert "CartesianProduct" not in a["joins"], a
+
+
+def test_analytics_joins_never_cartesian(plans6b):
+    for name in ("cohort_retention", "text_dup_ngrams"):
+        a = plans6b[name]
+        assert "CartesianProduct" not in a["joins"], (name, a)
+        assert "BroadcastNestedLoopJoin" not in a["joins"], (name, a)
