@@ -811,6 +811,26 @@ def q_knn_quantized(spark, sf_dir):
     return similarity.knn_bruteforce(deq, queries, k=5)
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension mean/variance profile of the embedding corpus —
+    normalization / drift-monitoring input."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(emb)
+
+
+def q_normalize_embeddings(spark, sf_dir):
+    """L2 normalization to the unit sphere (narrow, shuffle-free)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.normalize_embeddings(emb)
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Distance to the label centroid per vector — the embedding-
+    space outlier signal a data-quality pass prunes on."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_distances(emb)
+
+
 def q_knn_lsh(spark, sf_dir):
     """Hyperplane LSH with the LCG plane family — bucketing is pure
     integer arithmetic, so the oracle reproduces buckets, multi-probe
@@ -1097,6 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_conversions": q_event_conversions,
         "cohort_retention": q_cohort_retention,
         "funnel_stages": q_funnel_stages,
+        "embedding_stats": q_embedding_stats,
+        "normalize_embeddings": q_normalize_embeddings,
+        "embedding_outliers": q_embedding_outliers,
         "text_dup_ngrams": q_text_dup_ngrams,
         "vocab_coverage": q_vocab_coverage,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -1655,6 +1678,54 @@ def oracle_sql() -> dict[str, str]:
               coalesce(a.n_conversions, 0) AS n_conversions,
               a.first_conversion_us, a.conv_value
             FROM clicks c LEFT JOIN agg a ON a.event_id = c.event_id
+        """,
+        # mirrors similarity.embedding_dim_stats: decimal-exact sums,
+        # double division, E[x^2] - mean^2 in the same op order
+        "embedding_stats": """
+            WITH ex AS (
+              SELECT i - 1 AS dim, embedding[i]::DOUBLE AS x
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+            SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+              round(sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*), 6) AS mean,
+              round(sum(CAST(x * x AS DECIMAL(38,18)))::DOUBLE / count(*)
+                    - (sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*))
+                      * (sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*)),
+                    6) AS variance
+            FROM ex GROUP BY dim
+        """,
+        # mirrors similarity.normalize_embeddings: sequential-fold
+        # sum of squares, per-element double division, rounded 6
+        "normalize_embeddings": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range(1, len(embedding) + 1),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                    (x, y) -> x + y) AS sq
+              FROM embeddings)
+            SELECT vec_id,
+              CASE WHEN sqrt(sq) > 0
+                THEN list_transform(embedding, x -> round(x::DOUBLE / sqrt(sq), 6))
+                ELSE list_transform(embedding, x -> x::DOUBLE)
+              END AS unit_embedding,
+              round(sqrt(sq), 6) AS norm
+            FROM s
+        """,
+        # mirrors similarity.centroid_distances: per-(label, dim)
+        # decimal-mean centroid, decimal-exact squared-diff sum
+        "embedding_outliers": """
+            WITH ex AS (
+              SELECT vec_id, label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+            cent AS (
+              SELECT label, dim,
+                sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*) AS mu
+              FROM ex GROUP BY label, dim)
+            SELECT e.vec_id, e.label,
+              round(sqrt(sum(CAST((e.x - c.mu) * (e.x - c.mu) AS DECIMAL(38,18)))::DOUBLE), 6)
+                AS centroid_dist
+            FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+            GROUP BY e.vec_id, e.label
         """,
         # mirrors q_cohort_retention
         "cohort_retention": """

@@ -1161,3 +1161,43 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert out[0][1] is None
     # fusion ordering: two-list doc 1 beats every single-list doc
     assert out[1][3] == 1
+
+
+def test_embedding_dim_stats_hand_checked(spark):
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[3.0, 4.0]),
+    ])
+    out = {r.dim: (r.n, r.mean, r.variance)
+           for r in similarity.embedding_dim_stats(emb).collect()}
+    assert out[0] == (2, 2.0, 1.0)     # mean 2, E[x^2]-mu^2 = 5-4
+    assert out[1] == (2, 2.0, 4.0)     # mean 2, 8-4
+
+
+def test_normalize_embeddings_unit_norm_and_zero_passthrough(spark):
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[3.0, 4.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),
+    ])
+    out = {r.vec_id: (r.unit_embedding, r.norm)
+           for r in similarity.normalize_embeddings(emb).collect()}
+    assert out[1] == ([0.6, 0.8], 5.0)
+    assert out[2] == ([0.0, 0.0], 0.0)    # zero vector: unchanged, no NaN
+
+
+def test_centroid_distances_per_label(spark):
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, label=0, embedding=[0.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[2.0, 0.0]),   # centroid (1, 0)
+        Row(vec_id=3, label=1, embedding=[5.0, 5.0]),   # own centroid
+    ])
+    out = {r.vec_id: (r.label, r.centroid_dist)
+           for r in similarity.centroid_distances(emb).collect()}
+    assert out[1] == (0, 1.0) and out[2] == (0, 1.0)
+    assert out[3] == (1, 0.0)

@@ -82,6 +82,102 @@ def knn_bruteforce(
     )
 
 
+def embedding_dim_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics (mean, population variance, n)
+    — the profile a normalization / whitening / drift-monitoring step
+    reads. One posexplode to (dim, x) slim rows and one
+    partial-aggregated groupBy on the dimension: the shuffle carries
+    D × partitions partial rows, never the corpus. Sums run in
+    ``decimal(38,18)`` so results are independent of partition order
+    (same rationale as train_ivf_centroids — a double sum would drift
+    run to run)."""
+    ex = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).cast("double")
+    return (
+        ex.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(n.cast("long").alias("n"), s.alias("__s"), s2.alias("__s2"))
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("__s") / F.col("n"), 6).alias("mean"),
+            F.round(
+                F.col("__s2") / F.col("n")
+                - (F.col("__s") / F.col("n")) * (F.col("__s") / F.col("n")),
+                6,
+            ).alias("variance"),
+        )
+    )
+
+
+def normalize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize every vector (unit sphere — the prerequisite for
+    cosine ≡ dot-product shortcuts and most ANN indexes). Pure narrow
+    per-row Column algebra, no shuffle; zero vectors pass through
+    unchanged rather than dividing by 0."""
+    nrm = F.sqrt(sq_norm(F.col(vec_col)))
+    unit = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") / nrm, 6)
+    )
+    return emb.select(
+        F.col(id_col),
+        F.when(nrm > 0, unit)
+        .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias("unit_embedding"),
+        F.round(nrm, 6).alias("norm"),
+    )
+
+
+def centroid_distances(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distance of every vector to its group's centroid — the
+    embedding-space outlier/quality signal (prune the far tail before
+    training; monitor per-source drift). Centroids are per-(label,
+    dim) means over the SAME exploded slim rows that then re-join to
+    compute distances, so no D-wide array is ever re-assembled and
+    the join keys are (label, dim) — AQE broadcasts the
+    |labels|×D-row centroid table. Decimal sums make both the
+    centroid and the per-vector distance independent of partition
+    order."""
+    ex = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+    ).select(
+        id_col, label_col, "dim", F.col("__x").cast("double").alias("x")
+    )
+    cent = ex.groupBy(label_col, "dim").agg(
+        (F.sum(F.col("x").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)))
+        .alias("mu")
+    )
+    d = (F.col("x") - F.col("mu"))
+    return (
+        ex.join(cent, [label_col, "dim"])
+        .groupBy(id_col, label_col)
+        .agg(F.sum((d * d).cast("decimal(38,18)")).cast("double").alias("__d2"))
+        .select(
+            id_col,
+            label_col,
+            F.round(F.sqrt(F.col("__d2")), 6).alias("centroid_dist"),
+        )
+    )
+
+
 def hybrid_rrf(
     docs: DataFrame,
     emb: DataFrame,
