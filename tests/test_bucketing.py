@@ -113,3 +113,99 @@ def test_incremental_minhash_rejects_mismatched_hot_bands(spark, corpus):
         dedup.incremental_minhash_matches(
             new, sigs, corpus_hot_bands=hot_wide, bands=32
         )
+
+
+def test_append_grows_store_without_exchange_and_matches_rebuild(
+    spark, corpus, tmp_path
+):
+    """The ingest-once growth loop: append a batch's signatures to the
+    bucketed store; subsequent incremental matching must (a) see the
+    appended docs, (b) equal a store rebuilt from scratch, and (c)
+    still plan the verify join without an Exchange on the stored
+    side."""
+    batch1 = spark.createDataFrame(
+        [Row(doc_id=100, text="brand new unique first batch text")]
+    )
+    dedup.write_bucketed_signatures(
+        dedup.corpus_minhash_signatures(corpus),
+        "bucketed_sigs_t3",
+        str(tmp_path / "sigs3"),
+        buckets=4,
+    )
+    try:
+        dedup.append_bucketed_signatures(
+            dedup.corpus_minhash_signatures(batch1), "bucketed_sigs_t3", buckets=4
+        )
+        stored = spark.table("bucketed_sigs_t3")
+        assert sorted(r.id for r in stored.select("id").collect()) == [10, 11, 12, 100]
+
+        # batch 2 near-duplicates the APPENDED doc 100 — only the grown
+        # store can catch it
+        batch2 = spark.createDataFrame(
+            [Row(doc_id=200, text="brand new unique first batch text extended")]
+        )
+        got = {
+            r.new_id: r.corpus_id
+            for r in dedup.incremental_minhash_matches(
+                batch2, stored, threshold=0.3
+            ).collect()
+        }
+        rebuilt = dedup.corpus_minhash_signatures(
+            corpus.unionByName(batch1)
+        )
+        want = {
+            r.new_id: r.corpus_id
+            for r in dedup.incremental_minhash_matches(
+                batch2, rebuilt, threshold=0.3
+            ).collect()
+        }
+        assert got == want and got == {200: 100}
+
+        # the stored side still reads pre-partitioned after the append
+        probe = spark.createDataFrame([Row(id=100)])
+        joined = stored.join(probe.repartition(4, "id").hint("merge"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_sigs_t3")
+
+
+def test_refresh_hot_band_buckets_picks_up_new_hot_buckets(spark, tmp_path):
+    """A bucket that crosses max_band_freq only after appends is
+    invisible to the stale hot-band table (stale-but-safe) and
+    appears after the maintenance refresh."""
+    boiler = [
+        Row(doc_id=i, text="the same boilerplate sentence repeated verbatim")
+        for i in range(4)
+    ]
+    dedup.write_bucketed_signatures(
+        dedup.corpus_minhash_signatures(spark.createDataFrame(boiler[:2])),
+        "bucketed_sigs_t4",
+        str(tmp_path / "sigs4"),
+        buckets=2,
+    )
+    try:
+        dedup.write_hot_band_buckets(
+            spark.table("bucketed_sigs_t4"),
+            "hot_bands_t4",
+            str(tmp_path / "hot4"),
+            bands=32,
+            max_band_freq=3,
+        )
+        assert spark.table("hot_bands_t4").count() == 0  # 2 copies < cap
+        dedup.append_bucketed_signatures(
+            dedup.corpus_minhash_signatures(spark.createDataFrame(boiler[2:])),
+            "bucketed_sigs_t4",
+            buckets=2,
+        )
+        # stale table unchanged; refresh sees 4 copies > cap in every band
+        assert spark.table("hot_bands_t4").count() == 0
+        dedup.refresh_hot_band_buckets(
+            spark, "bucketed_sigs_t4", "hot_bands_t4", str(tmp_path / "hot4"),
+            bands=32, max_band_freq=3,
+        )
+        assert spark.table("hot_bands_t4").count() == 32
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_sigs_t4")
+        spark.sql("DROP TABLE IF EXISTS hot_bands_t4")

@@ -640,6 +640,64 @@ def write_bucketed_signatures(
     )
 
 
+def append_bucketed_signatures(
+    new_sigs: DataFrame,
+    table_name: str,
+    buckets: int = 64,
+) -> None:
+    """Grow the signature store with an arriving (already-deduped)
+    batch — the steady-state write of the ingest-once loop: batch
+    arrives -> :func:`incremental_minhash_matches` against the store
+    -> survivors' signatures are APPENDED here so the next batch is
+    matched against them too. Append-mode ``saveAsTable`` into a
+    bucketed table adds new per-bucket files under the same bucket
+    spec (``buckets`` and the sort column must match the original
+    :func:`write_bucketed_signatures` call — Spark errors loudly on a
+    mismatch), so verify joins stay Exchange-free on the stored side
+    after any number of appends (asserted in
+    ``tests/test_bucketing.py``). Cost is proportional to the BATCH,
+    never the store.
+
+    The hot-band table is deliberately NOT touched per batch:
+    keeping it exact would mean re-counting corpus-wide bucket sizes
+    (or rewriting a corpus-vocabulary-sized count table) on every
+    micro-batch. Instead it goes stale-but-safe — a bucket that
+    crosses ``max_band_freq`` between refreshes costs bounded extra
+    candidate fan-out, never correctness — and
+    :func:`refresh_hot_band_buckets` recomputes it at maintenance
+    time (with merge/compaction cadence)."""
+    (
+        new_sigs.write.bucketBy(buckets, "id")
+        .sortBy("id")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def refresh_hot_band_buckets(
+    spark,
+    sig_table: str,
+    hot_table: str,
+    path: str,
+    bands: int = 32,
+    max_band_freq: int = 1000,
+    hash_family: str = "xxhash",
+) -> None:
+    """Maintenance-time recompute of the hot-band table from the
+    CURRENT signature store (one banded aggregation over the store,
+    amortized across the many batches appended since the last
+    refresh)."""
+    write_hot_band_buckets(
+        spark.table(sig_table),
+        hot_table,
+        path,
+        bands=bands,
+        max_band_freq=max_band_freq,
+        hash_family=hash_family,
+    )
+
+
 def hot_band_buckets(
     corpus_sigs: DataFrame,
     bands: int = 32,
