@@ -654,6 +654,16 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Derandomized A-ES weighted sampling: 50 docs drawn without
+    replacement with inclusion odds scaling with n_chars."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, k=50, key_col="doc_id", weight_col="n_chars")
+    return out.select("doc_id", "n_chars", "sample_score")
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic 25% hash-sample of documents by doc_id."""
     from toshokan_spark.operators import sampling
@@ -1117,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_conversions": q_event_conversions,
         "cohort_retention": q_cohort_retention,
         "funnel_stages": q_funnel_stages,
+        "weighted_sample": q_weighted_sample,
         "embedding_stats": q_embedding_stats,
         "normalize_embeddings": q_normalize_embeddings,
         "embedding_outliers": q_embedding_outliers,
@@ -1937,6 +1948,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
                   % 10000 < 2500
+        """,
+        # mirrors sampling.weighted_sample: A-ES score u^(1/w) with
+        # the same hash-derived uniform, rounded, ties by doc_id
+        "weighted_sample": f"""
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                round(pow(
+                  ((({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)}) % 10000) + 1)
+                    * 1.0 / 10001,
+                  1.0 / n_chars::DOUBLE), 6) AS sample_score
+              FROM documents WHERE n_chars::DOUBLE > 0)
+            SELECT doc_id, n_chars, sample_score FROM s
+            ORDER BY sample_score DESC, doc_id ASC LIMIT 50
         """,
         # mirrors sampling.chunk_documents(max_tokens=24, overlap=8):
         # starts stride by 16 up to max(n_words - 8, 1); DuckDB list

@@ -1201,3 +1201,69 @@ def test_centroid_distances_per_label(spark):
            for r in similarity.centroid_distances(emb).collect()}
     assert out[1] == (0, 1.0) and out[2] == (0, 1.0)
     assert out[3] == (1, 0.0)
+
+
+def test_window_join_equals_naive_range_join_randomized(spark):
+    """Seeded randomized equivalence: the time-bucketed interval join
+    must produce exactly the pairs of the naive (quadratic) inequality
+    join, across bucket boundaries, duplicates and hot keys."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import asof
+
+    rng = random.Random(42)
+    t0 = datetime(2024, 1, 1)
+    left = [
+        Row(event_id=i, user_id=rng.randrange(5),
+            ts=t0 + timedelta(seconds=rng.randrange(0, 3600)))
+        for i in range(120)
+    ]
+    right = [
+        Row(user_id=rng.randrange(5),
+            ts=t0 + timedelta(seconds=rng.randrange(0, 3600)),
+            value=float(i))
+        for i in range(120)
+    ]
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = sorted(
+        (r.event_id, r.r_value)
+        for r in asof.window_join(
+            ldf, rdf, on=["user_id"], left_ts="ts", right_ts="ts",
+            window_seconds=137,
+        ).collect()
+    )
+    want = sorted(
+        (l.event_id, r.value)
+        for l in left for r in right
+        if l.user_id == r.user_id
+        and l.ts < r.ts <= l.ts + timedelta(seconds=137)
+    )
+    assert got == want and len(want) > 50  # non-trivial match count
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import sampling
+    from toshokan_spark.operators.dedup import _poly_fold_py
+
+    rows = [Row(doc_id=i, w=(1_000_000 if i % 2 == 0 else 1)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = [r.doc_id for r in sampling.weighted_sample(
+        df, k=10, key_col="doc_id", weight_col="w").collect()]
+    # python replica of the exact score formula
+    def score(i, w):
+        b = _poly_fold_py(str(i), 1103515245, 0, 1_000_000_007, 5381) % 10_000
+        return round(((b + 1) / 10_001) ** (1.0 / w), 6)
+    want = sorted(rows, key=lambda r: (-score(r.doc_id, r.w), r.doc_id))[:10]
+    assert out == [r.doc_id for r in want]
+    # heavy weights dominate: all winners are the 1e6-weight docs
+    assert all(i % 2 == 0 for i in out)
+    # zero/negative weights are excluded, not NaN-ranked
+    df2 = spark.createDataFrame([Row(doc_id=1, w=0), Row(doc_id=2, w=5)])
+    got2 = [r.doc_id for r in sampling.weighted_sample(
+        df2, k=5, key_col="doc_id", weight_col="w").collect()]
+    assert got2 == [2]

@@ -65,6 +65,41 @@ def sample_by_hash(
     return df.filter(sample_key(F.col(key_col), seed) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized: the
+    Efraimidis–Spirakis A-ES scheme (score = u^(1/w), keep the top-k
+    scores) with the uniform u derived from the deterministic
+    sampling hash instead of an RNG — so the sample is reproducible
+    across runs, engines and partitionings, like
+    :func:`sample_by_hash`, but inclusion probability scales with the
+    weight (sample long documents proportionally to token count, hot
+    sources proportionally to traffic, ...).
+
+    Scale: a stateless narrow projection followed by a global top-k
+    (``orderBy().limit()`` — Spark's distributed take-ordered, never
+    a full sort). Rows with non-positive weight are excluded (their
+    A-ES score is undefined). Ties on the rounded score break by key
+    for cross-engine determinism.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (sample_key(F.col(key_col), seed) + 1) / F.lit(float(SAMPLE_BUCKETS + 1))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.pow(u, 1.0 / w), 6)
+    return (
+        df.filter(w > 0)
+        .select("*", score.alias("sample_score"))
+        .orderBy(F.col("sample_score").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def token_budget_pack(
     df: DataFrame,
     budget_tokens: int,
