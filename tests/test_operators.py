@@ -1267,3 +1267,27 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     got2 = [r.doc_id for r in sampling.weighted_sample(
         df2, k=5, key_col="doc_id", weight_col="w").collect()]
     assert got2 == [2]
+
+
+def test_salted_join_matches_plain_join_on_skewed_keys(spark):
+    """Salting must not change results: one hot key carrying 90% of
+    the big side joins identically, and the big side's rows split
+    across salt buckets (the parallelism the salt buys)."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.util import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(180)] + [Row(k=i, v=i) for i in range(2, 22)]
+    )
+    small = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(1, 22)])
+    got = sorted((r.k, r.v, r.name) for r in salted_join(big, small, "k", salt=8).collect())
+    want = sorted((r.k, r.v, r.name) for r in big.join(small, "k").collect())
+    assert got == want and len(want) == 200
+    # the hot key's big-side rows really do spread over several salts
+    from pyspark.sql import functions as F
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8))
+    )
+    n_salts = b.filter(F.col("k") == 1).select("__salt").distinct().count()
+    assert n_salts >= 4

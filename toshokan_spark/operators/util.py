@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
@@ -48,6 +51,45 @@ def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
         result.unpersist()
         for df in cached:
             df.unpersist()
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting — the manual remedy for a
+    join whose key distribution is so skewed that one key's rows
+    exceed an executor (AQE's skew-join split handles moderate skew
+    automatically, but it can only SPLIT a sort-merge partition; when
+    a single hot key dominates a join against a non-broadcastable
+    side, salting is the standard fix):
+
+    * the BIG side gets a deterministic per-row salt in [0, salt)
+      (hash of the whole row's key + a partition-stable row id is
+      unnecessary — ``monotonically_increasing_id`` never shuffles),
+      splitting each hot key across ``salt`` reducers;
+    * the SMALL side is exploded ``salt``-fold so every (key, salt)
+      bucket finds its match.
+
+    Use when `small` is too big to broadcast but far smaller than
+    `big` (a dim table of millions of rows): costs salt× duplication
+    of the small side in exchange for salt-way parallelism on every
+    hot key. Results are identical to the plain join (asserted by
+    test)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt < 2:
+        return big.join(small, keys, how)
+    b = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
