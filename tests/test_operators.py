@@ -1088,6 +1088,10 @@ def test_dup_ngram_fraction_flags_shared_grams(spark):
     assert out[1] == (4, 3, 0.75)
     assert out[2] == (4, 3, 0.75)
     assert out[3] == (4, 0, 0.0)
+    # the general (join) branch at min_docs=3: no gram is in 3 docs
+    out3 = {r.doc_id: r.n_dup_grams
+            for r in textops.dup_ngram_fraction(docs, k=3, min_docs=3).collect()}
+    assert out3 == {1: 0, 2: 0, 3: 0}
 
 
 def test_build_vocab_rank_and_coverage(spark):

@@ -336,18 +336,49 @@ def dup_ngram_fraction(
     gram (both sides slim: gram + id / gram + count) -> per-doc
     re-aggregation. Identical skeleton to ngram_jaccard's corpus pass;
     no gram ever meets more than its own postings row, so hot grams
-    cost a count, not a pair blow-up.
+    cost a count, not a pair blow-up. The shingle base array must be
+    STAGED (`staged_shingles`) — an inlined words expression
+    re-splits the document inside every gram element (no
+    subexpression elimination in HOF lambdas; measured 4x the whole
+    query's cost at sf0.1 before staging).
     """
-    from toshokan_spark.operators.dedup import _shingles_from_words
+    from toshokan_spark.operators.dedup import staged_shingles
+    from toshokan_spark.operators.util import finalize_cached
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        _shingles_from_words(words_col(F.col(text_col)), k).alias("sh"),
-    )
+    # persist the staged shingles: both the per-doc sizes and the
+    # gram explode read them, and recomputing the 5-gram arrays was
+    # ~2/3 of the query's warm cost at sf0.1 (14.9s -> 1.4s with
+    # staging + this persist). finalize_cached materializes the
+    # |docs|-sized result through the AQE plan and releases the cache
+    # (the dedup-pair pattern, util.py:18).
+    sh = staged_shingles(df, id_col, text_col, k, "word").persist()
     ex = sh.select("id", F.explode("sh").alias("g"))
+    if min_docs == 2:
+        # fast path (the default): a gram with doc-count 1 belongs to
+        # exactly ONE doc, so carrying min(id) through the gram
+        # aggregation yields each doc's unique-gram count directly —
+        # n_dup = n_grams - n_unique. ONE shuffle of the gram table
+        # (vs aggregate + corpus-sized join back) and the only join
+        # left is id-keyed and |docs|-sized.
+        per_doc = sh.select("id", F.size("sh").cast("long").alias("n_grams"))
+        uniq = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("nd"), F.min("id").alias("only_id"))
+            .filter(F.col("nd") == 1)
+            .groupBy(F.col("only_id").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_uniq"))
+        )
+        dup = (F.col("n_grams") - F.coalesce("__n_uniq", F.lit(0))).cast("long")
+        out = per_doc.join(uniq, "id", "left").select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            dup.alias("n_dup_grams"),
+            F.round(dup / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+        return finalize_cached(out, sh)
     docfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     joined = ex.join(docfreq, "g")
-    return (
+    out = (
         joined.groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
@@ -360,6 +391,7 @@ def dup_ngram_fraction(
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
         )
     )
+    return finalize_cached(out, sh)
 
 
 def build_vocab(
