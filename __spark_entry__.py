@@ -542,6 +542,32 @@ def q_funnel_stages(spark, sf_dir):
     return r1.crossJoin(F.broadcast(r2)).crossJoin(F.broadcast(r3))
 
 
+def q_dedup_crosscheck(spark, sf_dir):
+    """Cross-modal dedup QA: every text near-dup pair (3-gram Jaccard
+    >= 0.5) re-scored by embedding cosine, with an agreement flag at
+    the embedding-dedup threshold (0.35). Disagreements are exactly
+    the pairs a pipeline owner audits — text-near but semantically
+    far (template spam) or the reverse. The pair set is output-sized,
+    so the two embedding joins are AQE-broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    cos = F.round(dedup.cosine_sim(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            cos.alias("cosine"),
+            (cos >= 0.35).alias("embedding_agrees"),
+        )
+    )
+
+
 def q_text_dup_ngrams(spark, sf_dir):
     """CCNet/Dolma-style duplicate-content fraction: share of each
     doc's distinct 5-grams that appear in >= 2 docs corpus-wide."""
@@ -1135,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_canonical": q_dedup_canonical,
+        "dedup_crosscheck": q_dedup_crosscheck,
         "chunk_documents": q_chunk_documents,
         "apply_mixture": q_apply_mixture,
         "semantic_dedup": q_semantic_dedup,
@@ -1209,7 +1236,10 @@ _SHINGLES = _shingles_sql(3)
 #: connected components), ending in ``clus(doc_id, cluster_id)`` —
 #: used by the dedup_clusters and dedup_canonical oracles so the two
 #: can never drift apart
-_CLUSTERS_CTE = f"""sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+#: word-3-gram Jaccard >= 0.5 near-dup pairs, ending in
+#: ``pairs(a_id, b_id, jacc)`` — prefix shared by the clusters CTE
+#: and the cross-modal agreement oracle
+_PAIRS_CTE = f"""sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
             ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
             sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
             inter AS (
@@ -1217,10 +1247,14 @@ _CLUSTERS_CTE = f"""sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
             pairs AS (
-              SELECT a_id, b_id FROM inter
+              SELECT a_id, b_id,
+                round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
+              FROM inter
               JOIN sz sa ON sa.doc_id = a_id
               JOIN sz sb ON sb.doc_id = b_id
-              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)"""
+
+_CLUSTERS_CTE = f"""{_PAIRS_CTE},
             edges AS (
               SELECT a_id AS src, b_id AS dst FROM pairs
               UNION ALL SELECT b_id, a_id FROM pairs),
@@ -1663,6 +1697,17 @@ def oracle_sql() -> dict[str, str]:
               (row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY quality DESC, doc_id ASC) = 1) AS keep
             FROM lab
+        """,
+        # mirrors q_dedup_crosscheck: the shared Jaccard-pairs CTE +
+        # per-pair embedding cosine and the 0.35 agreement flag
+        "dedup_crosscheck": f"""
+            WITH {_PAIRS_CTE}
+            SELECT p.a_id, p.b_id, p.jacc AS jaccard,
+              round({_COS.format(a='ea.embedding', b='eb.embedding')}, 6) AS cosine,
+              (round({_COS.format(a='ea.embedding', b='eb.embedding')}, 6) >= 0.35) AS embedding_agrees
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.a_id
+            JOIN embeddings eb ON eb.vec_id = p.b_id
         """,
         # mirrors q_event_conversions: purchases by the same user in
         # (click_ts, click_ts + 300s], aggregated per click; clicks
