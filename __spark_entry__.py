@@ -517,29 +517,46 @@ def q_funnel_stages(spark, sf_dir):
     stage's table strictly shrinking; final counts are three scalar
     aggregates broadcast-joined into one row."""
     ev = _t(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    # three chained whole-partition windows over ONE (user_id)
+    # partitioning: each stage's first-event time becomes a per-row
+    # column the next stage's condition reads, so the whole funnel is
+    # 1 scan + 1 exchange — the join formulation re-derived each
+    # stage's lineage and rescanned events 6x
+    w = Window.partitionBy("user_id")
+    base = ev.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    base = base.withColumn(
+        "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    base = base.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
+    base = base.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    r1 = s.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
-    r2 = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_signup"))
-    r3 = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
-    return r1.crossJoin(F.broadcast(r2)).crossJoin(F.broadcast(r3))
+    per_user = base.groupBy("user_id").agg(
+        F.max("s_ts").alias("s_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("s_ts").cast("long").alias("n_signup"),
+        F.count("c_ts").cast("long").alias("n_click_after_signup"),
+        F.count("p_ts").cast("long").alias("n_purchase_after_click"),
+    )
 
 
 def q_dedup_crosscheck(spark, sf_dir):
