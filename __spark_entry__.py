@@ -559,6 +559,23 @@ def q_funnel_stages(spark, sf_dir):
     )
 
 
+def q_quality_regression(spark, sf_dir):
+    """Learned-from-corpus calibration: OLS of lexical diversity on
+    log document length (diversity falls with length — the fit IS the
+    corpus's normal curve), then per-doc residual z-scores; |z| > 2
+    flags docs whose diversity is anomalous FOR THEIR LENGTH — a
+    sharper quality signal than a global diversity threshold. Fit =
+    one decimal-exact moment pass; scoring = one narrow pass against
+    the broadcast O(1) model (operators/stats.py)."""
+    from toshokan_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dedup_words(F.col("text"))
+    x = F.log(F.size(w).cast("double"))
+    y = F.size(F.array_distinct(w)) / F.size(w)
+    return stats.linear_residuals(docs, x, y, id_col="doc_id")
+
+
 def q_dedup_crosscheck(spark, sf_dir):
     """Cross-modal dedup QA: every text near-dup pair (3-gram Jaccard
     >= 0.5) re-scored by embedding cosine, with an agreement flag at
@@ -1179,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_canonical": q_dedup_canonical,
         "dedup_crosscheck": q_dedup_crosscheck,
+        "quality_regression": q_quality_regression,
         "chunk_documents": q_chunk_documents,
         "apply_mixture": q_apply_mixture,
         "semantic_dedup": q_semantic_dedup,
@@ -1714,6 +1732,43 @@ def oracle_sql() -> dict[str, str]:
               (row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY quality DESC, doc_id ASC) = 1) AS keep
             FROM lab
+        """,
+        # mirrors q_quality_regression / operators/stats.py: decimal
+        # moment sums, fixed-order double closing arithmetic, scoring
+        # with the ROUNDED published coefficients
+        "quality_regression": f"""
+            WITH b AS (
+              SELECT doc_id,
+                round(ln(len({_WORDS})::DOUBLE), 6) AS x,
+                round(len(list_distinct({_WORDS})) * 1.0 / len({_WORDS}), 6) AS y,
+                ln(len({_WORDS})::DOUBLE) AS rx,
+                len(list_distinct({_WORDS})) * 1.0 / len({_WORDS}) AS ry
+              FROM documents),
+            m AS (
+              SELECT count(*)::DOUBLE AS n,
+                sum(CAST(rx AS DECIMAL(38,18)))::DOUBLE AS sx,
+                sum(CAST(ry AS DECIMAL(38,18)))::DOUBLE AS sy,
+                sum(CAST(rx * rx AS DECIMAL(38,18)))::DOUBLE AS sxx,
+                sum(CAST(rx * ry AS DECIMAL(38,18)))::DOUBLE AS sxy,
+                sum(CAST(ry * ry AS DECIMAL(38,18)))::DOUBLE AS syy
+              FROM b),
+            fit AS (
+              SELECT
+                round((sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n)), 6) AS slope,
+                round((sy/n) - ((sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n))) * (sx/n), 6) AS intercept,
+                round(sqrt((syy/n - (sy/n)*(sy/n))
+                  * (1.0 - ((sxy/n - (sx/n)*(sy/n)) * (sxy/n - (sx/n)*(sy/n)))
+                      / ((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))))), 6) AS resid_sd
+              FROM m)
+            SELECT doc_id, x, y,
+              round(y - (intercept + slope * x), 6) AS resid,
+              round(CASE WHEN resid_sd > 0
+                    THEN (y - (intercept + slope * x)) / resid_sd
+                    ELSE 0.0 END, 6) AS z,
+              (abs(round(CASE WHEN resid_sd > 0
+                    THEN (y - (intercept + slope * x)) / resid_sd
+                    ELSE 0.0 END, 6)) > 2.0) AS outlier
+            FROM b, fit
         """,
         # mirrors q_dedup_crosscheck: the shared Jaccard-pairs CTE +
         # per-pair embedding cosine and the 0.35 agreement flag

@@ -1295,3 +1295,39 @@ def test_salted_join_matches_plain_join_on_skewed_keys(spark):
     )
     n_salts = b.filter(F.col("k") == 1).select("__salt").distinct().count()
     assert n_salts >= 4
+
+
+def test_linear_fit_and_residuals_hand_checked(spark):
+    """OLS on a hand-computable set: y = 2x + 1 with one off-line
+    point; the outlier flag lands on the deviant row."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from toshokan_spark.operators import stats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, x=0.0, y=1.0),
+        Row(doc_id=2, x=1.0, y=3.0),
+        Row(doc_id=3, x=2.0, y=5.0),
+        Row(doc_id=4, x=3.0, y=7.0),
+    ])
+    fit = stats.linear_fit(df, F.col("x"), F.col("y")).collect()[0]
+    assert (fit.n, fit.slope, fit.intercept, fit.r2) == (4, 2.0, 1.0, 1.0)
+    assert fit.resid_sd == 0.0
+    # perfect fit: all residuals and z-scores are 0, nothing flagged
+    out = stats.linear_residuals(df, F.col("x"), F.col("y")).collect()
+    assert all(r.resid == 0.0 and r.z == 0.0 and not r.outlier for r in out)
+
+    # tilt one point: hand-computed fit is y = 5x - 1 (the deviant
+    # point drags the slope, so doc 3 carries the largest residual)
+    df2 = spark.createDataFrame([
+        Row(doc_id=1, x=0.0, y=1.0),
+        Row(doc_id=2, x=1.0, y=3.0),
+        Row(doc_id=3, x=2.0, y=5.0),
+        Row(doc_id=4, x=3.0, y=17.0),
+    ])
+    fit2 = stats.linear_fit(df2, F.col("x"), F.col("y")).collect()[0]
+    assert (fit2.slope, fit2.intercept) == (5.0, -1.0)
+    out2 = {r.doc_id: r.resid
+            for r in stats.linear_residuals(df2, F.col("x"), F.col("y")).collect()}
+    assert out2 == {1: 2.0, 2: -1.0, 3: -4.0, 4: 3.0}
