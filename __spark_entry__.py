@@ -559,6 +559,46 @@ def q_funnel_stages(spark, sf_dir):
     )
 
 
+def q_source_drift(spark, sf_dir):
+    """Per-source drift monitor: each source's mean document length
+    z-scored against the cross-source distribution of means — the
+    tripwire a pipeline owner wires to ingest (a source whose mean
+    shifts is truncating, duplicating, or changing domain). Two tiny
+    aggregations (per-source, then across the source table) and a
+    broadcast join of a |sources|-row frame; decimal sums keep it
+    deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size(dedup_words(F.col("text"))).cast("decimal(38,18)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m"),
+    )
+    glob = per.agg(
+        (F.sum(F.col("__m").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("__gm"),
+        (
+            F.sum((F.col("__m") * F.col("__m")).cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__gm2"),
+    )
+    sd = F.sqrt(F.col("__gm2") - F.col("__gm") * F.col("__gm"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("__m"), 6).alias("mean_tokens"),
+            F.round(F.col("__gm"), 6).alias("global_mean"),
+            F.round(
+                F.when(sd > 0, (F.col("__m") - F.col("__gm")) / sd).otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
 def q_quality_regression(spark, sf_dir):
     """Learned-from-corpus calibration: OLS of lexical diversity on
     log document length (diversity falls with length — the fit IS the
@@ -1197,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dedup_crosscheck": q_dedup_crosscheck,
         "quality_regression": q_quality_regression,
+        "source_drift": q_source_drift,
         "chunk_documents": q_chunk_documents,
         "apply_mixture": q_apply_mixture,
         "semantic_dedup": q_semantic_dedup,
@@ -1732,6 +1773,25 @@ def oracle_sql() -> dict[str, str]:
               (row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY quality DESC, doc_id ASC) = 1) AS keep
             FROM lab
+        """,
+        # mirrors q_source_drift: per-source decimal token means,
+        # cross-source mean/sd in the same op order
+        "source_drift": f"""
+            WITH per AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                sum(CAST(len({_WORDS}) AS DECIMAL(38,18)))::DOUBLE / count(*) AS m
+              FROM documents GROUP BY source),
+            g AS (
+              SELECT
+                sum(CAST(m AS DECIMAL(38,18)))::DOUBLE / count(*) AS gm,
+                sum(CAST(m * m AS DECIMAL(38,18)))::DOUBLE / count(*) AS gm2
+              FROM per)
+            SELECT source, n_docs,
+              round(m, 6) AS mean_tokens,
+              round(gm, 6) AS global_mean,
+              round(CASE WHEN sqrt(gm2 - gm * gm) > 0
+                    THEN (m - gm) / sqrt(gm2 - gm * gm) ELSE 0.0 END, 6) AS z
+            FROM per, g
         """,
         # mirrors q_quality_regression / operators/stats.py: decimal
         # moment sums, fixed-order double closing arithmetic, scoring
