@@ -1289,12 +1289,21 @@ def test_salted_join_matches_plain_join_on_skewed_keys(spark):
     want = sorted((r.k, r.v, r.name) for r in big.join(small, "k").collect())
     assert got == want and len(want) == 200
     # the hot key's big-side rows really do spread over several salts
+    # (content-hash salt: deterministic under task retries)
     from pyspark.sql import functions as F
     b = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8))
+        "__salt", F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(8))
     )
     n_salts = b.filter(F.col("k") == 1).select("__salt").distinct().count()
     assert n_salts >= 4
+    # right/full joins would duplicate unmatched small rows salt times
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", salt=8, how="right")
+    # left join keeps unmatched BIG rows exactly once
+    big2 = big.union(spark.createDataFrame([Row(k=99, v=0)]))
+    left = salted_join(big2, small, "k", salt=8, how="left").collect()
+    assert sum(1 for r in left if r.k == 99) == 1
 
 
 def test_linear_fit_and_residuals_hand_checked(spark):
@@ -1331,3 +1340,32 @@ def test_linear_fit_and_residuals_hand_checked(spark):
     out2 = {r.doc_id: r.resid
             for r in stats.linear_residuals(df2, F.col("x"), F.col("y")).collect()}
     assert out2 == {1: 2.0, 2: -1.0, 3: -4.0, 4: 3.0}
+
+
+def test_select_canonical_custom_id_col(spark):
+    """duplicate_clusters hardcodes 'doc_id'; select_canonical must
+    align it to a caller's id_col instead of failing to resolve."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(vec_id=i) for i in (1, 2, 9)])
+    clusters = spark.createDataFrame([
+        Row(doc_id=1, cluster_id=1), Row(doc_id=2, cluster_id=1),
+    ])
+    scores = spark.createDataFrame([
+        Row(vec_id=1, quality=0.2), Row(vec_id=2, quality=0.8),
+        Row(vec_id=9, quality=0.5),
+    ])
+    out = {r.vec_id: r.keep for r in dedup.select_canonical(
+        docs, clusters, scores, id_col="vec_id").collect()}
+    assert out == {1: False, 2: True, 9: True}
+
+
+def test_window_join_rejects_nonpositive_window(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import asof
+
+    df = spark.createDataFrame([], "user_id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="window_seconds"):
+        asof.window_join(df, df, on=["user_id"], left_ts="ts",
+                         right_ts="ts", window_seconds=0)

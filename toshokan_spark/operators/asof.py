@@ -59,6 +59,11 @@ def window_join(
     payload columns prefixed ``r_`` (inner semantics — aggregate and
     re-join to the left set for left-outer counts).
     """
+    if int(window_seconds) <= 0:
+        raise ValueError(
+            f"window_seconds must be positive, got {window_seconds} "
+            "(0 would silently bucket every row to null and match nothing)"
+        )
     w_us = int(window_seconds) * 1_000_000
     keys = list(on)
     l_us = F.unix_micros(F.col(left_ts))

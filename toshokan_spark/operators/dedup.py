@@ -1526,9 +1526,11 @@ def select_canonical(
     per-doc scores, and a per-cluster window whose partitions are
     cluster-sized (bounded by near-dup group size, not corpus size).
     """
-    base = docs.select(F.col(id_col)).join(
-        clusters.withColumnRenamed(id_col, id_col), id_col, "left"
-    )
+    # duplicate_clusters hardcodes its id column name as 'doc_id';
+    # align it to the caller's id_col before joining
+    if id_col != "doc_id" and "doc_id" in clusters.columns:
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
+    base = docs.select(F.col(id_col)).join(clusters, id_col, "left")
     labeled = base.select(
         id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
     ).join(scores.select(id_col, score_col), id_col)

@@ -125,17 +125,26 @@ def normalize_embeddings(
     """L2-normalize every vector (unit sphere — the prerequisite for
     cosine ≡ dot-product shortcuts and most ANN indexes). Pure narrow
     per-row Column algebra, no shuffle; zero vectors pass through
-    unchanged rather than dividing by 0."""
-    nrm = F.sqrt(sq_norm(F.col(vec_col)))
-    unit = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") / nrm, 6)
-    )
-    return emb.select(
+    unchanged rather than dividing by 0.
+
+    The norm is STAGED as a projected column before the per-element
+    transform: HOF lambdas get no subexpression elimination, so an
+    inlined norm would re-run the O(D) fold once per element — O(D²)
+    per row (the staged_shingles rule)."""
+    staged = emb.select(
         F.col(id_col),
-        F.when(nrm > 0, unit)
-        .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        F.col(vec_col).alias("__v"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("__n"),
+    )
+    unit = F.transform(
+        F.col("__v"), lambda x: F.round(x.cast("double") / F.col("__n"), 6)
+    )
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("__n") > 0, unit)
+        .otherwise(F.transform(F.col("__v"), lambda x: x.cast("double")))
         .alias("unit_embedding"),
-        F.round(nrm, 6).alias("norm"),
+        F.round(F.col("__n"), 6).alias("norm"),
     )
 
 

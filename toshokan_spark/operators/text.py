@@ -414,7 +414,10 @@ def build_vocab(
     """
     toks = df.select(F.explode(words_col(F.col(text_col))).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    # total token count from the ALREADY-AGGREGATED frequency table —
+    # re-counting toks would tokenize and explode the corpus a second
+    # time for a number the vocabulary-sized table carries
+    total = freq.agg(F.sum("n").cast("double").alias("t"))
     head = freq.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (

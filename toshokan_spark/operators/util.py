@@ -78,13 +78,27 @@ def salted_join(
     `big` (a dim table of millions of rows): costs salt× duplication
     of the small side in exchange for salt-way parallelism on every
     hot key. Results are identical to the plain join (asserted by
-    test)."""
+    test).
+
+    Only ``inner`` and ``left`` joins are supported: under right/full
+    semantics every unmatched (key, salt) copy of the small side
+    would surface as its own null-padded output row (salt× duplicated
+    unmatched rows). The salt is a hash of the big row's CONTENT, not
+    ``monotonically_increasing_id`` — a recomputed map task after a
+    shuffle-fetch failure must assign every row the same salt, or the
+    retry silently duplicates/drops rows; identical rows colliding on
+    one salt merely spreads a touch less."""
     keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows salt times"
+        )
     if salt < 2:
         return big.join(small, keys, how)
     b = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
     )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
