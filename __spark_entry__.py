@@ -1146,6 +1146,27 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_dedup(spark, sf_dir):
+    """Exact blob dedup by content hash — the first pass of any media
+    pipeline (identical files re-crawled under different ids). Groups
+    on the 32-byte sha256, never the blob: the shuffle carries hashes
+    + ids while the binary payload stays columnar at rest (same
+    shuffle discipline as dedup_exact). Every group is emitted
+    (keeper + copy count; n_copies > 1 are the duplicates) so the
+    oracle value-checks the full hash table, not just the duplicate
+    tail — which is empty at sf0.01."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = multimodal.attach_blob(docs)
+    return (
+        b.groupBy("blob_sha256")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("blob_sha256", "keeper_id", "n_copies")
+    )
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     # codec='stub' pinned: the oracle reproduces the deterministic
     # content-hash fake; with PIL installed 'auto' would decode for
@@ -1214,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last (VERDICT r5 §1), so the cheapest entries must not sit at the
         # tail of the dict
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_dedup": q_multimodal_dedup,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -1773,6 +1795,13 @@ def oracle_sql() -> dict[str, str]:
               (row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY quality DESC, doc_id ASC) = 1) AS keep
             FROM lab
+        """,
+        # mirrors q_multimodal_dedup: sha256 over the utf-8 blob
+        "multimodal_dedup": """
+            SELECT sha256(text) AS blob_sha256,
+              min(doc_id) AS keeper_id, count(*)::BIGINT AS n_copies
+            FROM documents
+            GROUP BY sha256(text)
         """,
         # mirrors q_source_drift: per-source decimal token means,
         # cross-source mean/sd in the same op order
