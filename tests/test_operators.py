@@ -1369,3 +1369,25 @@ def test_window_join_rejects_nonpositive_window(spark):
     with pytest.raises(ValueError, match="window_seconds"):
         asof.window_join(df, df, on=["user_id"], left_ts="ts",
                          right_ts="ts", window_seconds=0)
+
+
+def test_knn_normalized_dot_fast_path_matches_cosine(spark):
+    """After L2 normalization, the dot-only fast path ranks identically
+    to the full cosine (scores agree to rounding)."""
+    import random
+
+    from pyspark.sql import Row
+
+    rnd = random.Random(11)
+    rows = [Row(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows)
+    unit = similarity.normalize_embeddings(df).select(
+        "vec_id", F.col("unit_embedding").alias("embedding"))
+    q = unit.filter(F.col("vec_id") < 2)
+    cos = similarity.knn_bruteforce(unit, q, k=5).collect()
+    dot = similarity.knn_bruteforce(unit, q, k=5, assume_normalized=True).collect()
+    key = lambda rs: sorted((r.query_id, r.rank, r.neighbor_id) for r in rs)
+    assert key(cos) == key(dot)
+    smap = {(r.query_id, r.neighbor_id): r.score for r in cos}
+    assert all(abs(smap[(r.query_id, r.neighbor_id)] - r.score) < 1e-5 for r in dot)

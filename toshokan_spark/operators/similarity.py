@@ -35,6 +35,7 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     vectorized: bool = False,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -46,6 +47,12 @@ def knn_bruteforce(
     ``vectorized=True`` scores with the Arrow-batched BLAS cosine
     (production path at scale); the default sequential fold is kept
     for bit-exact oracle parity (see dedup.cosine_vectorized).
+
+    ``assume_normalized=True`` scores with the dot product alone —
+    the standard serving fast path after
+    :func:`normalize_embeddings` (cosine ≡ dot on the unit sphere):
+    drops two O(D) norm folds + a sqrt per scored pair. The caller
+    owns the invariant; scores are garbage on unnormalized vectors.
     """
     from toshokan_spark.operators.dedup import cosine_vectorized
 
@@ -57,11 +64,12 @@ def knn_bruteforce(
     c = spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn("cn2", sq_norm(F.col("cv")))
-    score = (
-        cosine_vectorized(F.col("qv"), F.col("cv"))
-        if vectorized
-        else dot_product(F.col("qv"), F.col("cv")) / F.sqrt(F.col("qn2") * F.col("cn2"))
-    )
+    if assume_normalized:
+        score = dot_product(F.col("qv"), F.col("cv"))
+    elif vectorized:
+        score = cosine_vectorized(F.col("qv"), F.col("cv"))
+    else:
+        score = dot_product(F.col("qv"), F.col("cv")) / F.sqrt(F.col("qn2") * F.col("cn2"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
