@@ -599,6 +599,20 @@ def q_source_drift(spark, sf_dir):
     )
 
 
+def q_source_quality_curves(spark, sf_dir):
+    """Per-source OLS of diversity on log length — each source's own
+    calibration curve; slopes that leave the cross-source band mark a
+    source whose length/diversity relation shifted (template change,
+    truncation, new domain)."""
+    from toshokan_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dedup_words(F.col("text"))
+    x = F.log(F.size(w).cast("double"))
+    y = F.size(F.array_distinct(w)) / F.size(w)
+    return stats.grouped_linear_fit(docs, "source", x, y)
+
+
 def q_quality_regression(spark, sf_dir):
     """Learned-from-corpus calibration: OLS of lexical diversity on
     log document length (diversity falls with length — the fit IS the
@@ -1260,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_crosscheck": q_dedup_crosscheck,
         "quality_regression": q_quality_regression,
         "source_drift": q_source_drift,
+        "source_quality_curves": q_source_quality_curves,
         "chunk_documents": q_chunk_documents,
         "apply_mixture": q_apply_mixture,
         "semantic_dedup": q_semantic_dedup,
@@ -1802,6 +1817,31 @@ def oracle_sql() -> dict[str, str]:
               min(doc_id) AS keeper_id, count(*)::BIGINT AS n_copies
             FROM documents
             GROUP BY sha256(text)
+        """,
+        # mirrors q_source_quality_curves / stats.grouped_linear_fit
+        "source_quality_curves": f"""
+            WITH b AS (
+              SELECT source,
+                ln(len({_WORDS})::DOUBLE) AS rx,
+                len(list_distinct({_WORDS})) * 1.0 / len({_WORDS}) AS ry
+              FROM documents),
+            m AS (
+              SELECT source, count(*)::DOUBLE AS n,
+                sum(CAST(rx AS DECIMAL(38,18)))::DOUBLE AS sx,
+                sum(CAST(ry AS DECIMAL(38,18)))::DOUBLE AS sy,
+                sum(CAST(rx * rx AS DECIMAL(38,18)))::DOUBLE AS sxx,
+                sum(CAST(rx * ry AS DECIMAL(38,18)))::DOUBLE AS sxy,
+                sum(CAST(ry * ry AS DECIMAL(38,18)))::DOUBLE AS syy
+              FROM b GROUP BY source)
+            SELECT source, n::BIGINT AS n,
+              round(CASE WHEN (sxx/n - (sx/n)*(sx/n)) > 0
+                THEN (sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n)) END, 6) AS slope,
+              round(CASE WHEN (sxx/n - (sx/n)*(sx/n)) > 0
+                THEN (sy/n) - ((sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n))) * (sx/n) END, 6) AS intercept,
+              round(CASE WHEN (sxx/n - (sx/n)*(sx/n)) > 0 AND (syy/n - (sy/n)*(sy/n)) > 0
+                THEN ((sxy/n - (sx/n)*(sy/n)) * (sxy/n - (sx/n)*(sy/n)))
+                     / ((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) END, 6) AS r2
+            FROM m
         """,
         # mirrors q_source_drift: per-source decimal token means,
         # cross-source mean/sd in the same op order

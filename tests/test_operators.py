@@ -1391,3 +1391,24 @@ def test_knn_normalized_dot_fast_path_matches_cosine(spark):
     assert key(cos) == key(dot)
     smap = {(r.query_id, r.neighbor_id): r.score for r in cos}
     assert all(abs(smap[(r.query_id, r.neighbor_id)] - r.score) < 1e-5 for r in dot)
+
+
+def test_grouped_linear_fit_per_group_and_degenerate_groups(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import stats
+
+    df = spark.createDataFrame([
+        Row(g="a", x=0.0, y=1.0), Row(g="a", x=1.0, y=3.0),
+        Row(g="a", x=2.0, y=5.0),                      # y = 2x + 1
+        Row(g="b", x=0.0, y=5.0), Row(g="b", x=1.0, y=4.0),  # y = -x + 5
+        Row(g="c", x=2.0, y=9.0),                      # single row: no fit
+        Row(g="d", x=3.0, y=1.0), Row(g="d", x=3.0, y=2.0),  # zero x-var
+    ])
+    out = {r.g: (r.n, r.slope, r.intercept, r.r2)
+           for r in stats.grouped_linear_fit(
+               df, "g", F.col("x"), F.col("y")).collect()}
+    assert out["a"] == (3, 2.0, 1.0, 1.0)
+    assert out["b"] == (2, -1.0, 5.0, 1.0)
+    assert out["c"] == (1, None, None, None)
+    assert out["d"] == (2, None, None, None)

@@ -63,6 +63,44 @@ def linear_fit(df: DataFrame, x: Column, y: Column) -> DataFrame:
     )
 
 
+def grouped_linear_fit(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group OLS — one row per group with the same closing
+    arithmetic as :func:`linear_fit` (drift baselines per source:
+    compare slopes across sources, alert when a new batch's fit
+    leaves the historical band). One partial-aggregated groupBy;
+    group count rows of O(1) model state. Groups with a single row or
+    zero x-variance yield null slope/intercept (SQL semantics both
+    engines share) rather than failing the whole fit."""
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec(x)).cast("double").alias("sx"),
+        F.sum(_dec(y)).cast("double").alias("sy"),
+        F.sum(_dec(x * x)).cast("double").alias("sxx"),
+        F.sum(_dec(x * y)).cast("double").alias("sxy"),
+        F.sum(_dec(y * y)).cast("double").alias("syy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    vx = F.col("sxx") / F.col("n") - mx * mx
+    vy = F.col("syy") / F.col("n") - my * my
+    cxy = F.col("sxy") / F.col("n") - mx * my
+    slope = F.when(vx > 0, cxy / vx)
+    intercept = F.when(vx > 0, my - (cxy / vx) * mx)
+    r2 = F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy))
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def linear_residuals(
     df: DataFrame,
     x: Column,
