@@ -959,3 +959,63 @@ def test_stream_stream_conversion_join(spark, tmp_path):
     drain()
     got = sorted((r.click_id, r.r_value) for r in spark.read.parquet(out).collect())
     assert got == [(100, 5.0), (100, 6.0)]
+
+
+def test_stream_dedup_grow_store_catches_cross_batch_dups(spark, tmp_path):
+    """The self-maintaining ingest loop: survivors' signatures are
+    appended to the bucketed store inside foreachBatch, so batch N+1
+    is deduplicated against batch N's survivors — not just the seed
+    corpus. Without grow_store the cross-batch duplicate passes."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup as dedup_ops
+    from toshokan_spark.streaming.windowed import stream_dedup_against_corpus
+
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="seed corpus document completely original")]
+    )
+    schema = "doc_id bigint, text string"
+
+    def run(table, grow):
+        indir = tmp_path / f"in_{table}"
+        indir.mkdir()
+        out = str(tmp_path / f"out_{table}")
+        ckpt = str(tmp_path / f"ckpt_{table}")
+        dedup_ops.write_bucketed_signatures(
+            dedup_ops.corpus_minhash_signatures(seed),
+            table, str(tmp_path / f"sigs_{table}"), buckets=2,
+        )
+
+        def drain():
+            docs = spark.readStream.schema(schema).json(str(indir))
+            q = stream_dedup_against_corpus(
+                docs, None, out, ckpt, threshold=0.3,
+                corpus_table=table, grow_store=grow, store_buckets=2,
+            )
+            q.awaitTermination(180)
+            assert not q.isActive
+            if q.exception():
+                raise AssertionError(q.exception())
+
+        # batch 1: a fresh doc (survives, and with grow_store its
+        # signature joins the store)
+        (indir / "b1.jsonl").write_text(
+            '{"doc_id": 100, "text": "brand new unique first batch text"}\n'
+        )
+        drain()
+        # batch 2: near-dup of batch 1's survivor + a fresh doc
+        (indir / "b2.jsonl").write_text(
+            '{"doc_id": 200, "text": "brand new unique first batch text extended"}\n'
+            '{"doc_id": 201, "text": "totally different later arrival"}\n'
+        )
+        drain()
+        kept = sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        return kept
+
+    # grown store: 200 is caught as a near-dup of 100
+    assert run("grow_sigs_t1", True) == [100, 201]
+    # static store: 200 sails through
+    assert run("grow_sigs_t2", False) == [100, 200, 201]

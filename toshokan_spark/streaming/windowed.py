@@ -219,6 +219,8 @@ def stream_dedup_against_corpus(
     corpus_table: str | None = None,
     hot_bands_table: str | None = None,
     plan_sink: list | None = None,
+    grow_store: bool = False,
+    store_buckets: int = 64,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate filtering against a standing corpus:
     each micro-batch runs ``incremental_minhash_matches`` against the
@@ -267,6 +269,11 @@ def stream_dedup_against_corpus(
             "stream_dedup_against_corpus needs a corpus: pass corpus_sigs "
             "or corpus_table"
         )
+    if grow_store and corpus_table is None:
+        raise ValueError(
+            "grow_store=True needs corpus_table (a bucketed store to "
+            "append survivors' signatures into)"
+        )
 
     # validate the store ONCE at construction (probes are two tiny
     # jobs — running them inside foreachBatch would tax every
@@ -307,6 +314,33 @@ def stream_dedup_against_corpus(
         kept.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={ckpt_scope}-{batch_id}"
         )
+        if grow_store:
+            # the self-maintaining loop: survivors' signatures join the
+            # store so LATER batches are deduplicated against them too
+            # (batch N+1 vs batch N, not just vs the seed corpus).
+            # Append is AT-LEAST-ONCE under batch replay — duplicate
+            # signature rows are harmless for matching correctness
+            # (incremental_minhash_matches keeps the best match per
+            # new id, and a duplicate of the same corpus row ties with
+            # itself) and cost only space until a maintenance rewrite
+            # (write_bucketed_signatures mode=overwrite) compacts. The
+            # hot-band table stays maintenance-refreshed
+            # (refresh_hot_band_buckets), same staleness contract as
+            # append_bucketed_signatures.
+            from toshokan_spark.operators.dedup import (
+                append_bucketed_signatures,
+                corpus_minhash_signatures,
+            )
+
+            kept_sigs = corpus_minhash_signatures(
+                kept.select(F.col(id_col), F.col(text_col)),
+                id_col=id_col,
+                text_col=text_col,
+                hash_family=hash_family,
+            )
+            append_bucketed_signatures(
+                kept_sigs, corpus_table, buckets=store_buckets
+            )
 
     writer = (
         docs.writeStream.foreachBatch(drop_corpus_dups)
