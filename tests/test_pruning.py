@@ -577,3 +577,66 @@ def test_subday_time_zone_map_prunes_same_day_segments(spark, catalog, tmp_path)
             "ts:[2024-03-05T07:00:00Z TO 2024-03-05T12:00:00Z]", limit=10,
         )
     ] == ["morning"]
+
+
+def test_token_bloom_pruning_on_tokenized_text(spark, catalog, tmp_path):
+    """Per-segment token Bloom filters (functions/bloom.py) prune
+    term/phrase queries on TOKENIZED fields at the manifest —
+    conservative under OR / must_not — and stay correct through merge
+    (same-geometry blooms union by bitwise OR)."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="blm",
+        path=str(tmp_path / "data" / "blm"),
+        fields=[
+            FieldConfig(name="body", type="text"),       # default tokenizer
+            FieldConfig(name="title", type="text", tokenizer="en_stem"),
+        ],
+    )
+    create_index(catalog, config)
+    batches = [
+        [{"body": "alpha beta gamma", "title": "running fast"},
+         {"body": "alpha delta", "title": "runs faster"}],
+        [{"body": "omega sigma tau", "title": "sleeping dogs"}],
+    ]
+    for i, rows in enumerate(batches):
+        p = tmp_path / f"blm-{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        index_batch(spark, catalog, "blm", jsonl_path=str(p))
+
+    segs = catalog.segments("blm")
+    assert all(s.token_blooms and "body" in s.token_blooms for s in segs)
+
+    def survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return len(out)
+
+    assert survivors("body:alpha") == 1           # absent from segment 2
+    assert survivors("body:omega") == 1           # absent from segment 1
+    assert survivors("body:alpha AND body:omega") == 0  # impossible query
+    assert survivors("body:nosuchtoken") == 0
+    # stemmed field: query token stems to the indexed stem ('run')
+    assert survivors("title:running") == 1
+    assert survivors("title:sleeping") == 1
+    # OR prunes only on tokens required by EVERY branch
+    assert survivors("body:alpha OR body:omega") == 2
+    # must_not never prunes
+    assert survivors("body:beta AND NOT body:omega") == 1
+    # phrase words are all required
+    assert survivors('body:"omega sigma"') == 1
+    # results stay correct through the pruned scan
+    got = search(spark, catalog, "blm", "body:alpha", limit=10)
+    assert len(got) == 2
+
+    # merge unions same-geometry blooms without rereading data
+    merge_segments(spark, catalog, "blm")
+    (merged,) = catalog.segments("blm")
+    if merged.token_blooms:  # same geometry -> OR'd bloom carried over
+        from toshokan_spark.functions.bloom import bloom_might_contain
+        bl = merged.token_blooms["body"]
+        assert bloom_might_contain(bl, "alpha") and bloom_might_contain(bl, "omega")
+        assert not bloom_might_contain(bl, "nosuchtoken")
+    assert len(search(spark, catalog, "blm", "body:omega", limit=10)) == 1

@@ -108,6 +108,13 @@ class SegmentEntry:
     #: exists. None (old manifests, empty segments) means "cannot
     #: prune on this segment", never "prune it".
     field_stats: Optional[dict] = None
+    #: per-TOKENIZED-text-field token Bloom filters
+    #: (``{"body": {"m": bits, "k": hashes, "b64": bitset}}``) — the
+    #: manifest-level skip index for term queries on tokenized fields
+    #: (functions/bloom.py): a required query token provably absent
+    #: from a segment's bloom drops the segment before any plan is
+    #: built. None = cannot prune (old manifests, over-cap vocab).
+    token_blooms: Optional[dict] = None
 
 
 class CatalogError(RuntimeError):

@@ -211,6 +211,25 @@ def write_segment(
     written = df.sparkSession.read.parquet(seg_path)
     write_segment_stats(config, seg_name, written)
 
+    # token Bloom filters for TOKENIZED text fields — the term-query
+    # analog of the zone maps above (raw fields already have string
+    # zone maps): one tokenize+distinct job per field at commit buys
+    # manifest-level segment skipping for every future term query
+    # (functions/bloom.py has the sizing/caps/conservatism story)
+    from toshokan_spark.functions.bloom import build_token_bloom
+
+    token_blooms: dict = {}
+    for f in config.fields:
+        if (
+            f.type == "text"
+            and f.tokenizer != "raw"
+            and not f.array
+            and f.name in written.columns
+        ):
+            b = build_token_bloom(written, f.name, f.tokenizer)
+            if b is not None:
+                token_blooms[f.name] = b
+
     entry = SegmentEntry(
         id=seg_id,
         file_name=seg_name,
@@ -220,6 +239,7 @@ def write_segment(
         min_day=min_day,
         max_day=max_day,
         field_stats=field_stats,
+        token_blooms=token_blooms or None,
     )
     # data first, manifest second (`src/commands/mod.rs:178-187`)
     if not catalog.commit_segment(config.name, entry):

@@ -122,10 +122,27 @@ def merge_segments(
 
     write_segment_stats(config, seg_name, spark.read.parquet(seg_path))
 
+    # token blooms union by bitwise OR when every input recorded the
+    # field with the same geometry; otherwise the merged segment drops
+    # the bloom (conservative — no bloom means no pruning, never a
+    # wrong prune). No data reread either way.
+    from toshokan_spark.functions.bloom import merge_blooms
+
+    token_blooms = None
+    if all(s.token_blooms for s in segs):
+        names = set(segs[0].token_blooms)
+        for s in segs[1:]:
+            names &= set(s.token_blooms)
+        merged = {
+            n: merge_blooms([s.token_blooms[n] for s in segs]) for n in names
+        }
+        token_blooms = {n: b for n, b in merged.items() if b is not None} or None
+
     entry = SegmentEntry(
         id=seg_id, file_name=seg_name, num_rows=total,
         created_at_ms=int(time.time() * 1000),
         min_day=min_day, max_day=max_day, field_stats=field_stats,
+        token_blooms=token_blooms,
     )
     # one atomic manifest write: new in, old out (`merge.rs:63-66`)
     catalog.swap_segments(index_name, [s.id for s in segs], entry)

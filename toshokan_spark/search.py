@@ -89,7 +89,21 @@ def _pruned_segments(config, segs, node):
     partition pruning and parquet row-group stats then prune WITHIN
     the survivors. Segments without recorded stats are conservatively
     kept. Returns ``(lo, hi, surviving_segments)``."""
+    from toshokan_spark.functions.bloom import (
+        bloom_might_contain,
+        required_term_tokens,
+    )
     from toshokan_spark.query import ip_bounds, numeric_bounds, raw_term_bounds
+
+    # required query tokens per TOKENIZED text field (term/phrase
+    # conjuncts) — probed against each segment's manifest token bloom
+    # (SegmentEntry.token_blooms); computed once, O(query size)
+    req_tokens: dict[str, set[str]] = {}
+    for f in config.fields:
+        if f.type == "text" and f.tokenizer != "raw" and not f.array:
+            req = required_term_tokens(node, f.name, f.tokenizer)
+            if req:
+                req_tokens[f.name] = req
 
     lo = hi = None
     lo_us = hi_us = None
@@ -142,6 +156,17 @@ def _pruned_segments(config, segs, node):
                     nlo is not None and smax < nlo
                 ):
                     dead = True
+                    break
+            if dead:
+                continue
+        if req_tokens and s.token_blooms:
+            dead = False
+            for fname, req in req_tokens.items():
+                bl = s.token_blooms.get(fname)
+                if not bl:
+                    continue  # no bloom for this field: cannot prune
+                if any(not bloom_might_contain(bl, t) for t in req):
+                    dead = True  # a REQUIRED token is provably absent
                     break
             if dead:
                 continue
