@@ -640,3 +640,21 @@ def test_token_bloom_pruning_on_tokenized_text(spark, catalog, tmp_path):
         assert bloom_might_contain(bl, "alpha") and bloom_might_contain(bl, "omega")
         assert not bloom_might_contain(bl, "nosuchtoken")
     assert len(search(spark, catalog, "blm", "body:omega", limit=10)) == 1
+
+
+def test_explain_cli_reports_pruning(spark, catalog, tmp_path, capsys):
+    """The explain command prints per-segment scan/PRUNE decisions
+    from the manifest and the formatted physical plan."""
+    import sys
+
+    from toshokan_spark import cli
+
+    _setup(spark, catalog, tmp_path)
+    rc = cli.main([
+        "--catalog", catalog.root, "explain", "tsidx",
+        "ts:[2024-01-02T00:00:00Z TO 2024-01-02T23:59:59Z]",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "survive pruning" in out
+    assert "== Physical Plan ==" in out

@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     # (the reference's relevance ordering, globally re-ranked)
     ps.add_argument("--score-field", default=None)
 
+    pe = sub.add_parser(
+        "explain",
+        help="show manifest pruning decisions and the physical plan for a query",
+    )
+    pe.add_argument("index")
+    pe.add_argument("query")
+
     a = p.parse_args(argv)
     catalog = FsCatalog(a.catalog)
 
@@ -198,6 +205,37 @@ def main(argv: list[str] | None = None) -> int:
 
         for line in search(spark, catalog, a.index, a.query, limit=a.limit):
             print(line)
+        return 0
+
+    if a.cmd == "explain":
+        # pruning decisions come from the manifest alone; only the
+        # final physical plan needs a Spark session
+        from toshokan_spark.plans.ast import parse_query
+        from toshokan_spark.search import _pruned_segments, search_df
+
+        config = catalog.get_index(a.index)
+        segs = catalog.segments(a.index)
+        node = parse_query(a.query)
+        lo, hi, kept = _pruned_segments(config, segs, node)
+        kept_ids = {s.id for s in kept}
+        print(f"query: {a.query}")
+        if lo is not None or hi is not None:
+            print(f"time bounds: {lo} .. {hi}")
+        print(f"segments: {len(segs)} manifested, {len(kept)} survive pruning")
+        for s in segs:
+            mark = "scan " if s.id in kept_ids else "PRUNE"
+            tiers = []
+            if s.min_day:
+                tiers.append(f"days={s.min_day}..{s.max_day}")
+            if s.field_stats:
+                tiers.append(f"zones={sorted(s.field_stats)}")
+            if s.token_blooms:
+                tiers.append(f"blooms={sorted(s.token_blooms)}")
+            print(f"  {mark} {s.file_name} rows={s.num_rows} " + " ".join(tiers))
+        spark = _spark()
+        df = search_df(spark, catalog, a.index, a.query, limit=None)
+        print(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"))
         return 0
 
     return 2

@@ -74,11 +74,21 @@ def build_token_bloom(
     just-written segment; ``{"m": bits, "k": hashes, "b64": bitset}``
     or None (empty column / vocabulary over cap).
 
-    The heavy work (tokenize, explode, distinct) is distributed; only
-    the distinct BIT POSITIONS are collected — bounded by ``m``
-    (≤ 2^18), never by the corpus."""
+    The heavy work (explode, distinct) is distributed; only the
+    distinct BIT POSITIONS are collected — bounded by ``m`` (≤ 2^18),
+    never by the corpus. When the segment carries the ingest-time
+    ``__tokens__<field>`` shadow column the build explodes it
+    directly instead of re-tokenizing the text."""
+    from toshokan_spark.ingest import TOKENS_PREFIX
+
+    shadow = f"{TOKENS_PREFIX}{col_name}"
+    src = (
+        F.col(shadow)
+        if shadow in written.columns
+        else tokenize(F.col(col_name), tokenizer)
+    )
     toks = (
-        written.select(F.explode(tokenize(F.col(col_name), tokenizer)).alias("t"))
+        written.select(F.explode(src).alias("t"))
         .where(F.col("t").isNotNull())
         .distinct()
     )
