@@ -658,3 +658,39 @@ def test_explain_cli_reports_pruning(spark, catalog, tmp_path, capsys):
     assert rc == 0
     assert "survive pruning" in out
     assert "== Physical Plan ==" in out
+
+
+def test_token_bloom_pruning_on_array_text_fields(spark, catalog, tmp_path):
+    """Array text fields — including raw arrays, which zone maps skip
+    entirely — get token blooms from the flattened shadow column."""
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="blma",
+        path=str(tmp_path / "data" / "blma"),
+        fields=[
+            FieldConfig(name="tags", type="text", tokenizer="raw", array=True),
+            FieldConfig(name="body", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    for i, rows in enumerate([
+        [{"tags": ["red", "blue"], "body": "alpha"}],
+        [{"tags": ["green"], "body": "omega"}],
+    ]):
+        p = tmp_path / f"blma-{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        index_batch(spark, catalog, "blma", jsonl_path=str(p))
+
+    segs = catalog.segments("blma")
+    assert all(s.token_blooms and "tags" in s.token_blooms for s in segs)
+
+    def survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return len(out)
+
+    assert survivors("tags:red") == 1
+    assert survivors("tags:green") == 1
+    assert survivors("tags:purple") == 0
+    assert len(search(spark, catalog, "blma", "tags:red", limit=10)) == 1

@@ -68,7 +68,7 @@ def _next_pow2(n: int) -> int:
 
 
 def build_token_bloom(
-    written: DataFrame, col_name: str, tokenizer: str
+    written: DataFrame, col_name: str, tokenizer: str, is_array: bool = False
 ) -> dict | None:
     """Bloom over the DISTINCT analyzed tokens of *col_name* in a
     just-written segment; ``{"m": bits, "k": hashes, "b64": bitset}``
@@ -82,11 +82,14 @@ def build_token_bloom(
     from toshokan_spark.ingest import TOKENS_PREFIX
 
     shadow = f"{TOKENS_PREFIX}{col_name}"
-    src = (
-        F.col(shadow)
-        if shadow in written.columns
-        else tokenize(F.col(col_name), tokenizer)
-    )
+    if shadow in written.columns:
+        src = F.col(shadow)
+    elif is_array:
+        src = F.flatten(
+            F.transform(F.col(col_name), lambda e: tokenize(e, tokenizer))
+        )
+    else:
+        src = tokenize(F.col(col_name), tokenizer)
     toks = (
         written.select(F.explode(src).alias("t"))
         .where(F.col("t").isNotNull())

@@ -218,15 +218,17 @@ def write_segment(
     # (functions/bloom.py has the sizing/caps/conservatism story)
     from toshokan_spark.functions.bloom import build_token_bloom
 
+    # eligible: every text field EXCEPT scalar raw (those have string
+    # zone maps); raw ARRAYS are included — they had no pruning tier
+    # at all (zone maps skip arrays), and a raw term is its own token
     token_blooms: dict = {}
     for f in config.fields:
         if (
             f.type == "text"
-            and f.tokenizer != "raw"
-            and not f.array
+            and (f.tokenizer != "raw" or f.array)
             and f.name in written.columns
         ):
-            b = build_token_bloom(written, f.name, f.tokenizer)
+            b = build_token_bloom(written, f.name, f.tokenizer, is_array=f.array)
             if b is not None:
                 token_blooms[f.name] = b
 

@@ -100,7 +100,7 @@ def _pruned_segments(config, segs, node):
     # (SegmentEntry.token_blooms); computed once, O(query size)
     req_tokens: dict[str, set[str]] = {}
     for f in config.fields:
-        if f.type == "text" and f.tokenizer != "raw" and not f.array:
+        if f.type == "text" and (f.tokenizer != "raw" or f.array):
             req = required_term_tokens(node, f.name, f.tokenizer)
             if req:
                 req_tokens[f.name] = req
