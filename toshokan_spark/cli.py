@@ -183,7 +183,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"{k}:[{render(k, v[0])}..{render(k, v[1])}]"
                     for k, v in sorted(s.field_stats.items())
                 )
-            print(f"  {s.file_name} rows={s.num_rows}{days}{zm}")
+            bl = ""
+            if s.token_blooms:
+                bl = " blooms=" + ",".join(
+                    f"{k}({v['m'] // 8}B)" for k, v in sorted(s.token_blooms.items())
+                )
+            print(f"  {s.file_name} rows={s.num_rows}{days}{zm}{bl}")
         return 0
 
     if a.cmd == "search":

@@ -113,18 +113,32 @@ def build_token_bloom(
     return {"m": m, "k": K_HASHES, "b64": base64.b64encode(bytes(bits)).decode()}
 
 
-def bloom_might_contain(bloom: dict, token: str) -> bool:
-    """Driver-side probe with the same double-hash positions the
-    build set. True = maybe present; False = PROVABLY absent."""
-    m = bloom["m"]
-    bits = base64.b64decode(bloom["b64"])
+def token_positions(token: str, m: int, k: int) -> list[int]:
+    """The k bit positions of *token* — hashes computed ONCE per
+    token, reusable across every segment with the same geometry."""
     h1 = _poly_fold_py(token, _H1[0], _H1[1], _H1[2], _H1[3])
     h2 = _poly_fold_py(token, _H2[0], _H2[1], _H2[2], _H2[3])
-    for i in range(bloom["k"]):
-        p = (h1 + i * h2) % m
-        if not (bits[p >> 3] >> (p & 7)) & 1:
-            return False
-    return True
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_absent_any(bloom: dict, tokens) -> bool:
+    """True when ANY of *tokens* is PROVABLY absent from *bloom* —
+    the segment-prune test. Decodes the bitset once for the whole
+    token set (at 10k segments the per-call base64 decode is the
+    probe's dominant cost, so it must not repeat per token)."""
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    for t in tokens:
+        for p in token_positions(t, m, k):
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                return True
+    return False
+
+
+def bloom_might_contain(bloom: dict, token: str) -> bool:
+    """Driver-side single-token probe (tests / ad-hoc); the pruning
+    loop uses :func:`bloom_absent_any`."""
+    return not bloom_absent_any(bloom, [token])
 
 
 def merge_blooms(blooms: list[dict | None]) -> dict | None:

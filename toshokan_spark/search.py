@@ -90,7 +90,7 @@ def _pruned_segments(config, segs, node):
     the survivors. Segments without recorded stats are conservatively
     kept. Returns ``(lo, hi, surviving_segments)``."""
     from toshokan_spark.functions.bloom import (
-        bloom_might_contain,
+        bloom_absent_any,
         required_term_tokens,
     )
     from toshokan_spark.query import ip_bounds, numeric_bounds, raw_term_bounds
@@ -165,7 +165,7 @@ def _pruned_segments(config, segs, node):
                 bl = s.token_blooms.get(fname)
                 if not bl:
                     continue  # no bloom for this field: cannot prune
-                if any(not bloom_might_contain(bl, t) for t in req):
+                if bloom_absent_any(bl, req):
                     dead = True  # a REQUIRED token is provably absent
                     break
             if dead:
