@@ -694,3 +694,46 @@ def test_token_bloom_pruning_on_array_text_fields(spark, catalog, tmp_path):
     assert survivors("tags:green") == 1
     assert survivors("tags:purple") == 0
     assert len(search(spark, catalog, "blma", "tags:red", limit=10)) == 1
+
+
+def test_bloom_pruning_at_10k_segments(spark, catalog, tmp_path):
+    """Bloom-probe scale: 10,000 manifest entries each carrying a
+    token bloom must prune to the one segment containing the queried
+    token within a sane driver-side time bound (hashes computed once
+    per token, bitsets decoded once per segment-field)."""
+    import time as _time
+
+    from toshokan_spark.catalog import SegmentEntry, uuid7
+    from toshokan_spark.functions.bloom import build_token_bloom
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.search import _pruned_segments
+
+    config = IndexConfig(
+        name="bigblm",
+        path=str(tmp_path / "data" / "bigblm"),
+        fields=[FieldConfig(name="body", type="text")],
+    )
+    create_index(catalog, config)
+    p = tmp_path / "bb.jsonl"
+    p.write_text(json.dumps({"body": "needle in the haystack"}) + "\n")
+    index_batch(spark, catalog, "bigblm", jsonl_path=str(p))
+
+    ver, segs = catalog._read_versioned("bigblm")
+    # one synthetic bloom over decoy tokens, reused by all fakes
+    decoy = spark.createDataFrame([(f"tok{i}",) for i in range(100)], "body string")
+    fake_bloom = build_token_bloom(decoy, "body", "default")
+    fakes = [
+        SegmentEntry(
+            id=uuid7(), file_name=f"seg-fake-{i}", num_rows=1,
+            created_at_ms=0, token_blooms={"body": fake_bloom},
+        )
+        for i in range(9_998)
+    ]
+    assert catalog._try_write_version("bigblm", ver + 1, segs + fakes)
+
+    segs = catalog.segments("bigblm")
+    t0 = _time.monotonic()
+    _, _, kept = _pruned_segments(config, segs, parse_query("body:needle"))
+    probe_s = _time.monotonic() - t0
+    assert len(kept) == 1 and not kept[0].file_name.startswith("seg-fake-")
+    assert probe_s < 5.0, f"bloom probe over 10k segments took {probe_s:.1f}s"
