@@ -265,15 +265,23 @@ def test_stream_kill_and_restart_no_dup_no_loss(spark, catalog, tmp_path):
         q.stop()  # the kill — mid-stream, files still unprocessed
         q.awaitTermination(30)
 
-    assert len(catalog.segments("stream-logs")) < n  # genuinely mid-way
+    # under load the stream can drain every file between the
+    # two-segment check and the stop — the mid-way state is therefore
+    # not asserted; instead, two files written AFTER the kill
+    # guarantee the restart always has both REPLAY-adjacent work and
+    # genuinely new work
+    for i in range(n, n + 2):
+        (indir / f"f{i}.jsonl").write_text(
+            json.dumps({"ts": 1716822728 + i, "level": "INFO", "msg": f"m{i}"}) + "\n"
+        )
     # restart from the same checkpoint, drain the rest
     _drain(lines(), catalog, ckpt)
 
     segs = catalog.segments("stream-logs")
-    assert sum(s.num_rows for s in segs) == n  # no loss, no dup
+    assert sum(s.num_rows for s in segs) == n + 2  # no loss, no dup
     out = search(spark, catalog, "stream-logs", "*", limit=100)
     msgs = sorted(json.loads(d)["msg"] for d in out)
-    assert msgs == [f"m{i}" for i in range(n)]
+    assert msgs == [f"m{i}" for i in range(n + 2)]
 
 
 def test_stdin_source(spark, catalog, tmp_path, monkeypatch):
