@@ -251,3 +251,35 @@ def test_parse_query_total_over_fuzz():
             pass
 
     run()
+
+
+def test_bloom_no_false_negatives_randomized(spark):
+    """Pruning soundness rests on ONE invariant: a token that was in
+    the segment can never probe absent. Randomized over unicode-ish
+    tokens; also sanity-checks that clearly-absent tokens mostly probe
+    absent (the filter actually filters)."""
+    import random
+    import string
+
+    from toshokan_spark.functions.bloom import (
+        bloom_absent_any,
+        build_token_bloom,
+    )
+
+    rng = random.Random(1234)
+    vocab = list(
+        {
+            "".join(rng.choices(string.ascii_lowercase + "äöü東京", k=rng.randint(1, 12)))
+            for _ in range(500)
+        }
+    )
+    df = spark.createDataFrame([(t,) for t in vocab], "body string")
+    bloom = build_token_bloom(df, "body", "whitespace")
+    assert bloom is not None
+    # zero false negatives, ever
+    for t in vocab:
+        assert not bloom_absent_any(bloom, [t]), t
+    # absent tokens: overwhelmingly filtered at ~10 bits/token
+    absent = [f"zz-not-in-vocab-{i}" for i in range(200)]
+    filtered = sum(1 for t in absent if bloom_absent_any(bloom, [t]))
+    assert filtered > 180, f"only {filtered}/200 absent tokens filtered"
