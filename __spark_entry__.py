@@ -656,6 +656,14 @@ def q_dedup_crosscheck(spark, sf_dir):
     )
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM scoring (one order above text_unigram_logprob):
+    word-salad docs with common unigrams but improbable sequences
+    surface here."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bigram_logprob(docs)
+
+
 def q_text_dup_ngrams(spark, sf_dir):
     """CCNet/Dolma-style duplicate-content fraction: share of each
     doc's distinct 5-grams that appear in >= 2 docs corpus-wide."""
@@ -1267,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "normalize_embeddings": q_normalize_embeddings,
         "embedding_outliers": q_embedding_outliers,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "text_dup_ngrams": q_text_dup_ngrams,
         "vocab_coverage": q_vocab_coverage,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -2012,6 +2021,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
                    (SELECT count(*) FROM c)::BIGINT AS n_click_after_signup,
                    (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click
+        """,
+        # mirrors textops.bigram_logprob: add-one-smoothed bigram LM,
+        # decimal transition sums
+        "text_bigram_logprob": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            tr AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM w, unnest(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2),
+            ex AS (SELECT unnest(ws) AS tok FROM w),
+            uni AS (SELECT tok AS w, count(*) AS cu FROM ex GROUP BY tok),
+            v AS (SELECT count(*)::DOUBLE AS vv FROM uni),
+            bg AS (SELECT w1, w2, count(*) AS cb FROM tr GROUP BY w1, w2)
+            SELECT t.doc_id, count(*)::BIGINT AS n_transitions,
+              round(sum(CAST(ln((b.cb + 1.0) / (u.cu + v.vv)) AS DECIMAL(38,18)))::DOUBLE
+                    / count(*), 6) AS avg_logprob
+            FROM tr t
+            JOIN bg b ON b.w1 = t.w1 AND b.w2 = t.w2
+            JOIN uni u ON u.w = t.w1, v
+            GROUP BY t.doc_id
         """,
         # mirrors textops.dup_ngram_fraction(k=5, min_docs=2)
         "text_dup_ngrams": f"""

@@ -1412,3 +1412,30 @@ def test_grouped_linear_fit_per_group_and_degenerate_groups(spark):
     assert out["b"] == (2, -1.0, 5.0, 1.0)
     assert out["c"] == (1, None, None, None)
     assert out["d"] == (2, None, None, None)
+
+
+def test_bigram_logprob_hand_checked(spark):
+    """Add-one-smoothed bigram scores over a tiny corpus, hand
+    computed; a common-unigram but novel-sequence doc scores lower
+    than the repeated-sequence docs."""
+    import math
+
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b"),   # transitions ab, ba, ab
+        Row(doc_id=2, text="a b"),       # ab
+        Row(doc_id=3, text="b a"),       # ba
+        Row(doc_id=4, text="x"),         # <2 tokens: no row
+    ])
+    # corpus: c(a)=4(wait recount) tokens: doc1 a,b,a,b doc2 a,b doc3 b,a doc4 x
+    # c(a)=4? a appears: doc1 x2, doc2 x1, doc3 x1 -> 4; c(b)=4; c(x)=1; V=3
+    # bigram counts: ab: doc1 x2 + doc2 -> 3; ba: doc1 + doc3 -> 2
+    p_ab = math.log((3 + 1) / (4 + 3))
+    p_ba = math.log((2 + 1) / (4 + 3))
+    out = {r.doc_id: (r.n_transitions, r.avg_logprob)
+           for r in textops.bigram_logprob(docs).collect()}
+    assert 4 not in out
+    assert out[2] == (1, round(p_ab, 6))
+    assert out[3] == (1, round(p_ba, 6))
+    assert out[1] == (3, round((2 * p_ab + p_ba) / 3, 6))

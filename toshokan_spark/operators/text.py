@@ -317,6 +317,68 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — one
+    order up from :func:`unigram_logprob` (the CCNet-perplexity
+    analog): ``p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1})
+    + V)`` with add-one smoothing over the corpus vocabulary V, and
+    ``avg_logprob`` the mean ln p over the doc's transitions.
+    Word-salad documents whose unigrams are all common but whose
+    SEQUENCES are improbable score far lower here than under the
+    unigram model — the standard next filter tier.
+
+    Shape: the transition table is built from a STAGED word array
+    (the HOF-staging rule), counts are two partial-aggregated
+    shuffles (bigram, unigram), V is a broadcast scalar, and the
+    per-doc sum runs in decimal. Documents with fewer than two tokens
+    have no transitions and no output row."""
+    staged = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__w")
+    ).withColumn("__n", F.size("__w"))
+    tr = staged.filter(F.col("__n") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__w"), i).alias("w1"),
+                    F.element_at(F.col("__w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("t"),
+    ).select("id", F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+    uni = (
+        staged.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("double").alias("vv"))
+    bg = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    lp = F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vv")))
+    scored = (
+        tr.join(bg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+    )
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            (
+                F.sum(lp.cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__alp"),
+        )
+        .select(
+            id_col,
+            "n_transitions",
+            F.round("__alp", 6).alias("avg_logprob"),
+        )
+    )
+
+
 def dup_ngram_fraction(
     df: DataFrame,
     id_col: str = "doc_id",
