@@ -951,9 +951,24 @@ def q_embedding_stats(spark, sf_dir):
 
 
 def q_normalize_embeddings(spark, sf_dir):
-    """L2 normalization to the unit sphere (narrow, shuffle-free)."""
+    """L2 normalization to the unit sphere (narrow, shuffle-free).
+
+    The operator returns `(vec_id, unit_embedding array<double>,
+    norm)`; the harness entry explodes the vector to scalar
+    `(vec_id, dim, value, norm)` rows because the driver's
+    canonicalizer sorts on raw column values and cannot hash
+    array cells. Values are unchanged — one posexplode over the
+    already-rounded unit vector."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.normalize_embeddings(emb)
+    unit = similarity.normalize_embeddings(emb)
+    return unit.select(
+        "vec_id", F.posexplode("unit_embedding").alias("dim", "value"), "norm"
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        "value",
+        "norm",
+    )
 
 
 def q_embedding_outliers(spark, sf_dir):
@@ -1108,9 +1123,22 @@ def q_semantic_dedup(spark, sf_dir):
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column
     (4 bytes/dim -> 1): the storage-compression step before writing an
-    embedding corpus or signature store."""
+    embedding corpus or signature store.
+
+    The operator returns `(vec_id, scale, qvec array<int>)`; the
+    harness entry explodes to scalar `(vec_id, dim, qval, scale)`
+    rows — the driver's canonicalizer cannot sort array cells
+    (same reshape as `embedding_stats`)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.quantize_embeddings(emb)
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("dim", "qval"), "scale"
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        "qval",
+        "scale",
+    )
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1240,8 +1268,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver records only the FIRST 50 entries
+    # (VERDICT r5 §1). Registration order each round is therefore:
+    #   1. entries that failed the previous driver gate (fixed here),
+    #   2. entries NEW this round,
+    #   3. entries the previous round's record rotated out (so the
+    #      union of consecutive driver records covers all entries),
+    #   4. everything already driver-green last round.
     return {
-        # search-language parity (SURVEY §2.4/§2.5)
+        # (1) r6 driver-gate failures, reshaped to scalar output
+        "normalize_embeddings": q_normalize_embeddings,
+        "quantize_embeddings": q_quantize_embeddings,
+        # (3) rotated out of the r6 50-entry record (driver-green r5,
+        # unchanged) — back through the window per VERDICT r6 #4
+        "customers_without_orders": q_customers_without_orders,
+        "click_only_users": q_click_only_users,
+        "user_sessions": q_user_sessions,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_last_click": q_asof_last_click,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_char": q_dedup_minhash_char,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "sample_documents": q_sample_documents,
+        "token_budget_pack": q_token_budget_pack,
+        "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
+        "pii_scrub": q_pii_scrub,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_exact": q_knn_ivf_exact,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
+        # (4) driver-green in the r6 record
         "search_term": q_search_term,
         "search_range": q_search_range,
         "search_bool": q_search_bool,
@@ -1252,28 +1319,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
-        # multimodal — registered early: the round-5 driver recorded only
-        # the first 50 oracle entries, silently dropping whatever keys came
-        # last (VERDICT r5 §1), so the cheapest entries must not sit at the
-        # tail of the dict
         "multimodal_meta": q_multimodal_meta,
         "multimodal_dedup": q_multimodal_dedup,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        # registered early (changed/new this round — see the multimodal
-        # note above about the driver's 50-entry recording horizon)
         "text_token_stats": q_text_token_stats,
         "text_unigram_logprob": q_text_unigram_logprob,
         "knn_quantized": q_knn_quantized,
         "select_training_set": q_select_training_set,
-        # new this round (same horizon note)
         "event_conversions": q_event_conversions,
         "cohort_retention": q_cohort_retention,
         "funnel_stages": q_funnel_stages,
         "weighted_sample": q_weighted_sample,
         "embedding_stats": q_embedding_stats,
-        "normalize_embeddings": q_normalize_embeddings,
         "embedding_outliers": q_embedding_outliers,
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_dup_ngrams": q_text_dup_ngrams,
@@ -1287,9 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "apply_mixture": q_apply_mixture,
         "semantic_dedup": q_semantic_dedup,
-        "quantize_embeddings": q_quantize_embeddings,
         "decontaminate": q_decontaminate,
-        # relational analytics
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
@@ -1300,39 +1357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
-        "customers_without_orders": q_customers_without_orders,
-        "click_only_users": q_click_only_users,
-        "user_sessions": q_user_sessions,
-        "rollup_revenue": q_rollup_revenue,
-        "asof_last_click": q_asof_last_click,
-        # dedup
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_char": q_dedup_minhash_char,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        # training-data selection (chunk_documents / apply_mixture /
-        # semantic_dedup / quantize_embeddings / decontaminate are
-        # registered in the new-this-round block above)
-        "sample_documents": q_sample_documents,
-        "token_budget_pack": q_token_budget_pack,
-        "source_mixture": q_source_mixture,
-        "source_token_profile": q_source_token_profile,
-        "pii_scrub": q_pii_scrub,
-        # similarity search
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_exact": q_knn_ivf_exact,
-        # text analysis
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_gopher_rules": q_text_gopher_rules,
     }
 
 
@@ -1960,7 +1984,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ex GROUP BY dim
         """,
         # mirrors similarity.normalize_embeddings: sequential-fold
-        # sum of squares, per-element double division, rounded 6
+        # sum of squares, per-element double division, rounded 6;
+        # exploded to scalar (vec_id, dim, value, norm) rows because
+        # the driver canon cannot sort array cells
         "normalize_embeddings": """
             WITH s AS (
               SELECT vec_id, embedding,
@@ -1969,13 +1995,13 @@ def oracle_sql() -> dict[str, str]:
                         i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
                     (x, y) -> x + y) AS sq
               FROM embeddings)
-            SELECT vec_id,
+            SELECT vec_id, (i - 1)::BIGINT AS dim,
               CASE WHEN sqrt(sq) > 0
-                THEN list_transform(embedding, x -> round(x::DOUBLE / sqrt(sq), 6))
-                ELSE list_transform(embedding, x -> x::DOUBLE)
-              END AS unit_embedding,
+                THEN round(embedding[i]::DOUBLE / sqrt(sq), 6)
+                ELSE embedding[i]::DOUBLE
+              END AS value,
               round(sqrt(sq), 6) AS norm
-            FROM s
+            FROM s, unnest(range(1, len(embedding) + 1)) AS t(i)
         """,
         # mirrors similarity.centroid_distances: per-(label, dim)
         # decimal-mean centroid, decimal-exact squared-diff sum
@@ -2155,7 +2181,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors similarity.quantize_embeddings: scale = max|x|/127,
         # q_i = floor(x/scale + 0.5) — the tie rule native round()
-        # disagrees on across engines; floor(+0.5) is IEEE-identical
+        # disagrees on across engines; floor(+0.5) is IEEE-identical.
+        # Exploded to scalar (vec_id, dim, qval, scale) rows because
+        # the driver canon cannot sort array cells
         "quantize_embeddings": """
             WITH s AS (
               SELECT vec_id,
@@ -2163,12 +2191,12 @@ def oracle_sql() -> dict[str, str]:
                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
                   AS scale
               FROM embeddings)
-            SELECT vec_id, round(scale, 6) AS scale,
-              CASE WHEN scale = 0
-                   THEN list_transform(v, x -> 0)
-                   ELSE list_transform(v, x -> floor(x / scale + 0.5)::INT)
-              END AS qvec
-            FROM s
+            SELECT vec_id, (i - 1)::BIGINT AS dim,
+              CASE WHEN scale = 0 THEN 0
+                   ELSE floor(v[i] / scale + 0.5)::INT
+              END AS qval,
+              round(scale, 6) AS scale
+            FROM s, unnest(range(1, len(v) + 1)) AS t(i)
         """,
         # mirrors similarity.semantic_dedup over the seeded (SQL-
         # reproducible) IVF quantizer: assign each vector to its
@@ -2224,15 +2252,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
                   % 10000 < 2500
         """,
-        # mirrors sampling.weighted_sample: A-ES score u^(1/w) with
-        # the same hash-derived uniform, rounded, ties by doc_id
+        # mirrors sampling.weighted_sample: A-ES key ln(u)/w (order-
+        # equivalent to u^(1/w) but numerically spread for large
+        # weights) with the same hash-derived uniform, rounded 10,
+        # ties by doc_id
         "weighted_sample": f"""
             WITH s AS (
               SELECT doc_id, n_chars,
-                round(pow(
+                round(ln(
                   ((({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)}) % 10000) + 1)
-                    * 1.0 / 10001,
-                  1.0 / n_chars::DOUBLE), 6) AS sample_score
+                    * 1.0 / 10001)
+                  / n_chars::DOUBLE, 10) AS sample_score
               FROM documents WHERE n_chars::DOUBLE > 0)
             SELECT doc_id, n_chars, sample_score FROM s
             ORDER BY sample_score DESC, doc_id ASC LIMIT 50

@@ -1,7 +1,9 @@
 """Benchmark harness: runs every queries() entry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
-(per-query sec), "sf"}.
+(the N slowest, sized to fit the recorder's 2000-char stdout tail),
+"n_queries", "sf"}. The FULL per-query map is written to
+BENCH_LOCAL.json (committed per-round as BENCH_LOCAL_r{N}.json).
 
 Each query is forced through full materialization with the noop sink
 (count() would let Catalyst prune the projected columns and
@@ -100,17 +102,52 @@ def main() -> int:
     # (embedding "runs" in it overflowed that buffer and the round-4
     # bench was recorded as unparsed).
     print(json.dumps({"metric": "bench_raw_runs", "runs": raw_runs}), file=sys.stderr)
-    print(
-        json.dumps(
+
+    # The FULL per-query map goes to a committed artifact file — with
+    # 77+ entries it no longer fits the recorder's 2000-char stdout
+    # tail (round 6's 77-query headline line came back `parsed: null`).
+    local_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_LOCAL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": results,
+                    "raw_runs": raw_runs,
+                    "sf": sf,
+                },
+                f,
+                indent=2,
+            )
+            f.write("\n")
+    except OSError as e:
+        print(f"# could not write {local_path}: {e}", file=sys.stderr)
+
+    # Headline stdout line: total + only the N slowest queries, shrunk
+    # until the line is guaranteed to fit the 2000-char tail buffer.
+    slowest = sorted(results.items(), key=lambda kv: -kv[1])
+    n_slow = min(15, len(slowest))
+    while n_slow > 0:
+        line = json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": results,
                 "sf": sf,
+                "n_queries": len(results),
+                "full_map": os.path.basename(local_path),
+                "queries": dict(sorted(slowest[:n_slow])),
             }
         )
-    )
+        if len(line) <= 1800:
+            break
+        n_slow -= 1
+    print(line)
     spark.stop()
     return 0
 

@@ -1134,6 +1134,21 @@ def test_select_canonical_keeps_best_quality_member(spark):
     # doc2 wins the cluster (tie with 3 broken by lower id);
     # 9 is a singleton and keeps itself
     assert out == {1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)}
+    # a doc MISSING from scores still appears with its cluster id
+    # (left join, nulls-last window) — it can never win a contested
+    # cluster, but keeps itself when alone
+    scores2 = spark.createDataFrame([
+        Row(doc_id=1, quality=0.5),
+        Row(doc_id=3, quality=0.2),
+    ])
+    out2 = {r.doc_id: (r.cluster_id, r.keep, r.quality)
+            for r in dedup.select_canonical(docs, clusters, scores2).collect()}
+    assert out2 == {
+        1: (1, True, 0.5),
+        2: (1, False, None),   # unscored, contested: present, never keeper
+        3: (1, False, 0.2),
+        9: (9, True, None),    # unscored singleton: keeps itself
+    }
 
 
 def test_hybrid_rrf_fuses_both_lists(spark):
@@ -1258,14 +1273,22 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     df = spark.createDataFrame(rows)
     out = [r.doc_id for r in sampling.weighted_sample(
         df, k=10, key_col="doc_id", weight_col="w").collect()]
-    # python replica of the exact score formula
+    # python replica of the exact score formula: ln(u)/w, rounded 10
+    # (order-equivalent to u^(1/w) but spread — see the operator doc)
+    import math
+
     def score(i, w):
         b = _poly_fold_py(str(i), 1103515245, 0, 1_000_000_007, 5381) % 10_000
-        return round(((b + 1) / 10_001) ** (1.0 / w), 6)
+        return round(math.log((b + 1) / 10_001) / w, 10)
     want = sorted(rows, key=lambda r: (-score(r.doc_id, r.w), r.doc_id))[:10]
     assert out == [r.doc_id for r in want]
     # heavy weights dominate: all winners are the 1e6-weight docs
     assert all(i % 2 == 0 for i in out)
+    # anti-collapse (the round-6 defect): heavy-weight scores must stay
+    # DISTINCT after rounding — u^(1/w) rounded to 6 decimals collapsed
+    # every w=1e6 row into one tie broken by key order
+    heavy = [score(i, 1_000_000) for i in range(0, 40, 2)]
+    assert len(set(heavy)) == len(heavy)
     # zero/negative weights are excluded, not NaN-ranked
     df2 = spark.createDataFrame([Row(doc_id=1, w=0), Row(doc_id=2, w=5)])
     got2 = [r.doc_id for r in sampling.weighted_sample(
@@ -1304,6 +1327,19 @@ def test_salted_join_matches_plain_join_on_skewed_keys(spark):
     big2 = big.union(spark.createDataFrame([Row(k=99, v=0)]))
     left = salted_join(big2, small, "k", salt=8, how="left").collect()
     assert sum(1 for r in left if r.k == 99) == 1
+    # a map-typed big-side column must not break the salt hash
+    # (xxhash64 cannot hash maps — the default salt skips them)
+    bigm = big.withColumn("meta", F.create_map(F.lit("a"), F.col("v")))
+    gotm = sorted(
+        (r.k, r.v, r.name) for r in salted_join(bigm, small, "k", salt=8).collect()
+    )
+    assert gotm == want
+    # explicit salt_cols: salt on keys + a within-key-varying column
+    gots = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, "k", salt=8, salt_cols=["v"]).collect()
+    )
+    assert gots == want
 
 
 def test_linear_fit_and_residuals_hand_checked(spark):

@@ -269,7 +269,13 @@ def test_bloom_no_false_negatives_randomized(spark):
     rng = random.Random(1234)
     vocab = list(
         {
-            "".join(rng.choices(string.ascii_lowercase + "äöü東京", k=rng.randint(1, 12)))
+            # alphabet deliberately includes supplementary-plane chars
+            # (emoji, mathematical alphanumerics — U+1F600, U+1D400):
+            # the Spark-side build folds whatever split('')/ascii yield
+            # and the Python probe folds codepoints; this asserts the
+            # two walks agree bit-for-bit beyond the BMP (verified:
+            # Spark 4's split('')/ascii are codepoint-aware)
+            "".join(rng.choices(string.ascii_lowercase + "äöü東京😀𝐀", k=rng.randint(1, 12)))
             for _ in range(500)
         }
     )

@@ -54,6 +54,31 @@ def canon(rows: list[dict]) -> list[tuple]:
     return sorted(out)
 
 
+def driver_canon_probe(rows: list[dict], cols: list[str]) -> None:
+    """Reproduce the driver's canonicalizer — a pandas ``sort_values``
+    over the RAW column values (no stringification) — so any output
+    shape the driver cannot hash (array/map cells -> ``unhashable
+    type: 'list'``) fails HERE first. Round 6 shipped two entries the
+    stringifying :func:`canon` above happily sorted while the driver
+    crashed; this probe closes that fidelity gap."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows or [], columns=sorted(cols))
+    df.sort_values(by=list(df.columns))
+
+
+def complex_typed_cols(sdf) -> list[str]:
+    """Columns the driver's pandas canon can never sort — entries must
+    explode these to scalar rows before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
@@ -112,6 +137,22 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         dt = time.time() - t0
+        bad_cols = complex_typed_cols(sdf)
+        if bad_cols:
+            failures.append(name)
+            rec(name, spark_rows=len(srows),
+                err=f"complex-typed output columns {bad_cols}")
+            print(f"FAIL  {name}: array/map/struct output columns "
+                  f"{bad_cols} — driver canon cannot sort these")
+            continue
+        try:
+            driver_canon_probe(srows, sdf.columns)
+        except Exception as e:
+            failures.append(name)
+            rec(name, spark_rows=len(srows),
+                err=f"driver canon crash: {e}")
+            print(f"FAIL  {name}: driver canon crash: {e}")
+            continue
         if name not in oracles:
             rec(name, spark_rows=len(srows), err="rows-only (no oracle)")
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only) [{dt:.1f}s]")

@@ -84,11 +84,12 @@ def poly_hash(
 
 
 def _poly_fold_py(s: str, base: int, add: int, mod: int, init: int = 0) -> int:
-    """Python twin of :func:`poly_hash` — bit-identical for BMP text
-    (Python iterates codepoints like DuckDB's ``ord``; Spark's
-    ``split('')``/``ascii`` walk UTF-16 units, which only diverges on
-    supplementary-plane chars — asserted equal in tests on the
-    fixture alphabet)."""
+    """Python twin of :func:`poly_hash` — bit-identical for ALL text
+    including supplementary-plane chars: Python iterates codepoints
+    like DuckDB's ``ord``, and Spark 4's ``split('')``/``ascii`` are
+    codepoint-aware too (verified empirically on emoji and
+    mathematical-alphanumeric inputs; locked by the supplementary
+    chars in ``test_bloom_no_false_negatives_randomized``)."""
     acc = init
     for c in s:
         acc = (acc * base + ord(c) + add) % mod
@@ -1525,6 +1526,12 @@ def select_canonical(
     corpus) cluster table — AQE broadcasts it — one join onto the
     per-doc scores, and a per-cluster window whose partitions are
     cluster-sized (bounded by near-dup group size, not corpus size).
+
+    Both joins are LEFT joins: a document missing from *scores* must
+    still appear (the contract is "every document gets its cluster
+    id"), it just can never win a cluster — the keeper window orders
+    with nulls last, so an unscored doc only keeps when it is alone
+    in its cluster.
     """
     # duplicate_clusters hardcodes its id column name as 'doc_id';
     # align it to the caller's id_col before joining
@@ -1533,9 +1540,9 @@ def select_canonical(
     base = docs.select(F.col(id_col)).join(clusters, id_col, "left")
     labeled = base.select(
         id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
-    ).join(scores.select(id_col, score_col), id_col)
+    ).join(scores.select(id_col, score_col), id_col, "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return labeled.select(
         id_col,

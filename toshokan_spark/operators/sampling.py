@@ -86,12 +86,21 @@ def weighted_sample(
     a full sort). Rows with non-positive weight are excluded (their
     A-ES score is undefined). Ties on the rounded score break by key
     for cross-engine determinism.
+
+    The ranking key is ``round(ln(u)/w, 10)`` — order-equivalent to
+    the textbook ``u^(1/w)`` (ln is monotone) but numerically SPREAD:
+    for large weights u^(1/w) concentrates just below 1.0 and a
+    fixed-decimal round collapses the heavy rows into one giant tie
+    broken lexicographically by key, destroying the A-ES
+    inclusion-probability property; ln(u)/w keeps ~8+ significant
+    digits at any weight magnitude while the round still absorbs
+    cross-engine last-ulp ``ln`` differences.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     u = (sample_key(F.col(key_col), seed) + 1) / F.lit(float(SAMPLE_BUCKETS + 1))
     w = F.col(weight_col).cast("double")
-    score = F.round(F.pow(u, 1.0 / w), 6)
+    score = F.round(F.log(u) / w, 10)
     return (
         df.filter(w > 0)
         .select("*", score.alias("sample_score"))

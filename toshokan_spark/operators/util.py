@@ -59,6 +59,7 @@ def salted_join(
     on: Sequence[str] | str,
     salt: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join with explicit key salting — the manual remedy for a
     join whose key distribution is so skewed that one key's rows
@@ -67,9 +68,7 @@ def salted_join(
     a single hot key dominates a join against a non-broadcastable
     side, salting is the standard fix):
 
-    * the BIG side gets a deterministic per-row salt in [0, salt)
-      (hash of the whole row's key + a partition-stable row id is
-      unnecessary — ``monotonically_increasing_id`` never shuffles),
+    * the BIG side gets a deterministic per-row salt in [0, salt),
       splitting each hot key across ``salt`` reducers;
     * the SMALL side is exploded ``salt``-fold so every (key, salt)
       bucket finds its match.
@@ -83,11 +82,19 @@ def salted_join(
     Only ``inner`` and ``left`` joins are supported: under right/full
     semantics every unmatched (key, salt) copy of the small side
     would surface as its own null-padded output row (salt× duplicated
-    unmatched rows). The salt is a hash of the big row's CONTENT, not
+    unmatched rows).
+
+    The salt is a hash of big-row CONTENT, never
     ``monotonically_increasing_id`` — a recomputed map task after a
     shuffle-fetch failure must assign every row the same salt, or the
-    retry silently duplicates/drops rows; identical rows colliding on
-    one salt merely spreads a touch less."""
+    retry silently duplicates/drops rows. Pass ``salt_cols`` (columns
+    that vary WITHIN a hot key — a row id, a timestamp) to salt on
+    ``keys + salt_cols`` only; by default the salt hashes every
+    hashable big-side column (map-typed columns are skipped —
+    ``xxhash64`` cannot hash them). Hashing the keys ALONE would be
+    useless: constant per key, so a hot key would land on one salt.
+    Identical full rows colliding on one salt merely spreads a touch
+    less."""
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(
@@ -96,9 +103,19 @@ def salted_join(
         )
     if salt < 2:
         return big.join(small, keys, how)
+    if salt_cols is not None:
+        hash_cols = [*keys, *salt_cols]
+    else:
+        from pyspark.sql.types import MapType
+
+        hash_cols = [
+            f.name
+            for f in big.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
     b = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt)).cast("int"),
     )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
