@@ -1177,8 +1177,14 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     new_batch = docs.filter(F.col("doc_id") % 4 == 0)
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     corpus_sigs = dedup.corpus_minhash_signatures(corpus, hash_family="poly")
+    # cache_corpus: the harness builds the corpus signatures inline
+    # (a real deployment reads the bucketed store), so persist them
+    # once for the band fan-out + hot-bucket count + verify join.
+    # validate=False: the store was built two lines up with the same
+    # geometry — the drift the probe jobs guard against cannot occur
     return dedup.incremental_minhash_matches(
-        new_batch, corpus_sigs, threshold=0.5, hash_family="poly"
+        new_batch, corpus_sigs, threshold=0.5, hash_family="poly",
+        cache_corpus=True, validate=False,
     )
 
 

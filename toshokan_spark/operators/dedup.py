@@ -704,6 +704,7 @@ def hot_band_buckets(
     bands: int = 32,
     max_band_freq: int = 1000,
     hash_family: str = "xxhash",
+    num_hashes: Optional[int] = None,
 ) -> DataFrame:
     """The (band, key) buckets of a signature store whose member count
     EXCEEDS ``max_band_freq`` — the degenerate boilerplate buckets that
@@ -717,14 +718,20 @@ def hot_band_buckets(
     re-shuffles the ENTIRE corpus band table on every micro-batch,
     which at 100 TB is the dominant cost of the whole match. Band
     geometry (bands, hash_family) is pinned here exactly like
-    num_hashes is pinned by the signature build."""
-    sig_len = corpus_sigs.select(F.size("sig").alias("n")).limit(1).collect()
-    if not sig_len:  # empty corpus: no buckets, keep the (band, key) shape
-        key_t = "string" if hash_family.startswith("poly") else "bigint"
-        return corpus_sigs.select(
-            F.lit(0).alias("band"), F.lit(None).cast(key_t).alias("key")
-        ).limit(0)
-    num_hashes = sig_len[0]["n"]
+    num_hashes is pinned by the signature build.
+
+    ``num_hashes``: pass it when the caller already knows the store's
+    signature width (``incremental_minhash_matches`` does — it
+    validates the store separately) to skip the one-row probe job;
+    when None it is inferred from the store."""
+    if num_hashes is None:
+        sig_len = corpus_sigs.select(F.size("sig").alias("n")).limit(1).collect()
+        if not sig_len:  # empty corpus: no buckets, keep (band, key) shape
+            key_t = "string" if hash_family.startswith("poly") else "bigint"
+            return corpus_sigs.select(
+                F.lit(0).alias("band"), F.lit(None).cast(key_t).alias("key")
+            ).limit(0)
+        num_hashes = sig_len[0]["n"]
     assert num_hashes % bands == 0
     r = num_hashes // bands
     banded_c = _banded(corpus_sigs.select("id", "sig"), bands, r, hash_family)
@@ -810,6 +817,7 @@ def incremental_minhash_matches(
     corpus_hot_bands: Optional[DataFrame] = None,
     plan_sink: Optional[list] = None,
     validate: bool = True,
+    cache_corpus: bool = False,
 ) -> DataFrame:
     """Sub-linear incremental dedup: match an ARRIVING batch against a
     corpus's PRECOMPUTED MinHash signatures
@@ -822,6 +830,14 @@ def incremental_minhash_matches(
     lowest corpus id. ``max_band_freq`` drops CORPUS band buckets
     larger than the cap (a degenerate bucket of 10⁵ docs would
     otherwise fan every colliding new doc into 10⁵ candidates).
+
+    ``cache_corpus``: persist *corpus_sigs* for the duration of the
+    call so the band fan-out, the hot-bucket count and the verify
+    join share ONE materialization instead of each recomputing the
+    signature build. Use when the corpus side is a computed frame
+    (tests, the self-contained harness entry); leave False when it is
+    a bucketed signature store — caching a store scan only copies
+    parquet into executor memory.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -834,14 +850,31 @@ def incremental_minhash_matches(
         validate_incremental_store(
             corpus_sigs, num_hashes, bands, hash_family, corpus_hot_bands
         )
+    corpus_cached: list[DataFrame] = []
+    if cache_corpus:
+        corpus_sigs = corpus_sigs.persist()
+        corpus_cached.append(corpus_sigs)
     ns = corpus_minhash_signatures(
         new_df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
     ).persist()  # banded fan-out + verify both read it
     banded_n = _banded(ns, bands, r, hash_family)
     banded_c = _banded(corpus_sigs.select(F.col("id"), F.col("sig")), bands, r, hash_family)
+    if cache_corpus:
+        # the band fan-out is read by both the hot-bucket count and the
+        # candidate join — persist it so the slice+format of 32 band
+        # keys per signature runs once, not per consumer
+        banded_c = banded_c.persist()
+        corpus_cached.append(banded_c)
     if corpus_hot_bands is None and max_band_freq is not None:
-        corpus_hot_bands = hot_band_buckets(
-            corpus_sigs, bands, max_band_freq, hash_family
+        # same computation as hot_band_buckets, but over the SHARED
+        # banded frame (hot_band_buckets would re-derive its own fan-out
+        # from the store); num_hashes is already validated/caller-
+        # asserted so no probe job either
+        corpus_hot_bands = (
+            banded_c.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_band_freq)
+            .select("band", "key")
         )
     if corpus_hot_bands is not None:
         # Drop over-cap corpus buckets via an ANTI-join of the hot-
@@ -887,7 +920,7 @@ def incremental_minhash_matches(
         .filter(F.col("__rn") == 1)
         .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    res = finalize_cached(out, ns)
+    res = finalize_cached(out, ns, *corpus_cached)
     if plan_sink is not None:
         # test seam: the executed (post-AQE) plan of the match join —
         # finalize_cached already ran it, so this is the real plan, and
