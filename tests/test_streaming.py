@@ -1027,3 +1027,66 @@ def test_stream_dedup_grow_store_catches_cross_batch_dups(spark, tmp_path):
     assert run("grow_sigs_t1", True) == [100, 201]
     # static store: 200 sails through
     assert run("grow_sigs_t2", False) == [100, 200, 201]
+
+
+def test_stream_dedup_grow_store_replay_is_exactly_once(spark, tmp_path):
+    """Kill/restart (replay) must not double-grow the store: the
+    grow append lands in a __batch partition keyed by checkpoint
+    scope + epoch id with dynamic partition overwrite, so reprocessing
+    the same epochs overwrites the same partitions. Simulated by
+    deleting the checkpoint after a full run and re-running the
+    stream over the SAME input at the SAME checkpoint path — every
+    epoch is re-executed with the same (scope, batch_id) tokens, the
+    worst-case total replay."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup as dedup_ops
+    from toshokan_spark.streaming.windowed import stream_dedup_against_corpus
+
+    table = "grow_sigs_replay"
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="seed corpus document completely original")]
+    )
+    dedup_ops.write_bucketed_signatures(
+        dedup_ops.corpus_minhash_signatures(seed),
+        table, str(tmp_path / "sigs"), buckets=2,
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        '{"doc_id": 100, "text": "brand new unique first batch text"}\n'
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    def drain():
+        docs = spark.readStream.schema(schema).json(str(indir))
+        q = stream_dedup_against_corpus(
+            docs, None, out, ckpt, threshold=0.3,
+            corpus_table=table, grow_store=True, store_buckets=2,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    drain()
+    spark.catalog.refreshTable(table)
+    expected = spark.table(table).count()  # seed + batch-1 survivor
+    assert expected == 2
+    # total replay: wipe the checkpoint, keep the path — batch ids
+    # restart at 0 under the SAME scope token
+    shutil.rmtree(ckpt)
+    drain()
+    # the overwrite replaced partition files; this session's relation
+    # cache still lists the old ones (foreachBatch runs in a cloned
+    # session whose refresh doesn't reach ours) — refresh like any
+    # external reader of an overwritten table must
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == expected
+    # and the replayed epoch's partition holds the survivor only once
+    assert spark.read.parquet(out).count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

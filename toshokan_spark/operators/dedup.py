@@ -617,6 +617,7 @@ def write_bucketed_signatures(
     table_name: str,
     path: str,
     buckets: int = 64,
+    batch_token: str = "seed",
 ) -> None:
     """Persist a :func:`corpus_minhash_signatures` frame as a
     BUCKETED table (bucketed + sorted by id): the candidate-verify
@@ -629,10 +630,21 @@ def write_bucketed_signatures(
     batch and shuffling only the batch: bucket pruning + co-located
     SMJ leave the big side untouched on disk.
 
+    The table is additionally PARTITIONED by a ``__batch`` token
+    column (this seed write stamps *batch_token*): each
+    :func:`append_bucketed_signatures` call owns one partition, so a
+    replayed append OVERWRITES its own partition instead of
+    double-appending — the same directory-per-batch idempotence the
+    streaming dedup sink uses for its output. Partitioning does not
+    disturb the bucket spec (it is table-wide), so store-side joins
+    stay Exchange-free after any number of appends.
+
     ``saveAsTable`` is required — bucket metadata lives in the
     session catalog, plain ``parquet(path)`` writes lose it."""
     (
-        sigs.write.bucketBy(buckets, "id")
+        sigs.withColumn("__batch", F.lit(batch_token))
+        .write.partitionBy("__batch")
+        .bucketBy(buckets, "id")
         .sortBy("id")
         .option("path", path)
         .mode("overwrite")
@@ -645,19 +657,29 @@ def append_bucketed_signatures(
     new_sigs: DataFrame,
     table_name: str,
     buckets: int = 64,
+    batch_token: Optional[str] = None,
 ) -> None:
     """Grow the signature store with an arriving (already-deduped)
     batch — the steady-state write of the ingest-once loop: batch
     arrives -> :func:`incremental_minhash_matches` against the store
     -> survivors' signatures are APPENDED here so the next batch is
-    matched against them too. Append-mode ``saveAsTable`` into a
-    bucketed table adds new per-bucket files under the same bucket
-    spec (``buckets`` and the sort column must match the original
-    :func:`write_bucketed_signatures` call — Spark errors loudly on a
-    mismatch), so verify joins stay Exchange-free on the stored side
-    after any number of appends (asserted in
-    ``tests/test_bucketing.py``). Cost is proportional to the BATCH,
-    never the store.
+    matched against them too. The write lands in the store's
+    ``__batch`` partition named by *batch_token*, in DYNAMIC
+    partition-overwrite mode: replaying the same batch (a crashed
+    streaming epoch, a retried job) overwrites that one partition
+    instead of double-appending — EXACTLY-ONCE growth keyed by the
+    token, mirroring the batch_id-keyed output directories of the
+    streaming sink. Callers must pass a token unique per logical
+    batch (the streaming path derives it from the checkpoint scope +
+    epoch id); with ``batch_token=None`` a plain at-least-once append
+    is performed (ad-hoc/maintenance use).
+
+    The bucket spec is untouched either way (``buckets`` and the sort
+    column must match the original :func:`write_bucketed_signatures`
+    call — Spark errors loudly on a mismatch), so verify joins stay
+    Exchange-free on the stored side after any number of appends
+    (asserted in ``tests/test_bucketing.py``). Cost is proportional
+    to the BATCH, never the store.
 
     The hot-band table is deliberately NOT touched per batch:
     keeping it exact would mean re-counting corpus-wide bucket sizes
@@ -667,8 +689,41 @@ def append_bucketed_signatures(
     candidate fan-out, never correctness — and
     :func:`refresh_hot_band_buckets` recomputes it at maintenance
     time (with merge/compaction cadence)."""
+    spark = new_sigs.sparkSession
+    if batch_token is not None:
+        # insertInto matches columns BY POSITION — align to the table's
+        # schema order (data columns ..., __batch last)
+        cols = [c for c in spark.table(table_name).columns if c != "__batch"]
+        stamped = new_sigs.select(*cols).withColumn("__batch", F.lit(batch_token))
+        # dynamic partition overwrite must be set on the SESSION for
+        # insertInto (the per-write option is ignored on this path; a
+        # static overwrite would wipe every other batch's partition) —
+        # set and restore around the write
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                stamped.write.format("parquet")
+                .insertInto(table_name, overwrite=True)
+            )
+        finally:
+            spark.conf.set(conf_key, prev)
+        # a replayed overwrite REPLACES files in an existing partition;
+        # readers holding the old file listing would hit FILE_NOT_EXIST
+        spark.catalog.refreshTable(table_name)
+        return
+    import uuid as _uuid
+
+    # driver-side token: constant across every row AND every task retry
+    # of this write (a per-row uuid() expression would explode into one
+    # partition per row and re-randomize on retry)
     (
-        new_sigs.write.bucketBy(buckets, "id")
+        new_sigs.withColumn(
+            "__batch", F.lit(f"adhoc-{_uuid.uuid4().hex[:12]}")
+        )
+        .write.partitionBy("__batch")
+        .bucketBy(buckets, "id")
         .sortBy("id")
         .mode("append")
         .format("parquet")

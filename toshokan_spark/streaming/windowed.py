@@ -318,13 +318,13 @@ def stream_dedup_against_corpus(
             # the self-maintaining loop: survivors' signatures join the
             # store so LATER batches are deduplicated against them too
             # (batch N+1 vs batch N, not just vs the seed corpus).
-            # Append is AT-LEAST-ONCE under batch replay — duplicate
-            # signature rows are harmless for matching correctness
-            # (incremental_minhash_matches keeps the best match per
-            # new id, and a duplicate of the same corpus row ties with
-            # itself) and cost only space until a maintenance rewrite
-            # (write_bucketed_signatures mode=overwrite) compacts. The
-            # hot-band table stays maintenance-refreshed
+            # Growth is EXACTLY-ONCE: the append lands in the store's
+            # __batch partition keyed by the same scope+epoch token as
+            # the sink directory, in dynamic partition-overwrite mode —
+            # a crash-replay of this epoch overwrites its own partition
+            # instead of double-appending signatures (which would
+            # double-count band-bucket members toward max_band_freq).
+            # The hot-band table stays maintenance-refreshed
             # (refresh_hot_band_buckets), same staleness contract as
             # append_bucketed_signatures.
             from toshokan_spark.operators.dedup import (
@@ -339,7 +339,10 @@ def stream_dedup_against_corpus(
                 hash_family=hash_family,
             )
             append_bucketed_signatures(
-                kept_sigs, corpus_table, buckets=store_buckets
+                kept_sigs,
+                corpus_table,
+                buckets=store_buckets,
+                batch_token=f"{ckpt_scope}-{batch_id}",
             )
 
     writer = (
