@@ -660,6 +660,45 @@ def test_explain_cli_reports_pruning(spark, catalog, tmp_path, capsys):
     assert "== Physical Plan ==" in out
 
 
+def test_explain_names_the_prune_rule_per_segment(spark, catalog, tmp_path, capsys):
+    """Explain golden over a 3-segment index where every manifest
+    prune tier fires: one segment survives, one is zone-map-pruned
+    (number stats), one is bloom-pruned (required token absent) —
+    the per-segment audit trail a 100×-scale operator reads to learn
+    why a scan touched N files."""
+    from toshokan_spark import cli
+
+    config = IndexConfig(
+        name="expidx",
+        path=str(tmp_path / "data" / "expidx"),
+        fields=[
+            FieldConfig(name="n", type="number"),
+            FieldConfig(name="body", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    batches = [
+        [{"n": 1, "body": "alpha common"}, {"n": 10, "body": "alpha rare"}],
+        [{"n": 100, "body": "alpha common"}],   # zone-pruned by n:<50
+        [{"n": 2, "body": "omega common"}],     # bloom-pruned by body:alpha
+    ]
+    for i, rows in enumerate(batches):
+        p = tmp_path / f"exp-{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        index_batch(spark, catalog, "expidx", jsonl_path=str(p))
+
+    rc = cli.main([
+        "--catalog", catalog.root, "explain", "expidx",
+        "n:<50 AND body:alpha",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if l.startswith("  ")]
+    marks = [l.split()[0] for l in lines[:3]]
+    assert marks == ["scan", "PRUNE[zone-map:n]", "PRUNE[bloom:body]"], out
+    assert "segments: 3 manifested, 1 survive pruning" in out
+
+
 def test_token_bloom_pruning_on_array_text_fields(spark, catalog, tmp_path):
     """Array text fields — including raw arrays, which zone maps skip
     entirely — get token blooms from the flattened shadow column."""

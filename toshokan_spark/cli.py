@@ -221,14 +221,16 @@ def main(argv: list[str] | None = None) -> int:
         config = catalog.get_index(a.index)
         segs = catalog.segments(a.index)
         node = parse_query(a.query)
-        lo, hi, kept = _pruned_segments(config, segs, node)
-        kept_ids = {s.id for s in kept}
+        verdicts = []
+        lo, hi, kept = _pruned_segments(config, segs, node, verdict_sink=verdicts)
+        rules = dict(verdicts)
         print(f"query: {a.query}")
         if lo is not None or hi is not None:
             print(f"time bounds: {lo} .. {hi}")
         print(f"segments: {len(segs)} manifested, {len(kept)} survive pruning")
         for s in segs:
-            mark = "scan " if s.id in kept_ids else "PRUNE"
+            rule = rules.get(s.id)
+            mark = "scan " if rule is None else f"PRUNE[{rule}]"
             tiers = []
             if s.min_day:
                 tiers.append(f"days={s.min_day}..{s.max_day}")

@@ -79,7 +79,7 @@ def read_segments(
     return out
 
 
-def _pruned_segments(config, segs, node):
+def _pruned_segments(config, segs, node, verdict_sink=None):
     """MANIFEST-LEVEL pruning: drop segments whose recorded stats
     cannot overlap the query's bounds BEFORE building any scan — the
     day range against the query's time bounds, and each NUMBER
@@ -88,7 +88,14 @@ def _pruned_segments(config, segs, node):
     collapses the per-segment union to the overlapping few; Catalyst
     partition pruning and parquet row-group stats then prune WITHIN
     the survivors. Segments without recorded stats are conservatively
-    kept. Returns ``(lo, hi, surviving_segments)``."""
+    kept. Returns ``(lo, hi, surviving_segments)``.
+
+    ``verdict_sink``: optional list; when given, one
+    ``(segment_id, rule)`` tuple is appended per segment — the rule
+    that PRUNED it (``"day-range"``, ``"time-zone-map"``,
+    ``"zone-map:<field>"``, ``"bloom:<field>"``) or ``None`` when it
+    is kept — so ``explain`` can show WHY a scan touches N files (at
+    100× scale the audit trail for an unexpectedly wide scan)."""
     from toshokan_spark.functions.bloom import (
         bloom_absent_any,
         required_term_tokens,
@@ -131,47 +138,55 @@ def _pruned_segments(config, segs, node):
             num_bounds[f.name] = (nlo, nhi)
     out = []
     for s in segs:
-        if s.min_day and s.max_day:
-            if hi is not None and s.min_day > str(hi.date()):
-                continue
-            if lo is not None and s.max_day < str(lo.date()):
-                continue
-        # sub-day time zone map: at streaming cadence many segments
-        # share a day — the recorded [min, max] epoch micros drop the
-        # non-overlapping micro-batches the day range cannot
-        ts = (s.field_stats or {}).get(config.time_field) if config.time_field else None
-        if ts:
-            if (hi_us is not None and ts[0] > hi_us) or (
-                lo_us is not None and ts[1] < lo_us
-            ):
-                continue
-        if num_bounds and s.field_stats:
-            dead = False
-            for name, (nlo, nhi) in num_bounds.items():
-                st = s.field_stats.get(name)
-                if not st:
-                    continue
-                smin, smax = st
-                if (nhi is not None and smin > nhi) or (
-                    nlo is not None and smax < nlo
-                ):
-                    dead = True
-                    break
-            if dead:
-                continue
-        if req_tokens and s.token_blooms:
-            dead = False
-            for fname, req in req_tokens.items():
-                bl = s.token_blooms.get(fname)
-                if not bl:
-                    continue  # no bloom for this field: cannot prune
-                if bloom_absent_any(bl, req):
-                    dead = True  # a REQUIRED token is provably absent
-                    break
-            if dead:
-                continue
-        out.append(s)
+        rule = _segment_prune_rule(
+            s, config, lo, hi, lo_us, hi_us, num_bounds, req_tokens,
+            bloom_absent_any,
+        )
+        if verdict_sink is not None:
+            verdict_sink.append((s.id, rule))
+        if rule is None:
+            out.append(s)
     return lo, hi, out
+
+
+def _segment_prune_rule(
+    s, config, lo, hi, lo_us, hi_us, num_bounds, req_tokens, bloom_absent_any
+):
+    """The FIRST rule that proves segment *s* cannot match, or None
+    (kept). Rule order = cheapest check first, same order the prune
+    loop always ran them."""
+    if s.min_day and s.max_day:
+        if hi is not None and s.min_day > str(hi.date()):
+            return "day-range"
+        if lo is not None and s.max_day < str(lo.date()):
+            return "day-range"
+    # sub-day time zone map: at streaming cadence many segments
+    # share a day — the recorded [min, max] epoch micros drop the
+    # non-overlapping micro-batches the day range cannot
+    ts = (s.field_stats or {}).get(config.time_field) if config.time_field else None
+    if ts:
+        if (hi_us is not None and ts[0] > hi_us) or (
+            lo_us is not None and ts[1] < lo_us
+        ):
+            return "time-zone-map"
+    if num_bounds and s.field_stats:
+        for name, (nlo, nhi) in num_bounds.items():
+            st = s.field_stats.get(name)
+            if not st:
+                continue
+            smin, smax = st
+            if (nhi is not None and smin > nhi) or (
+                nlo is not None and smax < nlo
+            ):
+                return f"zone-map:{name}"
+    if req_tokens and s.token_blooms:
+        for fname, req in req_tokens.items():
+            bl = s.token_blooms.get(fname)
+            if not bl:
+                continue  # no bloom for this field: cannot prune
+            if bloom_absent_any(bl, req):
+                return f"bloom:{fname}"  # a REQUIRED token provably absent
+    return None
 
 
 def search_df(
