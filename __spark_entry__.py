@@ -613,6 +613,49 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """Estimated (signature slot agreement) vs exact Jaccard over all
+    banded candidate pairs — the estimator-variance audit for the
+    128-hash/32-band geometry on this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_calibration_pairs(docs, hash_family="poly")
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Value-oracled iterative Lloyd k-means (2 update rounds from
+    the SQL-reproducible lowest-id seeds, decimal-exact means): the
+    iterative-algorithm representative in the oracle suite."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_embeddings(emb, num_centroids=8, iterations=2)
+
+
+def q_zipf_profile(spark, sf_dir):
+    """Zipf head profile + fitted power-law exponent (OLS of ln freq
+    on ln rank over the top-50 tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.zipf_profile(docs, top_k=50)
+
+
+def q_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster size distribution — the corpus-duplication
+    summary built on the same pair->component pipeline as
+    dedup_clusters (shared oracle CTE, so the two cannot drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup.cluster_size_histogram(dedup.duplicate_clusters(pairs))
+
+
+def q_length_histogram(spark, sf_dir):
+    """Per-source log2-bucketed length profile (integer bit-length
+    buckets — float log2 flips buckets at powers of two across
+    engines). One group-key shuffle; the aggregate is
+    |sources| x ~64 rows at any corpus size."""
+    from toshokan_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return stats.length_histogram(docs)
+
+
 def q_quality_regression(spark, sf_dir):
     """Learned-from-corpus calibration: OLS of lexical diversity on
     log document length (diversity falls with length — the fit IS the
@@ -1285,6 +1328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) r6 driver-gate failures, reshaped to scalar output
         "normalize_embeddings": q_normalize_embeddings,
         "quantize_embeddings": q_quantize_embeddings,
+        # (2) NEW this round
+        "length_histogram": q_length_histogram,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "zipf_profile": q_zipf_profile,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "minhash_calibration": q_minhash_calibration,
         # (3) rotated out of the r6 50-entry record (driver-green r5,
         # unchanged) — back through the window per VERDICT r6 #4
         "customers_without_orders": q_customers_without_orders,
@@ -2272,6 +2321,164 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars::DOUBLE > 0)
             SELECT doc_id, n_chars, sample_score FROM s
             ORDER BY sample_score DESC, doc_id ASC LIMIT 50
+        """,
+        # mirrors dedup.minhash_calibration_pairs (poly family): the
+        # dedup_minhash_lsh signature/band/candidate chain, then slot
+        # agreement / 128 vs exact shingle Jaccard, no threshold
+        "minhash_calibration": f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+            hs AS (
+              SELECT doc_id, shingles,
+                list_transform(shingles, s -> {_poly_sql('s', 31, 0, 1_000_000_007)}) AS h1,
+                list_transform(shingles, s -> {_poly_sql('s', 37, 7, 1_000_000_007)}) AS h2
+              FROM sh),
+            sig AS (SELECT doc_id, shingles, [{_MH_SIGS}] AS sig FROM hs),
+            banded AS (
+              SELECT doc_id, b.band,
+                array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 32)) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT c.a_id, c.b_id,
+              round(len(list_filter(range(1, 129),
+                        t -> sa.sig[t] = sb.sig[t])) / 128.0, 6) AS est_jaccard,
+              round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+                AS jaccard,
+              round(abs(len(list_filter(range(1, 129),
+                            t -> sa.sig[t] = sb.sig[t])) / 128.0
+                - len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles)))), 6)
+                AS abs_err
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a_id
+            JOIN sig sb ON sb.doc_id = c.b_id
+        """,
+        # mirrors similarity.kmeans_embeddings(8, 2): lowest-id seeds,
+        # two rounds of (nearest-L2 assignment, ties lowest cid) ->
+        # per-(cid, dim) decimal(38,18) mean (empty cluster keeps its
+        # previous centroid — LEFT JOIN + count guard), output is the
+        # assignment + sqrt distance under the final centroids
+        "kmeans_embeddings": f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            cent0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     list_transform(embedding, x -> x::DOUBLE) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            a1 AS (
+              SELECT e.vec_id, e.v,
+                (SELECT c.cid FROM cent0 c
+                 ORDER BY {_L2.format(a="e.v", b="c.cv")} ASC, c.cid ASC
+                 LIMIT 1) AS cid
+              FROM e),
+            x1 AS (
+              SELECT cid, i - 1 AS pos, v[i] AS x
+              FROM a1, unnest(range(1, len(v) + 1)) AS t(i)),
+            m1 AS (
+              SELECT cid, pos,
+                sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*) AS m
+              FROM x1 GROUP BY cid, pos),
+            cent1 AS (
+              SELECT c0.cid,
+                CASE WHEN count(m.pos) = 0 THEN any_value(c0.cv)
+                     ELSE list(m.m ORDER BY m.pos) END AS cv
+              FROM cent0 c0 LEFT JOIN m1 m ON m.cid = c0.cid
+              GROUP BY c0.cid),
+            a2 AS (
+              SELECT e.vec_id, e.v,
+                (SELECT c.cid FROM cent1 c
+                 ORDER BY {_L2.format(a="e.v", b="c.cv")} ASC, c.cid ASC
+                 LIMIT 1) AS cid
+              FROM e),
+            x2 AS (
+              SELECT cid, i - 1 AS pos, v[i] AS x
+              FROM a2, unnest(range(1, len(v) + 1)) AS t(i)),
+            m2 AS (
+              SELECT cid, pos,
+                sum(CAST(x AS DECIMAL(38,18)))::DOUBLE / count(*) AS m
+              FROM x2 GROUP BY cid, pos),
+            cent2 AS (
+              SELECT c1.cid,
+                CASE WHEN count(m.pos) = 0 THEN any_value(c1.cv)
+                     ELSE list(m.m ORDER BY m.pos) END AS cv
+              FROM cent1 c1 LEFT JOIN m2 m ON m.cid = c1.cid
+              GROUP BY c1.cid)
+            SELECT e.vec_id,
+              (SELECT c.cid FROM cent2 c
+               ORDER BY {_L2.format(a="e.v", b="c.cv")} ASC, c.cid ASC
+               LIMIT 1)::BIGINT AS cid,
+              round(sqrt((SELECT min({_L2.format(a="e.v", b="c.cv")})
+                          FROM cent2 c)), 6) AS dist
+            FROM e
+        """,
+        # mirrors text.zipf_profile: build_vocab's top-50 head, ln
+        # rank/freq points, linear_fit's decimal-moment OLS arithmetic
+        # in the same op order, the one-row fit joined back onto rows
+        "zipf_profile": f"""
+            WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+            freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+            head AS (
+              SELECT token, n,
+                row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+              FROM freq ORDER BY n DESC, token ASC LIMIT 50),
+            pts AS (
+              SELECT token, n, rank,
+                ln(rank::DOUBLE) AS lr, ln(n::DOUBLE) AS lf
+              FROM head),
+            m AS (
+              SELECT count(*)::DOUBLE AS cnt,
+                sum(CAST(lr AS DECIMAL(38,18)))::DOUBLE AS sx,
+                sum(CAST(lf AS DECIMAL(38,18)))::DOUBLE AS sy,
+                sum(CAST(lr * lr AS DECIMAL(38,18)))::DOUBLE AS sxx,
+                sum(CAST(lr * lf AS DECIMAL(38,18)))::DOUBLE AS sxy,
+                sum(CAST(lf * lf AS DECIMAL(38,18)))::DOUBLE AS syy
+              FROM pts),
+            fit AS (
+              SELECT
+                round((sxy/cnt - (sx/cnt)*(sy/cnt))
+                      / (sxx/cnt - (sx/cnt)*(sx/cnt)), 6) AS zipf_slope,
+                round((sy/cnt) - ((sxy/cnt - (sx/cnt)*(sy/cnt))
+                      / (sxx/cnt - (sx/cnt)*(sx/cnt))) * (sx/cnt), 6)
+                  AS zipf_intercept,
+                round(((sxy/cnt - (sx/cnt)*(sy/cnt))
+                       * (sxy/cnt - (sx/cnt)*(sy/cnt)))
+                      / ((sxx/cnt - (sx/cnt)*(sx/cnt))
+                         * (syy/cnt - (sy/cnt)*(sy/cnt))), 6) AS zipf_r2
+              FROM m)
+            SELECT rank::BIGINT AS rank, token, n::BIGINT AS freq,
+              round(lr, 6) AS log_rank, round(lf, 6) AS log_freq,
+              zipf_slope, zipf_intercept, zipf_r2
+            FROM pts, fit
+        """,
+        # mirrors dedup.cluster_size_histogram over the SHARED
+        # pairs->components CTE (dedup_clusters' oracle): cluster
+        # sizes, then the size distribution
+        "cluster_size_histogram": f"""
+            WITH RECURSIVE {_CLUSTERS_CTE},
+            sizes AS (
+              SELECT cluster_id, count(*) AS size FROM clus GROUP BY cluster_id)
+            SELECT size::BIGINT AS size, count(*)::BIGINT AS n_clusters,
+              (size * count(*))::BIGINT AS n_docs
+            FROM sizes GROUP BY size
+        """,
+        # mirrors stats.length_histogram: integer bit-length buckets
+        # (length(bin(v)) - 1 — float log2 flips at powers of two),
+        # within-source pct over the group-bucket aggregate
+        "length_histogram": """
+            WITH b AS (
+              SELECT source, (length(bin(n_chars)) - 1)::BIGINT AS bucket
+              FROM documents WHERE n_chars > 0)
+            SELECT source, bucket,
+              (1::BIGINT << bucket) AS lo,
+              ((1::BIGINT << (bucket + 1)) - 1) AS hi,
+              count(*)::BIGINT AS n_docs,
+              round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 6)
+                AS pct
+            FROM b GROUP BY source, bucket
         """,
         # mirrors sampling.chunk_documents(max_tokens=24, overlap=8):
         # starts stride by 16 up to max(n_words - 8, 1); DuckDB list

@@ -1475,3 +1475,142 @@ def test_bigram_logprob_hand_checked(spark):
     assert out[2] == (1, round(p_ab, 6))
     assert out[3] == (1, round(p_ba, 6))
     assert out[1] == (3, round((2 * p_ab + p_ba) / 3, 6))
+
+
+def test_length_histogram_buckets_exact_at_powers_of_two(spark):
+    """The bucket index is integer bit length (not float log2): value
+    2^k must land in bucket k exactly — the boundary where a floating
+    log2 can disagree across engines."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import stats
+
+    rows = [Row(source="s", n_chars=v) for v in (1, 2, 127, 128, 129, 1024)]
+    out = {
+        (r.bucket): (r.lo, r.hi, r.n_docs)
+        for r in stats.length_histogram(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        0: (1, 1, 1),       # 1
+        1: (2, 3, 1),       # 2
+        6: (64, 127, 1),    # 127
+        7: (128, 255, 2),   # 128 (exact power!), 129
+        10: (1024, 2047, 1),
+    }
+    # non-positive lengths are excluded, pct sums to 1 per group
+    rows2 = rows + [Row(source="s", n_chars=0)]
+    got = stats.length_histogram(spark.createDataFrame(rows2)).collect()
+    # per-bucket pcts are individually rounded to 6 — allow that slack
+    assert abs(sum(r.pct for r in got) - 1.0) < 1e-5
+
+
+def test_cluster_size_histogram_counts(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=c) for i, c in
+         [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)]]
+    )
+    out = {r.size: (r.n_clusters, r.n_docs)
+           for r in dedup.cluster_size_histogram(clusters).collect()}
+    assert out == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+
+
+def test_kmeans_embeddings_separates_obvious_clusters(spark):
+    """Two tight blobs, k=2, seeds = the two lowest-id vectors (one
+    in each blob): after 2 Lloyd rounds every vector must sit with
+    its blob, and dist must be the distance to the blob mean."""
+    import math
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity
+
+    blob_a = [(i, [0.0 + 0.1 * (i % 2), 0.0]) for i in range(0, 4)]
+    blob_b = [(i, [10.0 + 0.1 * (i % 2), 10.0]) for i in range(4, 8)]
+    # ids 0 and 4 are NOT the two lowest — reorder so seed 0 is in A,
+    # seed 1 in B (ids 0 and 1 in different blobs)
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[10.0, 10.0]),
+            Row(vec_id=2, embedding=[0.1, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.1]),
+            Row(vec_id=4, embedding=[10.1, 10.0]),
+            Row(vec_id=5, embedding=[10.0, 10.1])]
+    out = {r.vec_id: (r.cid, r.dist) for r in
+           similarity.kmeans_embeddings(
+               spark.createDataFrame(rows), num_centroids=2, iterations=2
+           ).collect()}
+    assert {v: c for v, (c, _) in out.items()} == {
+        0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+    # dist to the exact blob-A mean (1/30, 1/30) for vec 0
+    mean_a = ((0.0 + 0.1 + 0.0) / 3, (0.0 + 0.0 + 0.1) / 3)
+    want = math.sqrt(mean_a[0] ** 2 + mean_a[1] ** 2)
+    assert abs(out[0][1] - round(want, 6)) < 2e-6
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A seed that duplicates a lower-id seed gets an empty cluster
+    (ties assign to the lowest cid); its centroid must CARRY, not
+    vanish — the output still uses every cid slot deterministically."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity
+
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 0.0]),   # duplicate seed -> cid 1 empty
+            Row(vec_id=2, embedding=[5.0, 5.0])]
+    out = {r.vec_id: r.cid for r in
+           similarity.kmeans_embeddings(
+               spark.createDataFrame(rows), num_centroids=2, iterations=2
+           ).collect()}
+    # all of cluster 1's would-be members tie into cluster 0; vec 2
+    # pulls cluster 0's centroid, cluster 1 keeps [0,0] and wins the
+    # two zero vectors back on the final assignment
+    assert set(out.values()) <= {0, 1} and len(out) == 3
+
+
+def test_minhash_calibration_estimator_properties(spark):
+    """Identical docs estimate 1.0 with zero error; near-dups keep
+    |est - exact| within a few standard deviations of the
+    sqrt(J(1-J)/128) binomial bound."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),
+            Row(doc_id=3, text=base + " extra tail words here now")]
+    out = {(r.a_id, r.b_id): r for r in
+           dedup.minhash_calibration_pairs(
+               spark.createDataFrame(rows), hash_family="poly"
+           ).collect()}
+    ident = out[(1, 2)]
+    assert ident.est_jaccard == 1.0 and ident.jaccard == 1.0
+    assert ident.abs_err == 0.0
+    near = out[(1, 3)]
+    assert 0 < near.jaccard < 1
+    sd = (near.jaccard * (1 - near.jaccard) / 128) ** 0.5
+    assert near.abs_err <= 5 * sd + 1e-9
+
+
+def test_zipf_profile_slope_on_constructed_corpus(spark):
+    """A corpus whose token frequencies follow freq = C / rank must
+    fit slope ~= -1 with r2 ~= 1."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import text as textops
+
+    docs, did = [], 0
+    for rank in range(1, 11):
+        freq = 1200 // rank
+        for _ in range(freq):
+            docs.append(Row(doc_id=did, text=f"tok{rank:02d}"))
+            did += 1
+    out = textops.zipf_profile(spark.createDataFrame(docs), top_k=10).collect()
+    assert len(out) == 10
+    slope = out[0].zipf_slope
+    r2 = out[0].zipf_r2
+    assert abs(slope + 1.0) < 0.05 and r2 > 0.99

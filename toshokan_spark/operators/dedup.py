@@ -1595,6 +1595,114 @@ def duplicate_clusters(
     )
 
 
+def minhash_calibration_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    max_band_freq: Optional[int] = 1000,
+    hash_family: str = "poly",
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """MinHash-ESTIMATED vs EXACT Jaccard for every banded candidate
+    pair — the calibration report that justifies (or indicts) a
+    (num_hashes, bands) geometry on a specific corpus before trusting
+    estimator-only dedup at scale. ``est_jaccard`` is the unbiased
+    slot-agreement estimator (fraction of equal signature positions,
+    an exact multiple of 1/num_hashes — binary-representable, so no
+    rounding drift); ``jaccard`` is exact on the shingle sets;
+    ``abs_err`` their absolute gap. Plot abs_err against jaccard and
+    compare to the sqrt(J(1-J)/num_hashes) theory curve.
+
+    Shape: the minhash_lsh_pairs skeleton with the ONE (id, sh, sig)
+    cached pass (cache_shingles=True trade — calibration reads every
+    candidate's signature AND shingles, so a second scan would always
+    lose), band-key self-join with the hot-bucket cap, both joins
+    id-keyed. No threshold filter: calibration wants the low-J tail
+    where the estimator is noisiest."""
+    from toshokan_spark.operators.util import finalize_cached
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    css = corpus_minhash_signatures(
+        df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
+    ).persist()
+    banded = _banded(css.select("id", "sig"), bands, r, hash_family)
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_band_freq)
+            .select("band", "key")
+        )
+        banded = banded.join(hot, ["band", "key"], "left_anti")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a = css.select(
+        F.col("id").alias("a_id"), F.col("sh").alias("sha"), F.col("sig").alias("siga")
+    )
+    b = css.select(
+        F.col("id").alias("b_id"), F.col("sh").alias("shb"), F.col("sig").alias("sigb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree / F.lit(float(num_hashes))
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(
+        F.array_union("sha", "shb")
+    )
+    out = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
+    return finalize_cached(out, css)
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """Distribution of near-dup cluster sizes over a
+    :func:`duplicate_clusters` frame — the one-page summary of how
+    much a corpus duplicates (a long tail of pairs vs a few giant
+    boilerplate clusters demand different keeper strategies, and a
+    top-heavy histogram is the early-warning sign a shingle cap or
+    threshold is off). Returns ``(size, n_clusters, n_docs)`` with
+    ``n_docs = size * n_clusters``.
+
+    Scale: two groupBy reductions, each over an already-reduced frame
+    (clusters -> cluster sizes -> size histogram); the output is at
+    most ~log-many distinct sizes."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(
+        "size",
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     clusters: DataFrame,

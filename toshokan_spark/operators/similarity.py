@@ -327,21 +327,37 @@ def random_hyperplane_bucket(vec: Column, bits: int = 8) -> Column:
     return hyperplane_signature(vec, bits)
 
 
-def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """cid of the L2-nearest centroid (literal centroid vectors —
-    the 'model' is broadcast inside the expression; ties break to the
-    lowest cid via the struct ordering)."""
-    def l2(c: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def _l2_to_literal(vec: Column, c: list[float]) -> Column:
+    """Sequential-fold squared L2 distance to a LITERAL centroid —
+    the same left fold the oracle's list_reduce spells out."""
+    arr = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
+
+def _nearest_centroid_struct(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """(d, cid) struct of the L2-nearest centroid (literal centroid
+    vectors — the 'model' is broadcast inside the expression; ties
+    break to the lowest cid via the struct ordering)."""
     return F.array_min(
-        F.array(*[F.struct(l2(c).alias("d"), F.lit(cid).alias("cid")) for cid, c in centroids])
-    ).getField("cid")
+        F.array(
+            *[
+                F.struct(_l2_to_literal(vec, c).alias("d"), F.lit(cid).alias("cid"))
+                for cid, c in centroids
+            ]
+        )
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """cid of the L2-nearest centroid (see
+    :func:`_nearest_centroid_struct`)."""
+    return _nearest_centroid_struct(vec, centroids).getField("cid")
 
 
 def train_ivf_centroids(
@@ -698,3 +714,66 @@ def quantize_embeddings(
         )
         .alias("qvec"),
     )
+
+
+def kmeans_embeddings(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """VALUE-ORACLED Lloyd k-means — the iterative-algorithm shape
+    (assign -> decimal-exact mean -> reassign) with every step
+    reproducible from SQL: seeds are the ``num_centroids`` lowest-id
+    vectors (:func:`seed_ivf_centroids`), each of the ``iterations``
+    update rounds recomputes per-(cid, dim) means as
+    ``sum(decimal(38,18))::double / count`` (exact, partition-order
+    independent), and the output is the assignment under the FINAL
+    centroids: ``(vec_id, cid, dist)`` with dist = sqrt of the
+    sequential-fold squared L2, rounded 6.
+
+    An empty cluster keeps its previous centroid (the standard Lloyd
+    carry) — mirrored by the oracle's LEFT JOIN + count guard.
+
+    Scale: model state is O(C x dim) through the driver per round
+    (the means COLLECT is centroid-count-sized, never corpus-sized);
+    each round is one narrow assignment pass plus one (cid, dim)-
+    keyed aggregation of slim exploded rows — the same skeleton as
+    :func:`train_ivf_centroids`, which remains the production
+    trainer (xxhash-seeded sampling beats lowest-id seeding on
+    quality; this operator trades that for full SQL auditability).
+    """
+    cents = seed_ivf_centroids(emb, num_centroids, id_col, vec_col)
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    try:
+        for _ in range(iterations):
+            assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), cents))
+            means = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r.cid, {})[r.pos] = r.m
+            cents = [
+                (cid, [by_cid[cid][p] for p in sorted(by_cid[cid])])
+                if cid in by_cid
+                else (cid, old)
+                for cid, old in cents
+            ]
+        best = _nearest_centroid_struct(F.col("v"), cents)
+        return e.select(
+            F.col("id").alias(id_col),
+            best.getField("cid").cast("long").alias("cid"),
+            F.round(F.sqrt(best.getField("d")), 6).alias("dist"),
+        )
+    finally:
+        e.unpersist()

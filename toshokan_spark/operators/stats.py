@@ -139,3 +139,48 @@ def linear_residuals(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) > z_threshold).alias("outlier"),
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group log2-bucketed histogram of a positive numeric column
+    — the corpus length profile a data report leads with (and the
+    input to length-balanced mixing decisions). Returns one row per
+    (group, bucket): bucket index, the [lo, hi] value range it
+    covers, the count and the within-group fraction.
+
+    The bucket index is the INTEGER bit length minus one
+    (``length(conv(v, 10, 2)) - 1``), not ``floor(log2(v))``: at
+    exact powers of two a floating log2 can land a hair under the
+    integer in one engine and on it in another, flipping the bucket —
+    bit length is integer-exact everywhere. Non-positive values are
+    excluded (no bit length).
+
+    Scale: one groupBy shuffle of (group, bucket) keys plus a window
+    over the group-bucket aggregate — the frame is
+    |groups| x ~64 rows regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("long")
+    bucket = (F.length(F.conv(v.cast("string"), 10, 2)) - 1).cast("long")
+    agg = (
+        df.filter(v > 0)
+        .select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy(group_col)
+    # the pyspark shiftleft() wrapper only takes a LITERAL bit count;
+    # the SQL function accepts a column expression
+    return agg.select(
+        group_col,
+        "bucket",
+        F.expr("shiftleft(1L, int(bucket))").alias("lo"),
+        F.expr("shiftleft(1L, int(bucket) + 1) - 1L").alias("hi"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("pct"),
+    )

@@ -535,3 +535,54 @@ def unigram_logprob(
             F.round("__alp", 6).alias("avg_logprob"),
         )
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary head: the
+    ``top_k`` most frequent tokens with ln(rank), ln(freq), and the
+    corpus's fitted power-law exponent (OLS of ln freq on ln rank —
+    natural text sits near slope -1; a flat slope flags templated /
+    synthetic text, a cliff flags boilerplate domination). The
+    standard one-glance sanity check of a scraped corpus.
+
+    Composition of two existing one-pass shapes: the
+    :func:`build_vocab` frequency head (map-side combined, take-
+    ordered top-k) and :func:`~toshokan_spark.operators.stats.
+    linear_fit` over the k head rows (decimal-exact moments, O(1)
+    model row broadcast back onto the profile). The fit uses the
+    HEAD only — deliberately: the long tail's ties make its rank
+    ordering meaningless for the exponent."""
+    from toshokan_spark.operators.stats import linear_fit
+
+    head = build_vocab(df, top_k, id_col, text_col)
+    pts = head.select(
+        "token",
+        F.col("n").cast("long").alias("freq"),
+        F.col("rank").cast("long").alias("rank"),
+        F.log(F.col("rank").cast("double")).alias("__lr"),
+        F.log(F.col("n").cast("double")).alias("__lf"),
+    )
+    fit = linear_fit(pts, F.col("__lr"), F.col("__lf")).localCheckpoint()
+    return pts.crossJoin(
+        F.broadcast(
+            fit.select(
+                F.col("slope").alias("zipf_slope"),
+                F.col("intercept").alias("zipf_intercept"),
+                F.col("r2").alias("zipf_r2"),
+            )
+        )
+    ).select(
+        "rank",
+        "token",
+        "freq",
+        F.round("__lr", 6).alias("log_rank"),
+        F.round("__lf", 6).alias("log_freq"),
+        "zipf_slope",
+        "zipf_intercept",
+        "zipf_r2",
+    )
