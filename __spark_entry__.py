@@ -1334,6 +1334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "kmeans_embeddings": q_kmeans_embeddings,
         "minhash_calibration": q_minhash_calibration,
+        # (2b) CHANGED this round — the r6 record no longer proves the
+        # current code, so they re-enter the recording window:
+        # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
+        # dedup_canonical's keeper selection left-joins scores
+        "weighted_sample": q_weighted_sample,
+        "dedup_canonical": q_dedup_canonical,
         # (3) rotated out of the r6 50-entry record (driver-green r5,
         # unchanged) — back through the window per VERDICT r6 #4
         "customers_without_orders": q_customers_without_orders,
@@ -1386,14 +1392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_conversions": q_event_conversions,
         "cohort_retention": q_cohort_retention,
         "funnel_stages": q_funnel_stages,
-        "weighted_sample": q_weighted_sample,
         "embedding_stats": q_embedding_stats,
         "embedding_outliers": q_embedding_outliers,
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_dup_ngrams": q_text_dup_ngrams,
         "vocab_coverage": q_vocab_coverage,
         "hybrid_search_rrf": q_hybrid_search_rrf,
-        "dedup_canonical": q_dedup_canonical,
         "dedup_crosscheck": q_dedup_crosscheck,
         "quality_regression": q_quality_regression,
         "source_drift": q_source_drift,
