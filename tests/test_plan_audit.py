@@ -171,3 +171,63 @@ def test_analytics_joins_never_cartesian(plans6b):
         a = plans6b[name]
         assert "CartesianProduct" not in a["joins"], (name, a)
         assert "BroadcastNestedLoopJoin" not in a["joins"], (name, a)
+
+
+#: round-7 additions (corpus profiling / clustering / calibration)
+ROUND7 = [
+    "length_histogram",
+    "zipf_profile",
+    "kmeans_embeddings",
+    "cluster_size_histogram",
+    "minhash_calibration",
+]
+
+
+@pytest.fixture(scope="module")
+def plans7(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND7:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_round7_entries_never_cartesian(plans7):
+    """The only cross shape any of these may plan is a broadcast
+    against a bounded side (zipf's one-row fit, kmeans' literal
+    centroid matrix) — a CartesianProduct is always a bug."""
+    for name, a in plans7.items():
+        assert "CartesianProduct" not in a["joins"], (name, a)
+
+
+def test_length_histogram_one_scan(plans7):
+    """One documents scan; the window runs over the group-bucket
+    AGGREGATE (|sources| x ~64 rows), so exchanges stay small-keyed —
+    but the corpus itself must be read exactly once."""
+    a = plans7["length_histogram"]
+    assert a["scans"] == 1, a
+    assert a["wscg_spans"] >= 1, a
+
+
+def test_kmeans_final_assignment_is_narrow(plans7):
+    """The returned frame is the assignment under LITERAL final
+    centroids: one corpus scan, zero exchanges (the Lloyd rounds'
+    aggregations ran during training, not in this plan)."""
+    a = plans7["kmeans_embeddings"]
+    assert a["scans"] == 1, a
+    assert a["exchanges"] == 0, a
+    assert a["wscg_spans"] >= 1, a
+
+
+def test_zipf_fit_is_broadcast(plans7):
+    """The one-row OLS fit joins back by broadcast — a shuffled or
+    cartesian fusion of a 1-row frame means the explicit broadcast
+    hint fell off."""
+    a = plans7["zipf_profile"]
+    assert "SortMergeJoin" not in a["joins"], a
+    assert "CartesianProduct" not in a["joins"], a
