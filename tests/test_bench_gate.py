@@ -29,15 +29,19 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: query -> wall-time floor in seconds (see calibration note above)
 FLOORS = {
-    "dedup_minhash_lsh": 3.5,
+    "dedup_minhash_lsh": 2.2,       # r7 recalibration: warm best 1.62
     "dedup_clusters": 2.4,
     "select_training_set": 2.9,
     "dedup_ngram_jaccard": 1.5,
     "knn_ivf": 2.6,
-    "dedup_minhash_char": 3.0,
-    "dedup_incremental_minhash": 3.3,
+    "dedup_minhash_char": 1.2,      # r7: warm best 0.84 (was 3.0 pre-fix)
+    "dedup_incremental_minhash": 2.3,  # r7: cache_corpus + probe removal
     "text_dup_ngrams": 2.0,
     "dedup_canonical": 1.8,
+    # round-7 additions (warm best-of-3 on this config: 1.14/1.36/1.68)
+    "cluster_size_histogram": 1.5,
+    "minhash_calibration": 1.8,
+    "kmeans_embeddings": 2.2,
 }
 MULTIPLIER = 2.5
 RUNS = 3
