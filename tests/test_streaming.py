@@ -1090,3 +1090,74 @@ def test_stream_dedup_grow_store_replay_is_exactly_once(spark, tmp_path):
     # and the replayed epoch's partition holds the survivor only once
     assert spark.read.parquet(out).count() == 1
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
+    """SpaceSaving per shard across micro-batches: exact counts while
+    cardinality fits capacity, bounded table + overestimation error
+    once it doesn't, state carried between batches."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import streaming_heavy_hitters
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("k", T.StringType())])
+
+    def drain(capacity):
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        q = (
+            streaming_heavy_hitters(parsed, key_col="k",
+                                    capacity=capacity, shards=1)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    # batch 1: hot item x7, warm x2, one singleton — under capacity,
+    # so every count is EXACT with zero error
+    (indir / "b1.jsonl").write_text(
+        "\n".join([json.dumps({"k": k}) for k in
+                   ["hot"] * 7 + ["warm"] * 2 + ["one"]]) + "\n"
+    )
+    drain(capacity=3)
+    batch1 = {r.item: (r["count"], r.err)
+              for r in spark.read.parquet(out).collect()}
+    assert batch1 == {"hot": (7, 0), "warm": (2, 0), "one": (1, 0)}
+
+    # batch 2: more hot + a flood of distinct fillers — state carries
+    # batch 1 forward, the table stays at capacity, and the hot item's
+    # count stays exact (never evicted)
+    (indir / "b2.jsonl").write_text(
+        "\n".join([json.dumps({"k": k}) for k in
+                   ["hot"] * 5 + [f"fill{i}" for i in range(10)]]) + "\n"
+    )
+    drain(capacity=3)
+    rows = spark.read.parquet(out).collect()
+    # emissions from batch 2 are the ones not present after batch 1
+    latest: dict = {}
+    for r in rows:
+        # parquet append keeps both batch outputs; batch-2 rows have
+        # count >= batch-1 rows per item, so max-by-count is latest
+        cur = latest.get(r.item)
+        if cur is None or r["count"] >= cur[0]:
+            latest[r.item] = (r["count"], r.err)
+    assert latest["hot"] == (12, 0)          # 7 + 5, never evicted
+    # SpaceSaving invariant: err >= 0 and count >= err, so count-err
+    # lower-bounds the truth while count upper-bounds it
+    for it, (c, er) in latest.items():
+        assert er >= 0 and c >= er, (it, c, er)
+    # bounded state: batch 2's emission (items whose row differs from
+    # their batch-1 value) is at most the table capacity
+    b2_items = [it for it, v in latest.items() if batch1.get(it) != v]
+    assert len(b2_items) <= 3

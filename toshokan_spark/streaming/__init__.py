@@ -1,7 +1,10 @@
 """Structured Streaming: segment ingestion + windowed aggregation."""
 
 from toshokan_spark.streaming.ingest_stream import stream_index
-from toshokan_spark.streaming.stateful import running_totals
+from toshokan_spark.streaming.stateful import (
+    running_totals,
+    streaming_heavy_hitters,
+)
 from toshokan_spark.streaming.windowed import (
     dedup_stream,
     session_windows,
@@ -19,5 +22,6 @@ __all__ = [
     "stream_index",
     "stream_session_windows",
     "stream_windowed_counts",
+    "streaming_heavy_hitters",
     "windowed_counts",
 ]

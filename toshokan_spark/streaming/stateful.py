@@ -54,3 +54,103 @@ def running_totals(
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "k",
+    capacity: int = 16,
+    shards: int = 8,
+) -> DataFrame:
+    """Approximate per-stream heavy hitters with BOUNDED state: a
+    SpaceSaving (Metwally et al. 2005) summary per hash shard,
+    maintained across micro-batches in the state store. This is the
+    custom-eviction pattern the module docstring promises: when a
+    shard's table is full, the minimum-count entry is evicted and the
+    newcomer inherits its count as overestimation error — state stays
+    O(shards x capacity) forever, whatever the stream's cardinality.
+
+    Output: one row per (shard, item) of each UPDATED shard per
+    micro-batch — ``count`` (upper bound on the item's true shard
+    count) and ``err`` (its maximum overestimation), so
+    ``count - err`` lower-bounds the truth. The SpaceSaving guarantee
+    carries per shard: any item whose true count exceeds
+    shard_stream_length / capacity is guaranteed present. Merge
+    shards with an ordinary batch top-k over the sink — items never
+    cross shards (hash-partitioned), so no cross-shard summary merge
+    is ever needed.
+
+    Scale: the stream shuffles once on the shard key (``shards``
+    should be >= executor parallelism); Arrow ships per-shard batches
+    to Python; eviction ties break lexicographically so replays are
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("err", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs = state.get
+            table = {
+                it: [int(c), int(er)]
+                for it, c, er in zip(items, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            for item in pdf["item"]:
+                if item is None:
+                    continue
+                if item in table:
+                    table[item][0] += 1
+                elif len(table) < capacity:
+                    table[item] = [1, 0]
+                else:
+                    # SpaceSaving eviction: replace the min-count entry
+                    # (ties -> lexicographically smallest item, so a
+                    # replayed batch evicts identically); the newcomer
+                    # inherits min_count as its overestimation error
+                    victim = min(table, key=lambda it: (table[it][0], it))
+                    m = table[victim][0]
+                    del table[victim]
+                    table[item] = [m + 1, m]
+        ordered = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update((
+            [it for it, _ in ordered],
+            [c for _, (c, _) in ordered],
+            [er for _, (_, er) in ordered],
+        ))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ordered),
+                "item": [it for it, _ in ordered],
+                "count": [c for _, (c, _) in ordered],
+                "err": [er for _, (_, er) in ordered],
+            }
+        )
+
+    ev = events.select(
+        F.col(key_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards)).alias(
+            "__shard"
+        ),
+    )
+    return ev.groupBy("__shard").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
