@@ -613,6 +613,29 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode canonicalization pass (NFC + control strip +
+    whitespace collapse) — ASCII corpus, so `changed` is the
+    interesting oracle bit: both engines must agree nothing changed."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.normalize_text(docs)
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup over a corpus seeded with
+    guaranteed chunk-of relations: each doc's 10-word prefix rides
+    along as a shifted-id 'chunk' doc, and every chunk must surface
+    as contained in its parent (containment 1.0, Jaccard far below
+    the symmetric threshold — the case Jaccard dedup misses)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = dedup_words(F.col("text"))
+    chunks = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, 10)).alias("text"),
+    )
+    return dedup.containment_pairs(docs.unionAll(chunks), threshold=0.8)
+
+
 def q_minhash_calibration(spark, sf_dir):
     """Estimated (signature slot agreement) vs exact Jaccard over all
     banded candidate pairs — the estimator-variance audit for the
@@ -1334,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "kmeans_embeddings": q_kmeans_embeddings,
         "minhash_calibration": q_minhash_calibration,
+        "containment_pairs": q_containment_pairs,
+        "normalize_text": q_normalize_text,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -2325,6 +2350,53 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars::DOUBLE > 0)
             SELECT doc_id, n_chars, sample_score FROM s
             ORDER BY sample_score DESC, doc_id ASC LIMIT 50
+        """,
+        # mirrors text.normalize_text: NFC + control-range strip +
+        # whitespace collapse + trim, changed = result <> input
+        "normalize_text": r"""
+            WITH n AS (
+              SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(nfc_normalize(text),
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                  '\s+', ' ', 'g')) AS text_norm,
+                text
+              FROM documents)
+            SELECT doc_id, text_norm, (text_norm <> text) AS changed FROM n
+        """,
+        # mirrors dedup.containment_pairs over the chunk-seeded corpus
+        # (documents ∪ 10-word-prefix copies at doc_id+2e6): exact
+        # co-shingle intersections, asymmetric containment = i/|Sa|
+        # per direction, jaccard riding along
+        "containment_pairs": f"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id,
+                     array_to_string({_WORDS}[1:10], ' ') AS text
+              FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM docs2),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairsz AS (
+              SELECT a_id, b_id, i, sa.n AS na, sb.n AS nb
+              FROM inter
+              JOIN sz sa ON sa.doc_id = a_id
+              JOIN sz sb ON sb.doc_id = b_id),
+            u AS (
+              SELECT a_id AS contained_id, b_id AS container_id,
+                i * 1.0 / na AS c, i * 1.0 / (na + nb - i) AS j
+              FROM pairsz
+              UNION ALL
+              SELECT b_id, a_id, i * 1.0 / nb, i * 1.0 / (na + nb - i)
+              FROM pairsz)
+            SELECT contained_id, container_id,
+              round(c, 6) AS containment, round(j, 6) AS jaccard
+            FROM u WHERE c >= 0.8
         """,
         # mirrors dedup.minhash_calibration_pairs (poly family): the
         # dedup_minhash_lsh signature/band/candidate chain, then slot

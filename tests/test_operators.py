@@ -1614,3 +1614,51 @@ def test_zipf_profile_slope_on_constructed_corpus(spark):
     slope = out[0].zipf_slope
     r2 = out[0].zipf_r2
     assert abs(slope + 1.0) < 0.05 and r2 > 0.99
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A chunk fully contained in a 3x-longer doc: containment 1.0
+    while symmetric Jaccard stays far below the usual 0.5 threshold
+    (the pair ngram_jaccard_pairs would never emit)."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+
+    parent_words = [f"w{i:02d}" for i in range(24)]
+    chunk_words = parent_words[:8]
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(parent_words)),
+        Row(doc_id=2, text=" ".join(chunk_words)),
+        Row(doc_id=3, text="totally unrelated other content entirely"),
+    ])
+    out = {(r.contained_id, r.container_id): (r.containment, r.jaccard)
+           for r in dedup.containment_pairs(df, threshold=0.8).collect()}
+    # chunk(2) ⊂ parent(1): 6 chunk shingles, all among parent's 22
+    assert set(out) == {(2, 1)}
+    c, j = out[(2, 1)]
+    assert c == 1.0 and j == round(6 / 22, 6)
+    # the symmetric operator at its standard threshold misses the pair
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
+    """Decomposed accents compose (NFC), control bytes drop,
+    whitespace runs collapse, edges trim — and the changed flag
+    distinguishes touched from untouched docs."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import text as textops
+
+    decomposed = "café"           # e + combining acute
+    composed = "café"
+    rows = [
+        Row(doc_id=1, text=f"  {decomposed}\x00 du\tmonde \n"),
+        Row(doc_id=2, text="already clean"),
+        Row(doc_id=3, text=None),
+    ]
+    out = {r.doc_id: (r.text_norm, r.changed)
+           for r in textops.normalize_text(spark.createDataFrame(
+               rows, "doc_id long, text string")).collect()}
+    assert out[1] == (f"{composed} du monde", True)
+    assert out[2] == ("already clean", False)
+    assert out[3] == (None, None)

@@ -382,6 +382,76 @@ def ngram_jaccard_pairs(
     return finalize_cached(out, sh)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = 1000,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """ASYMMETRIC near-containment pairs: every ordered
+    (contained, container) pair with |S_contained ∩ S_container| /
+    |S_contained| >= threshold — the relationship symmetric Jaccard
+    systematically misses when sizes differ (a chunk quoted inside a
+    10× longer article has J ≈ 0.1 but containment ≈ 1.0). This is
+    the wire-copy / quote-expansion / chunk-of detector a news or web
+    corpus dedup needs ALONGSIDE Jaccard: drop the contained side,
+    keep the container.
+
+    Same exact co-shingle skeleton (and the same stop-shingle
+    frequency cap, same scale argument) as
+    :func:`ngram_jaccard_pairs`; the only difference is the
+    normalizer — each unordered co-shingle pair emits up to two
+    ordered rows, one per direction that clears the threshold.
+    ``jaccard`` rides along for the symmetric comparison.
+    """
+    sh = staged_shingles(df, id_col, text_col, k, shingle_unit).persist()
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_shingle_freq)
+            .select("s")
+        )
+        ex = ex.join(hot, "s", "left_anti")
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    both = inter.join(sa, "a_id").join(sb, "b_id")
+    fwd = both.select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        (F.col("inter") / F.col("na")).alias("__c"),
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("__j"),
+    )
+    rev = both.select(
+        F.col("b_id").alias("contained_id"),
+        F.col("a_id").alias("container_id"),
+        (F.col("inter") / F.col("nb")).alias("__c"),
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("__j"),
+    )
+    out = (
+        fwd.unionAll(rev)
+        .filter(F.col("__c") >= threshold)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round("__c", 6).alias("containment"),
+            F.round("__j", 6).alias("jaccard"),
+        )
+    )
+    return finalize_cached(out, sh)
+
+
 def incremental_jaccard_matches(
     new_df: DataFrame,
     corpus_df: DataFrame,

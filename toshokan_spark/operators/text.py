@@ -586,3 +586,53 @@ def zipf_profile(
         "zipf_intercept",
         "zipf_r2",
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Ingest-side text canonicalization: Unicode NFC composition,
+    control-character strip, whitespace-run collapse, edge trim —
+    the cleanup pass every scraped corpus needs before hashing or
+    shingling (the same logical document must hash identically
+    whether the crawler emitted composed or decomposed accents, NBSP
+    runs, or stray control bytes). Returns
+    ``(id, text_norm, changed)``.
+
+    NFC is the module's one Arrow-batched Python step besides the
+    LM passes — the JVM exposes no normalizer function — and it is a
+    pure per-row map (no shuffle, distributes with the scan). The
+    control strip uses an explicit byte-range class (``\\x00-\\x08``
+    etc.) rather than ``\\p{Cc}`` so Java regex and RE2 (the oracle)
+    compile the identical automaton; DuckDB's ``nfc_normalize``
+    mirrors the composition."""
+    from pyspark.sql.types import StringType
+
+    # no type annotations on the UDF: the module's PEP-563 annotations
+    # + function-local pandas import would leave them unresolvable for
+    # pandas_udf's signature inspection
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    _nfc = F.pandas_udf(_nfc_fn, StringType())
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                _nfc(F.col(text_col)),
+                "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
+                "",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_norm"),
+        (cleaned != F.col(text_col)).alias("changed"),
+    )
