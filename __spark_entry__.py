@@ -2357,8 +2357,11 @@ def oracle_sql() -> dict[str, str]:
             WITH n AS (
               SELECT doc_id,
                 trim(regexp_replace(
-                  regexp_replace(nfc_normalize(text),
-                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                    '[   -     　]',
+                    ' ', 'g'),
                   '\s+', ' ', 'g')) AS text_norm,
                 text
               FROM documents)
@@ -2376,7 +2379,9 @@ def oracle_sql() -> dict[str, str]:
                      array_to_string({_WORDS}[1:10], ' ') AS text
               FROM documents),
             sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM docs2),
-            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            freqok AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000),
+            ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN freqok USING (s)),
             sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
             inter AS (
               SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
@@ -2399,8 +2404,9 @@ def oracle_sql() -> dict[str, str]:
             FROM u WHERE c >= 0.8
         """,
         # mirrors dedup.minhash_calibration_pairs (poly family): the
-        # dedup_minhash_lsh signature/band/candidate chain, then slot
-        # agreement / 128 vs exact shingle Jaccard, no threshold
+        # dedup_minhash_lsh signature/band/candidate chain INCLUDING
+        # the max_band_freq=1000 hot-bucket cap, then slot agreement
+        # / 128 vs exact shingle Jaccard, no threshold
         "minhash_calibration": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
             hs AS (
@@ -2413,9 +2419,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, b.band,
                 array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS key
               FROM sig, (SELECT unnest(range(0, 32)) AS band) b),
+            bfreq AS (
+              SELECT band, key FROM banded
+              GROUP BY band, key HAVING count(*) <= 1000),
+            bok AS (
+              SELECT banded.doc_id, banded.band, banded.key
+              FROM banded JOIN bfreq USING (band, key)),
             cand AS (
               SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              FROM banded a JOIN banded b
+              FROM bok a JOIN bok b
                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
             SELECT c.a_id, c.b_id,
               round(len(list_filter(range(1, 129),

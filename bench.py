@@ -130,6 +130,10 @@ def main() -> int:
 
     # Headline stdout line: total + only the N slowest queries, shrunk
     # until the line is guaranteed to fit the 2000-char tail buffer.
+    # FAILED queries (recorded as -1.0) sort to the BOTTOM of the
+    # slowest list, so they must be surfaced explicitly — without the
+    # "failed" key a broken round's headline would look green.
+    failed = sorted(n for n, v in results.items() if v < 0)
     slowest = sorted(results.items(), key=lambda kv: -kv[1])
     n_slow = min(15, len(slowest))
     while n_slow > 0:
@@ -140,6 +144,8 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(results),
+                "n_failed": len(failed),
+                "failed": failed[:10],
                 "full_map": os.path.basename(local_path),
                 "queries": dict(sorted(slowest[:n_slow])),
             }

@@ -1662,3 +1662,13 @@ def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
     assert out[1] == (f"{composed} du monde", True)
     assert out[2] == ("already clean", False)
     assert out[3] == (None, None)
+    # Unicode space separators (NBSP, thin space, ideographic space)
+    # normalize to single ASCII spaces — \s alone is ASCII-only in
+    # both Java regex and RE2, so these need the explicit class
+    uni = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world"),
+         Row(doc_id=2, text="a b　c")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text_norm
+           for r in textops.normalize_text(uni).collect()}
+    assert got == {1: "hello world", 2: "a b c"}

@@ -307,6 +307,53 @@ def deduplicate_exact(
 # n-gram Jaccard (exact near-dup over co-shingled pairs)
 # ---------------------------------------------------------------------------
 
+def _co_shingle_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_freq: Optional[int],
+    shingle_unit: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared skeleton of :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs`: staged+persisted shingles, the
+    stop-shingle frequency cap, and exact co-shingle intersection
+    counts joined to both pair members' set sizes. Returns ``(sh,
+    pairs)`` — the PERSISTED shingle frame (hand it to
+    ``finalize_cached``) and a frame of ``(a_id, b_id, inter, na,
+    nb)`` with ``a_id < b_id``. Only the similarity normalizer
+    differs between callers, so cap/anti-join fixes land in exactly
+    one place."""
+    sh = staged_shingles(df, id_col, text_col, k, shingle_unit).persist()
+    # persisted: referenced twice (sizes + both self-join sides)
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        # anti-join the OVER-cap shingle list — the inner-join-with-
+        # ok-list formulation carried the near-full distinct-shingle
+        # set through an extra exchange. No broadcast HINT: the list is
+        # usually tiny (AQE broadcasts it at runtime), but at a fixed
+        # cap its size grows with the corpus, and a forced broadcast
+        # would hit the 8 GB collect cliff where an AQE-chosen shuffle
+        # join just degrades gracefully
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_shingle_freq)
+            .select("s")
+        )
+        ex = ex.join(hot, "s", "left_anti")
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    return sh, inter.join(sa, "a_id").join(sb, "b_id")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -341,38 +388,11 @@ def ngram_jaccard_pairs(
     The exact path with char units is right for short-field exact-ish
     matching (names, titles), not full documents.
     """
-    sh = staged_shingles(df, id_col, text_col, k, shingle_unit).persist()
-    # persisted: referenced twice (sizes + both self-join sides)
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    if max_shingle_freq is not None:
-        # anti-join the OVER-cap shingle list — the inner-join-with-
-        # ok-list formulation carried the near-full distinct-shingle
-        # set through an extra exchange. No broadcast HINT: the list is
-        # usually tiny (AQE broadcasts it at runtime), but at a fixed
-        # cap its size grows with the corpus, and a forced broadcast
-        # would hit the 8 GB collect cliff where an AQE-chosen shuffle
-        # join just degrades gracefully
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_shingle_freq)
-            .select("s")
-        )
-        ex = ex.join(hot, "s", "left_anti")
-
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sh, pairs = _co_shingle_intersections(
+        df, id_col, text_col, k, max_shingle_freq, shingle_unit
     )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
     out = (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
@@ -402,31 +422,15 @@ def containment_pairs(
 
     Same exact co-shingle skeleton (and the same stop-shingle
     frequency cap, same scale argument) as
-    :func:`ngram_jaccard_pairs`; the only difference is the
+    :func:`ngram_jaccard_pairs` — literally shared via
+    :func:`_co_shingle_intersections`; the only difference is the
     normalizer — each unordered co-shingle pair emits up to two
     ordered rows, one per direction that clears the threshold.
     ``jaccard`` rides along for the symmetric comparison.
     """
-    sh = staged_shingles(df, id_col, text_col, k, shingle_unit).persist()
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    if max_shingle_freq is not None:
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_shingle_freq)
-            .select("s")
-        )
-        ex = ex.join(hot, "s", "left_anti")
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sh, both = _co_shingle_intersections(
+        df, id_col, text_col, k, max_shingle_freq, shingle_unit
     )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
-    both = inter.join(sa, "a_id").join(sb, "b_id")
     fwd = both.select(
         F.col("a_id").alias("contained_id"),
         F.col("b_id").alias("container_id"),
@@ -846,9 +850,11 @@ def hot_band_buckets(
     num_hashes is pinned by the signature build.
 
     ``num_hashes``: pass it when the caller already knows the store's
-    signature width (``incremental_minhash_matches`` does — it
-    validates the store separately) to skip the one-row probe job;
-    when None it is inferred from the store."""
+    signature width (a maintenance job that just built the store, a
+    caller that ran :func:`validate_incremental_store`) to skip the
+    one-row probe job; when None it is inferred from the store.
+    (``incremental_minhash_matches`` no longer calls this function at
+    all — it derives hot buckets from its own shared band fan-out.)"""
     if num_hashes is None:
         sig_len = corpus_sigs.select(F.size("sig").alias("n")).limit(1).collect()
         if not sig_len:  # empty corpus: no buckets, keep (band, key) shape
@@ -1692,8 +1698,6 @@ def minhash_calibration_pairs(
     lose), band-key self-join with the hot-bucket cap, both joins
     id-keyed. No threshold filter: calibration wants the low-J tail
     where the estimator is noisiest."""
-    from toshokan_spark.operators.util import finalize_cached
-
     assert num_hashes % bands == 0
     r = num_hashes // bands
     css = corpus_minhash_signatures(

@@ -92,9 +92,16 @@ def weighted_sample(
     for large weights u^(1/w) concentrates just below 1.0 and a
     fixed-decimal round collapses the heavy rows into one giant tie
     broken lexicographically by key, destroying the A-ES
-    inclusion-probability property; ln(u)/w keeps ~8+ significant
-    digits at any weight magnitude while the round still absorbs
+    inclusion-probability property, while the round still absorbs
     cross-engine last-ulp ``ln`` differences.
+
+    Resolution bound: u is hash-discrete with ~1e-4 ln-spacing, so
+    adjacent scores differ by ~1e-4/w — distinct after the 1e-10
+    round for weights up to ~1e6. For heavier weights pre-scale the
+    weight column by a constant (``w / c`` is EXACTLY
+    order-preserving for A-ES: u^(c/w) is a monotone transform of
+    u^(1/w)) instead of widening the round, which would start
+    admitting cross-engine ln disagreements into the hash gate.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")

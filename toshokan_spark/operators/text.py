@@ -620,12 +620,24 @@ def normalize_text(
 
     _nfc = F.pandas_udf(_nfc_fn, StringType())
 
+    # Unicode space separators (NBSP, ogham/en/em spaces, line and
+    # paragraph separators, narrow NBSP, ideographic space) mapped to
+    # ASCII space FIRST: \s in both Java regex and RE2 is ASCII-only,
+    # so without this step 'hello world' would never collapse to
+    # 'hello world' and logically identical docs would hash apart.
+    # Literal characters (not \uXXXX escapes) so the pattern compiles
+    # identically under both engines.
+    uni_spaces = "[\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(
-                _nfc(F.col(text_col)),
-                "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
-                "",
+                F.regexp_replace(
+                    _nfc(F.col(text_col)),
+                    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
+                    "",
+                ),
+                uni_spaces,
+                " ",
             ),
             "\\s+",
             " ",
