@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from toshokan_spark.config import FieldConfig, IndexConfig
 from toshokan_spark.query import compile_query
 from toshokan_spark.operators import asof, decontaminate, dedup, similarity, text as textops, multimodal
+from toshokan_spark.operators.text import SCRIPT_CLASSES as _SCRIPT_CLASSES
 from toshokan_spark.operators.dedup import words_col as dedup_words
 
 # ---------------------------------------------------------------------------
@@ -611,6 +612,31 @@ def q_source_quality_curves(spark, sf_dir):
     x = F.log(F.size(w).cast("double"))
     y = F.size(F.array_distinct(w)) / F.size(w)
     return stats.grouped_linear_fit(docs, "source", x, y)
+
+
+def q_script_profile(spark, sf_dir):
+    """Per-doc Unicode script composition + dominant-script call —
+    the mixed-script / wrong-script filter signal."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.script_profile(docs)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-refresh audit: documents vs a synthetic next snapshot
+    (every 10th doc's text touched, every 7th-mod-3 doc dropped, 50
+    new ids) — added/removed/changed/unchanged by content hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 7 != 3)
+    mutated = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    return dedup.snapshot_diff(docs, mutated.unionAll(added))
 
 
 def q_normalize_text(spark, sf_dir):
@@ -1359,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "containment_pairs": q_containment_pairs,
         "normalize_text": q_normalize_text,
+        "script_profile": q_script_profile,
+        "snapshot_diff": q_snapshot_diff,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -2350,6 +2378,52 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars::DOUBLE > 0)
             SELECT doc_id, n_chars, sample_score FROM s
             ORDER BY sample_score DESC, doc_id ASC LIMIT 50
+        """,
+        # mirrors text.script_profile with the IMPORTED class table
+        # (single source of truth): count = len - len(strip(class)),
+        # fractions over non-space chars, argmax ties alphabetical
+        "script_profile": f"""
+            WITH c AS (
+              SELECT doc_id,
+                length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+                {", ".join(
+                    f"length(text) - length(regexp_replace(text, "
+                    f"'{_SCRIPT_CLASSES[n]}', '', 'g')) AS c_{n}"
+                    for n in sorted(_SCRIPT_CLASSES)
+                )}
+              FROM documents)
+            SELECT doc_id, n_nonspace::BIGINT AS n_nonspace,
+              {", ".join(
+                  f"CASE WHEN n_nonspace > 0 THEN round(c_{n} * 1.0 / n_nonspace, 6) "
+                  f"ELSE 0.0 END AS frac_{n}"
+                  for n in sorted(_SCRIPT_CLASSES)
+              )},
+              CASE WHEN greatest({", ".join("c_" + n for n in sorted(_SCRIPT_CLASSES))}) = 0
+                   THEN 'other'
+                   {" ".join(
+                       f"WHEN c_{n} = greatest({', '.join('c_' + m for m in sorted(_SCRIPT_CLASSES))}) THEN '{n}'"
+                       for n in sorted(_SCRIPT_CLASSES)
+                   )}
+              END AS dominant_script
+            FROM c
+        """,
+        # mirrors dedup.snapshot_diff over the synthetic next
+        # snapshot; hash equality == text equality, so the oracle
+        # compares text directly
+        "snapshot_diff": """
+            WITH oldsnap AS (SELECT doc_id, text FROM documents),
+            newsnap AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 3
+              UNION ALL
+              SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 50)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text = n.text THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
         """,
         # mirrors text.normalize_text: NFC + control-range strip +
         # whitespace collapse + trim, changed = result <> input

@@ -1672,3 +1672,49 @@ def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
     got = {r.doc_id: r.text_norm
            for r in textops.normalize_text(uni).collect()}
     assert got == {1: "hello world", 2: "a b c"}
+
+
+def test_script_profile_detects_scripts_and_ties(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import text as textops
+
+    rows = [
+        Row(doc_id=1, text="hello world"),          # latin
+        Row(doc_id=2, text="привет мир"),            # cyrillic
+        Row(doc_id=3, text="日本語 テスト"),           # cjk
+        Row(doc_id=4, text="مرحبا"),                 # arabic
+        Row(doc_id=5, text="12345"),                 # digits
+        Row(doc_id=6, text="!!! ???"),               # none -> other
+        Row(doc_id=7, text="ab 12"),                 # tie 2-2 -> digit (alpha)
+    ]
+    out = {r.doc_id: r.dominant_script
+           for r in textops.script_profile(
+               spark.createDataFrame(rows, "doc_id long, text string")
+           ).collect()}
+    assert out == {1: "latin", 2: "cyrillic", 3: "cjk", 4: "arabic",
+                   5: "digit", 6: "other", 7: "digit"}
+    fr = {r.doc_id: r for r in textops.script_profile(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert fr[1].frac_latin == 1.0 and fr[2].frac_cyrillic == 1.0
+    assert fr[6].n_nonspace == 6 and fr[6].frac_latin == 0.0
+
+
+def test_snapshot_diff_statuses(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+
+    old = spark.createDataFrame([
+        Row(doc_id=1, text="same"),
+        Row(doc_id=2, text="will change"),
+        Row(doc_id=3, text="will vanish"),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=1, text="same"),
+        Row(doc_id=2, text="changed now"),
+        Row(doc_id=4, text="brand new"),
+    ])
+    out = {r.doc_id: r.status
+           for r in dedup.snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

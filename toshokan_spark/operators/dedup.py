@@ -1931,3 +1931,37 @@ def embedding_dup_pairs(
         pairs.filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots: one row per
+    doc id present in either, with ``status`` in {'added', 'removed',
+    'changed', 'unchanged'} by sha2-256 of the content column — the
+    audit step between crawl refreshes (how much actually changed?)
+    and the input to incremental re-processing (only 'added' +
+    'changed' need re-embedding / re-scoring; 'removed' ids need
+    tombstoning downstream).
+
+    One full outer join keyed on the id over two hash-projected slim
+    frames — 32-byte digests shuffle, never documents. At 100 TB,
+    snapshots stored bucketed by id join exchange-free (the
+    write_bucketed_signatures layout argument)."""
+    oh = old.select(
+        F.col(id_col), F.sha2(F.col(text_col).cast("string"), 256).alias("__ho")
+    )
+    nh = new.select(
+        F.col(id_col), F.sha2(F.col(text_col).cast("string"), 256).alias("__hn")
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
