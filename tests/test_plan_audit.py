@@ -231,3 +231,40 @@ def test_zipf_fit_is_broadcast(plans7):
     a = plans7["zipf_profile"]
     assert "SortMergeJoin" not in a["joins"], a
     assert "CartesianProduct" not in a["joins"], a
+
+
+#: round-7 batch-2 additions (canonicalization / profiling / diff)
+ROUND7B = ["normalize_text", "script_profile", "snapshot_diff"]
+
+
+@pytest.fixture(scope="module")
+def plans7b(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND7B:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_profiling_passes_are_narrow(plans7b):
+    """normalize_text (one Arrow UDF + JVM regex chain) and
+    script_profile (pure JVM regex counting) are per-row maps: one
+    documents scan, zero exchanges."""
+    for name in ("normalize_text", "script_profile"):
+        a = plans7b[name]
+        assert a["scans"] == 1, (name, a)
+        assert a["exchanges"] == 0, (name, a)
+
+
+def test_snapshot_diff_joins_slim_hash_frames(plans7b):
+    """The diff's full-outer join must be a real equi-join over the
+    hash projections — never a cartesian/nested-loop (digests
+    shuffle, documents don't)."""
+    a = plans7b["snapshot_diff"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "BroadcastNestedLoopJoin" not in a["joins"], a

@@ -289,3 +289,37 @@ def test_bloom_no_false_negatives_randomized(spark):
     absent = [f"zz-not-in-vocab-{i}" for i in range(200)]
     filtered = sum(1 for t in absent if bloom_absent_any(bloom, [t]))
     assert filtered > 180, f"only {filtered}/200 absent tokens filtered"
+
+
+def test_containment_dominates_jaccard_property(spark):
+    """Structural invariants of containment_pairs on randomized
+    corpora: containment >= jaccard for every emitted pair (|A∩B|/|A|
+    >= |A∩B|/|A∪B| always), both in (0, 1], and every exact-duplicate
+    pair appears in BOTH directions with containment 1.0."""
+    import random
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        n = rng.randint(4, 20)
+        rows.append(Row(doc_id=i, text=" ".join(rng.choices(vocab, k=n))))
+    # guaranteed exact duplicate pair
+    rows.append(Row(doc_id=100, text=rows[0].text))
+    out = dedup.containment_pairs(
+        spark.createDataFrame(rows), threshold=0.3
+    ).collect()
+    assert out, "randomized corpus produced no pairs — weaken the seed"
+    seen = set()
+    for r in out:
+        assert 0 < r.containment <= 1.0, r
+        assert 0 < r.jaccard <= 1.0, r
+        assert r.containment >= r.jaccard - 1e-9, r
+        seen.add((r.contained_id, r.container_id))
+    assert (0, 100) in seen and (100, 0) in seen
+    dup = {(r.contained_id, r.container_id): r for r in out}
+    assert dup[(0, 100)].containment == 1.0 == dup[(100, 0)].containment
