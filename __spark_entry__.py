@@ -614,6 +614,20 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the approximate IVF index (2 of 8 probes) against
+    brute-force ground truth over 20 queries — the ANN sign-off
+    report, fully value-oracled because both sides are."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.seed_ivf_centroids(emb, num_centroids=8)
+    approx = similarity.knn_ivf(
+        emb, queries, k=5, num_centroids=8, n_probe=2, centroids=cents
+    )
+    exact = similarity.knn_bruteforce(emb, queries, k=5)
+    return similarity.knn_recall_report(approx, exact, k=5)
+
+
 def q_script_profile(spark, sf_dir):
     """Per-doc Unicode script composition + dominant-script call —
     the mixed-script / wrong-script filter signal."""
@@ -1387,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "script_profile": q_script_profile,
         "snapshot_diff": q_snapshot_diff,
+        "ann_recall": q_ann_recall,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -2378,6 +2393,55 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars::DOUBLE > 0)
             SELECT doc_id, n_chars, sample_score FROM s
             ORDER BY sample_score DESC, doc_id ASC LIMIT 50
+        """,
+        # mirrors q_ann_recall: the knn_ivf (2-probe) and
+        # knn_bruteforce CTE chains over vec_id < 20 queries, then
+        # per-query hit counts against the exact top-5
+        "ann_recall": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+            assigned AS (
+              SELECT e.vec_id AS neighbor_id, e.embedding AS ev,
+                (SELECT c.cid FROM cent c
+                 ORDER BY {_L2.format(a="e.embedding", b="c.cv")} ASC, c.cid ASC
+                 LIMIT 1) AS cid
+              FROM embeddings e),
+            probes AS (
+              SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_L2.format(a="q.embedding", b="c.cv")} ASC, c.cid ASC) AS pr
+                FROM q, cent c) WHERE pr <= 2),
+            approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, a.neighbor_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY {_COS.format(a="p.qv", b="a.ev")} DESC, a.neighbor_id ASC)
+                    AS rank
+                FROM probes p JOIN assigned a ON p.cid = a.cid
+                WHERE p.query_id <> a.neighbor_id)
+              WHERE rank <= 5),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_COS.format(a="q.embedding", b="c.embedding")} DESC,
+                             c.vec_id ASC) AS rank
+                FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+              WHERE rank <= 5),
+            hits AS (
+              SELECT e.query_id, count(*) AS n
+              FROM exact e JOIN approx a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id)
+            SELECT q0.query_id,
+              coalesce(n, 0)::BIGINT AS n_hits,
+              round(coalesce(n, 0) / 5.0, 6) AS recall
+            FROM (SELECT DISTINCT query_id FROM exact) q0
+            LEFT JOIN hits USING (query_id)
         """,
         # mirrors text.script_profile with the IMPORTED class table
         # (single source of truth): count = len - len(strip(class)),

@@ -1718,3 +1718,20 @@ def test_snapshot_diff_statuses(spark):
     out = {r.doc_id: r.status
            for r in dedup.snapshot_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_knn_recall_report_counts_hits(spark):
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity
+
+    exact = spark.createDataFrame([
+        Row(query_id=1, neighbor_id=n) for n in (10, 11, 12)
+    ] + [Row(query_id=2, neighbor_id=n) for n in (20, 21, 22)])
+    approx = spark.createDataFrame([
+        Row(query_id=1, neighbor_id=n) for n in (10, 11, 99)   # 2/3
+    ] + [Row(query_id=3, neighbor_id=30)])                      # not a query
+    out = {r.query_id: (r.n_hits, r.recall)
+           for r in similarity.knn_recall_report(approx, exact, k=3).collect()}
+    # query 2 got NOTHING from the approx index — still reported at 0
+    assert out == {1: (2, round(2 / 3, 6)), 2: (0, 0.0)}

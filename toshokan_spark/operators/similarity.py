@@ -777,3 +777,35 @@ def kmeans_embeddings(
         )
     finally:
         e.unpersist()
+
+
+def knn_recall_report(
+    approx: DataFrame, exact: DataFrame, k: int = 5
+) -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    sign-off metric for every approximate index before it replaces
+    brute force (pairs with :func:`~toshokan_spark.operators.dedup.
+    minhash_calibration_pairs` as the suite's estimator-audit tools).
+    Both inputs are ``(query_id, neighbor_id, ...)`` frames in the
+    ``knn_*`` output shape at the same k. Returns per-query
+    ``(query_id, n_hits, recall)`` — aggregate with a plain mean for
+    the headline number; queries the approx index missed entirely
+    still appear with recall 0.
+
+    Shape: one query-keyed equi-join of two k-row-per-query lists —
+    both sides are output-sized (|queries| x k), never corpus-sized,
+    so the report costs nothing next to the searches it scores."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = e.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.round(n / F.lit(float(k)), 6).alias("recall"),
+    )
