@@ -2449,7 +2449,8 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": f"""
             WITH c AS (
               SELECT doc_id,
-                length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+                length(regexp_replace(text,
+                  '[\\x09\\x0A\\x0B\\x0C\\x0D\\x20]', '', 'g')) AS n_nonspace,
                 {", ".join(
                     f"length(text) - length(regexp_replace(text, "
                     f"'{_SCRIPT_CLASSES[n]}', '', 'g')) AS c_{n}"
@@ -2468,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
                        f"WHEN c_{n} = greatest({', '.join('c_' + m for m in sorted(_SCRIPT_CLASSES))}) THEN '{n}'"
                        for n in sorted(_SCRIPT_CLASSES)
                    )}
+              ELSE 'other'
               END AS dominant_script
             FROM c
         """,
@@ -2485,7 +2487,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'
                    WHEN n.doc_id IS NULL THEN 'removed'
-                   WHEN o.text = n.text THEN 'unchanged'
+                   WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
                    ELSE 'changed' END AS status
             FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
         """,

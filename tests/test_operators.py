@@ -1718,6 +1718,19 @@ def test_snapshot_diff_statuses(spark):
     out = {r.doc_id: r.status
            for r in dedup.snapshot_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # NULL content must not masquerade as absence: presence is keyed
+    # on the id, and null-vs-null content is 'unchanged'
+    old2 = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="x"),
+         Row(doc_id=3, text=None)],
+        "doc_id long, text string")
+    new2 = spark.createDataFrame(
+        [Row(doc_id=1, text="x"), Row(doc_id=2, text=None),
+         Row(doc_id=3, text=None)],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r.status
+            for r in dedup.snapshot_diff(old2, new2).collect()}
+    assert out2 == {1: "changed", 2: "changed", 3: "unchanged"}
 
 
 def test_knn_recall_report_counts_hits(spark):

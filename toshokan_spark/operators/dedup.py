@@ -1950,18 +1950,28 @@ def snapshot_diff(
     One full outer join keyed on the id over two hash-projected slim
     frames — 32-byte digests shuffle, never documents. At 100 TB,
     snapshots stored bucketed by id join exchange-free (the
-    write_bucketed_signatures layout argument)."""
+    write_bucketed_signatures layout argument).
+
+    Presence is tracked by an explicit marker column, NOT by hash
+    nullability: ``sha2(NULL)`` is NULL, so a null-content doc
+    present on both sides would otherwise misreport as
+    added/removed. Null-safe hash equality makes two null-content
+    rows 'unchanged' (same content: none)."""
     oh = old.select(
-        F.col(id_col), F.sha2(F.col(text_col).cast("string"), 256).alias("__ho")
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("__ho"),
+        F.lit(True).alias("__in_old"),
     )
     nh = new.select(
-        F.col(id_col), F.sha2(F.col(text_col).cast("string"), 256).alias("__hn")
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("__hn"),
+        F.lit(True).alias("__in_new"),
     )
     j = oh.join(nh, id_col, "full_outer")
     status = (
-        F.when(F.col("__ho").isNull(), F.lit("added"))
-        .when(F.col("__hn").isNull(), F.lit("removed"))
-        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__ho").eqNullSafe(F.col("__hn")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))

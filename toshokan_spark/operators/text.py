@@ -678,7 +678,12 @@ def script_profile(
     ''))`` — one narrow JVM pass per class, no arrays, no UDF; every
     class is spelled with literal characters so the oracle's RE2
     compiles the identical automaton."""
-    nonspace = F.length(F.regexp_replace(F.col(text_col), "\\s", ""))
+    # explicit ASCII-whitespace class, NOT \s: Java regex \s matches
+    # vertical tab \x0B but RE2 (the oracle) does not — the same
+    # automaton must compile on both sides
+    nonspace = F.length(
+        F.regexp_replace(F.col(text_col), "[\\x09\\x0A\\x0B\\x0C\\x0D\\x20]", "")
+    )
 
     def cnt(cls: str) -> Column:
         return F.length(F.col(text_col)) - F.length(
