@@ -663,13 +663,13 @@ def q_normalize_text(spark, sf_dir):
 
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment dedup over a corpus seeded with
-    guaranteed chunk-of relations: each doc's 10-word prefix rides
-    along as a shifted-id 'chunk' doc, and every chunk must surface
-    as contained in its parent (containment 1.0, Jaccard far below
-    the symmetric threshold — the case Jaccard dedup misses)."""
+    guaranteed chunk-of relations: every 5th doc's 10-word prefix
+    rides along as a shifted-id 'chunk' doc, and every chunk must
+    surface as contained in its parent (containment 1.0, Jaccard far
+    below the symmetric threshold — the case Jaccard dedup misses)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = dedup_words(F.col("text"))
-    chunks = docs.select(
+    chunks = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat_ws(" ", F.slice(words, 1, 10)).alias("text"),
     )
@@ -2517,7 +2517,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 2000000 AS doc_id,
                      array_to_string({_WORDS}[1:10], ' ') AS text
-              FROM documents),
+              FROM documents WHERE doc_id % 5 = 0),
             sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM docs2),
             ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
             freqok AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000),
