@@ -323,3 +323,71 @@ def test_containment_dominates_jaccard_property(spark):
     assert (0, 100) in seen and (100, 0) in seen
     dup = {(r.contained_id, r.container_id): r for r in out}
     assert dup[(0, 100)].containment == 1.0 == dup[(100, 0)].containment
+
+
+def test_normalize_text_is_idempotent(spark):
+    """Canonicalization must be a projection: applying it twice
+    yields the first application's output (NFC is idempotent, the
+    control strip removes what it matches, collapsed single spaces
+    re-collapse to themselves). Randomized over unicode-ish text
+    including the characters each step targets."""
+    import random
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import text as textops
+
+    rng = random.Random(7)
+    alphabet = list("abc XYZ 123") + [" ", "　", "\t", "\n",
+                                      "\x07", "\x1f", "é", "é", "😀"]
+    rows = [
+        Row(doc_id=i, text="".join(rng.choices(alphabet, k=rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = textops.normalize_text(df)
+    twice = textops.normalize_text(
+        once.select("doc_id", once.text_norm.alias("text"))
+    )
+    a = {r.doc_id: r.text_norm for r in once.collect()}
+    b = {r.doc_id: (r.text_norm, r.changed) for r in twice.collect()}
+    for i, norm in a.items():
+        assert b[i][0] == norm, (i, norm, b[i][0])
+        assert b[i][1] is False, (i, norm)
+
+
+def test_snapshot_diff_partitions_the_id_universe(spark):
+    """Statuses partition old∪new exactly: every id appears once;
+    added = new-only ids, removed = old-only, and
+    changed+unchanged = the intersection. Randomized snapshots."""
+    import random
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+
+    rng = random.Random(21)
+    old_ids = set(rng.sample(range(100), 60))
+    new_ids = set(rng.sample(range(100), 60))
+    texts = {i: f"t{rng.randint(0, 5)}" for i in range(100)}
+    new_texts = {
+        i: (texts[i] if rng.random() < 0.5 else texts[i] + "'")
+        for i in range(100)
+    }
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=texts[i]) for i in sorted(old_ids)])
+    new = spark.createDataFrame(
+        [Row(doc_id=i, text=new_texts[i]) for i in sorted(new_ids)])
+    rows = dedup.snapshot_diff(old, new).collect()
+    assert len(rows) == len(old_ids | new_ids)
+    by = {}
+    for r in rows:
+        assert r.doc_id not in by, "duplicate id in diff"
+        by[r.doc_id] = r.status
+    assert {i for i, s in by.items() if s == "added"} == new_ids - old_ids
+    assert {i for i, s in by.items() if s == "removed"} == old_ids - new_ids
+    inter = old_ids & new_ids
+    assert {i for i in inter if by[i] == "unchanged"} == {
+        i for i in inter if texts[i] == new_texts[i]}
+    assert {i for i in inter if by[i] == "changed"} == {
+        i for i in inter if texts[i] != new_texts[i]}
