@@ -35,3 +35,18 @@ def test_no_entry_returns_complex_typed_columns(spark):
         "entries return columns the driver's pandas canon cannot sort "
         f"(explode to scalar rows instead): {offenders}"
     )
+
+
+def test_every_entry_has_an_oracle():
+    """Completeness in CI, not only in tools/check_oracle.py: an
+    entry without an oracle_sql twin silently downgrades to a
+    rows-only driver record — that must be a loud, deliberate choice
+    (ROWS_ONLY_OK in the tool), never an accident."""
+    import __spark_entry__ as entry
+    from tools.check_oracle import ROWS_ONLY_OK
+
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert not (oracles - qs), f"orphan oracles: {sorted(oracles - qs)}"
+    missing = qs - oracles - ROWS_ONLY_OK
+    assert not missing, f"entries without a value oracle: {sorted(missing)}"
