@@ -614,6 +614,19 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split packing into 256-token training
+    sequences per source shard: each doc's offset, sequence slot and
+    boundary-spanning flag."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    return sampling.pack_training_sequences(with_tokens, seq_len=256)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@5 of the approximate IVF index (2 of 8 probes) against
     brute-force ground truth over 20 queries — the ANN sign-off
@@ -1402,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "snapshot_diff": q_snapshot_diff,
         "ann_recall": q_ann_recall,
+        "pack_sequences": q_pack_sequences,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -2393,6 +2407,25 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE n_chars::DOUBLE > 0)
             SELECT doc_id, n_chars, sample_score FROM s
             ORDER BY sample_score DESC, doc_id ASC LIMIT 50
+        """,
+        # mirrors sampling.pack_training_sequences(seq_len=256) over
+        # word counts: per-source ordered cumsum, floor-division
+        # sequence slots, boundary flag
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, source, len({_WORDS}) AS n FROM documents),
+            c AS (
+              SELECT doc_id, source, n,
+                sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t WHERE n > 0)
+            SELECT source, doc_id,
+              (cum - n)::BIGINT AS start_tok,
+              cum::BIGINT AS end_tok,
+              ((cum - n) // 256)::BIGINT AS seq_id,
+              ((cum - 1) // 256)::BIGINT AS end_seq_id,
+              ((cum - n) // 256) <> ((cum - 1) // 256) AS spans_boundary
+            FROM c
         """,
         # mirrors q_ann_recall: the knn_ivf (2-probe) and
         # knn_bruteforce CTE chains over vec_id < 20 queries, then

@@ -1748,3 +1748,34 @@ def test_knn_recall_report_counts_hits(spark):
            for r in similarity.knn_recall_report(approx, exact, k=3).collect()}
     # query 2 got NOTHING from the approx index — still reported at 0
     assert out == {1: (2, round(2 / 3, 6)), 2: (0, 0.0)}
+
+
+def test_pack_training_sequences_concat_and_split(spark):
+    """Hand-checked packing: per-shard token stream offsets, sequence
+    slots at seq_len=10, boundary spanning, zero-token exclusion."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import sampling
+
+    rows = [
+        Row(source="a", doc_id=1, n_tokens=4),   # [0, 4)  seq 0
+        Row(source="a", doc_id=2, n_tokens=8),   # [4, 12) seq 0 -> 1
+        Row(source="a", doc_id=3, n_tokens=0),   # excluded
+        Row(source="a", doc_id=4, n_tokens=10),  # [12, 22) seq 1 -> 2
+        Row(source="b", doc_id=5, n_tokens=3),   # independent stream
+    ]
+    out = {r.doc_id: (r.start_tok, r.end_tok, r.seq_id, r.end_seq_id,
+                      r.spans_boundary)
+           for r in sampling.pack_training_sequences(
+               spark.createDataFrame(rows), seq_len=10).collect()}
+    assert out == {
+        1: (0, 4, 0, 0, False),
+        2: (4, 12, 0, 1, True),
+        4: (12, 22, 1, 2, True),
+        5: (0, 3, 0, 0, False),
+    }
+    # invariant: within a shard, offsets tile the stream exactly
+    import itertools
+    a_rows = sorted((v for k, v in out.items() if k in (1, 2, 4)))
+    for (s1, e1, *_), (s2, e2, *_) in itertools.pairwise(a_rows):
+        assert e1 == s2

@@ -312,3 +312,61 @@ def apply_mixture(
         .filter(sample_key(F.col(key_col), seed) < thr)
         .drop("__rate")
     )
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style sequence packing, the LAST step before tokenized
+    training data ships: within each shard, documents are
+    concatenated in ``order_col`` order and split into fixed
+    ``seq_len``-token training sequences; a document whose tokens
+    cross a boundary spans consecutive sequences (concat-then-split —
+    unlike :func:`chunk_documents`, which windows WITHIN one doc, and
+    :func:`token_budget_pack`, which caps totals without assigning
+    sequence slots). Returns one row per document:
+    ``(shard, doc, start_tok, end_tok, seq_id, end_seq_id,
+    spans_boundary)`` — ``start_tok`` is the doc's offset in the
+    shard's token stream, ``seq_id``/``end_seq_id`` the sequences its
+    first/last token land in.
+
+    Scale: ONE window partitioned by the shard column (a cumulative
+    sum over slim (shard, order, n) rows) — never a global ordered
+    window, which would serialize the corpus through one partition.
+    Shards are the natural packing unit anyway: training-data writers
+    emit one sequence file per shard. Deterministic given the
+    ordering column; non-positive token counts are excluded (they
+    have no tokens to place)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n = F.col(tokens_col).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n).over(w)
+    start = (cum - n).alias("start_tok")
+    out = df.filter(n > 0).select(
+        F.col(shard_col),
+        F.col(order_col),
+        start,
+        (cum - 1).alias("__last_tok"),
+        n.alias("__n"),
+    )
+    return out.select(
+        shard_col,
+        order_col,
+        "start_tok",
+        (F.col("__last_tok") + 1).alias("end_tok"),
+        F.floor(F.col("start_tok") / seq_len).cast("long").alias("seq_id"),
+        F.floor(F.col("__last_tok") / seq_len).cast("long").alias("end_seq_id"),
+        (
+            F.floor(F.col("start_tok") / seq_len)
+            != F.floor(F.col("__last_tok") / seq_len)
+        ).alias("spans_boundary"),
+    )
