@@ -614,6 +614,30 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_multimodal_audio_meta(spark, sf_dir):
+    """Audio metadata extraction (stub codec pinned for the value
+    oracle; the real stdlib-wave WAV branch is exercised in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = multimodal.decode_audio_meta(multimodal.attach_blob(docs), codec="stub")
+    m = F.col("audio_meta")
+    return out.select(
+        "doc_id",
+        m.getField("sample_rate").alias("sample_rate"),
+        m.getField("channels").alias("channels"),
+        m.getField("n_samples").alias("n_samples"),
+        m.getField("duration_ms").alias("duration_ms"),
+    )
+
+
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Per-window RMS energy fan-out (stub: hash-derived window count
+    and energies, oracle-reproducible)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.audio_window_energy(
+        multimodal.attach_blob(docs), codec="stub"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-split packing into 256-token training
     sequences per source shard: each doc's offset, sequence slot and
@@ -1416,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "ann_recall": q_ann_recall,
         "pack_sequences": q_pack_sequences,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_audio_energy": q_multimodal_audio_energy,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -3184,6 +3210,37 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, strlen(text) AS blob_bytes, sha256(text) AS blob_sha256
             FROM documents
+        """,
+        # mirrors multimodal._fake_audio_decode: digest byte j =
+        # hex pair (2j+1, 2) of sha256
+        "multimodal_audio_meta": """
+            WITH h AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) AS b0,
+                CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) AS b1,
+                CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) AS b2,
+                CAST(('0x' || substr(sha256(text), 7, 2)) AS INTEGER) AS b3
+              FROM documents)
+            SELECT doc_id,
+              (8000 * (1 + b0 % 6))::INTEGER AS sample_rate,
+              (CASE WHEN b1 % 2 = 0 THEN 1 ELSE 2 END)::INTEGER AS channels,
+              (1000 + (b2 * 256 + b3) % 64000)::BIGINT AS n_samples,
+              round((1000 + (b2 * 256 + b3) % 64000) * 1000.0
+                    / (8000 * (1 + b0 % 6)), 3) AS duration_ms
+            FROM h
+        """,
+        # mirrors multimodal.audio_window_energy stub: n_windows =
+        # 1 + b4 % 8, energy_i = digest byte (5+i) mod 32 over 255
+        "multimodal_audio_energy": """
+            WITH h AS (
+              SELECT doc_id, sha256(text) AS d,
+                CAST(('0x' || substr(sha256(text), 9, 2)) AS INTEGER) AS b4
+              FROM documents)
+            SELECT doc_id, t.i::INTEGER AS window_idx,
+              round(CAST(('0x' || substr(d, ((5 + t.i) % 32) * 2 + 1, 2)) AS INTEGER)
+                    / 255.0, 6) AS rms
+            FROM h, (SELECT unnest(range(0, 8)) AS i) t
+            WHERE t.i < 1 + b4 % 8
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -1779,3 +1779,71 @@ def test_pack_training_sequences_concat_and_split(spark):
     a_rows = sorted((v for k, v in out.items() if k in (1, 2, 4)))
     for (s1, e1, *_), (s2, e2, *_) in itertools.pairwise(a_rows):
         assert e1 == s2
+
+
+def test_audio_meta_real_wav_branch(spark):
+    """The REAL audio codec branch (stdlib wave — no optional dep
+    like PIL) parses a synthesized 16-bit PCM WAV exactly; non-WAV
+    bytes yield NULL meta under codec='real' and fall back to the
+    deterministic fake under 'auto'."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    sr, n = 16000, 4000  # 250 ms of a 440 Hz tone at amplitude 10000
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(10000 * math.sin(2 * math.pi * 440 * i / sr)))
+            for i in range(n)))
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [Row(doc_id=1, blob=bytearray(wav)),
+         Row(doc_id=2, blob=bytearray(b"not audio at all"))],
+        "doc_id long, blob binary")
+    real = {r.doc_id: r.audio_meta
+            for r in multimodal.decode_audio_meta(df, codec="real").collect()}
+    assert real[1].sample_rate == sr and real[1].n_samples == n
+    assert real[1].channels == 1 and real[1].format == "wav"
+    assert real[1].duration_ms == 250.0
+    assert real[2] is None
+    auto = {r.doc_id: r.audio_meta
+            for r in multimodal.decode_audio_meta(df, codec="auto").collect()}
+    assert auto[1].format == "wav" and auto[2].format == "fake"
+    # real window energy: a constant-amplitude sine's RMS is
+    # amplitude/sqrt(2) (~7071); both 125ms windows present
+    en = multimodal.audio_window_energy(
+        df.filter("doc_id = 1"), window_ms=125, codec="real").collect()
+    assert [r.window_idx for r in en] == [0, 1]
+    for r in en:
+        assert abs(r.rms - 10000 / math.sqrt(2)) < 60, r.rms
+
+
+def test_audio_energy_stub_fanout_bounds(spark):
+    """Stub path: 1..max_windows rows per doc, energies in [0,1],
+    reproducible across calls."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, blob=bytearray(f"blob {i}".encode())) for i in range(20)],
+        "doc_id long, blob binary")
+    a = multimodal.audio_window_energy(df, codec="stub", max_windows=4).collect()
+    b = multimodal.audio_window_energy(df, codec="stub", max_windows=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r.doc_id, []).append(r)
+        assert 0.0 <= r.rms <= 1.0
+    for doc, rows in per.items():
+        assert 1 <= len(rows) <= 4
+        assert sorted(r.window_idx for r in rows) == list(range(len(rows)))

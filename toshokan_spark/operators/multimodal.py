@@ -217,3 +217,178 @@ def sample_frames(
         F.encode(F.col("f.frame_text"), "utf-8").alias("frame"),
     )
     return ex.filter(F.octet_length("frame") > 0)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Half-UP decimal rounding: Python's round() is banker's and
+    disagrees with the oracle's half-away round() exactly on .5 ties
+    (observed: 1111.5625 ms -> 1111.562 vs 1111.563)."""
+    import math
+
+    p = 10 ** nd
+    return math.floor(x * p + 0.5) / p
+
+
+def _fake_audio_decode(blob: bytes) -> tuple:
+    """Deterministic fake audio header parse (content-hash derived,
+    so the value oracle reproduces it from sha256 alone). REAL
+    IMPLEMENTATION WOULD: parse the container header (WAV/FLAC/OGG)."""
+    h = hashlib.sha256(blob).digest()
+    sr = 8000 * (1 + h[0] % 6)              # 8000..48000
+    ch = 1 if h[1] % 2 == 0 else 2
+    n = 1000 + (h[2] * 256 + h[3]) % 64000  # 1000..64999 frames
+    return sr, ch, n, _round_half_up(n * 1000.0 / sr, 3), "fake"
+
+
+def _real_audio_decode(blob: bytes):
+    """REAL WAV header parse via the stdlib ``wave`` module — unlike
+    the PIL image path this needs no external dependency, so the
+    real-codec branch is exercised by the test suite (it synthesizes
+    a WAV and asserts exact frame counts). None for non-WAV bytes."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            n = w.getnframes()
+            return sr, ch, n, _round_half_up(n * 1000.0 / sr, 3), "wav"
+    except Exception:
+        return None
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    blob_col: str = "blob",
+    out_col: str = "audio_meta",
+    codec: str = "auto",
+) -> DataFrame:
+    """Typed audio metadata from the blob column (one mapInPandas
+    crossing per Arrow batch — the audio sibling of
+    :func:`decode_image_meta`).
+
+    ``codec`` semantics differ from the image path because the real
+    parser (stdlib ``wave``) is ALWAYS importable: ``'real'`` parses
+    WAV and yields NULL meta for anything else; ``'stub'`` pins the
+    content-hash fake (what the oracle entry uses); ``'auto'`` tries
+    the real WAV parse first and falls back to the fake per blob —
+    the behavior a mixed-container corpus wants."""
+    if codec not in ("auto", "real", "stub"):
+        raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, AUDIO_META_SCHEMA)]
+    )
+    keys = ("sample_rate", "channels", "n_samples", "duration_ms", "format")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for b in pdf[blob_col]:
+                if b is None:
+                    metas.append(None)
+                    continue
+                raw = bytes(b)
+                if codec == "stub":
+                    tup = _fake_audio_decode(raw)
+                elif codec == "real":
+                    tup = _real_audio_decode(raw)
+                else:
+                    tup = _real_audio_decode(raw) or _fake_audio_decode(raw)
+                metas.append(None if tup is None else dict(zip(keys, tup)))
+            pdf = pdf.copy()
+            pdf[out_col] = metas
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    window_ms: int = 250,
+    max_windows: int = 8,
+    codec: str = "auto",
+) -> DataFrame:
+    """Per-window RMS energy — the VAD / silence-trim / feature
+    input, as a 1->N row fan-out (the audio sibling of
+    :func:`sample_frames`): ``(id, window_idx, rms)``.
+
+    Real path (WAV, 16-bit PCM): numpy RMS over
+    ``sample_rate * window_ms / 1000`` frames per window. Stub path:
+    window count and energies derived from the content hash
+    (``1 + h[4] % max_windows`` windows, energy_i = h[5+i]/255) so
+    the value oracle reproduces them from sha256 alone. Only slim
+    (id, idx, rms) rows flow downstream — never the blob."""
+    if codec not in ("auto", "real", "stub"):
+        raise ValueError(f"codec must be auto|real|stub, got {codec!r}")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def _windows(raw: bytes):
+        if codec != "stub":
+            real = _real_audio_windows(raw, window_ms, max_windows)
+            if real is not None:
+                return real
+            if codec == "real":
+                return []
+        h = hashlib.sha256(raw).digest()
+        n = 1 + h[4] % max_windows
+        return [(i, round(h[(5 + i) % 32] / 255.0, 6)) for i in range(n)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, rmss = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                for i, e in _windows(bytes(b)):
+                    ids.append(rid)
+                    idxs.append(i)
+                    rmss.append(e)
+            yield pd.DataFrame({id_col: ids, "window_idx": idxs, "rms": rmss})
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
+
+
+def _real_audio_windows(raw: bytes, window_ms: int, max_windows: int):
+    """numpy RMS over 16-bit PCM WAV windows; None for non-WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(raw), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            sr = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    win = max(1, sr * window_ms // 1000)
+    out = []
+    for i in range(min(max_windows, (len(x) + win - 1) // win)):
+        seg = x[i * win:(i + 1) * win]
+        if len(seg) == 0:
+            break
+        out.append((i, round(float(np.sqrt(np.mean(seg * seg))), 6)))
+    return out
