@@ -268,3 +268,40 @@ def test_snapshot_diff_joins_slim_hash_frames(plans7b):
     a = plans7b["snapshot_diff"]
     assert "CartesianProduct" not in a["joins"], a
     assert "BroadcastNestedLoopJoin" not in a["joins"], a
+
+
+#: round-7 batch-3 additions (packing / audio)
+ROUND7C = ["pack_sequences", "multimodal_audio_meta", "multimodal_audio_energy"]
+
+
+@pytest.fixture(scope="module")
+def plans7c(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND7C:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_pack_sequences_one_scan_one_window_shuffle(plans7c):
+    """Concat-and-split packing is one documents scan plus exactly
+    the per-shard window exchange — a second exchange would mean the
+    cumsum went through a global ordered window."""
+    a = plans7c["pack_sequences"]
+    assert a["scans"] == 1, a
+    assert a["exchanges"] == 1, a
+
+
+def test_audio_passes_are_narrow(plans7c):
+    """Audio meta and window energy are single-scan mapInPandas
+    passes: blobs cross to Python once per Arrow batch and never
+    shuffle."""
+    for name in ("multimodal_audio_meta", "multimodal_audio_energy"):
+        a = plans7c[name]
+        assert a["scans"] == 1, (name, a)
+        assert a["exchanges"] == 0, (name, a)
