@@ -617,8 +617,12 @@ def q_source_quality_curves(spark, sf_dir):
 def q_multimodal_audio_meta(spark, sf_dir):
     """Audio metadata extraction (stub codec pinned for the value
     oracle; the real stdlib-wave WAV branch is exercised in pytest)."""
-    docs = _t(spark, sf_dir, "documents")
-    out = multimodal.decode_audio_meta(multimodal.attach_blob(docs), codec="stub")
+    # project BEFORE the Arrow crossing: mapInPandas is a pruning
+    # barrier, so every column in the input frame rides the batch
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = multimodal.decode_audio_meta(
+        multimodal.attach_blob(docs).select("doc_id", "blob"), codec="stub"
+    )
     m = F.col("audio_meta")
     return out.select(
         "doc_id",

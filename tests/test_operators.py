@@ -1825,6 +1825,38 @@ def test_audio_meta_real_wav_branch(spark):
     assert [r.window_idx for r in en] == [0, 1]
     for r in en:
         assert abs(r.rms - 10000 / math.sqrt(2)) < 60, r.rms
+    # STEREO: windows are frames (one sample per channel), so a
+    # stereo file of the same 4000 frames still yields exactly two
+    # 125ms windows with the same tone RMS — not four half-duration
+    # ones (the interleaved-sample-count bug this pins)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"".join(
+            struct.pack("<hh", v, v) for v in (
+                int(10000 * math.sin(2 * math.pi * 440 * i / sr))
+                for i in range(n))))
+    df2 = spark.createDataFrame(
+        [Row(doc_id=1, blob=bytearray(buf2.getvalue()))],
+        "doc_id long, blob binary")
+    en2 = multimodal.audio_window_energy(df2, window_ms=125, codec="real").collect()
+    assert [r.window_idx for r in en2] == [0, 1]
+    for r in en2:
+        assert abs(r.rms - 10000 / math.sqrt(2)) < 60, r.rms
+    # a REAL WAV with an unsupported PCM width (24-bit) yields no
+    # windows under 'auto' — never hash-noise fake energies
+    buf3 = io.BytesIO()
+    with wave.open(buf3, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(sr)
+        w.writeframes(b"\x00\x00\x10" * 100)
+    df3 = spark.createDataFrame(
+        [Row(doc_id=1, blob=bytearray(buf3.getvalue()))],
+        "doc_id long, blob binary")
+    assert multimodal.audio_window_energy(df3, codec="auto").collect() == []
 
 
 def test_audio_energy_stub_fanout_bounds(spark):

@@ -326,8 +326,11 @@ def audio_window_energy(
     input, as a 1->N row fan-out (the audio sibling of
     :func:`sample_frames`): ``(id, window_idx, rms)``.
 
-    Real path (WAV, 16-bit PCM): numpy RMS over
-    ``sample_rate * window_ms / 1000`` frames per window. Stub path:
+    Real path (WAV; 8/16/32-bit PCM): numpy RMS over
+    ``sample_rate * window_ms / 1000`` frames (x channels interleaved
+    samples) per window; a real WAV with an unsupported PCM width
+    yields NO windows — real audio never silently gets fake energies,
+    under 'auto' the stub only covers non-WAV bytes. Stub path:
     window count and energies derived from the content hash
     (``1 + h[4] % max_windows`` windows, energy_i = h[5+i]/255) so
     the value oracle reproduces them from sha256 alone. Only slim
@@ -369,7 +372,16 @@ def audio_window_energy(
 
 
 def _real_audio_windows(raw: bytes, window_ms: int, max_windows: int):
-    """numpy RMS over 16-bit PCM WAV windows; None for non-WAV."""
+    """numpy RMS over PCM WAV windows. Returns None for non-WAV bytes
+    (caller may fall back to the stub), [] for a REAL WAV whose PCM
+    width is unsupported (24-bit — real audio must never get fake
+    energies), else [(idx, rms), ...].
+
+    Windows are ``sample_rate * window_ms / 1000`` FRAMES — a frame is
+    one sample per channel, so the interleaved slice is frames x
+    channels samples (a stereo file previously got half-duration
+    windows). Only the frames the window budget needs are read: a
+    1-hour file decodes 2 s, not 2.7 GB per row."""
     import io
     import wave
 
@@ -377,17 +389,23 @@ def _real_audio_windows(raw: bytes, window_ms: int, max_windows: int):
 
     try:
         with wave.open(io.BytesIO(raw), "rb") as w:
-            if w.getsampwidth() != 2:
-                return None
+            width = w.getsampwidth()
             sr = w.getframerate()
-            frames = w.readframes(w.getnframes())
+            ch = w.getnchannels()
+            dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(width)
+            if dtype is None:
+                return []
+            win = max(1, sr * window_ms // 1000)  # frames per window
+            frames = w.readframes(min(w.getnframes(), win * max_windows))
     except Exception:
         return None
-    x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
-    win = max(1, sr * window_ms // 1000)
+    x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x -= 128.0  # 8-bit WAV is unsigned, midpoint 128
+    spw = win * ch  # interleaved samples per window
     out = []
-    for i in range(min(max_windows, (len(x) + win - 1) // win)):
-        seg = x[i * win:(i + 1) * win]
+    for i in range(min(max_windows, (len(x) + spw - 1) // spw)):
+        seg = x[i * spw:(i + 1) * spw]
         if len(seg) == 0:
             break
         out.append((i, round(float(np.sqrt(np.mean(seg * seg))), 6)))
