@@ -257,13 +257,17 @@ def test_stream_kill_and_restart_no_dup_no_loss(spark, catalog, tmp_path):
         commit_interval="1 seconds",
     )
     try:
-        deadline = time.time() + 90
+        # generous deadline: under full-suite load the 1s-trigger
+        # micro-batches can take tens of seconds each (observed one
+        # flake at 90s on a busy host); the exactly-once assertions
+        # below are what this test is for, not the warm-up latency
+        deadline = time.time() + 150
         while time.time() < deadline and len(catalog.segments("stream-logs")) < 2:
             time.sleep(0.2)
         assert len(catalog.segments("stream-logs")) >= 2
     finally:
         q.stop()  # the kill — mid-stream, files still unprocessed
-        q.awaitTermination(30)
+        q.awaitTermination(60)
 
     # under load the stream can drain every file between the
     # two-segment check and the stop — the mid-way state is therefore
@@ -275,7 +279,7 @@ def test_stream_kill_and_restart_no_dup_no_loss(spark, catalog, tmp_path):
             json.dumps({"ts": 1716822728 + i, "level": "INFO", "msg": f"m{i}"}) + "\n"
         )
     # restart from the same checkpoint, drain the rest
-    _drain(lines(), catalog, ckpt)
+    _drain(lines(), catalog, ckpt, timeout=180)
 
     segs = catalog.segments("stream-logs")
     assert sum(s.num_rows for s in segs) == n + 2  # no loss, no dup
