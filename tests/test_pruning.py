@@ -776,3 +776,41 @@ def test_bloom_pruning_at_10k_segments(spark, catalog, tmp_path):
     probe_s = _time.monotonic() - t0
     assert len(kept) == 1 and not kept[0].file_name.startswith("seg-fake-")
     assert probe_s < 5.0, f"bloom probe over 10k segments took {probe_s:.1f}s"
+
+
+def test_stats_cli_reports_manifest_overview(spark, catalog, tmp_path, capsys):
+    """The stats command prints the index overview from the manifest
+    alone (no Spark session): segment count, row totals, day ranges,
+    zone-mapped fields and bloom sizes."""
+    from toshokan_spark import cli
+
+    config = IndexConfig(
+        name="stidx",
+        path=str(tmp_path / "data" / "stidx"),
+        time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="n", type="number"),
+            FieldConfig(name="body", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    for i, day in enumerate(("2024-06-01", "2024-06-02")):
+        p = tmp_path / f"st-{i}.jsonl"
+        p.write_text(json.dumps(
+            {"ts": f"{day}T08:00:00Z", "n": i * 10, "body": f"alpha doc {i}"}
+        ) + "\n")
+        index_batch(spark, catalog, "stidx", jsonl_path=str(p))
+
+    rc = cli.main(["--catalog", catalog.root, "stats", "stidx"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stidx: 2 segment(s), 2 row(s)" in out
+    seg_lines = [l for l in out.splitlines() if l.startswith("  ")]
+    assert len(seg_lines) == 2
+    assert "days=2024-06-01..2024-06-01" in seg_lines[0]
+    # zone maps render: the time field as RFC3339, numbers raw
+    assert "ts:[2024-06-01T08:00:00Z..2024-06-01T08:00:00Z]" in seg_lines[0]
+    assert "n:[0..0]" in seg_lines[0] and "n:[10..10]" in seg_lines[1]
+    # the tokenized text field carries a bloom with its byte size
+    assert "blooms=body(" in seg_lines[0]
