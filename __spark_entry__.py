@@ -614,6 +614,14 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet-style perplexity terciles per source over the
+    corpus-trained unigram LM score (rank-based ntile — integer-exact
+    cross-engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.lm_quality_buckets(docs, n_buckets=3)
+
+
 def q_multimodal_audio_meta(spark, sf_dir):
     """Audio metadata extraction (stub codec pinned for the value
     oracle; the real stdlib-wave WAV branch is exercised in pytest)."""
@@ -1446,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_audio_energy": q_multimodal_audio_energy,
+        "lm_quality_buckets": q_lm_quality_buckets,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -3120,6 +3129,25 @@ def oracle_sql() -> dict[str, str]:
                      / count(*))::DOUBLE, 6) AS avg_logprob
             FROM toks JOIN freq USING (w), tot
             GROUP BY doc_id
+        """,
+        # mirrors text.lm_quality_buckets: the unigram-LM scoring CTE
+        # + per-source ntile(3) over (avg_logprob desc, doc_id) —
+        # rank-based, so integer-exact cross-engine
+        "lm_quality_buckets": f"""
+            WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS t FROM toks),
+            scored AS (
+              SELECT doc_id,
+                round((sum(ln(c / t::DOUBLE)::DECIMAL(38,18))
+                       / count(*))::DOUBLE, 6) AS avg_logprob
+              FROM toks JOIN freq USING (w), tot
+              GROUP BY doc_id)
+            SELECT s.doc_id, d.source, s.avg_logprob,
+              ntile(3) OVER (PARTITION BY d.source
+                             ORDER BY s.avg_logprob DESC, s.doc_id ASC)::INTEGER
+                AS bucket
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_id
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -1879,3 +1879,29 @@ def test_audio_energy_stub_fanout_bounds(spark):
     for doc, rows in per.items():
         assert 1 <= len(rows) <= 4
         assert sorted(r.window_idx for r in rows) == list(range(len(rows)))
+
+
+def test_lm_quality_buckets_equal_population_and_ordering(spark):
+    """Per-group terciles: equal-population split, bucket 1 holds the
+    highest LM scores, deterministic under equal scores."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import text as textops
+
+    common = "the the the and and of"
+    rare = "zyx wvu tsr qpo nml kji"
+    rows = []
+    for i in range(6):
+        rows.append(Row(doc_id=i, source="s",
+                        text=common if i < 3 else rare))
+    out = {r.doc_id: (r.bucket, r.avg_logprob)
+           for r in textops.lm_quality_buckets(
+               spark.createDataFrame(rows), n_buckets=3).collect()}
+    from collections import Counter
+    assert Counter(b for b, _ in out.values()) == {1: 2, 2: 2, 3: 2}
+    # every common-token doc outranks (lower bucket than-or-equal)
+    # every rare-token doc
+    worst_common = max(out[i][0] for i in range(3))
+    best_rare = min(out[i][0] for i in range(3, 6))
+    assert worst_common <= best_rare
+    assert out[0][1] > out[5][1]  # head logprob > tail logprob

@@ -723,3 +723,38 @@ def script_profile(
         .otherwise(F.lit("other"))
         .alias("dominant_script"),
     )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with
+    the corpus-trained unigram LM (:func:`unigram_logprob`) and
+    assign it to one of ``n_buckets`` equal-population buckets PER
+    GROUP by that score — bucket 1 is the head (most plausible under
+    the corpus LM), the last bucket the tail (rare-token-heavy). The
+    standard next step keeps the head+middle for training and
+    samples the tail (CCNet trains per-language buckets the same
+    way; per-source here).
+
+    The bucket is ``ntile`` over (score, id) — a RANK-based cut, so
+    it is integer-exact across engines (no threshold arithmetic to
+    drift); the id tie-break makes equal scores deterministic.
+    Cost: the unigram-LM pass plus one per-group window over the
+    slim (id, group, score) frame."""
+    scored = unigram_logprob(df, id_col, text_col).join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        group_col,
+        "avg_logprob",
+        F.ntile(n_buckets).over(w).cast("integer").alias("bucket"),
+    )
