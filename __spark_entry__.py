@@ -622,6 +622,15 @@ def q_lm_quality_buckets(spark, sf_dir):
     return textops.lm_quality_buckets(docs, n_buckets=3)
 
 
+def q_lm_quality_buckets_scaled(spark, sf_dir):
+    """Scale-safe twin of ``lm_quality_buckets``: identical buckets
+    via the two-level rank decomposition (no per-source window — the
+    heavy window runs per (source, coarse-quantile bucket)), proven
+    by sharing the rank-mode oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.lm_quality_buckets(docs, n_buckets=3, scale_mode=True)
+
+
 def q_multimodal_audio_meta(spark, sf_dir):
     """Audio metadata extraction (stub codec pinned for the value
     oracle; the real stdlib-wave WAV branch is exercised in pytest)."""
@@ -961,6 +970,25 @@ def q_token_budget_pack(spark, sf_dir):
         "doc_id", "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
     )
     out = sampling.token_budget_pack(with_tokens, budget_tokens=800)
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def q_token_budget_pack_scaled(spark, sf_dir):
+    """Scale-safe twin of ``token_budget_pack``: identical kept set
+    via the two-level prefix sum (local cumsums per (source, coarse
+    order bucket) + broadcast offsets — no per-source window), proven
+    by sharing the window-mode oracle."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    out = sampling.token_budget_pack(with_tokens, budget_tokens=800, scale_mode=True)
     return out.select(
         "doc_id", "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1455,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "lm_quality_buckets": q_lm_quality_buckets,
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "token_budget_pack_scaled": q_token_budget_pack_scaled,
         # (2b) CHANGED this round — the r6 record no longer proves the
         # current code, so they re-enter the recording window:
         # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
@@ -1710,7 +1740,7 @@ _LANG_SQL = {
 
 def oracle_sql() -> dict[str, str]:
     wl = _WORDS.replace("text", "lower(text)")  # lowercased token list
-    return {
+    d = {
         "search_term": """
             SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
             FROM events WHERE event_type = 'error' AND user_id >= 90
@@ -3308,3 +3338,9 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
     }
+    # the scale-mode twins must produce byte-identical results to the
+    # windowed defaults (two-level prefix decomposition is exact), so
+    # they share the same oracle — a driver-gated proof of equality
+    d["lm_quality_buckets_scaled"] = d["lm_quality_buckets"]
+    d["token_budget_pack_scaled"] = d["token_budget_pack"]
+    return d

@@ -1,0 +1,165 @@
+"""Scale-safe modes for the per-source rank/cumsum operators
+(VERDICT r7 directive 1): the default modes window-partition by
+``source`` — correct, but at 100× a handful of sources funnels every
+document of a source through ONE task. The scale modes replace the
+per-group window with the two-level prefix decomposition
+(``operators/util.py::grouped_prefix``) and must be (a) value-EQUAL
+to the window modes, (b) free of any window partitioned by the group
+column alone."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from toshokan_spark.operators.sampling import token_budget_pack
+from toshokan_spark.operators.text import lm_quality_buckets
+from toshokan_spark.operators.util import grouped_prefix, numeric_order_proxy
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_lm_quality_buckets_scale_mode_value_equal(spark, docs):
+    a = sorted(tuple(r) for r in lm_quality_buckets(docs).collect())
+    b = sorted(
+        tuple(r) for r in lm_quality_buckets(docs, scale_mode=True).collect()
+    )
+    assert a == b
+
+
+def test_token_budget_pack_scale_mode_value_equal(spark, docs):
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    a = sorted(
+        tuple(r) for r in token_budget_pack(with_tokens, 2000).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in token_budget_pack(with_tokens, 2000, scale_mode=True).collect()
+    )
+    assert a == b
+
+
+def test_token_budget_pack_scale_mode_string_order_col(spark, docs):
+    """The coarse-bucket proxy must handle non-numeric order columns:
+    ordering by a STRING key exercises the hex byte-fold proxy."""
+    with_tokens = docs.select(
+        F.format_string("doc-%06d", F.col("doc_id")).alias("key"),
+        "source",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    a = sorted(
+        tuple(r)
+        for r in token_budget_pack(with_tokens, 2000, order_col="key").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in token_budget_pack(
+            with_tokens, 2000, order_col="key", scale_mode=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_scale_mode_plans_have_no_per_group_window(spark, docs):
+    """THE point of scale mode: every window in the plan must be
+    partitioned by (group, __coarse) — never by the group alone,
+    which would serialize a whole source through one task. Checked on
+    the un-materialized plan (materialize=False skips the eager
+    localCheckpoint that would hide it)."""
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    for df in (
+        lm_quality_buckets(docs, scale_mode=True, materialize=False),
+        token_budget_pack(with_tokens, 2000, scale_mode=True, materialize=False),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        specs = [
+            seg.split(")")[0]
+            for seg in plan.split("windowspecdefinition(")[1:]
+        ]
+        assert specs, "scale-mode plan lost its window"
+        for spec in specs:
+            assert "__coarse" in spec, (
+                "window partitioned without __coarse — a per-source "
+                "single-task window is back: " + spec
+            )
+
+
+def test_grouped_prefix_exact_under_boundary_ties(spark):
+    """Rank exactness when the proxy collides across an approx-
+    percentile boundary: duplicate scores MUST share a coarse bucket
+    (assignment is by strict comparison against boundaries), and the
+    in-bucket order key breaks the ties — global rank and cumsum
+    match the single-window answers on pathological tie-heavy data,
+    including groups far smaller than n_coarse."""
+    from pyspark.sql.window import Window
+
+    rows = [
+        Row(g="a", k=i, s=float(v), w=i % 3 + 1)
+        # 60 rows over only 5 distinct scores: every quantile boundary
+        # lands ON a duplicated value
+        for i, v in enumerate([1, 1, 2, 2, 2, 3] * 10)
+    ] + [Row(g="tiny", k=0, s=9.0, w=5)]
+    df = spark.createDataFrame(rows)
+    out = grouped_prefix(
+        df,
+        "g",
+        F.col("s").cast("double"),
+        [F.col("s").asc(), F.col("k").asc()],
+        value=F.col("w"),
+        n_coarse=8,
+    )
+    w = Window.partitionBy("g").orderBy(F.col("s").asc(), F.col("k").asc())
+    expect = df.withColumn("__rank", F.row_number().over(w)).withColumn(
+        "__cumsum",
+        F.sum("w").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {(r.g, r.k): (r["__rank"], r["__cumsum"]) for r in out.collect()}
+    want = {(r.g, r.k): (r["__rank"], r["__cumsum"]) for r in expect.collect()}
+    assert got == want
+
+
+def test_grouped_prefix_null_proxy_routes_last(spark):
+    """Null proxies (desc-nulls-last / asc-nulls-last composite
+    orderings) land in the LAST coarse bucket and rank after every
+    non-null row, matching the single-window order."""
+    from pyspark.sql.window import Window
+
+    rows = [Row(g="x", k=i, s=None if i % 4 == 0 else float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, k int, s double")
+    out = grouped_prefix(
+        df, "g", F.col("s"), [F.col("s").asc_nulls_last(), F.col("k").asc()],
+        n_coarse=4,
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("s").asc_nulls_last(), F.col("k").asc()
+    )
+    expect = df.withColumn("__rank", F.row_number().over(w))
+    got = {r.k: r["__rank"] for r in out.collect()}
+    want = {r.k: r["__rank"] for r in expect.collect()}
+    assert got == want
+
+
+def test_numeric_order_proxy_string_is_monotone(spark):
+    """The 7-byte hex fold must never invert Spark's own string
+    ordering — the classic trap is variable-length values ('az' > 'b'
+    numerically when folded without padding). Non-strict monotone is
+    the contract: proxy order may tie, never invert."""
+    vals = ["", "a", "az", "b", "ba", "Z", "0", "zz", "é", "中文",
+            "abcdefgh", "abcdefg", "abcdefgz", "same-prefix-very-long-1",
+            "same-prefix-very-long-2"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    proxy = numeric_order_proxy(F.col("v"), df.schema["v"].dataType)
+    got = [
+        (r.v, r.p)
+        for r in df.select("v", proxy.alias("p")).orderBy("v").collect()
+    ]
+    ps = [p for _, p in got]
+    assert all(x <= y for x, y in zip(ps, ps[1:])), got

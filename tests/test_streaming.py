@@ -1165,3 +1165,67 @@ def test_streaming_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
     # their batch-1 value) is at most the table capacity
     b2_items = [it for it, v in latest.items() if batch1.get(it) != v]
     assert len(b2_items) <= 3
+
+
+def test_stream_dedup_replay_fence_keeps_within_batch_survivors(spark, tmp_path):
+    """The replay fence (ADVICE r7): when an epoch's grow-append
+    committed but its checkpoint did not, the replay re-matches the
+    batch against a store that already holds THIS epoch's own
+    __batch partition. Two mutually-similar docs that BOTH survived
+    the first run (within-batch near-dups are not this operator's
+    job) would then match each other via the store and BOTH be
+    dropped — the replayed overwrite would commit the shrunk set,
+    losing rows from sink and store alike. The fence excludes the
+    current epoch's partition, so a total replay reproduces the
+    first run byte-for-byte."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup as dedup_ops
+    from toshokan_spark.streaming.windowed import stream_dedup_against_corpus
+
+    table = "grow_sigs_fence"
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="seed corpus document completely original")]
+    )
+    dedup_ops.write_bucketed_signatures(
+        dedup_ops.corpus_minhash_signatures(seed),
+        table, str(tmp_path / "sigs"), buckets=2,
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # one batch, two near-identical docs: both are kept (neither is in
+    # the corpus), both signatures join the store
+    (indir / "b1.jsonl").write_text(
+        '{"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog"}\n'
+        '{"doc_id": 101, "text": "the quick brown fox jumps over the lazy dog again"}\n'
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    def drain():
+        docs = spark.readStream.schema(schema).json(str(indir))
+        q = stream_dedup_against_corpus(
+            docs, None, out, ckpt, threshold=0.3,
+            corpus_table=table, grow_store=True, store_buckets=2,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    drain()
+    spark.catalog.refreshTable(table)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [100, 101]
+    n_store = spark.table(table).count()
+    assert n_store == 3  # seed + both survivors
+
+    # worst-case replay: same scope, same epoch ids, store already grown
+    shutil.rmtree(ckpt)
+    drain()
+    spark.catalog.refreshTable(table)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [100, 101]
+    assert spark.table(table).count() == n_store
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

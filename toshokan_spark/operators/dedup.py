@@ -431,20 +431,29 @@ def containment_pairs(
     sh, both = _co_shingle_intersections(
         df, id_col, text_col, k, max_shingle_freq, shingle_unit
     )
-    fwd = both.select(
-        F.col("a_id").alias("contained_id"),
-        F.col("b_id").alias("container_id"),
-        (F.col("inter") / F.col("na")).alias("__c"),
-        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("__j"),
-    )
-    rev = both.select(
-        F.col("b_id").alias("contained_id"),
-        F.col("a_id").alias("container_id"),
-        (F.col("inter") / F.col("nb")).alias("__c"),
-        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("__j"),
+    # both ordered directions in ONE pass: each unordered pair row
+    # inlines a 2-struct array (a→b normalized by |S_a|, b→a by
+    # |S_b|). The earlier fwd.unionAll(rev) formulation referenced
+    # `both` twice, re-running the explode → self-join → groupBy
+    # pipeline — the expensive part — once per direction.
+    dirs = F.array(
+        F.struct(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+            (F.col("inter") / F.col("na")).alias("__c"),
+        ),
+        F.struct(
+            F.col("b_id").alias("contained_id"),
+            F.col("a_id").alias("container_id"),
+            (F.col("inter") / F.col("nb")).alias("__c"),
+        ),
     )
     out = (
-        fwd.unionAll(rev)
+        both.withColumn(
+            "__j",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .select(F.inline(dirs), "__j")
         .filter(F.col("__c") >= threshold)
         .select(
             "contained_id",
@@ -765,6 +774,16 @@ def append_bucketed_signatures(
     time (with merge/compaction cadence)."""
     spark = new_sigs.sparkSession
     if batch_token is not None:
+        if "__batch" not in spark.table(table_name).columns:
+            raise ValueError(
+                f"append_bucketed_signatures(batch_token=...) needs a "
+                f"store partitioned by __batch, but table "
+                f"{table_name!r} has no __batch column — it was built "
+                f"by a pre-partitioning write_bucketed_signatures. "
+                f"Rebuild the store with write_bucketed_signatures "
+                f"(current layouts always add __batch) or append "
+                f"without a batch_token (at-least-once)."
+            )
         # insertInto matches columns BY POSITION — align to the table's
         # schema order (data columns ..., __batch last)
         cols = [c for c in spark.table(table_name).columns if c != "__batch"]

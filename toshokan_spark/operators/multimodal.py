@@ -231,13 +231,27 @@ AUDIO_META_SCHEMA = T.StructType(
 
 
 def _round_half_up(x: float, nd: int) -> float:
-    """Half-UP decimal rounding: Python's round() is banker's and
-    disagrees with the oracle's half-away round() exactly on .5 ties
-    (observed: 1111.5625 ms -> 1111.562 vs 1111.563)."""
+    """Half-away decimal rounding, bit-faithful to the oracle.
+
+    Python's round() is banker's and disagrees with the oracle's
+    half-away round() exactly on .5 ties (observed: 1111.5625 ms ->
+    1111.562 vs 1111.563). DuckDB's round(x, s) for DOUBLE is
+    std::round(x * 10^s) / 10^s — half-away applied to the FP
+    product with NO intermediate +0.5 add. The earlier
+    floor(x*p + 0.5) emulation had the classic FP-boundary bug
+    (0.49999999999999994 + 0.5 == 1.0 rounds UP a value strictly
+    below one half); this version tests the fractional part of the
+    product directly, which for positive finite doubles is exactly
+    std::round. (A Decimal-exact quantize was considered and
+    rejected: the oracle itself rounds the FP product, so exact
+    decimal rounding could MISmatch where the two differ.) All call
+    sites pass non-negative values."""
     import math
 
-    p = 10 ** nd
-    return math.floor(x * p + 0.5) / p
+    p = 10.0 ** nd
+    y = x * p
+    f = math.floor(y)
+    return (f + 1.0 if y - f >= 0.5 else f) / p
 
 
 def _fake_audio_decode(blob: bytes) -> tuple:

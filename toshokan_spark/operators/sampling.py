@@ -122,6 +122,9 @@ def token_budget_pack(
     group_col: str = "source",
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    scale_mode: bool = False,
+    n_coarse: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Greedy per-group packing: walk each group's docs in
     ``order_col`` order and keep documents while the running token
@@ -131,14 +134,41 @@ def token_budget_pack(
     One shuffle (window partition by group), one cumsum. The kept
     set is deterministic given the ordering column — use a hash or
     quality rank there to control WHICH docs fill the budget.
-    """
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    ``scale_mode=True`` computes the SAME cumulative sums without
+    the per-group window: partitioning a running sum by ``group_col``
+    walks each source's ENTIRE doc list through one task — fine at
+    sf0.1, a serialized scan of a whole source at 100×. The
+    replacement is the textbook two-level prefix sum
+    (:func:`~toshokan_spark.operators.util.grouped_prefix`): local
+    cumsums within (source, coarse-order-bucket) partitions plus
+    broadcast per-bucket offsets. Exact — integer sums reassociate
+    freely — so the kept set is identical (asserted value-equal at
+    sf0.01, window shape pinned by plan test)."""
+    if not scale_mode:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn("cum_tokens", F.sum(F.col(tokens_col)).over(w))
+        return out.filter(F.col("cum_tokens") <= budget_tokens)
+    from toshokan_spark.operators.util import grouped_prefix, numeric_order_proxy
+
+    out = grouped_prefix(
+        df,
+        group_col,
+        numeric_order_proxy(F.col(order_col), df.schema[order_col].dataType),
+        [F.col(order_col).asc()],
+        value=F.col(tokens_col),
+        n_coarse=n_coarse,
+        cumsum_col="cum_tokens",
+        materialize=materialize,
     )
-    out = df.withColumn("cum_tokens", F.sum(F.col(tokens_col)).over(w))
-    return out.filter(F.col("cum_tokens") <= budget_tokens)
+    return (
+        out.filter(F.col("cum_tokens") <= budget_tokens)
+        .select(*df.columns, "cum_tokens")
+    )
 
 
 def source_mixture(

@@ -360,6 +360,71 @@ def _nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> 
     return _nearest_centroid_struct(vec, centroids).getField("cid")
 
 
+def _lloyd_rounds(
+    e: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int,
+    sum_decimal: str,
+    divide_in_decimal: bool,
+    keep_empty: bool,
+) -> list[tuple[int, list[float]]]:
+    """The ONE Lloyd iteration loop behind both trainers — extracted
+    so :func:`train_ivf_centroids` and :func:`kmeans_embeddings`
+    cannot drift apart. *e* is a (persisted) ``(id, v)`` frame; each
+    round assigns every vector to its nearest centroid and recomputes
+    per-(cid, dim) means with an order-independent decimal sum, so
+    the model — and therefore ANN candidate sets — is identical
+    across partition counts and shuffle orders.
+
+    The oracle-relevant knobs are explicit parameters, pinned by each
+    caller's value oracle:
+
+    * ``sum_decimal`` — the exact-sum precision
+      (IVF ``decimal(28,10)``, kmeans ``decimal(38,18)``);
+    * ``divide_in_decimal`` — IVF divides in decimal THEN casts to
+      double; kmeans casts the sum first and divides in doubles (the
+      shapes its DuckDB twin spells out);
+    * ``keep_empty`` — an empty cluster keeps its previous centroid
+      (kmeans, the standard Lloyd carry) or is dropped from the model
+      (IVF — a dead coarse cell would only waste a probe).
+
+    Driver state is only the C×dim centroid matrix (the model), never
+    data rows; each round is one distributed agg job whose COLLECT is
+    centroid-count-sized."""
+    for _ in range(iters):
+        assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+        if divide_in_decimal:
+            mean = (
+                F.sum(F.col("x").cast(sum_decimal)) / F.count(F.lit(1))
+            ).cast("double")
+        else:
+            mean = F.sum(F.col("x").cast(sum_decimal)).cast("double") / F.count(
+                F.lit(1)
+            )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(mean.alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        if keep_empty:
+            centroids = [
+                (cid, [by_cid[cid][p] for p in sorted(by_cid[cid])])
+                if cid in by_cid
+                else (cid, old)
+                for cid, old in centroids
+            ]
+        else:
+            centroids = [
+                (cid, [vals[p] for p in sorted(vals)])
+                for cid, vals in sorted(by_cid.items())
+            ]
+    return centroids
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,
@@ -388,25 +453,14 @@ def train_ivf_centroids(
             .collect()
         )
         centroids = [(i, [float(x) for x in r.v]) for i, r in enumerate(seed_rows)]
-        for _ in range(iters):
-            assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), centroids))
-            means = (
-                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(
-                    (
-                        F.sum(F.col("x").cast("decimal(28,10)")) / F.count(F.lit(1))
-                    ).cast("double").alias("m")
-                )
-                .collect()
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cid.setdefault(r.cid, {})[r.pos] = r.m
-            centroids = [
-                (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cid.items())
-            ]
-        return centroids
+        return _lloyd_rounds(
+            e,
+            centroids,
+            iters,
+            sum_decimal="decimal(28,10)",
+            divide_in_decimal=True,
+            keep_empty=False,
+        )
     finally:
         # unpersist in every exit path — the CacheManager never GCs
         e.unpersist()
@@ -747,28 +801,14 @@ def kmeans_embeddings(
     cents = seed_ivf_centroids(emb, num_centroids, id_col, vec_col)
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
     try:
-        for _ in range(iterations):
-            assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), cents))
-            means = (
-                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(
-                    (
-                        F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("m")
-                )
-                .collect()
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cid.setdefault(r.cid, {})[r.pos] = r.m
-            cents = [
-                (cid, [by_cid[cid][p] for p in sorted(by_cid[cid])])
-                if cid in by_cid
-                else (cid, old)
-                for cid, old in cents
-            ]
+        cents = _lloyd_rounds(
+            e,
+            cents,
+            iterations,
+            sum_decimal="decimal(38,18)",
+            divide_in_decimal=False,
+            keep_empty=True,
+        )
         best = _nearest_centroid_struct(F.col("v"), cents)
         return e.select(
             F.col("id").alias(id_col),

@@ -731,6 +731,9 @@ def lm_quality_buckets(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    scale_mode: bool = False,
+    n_coarse: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: score every document with
     the corpus-trained unigram LM (:func:`unigram_logprob`) and
@@ -745,16 +748,64 @@ def lm_quality_buckets(
     it is integer-exact across engines (no threshold arithmetic to
     drift); the id tie-break makes equal scores deterministic.
     Cost: the unigram-LM pass plus one per-group window over the
-    slim (id, group, score) frame."""
+    slim (id, group, score) frame.
+
+    ``scale_mode=True`` computes the SAME buckets without the
+    per-group window. The default window partitions by ``group_col``
+    — a handful of sources at corpus scale, so every document of a
+    source flows through ONE task to be rank-bucketed: correct at
+    sf0.1, a single-task sort of billions of slim rows at 100×.
+    CCNet's own recipe bins by broadcast per-language thresholds for
+    exactly this reason; here the two-level rank decomposition
+    (:func:`~toshokan_spark.operators.util.grouped_prefix`) goes one
+    better — still no per-source window (the heavy window runs per
+    (source, coarse-quantile-bucket), ~``n_coarse``-way parallel per
+    source), yet the global rank is EXACT, so the ntile assignment is
+    bit-identical to the default mode including score ties (proxy
+    ties share a coarse bucket and are tie-broken by id inside it).
+    Asserted value-equal at sf0.01 and window-shape-checked by plan
+    test."""
     scored = unigram_logprob(df, id_col, text_col).join(
         df.select(F.col(id_col), F.col(group_col)), id_col
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("avg_logprob").desc(), F.col(id_col).asc()
-    )
-    return scored.select(
-        id_col,
+    if not scale_mode:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("avg_logprob").desc(), F.col(id_col).asc()
+        )
+        return scored.select(
+            id_col,
+            group_col,
+            "avg_logprob",
+            F.ntile(n_buckets).over(w).cast("integer").alias("bucket"),
+        )
+    from toshokan_spark.operators.util import grouped_prefix
+
+    ranked = grouped_prefix(
+        scored,
         group_col,
-        "avg_logprob",
-        F.ntile(n_buckets).over(w).cast("integer").alias("bucket"),
+        -F.col("avg_logprob"),  # proxy ascending == score descending
+        [F.col("avg_logprob").desc(), F.col(id_col).asc()],
+        n_coarse=n_coarse,
+        materialize=materialize,
+    )
+    n_per_group = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    r, n, k = F.col("__rank"), F.col("__n"), F.lit(n_buckets)
+    f = F.floor(n / k)  # base bucket size; first (n % k) buckets get +1
+    m = n % k
+    # exact NTILE(k) from the global rank: rank r (1-based) lands in
+    #   ceil(r / (f+1))                      while r <= m*(f+1)
+    #   m + ceil((r - m*(f+1)) / f)          after the fat buckets
+    bucket = F.when(
+        r <= m * (f + 1), F.floor((r - 1) / (f + 1)) + 1
+    ).otherwise(m + F.floor((r - m * (f + 1) - 1) / f) + 1)
+    return (
+        ranked.join(F.broadcast(n_per_group), group_col)
+        .select(
+            id_col,
+            group_col,
+            "avg_logprob",
+            bucket.cast("integer").alias("bucket"),
+        )
     )

@@ -106,13 +106,32 @@ def salted_join(
     if salt_cols is not None:
         hash_cols = [*keys, *salt_cols]
     else:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _bears_map(dt) -> bool:
+            # xxhash64 rejects MapType at ANY nesting depth
+            # (array<map<...>>, struct<m: map<...>>), not just
+            # top-level — recurse the whole type tree
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _bears_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_bears_map(f.dataType) for f in dt.fields)
+            return False
 
         hash_cols = [
             f.name
             for f in big.schema.fields
-            if not isinstance(f.dataType, MapType)
+            if not _bears_map(f.dataType)
         ]
+        if not hash_cols:
+            raise ValueError(
+                "salted_join: every big-side column bears a map type, "
+                "so no deterministic salt can be derived — pass "
+                "salt_cols naming map-free columns that vary within a "
+                "hot key"
+            )
     b = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt)).cast("int"),
@@ -157,3 +176,163 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if size <= target * max_pb:
         return df.repartition(target)
     return df
+
+
+def numeric_order_proxy(col, dtype):
+    """A numeric expression that is (non-strictly) monotone in the
+    column's sort order — the coarse-bucketing key for
+    :func:`grouped_prefix`. Monotone NON-strict is all the two-level
+    decomposition needs: rows that collide on the proxy merely share
+    a coarse bucket and are ordered by the true key inside it.
+
+    * numeric types: cast to double (rounding a long > 2^53 can
+      merge neighbors but never reorders them);
+    * strings: the first 7 UTF-8 bytes folded big-endian into a long
+      via hex — UTF-8 byte order equals code-point order, and
+      right-padding the hex with '0' keeps shorter strings below
+      longer extensions exactly as Spark's string comparison does;
+    * timestamps/dates/booleans: their natural numeric cast.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, NumericType):
+        return col.cast("double")
+    if isinstance(dtype, StringType):
+        return F.conv(
+            F.rpad(F.hex(col.cast("binary")).substr(1, 14), 14, "0"), 16, 10
+        ).cast("long")
+    if isinstance(dtype, (TimestampType, DateType)):
+        return col.cast("timestamp").cast("double")
+    if isinstance(dtype, BooleanType):
+        return col.cast("int")
+    raise ValueError(
+        f"numeric_order_proxy: no monotone numeric proxy for {dtype}"
+    )
+
+
+def grouped_prefix(
+    df: DataFrame,
+    group_col: str,
+    proxy,
+    order_cols: Sequence,
+    *,
+    value=None,
+    n_coarse: int = 64,
+    accuracy: int = 10000,
+    rank_col: str = "__rank",
+    cumsum_col: str = "__cumsum",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact per-group rank (and optional running sum) WITHOUT a
+    per-group window — the scale-safe replacement for
+    ``Window.partitionBy(group)`` when the group cardinality is low
+    (a handful of sources): that window funnels every row of a group
+    through ONE task, the classic skewed-key shuffle. Here no task
+    ever holds more than ~1/n_coarse of a group:
+
+    1. per-group coarse-bucket boundaries from one
+       ``approx_percentile`` pass over *proxy* (deterministic sketch,
+       no sampling), broadcast back;
+    2. each row's coarse bucket by comparing its proxy to the
+       boundaries — monotone in the sort order, so bucket order IS
+       key order and proxy ties always share a bucket;
+    3. the expensive window runs per ``(group, coarse)`` — n_coarse-way
+       parallelism per group, bounded partition sizes;
+    4. per-bucket totals (a tiny ``G × n_coarse`` frame) turn into
+       per-bucket offsets via a broadcast triangular self-join — NOT a
+       per-group window, so the whole plan carries no window
+       partitioned by the group alone (asserted by plan test);
+    5. global rank/cumsum = local + preceding-bucket offset.
+
+    This is the standard distributed prefix-sum decomposition (the
+    two-level scan of parallel-algorithms textbooks) expressed in
+    DataFrame ops. Results are EXACTLY the single-window answers —
+    rank ties are impossible when *order_cols* is a total order.
+
+    *proxy* must be non-null and oriented ASCENDING in the desired
+    order (negate for descending keys); rows where it is null are
+    routed to the LAST bucket, matching desc-nulls-last / asc-nulls-
+    last composite orderings. *order_cols* are the full tie-broken
+    ordering expressions. *value*, when given, adds ``cumsum_col``
+    (running sum inclusive of the current row).
+
+    The plan references *df* twice (boundaries + data pass) and the
+    windowed frame twice (totals + final join), so both are persisted
+    for the duration of one eager materialization and released before
+    returning (the :func:`finalize_cached` discipline) — without it an
+    expensive upstream (the unigram-LM scorer, a tokenize pass) runs
+    once per reference. The persisted frames are the SLIM projection
+    the caller hands in, never the wide corpus; at cluster scale
+    they spill per ``MEMORY_AND_DISK`` instead of recomputing.
+    ``materialize=False`` returns the lazy plan un-persisted (for
+    plan-shape tests; production callers keep the default).
+    """
+    from pyspark.sql.window import Window
+
+    if materialize:
+        df = df.persist()
+    qs = [i / n_coarse for i in range(1, n_coarse)]
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(proxy, qs, accuracy).alias("__bounds")
+    )
+    d = (
+        df.withColumn("__proxy", proxy)
+        .join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "__coarse",
+            F.when(F.col("__proxy").isNull(), F.lit(n_coarse))
+            .otherwise(
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("__bounds"), lambda b: b < F.col("__proxy")
+                    )
+                )
+            )
+            .cast("int"),
+        )
+        .drop("__bounds", "__proxy")
+    )
+    wr = Window.partitionBy(group_col, "__coarse").orderBy(*order_cols)
+    d = d.withColumn("__lrank", F.row_number().over(wr))
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if value is not None:
+        ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d = d.withColumn("__lsum", F.sum(value).over(ws))
+        aggs.append(F.sum(value).alias("__vsum"))
+    if materialize:
+        d = d.persist()
+    tot = d.groupBy(group_col, "__coarse").agg(*aggs)
+    a, b = tot.alias("a"), tot.alias("b")
+    offs = [
+        F.coalesce(F.sum("b.__cnt"), F.lit(0)).cast("long").alias("__off_cnt")
+    ]
+    if value is not None:
+        offs.append(F.coalesce(F.sum("b.__vsum"), F.lit(0)).alias("__off_sum"))
+    off = (
+        a.join(
+            F.broadcast(b),
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col("b.__coarse") < F.col("a.__coarse")),
+            "left",
+        )
+        .groupBy(F.col(f"a.{group_col}"), F.col("a.__coarse"))
+        .agg(*offs)
+    )
+    out = d.join(F.broadcast(off), [group_col, "__coarse"]).withColumn(
+        rank_col, (F.col("__off_cnt") + F.col("__lrank")).cast("long")
+    )
+    if value is not None:
+        out = out.withColumn(
+            cumsum_col, F.col("__off_sum") + F.col("__lsum")
+        ).drop("__lsum", "__off_sum")
+    out = out.drop("__coarse", "__lrank", "__off_cnt")
+    if not materialize:
+        return out
+    return finalize_cached(out, df, d)

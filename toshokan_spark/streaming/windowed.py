@@ -297,7 +297,24 @@ def stream_dedup_against_corpus(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        corpus = spark.table(corpus_table) if corpus_table else corpus_sigs
+        if corpus_table:
+            corpus = spark.table(corpus_table)
+            # REPLAY FENCE: a crash between append_bucketed_signatures
+            # and the checkpoint commit replays this epoch against a
+            # store that already holds THIS epoch's own __batch
+            # partition. Without the fence, within-batch survivors
+            # (A~B, both kept in the first run) re-match each other via
+            # the store and are BOTH dropped — the replayed overwrite
+            # then commits the shrunk set, losing rows from sink and
+            # store alike. Excluding the current epoch's partition
+            # makes a replay see exactly the pre-epoch store, so the
+            # replayed output is byte-identical to the first run.
+            if "__batch" in corpus.columns:
+                corpus = corpus.filter(
+                    F.col("__batch") != f"{ckpt_scope}-{batch_id}"
+                )
+        else:
+            corpus = corpus_sigs
         hot = spark.table(hot_bands_table) if hot_bands_table else None
         matches = incremental_minhash_matches(
             batch,
@@ -318,12 +335,15 @@ def stream_dedup_against_corpus(
             # the self-maintaining loop: survivors' signatures join the
             # store so LATER batches are deduplicated against them too
             # (batch N+1 vs batch N, not just vs the seed corpus).
-            # Growth is EXACTLY-ONCE: the append lands in the store's
-            # __batch partition keyed by the same scope+epoch token as
-            # the sink directory, in dynamic partition-overwrite mode —
-            # a crash-replay of this epoch overwrites its own partition
-            # instead of double-appending signatures (which would
-            # double-count band-bucket members toward max_band_freq).
+            # Growth is exactly-once in two halves: the append lands in
+            # the store's __batch partition keyed by the same
+            # scope+epoch token as the sink directory, in dynamic
+            # partition-overwrite mode — a crash-replay of this epoch
+            # overwrites its own partition instead of double-appending
+            # signatures (which would double-count band-bucket members
+            # toward max_band_freq) — AND the replay fence above keeps
+            # the replayed match step from seeing this partition, so
+            # the overwrite rewrites identical content.
             # The hot-band table stays maintenance-refreshed
             # (refresh_hot_band_buckets), same staleness contract as
             # append_bucketed_signatures.
