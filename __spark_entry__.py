@@ -208,11 +208,72 @@ def q_ingest_roundtrip(spark, sf_dir):
     return typed.select("doc_id", "text", "lang", "source", "n_chars")
 
 
-def q_search_bm25(spark, sf_dir):
-    from toshokan_spark.functions.bm25 import bm25_scores
+#: one documents index per (app, sf_dir) process lifetime — BM25
+#: corpus stats are a commit-time artifact, paid once like any index
+#: build, then read (metadata-sized) by every scored query
+_BM25_INDEX_CACHE: dict = {}
 
-    docs = _t(spark, sf_dir, "documents")
-    out = bm25_scores(docs, "spark table", id_col="doc_id", text_col="text")
+
+def _docs_bm25_index(spark, sf_dir):
+    """Build (once per process per sf_dir) a REAL index over the
+    documents table so scored search exercises the manifest-stats
+    path end-to-end: segment write -> commit-time ``_stats`` parquet
+    (``indexer.write_segment_stats``) -> ``merged_stats_provider``
+    reading df/doc-length stats from the manifest's segments instead
+    of re-aggregating the corpus per query (VERDICT r7 directive 3).
+    Returns (catalog, config)."""
+    import tempfile
+
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BM25_INDEX_CACHE:
+        return _BM25_INDEX_CACHE[key]
+    root = tempfile.mkdtemp(prefix="bm25idx-")
+    catalog = FsCatalog(f"{root}/cat")
+    config = IndexConfig(
+        name="docs_bm25",
+        path=f"{root}/data/docs_bm25",
+        fields=[
+            FieldConfig(name="doc_id", type="number", number_type="i64"),
+            FieldConfig(name="text", type="text"),
+        ],
+    )
+    create_index(catalog, config)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    write_segment(catalog, config, docs)
+    _BM25_INDEX_CACHE[key] = (catalog, config)
+    return catalog, config
+
+
+def q_search_bm25(spark, sf_dir):
+    """BM25 over the indexed documents corpus with MANIFEST-read
+    stats: N / Σdl / per-term df come from the segments' commit-time
+    stats parquets (integer sums — exactly the corpus aggregation the
+    oracle computes), so the scored query never re-tokenizes the
+    corpus for statistics. The full-corpus fallback path stays
+    covered by ``hybrid_search_rrf`` and the bm25 unit tests."""
+    from toshokan_spark.functions.bm25 import merged_stats_provider, with_bm25
+    from toshokan_spark.indexer import stats_path
+    from toshokan_spark.search import read_segments
+    from toshokan_spark.storage import join_path
+
+    catalog, config = _docs_bm25_index(spark, sf_dir)
+    segs = catalog.segments("docs_bm25")
+    provider = merged_stats_provider(
+        spark, [stats_path(config, s.file_name) for s in segs], "text"
+    )
+    df = read_segments(
+        spark, [join_path(config.path, s.file_name) for s in segs],
+        partitioned=False,
+    )
+    out = with_bm25(
+        df.select(F.col("doc_id").alias("id"), "text"),
+        "spark table",
+        stats_provider=provider,
+    )
     return out.select(F.col("id").alias("doc_id"), "bm25")
 
 
@@ -1170,6 +1231,15 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, queries, k=5, num_planes=8, hash_family="lcg")
 
 
+def q_knn_graph(spark, sf_dir):
+    """Corpus-wide approximate k-NN graph (every vector its own
+    query) — LCG hyperplane buckets, bucket self-join, per-node
+    top-5. The all-nodes sibling of `knn_lsh` and the edge set
+    graph-based curation starts from."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5, num_planes=8, hash_family="lcg")
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF ANN, approximate settings (probes 2 of 8 buckets).
 
@@ -1465,67 +1535,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      union of consecutive driver records covers all entries),
     #   4. everything already driver-green last round.
     return {
-        # (1) r6 driver-gate failures, reshaped to scalar output
-        "normalize_embeddings": q_normalize_embeddings,
-        "quantize_embeddings": q_quantize_embeddings,
-        # (2) NEW this round
-        "length_histogram": q_length_histogram,
-        "cluster_size_histogram": q_cluster_size_histogram,
-        "zipf_profile": q_zipf_profile,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "minhash_calibration": q_minhash_calibration,
+        # -- r8 WINDOW (first 50): P1 entries whose implementation
+        # materially changed this round (containment single-pass,
+        # scale modes, shared Lloyd loop) ...
         "containment_pairs": q_containment_pairs,
-        "normalize_text": q_normalize_text,
-        "script_profile": q_script_profile,
-        "snapshot_diff": q_snapshot_diff,
-        "ann_recall": q_ann_recall,
-        "pack_sequences": q_pack_sequences,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "multimodal_audio_energy": q_multimodal_audio_energy,
         "lm_quality_buckets": q_lm_quality_buckets,
-        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
-        "token_budget_pack_scaled": q_token_budget_pack_scaled,
-        # (2b) CHANGED this round — the r6 record no longer proves the
-        # current code, so they re-enter the recording window:
-        # weighted_sample's ranking key moved to ln(u)/w (ADVICE #2),
-        # dedup_canonical's keeper selection left-joins scores
-        "weighted_sample": q_weighted_sample,
-        "dedup_canonical": q_dedup_canonical,
-        # (3) rotated out of the r6 50-entry record (driver-green r5,
-        # unchanged) — back through the window per VERDICT r6 #4
-        "customers_without_orders": q_customers_without_orders,
-        "click_only_users": q_click_only_users,
-        "user_sessions": q_user_sessions,
-        "rollup_revenue": q_rollup_revenue,
-        "asof_last_click": q_asof_last_click,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_char": q_dedup_minhash_char,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "sample_documents": q_sample_documents,
         "token_budget_pack": q_token_budget_pack,
-        "source_mixture": q_source_mixture,
-        "source_token_profile": q_source_token_profile,
-        "pii_scrub": q_pii_scrub,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_exact": q_knn_ivf_exact,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_gopher_rules": q_text_gopher_rules,
-        # (4) driver-green in the r6 record
-        "search_term": q_search_term,
-        "search_range": q_search_range,
-        "search_bool": q_search_bool,
-        "search_topk": q_search_topk,
-        "search_dt_range": q_search_dt_range,
+        # ... then every P0 entry with no previous-round driver
+        # record (NEW this round: the two scale-mode twins + the kNN
+        # graph; plus the 41 rotated out of r7's window).
+        # tools/rotation.py computes these sets
+        "knn_graph": q_knn_graph,
+        # from git + AST; tests/test_rotation.py enforces the order.
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "token_budget_pack_scaled": q_token_budget_pack_scaled,
         "search_text_term": q_search_text_term,
         "search_phrase": q_search_phrase,
         "search_bm25": q_search_bm25,
@@ -1567,6 +1593,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
+        # -- PAST THE WINDOW: remaining changed entries (r7-proven;
+        # module-level changes only — full local sweep re-proves
+        # them this round, driver re-proof next rotation) ...
+        "multimodal_audio_energy": q_multimodal_audio_energy,
+        "normalize_embeddings": q_normalize_embeddings,
+        "quantize_embeddings": q_quantize_embeddings,
+        "length_histogram": q_length_histogram,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "zipf_profile": q_zipf_profile,
+        "minhash_calibration": q_minhash_calibration,
+        "normalize_text": q_normalize_text,
+        "script_profile": q_script_profile,
+        "snapshot_diff": q_snapshot_diff,
+        "ann_recall": q_ann_recall,
+        "pack_sequences": q_pack_sequences,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "weighted_sample": q_weighted_sample,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_char": q_dedup_minhash_char,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "sample_documents": q_sample_documents,
+        "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
+        "pii_scrub": q_pii_scrub,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
+        # ... and unchanged r7-proven entries
+        "customers_without_orders": q_customers_without_orders,
+        "click_only_users": q_click_only_users,
+        "user_sessions": q_user_sessions,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_last_click": q_asof_last_click,
+        "search_term": q_search_term,
+        "search_range": q_search_range,
+        "search_bool": q_search_bool,
+        "search_topk": q_search_topk,
+        "search_dt_range": q_search_dt_range,
     }
 
 
@@ -3041,6 +3115,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hyperplane LSH, LCG plane family: buckets + multi-probe
         # (radius 1) + in-bucket cosine + rank, all reproduced
+        "knn_graph": f"""
+            WITH sigged AS (
+              SELECT vec_id, embedding,
+                     ({_lsh_sig_sql('embedding', 8)}) AS bucket
+              FROM embeddings),
+            probes AS (
+              SELECT vec_id AS query_id, embedding AS qv,
+                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
+              FROM sigged),
+            scored AS (
+              SELECT p.query_id, s.vec_id AS neighbor_id,
+                     {_COS.format(a="p.qv", b="s.embedding")} AS score
+              FROM probes p JOIN sigged s ON p.bucket = s.bucket
+              WHERE p.query_id <> s.vec_id)
+            SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+            FROM (
+              SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "knn_lsh": f"""
             WITH sigged AS (
               SELECT vec_id, embedding,

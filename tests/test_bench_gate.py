@@ -42,6 +42,11 @@ FLOORS = {
     "cluster_size_histogram": 1.5,
     "minhash_calibration": 1.8,
     "kmeans_embeddings": 2.2,
+    # round-8 additions (warm best on this config: 0.87/1.22/0.64/0.39)
+    "containment_pairs": 1.2,        # single-pass both-directions fix
+    "lm_quality_buckets_scaled": 1.6,
+    "token_budget_pack_scaled": 0.9,
+    "search_bm25": 0.6,              # manifest-stats path (post-build)
 }
 MULTIPLIER = 2.5
 RUNS = 3

@@ -305,3 +305,22 @@ def test_audio_passes_are_narrow(plans7c):
         a = plans7c[name]
         assert a["scans"] == 1, (name, a)
         assert a["exchanges"] == 0, (name, a)
+
+
+def test_search_bm25_entry_reads_manifest_stats(spark, sf_dir):
+    """The scored-search DRIVER ENTRY must take the manifest-stats
+    path (VERDICT r7 directive 3): its plan reads the commit-time
+    ``_stats`` parquets (identified by their fixed read schema) and
+    runs NO second corpus scan for statistics — exactly one data
+    FileScan plus one stats FileScan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_bm25"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_stats = plan.count("struct<field:string,term:string")
+    assert n_stats == 1, "entry did not read the stats parquets"
+    assert plan.count("FileScan") == 2, (
+        "expected exactly one data scan + one stats scan"
+    )

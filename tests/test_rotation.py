@@ -1,0 +1,69 @@
+"""Driver-window rotation gate (VERDICT r7 directive 5): the rule
+that every entry needing a fresh driver record is registered within
+the first 50 of ``queries()`` must not depend on builder memory.
+
+``tools/rotation.py`` computes, from git history alone (diff against
+the driver's last ``round N:`` seal commit) plus a static AST
+dependency analysis, which entries are unproven (P0) or stale-proven
+(P1). This test fails the suite when the registration order violates
+the priority rule."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.rotation import WINDOW, analyze  # noqa: E402
+
+
+def test_driver_window_priority_order():
+    a = analyze()
+    window = set(a["order"][:WINDOW])
+    p0, p1, p2 = set(a["p0"]), set(a["p1"]), set(a["p2"])
+
+    # every unproven entry must be recorded this round — if P0 alone
+    # ever exceeds the window, coverage is impossible and a human must
+    # split the round; fail loudly rather than silently drop proof
+    assert len(p0) <= WINDOW, (
+        f"{len(p0)} unproven entries exceed the {WINDOW}-slot window: "
+        "split the additions across rounds"
+    )
+    missing = p0 - window
+    assert not missing, f"unproven entries outside the window: {sorted(missing)}"
+
+    # remaining slots go to changed entries before unchanged ones:
+    # an unchanged-and-proven entry may only occupy a slot once every
+    # changed entry is inside
+    if p1 - window:
+        squatters = p2 & window
+        assert not squatters, (
+            f"changed entries {sorted(p1 - window)} are outside the "
+            f"window while unchanged-proven entries {sorted(squatters)} "
+            "are inside"
+        )
+
+
+def test_rotation_analysis_is_sound():
+    """Sanity on the analyzer itself: every entry classified exactly
+    once, and the dependency extraction sees through module aliases
+    and helper calls (search entries must map to the query module;
+    token_budget_pack must transitively reach util.py via
+    sampling.py)."""
+    from tools.rotation import _EntryAnalyzer, _closure, package_import_graph
+
+    a = analyze()
+    assert sorted(a["p0"] + a["p1"] + a["p2"]) == sorted(a["order"])
+
+    src = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py")
+    ).read()
+    an = _EntryAnalyzer(src)
+    graph = package_import_graph()
+    deps = _closure(an.entry_modules("q_search_term"), graph)
+    assert "toshokan_spark.query" in deps, deps
+    deps = _closure(an.entry_modules("q_token_budget_pack"), graph)
+    assert "toshokan_spark.operators.sampling" in deps
+    assert "toshokan_spark.operators.util" in deps, (
+        "transitive closure lost sampling.py -> util.py"
+    )

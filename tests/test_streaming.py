@@ -1148,14 +1148,15 @@ def test_streaming_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
     )
     drain(capacity=3)
     rows = spark.read.parquet(out).collect()
-    # emissions from batch 2 are the ones not present after batch 1
-    latest: dict = {}
+    # the append sink keeps both batch outputs; the shard's monotone
+    # epoch marks which rows are the CURRENT summary
+    max_epoch = max(r.epoch for r in rows)
+    latest = {
+        r.item: (r["count"], r.err) for r in rows if r.epoch == max_epoch
+    }
+    # batch-1-only view for the state-carry asserts below
     for r in rows:
-        # parquet append keeps both batch outputs; batch-2 rows have
-        # count >= batch-1 rows per item, so max-by-count is latest
-        cur = latest.get(r.item)
-        if cur is None or r["count"] >= cur[0]:
-            latest[r.item] = (r["count"], r.err)
+        latest.setdefault(r.item, (r["count"], r.err))
     assert latest["hot"] == (12, 0)          # 7 + 5, never evicted
     # SpaceSaving invariant: err >= 0 and count >= err, so count-err
     # lower-bounds the truth while count upper-bounds it
@@ -1229,3 +1230,87 @@ def test_stream_dedup_replay_fence_keeps_within_batch_survivors(spark, tmp_path)
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [100, 101]
     assert spark.table(table).count() == n_store
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_heavy_hitters_merged_topk_exact_then_bounded(spark, tmp_path):
+    """End-to-end consumption (VERDICT r7 directive 7): the batch
+    top-k over the append sink. Under capacity the merged top-k
+    EQUALS the exact counts; over capacity every reported count
+    upper-bounds the truth, count_lb = count - err lower-bounds it,
+    and the sufficiently-frequent item is guaranteed present with an
+    exact count."""
+    import collections
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import (
+        heavy_hitters_topk,
+        streaming_heavy_hitters,
+    )
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+
+    def run(name, batches, capacity, shards):
+        indir = tmp_path / f"in_{name}"
+        indir.mkdir()
+        out = str(tmp_path / f"out_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        stream = []
+        for i, batch in enumerate(batches):
+            (indir / f"b{i}.jsonl").write_text(
+                "\n".join(json.dumps({"k": k}) for k in batch) + "\n"
+            )
+            stream.extend(batch)
+            raw = spark.readStream.text(str(indir))
+            parsed = raw.select(
+                F.from_json("value", schema).alias("j")
+            ).select("j.*")
+            q = (
+                streaming_heavy_hitters(
+                    parsed, key_col="k", capacity=capacity, shards=shards
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.exception():
+                raise AssertionError(q.exception())
+        truth = collections.Counter(stream)
+        top = heavy_hitters_topk(spark.read.parquet(out), k=5).collect()
+        return truth, top
+
+    # UNDER capacity (6 distinct items, capacity 8 per shard): the
+    # merged top-k must EQUAL the exact counts, err 0 everywhere
+    batches = [
+        ["a"] * 9 + ["b"] * 7 + ["c"] * 2,
+        ["a"] * 3 + ["d"] * 5 + ["e"] * 4 + ["f"],
+    ]
+    truth, top = run("under", batches, capacity=8, shards=2)
+    got = [(r.item, r["count"], r.count_lb) for r in top]
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(it, c, c) for it, c in want]
+    assert all(r.err == 0 for r in top)
+
+    # OVER capacity (shards=1, capacity=3, a flood of fillers): the
+    # hot item (true count 24 > stream_len/capacity) is guaranteed
+    # present and never evicted (err 0 -> exact); every other report
+    # brackets its truth between count_lb and count
+    batches = [
+        ["hot"] * 12 + [f"x{i}" for i in range(20)],
+        ["hot"] * 12 + [f"y{i}" for i in range(20)] + ["x3"] * 6,
+    ]
+    truth, top = run("over", batches, capacity=3, shards=1)
+    by_item = {r.item: r for r in top}
+    # exact-if-frequent: hot is guaranteed present with an exact count
+    # (it was never an eviction heir). It need NOT rank first — a late
+    # filler inherits the table's min count as error, so its UPPER
+    # bound can legitimately exceed hot's exact 24; only the bracket
+    # guarantee holds for such items.
+    assert by_item["hot"]["count"] == 24 and by_item["hot"].err == 0
+    for r in top:
+        assert r.count_lb <= truth[r.item] <= r["count"], (r, truth[r.item])

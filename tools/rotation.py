@@ -1,0 +1,262 @@
+"""Driver-window rotation analysis (VERDICT r7 directive 5).
+
+The round driver records correctness for only the FIRST 50
+``queries()`` entries, so registration order is a proof-coverage
+decision. The rule this module automates (and
+``tests/test_rotation.py`` enforces) ranks entries by how badly they
+need a fresh driver record:
+
+* **P0 — unproven last round**: entries absent from the latest
+  ``CORRECTNESS_r{N}.json`` (new this round, or rotated out of the
+  previous window). They MUST be in the current window or the
+  round-union coverage breaks.
+* **P1 — changed since the seal**: entries whose implementation
+  changed since the last sealed round — either the entry function's
+  own source text in ``__spark_entry__.py`` differs, or any
+  ``toshokan_spark`` module in the entry's TRANSITIVE import set
+  (static AST analysis, intra-package import graph) was modified.
+  Their previous record proves stale code.
+* **P2 — proven and unchanged.**
+
+When P0 ∪ P1 exceeds 50 slots (a heavy-refactor round), the window
+holds all of P0 plus the highest-priority P1s; the overflow keeps its
+previous record + the full local sweep as evidence and rotates in
+next round. The test encodes exactly that: every P0 inside the
+window, and no P2 inside while a P1 is outside.
+
+The seal commit is the driver's most recent ``round N: ...`` commit,
+found from git history — no builder bookkeeping to forget.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "toshokan_spark"
+WINDOW = 50
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def seal_commit() -> str:
+    """The last round-seal boundary: the driver's most recent
+    ``round N: verdict/...`` commit."""
+    out = _git("log", "--grep=^round [0-9]*:", "-n", "1", "--format=%H")
+    if not out.strip():
+        raise RuntimeError("no driver seal commit found in history")
+    return out.strip()
+
+
+def changed_files(since: str) -> set[str]:
+    """Repo-relative paths changed between *since* and the WORKING
+    TREE (committed-this-round and uncommitted edits both count —
+    the driver records the tree it finds)."""
+    committed = _git("diff", "--name-only", since).splitlines()
+    untracked = _git(
+        "ls-files", "--others", "--exclude-standard"
+    ).splitlines()
+    return {p for p in committed + untracked if p}
+
+
+def _module_name(path: str) -> str | None:
+    if not path.endswith(".py") or not path.startswith(f"{PKG}/"):
+        return None
+    mod = path[: -len(".py")].replace("/", ".")
+    return mod[: -len(".__init__")] if mod.endswith(".__init__") else mod
+
+
+def package_import_graph() -> dict[str, set[str]]:
+    """module -> set of intra-package modules it imports (direct)."""
+    graph: dict[str, set[str]] = {}
+    for dirpath, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.relpath(os.path.join(dirpath, fn), REPO)
+            mod = _module_name(path)
+            if mod is None:
+                continue
+            tree = ast.parse(open(os.path.join(REPO, path)).read())
+            graph[mod] = _imports_of(tree)
+    return graph
+
+
+def _imports_of(tree: ast.AST) -> set[str]:
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG):
+                    out.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.module and node.module.startswith(PKG):
+                out.add(node.module)
+                # `from toshokan_spark.operators import sampling`
+                # imports MODULES, not names — add both readings;
+                # nonexistent module names just never match a file
+                for a in node.names:
+                    out.add(f"{node.module}.{a.name}")
+    return out
+
+
+def _closure(mods: set[str], graph: dict[str, set[str]]) -> set[str]:
+    seen = set()
+    stack = [m for m in mods]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(graph.get(m, ()))
+        # imported NAMES arrive fully qualified
+        # (toshokan_spark.query.compile_query) — their owning module
+        # is the dotted prefix; walk up so the module's own imports
+        # are followed too
+        if "." in m:
+            stack.append(m.rsplit(".", 1)[0])
+    return seen
+
+
+class _EntryAnalyzer:
+    """Per-entry dependency + source extraction from one
+    ``__spark_entry__.py`` source text."""
+
+    def __init__(self, source: str):
+        self.tree = ast.parse(source)
+        self.source = source
+        self.funcs: dict[str, ast.FunctionDef] = {
+            n.name: n
+            for n in self.tree.body
+            if isinstance(n, ast.FunctionDef)
+        }
+        # module-level aliases: `from toshokan_spark.operators import
+        # text as textops` -> {'textops': 'toshokan_spark.operators.text'}
+        self.aliases: dict[str, str] = {}
+        for node in self.tree.body:
+            if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+                for a in node.names:
+                    self.aliases[a.asname or a.name] = f"{node.module}.{a.name}"
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(PKG):
+                        self.aliases[a.asname or a.name.split(".")[0]] = a.name
+
+    def registry(self) -> list[str]:
+        """Registration order: the dict literal returned by queries()."""
+        q = self.funcs["queries"]
+        for node in ast.walk(q):
+            if isinstance(node, ast.Return) and isinstance(node.value, ast.Dict):
+                return [
+                    k.value
+                    for k in node.value.keys
+                    if isinstance(k, ast.Constant)
+                ]
+        raise RuntimeError("queries() return dict not found")
+
+    def entry_funcs(self) -> dict[str, str]:
+        """entry name -> function name (from the queries() dict)."""
+        q = self.funcs["queries"]
+        for node in ast.walk(q):
+            if isinstance(node, ast.Return) and isinstance(node.value, ast.Dict):
+                return {
+                    k.value: v.id
+                    for k, v in zip(node.value.keys, node.value.values)
+                    if isinstance(k, ast.Constant) and isinstance(v, ast.Name)
+                }
+        raise RuntimeError("queries() return dict not found")
+
+    def _direct_deps(self, fn: ast.FunctionDef) -> tuple[set[str], set[str]]:
+        """(package modules, local helper functions) referenced."""
+        mods = _imports_of(fn)
+        helpers: set[str] = set()
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Name):
+                if node.id in self.aliases:
+                    mods.add(self.aliases[node.id])
+                elif node.id in self.funcs and node.id != fn.name:
+                    helpers.add(node.id)
+        return mods, helpers
+
+    def entry_modules(self, fn_name: str) -> set[str]:
+        """All package modules an entry touches, following local
+        helper calls (e.g. _search -> compile_query -> query.py)."""
+        mods: set[str] = set()
+        seen: set[str] = set()
+        stack = [fn_name]
+        while stack:
+            name = stack.pop()
+            if name in seen or name not in self.funcs:
+                continue
+            seen.add(name)
+            m, helpers = self._direct_deps(self.funcs[name])
+            mods |= m
+            stack.extend(helpers)
+        return mods
+
+    def func_source(self, fn_name: str) -> str:
+        fn = self.funcs.get(fn_name)
+        if fn is None:
+            return ""
+        return ast.get_source_segment(self.source, fn) or ""
+
+
+def analyze(seal: str | None = None) -> dict:
+    """Classify every entry as P0/P1/P2 against the seal commit."""
+    import glob
+    import json
+
+    seal = seal or seal_commit()
+    cur_src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    cur = _EntryAnalyzer(cur_src)
+    try:
+        old_src = _git("show", f"{seal}:__spark_entry__.py")
+        old = _EntryAnalyzer(old_src)
+    except subprocess.CalledProcessError:
+        old = None
+
+    graph = package_import_graph()
+    changed = changed_files(seal)
+    changed_mods = {m for m in (_module_name(p) for p in changed) if m}
+
+    # the latest driver record (the previous round's proof)
+    recs = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r[0-9]*.json")))
+    proven = set(json.load(open(recs[-1]))) if recs else set()
+
+    order = cur.registry()
+    efuncs = cur.entry_funcs()
+    out = {"order": order, "p0": [], "p1": [], "p2": [], "seal": seal}
+    for name in order:
+        fn = efuncs.get(name)
+        if name not in proven:
+            out["p0"].append(name)
+            continue
+        deps = _closure(cur.entry_modules(fn), graph)
+        src_changed = old is None or cur.func_source(fn) != old.func_source(fn)
+        if src_changed or (deps & changed_mods):
+            out["p1"].append(name)
+        else:
+            out["p2"].append(name)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    a = analyze()
+    print(json.dumps({k: a[k] for k in ("seal", "p0", "p1")}, indent=2))
+    w = set(a["order"][:WINDOW])
+    print(f"\nwindow={WINDOW}  p0={len(a['p0'])}  p1={len(a['p1'])}  "
+          f"p2={len(a['p2'])}")
+    print("P0 outside window:", sorted(set(a["p0"]) - w))
+    p1_out = sorted(set(a["p1"]) - w)
+    p2_in = sorted(set(a["p2"]) & w)
+    print("P1 outside window:", p1_out)
+    if p1_out:
+        print("P2 inside window (must be empty when P1 overflows):", p2_in)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from toshokan_spark.operators.dedup import cosine_sim, dot_product, sq_norm
-from toshokan_spark.operators.util import spread
+from toshokan_spark.operators.util import finalize_cached, spread
 
 
 def knn_bruteforce(
@@ -661,6 +661,82 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    multiprobe: bool = True,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus — every vector is
+    its own query. This is the all-nodes sibling of :func:`knn_lsh`
+    (which broadcasts a small query set) and the structure
+    graph-based curation methods build first: SemDeDup-style
+    cluster-free near-dup discovery, connected-component semantic
+    clustering, and kNN-graph label propagation all start from
+    exactly these edges.
+
+    Shape: one signature pass, a bucket EQUI-self-join (no broadcast
+    — both sides are the corpus; candidates are bounded by bucket
+    occupancy, ~N/2^planes per bucket, times 1+planes with
+    multiprobe), cosine on candidates only, then per-node top-k. The
+    top-k ``row_number`` window partitions by the node id —
+    corpus-cardinality, no skew — and Spark executes the rank filter
+    with WindowGroupLimit (partial top-k before the shuffle), so no
+    task ever holds more than a partition's candidates. Multi-probe
+    buckets are pairwise-distinct values, so a (node, neighbor) pair
+    can match at most one probe — no dedup pass needed.
+
+    ``hash_family='lcg'`` makes the bucketing integer-exact for the
+    DuckDB oracle (driver entry ``knn_graph``); 'xxhash' is the
+    production default. Size ``num_planes`` so 2^planes tracks
+    corpus_size / target_bucket_size."""
+    base = spread(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).select(
+        "id",
+        "v",
+        hyperplane_signature(F.col("v"), num_planes, hash_family).alias("bucket"),
+        sq_norm(F.col("v")).alias("n2"),
+    ).persist()
+    left = base.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"), "bucket",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+        )
+        left = left.withColumn("bucket", F.explode(probes))
+    right = base.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"), "bucket",
+    )
+    scored = (
+        left.join(right, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            dot_product(F.col("qv"), F.col("cv"))
+            / F.sqrt(F.col("qn2") * F.col("cn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+        )
+    )
+    return finalize_cached(out, base)
 
 
 def semantic_dedup(

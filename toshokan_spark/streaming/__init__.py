@@ -2,6 +2,7 @@
 
 from toshokan_spark.streaming.ingest_stream import stream_index
 from toshokan_spark.streaming.stateful import (
+    heavy_hitters_topk,
     running_totals,
     streaming_heavy_hitters,
 )
@@ -16,6 +17,7 @@ from toshokan_spark.streaming.windowed import (
 
 __all__ = [
     "dedup_stream",
+    "heavy_hitters_topk",
     "running_totals",
     "session_windows",
     "stream_conversion_join",

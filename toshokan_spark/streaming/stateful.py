@@ -72,13 +72,16 @@ def streaming_heavy_hitters(
 
     Output: one row per (shard, item) of each UPDATED shard per
     micro-batch — ``count`` (upper bound on the item's true shard
-    count) and ``err`` (its maximum overestimation), so
-    ``count - err`` lower-bounds the truth. The SpaceSaving guarantee
-    carries per shard: any item whose true count exceeds
+    count), ``err`` (its maximum overestimation, so ``count - err``
+    lower-bounds the truth), and ``epoch`` (the shard's monotone
+    update counter: in an append sink, the rows with each shard's MAX
+    epoch are its current summary, and stale epochs — including items
+    since evicted — are ignored by the reader). The SpaceSaving
+    guarantee carries per shard: any item whose true count exceeds
     shard_stream_length / capacity is guaranteed present. Merge
-    shards with an ordinary batch top-k over the sink — items never
-    cross shards (hash-partitioned), so no cross-shard summary merge
-    is ever needed.
+    shards with :func:`heavy_hitters_topk` over the sink — items
+    never cross shards (hash-partitioned), so no cross-shard summary
+    merge is ever needed.
 
     Scale: the stream shuffles once on the shard key (``shards``
     should be >= executor parallelism); Arrow ships per-shard batches
@@ -92,6 +95,7 @@ def streaming_heavy_hitters(
             T.StructField("item", T.StringType()),
             T.StructField("count", T.LongType()),
             T.StructField("err", T.LongType()),
+            T.StructField("epoch", T.LongType()),
         ]
     )
     state_schema = T.StructType(
@@ -99,6 +103,7 @@ def streaming_heavy_hitters(
             T.StructField("items", T.ArrayType(T.StringType())),
             T.StructField("counts", T.ArrayType(T.LongType())),
             T.StructField("errs", T.ArrayType(T.LongType())),
+            T.StructField("epoch", T.LongType()),
         ]
     )
 
@@ -106,13 +111,15 @@ def streaming_heavy_hitters(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            items, counts, errs = state.get
+            items, counts, errs, epoch = state.get
             table = {
                 it: [int(c), int(er)]
                 for it, c, er in zip(items, counts, errs)
             }
+            epoch = int(epoch)
         else:
             table = {}
+            epoch = 0
         for pdf in pdfs:
             for item in pdf["item"]:
                 if item is None:
@@ -131,10 +138,12 @@ def streaming_heavy_hitters(
                     del table[victim]
                     table[item] = [m + 1, m]
         ordered = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        epoch += 1
         state.update((
             [it for it, _ in ordered],
             [c for _, (c, _) in ordered],
             [er for _, (_, er) in ordered],
+            epoch,
         ))
         yield pd.DataFrame(
             {
@@ -142,6 +151,7 @@ def streaming_heavy_hitters(
                 "item": [it for it, _ in ordered],
                 "count": [c for _, (c, _) in ordered],
                 "err": [er for _, (_, er) in ordered],
+                "epoch": [epoch] * len(ordered),
             }
         )
 
@@ -153,4 +163,49 @@ def streaming_heavy_hitters(
     )
     return ev.groupBy("__shard").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def heavy_hitters_topk(summaries: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k over a :func:`streaming_heavy_hitters` sink — the
+    batch half that makes the operator consumable end-to-end.
+
+    *summaries* is the append sink (or any collection of emitted
+    summary rows): an append sink accumulates one summary per shard
+    per micro-batch, and an item EVICTED in a later epoch must not be
+    resurrected by its stale rows — so the reader first keeps only
+    each shard's max-``epoch`` rows (its current summary), then ranks.
+
+    Because items are hash-partitioned, an item's global count IS its
+    shard count — merging shards is a plain union, never a summary
+    merge. Output per item:
+
+    * ``count``   — upper bound on the true count;
+    * ``count_lb``— ``count - err``, lower bound on the true count
+      (the SpaceSaving guarantee rule);
+    * exact when ``err`` is 0 (the item was never an eviction heir).
+
+    Ranking is by upper bound, ties by item, which preserves the
+    exact-if-frequent guarantee: any item with true count >
+    shard_len/capacity is in its shard's table, hence in this union.
+    Cost: the sink holds O(shards × capacity) rows per epoch — the
+    whole read is summary-sized, never stream-sized."""
+    from pyspark.sql import functions as F
+
+    latest = summaries.join(
+        F.broadcast(
+            summaries.groupBy("shard").agg(F.max("epoch").alias("epoch"))
+        ),
+        ["shard", "epoch"],
+    )
+    return (
+        latest.select(
+            "item",
+            "count",
+            (F.col("count") - F.col("err")).alias("count_lb"),
+            "err",
+            "shard",
+        )
+        .orderBy(F.col("count").desc(), F.col("item").asc())
+        .limit(k)
     )
