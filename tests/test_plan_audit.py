@@ -324,3 +324,34 @@ def test_search_bm25_entry_reads_manifest_stats(spark, sf_dir):
     assert plan.count("FileScan") == 2, (
         "expected exactly one data scan + one stats scan"
     )
+
+
+def test_knn_graph_is_equi_join_topk(spark, sf_dir):
+    """The corpus self-join must stay an EQUI join on the bucket key
+    (never cartesian / nested-loop over the corpus), and the per-node
+    top-k must execute with WindowGroupLimit (partial top-k before
+    the shuffle) so no task collects a node's full candidate list."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["knn_graph"](spark, sf_dir)
+    # finalize_cached materializes eagerly; audit the LAST materialized
+    # plan through the session's execution listener instead: re-derive
+    # the lazy plan directly from the operator with the same inputs
+    from toshokan_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # similarity imported finalize_cached by name — patch ITS binding
+    orig = similarity.finalize_cached
+    similarity.finalize_cached = lambda out, *cached: out
+    try:
+        lazy = similarity.knn_graph(emb, k=5, num_planes=8, hash_family="lcg")
+    finally:
+        similarity.finalize_cached = orig
+    try:
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "WindowGroupLimit" in plan, "top-k lost the group-limit pushdown"
+        assert df.count() > 0
+    finally:
+        # the patched finalize skipped the operator's own unpersist
+        spark.catalog.clearCache()

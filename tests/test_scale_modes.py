@@ -163,3 +163,45 @@ def test_numeric_order_proxy_string_is_monotone(spark):
     ]
     ps = [p for _, p in got]
     assert all(x <= y for x, y in zip(ps, ps[1:])), got
+
+
+def test_grouped_prefix_randomized_against_window(spark):
+    """Seeded randomized ground-truth check: many groups with wildly
+    different shapes (heavy ties, singletons, negative and huge
+    values, null-free) in ONE frame, several n_coarse settings —
+    rank and cumsum must equal the single-window answers exactly."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for g in range(12):
+        n = rng.choice([1, 2, 3, 7, 40, 150])
+        # small value domains force ties; large domains force spread
+        dom = rng.choice([2, 5, 10**9])
+        for i in range(n):
+            rows.append((f"g{g}", i, float(rng.randrange(-dom, dom)),
+                         rng.randrange(1, 100)))
+    df = spark.createDataFrame(rows, "g string, k int, s double, w int")
+    w = Window.partitionBy("g").orderBy(F.col("s").asc(), F.col("k").asc())
+    expect = (
+        df.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "c",
+            F.sum("w").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    want = {(r.g, r.k): (r.r, r.c) for r in expect.collect()}
+    for n_coarse in (2, 8, 64):
+        out = grouped_prefix(
+            df, "g", F.col("s").cast("double"),
+            [F.col("s").asc(), F.col("k").asc()],
+            value=F.col("w"), n_coarse=n_coarse,
+        )
+        got = {
+            (r.g, r.k): (r["__rank"], r["__cumsum"]) for r in out.collect()
+        }
+        assert got == want, f"n_coarse={n_coarse}"
