@@ -1240,6 +1240,16 @@ def q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(emb, k=5, num_planes=8, hash_family="lcg")
 
 
+def q_semantic_clusters(spark, sf_dir):
+    """Mutual-kNN connected components at cosine >= 0.3 over the LCG
+    hyperplane graph — cluster-count-free semantic clustering; every
+    vector labeled (singletons keep their own id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_clusters(
+        emb, k=5, min_score=0.3, num_planes=8, hash_family="lcg"
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF ANN, approximate settings (probes 2 of 8 buckets).
 
@@ -1543,12 +1553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": q_token_budget_pack,
         "kmeans_embeddings": q_kmeans_embeddings,
         "knn_ivf": q_knn_ivf,
-        "knn_ivf_exact": q_knn_ivf_exact,
         # ... then every P0 entry with no previous-round driver
         # record (NEW this round: the two scale-mode twins + the kNN
         # graph; plus the 41 rotated out of r7's window).
         # tools/rotation.py computes these sets
         "knn_graph": q_knn_graph,
+        "semantic_clusters": q_semantic_clusters,
         # from git + AST; tests/test_rotation.py enforces the order.
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
         "token_budget_pack_scaled": q_token_budget_pack_scaled,
@@ -1597,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module-level changes only — full local sweep re-proves
         # them this round, driver re-proof next rotation) ...
         "multimodal_audio_energy": q_multimodal_audio_energy,
+        "knn_ivf_exact": q_knn_ivf_exact,
         "normalize_embeddings": q_normalize_embeddings,
         "quantize_embeddings": q_quantize_embeddings,
         "length_histogram": q_length_histogram,
@@ -3115,6 +3126,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hyperplane LSH, LCG plane family: buckets + multi-probe
         # (radius 1) + in-bucket cosine + rank, all reproduced
+        "semantic_clusters": f"""
+            WITH RECURSIVE sigged AS (
+              SELECT vec_id, embedding,
+                     ({_lsh_sig_sql('embedding', 8)}) AS bucket
+              FROM embeddings),
+            probes AS (
+              SELECT vec_id AS query_id, embedding AS qv,
+                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
+              FROM sigged),
+            scored AS (
+              SELECT p.query_id, s.vec_id AS neighbor_id,
+                     {_COS.format(a="p.qv", b="s.embedding")} AS score
+              FROM probes p JOIN sigged s ON p.bucket = s.bucket
+              WHERE p.query_id <> s.vec_id),
+            g AS (
+              SELECT query_id, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored)
+              WHERE rank <= 5 AND round(score, 6) >= 0.3),
+            pairs AS (
+              SELECT a.query_id AS a_id, a.neighbor_id AS b_id
+              FROM g a JOIN g b
+                ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+              WHERE a.query_id < a.neighbor_id),
+            edges AS (
+              SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+            clus AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+            SELECT e.vec_id, coalesce(c.cid, e.vec_id)::BIGINT AS cluster_id
+            FROM embeddings e LEFT JOIN clus c ON c.id = e.vec_id
+        """,
         "knn_graph": f"""
             WITH sigged AS (
               SELECT vec_id, embedding,

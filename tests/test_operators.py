@@ -1905,3 +1905,51 @@ def test_lm_quality_buckets_equal_population_and_ordering(spark):
     best_rare = min(out[i][0] for i in range(3, 6))
     assert worst_common <= best_rare
     assert out[0][1] > out[5][1]  # head logprob > tail logprob
+
+
+def test_semantic_clusters_mutuality_and_singletons(spark):
+    """Mutual-kNN symmetrization: an edge requires BOTH endpoints to
+    rank each other inside top-k at the threshold — a hub vector
+    close to everything must not fuse two otherwise-unrelated tight
+    pairs when they don't rank it back. Singletons keep their own id
+    and every input row is labeled exactly once."""
+    import math
+
+    from toshokan_spark.operators import similarity
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        # tight pair A: ids 1, 2
+        (1, vec(0.00)), (2, vec(0.02)),
+        # tight pair B: ids 3, 4 — 90° away from A
+        (3, vec(1.55)), (4, vec(1.57)),
+        # far-away singleton
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.cluster_id
+        for r in similarity.semantic_clusters(
+            emb, k=1, min_score=0.9, num_planes=2, hash_family="lcg"
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1] == out[2] == 1
+    assert out[3] == out[4] == 3
+    assert out[5] == 5
+    # with k=1 and a hub H equally close to 1 and 3's groups, H ranks
+    # one of them top-1 but they rank their own partners first: no
+    # fused component
+    emb2 = spark.createDataFrame(
+        rows + [(6, vec(0.785))], "vec_id long, embedding array<double>"
+    )
+    out2 = {
+        r.vec_id: r.cluster_id
+        for r in similarity.semantic_clusters(
+            emb2, k=1, min_score=0.5, num_planes=2, hash_family="lcg"
+        ).collect()
+    }
+    assert out2[1] == out2[2] and out2[3] == out2[4]
+    assert out2[1] != out2[3], "hub fused unrelated clusters"

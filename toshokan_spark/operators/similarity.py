@@ -739,6 +739,68 @@ def knn_graph(
     return finalize_cached(out, base)
 
 
+def semantic_clusters(
+    corpus: DataFrame,
+    k: int = 5,
+    min_score: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    multiprobe: bool = True,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Cluster-count-free semantic clustering: connected components
+    of the MUTUAL k-NN graph at cosine >= ``min_score``. The
+    graph-based alternative to :func:`kmeans_embeddings` /
+    :func:`semantic_dedup` when the number of clusters is unknown —
+    mutual-kNN edges (both endpoints rank each other top-k) are the
+    standard symmetrization that keeps hub vectors from fusing
+    unrelated clusters, and the component label is the min member id
+    (deterministic, order-free).
+
+    Shape: :func:`knn_graph` builds the edge set (bucketed self-join,
+    output-sized); the mutuality check is a self-join of that
+    edge set against itself (edge-sized, never corpus-sized);
+    components run through the same large-star/small-star contraction
+    as text dedup (:func:`~toshokan_spark.operators.dedup.
+    duplicate_clusters` — O(log d) rounds, driver union-find finish
+    only under a measured edge-count gate). Vectors with no
+    qualifying mutual edge are their own singleton clusters via a
+    left join — every corpus row appears exactly once."""
+    from toshokan_spark.operators.dedup import duplicate_clusters
+
+    g = knn_graph(
+        corpus, k, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
+        multiprobe=multiprobe, hash_family=hash_family,
+    ).filter(F.col("score") >= min_score)
+    a, b = g.alias("a"), g.alias("b")
+    mutual = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id"))
+            & (F.col("a.query_id") < F.col("a.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("a_id"),
+            F.col("a.neighbor_id").alias("b_id"),
+        )
+    )
+    labels = duplicate_clusters(mutual)
+    return (
+        corpus.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
