@@ -1021,6 +1021,22 @@ def q_sample_documents(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Train/valid/test split hashed by near-dup CLUSTER id (so no
+    near-copy of a training doc can land in eval) — 80/10/10 over the
+    ngram-Jaccard cluster labels."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    labels = dedup.duplicate_clusters(pairs)
+    out = sampling.leakage_safe_split(
+        docs.select("doc_id", "source"), labels,
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "source", "cluster_id", "split")
+
+
 def q_token_budget_pack(spark, sf_dir):
     """Greedy per-source packing: keep docs (in doc_id order) while
     each source's running whitespace-token total stays <= 800."""
@@ -1552,13 +1568,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_buckets": q_lm_quality_buckets,
         "token_budget_pack": q_token_budget_pack,
         "kmeans_embeddings": q_kmeans_embeddings,
-        "knn_ivf": q_knn_ivf,
         # ... then every P0 entry with no previous-round driver
         # record (NEW this round: the two scale-mode twins + the kNN
         # graph; plus the 41 rotated out of r7's window).
         # tools/rotation.py computes these sets
         "knn_graph": q_knn_graph,
         "semantic_clusters": q_semantic_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
         # from git + AST; tests/test_rotation.py enforces the order.
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
         "token_budget_pack_scaled": q_token_budget_pack_scaled,
@@ -1607,7 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module-level changes only — full local sweep re-proves
         # them this round, driver re-proof next rotation) ...
         "multimodal_audio_energy": q_multimodal_audio_energy,
-        "knn_ivf_exact": q_knn_ivf_exact,
+"knn_ivf": q_knn_ivf,
+                "knn_ivf_exact": q_knn_ivf_exact,
         "normalize_embeddings": q_normalize_embeddings,
         "quantize_embeddings": q_quantize_embeddings,
         "length_histogram": q_length_histogram,
@@ -2112,6 +2129,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components over the (already-oracled) jaccard
         # pairs: min reachable id via recursive closure
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_CLUSTERS_CTE},
+            labeled AS (
+              SELECT d.doc_id, d.source,
+                     coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id
+              FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id)
+            SELECT doc_id, source, cluster_id,
+              CASE WHEN h < 8000 THEN 'train'
+                   WHEN h < 9000 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM (SELECT *,
+                    ({_poly_sql('cluster_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
+                    % 10000 AS h
+                  FROM labeled)
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_CLUSTERS_CTE}
             SELECT doc_id, cluster_id FROM clus

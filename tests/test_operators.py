@@ -1953,3 +1953,41 @@ def test_semantic_clusters_mutuality_and_singletons(spark):
     }
     assert out2[1] == out2[2] and out2[3] == out2[4]
     assert out2[1] != out2[3], "hub fused unrelated clusters"
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """THE property: no near-dup cluster straddles a split boundary,
+    every doc labeled exactly once, unlabeled docs are singletons,
+    and bad fractions are rejected."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s") for i in range(200)]
+    )
+    # clusters of 4: {0..3} -> 0, {4..7} -> 4, ... (only half the docs
+    # labeled; the rest are singletons)
+    labels = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=(i // 4) * 4) for i in range(100)]
+    )
+    out = leakage_safe_split(
+        docs, labels, {"train": 0.5, "valid": 0.25, "test": 0.25}
+    ).collect()
+    assert len(out) == 200
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), (
+        "a cluster straddles splits"
+    )
+    # unlabeled docs became their own singleton cluster
+    singles = {r.doc_id: r.cluster_id for r in out if r.doc_id >= 100}
+    assert all(cid == did for did, cid in singles.items())
+    # all three splits materialize at these fractions
+    assert {r.split for r in out} == {"train", "valid", "test"}
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, labels, {"train": 0.5, "test": 0.1})

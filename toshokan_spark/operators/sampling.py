@@ -65,6 +65,63 @@ def sample_by_hash(
     return df.filter(sample_key(F.col(key_col), seed) < threshold)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    cluster_labels: DataFrame,
+    fractions: "dict[str, float] | None" = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/valid/test assignment with NO near-duplicate leakage
+    across splits: the split is a deterministic hash of the CLUSTER
+    id (from :func:`~toshokan_spark.operators.dedup.
+    duplicate_clusters`), never the document id — every member of a
+    near-dup cluster lands in the SAME split, so a validation document
+    can never be a near-copy of a training one. Splitting by doc hash
+    (the naive recipe) leaks: near-dup pairs straddle the boundary
+    with probability 2·p·(1−p), which at web-corpus dup rates puts
+    millions of paraphrases of training docs into the eval set.
+
+    *cluster_labels* is ``(doc_id, cluster_id)``; docs without a label
+    are their own singleton cluster (left join + coalesce). *fractions*
+    maps split name -> fraction in DECLARATION order (cumulative
+    bucket ranges over the :data:`SAMPLE_BUCKETS` hash space —
+    set-stable like :func:`sample_by_hash`: growing a split's
+    fraction only MOVES boundary clusters into it). Fractions must
+    sum to 1 within 1/SAMPLE_BUCKETS.
+
+    Scale: one broadcast-or-shuffle left join on the id plus a narrow
+    hash projection — no window, no collect; cluster geometry is
+    whatever the dedup stage already computed."""
+    fractions = fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / SAMPLE_BUCKETS:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    labeled = docs.join(
+        cluster_labels.select(
+            F.col(id_col), F.col("cluster_id").alias("__cl")
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "cluster_id",
+        F.coalesce(F.col("__cl"), F.col(id_col)).cast("long"),
+    ).drop("__cl")
+    bucket = sample_key(F.col("cluster_id"), seed)
+    expr = None
+    cum = 0
+    names = list(fractions)
+    for name, frac in list(fractions.items())[:-1]:
+        cum += int(round(frac * SAMPLE_BUCKETS))
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return labeled.withColumn("split", split)
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
