@@ -1021,6 +1021,16 @@ def q_sample_documents(spark, sf_dir):
     )
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring report (Lee et al. 2107.06499
+    signal): per doc, the >= 10-token windows that occur verbatim
+    elsewhere (first occurrence owns them) and the token coverage of
+    their merged intervals. gram_key='raw' joins on the gram text
+    itself — zero collision risk, exactly what the oracle compares."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, k=10, gram_key="raw")
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Train/valid/test split hashed by near-dup CLUSTER id (so no
     near-copy of a training doc can land in eval) — 80/10/10 over the
@@ -1567,13 +1577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "lm_quality_buckets": q_lm_quality_buckets,
         "token_budget_pack": q_token_budget_pack,
-        "kmeans_embeddings": q_kmeans_embeddings,
         # ... then every P0 entry with no previous-round driver
         # record (NEW this round: the two scale-mode twins + the kNN
         # graph; plus the 41 rotated out of r7's window).
         # tools/rotation.py computes these sets
         "knn_graph": q_knn_graph,
         "semantic_clusters": q_semantic_clusters,
+        "substring_spans": q_substring_spans,
         "leakage_safe_split": q_leakage_safe_split,
         # from git + AST; tests/test_rotation.py enforces the order.
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
@@ -1624,7 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them this round, driver re-proof next rotation) ...
         "multimodal_audio_energy": q_multimodal_audio_energy,
 "knn_ivf": q_knn_ivf,
-                "knn_ivf_exact": q_knn_ivf_exact,
+                "kmeans_embeddings": q_kmeans_embeddings,
+        "knn_ivf_exact": q_knn_ivf_exact,
         "normalize_embeddings": q_normalize_embeddings,
         "quantize_embeddings": q_quantize_embeddings,
         "length_histogram": q_length_histogram,
@@ -2129,6 +2140,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components over the (already-oracled) jaccard
         # pairs: min reachable id via recursive closure
+        "substring_spans": f"""
+            WITH base AS (
+              SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n FROM documents),
+            grams AS (
+              SELECT doc_id, n, u.pos AS pos, u.g AS g FROM (
+                SELECT doc_id, n,
+                  unnest(list_transform(range(0, n - 10 + 1),
+                    i -> struct_pack(pos := i,
+                           g := array_to_string(list_slice(w, i + 1, i + 10), ' ')))) AS u
+                FROM base WHERE n >= 10)),
+            own AS (
+              SELECT g, count(*) AS c,
+                     min(struct_pack(d := doc_id, p := pos)) AS o
+              FROM grams GROUP BY g HAVING count(*) >= 2),
+            marked AS (
+              SELECT gr.doc_id, gr.pos
+              FROM grams gr JOIN own ON gr.g = own.g
+              WHERE NOT (gr.doc_id = own.o.d AND gr.pos = own.o.p)),
+            cov AS (
+              SELECT doc_id, pos,
+                max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM marked),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_dup_spans,
+                     sum(greatest(0, pos + 10 - greatest(pos, coalesce(pe, 0)))) AS covered
+              FROM cov GROUP BY doc_id)
+            SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+                   coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+                   coalesce(p.covered, 0)::BIGINT AS covered_tokens,
+                   CASE WHEN b.n > 0
+                        THEN round(coalesce(p.covered, 0) * 1.0 / b.n, 6)
+                        ELSE 0.0 END AS dup_fraction
+            FROM base b LEFT JOIN per_doc p USING (doc_id)
+        """,
         "leakage_safe_split": f"""
             WITH RECURSIVE {_CLUSTERS_CTE},
             labeled AS (

@@ -1991,3 +1991,48 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, labels, {"train": 0.5, "test": 0.1})
+
+
+def test_exact_substring_spans_semantics(spark):
+    """Owner exclusion, within-doc repeats, and interval union on a
+    hand-computable corpus; the xxhash and raw gram keys must agree."""
+    from pyspark.sql import Row
+
+    # doc 1: ABCDE FGHIJ  (10 tokens, all unique text -> owner of all)
+    # doc 2: copies doc 1's tokens 0..6 then diverges -> duplicated
+    #        3-grams at positions 0..4, one merged interval [0, 7)
+    # doc 3: internal repeat: X Y Z X Y Z X Y Z -> gram "x y z" at
+    #        0,3,6 (plus "y z x"@1,4 and "z x y"@2,5); position 0
+    #        owns "x y z"... every gram's first in-doc occurrence owns
+    d1 = "a b c d e f g h i j"
+    d2 = "a b c d e f g q r s"
+    d3 = "x y z x y z x y z"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=d1), Row(doc_id=2, text=d2), Row(doc_id=3, text=d3)]
+    )
+    for key in ("raw", "xxhash"):
+        out = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.covered_tokens)
+            for r in dedup.exact_substring_spans(
+                docs, k=3, gram_key=key
+            ).collect()
+        }
+        # doc 1 owns every shared gram (min doc id) -> zero dup spans
+        assert out[1] == (10, 0, 0), out
+        # doc 2: positions 0..4 duplicated ("a b c".."e f g"),
+        # union [0,5)+3-1 -> [0,7) = 7 tokens
+        assert out[2] == (10, 5, 7), out
+        # doc 3: grams (0..6); dup positions are 3,4,5,6 (each gram's
+        # pos 0/1/2 occurrence owns) -> union [3,9) = 6 tokens
+        assert out[3] == (9, 4, 6), out
+
+
+def test_exact_substring_spans_short_docs_report_zero(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="too short"), Row(doc_id=2, text="")]
+    )
+    out = {r.doc_id: tuple(r)[1:] for r in
+           dedup.exact_substring_spans(docs, k=5).collect()}
+    assert out == {1: (2, 0, 0, 0.0), 2: (0, 0, 0, 0.0)}

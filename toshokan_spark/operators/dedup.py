@@ -1952,6 +1952,107 @@ def embedding_dup_pairs(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_key: str = "xxhash",
+) -> DataFrame:
+    """Exact duplicated-substring report, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) signal without the suffix array: for every
+    document, how much of it is an EXACT >= k-token copy of text that
+    occurs elsewhere in the corpus (or earlier in the same document).
+    Near-dup methods (MinHash, SimHash) score whole documents;
+    memorization risk comes from verbatim SPANS inside otherwise
+    unique documents — quotes, wire copy, license boilerplate — which
+    is exactly what this measures.
+
+    Semantics: a position-p k-gram is *duplicated* when the same
+    k-token window occurs >= 2 times corpus-wide; the FIRST occurrence
+    (min (doc, pos)) is the owner and is not counted against its
+    document. Per document: the number of duplicated gram positions
+    and the number of tokens covered by the UNION of their [p, p+k)
+    intervals (merged via a per-document running-max window — the
+    classic interval-union scan), plus the covered fraction. Docs
+    shorter than k tokens report zeros.
+
+    Scale shape — deliberately NOTHING quadratic: one posexplode to
+    (doc, pos, gram), one groupBy gram (map-side combined) for
+    count + owner, one gram-keyed equi-join back, one per-DOCUMENT
+    window (id-cardinality partitioning, bounded by a doc's own dup
+    spans). A boilerplate gram in 10^6 documents costs 10^6 join rows
+    — linear, never the 10^12 a pair join would create. Shuffle
+    width: ``gram_key='xxhash'`` (default) ships 8-byte keys;
+    ``'raw'`` ships the gram text itself (what the value oracle uses
+    — string equality, zero collision risk)."""
+    words = words_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), words.alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.col("n") - k),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
+    )
+    grams = (
+        spread(base.filter(F.col("n") >= k))
+        .select("id", F.posexplode(gram).alias("pos", "g"))
+    )
+    if gram_key == "xxhash":
+        grams = grams.select("id", "pos", F.xxhash64("g").alias("g"))
+    elif gram_key != "raw":
+        raise ValueError(f"unknown gram_key {gram_key!r}")
+    own = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("o"),
+    ).filter(F.col("c") >= 2)
+    marked = (
+        grams.join(own, "g")
+        .filter(
+            ~(
+                (F.col("id") == F.col("o.id"))
+                & (F.col("pos") == F.col("o.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered_add = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + F.lit(k)
+        - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0))),
+    )
+    per_doc = (
+        marked.withColumn("__add", covered_add)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("__add").alias("covered"),
+        )
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.col("n") > 0,
+                F.round(F.coalesce("covered", F.lit(0)) / F.col("n"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
