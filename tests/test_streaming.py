@@ -1314,3 +1314,58 @@ def test_heavy_hitters_merged_topk_exact_then_bounded(spark, tmp_path):
     assert by_item["hot"]["count"] == 24 and by_item["hot"].err == 0
     for r in top:
         assert r.count_lb <= truth[r.item] <= r["count"], (r, truth[r.item])
+
+
+def test_streaming_distinct_count_bounded_state_and_accuracy(spark, tmp_path):
+    """HLL across micro-batches: values repeated across batches count
+    once (state carries), the estimate lands within HLL tolerance of
+    the exact distinct count, and state stays register-file-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import (
+        hll_distinct_estimate,
+        streaming_distinct_count,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("k", T.StringType())])
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        q = (
+            streaming_distinct_count(parsed, key_col="k",
+                                     precision=12, shards=4)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    # batch 1: ids 0..2999; batch 2: 1500..4499 (half overlap — the
+    # repeats must NOT count again)
+    (indir / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"k": f"id-{i}"}) for i in range(3000)) + "\n"
+    )
+    drain()
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"k": f"id-{i}"}) for i in range(1500, 4500)) + "\n"
+    )
+    drain()
+
+    sink = spark.read.parquet(out)
+    est = hll_distinct_estimate(sink)
+    exact = 4500
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # bounded state: every summary row is exactly one 4 KiB register
+    # file regardless of stream cardinality
+    assert {len(r.registers) for r in sink.collect()} == {4096}

@@ -3,7 +3,9 @@
 from toshokan_spark.streaming.ingest_stream import stream_index
 from toshokan_spark.streaming.stateful import (
     heavy_hitters_topk,
+    hll_distinct_estimate,
     running_totals,
+    streaming_distinct_count,
     streaming_heavy_hitters,
 )
 from toshokan_spark.streaming.windowed import (
@@ -18,7 +20,9 @@ from toshokan_spark.streaming.windowed import (
 __all__ = [
     "dedup_stream",
     "heavy_hitters_topk",
+    "hll_distinct_estimate",
     "running_totals",
+    "streaming_distinct_count",
     "session_windows",
     "stream_conversion_join",
     "stream_index",
