@@ -675,6 +675,13 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_ccnet_select(spark, sf_dir):
+    """CCNet selection: keep head+middle perplexity buckets whole,
+    hash-sample the tail at 20% (set-stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.ccnet_select(docs, n_buckets=3, tail_rate=0.2)
+
+
 def q_lm_quality_buckets(spark, sf_dir):
     """CCNet-style perplexity terciles per source over the
     corpus-trained unigram LM score (rank-based ntile — integer-exact
@@ -1576,7 +1583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale modes, shared Lloyd loop) ...
         "containment_pairs": q_containment_pairs,
         "lm_quality_buckets": q_lm_quality_buckets,
-        "token_budget_pack": q_token_budget_pack,
         # ... then every P0 entry with no previous-round driver
         # record (NEW this round: the two scale-mode twins + the kNN
         # graph; plus the 41 rotated out of r7's window).
@@ -1584,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
+        "ccnet_select": q_ccnet_select,
         "leakage_safe_split": q_leakage_safe_split,
         # from git + AST; tests/test_rotation.py enforces the order.
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
@@ -1634,7 +1641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them this round, driver re-proof next rotation) ...
         "multimodal_audio_energy": q_multimodal_audio_energy,
 "knn_ivf": q_knn_ivf,
-                "kmeans_embeddings": q_kmeans_embeddings,
+                "token_budget_pack": q_token_budget_pack,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "knn_ivf_exact": q_knn_ivf_exact,
         "normalize_embeddings": q_normalize_embeddings,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3385,6 +3393,30 @@ def oracle_sql() -> dict[str, str]:
         # mirrors text.lm_quality_buckets: the unigram-LM scoring CTE
         # + per-source ntile(3) over (avg_logprob desc, doc_id) —
         # rank-based, so integer-exact cross-engine
+        "ccnet_select": f"""
+            WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT count(*) AS t FROM toks),
+            scored AS (
+              SELECT doc_id,
+                round((sum(ln(c / t::DOUBLE)::DECIMAL(38,18))
+                       / count(*))::DOUBLE, 6) AS avg_logprob
+              FROM toks JOIN freq USING (w), tot
+              GROUP BY doc_id),
+            bucketed AS (
+              SELECT s.doc_id, d.source, s.avg_logprob,
+                ntile(3) OVER (PARTITION BY d.source
+                               ORDER BY s.avg_logprob DESC, s.doc_id ASC)::INTEGER
+                  AS bucket
+              FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+            SELECT doc_id, source, avg_logprob, bucket,
+              CASE WHEN bucket = 3 THEN 'tail_sample'
+                   ELSE 'head_middle' END AS kept_by
+            FROM bucketed
+            WHERE bucket < 3 OR
+              ({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
+              % 10000 < 2000
+        """,
         "lm_quality_buckets": f"""
             WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
             freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),

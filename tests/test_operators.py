@@ -2036,3 +2036,17 @@ def test_exact_substring_spans_short_docs_report_zero(spark):
     out = {r.doc_id: tuple(r)[1:] for r in
            dedup.exact_substring_spans(docs, k=5).collect()}
     assert out == {1: (2, 0, 0, 0.0), 2: (0, 0, 0, 0.0)}
+
+
+def test_ccnet_select_keeps_head_and_is_set_stable(spark, sf_dir):
+    """Head+middle buckets survive whole; the tail sample is
+    SET-STABLE (raising tail_rate only adds documents, never swaps)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = textops.lm_quality_buckets(docs)
+    lo = textops.ccnet_select(docs, tail_rate=0.1)
+    hi = textops.ccnet_select(docs, tail_rate=0.3)
+    n_head_mid = full.filter(F.col("bucket") < 3).count()
+    assert lo.filter(F.col("kept_by") == "head_middle").count() == n_head_mid
+    lo_tail = {r.doc_id for r in lo.filter(F.col("kept_by") == "tail_sample").collect()}
+    hi_tail = {r.doc_id for r in hi.filter(F.col("kept_by") == "tail_sample").collect()}
+    assert lo_tail <= hi_tail and len(hi_tail) > len(lo_tail)

@@ -725,6 +725,54 @@ def script_profile(
     )
 
 
+def ccnet_select(
+    df: DataFrame,
+    n_buckets: int = 3,
+    tail_rate: float = 0.1,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    scale_mode: bool = False,
+) -> DataFrame:
+    """The CCNet SELECTION step composed end-to-end: bucket every
+    document per source by corpus-LM score (:func:`lm_quality_buckets`
+    — bucket 1 = head), KEEP the head and middle buckets whole, and
+    deterministically hash-sample the TAIL bucket at ``tail_rate``
+    (CCNet keeps head+middle for training and thins the tail rather
+    than dropping it — tail text still carries rare-token signal).
+    Returns the kept rows as ``(id, group, avg_logprob, bucket,
+    kept_by)`` where ``kept_by`` is 'head_middle' or 'tail_sample'.
+
+    The sample is the set-stable sampling hash
+    (:func:`~toshokan_spark.operators.sampling.sample_by_hash`
+    semantics): raising ``tail_rate`` only ADDS tail documents.
+    ``scale_mode`` passes through to the bucketing stage (the
+    two-level rank decomposition — no per-source window)."""
+    from toshokan_spark.operators.sampling import SAMPLE_BUCKETS, sample_key
+
+    buckets = lm_quality_buckets(
+        df,
+        n_buckets=n_buckets,
+        group_col=group_col,
+        id_col=id_col,
+        text_col=text_col,
+        scale_mode=scale_mode,
+    )
+    threshold = int(tail_rate * SAMPLE_BUCKETS)
+    is_tail = F.col("bucket") == n_buckets
+    sampled = sample_key(F.col(id_col), seed) < threshold
+    return (
+        buckets.filter(~is_tail | sampled)
+        .withColumn(
+            "kept_by",
+            F.when(is_tail, F.lit("tail_sample")).otherwise(
+                F.lit("head_middle")
+            ),
+        )
+    )
+
+
 def lm_quality_buckets(
     df: DataFrame,
     n_buckets: int = 3,
