@@ -355,3 +355,23 @@ def test_knn_graph_is_equi_join_topk(spark, sf_dir):
     finally:
         # the patched finalize skipped the operator's own unpersist
         spark.catalog.clearCache()
+
+
+def test_substring_spans_plan_is_join_shaped(spark, sf_dir):
+    """exact_substring_spans must stay on the aggregation+equi-join
+    path: no cartesian/nested-loop anywhere, and no window keyed on
+    the gram (gram frequency is heavy-tailed — the doc-keyed interval
+    window is the only one allowed)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["substring_spans"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("windowspecdefinition(")[1:]:
+        spec = seg.split(")")[0]
+        assert "g#" not in spec.split(",")[0], (
+            "window partitioned by gram: " + spec
+        )

@@ -1986,7 +1986,17 @@ def exact_substring_spans(
     — linear, never the 10^12 a pair join would create. Shuffle
     width: ``gram_key='xxhash'`` (default) ships 8-byte keys;
     ``'raw'`` ships the gram text itself (what the value oracle uses
-    — string equality, zero collision risk)."""
+    — string equality, zero collision risk).
+
+    Two deliberate recompute trades, chosen over their alternatives:
+    the gram stream is referenced twice (owner agg + join-back) and
+    re-derived each time rather than persisted — materializing the
+    exploded grams would hold ~k× the corpus; a narrow scan+explode
+    recompute is cheaper than that at 100 TB. And owner selection is
+    a groupBy + join-back, NOT a per-gram window: gram frequency is
+    heavy-tailed, and a window would funnel a boilerplate gram's 10^6
+    occurrences through one task while the aggregation path gets
+    map-side partials and AQE skew handling."""
     words = words_col(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), words.alias("w")).withColumn(
         "n", F.size("w")
