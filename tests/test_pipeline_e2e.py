@@ -1,0 +1,117 @@
+"""End-to-end curation pipeline: the operators composed the way a
+real training-data run composes them, with the cross-stage invariants
+asserted — composition is where unit-green operators disagree about
+schemas, id columns, and ordering assumptions.
+
+Stages (a RefinedWeb/CCNet-shaped recipe):
+  ingest JSONL -> canonicalize -> exact dedup -> near-dup clusters
+  -> quality filter (Gopher flags) -> CCNet tail thinning
+  -> leakage-safe split -> pack the train split into sequences
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """A small corpus with every hazard the pipeline must handle:
+    exact dups (composed vs decomposed unicode), near-dups, a
+    low-quality symbol doc, and unique filler."""
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    # 0/1: exact dups after canonicalization (NFC é vs e+combining)
+    rows.append({"doc_id": 0, "source": "web",
+                 "text": base + " café"})
+    rows.append({"doc_id": 1, "source": "web",
+                 "text": base + " café"})
+    # 2: near-dup of 0 (one word appended)
+    rows.append({"doc_id": 2, "source": "web", "text": base + " café again"})
+    # 3: junk (symbol soup, fails gopher alpha fraction)
+    rows.append({"doc_id": 3, "source": "web",
+                 "text": "$$$ ### @@@ %%% ^^^ &&& *** $$$ ### @@@ %%% ^^^"})
+    # 4..43: unique filler over two sources
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for i in range(4, 44):
+        src = "web" if i % 2 == 0 else "books"
+        text = " ".join(words[(i + j) % len(words)] for j in range(30))
+        rows.append({"doc_id": i, "source": src, "text": text + f" tail{i}"})
+    p = tmp_path_factory.mktemp("pipe") / "corpus.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return spark.read.json(str(p))
+
+
+def test_curation_pipeline_end_to_end(spark, corpus):
+    from toshokan_spark.operators import dedup, sampling
+    from toshokan_spark.operators import text as textops
+
+    # 1. canonicalize: unicode twins must converge
+    norm = textops.normalize_text(corpus)
+    docs = corpus.drop("text").join(
+        norm.select("doc_id", F.col("text_norm").alias("text")), "doc_id"
+    )
+    t01 = {r.doc_id: r.text for r in docs.filter(F.col("doc_id") < 2).collect()}
+    assert t01[0] == t01[1], "NFC canonicalization did not converge the twins"
+
+    # 2. exact dedup: one of {0, 1} survives (min id wins per keep_first)
+    exact = dedup.deduplicate_exact(docs)
+    kept_ids = {r.doc_id for r in exact.select("doc_id").collect()}
+    assert 0 in kept_ids and 1 not in kept_ids
+
+    # 3. near-dup clusters over the exact-deduped set: 2 clusters with 0
+    pairs = dedup.ngram_jaccard_pairs(exact, k=3, threshold=0.5)
+    labels = dedup.duplicate_clusters(pairs)
+    lab = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert lab.get(2) == 0, f"near-dup 2 should cluster with 0: {lab}"
+
+    # 4. quality filter: the symbol-soup doc fails Gopher rules
+    flags = textops.gopher_rules(exact)
+    bad = {r.doc_id for r in flags.filter(~F.col("passes")).collect()}
+    assert 3 in bad
+    quality = exact.join(
+        flags.filter(F.col("passes")).select("doc_id"), "doc_id"
+    )
+
+    # 5. CCNet tail thinning keeps head+middle whole
+    selected = textops.ccnet_select(quality, n_buckets=3, tail_rate=0.5)
+    n_head = selected.filter(F.col("kept_by") == "head_middle").count()
+    full_buckets = textops.lm_quality_buckets(quality)
+    assert n_head == full_buckets.filter(F.col("bucket") < 3).count()
+    kept = quality.join(selected.select("doc_id"), "doc_id")
+
+    # 6. leakage-safe split: near-dup cluster members share a split
+    split = sampling.leakage_safe_split(
+        kept.select("doc_id", "source"), labels,
+        {"train": 0.6, "valid": 0.2, "test": 0.2},
+    )
+    by_cluster: dict = {}
+    for r in split.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    if 0 in {r.doc_id for r in kept.select("doc_id").collect()} and 2 in {
+        r.doc_id for r in kept.select("doc_id").collect()
+    }:
+        s = {r.doc_id: r.split for r in split.collect()}
+        assert s[0] == s[2], "near-dups 0 and 2 landed in different splits"
+
+    # 7. pack the train split: contiguous, gap-free sequence layout
+    train = kept.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    ).select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    packed = sampling.pack_training_sequences(train, seq_len=64)
+    rows = sorted(
+        ((r.source, r.start_tok, r.end_tok) for r in packed.collect())
+    )
+    pos = {}
+    for src, start, end in rows:
+        assert start == pos.get(src, 0), f"gap in {src} at {start}"
+        pos[src] = end
+    # every train doc placed exactly once
+    assert packed.count() == train.count()
