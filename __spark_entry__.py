@@ -1038,6 +1038,23 @@ def q_substring_spans(spark, sf_dir):
     return dedup.exact_substring_spans(docs, k=10, gram_key="raw")
 
 
+def q_substring_spans_incremental(spark, sf_dir):
+    """Ingest-once duplicated-span report: every 5th doc arrives as
+    the batch, the rest are the standing corpus (gram presence probed
+    via the store frame) — batch positions duplicated when their
+    10-gram exists in the corpus or repeats within the batch."""
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 5 == 0
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    store = dedup._positional_grams(
+        corpus, 10, "doc_id", "text", "raw"
+    ).select("g").distinct()
+    return dedup.incremental_substring_spans(
+        batch, store, k=10, gram_key="raw"
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Train/valid/test split hashed by near-dup CLUSTER id (so no
     near-copy of a training doc can land in eval) — 80/10/10 over the
@@ -1582,7 +1599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # materially changed this round (containment single-pass,
         # scale modes, shared Lloyd loop) ...
         "containment_pairs": q_containment_pairs,
-        "lm_quality_buckets": q_lm_quality_buckets,
         # ... then every P0 entry with no previous-round driver
         # record (NEW this round: the two scale-mode twins + the kNN
         # graph; plus the 41 rotated out of r7's window).
@@ -1591,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
         "ccnet_select": q_ccnet_select,
+        "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
         # from git + AST; tests/test_rotation.py enforces the order.
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
@@ -1641,7 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them this round, driver re-proof next rotation) ...
         "multimodal_audio_energy": q_multimodal_audio_energy,
 "knn_ivf": q_knn_ivf,
-                "token_budget_pack": q_token_budget_pack,
+                "lm_quality_buckets": q_lm_quality_buckets,
+        "token_budget_pack": q_token_budget_pack,
         "kmeans_embeddings": q_kmeans_embeddings,
         "knn_ivf_exact": q_knn_ivf_exact,
         "normalize_embeddings": q_normalize_embeddings,
@@ -2148,6 +2166,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components over the (already-oracled) jaccard
         # pairs: min reachable id via recursive closure
+        "substring_spans_incremental": f"""
+            WITH cb AS (
+              SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n,
+                     doc_id % 5 = 0 AS is_batch
+              FROM documents),
+            corpus_g AS (
+              SELECT DISTINCT unnest(list_transform(range(0, n - 10 + 1),
+                i -> array_to_string(list_slice(w, i + 1, i + 10), ' '))) AS g
+              FROM cb WHERE NOT is_batch AND n >= 10),
+            bgrams AS (
+              SELECT doc_id, n, u.pos AS pos, u.g AS g FROM (
+                SELECT doc_id, n,
+                  unnest(list_transform(range(0, n - 10 + 1),
+                    i -> struct_pack(pos := i,
+                           g := array_to_string(list_slice(w, i + 1, i + 10), ' ')))) AS u
+                FROM cb WHERE is_batch AND n >= 10)),
+            own AS (
+              SELECT g, count(*) AS c,
+                     min(struct_pack(d := doc_id, p := pos)) AS o
+              FROM bgrams GROUP BY g),
+            marked AS (
+              SELECT bg.doc_id, bg.pos
+              FROM bgrams bg
+              JOIN own ON bg.g = own.g
+              LEFT JOIN (SELECT g, TRUE AS st FROM corpus_g) cg ON bg.g = cg.g
+              WHERE coalesce(cg.st, FALSE)
+                 OR (own.c >= 2
+                     AND NOT (bg.doc_id = own.o.d AND bg.pos = own.o.p))),
+            cov AS (
+              SELECT doc_id, pos,
+                max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM marked),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_dup_spans,
+                     sum(greatest(0, pos + 10 - greatest(pos, coalesce(pe, 0)))) AS covered
+              FROM cov GROUP BY doc_id)
+            SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+                   coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+                   coalesce(p.covered, 0)::BIGINT AS covered_tokens,
+                   CASE WHEN b.n > 0
+                        THEN round(coalesce(p.covered, 0) * 1.0 / b.n, 6)
+                        ELSE 0.0 END AS dup_fraction
+            FROM (SELECT doc_id, n FROM cb WHERE is_batch) b
+            LEFT JOIN per_doc p USING (doc_id)
+        """,
         "substring_spans": f"""
             WITH base AS (
               SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n FROM documents),

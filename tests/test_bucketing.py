@@ -209,3 +209,63 @@ def test_refresh_hot_band_buckets_picks_up_new_hot_buckets(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_sigs_t4")
         spark.sql("DROP TABLE IF EXISTS hot_bands_t4")
+
+
+def test_gram_store_probe_is_exchange_free_and_append_idempotent(
+    spark, tmp_path
+):
+    """The substring gram store: (a) the per-batch probe join plans
+    WITHOUT an Exchange on the stored side (bucketed by g), (b)
+    append_gram_store is naturally idempotent — a replayed append
+    finds every gram present and writes zero rows — and (c) the
+    incremental report flags corpus-known and within-batch spans."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.dedup import (
+        append_gram_store,
+        incremental_substring_spans,
+        write_gram_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h")]
+    )
+    table = "gram_store_t1"
+    write_gram_store(
+        corpus, table, str(tmp_path / "grams"), k=3, buckets=2
+    )
+    n0 = spark.table(table).count()
+    assert n0 == 6  # 8 tokens -> 6 positional 3-grams, all distinct
+
+    # batch: doc 10 copies corpus tokens a..e (3 corpus-known grams,
+    # positions 0..2 -> covered [0,5)); doc 11 is fresh but repeats
+    # its own opening 3-gram at position 3 (within-batch dup)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b c d e z y x"),
+            Row(doc_id=11, text="p q r p q r w v"),
+        ]
+    )
+    rep = incremental_substring_spans(batch, table, k=3)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    got = {r.doc_id: (r.n_dup_spans, r.covered_tokens) for r in rep.collect()}
+    assert got[10] == (3, 5)
+    assert got[11] == (1, 3)
+    # store side pre-bucketed: the probe join must not re-shuffle it
+    # (the batch side may exchange; the scan over the bucketed table
+    # must not sit under one)
+    assert "bucketed: true" in plan.lower() or "SelectedBucketsCount" in plan, plan
+
+    # grow, then replay the SAME batch: second append adds nothing
+    append_gram_store(batch, table, k=3)
+    n1 = spark.table(table).count()
+    assert n1 > n0
+    append_gram_store(batch, table, k=3)
+    assert spark.table(table).count() == n1
+    # and after growth the batch's own grams are corpus-known: its
+    # copies of doc 11's text would now be fully flagged
+    batch2 = spark.createDataFrame([Row(doc_id=20, text="p q r p q r w v")])
+    rep2 = {r.doc_id: r.covered_tokens
+            for r in incremental_substring_spans(batch2, table, k=3).collect()}
+    assert rep2[20] == 8  # every position corpus-known -> full coverage
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

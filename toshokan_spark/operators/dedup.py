@@ -1998,21 +1998,8 @@ def exact_substring_spans(
     occurrences through one task while the aggregation path gets
     map-side partials and AQE skew handling."""
     words = words_col(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), words.alias("w")).withColumn(
-        "n", F.size("w")
-    )
-    gram = F.transform(
-        F.sequence(F.lit(0), F.col("n") - k),
-        lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
-    )
-    grams = (
-        spread(base.filter(F.col("n") >= k))
-        .select("id", F.posexplode(gram).alias("pos", "g"))
-    )
-    if gram_key == "xxhash":
-        grams = grams.select("id", "pos", F.xxhash64("g").alias("g"))
-    elif gram_key != "raw":
-        raise ValueError(f"unknown gram_key {gram_key!r}")
+    base = df.select(F.col(id_col).alias("id"), F.size(words).alias("n"))
+    grams = _positional_grams(df, k, id_col, text_col, gram_key)
     own = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("c"),
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("o"),
@@ -2037,6 +2024,185 @@ def exact_substring_spans(
         F.col("pos")
         + F.lit(k)
         - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0))),
+    )
+    per_doc = (
+        marked.withColumn("__add", covered_add)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("__add").alias("covered"),
+        )
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.col("n") > 0,
+                F.round(F.coalesce("covered", F.lit(0)) / F.col("n"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def _positional_grams(
+    df: DataFrame, k: int, id_col: str, text_col: str, gram_key: str
+) -> DataFrame:
+    """(id, pos, g) positional k-grams — shared by
+    :func:`exact_substring_spans` and the incremental store path."""
+    words = words_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), words.alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.col("n") - k),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
+    )
+    grams = (
+        spread(base.filter(F.col("n") >= k))
+        .select("id", F.posexplode(gram).alias("pos", "g"))
+    )
+    if gram_key == "xxhash":
+        return grams.select("id", "pos", F.xxhash64("g").alias("g"))
+    if gram_key != "raw":
+        raise ValueError(f"unknown gram_key {gram_key!r}")
+    return grams
+
+
+def write_gram_store(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    k: int = 20,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_key: str = "xxhash",
+) -> None:
+    """Persist the corpus's DISTINCT k-grams as a bucketed table —
+    the ingest-once store behind
+    :func:`incremental_substring_spans`, the substring sibling of
+    :func:`write_bucketed_signatures`. One row per distinct gram:
+    ``(g, o_id, o_pos)`` with the earliest owner. Presence + owner is
+    all the incremental report needs, so there is NO count column to
+    keep fresh — which is what makes store growth naturally
+    idempotent (see :func:`append_gram_store`).
+
+    Bucketed + sorted by ``g``: the per-batch probe join reads the
+    store pre-partitioned — no Exchange on the stored side, batch-
+    sized shuffle only."""
+    grams = _positional_grams(df, k, id_col, text_col, gram_key)
+    store = grams.groupBy("g").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("o")
+    ).select("g", F.col("o.id").alias("o_id"), F.col("o.pos").alias("o_pos"))
+    (
+        store.write.bucketBy(buckets, "g")
+        .sortBy("g")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def append_gram_store(
+    df: DataFrame,
+    table_name: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_key: str = "xxhash",
+) -> None:
+    """Grow the gram store with a batch's NEW distinct grams (grams
+    already present keep their earlier owner — first writer wins, so
+    the store's owner column never changes once set). Naturally
+    IDEMPOTENT under replay: a re-run's grams are all present after
+    the first run, the left-anti probe yields nothing, and the append
+    writes zero rows — no batch token or partition-overwrite protocol
+    needed (contrast :func:`append_bucketed_signatures`, whose
+    band-frequency counts made blind re-appends harmful)."""
+    spark = df.sparkSession
+    grams = _positional_grams(df, k, id_col, text_col, gram_key)
+    fresh = (
+        grams.groupBy("g")
+        .agg(F.min(F.struct(F.col("id"), F.col("pos"))).alias("o"))
+        .join(spark.table(table_name).select("g"), "g", "left_anti")
+        .select("g", F.col("o.id").alias("o_id"), F.col("o.pos").alias("o_pos"))
+    )
+    fresh.write.format("parquet").insertInto(table_name, overwrite=False)
+
+
+def incremental_substring_spans(
+    batch: DataFrame,
+    corpus_store,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_key: str = "xxhash",
+) -> DataFrame:
+    """The ingest-once duplicated-span report: score an ARRIVING
+    batch against the standing gram store (plus itself) without ever
+    rescanning the corpus — cost proportional to the batch. A batch
+    position is duplicated when its k-gram exists in the store (the
+    corpus always owns — it was there first) or occurs >= 2 times
+    within the batch (earliest batch occurrence owns, unless the
+    store also has it). Output shape is exactly
+    :func:`exact_substring_spans`'s per-doc report.
+
+    Pair with :func:`append_gram_store` after keeping survivors to
+    close the loop: batch N+1 is then scored against batch N's text
+    too. *corpus_store* is the bucketed table NAME (production path —
+    store-side join is Exchange-free) or any DataFrame with a ``g``
+    column (ad-hoc / self-contained probes)."""
+    spark = batch.sparkSession
+    grams = _positional_grams(batch, k, id_col, text_col, gram_key)
+    store_df = (
+        spark.table(corpus_store)
+        if isinstance(corpus_store, str)
+        else corpus_store
+    )
+    in_store = store_df.select("g").distinct().select(
+        "g", F.lit(True).alias("__stored")
+    )
+    own = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("o"),
+    )
+    marked = (
+        grams.join(own, "g")
+        .join(in_store, "g", "left")
+        .filter(
+            F.coalesce(F.col("__stored"), F.lit(False))
+            | (
+                (F.col("c") >= 2)
+                & ~(
+                    (F.col("id") == F.col("o.id"))
+                    & (F.col("pos") == F.col("o.pos"))
+                )
+            )
+        )
+        .select("id", "pos")
+    )
+    words = words_col(F.col(text_col))
+    base = batch.select(F.col(id_col).alias("id"), F.size(words).alias("n"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered_add = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + F.lit(k)
+        - F.greatest(
+            F.col("pos"),
+            F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0)),
+        ),
     )
     per_doc = (
         marked.withColumn("__add", covered_add)
