@@ -1657,8 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # module-level changes only — full local sweep re-proves
         # them this round, driver re-proof next rotation) ...
         "multimodal_audio_energy": q_multimodal_audio_energy,
-"knn_ivf": q_knn_ivf,
-                "lm_quality_buckets": q_lm_quality_buckets,
+        "knn_ivf": q_knn_ivf,
+        "lm_quality_buckets": q_lm_quality_buckets,
         "token_budget_pack": q_token_budget_pack,
         "kmeans_embeddings": q_kmeans_embeddings,
         "knn_ivf_exact": q_knn_ivf_exact,
@@ -2168,7 +2168,7 @@ def oracle_sql() -> dict[str, str]:
         # pairs: min reachable id via recursive closure
         "substring_spans_incremental": f"""
             WITH cb AS (
-              SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n,
+              SELECT doc_id, {_WORDS} AS w, coalesce(len({_WORDS}), 0) AS n,
                      doc_id % 5 = 0 AS is_batch
               FROM documents),
             corpus_g AS (
@@ -2214,7 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_spans": f"""
             WITH base AS (
-              SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n FROM documents),
+              SELECT doc_id, {_WORDS} AS w, coalesce(len({_WORDS}), 0) AS n FROM documents),
             grams AS (
               SELECT doc_id, n, u.pos AS pos, u.g AS g FROM (
                 SELECT doc_id, n,

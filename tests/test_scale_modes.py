@@ -205,3 +205,24 @@ def test_grouped_prefix_randomized_against_window(spark):
             (r.g, r.k): (r["__rank"], r["__cumsum"]) for r in out.collect()
         }
         assert got == want, f"n_coarse={n_coarse}"
+
+
+def test_token_budget_pack_scale_mode_null_order_keys_match(spark):
+    """Null order keys rank NULLS FIRST in the window mode (plain
+    asc()); scale mode must route null proxies to the FIRST coarse
+    bucket so the kept set is identical (review finding r8: the
+    default nulls-last routing made the two modes keep different
+    rows near the budget boundary)."""
+    rows = [("s", None, 500), ("s", "doc-1", 500), ("s", "doc-2", 500)]
+    df = spark.createDataFrame(rows, "source string, key string, n_tokens int")
+    a = sorted(
+        (r.key, r.cum_tokens)
+        for r in token_budget_pack(df, 600, order_col="key").collect()
+    )
+    b = sorted(
+        (r.key, r.cum_tokens)
+        for r in token_budget_pack(
+            df, 600, order_col="key", scale_mode=True
+        ).collect()
+    )
+    assert a == b == [(None, 500)]

@@ -206,6 +206,23 @@ class _EntryAnalyzer:
             return ""
         return ast.get_source_segment(self.source, fn) or ""
 
+    def source_closure(self, fn_name: str) -> str:
+        """Source text of the entry function AND every local helper
+        it transitively calls (e.g. _t, _search, _docs_bm25_index) —
+        staleness must look through helpers, or editing a shared
+        helper would leave its dependents misclassified as
+        proven-and-unchanged (review finding r8)."""
+        seen: set[str] = set()
+        stack = [fn_name]
+        while stack:
+            name = stack.pop()
+            if name in seen or name not in self.funcs:
+                continue
+            seen.add(name)
+            _mods, helpers = self._direct_deps(self.funcs[name])
+            stack.extend(helpers)
+        return "\n".join(self.func_source(n) for n in sorted(seen))
+
 
 def analyze(seal: str | None = None) -> dict:
     """Classify every entry as P0/P1/P2 against the seal commit."""
@@ -238,7 +255,7 @@ def analyze(seal: str | None = None) -> dict:
             out["p0"].append(name)
             continue
         deps = _closure(cur.entry_modules(fn), graph)
-        src_changed = old is None or cur.func_source(fn) != old.func_source(fn)
+        src_changed = old is None or cur.source_closure(fn) != old.source_closure(fn)
         if src_changed or (deps & changed_mods):
             out["p1"].append(name)
         else:

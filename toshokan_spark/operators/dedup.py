@@ -1997,8 +1997,7 @@ def exact_substring_spans(
     heavy-tailed, and a window would funnel a boilerplate gram's 10^6
     occurrences through one task while the aggregation path gets
     map-side partials and AQE skew handling."""
-    words = words_col(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), F.size(words).alias("n"))
+    base = _span_base(df, id_col, text_col)
     grams = _positional_grams(df, k, id_col, text_col, gram_key)
     own = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("c"),
@@ -2014,6 +2013,25 @@ def exact_substring_spans(
         )
         .select("id", "pos")
     )
+    return _span_report(marked, base, k, id_col)
+
+
+def _span_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n) token counts for the span reports; NULL text counts as
+    zero tokens (mirrored by coalesce in the oracles)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(words_col(F.col(text_col))), F.lit(0)).alias("n"),
+    )
+
+
+def _span_report(
+    marked: DataFrame, base: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared tail of the substring-span reports: merge each doc's
+    duplicated [pos, pos+k) intervals via the running-max scan and
+    join coverage back onto every document — ONE implementation so
+    the batch and incremental paths cannot drift (review finding)."""
     w = (
         Window.partitionBy("id")
         .orderBy("pos")
@@ -2023,7 +2041,10 @@ def exact_substring_spans(
         F.lit(0),
         F.col("pos")
         + F.lit(k)
-        - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0))),
+        - F.greatest(
+            F.col("pos"),
+            F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0)),
+        ),
     )
     per_doc = (
         marked.withColumn("__add", covered_add)
@@ -2188,45 +2209,7 @@ def incremental_substring_spans(
         )
         .select("id", "pos")
     )
-    words = words_col(F.col(text_col))
-    base = batch.select(F.col(id_col).alias("id"), F.size(words).alias("n"))
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    covered_add = F.greatest(
-        F.lit(0),
-        F.col("pos")
-        + F.lit(k)
-        - F.greatest(
-            F.col("pos"),
-            F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0)),
-        ),
-    )
-    per_doc = (
-        marked.withColumn("__add", covered_add)
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_spans"),
-            F.sum("__add").alias("covered"),
-        )
-    )
-    return (
-        base.join(per_doc, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n").cast("long").alias("n_tokens"),
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
-            F.when(
-                F.col("n") > 0,
-                F.round(F.coalesce("covered", F.lit(0)) / F.col("n"), 6),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("dup_fraction"),
-        )
-    )
+    return _span_report(marked, _span_base(batch, id_col, text_col), k, id_col)
 
 
 def snapshot_diff(

@@ -221,6 +221,10 @@ def token_budget_pack(
         n_coarse=n_coarse,
         cumsum_col="cum_tokens",
         materialize=materialize,
+        # the window mode orders by plain asc() == NULLS FIRST; the
+        # coarse routing must agree or a null-keyed row would consume
+        # budget in a different place than the single-window answer
+        nulls_last=False,
     )
     return (
         out.filter(F.col("cum_tokens") <= budget_tokens)

@@ -228,6 +228,7 @@ def grouped_prefix(
     rank_col: str = "__rank",
     cumsum_col: str = "__cumsum",
     materialize: bool = True,
+    nulls_last: bool = True,
 ) -> DataFrame:
     """Exact per-group rank (and optional running sum) WITHOUT a
     per-group window — the scale-safe replacement for
@@ -255,12 +256,15 @@ def grouped_prefix(
     DataFrame ops. Results are EXACTLY the single-window answers —
     rank ties are impossible when *order_cols* is a total order.
 
-    *proxy* must be non-null and oriented ASCENDING in the desired
-    order (negate for descending keys); rows where it is null are
-    routed to the LAST bucket, matching desc-nulls-last / asc-nulls-
-    last composite orderings. *order_cols* are the full tie-broken
-    ordering expressions. *value*, when given, adds ``cumsum_col``
-    (running sum inclusive of the current row).
+    *proxy* must be oriented ASCENDING in the desired order (negate
+    for descending keys); rows where it is null are routed to the
+    LAST bucket by default (desc-nulls-last / asc-nulls-last
+    composite orderings) or the FIRST with ``nulls_last=False``
+    (plain ``asc()`` = NULLS FIRST — pass this when *order_cols* use
+    Spark's ascending default, or null-keyed rows would rank in a
+    different place than the single-window answer). *order_cols* are
+    the full tie-broken ordering expressions. *value*, when given,
+    adds ``cumsum_col`` (running sum inclusive of the current row).
 
     The plan references *df* twice (boundaries + data pass) and the
     windowed frame twice (totals + final join), so both are persisted
@@ -286,7 +290,10 @@ def grouped_prefix(
         .join(F.broadcast(bounds), group_col)
         .withColumn(
             "__coarse",
-            F.when(F.col("__proxy").isNull(), F.lit(n_coarse))
+            F.when(
+                F.col("__proxy").isNull(),
+                F.lit(n_coarse if nulls_last else 1),
+            )
             .otherwise(
                 F.lit(1)
                 + F.size(

@@ -86,7 +86,15 @@ def streaming_heavy_hitters(
     Scale: the stream shuffles once on the shard key (``shards``
     should be >= executor parallelism); Arrow ships per-shard batches
     to Python; eviction ties break lexicographically so replays are
-    deterministic."""
+    deterministic.
+
+    MIGRATION: the epoch field was added to both the state and the
+    output schema. A stream restarted from a checkpoint written
+    before that change fails Spark's state-schema compatibility check
+    — restart such a stream with a FRESH checkpoint (counts restart
+    from the sink's last summaries); and :func:`heavy_hitters_topk`
+    requires the ``epoch`` column, so pre-change sink rows must be
+    dropped or backfilled with epoch 0."""
     from pyspark.sql import functions as F
 
     out_schema = T.StructType(
