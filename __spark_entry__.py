@@ -675,6 +675,15 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-feature linear classifier applied at scale (the
+    fastText/DCLM-style model-based filter): unigram+bigram features
+    into 4096 buckets, LCG demo weights, sigmoid score + label."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = textops.lcg_weight_table(spark, dim=4096, seed=1)
+    return textops.hashed_linear_score(docs, weights, bias=0.0, dim=4096)
+
+
 def q_ccnet_select(spark, sf_dir):
     """CCNet selection: keep head+middle perplexity buckets whole,
     hash-sample the tail at 20% (set-stable)."""
@@ -1598,7 +1607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r8 WINDOW (first 50): P1 entries whose implementation
         # materially changed this round (containment single-pass,
         # scale modes, shared Lloyd loop) ...
-        "containment_pairs": q_containment_pairs,
         # ... then every P0 entry with no previous-round driver
         # record (NEW this round: the two scale-mode twins + the kNN
         # graph; plus the 41 rotated out of r7's window).
@@ -1607,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
         "ccnet_select": q_ccnet_select,
+        "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
         # from git + AST; tests/test_rotation.py enforces the order.
@@ -1656,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- PAST THE WINDOW: remaining changed entries (r7-proven;
         # module-level changes only — full local sweep re-proves
         # them this round, driver re-proof next rotation) ...
+        "containment_pairs": q_containment_pairs,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "knn_ivf": q_knn_ivf,
         "lm_quality_buckets": q_lm_quality_buckets,
@@ -3457,6 +3467,39 @@ def oracle_sql() -> dict[str, str]:
         # mirrors text.lm_quality_buckets: the unigram-LM scoring CTE
         # + per-source ntile(3) over (avg_logprob desc, doc_id) —
         # rank-based, so integer-exact cross-engine
+        "quality_classifier": f"""
+            WITH wt AS (
+              SELECT i::BIGINT AS idx,
+                ((1103515245::BIGINT * (i + 1) + 12345) % 2147483648)::DOUBLE
+                  / 1073741824.0 - 1.0 AS w
+              FROM range(4096) t(i)),
+            base AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS ws
+              FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(
+                ws || CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END) AS f
+              FROM base),
+            idxed AS (
+              SELECT doc_id,
+                ({_poly_sql('f', 1103515245, 0, 1_000_000_007, 5381)}) % 4096 AS idx
+              FROM feats),
+            agg AS (
+              SELECT doc_id, count(*) AS n_feats, sum(w) AS wsum
+              FROM idxed JOIN wt USING (idx) GROUP BY doc_id)
+            SELECT b.doc_id,
+              coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+              coalesce(round(1.0 / (1.0 + exp(-(a.wsum / a.n_feats))), 6), 0.0)
+                AS prob,
+              coalesce(round(1.0 / (1.0 + exp(-(a.wsum / a.n_feats))), 6) >= 0.5,
+                       FALSE) AS label
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
         "ccnet_select": f"""
             WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
             freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),

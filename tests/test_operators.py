@@ -2050,3 +2050,35 @@ def test_ccnet_select_keeps_head_and_is_set_stable(spark, sf_dir):
     lo_tail = {r.doc_id for r in lo.filter(F.col("kept_by") == "tail_sample").collect()}
     hi_tail = {r.doc_id for r in hi.filter(F.col("kept_by") == "tail_sample").collect()}
     assert lo_tail <= hi_tail and len(hi_tail) > len(lo_tail)
+
+
+def test_hashed_linear_score_trained_weight_path(spark, tmp_path):
+    """The classifier applies ANY (idx, w) frame — prove the
+    trained-model path by round-tripping weights through parquet, and
+    pin the semantics: a positive-weight-only model scores > 0.5,
+    empty/feature-less docs get prob 0 and label False, and bias
+    shifts the decision."""
+    from pyspark.sql import Row
+
+    w = spark.createDataFrame(
+        [Row(idx=i, w=0.5) for i in range(4096)]
+    )
+    p = str(tmp_path / "model")
+    w.write.parquet(p)
+    weights = spark.read.parquet(p)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="good solid text here"),
+         Row(doc_id=2, text="   "),
+         Row(doc_id=3, text=None)]
+    )
+    out = {r.doc_id: r for r in
+           textops.hashed_linear_score(docs, weights, dim=4096).collect()}
+    # all-0.5 weights -> mean 0.5 -> sigmoid(0.5) ~ 0.622459
+    assert out[1].prob == pytest.approx(0.622459, abs=1e-6)
+    assert out[1].label and out[1].n_feats == 7  # 4 unigrams + 3 bigrams
+    for d in (2, 3):
+        assert (out[d].n_feats, out[d].prob, out[d].label) == (0, 0.0, False)
+    # a strong negative bias flips the decision at the same weights
+    neg = {r.doc_id: r.label for r in
+           textops.hashed_linear_score(docs, weights, bias=-2.0).collect()}
+    assert neg[1] is False

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from toshokan_spark.operators.dedup import words_col
+from toshokan_spark.operators.dedup import poly_hash, words_col
 
 # small marker-word lists per language for the n-gram/stopword
 # heuristic (shared verbatim with the SQL oracle)
@@ -722,6 +722,108 @@ def script_profile(
         F.when(best.getField("c") > 0, best.getField("name"))
         .otherwise(F.lit("other"))
         .alias("dominant_script"),
+    )
+
+
+def lcg_weight_table(spark, dim: int = 4096, seed: int = 1) -> DataFrame:
+    """A deterministic pseudo-random weight table ``(idx, w)`` with
+    ``w`` uniform in (-1, 1) from the repo's LCG family — the
+    stand-in model for :func:`hashed_linear_score` demos/oracles
+    (DuckDB regenerates the identical table, so classifier scores
+    get a value-level oracle; a REAL trained model is loaded from
+    parquet into the same shape)."""
+    a, c, m = 1103515245, 12345, 1 << 31
+    return spark.range(dim).select(
+        F.col("id").cast("long").alias("idx"),
+        (
+            (
+                (F.lit(a) * (F.col("id") + seed) + F.lit(c)) % F.lit(m)
+            ).cast("double")
+            / F.lit(float(m / 2))
+            - F.lit(1.0)
+        ).alias("w"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    dim: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering — apply a trained linear
+    classifier over HASHED text features (the fastText / DCLM-style
+    step modern curation pipelines run after the rule-based filters):
+    features are lowercase word unigrams + bigrams, hashed into
+    ``dim`` buckets with the SQL-auditable polynomial family; the
+    document score is
+
+        prob = sigmoid(bias + mean_f w[hash(f) % dim])
+
+    (count-weighted mean — repeated features count each occurrence,
+    fastText's bag averaging), ``label = prob >= threshold``.
+
+    *weights* is any ``(idx, w)`` frame — a trained model read from
+    parquet, or :func:`lcg_weight_table` for a reproducible demo.
+    Hash collisions are the POINT of the hashing trick (Weinberger et
+    al. 2009): the model is trained in the same hashed space, so
+    application must collide identically — which the shared hash
+    family guarantees.
+
+    Scale shape: explode features (2n-1 per doc, linear), one
+    BROADCAST join against the model-sized weight table, one groupBy
+    doc — no window, no UDF, nothing quadratic; the weight table is
+    the only state and it is O(dim)."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    unigrams = words
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array())
+    feats = F.concat(unigrams, bigrams)
+    # djb2-style parameters: with the default base-31/init-0 fold a
+    # power-of-two modulus keeps only low bits that short tokens
+    # barely spread (see poly_hash's docstring warning)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(feats).alias("f")
+    ).select(
+        "id",
+        (poly_hash(F.col("f"), base=1103515245, init=5381) % dim).alias("idx"),
+    )
+    scored = (
+        exploded.join(F.broadcast(weights), "idx")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("wsum"),
+        )
+    )
+    prob = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(bias) + F.col("wsum") / F.col("n_feats")))
+        ),
+        6,
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(prob, F.lit(0.0)).alias("prob"),
+            F.coalesce(prob >= threshold, F.lit(False)).alias("label"),
+        )
     )
 
 
