@@ -675,6 +675,15 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: how English-target-like is every
+    document's hashed n-gram profile (target = lang='en' docs, raw =
+    the whole pool; add-1 smoothing over 4096 hashed buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return textops.dsir_log_weights(docs, target, dim=4096, alpha=1.0)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear classifier applied at scale (the
     fastText/DCLM-style model-based filter): unigram+bigram features
@@ -1615,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
         "ccnet_select": q_ccnet_select,
+        "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3467,6 +3477,44 @@ def oracle_sql() -> dict[str, str]:
         # mirrors text.lm_quality_buckets: the unigram-LM scoring CTE
         # + per-source ntile(3) over (avg_logprob desc, doc_id) —
         # rank-based, so integer-exact cross-engine
+        "dsir_weights": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS ws
+              FROM documents),
+            feats AS (
+              SELECT doc_id, lang, unnest(
+                ws || CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END) AS f
+              FROM base),
+            idxed AS (
+              SELECT doc_id, lang,
+                ({_poly_sql('f', 1103515245, 0, 1_000_000_007, 5381)}) % 4096 AS idx
+              FROM feats),
+            rawc AS (SELECT idx, count(*) AS cr FROM idxed GROUP BY idx),
+            tgtc AS (SELECT idx, count(*) AS ct FROM idxed
+                     WHERE lang = 'en' GROUP BY idx),
+            rawt AS (SELECT count(*) AS tr FROM idxed),
+            tgtt AS (SELECT count(*) AS tt FROM idxed WHERE lang = 'en'),
+            ratio AS (
+              SELECT i::BIGINT AS idx,
+                ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                - ln((coalesce(cr, 0) + 1.0) / (tr + 4096.0)) AS lr
+              FROM range(4096) t(i)
+              LEFT JOIN rawc ON rawc.idx = i
+              LEFT JOIN tgtc ON tgtc.idx = i, rawt, tgtt),
+            agg AS (
+              SELECT doc_id, count(*) AS n_feats,
+                sum(lr::DECIMAL(38,18))::DOUBLE AS lw
+              FROM idxed JOIN ratio USING (idx) GROUP BY doc_id)
+            SELECT b.doc_id,
+              coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+              coalesce(round(a.lw, 6), 0.0) AS log_weight
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
         "quality_classifier": f"""
             WITH wt AS (
               SELECT i::BIGINT AS idx,

@@ -2082,3 +2082,30 @@ def test_hashed_linear_score_trained_weight_path(spark, tmp_path):
     neg = {r.doc_id: r.label for r in
            textops.hashed_linear_score(docs, weights, bias=-2.0).collect()}
     assert neg[1] is False
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR semantics: documents whose n-gram profile matches the
+    target domain score a higher log importance weight than
+    off-domain documents; feature-less docs report zeros."""
+    from pyspark.sql import Row
+
+    target_like = "the cat sat on the mat and the dog sat too"
+    off_domain = "zx9 qq7 kkj wpp vv2 mn8 zz1 aa0 rr5 tt3"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=target_like),
+            Row(doc_id=2, text=off_domain),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    target = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the cat and the dog sat on a mat"),
+            Row(doc_id=101, text="a cat sat near the dog on the mat"),
+        ]
+    )
+    out = {r.doc_id: r for r in
+           textops.dsir_log_weights(docs, target, dim=512).collect()}
+    assert out[1].log_weight > out[2].log_weight
+    assert (out[3].n_feats, out[3].log_weight) == (0, 0.0)

@@ -13,34 +13,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.rotation import WINDOW, analyze  # noqa: E402
+from tools.rotation import WINDOW, analyze, window_violations  # noqa: E402
 
 
 def test_driver_window_priority_order():
+    """The window fills strictly by class — P0 (never proven), P0b
+    (rotated out of the latest record), P1 (changed since the seal),
+    P2 (proven + unchanged) — and every never-proven entry fits."""
     a = analyze()
     window = set(a["order"][:WINDOW])
-    p0, p1, p2 = set(a["p0"]), set(a["p1"]), set(a["p2"])
-
-    # every unproven entry must be recorded this round — if P0 alone
-    # ever exceeds the window, coverage is impossible and a human must
-    # split the round; fail loudly rather than silently drop proof
-    assert len(p0) <= WINDOW, (
-        f"{len(p0)} unproven entries exceed the {WINDOW}-slot window: "
-        "split the additions across rounds"
-    )
-    missing = p0 - window
-    assert not missing, f"unproven entries outside the window: {sorted(missing)}"
-
-    # remaining slots go to changed entries before unchanged ones:
-    # an unchanged-and-proven entry may only occupy a slot once every
-    # changed entry is inside
-    if p1 - window:
-        squatters = p2 & window
-        assert not squatters, (
-            f"changed entries {sorted(p1 - window)} are outside the "
-            f"window while unchanged-proven entries {sorted(squatters)} "
-            "are inside"
-        )
+    missing = set(a["p0"]) - window
+    assert not missing, f"never-proven entries outside the window: {sorted(missing)}"
+    assert window_violations(a) == []
 
 
 def test_rotation_analysis_is_sound():
@@ -52,7 +36,7 @@ def test_rotation_analysis_is_sound():
     from tools.rotation import _EntryAnalyzer, _closure, package_import_graph
 
     a = analyze()
-    assert sorted(a["p0"] + a["p1"] + a["p2"]) == sorted(a["order"])
+    assert sorted(a["p0"] + a["p0b"] + a["p1"] + a["p2"]) == sorted(a["order"])
 
     src = open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

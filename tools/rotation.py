@@ -6,23 +6,28 @@ decision. The rule this module automates (and
 ``tests/test_rotation.py`` enforces) ranks entries by how badly they
 need a fresh driver record:
 
-* **P0 — unproven last round**: entries absent from the latest
-  ``CORRECTNESS_r{N}.json`` (new this round, or rotated out of the
-  previous window). They MUST be in the current window or the
-  round-union coverage breaks.
-* **P1 — changed since the seal**: entries whose implementation
-  changed since the last sealed round — either the entry function's
-  own source text in ``__spark_entry__.py`` differs, or any
+* **P0 — never driver-proven**: entries absent from EVERY
+  ``CORRECTNESS_r{N}.json`` (new this round). They MUST be in the
+  current window — no older record can stand in.
+* **P0b — rotated out**: proven in some earlier round but absent
+  from the LATEST record; recording them keeps the two-round union
+  covering everything (their older record + the local sweep remain
+  evidence if one overflows in a heavy-addition round).
+* **P1 — changed since the seal**: in the latest record, but the
+  implementation changed since the last sealed round — either the
+  entry's source CLOSURE in ``__spark_entry__.py`` differs, or any
   ``toshokan_spark`` module in the entry's TRANSITIVE import set
   (static AST analysis, intra-package import graph) was modified.
-  Their previous record proves stale code.
-* **P2 — proven and unchanged.**
+  Their record proves stale code.
+* **P2 — proven in the latest record and unchanged.**
 
-When P0 ∪ P1 exceeds 50 slots (a heavy-refactor round), the window
-holds all of P0 plus the highest-priority P1s; the overflow keeps its
-previous record + the full local sweep as evidence and rotates in
-next round. The test encodes exactly that: every P0 inside the
-window, and no P2 inside while a P1 is outside.
+The window fills strictly by class: all of P0, then P0b, then P1,
+then P2. When a class straddles the boundary the registry chooses
+which members wait (they keep their older record + the full local
+sweep and rotate in next round); the test enforces the filling
+property — no entry of a lower class inside the window while a
+higher-class entry is outside — and hard-fails only if P0 alone
+cannot fit.
 
 The seal commit is the driver's most recent ``round N: ...`` commit,
 found from git history — no builder bookkeeping to forget.
@@ -242,17 +247,27 @@ def analyze(seal: str | None = None) -> dict:
     changed = changed_files(seal)
     changed_mods = {m for m in (_module_name(p) for p in changed) if m}
 
-    # the latest driver record (the previous round's proof)
+    # driver records: the latest (current proof) and the union of all
+    # (has this entry EVER been driver-proven?)
     recs = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r[0-9]*.json")))
-    proven = set(json.load(open(recs[-1]))) if recs else set()
+    proven_latest = set(json.load(open(recs[-1]))) if recs else set()
+    proven_ever: set[str] = set()
+    for r in recs:
+        proven_ever |= set(json.load(open(r)))
 
     order = cur.registry()
     efuncs = cur.entry_funcs()
-    out = {"order": order, "p0": [], "p1": [], "p2": [], "seal": seal}
+    out = {
+        "order": order, "p0": [], "p0b": [], "p1": [], "p2": [],
+        "seal": seal,
+    }
     for name in order:
         fn = efuncs.get(name)
-        if name not in proven:
+        if name not in proven_ever:
             out["p0"].append(name)
+            continue
+        if name not in proven_latest:
+            out["p0b"].append(name)
             continue
         deps = _closure(cur.entry_modules(fn), graph)
         src_changed = old is None or cur.source_closure(fn) != old.source_closure(fn)
@@ -263,17 +278,40 @@ def analyze(seal: str | None = None) -> dict:
     return out
 
 
+def window_violations(a: dict) -> list[str]:
+    """Violations of the class-priority filling property (shared by
+    the CLI report and tests/test_rotation.py)."""
+    w = set(a["order"][:WINDOW])
+    classes = ["p0", "p0b", "p1", "p2"]
+    out: list[str] = []
+    if len(a["p0"]) > WINDOW:
+        out.append(
+            f"{len(a['p0'])} never-proven entries exceed the "
+            f"{WINDOW}-slot window"
+        )
+    for hi_i in range(len(classes)):
+        hi_out = set(a[classes[hi_i]]) - w
+        if not hi_out:
+            continue
+        for lo in classes[hi_i + 1:]:
+            lo_in = set(a[lo]) & w
+            if lo_in:
+                out.append(
+                    f"{classes[hi_i]} entries {sorted(hi_out)} outside "
+                    f"the window while {lo} entries {sorted(lo_in)} are "
+                    "inside"
+                )
+    return out
+
+
 if __name__ == "__main__":
     import json
 
     a = analyze()
-    print(json.dumps({k: a[k] for k in ("seal", "p0", "p1")}, indent=2))
     w = set(a["order"][:WINDOW])
-    print(f"\nwindow={WINDOW}  p0={len(a['p0'])}  p1={len(a['p1'])}  "
-          f"p2={len(a['p2'])}")
-    print("P0 outside window:", sorted(set(a["p0"]) - w))
-    p1_out = sorted(set(a["p1"]) - w)
-    p2_in = sorted(set(a["p2"]) & w)
-    print("P1 outside window:", p1_out)
-    if p1_out:
-        print("P2 inside window (must be empty when P1 overflows):", p2_in)
+    print(f"window={WINDOW}  p0={len(a['p0'])}  p0b={len(a['p0b'])}  "
+          f"p1={len(a['p1'])}  p2={len(a['p2'])}")
+    for cls in ("p0", "p0b", "p1"):
+        print(f"{cls} outside window:", sorted(set(a[cls]) - w))
+    v = window_violations(a)
+    print("violations:", v or "none")

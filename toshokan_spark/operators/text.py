@@ -725,6 +725,36 @@ def script_profile(
     )
 
 
+def _hashed_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int
+) -> DataFrame:
+    """(id, idx) hashed unigram+bigram features (one row per feature
+    OCCURRENCE — count-weighted by construction), shared by
+    :func:`hashed_linear_score` and :func:`dsir_log_weights` so the
+    two operators apply the identical hashed space. djb2-style
+    parameters: with the default base-31/init-0 fold a power-of-two
+    modulus keeps only low bits that short tokens barely spread (see
+    poly_hash's docstring warning)."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array())
+    feats = F.concat(words, bigrams)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(feats).alias("f")
+    ).select(
+        "id",
+        (poly_hash(F.col("f"), base=1103515245, init=5381) % dim).alias("idx"),
+    )
+
+
 def lcg_weight_table(spark, dim: int = 4096, seed: int = 1) -> DataFrame:
     """A deterministic pseudo-random weight table ``(idx, w)`` with
     ``w`` uniform in (-1, 1) from the repo's LCG family — the
@@ -777,28 +807,7 @@ def hashed_linear_score(
     BROADCAST join against the model-sized weight table, one groupBy
     doc — no window, no UDF, nothing quadratic; the weight table is
     the only state and it is O(dim)."""
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
-    unigrams = words
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
-        ),
-    ).otherwise(F.array())
-    feats = F.concat(unigrams, bigrams)
-    # djb2-style parameters: with the default base-31/init-0 fold a
-    # power-of-two modulus keeps only low bits that short tokens
-    # barely spread (see poly_hash's docstring warning)
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(feats).alias("f")
-    ).select(
-        "id",
-        (poly_hash(F.col("f"), base=1103515245, init=5381) % dim).alias("idx"),
-    )
+    exploded = _hashed_features(df, id_col, text_col, dim)
     scored = (
         exploded.join(F.broadcast(weights), "idx")
         .groupBy("id")
@@ -823,6 +832,89 @@ def hashed_linear_score(
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
             F.coalesce(prob, F.lit(0.0)).alias("prob"),
             F.coalesce(prob >= threshold, F.lit(False)).alias("label"),
+        )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    dim: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how TARGET-like its hashed n-gram
+    profile is —
+
+        log w(x) = Σ_f c_f(x) · [ln p̂_T(f) − ln p̂_R(f)]
+
+    where p̂_T / p̂_R are add-``alpha``-smoothed hashed
+    unigram+bigram distributions of the *target* (the domain you want
+    more of — Wikipedia, books, a curated seed) and the *raw* pool
+    itself. Select by sampling proportionally to exp(log_w) — the
+    derandomized :func:`~toshokan_spark.operators.sampling.
+    weighted_sample` takes exactly this column. Returns
+    ``(id, n_feats, log_weight)`` (log_weight 0 for feature-less
+    docs).
+
+    Order-independence: the per-doc sum folds each per-feature log
+    ratio through ``decimal(38,18)`` (exact, associative — the
+    :func:`unigram_logprob` discipline), so partition order cannot
+    drift the 6-decimal rounding.
+
+    Scale shape: two feature passes (raw + target) into dim-sized
+    count tables, a dim-sized ratio table built over ``range(dim)``
+    (features unseen in either corpus still get their smoothed mass),
+    one broadcast join + groupBy per raw doc. Model state is O(dim);
+    nothing quadratic, no window."""
+    spark = df.sparkSession
+    raw_f = _hashed_features(df, id_col, text_col, dim)
+    tgt_f = _hashed_features(target, id_col, text_col, dim)
+    raw_c = raw_f.groupBy("idx").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = tgt_f.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
+    raw_t = raw_f.agg(F.count(F.lit(1)).alias("tr"))
+    tgt_t = tgt_f.agg(F.count(F.lit(1)).alias("tt"))
+    ratio = (
+        spark.range(dim)
+        .select(F.col("id").cast("long").alias("idx"))
+        .join(F.broadcast(raw_c), "idx", "left")
+        .join(F.broadcast(tgt_c), "idx", "left")
+        .crossJoin(F.broadcast(raw_t))
+        .crossJoin(F.broadcast(tgt_t))
+        .select(
+            "idx",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tt") + F.lit(alpha * dim))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tr") + F.lit(alpha * dim))
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        raw_f.join(F.broadcast(ratio), "idx")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("lw"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.round("lw", 6), F.lit(0.0)).alias("log_weight"),
         )
     )
 
