@@ -675,6 +675,22 @@ def q_source_quality_curves(spark, sf_dir):
     return stats.grouped_linear_fit(docs, "source", x, y)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (6 merge rounds over the corpus-weighted
+    word vocabulary): the learned merge table, oracle-replayed by an
+    unrolled CTE chain computing the identical argmax per round."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bpe_merge_table(spark, textops.bpe_train(docs, n_merges=6))
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Apply the learned 6-merge BPE model: per-doc token count after
+    replaying the merges over each word (plus the whitespace count)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textops.bpe_train(docs, n_merges=6)
+    return textops.bpe_token_counts(docs, merges)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: how English-target-like is every
     document's hashed n-gram profile (target = lang='en' docs, raw =
@@ -1624,6 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
         "ccnet_select": q_ccnet_select,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
@@ -1895,6 +1913,43 @@ _EN_STOP_SQL = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
 _LANG_SQL = {
     lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in textops.LANG_MARKERS.items()
 }
+
+
+
+def _bpe_ctes(n: int) -> str:
+    """Unrolled DuckDB CTE chain replaying bpe_train's n rounds:
+    v0 = corpus-weighted word vocabulary as \x1f-delimited symbol
+    strings; each round counts adjacent pairs, takes the (count DESC,
+    pair ASC) argmax, and applies the merge via the same literal
+    replace the Spark side uses."""
+    sep = "chr(31)"
+    lw = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+    ctes = f"""v0 AS (
+              SELECT w,
+                {sep} || array_to_string(list_transform(
+                  range(1, length(w) + 1), i -> substr(w, i, 1)), {sep})
+                || {sep} AS s,
+                cnt
+              FROM (SELECT w, count(*) AS cnt
+                    FROM (SELECT unnest({lw}) AS w FROM documents)
+                    GROUP BY w))"""
+    for r in range(n):
+        ctes += f""",
+            p{r} AS (
+              SELECT u.a AS a, u.b AS b, sum(cnt) AS c FROM (
+                SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                  i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS u
+                FROM (SELECT list_filter(string_split(s, {sep}),
+                             x -> x <> '') AS syms, cnt FROM v{r})
+                WHERE len(syms) >= 2)
+              GROUP BY u.a, u.b),
+            best{r} AS (SELECT a, b, c FROM p{r}
+                        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+            v{r + 1} AS (
+              SELECT w, replace(s, {sep} || a || {sep} || b || {sep},
+                                   {sep} || a || b || {sep}) AS s, cnt
+              FROM v{r}, best{r})"""
+    return ctes
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3477,6 +3532,31 @@ def oracle_sql() -> dict[str, str]:
         # mirrors text.lm_quality_buckets: the unigram-LM scoring CTE
         # + per-source ntile(3) over (avg_logprob desc, doc_id) —
         # rank-based, so integer-exact cross-engine
+        "bpe_merges": f"""
+            WITH {_bpe_ctes(6)}
+            SELECT * FROM (
+              SELECT 1 AS rank, a AS merge_left, b AS merge_right, c::BIGINT AS pair_count FROM best0\n              UNION ALL SELECT 2 AS rank, a AS merge_left, b AS merge_right, c::BIGINT AS pair_count FROM best1\n              UNION ALL SELECT 3 AS rank, a AS merge_left, b AS merge_right, c::BIGINT AS pair_count FROM best2\n              UNION ALL SELECT 4 AS rank, a AS merge_left, b AS merge_right, c::BIGINT AS pair_count FROM best3\n              UNION ALL SELECT 5 AS rank, a AS merge_left, b AS merge_right, c::BIGINT AS pair_count FROM best4\n              UNION ALL SELECT 6 AS rank, a AS merge_left, b AS merge_right, c::BIGINT AS pair_count FROM best5
+            ) ORDER BY rank
+        """,
+        "bpe_token_counts": f"""
+            WITH {_bpe_ctes(6)},
+            dw AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            per_doc AS (
+              SELECT dw.doc_id,
+                count(*) AS n_words,
+                sum(len(list_filter(string_split(v.s, chr(31)),
+                        x -> x <> '')))::BIGINT AS n_bpe
+              FROM dw JOIN v6 v ON v.w = dw.w
+              GROUP BY dw.doc_id)
+            SELECT d.doc_id,
+              coalesce(p.n_words, 0)::BIGINT AS n_words,
+              coalesce(p.n_bpe, 0)::BIGINT AS n_bpe_tokens
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "dsir_weights": f"""
             WITH base AS (
               SELECT doc_id, lang,

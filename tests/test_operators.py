@@ -2109,3 +2109,37 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
            textops.dsir_log_weights(docs, target, dim=512).collect()}
     assert out[1].log_weight > out[2].log_weight
     assert (out[3].n_feats, out[3].log_weight) == (0, 0.0)
+
+
+def test_bpe_train_matches_textbook_example(spark):
+    """The Sennrich et al. running example: corpus-weighted pair
+    counts, deterministic tie-breaks, greedy left-to-right merge
+    application, and the before/after token-count report."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low low low low low"),
+            Row(doc_id=2, text="lower lower newest newest newest"),
+            Row(doc_id=3, text="widest widest"),
+        ]
+    )
+    merges = textops.bpe_train(docs, n_merges=5)
+    assert merges == [
+        ("l", "o", 7),    # low x5 + lower x2
+        ("lo", "w", 7),
+        ("e", "s", 5),    # newest x3 + widest x2
+        ("es", "t", 5),
+        ("e", "w", 3),    # newest after est
+    ]
+    counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in textops.bpe_token_counts(docs, merges).collect()
+    }
+    # low -> [low]; lower -> [low, e, r]; newest -> [n, ew, est];
+    # widest -> [w, i, d, est]
+    assert counts == {1: (5, 5), 2: (5, 15), 3: (2, 8)}
+    # applying zero merges counts characters per word
+    raw = {r.doc_id: r.n_bpe_tokens
+           for r in textops.bpe_token_counts(docs, []).collect()}
+    assert raw[1] == 15  # 5 words x 3 chars

@@ -919,6 +919,166 @@ def dsir_log_weights(
     )
 
 
+#: symbol separator for the BPE merge fold — a control char no
+#: tokenized word contains (words are whitespace-split)
+BPE_SEP = "\x1f"
+
+
+def _bpe_symbols(col: Column) -> Column:
+    """Delimited symbol string for a word: ␟c1␟c2␟...␟ — character
+    split via substr (CODEPOINT-based on both engines; a regex
+    split('') would cut supplementary-plane chars into UTF-16
+    surrogates on the JVM)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: col.substr(i, F.lit(1)),
+    )
+    return F.concat(F.lit(BPE_SEP), F.concat_ws(BPE_SEP, chars), F.lit(BPE_SEP))
+
+
+def _adjacent_pairs(s: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs of a delimited
+    symbol string (empty when < 2 symbols — guarded because Spark's
+    sequence(1, 0) would count DOWN, not produce an empty array)."""
+    syms = F.filter(F.split(s, BPE_SEP), lambda x: F.length(x) > 0)
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array())
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "list[tuple[str, str, int]]":
+    """Byte-pair-encoding merge training (Sennrich et al. 2016 — the
+    tokenizer-training step of every LLM data pipeline) as a
+    distributed iterative algorithm: per round, count corpus-weighted
+    adjacent symbol pairs, take the global argmax (ties broken by
+    pair lexicographically — deterministic), apply the merge, repeat.
+    Returns the learned ``[(left, right, pair_count), ...]`` in merge
+    order — the model every BPE tokenizer ships.
+
+    Classic word-level BPE: training runs over the DISTINCT-word
+    vocabulary weighted by corpus frequency — vocabulary-sized
+    compute per round, never corpus-sized. Symbols travel as a
+    ␟-delimited string so applying a merge is one literal
+    ``replace(␟a␟b␟ → ␟ab␟)`` — left-to-right, non-overlapping,
+    exactly BPE's greedy application, and bit-identical in any engine
+    with standard string replace (the DuckDB oracle replays the whole
+    training loop this way). No end-of-word marker (documented
+    deviation from the paper's </w>; merges therefore never span
+    words, which the word-level framing already guarantees).
+
+    Scale: driver state is the merge list (model-sized); each round
+    is one explode + groupBy over the persisted vocabulary with a
+    1-row collect. Round r re-applies r replaces over the vocab —
+    O(n_merges²) vocab-sized string passes total, the standard trade
+    against materializing per-round snapshots."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    vocab = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_bpe_symbols(F.col("w")).alias("s"), "cnt")
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str, int]] = []
+        cur = vocab
+        for _ in range(n_merges):
+            best = (
+                cur.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, c = best[0].a, best[0].b, int(best[0].c)
+            merges.append((a, b, c))
+            cur = cur.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}"),
+                    F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+                ),
+            )
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+def bpe_merge_table(spark, merges: "list[tuple[str, str, int]]") -> DataFrame:
+    """The learned merges as a 1-row-per-merge frame
+    ``(rank, merge_left, merge_right, pair_count)`` — the shape the
+    driver oracle checks and a tokenizer would persist."""
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, c)
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "rank long, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: "list[tuple[str, str, int]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned merge list: per document, the BPE token count
+    after replaying the merges in order over each word — the
+    before/after compression report that validates a merge table
+    against a corpus (whitespace token count rides along). One narrow
+    pass; the merge chain is ``len(merges)`` literal replaces inside
+    a single projection."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+    def seg_count(w: Column) -> Column:
+        s = _bpe_symbols(w)
+        for a, b, _c in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+            )
+        return F.size(F.filter(F.split(s, BPE_SEP), lambda x: F.length(x) > 0))
+
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(words, seg_count),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def ccnet_select(
     df: DataFrame,
     n_buckets: int = 3,
