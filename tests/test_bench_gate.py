@@ -47,6 +47,18 @@ FLOORS = {
     "lm_quality_buckets_scaled": 1.6,
     "token_budget_pack_scaled": 0.9,
     "search_bm25": 0.6,              # manifest-stats path (post-build)
+    # round-8 batch-2 operators (warm best: 0.98/1.39/0.56/0.60/0.93/
+    # 0.37/0.81/1.56/0.95/0.90)
+    "knn_graph": 1.3,
+    "semantic_clusters": 1.8,
+    "substring_spans": 0.8,
+    "substring_spans_incremental": 0.9,
+    "leakage_safe_split": 1.3,
+    "ccnet_select": 0.6,
+    "quality_classifier": 1.1,
+    "dsir_weights": 2.0,
+    "bpe_merges": 1.3,
+    "bpe_token_counts": 1.2,
 }
 MULTIPLIER = 2.5
 RUNS = 3
