@@ -2914,7 +2914,7 @@ def oracle_sql() -> dict[str, str]:
                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                     '[   -     　]',
                     ' ', 'g'),
-                  '\s+', ' ', 'g')) AS text_norm,
+                  '\\s+', ' ', 'g')) AS text_norm,
                 text
               FROM documents)
             SELECT doc_id, text_norm, (text_norm <> text) AS changed FROM n
@@ -3560,7 +3560,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": f"""
             WITH base AS (
               SELECT doc_id, lang,
-                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                             x -> x <> '') AS ws
               FROM documents),
             feats AS (
@@ -3603,7 +3603,7 @@ def oracle_sql() -> dict[str, str]:
               FROM range(4096) t(i)),
             base AS (
               SELECT doc_id,
-                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                             x -> x <> '') AS ws
               FROM documents),
             feats AS (
