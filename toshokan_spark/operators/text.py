@@ -726,15 +726,21 @@ def script_profile(
 
 
 def _hashed_features(
-    df: DataFrame, id_col: str, text_col: str, dim: int
+    df: DataFrame, id_col: str, text_col: str, dim: int,
+    hash_family: str = "poly",
 ) -> DataFrame:
     """(id, idx) hashed unigram+bigram features (one row per feature
     OCCURRENCE — count-weighted by construction), shared by
     :func:`hashed_linear_score` and :func:`dsir_log_weights` so the
-    two operators apply the identical hashed space. djb2-style
-    parameters: with the default base-31/init-0 fold a power-of-two
-    modulus keeps only low bits that short tokens barely spread (see
-    poly_hash's docstring warning)."""
+    two operators apply the identical hashed space.
+
+    ``hash_family='poly'`` is the SQL-auditable per-char fold
+    (djb2-style parameters: with the default base-31/init-0 fold a
+    power-of-two modulus keeps only low bits that short tokens barely
+    spread — see poly_hash's docstring warning); ``'xxhash'`` is the
+    JVM-intrinsic production family, ~3-5× faster on the feature
+    stream — a model is tied to ONE family (train and apply must
+    collide identically), so pick per model, not per call."""
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda w: F.length(w) > 0,
@@ -747,12 +753,15 @@ def _hashed_features(
         ),
     ).otherwise(F.array())
     feats = F.concat(words, bigrams)
+    if hash_family == "xxhash":
+        idx = F.pmod(F.xxhash64(F.col("f")), F.lit(dim))
+    elif hash_family == "poly":
+        idx = poly_hash(F.col("f"), base=1103515245, init=5381) % dim
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return df.select(
         F.col(id_col).alias("id"), F.explode(feats).alias("f")
-    ).select(
-        "id",
-        (poly_hash(F.col("f"), base=1103515245, init=5381) % dim).alias("idx"),
-    )
+    ).select("id", idx.alias("idx"))
 
 
 def lcg_weight_table(spark, dim: int = 4096, seed: int = 1) -> DataFrame:
@@ -843,6 +852,7 @@ def dsir_log_weights(
     alpha: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "poly",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169):
@@ -865,18 +875,23 @@ def dsir_log_weights(
     :func:`unigram_logprob` discipline), so partition order cannot
     drift the 6-decimal rounding.
 
-    Scale shape: two feature passes (raw + target) into dim-sized
-    count tables, a dim-sized ratio table built over ``range(dim)``
+    Scale shape: ONE feature pass over each corpus (the raw stream is
+    persisted — it feeds both the count table and the per-doc scoring
+    join; totals come from summing the dim-sized count tables, never
+    a re-scan), a dim-sized ratio table built over ``range(dim)``
     (features unseen in either corpus still get their smoothed mass),
     one broadcast join + groupBy per raw doc. Model state is O(dim);
-    nothing quadratic, no window."""
+    nothing quadratic, no window. ``hash_family='xxhash'`` swaps the
+    auditable per-char fold for the JVM intrinsic (see
+    :func:`_hashed_features`)."""
     spark = df.sparkSession
-    raw_f = _hashed_features(df, id_col, text_col, dim)
-    tgt_f = _hashed_features(target, id_col, text_col, dim)
+    raw_f = _hashed_features(df, id_col, text_col, dim, hash_family).persist()
+    tgt_f = _hashed_features(target, id_col, text_col, dim, hash_family)
     raw_c = raw_f.groupBy("idx").agg(F.count(F.lit(1)).alias("cr"))
     tgt_c = tgt_f.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
-    raw_t = raw_f.agg(F.count(F.lit(1)).alias("tr"))
-    tgt_t = tgt_f.agg(F.count(F.lit(1)).alias("tt"))
+    # totals from the dim-sized count tables — NOT a second corpus scan
+    raw_t = raw_c.agg(F.sum("cr").alias("tr"))
+    tgt_t = tgt_c.agg(F.sum("ct").alias("tt"))
     ratio = (
         spark.range(dim)
         .select(F.col("id").cast("long").alias("idx"))
@@ -908,7 +923,9 @@ def dsir_log_weights(
             .alias("lw"),
         )
     )
-    return (
+    from toshokan_spark.operators.util import finalize_cached
+
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(scored, "id", "left")
         .select(
@@ -917,6 +934,7 @@ def dsir_log_weights(
             F.coalesce(F.round("lw", 6), F.lit(0.0)).alias("log_weight"),
         )
     )
+    return finalize_cached(out, raw_f)
 
 
 #: symbol separator for the BPE merge fold — a control char no
