@@ -2143,3 +2143,23 @@ def test_bpe_train_matches_textbook_example(spark):
     raw = {r.doc_id: r.n_bpe_tokens
            for r in textops.bpe_token_counts(docs, []).collect()}
     assert raw[1] == 15  # 5 words x 3 chars
+
+
+def test_hashed_feature_family_xxhash_path(spark):
+    """The production hash family must be drop-in: same output shape
+    and deterministic across calls; a model trained under one family
+    scores differently under the other (the families are distinct
+    hashed spaces, never silently interchangeable)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some words here number {i}") for i in range(20)]
+    )
+    target = docs.filter(F.col("doc_id") < 5)
+    a = textops.dsir_log_weights(docs, target, dim=256, hash_family="xxhash")
+    b = textops.dsir_log_weights(docs, target, dim=256, hash_family="xxhash")
+    ra = sorted(tuple(r) for r in a.collect())
+    assert ra == sorted(tuple(r) for r in b.collect())
+    assert all(r[1] > 0 for r in ra)  # every doc has features
+    with pytest.raises(ValueError, match="hash_family"):
+        textops.dsir_log_weights(docs, target, hash_family="md5")
