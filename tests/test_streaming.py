@@ -1369,3 +1369,87 @@ def test_streaming_distinct_count_bounded_state_and_accuracy(spark, tmp_path):
     # bounded state: every summary row is exactly one 4 KiB register
     # file regardless of stream cardinality
     assert {len(r.registers) for r in sink.collect()} == {4096}
+
+
+def test_streaming_bottomk_sample_deterministic_and_bounded(spark, tmp_path):
+    """Bottom-k across micro-batches: repeats never re-enter, the
+    kept set is EXACTLY the k globally-smallest-hash distinct keys
+    (deterministic — assert equality against a driver-side replay,
+    not just properties), under-k streams return the exact distinct
+    set, and the KMV estimate lands near the truth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import (
+        bottomk_sample_and_estimate,
+        streaming_bottomk_sample,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("k", T.StringType())])
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+        q = (
+            streaming_bottomk_sample(parsed, key_col="k", k=32, shards=4)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    keys = [f"id-{i}" for i in range(2000)]
+    (indir / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"k": k}) for k in keys[:1200]) + "\n"
+    )
+    drain()
+    # overlap: 800 repeats + 800 fresh
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"k": k}) for k in keys[400:2000]) + "\n"
+    )
+    drain()
+
+    got = bottomk_sample_and_estimate(spark.read.parquet(out), k=32)
+    # driver-side replay of the sketch definition
+    hs = {
+        r.k: r.h
+        for r in spark.createDataFrame([(k,) for k in keys], "k string")
+        .select("k", F.xxhash64("k").alias("h"))
+        .collect()
+    }
+    expect = [k for k, _ in sorted(hs.items(), key=lambda kv: (kv[1], kv[0]))[:32]]
+    assert got["sample"] == expect
+    assert abs(got["distinct_estimate"] - 2000) / 2000 < 0.5  # KMV @ k=32
+    # under-k: exact distinct set, exact count
+    (indir / "b3.jsonl").write_text("")  # no-op batch
+
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    indir2 = tmp_path / "in2"
+    indir2.mkdir()
+    (indir2 / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"k": f"x{i}"}) for i in range(10)) + "\n"
+    )
+    raw = spark.readStream.text(str(indir2))
+    parsed = raw.select(F.from_json("value", schema).alias("j")).select("j.*")
+    q = (
+        streaming_bottomk_sample(parsed, key_col="k", k=32, shards=4)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    small = bottomk_sample_and_estimate(spark.read.parquet(out2), k=32)
+    assert sorted(small["sample"]) == [f"x{i}" for i in range(10)]
+    assert small["distinct_estimate"] == 10.0

@@ -2,9 +2,11 @@
 
 from toshokan_spark.streaming.ingest_stream import stream_index
 from toshokan_spark.streaming.stateful import (
+    bottomk_sample_and_estimate,
     heavy_hitters_topk,
     hll_distinct_estimate,
     running_totals,
+    streaming_bottomk_sample,
     streaming_distinct_count,
     streaming_heavy_hitters,
 )
@@ -18,10 +20,12 @@ from toshokan_spark.streaming.windowed import (
 )
 
 __all__ = [
+    "bottomk_sample_and_estimate",
     "dedup_stream",
     "heavy_hitters_topk",
     "hll_distinct_estimate",
     "running_totals",
+    "streaming_bottomk_sample",
     "streaming_distinct_count",
     "session_windows",
     "stream_conversion_join",

@@ -342,3 +342,122 @@ def hll_distinct_estimate(summaries: DataFrame) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)  # linear counting
     return raw
+
+
+def streaming_bottomk_sample(
+    events: DataFrame,
+    key_col: str = "k",
+    k: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Stream-lifetime uniform sample of DISTINCT keys with bounded
+    state: a bottom-k sketch (Cohen & Kaplan 2007) per hash shard —
+    keep the ``k`` smallest ``xxhash64`` values ever seen. Because the
+    hash is a fixed uniform permutation of the key space, the kept
+    keys are a uniform without-replacement sample of the distinct
+    keys, the sketch is DETERMINISTIC (same stream content → same
+    sample, any arrival order — exactly testable, unlike an RNG
+    reservoir), repeats dedupe for free, and merging shards is a
+    plain union-then-bottom-k.
+
+    State: O(shards × k) forever. Output per updated shard per
+    micro-batch: the shard's current bottom-k as ``(shard, epoch,
+    item, h)`` rows. Read the sink with
+    :func:`bottomk_sample_and_estimate`, which also turns the k-th
+    smallest hash into a distinct-count estimate — the classic KMV
+    estimator ``(k-1) · 2^64 / h_(k)`` — cross-checking
+    :func:`streaming_distinct_count` with an entirely different
+    sketch family."""
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("epoch", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("epoch", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, hs, epoch = state.get
+            table = dict(zip(items, hs))
+            epoch = int(epoch)
+        else:
+            table = {}
+            epoch = 0
+        for pdf in pdfs:
+            for item, h in zip(pdf["item"], pdf["h"]):
+                if item is None or item in table:
+                    continue
+                table[item] = int(h)
+        # keep the k smallest hashes (ties impossible per item; equal
+        # hashes across items break by item for determinism)
+        kept = sorted(table.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        epoch += 1
+        state.update((
+            [it for it, _ in kept],
+            [h for _, h in kept],
+            epoch,
+        ))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(kept),
+                "epoch": [epoch] * len(kept),
+                "item": [it for it, _ in kept],
+                "h": [h for _, h in kept],
+            }
+        )
+
+    ev = events.select(
+        F.col(key_col).cast("string").alias("item"),
+        F.xxhash64(F.col(key_col).cast("string")).alias("h"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards)).alias(
+            "__shard"
+        ),
+    )
+    return ev.groupBy("__shard").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def bottomk_sample_and_estimate(summaries: DataFrame, k: int) -> dict:
+    """Merge a :func:`streaming_bottomk_sample` sink: latest epoch per
+    shard, union, global bottom-k. Returns ``{"sample": [items...],
+    "distinct_estimate": float}`` — the KMV estimate uses the k-th
+    smallest hash mapped to [0, 1) over the full signed-64 range;
+    with fewer than k distinct keys the sample IS the exact distinct
+    set and the estimate its exact size. Reads are sketch-sized."""
+    from pyspark.sql import functions as F
+
+    latest = summaries.join(
+        F.broadcast(
+            summaries.groupBy("shard").agg(F.max("epoch").alias("epoch"))
+        ),
+        ["shard", "epoch"],
+    )
+    rows = sorted(
+        ((r.h, r.item) for r in latest.select("h", "item").collect())
+    )
+    kept = rows[:k]
+    if len(kept) < k:
+        return {
+            "sample": [it for _, it in kept],
+            "distinct_estimate": float(len(kept)),
+        }
+    # map signed xxhash64 onto [0, 1): (h - MIN) / 2^64
+    frac = (kept[-1][0] + (1 << 63)) / float(1 << 64)
+    return {
+        "sample": [it for _, it in kept],
+        "distinct_estimate": (k - 1) / frac if frac > 0 else float(k),
+    }
