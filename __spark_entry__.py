@@ -1622,20 +1622,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
-    # (VERDICT r5 §1). Registration order each round is therefore:
-    #   1. entries that failed the previous driver gate (fixed here),
-    #   2. entries NEW this round,
-    #   3. entries the previous round's record rotated out (so the
-    #      union of consecutive driver records covers all entries),
-    #   4. everything already driver-green last round.
+    # (VERDICT r5 §1). tools/rotation.py computes the priority classes
+    # from git + a static AST dependency analysis, and
+    # tests/test_rotation.py FAILS the suite when this order violates
+    # the class-priority filling (P0 never-proven > P0b rotated-out >
+    # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r8 WINDOW (first 50): P1 entries whose implementation
-        # materially changed this round (containment single-pass,
-        # scale modes, shared Lloyd loop) ...
-        # ... then every P0 entry with no previous-round driver
-        # record (NEW this round: the two scale-mode twins + the kNN
-        # graph; plus the 41 rotated out of r7's window).
-        # tools/rotation.py computes these sets
+        # -- r8 WINDOW (first 50): every NEVER-driver-proven entry
+        # (the 12 new this round) first ...
         "knn_graph": q_knn_graph,
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
@@ -1646,7 +1640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
-        # from git + AST; tests/test_rotation.py enforces the order.
+        # ... then P0b entries rotated out of r7's record (union
+        # coverage; the window holds as many as fit — the overflow at
+        # the tail keeps its r6 proof + the full local sweep)
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
         "token_budget_pack_scaled": q_token_budget_pack_scaled,
         "search_text_term": q_search_text_term,
@@ -1690,9 +1686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
-        # -- PAST THE WINDOW: remaining changed entries (r7-proven;
-        # module-level changes only — full local sweep re-proves
-        # them this round, driver re-proof next rotation) ...
+        # -- PAST THE WINDOW: P0b overflow (hourly_events,
+        # distinct_users, heavy_hitter_users sit just above) and P1
+        # entries changed since the seal (r7-proven; the full local
+        # sweep re-proves them this round, driver re-proof next
+        # rotation) ...
         "containment_pairs": q_containment_pairs,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "knn_ivf": q_knn_ivf,
