@@ -759,8 +759,14 @@ def _hashed_features(
         idx = poly_hash(F.col("f"), base=1103515245, init=5381) % dim
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(feats).alias("f")
+    from toshokan_spark.operators.util import spread
+
+    # spread BEFORE the per-row-heavy tokenize+explode+hash: a small
+    # parquet arrives as ONE split and would serialize the whole
+    # feature pass on a single core (measured 5.3s -> sub-second at
+    # sf0.1 on local[32])
+    return spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(feats).alias("f")
     ).select("id", idx.alias("idx"))
 
 
@@ -1001,12 +1007,17 @@ def bpe_train(
     1-row collect. Round r re-applies r replaces over the vocab —
     O(n_merges²) vocab-sized string passes total, the standard trade
     against materializing per-round snapshots."""
+    from toshokan_spark.operators.util import spread
+
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda w: F.length(w) > 0,
     )
+    # spread before the tokenize+explode (a small parquet is ONE
+    # split — the same serialization spread() fixes everywhere else)
     vocab = (
-        df.select(F.explode(words).alias("w"))
+        spread(df.select(F.col(text_col)))
+        .select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(_bpe_symbols(F.col("w")).alias("s"), "cnt")
@@ -1081,7 +1092,9 @@ def bpe_token_counts(
             )
         return F.size(F.filter(F.split(s, BPE_SEP), lambda x: F.length(x) > 0))
 
-    return df.select(
+    from toshokan_spark.operators.util import spread
+
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.size(words).cast("long").alias("n_words"),
         F.coalesce(
