@@ -334,7 +334,9 @@ def bigram_logprob(
     shuffles (bigram, unigram), V is a broadcast scalar, and the
     per-doc sum runs in decimal. Documents with fewer than two tokens
     have no transitions and no output row."""
-    staged = df.select(
+    from toshokan_spark.operators.util import spread
+
+    staged = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__w")
     ).withColumn("__n", F.size("__w"))
     tr = staged.filter(F.col("__n") >= 2).select(
@@ -513,11 +515,16 @@ def unigram_logprob(
     ``decimal(38,18)`` so partition order cannot drift the rounded
     result (same rationale as sampling.source_mixture).
     """
-    toks = df.select(
+    from toshokan_spark.operators.util import spread
+
+    # spread before the tokenize+explode (single-split serialization,
+    # see _hashed_features); the corpus total comes from summing the
+    # vocabulary-sized frequency table, never a second token pass
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("w")
     )
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    total = freq.agg(F.sum("c").alias("t"))
     scored = toks.join(freq, "w").crossJoin(F.broadcast(total))
     lp = F.log(F.col("c") / F.col("t").cast("double"))
     return (
