@@ -375,3 +375,32 @@ def test_substring_spans_plan_is_join_shaped(spark, sf_dir):
         assert "g#" not in spec.split(",")[0], (
             "window partitioned by gram: " + spec
         )
+
+
+#: round-8 model-application entries (hashed-feature classifier, DSIR)
+ROUND8 = ["quality_classifier", "dsir_weights"]
+
+
+@pytest.fixture(scope="module")
+def plans8(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND8:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_model_application_weight_joins_are_broadcast(plans8):
+    """The O(dim) weight / log-ratio tables must broadcast — a
+    shuffled join here would move the corpus feature stream for a
+    model-sized side; and nothing may plan cartesian."""
+    a = plans8["quality_classifier"]
+    assert "BroadcastHashJoin" in a["joins"], a
+    assert "CartesianProduct" not in a["joins"], a
+    b = plans8["dsir_weights"]
+    assert "CartesianProduct" not in b["joins"], b
