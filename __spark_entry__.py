@@ -1918,8 +1918,11 @@ def _bpe_ctes(n: int) -> str:
     """Unrolled DuckDB CTE chain replaying bpe_train's n rounds:
     v0 = corpus-weighted word vocabulary as \x1f-delimited symbol
     strings; each round counts adjacent pairs, takes the (count DESC,
-    pair ASC) argmax, and applies the merge via the same literal
-    replace the Spark side uses."""
+    pair ASC) argmax, and applies the merge with the SAME
+    string-accumulator fold as the Spark side (list_reduce — true
+    left-to-right greedy, back-to-back occurrences both merge; the
+    LEFT JOIN ON TRUE keeps the chain intact when a round finds no
+    pair left to merge)."""
     sep = "chr(31)"
     lw = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
     ctes = f"""v0 AS (
@@ -1944,9 +1947,17 @@ def _bpe_ctes(n: int) -> str:
             best{r} AS (SELECT a, b, c FROM p{r}
                         ORDER BY c DESC, a ASC, b ASC LIMIT 1),
             v{r + 1} AS (
-              SELECT w, replace(s, {sep} || a || {sep} || b || {sep},
-                                   {sep} || a || b || {sep}) AS s, cnt
-              FROM v{r}, best{r})"""
+              SELECT w,
+                CASE WHEN bj.a IS NULL THEN s ELSE
+                  list_reduce(
+                    [''] || list_filter(string_split(s, {sep}), x -> x <> ''),
+                    (acc, x) -> CASE WHEN acc <> ''
+                                      AND ends_with(acc, {sep} || bj.a)
+                                      AND x = bj.b
+                                     THEN acc || x
+                                     ELSE acc || {sep} || x END) || {sep}
+                END AS s, cnt
+              FROM v{r} LEFT JOIN best{r} bj ON TRUE)"""
     return ctes
 
 

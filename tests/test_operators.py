@@ -2145,6 +2145,70 @@ def test_bpe_train_matches_textbook_example(spark):
     assert raw[1] == 15  # 5 words x 3 chars
 
 
+def test_bpe_merge_application_is_truly_greedy(spark):
+    """Back-to-back occurrences of the winning pair must BOTH merge —
+    the left-to-right greedy rule ('haha' + (h,a) -> [ha, ha], a run
+    of 2k identical symbols -> k merged pairs). The earlier
+    replace-based fold consumed the shared separator and
+    under-merged (review finding r8)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="haha"), Row(doc_id=2, text="aaaaaa"),
+         Row(doc_id=3, text="hahah")]
+    )
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textops.bpe_token_counts(docs, [("h", "a", 0)]).collect()
+    }
+    assert counts[1] == 2   # [ha, ha]
+    assert counts[2] == 6   # no (h,a) pairs at all
+    assert counts[3] == 3   # [ha, ha, h]
+    runs = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textops.bpe_token_counts(docs, [("a", "a", 0)]).collect()
+    }
+    assert runs[2] == 3     # aaaaaa -> [aa, aa, aa]
+    assert runs[1] == 4     # h a h a: no adjacent (a,a)
+
+
+def test_hashed_linear_score_sparse_model(spark):
+    """A sparse (nonzero-buckets-only) model must score unmatched
+    features as weight 0 IN the denominator — the fastText bag mean —
+    not silently drop them (review finding r8)."""
+    import math
+
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="u v w x")])
+    # find the bucket of ONE of the doc's 7 features, weight only it
+    feats = textops._hashed_features(docs, "doc_id", "text", 4096).collect()
+    assert len(feats) == 7
+    one_idx = feats[0].idx
+    sparse = spark.createDataFrame([Row(idx=int(one_idx), w=7.0)])
+    out = textops.hashed_linear_score(docs, sparse, dim=4096).collect()[0]
+    # mean over ALL 7 features = 7.0/7 = 1.0 -> sigmoid(1.0)
+    n_hits = sum(1 for f in feats if f.idx == one_idx)
+    expect = round(1.0 / (1.0 + math.exp(-(7.0 * n_hits / 7))), 6)
+    assert out.n_feats == 7
+    assert out.prob == pytest.approx(expect, abs=1e-6)
+
+
+def test_dsir_weights_empty_target_is_finite(spark):
+    """An empty target corpus still yields finite smoothed ratios
+    (tt = 0), matching the oracle's count(*) semantics — not NULLed
+    weights coalesced to 0 (review finding r8)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="some plain words"), Row(doc_id=2, text="other text")]
+    )
+    out = {r.doc_id: r.log_weight for r in
+           textops.dsir_log_weights(docs, docs.filter("doc_id < 0"),
+                                    dim=64).collect()}
+    assert all(w != 0.0 for w in out.values()), out
+
+
 def test_hashed_feature_family_xxhash_path(spark):
     """The production hash family must be drop-in: same output shape
     and deterministic across calls; a model trained under one family

@@ -1429,9 +1429,7 @@ def test_streaming_bottomk_sample_deterministic_and_bounded(spark, tmp_path):
     expect = [k for k, _ in sorted(hs.items(), key=lambda kv: (kv[1], kv[0]))[:32]]
     assert got["sample"] == expect
     assert abs(got["distinct_estimate"] - 2000) / 2000 < 0.5  # KMV @ k=32
-    # under-k: exact distinct set, exact count
-    (indir / "b3.jsonl").write_text("")  # no-op batch
-
+    # under-k: exact distinct set, exact count (fresh stream below)
     out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
     indir2 = tmp_path / "in2"
     indir2.mkdir()

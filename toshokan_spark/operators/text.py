@@ -748,10 +748,7 @@ def _hashed_features(
     JVM-intrinsic production family, ~3-5× faster on the feature
     stream — a model is tied to ONE family (train and apply must
     collide identically), so pick per model, not per call."""
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    words = _lower_words(text_col)
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -805,6 +802,7 @@ def hashed_linear_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    hash_family: str = "poly",
 ) -> DataFrame:
     """Model-based quality filtering — apply a trained linear
     classifier over HASHED text features (the fastText / DCLM-style
@@ -829,13 +827,18 @@ def hashed_linear_score(
     BROADCAST join against the model-sized weight table, one groupBy
     doc — no window, no UDF, nothing quadratic; the weight table is
     the only state and it is O(dim)."""
-    exploded = _hashed_features(df, id_col, text_col, dim)
+    exploded = _hashed_features(df, id_col, text_col, dim, hash_family)
+    # LEFT join + coalesce: a SPARSE model (only nonzero buckets
+    # stored, the L1-regularized shape) must score its unmatched
+    # features as weight 0 IN the denominator — an inner join would
+    # silently drop them and bias the mean toward the stored weights
+    # (review finding r8)
     scored = (
-        exploded.join(F.broadcast(weights), "idx")
+        exploded.join(F.broadcast(weights), "idx", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("w").alias("wsum"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("wsum"),
         )
     )
     prob = F.round(
@@ -902,9 +905,11 @@ def dsir_log_weights(
     tgt_f = _hashed_features(target, id_col, text_col, dim, hash_family)
     raw_c = raw_f.groupBy("idx").agg(F.count(F.lit(1)).alias("cr"))
     tgt_c = tgt_f.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
-    # totals from the dim-sized count tables — NOT a second corpus scan
-    raw_t = raw_c.agg(F.sum("cr").alias("tr"))
-    tgt_t = tgt_c.agg(F.sum("ct").alias("tt"))
+    # totals from the dim-sized count tables — NOT a second corpus
+    # scan; coalesced so an EMPTY corpus (sum -> NULL) still yields
+    # finite smoothed ratios like the oracle's count(*) = 0
+    raw_t = raw_c.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    tgt_t = tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     ratio = (
         spark.range(dim)
         .select(F.col("id").cast("long").alias("idx"))
@@ -953,6 +958,37 @@ def dsir_log_weights(
 #: symbol separator for the BPE merge fold — a control char no
 #: tokenized word contains (words are whitespace-split)
 BPE_SEP = "\x1f"
+
+
+def _lower_words(text_col: str) -> Column:
+    """Lowercased whitespace words — THE tokenization the hashed
+    feature space and the BPE vocabulary share (one definition; its
+    DuckDB twin is spelled once per oracle)."""
+    return words_col(F.lower(F.col(text_col)))
+
+
+def _apply_bpe_merge(s: Column, a: str, b: str) -> Column:
+    """Apply ONE merge (a, b) to a delimited symbol string with TRUE
+    left-to-right greedy semantics: a string-accumulator fold — when
+    the accumulator ends with ␟a and the next symbol is b, append b
+    to the last symbol, else start a new one. (An earlier global
+    ``replace(␟a␟b␟ → ␟ab␟)`` implementation under-merged
+    back-to-back occurrences — the match consumes the shared
+    separator, so 'haha' with merge (h,a) became [ha, h, a] instead
+    of [ha, ha]; review finding r8. The DuckDB oracle replays this
+    exact fold via list_reduce.)"""
+    syms = F.filter(F.split(s, BPE_SEP), lambda x: F.length(x) > 0)
+    folded = F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, x: F.when(
+            (acc != F.lit(""))
+            & acc.endswith(F.lit(BPE_SEP + a))
+            & (x == F.lit(b)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+    )
+    return F.concat(folded, F.lit(BPE_SEP))
 
 
 def _bpe_symbols(col: Column) -> Column:
@@ -1016,10 +1052,7 @@ def bpe_train(
     against materializing per-round snapshots."""
     from toshokan_spark.operators.util import spread
 
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    words = _lower_words(text_col)
     # spread before the tokenize+explode (a small parquet is ONE
     # split — the same serialization spread() fixes everywhere else)
     vocab = (
@@ -1046,14 +1079,7 @@ def bpe_train(
                 break
             a, b, c = best[0].a, best[0].b, int(best[0].c)
             merges.append((a, b, c))
-            cur = cur.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}"),
-                    F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
-                ),
-            )
+            cur = cur.withColumn("s", _apply_bpe_merge(F.col("s"), a, b))
         return merges
     finally:
         vocab.unpersist()
@@ -1084,26 +1110,19 @@ def bpe_token_counts(
     against a corpus (whitespace token count rides along). One narrow
     pass; the merge chain is ``len(merges)`` literal replaces inside
     a single projection."""
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    words = _lower_words(text_col)
 
     def seg_count(w: Column) -> Column:
         s = _bpe_symbols(w)
         for a, b, _c in merges:
-            s = F.replace(
-                s,
-                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}"),
-                F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
-            )
+            s = _apply_bpe_merge(s, a, b)
         return F.size(F.filter(F.split(s, BPE_SEP), lambda x: F.length(x) > 0))
 
     from toshokan_spark.operators.util import spread
 
     return spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(F.size(words), F.lit(0)).cast("long").alias("n_words"),
         F.coalesce(
             F.aggregate(
                 F.transform(words, seg_count),
