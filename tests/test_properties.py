@@ -391,3 +391,57 @@ def test_snapshot_diff_partitions_the_id_universe(spark):
         i for i in inter if texts[i] == new_texts[i]}
     assert {i for i in inter if by[i] == "changed"} == {
         i for i in inter if texts[i] != new_texts[i]}
+
+
+def test_bpe_merge_fold_matches_reference_greedy(spark):
+    """The string-accumulator merge fold must equal reference
+    left-to-right greedy BPE application on randomized inputs —
+    including runs, interleavings, and multi-char symbols (the shape
+    after earlier merge rounds). 300 seeded cases in one Spark job."""
+    import random
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.text import BPE_SEP, _apply_bpe_merge
+
+    def reference(symbols, a, b):
+        out = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    rng = random.Random(0xBEEF)
+    alphabet = ["a", "b", "h", "ab", "ha", "xy"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alphabet) for _ in range(rng.randrange(1, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, a, b))
+    rows = [
+        Row(case_id=i, s=BPE_SEP + BPE_SEP.join(syms) + BPE_SEP,
+            a=a, b=b)
+        for i, syms, a, b in cases
+    ]
+    df = spark.createDataFrame(rows)
+    # one merge pair per group of cases sharing (a, b): apply per
+    # distinct pair to keep the fold literal-parameterized as in prod
+    got = {}
+    for (a, b), group in __import__("itertools").groupby(
+        sorted(cases, key=lambda c: (c[2], c[3])), key=lambda c: (c[2], c[3])
+    ):
+        ids = [c[0] for c in group]
+        sub = df.filter(F.col("case_id").isin(ids)).select(
+            "case_id", _apply_bpe_merge(F.col("s"), a, b).alias("m")
+        )
+        for r in sub.collect():
+            got[r.case_id] = [
+                x for x in r.m.split(BPE_SEP) if x
+            ]
+    for i, syms, a, b in cases:
+        assert got[i] == reference(syms, a, b), (i, syms, a, b, got[i])
