@@ -1324,6 +1324,14 @@ def q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(emb, k=5, num_planes=8, hash_family="lcg")
 
 
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center coreset: 6 maximally-spread exemplar vectors
+    (farthest-point-first from the lowest-id seed) with the cover
+    radius at each selection — the diversity-pruning baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, k=6)
+
+
 def q_semantic_clusters(spark, sf_dir):
     """Mutual-kNN connected components at cosine >= 0.3 over the LCG
     hyperplane graph — cluster-count-free semantic clustering; every
@@ -1631,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r8 WINDOW (first 50): every NEVER-driver-proven entry
         # (the 12 new this round) first ...
         "knn_graph": q_knn_graph,
+        "kcenter_select": q_kcenter_select,
         "semantic_clusters": q_semantic_clusters,
         "substring_spans": q_substring_spans,
         "ccnet_select": q_ccnet_select,
@@ -1912,6 +1921,29 @@ _LANG_SQL = {
     lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in textops.LANG_MARKERS.items()
 }
 
+
+
+
+def _kcenter_ctes(k: int) -> str:
+    """Unrolled greedy k-center selection: s0 = lowest-id vector;
+    each round's candidate distance is least() over squared-L2 to all
+    previously selected (the same sequential-fold arithmetic as the
+    Spark side), argmax by (dist DESC, id ASC)."""
+    ctes = "e AS (SELECT vec_id, embedding FROM embeddings),\n"
+    ctes += "            s0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)"
+    for r in range(1, k):
+        prev = ", ".join(f"s{j}" for j in range(r))
+        excl = " AND ".join(f"e.vec_id <> s{j}.vec_id" for j in range(r))
+        dists = ", ".join(
+            _L2.format(a="e.embedding", b=f"s{j}.embedding") for j in range(r)
+        )
+        ctes += f""",
+            s{r} AS (
+              SELECT e.vec_id, e.embedding, least({dists}) AS dd
+              FROM e, {prev}
+              WHERE {excl}
+              ORDER BY dd DESC, e.vec_id ASC LIMIT 1)"""
+    return ctes
 
 
 def _bpe_ctes(n: int) -> str:
@@ -3360,6 +3392,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hyperplane LSH, LCG plane family: buckets + multi-probe
         # (radius 1) + in-bucket cosine + rank, all reproduced
+        "kcenter_select": f"""
+            WITH {_kcenter_ctes(6)}
+            SELECT * FROM (
+              SELECT 1 AS rank, vec_id, 0.0 AS dist FROM s0\n              UNION ALL SELECT 2 AS rank, vec_id, round(sqrt(dd), 6) AS dist FROM s1\n              UNION ALL SELECT 3 AS rank, vec_id, round(sqrt(dd), 6) AS dist FROM s2\n              UNION ALL SELECT 4 AS rank, vec_id, round(sqrt(dd), 6) AS dist FROM s3\n              UNION ALL SELECT 5 AS rank, vec_id, round(sqrt(dd), 6) AS dist FROM s4\n              UNION ALL SELECT 6 AS rank, vec_id, round(sqrt(dd), 6) AS dist FROM s5
+            ) ORDER BY rank
+        """,
         "semantic_clusters": f"""
             WITH RECURSIVE sigged AS (
               SELECT vec_id, embedding,

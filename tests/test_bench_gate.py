@@ -59,6 +59,7 @@ FLOORS = {
     "dsir_weights": 2.0,
     "bpe_merges": 1.3,
     "bpe_token_counts": 1.2,
+    "kcenter_select": 1.4,         # 5 argmax rounds, warm best ~1.0
 }
 MULTIPLIER = 2.5
 RUNS = 3

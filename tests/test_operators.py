@@ -2227,3 +2227,28 @@ def test_hashed_feature_family_xxhash_path(spark):
     assert all(r[1] > 0 for r in ra)  # every doc has features
     with pytest.raises(ValueError, match="hash_family"):
         textops.dsir_log_weights(docs, target, hash_family="md5")
+
+
+def test_kcenter_select_farthest_point_geometry(spark):
+    """Hand-computable farthest-point-first: seed = lowest id, each
+    pick maximizes distance to the nearest selected center, dist is
+    the cover-radius curve; k beyond the corpus stops early."""
+    from pyspark.sql import Row
+
+    pts = {
+        1: [0.0, 0.0],
+        2: [0.1, 0.0],    # near the seed
+        3: [10.0, 0.0],   # farthest from seed -> picked 2nd
+        4: [5.0, 0.0],    # midpoint -> picked 3rd (dist 5 to both)
+        5: [9.9, 0.0],    # near 3
+    }
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in pts.items()]
+    )
+    out = [(r.rank, r.vec_id, r.dist) for r in
+           similarity.kcenter_select(emb, k=3).orderBy("rank").collect()]
+    assert out == [(1, 1, 0.0), (2, 3, 10.0), (3, 4, 5.0)]
+    # k > n: selection exhausts the corpus and stops
+    all_out = similarity.kcenter_select(emb, k=10).collect()
+    assert len(all_out) == 5
+    assert {r.vec_id for r in all_out} == set(pts)

@@ -663,6 +663,74 @@ def knn_lsh(
     )
 
 
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection
+    (Gonzalez 1985 — the 2-approximation of the optimal k-center
+    cover, and the standard diversity-maximizing baseline for data
+    pruning): dedup removes REDUNDANCY; this picks maximally SPREAD
+    exemplars — seed with the lowest-id vector (deterministic,
+    model-free), then repeatedly take the vector FARTHEST from its
+    nearest already-selected center (ties → lowest id). Returns
+    ``(rank, id, dist)`` — ``dist`` is the L2 distance to the nearest
+    previously-selected center at selection time (0 for the seed),
+    which is also the k-center cover radius curve: ``dist`` at rank
+    r+1 bounds how far ANY corpus vector is from the first r centers.
+
+    Scale shape — the :func:`train_ivf_centroids` discipline: driver
+    state is the selected C×dim matrix (model-sized), each of the
+    k−1 rounds is ONE narrow distance pass against the
+    literal-broadcast centers plus a 1-row argmax collect
+    (distributed take-ordered, never a corpus sort). Distances use
+    the sequential-fold squared-L2 expression, so the DuckDB oracle
+    replays every round argmax exactly."""
+    e = spread(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).persist()
+    try:
+        seed = e.orderBy(F.col("id").asc()).limit(1).collect()
+        if not seed:
+            return corpus.sparkSession.createDataFrame(
+                [], f"rank long, {id_col} long, dist double"
+            )
+        selected = [(0, seed[0].id, [float(x) for x in seed[0].v], 0.0)]
+        for _ in range(k - 1):
+            cents = [(rk, v) for rk, _id, v, _d in selected]
+            d = _nearest_centroid_struct(F.col("v"), cents).getField("d")
+            got = (
+                e.filter(~F.col("id").isin([i for _, i, _, _ in selected]))
+                .select("id", "v", d.alias("dd"))
+                .orderBy(F.col("dd").desc(), F.col("id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not got:
+                break
+            r = got[0]
+            selected.append(
+                (len(selected), r.id, [float(x) for x in r.v], float(r.dd))
+            )
+        spark = corpus.sparkSession
+        # sqrt+round as COLUMN expressions (the kmeans discipline) so
+        # the rounding engine matches the oracle's, not Python's
+        # banker's round
+        return (
+            spark.createDataFrame(
+                [(rk + 1, _id, dd) for rk, _id, _v, dd in selected],
+                f"rank long, {id_col} long, __dd double",
+            )
+            .select(
+                "rank", id_col, F.round(F.sqrt("__dd"), 6).alias("dist")
+            )
+        )
+    finally:
+        e.unpersist()
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,
