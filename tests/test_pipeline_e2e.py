@@ -115,3 +115,47 @@ def test_curation_pipeline_end_to_end(spark, corpus):
         pos[src] = end
     # every train doc placed exactly once
     assert packed.count() == train.count()
+
+
+def test_model_filter_and_span_report_compose(spark, corpus):
+    """The round-8 stages slot into the same chain: the hashed linear
+    classifier gates docs (dense all-positive model keeps everything
+    — plumbing check), the substring-span report flags the verbatim
+    prefix shared by the near-dup pair, and DSIR ranks the wordy docs
+    above symbol soup against a clean target."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import dedup
+    from toshokan_spark.operators import text as textops
+
+    docs = corpus
+    # classifier gate: all-positive dense model keeps every doc
+    w = spark.createDataFrame([Row(idx=i, w=1.0) for i in range(1024)])
+    gated = docs.join(
+        textops.hashed_linear_score(docs, w, dim=1024)
+        .filter(F.col("label"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    assert gated.count() == docs.count()
+
+    # span report: docs 0/1/2 share a long verbatim prefix; with
+    # k=5 word windows the LOWEST id owns and the others are covered
+    spans = {
+        r.doc_id: r.covered_tokens
+        for r in dedup.exact_substring_spans(docs, k=5).collect()
+    }
+    assert spans[0] == 0          # owner
+    assert spans[1] > 15          # full exact dup, fully covered
+    assert spans[2] > 15          # near-dup: shared prefix covered
+    # the fillers are rotations of ONE cyclic word stream, so every
+    # 5-gram occurs in many docs: the LOWEST id (4) owns its windows,
+    # later rotations are (correctly) reported as covered
+    assert spans[4] == 0
+    assert spans[10] > 0
+
+    # DSIR against the wordy docs as target: symbol soup ranks lowest
+    target = docs.filter(F.col("doc_id") >= 4)
+    dsir = {r.doc_id: r.log_weight for r in
+            textops.dsir_log_weights(docs, target, dim=1024).collect()}
+    assert dsir[3] == min(dsir.values())
