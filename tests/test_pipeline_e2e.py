@@ -148,14 +148,22 @@ def test_model_filter_and_span_report_compose(spark, corpus):
     assert spans[0] == 0          # owner
     assert spans[1] > 15          # full exact dup, fully covered
     assert spans[2] > 15          # near-dup: shared prefix covered
-    # the fillers are rotations of ONE cyclic word stream, so every
-    # 5-gram occurs in many docs: the LOWEST id (4) owns its windows,
-    # later rotations are (correctly) reported as covered
-    assert spans[4] == 0
-    assert spans[10] > 0
+    # the fillers are rotations of ONE cyclic word stream with period
+    # 20 over 30 words: even the lowest-id filler (4) repeats ITSELF —
+    # gram positions 20..25 duplicate 0..5, union [20, 30) = 10
+    # covered tokens — and later rotations are owned by earlier docs
+    # almost entirely
+    assert spans[4] == 10
+    assert spans[24] > spans[4]
 
-    # DSIR against the wordy docs as target: symbol soup ranks lowest
+    # DSIR with the filler docs as target: every in-target doc must
+    # outrank every off-target one (0..3 — the English-y prose and
+    # the symbol soup are both absent from the filler vocabulary; the
+    # log weight is a count-weighted SUM, so the LONGER off-target
+    # docs are the most negative, which is correct DSIR behavior)
     target = docs.filter(F.col("doc_id") >= 4)
     dsir = {r.doc_id: r.log_weight for r in
             textops.dsir_log_weights(docs, target, dim=1024).collect()}
-    assert dsir[3] == min(dsir.values())
+    worst_target = min(v for k, v in dsir.items() if k >= 4)
+    best_off = max(v for k, v in dsir.items() if k < 4)
+    assert best_off < worst_target, dsir
