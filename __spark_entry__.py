@@ -3665,7 +3665,8 @@ def oracle_sql() -> dict[str, str]:
                 ({_poly_sql('f', 1103515245, 0, 1_000_000_007, 5381)}) % 4096 AS idx
               FROM feats),
             agg AS (
-              SELECT doc_id, count(*) AS n_feats, sum(w) AS wsum
+              SELECT doc_id, count(*) AS n_feats,
+                sum(w::DECIMAL(38,18))::DOUBLE AS wsum
               FROM idxed JOIN wt USING (idx) GROUP BY doc_id)
             SELECT b.doc_id,
               coalesce(a.n_feats, 0)::BIGINT AS n_feats,

@@ -1993,6 +1993,44 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
         leakage_safe_split(docs, labels, {"train": 0.5, "test": 0.1})
 
 
+def test_leakage_safe_split_string_ids(spark):
+    """Non-numeric ids (UUID-style keys — the API is generic) must
+    hash by VALUE, not collapse to a NULL long cast that dumps every
+    unlabeled doc into the last split (ADVICE r8)."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=f"doc-{i:04d}", source="s") for i in range(400)]
+    )
+    labels = spark.createDataFrame(
+        [
+            Row(doc_id=f"doc-{i:04d}", cluster_id=f"doc-{(i // 4) * 4:04d}")
+            for i in range(200)
+        ]
+    )
+    out = leakage_safe_split(
+        docs, labels, {"train": 0.5, "valid": 0.25, "test": 0.25}
+    ).collect()
+    assert len(out) == 400
+    by_cluster: dict = {}
+    splits: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        splits[r.split] = splits.get(r.split, 0) + 1
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # unlabeled string ids are their own singleton cluster, unmangled
+    tail = {r.doc_id: r.cluster_id for r in out if r.doc_id >= "doc-0200"}
+    assert all(cid == did for did, cid in tail.items())
+    # the failure mode: every singleton lands in 'test'. With value
+    # hashing all three splits appear among the UNLABELED docs too
+    # and fractions are in the right ballpark.
+    tail_splits = {r.split for r in out if r.doc_id >= "doc-0200"}
+    assert tail_splits == {"train", "valid", "test"}, tail_splits
+    assert splits["train"] > splits["test"], splits
+
+
 def test_exact_substring_spans_semantics(spark):
     """Owner exclusion, within-doc repeats, and interval union on a
     hand-computable corpus; the xxhash and raw gram keys must agree."""

@@ -103,11 +103,20 @@ def leakage_safe_split(
         ),
         id_col,
         "left",
-    ).withColumn(
-        "cluster_id",
-        F.coalesce(F.col("__cl"), F.col(id_col)).cast("long"),
-    ).drop("__cl")
-    bucket = sample_key(F.col("cluster_id"), seed)
+    )
+    # The split hash works on the STRING form of the coalesced
+    # cluster id (sample_key stringifies anyway), so a non-numeric
+    # id_col (the API is generic — UUID keys are common) hashes its
+    # actual value. The old `.cast("long")`-then-hash made every
+    # non-numeric id NULL, which fell through the when-chain and
+    # silently dumped all unlabeled docs into the LAST split.
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    types = dict(labeled.dtypes)
+    cl = F.coalesce(F.col("__cl"), F.col(id_col))
+    if types["__cl"] in _integral and types[id_col] in _integral:
+        cl = cl.cast("long")  # the documented numeric output shape
+    labeled = labeled.withColumn("cluster_id", cl).drop("__cl")
+    bucket = sample_key(F.col("cluster_id").cast("string"), seed)
     expr = None
     cum = 0
     names = list(fractions)

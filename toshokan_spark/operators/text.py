@@ -838,7 +838,13 @@ def hashed_linear_score(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("wsum"),
+            # fold through decimal(38,18): a plain double sum is
+            # partition-order-dependent and can drift the 6-decimal
+            # rounding (the dsir_log_weights / unigram_logprob
+            # discipline)
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0)).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("wsum"),
         )
     )
     prob = F.round(

@@ -2,10 +2,13 @@
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
@@ -277,14 +280,60 @@ def grouped_prefix(
     ``materialize=False`` returns the lazy plan un-persisted (for
     plan-shape tests; production callers keep the default).
     """
-    from pyspark.sql.window import Window
-
     if materialize:
         df = df.persist()
+    cached = [df] if materialize else []
+    # any exception between persist() and finalize_cached() — e.g. a
+    # bad order/proxy expression resolving at action time — must not
+    # leak CacheManager entries for the session lifetime (the
+    # train_ivf_centroids try/finally discipline, ADVICE r8)
+    try:
+        return _grouped_prefix_body(
+            df, group_col, proxy, order_cols, value=value,
+            n_coarse=n_coarse, accuracy=accuracy, rank_col=rank_col,
+            cumsum_col=cumsum_col, materialize=materialize,
+            nulls_last=nulls_last, cached=cached,
+        )
+    except BaseException:
+        for c in cached:
+            c.unpersist()
+        raise
+
+
+def _grouped_prefix_body(
+    df, group_col, proxy, order_cols, *, value, n_coarse, accuracy,
+    rank_col, cumsum_col, materialize, nulls_last, cached,
+):
+    from pyspark.sql.window import Window
+
     qs = [i / n_coarse for i in range(1, n_coarse)]
     bounds = df.groupBy(group_col).agg(
         F.percentile_approx(proxy, qs, accuracy).alias("__bounds")
     )
+    if materialize:
+        # Collapsed-boundary detection (VERDICT r8 #3): a
+        # near-constant proxy collapses the percentile boundaries,
+        # one coarse bucket holds the whole group, and the operator
+        # silently reverts to the single-task window it exists to
+        # avoid. The boundary frame is tiny (G × n_coarse, group
+        # cardinality is low by contract), so collect it, warn per
+        # degenerate group, and rebuild the broadcast side from the
+        # collected rows — which also saves the second aggregation
+        # job the join would otherwise run.
+        rows = bounds.collect()
+        floor = max(2, n_coarse // 8)
+        for r in rows:
+            bs = r["__bounds"] or []
+            distinct = len(set(bs))
+            if distinct < floor:
+                _LOG.warning(
+                    "grouped_prefix: group %r has only %d distinct "
+                    "coarse boundaries (< %d) — proxy is near-constant,"
+                    " one bucket will hold ~the whole group and scale "
+                    "mode buys no parallelism there",
+                    r[group_col], distinct, floor,
+                )
+        bounds = df.sparkSession.createDataFrame(rows, bounds.schema)
     d = (
         df.withColumn("__proxy", proxy)
         .join(F.broadcast(bounds), group_col)
@@ -315,6 +364,7 @@ def grouped_prefix(
         aggs.append(F.sum(value).alias("__vsum"))
     if materialize:
         d = d.persist()
+        cached.append(d)
     tot = d.groupBy(group_col, "__coarse").agg(*aggs)
     a, b = tot.alias("a"), tot.alias("b")
     offs = [
@@ -342,4 +392,4 @@ def grouped_prefix(
     out = out.drop("__coarse", "__lrank", "__off_cnt")
     if not materialize:
         return out
-    return finalize_cached(out, df, d)
+    return finalize_cached(out, *cached)
