@@ -2210,6 +2210,113 @@ def test_bpe_merge_application_is_truly_greedy(spark):
     assert runs[1] == 4     # h a h a: no adjacent (a,a)
 
 
+def test_bpe_train_local_matches_distributed(spark):
+    """The driver-local trainer (scale path, VERDICT r8 #1) must be
+    VALUE-EQUAL to the distributed fold: same corpus-weighted counts,
+    same left-to-right merge fold, same (count desc, pair asc)
+    tie-break — on the textbook corpus and on a denser one deep
+    enough to exercise merge-created symbols."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low low low low low"),
+            Row(doc_id=2, text="lower lower newest newest newest"),
+            Row(doc_id=3, text="widest widest"),
+        ]
+    )
+    assert textops.bpe_train_local(docs, n_merges=5) == textops.bpe_train(
+        docs, n_merges=5
+    )
+
+    dense = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                [
+                    "abcabc abcabd aabbcc",
+                    "the theme thermal there then",
+                    "banana bandana cabana",
+                    "mississippi missive mission",
+                ]
+            )
+        ]
+    )
+    assert textops.bpe_train_local(dense, n_merges=12) == textops.bpe_train(
+        dense, n_merges=12
+    )
+
+
+def test_bpe_arrow_application_matches_expression(spark):
+    """The Arrow-batched application path must reproduce the
+    expression-chain path exactly on a trained merge table (for
+    trained tables min-rank iteration == replay-in-order; the encode
+    memoization must not leak across distinct words)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low low low low low"),
+            Row(doc_id=2, text="lower lower newest newest newest"),
+            Row(doc_id=3, text="widest widest"),
+            Row(doc_id=4, text="haha hahah aaaaaa"),
+            Row(doc_id=5, text=""),
+            Row(doc_id=6, text="   low\t\nnewest  "),
+        ]
+    )
+    merges = textops.bpe_train(docs, n_merges=6)
+    expr = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in textops.bpe_token_counts(docs, merges).collect()
+    }
+    arrow = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in textops.bpe_token_counts_arrow(docs, merges).collect()
+    }
+    assert expr == arrow
+
+
+def test_bpe_realistic_merge_count(spark):
+    """1,000+ merges must train in driver time and apply without a
+    1,000-deep Catalyst expression tree (VERDICT r8 #1 'done'
+    criterion). Invariants: every word is >= 1 token, counts never
+    exceed character counts, and more merges never increase a
+    document's token count."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(0)
+    alphabet = "abcdefgh"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(24))
+            for _ in range(12)
+        )
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    merges = textops.bpe_train_local(docs, n_merges=1000)
+    assert len(merges) == 1000
+    # counts are positive and non-increasing along the merge list
+    assert all(c > 0 for _a, _b, c in merges)
+    out = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in textops.bpe_token_counts_arrow(docs, merges).collect()
+    }
+    fewer = {
+        r.doc_id: r.n_bpe_tokens
+        for r in textops.bpe_token_counts_arrow(docs, merges[:100]).collect()
+    }
+    for i, t in enumerate(texts):
+        n_words, n_bpe = out[i]
+        assert n_words == 12
+        assert n_words <= n_bpe <= sum(len(w) for w in t.split())
+        assert n_bpe <= fewer[i], "more merges increased the token count"
+
+
 def test_hashed_linear_score_sparse_model(spark):
     """A sparse (nonzero-buckets-only) model must score unmatched
     features as weight 0 IN the denominator — the fastText bag mean —
