@@ -3403,6 +3403,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding,
                      ({_lsh_sig_sql('embedding', 8)}) AS bucket
               FROM embeddings),
+            hot AS (
+              SELECT bucket FROM sigged GROUP BY bucket
+              HAVING count(*) > 1000),
             probes AS (
               SELECT vec_id AS query_id, embedding AS qv,
                 unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
@@ -3411,7 +3414,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.query_id, s.vec_id AS neighbor_id,
                      {_COS.format(a="p.qv", b="s.embedding")} AS score
               FROM probes p JOIN sigged s ON p.bucket = s.bucket
-              WHERE p.query_id <> s.vec_id),
+              WHERE p.query_id <> s.vec_id
+                AND p.bucket NOT IN (SELECT bucket FROM hot)),
             g AS (
               SELECT query_id, neighbor_id, score FROM (
                 SELECT query_id, neighbor_id, score,
@@ -3440,6 +3444,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding,
                      ({_lsh_sig_sql('embedding', 8)}) AS bucket
               FROM embeddings),
+            hot AS (
+              SELECT bucket FROM sigged GROUP BY bucket
+              HAVING count(*) > 1000),
             probes AS (
               SELECT vec_id AS query_id, embedding AS qv,
                 unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
@@ -3448,7 +3455,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.query_id, s.vec_id AS neighbor_id,
                      {_COS.format(a="p.qv", b="s.embedding")} AS score
               FROM probes p JOIN sigged s ON p.bucket = s.bucket
-              WHERE p.query_id <> s.vec_id)
+              WHERE p.query_id <> s.vec_id
+                AND p.bucket NOT IN (SELECT bucket FROM hot))
             SELECT query_id, neighbor_id, round(score, 6) AS score, rank
             FROM (
               SELECT query_id, neighbor_id, score,

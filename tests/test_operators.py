@@ -2317,6 +2317,85 @@ def test_bpe_realistic_merge_count(spark):
         assert n_bpe <= fewer[i], "more merges increased the token count"
 
 
+def test_knn_graph_bucket_occupancy_cap(spark, caplog):
+    """The degenerate-bucket guard (VERDICT r8 #2): a low-variance
+    embedding region lands every vector in ONE signature bucket, and
+    the bucket self-join goes quadratic no matter how num_planes was
+    sized. With the default-on cap the over-full bucket is dropped
+    from BOTH sides (and the drop logged); vectors in other buckets
+    keep their edges, and semantic_clusters inherits the guard."""
+    import logging
+
+    from toshokan_spark.operators import similarity
+
+    hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    # a tight pair pointing elsewhere — different signature bucket
+    pair = [(100, [0.0, 1.0, 0.01, 0.0]), (101, [0.0, 1.0, 0.02, 0.0])]
+    emb = spark.createDataFrame(
+        hot + pair, "vec_id long, embedding array<double>"
+    )
+    # uncapped: the constant group pairs all-to-all (quadratic shape)
+    un = similarity.knn_graph(
+        emb, k=3, num_planes=4, hash_family="lcg", multiprobe=False,
+        max_bucket_occupancy=None,
+    )
+    assert un.filter(F.col("query_id") < 60).count() == 60 * 3
+    # capped below the group size: the hot bucket is dropped, the
+    # join completes, and only the healthy bucket's edges remain
+    with caplog.at_level(
+        logging.WARNING, logger="toshokan_spark.operators.similarity"
+    ):
+        capped = similarity.knn_graph(
+            emb, k=3, num_planes=4, hash_family="lcg", multiprobe=False,
+            max_bucket_occupancy=50,
+        ).collect()
+    assert any(
+        "over-occupancy" in r.message and "60 vectors" in r.message
+        for r in caplog.records
+    ), "drop was not logged with bucket/vector counts"
+    got = {(r.query_id, r.neighbor_id) for r in capped}
+    assert (100, 101) in got and (101, 100) in got
+    assert all(q >= 100 for q, _n in got), "hot-bucket edges survived the cap"
+    # semantic_clusters inherits: hot vectors become singletons, the
+    # healthy pair still fuses
+    labels = {
+        r.vec_id: r.cluster_id
+        for r in similarity.semantic_clusters(
+            emb, k=3, min_score=0.5, num_planes=4, hash_family="lcg",
+            multiprobe=False, max_bucket_occupancy=50,
+        ).collect()
+    }
+    assert labels[100] == labels[101] == 100
+    assert all(labels[i] == i for i in range(60))
+
+
+def test_knn_graph_default_cap_no_op_on_small_corpus(spark):
+    """At default cap (1000) a small corpus is untouched — capped and
+    uncapped outputs are identical, so the sf0.01 oracle hashes are
+    unchanged by the guard."""
+    import math
+
+    from toshokan_spark.operators import similarity
+
+    rows = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.1 * (i % 5), 1.0])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        map(tuple, similarity.knn_graph(
+            emb, k=3, num_planes=4, hash_family="lcg"
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.knn_graph(
+            emb, k=3, num_planes=4, hash_family="lcg",
+            max_bucket_occupancy=None,
+        ).collect())
+    )
+    assert a == b
+
+
 def test_hashed_linear_score_sparse_model(spark):
     """A sparse (nonzero-buckets-only) model must score unmatched
     features as weight 0 IN the denominator — the fastText bag mean —

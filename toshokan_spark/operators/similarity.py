@@ -17,6 +17,7 @@ cuts the scored fraction to ~2^-b * (1+b) with multi-probe radius 1.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -25,6 +26,8 @@ from pyspark.sql.window import Window
 
 from toshokan_spark.operators.dedup import cosine_sim, dot_product, sq_norm
 from toshokan_spark.operators.util import finalize_cached, spread
+
+_LOG = logging.getLogger(__name__)
 
 
 def knn_bruteforce(
@@ -739,6 +742,7 @@ def knn_graph(
     num_planes: int = 8,
     multiprobe: bool = True,
     hash_family: str = "xxhash",
+    max_bucket_occupancy: Optional[int] = 1000,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector is
     its own query. This is the all-nodes sibling of :func:`knn_lsh`
@@ -762,7 +766,21 @@ def knn_graph(
     ``hash_family='lcg'`` makes the bucketing integer-exact for the
     DuckDB oracle (driver entry ``knn_graph``); 'xxhash' is the
     production default. Size ``num_planes`` so 2^planes tracks
-    corpus_size / target_bucket_size."""
+    corpus_size / target_bucket_size.
+
+    ``max_bucket_occupancy`` (ON by default) is the same degenerate-
+    bucket guard the MinHash band join carries (``max_band_freq``):
+    real web-scale embedding spaces have low-variance regions whose
+    vectors all land in one signature bucket, and one bucket holding
+    10^5 vectors makes the self-join quadratic (10^10 candidate rows)
+    regardless of how ``num_planes`` was sized. Over-cap buckets are
+    dropped from BOTH join sides before the equi-join (a broadcast
+    anti-join of the at-most-2^planes-row hot-key list), and the drop
+    is logged with bucket and vector counts. Vectors in a dropped
+    bucket still pair through their multi-probe buckets, so recall
+    loss is confined to pairs whose ONLY agreement is the degenerate
+    bucket — exactly the pairs the signature carries no evidence for.
+    """
     base = spread(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).select(
@@ -785,6 +803,35 @@ def knn_graph(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("n2").alias("cn2"), "bucket",
     )
+    if max_bucket_occupancy is not None:
+        # hot-key list is bounded by 2^num_planes distinct buckets; the
+        # stats roll up to ONE row, so the guard's driver cost is one
+        # tiny aggregation over the (already needed) persisted base
+        hot = (
+            base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_occupancy)
+            .persist()
+        )
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("__bn"), F.lit(0)).alias("nd"),
+        ).collect()[0]
+        if stats["nb"]:
+            _LOG.warning(
+                "knn_graph: dropping %d over-occupancy bucket(s) holding "
+                "%d vectors (max_bucket_occupancy=%d) before the "
+                "self-join; affected vectors pair only via multi-probe "
+                "buckets",
+                stats["nb"], stats["nd"], max_bucket_occupancy,
+            )
+        hot_keys = F.broadcast(hot.select("bucket"))
+        # AFTER the multiprobe explode: probes INTO a hot bucket are
+        # dropped too, or the left fan-out alone stays quadratic
+        left = left.join(hot_keys, "bucket", "left_anti")
+        right = right.join(hot_keys, "bucket", "left_anti")
+    else:
+        hot = None
     scored = (
         left.join(right, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -804,7 +851,8 @@ def knn_graph(
             "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
         )
     )
-    return finalize_cached(out, base)
+    cached = (base,) if hot is None else (base, hot)
+    return finalize_cached(out, *cached)
 
 
 def semantic_clusters(
@@ -816,6 +864,7 @@ def semantic_clusters(
     num_planes: int = 8,
     multiprobe: bool = True,
     hash_family: str = "xxhash",
+    max_bucket_occupancy: Optional[int] = 1000,
 ) -> DataFrame:
     """Cluster-count-free semantic clustering: connected components
     of the MUTUAL k-NN graph at cosine >= ``min_score``. The
@@ -840,6 +889,7 @@ def semantic_clusters(
     g = knn_graph(
         corpus, k, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
         multiprobe=multiprobe, hash_family=hash_family,
+        max_bucket_occupancy=max_bucket_occupancy,
     ).filter(F.col("score") >= min_score)
     a, b = g.alias("a"), g.alias("b")
     mutual = (
