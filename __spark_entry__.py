@@ -700,6 +700,16 @@ def q_dsir_weights(spark, sf_dir):
     return textops.dsir_log_weights(docs, target, dim=4096, alpha=1.0)
 
 
+def q_dsir_select(spark, sf_dir):
+    """Full DSIR importance resampling (VERDICT r8 directive 6):
+    the dsir_weights log-weights feed A-ES weighted sampling without
+    replacement — the composed selection step, value-proven like
+    ccnet_select is for the perplexity path."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return textops.dsir_select(docs, target, k=50, dim=4096, alpha=1.0)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear classifier applied at scale (the
     fastText/DCLM-style model-based filter): unigram+bigram features
@@ -1646,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
@@ -1922,6 +1933,51 @@ _LANG_SQL = {
 }
 
 
+
+
+def _dsir_ctes() -> str:
+    """Shared CTE chain of the DSIR oracles (``dsir_weights``,
+    ``dsir_select``): hashed unigram+bigram features over 4096
+    buckets, add-1-smoothed target(lang='en')/raw log ratios, and the
+    decimal-exact per-doc log weight; ``lwf`` is the final
+    (doc_id, n_feats, log_weight) table."""
+    return f"""base AS (
+              SELECT doc_id, lang,
+                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '') AS ws
+              FROM documents),
+            feats AS (
+              SELECT doc_id, lang, unnest(
+                ws || CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END) AS f
+              FROM base),
+            idxed AS (
+              SELECT doc_id, lang,
+                ({_poly_sql('f', 1103515245, 0, 1_000_000_007, 5381)}) % 4096 AS idx
+              FROM feats),
+            rawc AS (SELECT idx, count(*) AS cr FROM idxed GROUP BY idx),
+            tgtc AS (SELECT idx, count(*) AS ct FROM idxed
+                     WHERE lang = 'en' GROUP BY idx),
+            rawt AS (SELECT count(*) AS tr FROM idxed),
+            tgtt AS (SELECT count(*) AS tt FROM idxed WHERE lang = 'en'),
+            ratio AS (
+              SELECT i::BIGINT AS idx,
+                ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                - ln((coalesce(cr, 0) + 1.0) / (tr + 4096.0)) AS lr
+              FROM range(4096) t(i)
+              LEFT JOIN rawc ON rawc.idx = i
+              LEFT JOIN tgtc ON tgtc.idx = i, rawt, tgtt),
+            agg AS (
+              SELECT doc_id, count(*) AS n_feats,
+                sum(lr::DECIMAL(38,18))::DOUBLE AS lw
+              FROM idxed JOIN ratio USING (idx) GROUP BY doc_id),
+            lwf AS (
+              SELECT b.doc_id,
+                coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+                coalesce(round(a.lw, 6), 0.0) AS log_weight
+              FROM base b LEFT JOIN agg a USING (doc_id))"""
 
 
 def _kcenter_ctes(k: int) -> str:
@@ -3613,42 +3669,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "dsir_weights": f"""
-            WITH base AS (
-              SELECT doc_id, lang,
-                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                            x -> x <> '') AS ws
-              FROM documents),
-            feats AS (
-              SELECT doc_id, lang, unnest(
-                ws || CASE WHEN len(ws) >= 2
-                  THEN list_transform(range(1, len(ws)),
-                         i -> ws[i] || ' ' || ws[i + 1])
-                  ELSE [] END) AS f
-              FROM base),
-            idxed AS (
-              SELECT doc_id, lang,
-                ({_poly_sql('f', 1103515245, 0, 1_000_000_007, 5381)}) % 4096 AS idx
-              FROM feats),
-            rawc AS (SELECT idx, count(*) AS cr FROM idxed GROUP BY idx),
-            tgtc AS (SELECT idx, count(*) AS ct FROM idxed
-                     WHERE lang = 'en' GROUP BY idx),
-            rawt AS (SELECT count(*) AS tr FROM idxed),
-            tgtt AS (SELECT count(*) AS tt FROM idxed WHERE lang = 'en'),
-            ratio AS (
-              SELECT i::BIGINT AS idx,
-                ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
-                - ln((coalesce(cr, 0) + 1.0) / (tr + 4096.0)) AS lr
-              FROM range(4096) t(i)
-              LEFT JOIN rawc ON rawc.idx = i
-              LEFT JOIN tgtc ON tgtc.idx = i, rawt, tgtt),
-            agg AS (
-              SELECT doc_id, count(*) AS n_feats,
-                sum(lr::DECIMAL(38,18))::DOUBLE AS lw
-              FROM idxed JOIN ratio USING (idx) GROUP BY doc_id)
-            SELECT b.doc_id,
-              coalesce(a.n_feats, 0)::BIGINT AS n_feats,
-              coalesce(round(a.lw, 6), 0.0) AS log_weight
-            FROM base b LEFT JOIN agg a USING (doc_id)
+            WITH {_dsir_ctes()}
+            SELECT doc_id, n_feats, log_weight FROM lwf
+        """,
+        # dsir_select: A-ES resampling over exp(log_weight). The A-ES
+        # score is computed but NOT output — ln(u)/exp(lw) reaches
+        # ~1e11 for off-target docs, where round(·,10) is an identity
+        # and the low decimals are engine-exp-ulp noise; the ORDER is
+        # robust (adjacent gaps dwarf ulp error by >10 orders).
+        "dsir_select": f"""
+            WITH {_dsir_ctes()},
+            s AS (
+              SELECT doc_id, n_feats, log_weight,
+                round(ln(
+                  ((({_poly_sql('doc_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)}) % 10000) + 1)
+                    * 1.0 / 10001)
+                  / exp(log_weight), 10) AS sample_score
+              FROM lwf WHERE exp(log_weight) > 0)
+            SELECT row_number() OVER (ORDER BY sample_score DESC, doc_id ASC) AS rank,
+              doc_id, n_feats, log_weight
+            FROM s ORDER BY sample_score DESC, doc_id ASC LIMIT 50
         """,
         "quality_classifier": f"""
             WITH wt AS (

@@ -964,6 +964,55 @@ def dsir_log_weights(
     return finalize_cached(out, raw_f)
 
 
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    dim: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "poly",
+    seed: int = 0,
+) -> DataFrame:
+    """The full DSIR selection (Xie et al. 2023 §2.2): compute
+    importance log-weights with :func:`dsir_log_weights`, then sample
+    ``k`` documents WITHOUT replacement proportionally to
+    ``exp(log_weight)`` via the derandomized A-ES scheme
+    (:func:`~toshokan_spark.operators.sampling.weighted_sample`) —
+    the importance-resampling step that makes raw-pool selection
+    match the target distribution in expectation.
+
+    Returns ``(rank, id, n_feats, log_weight)``: rank is the A-ES
+    selection order (deterministic — hash-derived uniforms, key
+    tie-break). The A-ES score itself is NOT output: its magnitude is
+    ``ln(u)/exp(log_w)`` — astronomically large for strongly
+    off-target docs — so its low decimals are engine-``exp``-ulp
+    noise, while the selection ORDER is robust (adjacent score gaps
+    dwarf ulp error by >10 orders of magnitude).
+
+    The A-ES weight is ``exp`` of the 6-decimal-ROUNDED log weight so
+    both engines exponentiate bit-identical inputs. Scale shape: the
+    :func:`dsir_log_weights` passes plus one narrow projection and a
+    distributed top-k (``orderBy().limit()``) — no new shuffle beyond
+    the weight computation, rank assigned on the k-row result."""
+    from toshokan_spark.operators.sampling import weighted_sample
+
+    lw = dsir_log_weights(
+        df, target, dim=dim, alpha=alpha, id_col=id_col,
+        text_col=text_col, hash_family=hash_family,
+    )
+    picked = weighted_sample(
+        lw.withColumn("__w", F.exp(F.col("log_weight"))),
+        k, key_col=id_col, weight_col="__w", seed=seed,
+    )
+    w = Window.orderBy(F.col("sample_score").desc(), F.col(id_col).asc())
+    return picked.select(
+        F.row_number().over(w).alias("rank"),
+        id_col, "n_feats", "log_weight",
+    )
+
+
 #: symbol separator for the BPE merge fold — a control char no
 #: tokenized word contains (words are whitespace-split)
 BPE_SEP = "\x1f"
