@@ -1,0 +1,118 @@
+"""CLI `curate` golden: the composed recipe
+(`toshokan_spark/pipeline.py`) over an ingested index must reproduce
+the e2e chain's results (`tests/test_pipeline_e2e.py`) — same corpus,
+same hazards, verified from the CLI report and the written parquet."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def curated(spark, tmp_path_factory):
+    """Create + ingest the e2e corpus, run `curate` once with
+    --output, return (report stdout lines, output dir)."""
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    tmp = tmp_path_factory.mktemp("curate_cli")
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    rows.append({"doc_id": 0, "source": "web", "text": base + " café"})
+    rows.append({"doc_id": 1, "source": "web",
+                 "text": base + " café"})  # decomposed twin of 0
+    rows.append({"doc_id": 2, "source": "web", "text": base + " café again"})
+    rows.append({"doc_id": 3, "source": "web",
+                 "text": "$$$ ### @@@ %%% ^^^ &&& *** $$$ ### @@@ %%% ^^^"})
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for i in range(4, 44):
+        src = "web" if i % 2 == 0 else "books"
+        text = " ".join(words[(i + j) % len(words)] for j in range(30))
+        rows.append({"doc_id": i, "source": src, "text": text + f" tail{i}"})
+    jsonl = tmp / "corpus.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    cfg = {
+        "name": "curidx",
+        "path": str(tmp / "data"),
+        "schema": {"fields": [
+            {"name": "doc_id", "type": "number"},
+            {"name": "source", "type": "text"},
+            {"name": "text", "type": "text"},
+        ]},
+    }
+    cfg_path = tmp / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cat_root = str(tmp / "cat")
+    out_dir = str(tmp / "out")
+    assert cli.main(["--catalog", cat_root, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat_root, "index", "curidx", str(jsonl)]) == 0
+    return cat_root, out_dir
+
+
+def test_curate_cli_report_and_outputs(spark, curated, capsys):
+    from toshokan_spark import cli
+
+    cat_root, out_dir = curated
+    rc = cli.main([
+        "--catalog", cat_root, "curate", "curidx",
+        "--source-field", "source",
+        "--fractions", "train=0.6,valid=0.2,test=0.2",
+        "--seq-len", "64", "--tail-rate", "0.5",
+        "--jaccard-threshold", "0.5",
+        "--dsir-target", "doc_id:>3",
+        "--output", out_dir,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    report = {}
+    for line in out.splitlines():
+        parts = line.split(None, 1)
+        if len(parts) == 2 and line.startswith("  "):
+            report[parts[0]] = parts[1]
+    # stage counts mirror the e2e chain: 44 in, unicode twins converge
+    # and exact dedup drops one of {0, 1}
+    assert report["ingested"] == "44"
+    assert report["canonicalized"] == "44"
+    assert report["exact_kept"] == "43"
+    assert "train" in report["split_sizes"]
+
+    docs = spark.read.parquet(f"{out_dir}/documents")
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert 1 not in ids, "exact duplicate survived"
+    assert 3 not in ids, "Gopher-failing symbol soup survived"
+    # split sizes in the report match the written parquet
+    sizes = {r["split"]: r["n"] for r in
+             docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == docs.count()
+    for name, n in sizes.items():
+        assert f"'{name}': {n}" in report["split_sizes"]
+
+    # leakage fence: if both near-dups 0 and 2 survived thinning they
+    # must share a split (cluster-hashed assignment)
+    split_of = {r.doc_id: r.split for r in docs.select("doc_id", "split").collect()}
+    if 0 in ids and 2 in ids:
+        assert split_of[0] == split_of[2]
+
+    # DSIR ranking: off-target survivors (< 4) score below every
+    # in-target (filler) survivor
+    lw = {r.doc_id: r.log_weight for r in
+          docs.select("doc_id", "log_weight").collect()}
+    target_lws = [v for k, v in lw.items() if k >= 4]
+    off_lws = [v for k, v in lw.items() if k < 4]
+    if off_lws and target_lws:
+        assert max(off_lws) < min(target_lws)
+
+    # packed train sequences: gap-free contiguous per-source layout
+    packed = spark.read.parquet(f"{out_dir}/packed")
+    pos = {}
+    for src, start, end in sorted(
+        (r.source, r.start_tok, r.end_tok) for r in packed.collect()
+    ):
+        assert start == pos.get(src, 0), f"gap in {src} at {start}"
+        pos[src] = end
+    train_ids = {k for k, v in split_of.items() if v == "train"}
+    assert {r.doc_id for r in packed.select("doc_id").collect()} == train_ids

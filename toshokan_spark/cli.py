@@ -9,6 +9,7 @@
     python -m toshokan_spark.cli search  <index> <query> [--limit 1]
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
+    python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
 
 The Postgres ``--db`` flag becomes ``--catalog <dir>`` (env
 ``TOSHOKAN_CATALOG``, default ``./.toshokan``).
@@ -83,6 +84,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     pe.add_argument("index")
     pe.add_argument("query")
+
+    pu = sub.add_parser(
+        "curate",
+        help="run the curation recipe over an ingested index: canonicalize"
+        " -> dedup -> quality gate -> CCNet thinning -> optional DSIR rank"
+        " -> leakage-safe split -> sequence packing",
+    )
+    pu.add_argument("index")
+    pu.add_argument("--id-field", default="doc_id")
+    pu.add_argument("--text-field", default="text")
+    pu.add_argument("--source-field", default=None,
+                    help="shard/grouping field (default: whole index is one shard)")
+    pu.add_argument("--fractions", default="train=0.8,valid=0.1,test=0.1")
+    pu.add_argument("--seq-len", type=int, default=2048)
+    pu.add_argument("--n-buckets", type=int, default=3)
+    pu.add_argument("--tail-rate", type=float, default=0.1)
+    pu.add_argument("--jaccard-k", type=int, default=3)
+    pu.add_argument("--jaccard-threshold", type=float, default=0.5)
+    pu.add_argument("--dsir-target", default=None,
+                    help="index query selecting the DSIR target subset"
+                    " (adds a log_weight column to the output)")
+    pu.add_argument("--seed", type=int, default=0)
+    pu.add_argument("--output", default=None,
+                    help="write per-split documents + packed sequences here")
 
     a = p.parse_args(argv)
     catalog = FsCatalog(a.catalog)
@@ -210,6 +235,37 @@ def main(argv: list[str] | None = None) -> int:
 
         for line in search(spark, catalog, a.index, a.query, limit=a.limit):
             print(line)
+        return 0
+
+    if a.cmd == "curate":
+        from toshokan_spark.pipeline import curate, write_outputs
+
+        fractions = {}
+        for part in a.fractions.split(","):
+            name, _, frac = part.partition("=")
+            fractions[name.strip()] = float(frac)
+        spark = _spark()
+        print(f"curate {a.index}:")
+        result = curate(
+            spark,
+            catalog,
+            a.index,
+            id_field=a.id_field,
+            text_field=a.text_field,
+            source_field=a.source_field,
+            fractions=fractions,
+            seq_len=a.seq_len,
+            n_buckets=a.n_buckets,
+            tail_rate=a.tail_rate,
+            jaccard_k=a.jaccard_k,
+            jaccard_threshold=a.jaccard_threshold,
+            dsir_target_query=a.dsir_target,
+            seed=a.seed,
+            report=print,
+        )
+        if a.output:
+            write_outputs(result, a.output)
+            print(f"wrote {a.output}/documents (per split) and {a.output}/packed")
         return 0
 
     if a.cmd == "explain":
