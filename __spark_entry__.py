@@ -710,6 +710,44 @@ def q_dsir_select(spark, sf_dir):
     return textops.dsir_select(docs, target, k=50, dim=4096, alpha=1.0)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate dedup (RefinedWeb line-wise dedup /
+    Dolma paragraph dedup): documents are deterministically wrapped
+    into per-source multi-doc pages with header/footer chrome — the
+    repeated-lines structure real crawls have — and the operator must
+    strip exactly the chrome (verbatim in >= 2 pages) while body
+    lines survive in order."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = (
+        docs.groupBy(
+            "source", F.floor(F.col("doc_id") / 100).cast("long").alias("pg")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+        .select(
+            F.concat_ws("#", "source", F.col("pg").cast("string")).alias(
+                "page_id"
+            ),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("== "), F.col("source"), F.lit(" ==")),
+                F.col("body"),
+                F.concat(F.lit("-- "), F.col("source"), F.lit(" --")),
+            ).alias("text"),
+        )
+    )
+    return textops.strip_boilerplate_lines(
+        pages, min_doc_freq=2, id_col="page_id"
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear classifier applied at scale (the
     fastText/DCLM-style model-based filter): unigram+bigram features
@@ -1657,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "line_dedup": q_line_dedup,
         "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3671,6 +3710,42 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": f"""
             WITH {_dsir_ctes()}
             SELECT doc_id, n_feats, log_weight FROM lwf
+        """,
+        # line_dedup: the page construction (5-doc pages + per-source
+        # header/footer chrome) is mirrored, then line-level dedup —
+        # lines verbatim in >= 2 pages are stripped, body survives in
+        # order; string_agg ORDER BY pos == the Spark (pos, line)
+        # array_sort reassembly
+        "line_dedup": """
+            WITH pages AS (
+              SELECT source || '#' || (doc_id // 100)::VARCHAR AS page_id,
+                '== ' || source || ' ==' || chr(10)
+                  || string_agg(text, chr(10) ORDER BY doc_id)
+                  || chr(10) || '-- ' || source || ' --' AS text
+              FROM documents GROUP BY source, doc_id // 100),
+            lines AS (
+              SELECT page_id, u.pos, u.line FROM (
+                SELECT page_id,
+                  unnest(list_transform(range(1, len(ls) + 1),
+                    i -> struct_pack(pos := i - 1, line := ls[i]))) AS u
+                FROM (SELECT page_id, string_split(text, chr(10)) AS ls
+                      FROM pages))),
+            hot AS (
+              SELECT line FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING count(DISTINCT page_id) >= 2),
+            kept AS (
+              SELECT * FROM lines
+              WHERE line NOT IN (SELECT line FROM hot)),
+            reasm AS (
+              SELECT page_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean
+              FROM kept GROUP BY page_id)
+            SELECT p.page_id,
+              len(string_split(p.text, chr(10)))::BIGINT AS n_lines,
+              (len(string_split(p.text, chr(10)))
+                - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+              coalesce(r.text_clean, '') AS text_clean
+            FROM pages p LEFT JOIN reasm r USING (page_id)
         """,
         # dsir_select: A-ES resampling over exp(log_weight). The A-ES
         # score is computed but NOT output — ln(u)/exp(lw) reaches

@@ -2396,6 +2396,39 @@ def test_knn_graph_default_cap_no_op_on_small_corpus(spark):
     assert a == b
 
 
+def test_strip_boilerplate_lines(spark):
+    """Line-level dedup: a line verbatim in >= min_doc_freq docs is
+    stripped everywhere, order and unique content survive, blank
+    lines are structural (kept, never boilerplate), and a doc that
+    was ALL boilerplate comes back as the empty string."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="SUBSCRIBE NOW\nreal content one\n\nmore one"),
+            Row(doc_id=2, text="SUBSCRIBE NOW\nreal content two"),
+            Row(doc_id=3, text="unique header\nreal content three\nSUBSCRIBE NOW"),
+            Row(doc_id=4, text="SUBSCRIBE NOW"),
+            Row(doc_id=5, text=""),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in textops.strip_boilerplate_lines(docs, min_doc_freq=2).collect()
+    }
+    assert out[1] == (4, 1, "real content one\n\nmore one")
+    assert out[2] == (2, 1, "real content two")
+    assert out[3] == (3, 1, "unique header\nreal content three")
+    assert out[4] == (1, 1, "")          # all boilerplate
+    assert out[5] == (1, 0, "")          # empty doc: 1 blank line, kept
+    # raising the threshold above the line's frequency keeps everything
+    loose = {
+        r.doc_id: r.n_removed
+        for r in textops.strip_boilerplate_lines(docs, min_doc_freq=5).collect()
+    }
+    assert all(v == 0 for v in loose.values())
+
+
 def test_hashed_linear_score_sparse_model(spark):
     """A sparse (nonzero-buckets-only) model must score unmatched
     features as weight 0 IN the denominator — the fastText bag mean —

@@ -1013,6 +1013,85 @@ def dsir_select(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """LINE-level deduplication (the RefinedWeb "line-wise
+    deduplication" / Dolma paragraph-dedup stage): a line that occurs
+    verbatim in >= ``min_doc_freq`` distinct documents is boilerplate
+    (navigation chrome, cookie banners, footers) and is stripped from
+    EVERY document; document order and non-boilerplate content are
+    preserved. Returns ``(id, n_lines, n_removed, text_clean)`` —
+    ``text_clean`` rejoins the surviving lines with ``line_sep``
+    (empty string when everything was boilerplate). Blank/whitespace
+    lines are structural, never counted as boilerplate.
+
+    This is the between-granularities stage the doc-level dedups and
+    :func:`~toshokan_spark.operators.dedup.exact_substring_spans`
+    don't cover: substring spans FLAG verbatim re-use, this REMOVES
+    the repeated unit wholesale at a natural document boundary.
+
+    Scale shape: one posexplode pass; the line-frequency table is a
+    partial-aggregated groupBy (map-side combine collapses a
+    corpus-hot line to one row per task before the shuffle); the
+    hot-line set is output-sized (distinct repeated lines), joined
+    back with :func:`~toshokan_spark.operators.util.salted_join` —
+    a web-scale "Subscribe now" line is exactly the hot-key join
+    salting exists for (AQE's skew split does not cover this join
+    shape, and the hot side is too big to broadcast unconditionally).
+    Reassembly is one groupBy per doc collecting (pos, line) structs
+    — document-sized state, the chunk_documents discipline."""
+    import re
+
+    from toshokan_spark.operators.util import salted_join
+
+    sep_re = re.escape(line_sep)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    hot = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("line", F.lit(True).alias("__hot"))
+    )
+    marked = salted_join(lines, hot, on="line", how="left", salt_cols=["id", "pos"])
+    kept = marked.filter(F.col("__hot").isNull())
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            line_sep,
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(F.split(F.col(text_col), sep_re, -1)).alias("n_lines"),
+        )
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 #: symbol separator for the BPE merge fold — a control char no
 #: tokenized word contains (words are whitespace-split)
 BPE_SEP = "\x1f"
