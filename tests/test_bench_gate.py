@@ -60,6 +60,16 @@ FLOORS = {
     "bpe_merges": 1.3,
     "bpe_token_counts": 1.2,
     "kcenter_select": 1.4,         # 5 argmax rounds, warm best ~1.0
+    # round-9: the r8-vs-sealed noisy deltas re-measured best-of-3 on
+    # an idle host (VERDICT r8 directive 7) — all at/below historical
+    # warm bests, confirming load noise, and now floored: 0.25/0.92/
+    # 0.45 (select_training_set re-measured 1.30, floor unchanged)
+    "user_sessions": 0.4,
+    "dedup_crosscheck": 1.2,
+    "decontaminate": 0.6,
+    # round-9 additions (warm best-of-3: 1.46/0.60)
+    "dsir_select": 1.9,
+    "line_dedup": 0.8,
 }
 MULTIPLIER = 2.5
 RUNS = 3
