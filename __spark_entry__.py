@@ -1544,6 +1544,18 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: vectors 0..9 play the eval
+    set, the rest the corpus; every corpus vector whose max cosine to
+    an eval vector reaches 0.3 is reported with its closest eval id.
+    The semantic sibling of the n-gram collision report below —
+    together they cover verbatim AND paraphrased contamination."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return decontaminate.semantic_decontaminate(corpus, bench, threshold=0.3)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/Pile-style n-gram collision):
     docs with doc_id % 7 == 0 play the held-out eval set, the rest
@@ -1696,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "quality_classifier": q_quality_classifier,
         "substring_spans_incremental": q_substring_spans_incremental,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2876,6 +2889,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE {_COS.format(a="a.ev", b="b.ev")} >= 0.42)
             SELECT s.vec_id, s.cid::BIGINT AS cid
             FROM assigned s ANTI JOIN dropped d ON s.vec_id = d.vec_id
+        """,
+        # semantic_decontaminate: corpus x inlined eval cosines (same
+        # sequential fold), max per corpus vector with lowest-eval-id
+        # ties, membership decided on the ROUNDED cosine both engines
+        "semantic_decontaminate": f"""
+            WITH bench AS (
+              SELECT vec_id AS bid, embedding AS bv
+              FROM embeddings WHERE vec_id < 10),
+            corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 10),
+            scored AS (
+              SELECT c.vec_id, b.bid,
+                     {_COS.format(a="c.embedding", b="b.bv")} AS cos
+              FROM corpus c, bench b),
+            best AS (
+              SELECT vec_id, bid, cos FROM (
+                SELECT vec_id, bid, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, bid ASC) AS rn
+                FROM scored)
+              WHERE rn = 1)
+            SELECT vec_id, bid AS eval_id, round(cos, 6) AS cosine
+            FROM best WHERE round(cos, 6) >= 0.3
         """,
         # mirrors decontaminate.contamination_report: distinct word
         # 8-grams per doc (whole-doc fallback under 8 words), hits =

@@ -2429,6 +2429,47 @@ def test_strip_boilerplate_lines(spark):
     assert all(v == 0 for v in loose.values())
 
 
+def test_semantic_decontaminate(spark):
+    """Embedding decontamination: a near-copy of an eval vector is
+    flagged with the closest eval id (ties to the lowest id), an
+    orthogonal vector is clean, the report threshold compares the
+    rounded cosine, and an empty benchmark raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import decontaminate
+
+    bench = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0, 0.0]),  # duplicate eval
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[0.99, 0.01, 0.0]),   # near-copy of 1/2
+            Row(vec_id=11, embedding=[0.0, 0.0, 1.0]),     # orthogonal: clean
+            Row(vec_id=12, embedding=[0.0, 0.9, 0.1]),     # close to 3
+        ]
+    )
+    out = {
+        r.vec_id: (r.eval_id, r.cosine)
+        for r in decontaminate.semantic_decontaminate(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {10, 12}
+    assert out[10][0] == 1, "tie between identical evals must pick the lowest id"
+    assert out[10][1] > 0.99
+    assert out[12][0] == 3
+    with _pytest.raises(ValueError):
+        decontaminate.semantic_decontaminate(
+            corpus, bench.filter(F.col("vec_id") < 0), threshold=0.5
+        )
+
+
 def test_hashed_linear_score_sparse_model(spark):
     """A sparse (nonzero-buckets-only) model must score unmatched
     features as weight 0 IN the denominator — the fastText bag mean —

@@ -135,3 +135,80 @@ def decontaminate(
         docs, benchmark, id_col, text_col, bench_text_col, n
     ).filter(F.col("n_hits") >= min_hits).select(id_col)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: Optional[str] = None,
+    bench_vec_col: Optional[str] = None,
+) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic sibling of the
+    n-gram :func:`contamination_report`: flag every corpus vector
+    whose cosine to ANY benchmark/eval vector reaches ``threshold``
+    (paraphrased or lightly-reworded eval material that shares no
+    13-gram, the gap SemDeDup-style embedding matching exists to
+    close). Returns one row per contaminated vector:
+    ``(id, eval_id, cosine)`` where ``eval_id`` is the closest
+    benchmark vector (ties by lowest id) — drop the flagged ids from
+    the training set, keep the report for audit.
+
+    Scale shape: the benchmark side is model-sized BY CONSTRUCTION
+    (eval sets are thousands of vectors) — it is collected and
+    inlined as literal vectors, so the corpus pass is ONE narrow
+    projection (no join, no shuffle; the per-row cost is
+    |benchmark| cosine folds, embarrassingly parallel like
+    :func:`~toshokan_spark.operators.similarity.knn_bruteforce`'s
+    broadcast side). For eval sets too big to inline, bucket both
+    sides through :func:`~toshokan_spark.operators.similarity.
+    knn_lsh` instead. Cosines use the sequential-fold expression
+    (`dedup.cosine_sim`) for engine bit-parity; the threshold
+    compares the 6-decimal ROUNDED cosine so an engine ulp cannot
+    flip membership at the boundary."""
+    from toshokan_spark.operators.dedup import cosine_sim
+    from toshokan_spark.operators.util import spread
+
+    bench_id_col = bench_id_col or id_col
+    bench_vec_col = bench_vec_col or vec_col
+    bench = [
+        (r["bid"], [float(x) for x in r["bv"]])
+        for r in benchmark.select(
+            F.col(bench_id_col).alias("bid"), F.col(bench_vec_col).alias("bv")
+        ).collect()
+    ]
+    if not bench:
+        raise ValueError("semantic_decontaminate: empty benchmark set")
+    # min over (-cosine, bid): max cosine, ties to the LOWEST eval id
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -cosine_sim(
+                            F.col("__v"),
+                            F.array(*[F.lit(x) for x in bv]),
+                        )
+                    ).alias("nc"),
+                    F.lit(bid).alias("bid"),
+                )
+                for bid, bv in bench
+            ]
+        )
+    )
+    return (
+        spread(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+            )
+        )
+        .select("id", best.alias("__b"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__b").getField("bid").alias("eval_id"),
+            F.round(-F.col("__b").getField("nc"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
