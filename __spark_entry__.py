@@ -1696,73 +1696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r8 WINDOW (first 50): every NEVER-driver-proven entry
-        # (the 12 new this round) first ...
-        "knn_graph": q_knn_graph,
-        "kcenter_select": q_kcenter_select,
-        "semantic_clusters": q_semantic_clusters,
-        "substring_spans": q_substring_spans,
-        "ccnet_select": q_ccnet_select,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "dsir_weights": q_dsir_weights,
+        # -- r9 WINDOW (first 50): the 3 never-driver-proven
+        # entries new this round ...
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "semantic_decontaminate": q_semantic_decontaminate,
-        "quality_classifier": q_quality_classifier,
-        "substring_spans_incremental": q_substring_spans_incremental,
-        "leakage_safe_split": q_leakage_safe_split,
-        # ... then P0b entries rotated out of r7's record (union
-        # coverage; the window holds as many as fit — the overflow at
-        # the tail keeps its r6 proof + the full local sweep)
-        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
-        "token_budget_pack_scaled": q_token_budget_pack_scaled,
-        "search_text_term": q_search_text_term,
-        "search_phrase": q_search_phrase,
-        "search_bm25": q_search_bm25,
-        "ingest_roundtrip": q_ingest_roundtrip,
-        "json_path_filter": q_json_path_filter,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_dedup": q_multimodal_dedup,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "text_token_stats": q_text_token_stats,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "knn_quantized": q_knn_quantized,
-        "select_training_set": q_select_training_set,
-        "event_conversions": q_event_conversions,
-        "cohort_retention": q_cohort_retention,
-        "funnel_stages": q_funnel_stages,
-        "embedding_stats": q_embedding_stats,
-        "embedding_outliers": q_embedding_outliers,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "text_dup_ngrams": q_text_dup_ngrams,
-        "vocab_coverage": q_vocab_coverage,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "dedup_crosscheck": q_dedup_crosscheck,
-        "quality_regression": q_quality_regression,
-        "source_drift": q_source_drift,
-        "source_quality_curves": q_source_quality_curves,
-        "chunk_documents": q_chunk_documents,
-        "apply_mixture": q_apply_mixture,
-        "semantic_dedup": q_semantic_dedup,
-        "decontaminate": q_decontaminate,
-        "q1_pricing": q_q1_pricing,
-        "q3_top_revenue": q_q3_top_revenue,
-        "q5_region_revenue": q_q5_region_revenue,
-        "brand_revenue": q_brand_revenue,
-        "priority_counts": q_priority_counts,
-        "window_top_orders": q_window_top_orders,
-        "user_event_gaps": q_user_event_gaps,
-        "hourly_events": q_hourly_events,
-        "distinct_users": q_distinct_users,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        # -- PAST THE WINDOW: P0b overflow (hourly_events,
-        # distinct_users, heavy_hitter_users sit just above) and P1
-        # entries changed since the seal (r7-proven; the full local
-        # sweep re-proves them this round, driver re-proof next
-        # rotation) ...
+        # ... then the P0b entries rotated out of the r8 record
+        # whose dependency closure ALSO changed since the seal
+        # (stale older proof AND stale code — most in need) ...
         "containment_pairs": q_containment_pairs,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "knn_ivf": q_knn_ivf,
@@ -1803,17 +1744,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_gopher_rules": q_text_gopher_rules,
-        # ... and unchanged r7-proven entries
+        "asof_last_click": q_asof_last_click,
+        # ... then rotated-out entries with unchanged deps, oldest
+        # driver proof first (r6-proven, then two of the r7 nine)
+        "user_event_gaps": q_user_event_gaps,
+        "hourly_events": q_hourly_events,
+        "distinct_users": q_distinct_users,
+        "heavy_hitter_users": q_heavy_hitter_users,
         "customers_without_orders": q_customers_without_orders,
         "click_only_users": q_click_only_users,
+        # -- PAST THE WINDOW: P0b overflow (7 unchanged-dep
+        # entries, all r7-proven; they keep that record + the full
+        # local sweep and rotate in next round) ...
         "user_sessions": q_user_sessions,
         "rollup_revenue": q_rollup_revenue,
-        "asof_last_click": q_asof_last_click,
         "search_term": q_search_term,
         "search_range": q_search_range,
         "search_bool": q_search_bool,
         "search_topk": q_search_topk,
         "search_dt_range": q_search_dt_range,
+        # ... then P1 entries changed since the seal (r8-proven;
+        # the local sweep re-proves them this round) ...
+        "knn_graph": q_knn_graph,
+        "kcenter_select": q_kcenter_select,
+        "semantic_clusters": q_semantic_clusters,
+        "substring_spans": q_substring_spans,
+        "ccnet_select": q_ccnet_select,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "dsir_weights": q_dsir_weights,
+        "quality_classifier": q_quality_classifier,
+        "substring_spans_incremental": q_substring_spans_incremental,
+        "leakage_safe_split": q_leakage_safe_split,
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "token_budget_pack_scaled": q_token_budget_pack_scaled,
+        "search_bm25": q_search_bm25,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_dedup": q_multimodal_dedup,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "text_token_stats": q_text_token_stats,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "knn_quantized": q_knn_quantized,
+        "select_training_set": q_select_training_set,
+        "event_conversions": q_event_conversions,
+        "embedding_stats": q_embedding_stats,
+        "embedding_outliers": q_embedding_outliers,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "text_dup_ngrams": q_text_dup_ngrams,
+        "vocab_coverage": q_vocab_coverage,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_crosscheck": q_dedup_crosscheck,
+        "quality_regression": q_quality_regression,
+        "source_drift": q_source_drift,
+        "source_quality_curves": q_source_quality_curves,
+        "chunk_documents": q_chunk_documents,
+        "apply_mixture": q_apply_mixture,
+        "semantic_dedup": q_semantic_dedup,
+        "decontaminate": q_decontaminate,
+        # ... and unchanged r8-proven entries
+        "search_text_term": q_search_text_term,
+        "search_phrase": q_search_phrase,
+        "ingest_roundtrip": q_ingest_roundtrip,
+        "json_path_filter": q_json_path_filter,
+        "cohort_retention": q_cohort_retention,
+        "funnel_stages": q_funnel_stages,
+        "q1_pricing": q_q1_pricing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "brand_revenue": q_brand_revenue,
+        "priority_counts": q_priority_counts,
+        "window_top_orders": q_window_top_orders,
     }
 
 
