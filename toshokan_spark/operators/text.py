@@ -1035,7 +1035,9 @@ def strip_boilerplate_lines(
     don't cover: substring spans FLAG verbatim re-use, this REMOVES
     the repeated unit wholesale at a natural document boundary.
 
-    Scale shape: one posexplode pass; the line-frequency table is a
+    Scale shape: ONE posexplode pass over the corpus (every output
+    column derives from the marked line stream — no second text scan,
+    no join back to the input); the line-frequency table is a
     partial-aggregated groupBy (map-side combine collapses a
     corpus-hot line to one row per task before the shuffle); the
     hot-line set is output-sized (distinct repeated lines), joined
@@ -1043,8 +1045,10 @@ def strip_boilerplate_lines(
     a web-scale "Subscribe now" line is exactly the hot-key join
     salting exists for (AQE's skew split does not cover this join
     shape, and the hot side is too big to broadcast unconditionally).
-    Reassembly is one groupBy per doc collecting (pos, line) structs
-    — document-sized state, the chunk_documents discipline."""
+    Reassembly is one groupBy per doc collecting (pos, line, hot)
+    structs — document-sized state, the chunk_documents discipline;
+    every doc has >= 1 line (split never returns empty), so no row
+    is lost to the aggregation."""
     import re
 
     from toshokan_spark.operators.util import salted_join
@@ -1064,31 +1068,24 @@ def strip_boilerplate_lines(
         .select("line", F.lit(True).alias("__hot"))
     )
     marked = salted_join(lines, hot, on="line", how="left", salt_cols=["id", "pos"])
-    kept = marked.filter(F.col("__hot").isNull())
-    reassembled = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__n_kept"),
+    # pos is unique per doc, so the struct sort orders by pos alone;
+    # the trailing fields just ride along into the filter/transform
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("pos", "line", F.coalesce("__hot", F.lit(False)).alias("hot"))
+        )
+    )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(F.col("__hot")).cast("long").alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
+                F.filter(ordered, lambda x: ~x["hot"]), lambda x: x["line"]
             ),
             line_sep,
         ).alias("text_clean"),
-    )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.size(F.split(F.col(text_col), sep_re, -1)).alias("n_lines"),
-        )
-        .join(reassembled, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
+    ).select(
+        F.col("id").alias(id_col), "n_lines", "n_removed", "text_clean"
     )
 
 
