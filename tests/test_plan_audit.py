@@ -404,3 +404,34 @@ def test_model_application_weight_joins_are_broadcast(plans8):
     assert "CartesianProduct" not in a["joins"], a
     b = plans8["dsir_weights"]
     assert "CartesianProduct" not in b["joins"], b
+
+
+def test_semantic_decontaminate_plans_no_join(spark, sf_dir):
+    """The eval set is inlined as literal vectors, so the corpus pass
+    must plan ZERO join operators and exactly one parquet scan — any
+    join here means the model-sized side stopped being inlined and a
+    shuffle of the corpus snuck in."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["semantic_decontaminate"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    a = audit(plan.split("== Initial Plan ==")[0])
+    assert a["joins"] == "-", a
+    assert a["scans"] == 1, a
+
+
+def test_line_dedup_plan_shape(spark, sf_dir):
+    """strip_boilerplate_lines: no cartesian/nested-loop anywhere,
+    and no window operator at all — frequency is a partial-aggregated
+    groupBy and reassembly a per-doc aggregation, so a window in this
+    plan means a serializing regression."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["line_dedup"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(" not in plan, "unexpected window"

@@ -1035,9 +1035,11 @@ def strip_boilerplate_lines(
     don't cover: substring spans FLAG verbatim re-use, this REMOVES
     the repeated unit wholesale at a natural document boundary.
 
-    Scale shape: ONE posexplode pass over the corpus (every output
-    column derives from the marked line stream — no second text scan,
-    no join back to the input); the line-frequency table is a
+    Scale shape: the exploded line stream is consumed twice — once by
+    the frequency aggregation, once as the join's probe side (the
+    unavoidable two uses; every OUTPUT column then derives from the
+    single marked stream, with no extra text scan or join back to the
+    input for the counts); the line-frequency table is a
     partial-aggregated groupBy (map-side combine collapses a
     corpus-hot line to one row per task before the shuffle); the
     hot-line set is output-sized (distinct repeated lines), joined
