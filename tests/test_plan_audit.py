@@ -435,3 +435,20 @@ def test_line_dedup_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(" not in plan, "unexpected window"
+
+
+def test_dsir_select_uses_distributed_topk(spark, sf_dir):
+    """The A-ES selection must plan TakeOrderedAndProject (distributed
+    top-k) with NO standalone Sort — a global sort materializing the
+    whole scored corpus is the scale regression this pins against.
+    The one allowed Window is the post-limit rank over k rows."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dsir_select"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") <= 1
+    import re as _re
+    assert not _re.search(r"\bSort \[", plan), "global sort crept in"
