@@ -116,3 +116,22 @@ def test_curate_cli_report_and_outputs(spark, curated, capsys):
         pos[src] = end
     train_ids = {k for k, v in split_of.items() if v == "train"}
     assert {r.doc_id for r in packed.select("doc_id").collect()} == train_ids
+
+
+def test_curate_cli_minhash_dedup_path(spark, curated, capsys):
+    """--dedup-method minhash swaps the pair generator for the banded
+    LSH path; the leakage fence must hold identically (0 and 2 share
+    a split when both survive) and the stage chain still completes."""
+    from toshokan_spark import cli
+
+    cat_root, _ = curated
+    rc = cli.main([
+        "--catalog", cat_root, "curate", "curidx",
+        "--source-field", "source",
+        "--dedup-method", "minhash",
+        "--jaccard-threshold", "0.5", "--tail-rate", "0.5",
+        "--seq-len", "64",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "exact_kept" in out and "packed_rows" in out

@@ -102,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--tail-rate", type=float, default=0.1)
     pu.add_argument("--jaccard-k", type=int, default=3)
     pu.add_argument("--jaccard-threshold", type=float, default=0.5)
+    pu.add_argument("--dedup-method", choices=["jaccard", "minhash"],
+                    default="jaccard",
+                    help="near-dup pair generator: exact co-shingle"
+                    " jaccard, or banded MinHash-LSH (the scale path)")
     pu.add_argument("--dsir-target", default=None,
                     help="index query selecting the DSIR target subset"
                     " (adds a log_weight column to the output)")
@@ -257,6 +261,7 @@ def main(argv: list[str] | None = None) -> int:
             seq_len=a.seq_len,
             n_buckets=a.n_buckets,
             tail_rate=a.tail_rate,
+            dedup_method=a.dedup_method,
             jaccard_k=a.jaccard_k,
             jaccard_threshold=a.jaccard_threshold,
             dsir_target_query=a.dsir_target,

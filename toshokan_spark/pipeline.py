@@ -62,6 +62,7 @@ def curate(
     seq_len: int = 2048,
     n_buckets: int = 3,
     tail_rate: float = 0.1,
+    dedup_method: str = "jaccard",
     jaccard_k: int = 3,
     jaccard_threshold: float = 0.5,
     dsir_target_query: Optional[str] = None,
@@ -79,6 +80,13 @@ def curate(
 
     ``source_field=None`` treats the whole index as one shard (CCNet
     buckets and sequence packing both group by source).
+
+    ``dedup_method`` picks the near-dup pair generator: ``jaccard``
+    (exact co-shingle self-join — right for small/medium corpora) or
+    ``minhash`` (banded MinHash-LSH with exact-Jaccard verification —
+    the 100 TB path: candidate pairs are bounded by band-bucket
+    occupancy instead of co-shingle fan-out). Both feed the same
+    cluster resolution and leakage-safe split.
     """
     from toshokan_spark.operators import dedup, sampling
     from toshokan_spark.operators import text as textops
@@ -121,9 +129,18 @@ def curate(
 
         # 3. near-dup clusters over the exact-deduped set — the split
         # stage's leakage fence
-        pairs = dedup.ngram_jaccard_pairs(
-            exact, k=jaccard_k, threshold=jaccard_threshold
-        )
+        if dedup_method == "minhash":
+            pairs = dedup.minhash_lsh_pairs(
+                exact, k=jaccard_k, threshold=jaccard_threshold
+            ).select("a_id", "b_id")
+        elif dedup_method == "jaccard":
+            pairs = dedup.ngram_jaccard_pairs(
+                exact, k=jaccard_k, threshold=jaccard_threshold
+            )
+        else:
+            raise ValueError(
+                f"dedup_method must be 'jaccard' or 'minhash', got {dedup_method!r}"
+            )
         labels = dedup.duplicate_clusters(pairs).persist()
         cached.append(labels)
         stage("near_dup_docs", labels.count())
