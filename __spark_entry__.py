@@ -2901,7 +2901,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id < 10),
             corpus AS (
               SELECT vec_id, embedding FROM embeddings
-              WHERE vec_id >= 10),
+              WHERE vec_id >= 10
+                AND list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(range(1, len(embedding) + 1),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                      (x, y) -> x + y) > 0),
             scored AS (
               SELECT c.vec_id, b.bid,
                      {_COS.format(a="c.embedding", b="b.bv")} AS cos

@@ -2468,6 +2468,30 @@ def test_semantic_decontaminate(spark):
         decontaminate.semantic_decontaminate(
             corpus, bench.filter(F.col("vec_id") < 0), threshold=0.5
         )
+    # the broadcast-join path (forced via max_inline) must be
+    # value-identical to the inlined-literal path (review r9 #1)
+    via_join = {
+        r.vec_id: (r.eval_id, r.cosine)
+        for r in decontaminate.semantic_decontaminate(
+            corpus, bench, threshold=0.9, max_inline=1
+        ).collect()
+    }
+    assert via_join == out
+    # zero-norm vectors: a zero BENCH vector is skipped (not matched,
+    # no NaN ordering divergence), a zero CORPUS vector is excluded
+    bench_z = bench.unionByName(
+        spark.createDataFrame([Row(vec_id=0, embedding=[0.0, 0.0, 0.0])])
+    )
+    corpus_z = corpus.unionByName(
+        spark.createDataFrame([Row(vec_id=13, embedding=[0.0, 0.0, 0.0])])
+    )
+    with_z = {
+        r.vec_id: (r.eval_id, r.cosine)
+        for r in decontaminate.semantic_decontaminate(
+            corpus_z, bench_z, threshold=0.9
+        ).collect()
+    }
+    assert with_z == out, "zero-norm vectors changed the report"
 
 
 def test_hashed_linear_score_sparse_model(spark):

@@ -181,6 +181,18 @@ def test_grouped_prefix_warns_on_collapsed_boundaries(spark, caplog):
     assert not any("'spread'" in r.getMessage() for r in caplog.records), (
         "well-spread group falsely flagged"
     )
+    # n_coarse=2 has a single requested boundary — the floor must cap
+    # to it, so a perfectly-spread proxy is NOT flagged (review r9)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="toshokan_spark.operators.util"):
+        out2 = grouped_prefix(
+            df.filter(F.col("g") == "spread"), "g",
+            F.col("s"), [F.col("s").asc(), F.col("k").asc()], n_coarse=2,
+        )
+        out2.collect()
+    assert not any("'spread'" in r.getMessage() for r in caplog.records), (
+        "n_coarse=2 falsely flags a spread proxy"
+    )
 
 
 def test_numeric_order_proxy_string_is_monotone(spark):

@@ -145,6 +145,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     bench_id_col: Optional[str] = None,
     bench_vec_col: Optional[str] = None,
+    max_inline: int = 128,
 ) -> DataFrame:
     """EMBEDDING-space decontamination — the semantic sibling of the
     n-gram :func:`contamination_report`: flag every corpus vector
@@ -157,58 +158,99 @@ def semantic_decontaminate(
     the training set, keep the report for audit.
 
     Scale shape: the benchmark side is model-sized BY CONSTRUCTION
-    (eval sets are thousands of vectors) — it is collected and
-    inlined as literal vectors, so the corpus pass is ONE narrow
-    projection (no join, no shuffle; the per-row cost is
-    |benchmark| cosine folds, embarrassingly parallel like
-    :func:`~toshokan_spark.operators.similarity.knn_bruteforce`'s
-    broadcast side). For eval sets too big to inline, bucket both
-    sides through :func:`~toshokan_spark.operators.similarity.
-    knn_lsh` instead. Cosines use the sequential-fold expression
-    (`dedup.cosine_sim`) for engine bit-parity; the threshold
-    compares the 6-decimal ROUNDED cosine so an engine ulp cannot
-    flip membership at the boundary."""
-    from toshokan_spark.operators.dedup import cosine_sim
+    (eval sets are thousands of vectors) and is collected driver-side.
+    Small sets (<= ``max_inline``) are inlined as literal vectors —
+    the corpus pass is then ONE narrow projection with no join or
+    shuffle; larger sets would blow up the Catalyst expression tree
+    (|bench| x dim literal nodes), so they take a broadcast
+    cross-join + per-corpus-id min aggregation instead (the
+    :func:`contamination_report` / `knn_bruteforce` broadcast
+    discipline — the corpus never shuffles its vectors, only
+    (id, score, bid) triples reach the aggregation). Both paths are
+    value-identical (tested). For eval sets too big to broadcast at
+    all, bucket both sides through
+    :func:`~toshokan_spark.operators.similarity.knn_lsh` instead.
+
+    Zero-norm vectors have no defined cosine: zero-norm BENCHMARK
+    vectors are skipped with a warning (a NaN score would sort
+    differently across engines), and zero-norm corpus vectors are
+    excluded from the report. Cosines use the sequential-fold
+    expression (`dedup.cosine_sim`) for engine bit-parity; the
+    threshold compares the 6-decimal ROUNDED cosine so an engine ulp
+    cannot flip membership at the boundary."""
+    import logging
+
+    from pyspark.sql import Column
+
+    from toshokan_spark.operators.dedup import dot_product, sq_norm
     from toshokan_spark.operators.util import spread
+
+    def safe_cos(a: Column, b: Column) -> Column:
+        # cosine_sim's exact arithmetic, but TOTAL: the division is
+        # branch-guarded so ANSI mode cannot raise DIVIDE_BY_ZERO when
+        # Catalyst pushes the threshold filter through the projection
+        # and evaluates it as a common subexpression ahead of the
+        # zero-norm row filter (observed: subexpression elimination in
+        # the merged Filter predicate defeats AND short-circuiting)
+        den = F.sqrt(sq_norm(a) * sq_norm(b))
+        return F.when(den > 0, dot_product(a, b) / den)
 
     bench_id_col = bench_id_col or id_col
     bench_vec_col = bench_vec_col or vec_col
-    bench = [
-        (r["bid"], [float(x) for x in r["bv"]])
-        for r in benchmark.select(
-            F.col(bench_id_col).alias("bid"), F.col(bench_vec_col).alias("bv")
-        ).collect()
-    ]
+    bench = []
+    n_zero = 0
+    for r in benchmark.select(
+        F.col(bench_id_col).alias("bid"), F.col(bench_vec_col).alias("bv")
+    ).collect():
+        v = [float(x) for x in r["bv"]]
+        if not any(x != 0.0 for x in v):
+            n_zero += 1
+            continue
+        bench.append((r["bid"], v))
+    if n_zero:
+        logging.getLogger(__name__).warning(
+            "semantic_decontaminate: skipped %d zero-norm benchmark "
+            "vector(s) (cosine undefined)", n_zero,
+        )
     if not bench:
         raise ValueError("semantic_decontaminate: empty benchmark set")
-    # min over (-cosine, bid): max cosine, ties to the LOWEST eval id
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        -cosine_sim(
-                            F.col("__v"),
-                            F.array(*[F.lit(x) for x in bv]),
-                        )
-                    ).alias("nc"),
-                    F.lit(bid).alias("bid"),
-                )
-                for bid, bv in bench
-            ]
-        )
-    )
-    return (
-        spread(
-            corpus.select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+
+    base = spread(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    ).filter(sq_norm(F.col("__v")) > 0)
+
+    if len(bench) <= max_inline:
+        # min over (-cosine, bid): max cosine, ties to the LOWEST id
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            -safe_cos(
+                                F.col("__v"),
+                                F.array(*[F.lit(x) for x in bv]),
+                            )
+                        ).alias("nc"),
+                        F.lit(bid).alias("bid"),
+                    )
+                    for bid, bv in bench
+                ]
             )
         )
-        .select("id", best.alias("__b"))
-        .select(
-            F.col("id").alias(id_col),
-            F.col("__b").getField("bid").alias("eval_id"),
-            F.round(-F.col("__b").getField("nc"), 6).alias("cosine"),
+        picked = base.select("id", best.alias("__b"))
+    else:
+        b_df = corpus.sparkSession.createDataFrame(bench, ["bid", "bv"])
+        scored = base.crossJoin(F.broadcast(b_df)).select(
+            "id",
+            F.struct(
+                (-safe_cos(F.col("__v"), F.col("bv"))).alias("nc"),
+                F.col("bid").alias("bid"),
+            ).alias("__s"),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+        picked = scored.groupBy("id").agg(F.min("__s").alias("__b"))
+
+    return picked.select(
+        F.col("id").alias(id_col),
+        F.col("__b").getField("bid").alias("eval_id"),
+        F.round(-F.col("__b").getField("nc"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

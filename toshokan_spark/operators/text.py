@@ -1053,14 +1053,14 @@ def strip_boilerplate_lines(
     is lost to the aggregation."""
     import re
 
-    from toshokan_spark.operators.util import salted_join
+    from toshokan_spark.operators.util import salted_join, spread
 
     sep_re = re.escape(line_sep)
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias(
-            "pos", "line"
-        ),
+    lines = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.posexplode(F.split(F.col("__t"), sep_re, -1)).alias("pos", "line"),
     )
     hot = (
         lines.filter(F.trim("line") != "")

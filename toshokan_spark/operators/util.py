@@ -321,7 +321,12 @@ def _grouped_prefix_body(
         # collected rows — which also saves the second aggregation
         # job the join would otherwise run.
         rows = bounds.collect()
-        floor = max(2, n_coarse // 8)
+        # cap the floor by the number of REQUESTED boundaries (len(qs)
+        # = n_coarse - 1): at n_coarse=2 a group has one boundary, so
+        # "distinct < 2" would flag every perfectly-spread proxy —
+        # with a capped floor the warning needs an actually-collapsed
+        # (empty/null) boundary list to fire there
+        floor = min(max(2, n_coarse // 8), len(qs))
         for r in rows:
             bs = r["__bounds"] or []
             distinct = len(set(bs))
