@@ -445,3 +445,55 @@ def test_bpe_merge_fold_matches_reference_greedy(spark):
             ]
     for i, syms, a, b in cases:
         assert got[i] == reference(syms, a, b), (i, syms, a, b, got[i])
+
+
+# ---------------------------------------------------------------------------
+# BPE scale-path encode equivalence: the min-rank iteration
+# (_bpe_encode_len, used by the Arrow application path) must equal
+# replay-in-rank-order for any TRAINED merge table — the docstring's
+# claim, here property-tested over random corpora instead of two
+# fixed ones. Pure driver logic: the trainer loop below replicates
+# bpe_train_local's driver-local merge loop over a word->count dict.
+# ---------------------------------------------------------------------------
+
+def _train_merges_py(word_counts, n_merges):
+    from collections import Counter
+
+    from toshokan_spark.operators.text import _bpe_merge_word
+
+    vocab = [[list(w), c] for w, c in sorted(word_counts.items())]
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab:
+            for p in zip(syms, syms[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for entry in vocab:
+            entry[0] = _bpe_merge_word(entry[0], a, b)
+    return merges
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_minrank_encode_equals_replay(word_counts, n_merges):
+    from toshokan_spark.operators.text import _bpe_encode_len, _bpe_merge_word
+
+    merges = _train_merges_py(word_counts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in word_counts:
+        syms = list(w)
+        for a, b in merges:          # replay in training order
+            syms = _bpe_merge_word(syms, a, b)
+        assert _bpe_encode_len(w, ranks, {}) == len(syms), (w, merges)
