@@ -118,6 +118,37 @@ def test_curate_cli_report_and_outputs(spark, curated, capsys):
     assert {r.doc_id for r in packed.select("doc_id").collect()} == train_ids
 
 
+def test_curate_cli_quality_model_gate(spark, curated, tmp_path, capsys):
+    """--quality-model inserts the hashed-feature classifier stage:
+    an all-positive dense model keeps everything (plumbing check,
+    mirroring test_pipeline_e2e's classifier gate), and the stage
+    count appears in the report."""
+    from pyspark.sql import Row
+
+    from toshokan_spark import cli
+
+    cat_root, _ = curated
+    model = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [Row(idx=i, w=1.0) for i in range(1024)]
+    ).write.parquet(model)
+    rc = cli.main([
+        "--catalog", cat_root, "curate", "curidx",
+        "--source-field", "source",
+        "--quality-model", model, "--quality-model-dim", "1024",
+        "--tail-rate", "0.5", "--seq-len", "64",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    report = {}
+    for line in out.splitlines():
+        parts = line.split(None, 1)
+        if len(parts) == 2 and line.startswith("  "):
+            report[parts[0]] = parts[1]
+    # all-positive model: classifier keeps exactly the Gopher output
+    assert report["classifier_kept"] == report["quality_kept"]
+
+
 def test_curate_cli_minhash_dedup_path(spark, curated, capsys):
     """--dedup-method minhash swaps the pair generator for the banded
     LSH path; the leakage fence must hold identically (0 and 2 share

@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
                     default="jaccard",
                     help="near-dup pair generator: exact co-shingle"
                     " jaccard, or banded MinHash-LSH (the scale path)")
+    pu.add_argument("--quality-model", default=None,
+                    help="trained (idx, w) weight-table parquet: adds the"
+                    " hashed-feature classifier gate after the Gopher rules")
+    pu.add_argument("--quality-model-dim", type=int, default=4096)
     pu.add_argument("--dsir-target", default=None,
                     help="index query selecting the DSIR target subset"
                     " (adds a log_weight column to the output)")
@@ -264,6 +268,8 @@ def main(argv: list[str] | None = None) -> int:
             dedup_method=a.dedup_method,
             jaccard_k=a.jaccard_k,
             jaccard_threshold=a.jaccard_threshold,
+            quality_model_path=a.quality_model,
+            quality_model_dim=a.quality_model_dim,
             dsir_target_query=a.dsir_target,
             seed=a.seed,
             report=print,

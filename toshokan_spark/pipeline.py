@@ -65,6 +65,8 @@ def curate(
     dedup_method: str = "jaccard",
     jaccard_k: int = 3,
     jaccard_threshold: float = 0.5,
+    quality_model_path: Optional[str] = None,
+    quality_model_dim: int = 4096,
     dsir_target_query: Optional[str] = None,
     dsir_dim: int = 4096,
     seed: int = 0,
@@ -80,6 +82,12 @@ def curate(
 
     ``source_field=None`` treats the whole index as one shard (CCNet
     buckets and sequence packing both group by source).
+
+    ``quality_model_path`` adds the model-based filter stage after
+    the rule-based Gopher gate: a trained ``(idx, w)`` weight-table
+    parquet (the fastText/DCLM-style hashed-feature linear
+    classifier, sparse models fine) — documents whose sigmoid score
+    falls below 0.5 are dropped.
 
     ``dedup_method`` picks the near-dup pair generator: ``jaccard``
     (exact co-shingle self-join — right for small/medium corpora) or
@@ -152,6 +160,18 @@ def curate(
         ).persist()
         cached.append(quality)
         stage("quality_kept", quality.count())
+
+        # 4b. optional model-based quality filter (classifier gate)
+        if quality_model_path is not None:
+            weights = spark.read.parquet(quality_model_path)
+            gated = textops.hashed_linear_score(
+                quality, weights, dim=quality_model_dim
+            )
+            quality = quality.join(
+                gated.filter(F.col("label")).select("doc_id"), "doc_id"
+            ).persist()
+            cached.append(quality)
+            stage("classifier_kept", quality.count())
 
         # 5. CCNet tail thinning (head+middle whole, hash-sampled tail)
         selected = textops.ccnet_select(
