@@ -717,32 +717,7 @@ def q_line_dedup(spark, sf_dir):
     repeated-lines structure real crawls have — and the operator must
     strip exactly the chrome (verbatim in >= 2 pages) while body
     lines survive in order."""
-    docs = _t(spark, sf_dir, "documents")
-    pages = (
-        docs.groupBy(
-            "source", F.floor(F.col("doc_id") / 100).cast("long").alias("pg")
-        )
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
-                    lambda x: x["text"],
-                ),
-                "\n",
-            ).alias("body")
-        )
-        .select(
-            F.concat_ws("#", "source", F.col("pg").cast("string")).alias(
-                "page_id"
-            ),
-            F.concat_ws(
-                "\n",
-                F.concat(F.lit("== "), F.col("source"), F.lit(" ==")),
-                F.col("body"),
-                F.concat(F.lit("-- "), F.col("source"), F.lit(" --")),
-            ).alias("text"),
-        )
-    )
+    pages = _chrome_pages(spark, sf_dir).select("page_id", "text")
     return textops.strip_boilerplate_lines(
         pages, min_doc_freq=2, id_col="page_id"
     )
@@ -1544,6 +1519,52 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def _chrome_pages(spark, sf_dir):
+    """Shared page construction for the line-dedup entries: documents
+    wrapped into per-source multi-doc pages with header/footer chrome
+    (the repeated-lines structure real crawls have)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "source", F.floor(F.col("doc_id") / 100).cast("long").alias("pg")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+        .select(
+            "pg",
+            F.concat_ws("#", "source", F.col("pg").cast("string")).alias(
+                "page_id"
+            ),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("== "), F.col("source"), F.lit(" ==")),
+                F.col("body"),
+                F.concat(F.lit("-- "), F.col("source"), F.lit(" --")),
+            ).alias("text"),
+        )
+    )
+
+
+def q_line_dedup_incremental(spark, sf_dir):
+    """Cross-batch line dedup (Dolma-style paragraph dedup, batch vs
+    standing store): pages with pg >= 3 arrive as the batch, earlier
+    pages are the standing corpus — batch chrome lines (already owned
+    by corpus pages) are stripped, batch-new body lines survive in
+    their owning page."""
+    pages = _chrome_pages(spark, sf_dir)
+    batch = pages.filter(F.col("pg") >= 3).select("page_id", "text")
+    corpus = pages.filter(F.col("pg") < 3).select("page_id", "text")
+    store = textops.line_store_frame(corpus, id_col="page_id")
+    return textops.incremental_strip_lines(batch, store, id_col="page_id")
+
+
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-space decontamination: vectors 0..9 play the eval
     set, the rest the corpus; every corpus vector whose max cosine to
@@ -1700,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries new this round ...
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
+        "line_dedup_incremental": q_line_dedup_incremental,
         "semantic_decontaminate": q_semantic_decontaminate,
         # ... then the P0b entries rotated out of the r8 record
         # whose dependency closure ALSO changed since the seal
@@ -3789,6 +3811,49 @@ def oracle_sql() -> dict[str, str]:
                 - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
               coalesce(r.text_clean, '') AS text_clean
             FROM pages p LEFT JOIN reasm r USING (page_id)
+        """,
+        # line_dedup_incremental: batch pages (pg >= 3) against the
+        # standing corpus line store (pg < 3, min-page owner); a
+        # non-blank batch line survives only in its global first
+        # owner (store owner, else batch min page)
+        "line_dedup_incremental": """
+            WITH pages AS (
+              SELECT (doc_id // 100) AS pg,
+                source || '#' || (doc_id // 100)::VARCHAR AS page_id,
+                '== ' || source || ' ==' || chr(10)
+                  || string_agg(text, chr(10) ORDER BY doc_id)
+                  || chr(10) || '-- ' || source || ' --' AS text
+              FROM documents GROUP BY source, doc_id // 100),
+            batch AS (SELECT page_id, text FROM pages WHERE pg >= 3),
+            corpus AS (SELECT page_id, text FROM pages WHERE pg < 3),
+            store AS (
+              SELECT line, min(page_id) AS o_id FROM (
+                SELECT page_id, unnest(string_split(text, chr(10))) AS line
+                FROM corpus)
+              WHERE trim(line) <> '' GROUP BY line),
+            lines AS (
+              SELECT page_id, u.pos, u.line FROM (
+                SELECT page_id,
+                  unnest(list_transform(range(1, len(ls) + 1),
+                    i -> struct_pack(pos := i - 1, line := ls[i]))) AS u
+                FROM (SELECT page_id, string_split(text, chr(10)) AS ls
+                      FROM batch))),
+            bfirst AS (
+              SELECT line, min(page_id) AS b_first FROM lines
+              WHERE trim(line) <> '' GROUP BY line),
+            owners AS (
+              SELECT b.line, coalesce(s.o_id, b.b_first) AS owner
+              FROM bfirst b LEFT JOIN store s USING (line)),
+            marked AS (
+              SELECT l.page_id, l.pos, l.line,
+                (o.owner IS NOT NULL AND l.page_id <> o.owner) AS hot
+              FROM lines l LEFT JOIN owners o USING (line))
+            SELECT page_id,
+              count(*)::INT AS n_lines,
+              sum(CASE WHEN hot THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+              coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT hot), '') AS text_clean
+            FROM marked GROUP BY page_id
         """,
         # dsir_select: A-ES resampling over exp(log_weight). The A-ES
         # score is computed but NOT output — ln(u)/exp(lw) reaches

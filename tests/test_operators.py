@@ -2429,6 +2429,66 @@ def test_strip_boilerplate_lines(spark):
     assert all(v == 0 for v in loose.values())
 
 
+def test_incremental_strip_lines(spark, tmp_path):
+    """Cross-batch line dedup: a batch line already in the store is
+    dropped everywhere (the store owner keeps it), a batch-new line
+    repeated across batch docs survives only in the batch's min-id
+    doc, unique lines and blanks pass through, and the on-disk store
+    grows idempotently (first writer wins, replays append nothing)."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="SUBSCRIBE NOW\nold article one"),
+            Row(doc_id=2, text="old article two\nSUBSCRIBE NOW"),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="SUBSCRIBE NOW\nfresh piece ten\nshared intro"),
+            Row(doc_id=11, text="shared intro\n\nfresh piece eleven"),
+            Row(doc_id=12, text="old article one"),
+        ]
+    )
+    store = textops.line_store_frame(corpus)
+    assert {(r.line, r.o_id) for r in store.collect()} == {
+        ("SUBSCRIBE NOW", 1), ("old article one", 1), ("old article two", 2),
+    }
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in textops.incremental_strip_lines(batch, store).collect()
+    }
+    # 10: store line dropped, batch-shared line owned here (min id)
+    assert out[10] == (3, 1, "fresh piece ten\nshared intro")
+    # 11: shared intro owned by 10 -> dropped; blank kept
+    assert out[11] == (3, 1, "\nfresh piece eleven")
+    # 12: whole doc was a stored line -> empty
+    assert out[12] == (1, 1, "")
+
+    # on-disk store: bucketed write, idempotent growth
+    name = "t_line_store"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    textops.write_line_store(corpus, name, str(tmp_path / "ls"))
+    n0 = spark.table(name).count()
+    assert n0 == 3
+    textops.append_line_store(batch, name)
+    grown = {(r.line, r.o_id) for r in spark.table(name).collect()}
+    assert ("fresh piece ten", 10) in grown
+    assert ("SUBSCRIBE NOW", 1) in grown, "replayed line lost its first owner"
+    n1 = spark.table(name).count()
+    textops.append_line_store(batch, name)   # replay: no growth
+    assert spark.table(name).count() == n1
+    # the on-disk store drives the same report
+    out2 = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in textops.incremental_strip_lines(
+            batch, spark.table(name).filter(F.col("o_id") < 10)
+        ).collect()
+    }
+    assert out2 == out
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_semantic_decontaminate(spark):
     """Embedding decontamination: a near-copy of an eval vector is
     flagged with the closest eval id (ties to the lowest id), an

@@ -1091,6 +1091,149 @@ def strip_boilerplate_lines(
     )
 
 
+def incremental_strip_lines(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CROSS-BATCH line/paragraph deduplication (the Dolma deduper's
+    paragraph mode, batch-at-a-time): a non-blank line in an arriving
+    batch is dropped from every document EXCEPT its global first
+    owner — the owner recorded in the standing *store* ``(line,
+    o_id)`` if the line was ever seen before, else the batch's
+    lowest-id document containing it. The sibling of
+    :func:`strip_boilerplate_lines` for ingest-once pipelines: the
+    batch version drops REPEATED content outright (dedup semantics,
+    no frequency threshold — the store is count-free, which is what
+    makes its growth idempotent, the
+    :func:`~toshokan_spark.operators.dedup.append_gram_store`
+    argument). Returns ``(id, n_lines, n_removed, text_clean)``.
+    Blank lines are structural and always kept; the owner document
+    keeps every occurrence of its own line (within-doc repeats are a
+    doc-internal matter, not cross-doc duplication).
+
+    Scale shape: batch lines explode once; owners resolve on the
+    DISTINCT batch-line frame (batch-sized partial-agg groupBy, then
+    one probe join against the store — with the bucketed on-disk
+    store of :func:`write_line_store` the stored side arrives
+    pre-partitioned, Exchange-free); one join back to the occurrence
+    stream and one per-doc reassembly aggregation. Store cost per
+    batch is batch-sized, never corpus-sized."""
+    import re
+
+    from toshokan_spark.operators.util import spread
+
+    sep_re = re.escape(line_sep)
+    lines = spread(
+        batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.posexplode(F.split(F.col("__t"), sep_re, -1)).alias("pos", "line"),
+    )
+    nonblank = lines.filter(F.trim("line") != "")
+    owners = (
+        nonblank.groupBy("line")
+        .agg(F.min("id").alias("__b_first"))
+        .join(
+            store.select(
+                F.col("line"), F.col("o_id").alias("__o_id")
+            ),
+            "line",
+            "left",
+        )
+        .select(
+            "line", F.coalesce("__o_id", "__b_first").alias("__owner")
+        )
+    )
+    marked = lines.join(owners, "line", "left")
+    drop = F.col("__owner").isNotNull() & (F.col("id") != F.col("__owner"))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pos", "line", drop.alias("hot")))
+    )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(drop.cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda x: ~x["hot"]), lambda x: x["line"]
+            ),
+            line_sep,
+        ).alias("text_clean"),
+    ).select(
+        F.col("id").alias(id_col), "n_lines", "n_removed", "text_clean"
+    )
+
+
+def line_store_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The standing corpus's ``(line, o_id)`` table — every distinct
+    non-blank line with its first (min-id) owner; the store side of
+    :func:`incremental_strip_lines`."""
+    import re
+
+    from toshokan_spark.operators.util import spread
+
+    sep_re = re.escape(line_sep)
+    return (
+        spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
+        .select("id", F.explode(F.split(F.col("__t"), sep_re, -1)).alias("line"))
+        .filter(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.min("id").alias("o_id"))
+    )
+
+
+def write_line_store(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> None:
+    """Persist :func:`line_store_frame` as a bucketed+sorted table so
+    per-batch probes read the stored side pre-partitioned (no
+    Exchange) — the line sibling of
+    :func:`~toshokan_spark.operators.dedup.write_gram_store`."""
+    (
+        line_store_frame(df, id_col, text_col, line_sep)
+        .write.bucketBy(buckets, "line")
+        .sortBy("line")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def append_line_store(
+    df: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> None:
+    """Grow the line store with a batch's NEW distinct lines (lines
+    already present keep their earlier owner — first writer wins, so
+    the owner column never changes once set). Count-free, therefore
+    naturally idempotent under replay: a re-run's lines all exist,
+    the anti-join yields nothing, zero rows append."""
+    spark = df.sparkSession
+    fresh = line_store_frame(df, id_col, text_col, line_sep).join(
+        spark.table(table_name).select("line"), "line", "left_anti"
+    )
+    fresh.write.format("parquet").insertInto(table_name, overwrite=False)
+
+
 #: symbol separator for the BPE merge fold — a control char no
 #: tokenized word contains (words are whitespace-split)
 BPE_SEP = "\x1f"
