@@ -1700,6 +1700,41 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order (length-staged, the classic
+    easy-first baseline): 3 exact ntile stages by n_chars, seeded
+    deterministic shuffle within each stage, exact global position —
+    all via the two-level grouped_prefix scan, zero global windows."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.curriculum_order(
+        docs, F.col("n_chars").cast("long"), n_stages=3, seed=7
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer economics of the corpus-trained 6-merge
+    BPE model: tokens/word (fertility — the Petrov et al. 2023
+    tokenizer-fairness metric) and bytes/token by language."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textops.bpe_train(docs, n_merges=6)
+    return textops.tokenizer_fertility(docs, merges)
+
+
+def q_shard_balance(spark, sf_dir):
+    """Deterministic hash sharding into 8 training shards + the
+    per-shard token-balance report (docs, tokens, relative deviation
+    from the cross-shard mean)."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = sampling.shard_assign(docs, n_shards=8, seed=3)
+    return sampling.shard_balance(
+        assigned, F.size(dedup_words(F.col("text")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1717,8 +1752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r9 WINDOW (first 50): the 3 never-driver-proven
+        # -- r9 WINDOW (first 50): the never-driver-proven
         # entries new this round ...
+        "curriculum_order": q_curriculum_order,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "shard_balance": q_shard_balance,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -1771,13 +1809,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver proof first (r6-proven, then two of the r7 nine)
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
+        # -- PAST THE WINDOW: P0b overflow (11 unchanged-dep
+        # entries, all r6/r7-proven; they keep that record + the
+        # full local sweep and rotate in next round) ...
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
         "customers_without_orders": q_customers_without_orders,
         "click_only_users": q_click_only_users,
-        # -- PAST THE WINDOW: P0b overflow (7 unchanged-dep
-        # entries, all r7-proven; they keep that record + the full
-        # local sweep and rotate in next round) ...
         "user_sessions": q_user_sessions,
         "rollup_revenue": q_rollup_revenue,
         "search_term": q_search_term,
@@ -3775,6 +3813,75 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": f"""
             WITH {_dsir_ctes()}
             SELECT doc_id, n_feats, log_weight FROM lwf
+        """,
+        # curriculum_order: ntile stages over (n_chars, doc_id) +
+        # seeded poly-hash within-stage shuffle + global row_number —
+        # the Spark side computes the SAME values with zero global
+        # windows (two grouped_prefix two-level scans + the ntile
+        # arithmetic identity)
+        "curriculum_order": f"""
+            WITH r AS (
+              SELECT doc_id,
+                ntile(3) OVER (ORDER BY n_chars, doc_id) AS stage
+              FROM documents),
+            s AS (
+              SELECT doc_id, stage,
+                ({_poly_sql('doc_id::VARCHAR', 1103515245, 7, 1_000_000_007, 5381)})
+                  % 10000 AS b
+              FROM r)
+            SELECT doc_id, stage::BIGINT AS stage,
+              row_number() OVER (ORDER BY stage, b, doc_id)::BIGINT AS position
+            FROM s
+        """,
+        # tokenizer_fertility: the bpe_token_counts per-doc CTEs
+        # grouped by language; ratios divide the exact integer sums
+        "tokenizer_fertility": f"""
+            WITH {_bpe_ctes(6)},
+            dw AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            per_doc AS (
+              SELECT dw.doc_id,
+                count(*) AS n_words,
+                sum(len(list_filter(string_split(v.s, chr(31)),
+                        x -> x <> '')))::BIGINT AS n_bpe
+              FROM dw JOIN v6 v ON v.w = dw.w
+              GROUP BY dw.doc_id),
+            j AS (
+              SELECT d.lang, coalesce(p.n_words, 0)::BIGINT AS w,
+                     coalesce(p.n_bpe, 0)::BIGINT AS t,
+                     strlen(d.text)::BIGINT AS bts
+              FROM documents d LEFT JOIN per_doc p USING (doc_id))
+            SELECT lang, count(*)::BIGINT AS n_docs,
+              sum(w)::BIGINT AS n_words,
+              sum(t)::BIGINT AS n_bpe_tokens,
+              sum(bts)::BIGINT AS n_bytes,
+              CASE WHEN sum(w) > 0
+                   THEN round(sum(t) / sum(w)::DOUBLE, 6) END AS fertility,
+              CASE WHEN sum(t) > 0
+                   THEN round(sum(bts) / sum(t)::DOUBLE, 6) END AS bytes_per_token
+            FROM j GROUP BY lang
+        """,
+        # shard_balance: seeded poly-hash shard assignment (seed 3,
+        # 8 shards) + per-shard doc/token totals and relative
+        # deviation from the cross-shard mean
+        "shard_balance": f"""
+            WITH a AS (
+              SELECT doc_id, len({_WORDS})::BIGINT AS t,
+                (({_poly_sql('doc_id::VARCHAR', 1103515245, 3, 1_000_000_007, 5381)})
+                  % 10000) % 8 AS shard
+              FROM documents),
+            per AS (
+              SELECT shard, count(*)::BIGINT AS n_docs,
+                     sum(t)::BIGINT AS n_tokens
+              FROM a GROUP BY shard),
+            g AS (SELECT sum(n_tokens)::DOUBLE / count(*) AS m FROM per)
+            SELECT shard::BIGINT AS shard, n_docs, n_tokens,
+              round(CASE WHEN m > 0 THEN n_tokens / m - 1.0
+                         ELSE 0.0 END, 6) AS rel_dev
+            FROM per, g
         """,
         # line_dedup: the page construction (5-doc pages + per-source
         # header/footer chrome) is mirrored, then line-level dedup —

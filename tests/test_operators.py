@@ -2634,3 +2634,126 @@ def test_kcenter_select_farthest_point_geometry(spark):
     all_out = similarity.kcenter_select(emb, k=10).collect()
     assert len(all_out) == 5
     assert {r.vec_id for r in all_out} == set(pts)
+
+
+def test_curriculum_order_matches_reference(spark):
+    """curriculum_order's window-free (grouped_prefix) machinery must
+    reproduce the textbook answer: ntile stages over (difficulty, id),
+    seeded within-stage hash shuffle, global row_number position."""
+    from toshokan_spark.operators.dedup import _poly_fold_py
+    from toshokan_spark.operators.sampling import SAMPLE_BUCKETS, curriculum_order
+
+    rows = [Row(doc_id=i, diff=(i * 37) % 11) for i in range(1, 24)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: (r["stage"], r["position"])
+        for r in curriculum_order(
+            df, F.col("diff").cast("long"), n_stages=4, seed=7, n_coarse=4
+        ).collect()
+    }
+
+    n, k = len(rows), 4
+    q, rem = divmod(n, k)
+    by_diff = sorted(rows, key=lambda r: (r.diff, r.doc_id))
+    stage_of = {}
+    pos = 0
+    for s in range(1, k + 1):
+        size = q + (1 if s <= rem else 0)
+        for r in by_diff[pos:pos + size]:
+            stage_of[r.doc_id] = s
+        pos += size
+    bucket = {
+        r.doc_id: _poly_fold_py(str(r.doc_id), 1103515245, 7, 1_000_000_007, 5381)
+        % SAMPLE_BUCKETS
+        for r in rows
+    }
+    order = sorted(rows, key=lambda r: (stage_of[r.doc_id], bucket[r.doc_id], r.doc_id))
+    expected = {
+        r.doc_id: (stage_of[r.doc_id], i + 1) for i, r in enumerate(order)
+    }
+    assert out == expected
+
+
+def test_curriculum_order_fewer_rows_than_stages(spark):
+    """N < n_stages: ntile gives one row per stage, stages beyond N
+    empty; the q=0 branch must stay total (no ANSI divide-by-zero)."""
+    from toshokan_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame([Row(doc_id=1, d=5), Row(doc_id=2, d=3)])
+    got = sorted(
+        (r["doc_id"], r["stage"], r["position"])
+        for r in curriculum_order(
+            df, F.col("d").cast("long"), n_stages=5, seed=0, n_coarse=2
+        ).collect()
+    )
+    # doc 2 (d=3) is easier -> stage 1; positions are 1..N
+    assert got == [(1, 2, 2), (2, 1, 1)]
+
+
+def test_shard_assign_and_balance_report(spark):
+    """Hash sharding is deterministic, in-range, and the balance
+    report's totals/deviation match a driver-side recomputation."""
+    from toshokan_spark.operators.dedup import _poly_fold_py
+    from toshokan_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        shard_assign,
+        shard_balance,
+    )
+
+    rows = [Row(doc_id=i, n_tokens=(i * 13) % 29 + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows)
+    a = shard_assign(df, n_shards=4, seed=3)
+    got = {r["doc_id"]: r["shard"] for r in a.collect()}
+    exp_shard = {
+        r.doc_id: _poly_fold_py(str(r.doc_id), 1103515245, 3, 1_000_000_007, 5381)
+        % SAMPLE_BUCKETS % 4
+        for r in rows
+    }
+    assert got == exp_shard
+    assert set(got.values()) <= set(range(4))
+
+    rep = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["rel_dev"])
+        for r in shard_balance(a, F.col("n_tokens")).collect()
+    }
+    totals: dict = {}
+    for r in rows:
+        s = exp_shard[r.doc_id]
+        c, t = totals.get(s, (0, 0))
+        totals[s] = (c + 1, t + r.n_tokens)
+    mean = sum(t for _, t in totals.values()) / len(totals)
+    for s, (c, t) in totals.items():
+        assert rep[s][0] == c and rep[s][1] == t
+        assert rep[s][2] == pytest.approx(round(t / mean - 1.0, 6), abs=1e-9)
+
+
+def test_tokenizer_fertility_per_lang_aggregation(spark):
+    """Fertility/bytes-per-token are the exact integer-sum ratios of
+    the per-doc bpe_token_counts, grouped by language."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="low lower lowest"),
+            Row(doc_id=2, lang="en", text="new newer"),
+            Row(doc_id=3, lang="de", text="neu neuer neuest"),
+            Row(doc_id=4, lang="de", text=""),
+        ]
+    )
+    merges = textops.bpe_train(docs, n_merges=4)
+    per_doc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in textops.bpe_token_counts(docs, merges).collect()
+    }
+    out = {
+        r["lang"]: r for r in textops.tokenizer_fertility(docs, merges).collect()
+    }
+    for lang, ids in (("en", [1, 2]), ("de", [3, 4])):
+        w = sum(per_doc[i][0] for i in ids)
+        t = sum(per_doc[i][1] for i in ids)
+        b = sum(len(r.text.encode()) for r in docs.collect() if r.lang == lang)
+        row = out[lang]
+        assert row["n_docs"] == len(ids)
+        assert row["n_words"] == w and row["n_bpe_tokens"] == t
+        assert row["n_bytes"] == b
+        assert row["fertility"] == pytest.approx(round(t / w, 6))
+        if t:
+            assert row["bytes_per_token"] == pytest.approx(round(b / t, 6))

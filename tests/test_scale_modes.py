@@ -274,3 +274,27 @@ def test_token_budget_pack_scale_mode_null_order_keys_match(spark):
         ).collect()
     )
     assert a == b == [(None, 500)]
+
+
+def test_curriculum_order_plan_has_no_global_window(spark, docs):
+    """curriculum_order is BUILT on the two-level scan: every window
+    in its plan must carry __coarse in the partition spec — a global
+    row_number/ntile window (partitioned by nothing or by stage
+    alone) would funnel the corpus through one task."""
+    from toshokan_spark.operators.sampling import curriculum_order
+
+    df = curriculum_order(
+        docs, F.col("n_chars").cast("long"), n_stages=3, seed=7,
+        materialize=False,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "curriculum plan lost its windows"
+    for spec in specs:
+        assert "__coarse" in spec, (
+            "window without __coarse — a single-task global window: "
+            + spec
+        )

@@ -470,3 +470,160 @@ def pack_training_sequences(
             != F.floor(F.col("__last_tok") / seq_len)
         ).alias("spans_boundary"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty: Column,
+    n_stages: int = 3,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_coarse: int = 64,
+    materialize: bool = True,
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009): partition the
+    corpus into ``n_stages`` exact quantile stages by *difficulty*
+    (ascending — easy first), shuffle deterministically WITHIN each
+    stage (seeded :func:`sample_key` hash, so the order is
+    reproducible across runs/engines/partitionings), and emit every
+    document's exact global training ``position``. Feeding the
+    result to a range-partitioned ``orderBy(position)`` write gives
+    the staged-shuffled shard files trainers consume.
+
+    Returns ``(id, stage, position)`` — slim on purpose: the trainer
+    joins payloads back by id at write time, so the ordering
+    machinery never shuffles document bodies.
+
+    Scale shape — there is NO global window anywhere (a corpus-wide
+    ``row_number`` funnels 100 TB through one task):
+
+    * stage = exact ``ntile(n_stages)`` over (difficulty, id),
+      derived arithmetically from the exact global rank computed by
+      the two-level :func:`~toshokan_spark.operators.util.
+      grouped_prefix` scan (constant group, ``n_coarse``-way
+      parallel);
+    * within-stage rank: a second ``grouped_prefix`` partitioned by
+      stage over the shuffle-hash key;
+    * global position = within-stage rank + the stage's offset,
+      which is a PURE FORMULA of (stage, N, n_stages) — ntile stage
+      sizes are ``q+1`` for the first ``N mod k`` stages and ``q``
+      after, so no join or window is needed to place stages.
+
+    Ties: (difficulty, id) and (bucket, id) are total orders, so
+    both ranks are deterministic. The difficulty expression is any
+    ascending-sortable Column — length is the classic baseline
+    curriculum; plug in an LM quality score for perplexity-staged
+    ordering."""
+    from toshokan_spark.operators.util import grouped_prefix
+
+    if n_stages <= 0:
+        raise ValueError(f"n_stages must be positive, got {n_stages}")
+    slim = df.select(F.col(id_col), difficulty.alias("__d"))
+    nfr = slim.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+
+    ranked = grouped_prefix(
+        slim.withColumn("__g", F.lit(1)),
+        "__g",
+        F.col("__d"),
+        [F.col("__d").asc(), F.col(id_col).asc()],
+        n_coarse=n_coarse,
+        rank_col="__r",
+        nulls_last=True,
+        materialize=materialize,
+    ).crossJoin(F.broadcast(nfr))
+
+    k = F.lit(n_stages).cast("long")
+    q = (F.col("__N") / k).cast("long")  # floor: both non-negative
+    rem = F.col("__N") % k
+    r = F.col("__r")
+    # ntile: first `rem` stages hold q+1 rows, the rest q. The else
+    # branch divides by q, which is 0 only when N < k — then
+    # rem = N and the when-branch covers every rank, but Catalyst
+    # still *evaluates* both branches, so the denominator is
+    # greatest(q, 1) to stay total under ANSI mode.
+    stage = F.when(
+        r <= rem * (q + 1),
+        ((r - 1) / (q + 1)).cast("long") + 1,
+    ).otherwise(
+        rem + ((r - rem * (q + 1) - 1) / F.greatest(q, F.lit(1).cast("long"))).cast("long") + 1
+    )
+    staged = ranked.select(
+        F.col(id_col),
+        stage.cast("long").alias("stage"),
+        F.col("__N"),
+        sample_key(F.col(id_col).cast("string"), seed).alias("__b"),
+    )
+
+    within = grouped_prefix(
+        staged,
+        "stage",
+        F.col("__b"),
+        [F.col("__b").asc(), F.col(id_col).asc()],
+        n_coarse=n_coarse,
+        rank_col="__wr",
+        nulls_last=True,
+        materialize=materialize,
+    )
+    s = F.col("stage")
+    q2 = (F.col("__N") / k).cast("long")
+    rem2 = F.col("__N") % k
+    offset = (s - 1) * q2 + F.least(s - 1, rem2)
+    return within.select(
+        F.col(id_col),
+        "stage",
+        (offset + F.col("__wr")).cast("long").alias("position"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic hash assignment of rows to ``n_shards`` output
+    shards — the standard scale answer to balanced training-shard
+    writing: a stateless narrow projection (no shuffle, no RNG
+    state), stable under repartitioning, reproducible across engines
+    (:func:`sample_key` family), and balanced by the law of large
+    numbers at corpus scale. Pair with :func:`shard_balance` to
+    MEASURE the balance instead of assuming it."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(
+        shard_col,
+        (sample_key(F.col(id_col).cast("string"), seed) % n_shards).cast("long"),
+    )
+
+
+def shard_balance(
+    assigned: DataFrame,
+    tokens: Column,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Per-shard balance report over a :func:`shard_assign` output:
+    ``(shard, n_docs, n_tokens, rel_dev)`` where ``rel_dev`` is the
+    shard's token total relative to the cross-shard mean (0 =
+    perfectly balanced). One partial-aggregated groupBy to a
+    shard-count-sized frame, then a broadcast of the 1-row global
+    mean — no window, no second corpus pass."""
+    per = assigned.groupBy(F.col(shard_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tokens.cast("long")).cast("long").alias("n_tokens"),
+    )
+    glob = per.agg(
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("__mean")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        shard_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("__mean") > 0,
+                F.col("n_tokens") / F.col("__mean") - 1.0,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rel_dev"),
+    )

@@ -1725,3 +1725,63 @@ def lm_quality_buckets(
             bucket.cast("integer").alias("bucket"),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: "list[tuple[str, str, int]]",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer economics for a learned BPE merge
+    table: ``(lang, n_docs, n_words, n_bpe_tokens, n_bytes,
+    fertility, bytes_per_token)`` where fertility = BPE tokens per
+    whitespace word (the standard tokenizer-fairness metric — a
+    tokenizer trained on English-heavy data segments other languages
+    into many more tokens per word, inflating their effective
+    training/inference cost; Petrov et al. 2023 "Language Model
+    Tokenizers Introduce Unfairness Between Languages") and
+    bytes_per_token is the compression rate the vocabulary achieves
+    on each language.
+
+    Scale: one narrow :func:`bpe_token_counts` pass (the merge table
+    is model-sized and lives in the plan/broadcast, never shuffled),
+    an id-keyed join back to the slim (lang, bytes) projection, then
+    a partial-aggregated groupBy collapsing to a language-count-sized
+    frame. Ratios divide the EXACT integer sums, so they are
+    engine-reproducible without decimal folds."""
+    counts = bpe_token_counts(df, merges, id_col=id_col, text_col=text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.octet_length(F.col(text_col)).cast("long").alias("__bytes"),
+    )
+    joined = base.join(counts, id_col)
+    per = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("__bytes").cast("long").alias("n_bytes"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_bytes",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.col("n_bytes").cast("double") / F.col("n_bpe_tokens"),
+            ),
+            6,
+        ).alias("bytes_per_token"),
+    )
