@@ -1189,6 +1189,35 @@ def q_apply_mixture(spark, sf_dir):
     return sampling.apply_mixture(docs, weights).select("doc_id", "source")
 
 
+def q_repeat_plan(spark, sf_dir):
+    """Data-constrained repetition plan (Muennighoff 2023): per-source
+    repeat factors realizing the temperature-0.5 mixture at a 200k
+    token budget — whole epochs + fractional hash-sample rates."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    weights = sampling.source_mixture(with_tokens, alpha=0.5)
+    return sampling.repeat_plan(weights, budget_tokens=200_000)
+
+
+def q_epoch_expand(spark, sf_dir):
+    """Materialized repeated corpus for the 200k-token repeat plan:
+    each doc appears n_full_copies (+1 under the fractional hash)
+    times, with a 1-based copy index per repetition."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", F.size(dedup_words(F.col("text"))).alias("n_tokens")
+    )
+    weights = sampling.source_mixture(with_tokens, alpha=0.5)
+    plan = sampling.repeat_plan(weights, budget_tokens=200_000)
+    return sampling.epoch_expand(docs, plan, seed=11)
+
+
 def q_select_training_set(spark, sf_dir):
     """The full selection pipeline composed end-to-end: drop near-dup
     losers (cluster keepers survive), keep quality >= 0.55, then a
@@ -1757,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "tokenizer_fertility": q_tokenizer_fertility,
         "shard_balance": q_shard_balance,
+        "repeat_plan": q_repeat_plan,
+        "epoch_expand": q_epoch_expand,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -1807,11 +1838,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         # ... then rotated-out entries with unchanged deps, oldest
         # driver proof first (r6-proven, then two of the r7 nine)
-        "user_event_gaps": q_user_event_gaps,
-        "hourly_events": q_hourly_events,
-        # -- PAST THE WINDOW: P0b overflow (11 unchanged-dep
+        # -- PAST THE WINDOW: P0b overflow (13 unchanged-dep
         # entries, all r6/r7-proven; they keep that record + the
         # full local sweep and rotate in next round) ...
+        "user_event_gaps": q_user_event_gaps,
+        "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
         "customers_without_orders": q_customers_without_orders,
@@ -3863,6 +3894,57 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN sum(t) > 0
                    THEN round(sum(bts) / sum(t)::DOUBLE, 6) END AS bytes_per_token
             FROM j GROUP BY lang
+        """,
+        # repeat_plan / epoch_expand: the source_mixture weight CTEs
+        # feed repeat factors f = weight * 200000 / tokens; floor(f +
+        # 1e-6) whole copies + a hash-sample at the 6-decimal-rounded
+        # fractional rate (the apply_mixture epsilon discipline)
+        "repeat_plan": f"""
+            WITH per AS (
+              SELECT source, sum(len({_WORDS}))::BIGINT AS n_tokens
+              FROM documents GROUP BY source),
+            sc AS (SELECT *, sqrt(n_tokens::DOUBLE) AS scaled FROM per),
+            tot AS (SELECT sum(scaled::DECIMAL(38,18)) AS total_scaled FROM sc),
+            w AS (
+              SELECT source, n_tokens,
+                     round(scaled / total_scaled::DOUBLE, 6) AS weight
+              FROM sc, tot),
+            fac AS (
+              SELECT source, n_tokens, weight,
+                     weight * 200000.0 / n_tokens::DOUBLE AS f
+              FROM w)
+            SELECT source, n_tokens, weight,
+              round(f, 6) AS repeat_factor,
+              floor(f + 1e-6)::BIGINT AS n_full_copies,
+              round(greatest(f - floor(f + 1e-6), 0), 6) AS frac_rate
+            FROM fac
+        """,
+        "epoch_expand": f"""
+            WITH per AS (
+              SELECT source, sum(len({_WORDS}))::BIGINT AS n_tokens
+              FROM documents GROUP BY source),
+            sc AS (SELECT *, sqrt(n_tokens::DOUBLE) AS scaled FROM per),
+            tot AS (SELECT sum(scaled::DECIMAL(38,18)) AS total_scaled FROM sc),
+            w AS (
+              SELECT source, n_tokens,
+                     round(scaled / total_scaled::DOUBLE, 6) AS weight
+              FROM sc, tot),
+            p AS (
+              SELECT source,
+                floor(weight * 200000.0 / n_tokens::DOUBLE + 1e-6)::BIGINT AS nf,
+                round(greatest(
+                  weight * 200000.0 / n_tokens::DOUBLE
+                    - floor(weight * 200000.0 / n_tokens::DOUBLE + 1e-6),
+                  0), 6) AS fr
+              FROM w),
+            x AS (
+              SELECT d.doc_id, d.source,
+                (p.nf + CASE WHEN ({_poly_sql('d.doc_id::VARCHAR', 1103515245, 11, 1_000_000_007, 5381)})
+                             % 10000 < floor(p.fr * 10000.0 + 1e-6)
+                        THEN 1 ELSE 0 END) AS n
+              FROM documents d JOIN p USING (source))
+            SELECT doc_id, source, unnest(range(1, n + 1))::BIGINT AS copy
+            FROM x WHERE n >= 1
         """,
         # shard_balance: seeded poly-hash shard assignment (seed 3,
         # 8 shards) + per-shard doc/token totals and relative

@@ -2757,3 +2757,71 @@ def test_tokenizer_fertility_per_lang_aggregation(spark):
         assert row["fertility"] == pytest.approx(round(t / w, 6))
         if t:
             assert row["bytes_per_token"] == pytest.approx(round(b / t, 6))
+
+
+def test_repeat_plan_and_epoch_expand(spark):
+    """Repeat factors realize weight*budget/tokens in both regimes
+    (f > 1 -> whole copies + frac; f < 1 -> pure fractional
+    downsample), and the expansion materializes exactly
+    n_full_copies (+1 under the frac hash) copies, 1-based."""
+    from toshokan_spark.operators.dedup import _poly_fold_py
+    from toshokan_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        epoch_expand,
+        repeat_plan,
+        source_mixture,
+    )
+
+    rows = [
+        Row(doc_id=i, source=("a" if i <= 20 else "b"), n_tokens=10)
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows)
+    weights = source_mixture(df, alpha=0.5)
+    plan = repeat_plan(weights, budget_tokens=600)
+    got = {r["source"]: r for r in plan.collect()}
+    wt = {r["source"]: r["weight"] for r in weights.collect()}
+    for s, toks in (("a", 200), ("b", 100)):
+        f = wt[s] * 600.0 / toks
+        assert got[s]["n_tokens"] == toks
+        assert got[s]["repeat_factor"] == pytest.approx(round(f, 6))
+        assert got[s]["n_full_copies"] == int(f + 1e-6)
+        assert got[s]["frac_rate"] == pytest.approx(
+            round(max(f - int(f + 1e-6), 0), 6)
+        )
+
+    out = epoch_expand(df, plan, seed=11).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    for r in rows:
+        p = got[r.source]
+        thr = int(p["frac_rate"] * SAMPLE_BUCKETS + 1e-6)
+        extra = (
+            _poly_fold_py(str(r.doc_id), 1103515245, 11, 1_000_000_007, 5381)
+            % SAMPLE_BUCKETS
+            < thr
+        )
+        expect = p["n_full_copies"] + (1 if extra else 0)
+        copies = sorted(by_doc.get(r.doc_id, []))
+        assert copies == list(range(1, expect + 1))
+
+
+def test_repeat_plan_integer_factor_epsilon(spark):
+    """A repeat factor that is an exact integer in real arithmetic
+    (weight*budget == k*tokens) must floor to k, not k-1, and leave
+    frac_rate at 0 — the +1e-6 epsilon contract."""
+    from pyspark.sql import Row as R
+    from toshokan_spark.operators.sampling import epoch_expand, repeat_plan
+
+    weights = spark.createDataFrame(
+        [R(source="only", n_docs=3, n_tokens=100, weight=1.0)]
+    )
+    plan = repeat_plan(weights, budget_tokens=300)
+    row = plan.collect()[0]
+    assert row["n_full_copies"] == 3 and row["frac_rate"] == 0.0
+
+    docs = spark.createDataFrame([R(doc_id=i, source="only") for i in range(3)])
+    out = epoch_expand(docs, plan).collect()
+    assert len(out) == 9
+    assert all(1 <= r["copy"] <= 3 for r in out)

@@ -627,3 +627,98 @@ def shard_balance(
             6,
         ).alias("rel_dev"),
     )
+
+
+def repeat_plan(
+    weights: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source REPETITION plan for a token budget larger than what
+    downsampling can reach — the data-constrained regime
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models"): where :func:`apply_mixture` stops at the binding
+    source (rate 1), training runs instead REPEAT scarce sources
+    across epochs. For each source the target token mass is
+    ``weight_s * budget_tokens``, so the repeat factor is
+
+        f_s = weight_s * budget_tokens / tokens_s
+
+    realized as ``floor(f_s)`` whole copies plus a deterministic
+    ``frac(f_s)`` hash-sample (see :func:`epoch_expand`). Factors
+    below 1 degrade gracefully to plain downsampling (0 whole
+    copies + the fractional sample) — one plan covers both regimes.
+
+    *weights* is the :func:`source_mixture` output; its 6-decimal
+    ROUNDED weight is used so both engines (and any re-run) compute
+    bit-identical factors. The +1e-6 inside the floor absorbs the
+    few-ulp shortfall when f_s is an exact integer in real
+    arithmetic (the :func:`apply_mixture` epsilon, mirrored in the
+    oracle). Output: ``(group, n_tokens, weight, repeat_factor,
+    n_full_copies, frac_rate)`` — a model-sized frame (one row per
+    source), broadcast by the expansion."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    f = (
+        F.col("weight").cast("double")
+        * F.lit(float(budget_tokens))
+        / F.col("n_tokens").cast("double")
+    )
+    nf = F.floor(f + F.lit(1e-6)).cast("long")
+    return weights.select(
+        group_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("weight").cast("double").alias("weight"),
+        F.round(f, 6).alias("repeat_factor"),
+        nf.alias("n_full_copies"),
+        F.round(F.greatest(f - nf, F.lit(0.0)), 6).alias("frac_rate"),
+    )
+
+
+def epoch_expand(
+    df: DataFrame,
+    plan: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Materialize a :func:`repeat_plan`: every row appears
+    ``n_full_copies`` times, plus once more iff its sampling hash
+    falls under the fractional rate — the deterministic realization
+    of per-source epoch repetition. Rows gain a 1-based ``copy``
+    index so downstream stages (shuffling copies apart in
+    :func:`curriculum_order`, sequence packing) can treat each
+    repetition as a distinct training instance.
+
+    Scale: a broadcast join against the model-sized plan and a
+    narrow ``explode(sequence(...))`` whose fan-out per row is the
+    repeat factor — bounded by construction (budget / corpus
+    tokens), no shuffle anywhere. The fractional threshold floors the
+    plan's 6-decimal-rounded ``frac_rate`` with the +1e-6 epsilon —
+    the :func:`apply_mixture` discipline (rates derived from rounded
+    inputs are bit-identical across engines and re-runs)."""
+    # Recompute frac from the plan's own columns: repeat_factor is
+    # ROUNDED for display, so the exact threshold comes from
+    # n_full_copies + frac_rate (both deterministic plan outputs).
+    slim = plan.select(
+        group_col,
+        F.col("n_full_copies").cast("long").alias("__nf"),
+        F.col("frac_rate").cast("double").alias("__fr"),
+    )
+    extra = (
+        sample_key(F.col(key_col).cast("string"), seed)
+        < F.floor(F.col("__fr") * F.lit(float(SAMPLE_BUCKETS)) + F.lit(1e-6))
+    ).cast("long")
+    n = F.col("__nf") + extra
+    copies = F.when(
+        n >= 1, F.sequence(F.lit(1).cast("long"), n)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(F.broadcast(slim), group_col)
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            F.explode(copies).alias(copy_col),
+        )
+    )
