@@ -166,3 +166,54 @@ def test_curate_cli_minhash_dedup_path(spark, curated, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "exact_kept" in out and "packed_rows" in out
+
+
+def test_curate_cli_repeat_and_curriculum(spark, curated, capsys):
+    """--repeat-budget expands the train split per the mixture repeat
+    plan and --curriculum-stages orders it easy-first; the packed
+    stream is contiguous in curriculum position and every expanded
+    instance is packed exactly once."""
+    from toshokan_spark import cli
+
+    cat_root, _ = curated
+    out_dir = cat_root + "_repeat_out"
+    rc = cli.main([
+        "--catalog", cat_root, "curate", "curidx",
+        "--source-field", "source",
+        "--fractions", "train=0.6,valid=0.2,test=0.2",
+        "--seq-len", "64", "--tail-rate", "0.5",
+        "--repeat-budget", "4000",
+        "--curriculum-stages", "3",
+        "--output", out_dir,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    report = {}
+    for line in out.splitlines():
+        parts = line.split(None, 1)
+        if len(parts) == 2 and line.startswith("  "):
+            report[parts[0]] = parts[1]
+    assert "expanded_rows" in report
+    assert report["curriculum_stages"] == "3"
+
+    packed = spark.read.parquet(f"{out_dir}/packed")
+    # ordered by global curriculum position: one gap-free token
+    # stream per source shard
+    pos: dict = {}
+    rows = sorted(
+        (r["source"], r["position"], r["start_tok"], r["end_tok"])
+        for r in packed.collect()
+    )
+    for src, _p, start, end in sorted(rows, key=lambda t: (t[0], t[2])):
+        assert start == pos.get(src, 0), f"gap in {src} at {start}"
+        pos[src] = end
+    # expansion actually repeated something (budget 4000 >> train
+    # token mass) and every instance packs exactly once
+    n_packed = packed.count()
+    assert int(report["expanded_rows"]) == n_packed
+    assert int(report["packed_rows"]) == n_packed
+    import re
+
+    n_train = int(re.search(r"'train': (\d+)", report["split_sizes"]).group(1))
+    assert n_packed > n_train, "no doc repeated despite the budget"
+    assert n_packed == packed.select("position").distinct().count()

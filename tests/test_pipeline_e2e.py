@@ -167,3 +167,74 @@ def test_model_filter_and_span_report_compose(spark, corpus):
     worst_target = min(v for k, v in dsir.items() if k >= 4)
     best_off = max(v for k, v in dsir.items() if k < 4)
     assert best_off < worst_target, dsir
+
+
+def test_repeat_curriculum_pack_compose(spark, corpus):
+    """The round-9 additions composed the way a training run uses
+    them: temperature mixture -> repetition plan -> epoch expansion
+    -> curriculum ordering of the expanded instances -> packing the
+    ordered stream. Cross-stage invariants: copies are exact and
+    distinct, positions are a permutation, stages are difficulty-
+    monotone, and the packed stream is gap-free in curriculum
+    order."""
+    from toshokan_spark.operators import sampling
+
+    tokens = corpus.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    total = tokens.agg(F.sum("n_tokens")).collect()[0][0]
+    weights = sampling.source_mixture(tokens, alpha=0.5)
+    plan = sampling.repeat_plan(weights, budget_tokens=int(total * 1.5))
+    p = {r["source"]: r for r in plan.collect()}
+
+    expanded = sampling.epoch_expand(tokens, plan, seed=11)
+    inst = expanded.join(tokens, ["doc_id", "source"])
+    # every (doc, copy) occurs once; per-doc copy counts are nf or nf+1
+    assert inst.count() == inst.select("doc_id", "copy").distinct().count()
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in inst.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    src_of = {r["doc_id"]: r["source"] for r in tokens.collect()}
+    for d, n in per_doc.items():
+        nf = p[src_of[d]]["n_full_copies"]
+        assert n in (nf, nf + 1), f"doc {d}: {n} copies vs plan {nf}"
+
+    # curriculum over the expanded INSTANCES (repetitions shuffle
+    # independently): synthetic instance id = doc*100 + copy
+    inst_id = inst.select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("inst_id"),
+        "n_tokens",
+    )
+    ordered = sampling.curriculum_order(
+        inst_id, F.col("n_tokens").cast("long"), n_stages=3, seed=5,
+        id_col="inst_id",
+    )
+    rows = ordered.join(inst_id, "inst_id").collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    by_stage: dict = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["n_tokens"])
+    stages = sorted(by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) <= min(by_stage[b]), (
+            f"stage {a} harder than stage {b}"
+        )
+
+    # pack the curriculum stream: one global shard in position order
+    stream = ordered.join(inst_id, "inst_id").select(
+        "inst_id", F.lit("all").alias("shard"), "position", "n_tokens"
+    )
+    packed = sampling.pack_training_sequences(
+        stream, seq_len=64, shard_col="shard", order_col="position"
+    )
+    placed = sorted(
+        (r["start_tok"], r["end_tok"]) for r in packed.collect()
+    )
+    pos = 0
+    for start, end in placed:
+        assert start == pos, f"gap at {start}"
+        pos = end
+    assert packed.count() == n

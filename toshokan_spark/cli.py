@@ -113,6 +113,14 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--dsir-target", default=None,
                     help="index query selecting the DSIR target subset"
                     " (adds a log_weight column to the output)")
+    pu.add_argument("--repeat-budget", type=int, default=None,
+                    help="token budget for train-split epoch repetition "
+                         "(data-constrained regime; scarce sources repeat)")
+    pu.add_argument("--mixture-alpha", type=float, default=0.5,
+                    help="mixing temperature for the repetition plan")
+    pu.add_argument("--curriculum-stages", type=int, default=None,
+                    help="order the train stream easy-first into this many "
+                         "difficulty stages before packing")
     pu.add_argument("--seed", type=int, default=0)
     pu.add_argument("--output", default=None,
                     help="write per-split documents + packed sequences here")
@@ -271,6 +279,9 @@ def main(argv: list[str] | None = None) -> int:
             quality_model_path=a.quality_model,
             quality_model_dim=a.quality_model_dim,
             dsir_target_query=a.dsir_target,
+            repeat_budget=a.repeat_budget,
+            mixture_alpha=a.mixture_alpha,
+            curriculum_stages=a.curriculum_stages,
             seed=a.seed,
             report=print,
         )

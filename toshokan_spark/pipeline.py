@@ -69,6 +69,9 @@ def curate(
     quality_model_dim: int = 4096,
     dsir_target_query: Optional[str] = None,
     dsir_dim: int = 4096,
+    repeat_budget: Optional[int] = None,
+    mixture_alpha: float = 0.5,
+    curriculum_stages: Optional[int] = None,
     seed: int = 0,
     report: Optional[Callable[[str], None]] = None,
 ) -> CurateResult:
@@ -88,6 +91,16 @@ def curate(
     parquet (the fastText/DCLM-style hashed-feature linear
     classifier, sparse models fine) — documents whose sigmoid score
     falls below 0.5 are dropped.
+
+    ``repeat_budget`` (tokens) turns on the data-constrained
+    repetition stage over the train split: a temperature-
+    ``mixture_alpha`` source mixture feeds
+    :func:`~toshokan_spark.operators.sampling.repeat_plan` /
+    ``epoch_expand``, so scarce sources repeat across epochs and the
+    packed stream realizes the mixture at the budget.
+    ``curriculum_stages`` orders the (expanded) train instances
+    easy-first by token count with a seeded within-stage shuffle
+    before packing (packing then consumes the curriculum position).
 
     ``dedup_method`` picks the near-dup pair generator: ``jaccard``
     (exact co-shingle self-join — right for small/medium corpora) or
@@ -206,7 +219,9 @@ def curate(
         }
         stage("split_sizes", sizes)
 
-        # 8. pack the train split into fixed-length sequences
+        # 8. optional epoch repetition of the train split (data-
+        # constrained regime): temperature mixture -> repeat plan ->
+        # expansion with per-copy instance keys
         train = kept.join(
             splits.filter(F.col("split") == "train").select("doc_id"), "doc_id"
         ).select(
@@ -214,7 +229,49 @@ def curate(
             "source",
             F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
         )
-        packed = sampling.pack_training_sequences(train, seq_len=seq_len)
+        if repeat_budget is not None:
+            # the slim (id, source, tokens) frame is consumed three
+            # times below (mixture, expansion join, packing) with the
+            # WHOLE pipeline's lineage behind it — truncate once, or
+            # the composed plan tree grows multiplicatively
+            train = train.localCheckpoint()
+            weights = sampling.source_mixture(train, alpha=mixture_alpha)
+            plan = sampling.repeat_plan(weights, budget_tokens=repeat_budget)
+            train = sampling.epoch_expand(train, plan, seed=seed).join(
+                train, ["doc_id", "source"]
+            )
+            # copies of a doc are distinct training instances for
+            # ordering/packing purposes
+            train = train.withColumn(
+                "inst_id",
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.col("copy")),
+            ).localCheckpoint()
+            stage("expanded_rows", train.count())
+            order_col = "inst_id"
+        else:
+            order_col = "doc_id"
+
+        # 9. optional curriculum ordering (easy-first by token count,
+        # seeded within-stage shuffle) — packing then consumes the
+        # global position instead of the raw id
+        if curriculum_stages is not None:
+            ordered = sampling.curriculum_order(
+                train.select(order_col, "n_tokens"),
+                F.col("n_tokens").cast("long"),
+                n_stages=curriculum_stages,
+                seed=seed,
+                id_col=order_col,
+            )
+            train = train.join(
+                ordered.select(order_col, "position"), order_col
+            )
+            order_col = "position"
+            stage("curriculum_stages", curriculum_stages)
+
+        # 10. pack the (expanded, ordered) train stream
+        packed = sampling.pack_training_sequences(
+            train, seq_len=seq_len, order_col=order_col
+        )
         packed = packed.localCheckpoint()
         stage("packed_rows", packed.count())
 
