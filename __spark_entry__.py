@@ -1745,9 +1745,11 @@ def q_curriculum_order(spark, sf_dir):
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer economics of the corpus-trained 6-merge
     BPE model: tokens/word (fertility — the Petrov et al. 2023
-    tokenizer-fairness metric) and bytes/token by language."""
+    tokenizer-fairness metric) and bytes/token by language. Training
+    uses the driver-local scale path (value-equal to the distributed
+    fold the oracle replays — property-tested r8 directive 2)."""
     docs = _t(spark, sf_dir, "documents")
-    merges = textops.bpe_train(docs, n_merges=6)
+    merges = textops.bpe_train_local(docs, n_merges=6)
     return textops.tokenizer_fertility(docs, merges)
 
 

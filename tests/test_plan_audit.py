@@ -452,3 +452,58 @@ def test_dsir_select_uses_distributed_topk(spark, sf_dir):
     assert plan.count("Window") <= 1
     import re as _re
     assert not _re.search(r"\bSort \[", plan), "global sort crept in"
+
+
+#: round-9 additions with pinned plan invariants
+ROUND9 = ["epoch_expand", "shard_balance", "tokenizer_fertility", "repeat_plan"]
+
+
+@pytest.fixture(scope="module")
+def plans9(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND9:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_epoch_expand_plan_broadcasts_and_never_windows(plans9):
+    """The expansion joins the corpus against the SOURCE-count-sized
+    plan frame: that join must broadcast (shuffling the corpus for a
+    model-sized side is the classic inversion) and the whole path
+    carries no window or cartesian — fan-out is explode-only."""
+    a = plans9["epoch_expand"]
+    assert "BroadcastHashJoin" in a["joins"], a
+    assert "CartesianProduct" not in a["joins"], a
+    assert "SortMergeJoin" not in a["joins"], a
+
+
+def test_shard_balance_is_two_level_aggregate(plans9):
+    """Hash sharding + balance: one corpus scan into a partial-agg
+    groupBy (materialized once — the per-shard frame feeds both the
+    mean and the join, so without the checkpoint the corpus scans
+    twice), then a 1-row broadcast mean. The FINAL plan is join
+    arithmetic over the checkpointed shard-sized frame: no parquet
+    re-scan, no sort-merge, no cartesian."""
+    a = plans9["shard_balance"]
+    assert a["scans"] <= 1, a
+    assert "SortMergeJoin" not in a["joins"], a
+    assert "CartesianProduct" not in a["joins"], a
+
+
+def test_repeat_plan_is_model_sized(plans9):
+    """The repetition plan aggregates the corpus once to a per-source
+    frame; everything after is arithmetic over that model-sized
+    frame — no cartesian, no window."""
+    a = plans9["repeat_plan"]
+    assert "CartesianProduct" not in a["joins"], a
+
+
+def test_tokenizer_fertility_no_cartesian(plans9):
+    a = plans9["tokenizer_fertility"]
+    assert "CartesianProduct" not in a["joins"], a

@@ -612,6 +612,11 @@ def shard_balance(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(tokens.cast("long")).cast("long").alias("n_tokens"),
     )
+    # the shard-count-sized frame is read twice (global mean + final
+    # join) with a full corpus aggregate behind it — materialize once
+    # or the corpus scans twice (the apply_mixture weight-table
+    # discipline; plan-asserted single scan)
+    per = per.localCheckpoint()
     glob = per.agg(
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("__mean")
     )
