@@ -298,3 +298,53 @@ def test_curriculum_order_plan_has_no_global_window(spark, docs):
             "window without __coarse — a single-task global window: "
             + spec
         )
+
+
+def test_curriculum_order_randomized_against_window(spark):
+    """Seeded randomized ground truth: curriculum_order's two-level
+    machinery must equal the single-window reference (ntile over the
+    difficulty order + global row_number over (stage, bucket, id))
+    exactly, across corpus shapes (heavy difficulty ties, N < k,
+    N % k != 0) and n_coarse settings."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from toshokan_spark.operators.sampling import (
+        curriculum_order,
+        sample_key,
+    )
+
+    rng = random.Random(0xBEEF)
+    for trial, (n, k) in enumerate(
+        [(1, 3), (2, 5), (9, 3), (40, 4), (151, 7)]
+    ):
+        dom = rng.choice([2, 5, 10**6])
+        rows = [
+            (i, rng.randrange(0, dom)) for i in range(1, n + 1)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, d int")
+        seed = trial * 11
+        ref = (
+            df.withColumn(
+                "stage",
+                F.ntile(k).over(
+                    Window.orderBy(F.col("d").asc(), F.col("doc_id").asc())
+                ).cast("long"),
+            )
+            .withColumn("b", sample_key(F.col("doc_id").cast("string"), seed))
+            .withColumn(
+                "position",
+                F.row_number().over(
+                    Window.orderBy("stage", "b", "doc_id")
+                ).cast("long"),
+            )
+        )
+        want = {r.doc_id: (r.stage, r.position) for r in ref.collect()}
+        for n_coarse in (2, 16):
+            out = curriculum_order(
+                df, F.col("d").cast("long"), n_stages=k, seed=seed,
+                n_coarse=n_coarse,
+            )
+            got = {r["doc_id"]: (r["stage"], r["position"]) for r in out.collect()}
+            assert got == want, f"n={n} k={k} n_coarse={n_coarse}"
