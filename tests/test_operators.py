@@ -2825,3 +2825,36 @@ def test_repeat_plan_integer_factor_epsilon(spark):
     out = epoch_expand(docs, plan).collect()
     assert len(out) == 9
     assert all(1 <= r["copy"] <= 3 for r in out)
+
+
+def test_write_ordered_shards_layout(spark, tmp_path):
+    """Every shard directory holds its rows in order-column order
+    (single sequential read per data-loader worker), with no global
+    sort in the plan."""
+    import os
+
+    from toshokan_spark.operators.sampling import (
+        shard_assign,
+        write_ordered_shards,
+    )
+
+    rows = [Row(doc_id=i, position=1000 - i) for i in range(1, 201)]
+    df = shard_assign(spark.createDataFrame(rows), n_shards=4, seed=1)
+    out = str(tmp_path / "shards")
+    write_ordered_shards(df, out)
+
+    expect = {}
+    for r in df.collect():
+        expect.setdefault(r["shard"], []).append(r["position"])
+    seen_total = 0
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard="):
+            continue
+        s = int(d.split("=")[1])
+        got = [
+            r["position"]
+            for r in spark.read.parquet(f"{out}/{d}").collect()
+        ]
+        assert got == sorted(expect[s]), f"shard {s} not ordered"
+        seen_total += len(got)
+    assert seen_total == 200

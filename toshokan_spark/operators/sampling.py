@@ -510,7 +510,9 @@ def curriculum_order(
       after, so no join or window is needed to place stages.
 
     Ties: (difficulty, id) and (bucket, id) are total orders, so
-    both ranks are deterministic. The difficulty expression is any
+    both ranks are deterministic. ``n_stages=1`` degenerates to a
+    PLAIN seeded global shuffle (one stage, hash order) — the
+    standard deterministic epoch permutation, same machinery. The difficulty expression is any
     ascending-sortable Column — length is the classic baseline
     curriculum; plug in an LM quality score for perplexity-staged
     ordering."""
@@ -726,4 +728,34 @@ def epoch_expand(
             F.col(group_col),
             F.explode(copies).alias(copy_col),
         )
+    )
+
+
+def write_ordered_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_col: str = "position",
+    data_format: str = "parquet",
+) -> None:
+    """Ship a training stream as ONE ordered file set per shard — the
+    layout trainers consume (each data-loader worker reads its shard
+    sequentially): a single hash shuffle on the shard column (each
+    shard lands wholly in one task), an in-partition sort by the
+    order column (Spark's external sort — spills, never OOMs), and a
+    ``partitionBy(shard)`` write, so every ``shard=N`` directory
+    holds its rows in ``order_col`` order.
+
+    This is deliberately NOT a global ``orderBy``: cross-shard order
+    is meaningless to per-worker sequential readers, so the plan
+    needs no range exchange and no global sampling pass. Shard count
+    is the parallelism unit — size it with :func:`shard_assign` +
+    :func:`shard_balance` so tasks stay balanced."""
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(F.col(shard_col), F.col(order_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .format(data_format)
+        .save(path)
     )
