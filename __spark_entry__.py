@@ -1189,6 +1189,18 @@ def q_apply_mixture(spark, sf_dir):
     return sampling.apply_mixture(docs, weights).select("doc_id", "source")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-source quota sample (25 docs per source, seeded hash
+    order): the balanced-subset primitive rate-based sampling cannot
+    express; WindowGroupLimit top-k per stratum, never a full sort."""
+    from toshokan_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, per_group=25, seed=13).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_repeat_plan(spark, sf_dir):
     """Data-constrained repetition plan (Muennighoff 2023): per-source
     repeat factors realizing the temperature-0.5 mixture at a 200k
@@ -1790,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance": q_shard_balance,
         "repeat_plan": q_repeat_plan,
         "epoch_expand": q_epoch_expand,
+        "stratified_sample": q_stratified_sample,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -1837,12 +1850,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_gopher_rules": q_text_gopher_rules,
-        "asof_last_click": q_asof_last_click,
         # ... then rotated-out entries with unchanged deps, oldest
         # driver proof first (r6-proven, then two of the r7 nine)
-        # -- PAST THE WINDOW: P0b overflow (13 unchanged-dep
+        # -- PAST THE WINDOW: P0b overflow (14 unchanged-dep
         # entries, all r6/r7-proven; they keep that record + the
         # full local sweep and rotate in next round) ...
+        "asof_last_click": q_asof_last_click,
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
         "distinct_users": q_distinct_users,
@@ -3947,6 +3960,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN p USING (source))
             SELECT doc_id, source, unnest(range(1, n + 1))::BIGINT AS copy
             FROM x WHERE n >= 1
+        """,
+        # stratified_sample: exact per-source quota by seeded hash
+        # order, ties by doc_id
+        "stratified_sample": f"""
+            WITH r AS (
+              SELECT doc_id, source, lang,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY ({_poly_sql('doc_id::VARCHAR', 1103515245, 13, 1_000_000_007, 5381)})
+                    % 10000 ASC, doc_id ASC) AS rk
+              FROM documents)
+            SELECT doc_id, source, lang FROM r WHERE rk <= 25
         """,
         # shard_balance: seeded poly-hash shard assignment (seed 3,
         # 8 shards) + per-shard doc/token totals and relative

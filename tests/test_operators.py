@@ -2858,3 +2858,38 @@ def test_write_ordered_shards_layout(spark, tmp_path):
         assert got == sorted(expect[s]), f"shard {s} not ordered"
         seen_total += len(got)
     assert seen_total == 200
+
+
+def test_stratified_sample_exact_quota_and_group_limit_plan(spark):
+    """Quotas are exact per stratum (min(quota, |stratum|)), the
+    selection matches the driver-side hash order, and the plan uses
+    WindowGroupLimit — never a full per-group sort."""
+    from toshokan_spark.operators.dedup import _poly_fold_py
+    from toshokan_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        stratified_sample,
+    )
+
+    rows = [
+        Row(doc_id=i, source=("big" if i <= 80 else "small"))
+        for i in range(1, 91)
+    ]
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, per_group=10, seed=13)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(got["big"]) == 10
+    assert len(got["small"]) == 10  # quota == stratum size
+
+    def bucket(i):
+        return _poly_fold_py(str(i), 1103515245, 13, 1_000_000_007, 5381) % SAMPLE_BUCKETS
+
+    want_big = set(
+        sorted((r.doc_id for r in rows if r.source == "big"),
+               key=lambda i: (bucket(i), i))[:10]
+    )
+    assert got["big"] == want_big
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "rank filter did not compile to group-limit"

@@ -759,3 +759,35 @@ def write_ordered_shards(
         .format(data_format)
         .save(path)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    per_group: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``per_group`` rows from every stratum (fewer when the
+    stratum is smaller), chosen by deterministic hash order — the
+    balanced-subset primitive rate-based :func:`sample_by_hash`
+    cannot express (a rate yields binomial counts per stratum; evals
+    and audits want exact quotas). Deterministic and set-stable per
+    (key, seed): re-runs and engines agree row-for-row.
+
+    Scale: a per-group top-k, NOT a full per-group sort — the rank
+    filter compiles to Spark's WindowGroupLimit, which keeps k rows
+    per group per map partition and merges, so a giant stratum never
+    funnels through one task's full sort buffer. Ties on the hash
+    bucket break by key (total order)."""
+    if per_group <= 0:
+        raise ValueError(f"per_group must be positive, got {per_group}")
+    b = sample_key(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy(group_col).orderBy(
+        b.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_group)
+        .drop("__rk")
+    )
