@@ -504,6 +504,11 @@ def test_repeat_plan_is_model_sized(plans9):
     assert "CartesianProduct" not in a["joins"], a
 
 
-def test_tokenizer_fertility_no_cartesian(plans9):
+def test_tokenizer_fertility_single_pass_no_join(plans9):
+    """Language key and byte length ride the token-count projection —
+    the per-language report must plan with NO join at all (the id
+    self-join it replaced shuffled the corpus twice) and exactly one
+    corpus scan."""
     a = plans9["tokenizer_fertility"]
-    assert "CartesianProduct" not in a["joins"], a
+    assert a["joins"] == "-", a
+    assert a["scans"] == 1, a

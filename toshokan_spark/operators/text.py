@@ -1382,13 +1382,18 @@ def bpe_token_counts(
     merges: "list[tuple[str, str, int]]",
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cols: "Sequence[Column] | None" = None,
 ) -> DataFrame:
     """APPLY a learned merge list: per document, the BPE token count
     after replaying the merges in order over each word — the
     before/after compression report that validates a merge table
     against a corpus (whitespace token count rides along). One narrow
     pass; the merge chain is ``len(merges)`` literal replaces inside
-    a single projection."""
+    a single projection.
+
+    ``extra_cols``: aliased Columns over *df* carried through the
+    SAME projection — downstream groupings (per-language fertility)
+    then need no corpus self-join back for their keys."""
     words = _lower_words(text_col)
 
     def seg_count(w: Column) -> Column:
@@ -1399,8 +1404,14 @@ def bpe_token_counts(
 
     from toshokan_spark.operators.util import spread
 
-    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+    # evaluate the passthrough expressions BEFORE the spread so the
+    # round-robin exchange ships the slim projection, then reference
+    # them by name after it
+    base = df.select(F.col(id_col), F.col(text_col), *(extra_cols or []))
+    passthrough = [c for c in base.columns if c not in (id_col, text_col)]
+    return spread(base).select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.coalesce(F.size(words), F.lit(0)).cast("long").alias("n_words"),
         F.coalesce(
             F.aggregate(
@@ -1745,19 +1756,23 @@ def tokenizer_fertility(
     bytes_per_token is the compression rate the vocabulary achieves
     on each language.
 
-    Scale: one narrow :func:`bpe_token_counts` pass (the merge table
-    is model-sized and lives in the plan/broadcast, never shuffled),
-    an id-keyed join back to the slim (lang, bytes) projection, then
-    a partial-aggregated groupBy collapsing to a language-count-sized
+    Scale: ONE narrow :func:`bpe_token_counts` pass (the merge table
+    is model-sized and lives in the plan, never shuffled) carrying
+    the language key and byte length through the same projection —
+    no corpus self-join back for the grouping keys — then a
+    partial-aggregated groupBy collapsing to a language-count-sized
     frame. Ratios divide the EXACT integer sums, so they are
     engine-reproducible without decimal folds."""
-    counts = bpe_token_counts(df, merges, id_col=id_col, text_col=text_col)
-    base = df.select(
-        F.col(id_col),
-        F.col(lang_col).alias("lang"),
-        F.octet_length(F.col(text_col)).cast("long").alias("__bytes"),
+    joined = bpe_token_counts(
+        df,
+        merges,
+        id_col=id_col,
+        text_col=text_col,
+        extra_cols=[
+            F.col(lang_col).alias("lang"),
+            F.octet_length(F.col(text_col)).cast("long").alias("__bytes"),
+        ],
     )
-    joined = base.join(counts, id_col)
     per = joined.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_words"),
