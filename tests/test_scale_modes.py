@@ -348,3 +348,36 @@ def test_curriculum_order_randomized_against_window(spark):
             )
             got = {r["doc_id"]: (r["stage"], r["position"]) for r in out.collect()}
             assert got == want, f"n={n} k={k} n_coarse={n_coarse}"
+
+
+def test_curriculum_order_null_difficulty_matches_window(spark):
+    """Null difficulties follow Spark's plain-asc convention (NULLS
+    FIRST = easiest stage), exactly like the single-window reference
+    — the nulls_last routing and the window order must agree."""
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window
+
+    from toshokan_spark.operators.sampling import curriculum_order, sample_key
+
+    rows = [Row(doc_id=i, d=(None if i % 5 == 0 else (i * 7) % 13))
+            for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id int, d int")
+    ref = (
+        df.withColumn(
+            "stage",
+            F.ntile(4).over(
+                Window.orderBy(F.col("d").asc(), F.col("doc_id").asc())
+            ).cast("long"),
+        )
+        .withColumn("b", sample_key(F.col("doc_id").cast("string"), 3))
+        .withColumn(
+            "position",
+            F.row_number().over(Window.orderBy("stage", "b", "doc_id")).cast("long"),
+        )
+    )
+    want = {r.doc_id: (r.stage, r.position) for r in ref.collect()}
+    out = curriculum_order(
+        df, F.col("d").cast("long"), n_stages=4, seed=3, n_coarse=4
+    )
+    got = {r["doc_id"]: (r["stage"], r["position"]) for r in out.collect()}
+    assert got == want

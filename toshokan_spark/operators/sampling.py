@@ -530,7 +530,10 @@ def curriculum_order(
         [F.col("__d").asc(), F.col(id_col).asc()],
         n_coarse=n_coarse,
         rank_col="__r",
-        nulls_last=True,
+        # plain .asc() = Spark's NULLS FIRST: route null difficulties
+        # to the FIRST bucket so the result equals the single-window
+        # reference (null = unknown difficulty = easiest stage)
+        nulls_last=False,
         materialize=materialize,
     ).crossJoin(F.broadcast(nfr))
 
@@ -563,7 +566,7 @@ def curriculum_order(
         [F.col("__b").asc(), F.col(id_col).asc()],
         n_coarse=n_coarse,
         rank_col="__wr",
-        nulls_last=True,
+        nulls_last=False,
         materialize=materialize,
     )
     s = F.col("stage")
