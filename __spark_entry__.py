@@ -161,6 +161,29 @@ def q_search_topk(spark, sf_dir):
     )
 
 
+def q_search_facets(spark, sf_dir):
+    """Terms aggregation over a query's hit set (Kibana/quickwit-
+    style facet panel — search-layer extension): top-5 event types by
+    hit count with decimal-exact value sums, distributed take-ordered
+    (never a global sort)."""
+    from toshokan_spark.search import facet_counts
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "user_id:>=50")
+    return facet_counts(hits, "event_type", k=5, value_col="value")
+
+
+def q_search_date_histogram(spark, sf_dir):
+    """Date-histogram aggregation over a query's hit set: purchase
+    events bucketed into 6-hour windows (bucket start as epoch
+    seconds), hit counts + decimal-exact value sums."""
+    from toshokan_spark.search import date_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return date_histogram(hits, "ts", 6 * 3600, value_col="value")
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -1803,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_plan": q_repeat_plan,
         "epoch_expand": q_epoch_expand,
         "stratified_sample": q_stratified_sample,
+        "search_facets": q_search_facets,
+        "search_date_histogram": q_search_date_histogram,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -1848,13 +1873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_gopher_rules": q_text_gopher_rules,
         # ... then rotated-out entries with unchanged deps, oldest
         # driver proof first (r6-proven, then two of the r7 nine)
-        # -- PAST THE WINDOW: P0b overflow (14 unchanged-dep
+        # -- PAST THE WINDOW: P0b overflow (16 unchanged-dep
         # entries, all r6/r7-proven; they keep that record + the
         # full local sweep and rotate in next round) ...
+        "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
         "asof_last_click": q_asof_last_click,
         "user_event_gaps": q_user_event_gaps,
         "hourly_events": q_hourly_events,
@@ -2219,6 +2244,24 @@ def oracle_sql() -> dict[str, str]:
         "search_range": """
             SELECT event_id, user_id, value FROM events
             WHERE value >= 100 AND value < 200 AND event_type = 'purchase'
+        """,
+        # search_facets: top-5 terms by hit count over the query's hit
+        # set, count desc / value asc ties, decimal-exact value sums
+        "search_facets": """
+            SELECT event_type, count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
+            FROM events WHERE user_id >= 50
+            GROUP BY event_type
+            ORDER BY n_hits DESC, event_type ASC LIMIT 5
+        """,
+        # search_date_histogram: 6-hour epoch-aligned buckets (start
+        # in epoch seconds) over the purchase hit set
+        "search_date_histogram": """
+            SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS bucket_epoch,
+                   count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
         """,
         "search_bool": """
             SELECT event_id, user_id, event_type, value FROM events

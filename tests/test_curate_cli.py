@@ -217,3 +217,52 @@ def test_curate_cli_repeat_and_curriculum(spark, curated, capsys):
     n_train = int(re.search(r"'train': (\d+)", report["split_sizes"]).group(1))
     assert n_packed > n_train, "no doc repeated despite the budget"
     assert n_packed == packed.select("position").distinct().count()
+
+
+def test_search_cli_facets_and_histogram(spark, tmp_path, capsys):
+    """The search subcommand's aggregation modes: --facet-by prints
+    top facet rows (Decimal keys stringified), --histogram-interval
+    prints epoch-aligned buckets over the index time_field."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    rows = [
+        {"timestamp": 1460530013, "tenant_id": 58, "body": "a"},
+        {"timestamp": 1460530014, "tenant_id": 46, "body": "b"},
+        {"timestamp": 1460533700, "tenant_id": 58, "body": "c"},
+    ]
+    jsonl = tmp_path / "logs.jsonl"
+    jsonl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "aggidx",
+        "path": str(tmp_path / "data"),
+        "time_field": "timestamp",
+        "schema": {"fields": [
+            {"name": "timestamp", "type": "datetime",
+             "formats": ["timestamp"], "fast": True},
+            {"name": "tenant_id", "type": "number", "number_type": "u64"},
+        ]},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "aggidx", str(jsonl)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "aggidx", "*",
+                     "--facet-by", "tenant_id"]) == 0
+    facets = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert facets == [
+        {"tenant_id": "58", "n_hits": 2},
+        {"tenant_id": "46", "n_hits": 1},
+    ]
+
+    assert cli.main(["--catalog", cat, "search", "aggidx", "tenant_id:>40",
+                     "--histogram-interval", "3600"]) == 0
+    hist = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert hist == [
+        {"bucket_epoch": 1460527200, "n_hits": 2},
+        {"bucket_epoch": 1460530800, "n_hits": 1},
+    ]

@@ -2893,3 +2893,49 @@ def test_stratified_sample_exact_quota_and_group_limit_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, "rank filter did not compile to group-limit"
+
+
+def test_facet_counts_topk_and_ties(spark):
+    """Facet counts aggregate the hit set exactly; top-k orders by
+    count desc with deterministic value-asc ties; value sums fold
+    through decimal so partition order cannot drift them."""
+    from toshokan_spark.search import facet_counts
+
+    rows = []
+    for i in range(40):
+        rows.append(Row(event_id=i, event_type="click", value=0.1))
+    for i in range(40, 70):
+        rows.append(Row(event_id=i, event_type="buy", value=2.5))
+    for i in range(70, 100):
+        rows.append(Row(event_id=i, event_type="view", value=1.0))
+    df = spark.createDataFrame(rows)
+    out = facet_counts(df, "event_type", k=2, value_col="value").collect()
+    # click(40) first, then the 30/30 tie breaks alphabetically: buy
+    assert [(r["event_type"], r["n_hits"]) for r in out] == [
+        ("click", 40), ("buy", 30)
+    ]
+    assert out[0]["total_value"] == pytest.approx(4.0)
+    assert out[1]["total_value"] == pytest.approx(75.0)
+
+
+def test_date_histogram_epoch_alignment(spark):
+    """Buckets are epoch-aligned floor-div windows — including
+    PRE-epoch timestamps, which must land in the bucket STARTING at
+    or before them (floor semantics, not truncation toward zero)."""
+    import datetime as dt
+
+    from toshokan_spark.search import date_histogram
+
+    tz = dt.timezone.utc
+    rows = [
+        Row(ts=dt.datetime(1970, 1, 1, 0, 0, 30, tzinfo=tz)),   # bucket 0
+        Row(ts=dt.datetime(1970, 1, 1, 0, 1, 30, tzinfo=tz)),   # bucket 60
+        Row(ts=dt.datetime(1970, 1, 1, 0, 1, 59, tzinfo=tz)),   # bucket 60
+        Row(ts=dt.datetime(1969, 12, 31, 23, 59, 30, tzinfo=tz)),  # bucket -60
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["bucket_epoch"]: r["n_hits"]
+        for r in date_histogram(df, "ts", 60).collect()
+    }
+    assert got == {0: 1, 60: 2, -60: 1}

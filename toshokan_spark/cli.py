@@ -6,7 +6,7 @@
     python -m toshokan_spark.cli drop    <index>
     python -m toshokan_spark.cli index   <index> <file.jsonl|kafka://..> [--stream] [--commit-interval 30]
     python -m toshokan_spark.cli merge   <index>
-    python -m toshokan_spark.cli search  <index> <query> [--limit 1]
+    python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
     python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
     # rank matches by BM25 of the query's term literals against FIELD
     # (the reference's relevance ordering, globally re-ranked)
     ps.add_argument("--score-field", default=None)
+    ps.add_argument("--facet-by", default=None,
+                    help="instead of hits, print top facet values of this "
+                         "field over the hit set (terms aggregation)")
+    ps.add_argument("--facet-k", type=int, default=10)
+    ps.add_argument("--histogram-interval", type=int, default=None,
+                    help="instead of hits, print a date histogram of the hit "
+                         "set over the index time_field at this interval "
+                         "(seconds)")
 
     pe = sub.add_parser(
         "explain",
@@ -234,6 +242,33 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.cmd == "search":
         spark = _spark()
+        if a.facet_by or a.histogram_interval:
+            from toshokan_spark.search import (
+                date_histogram,
+                facet_counts,
+                search_df,
+            )
+
+            hits = search_df(spark, catalog, a.index, a.query, limit=None)
+            if a.facet_by:
+                out = facet_counts(hits, a.facet_by, k=a.facet_k)
+                for r in out.collect():
+                    # facet keys can be Decimal/datetime — stringify
+                    print(json.dumps(r.asDict(), sort_keys=True,
+                                     separators=(",", ":"), default=str))
+            if a.histogram_interval:
+                config = catalog.get_index(a.index)
+                if not config.time_field:
+                    print("error: index has no time_field", file=sys.stderr)
+                    return 2
+                out = date_histogram(
+                    hits, config.time_field, a.histogram_interval
+                )
+                for r in sorted(out.collect(),
+                                key=lambda x: x["bucket_epoch"]):
+                    print(json.dumps(r.asDict(), sort_keys=True,
+                                     separators=(",", ":"), default=str))
+            return 0
         if a.score_field:
             from toshokan_spark.search import prettify_doc, scored_search_df
 

@@ -381,3 +381,70 @@ def prettify_doc(row: dict, config: IndexConfig) -> str:
     # keys in sorted (BTreeMap) order, compact separators — the golden
     # outputs compare exact strings
     return json.dumps(doc, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def facet_counts(
+    hits: DataFrame,
+    by: str,
+    k: "int | None" = None,
+    value_col: "str | None" = None,
+) -> DataFrame:
+    """Terms aggregation over a query's hit set — the Kibana /
+    quickwit-style facet panel the reference CLI has no analog for
+    (search-layer extension): per distinct ``by`` value, hit count
+    (plus the sum of ``value_col`` when given), optionally top-``k``
+    facets by descending count (ties by value, deterministic).
+
+    Scale: the hit FILTER stays pushed at the scan (this consumes the
+    already-compiled search DataFrame), the facet groupBy partial-
+    aggregates map-side to a cardinality-sized frame, and top-k is
+    ``orderBy().limit()`` — Spark's distributed take-ordered, never a
+    global sort of the facet table."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_hits")]
+    if value_col is not None:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total_value")
+        )
+    out = hits.groupBy(F.col(by)).agg(*aggs)
+    if k is not None:
+        out = out.orderBy(
+            F.col("n_hits").desc(), F.col(by).asc()
+        ).limit(k)
+    return out
+
+
+def date_histogram(
+    hits: DataFrame,
+    time_col: str,
+    interval_seconds: int,
+    value_col: "str | None" = None,
+) -> DataFrame:
+    """Date-histogram aggregation over a query's hit set (the other
+    half of the log-analytics panel): hits bucketed into fixed
+    ``interval_seconds`` windows aligned to the epoch, per-bucket hit
+    count and optional value sum. One partial-aggregated groupBy on
+    the bucket key — bucket count is time-range/interval, never
+    corpus-sized."""
+    if interval_seconds <= 0:
+        raise ValueError(
+            f"interval_seconds must be positive, got {interval_seconds}"
+        )
+    m = interval_seconds * 1_000_000
+    # unix_micros is unambiguous in every engine; pmod aligns
+    # pre-epoch timestamps to the bucket START (floor-div semantics)
+    # and `div` keeps the arithmetic integral end-to-end (a double
+    # quotient would lose exactness past 2^53 us)
+    u = f"unix_micros(`{time_col}`)"
+    bucket = F.expr(
+        f"CAST((({u} - pmod({u}, {m})) div {m}) * {interval_seconds} AS BIGINT)"
+    ).alias("bucket_epoch")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_hits")]
+    if value_col is not None:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total_value")
+        )
+    return hits.groupBy(bucket).agg(*aggs)
