@@ -184,6 +184,156 @@ def q_search_date_histogram(spark, sf_dir):
     return date_histogram(hits, "ts", 6 * 3600, value_col="value")
 
 
+def q_search_stats(spark, sf_dir):
+    """Stats aggregation over a query's hit set (search-layer
+    ``stats`` panel): count/min/max/sum/avg of ``value`` over the
+    purchase hits, one partial-aggregated pass, decimal-exact sum."""
+    from toshokan_spark.search import stats_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return stats_agg(hits, "value")
+
+
+def q_search_percentiles(spark, sf_dir):
+    """Percentiles aggregation (latency-panel staple): SQL-standard
+    discrete percentiles of ``value`` over the error hits — actual
+    data elements, so both engines agree bit-for-bit."""
+    from toshokan_spark.search import percentiles_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:error")
+    return percentiles_agg(hits, "value")
+
+
+def q_search_cardinality(spark, sf_dir):
+    """Cardinality aggregation: exact distinct users over the click
+    hits next to the KMV bottom-k estimate (k=64 < 150 distinct, so
+    the ESTIMATOR path is exercised) computed from the SQL-auditable
+    poly hash — the sketch the engine would serve at corpus scale."""
+    from toshokan_spark.search import cardinality_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:click")
+    return cardinality_agg(hits, "user_id", k=64)
+
+
+def q_search_top_hits(spark, sf_dir):
+    """Top-hits collector: the 3 highest-value hits WITHIN each event
+    type over the user_id>=80 hit set (per-facet exemplar panel);
+    rank<=k over a partitioned window -> WindowGroupLimit, never a
+    global sort."""
+    from toshokan_spark.search import top_hits_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "user_id:>=80")
+    out = top_hits_per_group(
+        hits, "event_type", 3, order_col="value", id_col="event_id"
+    )
+    return out.select(
+        "event_type", "rank_in_group", "event_id", "user_id", "value"
+    )
+
+
+#: one events index per (app, sf_dir) process lifetime — written as
+#: TWO segments so the manifest-stats path must actually combine
+#: per-segment additive stats, not echo a single segment's
+_EVENTS_INDEX_CACHE: dict = {}
+
+
+def _events_stats_index(spark, sf_dir):
+    """Build (once per process per sf_dir) a REAL two-segment index
+    over the events table so the manifest-only stats panel is
+    exercised end-to-end: segment writes record ``[count, decimal-
+    sum]`` additive stats + ``[min, max]`` zone maps in the manifest
+    (`indexer.write_segment`), and the query below never opens a data
+    file. Returns (catalog, config)."""
+    import tempfile
+
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _EVENTS_INDEX_CACHE:
+        return _EVENTS_INDEX_CACHE[key]
+    root = tempfile.mkdtemp(prefix="evidx-")
+    catalog = FsCatalog(f"{root}/cat")
+    config = IndexConfig(
+        name="events_stats",
+        path=f"{root}/data/events_stats",
+        time_field="ts",
+        fields=[
+            FieldConfig(name="event_id", type="number", number_type="i64"),
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="user_id", type="number", number_type="i64"),
+            FieldConfig(name="event_type", type="text", tokenizer="raw"),
+            FieldConfig(name="value", type="number", number_type="f64"),
+        ],
+    )
+    create_index(catalog, config)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    write_segment(catalog, config, ev.where(F.col("event_id") % 2 == 0))
+    write_segment(catalog, config, ev.where(F.col("event_id") % 2 != 0))
+    _EVENTS_INDEX_CACHE[key] = (catalog, config)
+    return catalog, config
+
+
+def q_search_stats_manifest(spark, sf_dir):
+    """The match-all stats panel served from the MANIFEST alone: the
+    two segments' commit-time ``[count, decimal-sum]`` additive stats
+    and ``[min, max]`` zone maps combine driver-side — no data file is
+    opened (a unit test deletes the data dir and the panel still
+    answers). At 10k segments over 100 TB this is one JSON read vs a
+    full-corpus scan; value-identical to :func:`stats_agg` because the
+    final projection reuses its exact Spark expressions."""
+    from toshokan_spark.search import manifest_stats
+
+    catalog, config = _events_stats_index(spark, sf_dir)
+    out = manifest_stats(spark, catalog, config, "value")
+    if out is None:
+        raise RuntimeError("manifest written by this build must carry sums")
+    return out
+
+
+def q_search_extended_stats(spark, sf_dir):
+    """Extended-stats panel over the view hits: stats plus decimal-
+    exact sum-of-squares and the population variance/stddev derived
+    from the two exact moment sums (E[x²]−E[x]², clamped at 0)."""
+    from toshokan_spark.search import extended_stats_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:view")
+    return extended_stats_agg(hits, "value")
+
+
+def q_search_histogram(spark, sf_dir):
+    """Numeric histogram over the purchase hits: fixed-width 50.0
+    buckets keyed by floor(v/50)*50 (floor, so negatives bucket left),
+    per-bucket hit count + decimal-exact value sum — the value-axis
+    twin of ``search_date_histogram``."""
+    from toshokan_spark.search import histogram_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return histogram_agg(hits, "value", 50.0, value_col="value")
+
+
+def q_search_ranges(spark, sf_dir):
+    """Range aggregation over the click hits: user-defined [lo, hi)
+    buckets at edges 10/50/100/250 (ES ``range`` agg convention: from
+    inclusive, to exclusive, open ends), per-bucket count + sum."""
+    from toshokan_spark.search import range_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:click")
+    return range_agg(
+        hits, "value", [10.0, 50.0, 100.0, 250.0], value_col="value"
+    )
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -1828,6 +1978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "search_facets": q_search_facets,
         "search_date_histogram": q_search_date_histogram,
+        "search_stats": q_search_stats,
+        "search_percentiles": q_search_percentiles,
+        "search_cardinality": q_search_cardinality,
+        "search_top_hits": q_search_top_hits,
+        "search_stats_manifest": q_search_stats_manifest,
+        "search_extended_stats": q_search_extended_stats,
+        "search_histogram": q_search_histogram,
+        "search_ranges": q_search_ranges,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2262,6 +2420,158 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
+        """,
+        # search_stats: one-row count/min/max/sum/avg of value over
+        # the purchase hit set, decimal-exact sum, avg derived from it
+        "search_stats": """
+            SELECT count(*)::BIGINT AS n_hits,
+                   count(value)::BIGINT AS n_values,
+                   min(value)::DOUBLE AS min_v,
+                   max(value)::DOUBLE AS max_v,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS sum_v,
+                   round((sum(value::DECIMAL(38,6)) / count(value))::DOUBLE, 6)
+                       AS avg_v
+            FROM events WHERE event_type = 'purchase'
+        """,
+        # search_percentiles: SQL-standard percentile_disc = the
+        # element at rank ceil(p*n) of the sorted multiset (smallest
+        # value whose cume_dist >= p) — mirrored via ORDER BY/OFFSET
+        "search_percentiles": """
+            WITH hits AS (
+                SELECT value FROM events
+                WHERE event_type = 'error' AND value IS NOT NULL
+            ), ranked AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS r,
+                       count(*) OVER () AS n
+                FROM hits
+            )
+            SELECT n::BIGINT AS n_values,
+                   max(CASE WHEN r = CAST(ceil(0.25 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p25,
+                   max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p50,
+                   max(CASE WHEN r = CAST(ceil(0.75 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p75,
+                   max(CASE WHEN r = CAST(ceil(0.90 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p90,
+                   max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p99
+            FROM ranked GROUP BY n
+        """,
+        # search_cardinality: exact distinct users + the KMV bottom-k
+        # estimate (k-1)*M/h_k from the k=64 smallest DISTINCT poly
+        # hashes (M = 1e9+7), mirroring search.cardinality_agg
+        "search_cardinality": f"""
+            WITH hits AS (
+                SELECT * FROM events WHERE event_type = 'click'
+            ), h AS (
+                SELECT DISTINCT
+                    {_poly_sql('user_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)} AS h
+                FROM hits WHERE user_id IS NOT NULL
+            ), bottom AS (
+                SELECT count(*)::BIGINT AS kk, max(h) AS hk
+                FROM (SELECT h FROM h ORDER BY h LIMIT 64)
+            ), exact AS (
+                SELECT count(*)::BIGINT AS n_hits,
+                       count(DISTINCT user_id)::BIGINT AS distinct_exact
+                FROM hits
+            )
+            SELECT n_hits, distinct_exact,
+                   CASE WHEN kk < 64 THEN distinct_exact::DOUBLE
+                        ELSE round(63 * 1000000007.0 / hk, 6)
+                   END AS kmv_estimate
+            FROM exact, bottom
+        """,
+        # search_stats_manifest: the match-all stats panel — Spark
+        # answers it from the manifest's additive stats with zero data
+        # scans; the oracle recomputes from the raw rows, proving the
+        # commit-time bookkeeping exact
+        "search_stats_manifest": """
+            SELECT count(*)::BIGINT AS n_hits,
+                   count(value)::BIGINT AS n_values,
+                   min(value)::DOUBLE AS min_v,
+                   max(value)::DOUBLE AS max_v,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS sum_v,
+                   round((sum(value::DECIMAL(38,6)) / count(value))::DOUBLE, 6)
+                       AS avg_v
+            FROM events
+        """,
+        # search_extended_stats: the two moment sums fold through
+        # decimal(38,6) (squares computed in IEEE double first), then
+        # variance/stddev derive in double — identical arithmetic on
+        # both engines
+        "search_extended_stats": """
+            WITH hits AS (
+                SELECT value FROM events WHERE event_type = 'view'
+            ), m AS (
+                SELECT count(value)::BIGINT AS n_values,
+                       min(value)::DOUBLE AS min_v,
+                       max(value)::DOUBLE AS max_v,
+                       sum(value::DECIMAL(38,6)) AS s1,
+                       sum((value*value)::DECIMAL(38,6)) AS s2,
+                       count(value) AS n
+                FROM hits
+            )
+            SELECT n_values, min_v, max_v,
+                   round(s1::DOUBLE, 6) AS sum_v,
+                   round((s1 / n)::DOUBLE, 6) AS avg_v,
+                   round(s2::DOUBLE, 6) AS sum_sq,
+                   round(greatest(
+                       s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n),
+                       0.0), 6) AS variance_v,
+                   round(sqrt(greatest(
+                       s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n),
+                       0.0)), 6) AS stddev_v
+            FROM m
+        """,
+        # search_histogram: fixed-width numeric buckets keyed by
+        # floor(v/50)*50 (floor — negatives bucket left), nulls dropped
+        "search_histogram": """
+            SELECT floor(value / 50.0) * 50.0 AS bucket_lo,
+                   count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                       AS total_value
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1
+        """,
+        # search_ranges: [lo, hi) user-edge buckets at 10/50/100/250,
+        # open ends NULL, nulls dropped, occupied buckets only
+        "search_ranges": """
+            WITH b AS (
+                SELECT value,
+                       (CASE WHEN value < 10.0 THEN 0
+                             WHEN value < 50.0 THEN 1
+                             WHEN value < 100.0 THEN 2
+                             WHEN value < 250.0 THEN 3
+                             ELSE 4 END)::INT AS bucket_idx
+                FROM events
+                WHERE event_type = 'click' AND value IS NOT NULL
+            )
+            SELECT bucket_idx,
+                   (CASE bucket_idx WHEN 1 THEN 10.0 WHEN 2 THEN 50.0
+                        WHEN 3 THEN 100.0 WHEN 4 THEN 250.0
+                        ELSE NULL END)::DOUBLE AS range_lo,
+                   (CASE bucket_idx WHEN 0 THEN 10.0 WHEN 1 THEN 50.0
+                        WHEN 2 THEN 100.0 WHEN 3 THEN 250.0
+                        ELSE NULL END)::DOUBLE AS range_hi,
+                   count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                       AS total_value
+            FROM b GROUP BY 1
+        """,
+        # search_top_hits: 3 highest-value hits per event type over
+        # the user_id>=80 hit set, ties by event_id asc
+        "search_top_hits": """
+            SELECT event_type, rank_in_group, event_id, user_id, value
+            FROM (
+                SELECT event_type, event_id, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC
+                       )::INT AS rank_in_group
+                FROM events WHERE user_id >= 80
+            ) WHERE rank_in_group <= 3
         """,
         "search_bool": """
             SELECT event_id, user_id, event_type, value FROM events

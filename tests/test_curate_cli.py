@@ -266,3 +266,135 @@ def test_search_cli_facets_and_histogram(spark, tmp_path, capsys):
         {"bucket_epoch": 1460527200, "n_hits": 2},
         {"bucket_epoch": 1460530800, "n_hits": 1},
     ]
+
+
+def test_search_cli_stats_cardinality_top_hits(spark, tmp_path, capsys):
+    """The round-9 aggregation flags: --stats-field prints the one-row
+    stats panel, --cardinality-by exact+KMV, --top-hits-per the
+    per-group top-k ordered by --order-by."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    rows = [
+        {"timestamp": 1460530013, "tenant_id": 58, "cost": 5.0},
+        {"timestamp": 1460530014, "tenant_id": 46, "cost": 1.5},
+        {"timestamp": 1460533700, "tenant_id": 58, "cost": 9.0},
+    ]
+    jsonl = tmp_path / "logs.jsonl"
+    jsonl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "aggidx2",
+        "path": str(tmp_path / "data"),
+        "time_field": "timestamp",
+        "schema": {"fields": [
+            {"name": "timestamp", "type": "datetime",
+             "formats": ["timestamp"], "fast": True},
+            {"name": "tenant_id", "type": "number", "number_type": "u64"},
+            {"name": "cost", "type": "number", "number_type": "f64"},
+        ]},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "aggidx2", str(jsonl)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "aggidx2", "*",
+                     "--stats-field", "cost"]) == 0
+    (stats,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert stats == {"n_hits": 3, "n_values": 3, "min_v": 1.5,
+                     "max_v": 9.0, "sum_v": 15.5,
+                     "avg_v": 5.166667}
+
+    assert cli.main(["--catalog", cat, "search", "aggidx2", "*",
+                     "--cardinality-by", "tenant_id"]) == 0
+    (card,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert card["distinct_exact"] == 2 and card["kmv_estimate"] == 2.0
+
+    # --top-hits-per without --order-by is a usage error
+    assert cli.main(["--catalog", cat, "search", "aggidx2", "*",
+                     "--top-hits-per", "tenant_id"]) == 2
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "aggidx2", "*",
+                     "--top-hits-per", "tenant_id",
+                     "--order-by", "cost", "--top-k", "1"]) == 0
+    tops = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    got = [(t["doc"]["tenant_id"], t["doc"]["cost"], t["rank_in_group"])
+           for t in tops]
+    assert got == [(46, 1.5, 1), (58, 9.0, 1)]
+    # prettified docs: no internal columns leak into the panel
+    assert all(not k.startswith("_") for t in tops for k in t["doc"])
+
+
+def test_search_cli_extended_histogram_ranges_manifest(spark, tmp_path, capsys):
+    """The remaining aggregation flags, plus the manifest fast path:
+    a match-all --stats-field answers after the segment data files are
+    deleted — the panel really is manifest-only."""
+    import json as _json
+    import shutil
+
+    from toshokan_spark import cli
+
+    rows = [
+        {"timestamp": 1460530013, "tenant_id": 58, "cost": 5.0},
+        {"timestamp": 1460530014, "tenant_id": 46, "cost": 1.5},
+        {"timestamp": 1460533700, "tenant_id": 58, "cost": 9.0},
+    ]
+    jsonl = tmp_path / "logs.jsonl"
+    jsonl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "aggidx3",
+        "path": str(tmp_path / "data"),
+        "time_field": "timestamp",
+        "schema": {"fields": [
+            {"name": "timestamp", "type": "datetime",
+             "formats": ["timestamp"], "fast": True},
+            {"name": "tenant_id", "type": "number", "number_type": "u64"},
+            {"name": "cost", "type": "number", "number_type": "f64"},
+        ]},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "aggidx3", str(jsonl)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "aggidx3", "*",
+                     "--extended-stats-field", "cost"]) == 0
+    (ext,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert ext["n_values"] == 3 and ext["sum_v"] == 15.5
+    assert ext["sum_sq"] == 108.25  # 25 + 2.25 + 81
+    # E[x^2] - E[x]^2 = 108.25/3 - (15.5/3)^2
+    assert ext["variance_v"] == round(108.25 / 3 - (15.5 / 3) ** 2, 6)
+
+    # numeric histogram requires a bin; then buckets by floor(v/4)*4
+    assert cli.main(["--catalog", cat, "search", "aggidx3", "*",
+                     "--histogram-field", "cost"]) == 2
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "aggidx3", "*",
+                     "--histogram-field", "cost", "--histogram-bin", "4"]) == 0
+    hist = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [(h["bucket_lo"], h["n_hits"]) for h in hist] == [
+        (0.0, 1), (4.0, 1), (8.0, 1),
+    ]
+
+    assert cli.main(["--catalog", cat, "search", "aggidx3", "*",
+                     "--range-field", "cost", "--range-edges", "2,6"]) == 0
+    rng = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [(r["bucket_idx"], r["n_hits"]) for r in rng] == [
+        (0, 1), (1, 1), (2, 1),
+    ]
+
+    # manifest fast path: delete the data files; the match-all stats
+    # panel still answers (zero data scans), and a non-match-all query
+    # (which must scan) is what would now fail
+    shutil.rmtree(tmp_path / "data")
+    assert cli.main(["--catalog", cat, "search", "aggidx3", "*",
+                     "--stats-field", "cost"]) == 0
+    (stats,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert stats == {"n_hits": 3, "n_values": 3, "min_v": 1.5,
+                     "max_v": 9.0, "sum_v": 15.5, "avg_v": 5.166667}

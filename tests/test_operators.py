@@ -2939,3 +2939,210 @@ def test_date_histogram_epoch_alignment(spark):
         for r in date_histogram(df, "ts", 60).collect()
     }
     assert got == {0: 1, 60: 2, -60: 1}
+
+
+def test_stats_agg_exact_and_null_aware(spark):
+    """stats_agg: n_hits counts every hit, n_values/min/max/sum/avg
+    only the non-null field values; the decimal fold makes the sum
+    partition-order-free (0.1-style doubles would drift a plain sum)."""
+    from toshokan_spark.search import stats_agg
+
+    rows = [Row(i=i, v=0.1) for i in range(30)] + [Row(i=99, v=None)]
+    out = stats_agg(spark.createDataFrame(rows), "v").collect()[0]
+    assert out["n_hits"] == 31 and out["n_values"] == 30
+    assert out["min_v"] == pytest.approx(0.1)
+    assert out["max_v"] == pytest.approx(0.1)
+    assert out["sum_v"] == 3.0       # decimal-exact, NOT 2.9999999...
+    assert out["avg_v"] == 0.1
+
+
+def test_percentiles_agg_discrete_elements(spark):
+    """Discrete percentiles return ACTUAL elements at rank
+    ceil(p*n) — for n=4 values [10,20,30,40]: p25=10 (rank 1),
+    p50=20 (rank 2), p75=30, p90=40 (rank ceil(3.6)=4), p99=40."""
+    from toshokan_spark.search import percentiles_agg
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in (40, 10, 30, 20)])
+    out = percentiles_agg(df, "v").collect()[0]
+    assert out["n_values"] == 4
+    assert (out["p25"], out["p50"], out["p75"], out["p90"], out["p99"]) == (
+        10.0, 20.0, 30.0, 40.0, 40.0
+    )
+
+
+def test_cardinality_agg_exact_fallback_and_estimate(spark):
+    """Below k distinct values the KMV column falls back to the exact
+    count; above k it is the deterministic (k-1)*M/h_k estimate —
+    within the ~1/sqrt(k) relative error band for uniform hashes."""
+    from toshokan_spark.search import cardinality_agg
+
+    small = spark.createDataFrame([Row(u=i % 5) for i in range(50)])
+    out = cardinality_agg(small, "u", k=16).collect()[0]
+    assert out["distinct_exact"] == 5 and out["kmv_estimate"] == 5.0
+
+    big = spark.createDataFrame([Row(u=i) for i in range(2000)])
+    out = cardinality_agg(big, "u", k=64).collect()[0]
+    assert out["distinct_exact"] == 2000
+    assert 1000 < out["kmv_estimate"] < 4000  # ~12.5% stderr at k=64
+
+
+def test_top_hits_per_group_deterministic_ties(spark):
+    """Per-group top-k with (order desc, id asc) total order: equal
+    values keep the smaller id first; groups smaller than k return
+    all their hits."""
+    from toshokan_spark.search import top_hits_per_group
+
+    rows = [
+        Row(g="a", i=1, v=5.0), Row(g="a", i=2, v=5.0),
+        Row(g="a", i=3, v=9.0), Row(g="b", i=4, v=1.0),
+    ]
+    out = top_hits_per_group(
+        spark.createDataFrame(rows), "g", 2, order_col="v", id_col="i"
+    ).collect()
+    got = sorted((r["g"], r["rank_in_group"], r["i"]) for r in out)
+    assert got == [("a", 1, 3), ("a", 2, 1), ("b", 1, 4)]
+
+
+def test_top_hits_plan_uses_window_group_limit(spark):
+    """The rank<=k filter must compile to WindowGroupLimit (per-group
+    top-k pushed below the window sort) — at corpus scale a plain
+    window would sort every group fully before filtering."""
+    from toshokan_spark.search import top_hits_per_group
+
+    df = spark.createDataFrame([Row(g="a", i=1, v=1.0)])
+    plan = top_hits_per_group(
+        df, "g", 3, order_col="v", id_col="i"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_extended_stats_agg_exact_moments(spark):
+    """Both moment sums are decimal-exact; variance/stddev derive from
+    them: values [1,2,3,4] -> mean 2.5, E[x^2]=7.5, var 1.25."""
+    from toshokan_spark.search import extended_stats_agg
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in (1, 2, 3, 4)])
+    out = extended_stats_agg(df, "v").collect()[0]
+    assert out["n_values"] == 4
+    assert (out["min_v"], out["max_v"]) == (1.0, 4.0)
+    assert out["sum_v"] == 10.0 and out["avg_v"] == 2.5
+    assert out["sum_sq"] == 30.0
+    assert out["variance_v"] == 1.25
+    assert out["stddev_v"] == round(math.sqrt(1.25), 6)
+
+
+def test_histogram_agg_floor_buckets_and_nulls(spark):
+    """floor (not truncate) keys the buckets, so negatives bucket LEFT
+    (-0.5 with width 2 -> bucket -2.0); nulls are dropped."""
+    from toshokan_spark.search import histogram_agg
+
+    rows = [Row(v=-0.5), Row(v=0.0), Row(v=1.9), Row(v=2.0), Row(v=None)]
+    out = histogram_agg(spark.createDataFrame(rows), "v", 2.0).collect()
+    got = {r["bucket_lo"]: r["n_hits"] for r in out}
+    assert got == {-2.0: 1, 0.0: 2, 2.0: 1}
+
+
+def test_range_agg_from_inclusive_to_exclusive(spark):
+    """ES range-agg convention: [lo, hi) — an edge value belongs to
+    the bucket it OPENS; open ends carry NULL bounds; only occupied
+    buckets return; unsorted edges are rejected."""
+    from toshokan_spark.search import range_agg
+
+    rows = [Row(v=-1.0), Row(v=0.0), Row(v=9.99), Row(v=10.0), Row(v=None)]
+    out = range_agg(
+        spark.createDataFrame(rows), "v", [0.0, 10.0], value_col="v"
+    ).collect()
+    got = {
+        r["bucket_idx"]: (r["range_lo"], r["range_hi"], r["n_hits"])
+        for r in out
+    }
+    assert got == {
+        0: (None, 0.0, 1),     # v=-1.0
+        1: (0.0, 10.0, 2),     # 0.0 opens this bucket; 9.99 inside
+        2: (10.0, None, 1),    # 10.0 opens the last bucket
+    }
+    with pytest.raises(ValueError):
+        range_agg(spark.createDataFrame(rows), "v", [10.0, 0.0])
+
+
+@pytest.fixture()
+def _stats_index(spark, tmp_path):
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index
+
+    cat = FsCatalog(str(tmp_path / "cat"))
+    cfg = IndexConfig(
+        name="mstats",
+        path=str(tmp_path / "data" / "mstats"),
+        fields=[
+            FieldConfig(name="id", type="number", number_type="i64"),
+            FieldConfig(name="v", type="number", number_type="f64"),
+        ],
+    )
+    create_index(cat, cfg)
+    write_segment(
+        cat, cfg, spark.createDataFrame([Row(id=1, v=1.25), Row(id=2, v=None)])
+    )
+    write_segment(
+        cat, cfg,
+        spark.createDataFrame([Row(id=3, v=-2.5), Row(id=4, v=100.125)]),
+    )
+    return cat, cfg
+
+
+def test_manifest_stats_zero_data_scans(spark, _stats_index, tmp_path):
+    """The match-all stats panel is pure manifest arithmetic: it
+    matches stats_agg over the data exactly, and — the proof there is
+    no scan — still answers after the data files are DELETED."""
+    import shutil
+
+    from toshokan_spark.search import manifest_stats, stats_agg
+
+    cat, cfg = _stats_index
+    rows = [
+        Row(id=1, v=1.25), Row(id=2, v=None),
+        Row(id=3, v=-2.5), Row(id=4, v=100.125),
+    ]
+    want = stats_agg(spark.createDataFrame(rows), "v").collect()[0].asDict()
+    got = manifest_stats(spark, cat, cfg, "v").collect()[0].asDict()
+    assert got == want
+    assert got["n_hits"] == 4 and got["n_values"] == 3
+
+    shutil.rmtree(cfg.path)
+    still = manifest_stats(spark, cat, cfg, "v").collect()[0].asDict()
+    assert still == want
+
+
+def test_manifest_stats_old_manifest_falls_back(spark, _stats_index):
+    """A manifest written before the additive stats existed (any
+    segment with field_sums=None, or the field missing) returns None —
+    the caller falls back to the scan; never a wrong answer."""
+    from toshokan_spark.search import manifest_stats
+
+    cat, cfg = _stats_index
+    ver, segs = cat._read_versioned("mstats")
+    segs[0].field_sums = None
+    assert cat._try_write_version("mstats", ver + 1, segs)
+    assert manifest_stats(spark, cat, cfg, "v") is None
+    # unknown field: no sums recorded for it anywhere
+    assert manifest_stats(spark, cat, cfg, "nope") is None
+
+
+def test_manifest_stats_survives_merge(spark, _stats_index):
+    """Compaction combines the additive stats exactly — counts add,
+    decimal sums add — so the panel is unchanged across a merge."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import manifest_stats
+
+    cat, cfg = _stats_index
+    before = manifest_stats(spark, cat, cfg, "v").collect()[0].asDict()
+    merge_segments(spark, cat, "mstats")
+    (seg,) = cat.segments("mstats")
+    assert seg.field_sums["v"][0] == 3
+    from decimal import Decimal
+
+    assert Decimal(seg.field_sums["v"][1]) == Decimal("98.875")
+    after = manifest_stats(spark, cat, cfg, "v").collect()[0].asDict()
+    assert after == before

@@ -115,6 +115,17 @@ class SegmentEntry:
     #: from a segment's bloom drops the segment before any plan is
     #: built. None = cannot prune (old manifests, over-cap vocab).
     token_blooms: Optional[dict] = None
+    #: per-NUMBER-field ``[non_null_count, "decimal-sum"]`` recorded at
+    #: write time (``{"value": [512, "10431.220000"]}``) — the additive
+    #: complements of the zone maps above. Together with ``num_rows``
+    #: and the ``[min, max]`` zone maps these make the whole stats
+    #: panel (count / min / max / sum / avg) a MANIFEST-ONLY read for
+    #: match-all queries: at 10k segments over 100 TB that is one JSON
+    #: read and zero data scans. Sums are decimal(38,6) folds
+    #: serialized as strings so the JSON round-trip is exact; they
+    #: combine across segments (and merges) by plain Decimal addition,
+    #: order-free. None = old manifest, fall back to scanning.
+    field_sums: Optional[dict] = None
 
 
 class CatalogError(RuntimeError):

@@ -7,6 +7,10 @@
     python -m toshokan_spark.cli index   <index> <file.jsonl|kafka://..> [--stream] [--commit-interval 30]
     python -m toshokan_spark.cli merge   <index>
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
+                                         [--stats-field F] [--percentiles-field F] [--cardinality-by F]
+                                         [--top-hits-per F --order-by F [--top-k 3]]
+                                         [--extended-stats-field F] [--histogram-field F --histogram-bin W]
+                                         [--range-field F --range-edges 0,10,100]
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
     python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
@@ -85,6 +89,39 @@ def main(argv: list[str] | None = None) -> int:
                     help="instead of hits, print a date histogram of the hit "
                          "set over the index time_field at this interval "
                          "(seconds)")
+    ps.add_argument("--stats-field", default=None,
+                    help="instead of hits, print count/min/max/sum/avg of "
+                         "this numeric field over the hit set (a match-all "
+                         "query answers from the manifest's additive stats "
+                         "without scanning any data)")
+    ps.add_argument("--extended-stats-field", default=None,
+                    help="instead of hits, print the stats panel plus "
+                         "sum-of-squares / variance / stddev of this field")
+    ps.add_argument("--histogram-field", default=None,
+                    help="instead of hits, print a fixed-width numeric "
+                         "histogram of this field (requires --histogram-bin)")
+    ps.add_argument("--histogram-bin", type=float, default=None,
+                    help="bucket width for --histogram-field")
+    ps.add_argument("--range-field", default=None,
+                    help="instead of hits, print counts per user-defined "
+                         "bucket of this field (requires --range-edges)")
+    ps.add_argument("--range-edges", default=None,
+                    help="comma-separated ascending bucket edges for "
+                         "--range-field, e.g. 0,10,100")
+    ps.add_argument("--percentiles-field", default=None,
+                    help="instead of hits, print discrete p25/p50/p75/p90/"
+                         "p99 of this numeric field over the hit set")
+    ps.add_argument("--cardinality-by", default=None,
+                    help="instead of hits, print exact distinct count + KMV "
+                         "estimate of this field over the hit set")
+    ps.add_argument("--top-hits-per", default=None,
+                    help="instead of a global limit, print the top hits "
+                         "WITHIN each value of this field (requires "
+                         "--order-by)")
+    ps.add_argument("--order-by", default=None,
+                    help="numeric field ranking hits for --top-hits-per "
+                         "(descending; ties by the first schema field)")
+    ps.add_argument("--top-k", type=int, default=3)
 
     pe = sub.add_parser(
         "explain",
@@ -242,16 +279,104 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.cmd == "search":
         spark = _spark()
-        if a.facet_by or a.histogram_interval:
+        agg_mode = (a.facet_by or a.histogram_interval or a.stats_field
+                    or a.percentiles_field or a.cardinality_by
+                    or a.top_hits_per or a.extended_stats_field
+                    or a.histogram_field or a.range_field)
+        if agg_mode:
             from toshokan_spark.search import (
+                cardinality_agg,
                 date_histogram,
+                extended_stats_agg,
                 facet_counts,
+                histogram_agg,
+                manifest_stats,
+                percentiles_agg,
+                range_agg,
                 search_df,
+                stats_agg,
+                top_hits_per_group,
             )
 
-            hits = search_df(spark, catalog, a.index, a.query, limit=None)
+            def _emit(rows):
+                for r in rows:
+                    print(json.dumps(r.asDict(), sort_keys=True,
+                                     separators=(",", ":"), default=str))
+
+            # the hit-set plan is built lazily: a match-all stats panel
+            # is answered from the manifest alone, and must not even
+            # construct a scan over the data files
+            _hits_plan: list = []
+
+            def hits_df():
+                if not _hits_plan:
+                    _hits_plan.append(
+                        search_df(spark, catalog, a.index, a.query,
+                                  limit=None)
+                    )
+                return _hits_plan[0]
+
+            if a.stats_field:
+                # match-all: the panel is pure manifest arithmetic —
+                # zero data scans (falls back to the scan on manifests
+                # that predate the additive stats)
+                out = None
+                if a.query.strip() == "*":
+                    out = manifest_stats(
+                        spark, catalog, catalog.get_index(a.index),
+                        a.stats_field,
+                    )
+                if out is None:
+                    out = stats_agg(hits_df(), a.stats_field)
+                _emit(out.collect())
+            if a.extended_stats_field:
+                _emit(extended_stats_agg(hits_df(), a.extended_stats_field)
+                      .collect())
+            if a.histogram_field:
+                if a.histogram_bin is None:
+                    print("error: --histogram-field requires --histogram-bin",
+                          file=sys.stderr)
+                    return 2
+                _emit(histogram_agg(hits_df(), a.histogram_field, a.histogram_bin)
+                      .orderBy("bucket_lo").collect())
+            if a.range_field:
+                if not a.range_edges:
+                    print("error: --range-field requires --range-edges",
+                          file=sys.stderr)
+                    return 2
+                edges = [float(x) for x in a.range_edges.split(",")]
+                _emit(range_agg(hits_df(), a.range_field, edges)
+                      .orderBy("bucket_idx").collect())
+            if a.percentiles_field:
+                _emit(percentiles_agg(hits_df(), a.percentiles_field).collect())
+            if a.cardinality_by:
+                _emit(cardinality_agg(hits_df(), a.cardinality_by).collect())
+            if a.top_hits_per:
+                if not a.order_by:
+                    print("error: --top-hits-per requires --order-by",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import prettify_doc
+
+                config = catalog.get_index(a.index)
+                id_col = config.fields[0].name
+                out = top_hits_per_group(
+                    hits_df(), a.top_hits_per, a.top_k,
+                    order_col=a.order_by, id_col=id_col,
+                )
+                for r in sorted(
+                    out.collect(),
+                    key=lambda r: (str(r[a.top_hits_per]),
+                                   r["rank_in_group"]),
+                ):
+                    d = r.asDict(recursive=True)
+                    rank = d.pop("rank_in_group")
+                    print(json.dumps(
+                        {"rank_in_group": rank,
+                         "doc": json.loads(prettify_doc(d, config))},
+                        sort_keys=True, separators=(",", ":")))
             if a.facet_by:
-                out = facet_counts(hits, a.facet_by, k=a.facet_k)
+                out = facet_counts(hits_df(), a.facet_by, k=a.facet_k)
                 for r in out.collect():
                     # facet keys can be Decimal/datetime — stringify
                     print(json.dumps(r.asDict(), sort_keys=True,
@@ -262,7 +387,7 @@ def main(argv: list[str] | None = None) -> int:
                     print("error: index has no time_field", file=sys.stderr)
                     return 2
                 out = date_histogram(
-                    hits, config.time_field, a.histogram_interval
+                    hits_df(), config.time_field, a.histogram_interval
                 )
                 for r in sorted(out.collect(),
                                 key=lambda x: x["bucket_epoch"]):

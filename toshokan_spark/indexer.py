@@ -166,6 +166,21 @@ def write_segment(
         aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]
     for name, src in stat_cols:
         aggs += [F.min(src).alias(f"__lo_{name}"), F.max(src).alias(f"__hi_{name}")]
+    # additive stats (non-null count + decimal(38,6)-exact sum) for
+    # NUMBER fields — ride the same observed write pass. With the
+    # zone maps these answer the whole match-all stats panel
+    # (count/min/max/sum/avg) from the manifest alone
+    # (`search.manifest_stats`): zero data scans at query time.
+    sum_fields = [
+        f.name
+        for f in config.fields
+        if f.type == "number" and not f.array and f.name in df.columns
+    ]
+    for name in sum_fields:
+        aggs += [
+            F.count(F.col(name)).alias(f"__cnt_{name}"),
+            F.sum(F.col(name).cast("decimal(38,6)")).alias(f"__sum_{name}"),
+        ]
     obs = Observation(f"seg_stats_{seg_id}")
     df = df.observe(obs, *aggs)
 
@@ -206,6 +221,14 @@ def write_segment(
     }
     field_stats = stats or None
 
+    field_sums = {
+        name: [
+            int(r[f"__cnt_{name}"]),
+            str(r[f"__sum_{name}"]) if r[f"__sum_{name}"] is not None else "0",
+        ]
+        for name in sum_fields
+    } or None
+
     # stats are derived data: write them BEFORE the manifest commit so
     # a manifested segment always has its stats sibling
     written = df.sparkSession.read.parquet(seg_path)
@@ -242,6 +265,7 @@ def write_segment(
         max_day=max_day,
         field_stats=field_stats,
         token_blooms=token_blooms or None,
+        field_sums=field_sums,
     )
     # data first, manifest second (`src/commands/mod.rs:178-187`)
     if not catalog.commit_segment(config.name, entry):

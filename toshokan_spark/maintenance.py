@@ -116,6 +116,22 @@ def merge_segments(
             ]
             for n in names
         } or None
+    # additive stats combine exactly under union: counts add, decimal
+    # sums add (order-free) — same conservative rule as the zone maps
+    field_sums = None
+    if all(s.field_sums for s in segs):
+        from decimal import Decimal
+
+        names = set(segs[0].field_sums)
+        for s in segs[1:]:
+            names &= set(s.field_sums)
+        field_sums = {
+            n: [
+                sum(s.field_sums[n][0] for s in segs),
+                str(sum(Decimal(s.field_sums[n][1]) for s in segs)),
+            ]
+            for n in names
+        } or None
     # recompute the merged segment's BM25 stats before it is
     # manifested (stats follow data through compaction)
     from toshokan_spark.indexer import stats_path, write_segment_stats
@@ -142,7 +158,7 @@ def merge_segments(
         id=seg_id, file_name=seg_name, num_rows=total,
         created_at_ms=int(time.time() * 1000),
         min_day=min_day, max_day=max_day, field_stats=field_stats,
-        token_blooms=token_blooms,
+        token_blooms=token_blooms, field_sums=field_sums,
     )
     # one atomic manifest write: new in, old out (`merge.rs:63-66`)
     catalog.swap_segments(index_name, [s.id for s in segs], entry)

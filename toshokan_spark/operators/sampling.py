@@ -510,8 +510,9 @@ def curriculum_order(
       after, so no join or window is needed to place stages.
 
     Ties: (difficulty, id) and (bucket, id) are total orders, so
-    both ranks are deterministic. ``n_stages=1`` degenerates to a
-    PLAIN seeded global shuffle (one stage, hash order) — the
+    both ranks are deterministic (*id_col* must be unique — copies
+    from :func:`epoch_expand` need a per-instance key first).
+    ``n_stages=1`` degenerates to a PLAIN seeded global shuffle (one stage, hash order) — the
     standard deterministic epoch permutation, same machinery. The difficulty expression is any
     ascending-sortable Column — length is the classic baseline
     curriculum; plug in an LM quality score for perplexity-staged
@@ -699,7 +700,10 @@ def epoch_expand(
     of per-source epoch repetition. Rows gain a 1-based ``copy``
     index so downstream stages (shuffling copies apart in
     :func:`curriculum_order`, sequence packing) can treat each
-    repetition as a distinct training instance.
+    repetition as a distinct training instance. The plan join is
+    INNER: a group absent from *plan* contributes nothing — build the
+    plan from the same frame's mixture (the entry/CLI shape) unless
+    dropping unplanned groups is intended.
 
     Scale: a broadcast join against the model-sized plan and a
     narrow ``explode(sequence(...))`` whose fan-out per row is the

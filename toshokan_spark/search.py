@@ -448,3 +448,305 @@ def date_histogram(
             ).alias("total_value")
         )
     return hits.groupBy(bucket).agg(*aggs)
+
+def stats_agg(hits: DataFrame, field: str) -> DataFrame:
+    """Stats aggregation over a query's hit set — the search-layer
+    ``stats`` panel (count / min / max / sum / avg of one numeric
+    field; the quickwit-class engines expose the same five): ONE
+    partial-aggregated full pass, no shuffle beyond the single-row
+    final combine. The sum folds through decimal(38,6) so the value
+    is partition-order-free (the repo-wide discipline — a plain
+    double sum can drift the 6-decimal rounding), and avg is derived
+    from that exact sum rather than summed separately."""
+    c = F.col(field)
+    dsum = F.sum(c.cast("decimal(38,6)"))
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.count(c).cast("long").alias("n_values"),
+        F.min(c).cast("double").alias("min_v"),
+        F.max(c).cast("double").alias("max_v"),
+        F.round(dsum.cast("double"), 6).alias("sum_v"),
+        F.round((dsum / F.count(c)).cast("double"), 6).alias("avg_v"),
+    )
+
+
+def percentiles_agg(
+    hits: DataFrame, field: str, ps: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Percentiles aggregation over a query's hit set (the latency-
+    panel staple): SQL-standard ``percentile_disc`` — the smallest
+    actual value whose cumulative distribution reaches p — so the
+    result is always an element of the data and two engines agree
+    bit-for-bit (continuous interpolation would hand back derived
+    doubles whose last ulp differs between implementations).
+
+    Scale: exact discrete percentiles buffer the hit set's values for
+    ONE column in the aggregation buffer — bounded by the hit count,
+    fine for the filtered hit sets this serves. For corpus-scale
+    unfiltered columns use ``approx_percentile`` (t-digest, bounded
+    memory) — the same panel with a documented error bound, as
+    :func:`toshokan_spark.operators.util.grouped_prefix` does."""
+    cols = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY `{field}`)"
+        ).cast("double").alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in ps
+    ]
+    return hits.agg(
+        F.count(F.col(field)).cast("long").alias("n_values"), *cols
+    )
+
+
+def cardinality_agg(
+    hits: DataFrame, field: str, k: int = 256
+) -> DataFrame:
+    """Cardinality aggregation over a query's hit set: the EXACT
+    distinct count side-by-side with a KMV (bottom-k minimum values,
+    Bar-Yossef et al. 2002) estimate computed from the k smallest
+    distinct polynomial hash values — the estimator the engine would
+    serve at corpus scale, where exact distinct is a full shuffle of
+    the key space but the KMV sketch is a k-row TakeOrdered.
+
+    The hash family is the repo's SQL-auditable poly fold
+    (`operators/dedup.py::poly_hash`), so a DuckDB oracle reproduces
+    the estimate bit-for-bit — same discipline as the MinHash /
+    SimHash entries. Estimate = (k-1) * M / h_k for distinct >= k
+    (hash space M = 1e9+7), else the exact count; deterministic, no
+    RNG. Exact distinct here doubles as the sketch's ground truth —
+    at 100 TB you would drop it and keep the sketch path, which
+    never materializes more than k rows past the distinct-hash scan."""
+    from toshokan_spark.operators.dedup import POLY_MOD, poly_hash
+
+    h = (
+        hits.select(
+            poly_hash(
+                F.col(field).cast("string"), base=1103515245, init=5381
+            ).alias("h")
+        )
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    bottom = h.orderBy("h").limit(k).agg(
+        F.count(F.lit(1)).alias("kk"), F.max("h").alias("hk")
+    )
+    exact = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.count_distinct(F.col(field)).cast("long").alias("distinct_exact"),
+    )
+    est = F.when(
+        F.col("kk") < k, F.col("distinct_exact").cast("double")
+    ).otherwise(
+        F.round((F.lit(k - 1) * F.lit(float(POLY_MOD))) / F.col("hk"), 6)
+    )
+    return (
+        exact.crossJoin(F.broadcast(bottom))
+        .select(
+            "n_hits",
+            "distinct_exact",
+            est.alias("kmv_estimate"),
+        )
+    )
+
+
+def top_hits_per_group(
+    hits: DataFrame,
+    by: str,
+    k: int,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-hits aggregation: the k best hits WITHIN each ``by`` group
+    (the search-layer "top_hits" collector — one exemplar panel per
+    facet value). Ties broken by ``id_col`` ascending so the result
+    is total-ordered and deterministic.
+
+    Scale: rank <= k over a partitioned window is Spark's
+    WindowGroupLimit — per-group top-k pushed before the window sort
+    materializes, never a global sort; the shuffle is the one
+    group-key exchange any per-group operator needs."""
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(by).orderBy(oc, F.col(id_col).asc())
+    return (
+        hits.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= k)
+    )
+
+
+def manifest_stats(
+    spark: SparkSession, catalog: FsCatalog, config: IndexConfig, field: str
+) -> Optional[DataFrame]:
+    """MATCH-ALL stats panel answered from the MANIFEST alone — zero
+    data scans. Each segment records, at commit time, its row count,
+    per-number-field ``[min, max]`` zone map (`catalog.SegmentEntry.
+    field_stats`) and ``[non_null_count, decimal-sum]`` additive stats
+    (`field_sums`); a match-all stats query is then pure metadata
+    arithmetic: counts and decimal sums add, min/max fold. This is the
+    Delta/Iceberg file-statistics aggregation pattern — at 10k
+    segments over 100 TB the panel costs one manifest JSON read where
+    the scan path costs a full-corpus pass.
+
+    Returns ``None`` when any manifested segment predates the additive
+    stats (old manifests) or never recorded the field — the caller
+    falls back to :func:`stats_agg` over a real scan, so the fast path
+    is never wrong, only sometimes unavailable.
+
+    The final projection re-derives sum/avg with the SAME Spark
+    expressions as :func:`stats_agg` (decimal cast, decimal/long
+    division, round 6), so the two paths are value-identical by
+    construction, not by luck."""
+    from pyspark.sql import types as T
+
+    segs = catalog.segments(config.name)
+    if any(s.field_sums is None or field not in s.field_sums for s in segs):
+        return None
+    n_hits = sum(s.num_rows for s in segs)
+    n_values = sum(s.field_sums[field][0] for s in segs)
+    total = sum(
+        (Decimal(s.field_sums[field][1]) for s in segs), Decimal(0)
+    ).quantize(Decimal("0.000001"))
+    bounds = [
+        s.field_stats[field]
+        for s in segs
+        if s.field_stats and field in s.field_stats
+    ]
+    if n_values > 0 and not bounds:
+        # count>0 implies a zone map entry; a manifest violating that
+        # invariant is not one we should answer from
+        return None
+    min_v = float(min(b[0] for b in bounds)) if bounds else None
+    max_v = float(max(b[1] for b in bounds)) if bounds else None
+
+    schema = T.StructType([
+        T.StructField("n_hits", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), False),
+        T.StructField("min_v", T.DoubleType(), True),
+        T.StructField("max_v", T.DoubleType(), True),
+        T.StructField("sum_dec", T.DecimalType(38, 6), True),
+    ])
+    one = spark.createDataFrame(
+        [(n_hits, n_values, min_v, max_v, total)], schema
+    )
+    return one.select(
+        "n_hits",
+        "n_values",
+        "min_v",
+        "max_v",
+        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_v"),
+        F.when(
+            F.col("n_values") > 0,
+            F.round(
+                (F.col("sum_dec") / F.col("n_values")).cast("double"), 6
+            ),
+        ).alias("avg_v"),
+    )
+
+
+def extended_stats_agg(hits: DataFrame, field: str) -> DataFrame:
+    """Extended-stats aggregation over a query's hit set (the search-
+    layer ``extended_stats`` panel): the :func:`stats_agg` five plus
+    sum-of-squares, population variance and population stddev. Both
+    moment sums fold through decimal(38,6) — the square is computed in
+    IEEE double first (bit-identical across engines), then the SUM is
+    made partition-order-free by the decimal cast. Variance derives
+    from the two exact sums in double arithmetic (E[x²] − E[x]²), so
+    an oracle repeating the same formula agrees bit-for-bit; the
+    ``greatest(·, 0)`` clamp absorbs the tiny negative a cancellation
+    can leave. One partial-aggregated pass, single-row combine."""
+    c = F.col(field)
+    n = F.count(c)
+    s1 = F.sum(c.cast("decimal(38,6)"))
+    s2 = F.sum((c * c).cast("decimal(38,6)"))
+    mean = s1.cast("double") / n
+    var = F.greatest(s2.cast("double") / n - mean * mean, F.lit(0.0))
+    return hits.agg(
+        n.cast("long").alias("n_values"),
+        F.min(c).cast("double").alias("min_v"),
+        F.max(c).cast("double").alias("max_v"),
+        F.round(s1.cast("double"), 6).alias("sum_v"),
+        F.round((s1 / n).cast("double"), 6).alias("avg_v"),
+        F.round(s2.cast("double"), 6).alias("sum_sq"),
+        F.round(var, 6).alias("variance_v"),
+        F.round(F.sqrt(var), 6).alias("stddev_v"),
+    )
+
+
+def histogram_agg(
+    hits: DataFrame,
+    field: str,
+    interval: float,
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Numeric histogram aggregation (fixed-width buckets over a
+    numeric field — the value-distribution panel next to
+    :func:`date_histogram`'s time axis): bucket lower bound is
+    ``floor(v / interval) * interval``, correct for negatives (floor,
+    not truncation). Null field values are dropped, as in the
+    search-engine semantics. Partial-aggregated to one row per
+    occupied bucket — frame size is value-range/interval, never hit
+    count; empty buckets are omitted (render-side zero-fill is the
+    display layer's job, not a reason to ship empty rows)."""
+    c = F.col(field)
+    bucket = (F.floor(c / F.lit(float(interval))) * F.lit(float(interval))).alias(
+        "bucket_lo"
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_hits")]
+    if value_col is not None:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total_value")
+        )
+    return hits.where(c.isNotNull()).groupBy(bucket).agg(*aggs)
+
+
+def range_agg(
+    hits: DataFrame,
+    field: str,
+    edges: "list[float]",
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Range aggregation (user-defined buckets — the search-layer
+    ``range`` agg): k edges make k+1 buckets, each ``[lo, hi)`` (from
+    inclusive, to exclusive, the Elasticsearch convention), the first
+    open below, the last open above. Output carries the bucket index
+    plus its numeric bounds (NULL for the open ends). Nulls dropped;
+    only occupied buckets are returned. The bucket id is a when-chain
+    over k literals — whole-stage-codegen'd, no join, no UDF; the
+    aggregation is one group-key exchange over at most k+1 groups."""
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("range_agg edges must be strictly increasing")
+    c = F.col(field)
+    idx = F.lit(len(edges))
+    for i in reversed(range(len(edges))):
+        idx = F.when(c < F.lit(float(edges[i])), F.lit(i)).otherwise(idx)
+    lo_of = {i: (None if i == 0 else float(edges[i - 1])) for i in range(len(edges) + 1)}
+    hi_of = {i: (float(edges[i]) if i < len(edges) else None) for i in range(len(edges) + 1)}
+    lo = F.lit(None).cast("double")
+    hi = F.lit(None).cast("double")
+    for i in range(len(edges) + 1):
+        if lo_of[i] is not None:
+            lo = F.when(F.col("bucket_idx") == i, F.lit(lo_of[i])).otherwise(lo)
+        if hi_of[i] is not None:
+            hi = F.when(F.col("bucket_idx") == i, F.lit(hi_of[i])).otherwise(hi)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_hits")]
+    if value_col is not None:
+        aggs.append(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("total_value")
+        )
+    return (
+        hits.where(c.isNotNull())
+        .groupBy(idx.cast("int").alias("bucket_idx"))
+        .agg(*aggs)
+        .select(
+            "bucket_idx",
+            lo.alias("range_lo"),
+            hi.alias("range_hi"),
+            "n_hits",
+            *(["total_value"] if value_col is not None else []),
+        )
+    )
