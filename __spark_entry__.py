@@ -334,6 +334,23 @@ def q_search_ranges(spark, sf_dir):
     )
 
 
+def q_search_time_travel(spark, sf_dir):
+    """Manifest time travel (Iceberg/Delta-style over the CAS
+    manifest chain): the events index commits even-id events as
+    version 2 and odd-id events as version 3; querying
+    ``at_version=2`` scans EXACTLY the snapshot manifested then —
+    pruning and plan built against the old segment list, the later
+    segment invisible. At 100 TB this is how a panel re-runs
+    reproducibly against last week's corpus."""
+    from toshokan_spark.search import search_df
+
+    catalog, config = _events_stats_index(spark, sf_dir)
+    out = search_df(
+        spark, catalog, config.name, "value:>=100", limit=None, at_version=2
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -1986,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_extended_stats": q_search_extended_stats,
         "search_histogram": q_search_histogram,
         "search_ranges": q_search_ranges,
+        "search_time_travel": q_search_time_travel,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2559,6 +2577,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
                        AS total_value
             FROM b GROUP BY 1
+        """,
+        # search_time_travel: version-2 snapshot = the even-id commit
+        # only; the odd-id segment (committed as version 3) must be
+        # invisible to the at_version=2 scan
+        "search_time_travel": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE event_id % 2 = 0 AND value >= 100
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

@@ -398,3 +398,49 @@ def test_search_cli_extended_histogram_ranges_manifest(spark, tmp_path, capsys):
     (stats,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert stats == {"n_hits": 3, "n_values": 3, "min_v": 1.5,
                      "max_v": 9.0, "sum_v": 15.5, "avg_v": 5.166667}
+
+
+def test_search_cli_time_travel(spark, tmp_path, capsys):
+    """--at-version runs the query against the retained manifest
+    snapshot: after a second ingest, version 2 still answers with only
+    the first batch; stats prints the retained version range."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    jsonl = tmp_path / "logs.jsonl"
+    jsonl.write_text(_json.dumps(
+        {"timestamp": 1460530013, "tenant_id": 58}) + "\n")
+    jsonl2 = tmp_path / "logs2.jsonl"
+    jsonl2.write_text(_json.dumps(
+        {"timestamp": 1460530014, "tenant_id": 46}) + "\n")
+    cfg = {
+        "name": "ttidx",
+        "path": str(tmp_path / "data"),
+        "time_field": "timestamp",
+        "schema": {"fields": [
+            {"name": "timestamp", "type": "datetime",
+             "formats": ["timestamp"], "fast": True},
+            {"name": "tenant_id", "type": "number", "number_type": "u64"},
+        ]},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "ttidx", str(jsonl)]) == 0
+    assert cli.main(["--catalog", cat, "index", "ttidx", str(jsonl2)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "stats", "ttidx"]) == 0
+    head = capsys.readouterr().out.splitlines()[0]
+    assert "2 segment(s), 2 row(s)" in head and "versions v1..v3" in head
+
+    assert cli.main(["--catalog", cat, "search", "ttidx", "*",
+                     "--limit", "10", "--at-version", "2"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [d["tenant_id"] for d in docs] == [58]
+
+    assert cli.main(["--catalog", cat, "search", "ttidx", "*",
+                     "--limit", "10"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2

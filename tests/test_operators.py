@@ -3146,3 +3146,48 @@ def test_manifest_stats_survives_merge(spark, _stats_index):
     assert Decimal(seg.field_sums["v"][1]) == Decimal("98.875")
     after = manifest_stats(spark, cat, cfg, "v").collect()[0].asDict()
     assert after == before
+
+
+def test_time_travel_snapshot_reads(spark, _stats_index):
+    """at_version reads the manifest snapshot as of that commit:
+    v1 = created empty, v2 = first segment, v3 = both; a scan at v2
+    sees only the first segment's rows."""
+    from toshokan_spark.catalog import CatalogError
+    from toshokan_spark.search import search_df
+
+    cat, cfg = _stats_index
+    assert cat.versions("mstats") == [1, 2, 3]
+    assert cat.segments("mstats", at_version=1) == []
+    assert len(cat.segments("mstats", at_version=2)) == 1
+    assert len(cat.segments("mstats", at_version=3)) == 2
+    v2 = search_df(spark, cat, "mstats", "*", limit=None, at_version=2)
+    assert sorted(r["id"] for r in v2.collect()) == [1, 2]
+    with pytest.raises(CatalogError, match="retained"):
+        cat.segments("mstats", at_version=99)
+
+
+def test_time_travel_horizon_is_gc_bounded(tmp_path):
+    """Versions more than KEEP_VERSIONS behind the head are GC'd —
+    the time-travel horizon is bounded and a request past it fails
+    with the retained range, never a silently-wrong snapshot. Pure
+    manifest arithmetic: no Spark, no data files."""
+    from toshokan_spark.catalog import CatalogError, FsCatalog, SegmentEntry
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.maintenance import create_index
+
+    cat = FsCatalog(str(tmp_path / "cat"))
+    cfg = IndexConfig(
+        name="gcidx", path=str(tmp_path / "d"),
+        fields=[FieldConfig(name="id", type="number")],
+    )
+    create_index(cat, cfg)  # v1
+    for i in range(12):
+        cat.commit_segment("gcidx", SegmentEntry(
+            id=f"s{i}", file_name=f"seg-s{i}", num_rows=1,
+            created_at_ms=0,
+        ))
+    vs = cat.versions("gcidx")
+    assert vs == list(range(3, 14))  # 13 - KEEP_VERSIONS(10) = floor 3
+    assert len(cat.segments("gcidx", at_version=vs[0])) == vs[0] - 1
+    with pytest.raises(CatalogError, match="GC'd"):
+        cat.segments("gcidx", at_version=2)

@@ -269,8 +269,45 @@ class FsCatalog:
         except Exception:
             pass
 
-    def segments(self, name: str) -> list[SegmentEntry]:
-        return self._read_versioned(name)[1]
+    def versions(self, name: str) -> list[int]:
+        """Retained manifest versions (snapshot ids), oldest first —
+        the time-travel horizon. Every commit/merge/create writes a
+        new immutable ``v{N}.json``, and GC keeps the trailing
+        KEEP_VERSIONS, so any retained version is a consistent
+        point-in-time snapshot of the index."""
+        try:
+            names = self._st.list_names(self._manifest_dir(name))
+        except StorageNotFound:
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def segments(
+        self, name: str, at_version: Optional[int] = None
+    ) -> list[SegmentEntry]:
+        """Manifested segments — latest by default, or the snapshot at
+        a retained manifest version (``at_version``, Iceberg/Delta-
+        style time travel over the CAS manifest chain). Snapshots are
+        guaranteed readable while their segments' data survives:
+        append-only history always is; a merge or vacuum deletes
+        replaced segments' data, invalidating OLDER snapshots that
+        reference them (the Delta-VACUUM caveat) — the manifest read
+        still succeeds, the scan fails."""
+        if at_version is None:
+            return self._read_versioned(name)[1]
+        try:
+            doc = json.loads(
+                self._st.read_text(self._version_path(name, at_version))
+            )
+        except StorageNotFound:
+            raise CatalogError(
+                f"manifest version {at_version} of {name!r} is GC'd or "
+                f"never existed (retained: {self.versions(name)})"
+            ) from None
+        return [SegmentEntry(**s) for s in doc.get("segments", [])]
 
     def commit_segment(self, name: str, entry: SegmentEntry) -> bool:
         """Append one segment (data must already be on storage —

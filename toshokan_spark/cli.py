@@ -122,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="numeric field ranking hits for --top-hits-per "
                          "(descending; ties by the first schema field)")
     ps.add_argument("--top-k", type=int, default=3)
+    ps.add_argument("--at-version", type=int, default=None,
+                    help="time-travel: run against the index snapshot "
+                         "at this retained manifest version (see "
+                         "'stats' for the retained range)")
 
     pe = sub.add_parser(
         "explain",
@@ -260,7 +264,9 @@ def main(argv: list[str] | None = None) -> int:
 
         segs = catalog.segments(a.index)
         total = sum(s.num_rows for s in segs)
-        print(f"{a.index}: {len(segs)} segment(s), {total} row(s)")
+        vs = catalog.versions(a.index)
+        tt = f", versions v{vs[0]}..v{vs[-1]}" if vs else ""
+        print(f"{a.index}: {len(segs)} segment(s), {total} row(s){tt}")
         for s in segs:
             days = f" days={s.min_day}..{s.max_day}" if s.min_day else ""
             zm = ""
@@ -312,7 +318,7 @@ def main(argv: list[str] | None = None) -> int:
                 if not _hits_plan:
                     _hits_plan.append(
                         search_df(spark, catalog, a.index, a.query,
-                                  limit=None)
+                                  limit=None, at_version=a.at_version)
                     )
                 return _hits_plan[0]
 
@@ -409,7 +415,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from toshokan_spark.search import search
 
-        for line in search(spark, catalog, a.index, a.query, limit=a.limit):
+        for line in search(spark, catalog, a.index, a.query, limit=a.limit,
+                           at_version=a.at_version):
             print(line)
         return 0
 

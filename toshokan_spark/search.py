@@ -196,12 +196,16 @@ def search_df(
     query: str,
     limit: Optional[int] = 1,
     sort_by: Optional[list] = None,
+    at_version: Optional[int] = None,
 ) -> DataFrame:
-    """The distributed part: scan manifested segments, filter, limit."""
+    """The distributed part: scan manifested segments, filter, limit.
+    ``at_version`` time-travels the scan to a retained manifest
+    snapshot (`catalog.segments`) — the query plan, pruning and all,
+    is built against exactly the segments manifested then."""
     from toshokan_spark.storage import join_path
 
     config = catalog.get_index(index_name)
-    segs = catalog.segments(index_name)
+    segs = catalog.segments(index_name, at_version=at_version)
     node = parse_query(query)
     lo, hi, segs = _pruned_segments(config, segs, node)
     paths = [join_path(config.path, s.file_name) for s in segs]
@@ -331,11 +335,15 @@ def search(
     query: str,
     limit: int = 1,
     sort_by: Optional[list] = None,
+    at_version: Optional[int] = None,
 ) -> list[str]:
     """Reference-CLI-shaped search: JSON lines, prettified."""
     if limit == 0:
         return []
-    df = search_df(spark, catalog, index_name, query, limit, sort_by)
+    df = search_df(
+        spark, catalog, index_name, query, limit, sort_by,
+        at_version=at_version,
+    )
     config = catalog.get_index(index_name)
     return [prettify_doc(r.asDict(recursive=True), config) for r in df.collect()]
 
