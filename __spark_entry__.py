@@ -467,6 +467,32 @@ def q_search_bm25(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "bm25")
 
 
+def q_search_significant_terms(spark, sf_dir):
+    """Significant-terms panel ("what makes this hit set different"):
+    JLH-scored terms overrepresented in the lang:en hit set vs the
+    whole corpus. The BACKGROUND model reads the index's commit-time
+    per-segment ``_stats`` parquets (per-term df, integer-exact across
+    segments) — only the hit set is tokenized per query; the oracle
+    recomputes the background from the raw corpus, proving the
+    commit-time stats exact."""
+    from toshokan_spark.indexer import stats_path
+    from toshokan_spark.search import significant_terms_from_stats
+
+    catalog, config = _docs_bm25_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    hits = _search(docs, DOCS_CONFIG, "lang:en")
+    segs = catalog.segments("docs_bm25")
+    return significant_terms_from_stats(
+        spark,
+        hits,
+        "text",
+        [stats_path(config, s.file_name) for s in segs],
+        "text",
+        k=15,
+        min_doc_count=3,
+    )
+
+
 def q_json_path_filter(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2004,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "search_ranges": q_search_ranges,
         "search_time_travel": q_search_time_travel,
+        "search_significant_terms": q_search_significant_terms,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2585,6 +2612,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value
             FROM events
             WHERE event_id % 2 = 0 AND value >= 100
+        """,
+        # search_significant_terms: JLH = (fg%-bg%)*(fg%/bg%) over
+        # per-doc-distinct term frequencies; Spark's background comes
+        # from the commit-time stats parquets, the oracle recomputes
+        # it from the corpus — equality proves the artifact exact
+        "search_significant_terms": """
+            WITH base AS (
+              SELECT lang,
+                list_distinct(list_transform(
+                  list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                              w -> w <> '' AND strlen(w) <= 40),
+                  w -> lower(w))) AS toks
+              FROM documents
+            ), fg AS (
+              SELECT t.term, count(*)::BIGINT AS fg_df
+              FROM (SELECT unnest(toks) AS term FROM base
+                    WHERE lang = 'en') t
+              GROUP BY 1
+            ), bg AS (
+              SELECT t.term, count(*)::BIGINT AS bg_df
+              FROM (SELECT unnest(toks) AS term FROM base) t
+              GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS bg_n,
+                     count(*) FILTER (WHERE lang = 'en') AS fg_n
+              FROM documents
+            )
+            SELECT term, fg_df, bg_df,
+                   round((fg_df::DOUBLE / fg_n - bg_df::DOUBLE / bg_n)
+                         * ((fg_df::DOUBLE / fg_n)
+                            / (bg_df::DOUBLE / bg_n)), 6) AS score
+            FROM fg JOIN bg USING (term), n
+            WHERE fg_df >= 3
+              AND fg_df::DOUBLE / fg_n > bg_df::DOUBLE / bg_n
+            ORDER BY score DESC, term LIMIT 15
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

@@ -3191,3 +3191,69 @@ def test_time_travel_horizon_is_gc_bounded(tmp_path):
     assert len(cat.segments("gcidx", at_version=vs[0])) == vs[0] - 1
     with pytest.raises(CatalogError, match="GC'd"):
         cat.segments("gcidx", at_version=2)
+
+
+def test_significant_terms_jlh_hand_values(spark):
+    """JLH on a hand corpus: fg={apple banana, apple cherry},
+    bg adds {banana dog, dog elephant}. apple: fg%=1 bg%=.5 ->
+    (0.5)(2)=1.0; cherry: .5 vs .25 -> 0.5; banana: .5 vs .5 -> not
+    positively significant, excluded; min_doc_count prunes cherry."""
+    from toshokan_spark.search import significant_terms
+
+    corpus = spark.createDataFrame([
+        Row(id=1, lang="en", text="apple banana"),
+        Row(id=2, lang="en", text="apple cherry"),
+        Row(id=3, lang="fr", text="banana dog"),
+        Row(id=4, lang="fr", text="dog elephant"),
+    ])
+    hits = corpus.where(F.col("lang") == "en")
+    out = significant_terms(hits, corpus, "text").collect()
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in out]
+    assert got == [("apple", 2, 2, 1.0), ("cherry", 1, 1, 0.5)]
+
+    out2 = significant_terms(hits, corpus, "text", min_doc_count=2).collect()
+    assert [r["term"] for r in out2] == ["apple"]
+
+
+def test_significant_terms_from_stats_matches_corpus_pass(spark, tmp_path):
+    """The index-backed variant (background df from the commit-time
+    stats parquets, across TWO segments) returns exactly what the
+    corpus-tokenizing variant computes — the metadata artifact is
+    value-equal to the full pass it replaces."""
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import stats_path, write_segment
+    from toshokan_spark.maintenance import create_index
+    from toshokan_spark.search import (
+        significant_terms,
+        significant_terms_from_stats,
+    )
+
+    rows = [
+        Row(id=1, lang="en", text="spark shuffles data across executors"),
+        Row(id=2, lang="en", text="spark plans avoid shuffles"),
+        Row(id=3, lang="fr", text="data lives in parquet files"),
+        Row(id=4, lang="fr", text="files hold data and plans"),
+    ]
+    corpus = spark.createDataFrame(rows)
+    cat = FsCatalog(str(tmp_path / "cat"))
+    cfg = IndexConfig(
+        name="sig", path=str(tmp_path / "d" / "sig"),
+        fields=[
+            FieldConfig(name="id", type="number"),
+            FieldConfig(name="lang", type="text", tokenizer="raw"),
+            FieldConfig(name="text", type="text"),
+        ],
+    )
+    create_index(cat, cfg)
+    write_segment(cat, cfg, corpus.where(F.col("id") <= 2))
+    write_segment(cat, cfg, corpus.where(F.col("id") > 2))
+    hits = corpus.where(F.col("lang") == "en")
+    paths = [stats_path(cfg, s.file_name) for s in cat.segments("sig")]
+    via_stats = significant_terms_from_stats(
+        spark, hits, "text", paths, "text", k=20
+    ).collect()
+    via_corpus = significant_terms(hits, corpus, "text", k=20).collect()
+    key = lambda r: (r["term"], r["fg_df"], r["bg_df"], r["score"])
+    assert sorted(map(key, via_stats)) == sorted(map(key, via_corpus))
+    assert via_stats  # non-trivial: at least one significant term

@@ -122,6 +122,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="numeric field ranking hits for --top-hits-per "
                          "(descending; ties by the first schema field)")
     ps.add_argument("--top-k", type=int, default=3)
+    ps.add_argument("--significant-terms", default=None, metavar="F",
+                    help="instead of hits, print the JLH-significant terms "
+                         "of text field F in the hit set vs the whole index "
+                         "(background df from the commit-time stats "
+                         "parquets — no corpus re-scan)")
+    ps.add_argument("--sig-k", type=int, default=10)
+    ps.add_argument("--sig-min-doc", type=int, default=1)
     ps.add_argument("--at-version", type=int, default=None,
                     help="time-travel: run against the index snapshot "
                          "at this retained manifest version (see "
@@ -288,7 +295,8 @@ def main(argv: list[str] | None = None) -> int:
         agg_mode = (a.facet_by or a.histogram_interval or a.stats_field
                     or a.percentiles_field or a.cardinality_by
                     or a.top_hits_per or a.extended_stats_field
-                    or a.histogram_field or a.range_field)
+                    or a.histogram_field or a.range_field
+                    or a.significant_terms)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -381,6 +389,27 @@ def main(argv: list[str] | None = None) -> int:
                         {"rank_in_group": rank,
                          "doc": json.loads(prettify_doc(d, config))},
                         sort_keys=True, separators=(",", ":")))
+            if a.significant_terms:
+                from toshokan_spark.indexer import stats_path, text_stat_fields
+                from toshokan_spark.search import significant_terms_from_stats
+
+                config = catalog.get_index(a.index)
+                toks = dict(text_stat_fields(config))
+                if a.significant_terms not in toks:
+                    print("error: --significant-terms needs a scalar text "
+                          "field", file=sys.stderr)
+                    return 2
+                paths = [
+                    stats_path(config, s.file_name)
+                    for s in catalog.segments(a.index,
+                                              at_version=a.at_version)
+                ]
+                out = significant_terms_from_stats(
+                    spark, hits_df(), a.significant_terms, paths,
+                    a.significant_terms, tokenizer=toks[a.significant_terms],
+                    k=a.sig_k, min_doc_count=a.sig_min_doc,
+                )
+                _emit(out.collect())
             if a.facet_by:
                 out = facet_counts(hits_df(), a.facet_by, k=a.facet_k)
                 for r in out.collect():

@@ -758,3 +758,114 @@ def range_agg(
             *(["total_value"] if value_col is not None else []),
         )
     )
+
+
+def _doc_frequencies(df: DataFrame, text_col: str, tokenizer: str) -> DataFrame:
+    """(term, df) document frequencies: each doc contributes each of
+    its DISTINCT tokens once — the same df definition the commit-time
+    BM25 stats record (`functions/bm25.py::segment_field_stats`)."""
+    from toshokan_spark.functions.tokenizers import tokenize
+
+    toks = tokenize(F.col(text_col), tokenizer)
+    return (
+        df.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def _significant_join(
+    fg: DataFrame,
+    fg_n: DataFrame,
+    bg: DataFrame,
+    bg_n: DataFrame,
+    k: int,
+    min_doc_count: int,
+) -> DataFrame:
+    """Shared scoring tail of the significant-terms variants: join the
+    foreground term df's (hit-vocab-sized) to the background df's on
+    term, attach the two 1-row totals by broadcast, score with JLH
+    ((fg%−bg%)·fg%/bg% — Elasticsearch's default significance
+    heuristic: absolute lift × relative lift), keep positively
+    significant terms only, distributed top-k. All divisions are
+    IEEE double on both engines, so an oracle repeating the formula
+    agrees bit-for-bit after the shared round-6."""
+    fgp = F.col("fg_df") / F.col("fg_n")
+    bgp = F.col("bg_df") / F.col("bg_n")
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+        .where((F.col("fg_df") >= min_doc_count) & (fgp > bgp))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round((fgp - bgp) * (fgp / bgp), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+
+
+def significant_terms(
+    hits: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    tokenizer: str = "default",
+    k: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Significant-terms aggregation (the search-layer "what makes
+    this hit set DIFFERENT" panel): terms statistically overrepresented
+    in the query's hit set relative to the background corpus, JLH-
+    scored. One tokenize pass over the hit set, one over the corpus;
+    the join is vocabulary-sized, the totals are broadcast 1-row
+    frames, the result is a distributed top-k — never a global sort.
+
+    Prefer :func:`significant_terms_from_stats` over an index: the
+    background side then comes from the commit-time ``_stats``
+    parquets (metadata-sized) instead of re-tokenizing the corpus."""
+    fg = _doc_frequencies(hits, text_col, tokenizer).withColumnRenamed(
+        "df", "fg_df"
+    )
+    bg = _doc_frequencies(corpus, text_col, tokenizer).withColumnRenamed(
+        "df", "bg_df"
+    )
+    fg_n = hits.agg(F.count(F.lit(1)).cast("long").alias("fg_n"))
+    bg_n = corpus.agg(F.count(F.lit(1)).cast("long").alias("bg_n"))
+    return _significant_join(fg, fg_n, bg, bg_n, k, min_doc_count)
+
+
+def significant_terms_from_stats(
+    spark: SparkSession,
+    hits: DataFrame,
+    text_col: str,
+    stats_paths: "list[str]",
+    field: str,
+    tokenizer: str = "default",
+    k: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Index-backed significant terms: the BACKGROUND model reads the
+    commit-time per-segment BM25 stats parquets (per-term df + doc
+    count, integer-exact across segments — the same artifact scored
+    search reads) instead of re-tokenizing the corpus. Per query, only
+    the HIT SET is tokenized: at 100 TB the background side is a
+    metadata-sized aggregation over vocabulary rows, not a corpus
+    pass."""
+    sdf = spark.read.parquet(*stats_paths).where(
+        F.col("field") == F.lit(field)
+    )
+    bg = (
+        sdf.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("bg_df"))
+    )
+    bg_n = sdf.where(F.col("term").isNull()).agg(
+        F.sum("n_docs").cast("long").alias("bg_n")
+    )
+    fg = _doc_frequencies(hits, text_col, tokenizer).withColumnRenamed(
+        "df", "fg_df"
+    )
+    fg_n = hits.agg(F.count(F.lit(1)).cast("long").alias("fg_n"))
+    return _significant_join(fg, fg_n, bg, bg_n, k, min_doc_count)
