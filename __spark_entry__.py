@@ -1595,6 +1595,19 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, queries, k=5, num_planes=8, hash_family="lcg")
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance of the embedding space — the PCA /
+    whitening / drift input: ONE narrow pass explodes each vector into
+    its own D(D+1)/2 within-row products (nested transform over the
+    tail slice — no self-join, no id shuffle), decimal(38,12)-exact
+    moment sums, model-sized D²/2 output. ``fit_pca``/``pca_project``
+    consume this (property-tested against numpy eigh)."""
+    from toshokan_spark.operators.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb)
+
+
 def q_knn_graph(spark, sf_dir):
     """Corpus-wide approximate k-NN graph (every vector its own
     query) — LCG hyperplane buckets, bucket self-join, per-node
@@ -2031,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_ranges": q_search_ranges,
         "search_time_travel": q_search_time_travel,
         "search_significant_terms": q_search_significant_terms,
+        "embedding_covariance": q_embedding_covariance,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2647,6 +2661,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE fg_df >= 3
               AND fg_df::DOUBLE / fg_n > bg_df::DOUBLE / bg_n
             ORDER BY score DESC, term LIMIT 15
+        """,
+        # embedding_covariance: E[xy]-E[x]E[y] per (i<=j) pair from
+        # decimal(38,12)-exact moment sums (products in IEEE double
+        # first); the oracle pairs via a rowid self-join — fine at
+        # oracle scale, the Spark side never joins
+        "embedding_covariance": """
+            WITH e AS (
+              SELECT row_number() OVER () AS rid, embedding AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), nn AS (SELECT count(*) AS n FROM e),
+            x AS (
+              SELECT rid, g.i, CAST(v[g.i] AS DOUBLE) AS x
+              FROM e, LATERAL (
+                SELECT unnest(generate_series(1, len(v))) AS i
+              ) g
+            ), m1 AS (
+              SELECT i, sum(x::DECIMAL(38,12)) AS s1 FROM x GROUP BY 1
+            ), m2 AS (
+              SELECT a.i AS i, b.i AS j,
+                     sum((a.x * b.x)::DECIMAL(38,12)) AS s2
+              FROM x a JOIN x b ON a.rid = b.rid AND a.i <= b.i
+              GROUP BY 1, 2
+            )
+            SELECT (m2.i - 1)::INT AS i, (m2.j - 1)::INT AS j,
+                   round(s2::DOUBLE / n
+                         - (mi.s1::DOUBLE / n) * (mj.s1::DOUBLE / n),
+                         6) + 0.0 AS cov
+            FROM m2
+            JOIN m1 mi ON mi.i = m2.i
+            JOIN m1 mj ON mj.i = m2.j
+            CROSS JOIN nn
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

@@ -3257,3 +3257,76 @@ def test_significant_terms_from_stats_matches_corpus_pass(spark, tmp_path):
     key = lambda r: (r["term"], r["fg_df"], r["bg_df"], r["score"])
     assert sorted(map(key, via_stats)) == sorted(map(key, via_corpus))
     assert via_stats  # non-trivial: at least one significant term
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    """fit_pca's distributed decimal-exact covariance + driver eigh
+    reproduce numpy PCA: eigvals match, projections match under the
+    shared sign convention (largest-|w| entry positive), and whitened
+    coordinates have unit population variance."""
+    import numpy as np
+
+    from toshokan_spark.operators.similarity import (
+        embedding_covariance,
+        fit_pca,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 5)) @ np.diag([3.0, 2.0, 1.0, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row])
+         for i, row in enumerate(X)]
+    )
+    C = np.zeros((5, 5))
+    for r in embedding_covariance(df).collect():
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    Cnp = np.cov(X, rowvar=False, bias=True)
+    assert np.abs(C - Cnp).max() < 1e-6  # round-6 on each entry
+
+    model = fit_pca(df, 3)
+    vals, vecs = np.linalg.eigh(Cnp)
+    order = np.argsort(vals)[::-1][:3]
+    assert np.allclose(
+        model["eigvals"], sorted(vals, reverse=True)[:3], atol=1e-5
+    )
+    W = []
+    for c in order:
+        w = vecs[:, c]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        W.append(w)
+    ref = (X - X.mean(axis=0)) @ np.array(W).T
+    got = np.array(
+        [[r["pc0"], r["pc1"], r["pc2"]]
+         for r in pca_project(df, model).orderBy("vec_id").collect()]
+    )
+    assert np.abs(got - ref).max() < 1e-5
+
+    white = np.array(
+        [[r["pc0"], r["pc1"], r["pc2"]]
+         for r in pca_project(df, model, whiten=True)
+         .orderBy("vec_id").collect()]
+    )
+    assert np.allclose(white.var(axis=0), 1.0, atol=1e-4)
+    # components are orthonormal
+    Wm = np.array(model["components"])
+    assert np.allclose(Wm @ Wm.T, np.eye(3), atol=1e-6)
+
+
+def test_pca_project_null_vectors_dropped_and_no_shuffle(spark):
+    """Null embeddings drop out; the projection plan is pure narrow
+    Column algebra — no Exchange, no Python UDF."""
+    from toshokan_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=None),
+    ])
+    model = {"mean": [0.0, 0.0],
+             "components": [[1.0, 0.0], [0.0, 1.0]],
+             "eigvals": [1.0, 1.0]}
+    out = pca_project(df, model)
+    assert [r["vec_id"] for r in out.collect()] == [1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

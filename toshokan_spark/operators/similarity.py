@@ -1105,3 +1105,169 @@ def knn_recall_report(
         n.alias("n_hits"),
         F.round(n / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding space —
+    ``(i, j, cov)`` rows for i <= j, the input to PCA / whitening /
+    ZCA and the drift-monitoring second moment.
+
+    Shape: the cross moments come from ONE narrow pass that explodes
+    each row into its own D(D+1)/2 within-row products (a nested
+    ``transform`` over the vector and its tail slice — no self-join,
+    no id shuffle), partial-aggregated to a D²/2-sized frame; the
+    first moments are the dim-stats posexplode pass. Both moment sums
+    fold through decimal(38,12) (products computed in IEEE double
+    first), so the matrix is partition-order-free and a SQL oracle
+    reproduces it bit-for-bit; covariance then derives per pair as
+    E[xy] − E[x]E[y] in double.
+
+    Scale: the shuffle carries D²/2 × partitions partial rows — model
+    -sized, never corpus-sized. The per-row explode is O(D²) compute
+    per vector, the same work any Gram accumulation does; D=1k ⇒ 500k
+    structs per row, so for very wide embeddings batch through
+    ``mapInPandas`` outer products instead and accept double
+    accumulation (documented trade; this exact path is the oracle)."""
+    v = F.col(vec_col)
+    rows = emb.where(v.isNotNull()).select(v.alias("__v"))
+    n1 = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = rows.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__v, (xi, i) -> "
+                "transform(slice(__v, i + 1, size(__v) - i), (xj, dj) -> "
+                "struct(i AS i, i + dj AS j, "
+                "CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    m2 = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,12)")).alias("s2")
+    )
+    m1 = (
+        rows.select(F.posexplode("__v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias(
+                "s1"
+            )
+        )
+    )
+    mi = m1.select(F.col("i").alias("__i"), F.col("s1").alias("__si"))
+    mj = m1.select(F.col("i").alias("__j"), F.col("s1").alias("__sj"))
+    nd = F.col("n")
+    return (
+        m2.join(F.broadcast(mi), F.col("i") == F.col("__i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("__j"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            (
+                F.round(
+                    F.col("s2").cast("double") / nd
+                    - (F.col("__si").cast("double") / nd)
+                    * (F.col("__sj").cast("double") / nd),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 -> +0.0 (engine-agnostic zero)
+            ).alias("cov"),
+        )
+    )
+
+
+def fit_pca(
+    emb: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict:
+    """Train a PCA model: the covariance matrix comes from the
+    distributed decimal-exact pass (:func:`embedding_covariance` plus
+    the matching mean pass), the eigendecomposition runs DRIVER-LOCAL
+    on the collected D×D matrix — model-sized by construction, the
+    same split as k-means (distributed moments, driver-side solve)
+    and the standard practice for D ≤ a few thousand.
+
+    Sign convention (eigenvectors are sign-ambiguous): each component
+    is flipped so its largest-|w| entry is positive — deterministic,
+    so two fits of the same corpus agree exactly.
+
+    Returns ``{"mean": [D], "components": [k][D] (rows, eigval-desc),
+    "eigvals": [k]}`` — plain lists, ready to broadcast as literals
+    into :func:`pca_project`."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(emb, vec_col).collect()
+    dim = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    mean_rows = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
+                / F.count(F.lit(1))
+            ).cast("double").alias("m")
+        )
+        .collect()
+    )
+    mean = [0.0] * dim
+    for r in mean_rows:
+        mean[r["i"]] = r["m"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for c in order:
+        w = vecs[:, c]
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        comps.append([float(x) for x in w])
+    return {
+        "mean": mean,
+        "components": comps,
+        "eigvals": [float(vals[c]) for c in order],
+    }
+
+
+def pca_project(
+    emb: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Project every vector onto the fitted components (columns
+    ``pc0..pc{k-1}``, eigval-desc) — the dimensionality-reduction /
+    decorrelation step before clustering, dedup bucketing, or
+    visualization; ``whiten=True`` scales each coordinate by
+    1/sqrt(eigval) to unit variance.
+
+    The model rides into the plan as LITERAL arrays (model-sized,
+    k×D doubles): per row the projection is k zip_with/aggregate dot
+    products minus the constant mean dot — pure narrow codegen'd
+    Column algebra, no shuffle, no UDF, exactly the broadcast-matmul
+    shape a 100 TB projection wants."""
+    import math
+
+    cols = [F.col(id_col)]
+    x = F.col(vec_col)
+    for c, (w, ev) in enumerate(zip(model["components"], model["eigvals"])):
+        lit_w = F.array(*[F.lit(float(v)) for v in w])
+        mean_dot = sum(m * v for m, v in zip(model["mean"], w))
+        proj = (
+            F.aggregate(
+                F.zip_with(x, lit_w, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+            - F.lit(float(mean_dot))
+        )
+        if whiten:
+            proj = proj / F.lit(math.sqrt(max(ev, 1e-30)))
+        cols.append(proj.alias(f"{out_prefix}{c}"))
+    return emb.where(x.isNotNull()).select(*cols)
