@@ -3330,3 +3330,29 @@ def test_pca_project_null_vectors_dropped_and_no_shuffle(spark):
     assert [r["vec_id"] for r in out.collect()] == [1]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_covariance_scaled_matches_exact(spark):
+    """The mapInPandas Gram path (wide-embedding scale mode: one
+    D x D block per Arrow batch, partitions x D^2/2 partials) agrees
+    with the decimal-exact explode path to double rounding across a
+    multi-partition frame."""
+    import numpy as np
+
+    from toshokan_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_scaled,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 8))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in r])
+         for i, r in enumerate(X)]
+    ).repartition(4)
+    exact = {(r["i"], r["j"]): r["cov"]
+             for r in embedding_covariance(df).collect()}
+    scaled = {(r["i"], r["j"]): r["cov"]
+              for r in embedding_covariance_scaled(df).collect()}
+    assert set(exact) == set(scaled) and len(exact) == 8 * 9 // 2
+    assert max(abs(exact[k] - scaled[k]) for k in exact) < 1e-6

@@ -1179,7 +1179,8 @@ def embedding_covariance(
 
 
 def fit_pca(
-    emb: DataFrame, k: int, vec_col: str = "embedding"
+    emb: DataFrame, k: int, vec_col: str = "embedding",
+    scaled: bool = False,
 ) -> dict:
     """Train a PCA model: the covariance matrix comes from the
     distributed decimal-exact pass (:func:`embedding_covariance` plus
@@ -1192,12 +1193,16 @@ def fit_pca(
     is flipped so its largest-|w| entry is positive — deterministic,
     so two fits of the same corpus agree exactly.
 
+    ``scaled=True`` swaps in :func:`embedding_covariance_scaled`
+    (the wide-embedding Gram path — same matrix to double rounding).
+
     Returns ``{"mean": [D], "components": [k][D] (rows, eigval-desc),
     "eigvals": [k]}`` — plain lists, ready to broadcast as literals
     into :func:`pca_project`."""
     import numpy as np
 
-    cov_rows = embedding_covariance(emb, vec_col).collect()
+    cov_fn = embedding_covariance_scaled if scaled else embedding_covariance
+    cov_rows = cov_fn(emb, vec_col).collect()
     dim = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((dim, dim))
     for r in cov_rows:
@@ -1271,3 +1276,75 @@ def pca_project(
             proj = proj / F.lit(math.sqrt(max(ev, 1e-30)))
         cols.append(proj.alias(f"{out_prefix}{c}"))
     return emb.where(x.isNotNull()).select(*cols)
+
+
+def embedding_covariance_scaled(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Wide-embedding scale mode of :func:`embedding_covariance`: each
+    Arrow batch contributes ONE D×D Gram block (numpy ``X.T @ X``) and
+    one mean/count block, emitted as D(D+1)/2 partial rows — output is
+    partitions × D²/2, with no per-row D² explode, so D = 1k–4k
+    embeddings (where the exact path's 0.5–8M structs per row stop
+    making sense) stay one narrow pass + a model-sized combine.
+
+    The trade (documented on the exact path): partials accumulate in
+    float64 inside numpy, so the result is exact only to double
+    rounding (≈1e-12 relative) and bitwise-stable only for a fixed
+    partitioning — use the exact path when an oracle or cross-run
+    hash must agree; use this at corpus scale. A tolerance test pins
+    the two paths together."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from pyspark.sql import types as T
+
+    partial_schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("s2", T.DoubleType()),   # sum x_i x_j
+        T.StructField("s1i", T.DoubleType()),  # sum x_i (for this i)
+        T.StructField("s1j", T.DoubleType()),  # sum x_j
+        T.StructField("n", T.LongType()),
+    ])
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            if not vecs:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            G = X.T @ X
+            s1 = X.sum(axis=0)
+            d = X.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "s2": G[iu, ju],
+                "s1i": s1[iu],
+                "s1j": s1[ju],
+                "n": np.full(len(iu), X.shape[0], dtype="int64"),
+            })
+
+    part = emb.select(vec_col).mapInPandas(gram, schema=partial_schema)
+    nd = F.col("n")
+    return (
+        part.groupBy("i", "j")
+        .agg(
+            F.sum("s2").alias("s2"),
+            F.sum("s1i").alias("s1i"),
+            F.sum("s1j").alias("s1j"),
+            F.sum("n").alias("n"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s2") / nd
+                - (F.col("s1i") / nd) * (F.col("s1j") / nd)
+            ).alias("cov"),
+        )
+    )
