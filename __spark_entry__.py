@@ -1608,6 +1608,24 @@ def q_embedding_covariance(spark, sf_dir):
     return embedding_covariance(emb)
 
 
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): labels
+    0-4 play the source language, 5-9 the target; each source
+    vector's best cross-set match survives when cos / mean(two-sided
+    avg top-4 neighborhood) > 1 — closer than its local density
+    predicts. Two broadcast-query kNN passes; every later frame is
+    one row per vector."""
+    from toshokan_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bitext_margin_pairs(
+        emb.where(F.col("label") < 5),
+        emb.where(F.col("label") >= 5),
+        k=4,
+        threshold=1.0,
+    )
+
+
 def q_knn_graph(spark, sf_dir):
     """Corpus-wide approximate k-NN graph (every vector its own
     query) — LCG hyperplane buckets, bucket self-join, per-node
@@ -2045,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_time_travel": q_search_time_travel,
         "search_significant_terms": q_search_significant_terms,
         "embedding_covariance": q_embedding_covariance,
+        "bitext_margin": q_bitext_margin,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2692,6 +2711,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN m1 mi ON mi.i = m2.i
             JOIN m1 mj ON mj.i = m2.j
             CROSS JOIN nn
+        """,
+        # bitext_margin: rank over RAW cosine (ties by id), top-k
+        # scores then rounded; neighborhood averages fold the rounded
+        # scores through decimal(38,12) and divide in double — the
+        # exact arithmetic of the Spark pipeline
+        "bitext_margin": f"""
+            WITH s AS (
+              SELECT vec_id, embedding FROM embeddings WHERE label < 5
+            ), t AS (
+              SELECT vec_id, embedding FROM embeddings WHERE label >= 5
+            ), fraw AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     {_COS.format(a="q.embedding", b="c.embedding")} AS sc
+              FROM s q JOIN t c ON q.vec_id <> c.vec_id
+            ), fwd AS (
+              SELECT qid, nid, round(sc, 6) AS score, rank FROM (
+                SELECT qid, nid, sc,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sc DESC, nid ASC) AS rank
+                FROM fraw) WHERE rank <= 4
+            ), braw AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     {_COS.format(a="q.embedding", b="c.embedding")} AS sc
+              FROM t q JOIN s c ON q.vec_id <> c.vec_id
+            ), bwd AS (
+              SELECT qid, round(sc, 6) AS score FROM (
+                SELECT qid, sc,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sc DESC, nid ASC) AS rank
+                FROM braw) WHERE rank <= 4
+            ), cand AS (
+              SELECT qid AS src_id,
+                     sum(score::DECIMAL(38,12))::DOUBLE / count(*) AS ax,
+                     max(CASE WHEN rank = 1 THEN nid END) AS tgt_id,
+                     max(CASE WHEN rank = 1 THEN score END) AS cos
+              FROM fwd GROUP BY 1
+            ), nbh AS (
+              SELECT qid AS t_id,
+                     sum(score::DECIMAL(38,12))::DOUBLE / count(*) AS ay
+              FROM bwd GROUP BY 1
+            )
+            SELECT src_id, tgt_id, cos,
+                   round(cos / ((ax + ay) / 2.0), 6) AS margin
+            FROM cand JOIN nbh ON tgt_id = t_id
+            WHERE round(cos / ((ax + ay) / 2.0), 6) > 1.0
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

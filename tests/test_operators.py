@@ -3356,3 +3356,46 @@ def test_covariance_scaled_matches_exact(spark):
               for r in embedding_covariance_scaled(df).collect()}
     assert set(exact) == set(scaled) and len(exact) == 8 * 9 // 2
     assert max(abs(exact[k] - scaled[k]) for k in exact) < 1e-6
+
+
+def test_bitext_margin_hand_geometry(spark):
+    """Margin criterion on hand vectors: an isolated exact match
+    (s1=t1) scores a high margin; a pair inside a dense clump
+    (s2 between the near-duplicate t2/t3) is dragged toward 1 by its
+    neighborhood average — a raw-cosine threshold could not separate
+    them (cos(s2,t2)=0.995 vs cos(s1,t1)=1.0)."""
+    from toshokan_spark.operators.similarity import bitext_margin_pairs
+
+    src = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+    ])
+    tgt = spark.createDataFrame([
+        Row(vec_id=11, embedding=[1.0, 0.0]),
+        Row(vec_id=12, embedding=[0.1, 1.0]),
+        Row(vec_id=13, embedding=[-0.1, 1.0]),
+    ])
+    out = {
+        r["src_id"]: (r["tgt_id"], r["cos"], r["margin"])
+        for r in bitext_margin_pairs(src, tgt, k=2, threshold=1.0).collect()
+    }
+    # replicate the pipeline arithmetic: rounded top-k scores, mean
+    c = lambda a, b: round(
+        (a[0] * b[0] + a[1] * b[1])
+        / ((a[0] ** 2 + a[1] ** 2) ** 0.5 * (b[0] ** 2 + b[1] ** 2) ** 0.5),
+        6,
+    )
+    s1, s2 = [1.0, 0.0], [0.0, 1.0]
+    t1, t2, t3 = [1.0, 0.0], [0.1, 1.0], [-0.1, 1.0]
+    ax1 = (c(s1, t1) + c(s1, t2)) / 2          # s1 top-2: t1, t2
+    ax2 = (c(s2, t2) + c(s2, t3)) / 2          # tie -> both 0.995037
+    ay1 = (c(t1, s1) + c(t1, s2)) / 2
+    ay2 = (c(t2, s2) + c(t2, s1)) / 2
+    assert out[1][0] == 11 and out[1][1] == 1.0
+    assert out[1][2] == round(1.0 / ((ax1 + ay1) / 2), 6)
+    assert out[2][0] == 12                      # tie broken by id asc
+    assert out[2][2] == round(c(s2, t2) / ((ax2 + ay2) / 2), 6)
+    assert out[1][2] > out[2][2]
+    # a tighter threshold keeps only the isolated exact match
+    strict = bitext_margin_pairs(src, tgt, k=2, threshold=1.5).collect()
+    assert [(r["src_id"], r["tgt_id"]) for r in strict] == [(1, 11)]

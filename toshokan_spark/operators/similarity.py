@@ -1348,3 +1348,62 @@ def embedding_covariance_scaled(
             ).alias("cov"),
         )
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus recipe): each source vector's best
+    cross-set match is kept when its RATIO MARGIN beats *threshold* —
+    cos(x,y) divided by the mean of the two sides' average top-k
+    neighborhoods, so a pair only survives if it is closer than its
+    local density predicts (raw cosine thresholds fail exactly where
+    hubs make everything look close).
+
+    Built on two :func:`knn_bruteforce` passes (src→tgt, tgt→src),
+    so the corpus sides stay un-shuffled under broadcast queries and
+    every downstream frame is top-k-aggregate-sized (one row per
+    vector, then one per candidate pair). Forward strategy: candidates
+    are the src side's rank-1 matches. Determinism: neighborhood
+    averages fold the ROUNDED knn scores through decimal(38,12)
+    (order-free) and divide in double, so an oracle repeating the
+    formula agrees bit-for-bit.
+
+    Scale: swap the brute-force passes for :func:`knn_ivf` /
+    :func:`knn_lsh` candidates — the margin algebra is unchanged."""
+    fwd = knn_bruteforce(
+        tgt, src, k=k, id_col=id_col, vec_col=vec_col, query_id_col=id_col
+    )
+    bwd = knn_bruteforce(
+        src, tgt, k=k, id_col=id_col, vec_col=vec_col, query_id_col=id_col
+    )
+    sdec = F.sum(F.col("score").cast("decimal(38,12)")).cast("double")
+    cand = fwd.groupBy("query_id").agg(
+        (sdec / F.count(F.lit(1))).alias("ax"),
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+            "tgt_id"
+        ),
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("cos"),
+    )
+    nb = bwd.groupBy("query_id").agg(
+        (sdec / F.count(F.lit(1))).alias("ay")
+    ).withColumnRenamed("query_id", "__t")
+    out = (
+        cand.join(nb, F.col("tgt_id") == F.col("__t"))
+        .select(
+            F.col("query_id").alias("src_id"),
+            "tgt_id",
+            "cos",
+            F.round(
+                F.col("cos") / ((F.col("ax") + F.col("ay")) / F.lit(2.0)), 6
+            ).alias("margin"),
+        )
+        .where(F.col("margin") > threshold)
+    )
+    return out
