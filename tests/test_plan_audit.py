@@ -512,3 +512,94 @@ def test_tokenizer_fertility_single_pass_no_join(plans9):
     a = plans9["tokenizer_fertility"]
     assert a["joins"] == "-", a
     assert a["scans"] == 1, a
+
+
+#: round-9 search/embedding additions with pinned plan invariants
+ROUND9B = [
+    "search_stats_manifest",
+    "search_extended_stats",
+    "search_histogram",
+    "search_ranges",
+    "search_time_travel",
+    "search_significant_terms",
+    "embedding_covariance",
+    "bitext_margin",
+]
+
+
+@pytest.fixture(scope="module")
+def plans9b(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND9B:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan.split("== Initial Plan ==")[0])
+    return out
+
+
+def test_manifest_stats_scans_nothing(plans9b):
+    """The match-all stats panel is MANIFEST-ONLY: the executed plan
+    must contain ZERO parquet scans — the entire answer is driver-side
+    additive-stat arithmetic over a 1-row local frame. This is the
+    whole point of the commit-time [count, decimal-sum] bookkeeping."""
+    a = plans9b["search_stats_manifest"]
+    assert a["scans"] == 0, a
+    assert a["joins"] == "-", a
+
+
+def test_hit_set_panels_single_scan_no_join(plans9b):
+    """extended-stats / numeric-histogram / range aggs are one corpus
+    scan into a partial aggregate — no join, no window, no cartesian;
+    the single exchange is the aggregation combine."""
+    for name in ("search_extended_stats", "search_histogram",
+                 "search_ranges"):
+        a = plans9b[name]
+        assert a["scans"] == 1, (name, a)
+        assert a["joins"] == "-", (name, a)
+
+
+def test_time_travel_scans_only_the_snapshot(plans9b):
+    """at_version=2 manifests exactly one segment — the scan count
+    must not include the later segment's data."""
+    a = plans9b["search_time_travel"]
+    assert a["scans"] == 1, a
+    assert a["joins"] == "-", a
+
+
+def test_significant_terms_background_is_metadata(plans9b):
+    """The background model reads the stats parquet(s); only the hit
+    set is tokenized. Joins stay broadcast (hit-vocab-sized fg against
+    vocab-sized bg + two 1-row totals) — a sort-merge join here would
+    mean the vocabulary frames are being shuffled like corpora."""
+    a = plans9b["search_significant_terms"]
+    assert "SortMergeJoin" not in a["joins"], a
+    assert "CartesianProduct" not in a["joins"], a
+    # documents tokenize pass + all-columns-pruned fg count pass +
+    # stats parquet read twice (per-term df + the 1-row totals)
+    assert a["scans"] <= 4, a
+
+
+def test_covariance_single_scan_no_join(plans9b):
+    """Exact covariance: the D-sized first moments are collected at
+    call time and re-enter as an indexed literal array, so the
+    RETURNED plan is ONE corpus scan into the (i,j)-keyed partial
+    aggregate — no join at all (a join against the model-sized means
+    frame would re-execute that pass once per reference)."""
+    a = plans9b["embedding_covariance"]
+    assert a["scans"] == 1, a
+    assert a["joins"] == "-", a
+
+
+def test_bitext_margin_broadcast_knn_no_cartesian(plans9b):
+    """Both kNN passes broadcast the query side over an un-shuffled
+    corpus (BroadcastNestedLoopJoin is the expected cross shape);
+    the margin combine joins per-vector aggregate frames — no
+    CartesianProduct anywhere."""
+    a = plans9b["bitext_margin"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "BroadcastNestedLoopJoin" in a["joins"] or \
+        "BroadcastHashJoin" in a["joins"], a

@@ -1117,22 +1117,51 @@ def embedding_covariance(
     Shape: the cross moments come from ONE narrow pass that explodes
     each row into its own D(D+1)/2 within-row products (a nested
     ``transform`` over the vector and its tail slice — no self-join,
-    no id shuffle), partial-aggregated to a D²/2-sized frame; the
-    first moments are the dim-stats posexplode pass. Both moment sums
-    fold through decimal(38,12) (products computed in IEEE double
-    first), so the matrix is partition-order-free and a SQL oracle
-    reproduces it bit-for-bit; covariance then derives per pair as
+    no id shuffle), partial-aggregated to a D²/2-sized frame. The
+    FIRST moments are model-sized by construction (D rows), so they
+    are collected driver-side (one posexplode pass; the vector count
+    rides it as the dim-0 count) and re-enter the pair combine as an
+    indexed LITERAL array — the returned plan is a single corpus scan
+    with no join at all. Moment sums fold through decimal(38,12)
+    (products computed in IEEE double first), so the matrix is
+    partition-order-free and a SQL oracle reproduces it bit-for-bit
+    (decimal→double collection is the same correctly-rounded cast the
+    in-plan version would apply); covariance derives per pair as
     E[xy] − E[x]E[y] in double.
 
     Scale: the shuffle carries D²/2 × partitions partial rows — model
     -sized, never corpus-sized. The per-row explode is O(D²) compute
     per vector, the same work any Gram accumulation does; D=1k ⇒ 500k
-    structs per row, so for very wide embeddings batch through
-    ``mapInPandas`` outer products instead and accept double
-    accumulation (documented trade; this exact path is the oracle)."""
+    structs per row, so for very wide embeddings use
+    :func:`embedding_covariance_scaled` (mapInPandas Gram blocks) and
+    accept double accumulation (documented trade; this exact path is
+    the oracle)."""
     v = F.col(vec_col)
     rows = emb.where(v.isNotNull()).select(v.alias("__v"))
-    n1 = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m1_rows = (
+        rows.select(F.posexplode("__v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias(
+                "s1"
+            ),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .collect()
+    )
+    if not m1_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "i int, j int, cov double"
+        )
+    dim = max(r["i"] for r in m1_rows) + 1
+    s1 = [0.0] * dim
+    n = 0
+    for r in m1_rows:
+        s1[r["i"]] = float(r["s1"])  # correctly-rounded decimal→double
+        if r["i"] == 0:
+            n = r["cnt"]
+    s1_arr = F.array(*[F.lit(x) for x in s1])
+    nd = F.lit(float(n))
     pairs = rows.select(
         F.explode(
             F.expr(
@@ -1143,33 +1172,17 @@ def embedding_covariance(
             )
         ).alias("s")
     ).select("s.i", "s.j", "s.p")
-    m2 = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,12)")).alias("s2")
-    )
-    m1 = (
-        rows.select(F.posexplode("__v").alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias(
-                "s1"
-            )
-        )
-    )
-    mi = m1.select(F.col("i").alias("__i"), F.col("s1").alias("__si"))
-    mj = m1.select(F.col("i").alias("__j"), F.col("s1").alias("__sj"))
-    nd = F.col("n")
     return (
-        m2.join(F.broadcast(mi), F.col("i") == F.col("__i"))
-        .join(F.broadcast(mj), F.col("j") == F.col("__j"))
-        .crossJoin(F.broadcast(n1))
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,12)")).alias("s2"))
         .select(
             F.col("i").cast("int").alias("i"),
             F.col("j").cast("int").alias("j"),
             (
                 F.round(
                     F.col("s2").cast("double") / nd
-                    - (F.col("__si").cast("double") / nd)
-                    * (F.col("__sj").cast("double") / nd),
+                    - (F.element_at(s1_arr, F.col("i") + 1) / nd)
+                    * (F.element_at(s1_arr, F.col("j") + 1) / nd),
                     6,
                 )
                 + F.lit(0.0)  # -0.0 -> +0.0 (engine-agnostic zero)
