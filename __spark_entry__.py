@@ -493,6 +493,31 @@ def q_search_significant_terms(spark, sf_dir):
     )
 
 
+def q_quality_ensemble(spark, sf_dir):
+    """Rank-fusion quality ensemble over three heterogeneous signals
+    (length, lexical diversity, mean word length — the last negated:
+    lower is better): exact global ranks via the two-level prefix
+    decomposition (NO single-task window), min-max normalized and
+    averaged. Rank fusion needs no per-signal calibration — the
+    DataComp/FineWeb way to combine filters whose scales disagree."""
+    from toshokan_spark.operators.dedup import words_col
+    from toshokan_spark.operators.text import quality_ensemble
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    w = words_col(t)
+    div = F.when(
+        F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)
+    ).otherwise(F.lit(0.0))
+    mwl = F.when(F.size(w) > 0, F.length(t) / F.size(w)).otherwise(
+        F.lit(0.0)
+    )
+    return quality_ensemble(
+        docs,
+        [("len", F.col("n_chars")), ("div", div), ("mwl", -mwl)],
+    )
+
+
 def q_json_path_filter(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2064,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_significant_terms": q_search_significant_terms,
         "embedding_covariance": q_embedding_covariance,
         "bitext_margin": q_bitext_margin,
+        "quality_ensemble": q_quality_ensemble,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2756,6 +2782,40 @@ def oracle_sql() -> dict[str, str]:
                    round(cos / ((ax + ay) / 2.0), 6) AS margin
             FROM cand JOIN nbh ON tgt_id = t_id
             WHERE round(cos / ((ax + ay) / 2.0), 6) > 1.0
+        """,
+        # quality_ensemble: exact global ranks (goodness asc, doc_id
+        # tiebreak; word-length signal negated), min-max normalized,
+        # mean of the three in declared order — identical arithmetic
+        "quality_ensemble": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     n_chars::DOUBLE AS s_len,
+                     CASE WHEN len(w) > 0
+                          THEN len(list_distinct(w))::DOUBLE / len(w)
+                          ELSE 0.0 END AS s_div,
+                     CASE WHEN len(w) > 0
+                          THEN length(t)::DOUBLE / len(w)
+                          ELSE 0.0 END AS s_mwl
+              FROM (
+                SELECT doc_id, n_chars, coalesce(text, '') AS t,
+                       {_WORDS.replace("text", "coalesce(text, '')")} AS w
+                FROM documents)
+            ), r AS (
+              SELECT doc_id,
+                row_number() OVER (ORDER BY s_len, doc_id) AS r_len,
+                row_number() OVER (ORDER BY s_div, doc_id) AS r_div,
+                row_number() OVER (ORDER BY -s_mwl, doc_id) AS r_mwl,
+                count(*) OVER () AS n
+              FROM s
+            )
+            SELECT doc_id, r_len::BIGINT AS rank_len,
+                   r_div::BIGINT AS rank_div, r_mwl::BIGINT AS rank_mwl,
+                   round((
+                     (r_len - 1) / (n - 1)
+                     + (r_div - 1) / (n - 1)
+                     + (r_mwl - 1) / (n - 1)
+                   ) / 3.0, 6) AS ensemble
+            FROM r
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

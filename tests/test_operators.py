@@ -3399,3 +3399,34 @@ def test_bitext_margin_hand_geometry(spark):
     # a tighter threshold keeps only the isolated exact match
     strict = bitext_margin_pairs(src, tgt, k=2, threshold=1.5).collect()
     assert [(r["src_id"], r["tgt_id"]) for r in strict] == [(1, 11)]
+
+
+def test_quality_ensemble_rank_fusion(spark):
+    """Hand corpus: ranks are exact (ties by id), min-max normalized,
+    averaged in declared order; a single-row frame degenerates to the
+    0.5 midpoint instead of dividing by zero."""
+    from toshokan_spark.operators.text import quality_ensemble
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, a=10.0, b=0.1),
+        Row(doc_id=2, a=30.0, b=0.1),   # b ties with doc 1 -> id order
+        Row(doc_id=3, a=20.0, b=0.9),
+    ])
+    out = {
+        r["doc_id"]: (r["rank_a"], r["rank_b"], r["ensemble"])
+        for r in quality_ensemble(
+            df, [("a", F.col("a")), ("b", F.col("b"))]
+        ).collect()
+    }
+    # a: 10<20<30 -> ranks 1,3,2 by doc; b: 0.1(id1)<0.1(id2)<0.9
+    assert out[1][:2] == (1, 1) and out[2][:2] == (3, 2)
+    assert out[3][:2] == (2, 3)
+    assert out[1][2] == 0.0                      # worst on both
+    assert out[2][2] == round((1.0 + 0.5) / 2, 6)
+    assert out[3][2] == round((0.5 + 1.0) / 2, 6)
+
+    one = quality_ensemble(
+        spark.createDataFrame([Row(doc_id=9, a=5.0)]),
+        [("a", F.col("a"))],
+    ).collect()
+    assert one[0]["ensemble"] == 0.5

@@ -1800,3 +1800,63 @@ def tokenizer_fertility(
             6,
         ).alias("bytes_per_token"),
     )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    signals: "list[tuple[str, Column]]",
+    id_col: str = "doc_id",
+    n_coarse: int = 64,
+    materialize: bool = True,
+) -> DataFrame:
+    """Rank-fusion quality ensembling (the DataComp/FineWeb practice
+    of combining heterogeneous quality signals): each signal column
+    (oriented GOODNESS-ASCENDING — negate lower-is-better ones) gets
+    an exact global rank, ranks are min-max normalized to [0, 1] and
+    averaged in declared order. Rank fusion is scale-free — it needs
+    no per-signal calibration, unlike z-scores over wildly different
+    distributions — and the ties-by-id total order makes the output
+    deterministic.
+
+    Scale: each rank is :func:`~toshokan_spark.operators.util.
+    grouped_prefix` over a constant group — the exact two-level
+    prefix decomposition, so NO single-task global window ever runs
+    (one window per (signal, coarse-bucket), n_coarse-way parallel).
+    The doc count rides a 1-row broadcast. K signals cost K ranked
+    passes; the output adds K rank columns plus the fused score.
+    """
+    from toshokan_spark.operators.util import grouped_prefix
+
+    cur = df.withColumn("__g", F.lit(0))
+    names = []
+    for name, col in signals:
+        cur = cur.withColumn(f"__s_{name}", col.cast("double"))
+    for name, _ in signals:
+        s = F.col(f"__s_{name}")
+        cur = grouped_prefix(
+            cur,
+            "__g",
+            s,
+            [s.asc(), F.col(id_col).asc()],
+            n_coarse=n_coarse,
+            rank_col=f"__r_{name}",
+            materialize=materialize,
+        )
+        names.append(name)
+    n1 = cur.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    cur = cur.crossJoin(F.broadcast(n1))
+    norm = lambda nm: F.when(
+        F.col("__n") > 1,
+        (F.col(f"__r_{nm}") - F.lit(1)) / (F.col("__n") - F.lit(1)),
+    ).otherwise(F.lit(0.5))
+    fused = norm(names[0])
+    for nm in names[1:]:
+        fused = fused + norm(nm)
+    return cur.select(
+        F.col(id_col),
+        *[
+            F.col(f"__r_{nm}").cast("long").alias(f"rank_{nm}")
+            for nm in names
+        ],
+        F.round(fused / F.lit(float(len(names))), 6).alias("ensemble"),
+    )
