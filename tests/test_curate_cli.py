@@ -444,3 +444,55 @@ def test_search_cli_time_travel(spark, tmp_path, capsys):
     assert cli.main(["--catalog", cat, "search", "ttidx", "*",
                      "--limit", "10"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 2
+
+
+def test_curate_cli_ensemble_gate(spark, tmp_path, capsys):
+    """--ensemble-threshold inserts the rank-fusion gate: threshold 0
+    keeps every quality survivor (gate is a no-op at the floor), a
+    high threshold thins the set, and the stage count is reported."""
+    import json as _json
+    import re
+
+    from toshokan_spark import cli
+
+    rows = [
+        {"doc_id": i,
+         "text": ("alpha beta gamma delta epsilon zeta " * (1 + i % 5)
+                  + ("spam " * 40 if i % 7 == 0 else "")).strip(),
+         "source": f"s{i % 2}"}
+        for i in range(24)
+    ]
+    jsonl = tmp_path / "docs.jsonl"
+    jsonl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "ensidx",
+        "path": str(tmp_path / "data"),
+        "schema": {"fields": [
+            {"name": "doc_id", "type": "number"},
+            {"name": "text", "type": "text"},
+            {"name": "source", "type": "text", "tokenizer": "raw"},
+        ]},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "ensidx", str(jsonl)]) == 0
+    capsys.readouterr()
+
+    def run(*extra):
+        assert cli.main([
+            "--catalog", cat, "curate", "ensidx",
+            "--source-field", "source", "--seq-len", "32",
+            *extra,
+        ]) == 0
+        out = capsys.readouterr().out
+        return {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(r"^  (\w+)\s+(\d+)$", out, re.M)
+        }
+
+    floor = run("--ensemble-threshold", "0")
+    assert floor["ensemble_kept"] == floor["quality_kept"]
+    thinned = run("--ensemble-threshold", "0.6")
+    assert 0 < thinned["ensemble_kept"] < thinned["quality_kept"]

@@ -166,6 +166,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="trained (idx, w) weight-table parquet: adds the"
                     " hashed-feature classifier gate after the Gopher rules")
     pu.add_argument("--quality-model-dim", type=int, default=4096)
+    pu.add_argument("--ensemble-threshold", type=float, default=None,
+                    help="rank-fusion quality-ensemble gate: keep docs whose"
+                    " fused normalized rank over (length, diversity, -mean"
+                    " word length) is >= this threshold in [0,1]")
     pu.add_argument("--dsir-target", default=None,
                     help="index query selecting the DSIR target subset"
                     " (adds a log_weight column to the output)")
@@ -474,6 +478,7 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=a.jaccard_threshold,
             quality_model_path=a.quality_model,
             quality_model_dim=a.quality_model_dim,
+            ensemble_threshold=a.ensemble_threshold,
             dsir_target_query=a.dsir_target,
             repeat_budget=a.repeat_budget,
             mixture_alpha=a.mixture_alpha,

@@ -67,6 +67,7 @@ def curate(
     jaccard_threshold: float = 0.5,
     quality_model_path: Optional[str] = None,
     quality_model_dim: int = 4096,
+    ensemble_threshold: Optional[float] = None,
     dsir_target_query: Optional[str] = None,
     dsir_dim: int = 4096,
     repeat_budget: Optional[int] = None,
@@ -101,6 +102,15 @@ def curate(
     ``curriculum_stages`` orders the (expanded) train instances
     easy-first by token count with a seeded within-stage shuffle
     before packing (packing then consumes the curriculum position).
+
+    ``ensemble_threshold`` adds the rank-fusion quality-ensemble
+    gate after the rule/model gates: documents keep only if their
+    fused min-max-normalized rank over (length, lexical diversity,
+    −mean-word-length) reaches the threshold in [0, 1] — a THRESHOLD,
+    not a fraction, so the cut is one scale-free comparison per doc
+    (an exact top-fraction would be another global rank; callers who
+    want that compose :func:`~toshokan_spark.operators.text.
+    quality_ensemble` directly).
 
     ``dedup_method`` picks the near-dup pair generator: ``jaccard``
     (exact co-shingle self-join — right for small/medium corpora) or
@@ -185,6 +195,33 @@ def curate(
             ).persist()
             cached.append(quality)
             stage("classifier_kept", quality.count())
+
+        # 4c. optional rank-fusion ensemble gate (threshold on the
+        # fused normalized rank; signals mirror the quality_ensemble
+        # entry: length, lexical diversity, -mean word length)
+        if ensemble_threshold is not None:
+            from toshokan_spark.operators.dedup import words_col
+
+            t = F.coalesce(F.col("text"), F.lit(""))
+            w = words_col(t)
+            div = F.when(
+                F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)
+            ).otherwise(F.lit(0.0))
+            mwl = F.when(
+                F.size(w) > 0, F.length(t) / F.size(w)
+            ).otherwise(F.lit(0.0))
+            fused = textops.quality_ensemble(
+                quality,
+                [("len", F.length(t)), ("div", div), ("mwl", -mwl)],
+            )
+            quality = quality.join(
+                fused.filter(
+                    F.col("ensemble") >= ensemble_threshold
+                ).select("doc_id"),
+                "doc_id",
+            ).persist()
+            cached.append(quality)
+            stage("ensemble_kept", quality.count())
 
         # 5. CCNet tail thinning (head+middle whole, hash-sampled tail)
         selected = textops.ccnet_select(
