@@ -437,7 +437,8 @@ def main(argv: list[str] | None = None) -> int:
             from toshokan_spark.search import prettify_doc, scored_search_df
 
             df = scored_search_df(
-                spark, catalog, a.index, a.query, a.score_field, limit=a.limit
+                spark, catalog, a.index, a.query, a.score_field,
+                limit=a.limit, at_version=a.at_version,
             )
             config = catalog.get_index(a.index)
             for r in df.collect():

@@ -1137,7 +1137,9 @@ def embedding_covariance(
     accept double accumulation (documented trade; this exact path is
     the oracle)."""
     v = F.col(vec_col)
-    rows = emb.where(v.isNotNull()).select(v.alias("__v"))
+    # spread(): the O(D²)-per-row pair explode is narrow — a small
+    # parquet arrives as ONE split and would serialize on one core
+    rows = spread(emb.where(v.isNotNull()).select(v.alias("__v")))
     m1_rows = (
         rows.select(F.posexplode("__v").alias("i", "x"))
         .groupBy("i")

@@ -240,6 +240,7 @@ def scored_search_df(
     query: str,
     score_field: str,
     limit: int = 10,
+    at_version: Optional[int] = None,
 ) -> DataFrame:
     """BM25-ranked search (the reference's relevance path,
     `search.rs:188` — but globally re-ranked, SURVEY §2.5 deviation):
@@ -271,7 +272,7 @@ def scored_search_df(
     from toshokan_spark.storage import join_path
 
     config = catalog.get_index(index_name)
-    segs = catalog.segments(index_name)
+    segs = catalog.segments(index_name, at_version=at_version)
     node = parse_query(query)
     lo, hi, segs = _pruned_segments(config, segs, node)
     paths = [join_path(config.path, s.file_name) for s in segs]
