@@ -351,6 +351,49 @@ def q_search_time_travel(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+_DELETE_INDEX_CACHE: dict = {}
+
+
+def q_search_deletes(spark, sf_dir):
+    """Delete-by-query tombstones (the GDPR-style removal a training
+    -data store needs): a real index over the user_id<50 events gets
+    a ``delete event_type:error`` tombstone — recorded in one CAS
+    manifest write, applied as a compiled anti-filter by every read
+    with NO data rewrite (the merge is the physical materialization,
+    tested separately). Match-all search must show only survivors."""
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index
+    from toshokan_spark.search import search_df
+
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELETE_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="delidx-")
+        catalog = FsCatalog(f"{root}/cat")
+        config = IndexConfig(
+            name="events_del",
+            path=f"{root}/data/events_del",
+            fields=[
+                FieldConfig(name="event_id", type="number", number_type="i64"),
+                FieldConfig(name="user_id", type="number", number_type="i64"),
+                FieldConfig(name="event_type", type="text", tokenizer="raw"),
+                FieldConfig(name="value", type="number", number_type="f64"),
+            ],
+        )
+        create_index(catalog, config)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_segment(catalog, config, ev.where(F.col("user_id") < 50))
+        catalog.add_delete("events_del", "event_type:error")
+        _DELETE_INDEX_CACHE[key] = catalog
+    catalog = _DELETE_INDEX_CACHE[key]
+    out = search_df(spark, catalog, "events_del", "*", limit=None)
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -2090,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "bitext_margin": q_bitext_margin,
         "quality_ensemble": q_quality_ensemble,
+        "search_deletes": q_search_deletes,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2816,6 +2860,14 @@ def oracle_sql() -> dict[str, str]:
                      + (r_mwl - 1) / (n - 1)
                    ) / 3.0, 6) AS ensemble
             FROM r
+        """,
+        # search_deletes: tombstone semantics — NOT(event_type =
+        # 'error') over the ingested subset; SQL's NOT also drops
+        # null-predicate rows, matching the compiled anti-filter
+        "search_deletes": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE user_id < 50 AND NOT (event_type = 'error')
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

@@ -496,3 +496,48 @@ def test_curate_cli_ensemble_gate(spark, tmp_path, capsys):
     assert floor["ensemble_kept"] == floor["quality_kept"]
     thinned = run("--ensemble-threshold", "0.6")
     assert 0 < thinned["ensemble_kept"] < thinned["quality_kept"]
+
+
+def test_delete_cli_lifecycle(spark, tmp_path, capsys):
+    """delete records a tombstone (bad syntax fails fast), search masks
+    immediately, stats reports it, merge materializes and clears."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    rows = [{"id": i, "sev": "ERROR" if i % 2 else "INFO", "cost": float(i)}
+            for i in range(6)]
+    jsonl = tmp_path / "d.jsonl"
+    jsonl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    cfg = {"name": "dl", "path": str(tmp_path / "data"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"},
+               {"name": "cost", "type": "number", "number_type": "f64"}]}}
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "dl", str(jsonl)]) == 0
+    # second segment so merge has >= 2 inputs
+    assert cli.main(["--catalog", cat, "index", "dl", str(jsonl)]) == 0
+    capsys.readouterr()
+
+    with pytest.raises(Exception):  # syntax error fails fast, no record
+        cli.main(["--catalog", cat, "delete", "dl", "sev:[unclosed"])
+    assert cli.main(["--catalog", cat, "delete", "dl", "sev:ERROR"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "dl", "*",
+                     "--limit", "20"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(docs) == 6 and all(d["sev"] == "INFO" for d in docs)
+
+    assert cli.main(["--catalog", cat, "stats", "dl"]) == 0
+    out = capsys.readouterr().out
+    assert "1 pending delete(s)" in out and "sev:ERROR" in out
+
+    assert cli.main(["--catalog", cat, "merge", "dl"]) == 0
+    assert "(6 rows)" in capsys.readouterr().out
+    assert cli.main(["--catalog", cat, "stats", "dl"]) == 0
+    assert "pending" not in capsys.readouterr().out

@@ -556,11 +556,11 @@ def test_concurrent_manifest_commits_lose_nothing(spark, catalog, tmp_path):
     orig = catalog._try_write_version
     fired = []
 
-    def race(name, version, segs):
+    def race(name, version, segs, deletes=None):
         if not fired:
             fired.append(1)
             assert other.commit_segment("cc_test", entry(2))
-        return orig(name, version, segs)
+        return orig(name, version, segs, deletes)
 
     catalog._try_write_version = race
     try:

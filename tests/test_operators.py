@@ -3430,3 +3430,95 @@ def test_quality_ensemble_rank_fusion(spark):
         [("a", F.col("a"))],
     ).collect()
     assert one[0]["ensemble"] == 0.5
+
+
+def test_delete_masks_reads_immediately_and_snapshots_dont(spark, _stats_index):
+    """A recorded tombstone masks matching rows on the NEXT read (no
+    data rewrite), masks post-delete ingests of matching rows too
+    (predicate semantics), invalidates the manifest stats fast path,
+    and is invisible to pre-delete snapshots."""
+    from pyspark.sql import Row as R
+
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.search import manifest_stats, search_df
+
+    cat, cfg = _stats_index
+    pre_version = cat.versions("mstats")[-1]
+    d = cat.add_delete("mstats", "id:>=3")
+    assert [x.id for x in cat.deletes("mstats")] == [d.id]
+
+    ids = lambda df: sorted(r["id"] for r in df.collect())
+    assert ids(search_df(spark, cat, "mstats", "*", limit=None)) == [1, 2]
+    # manifest stats would count the masked rows -> must fall back
+    assert manifest_stats(spark, cat, cfg, "v") is None
+    # pre-delete snapshot: all four rows, tombstone of THAT version
+    assert ids(
+        search_df(spark, cat, "mstats", "*", limit=None,
+                  at_version=pre_version)
+    ) == [1, 2, 3, 4]
+    # post-delete ingest of a matching row stays masked; the commit's
+    # CAS preserves the pending tombstone
+    write_segment(cat, cfg, spark.createDataFrame([R(id=7, v=9.0)]))
+    assert len(cat.deletes("mstats")) == 1
+    assert ids(search_df(spark, cat, "mstats", "*", limit=None)) == [1, 2]
+
+
+def test_delete_merge_materializes_and_clears(spark, _stats_index):
+    """A full merge physically rewrites survivors only, clears the
+    tombstone in the same atomic manifest write, records the TRUE
+    row count, and conservatively drops the additive stats (they
+    counted deleted rows)."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import search_df
+    from toshokan_spark.storage import join_path
+
+    cat, cfg = _stats_index
+    cat.add_delete("mstats", "id:>=3")
+    entry = merge_segments(spark, cat, "mstats")
+    assert entry.num_rows == 2 and cat.deletes("mstats") == []
+    assert entry.field_sums is None
+    # physically gone: the raw parquet itself holds only survivors
+    raw = spark.read.parquet(join_path(cfg.path, entry.file_name))
+    assert sorted(r["id"] for r in raw.collect()) == [1, 2]
+    assert sorted(
+        r["id"]
+        for r in search_df(spark, cat, "mstats", "*", limit=None).collect()
+    ) == [1, 2]
+
+
+def test_partial_merge_keeps_tombstone_pending(spark, _stats_index):
+    """A tiered (max_segments) merge materializes the delete in what
+    it rewrites but must NOT clear the tombstone — the untouched
+    segment still holds matching rows; reads stay masked and a later
+    full merge finishes the job."""
+    from pyspark.sql import Row as R
+
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import search_df
+
+    cat, cfg = _stats_index
+    write_segment(cat, cfg, spark.createDataFrame([R(id=8, v=8.0)]))
+    cat.add_delete("mstats", "id:>=3")
+    merge_segments(spark, cat, "mstats", max_segments=2)
+    assert len(cat.deletes("mstats")) == 1  # still pending
+    assert sorted(
+        r["id"]
+        for r in search_df(spark, cat, "mstats", "*", limit=None).collect()
+    ) == [1, 2]
+    merge_segments(spark, cat, "mstats")
+    assert cat.deletes("mstats") == []
+
+
+def test_delete_wipe_merges_to_segment_removal(spark, _stats_index):
+    """A match-all tombstone wipes everything: the merge returns None,
+    removes every covered segment, and leaves an empty index (no
+    unreadable zero-row parquet is ever manifested)."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import search_df
+
+    cat, cfg = _stats_index
+    cat.add_delete("mstats", "*")
+    assert merge_segments(spark, cat, "mstats") is None
+    assert cat.segments("mstats") == [] and cat.deletes("mstats") == []
+    assert search_df(spark, cat, "mstats", "*", limit=None).count() == 0

@@ -55,6 +55,7 @@ from toshokan_spark.storage import (
 
 __all__ = [
     "CatalogError",
+    "DeleteEntry",
     "FsCatalog",
     "SegmentEntry",
     "uuid7",
@@ -126,6 +127,28 @@ class SegmentEntry:
     #: combine across segments (and merges) by plain Decimal addition,
     #: order-free. None = old manifest, fall back to scanning.
     field_sums: Optional[dict] = None
+
+
+@dataclass
+class DeleteEntry:
+    """A pending delete-by-query tombstone (versioned in the manifest
+    next to the segments). The query is stored in the index's OWN
+    search language — auditable, replayable, and compiled fresh at
+    read time against whatever schema the scan resolves.
+
+    Semantics: a PREDICATE tombstone, not a row set — every read
+    anti-filters the whole index with the compiled query until a merge
+    physically materializes the delete (rewrites survivors, clears the
+    entry). Rows ingested AFTER the delete that match it are therefore
+    also masked; for the compliance use-case this is the conservative
+    direction (matching data cannot resurface through re-ingestion
+    while the tombstone is pending). Time travel applies the deletes
+    OF THE QUERIED VERSION — a pre-delete snapshot still shows the
+    rows, exactly as Iceberg/Delta snapshot semantics prescribe."""
+
+    id: str
+    query: str
+    created_at_ms: int
 
 
 class CatalogError(RuntimeError):
@@ -209,6 +232,12 @@ class FsCatalog:
     KEEP_VERSIONS = 10
 
     def _read_versioned(self, name: str) -> tuple[int, list[SegmentEntry]]:
+        ver, segs, _deletes = self._read_versioned_full(name)
+        return ver, segs
+
+    def _read_versioned_full(
+        self, name: str
+    ) -> "tuple[int, list[SegmentEntry], list[DeleteEntry]]":
         """Latest manifest snapshot. Only *missing* paths read as an
         empty manifest (``StorageNotFound``); any other storage
         failure propagates — a transient auth/network error must not
@@ -222,12 +251,12 @@ class FsCatalog:
             try:
                 names = self._st.list_names(d)
             except StorageNotFound:
-                return 0, []
+                return 0, [], []
             versions = sorted(
                 n for n in names if n.startswith("v") and n.endswith(".json")
             )
             if not versions:
-                return 0, []
+                return 0, [], []
             latest = versions[-1]
             ver = int(latest[1:-5])
             try:
@@ -235,18 +264,29 @@ class FsCatalog:
             except StorageNotFound as e:
                 last_exc = e
                 continue
-            return ver, [SegmentEntry(**s) for s in doc.get("segments", [])]
+            return (
+                ver,
+                [SegmentEntry(**s) for s in doc.get("segments", [])],
+                [DeleteEntry(**d) for d in doc.get("deletes", [])],
+            )
         raise CatalogError(
             f"manifest for {name!r} kept disappearing between list and "
             f"read (GC race persisted across retries)"
         ) from last_exc
 
     def _try_write_version(
-        self, name: str, version: int, segs: list[SegmentEntry]
+        self,
+        name: str,
+        version: int,
+        segs: list[SegmentEntry],
+        deletes: "Optional[list[DeleteEntry]]" = None,
     ) -> bool:
+        doc: dict = {"segments": [asdict(s) for s in segs]}
+        if deletes:
+            doc["deletes"] = [asdict(d) for d in deletes]
         ok = self._st.write_text_exclusive(
             self._version_path(name, version),
-            json.dumps({"segments": [asdict(s) for s in segs]}, indent=1),
+            json.dumps(doc, indent=1),
         )
         if ok:
             self._gc_versions(name, version)
@@ -309,6 +349,36 @@ class FsCatalog:
             ) from None
         return [SegmentEntry(**s) for s in doc.get("segments", [])]
 
+    def deletes(
+        self, name: str, at_version: Optional[int] = None
+    ) -> "list[DeleteEntry]":
+        """Pending delete tombstones — latest, or those of a retained
+        snapshot (time travel applies the deletes OF that version)."""
+        if at_version is None:
+            return self._read_versioned_full(name)[2]
+        try:
+            doc = json.loads(
+                self._st.read_text(self._version_path(name, at_version))
+            )
+        except StorageNotFound:
+            raise CatalogError(
+                f"manifest version {at_version} of {name!r} is GC'd or "
+                f"never existed (retained: {self.versions(name)})"
+            ) from None
+        return [DeleteEntry(**d) for d in doc.get("deletes", [])]
+
+    def add_delete(self, name: str, query: str) -> DeleteEntry:
+        """Record a delete-by-query tombstone (one CAS manifest write;
+        see :class:`DeleteEntry` for the read/merge semantics)."""
+        entry = DeleteEntry(
+            id=uuid7(), query=query, created_at_ms=int(time.time() * 1000)
+        )
+        for _ in range(self.CAS_RETRIES):
+            ver, segs, dels = self._read_versioned_full(name)
+            if self._try_write_version(name, ver + 1, segs, dels + [entry]):
+                return entry
+        raise CatalogError(f"manifest CAS contention on {name!r}")
+
     def commit_segment(self, name: str, entry: SegmentEntry) -> bool:
         """Append one segment (data must already be on storage —
         data-first, manifest-second, `src/commands/mod.rs:178-187`).
@@ -318,12 +388,12 @@ class FsCatalog:
         manifest version; the loser re-reads and re-applies, so no
         commit is ever lost."""
         for _ in range(self.CAS_RETRIES):
-            ver, segs = self._read_versioned(name)
+            ver, segs, dels = self._read_versioned_full(name)
             if entry.batch_id is not None and any(
                 s.batch_id == entry.batch_id for s in segs
             ):
                 return False
-            if self._try_write_version(name, ver + 1, segs + [entry]):
+            if self._try_write_version(name, ver + 1, segs + [entry], dels):
                 return True
         raise CatalogError(f"manifest CAS contention on {name!r}")
 
@@ -331,18 +401,27 @@ class FsCatalog:
         return any(s.batch_id == batch_id for s in self.segments(name))
 
     def swap_segments(
-        self, name: str, remove_ids: list[str], add: Optional[SegmentEntry]
+        self,
+        name: str,
+        remove_ids: list[str],
+        add: Optional[SegmentEntry],
+        clear_delete_ids: "Optional[list[str]]" = None,
     ) -> None:
         """Atomic replace used by merge/compaction: new segment in, old
         segments out, one manifest write (the reference does this in
         one Postgres transaction, `src/commands/merge.rs:63-66`); CAS
-        + retry like commit_segment."""
+        + retry like commit_segment. ``clear_delete_ids`` drops the
+        tombstones the merge MATERIALIZED in the same atomic write —
+        deletes recorded after the merge read its snapshot survive the
+        swap and stay pending (the CAS re-read preserves them)."""
         for _ in range(self.CAS_RETRIES):
-            ver, segs = self._read_versioned(name)
+            ver, segs, dels = self._read_versioned_full(name)
             out = [s for s in segs if s.id not in set(remove_ids)]
             if add is not None:
                 out.append(add)
-            if self._try_write_version(name, ver + 1, out):
+            if clear_delete_ids:
+                dels = [d for d in dels if d.id not in set(clear_delete_ids)]
+            if self._try_write_version(name, ver + 1, out, dels):
                 return
         raise CatalogError(f"manifest CAS contention on {name!r}")
 

@@ -6,6 +6,7 @@
     python -m toshokan_spark.cli drop    <index>
     python -m toshokan_spark.cli index   <index> <file.jsonl|kafka://..> [--stream] [--commit-interval 30]
     python -m toshokan_spark.cli merge   <index>
+    python -m toshokan_spark.cli delete  <index> <query>   # extra: delete-by-query tombstone
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
                                          [--stats-field F] [--percentiles-field F] [--cardinality-by F]
                                          [--top-hits-per F --order-by F [--top-k 3]]
@@ -64,6 +65,15 @@ def main(argv: list[str] | None = None) -> int:
 
     pm = sub.add_parser("merge")
     pm.add_argument("index")
+
+    pdel = sub.add_parser(
+        "delete",
+        help="record a delete-by-query tombstone: every read masks "
+             "matching rows immediately; a merge materializes the "
+             "delete physically (GDPR-style removal)",
+    )
+    pdel.add_argument("index")
+    pdel.add_argument("query")
 
     pv = sub.add_parser("vacuum")
     pv.add_argument("index")
@@ -243,12 +253,23 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed segment {entry.id} ({entry.num_rows} rows)" if entry else "empty batch")
         return 0
 
+    if a.cmd == "delete":
+        from toshokan_spark.plans.ast import parse_query
+
+        parse_query(a.query)  # fail fast on syntax before recording
+        d = catalog.add_delete(a.index, a.query)
+        print(f"recorded delete {d.id}: {a.query}")
+        return 0
+
     if a.cmd == "merge":
         from toshokan_spark.maintenance import merge_segments
 
         spark = _spark()
         entry = merge_segments(spark, catalog, a.index)
-        print(f"merged into segment {entry.id} ({entry.num_rows} rows)")
+        if entry is None:
+            print("merged: pending deletes wiped every row; segments removed")
+        else:
+            print(f"merged into segment {entry.id} ({entry.num_rows} rows)")
         return 0
 
     if a.cmd == "vacuum":
@@ -277,7 +298,11 @@ def main(argv: list[str] | None = None) -> int:
         total = sum(s.num_rows for s in segs)
         vs = catalog.versions(a.index)
         tt = f", versions v{vs[0]}..v{vs[-1]}" if vs else ""
-        print(f"{a.index}: {len(segs)} segment(s), {total} row(s){tt}")
+        dels = catalog.deletes(a.index)
+        dd = f", {len(dels)} pending delete(s)" if dels else ""
+        print(f"{a.index}: {len(segs)} segment(s), {total} row(s){tt}{dd}")
+        for d in dels:
+            print(f"  delete {d.id}: {d.query}")
         for s in segs:
             days = f" days={s.min_day}..{s.max_day}" if s.min_day else ""
             zm = ""

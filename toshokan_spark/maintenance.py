@@ -21,6 +21,7 @@ import math
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from toshokan_spark.catalog import FsCatalog, SegmentEntry, uuid7
 from toshokan_spark.config import IndexConfig
@@ -51,8 +52,10 @@ def merge_segments(
     index_name: str,
     rows_per_file: int = DEFAULT_ROWS_PER_FILE,
     max_segments: int | None = None,
-) -> SegmentEntry:
-    """Compact manifested segments into one.
+) -> SegmentEntry | None:
+    """Compact manifested segments into one (``None`` when pending
+    deletes wiped every covered row — the merge then materializes as
+    pure segment removal).
 
     ``max_segments`` enables size-tiered compaction: only the N
     smallest segments merge (the reference always merges everything,
@@ -74,6 +77,27 @@ def merge_segments(
     from toshokan_spark.search import read_segments
 
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
+    # materialize pending delete tombstones while rewriting (the merge
+    # IS the physical delete): survivors only. Tombstones clear from
+    # the manifest ONLY when this merge covered every segment — a
+    # tiered (partial) merge applies the filter to what it rewrites
+    # but leaves the tombstone pending for the untouched segments
+    # (predicate filtering is idempotent, so re-application is safe).
+    all_segs = catalog.segments(index_name)
+    deletes = catalog.deletes(index_name)
+    covers_all = {s.id for s in segs} == {s.id for s in all_segs}
+    n_obs = None
+    if deletes:
+        from pyspark.sql import Observation
+
+        from toshokan_spark.search import apply_deletes
+
+        pred = apply_deletes(
+            F.lit(True), config, set(df.columns), deletes
+        )
+        df = df.filter(pred)
+        n_obs = Observation(f"merge_rows_{index_name}")
+        df = df.observe(n_obs, F.count(F.lit(1)).alias("__n"))
     total = sum(s.num_rows for s in segs)
     nfiles = max(1, math.ceil(total / rows_per_file))
 
@@ -95,6 +119,31 @@ def merge_segments(
     else:
         df.coalesce(nfiles).write.mode("error").parquet(seg_path)
 
+    if n_obs is not None:
+        # the write already ran (stats recompute below reads it back);
+        # the observation holds the SURVIVOR count
+        total = int(n_obs.get["__n"])
+        if total == 0:
+            # the tombstones wiped everything this merge covered: a
+            # zero-row partitioned write leaves no readable footer, so
+            # materialize the wipe as segment REMOVAL — old segments
+            # out, nothing in, tombstones cleared if fully covered
+            st0 = catalog.data_storage(config)
+            st0.delete_tree(seg_path)
+            from toshokan_spark.indexer import stats_path as _sp
+
+            catalog.swap_segments(
+                index_name,
+                [s.id for s in segs],
+                None,
+                clear_delete_ids=(
+                    [d.id for d in deletes] if covers_all else None
+                ),
+            )
+            for s_, p_ in zip(segs, paths):
+                st0.delete_tree(p_)
+                st0.delete_tree(_sp(config, s_.file_name))
+            return None
     # carry the day-range stats through compaction (conservative: any
     # input without stats leaves the merged range unknown)
     min_day = max_day = None
@@ -119,7 +168,14 @@ def merge_segments(
     # additive stats combine exactly under union: counts add, decimal
     # sums add (order-free) — same conservative rule as the zone maps
     field_sums = None
-    if all(s.field_sums for s in segs):
+    if deletes:
+        # additive stats of the INPUTS count rows the rewrite dropped —
+        # conservative None (stats panel falls back to scanning) until
+        # a clean merge re-records them. Zone maps stay: too-wide
+        # bounds never wrong-prune. (A delete-free remerge of the
+        # materialized segment restores the sums.)
+        pass
+    elif all(s.field_sums for s in segs):
         from decimal import Decimal
 
         names = set(segs[0].field_sums)
@@ -160,8 +216,16 @@ def merge_segments(
         min_day=min_day, max_day=max_day, field_stats=field_stats,
         token_blooms=token_blooms, field_sums=field_sums,
     )
-    # one atomic manifest write: new in, old out (`merge.rs:63-66`)
-    catalog.swap_segments(index_name, [s.id for s in segs], entry)
+    # one atomic manifest write: new in, old out (`merge.rs:63-66`);
+    # tombstones this merge materialized clear in the same write
+    catalog.swap_segments(
+        index_name,
+        [s.id for s in segs],
+        entry,
+        clear_delete_ids=(
+            [d.id for d in deletes] if deletes and covers_all else None
+        ),
+    )
     # best-effort old-data delete; leaks tolerated (`merge.rs:68-71`)
     st = catalog.data_storage(config)
     for s, p in zip(segs, paths):

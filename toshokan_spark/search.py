@@ -189,6 +189,17 @@ def _segment_prune_rule(
     return None
 
 
+def apply_deletes(pred, config: IndexConfig, columns: set, deletes) -> "object":
+    """AND NOT(compiled tombstone) onto *pred* for every pending
+    delete (`catalog.DeleteEntry` — predicate semantics: a row whose
+    tombstone predicate is NULL is masked too, exactly SQL's
+    ``AND NOT (p)``). Compiled fresh per read, so deletes survive
+    schema drift the same way queries do."""
+    for d in deletes:
+        pred = pred & ~compile_query(d.query, config, columns)
+    return pred
+
+
 def search_df(
     spark: SparkSession,
     catalog: FsCatalog,
@@ -213,6 +224,10 @@ def search_df(
         return spark.createDataFrame([], config.spark_schema())
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
     pred = QueryCompiler(config, set(df.columns)).compile(node)
+    pred = apply_deletes(
+        pred, config, set(df.columns),
+        catalog.deletes(index_name, at_version=at_version),
+    )
     # resurrect the reference's dead time_field as real partition
     # pruning: a range/cmp on the time field also constrains the
     # ``__day`` layout, so whole day-directories (and at 100 TB,
@@ -302,6 +317,10 @@ def scored_search_df(
 
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
     pred = compile_query(query, config, set(df.columns))
+    pred = apply_deletes(
+        pred, config, set(df.columns),
+        catalog.deletes(index_name, at_version=at_version),
+    )
     # same partition-level pruning as unscored search: the query's
     # time bounds also constrain the __day layout inside survivors
     if config.time_field and "__day" in df.columns:
@@ -608,6 +627,11 @@ def manifest_stats(
     construction, not by luck."""
     from pyspark.sql import types as T
 
+    if catalog.deletes(config.name):
+        # pending tombstones are invisible to commit-time stats — the
+        # panel would count deleted rows; fall back to the scan (which
+        # applies them) until a merge materializes the deletes
+        return None
     segs = catalog.segments(config.name)
     if any(s.field_sums is None or field not in s.field_sums for s in segs):
         return None
