@@ -70,6 +70,12 @@ FLOORS = {
     # round-9 additions (warm best-of-3: 1.46/0.60)
     "dsir_select": 1.9,
     "line_dedup": 0.8,
+    # round-9 batch-2 (warm best-of-3: 0.49/0.79/0.83/2.13 — the
+    # ensemble is three grouped_prefix materializations by design)
+    "search_significant_terms": 0.7,
+    "bitext_margin": 1.1,
+    "embedding_covariance": 1.1,
+    "quality_ensemble": 2.8,
 }
 MULTIPLIER = 2.5
 RUNS = 3
