@@ -541,3 +541,58 @@ def test_delete_cli_lifecycle(spark, tmp_path, capsys):
     assert "(6 rows)" in capsys.readouterr().out
     assert cli.main(["--catalog", cat, "stats", "dl"]) == 0
     assert "pending" not in capsys.readouterr().out
+
+
+def test_alter_cli_additive_schema_evolution(spark, tmp_path, capsys):
+    """alter appends fields: old segments null-fill the new column at
+    read (omitted from prettified docs), range queries on the new
+    field match only new-schema rows, the stats panel falls back to a
+    scan (old segments carry no additive stats for it), and any
+    non-additive change is rejected."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import CatalogError
+
+    base = {"name": "al", "path": str(tmp_path / "data"),
+            "schema": {"fields": [
+                {"name": "id", "type": "number"},
+                {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    v2 = _json.loads(_json.dumps(base))
+    v2["schema"]["fields"].append(
+        {"name": "cost", "type": "number", "number_type": "f64"})
+    bad = _json.loads(_json.dumps(base))
+    bad["schema"]["fields"][0]["type"] = "text"
+    for n, doc in (("v1", base), ("v2", v2), ("bad", bad)):
+        (tmp_path / f"{n}.json").write_text(_json.dumps(doc))
+    (tmp_path / "a.jsonl").write_text(
+        _json.dumps({"id": 1, "sev": "INFO"}) + "\n")
+    (tmp_path / "b.jsonl").write_text(
+        _json.dumps({"id": 2, "sev": "WARN", "cost": 9.5}) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "v1.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "al",
+                     str(tmp_path / "a.jsonl")]) == 0
+    with pytest.raises(CatalogError, match="byte-identical"):
+        cli.main(["--catalog", cat, "alter", str(tmp_path / "bad.json")])
+    assert cli.main(["--catalog", cat, "alter",
+                     str(tmp_path / "v2.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "al",
+                     str(tmp_path / "b.jsonl")]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "al", "*",
+                     "--limit", "10"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {d["id"]: d.get("cost") for d in docs} == {1: None, 2: 9.5}
+
+    assert cli.main(["--catalog", cat, "search", "al", "cost:>5",
+                     "--limit", "10"]) == 0
+    hits = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [h["id"] for h in hits] == [2]
+
+    assert cli.main(["--catalog", cat, "search", "al", "*",
+                     "--stats-field", "cost"]) == 0
+    (st,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert st["n_hits"] == 2 and st["n_values"] == 1 and st["sum_v"] == 9.5

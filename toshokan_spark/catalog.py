@@ -198,6 +198,37 @@ class FsCatalog:
             self._version_path(config.name, 1), json.dumps({"segments": []})
         )
 
+    def update_index(self, config: IndexConfig) -> None:
+        """ADDITIVE schema evolution: the new config must keep every
+        existing field byte-identical (same position, same options)
+        and may only APPEND fields; path and time_field are frozen.
+        Old segments simply lack the new columns — the multi-segment
+        scan null-fills them (mergeSchema / unionByName), manifest
+        stats for a new field fall back to scanning until segments
+        written under the new schema exist, and pruning stays
+        conservative (no zone map -> never pruned). Anything
+        non-additive (type change, removal, reorder) is rejected:
+        immutable segments cannot be rewritten to match."""
+        old = self.get_index(config.name)
+        if config.path != old.path:
+            raise CatalogError("alter cannot move the index path")
+        if config.time_field != old.time_field:
+            raise CatalogError("alter cannot change time_field")
+        if len(config.fields) < len(old.fields):
+            raise CatalogError("alter cannot remove fields")
+        for i, f_old in enumerate(old.fields):
+            f_new = config.fields[i]
+            if asdict(f_new) != asdict(f_old):
+                raise CatalogError(
+                    f"alter must keep existing field {f_old.name!r} "
+                    f"byte-identical (got a change at position {i}); "
+                    f"only appending new fields is supported"
+                )
+        self._st.write_text_atomic(
+            self._config_path(config.name),
+            json.dumps(config.to_dict(), indent=2),
+        )
+
     def get_index(self, name: str) -> IndexConfig:
         p = self._config_path(name)
         if not self._st.exists(p):

@@ -7,6 +7,7 @@
     python -m toshokan_spark.cli index   <index> <file.jsonl|kafka://..> [--stream] [--commit-interval 30]
     python -m toshokan_spark.cli merge   <index>
     python -m toshokan_spark.cli delete  <index> <query>   # extra: delete-by-query tombstone
+    python -m toshokan_spark.cli alter   <config.yaml|json> # extra: additive schema evolution
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
                                          [--stats-field F] [--percentiles-field F] [--cardinality-by F]
                                          [--top-hits-per F --order-by F [--top-k 3]]
@@ -65,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
 
     pm = sub.add_parser("merge")
     pm.add_argument("index")
+
+    pa = sub.add_parser(
+        "alter",
+        help="additive schema evolution: append new fields to an "
+             "existing index (old segments null-fill them at read)",
+    )
+    pa.add_argument("config_path")
 
     pdel = sub.add_parser(
         "delete",
@@ -251,6 +259,18 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 entry = index_batch(spark, catalog, a.index, jsonl_path=src)
         print(f"committed segment {entry.id} ({entry.num_rows} rows)" if entry else "empty batch")
+        return 0
+
+    if a.cmd == "alter":
+        with open(a.config_path, encoding="utf-8") as f:
+            text = f.read()
+        if a.config_path.endswith((".yaml", ".yml")):
+            config = IndexConfig.from_yaml(text)
+        else:
+            config = IndexConfig.from_dict(json.loads(text))
+        catalog.update_index(config)
+        print(f"altered index {config.name} "
+              f"({len(config.fields)} fields)")
         return 0
 
     if a.cmd == "delete":
@@ -533,6 +553,12 @@ def main(argv: list[str] | None = None) -> int:
         if lo is not None or hi is not None:
             print(f"time bounds: {lo} .. {hi}")
         print(f"segments: {len(segs)} manifested, {len(kept)} survive pruning")
+        dels = catalog.deletes(a.index)
+        if dels:
+            print(f"pending deletes: {len(dels)} (compiled as anti-filters "
+                  f"into the scan)")
+            for d in dels:
+                print(f"  NOT ({d.query})")
         for s in segs:
             rule = rules.get(s.id)
             mark = "scan " if rule is None else f"PRUNE[{rule}]"
