@@ -596,3 +596,50 @@ def test_alter_cli_additive_schema_evolution(spark, tmp_path, capsys):
                      "--stats-field", "cost"]) == 0
     (st,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert st["n_hits"] == 2 and st["n_values"] == 1 and st["sum_v"] == 9.5
+
+
+def test_alias_cli_blue_green_swap(spark, tmp_path, capsys):
+    """Aliases: every index-addressed command resolves them; an atomic
+    re-point swaps which index readers hit (the zero-downtime reindex
+    pattern); shadowing a real index or aliasing a missing one fails."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import CatalogError
+
+    def mk(name, val):
+        cfg = {"name": name, "path": str(tmp_path / "data" / name),
+               "schema": {"fields": [{"name": "id", "type": "number"}]}}
+        p = tmp_path / f"{name}.json"
+        p.write_text(_json.dumps(cfg))
+        j = tmp_path / f"{name}.jsonl"
+        j.write_text(_json.dumps({"id": val}) + "\n")
+        return p, j
+
+    cat = str(tmp_path / "cat")
+    for name, val in (("blue", 1), ("green", 2)):
+        cfg, j = mk(name, val)
+        assert cli.main(["--catalog", cat, "create", str(cfg)]) == 0
+        assert cli.main(["--catalog", cat, "index", name, str(j)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "alias", "live", "blue"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "live", "*",
+                     "--limit", "5"]) == 0
+    assert _json.loads(capsys.readouterr().out)["id"] == 1
+
+    # atomic re-point: same alias now serves the green index
+    assert cli.main(["--catalog", cat, "alias", "live", "green"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "live", "*",
+                     "--limit", "5"]) == 0
+    assert _json.loads(capsys.readouterr().out)["id"] == 2
+
+    with pytest.raises(CatalogError, match="shadow"):
+        cli.main(["--catalog", cat, "alias", "blue", "green"])
+    with pytest.raises(CatalogError, match="unknown index"):
+        cli.main(["--catalog", cat, "alias", "x", "missing"])
+    assert cli.main(["--catalog", cat, "alias", "live", "--drop"]) == 0
+    with pytest.raises(CatalogError):
+        cli.main(["--catalog", cat, "search", "live", "*"])

@@ -166,6 +166,7 @@ class FsCatalog:
         self._st = storage if storage is not None else storage_for(root)
         self._st.mkdirs(join_path(root, "indexes"))
         self._st.mkdirs(join_path(root, "manifests"))
+        self._st.mkdirs(join_path(root, "aliases"))
 
     # -- data-path storage --------------------------------------------
     def data_storage(self, config: IndexConfig) -> Storage:
@@ -228,6 +229,52 @@ class FsCatalog:
             self._config_path(config.name),
             json.dumps(config.to_dict(), indent=2),
         )
+
+    # -- aliases (atomic re-point: the blue/green reindex swap) ---------
+    def _alias_path(self, name: str) -> str:
+        return join_path(self.root, "aliases", f"{name}.json")
+
+    def set_alias(self, alias: str, index: str) -> None:
+        """Point *alias* at *index* (create or ATOMIC re-point — the
+        zero-downtime reindex pattern: build the new index under a
+        fresh name, then swap the alias readers query through). An
+        alias may not shadow a real index name."""
+        if self._st.exists(self._config_path(alias)):
+            raise CatalogError(
+                f"{alias!r} is an index name; aliases may not shadow it"
+            )
+        if not self._st.exists(self._config_path(index)):
+            raise CatalogError(f"unknown index {index!r}")
+        self._st.write_text_atomic(
+            self._alias_path(alias), json.dumps({"index": index})
+        )
+
+    def drop_alias(self, alias: str) -> None:
+        if not self._st.exists(self._alias_path(alias)):
+            raise CatalogError(f"unknown alias {alias!r}")
+        self._st.delete_file(self._alias_path(alias))
+
+    def resolve(self, name: str) -> str:
+        """Alias -> index name (one hop; a real index name passes
+        through). Readers resolve ONCE at entry, so a concurrent
+        re-point flips between whole queries, never mid-plan."""
+        p = self._alias_path(name)
+        if self._st.exists(p):
+            return json.loads(self._st.read_text(p))["index"]
+        return name
+
+    def aliases(self) -> "dict[str, str]":
+        try:
+            names = self._st.list_names(join_path(self.root, "aliases"))
+        except StorageNotFound:
+            return {}
+        out = {}
+        for n in names:
+            if n.endswith(".json"):
+                out[n[:-5]] = json.loads(
+                    self._st.read_text(join_path(self.root, "aliases", n))
+                )["index"]
+        return out
 
     def get_index(self, name: str) -> IndexConfig:
         p = self._config_path(name)

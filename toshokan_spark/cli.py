@@ -8,6 +8,7 @@
     python -m toshokan_spark.cli merge   <index>
     python -m toshokan_spark.cli delete  <index> <query>   # extra: delete-by-query tombstone
     python -m toshokan_spark.cli alter   <config.yaml|json> # extra: additive schema evolution
+    python -m toshokan_spark.cli alias   <alias> <index> [--drop]  # extra: atomic re-point (blue/green reindex)
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
                                          [--stats-field F] [--percentiles-field F] [--cardinality-by F]
                                          [--top-hits-per F --order-by F [--top-k 3]]
@@ -73,6 +74,15 @@ def main(argv: list[str] | None = None) -> int:
              "existing index (old segments null-fill them at read)",
     )
     pa.add_argument("config_path")
+
+    pal = sub.add_parser(
+        "alias",
+        help="point an alias at an index (atomic re-point — the "
+             "blue/green reindex swap); --drop removes it",
+    )
+    pal.add_argument("alias")
+    pal.add_argument("index", nargs="?", default=None)
+    pal.add_argument("--drop", action="store_true")
 
     pdel = sub.add_parser(
         "delete",
@@ -259,6 +269,24 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 entry = index_batch(spark, catalog, a.index, jsonl_path=src)
         print(f"committed segment {entry.id} ({entry.num_rows} rows)" if entry else "empty batch")
+        return 0
+
+    # every index-addressed command accepts an alias (resolved once,
+    # so a concurrent re-point flips between queries, never mid-plan)
+    if getattr(a, "index", None) is not None and a.cmd != "alias":
+        a.index = catalog.resolve(a.index)
+
+    if a.cmd == "alias":
+        if a.drop:
+            catalog.drop_alias(a.alias)
+            print(f"dropped alias {a.alias}")
+        else:
+            if a.index is None:
+                print("error: alias needs an index (or --drop)",
+                      file=sys.stderr)
+                return 2
+            catalog.set_alias(a.alias, a.index)
+            print(f"alias {a.alias} -> {a.index}")
         return 0
 
     if a.cmd == "alter":
