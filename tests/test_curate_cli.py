@@ -643,3 +643,53 @@ def test_alias_cli_blue_green_swap(spark, tmp_path, capsys):
     assert cli.main(["--catalog", cat, "alias", "live", "--drop"]) == 0
     with pytest.raises(CatalogError):
         cli.main(["--catalog", cat, "search", "live", "*"])
+
+
+def test_reindex_cli_blue_green_with_deletes(spark, tmp_path, capsys):
+    """The full zero-downtime rebuild: blue serves, a delete tombstone
+    lands, green is created with an extra field, reindex copies only
+    LIVE rows (the tombstone materializes into the copy), and the
+    alias re-points readers atomically."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    blue = {"name": "blue2", "path": str(tmp_path / "d" / "blue2"),
+            "schema": {"fields": [
+                {"name": "id", "type": "number"},
+                {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    green = _json.loads(_json.dumps(blue))
+    green["name"] = "green2"
+    green["path"] = str(tmp_path / "d" / "green2")
+    green["schema"]["fields"].append(
+        {"name": "cost", "type": "number", "number_type": "f64"})
+    (tmp_path / "blue.json").write_text(_json.dumps(blue))
+    (tmp_path / "green.json").write_text(_json.dumps(green))
+    rows = [{"id": 1, "sev": "INFO"}, {"id": 2, "sev": "ERROR"},
+            {"id": 3, "sev": "INFO"}]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cat = str(tmp_path / "cat")
+    for step in (["create", str(tmp_path / "blue.json")],
+                 ["index", "blue2", str(tmp_path / "r.jsonl")],
+                 ["alias", "live2", "blue2"],
+                 ["delete", "blue2", "sev:ERROR"],
+                 ["create", str(tmp_path / "green.json")],
+                 ["reindex", "live2", "green2"],   # alias resolves src
+                 ["alias", "live2", "green2"]):
+        assert cli.main(["--catalog", cat] + step) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "live2", "*",
+                     "--limit", "10"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # the deleted ERROR row never reached green; green has NO tombstone
+    assert sorted(d["id"] for d in docs) == [1, 3]
+    from toshokan_spark.catalog import FsCatalog
+
+    c = FsCatalog(cat)
+    assert c.deletes("green2") == []
+    # term search works on the carried shadow columns
+    assert cli.main(["--catalog", cat, "search", "live2", "sev:INFO",
+                     "--limit", "10"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2

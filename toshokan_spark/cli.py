@@ -9,6 +9,7 @@
     python -m toshokan_spark.cli delete  <index> <query>   # extra: delete-by-query tombstone
     python -m toshokan_spark.cli alter   <config.yaml|json> # extra: additive schema evolution
     python -m toshokan_spark.cli alias   <alias> <index> [--drop]  # extra: atomic re-point (blue/green reindex)
+    python -m toshokan_spark.cli reindex <src> <dst>        # extra: live-row copy (materializes pending deletes)
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
                                          [--stats-field F] [--percentiles-field F] [--cardinality-by F]
                                          [--top-hits-per F --order-by F [--top-k 3]]
@@ -74,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
              "existing index (old segments null-fill them at read)",
     )
     pa.add_argument("config_path")
+
+    pr = sub.add_parser(
+        "reindex",
+        help="copy every live row of one index into another (pending "
+             "deletes materialize into the copy); pair with 'alias' "
+             "for a zero-downtime blue/green rebuild",
+    )
+    pr.add_argument("src")
+    pr.add_argument("dst")
 
     pal = sub.add_parser(
         "alias",
@@ -275,6 +285,19 @@ def main(argv: list[str] | None = None) -> int:
     # so a concurrent re-point flips between queries, never mid-plan)
     if getattr(a, "index", None) is not None and a.cmd != "alias":
         a.index = catalog.resolve(a.index)
+
+    if a.cmd == "reindex":
+        from toshokan_spark.maintenance import reindex
+
+        spark = _spark()
+        entry = reindex(
+            spark, catalog, catalog.resolve(a.src), catalog.resolve(a.dst)
+        )
+        if entry is None:
+            print("reindexed 0 live rows (nothing committed)")
+        else:
+            print(f"reindexed into segment {entry.id} ({entry.num_rows} rows)")
+        return 0
 
     if a.cmd == "alias":
         if a.drop:

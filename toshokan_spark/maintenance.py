@@ -315,3 +315,52 @@ def vacuum(
                 if name not in deleted:
                     deleted.append(name)
     return sorted(deleted)
+
+
+def reindex(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    src: str,
+    dst: str,
+) -> SegmentEntry | None:
+    """Copy every LIVE row of *src* into *dst* as one new segment —
+    the rebuild half of the blue/green pattern (build ``dst`` fresh,
+    ``reindex``, then ``alias`` re-points readers atomically).
+
+    The read goes through :func:`search_df`, so src's pending delete
+    tombstones are MATERIALIZED into the copy (the reindex is itself a
+    physical delete — the compliance path when a merge alone is not
+    wanted). Shared fields must be byte-identical in both schemas
+    (their tokenized/IP shadow columns are carried as-is, which is
+    only sound under identical options); dst-only fields null-fill at
+    read like any additive evolution; src-only fields drop. Returns
+    the committed entry, or None when src has no live rows."""
+    from dataclasses import asdict
+
+    from toshokan_spark.catalog import CatalogError
+    from toshokan_spark.config import DYNAMIC_FIELD_NAME
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.ingest import IPKEY_PREFIX, TOKENS_PREFIX
+    from toshokan_spark.search import search_df
+
+    src_cfg = catalog.get_index(src)
+    dst_cfg = catalog.get_index(dst)
+    src_fields = {f.name: f for f in src_cfg.fields}
+    for f in dst_cfg.fields:
+        if f.name in src_fields and asdict(f) != asdict(src_fields[f.name]):
+            raise CatalogError(
+                f"reindex needs shared field {f.name!r} byte-identical in "
+                f"both schemas (shadow columns are carried, not rebuilt)"
+            )
+    df = search_df(spark, catalog, src, "*", limit=None)
+    shared = {f.name for f in dst_cfg.fields} & set(df.columns)
+    dst_dynamic = any(f.type == "dynamic_object" for f in dst_cfg.fields)
+    keep = [
+        c
+        for c in df.columns
+        if c in shared
+        or (c.startswith(TOKENS_PREFIX) and c[len(TOKENS_PREFIX):] in shared)
+        or (c.startswith(IPKEY_PREFIX) and c[len(IPKEY_PREFIX):] in shared)
+        or (c == DYNAMIC_FIELD_NAME and dst_dynamic)
+    ]
+    return write_segment(catalog, dst_cfg, df.select(*keep))
