@@ -643,6 +643,12 @@ def test_alias_cli_blue_green_swap(spark, tmp_path, capsys):
     assert cli.main(["--catalog", cat, "alias", "live", "--drop"]) == 0
     with pytest.raises(CatalogError):
         cli.main(["--catalog", cat, "search", "live", "*"])
+    # dropping an index removes aliases that point at it (no dangling)
+    assert cli.main(["--catalog", cat, "alias", "live", "green"]) == 0
+    assert cli.main(["--catalog", cat, "drop", "green"]) == 0
+    from toshokan_spark.catalog import FsCatalog as _FC
+
+    assert "live" not in _FC(cat).aliases()
 
 
 def test_reindex_cli_blue_green_with_deletes(spark, tmp_path, capsys):

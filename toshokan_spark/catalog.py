@@ -296,6 +296,11 @@ class FsCatalog:
         config = self.get_index(name)
         self._st.delete_file(self._config_path(name))
         self._st.delete_tree(self._manifest_dir(name))
+        # aliases pointing at the dropped index would dangle (resolve
+        # to a missing config) — remove them in the same operation
+        for alias, target in self.aliases().items():
+            if target == name:
+                self._st.delete_file(self._alias_path(alias))
         if config.path:
             self.data_storage(config).delete_tree(config.path)
 
