@@ -394,6 +394,17 @@ def q_search_deletes(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+def q_search_percentiles_by(spark, sf_dir):
+    """Per-facet discrete percentiles — p50/p95 of value WITHIN each
+    event type over the user_id<=60 hit set (the "latency by service"
+    panel): one group-key exchange, elements-of-the-data answers."""
+    from toshokan_spark.search import percentiles_by
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "user_id:<=60")
+    return percentiles_by(hits, "event_type", "value")
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -2134,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin": q_bitext_margin,
         "quality_ensemble": q_quality_ensemble,
         "search_deletes": q_search_deletes,
+        "search_percentiles_by": q_search_percentiles_by,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2868,6 +2880,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value
             FROM events
             WHERE user_id < 50 AND NOT (event_type = 'error')
+        """,
+        # search_percentiles_by: per-group percentile_disc — element
+        # at rank ceil(p*n) of each group's sorted multiset
+        "search_percentiles_by": """
+            WITH hits AS (
+                SELECT event_type, value FROM events
+                WHERE user_id <= 60 AND value IS NOT NULL
+            ), ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS r,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM hits
+            )
+            SELECT event_type, max(n)::BIGINT AS n_values,
+                   max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p50,
+                   max(CASE WHEN r = CAST(ceil(0.95 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p95
+            FROM ranked GROUP BY event_type
         """,
         # search_top_hits: 3 highest-value hits per event type over
         # the user_id>=80 hit set, ties by event_id asc

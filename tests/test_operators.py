@@ -3522,3 +3522,21 @@ def test_delete_wipe_merges_to_segment_removal(spark, _stats_index):
     assert merge_segments(spark, cat, "mstats") is None
     assert cat.segments("mstats") == [] and cat.deletes("mstats") == []
     assert search_df(spark, cat, "mstats", "*", limit=None).count() == 0
+
+
+def test_percentiles_by_group_discrete(spark):
+    """Per-group discrete percentiles: each group's answer is an
+    element of ITS OWN sorted multiset at rank ceil(p*n)."""
+    from toshokan_spark.search import percentiles_by
+
+    rows = [Row(g="a", v=float(x)) for x in (10, 20, 30, 40)] + [
+        Row(g="b", v=5.0)
+    ]
+    out = {
+        r["g"]: (r["n_values"], r["p50"], r["p95"])
+        for r in percentiles_by(
+            spark.createDataFrame(rows), "g", "v"
+        ).collect()
+    }
+    assert out["a"] == (4, 20.0, 40.0)  # ceil(.5*4)=2 -> 20; ceil(3.8)=4
+    assert out["b"] == (1, 5.0, 5.0)

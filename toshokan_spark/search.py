@@ -894,3 +894,28 @@ def significant_terms_from_stats(
     )
     fg_n = hits.agg(F.count(F.lit(1)).cast("long").alias("fg_n"))
     return _significant_join(fg, fg_n, bg, bg_n, k, min_doc_count)
+
+
+def percentiles_by(
+    hits: DataFrame,
+    by: str,
+    field: str,
+    ps: "tuple[float, ...]" = (0.5, 0.95),
+) -> DataFrame:
+    """Per-facet percentiles (the "p99 by service" panel): SQL-
+    standard ``percentile_disc`` WITHIN each ``by`` group — actual
+    data elements, so engines agree bit-for-bit (same discreteness
+    rationale as :func:`percentiles_agg`). One group-key exchange;
+    the aggregation buffers each group's values for ONE column —
+    bounded by the largest group's hit count, the panel trade
+    documented on the global variant (approx_percentile is the
+    corpus-scale fallback)."""
+    cols = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY `{field}`)"
+        ).cast("double").alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in ps
+    ]
+    return hits.groupBy(by).agg(
+        F.count(F.col(field)).cast("long").alias("n_values"), *cols
+    )
