@@ -603,3 +603,50 @@ def test_bitext_margin_broadcast_knn_no_cartesian(plans9b):
     assert "CartesianProduct" not in a["joins"], a
     assert "BroadcastNestedLoopJoin" in a["joins"] or \
         "BroadcastHashJoin" in a["joins"], a
+
+
+def test_quality_ensemble_windows_are_coarse_bucketed(spark):
+    """Every rank window inside the ensemble must be partitioned by
+    (group, __coarse) — the two-level prefix discipline; a constant-
+    group window without __coarse would serialize the whole corpus
+    through ONE task per signal."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from toshokan_spark.operators.text import quality_ensemble
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, a=float(i % 7), b=float(i % 3)) for i in range(40)]
+    )
+    out = quality_ensemble(
+        df,
+        [("a", F.col("a")), ("b", F.col("b"))],
+        id_col="doc_id",
+        materialize=False,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "ensemble plan lost its rank windows"
+    for spec in specs:
+        assert "__coarse" in spec, (
+            "rank window without __coarse — single-task global sort: "
+            + spec
+        )
+
+
+def test_search_deletes_is_one_antifiltered_scan(spark, sf_dir):
+    """The tombstone compiles INTO the scan predicate: one parquet
+    scan, no join, and the filter reaches the scan (pushed)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_deletes"](spark, sf_dir)
+    df.collect()
+    a = audit(
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert a["pushed_scans"] >= 1, a
