@@ -650,6 +650,88 @@ def q_q5_region_revenue(spark, sf_dir):
     )
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): one scan, all three
+    predicates pushed to parquet, single-row decimal-exact aggregate
+    — the canonical filter-pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dbl(F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))))
+        .alias("revenue")
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    revenue lost to returns in 1996H1 — fact-fact join shuffles on
+    the order key, bounded dims broadcast, distributed top-k with a
+    custkey tiebreak so the cut is total-ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): PROMO revenue share of one ship
+    month — both moment sums decimal-exact, the percentage derived in
+    double from the two exact sums; part joins broadcast."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    s_promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    s_all = F.sum(rev)
+    return j.agg(
+        F.round(
+            F.lit(100.0) * s_promo.cast("double") / s_all.cast("double"), 6
+        ).alias("promo_pct")
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 300 — the group-then-having shape; the having
+    filter lands on the partial-aggregated frame, never a window."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dbl(F.sum(_dec(F.col("l_quantity")))).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty"
+        )
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -2146,6 +2228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": q_quality_ensemble,
         "search_deletes": q_search_deletes,
         "search_percentiles_by": q_search_percentiles_by,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_large_orders": q_q18_large_orders,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -2979,6 +3065,60 @@ def oracle_sql() -> dict[str, str]:
               FROM fused)
             SELECT doc_id, lex_rank, vec_rank, rrf_score, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * CAST(l_discount AS DECIMAL(18,4))), 6)::DOUBLE
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE
+                  AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT p_type,
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1-l_discount AS DECIMAL(18,4)) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l_shipdate < TIMESTAMP '1996-10-01'
+            )
+            SELECT round(100.0
+                         * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN rev ELSE 0 END)::DOUBLE
+                         / sum(rev)::DOUBLE, 6) AS promo_pct
+            FROM j
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6)::DOUBLE
+                         AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6)::DOUBLE
+                     > 300
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
