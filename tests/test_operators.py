@@ -3540,3 +3540,53 @@ def test_percentiles_by_group_discrete(spark):
     }
     assert out["a"] == (4, 20.0, 40.0)  # ceil(.5*4)=2 -> 20; ceil(3.8)=4
     assert out["b"] == (1, 5.0, 5.0)
+
+
+def test_delete_merge_materializes_partitioned_layout(spark, tmp_path):
+    """Delete materialization through the PARTITIONED merge branch
+    (__day repartition + partitionBy write): survivors only, layout
+    preserved, tombstone cleared, pruning still works post-merge."""
+    from datetime import datetime
+
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index, merge_segments
+    from toshokan_spark.search import search_df
+
+    cat = FsCatalog(str(tmp_path / "cat"))
+    cfg = IndexConfig(
+        name="pdel", path=str(tmp_path / "d" / "pdel"), time_field="ts",
+        fields=[
+            FieldConfig(name="id", type="number"),
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="sev", type="text", tokenizer="raw"),
+        ],
+    )
+    create_index(cat, cfg)
+    rows1 = [
+        Row(id=1, ts=datetime(2016, 4, 13, 6), sev="INFO"),
+        Row(id=2, ts=datetime(2016, 4, 13, 7), sev="ERROR"),
+    ]
+    rows2 = [
+        Row(id=3, ts=datetime(2016, 4, 14, 6), sev="ERROR"),
+        Row(id=4, ts=datetime(2016, 4, 14, 7), sev="INFO"),
+    ]
+    write_segment(cat, cfg, spark.createDataFrame(rows1))
+    write_segment(cat, cfg, spark.createDataFrame(rows2))
+    cat.add_delete("pdel", "sev:ERROR")
+    entry = merge_segments(spark, cat, "pdel")
+    assert entry.num_rows == 2 and cat.deletes("pdel") == []
+    # the merged segment keeps the __day layout (both days present)
+    from toshokan_spark.storage import join_path
+
+    raw = spark.read.parquet(join_path(cfg.path, entry.file_name))
+    assert "__day" in raw.columns
+    assert sorted(str(r["__day"]) for r in raw.select("__day").collect()) \
+        == ["2016-04-13", "2016-04-14"]
+    # day-bounded search post-merge still prunes/answers correctly
+    out = search_df(
+        spark, cat, "pdel",
+        'ts:[2016-04-14T00:00:00Z TO 2016-04-15T00:00:00Z}', limit=None,
+    )
+    assert [r["id"] for r in out.collect()] == [4]
