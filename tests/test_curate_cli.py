@@ -699,3 +699,43 @@ def test_reindex_cli_blue_green_with_deletes(spark, tmp_path, capsys):
     assert cli.main(["--catalog", cat, "search", "live2", "sev:INFO",
                      "--limit", "10"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 2
+
+
+def test_search_cli_sort_and_projection(spark, tmp_path, capsys):
+    """--sort-by orders hits deterministically (asc default, :desc
+    suffix); --fields projects the output AND prunes the scan schema;
+    unknown projection fields fail fast."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    rows = [{"id": 3, "sev": "b", "cost": 1.0},
+            {"id": 1, "sev": "a", "cost": 9.0},
+            {"id": 2, "sev": "c", "cost": 5.0}]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cfg = {"name": "srt", "path": str(tmp_path / "data"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"},
+               {"name": "cost", "type": "number", "number_type": "f64"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "srt",
+                     str(tmp_path / "r.jsonl")]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--catalog", cat, "search", "srt", "*", "--limit", "2",
+                     "--sort-by", "cost:desc", "--fields", "id,cost"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert docs == [{"id": 1, "cost": 9.0}, {"id": 2, "cost": 5.0}]
+
+    assert cli.main(["--catalog", cat, "search", "srt", "*", "--limit", "3",
+                     "--sort-by", "id"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [d["id"] for d in docs] == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="unknown field"):
+        cli.main(["--catalog", cat, "search", "srt", "*",
+                  "--fields", "nope"])

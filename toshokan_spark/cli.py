@@ -167,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
                          "parquets — no corpus re-scan)")
     ps.add_argument("--sig-k", type=int, default=10)
     ps.add_argument("--sig-min-doc", type=int, default=1)
+    ps.add_argument("--sort-by", dest="search_sort", default=None,
+                    metavar="F[:desc]",
+                    help="deterministic hit ordering by this field "
+                         "(':desc' for descending; ties by nothing — "
+                         "pick a unique field for total order)")
+    ps.add_argument("--fields", default=None,
+                    help="comma-separated output projection; pruned all "
+                         "the way into the parquet scan's ReadSchema")
     ps.add_argument("--at-version", type=int, default=None,
                     help="time-travel: run against the index snapshot "
                          "at this retained manifest version (see "
@@ -545,8 +553,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from toshokan_spark.search import search
 
+        sort_by = None
+        if a.search_sort:
+            name, _, order = a.search_sort.partition(":")
+            from pyspark.sql import functions as SF
+
+            sort_by = [
+                SF.col(name).desc() if order == "desc" else SF.col(name).asc()
+            ]
+        fields = a.fields.split(",") if a.fields else None
         for line in search(spark, catalog, a.index, a.query, limit=a.limit,
-                           at_version=a.at_version):
+                           at_version=a.at_version, sort_by=sort_by,
+                           fields=fields):
             print(line)
         return 0
 

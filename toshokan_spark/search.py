@@ -356,8 +356,13 @@ def search(
     limit: int = 1,
     sort_by: Optional[list] = None,
     at_version: Optional[int] = None,
+    fields: Optional[list] = None,
 ) -> list[str]:
-    """Reference-CLI-shaped search: JSON lines, prettified."""
+    """Reference-CLI-shaped search: JSON lines, prettified.
+    ``fields`` projects the output to the named schema fields BEFORE
+    the collect — Catalyst prunes the scan's ReadSchema to just those
+    columns, so a 2-field projection over a wide index reads 2
+    columns, not the row."""
     if limit == 0:
         return []
     df = search_df(
@@ -365,6 +370,12 @@ def search(
         at_version=at_version,
     )
     config = catalog.get_index(index_name)
+    if fields:
+        known = {f.name for f in config.fields}
+        bad = [f for f in fields if f not in known]
+        if bad:
+            raise ValueError(f"unknown field(s) in --fields: {bad}")
+        df = df.select(*[f for f in fields if f in df.columns])
     return [prettify_doc(r.asDict(recursive=True), config) for r in df.collect()]
 
 
