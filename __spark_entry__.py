@@ -875,6 +875,37 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_cube_source_lang(spark, sf_dir):
+    """CUBE over (source, lang): every aggregation combination —
+    (both), (source, *), (*, lang), grand total — in ONE pass with
+    partial aggregation (Spark expands the grouping sets map-side;
+    NULL marks the rolled-up dimension, same convention both
+    engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_chars"),
+    )
+
+
+def q_pivot_event_days(spark, sf_dir):
+    """Pivot table: events per (day, event_type) with the five known
+    types as COLUMNS — Spark's pivot with an explicit value list
+    compiles to conditional aggregation (one pass, no join), which is
+    exactly the SQL mirror."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("day", F.to_date("ts").cast("string"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).cast("long"))
+        .na.fill(0, types)
+    )
+
+
 def q_asof_last_click(spark, sf_dir):
     """As-of join: each purchase event annotated with the user's most
     recent click (value) at or before the purchase time."""
@@ -2232,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
+        "cube_source_lang": q_cube_source_lang,
+        "pivot_event_days": q_pivot_event_days,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -3065,6 +3098,25 @@ def oracle_sql() -> dict[str, str]:
               FROM fused)
             SELECT doc_id, lex_rank, vec_rank, rrf_score, rank
             FROM ranked WHERE rank <= 10
+        """,
+        # cube_source_lang: GROUP BY CUBE — NULL marks the rolled-up
+        # dimension in both engines
+        "cube_source_lang": """
+            SELECT source, lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY CUBE (source, lang)
+        """,
+        # pivot_event_days: explicit-value pivot == conditional
+        # aggregation; absent (day, type) cells are 0
+        "pivot_event_days": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+            FROM events GROUP BY 1
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
