@@ -739,3 +739,91 @@ def test_search_cli_sort_and_projection(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="unknown field"):
         cli.main(["--catalog", cat, "search", "srt", "*",
                   "--fields", "nope"])
+
+
+def test_delete_cli_rejects_uncompilable_query(spark, tmp_path, capsys):
+    """A tombstone that parses but cannot COMPILE against the schema
+    must be rejected before recording — once manifested it would brick
+    every read and merge of the index."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.query import CompileError
+
+    cfg = {"name": "dcv", "path": str(tmp_path / "data"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "body", "type": "text"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp_path / "c.json")]) == 0
+    capsys.readouterr()
+    # parses fine ('body.sub' is a dotted path) but body has no
+    # sub-field -> compile error, nothing recorded
+    with pytest.raises(CompileError):
+        cli.main(["--catalog", cat, "delete", "dcv", "body.sub:1"])
+    from toshokan_spark.catalog import FsCatalog
+
+    assert FsCatalog(cat).deletes("dcv") == []
+
+
+def test_ingest_and_create_respect_aliases(spark, tmp_path, capsys):
+    """Ingest through an alias lands in the target index (resolution
+    runs before EVERY index-addressed handler), and creating an index
+    whose name is an existing alias is rejected — resolve() would
+    shadow it forever."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import CatalogError, FsCatalog
+
+    cfg = {"name": "tgt", "path": str(tmp_path / "data"),
+           "schema": {"fields": [{"name": "id", "type": "number"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    (tmp_path / "r.jsonl").write_text(_json.dumps({"id": 1}) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "alias", "in", "tgt"]) == 0
+    assert cli.main(["--catalog", cat, "index", "in",
+                     str(tmp_path / "r.jsonl")]) == 0
+    assert sum(s.num_rows for s in FsCatalog(cat).segments("tgt")) == 1
+
+    shadow = {"name": "in", "path": str(tmp_path / "d2"),
+              "schema": {"fields": [{"name": "id", "type": "number"}]}}
+    (tmp_path / "s.json").write_text(_json.dumps(shadow))
+    with pytest.raises(CatalogError, match="existing alias"):
+        cli.main(["--catalog", cat, "create", str(tmp_path / "s.json")])
+
+
+def test_fields_projection_nullfills_unscanned_schema_field(spark, tmp_path, capsys):
+    """--fields on a field added by alter before any new-schema
+    segment exists: the output carries an explicit null, not a silent
+    drop."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    base = {"name": "nf", "path": str(tmp_path / "data"),
+            "schema": {"fields": [{"name": "id", "type": "number"}]}}
+    v2 = _json.loads(_json.dumps(base))
+    v2["schema"]["fields"].append(
+        {"name": "score", "type": "number", "number_type": "f64"})
+    (tmp_path / "v1.json").write_text(_json.dumps(base))
+    (tmp_path / "v2.json").write_text(_json.dumps(v2))
+    (tmp_path / "r.jsonl").write_text(_json.dumps({"id": 1}) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp_path / "v1.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "nf",
+                     str(tmp_path / "r.jsonl")]) == 0
+    assert cli.main(["--catalog", cat, "alter", str(tmp_path / "v2.json")]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "nf", "*", "--limit", "5",
+                     "--fields", "id,score"]) == 0
+    (doc,) = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # prettify omits nulls, so the doc shows id only — but the plan
+    # resolved: no UNRESOLVED_COLUMN, and the id came through
+    assert doc == {"id": 1}
+    # querying the unscanned field matches nothing rather than erroring
+    assert cli.main(["--catalog", cat, "search", "nf", "score:>0",
+                     "--limit", "5"]) == 0
+    assert capsys.readouterr().out.splitlines() == []

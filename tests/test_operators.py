@@ -3590,3 +3590,80 @@ def test_delete_merge_materializes_partitioned_layout(spark, tmp_path):
         'ts:[2016-04-14T00:00:00Z TO 2016-04-15T00:00:00Z}', limit=None,
     )
     assert [r["id"] for r in out.collect()] == [4]
+
+
+def test_swap_never_clears_tombstones_past_uncovered_segments(spark, _stats_index):
+    """Coverage is re-checked AT SWAP TIME: a segment committed while
+    a merge ran (and thus never filtered by it) keeps the tombstone
+    pending — clearing would resurface its matching rows."""
+    from pyspark.sql import Row as R
+
+    from toshokan_spark.catalog import SegmentEntry, uuid7
+    from toshokan_spark.indexer import write_segment
+
+    cat, cfg = _stats_index
+    d = cat.add_delete("mstats", "id:>=3")
+    seg_ids = [s.id for s in cat.segments("mstats")]
+    # simulate the concurrent commit landing between the merge's read
+    # and its swap: a third segment exists at swap time
+    write_segment(cat, cfg, spark.createDataFrame([R(id=9, v=1.0)]))
+    fake = SegmentEntry(id=uuid7(), file_name="seg-fake", num_rows=2,
+                        created_at_ms=0)
+    cat.swap_segments("mstats", seg_ids, fake, clear_delete_ids=[d.id])
+    assert [x.id for x in cat.deletes("mstats")] == [d.id]  # still pending
+
+
+def test_query_on_alter_added_field_matches_nothing(spark, _stats_index):
+    """A field appended by alter, before any new-schema segment
+    exists, compiles to a typed NULL: predicates on it match nothing
+    instead of raising UNRESOLVED_COLUMN."""
+    from dataclasses import replace
+
+    from toshokan_spark.config import FieldConfig
+    from toshokan_spark.search import search_df
+
+    cat, cfg = _stats_index
+    new_cfg = replace(
+        cfg, fields=cfg.fields + [
+            FieldConfig(name="score", type="number", number_type="f64")
+        ]
+    )
+    cat.update_index(new_cfg)
+    out = search_df(spark, cat, "mstats", "score:>0", limit=None)
+    assert out.count() == 0
+    # and the untouched fields still work
+    assert search_df(spark, cat, "mstats", "id:>=3", limit=None).count() == 2
+
+
+def test_manifest_stats_honors_at_version_and_null_empty_sum(spark, tmp_path):
+    """manifest_stats(at_version) answers from THAT snapshot's
+    segments/deletes; an all-null value column reports sum/avg NULL —
+    exactly what the scan path computes, not 0.0."""
+    from pyspark.sql import Row as R
+
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index
+    from toshokan_spark.search import manifest_stats, stats_agg
+
+    cat = FsCatalog(str(tmp_path / "cat"))
+    cfg = IndexConfig(
+        name="mv", path=str(tmp_path / "d" / "mv"),
+        fields=[FieldConfig(name="id", type="number"),
+                FieldConfig(name="v", type="number", number_type="f64")],
+    )
+    create_index(cat, cfg)  # v1
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    write_segment(cat, cfg, allnull)                 # v2: all-null v
+    v2 = cat.versions("mv")[-1]
+    write_segment(cat, cfg, spark.createDataFrame([R(id=3, v=7.5)]))  # v3
+
+    at2 = manifest_stats(spark, cat, cfg, "v", at_version=v2).collect()[0]
+    want = stats_agg(allnull, "v").collect()[0]
+    assert at2.asDict() == want.asDict()
+    assert at2["n_hits"] == 2 and at2["sum_v"] is None and at2["avg_v"] is None
+    latest = manifest_stats(spark, cat, cfg, "v").collect()[0]
+    assert latest["n_hits"] == 3 and latest["sum_v"] == 7.5

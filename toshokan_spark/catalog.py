@@ -193,6 +193,13 @@ class FsCatalog:
         p = self._config_path(config.name)
         if self._st.exists(p):
             raise CatalogError(f"index {config.name!r} already exists")
+        if self._st.exists(self._alias_path(config.name)):
+            # resolve() prefers the alias, so the new index would be
+            # silently unreachable — reject, mirroring set_alias's
+            # converse shadow check
+            raise CatalogError(
+                f"{config.name!r} is an existing alias; drop it first"
+            )
         self._st.write_text_atomic(p, json.dumps(config.to_dict(), indent=2))
         self._st.mkdirs(self._manifest_dir(config.name))
         self._st.write_text_exclusive(
@@ -502,7 +509,14 @@ class FsCatalog:
             out = [s for s in segs if s.id not in set(remove_ids)]
             if add is not None:
                 out.append(add)
-            if clear_delete_ids:
+            # coverage is re-checked AT SWAP TIME: a segment committed
+            # while the merge ran (CAS preserves it in `out`) was never
+            # filtered by the merge, so the tombstones must stay
+            # pending or its matching rows would resurface — the
+            # compliance guarantee DeleteEntry documents
+            if clear_delete_ids and not any(
+                s.id not in set(remove_ids) for s in segs
+            ):
                 dels = [d for d in dels if d.id not in set(clear_delete_ids)]
             if self._try_write_version(name, ver + 1, out, dels):
                 return

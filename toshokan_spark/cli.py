@@ -234,6 +234,13 @@ def main(argv: list[str] | None = None) -> int:
     a = p.parse_args(argv)
     catalog = FsCatalog(a.catalog)
 
+    # every index-addressed command accepts an alias (resolved once,
+    # BEFORE any dispatch, so ingest/merge/delete through an alias work
+    # exactly like search; a concurrent re-point flips between whole
+    # commands, never mid-plan)
+    if getattr(a, "index", None) is not None and a.cmd != "alias":
+        a.index = catalog.resolve(a.index)
+
     if a.cmd == "create":
         with open(a.config_path, encoding="utf-8") as f:
             text = f.read()
@@ -289,11 +296,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed segment {entry.id} ({entry.num_rows} rows)" if entry else "empty batch")
         return 0
 
-    # every index-addressed command accepts an alias (resolved once,
-    # so a concurrent re-point flips between queries, never mid-plan)
-    if getattr(a, "index", None) is not None and a.cmd != "alias":
-        a.index = catalog.resolve(a.index)
-
     if a.cmd == "reindex":
         from toshokan_spark.maintenance import reindex
 
@@ -333,9 +335,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "delete":
-        from toshokan_spark.plans.ast import parse_query
+        from toshokan_spark.query import compile_query
 
-        parse_query(a.query)  # fail fast on syntax before recording
+        # fail fast on syntax AND compilation before recording: a
+        # tombstone that parses but cannot compile against the schema
+        # would brick every read and merge of the index
+        compile_query(a.query, catalog.get_index(a.index))
         d = catalog.add_delete(a.index, a.query)
         print(f"recorded delete {d.id}: {a.query}")
         return 0
@@ -446,7 +451,7 @@ def main(argv: list[str] | None = None) -> int:
                 if a.query.strip() == "*":
                     out = manifest_stats(
                         spark, catalog, catalog.get_index(a.index),
-                        a.stats_field,
+                        a.stats_field, at_version=a.at_version,
                     )
                 if out is None:
                     out = stats_agg(hits_df(), a.stats_field)
@@ -512,6 +517,10 @@ def main(argv: list[str] | None = None) -> int:
                     for s in catalog.segments(a.index,
                                               at_version=a.at_version)
                 ]
+                if not paths:
+                    print("error: index has no segments (nothing to "
+                          "compare against)", file=sys.stderr)
+                    return 2
                 out = significant_terms_from_stats(
                     spark, hits_df(), a.significant_terms, paths,
                     a.significant_terms, tokenizer=toks[a.significant_terms],

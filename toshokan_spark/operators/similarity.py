@@ -1107,8 +1107,42 @@ def knn_recall_report(
     )
 
 
-def embedding_covariance(
+def _first_moments(
     emb: DataFrame, vec_col: str = "embedding"
+) -> "tuple[list[float], int]":
+    """Per-dimension decimal-exact sums (collected as correctly-
+    rounded doubles) and the vector count, in ONE narrow posexplode
+    pass — the D-sized frame both :func:`embedding_covariance` and
+    :func:`fit_pca` consume (shared so a fit costs one moments pass,
+    not two)."""
+    rows = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias(
+                "s1"
+            ),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .collect()
+    )
+    if not rows:
+        return [], 0
+    dim = max(r["i"] for r in rows) + 1
+    s1 = [0.0] * dim
+    n = 0
+    for r in rows:
+        s1[r["i"]] = float(r["s1"])  # correctly-rounded decimal→double
+        if r["i"] == 0:
+            n = r["cnt"]
+    return s1, n
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    first_moments: "Optional[tuple[list[float], int]]" = None,
 ) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding space —
     ``(i, j, cov)`` rows for i <= j, the input to PCA / whitening /
@@ -1140,28 +1174,15 @@ def embedding_covariance(
     # spread(): the O(D²)-per-row pair explode is narrow — a small
     # parquet arrives as ONE split and would serialize on one core
     rows = spread(emb.where(v.isNotNull()).select(v.alias("__v")))
-    m1_rows = (
-        rows.select(F.posexplode("__v").alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias(
-                "s1"
-            ),
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-        )
-        .collect()
+    s1, n = (
+        first_moments
+        if first_moments is not None
+        else _first_moments(emb, vec_col)
     )
-    if not m1_rows:
+    if n == 0:
         return emb.sparkSession.createDataFrame(
             [], "i int, j int, cov double"
         )
-    dim = max(r["i"] for r in m1_rows) + 1
-    s1 = [0.0] * dim
-    n = 0
-    for r in m1_rows:
-        s1[r["i"]] = float(r["s1"])  # correctly-rounded decimal→double
-        if r["i"] == 0:
-            n = r["cnt"]
     s1_arr = F.array(*[F.lit(x) for x in s1])
     nd = F.lit(float(n))
     pairs = rows.select(
@@ -1216,27 +1237,21 @@ def fit_pca(
     into :func:`pca_project`."""
     import numpy as np
 
-    cov_fn = embedding_covariance_scaled if scaled else embedding_covariance
-    cov_rows = cov_fn(emb, vec_col).collect()
+    # ONE moments pass feeds both the covariance and the projection
+    # means (the exact path re-uses it outright; the Gram path only
+    # needs the means)
+    s1, n = _first_moments(emb, vec_col)
+    if scaled:
+        cov_rows = embedding_covariance_scaled(emb, vec_col).collect()
+    else:
+        cov_rows = embedding_covariance(
+            emb, vec_col, first_moments=(s1, n)
+        ).collect()
     dim = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((dim, dim))
     for r in cov_rows:
         cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
-    mean_rows = (
-        emb.where(F.col(vec_col).isNotNull())
-        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
-                / F.count(F.lit(1))
-            ).cast("double").alias("m")
-        )
-        .collect()
-    )
-    mean = [0.0] * dim
-    for r in mean_rows:
-        mean[r["i"]] = r["m"]
+    mean = [x / n for x in s1]
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []

@@ -184,6 +184,20 @@ class QueryCompiler:
 
         if len(path) > 1:
             raise CompileError(f"field {path[0]!r} has no sub-field {path[1]!r}")
+        if not self._have(fc.name):
+            # declared in the schema but absent from every scanned
+            # segment (an `alter`-added field before any new-schema
+            # ingest): a typed NULL makes every predicate on it
+            # unsatisfied — "matches nothing", never an unresolved-
+            # column error
+            null_col = F.lit(None).cast(
+                next(
+                    sf.dataType
+                    for sf in self.config.spark_schema().fields
+                    if sf.name == fc.name
+                )
+            )
+            return self._leaf_target(fc, null_col, shadow_ok=False)
         return self._leaf_target(fc, F.col(fc.name), shadow_ok=True)
 
     def _leaf_target(self, fc: FieldConfig, col: Column, shadow_ok: bool) -> _Target:

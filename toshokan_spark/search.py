@@ -375,7 +375,15 @@ def search(
         bad = [f for f in fields if f not in known]
         if bad:
             raise ValueError(f"unknown field(s) in --fields: {bad}")
-        df = df.select(*[f for f in fields if f in df.columns])
+        types = {sf.name: sf.dataType for sf in config.spark_schema().fields}
+        df = df.select(*[
+            F.col(f) if f in df.columns
+            # declared but absent from every scanned segment (alter
+            # before any new-schema ingest): a typed null, not a
+            # silent drop
+            else F.lit(None).cast(types[f]).alias(f)
+            for f in fields
+        ])
     return [prettify_doc(r.asDict(recursive=True), config) for r in df.collect()]
 
 
@@ -615,7 +623,11 @@ def top_hits_per_group(
 
 
 def manifest_stats(
-    spark: SparkSession, catalog: FsCatalog, config: IndexConfig, field: str
+    spark: SparkSession,
+    catalog: FsCatalog,
+    config: IndexConfig,
+    field: str,
+    at_version: Optional[int] = None,
 ) -> Optional[DataFrame]:
     """MATCH-ALL stats panel answered from the MANIFEST alone — zero
     data scans. Each segment records, at commit time, its row count,
@@ -638,12 +650,12 @@ def manifest_stats(
     construction, not by luck."""
     from pyspark.sql import types as T
 
-    if catalog.deletes(config.name):
+    if catalog.deletes(config.name, at_version=at_version):
         # pending tombstones are invisible to commit-time stats — the
         # panel would count deleted rows; fall back to the scan (which
         # applies them) until a merge materializes the deletes
         return None
-    segs = catalog.segments(config.name)
+    segs = catalog.segments(config.name, at_version=at_version)
     if any(s.field_sums is None or field not in s.field_sums for s in segs):
         return None
     n_hits = sum(s.num_rows for s in segs)
@@ -678,7 +690,12 @@ def manifest_stats(
         "n_values",
         "min_v",
         "max_v",
-        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_v"),
+        # an empty value set sums to NULL on the scan path (SQL
+        # sum-of-nothing) — mirror it, not 0.0
+        F.when(
+            F.col("n_values") > 0,
+            F.round(F.col("sum_dec").cast("double"), 6),
+        ).alias("sum_v"),
         F.when(
             F.col("n_values") > 0,
             F.round(
