@@ -827,3 +827,38 @@ def test_fields_projection_nullfills_unscanned_schema_field(spark, tmp_path, cap
     assert cli.main(["--catalog", cat, "search", "nf", "score:>0",
                      "--limit", "5"]) == 0
     assert capsys.readouterr().out.splitlines() == []
+
+
+def test_cli_delete_validates_without_prior_session(tmp_path):
+    """The delete command's fail-fast compile must work in a FRESH
+    process (no SparkSession yet): a _dynamic-routed field builds
+    Column expressions, which asserts on an active SparkContext —
+    pre-fix this crashed with a bare AssertionError instead of
+    recording the tombstone (verify-found r10). Subprocess on
+    purpose: an in-process test inherits the suite's session and
+    cannot reproduce the bug."""
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = {"name": "dv", "path": str(tmp_path / "data"),
+           "schema": {"fields": [{"name": "id", "type": "number"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    (tmp_path / "r.jsonl").write_text(
+        _json.dumps({"id": 1, "sev": "DEBUG"}) + "\n"
+        + _json.dumps({"id": 2, "sev": "INFO"}) + "\n")
+    cat = str(tmp_path / "cat")
+    run = lambda *args: subprocess.run(
+        [sys.executable, "-m", "toshokan_spark.cli", "--catalog", cat,
+         *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert run("create", str(tmp_path / "c.json")).returncode == 0
+    assert run("index", "dv", str(tmp_path / "r.jsonl")).returncode == 0
+    # ONE fresh process exercises validation with no prior session
+    d = run("delete", "dv", "sev:DEBUG")
+    assert d.returncode == 0, d.stderr[-2000:]
+    assert "recorded delete" in d.stdout
+    s = run("search", "dv", "*", "--limit", "5", "--fields", "id")
+    assert d.returncode == 0
+    assert [_json.loads(l)["id"] for l in s.stdout.splitlines()] == [2]

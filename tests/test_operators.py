@@ -2342,17 +2342,21 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
     assert un.filter(F.col("query_id") < 60).count() == 60 * 3
     # capped below the group size: the hot bucket is dropped, the
     # join completes, and only the healthy bucket's edges remain
+    ds: dict = {}
     with caplog.at_level(
         logging.WARNING, logger="toshokan_spark.operators.similarity"
     ):
         capped = similarity.knn_graph(
             emb, k=3, num_planes=4, hash_family="lcg", multiprobe=False,
-            max_bucket_occupancy=50,
+            max_bucket_occupancy=50, drop_stats=ds,
         ).collect()
     assert any(
         "over-occupancy" in r.message and "60 vectors" in r.message
         for r in caplog.records
     ), "drop was not logged with bucket/vector counts"
+    # programmatic surface (ADVICE r9): callers detect degraded recall
+    # without scraping the log
+    assert ds == {"dropped_buckets": 1, "dropped_vectors": 60}
     got = {(r.query_id, r.neighbor_id) for r in capped}
     assert (100, 101) in got and (101, 100) in got
     assert all(q >= 100 for q, _n in got), "hot-bucket edges survived the cap"
@@ -2367,6 +2371,22 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
     }
     assert labels[100] == labels[101] == 100
     assert all(labels[i] == i for i in range(60))
+
+
+def test_first_moments_rejects_ragged_vectors(spark):
+    """Ragged embedding input (short vectors) would silently skew the
+    covariance/PCA means against the dimension-0 count — the moments
+    pass must raise instead (ADVICE r9)."""
+    import pytest as _pytest
+
+    from toshokan_spark.operators.similarity import embedding_covariance
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        embedding_covariance(ragged).collect()
 
 
 def test_knn_graph_default_cap_no_op_on_small_corpus(spark):
@@ -3466,17 +3486,21 @@ def test_delete_masks_reads_immediately_and_snapshots_dont(spark, _stats_index):
 def test_delete_merge_materializes_and_clears(spark, _stats_index):
     """A full merge physically rewrites survivors only, clears the
     tombstone in the same atomic manifest write, records the TRUE
-    row count, and conservatively drops the additive stats (they
-    counted deleted rows)."""
+    row count, and RE-RECORDS the additive stats from the survivors
+    (observed during the rewrite) — so the manifest-stats fast path
+    answers again after a GDPR delete + ONE merge (r9 directive 3)."""
     from toshokan_spark.maintenance import merge_segments
-    from toshokan_spark.search import search_df
+    from toshokan_spark.search import manifest_stats, search_df, stats_agg
     from toshokan_spark.storage import join_path
 
     cat, cfg = _stats_index
     cat.add_delete("mstats", "id:>=3")
     entry = merge_segments(spark, cat, "mstats")
     assert entry.num_rows == 2 and cat.deletes("mstats") == []
-    assert entry.field_sums is None
+    # survivor additive stats: rows (1, 1.25), (2, None)
+    assert entry.field_sums == {
+        "id": [2, "3.000000"], "v": [1, "1.250000"]
+    }
     # physically gone: the raw parquet itself holds only survivors
     raw = spark.read.parquet(join_path(cfg.path, entry.file_name))
     assert sorted(r["id"] for r in raw.collect()) == [1, 2]
@@ -3484,6 +3508,17 @@ def test_delete_merge_materializes_and_clears(spark, _stats_index):
         r["id"]
         for r in search_df(spark, cat, "mstats", "*", limit=None).collect()
     ) == [1, 2]
+    # the FAST PATH (not the scan fallback) answers, value-identical
+    # to stats_agg over the survivors — and proves it is manifest-only
+    # by answering with the data gone
+    import shutil
+
+    want = stats_agg(raw.select("id", "v"), "v").collect()[0].asDict()
+    fast = manifest_stats(spark, cat, cfg, "v")
+    assert fast is not None
+    assert fast.collect()[0].asDict() == want
+    shutil.rmtree(join_path(cfg.path, entry.file_name))
+    assert manifest_stats(spark, cat, cfg, "v").collect()[0].asDict() == want
 
 
 def test_partial_merge_keeps_tombstone_pending(spark, _stats_index):
@@ -3522,6 +3557,55 @@ def test_delete_wipe_merges_to_segment_removal(spark, _stats_index):
     assert merge_segments(spark, cat, "mstats") is None
     assert cat.segments("mstats") == [] and cat.deletes("mstats") == []
     assert search_df(spark, cat, "mstats", "*", limit=None).count() == 0
+
+
+def test_delete_null_predicate_rows_survive(spark, _stats_index):
+    """SQL DELETE semantics: only rows where the tombstone predicate
+    is TRUE go. A row where it evaluates NULL (v IS NULL under
+    ``v:>=0``) must survive both the read-time mask AND the physical
+    merge — the pre-fix behavior (`AND NOT p` without coalesce)
+    over-deleted every NULL-predicate row (ADVICE r9 high)."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import search_df
+
+    cat, cfg = _stats_index
+    cat.add_delete("mstats", "v:>=0")  # matches id 1 (1.25), 4 (100.125)
+    ids = lambda: sorted(
+        r["id"]
+        for r in search_df(spark, cat, "mstats", "*", limit=None).collect()
+    )
+    assert ids() == [2, 3]  # id 2 has v NULL -> survives
+    entry = merge_segments(spark, cat, "mstats")
+    assert entry.num_rows == 2 and ids() == [2, 3]
+
+
+def test_alter_then_delete_destroys_nothing(spark, _stats_index):
+    """A delete-by-query on an alter-added field absent from every
+    segment compiles to a typed NULL ("matches nothing",
+    query.py) — the tombstone must mask NOTHING, and a merge must
+    not wipe the index (the pre-fix worst case: NULL negated masked
+    every row and the merge destroyed the whole index)."""
+    from dataclasses import replace
+
+    from toshokan_spark.config import FieldConfig
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import search_df
+
+    cat, cfg = _stats_index
+    cat.update_index(replace(
+        cfg, fields=cfg.fields + [
+            FieldConfig(name="score", type="number", number_type="f64")
+        ]
+    ))
+    cat.add_delete("mstats", "score:>0")
+    ids = lambda: sorted(
+        r["id"]
+        for r in search_df(spark, cat, "mstats", "*", limit=None).collect()
+    )
+    assert ids() == [1, 2, 3, 4]
+    entry = merge_segments(spark, cat, "mstats")
+    assert entry is not None and entry.num_rows == 4
+    assert ids() == [1, 2, 3, 4]
 
 
 def test_percentiles_by_group_discrete(spark):

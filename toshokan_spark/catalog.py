@@ -325,6 +325,17 @@ class FsCatalog:
         ver, segs, _deletes = self._read_versioned_full(name)
         return ver, segs
 
+    def snapshot(
+        self, name: str
+    ) -> "tuple[int, list[SegmentEntry], list[DeleteEntry]]":
+        """One CONSISTENT ``(version, segments, deletes)`` read of the
+        latest manifest. Callers that need both lists (merge) must use
+        this instead of separate ``segments()`` + ``deletes()`` calls —
+        two reads can straddle a concurrent commit, so the deletes
+        list would be from a different snapshot than the segment list
+        that chose what to rewrite."""
+        return self._read_versioned_full(name)
+
     def _read_versioned_full(
         self, name: str
     ) -> "tuple[int, list[SegmentEntry], list[DeleteEntry]]":

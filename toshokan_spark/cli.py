@@ -339,7 +339,11 @@ def main(argv: list[str] | None = None) -> int:
 
         # fail fast on syntax AND compilation before recording: a
         # tombstone that parses but cannot compile against the schema
-        # would brick every read and merge of the index
+        # would brick every read and merge of the index. Compilation
+        # builds Column expressions, which needs an active session —
+        # without one, a _dynamic-routed field crashed here with a
+        # bare AssertionError instead of validating (verify-found r10)
+        _spark()
         compile_query(a.query, catalog.get_index(a.index))
         d = catalog.add_delete(a.index, a.query)
         print(f"recorded delete {d.id}: {a.query}")

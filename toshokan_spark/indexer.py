@@ -47,6 +47,52 @@ def text_stat_fields(config: IndexConfig) -> list[tuple[str, str]]:
     ]
 
 
+def zone_map_cols(
+    config: IndexConfig, columns: set
+) -> list[tuple[str, str]]:
+    """(field_name, source_column) pairs eligible for zone maps —
+    shared by the commit-time observed write (here) and the merge's
+    survivor re-observation (maintenance.merge_segments): scalar
+    NUMBER and raw-tokenizer TEXT fields as themselves, IP fields
+    through their order-preserving ``__ipkey__`` shadow, plus the
+    sub-day time-field epoch map."""
+    from toshokan_spark.ingest import ipkey_col
+
+    stat_cols: list[tuple[str, str]] = []
+    for f in config.fields:
+        if f.array:
+            continue
+        if f.type == "number" and f.name in columns:
+            stat_cols.append((f.name, f.name))
+        elif f.type == "text" and f.tokenizer == "raw" and f.name in columns:
+            stat_cols.append((f.name, f.name))
+        elif f.type == "ip" and ipkey_col(f.name) in columns:
+            stat_cols.append((f.name, ipkey_col(f.name)))
+    if config.time_field and config.time_field in columns:
+        # SUB-DAY time zone map (epoch micros): the day range prunes
+        # at day granularity, but a streaming index commits many
+        # segments per day — a five-minute query should drop the other
+        # micro-batches of the same day at the manifest too
+        stat_cols.append((config.time_field, config.time_field))
+    return stat_cols
+
+
+def plain_stat_value(v):
+    """Manifest-JSON form of an observed zone-map bound: u64 columns
+    are decimal(20,0) — Decimal is not JSON-serializable and int keeps
+    the full range exactly; timestamps (naive UTC under the session
+    timezone) become epoch MICROS — exact, ordered, and
+    min/max-combinable at merge."""
+    from datetime import datetime, timezone
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return int(v)
+    if isinstance(v, datetime):
+        return int(v.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    return v
+
+
 def stats_path(config: IndexConfig, seg_name: str) -> str:
     return join_path(config.path, STATS_DIR, seg_name)
 
@@ -143,24 +189,7 @@ def write_segment(
     # exact space the compiled predicate compares in.
     from pyspark.sql import Observation
 
-    from toshokan_spark.ingest import ipkey_col
-
-    stat_cols: list[tuple[str, str]] = []
-    for f in config.fields:
-        if f.array:
-            continue
-        if f.type == "number" and f.name in df.columns:
-            stat_cols.append((f.name, f.name))
-        elif f.type == "text" and f.tokenizer == "raw" and f.name in df.columns:
-            stat_cols.append((f.name, f.name))
-        elif f.type == "ip" and ipkey_col(f.name) in df.columns:
-            stat_cols.append((f.name, ipkey_col(f.name)))
-    if config.time_field and config.time_field in df.columns:
-        # SUB-DAY time zone map (epoch micros): the day range above
-        # prunes at day granularity, but a streaming index commits many
-        # segments per day — a five-minute query should drop the other
-        # micro-batches of the same day at the manifest too
-        stat_cols.append((config.time_field, config.time_field))
+    stat_cols = zone_map_cols(config, set(df.columns))
     aggs = [F.count(F.lit(1)).alias("__n")]
     if partition_cols:
         aggs += [F.min(PARTITION_COL).alias("__dlo"), F.max(PARTITION_COL).alias("__dhi")]
@@ -200,20 +229,7 @@ def write_segment(
     if partition_cols and r["__dlo"] is not None:
         min_day, max_day = str(r["__dlo"]), str(r["__dhi"])
 
-    def _plain(v):
-        # u64 columns are decimal(20,0) — Decimal is not JSON-
-        # serializable and int keeps the full range exactly; timestamps
-        # (naive UTC under the session timezone) become epoch MICROS —
-        # exact, ordered, and min/max-combinable at merge
-        from datetime import datetime, timezone
-        from decimal import Decimal
-
-        if isinstance(v, Decimal):
-            return int(v)
-        if isinstance(v, datetime):
-            return int(v.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
-        return v
-
+    _plain = plain_stat_value
     stats = {
         name: [_plain(r[f"__lo_{name}"]), _plain(r[f"__hi_{name}"])]
         for name, _ in stat_cols

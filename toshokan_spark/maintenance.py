@@ -63,7 +63,16 @@ def merge_segments(
     full index per compaction is O(index) churn; tiering rewrites only
     the small-file tail that actually hurts scan planning).
     """
-    segs = catalog.segments(index_name)
+    # ONE consistent manifest snapshot drives everything: the segment
+    # selection, the pending-delete list that gets materialized, the
+    # covers_all coverage decision, and the tombstone ids cleared at
+    # swap. Separate segments()/deletes() reads can straddle a
+    # concurrent commit — a tombstone recorded between them would be
+    # materialized into the rewrite while a stale list drove the
+    # clear (the swap-time re-check saves correctness, but the
+    # bookkeeping should come from one snapshot to begin with).
+    _ver, all_segs, deletes = catalog.snapshot(index_name)
+    segs = all_segs
     if len(segs) < 2:
         # `merge.rs:28-31`: "need at least 2 files to merge"
         raise MergeError("need at least 2 segments to merge")
@@ -83,10 +92,9 @@ def merge_segments(
     # tiered (partial) merge applies the filter to what it rewrites
     # but leaves the tombstone pending for the untouched segments
     # (predicate filtering is idempotent, so re-application is safe).
-    all_segs = catalog.segments(index_name)
-    deletes = catalog.deletes(index_name)
     covers_all = {s.id for s in segs} == {s.id for s in all_segs}
     n_obs = None
+    sum_fields: list = []
     if deletes:
         from pyspark.sql import Observation
 
@@ -97,7 +105,37 @@ def merge_segments(
         )
         df = df.filter(pred)
         n_obs = Observation(f"merge_rows_{index_name}")
-        df = df.observe(n_obs, F.count(F.lit(1)).alias("__n"))
+        # the SURVIVORS are flowing through this write anyway — ride
+        # the same observed pass to re-record the additive stats
+        # ([non-null count, decimal(38,6)-exact sum], exactly the
+        # shape indexer.write_segment records) so the manifest-stats
+        # fast path survives a GDPR delete + ONE merge instead of
+        # falling back to scans until a second, delete-free merge.
+        sum_fields = [
+            f.name
+            for f in config.fields
+            if f.type == "number" and not f.array and f.name in df.columns
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for name in sum_fields:
+            aggs += [
+                F.count(F.col(name)).alias(f"__cnt_{name}"),
+                F.sum(F.col(name).cast("decimal(38,6)")).alias(
+                    f"__sum_{name}"
+                ),
+            ]
+        # survivor zone maps too (same eligible set as
+        # indexer.write_segment): the input-combined maps bound the
+        # PRE-delete values, and manifest_stats serves min/max as
+        # ANSWERS, not just prune bounds — they must be exact again.
+        from toshokan_spark.indexer import zone_map_cols
+
+        for name, src in zone_map_cols(config, set(df.columns)):
+            aggs += [
+                F.min(src).alias(f"__lo_{name}"),
+                F.max(src).alias(f"__hi_{name}"),
+            ]
+        df = df.observe(n_obs, *aggs)
     total = sum(s.num_rows for s in segs)
     nfiles = max(1, math.ceil(total / rows_per_file))
 
@@ -119,10 +157,12 @@ def merge_segments(
     else:
         df.coalesce(nfiles).write.mode("error").parquet(seg_path)
 
+    obs_row = None
     if n_obs is not None:
         # the write already ran (stats recompute below reads it back);
-        # the observation holds the SURVIVOR count
-        total = int(n_obs.get["__n"])
+        # the observation holds the SURVIVOR count + additive stats
+        obs_row = n_obs.get
+        total = int(obs_row["__n"])
         if total == 0:
             # the tombstones wiped everything this merge covered: a
             # zero-row partitioned write leaves no readable footer, so
@@ -154,7 +194,22 @@ def merge_segments(
     # — but only when EVERY input recorded the field (a missing map
     # means unknown values, so the merged map must stay conservative)
     field_stats = None
-    if all(s.field_stats for s in segs):
+    if deletes:
+        # input-combined maps bound PRE-delete values; re-record from
+        # the survivors (observed during the write) — manifest_stats
+        # serves min/max as ANSWERS, not just prune bounds, so they
+        # must be exact again after the materialization
+        from toshokan_spark.indexer import plain_stat_value, zone_map_cols
+
+        field_stats = {
+            name: [
+                plain_stat_value(obs_row[f"__lo_{name}"]),
+                plain_stat_value(obs_row[f"__hi_{name}"]),
+            ]
+            for name, _src in zone_map_cols(config, set(df.columns))
+            if obs_row[f"__lo_{name}"] is not None
+        } or None
+    elif all(s.field_stats for s in segs):
         names = set(segs[0].field_stats)
         for s in segs[1:]:
             names &= set(s.field_stats)
@@ -170,11 +225,19 @@ def merge_segments(
     field_sums = None
     if deletes:
         # additive stats of the INPUTS count rows the rewrite dropped —
-        # conservative None (stats panel falls back to scanning) until
-        # a clean merge re-records them. Zone maps stay: too-wide
-        # bounds never wrong-prune. (A delete-free remerge of the
-        # materialized segment restores the sums.)
-        pass
+        # re-record from the SURVIVORS, observed during the write
+        # itself (zero extra scans): the manifest-stats fast path
+        # answers again right after a delete + one merge. Zone maps
+        # stay input-derived: too-wide bounds never wrong-prune.
+        field_sums = {
+            name: [
+                int(obs_row[f"__cnt_{name}"]),
+                str(obs_row[f"__sum_{name}"])
+                if obs_row[f"__sum_{name}"] is not None
+                else "0",
+            ]
+            for name in sum_fields
+        } or None
     elif all(s.field_sums for s in segs):
         from decimal import Decimal
 

@@ -743,6 +743,7 @@ def knn_graph(
     multiprobe: bool = True,
     hash_family: str = "xxhash",
     max_bucket_occupancy: Optional[int] = 1000,
+    drop_stats: Optional[dict] = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector is
     its own query. This is the all-nodes sibling of :func:`knn_lsh`
@@ -780,6 +781,13 @@ def knn_graph(
     bucket still pair through their multi-probe buckets, so recall
     loss is confined to pairs whose ONLY agreement is the degenerate
     bucket — exactly the pairs the signature carries no evidence for.
+
+    Pass a dict as ``drop_stats`` to get the counts PROGRAMMATICALLY
+    (keys ``dropped_buckets`` / ``dropped_vectors``, populated before
+    this returns — both 0 when nothing was dropped): a caller that
+    must detect degraded recall (low-variance embedding spaces,
+    multiprobe off) checks them instead of scraping the log, and can
+    rerun with ``max_bucket_occupancy=None`` for exact-LSH behavior.
     """
     base = spread(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -817,6 +825,9 @@ def knn_graph(
             F.count(F.lit(1)).alias("nb"),
             F.coalesce(F.sum("__bn"), F.lit(0)).alias("nd"),
         ).collect()[0]
+        if drop_stats is not None:
+            drop_stats["dropped_buckets"] = int(stats["nb"])
+            drop_stats["dropped_vectors"] = int(stats["nd"])
         if stats["nb"]:
             _LOG.warning(
                 "knn_graph: dropping %d over-occupancy bucket(s) holding "
@@ -832,6 +843,9 @@ def knn_graph(
         right = right.join(hot_keys, "bucket", "left_anti")
     else:
         hot = None
+        if drop_stats is not None:
+            drop_stats["dropped_buckets"] = 0
+            drop_stats["dropped_vectors"] = 0
     scored = (
         left.join(right, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -865,6 +879,7 @@ def semantic_clusters(
     multiprobe: bool = True,
     hash_family: str = "xxhash",
     max_bucket_occupancy: Optional[int] = 1000,
+    drop_stats: Optional[dict] = None,
 ) -> DataFrame:
     """Cluster-count-free semantic clustering: connected components
     of the MUTUAL k-NN graph at cosine >= ``min_score``. The
@@ -889,7 +904,7 @@ def semantic_clusters(
     g = knn_graph(
         corpus, k, id_col=id_col, vec_col=vec_col, num_planes=num_planes,
         multiprobe=multiprobe, hash_family=hash_family,
-        max_bucket_occupancy=max_bucket_occupancy,
+        max_bucket_occupancy=max_bucket_occupancy, drop_stats=drop_stats,
     ).filter(F.col("score") >= min_score)
     a, b = g.alias("a"), g.alias("b")
     mutual = (
@@ -1132,6 +1147,17 @@ def _first_moments(
     dim = max(r["i"] for r in rows) + 1
     s1 = [0.0] * dim
     n = 0
+    # ragged input (short vectors, dimension gaps) would make the
+    # per-dimension counts differ and silently skew every downstream
+    # mean/covariance against the dimension-0 count — fail loudly
+    # instead (ADVICE r9)
+    counts = {r["i"]: r["cnt"] for r in rows}
+    if len(counts) != dim or len(set(counts.values())) != 1:
+        raise ValueError(
+            f"ragged {vec_col!r} vectors: per-dimension counts "
+            f"{sorted(set(counts.values()))} over {len(counts)} of "
+            f"{dim} dimensions — every vector must have the same length"
+        )
     for r in rows:
         s1[r["i"]] = float(r["s1"])  # correctly-rounded decimal→double
         if r["i"] == 0:

@@ -1547,6 +1547,11 @@ def _bpe_encode_len(word: str, ranks: dict, cache: dict) -> int:
     return n
 
 
+#: (applicationId, merge-table hash) -> standing broadcast of the
+#: merge-rank dict (see bpe_token_counts_arrow's leak note)
+_BPE_RANKS_BROADCASTS: dict = {}
+
+
 def bpe_token_counts_arrow(
     df: DataFrame,
     merges: "list[tuple[str, str, int]]",
@@ -1572,7 +1577,20 @@ def bpe_token_counts_arrow(
 
     ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(ranks)
+    # ONE broadcast per (app, merge-table) — the returned frame is
+    # lazy, so destroying the broadcast here would break every later
+    # action on it; per-call broadcasts instead leaked one copy per
+    # invocation in long-lived pipeline services (ADVICE r9). The
+    # memo key hashes the table content, so retraining gets a fresh
+    # broadcast and re-application reuses the standing one.
+    memo_key = (
+        spark.sparkContext.applicationId,
+        hash(tuple((a, b) for a, b, _c in merges)),
+    )
+    bc = _BPE_RANKS_BROADCASTS.get(memo_key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(ranks)
+        _BPE_RANKS_BROADCASTS[memo_key] = bc
     # the JVM words_col splits on Java \s+ (ASCII whitespace);
     # Python str.split() is Unicode-wide — pin the ASCII class so
     # both paths tokenize identically

@@ -191,12 +191,20 @@ def _segment_prune_rule(
 
 def apply_deletes(pred, config: IndexConfig, columns: set, deletes) -> "object":
     """AND NOT(compiled tombstone) onto *pred* for every pending
-    delete (`catalog.DeleteEntry` — predicate semantics: a row whose
-    tombstone predicate is NULL is masked too, exactly SQL's
-    ``AND NOT (p)``). Compiled fresh per read, so deletes survive
-    schema drift the same way queries do."""
+    delete (`catalog.DeleteEntry`). NULL never deletes: the compiled
+    tombstone is coalesced to FALSE before negation, so a row where
+    the delete predicate is UNKNOWN survives — SQL ``DELETE WHERE p``
+    semantics (only TRUE rows go), and consistent with the compiler's
+    own absent-field rule (query.py: an `alter`-added field absent
+    from every scanned segment compiles to a typed NULL that "matches
+    nothing"). Without the coalesce, a tombstone on such a field
+    would mask — and at merge time physically destroy — EVERY row.
+    Compiled fresh per read, so deletes survive schema drift the same
+    way queries do."""
     for d in deletes:
-        pred = pred & ~compile_query(d.query, config, columns)
+        pred = pred & ~F.coalesce(
+            compile_query(d.query, config, columns), F.lit(False)
+        )
     return pred
 
 
