@@ -405,6 +405,62 @@ def q_search_percentiles_by(spark, sf_dir):
     return percentiles_by(hits, "event_type", "value")
 
 
+def q_search_panel(spark, sf_dir):
+    """The composed search panel in ONE scan (VERDICT r9 directive
+    6): facets + fixed-width value histogram + global stats and
+    p50/p95 over the error hit set via GROUPING SETS — one Expand +
+    one partial-aggregated exchange where the per-section CLI ran one
+    job per panel (plan-asserted single data scan,
+    `tests/test_plan_audit.py`). ES answers a multi-agg request in
+    one pass; at 100 TB N hit-set scans vs one is the whole game."""
+    from toshokan_spark.search import panel_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:error")
+    return panel_agg(hits, "event_type", "value", 50.0)
+
+
+def q_search_percentiles_approx(spark, sf_dir):
+    """Corpus-scale percentiles twin (VERDICT r9 directive 4):
+    ``percentile_approx`` (Greenwald-Khanna, O(accuracy) buffer, rank
+    error <= n/accuracy) instead of exact percentile_disc. At this
+    hit count (< accuracy=10000) the summary never compresses, so the
+    values EQUAL the exact panel's — the shared oracle proves the
+    scale path value-correct end-to-end, the
+    ``lm_quality_buckets_scaled`` pattern."""
+    from toshokan_spark.search import percentiles_agg_approx
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:error")
+    return percentiles_agg_approx(hits, "value")
+
+
+def q_search_percentiles_by_approx(spark, sf_dir):
+    """Per-facet approx percentiles — the grouped scale twin of
+    ``search_percentiles_by`` (same O(accuracy)-per-group bound,
+    exact below accuracy, shared oracle)."""
+    from toshokan_spark.search import percentiles_by_approx
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "user_id:<=60")
+    return percentiles_by_approx(hits, "event_type", "value")
+
+
+def q_search_cardinality_sketch(spark, sf_dir):
+    """Sketch-only cardinality (VERDICT r9 directive 5): the KMV
+    bottom-k estimate WITHOUT the exact-distinct side — the 100 TB
+    path never pays the ``count_distinct`` exchange of the raw key
+    space (plan-asserted: no count_distinct in this plan); its one
+    exchange carries map-side-deduped int64 hashes. Below k the
+    bottom-k size itself is the distinct count (modulo hash
+    collisions); here distinct=150 > k=64 exercises the estimator."""
+    from toshokan_spark.search import cardinality_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:click")
+    return cardinality_agg(hits, "user_id", k=64, sketch_only=True)
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -2234,8 +2290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r9 WINDOW (first 50): the never-driver-proven
-        # entries new this round ...
+        # -- r10 WINDOW (first 50): the four never-driver-proven (P0)
+        # entries new this round first, then P0b rotated-out entries
+        # per tools/rotation.py priority order
+        "search_panel": q_search_panel,
+        "search_percentiles_approx": q_search_percentiles_approx,
+        "search_percentiles_by_approx": q_search_percentiles_by_approx,
+        "search_cardinality_sketch": q_search_cardinality_sketch,
         "curriculum_order": q_curriculum_order,
         "tokenizer_fertility": q_tokenizer_fertility,
         "shard_balance": q_shard_balance,
@@ -2736,6 +2797,108 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT)
                        THEN value END)::DOUBLE AS p99
             FROM ranked GROUP BY n
+        """,
+        # search_panel: the composed one-scan panel — GROUPING SETS
+        # ((facet),(bucket),()) with section tags, decimal-exact sums,
+        # stats-row percentile_disc p50/p95, histogram null-bucket
+        # dropped, keys coalesced to sentinels ('' / -inf)
+        "search_panel": """
+            WITH hits AS (
+                SELECT * FROM events WHERE event_type = 'error'
+            ), sel AS (
+                SELECT event_type AS facet,
+                       floor(value / 50.0) * 50.0 AS bucket_lo,
+                       value AS v
+                FROM hits
+            )
+            SELECT CASE WHEN GROUPING(facet) = 0 THEN 'facet'
+                        WHEN GROUPING(bucket_lo) = 0 THEN 'histogram'
+                        ELSE 'stats' END AS section,
+                   COALESCE(facet, '') AS facet,
+                   COALESCE(bucket_lo, '-infinity'::DOUBLE) AS bucket_lo,
+                   count(*)::BIGINT AS n_hits,
+                   count(v)::BIGINT AS n_values,
+                   min(v)::DOUBLE AS min_v,
+                   max(v)::DOUBLE AS max_v,
+                   round(sum(v::DECIMAL(38,6))::DOUBLE, 6) AS sum_v,
+                   round((sum(v::DECIMAL(38,6)) / count(v))::DOUBLE, 6)
+                       AS avg_v,
+                   CASE WHEN GROUPING(facet) = 1 AND GROUPING(bucket_lo) = 1
+                        THEN quantile_disc(v, 0.5)::DOUBLE END AS p50,
+                   CASE WHEN GROUPING(facet) = 1 AND GROUPING(bucket_lo) = 1
+                        THEN quantile_disc(v, 0.95)::DOUBLE END AS p95
+            FROM sel
+            GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
+            HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # search_percentiles_approx: SHARED ORACLE with the exact
+        # panel — at hit count < accuracy the GK summary never
+        # compresses and percentile_approx returns exactly the
+        # percentile_disc element, so the scale path must match the
+        # exact SQL bit-for-bit (the lm_quality_buckets_scaled
+        # equivalence pattern)
+        "search_percentiles_approx": """
+            WITH hits AS (
+                SELECT value FROM events
+                WHERE event_type = 'error' AND value IS NOT NULL
+            ), ranked AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS r,
+                       count(*) OVER () AS n
+                FROM hits
+            )
+            SELECT n::BIGINT AS n_values,
+                   max(CASE WHEN r = CAST(ceil(0.25 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p25,
+                   max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p50,
+                   max(CASE WHEN r = CAST(ceil(0.75 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p75,
+                   max(CASE WHEN r = CAST(ceil(0.90 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p90,
+                   max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p99
+            FROM ranked GROUP BY n
+        """,
+        # search_percentiles_by_approx: shared oracle with the exact
+        # per-group panel (same equivalence argument per group)
+        "search_percentiles_by_approx": """
+            WITH hits AS (
+                SELECT event_type, value FROM events
+                WHERE user_id <= 60 AND value IS NOT NULL
+            ), ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS r,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM hits
+            )
+            SELECT event_type, max(n)::BIGINT AS n_values,
+                   max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p50,
+                   max(CASE WHEN r = CAST(ceil(0.95 * n) AS BIGINT)
+                       THEN value END)::DOUBLE AS p95
+            FROM ranked GROUP BY event_type
+        """,
+        # search_cardinality_sketch: the KMV estimate alone — no
+        # exact-distinct side; below-k answers with the bottom-k size
+        "search_cardinality_sketch": f"""
+            WITH hits AS (
+                SELECT * FROM events WHERE event_type = 'click'
+            ), h AS (
+                SELECT DISTINCT
+                    {_poly_sql('user_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)} AS h
+                FROM hits WHERE user_id IS NOT NULL
+            ), bottom AS (
+                SELECT count(*)::BIGINT AS kk, max(h) AS hk
+                FROM (SELECT h FROM h ORDER BY h LIMIT 64)
+            ), counts AS (
+                SELECT count(*)::BIGINT AS n_hits FROM hits
+            )
+            SELECT n_hits,
+                   CASE WHEN kk < 64 THEN kk::DOUBLE
+                        ELSE round(63 * 1000000007.0 / hk, 6)
+                   END AS kmv_estimate
+            FROM counts, bottom
         """,
         # search_cardinality: exact distinct users + the KMV bottom-k
         # estimate (k-1)*M/h_k from the k=64 smallest DISTINCT poly

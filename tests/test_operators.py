@@ -3751,3 +3751,75 @@ def test_manifest_stats_honors_at_version_and_null_empty_sum(spark, tmp_path):
     assert at2["n_hits"] == 2 and at2["sum_v"] is None and at2["avg_v"] is None
     latest = manifest_stats(spark, cat, cfg, "v").collect()[0]
     assert latest["n_hits"] == 3 and latest["sum_v"] == 7.5
+
+
+def test_percentiles_approx_exact_below_accuracy_and_bounded_above(spark):
+    """The GK guarantee, tested both ways: with n <= accuracy the
+    summary never compresses and percentile_approx EQUALS
+    percentile_disc element-for-element; with accuracy << n the
+    returned value's RANK must be within n/accuracy of the true
+    percentile rank (the documented error bound)."""
+    import random
+
+    from toshokan_spark.search import (
+        percentiles_agg,
+        percentiles_agg_approx,
+        percentiles_by,
+        percentiles_by_approx,
+    )
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 1000), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+
+    exact = percentiles_agg(df, "v").collect()[0].asDict()
+    approx = percentiles_agg_approx(df, "v", accuracy=10000).collect()[0].asDict()
+    assert approx == exact  # n=5000 < accuracy -> bit-equal
+
+    loose = percentiles_agg_approx(df, "v", accuracy=100).collect()[0].asDict()
+    svals = sorted(vals)
+    n = len(svals)
+    bound = n / 100  # rank error <= n/accuracy
+    for p in (0.25, 0.5, 0.75, 0.9, 0.99):
+        key = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        got = loose[key]
+        assert got in vals, "approx must return an actual element"
+        import math
+
+        true_rank = math.ceil(p * n)
+        got_rank_lo = svals.index(got) + 1
+        got_rank_hi = n - svals[::-1].index(got)
+        err = min(abs(got_rank_lo - true_rank), abs(got_rank_hi - true_rank))
+        assert err <= bound + 1, (key, got, err, bound)
+
+    # grouped twin: same equivalence per group below accuracy
+    gdf = spark.createDataFrame(
+        [("a" if i % 2 else "b", v) for i, v in enumerate(vals)],
+        "g string, v double",
+    )
+    ex = {r["g"]: r.asDict() for r in percentiles_by(gdf, "g", "v").collect()}
+    ap = {
+        r["g"]: r.asDict()
+        for r in percentiles_by_approx(gdf, "g", "v", accuracy=10000).collect()
+    }
+    assert ap == ex
+
+
+def test_cardinality_sketch_only_values(spark):
+    """Sketch-only output drops the exact column; above k the
+    estimate equals the combined mode's, below k it answers with the
+    bottom-k size (= exact distinct modulo hash collisions)."""
+    from toshokan_spark.search import cardinality_agg
+
+    df = spark.createDataFrame(
+        [(i % 300,) for i in range(2000)], "u long"
+    )
+    both = cardinality_agg(df, "u", k=64).collect()[0].asDict()
+    sk = cardinality_agg(df, "u", k=64, sketch_only=True).collect()[0].asDict()
+    assert set(sk) == {"n_hits", "kmv_estimate"}
+    assert sk["n_hits"] == both["n_hits"] == 2000
+    assert sk["kmv_estimate"] == both["kmv_estimate"]  # 300 > k: estimator path
+    small = cardinality_agg(
+        df.limit(40), "u", k=64, sketch_only=True
+    ).collect()[0].asDict()
+    assert small["kmv_estimate"] == 40.0  # below k: bottom-k size IS the count

@@ -650,3 +650,64 @@ def test_search_deletes_is_one_antifiltered_scan(spark, sf_dir):
     )
     assert a["scans"] == 1 and a["joins"] == "-", a
     assert a["pushed_scans"] >= 1, a
+
+
+# -- round 10: composed panel / approx twins / sketch-only cardinality
+
+
+ROUND10 = [
+    "search_panel",
+    "search_percentiles_approx",
+    "search_percentiles_by_approx",
+    "search_cardinality_sketch",
+]
+
+
+@pytest.fixture(scope="module")
+def plans10(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND10:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys)
+    return out
+
+
+def test_search_panel_is_one_scan(plans10):
+    """The composed panel (facets + histogram + stats + percentiles)
+    is GROUPING SETS over ONE scan of the hit set — Expand + one
+    partial-aggregated exchange, no join; the per-section CLI used to
+    pay one scan per section (VERDICT r9 directive 6)."""
+    a, phys = plans10["search_panel"]
+    assert a["scans"] == 1, a
+    assert a["joins"] == "-", a
+    assert "Expand" in phys, "grouping-sets Expand missing from plan"
+
+
+def test_percentile_approx_twins_single_scan_no_join(plans10):
+    """The approx panels keep the exact panels' shape: one scan into
+    a partial aggregate, no join — only the aggregation function
+    (bounded-memory GK summary) changed."""
+    for name in ("search_percentiles_approx",
+                 "search_percentiles_by_approx"):
+        a, phys = plans10[name]
+        assert a["scans"] == 1, (name, a)
+        assert a["joins"] == "-", (name, a)
+        assert "approx_percentile" in phys or "percentile_approx" in phys, (
+            name, "approx aggregate missing from plan")
+
+
+def test_cardinality_sketch_only_never_counts_distinct(plans10):
+    """Sketch-only mode must not pay the exact-distinct exchange of
+    the raw key space (VERDICT r9 directive 5): no count(distinct)
+    anywhere in the plan — the only dedup is the map-side-partial
+    HashAggregate over int64 POLY HASHES feeding the bottom-k."""
+    a, phys = plans10["search_cardinality_sketch"]
+    assert "count(distinct" not in phys.lower(), phys[:2000]
+    # the 1-row bottom-k frame joins back by broadcast, never shuffled
+    assert "SortMergeJoin" not in phys, phys[:2000]

@@ -1451,3 +1451,50 @@ def test_streaming_bottomk_sample_deterministic_and_bounded(spark, tmp_path):
     small = bottomk_sample_and_estimate(spark.read.parquet(out2), k=32)
     assert sorted(small["sample"]) == [f"x{i}" for i in range(10)]
     assert small["distinct_estimate"] == 10.0
+
+
+def test_stream_manifest_stats_fresh_after_each_microbatch(spark, catalog, tmp_path):
+    """Streamed commits record the additive [count, decimal-sum]
+    stats like any write_segment (ingest_stream -> write_segment), so
+    the MANIFEST-ONLY stats panel answers correctly MID-STREAM —
+    after every micro-batch, combining all segments committed so far
+    with zero data scans (VERDICT r9 directive 7: the streaming twin
+    of the batch unit test)."""
+    from toshokan_spark.search import manifest_stats
+
+    config = IndexConfig(
+        name="stream-logs",
+        path=str(tmp_path / "data" / "stream-logs"),
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+            FieldConfig(name="v", type="number", number_type="f64"),
+        ],
+    )
+    create_index(catalog, config)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"ts": 1716822728, "level": "INFO", "v": 1.25}) + "\n"
+        + json.dumps({"ts": 1716822729, "level": "ERROR", "v": -2.5}) + "\n"
+    )
+    _drain(spark.readStream.text(str(indir)), catalog, ckpt)
+    out = manifest_stats(spark, catalog, config, "v")
+    assert out is not None, "fast path must answer mid-stream"
+    got = out.collect()[0].asDict()
+    assert got == {"n_hits": 2, "n_values": 2, "min_v": -2.5,
+                   "max_v": 1.25, "sum_v": -1.25, "avg_v": -0.625}
+
+    # second micro-batch: the panel must combine BOTH segments'
+    # commit-time stats (sum 1.25-2.5+100.125, min/max widened)
+    (indir / "b2.jsonl").write_text(
+        json.dumps({"ts": 1716822730, "level": "INFO", "v": 100.125}) + "\n"
+    )
+    _drain(spark.readStream.text(str(indir)), catalog, ckpt)
+    assert len(catalog.segments("stream-logs")) == 2
+    got = manifest_stats(spark, catalog, config, "v").collect()[0].asDict()
+    assert got == {"n_hits": 3, "n_values": 3, "min_v": -2.5,
+                   "max_v": 100.125, "sum_v": 98.875,
+                   "avg_v": round(98.875 / 3, 6)}

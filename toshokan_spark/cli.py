@@ -11,10 +11,12 @@
     python -m toshokan_spark.cli alias   <alias> <index> [--drop]  # extra: atomic re-point (blue/green reindex)
     python -m toshokan_spark.cli reindex <src> <dst>        # extra: live-row copy (materializes pending deletes)
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
-                                         [--stats-field F] [--percentiles-field F] [--cardinality-by F]
+                                         [--stats-field F] [--percentiles-field F [--approx [--approx-accuracy N]]]
+                                         [--cardinality-by F [--cardinality-sketch-only]]
                                          [--top-hits-per F --order-by F [--top-k 3]]
                                          [--extended-stats-field F] [--histogram-field F --histogram-bin W]
                                          [--range-field F --range-edges 0,10,100]
+                                         [--panel-facet F --panel-stats F [--panel-bin W]]  # one-scan composed panel
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
     python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
@@ -149,9 +151,31 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--percentiles-field", default=None,
                     help="instead of hits, print discrete p25/p50/p75/p90/"
                          "p99 of this numeric field over the hit set")
+    ps.add_argument("--approx", action="store_true",
+                    help="with --percentiles-field: use percentile_approx "
+                         "(Greenwald-Khanna, O(accuracy) memory, rank error "
+                         "<= n/accuracy) instead of exact percentile_disc — "
+                         "the corpus-scale path; exact when the hit count "
+                         "fits the summary")
+    ps.add_argument("--approx-accuracy", type=int, default=10000,
+                    help="GK summary size for --approx (default 10000)")
     ps.add_argument("--cardinality-by", default=None,
                     help="instead of hits, print exact distinct count + KMV "
                          "estimate of this field over the hit set")
+    ps.add_argument("--cardinality-sketch-only", action="store_true",
+                    help="with --cardinality-by: KMV estimate only — skips "
+                         "the exact-distinct side so the plan never shuffles "
+                         "the raw key space (the 100 TB path)")
+    ps.add_argument("--panel-facet", default=None, metavar="F",
+                    help="composed one-scan panel: facet counts by F plus "
+                         "--panel-stats histogram/stats/percentiles via "
+                         "GROUPING SETS (one data scan for the whole panel)")
+    ps.add_argument("--panel-stats", default=None, metavar="F",
+                    help="numeric field for the composed panel's histogram/"
+                         "stats sections (requires --panel-facet)")
+    ps.add_argument("--panel-bin", type=float, default=50.0,
+                    help="histogram bucket width for --panel-stats "
+                         "(default 50)")
     ps.add_argument("--top-hits-per", default=None,
                     help="instead of a global limit, print the top hits "
                          "WITHIN each value of this field (requires "
@@ -413,7 +437,7 @@ def main(argv: list[str] | None = None) -> int:
                     or a.percentiles_field or a.cardinality_by
                     or a.top_hits_per or a.extended_stats_field
                     or a.histogram_field or a.range_field
-                    or a.significant_terms)
+                    or a.significant_terms or a.panel_facet)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -479,9 +503,31 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(range_agg(hits_df(), a.range_field, edges)
                       .orderBy("bucket_idx").collect())
             if a.percentiles_field:
-                _emit(percentiles_agg(hits_df(), a.percentiles_field).collect())
+                if a.approx:
+                    from toshokan_spark.search import percentiles_agg_approx
+
+                    _emit(percentiles_agg_approx(
+                        hits_df(), a.percentiles_field,
+                        accuracy=a.approx_accuracy,
+                    ).collect())
+                else:
+                    _emit(percentiles_agg(hits_df(), a.percentiles_field)
+                          .collect())
             if a.cardinality_by:
-                _emit(cardinality_agg(hits_df(), a.cardinality_by).collect())
+                _emit(cardinality_agg(
+                    hits_df(), a.cardinality_by,
+                    sketch_only=a.cardinality_sketch_only,
+                ).collect())
+            if a.panel_facet:
+                if not a.panel_stats:
+                    print("error: --panel-facet requires --panel-stats",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import panel_agg
+
+                _emit(panel_agg(
+                    hits_df(), a.panel_facet, a.panel_stats, a.panel_bin
+                ).orderBy("section", "facet", "bucket_lo").collect())
             if a.top_hits_per:
                 if not a.order_by:
                     print("error: --top-hits-per requires --order-by",

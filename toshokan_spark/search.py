@@ -553,7 +553,7 @@ def percentiles_agg(
 
 
 def cardinality_agg(
-    hits: DataFrame, field: str, k: int = 256
+    hits: DataFrame, field: str, k: int = 256, sketch_only: bool = False
 ) -> DataFrame:
     """Cardinality aggregation over a query's hit set: the EXACT
     distinct count side-by-side with a KMV (bottom-k minimum values,
@@ -568,8 +568,15 @@ def cardinality_agg(
     SimHash entries. Estimate = (k-1) * M / h_k for distinct >= k
     (hash space M = 1e9+7), else the exact count; deterministic, no
     RNG. Exact distinct here doubles as the sketch's ground truth —
-    at 100 TB you would drop it and keep the sketch path, which
-    never materializes more than k rows past the distinct-hash scan."""
+    at 100 TB you pass ``sketch_only=True`` (CLI
+    ``--cardinality-sketch-only``) and keep only the sketch path,
+    which never pays the ``count_distinct`` exchange of the raw key
+    space (plan-asserted): its one exchange carries map-side-deduped
+    int64 hashes, and nothing past the distinct-hash scan
+    materializes more than k rows. In sketch-only mode the
+    below-k case answers with the bottom-k size itself — the count
+    of distinct hashes IS the distinct count there (modulo hash
+    collisions, the documented sketch trade)."""
     from toshokan_spark.operators.dedup import POLY_MOD, poly_hash
 
     h = (
@@ -584,14 +591,23 @@ def cardinality_agg(
     bottom = h.orderBy("h").limit(k).agg(
         F.count(F.lit(1)).alias("kk"), F.max("h").alias("hk")
     )
+    over_k_est = F.round(
+        (F.lit(k - 1) * F.lit(float(POLY_MOD))) / F.col("hk"), 6
+    )
+    if sketch_only:
+        est = F.when(
+            F.col("kk") < k, F.col("kk").cast("double")
+        ).otherwise(over_k_est)
+        counts = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        return counts.crossJoin(F.broadcast(bottom)).select(
+            "n_hits", est.alias("kmv_estimate")
+        )
+    est = F.when(
+        F.col("kk") < k, F.col("distinct_exact").cast("double")
+    ).otherwise(over_k_est)
     exact = hits.agg(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.count_distinct(F.col(field)).cast("long").alias("distinct_exact"),
-    )
-    est = F.when(
-        F.col("kk") < k, F.col("distinct_exact").cast("double")
-    ).otherwise(
-        F.round((F.lit(k - 1) * F.lit(float(POLY_MOD))) / F.col("hk"), 6)
     )
     return (
         exact.crossJoin(F.broadcast(bottom))
@@ -954,4 +970,134 @@ def percentiles_by(
     ]
     return hits.groupBy(by).agg(
         F.count(F.col(field)).cast("long").alias("n_values"), *cols
+    )
+
+
+def percentiles_agg_approx(
+    hits: DataFrame,
+    field: str,
+    ps: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The corpus-scale twin of :func:`percentiles_agg` (VERDICT r9
+    directive 4): Spark ``approx_percentile`` (Greenwald-Khanna
+    summary) instead of exact ``percentile_disc``. Same output schema.
+
+    Error bound: the GK summary guarantees RANK error <= n/accuracy —
+    the returned value's rank is within n/accuracy positions of the
+    true percentile rank, and it is always an actual element of the
+    data. When the hit count is <= ``accuracy`` the summary never
+    compresses, so the answer EQUALS percentile_disc bit-for-bit
+    (tolerance-tested against the exact panel; the sf0.01 oracle
+    proves the equality end-to-end). Memory: O(accuracy) per
+    aggregation buffer — bounded regardless of hit count, which is
+    the whole point: the exact panel buffers the hit set's values,
+    this one never holds more than the summary."""
+    cols = [
+        F.expr(
+            f"percentile_approx(`{field}`, {p}, {int(accuracy)})"
+        ).cast("double").alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in ps
+    ]
+    return hits.agg(
+        F.count(F.col(field)).cast("long").alias("n_values"), *cols
+    )
+
+
+def percentiles_by_approx(
+    hits: DataFrame,
+    by: str,
+    field: str,
+    ps: "tuple[float, ...]" = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-facet approx percentiles — the corpus-scale twin of
+    :func:`percentiles_by` with the same schema and the same
+    O(accuracy)-per-group buffer bound as
+    :func:`percentiles_agg_approx` (rank error <= group_n/accuracy;
+    exact when every group fits the summary)."""
+    cols = [
+        F.expr(
+            f"percentile_approx(`{field}`, {p}, {int(accuracy)})"
+        ).cast("double").alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in ps
+    ]
+    return hits.groupBy(by).agg(
+        F.count(F.col(field)).cast("long").alias("n_values"), *cols
+    )
+
+
+def panel_agg(
+    hits: DataFrame,
+    facet_field: str,
+    stats_field: str,
+    interval: float,
+) -> DataFrame:
+    """The composed search panel in ONE pass (VERDICT r9 directive
+    6): facets + numeric histogram + global stats/percentiles over a
+    single scan of the hit set, where the per-section CLI used to run
+    one job (one scan) per panel section — ES answers a multi-agg
+    request in one pass, and at 100 TB N scans of the hit set is the
+    difference between one shuffle-free pass and N.
+
+    Shape: GROUPING SETS ((facet), (bucket), ()) — Spark's Expand +
+    ONE partial-aggregated exchange; the plan contains exactly one
+    data scan (plan-asserted). Each output row is tagged by
+    ``section`` ('facet' / 'histogram' / 'stats'); rows carry the
+    panel metrics (count, decimal-exact sum, min/max/avg) and the
+    stats row adds p50/p95 discrete percentiles (elements of the
+    data, the oracle-stable choice). The grouping keys are coalesced
+    to sentinels ('' / -inf never collide with real values because
+    each section reads only its own key column) so the frame is
+    scalar, null-stable, and driver-canon-safe."""
+    c = F.col(stats_field)
+    bucket = (
+        F.floor(c / F.lit(float(interval))) * F.lit(float(interval))
+    ).alias("bucket_lo")
+    sel = hits.select(
+        F.col(facet_field).alias("facet"), bucket, c.alias("__v")
+    )
+    dsum = F.sum(F.col("__v").cast("decimal(38,6)"))
+    gs = sel.groupingSets(
+        [["facet"], ["bucket_lo"], []], "facet", "bucket_lo"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.count("__v").cast("long").alias("n_values"),
+        F.min("__v").cast("double").alias("min_v"),
+        F.max("__v").cast("double").alias("max_v"),
+        F.round(dsum.cast("double"), 6).alias("sum_v"),
+        F.round((dsum / F.count("__v")).cast("double"), 6).alias("avg_v"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __v)")
+        .cast("double").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY __v)")
+        .cast("double").alias("p95"),
+        # grouping() is only legal inside the grouped select — emit
+        # the set-membership flags as columns for the section logic
+        F.grouping("facet").alias("__gf"),
+        F.grouping("bucket_lo").alias("__gb"),
+    )
+    section = (
+        F.when(F.col("__gf") == 0, F.lit("facet"))
+        .when(F.col("__gb") == 0, F.lit("histogram"))
+        .otherwise(F.lit("stats"))
+    )
+    # a NULL bucket_lo INSIDE the histogram set is the null-value
+    # bucket — histogram_agg drops nulls (search-engine semantics),
+    # so the composed panel must too (facet/stats rows keep counting
+    # every hit, same as their standalone panels)
+    gs = gs.where(
+        ~((F.col("__gb") == 0) & F.col("bucket_lo").isNull())
+    )
+    return gs.select(
+        section.alias("section"),
+        F.coalesce(F.col("facet"), F.lit("")).alias("facet"),
+        F.coalesce(F.col("bucket_lo"), F.lit(float("-inf"))).alias(
+            "bucket_lo"
+        ),
+        "n_hits", "n_values", "min_v", "max_v", "sum_v", "avg_v",
+        # percentiles are a stats-row metric; the per-facet panel has
+        # its own entry (percentiles_by) — null them elsewhere so the
+        # facet/histogram rows stay the familiar panel shape
+        F.when(section == "stats", F.col("p50")).alias("p50"),
+        F.when(section == "stats", F.col("p95")).alias("p95"),
     )
