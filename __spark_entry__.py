@@ -2290,13 +2290,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): the four never-driver-proven (P0)
-        # entries new this round first, then P0b rotated-out entries
-        # per tools/rotation.py priority order
+        # -- r10 WINDOW (first 50): 4 never-driver-proven (P0) new
+        # entries, then the 46 P0b rotated-out entries with the
+        # OLDEST latest driver record (tools/rotation.py priority;
+        # the 41 younger P0b wait one round with their older
+        # records + the full local sweep as evidence)
         "search_panel": q_search_panel,
         "search_percentiles_approx": q_search_percentiles_approx,
         "search_percentiles_by_approx": q_search_percentiles_by_approx,
         "search_cardinality_sketch": q_search_cardinality_sketch,
+        # -- P0b fill, oldest-record-first
+        "distinct_users": q_distinct_users,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "hourly_events": q_hourly_events,
+        "user_event_gaps": q_user_event_gaps,
+        "asof_last_click": q_asof_last_click,
+        "click_only_users": q_click_only_users,
+        "customers_without_orders": q_customers_without_orders,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_minhash_char": q_dedup_minhash_char,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "rollup_revenue": q_rollup_revenue,
+        "sample_documents": q_sample_documents,
+        "search_bool": q_search_bool,
+        "search_dt_range": q_search_dt_range,
+        "search_range": q_search_range,
+        "search_term": q_search_term,
+        "search_topk": q_search_topk,
+        "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
+        "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "user_sessions": q_user_sessions,
+        "weighted_sample": q_weighted_sample,
+        "apply_mixture": q_apply_mixture,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "brand_revenue": q_brand_revenue,
+        "ccnet_select": q_ccnet_select,
+        "chunk_documents": q_chunk_documents,
+        "cohort_retention": q_cohort_retention,
+        "decontaminate": q_decontaminate,
+        "dedup_crosscheck": q_dedup_crosscheck,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # P0b waiting one round (younger records)
+        "dsir_weights": q_dsir_weights,
+        "embedding_outliers": q_embedding_outliers,
+        "embedding_stats": q_embedding_stats,
+        "event_conversions": q_event_conversions,
+        "funnel_stages": q_funnel_stages,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "ingest_roundtrip": q_ingest_roundtrip,
+        "json_path_filter": q_json_path_filter,
+        "kcenter_select": q_kcenter_select,
+        "knn_graph": q_knn_graph,
+        "knn_quantized": q_knn_quantized,
+        "leakage_safe_split": q_leakage_safe_split,
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "multimodal_dedup": q_multimodal_dedup,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "priority_counts": q_priority_counts,
+        "q1_pricing": q_q1_pricing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "quality_classifier": q_quality_classifier,
+        "quality_regression": q_quality_regression,
+        "search_bm25": q_search_bm25,
+        "search_phrase": q_search_phrase,
+        "search_text_term": q_search_text_term,
+        "select_training_set": q_select_training_set,
+        "semantic_clusters": q_semantic_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "source_drift": q_source_drift,
+        "source_quality_curves": q_source_quality_curves,
+        "substring_spans": q_substring_spans,
+        "substring_spans_incremental": q_substring_spans_incremental,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "text_dup_ngrams": q_text_dup_ngrams,
+        "text_token_stats": q_text_token_stats,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "token_budget_pack_scaled": q_token_budget_pack_scaled,
+        "vocab_coverage": q_vocab_coverage,
+        "window_top_orders": q_window_top_orders,
+        # P1 (changed since seal, latest record green) + P2
         "curriculum_order": q_curriculum_order,
         "tokenizer_fertility": q_tokenizer_fertility,
         "shard_balance": q_shard_balance,
@@ -2330,9 +2423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
         "semantic_decontaminate": q_semantic_decontaminate,
-        # ... then the P0b entries rotated out of the r8 record
-        # whose dependency closure ALSO changed since the seal
-        # (stale older proof AND stale code — most in need) ...
         "containment_pairs": q_containment_pairs,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "knn_ivf": q_knn_ivf,
@@ -2350,101 +2440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "snapshot_diff": q_snapshot_diff,
         "ann_recall": q_ann_recall,
-        "pack_sequences": q_pack_sequences,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "weighted_sample": q_weighted_sample,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_char": q_dedup_minhash_char,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "sample_documents": q_sample_documents,
-        "source_mixture": q_source_mixture,
-        "source_token_profile": q_source_token_profile,
-        "pii_scrub": q_pii_scrub,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        # ... then rotated-out entries with unchanged deps, oldest
-        # driver proof first (r6-proven, then two of the r7 nine)
-        # -- PAST THE WINDOW: P0b overflow (16 unchanged-dep
-        # entries, all r6/r7-proven; they keep that record + the
-        # full local sweep and rotate in next round) ...
-        "text_fingerprint": q_text_fingerprint,
-        "text_gopher_rules": q_text_gopher_rules,
-        "asof_last_click": q_asof_last_click,
-        "user_event_gaps": q_user_event_gaps,
-        "hourly_events": q_hourly_events,
-        "distinct_users": q_distinct_users,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "customers_without_orders": q_customers_without_orders,
-        "click_only_users": q_click_only_users,
-        "user_sessions": q_user_sessions,
-        "rollup_revenue": q_rollup_revenue,
-        "search_term": q_search_term,
-        "search_range": q_search_range,
-        "search_bool": q_search_bool,
-        "search_topk": q_search_topk,
-        "search_dt_range": q_search_dt_range,
-        # ... then P1 entries changed since the seal (r8-proven;
-        # the local sweep re-proves them this round) ...
-        "knn_graph": q_knn_graph,
-        "kcenter_select": q_kcenter_select,
-        "semantic_clusters": q_semantic_clusters,
-        "substring_spans": q_substring_spans,
-        "ccnet_select": q_ccnet_select,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "dsir_weights": q_dsir_weights,
-        "quality_classifier": q_quality_classifier,
-        "substring_spans_incremental": q_substring_spans_incremental,
-        "leakage_safe_split": q_leakage_safe_split,
-        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
-        "token_budget_pack_scaled": q_token_budget_pack_scaled,
-        "search_bm25": q_search_bm25,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_dedup": q_multimodal_dedup,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "text_token_stats": q_text_token_stats,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "knn_quantized": q_knn_quantized,
-        "select_training_set": q_select_training_set,
-        "event_conversions": q_event_conversions,
-        "embedding_stats": q_embedding_stats,
-        "embedding_outliers": q_embedding_outliers,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "text_dup_ngrams": q_text_dup_ngrams,
-        "vocab_coverage": q_vocab_coverage,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "dedup_crosscheck": q_dedup_crosscheck,
-        "quality_regression": q_quality_regression,
-        "source_drift": q_source_drift,
-        "source_quality_curves": q_source_quality_curves,
-        "chunk_documents": q_chunk_documents,
-        "apply_mixture": q_apply_mixture,
-        "semantic_dedup": q_semantic_dedup,
-        "decontaminate": q_decontaminate,
-        # ... and unchanged r8-proven entries
-        "search_text_term": q_search_text_term,
-        "search_phrase": q_search_phrase,
-        "ingest_roundtrip": q_ingest_roundtrip,
-        "json_path_filter": q_json_path_filter,
-        "cohort_retention": q_cohort_retention,
-        "funnel_stages": q_funnel_stages,
-        "q1_pricing": q_q1_pricing,
-        "q3_top_revenue": q_q3_top_revenue,
-        "q5_region_revenue": q_q5_region_revenue,
-        "brand_revenue": q_brand_revenue,
-        "priority_counts": q_priority_counts,
-        "window_top_orders": q_window_top_orders,
     }
 
 

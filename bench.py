@@ -67,7 +67,22 @@ def main() -> int:
     results: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
+        # Session hygiene every 25 queries: the r9 driver bench showed
+        # the dedup family +30-60% with ZERO code changes — the one
+        # variable was suite size (137 one-session queries vs 104).
+        # Accumulated JVM pressure (broadcast/shuffle cleanup lag, old
+        # codegen classes, tenured-heap growth) taxes late queries;
+        # clearing the SQL cache and forcing one full GC at a fixed
+        # cadence keeps a query's recorded cost independent of its
+        # position in the suite, without per-query session restarts
+        # (141 JVM starts would add ~45 min of pure startup).
+        if qi and qi % 25 == 0:
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         best = -1.0
         runs: list[float] = []
         n_runs = 2
