@@ -788,6 +788,332 @@ def q_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted: the testdata has
+    no l_commitdate/l_receiptdate, so "late" is l_shipdate more than
+    60 days after o_orderdate — same correlated-EXISTS shape. The
+    quarter filter pushes to the orders scan; the EXISTS is a LEFT
+    SEMI hash join on the order key with the lateness inequality as
+    the join residual, so each order is counted once no matter how
+    many late lines it has and the lineitem side never aggregates."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue shipped between NATION_1
+    and NATION_2 in either direction, by (supp_nation, cust_nation,
+    ship year). The two 25-row nation dims broadcast; the direction
+    disjunction lands on broadcast-joined columns so the fact tables
+    shuffle only on their join keys (orderkey / suppkey / custkey)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_1's share of ECONOMY-
+    part revenue sold into AMERICA per order year. Share = two
+    decimal-exact sums divided in double (the q14 pattern). Bounded
+    dims (nation, region) broadcast; part is corpus-scaled so AQE
+    decides; the conditional numerator avoids a second scan."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
+    )
+    den = F.sum(rev)
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share")
+        )
+    )
+
+
+def q_q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority), adapted: no l_shipmode /
+    l_commitdate in the testdata, so lines group by l_returnflag and
+    "late" is l_shipdate > o_orderdate + 90 days; the high/low
+    priority conditional counts are unchanged. One fact-fact join on
+    the order key, conditional aggregation — no second pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.sum(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    low = F.sum(
+        F.when(
+            ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return j.groupBy("l_returnflag").agg(
+        high.alias("high_line_count"), low.alias("low_line_count")
+    )
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts including zero-order customers — the LEFT OUTER
+    join-then-double-aggregate shape. The priority exclusion stands
+    in for the o_comment NOT LIKE (column absent). First aggregate
+    keys on c_custkey (pre-aggregated before the histogram exchange);
+    the second groupBy moves only (count, 1) pairs."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum 1996Q1
+    shipped revenue. The revenue view aggregates once; the max is a
+    1-row aggregate broadcast back (house pattern — no window over
+    the whole supplier set); equality on the round-6 double is exact
+    because both sides compute it identically. Supplier dim joins
+    broadcast for the name."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(_dbl(F.sum(rev)).alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("l_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): average yearly
+    revenue lost if Brand#1 orders below 20% of the part's average
+    quantity were not filled (p_container absent — brand alone
+    selects). The correlated per-part average is a groupBy on the
+    brand-restricted lines joined back on the part key. The 20%
+    comparison is decimal-integer exact: qty < 0.2*sum/n  <=>
+    5*qty*n < sum — no double division on either engine."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_lines = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        brand_lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .filter(
+            _dec(F.col("l_quantity")) * F.lit(5) * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): revenue matching any of three
+    (brand, size-range, quantity-range) conjunctions — the
+    disjunctive-predicate probe (p_container/l_shipmode absent; size
+    stands in for container). The OR-of-ANDs sits on one broadcast
+    part join; each conjunct narrows to per-table ranges Catalyst
+    can push (quantity bounds reach the lineitem scan as
+    l_quantity >= 1 AND l_quantity <= 30 across the disjunction)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return j.filter(c1 | c2 | c3).agg(_dbl(F.sum(rev)).alias("revenue"))
+
+
+def q_q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    testdata's lateness surrogate (l_shipdate > o_orderdate + 90):
+    NATION_0 suppliers whose line was late on a finished ('F')
+    multi-supplier order where NO other supplier was late. EXISTS ->
+    LEFT SEMI, NOT EXISTS -> LEFT ANTI, both hash joins on the order
+    key with the supplier inequality (and lateness, for the anti) as
+    residuals; the lineitem side is projected to (orderkey, suppkey,
+    lateness) before either join so the probes stay narrow."""
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    base = (
+        l1.join(supp, l1.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    withother = base.join(
+        l2,
+        (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    nootherlate = withother.join(
+        l3,
+        (F.col("k3") == F.col("l_orderkey"))
+        & (F.col("s3") != F.col("l_suppkey"))
+        & (
+            F.col("ship3")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_anti",
+    )
+    return (
+        nootherlate.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): well-funded customers in
+    seven nations with no orders (c_phone absent — the nation key IS
+    the country code). The positive-balance average is a 1-row
+    aggregate broadcast back (never a window); the no-orders test is
+    a LEFT ANTI hash join on the customer key against the RECENT
+    orders only (Q22's "no orders for 7 years" — the date filter
+    pushes to the orders scan before the anti probe); the threshold
+    compare divides the decimal-exact sum by the count in double
+    identically on both engines."""
+    nations = [0, 3, 7, 11, 14, 18, 21]
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    avg1 = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.round(F.sum(_dec(F.col("c_acctbal"))), 6).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg1))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dbl(F.sum(_dec(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -2290,15 +2616,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 4 never-driver-proven (P0) new
-        # entries, then the 46 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 14 never-driver-proven (P0) new
+        # entries, then the 36 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
-        # the 41 younger P0b wait one round with their older
+        # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
         "search_panel": q_search_panel,
         "search_percentiles_approx": q_search_percentiles_approx,
         "search_percentiles_by_approx": q_search_percentiles_by_approx,
         "search_cardinality_sketch": q_search_cardinality_sketch,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q12_late_priority": q_q12_late_priority,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
         # -- P0b fill, oldest-record-first
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
@@ -2336,6 +2672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "user_sessions": q_user_sessions,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # P0b waiting one round (younger records)
         "weighted_sample": q_weighted_sample,
         "apply_mixture": q_apply_mixture,
         "bpe_merges": q_bpe_merges,
@@ -2346,8 +2684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "decontaminate": q_decontaminate,
         "dedup_crosscheck": q_dedup_crosscheck,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
-        # P0b waiting one round (younger records)
         "dsir_weights": q_dsir_weights,
         "embedding_outliers": q_embedding_outliers,
         "embedding_stats": q_embedding_stats,
@@ -3329,6 +3665,172 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        # q4 adapted: "late" = shipped >60 days after the order date
+        # (no commit/receipt dates in the testdata)
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(rev), 6)::DOUBLE AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1-l_discount AS DECIMAL(18,4)) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                       * CAST(1-l_discount AS DECIMAL(18,4))
+                                  ELSE 0 END)::DOUBLE
+                         / sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * CAST(1-l_discount AS DECIMAL(18,4)))::DOUBLE,
+                         6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        # q12 adapted: groups by l_returnflag (no l_shipmode), "late"
+        # = shipped >90 days after the order date
+        "q12_late_priority": """
+            SELECT l_returnflag,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_returnflag
+        """,
+        # q13 adapted: priority exclusion stands in for the o_comment
+        # NOT LIKE (column absent)
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+                AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE
+                    AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT l_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        # q17 adapted: brand alone selects (no p_container); the 20%
+        # threshold is the exact decimal-integer form
+        # qty < 0.2*sum/n  <=>  5*qty*n < sum
+        "q17_small_quantity_revenue": """
+            WITH brand_lines AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'),
+            per_part AS (
+              SELECT l_partkey AS pp_key,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                     count(*) AS n_lines
+              FROM brand_lines GROUP BY 1)
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE
+                         / 7.0, 6) AS avg_yearly
+            FROM brand_lines JOIN per_part ON l_partkey = pp_key
+            WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_lines < sum_qty
+        """,
+        # q19 adapted: p_size ranges stand in for p_container sets
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * CAST(1-l_discount AS DECIMAL(18,4))), 6)::DOUBLE
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # q21 adapted: lateness surrogate l_shipdate > o_orderdate+90d
+        "q21_suppliers_kept_waiting": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 20
+        """,
+        # q22 adapted: the nation key IS the country code (no c_phone)
+        "q22_global_sales_opportunity": """
+            WITH pool AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN (0, 3, 7, 11, 14, 18, 21)),
+            thresh AS (
+              SELECT round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 6)::DOUBLE
+                     / count(*)::DOUBLE AS avg_bal
+              FROM pool WHERE c_acctbal > 0.0)
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 6)::DOUBLE
+                       AS totacctbal
+            FROM pool, thresh
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
