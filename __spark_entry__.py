@@ -461,6 +461,84 @@ def q_search_cardinality_sketch(spark, sf_dir):
     return cardinality_agg(hits, "user_id", k=64, sketch_only=True)
 
 
+def q_search_composite(spark, sf_dir):
+    """Composite aggregation — ES's resumable terms pagination: the
+    next 10 (event_type, user_id) buckets in ascending key order
+    strictly after the ('click', 50) cursor. The after-key range
+    filter prunes BEFORE the groupBy (the leading-key disjunct is
+    sargable), the surviving keys partial-aggregate, and the page is
+    an ascending distributed top-10 — enumerating a billion-bucket
+    terms space page by page without ever ranking it whole."""
+    from toshokan_spark.search import composite_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "value:>=50")
+    return composite_agg(
+        hits, ["event_type", "user_id"], size=10, after=("click", 50)
+    )
+
+
+def q_search_rare_terms(spark, sf_dir):
+    """Rare-terms aggregation — the long-tail complement of the terms
+    facet: user ids appearing in at most 2 of the high-value purchase
+    hits. The cardinality-sized grouped frame is filtered to the tail
+    AFTER the partial-aggregated exchange, so common terms never
+    rank; exact counts (no CuckooFilter false positives)."""
+    from toshokan_spark.search import rare_terms_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase AND value:>=150")
+    return rare_terms_agg(hits, "user_id", max_doc_count=2)
+
+
+def q_search_filters(spark, sf_dir):
+    """Filters aggregation — N named query buckets in ONE scan (ES
+    ``filters``): each name compiles through the real query compiler
+    into a conditional aggregate, so the plan has one data pass and
+    no join regardless of N; overlapping hits count in every matching
+    bucket. At 100 TB this replaces N search round-trips."""
+    from toshokan_spark.search import filters_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return filters_agg(
+        ev,
+        EVENTS_CONFIG,
+        {
+            "errors": "event_type:error",
+            "big_values": "value:>=200",
+            "early_power_users": "user_id:<=20 AND value:>=100",
+        },
+    )
+
+
+def q_search_multi_terms(spark, sf_dir):
+    """Multi-terms aggregation — terms buckets over the composite
+    (event_type, user_id) key, top-10 by descending count with the
+    key tuple as the deterministic tiebreak; one partial-aggregated
+    exchange + distributed TakeOrdered, never a global bucket sort."""
+    from toshokan_spark.search import multi_terms_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "value:>=100")
+    return multi_terms_agg(hits, ["event_type", "user_id"], k=10)
+
+
+def q_search_pipeline_aggs(spark, sf_dir):
+    """Pipeline aggregations (ES derivative / cumulative_sum /
+    moving_fn) over the purchase date histogram: per daily bucket,
+    the decimal-exact value sum plus its bucket-over-bucket delta,
+    running total, and trailing 3-bucket moving average. The window
+    stages run over the ALREADY-AGGREGATED histogram frame
+    (time_range/interval rows — metadata-sized), so the unpartitioned
+    window is a deliberate bounded pass; the corpus-sized work is the
+    one partial-aggregated histogram groupBy."""
+    from toshokan_spark.search import pipeline_histogram_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return pipeline_histogram_agg(hits, "ts", 86400, "value", moving_window=3)
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -2616,8 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 14 never-driver-proven (P0) new
-        # entries, then the 36 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 19 never-driver-proven (P0) new
+        # entries, then the 31 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2635,6 +2713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
         "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
+        "search_composite": q_search_composite,
+        "search_rare_terms": q_search_rare_terms,
+        "search_filters": q_search_filters,
+        "search_multi_terms": q_search_multi_terms,
+        "search_pipeline_aggs": q_search_pipeline_aggs,
         # -- P0b fill, oldest-record-first
         "distinct_users": q_distinct_users,
         "heavy_hitter_users": q_heavy_hitter_users,
@@ -2667,13 +2750,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk": q_search_topk,
         "source_mixture": q_source_mixture,
         "source_token_profile": q_source_token_profile,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # P0b waiting one round (younger records)
         "text_fingerprint": q_text_fingerprint,
         "text_gopher_rules": q_text_gopher_rules,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "user_sessions": q_user_sessions,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
-        # P0b waiting one round (younger records)
         "weighted_sample": q_weighted_sample,
         "apply_mixture": q_apply_mixture,
         "bpe_merges": q_bpe_merges,
@@ -3161,6 +3244,81 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
             HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # search_composite: resumable terms pagination — the next 10
+        # (event_type, user_id) buckets strictly after ('click', 50)
+        # in ascending key order
+        "search_composite": """
+            SELECT event_type, user_id, count(*)::BIGINT AS n_hits
+            FROM events
+            WHERE value >= 50
+              AND (event_type > 'click'
+                   OR (event_type = 'click' AND user_id > 50))
+            GROUP BY event_type, user_id
+            ORDER BY event_type ASC, user_id ASC LIMIT 10
+        """,
+        # search_rare_terms: the <=2-count tail of the grouped frame
+        "search_rare_terms": """
+            SELECT user_id, count(*)::BIGINT AS n_hits
+            FROM events
+            WHERE event_type = 'purchase' AND value >= 150
+            GROUP BY user_id HAVING count(*) <= 2
+        """,
+        # search_filters: N named buckets from ONE conditional-agg
+        # pass, long form via stack/unpivot; names sorted
+        "search_filters": """
+            WITH one AS (
+              SELECT
+                sum(CASE WHEN user_id <= 20 AND value >= 100
+                         THEN 1 ELSE 0 END)::BIGINT AS early_power_users,
+                sum(CASE WHEN value >= 200 THEN 1 ELSE 0 END)::BIGINT
+                    AS big_values,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                    AS errors
+              FROM events)
+            SELECT 'big_values' AS bucket, big_values AS n_hits FROM one
+            UNION ALL
+            SELECT 'early_power_users', early_power_users FROM one
+            UNION ALL
+            SELECT 'errors', errors FROM one
+        """,
+        # search_multi_terms: composite-key terms, top-10 by count
+        # with the key tuple as tiebreak
+        "search_multi_terms": """
+            SELECT event_type, user_id, count(*)::BIGINT AS n_hits
+            FROM events WHERE value >= 100
+            GROUP BY event_type, user_id
+            ORDER BY n_hits DESC, event_type ASC, user_id ASC LIMIT 10
+        """,
+        # search_pipeline_aggs: daily purchase histogram + derivative
+        # / cumulative / trailing-3 moving average; window arithmetic
+        # mirrored exactly (decimal-exact sums, double division)
+        "search_pipeline_aggs": """
+            WITH hist AS (
+              SELECT ((epoch_us(ts) // 86400000000) * 86400)::BIGINT
+                         AS bucket_epoch,
+                     count(*)::BIGINT AS n_hits,
+                     round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                         AS total_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1)
+            SELECT bucket_epoch, n_hits, total_value,
+                   round(total_value
+                         - lag(total_value) OVER (ORDER BY bucket_epoch),
+                         6) AS derivative,
+                   round((sum(total_value::DECIMAL(38,6)) OVER (
+                            ORDER BY bucket_epoch
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          ))::DOUBLE, 6) AS cumulative,
+                   round((sum(total_value::DECIMAL(38,6)) OVER (
+                            ORDER BY bucket_epoch
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                          ))::DOUBLE
+                         / (count(total_value) OVER (
+                            ORDER BY bucket_epoch
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                           ))::DOUBLE, 6) AS moving_avg
+            FROM hist
         """,
         # search_percentiles_approx: SHARED ORACLE with the exact
         # panel — at hit count < accuracy the GK summary never

@@ -711,3 +711,104 @@ def test_cardinality_sketch_only_never_counts_distinct(plans10):
     assert "count(distinct" not in phys.lower(), phys[:2000]
     # the 1-row bottom-k frame joins back by broadcast, never shuffled
     assert "SortMergeJoin" not in phys, phys[:2000]
+
+
+# -- round 10 batch 2: ES-aggregation extensions + TPC-H additions
+
+
+ROUND10B = [
+    "search_composite",
+    "search_rare_terms",
+    "search_filters",
+    "search_multi_terms",
+    "search_pipeline_aggs",
+    "q4_order_priority",
+    "q21_suppliers_kept_waiting",
+]
+
+
+@pytest.fixture(scope="module")
+def plans10b(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND10B:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_composite_page_is_takeordered_after_range_prune(plans10b):
+    """Composite pagination: the after-key range filter prunes before
+    the groupBy and the page cut is a distributed TakeOrdered — a
+    billion-bucket terms space is never globally sorted."""
+    a, phys, _ = plans10b["search_composite"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys, "page cut is not top-k"
+    assert "Sort " not in phys.replace("TakeOrderedAndProject", ""), (
+        "unexpected global sort in the composite page")
+
+
+def test_rare_terms_single_exchange_no_sort(plans10b):
+    """Rare terms: one partial-aggregated exchange on the term key,
+    the tail filter on the aggregated frame, no ordering at all."""
+    a, phys, _ = plans10b["search_rare_terms"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" not in phys and "Sort " not in phys, (
+        "rare-terms must not rank the bucket table")
+
+
+def test_filters_agg_is_one_scan_no_join(plans10b):
+    """N named filter buckets = ONE conditional-aggregation pass;
+    bucket count never adds scans or joins."""
+    a, phys, _ = plans10b["search_filters"]
+    assert a["scans"] == 1, a
+    assert a["joins"] == "-", a
+
+
+def test_multi_terms_is_takeordered(plans10b):
+    a, phys, _ = plans10b["search_multi_terms"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys, "bucket cut is not top-k"
+
+
+def test_pipeline_aggs_window_is_post_aggregation(plans10b):
+    """The derivative/cumulative/moving windows run over the ALREADY
+    AGGREGATED histogram frame: exactly one scan, and the Window node
+    sits above the final HashAggregate (bucket-sized input), never
+    over raw hits."""
+    a, phys, _ = plans10b["search_pipeline_aggs"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    w = phys.find("Window")
+    agg = phys.rfind("HashAggregate")
+    assert w != -1 and agg != -1 and w < agg, (
+        "Window must consume the aggregated histogram (tree prints "
+        "top-down: the Window node belongs above the HashAggregate)")
+
+
+def test_q4_exists_is_semi_join_with_residual(plans10b):
+    """TPC-H Q4's correlated EXISTS compiles to ONE left-semi hash
+    join on the order key with the lateness inequality as a residual
+    — no aggregation of the lineitem side, no cartesian."""
+    a, phys, _ = plans10b["q4_order_priority"]
+    assert "LeftSemi" in phys, "EXISTS did not become a semi join"
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_q21_self_joins_stay_keyed(plans10b):
+    """Q21's EXISTS/NOT-EXISTS lineitem self-joins must stay hash
+    joins on the order key (semi + anti), never nested-loop.
+
+    Checked on the FULL plan string (Initial Plan included): at tiny
+    SFs AQE's empty-relation propagation can collapse the final plan
+    to an EmptyRelation, which says nothing about the join strategy
+    — the initial plan still pins it."""
+    a, phys, full = plans10b["q21_suppliers_kept_waiting"]
+    assert "LeftSemi" in full and "LeftAnti" in full, full[:1500]
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full

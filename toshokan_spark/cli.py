@@ -191,6 +191,33 @@ def main(argv: list[str] | None = None) -> int:
                          "parquets — no corpus re-scan)")
     ps.add_argument("--sig-k", type=int, default=10)
     ps.add_argument("--sig-min-doc", type=int, default=1)
+    ps.add_argument("--composite-by", default=None, metavar="F1,F2",
+                    help="composite aggregation: page through distinct "
+                         "key tuples in ascending key order (resumable "
+                         "terms pagination; see --composite-after)")
+    ps.add_argument("--composite-after", default=None, metavar="V1,V2",
+                    help="resume cursor: the last key tuple of the "
+                         "previous page (values match --composite-by "
+                         "arity; numeric fields parsed as numbers)")
+    ps.add_argument("--composite-size", type=int, default=10)
+    ps.add_argument("--rare-terms", default=None, metavar="F",
+                    help="rare-terms aggregation: every F value in at "
+                         "most --rare-max hits (exact long-tail terms)")
+    ps.add_argument("--rare-max", type=int, default=1)
+    ps.add_argument("--filters", default=None, metavar="NAME=Q;NAME=Q",
+                    help="filters aggregation: N named query buckets "
+                         "counted in ONE scan (';'-separated name=query "
+                         "pairs in the search language)")
+    ps.add_argument("--multi-terms", default=None, metavar="F1,F2",
+                    help="multi-terms aggregation: top --facet-k "
+                         "composite-key buckets by descending count")
+    ps.add_argument("--pipeline-interval", type=int, default=None,
+                    metavar="SECONDS",
+                    help="pipeline aggregations: date histogram of "
+                         "--pipeline-value plus derivative / cumulative "
+                         "sum / trailing --moving-window moving average")
+    ps.add_argument("--pipeline-value", default=None, metavar="F")
+    ps.add_argument("--moving-window", type=int, default=3)
     ps.add_argument("--sort-by", dest="search_sort", default=None,
                     metavar="F[:desc]",
                     help="deterministic hit ordering by this field "
@@ -437,7 +464,9 @@ def main(argv: list[str] | None = None) -> int:
                     or a.percentiles_field or a.cardinality_by
                     or a.top_hits_per or a.extended_stats_field
                     or a.histogram_field or a.range_field
-                    or a.significant_terms or a.panel_facet)
+                    or a.significant_terms or a.panel_facet
+                    or a.composite_by or a.rare_terms or a.filters
+                    or a.multi_terms or a.pipeline_interval)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -528,6 +557,65 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(panel_agg(
                     hits_df(), a.panel_facet, a.panel_stats, a.panel_bin
                 ).orderBy("section", "facet", "bucket_lo").collect())
+            if a.composite_by:
+                from toshokan_spark.search import composite_agg
+
+                keys = [k.strip() for k in a.composite_by.split(",")]
+                after = None
+                if a.composite_after is not None:
+                    config = catalog.get_index(a.index)
+                    kinds = {f.name: f.type for f in config.fields}
+                    vals = a.composite_after.split(",")
+                    if len(vals) != len(keys):
+                        print("error: --composite-after arity != "
+                              "--composite-by", file=sys.stderr)
+                        return 2
+                    after = tuple(
+                        float(v) if kinds.get(k) == "number" else v
+                        for k, v in zip(keys, vals)
+                    )
+                _emit(composite_agg(
+                    hits_df(), keys, size=a.composite_size, after=after
+                ).collect())
+            if a.rare_terms:
+                from toshokan_spark.search import rare_terms_agg
+
+                out = rare_terms_agg(hits_df(), a.rare_terms,
+                                     max_doc_count=a.rare_max)
+                _emit(out.orderBy("n_hits", a.rare_terms).collect())
+            if a.filters:
+                from toshokan_spark.search import filters_agg
+
+                named = {}
+                for pair in a.filters.split(";"):
+                    name, _, q = pair.partition("=")
+                    if not q:
+                        print("error: --filters wants NAME=QUERY pairs",
+                              file=sys.stderr)
+                        return 2
+                    named[name.strip()] = q
+                _emit(filters_agg(
+                    hits_df(), catalog.get_index(a.index), named
+                ).collect())
+            if a.multi_terms:
+                from toshokan_spark.search import multi_terms_agg
+
+                keys = [k.strip() for k in a.multi_terms.split(",")]
+                _emit(multi_terms_agg(
+                    hits_df(), keys, k=a.facet_k
+                ).collect())
+            if a.pipeline_interval:
+                if not a.pipeline_value:
+                    print("error: --pipeline-interval requires "
+                          "--pipeline-value", file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import pipeline_histogram_agg
+
+                config = catalog.get_index(a.index)
+                _emit(pipeline_histogram_agg(
+                    hits_df(), config.time_field, a.pipeline_interval,
+                    a.pipeline_value, moving_window=a.moving_window,
+                ).orderBy("bucket_epoch").collect())
             if a.top_hits_per:
                 if not a.order_by:
                     print("error: --top-hits-per requires --order-by",

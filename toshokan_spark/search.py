@@ -33,6 +33,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from toshokan_spark.catalog import FsCatalog
 from toshokan_spark.config import DYNAMIC_FIELD_NAME, IndexConfig
@@ -1100,4 +1101,172 @@ def panel_agg(
         # facet/histogram rows stay the familiar panel shape
         F.when(section == "stats", F.col("p50")).alias("p50"),
         F.when(section == "stats", F.col("p95")).alias("p95"),
+    )
+
+
+def composite_agg(
+    hits: DataFrame,
+    keys: "list[str]",
+    size: int = 10,
+    after: "tuple | None" = None,
+) -> DataFrame:
+    """Composite aggregation — ES's resumable terms pagination: the
+    next ``size`` distinct key tuples in ascending key order, starting
+    strictly AFTER the ``after`` tuple (the caller passes the last
+    tuple of the previous page; ``None`` starts from the beginning).
+    Each page row carries the tuple's hit count and the bucket key.
+
+    Scale: this is THE way to enumerate a billion-bucket terms space
+    without the global sort a ranked terms agg needs — every page is
+    (a) an after-key range filter that prunes BEFORE the aggregation
+    (on a lexicographic tuple predicate the scan can push for the
+    leading key), (b) one partial-aggregated groupBy of the surviving
+    keys, (c) an ascending distributed top-``size`` (TakeOrdered,
+    never a full sort). Page cost shrinks as pagination advances;
+    state between pages is one tuple, not a cursor server-side.
+    """
+    if not keys:
+        raise ValueError("composite_agg needs at least one key")
+    out = hits
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(
+                f"after tuple arity {len(after)} != {len(keys)} keys"
+            )
+        # lexicographic "tuple > after": (k1 > a1) OR (k1 = a1 AND
+        # k2 > a2) OR ... — the leading-key disjunct is sargable
+        pred = None
+        for i in range(len(keys)):
+            clause = F.col(keys[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = clause & (F.col(keys[j]) == F.lit(after[j]))
+            pred = clause if pred is None else (pred | clause)
+        out = out.filter(pred)
+    grouped = out.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    order = [F.col(k).asc() for k in keys]
+    return grouped.orderBy(*order).limit(size)
+
+
+def rare_terms_agg(
+    hits: DataFrame, by: str, max_doc_count: int = 1
+) -> DataFrame:
+    """Rare-terms aggregation — the long-tail complement of the terms
+    facet: every ``by`` value appearing in at most ``max_doc_count``
+    hits, ascending by (count, term). ES implements this with a CuckooFilter
+    because its terms agg is ranked-by-descending-count; here the
+    groupBy already partial-aggregates to the full cardinality frame,
+    so the rare tail is just a filter on the counts — exact, no false
+    positives, and the post-filter result is tail-sized (the common
+    terms, which dominate rows, are dropped before any ordering).
+    One exchange on the term key; no global sort (ascending top-all
+    of the surviving tail is returned unordered; callers page it)."""
+    return (
+        hits.groupBy(F.col(by))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .where(F.col("n_hits") <= max_doc_count)
+    )
+
+
+def filters_agg(
+    df: DataFrame,
+    config: "IndexConfig",
+    named_queries: "dict[str, str]",
+) -> DataFrame:
+    """Filters aggregation — N named query buckets counted in ONE
+    scan (ES ``filters``): each name maps to a search-language query
+    compiled through the real query compiler; the counts are
+    conditional aggregates (sum-of-when), so the plan has exactly one
+    data pass and no join, regardless of N. A hit matching k filters
+    counts in all k buckets (ES semantics — buckets overlap).
+
+    Output is long form, one row per named bucket — stacked from the
+    single aggregate row, so the unpivot costs nothing (N is panel-
+    sized). Scale: the one scan reads only columns the predicates
+    reference; at 100 TB this replaces N search round-trips."""
+    from .query import compile_query as _cq
+
+    cols = set(df.columns)
+    names = sorted(named_queries)
+    aggs = [
+        F.sum(
+            F.when(
+                F.coalesce(_cq(named_queries[n], config, cols), F.lit(False)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias(n)
+        for n in names
+    ]
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (bucket, n_hits)")
+    )
+
+
+def multi_terms_agg(
+    hits: DataFrame, keys: "list[str]", k: "int | None" = None
+) -> DataFrame:
+    """Multi-terms aggregation — terms buckets over a COMPOSITE key
+    (ES ``multi_terms``): per distinct key tuple, hit count, top-k by
+    descending count with the key tuple as the deterministic
+    tiebreak. Same shape discipline as ``facet_counts``: one partial-
+    aggregated exchange on the tuple, distributed TakeOrdered for the
+    cut — never a global sort of the bucket table."""
+    grouped = hits.groupBy(*[F.col(c) for c in keys]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    if k is not None:
+        grouped = grouped.orderBy(
+            F.col("n_hits").desc(), *[F.col(c).asc() for c in keys]
+        ).limit(k)
+    return grouped
+
+
+def pipeline_histogram_agg(
+    hits: DataFrame,
+    time_col: str,
+    interval_seconds: int,
+    value_col: str,
+    moving_window: int = 3,
+) -> DataFrame:
+    """Pipeline aggregations over a date histogram — ES's
+    ``derivative`` / ``cumulative_sum`` / ``moving_fn`` stages in one
+    frame: per bucket, the value sum plus its bucket-over-bucket
+    delta, running total, and trailing ``moving_window``-bucket
+    moving average.
+
+    Scale: the pipeline stages are windows ordered by bucket over the
+    ALREADY-AGGREGATED histogram frame — its row count is
+    time_range/interval (metadata-sized, thousands at most, never
+    corpus-sized), so the unpartitioned window is a deliberate,
+    bounded single-task pass over a tiny frame; the corpus-sized work
+    (the histogram groupBy) partial-aggregates map-side exactly like
+    :func:`date_histogram`. The sums fold through decimal(38,6) and
+    every derived metric is computed from those exact sums, so both
+    engines agree bit-for-bit."""
+    hist = date_histogram(hits, time_col, interval_seconds, value_col)
+    w = Window.orderBy("bucket_epoch")
+    dsum = F.col("total_value")
+    prev = F.lag(dsum).over(w)
+    run = F.sum(dsum.cast("decimal(38,6)")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mov_sum = F.sum(dsum.cast("decimal(38,6)")).over(
+        w.rowsBetween(-(moving_window - 1), 0)
+    )
+    mov_n = F.count(dsum).over(w.rowsBetween(-(moving_window - 1), 0))
+    return hist.select(
+        "bucket_epoch",
+        "n_hits",
+        "total_value",
+        F.round(dsum - prev, 6).alias("derivative"),
+        F.round(run.cast("double"), 6).alias("cumulative"),
+        # double-side division of the decimal-exact window sum: a
+        # decimal/bigint quotient would carry engine-specific result
+        # scales — the double divide is one IEEE op both engines share
+        F.round(
+            mov_sum.cast("double") / mov_n.cast("double"), 6
+        ).alias("moving_avg"),
     )
