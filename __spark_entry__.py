@@ -706,6 +706,16 @@ def q_quality_ensemble(spark, sf_dir):
     )
 
 
+def q_c4_line_filters(spark, sf_dir):
+    """C4/FineWeb line-level cleaning signals — the per-LINE rules
+    Gopher's token statistics don't cover: minimum words per line +
+    terminal punctuation, sentence floor, lorem-ipsum/brace page
+    drops. One scan, JVM regex + array lambdas, composes with
+    gopher_rules into the standard pre-filter stack."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.c4_line_filters(docs)
+
+
 def q_json_path_filter(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2305,6 +2315,21 @@ def q_semantic_clusters(spark, sf_dir):
     )
 
 
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC scoring (Jégou et al. 2011
+    — the FAISS IVF-PQ codebook technique): 64-dim vectors encoded to
+    4 subspace codes against a 16-codeword deterministic codebook
+    (lowest-id subvectors — production trains k-means on a sample;
+    the plumbing is identical), then the query ranks by summed exact
+    query-subvector-to-codeword distances. One corpus scan, codebook
+    as folded literals, 1-row broadcast query, TakeOrdered cut; the
+    oracle reproduces codebook, encoding, LUT and ranking in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_pq(
+        emb, query_id=0, k=10, m_subspaces=4, n_codewords=16
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF ANN, approximate settings (probes 2 of 8 buckets).
 
@@ -2694,8 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 19 never-driver-proven (P0) new
-        # entries, then the 31 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 21 never-driver-proven (P0) new
+        # entries, then the 29 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2713,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
         "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
+        "knn_pq": q_knn_pq,
+        "c4_line_filters": q_c4_line_filters,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2748,10 +2775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range": q_search_range,
         "search_term": q_search_term,
         "search_topk": q_search_topk,
-        "source_mixture": q_source_mixture,
-        "source_token_profile": q_source_token_profile,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # P0b waiting one round (younger records)
+        "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
         "text_fingerprint": q_text_fingerprint,
         "text_gopher_rules": q_text_gopher_rules,
         "text_langid": q_text_langid,
@@ -3244,6 +3271,94 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
             HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # c4_line_filters: per-line C4 cleaning rules mirrored with
+        # list lambdas; kept = lines with >= 3 whitespace words AND
+        # terminal punctuation
+        "c4_line_filters": """
+            WITH staged AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                list_filter(string_split(coalesce(text, ''), chr(10)),
+                            l -> len(trim(l)) > 0) AS lines
+              FROM documents
+            ), k AS (
+              SELECT doc_id, t, lines,
+                list_filter(lines,
+                  l -> len(list_filter(
+                           string_split_regex(trim(l), '\\s+'),
+                           w -> w <> '')) >= 3
+                       AND regexp_matches(trim(l), '[.!?"]$')) AS kept
+              FROM staged
+            )
+            SELECT doc_id,
+                   len(lines)::INT AS n_lines,
+                   len(kept)::INT AS n_kept,
+                   round(len(kept) / greatest(len(lines), 1), 6)
+                       AS line_keep_frac,
+                   len(regexp_extract_all(t, '[.!?]'))::BIGINT
+                       AS n_sentences,
+                   contains(lower(t), 'lorem ipsum') AS has_lorem,
+                   contains(t, '{') AS has_brace,
+                   (len(regexp_extract_all(t, '[.!?]')) >= 3
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')
+                    AND len(kept) >= 1) AS passes
+            FROM k
+        """,
+        # knn_pq: product quantization + ADC — codebook = subvectors
+        # of the 16 lowest-id vectors; encode = per-(vec, subspace)
+        # argmin with (dist, codeword) tie order; ADC = exact query-
+        # subvector-to-selected-codeword distances summed in fixed
+        # left-to-right association; rank by (round-6 dist, id)
+        "knn_pq": f"""
+            WITH cb AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj,
+                     embedding AS cbe
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 16)
+            ), ms AS (SELECT * FROM range(4) t(m)),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            corpus AS (
+              SELECT vec_id, embedding AS ce FROM embeddings
+              WHERE vec_id <> 0
+            ), pairs AS (
+              SELECT c.vec_id, ms.m, cb.cj,
+                {_L2.format(a="list_slice(c.ce, ms.m*16+1, ms.m*16+16)",
+                            b="list_slice(cb.cbe, ms.m*16+1, ms.m*16+16)")}
+                    AS d
+              FROM corpus c CROSS JOIN ms CROSS JOIN cb
+            ), enc AS (
+              SELECT vec_id, m, cj FROM (
+                SELECT vec_id, m, cj,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, cj ASC) AS rn
+                FROM pairs) WHERE rn = 1
+            ), lut AS (
+              SELECT ms.m, cb.cj,
+                {_L2.format(a="list_slice(q.qe, ms.m*16+1, ms.m*16+16)",
+                            b="list_slice(cb.cbe, ms.m*16+1, ms.m*16+16)")}
+                    AS qd
+              FROM ms CROSS JOIN cb CROSS JOIN q
+            ), scored AS (
+              SELECT e.vec_id,
+                max(CASE WHEN e.m = 0 THEN e.cj END)::INT AS code_0,
+                max(CASE WHEN e.m = 1 THEN e.cj END)::INT AS code_1,
+                max(CASE WHEN e.m = 2 THEN e.cj END)::INT AS code_2,
+                max(CASE WHEN e.m = 3 THEN e.cj END)::INT AS code_3,
+                max(CASE WHEN e.m = 0 THEN l.qd END) AS d0,
+                max(CASE WHEN e.m = 1 THEN l.qd END) AS d1,
+                max(CASE WHEN e.m = 2 THEN l.qd END) AS d2,
+                max(CASE WHEN e.m = 3 THEN l.qd END) AS d3
+              FROM enc e JOIN lut l ON e.m = l.m AND e.cj = l.cj
+              GROUP BY e.vec_id
+            )
+            SELECT vec_id, code_0, code_1, code_2, code_3,
+                   round((((d0 + d1) + d2) + d3), 6) AS adc_dist,
+                   row_number() OVER (
+                     ORDER BY round((((d0 + d1) + d2) + d3), 6) ASC,
+                              vec_id ASC) AS rank
+            FROM scored
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
         """,
         # search_composite: resumable terms pagination — the next 10
         # (event_type, user_id) buckets strictly after ('click', 50)

@@ -3823,3 +3823,32 @@ def test_cardinality_sketch_only_values(spark):
         df.limit(40), "u", k=64, sketch_only=True
     ).collect()[0].asDict()
     assert small["kmv_estimate"] == 40.0  # below k: bottom-k size IS the count
+
+
+def test_c4_line_filters_rules(spark):
+    """C4 line rules on synthetic docs covering every branch the
+    driver corpus never exercises (no '{' or 'lorem ipsum' there):
+    line keep = >=3 words AND terminal punctuation; page drops on
+    brace / placeholder text / sentence floor."""
+    clean = "This is a full sentence.\nAnother proper line here!\nAnd a third one?"
+    braced = "A config snippet follows.\nfunction f() { return 1; }\nDone now. Or so. Yes."
+    lorem = "Lorem Ipsum dolor sit amet. Filler text here. More filler text."
+    fragments = "no punct line here\nshort.\nok then fine"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=clean), Row(doc_id=2, text=braced),
+         Row(doc_id=3, text=lorem), Row(doc_id=4, text=fragments),
+         Row(doc_id=5, text=None)]
+    )
+    got = {r.doc_id: r for r in textops.c4_line_filters(df).collect()}
+    assert got[1].n_lines == 3 and got[1].n_kept == 3 and got[1].passes
+    assert got[1].line_keep_frac == 1.0 and got[1].n_sentences == 3
+    # brace page: lines may survive but the page-level drop fires
+    assert got[2].has_brace and not got[2].passes
+    # placeholder page: case-insensitive match, page dropped
+    assert got[3].has_lorem and not got[3].passes
+    # fragments: 'no punct line here' fails punctuation, 'short.'
+    # fails the 3-word floor, 'ok then fine' fails punctuation
+    assert got[4].n_lines == 3 and got[4].n_kept == 0
+    assert not got[4].passes
+    # null text: zero everything, fails, never crashes
+    assert got[5].n_lines == 0 and not got[5].passes

@@ -1463,3 +1463,123 @@ def bitext_margin_pairs(
         .where(F.col("margin") > threshold)
     )
     return out
+
+
+def knn_pq(
+    corpus: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m_subspaces: int = 4,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — Jégou, Douze, Schmid 2011, the codebook technique behind
+    FAISS's IVF-PQ indexes: each vector is split into ``m_subspaces``
+    subvectors, each subvector is replaced by the id of its nearest
+    codeword (``log2(n_codewords)`` bits per subspace — here 64 dims
+    × 4 bytes become 4 codes), and a query scores a vector by summing
+    the EXACT query-subvector-to-codeword distances its codes point
+    at (asymmetric: only the database side is quantized, halving the
+    quantization error vs symmetric code-to-code scoring).
+
+    Codebook: the subvectors of the ``n_codewords`` lowest-id corpus
+    vectors — a deterministic sample, so the whole pipeline is
+    value-oracled (production would k-means a sample; the plumbing —
+    model-sized codebook broadcast INTO the expression as literals,
+    per-vector argmin per subspace, LUT scoring — is identical, and
+    :func:`fit_kmeans` supplies trained centroids where wanted).
+
+    Scale shape: ONE corpus scan, no shuffle before the top-k cut —
+    the codebook enters as literal arrays (Catalyst folds them into
+    codegen), encode is per-row column algebra (M × K sequential-fold
+    L2s of D/M dims), the query joins as a 1-row broadcast, and the
+    ascending top-k is a distributed TakeOrdered on (adc_dist, id).
+    At 100 TB the codes column is what you'd persist at index time
+    (16 bytes/vector here vs 256) and the scan reads codes, not
+    vectors; this entry computes encode+score in one pass so the
+    oracle can prove both stages end-to-end.
+
+    Ties everywhere break to the smallest index (argmin via the
+    (dist, k) struct ordering; final rank via (dist, id)) — the same
+    total order the DuckDB oracle spells out.
+    """
+    first = corpus.orderBy(F.col(id_col).asc()).limit(n_codewords)
+    cb_rows = [list(r[0]) for r in first.select(vec_col).collect()]
+    if len(cb_rows) < n_codewords:
+        raise ValueError(
+            f"corpus has {len(cb_rows)} vectors < n_codewords={n_codewords}"
+        )
+    dim = len(cb_rows[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    sub = dim // m_subspaces
+    # cw[m][j] = literal subvector (list of floats) of codeword j in
+    # subspace m
+    cw = [
+        [row[m * sub:(m + 1) * sub] for row in cb_rows]
+        for m in range(m_subspaces)
+    ]
+    q = F.broadcast(
+        corpus.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qv")
+        )
+    )
+    c = spread(
+        corpus.filter(F.col(id_col) != query_id).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    j = c.crossJoin(q)
+
+    out_cols = [F.col("vec_id")]
+    adc_terms = []
+    for m in range(m_subspaces):
+        csub = F.slice(F.col("__cv"), m * sub + 1, sub)
+        qsub = F.slice(F.col("__qv"), m * sub + 1, sub)
+        # argmin over the K codewords: (dist, j) struct min — ties to
+        # the smallest codeword id
+        code = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _l2_to_literal(csub, cw[m][jj]).alias("d"),
+                        F.lit(jj).alias("cid"),
+                    )
+                    for jj in range(n_codewords)
+                ]
+            )
+        ).getField("cid").alias(f"code_{m}")
+        out_cols.append(code)
+        # ADC lookup: exact query-subvector distance to the SELECTED
+        # codeword — element_at over the K query-side distances
+        adc_terms.append(
+            F.element_at(
+                F.array(
+                    *[
+                        _l2_to_literal(qsub, cw[m][jj])
+                        for jj in range(n_codewords)
+                    ]
+                ),
+                F.col(f"code_{m}") + 1,
+            )
+        )
+    enc = j.select(*out_cols, F.col("__qv"), F.col("__cv"))
+    # fixed left-to-right association ((d0+d1)+d2)+d3 — the oracle
+    # writes the same parenthesization
+    score = adc_terms[0]
+    for t in adc_terms[1:]:
+        score = score + t
+    scored = enc.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(m_subspaces)],
+        F.round(score, 6).alias("adc_dist"),
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    ranked = (
+        scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return ranked

@@ -1878,3 +1878,75 @@ def quality_ensemble(
         ],
         F.round(fused / F.lit(float(len(names))), 6).alias("ensemble"),
     )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4/FineWeb line-level quality signals (Raffel et al. 2020 §2.2
+    "Colossal Clean Crawled Corpus" cleaning rules; carried into
+    FineWeb/Dolma): the rules Gopher does NOT cover — per-LINE
+    structure instead of per-document token statistics.
+
+    Per document:
+
+    * ``n_lines`` — non-blank lines;
+    * ``n_kept`` / ``line_keep_frac`` — lines that survive C4's line
+      rule: at least ``min_line_words`` whitespace words AND ending
+      in terminal punctuation (``. ! ? "``);
+    * ``n_sentences`` — terminal-punctuation count (C4 drops pages
+      with fewer than ``min_sentences``);
+    * ``has_lorem`` / ``has_brace`` — the placeholder-text and
+      code-markup page drops (C4 removes any page containing
+      "lorem ipsum" or ``{``);
+    * ``passes`` — the document-level conjunction: enough sentences,
+      no placeholder/markup hit, and at least one surviving line.
+
+    Shape: one scan, narrow projections, JVM-side regex + array
+    lambdas only (no UDFs, no shuffle) — the same single-pass
+    discipline as :func:`gopher_rules`; the two compose into the
+    full C4+Gopher pre-filter at one scan each. Every formula is
+    mirrored verbatim in the DuckDB oracle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.size(
+                F.filter(
+                    F.split(F.trim(l), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            )
+            >= min_line_words
+        )
+        & F.trim(l).rlike('[.!?"]$'),
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    n_sent = F.regexp_count(t, F.lit(r"[.!?]"))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    nl = F.greatest(n_lines, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept / nl, 6).alias("line_keep_frac"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= min_sentences)
+            & ~has_lorem
+            & ~has_brace
+            & (n_kept >= 1)
+        ).alias("passes"),
+    )
