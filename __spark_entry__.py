@@ -554,6 +554,30 @@ def q_search_text_term(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_search_prefix(spark, sf_dir):
+    """Trailing-wildcard prefix query (quickwit/ES-style extension;
+    tantivy's parser does not expose one): ``text:spar*`` matches any
+    document whose analyzed token stream has a token starting with
+    'spar'. Compiles to an EXISTS-startswith over the tokenized
+    shadow column — JVM-side, no UDF; mirrored in SQL as a
+    word-boundary regex."""
+    docs = _t(spark, sf_dir, "documents")
+    out = _search(docs, DOCS_CONFIG, "text:spar* AND lang:en")
+    return out.select("doc_id", "lang")
+
+
+def q_search_fuzzy(spark, sf_dir):
+    """Fuzzy term query ``term~N`` (Lucene/ES syntax, extension):
+    raw-tokenizer path — levenshtein(event_type, 'clck') <= 1 catches
+    'click'. Spark's levenshtein is the classic
+    insert/delete/substitute DP DuckDB shares, so the oracle is exact;
+    the tokenized path adds a token-length pre-filter before the DP
+    (plans/ast.py::Fuzzy, query.py::_fuzzy_match)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _search(ev, EVENTS_CONFIG, "event_type:clck~1 AND user_id:>=120")
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_search_phrase(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = _search(docs, DOCS_CONFIG, 'text:"key order"')
@@ -2719,8 +2743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 21 never-driver-proven (P0) new
-        # entries, then the 29 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 23 never-driver-proven (P0) new
+        # entries, then the 27 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2740,6 +2764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
         "knn_pq": q_knn_pq,
         "c4_line_filters": q_c4_line_filters,
+        "search_prefix": q_search_prefix,
+        "search_fuzzy": q_search_fuzzy,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2773,10 +2799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bool": q_search_bool,
         "search_dt_range": q_search_dt_range,
         "search_range": q_search_range,
-        "search_term": q_search_term,
-        "search_topk": q_search_topk,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # P0b waiting one round (younger records)
+        "search_term": q_search_term,
+        "search_topk": q_search_topk,
         "source_mixture": q_source_mixture,
         "source_token_profile": q_source_token_profile,
         "text_fingerprint": q_text_fingerprint,
@@ -3271,6 +3297,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
             HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # search_prefix: token-startswith == word-boundary regex on
+        # the lowercased text
+        "search_prefix": """
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spar')
+              AND lang = 'en'
+        """,
+        # search_fuzzy: raw-tokenizer fuzzy = plain levenshtein on the
+        # field value (both engines: classic ins/del/sub DP)
+        "search_fuzzy": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE levenshtein(event_type, 'clck') <= 1
+              AND user_id >= 120
         """,
         # c4_line_filters: per-line C4 cleaning rules mirrored with
         # list lambdas; kept = lines with >= 3 whitespace words AND

@@ -146,3 +146,23 @@ def test_phrase_slop():
     # slop composes inside boolean structure
     q = parse_query('body:"a b"~1 AND x:1')
     assert q == BoolQuery(must=(Phrase(("body",), "a b", 1), Term(("x",), "1")))
+
+
+def test_prefix_and_fuzzy_extension_syntax():
+    from toshokan_spark.plans.ast import Fuzzy, Prefix
+
+    assert parse_query("text:spar*") == Prefix(("text",), "spar")
+    assert parse_query("spar*") == Prefix(None, "spar")
+    assert parse_query("text:clck~1") == Fuzzy(("text",), "clck", 1)
+    assert parse_query("clck~2") == Fuzzy(None, "clck", 2)
+    # bare star stays match-all; inner stars stay literal terms
+    assert parse_query("*") == All()
+    assert parse_query("x:a*b") == Term(("x",), "a*b")
+    # tilde without digits stays a literal term (file~name)
+    assert parse_query("x:a~b") == Term(("x",), "a~b")
+    # field:* stays the exists-range form, not a prefix
+    from toshokan_spark.plans.ast import RangeQ
+    assert parse_query("x:*") == RangeQ(("x",), None, None, False, False)
+    # composes in boolean structure
+    q = parse_query("text:spar* AND lang:en")
+    assert q == BoolQuery(must=(Prefix(("text",), "spar"), Term(("lang",), "en")))

@@ -65,6 +65,28 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class Prefix(Node):
+    """``field:valu*`` — prefix match against the analyzed token
+    stream (quickwit/ES trailing-wildcard syntax; tantivy's PARSER
+    does not expose this, so it is a documented extension — SURVEY
+    §2.8 — not reference parity)."""
+
+    field: Optional[tuple[str, ...]]
+    text: str  # the prefix, '*' stripped
+
+
+@dataclass(frozen=True)
+class Fuzzy(Node):
+    """``field:value~N`` — Lucene/ES fuzzy term: any analyzed token
+    within Damerau-free Levenshtein distance N (extension, same
+    caveat as :class:`Prefix`)."""
+
+    field: Optional[tuple[str, ...]]
+    text: str
+    distance: int = 1
+
+
+@dataclass(frozen=True)
 class RangeQ(Node):
     field: tuple[str, ...]
     lo: Optional[str]  # None == open (*)
@@ -88,6 +110,23 @@ class BoolQuery(Node):
 
 
 _SPECIAL = set('()[]{}"')
+
+
+def _value_node(fieldp: Optional[tuple[str, ...]], word: str) -> Node:
+    """Classify a bare value word: ``pre*`` -> Prefix, ``term~N`` ->
+    Fuzzy, else Term. Only a single TRAILING star is a prefix (inner
+    stars stay literal — IPv6/globs keep parsing as plain terms)."""
+    if (
+        len(word) >= 3
+        and word[-1].isdigit()
+        and "~" in word[:-1]
+    ):
+        base, _, digits = word.rpartition("~")
+        if base and digits.isdigit():
+            return Fuzzy(fieldp, base, int(digits))
+    if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+        return Prefix(fieldp, word[:-1])
+    return Term(fieldp, word)
 
 
 class _Scanner:
@@ -309,7 +348,7 @@ def _parse_clause(sc: _Scanner) -> Node:
 
     fieldp = sc.read_field_path()
     if fieldp is None:
-        return Term(None, sc.read_value_word())
+        return _value_node(None, sc.read_value_word())
 
     sc.skip_ws()
     c = sc.peek()
@@ -344,4 +383,4 @@ def _parse_clause(sc: _Scanner) -> Node:
         if not nxt or nxt.isspace() or nxt in ")":
             sc.i += 1
             return RangeQ(fieldp, None, None, False, False)  # field exists/any
-    return Term(fieldp, sc.read_value_word())
+    return _value_node(fieldp, sc.read_value_word())

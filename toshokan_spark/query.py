@@ -34,9 +34,11 @@ from toshokan_spark.plans.ast import (
     All,
     BoolQuery,
     Cmp,
+    Fuzzy,
     Node,
     ParseError,
     Phrase,
+    Prefix,
     RangeQ,
     Term,
     parse_query,
@@ -323,6 +325,10 @@ class QueryCompiler:
             return F.lit(True)
         if isinstance(node, Term):
             return self._compile_term(node)
+        if isinstance(node, Prefix):
+            return self._compile_prefix(node)
+        if isinstance(node, Fuzzy):
+            return self._compile_fuzzy(node)
         if isinstance(node, Phrase):
             return self._compile_phrase(node)
         if isinstance(node, RangeQ):
@@ -422,6 +428,102 @@ class QueryCompiler:
         if t.array:
             return F.coalesce(F.array_contains(target, lit), F.lit(False))
         return F.coalesce(target == lit, F.lit(False))
+
+    def _analyzed_probe(self, t: _Target, text: str) -> str:
+        """Normalize a prefix/fuzzy probe the way the field's index
+        tokens were normalized: lowercase for the lowercasing
+        tokenizers. Deliberately NOT stemmed — Lucene leaves prefix/
+        fuzzy terms unanalyzed beyond case folding, and a stemmed
+        probe against stemmed tokens would double-stem."""
+        return text.lower() if t.tokenizer in ("default", "en_stem") else text
+
+    def _prefix_match(self, t: _Target, prefix: str) -> Column:
+        p = self._analyzed_probe(t, prefix)
+        if t.tokenizer == "raw":
+            if t.kind == "text" and t.array:
+                return F.exists(t.col, lambda e: e.startswith(p))
+            return t.col.startswith(p)
+        if t.kind == "dynamic":
+            return F.exists(
+                tokenize(t.col, t.tokenizer), lambda tok: tok.startswith(p)
+            )
+        return F.exists(t.tokens, lambda tok: tok.startswith(p))
+
+    def _fuzzy_match(self, t: _Target, text: str, d: int) -> Column:
+        p = self._analyzed_probe(t, text)
+        lim = F.lit(int(d))
+        if t.tokenizer == "raw":
+            if t.kind == "text" and t.array:
+                return F.exists(
+                    t.col, lambda e: F.levenshtein(e, F.lit(p)) <= lim
+                )
+            return F.levenshtein(t.col, F.lit(p)) <= lim
+        toks = (
+            tokenize(t.col, t.tokenizer) if t.kind == "dynamic" else t.tokens
+        )
+        # length pre-filter: |len(tok) - len(p)| <= d is necessary for
+        # edit distance <= d and skips the O(len^2) DP on the
+        # overwhelming majority of tokens
+        return F.exists(
+            toks,
+            lambda tok: (
+                F.abs(F.length(tok) - F.lit(len(p))) <= lim
+            )
+            & (F.levenshtein(tok, F.lit(p)) <= lim),
+        )
+
+    def _compile_prefix(self, node: Prefix) -> Column:
+        """Trailing-wildcard prefix query (quickwit/ES extension; see
+        plans/ast.py::Prefix). Text/dynamic targets only — numeric or
+        ip prefixes match nothing, the same conservative policy as an
+        uncoercible typed literal."""
+        if node.field is None:
+            out = F.lit(False)
+            for f in self.config.fields:
+                if f.type != "text" or not f.indexed:
+                    continue
+                t = self._leaf_target(f, F.col(f.name), shadow_ok=True)
+                out = out | F.coalesce(
+                    self._prefix_match(t, node.text), F.lit(False)
+                )
+            vals = F.map_values(F.col(DYNAMIC_FIELD_NAME))
+            p = node.text.lower()
+            out = out | F.coalesce(
+                F.exists(
+                    vals,
+                    lambda v: F.exists(
+                        tokenize(v, "default"), lambda tok: tok.startswith(p)
+                    ),
+                ),
+                F.lit(False),
+            )
+            return out
+        t = self.resolve(node.field)
+        if t.kind not in ("text", "dynamic"):
+            return F.lit(False)
+        return F.coalesce(self._prefix_match(t, node.text), F.lit(False))
+
+    def _compile_fuzzy(self, node: Fuzzy) -> Column:
+        """Fuzzy term query ``term~N`` (Lucene/ES extension): any
+        analyzed token within Levenshtein distance N. A length
+        pre-filter guards the DP; text/dynamic targets only."""
+        if node.field is None:
+            out = F.lit(False)
+            for f in self.config.fields:
+                if f.type != "text" or not f.indexed:
+                    continue
+                t = self._leaf_target(f, F.col(f.name), shadow_ok=True)
+                out = out | F.coalesce(
+                    self._fuzzy_match(t, node.text, node.distance),
+                    F.lit(False),
+                )
+            return out
+        t = self.resolve(node.field)
+        if t.kind not in ("text", "dynamic"):
+            return F.lit(False)
+        return F.coalesce(
+            self._fuzzy_match(t, node.text, node.distance), F.lit(False)
+        )
 
     def _compile_phrase(self, node: Phrase) -> Column:
         if node.field is None:
