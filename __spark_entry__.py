@@ -539,6 +539,51 @@ def q_search_pipeline_aggs(spark, sf_dir):
     return pipeline_histogram_agg(hits, "ts", 86400, "value", moving_window=3)
 
 
+def q_search_weighted_avg(spark, sf_dir):
+    """Weighted-average aggregation (ES ``weighted_avg``): purchase
+    values weighted by user_id (a synthetic weight — the shape is the
+    grades-by-credits panel). Both moment sums decimal-exact at
+    overflow-safe widths, one division in double, NULL-on-zero-weight
+    semantics."""
+    from toshokan_spark.search import weighted_avg_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return weighted_avg_agg(hits, "value", "user_id")
+
+
+def q_search_mad(spark, sf_dir):
+    """Median-absolute-deviation panel (ES
+    ``median_absolute_deviation``): median(|x - median|) with both
+    medians SQL-standard percentile_disc elements — two aggregation
+    passes by definition, the inner median re-entering as a 1-row
+    broadcast (never a window over the hit set)."""
+    from toshokan_spark.search import mad_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:error")
+    return mad_agg(hits, "value")
+
+
+def q_search_adjacency(spark, sf_dir):
+    """Adjacency-matrix aggregation (ES ``adjacency_matrix``): N
+    named buckets + all pairwise intersections from ONE conditional-
+    aggregation scan — the co-occurrence panel; N stays panel-sized
+    by convention (ES caps it for the same quadratic reason)."""
+    from toshokan_spark.search import adjacency_matrix_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return adjacency_matrix_agg(
+        ev,
+        EVENTS_CONFIG,
+        {
+            "errors": "event_type:error",
+            "power": "user_id:>=100",
+            "big": "value:>=200",
+        },
+    )
+
+
 def q_search_dt_range(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = _search(
@@ -2743,8 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 23 never-driver-proven (P0) new
-        # entries, then the 27 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 26 never-driver-proven (P0) new
+        # entries, then the 24 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2766,6 +2811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filters": q_c4_line_filters,
         "search_prefix": q_search_prefix,
         "search_fuzzy": q_search_fuzzy,
+        "search_weighted_avg": q_search_weighted_avg,
+        "search_mad": q_search_mad,
+        "search_adjacency": q_search_adjacency,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2796,11 +2844,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "rollup_revenue": q_rollup_revenue,
         "sample_documents": q_sample_documents,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # P0b waiting one round (younger records)
         "search_bool": q_search_bool,
         "search_dt_range": q_search_dt_range,
         "search_range": q_search_range,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
-        # P0b waiting one round (younger records)
         "search_term": q_search_term,
         "search_topk": q_search_topk,
         "source_mixture": q_source_mixture,
@@ -3297,6 +3345,62 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
             HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # search_weighted_avg: sum(v*w)/sum(w) with decimal(18,6)
+        # factors (the product stays inside 38 digits on both engines)
+        "search_weighted_avg": """
+            SELECT count(CASE WHEN value IS NOT NULL
+                              AND user_id IS NOT NULL THEN 1 END)::BIGINT
+                       AS n_values,
+                   round(sum(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                             THEN user_id::DECIMAL(18,6) END)::DOUBLE, 6)
+                       AS total_weight,
+                   CASE WHEN sum(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                                 THEN user_id::DECIMAL(18,6) END) <> 0
+                        THEN round(
+                          sum(value::DECIMAL(18,6)
+                              * user_id::DECIMAL(18,6))::DOUBLE
+                          / sum(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                                THEN user_id::DECIMAL(18,6) END)::DOUBLE, 6)
+                   END AS weighted_avg
+            FROM events WHERE event_type = 'purchase'
+        """,
+        # search_mad: median(|x - median|), both percentile_disc
+        "search_mad": """
+            WITH hits AS (
+              SELECT value FROM events WHERE event_type = 'error'
+            ), med AS (
+              SELECT quantile_disc(value, 0.5)::DOUBLE AS median_v
+              FROM hits
+            ), dev AS (
+              SELECT median_v, abs(value::DOUBLE - median_v) AS d
+              FROM hits, med
+            )
+            SELECT median_v, count(d)::BIGINT AS n_values,
+                   quantile_disc(d, 0.5)::DOUBLE AS mad
+            FROM dev GROUP BY median_v
+        """,
+        # search_adjacency: N buckets + pairwise intersections from
+        # one conditional-agg pass; keys sorted, pairs 'a&b'
+        "search_adjacency": """
+            WITH one AS (
+              SELECT
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errors,
+                sum(CASE WHEN user_id >= 100 THEN 1 ELSE 0 END)::BIGINT AS power,
+                sum(CASE WHEN value >= 200 THEN 1 ELSE 0 END)::BIGINT AS big,
+                sum(CASE WHEN value >= 200 AND event_type = 'error'
+                         THEN 1 ELSE 0 END)::BIGINT AS big_errors,
+                sum(CASE WHEN value >= 200 AND user_id >= 100
+                         THEN 1 ELSE 0 END)::BIGINT AS big_power,
+                sum(CASE WHEN event_type = 'error' AND user_id >= 100
+                         THEN 1 ELSE 0 END)::BIGINT AS errors_power
+              FROM events)
+            SELECT 'big' AS bucket, big AS n_hits FROM one
+            UNION ALL SELECT 'errors', errors FROM one
+            UNION ALL SELECT 'power', power FROM one
+            UNION ALL SELECT 'big&errors', big_errors FROM one
+            UNION ALL SELECT 'big&power', big_power FROM one
+            UNION ALL SELECT 'errors&power', errors_power FROM one
         """,
         # search_prefix: token-startswith == word-boundary regex on
         # the lowercased text

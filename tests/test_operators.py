@@ -3852,3 +3852,33 @@ def test_c4_line_filters_rules(spark):
     assert not got[4].passes
     # null text: zero everything, fails, never crashes
     assert got[5].n_lines == 0 and not got[5].passes
+
+
+def test_weighted_avg_mad_adjacency_null_semantics(spark):
+    """The ES metric panels on edge inputs the driver corpus never
+    produces: NULL values/weights drop from BOTH weighted-avg sums,
+    an all-zero weight sum yields NULL (not a division error), and
+    MAD is exact on an even-count multiset (percentile_disc takes the
+    lower median element)."""
+    from toshokan_spark.search import (
+        adjacency_matrix_agg,
+        mad_agg,
+        weighted_avg_agg,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=10.0, w=1.0), Row(v=20.0, w=3.0),
+         Row(v=None, w=5.0), Row(v=30.0, w=None)]
+    )
+    r = weighted_avg_agg(df, "v", "w").collect()[0]
+    # only the two fully-populated rows count: (10*1 + 20*3) / 4
+    assert r.n_values == 2 and r.total_weight == 4.0
+    assert r.weighted_avg == 17.5
+
+    z = spark.createDataFrame([Row(v=10.0, w=0.0), Row(v=20.0, w=0.0)])
+    assert weighted_avg_agg(z, "v", "w").collect()[0].weighted_avg is None
+
+    m = spark.createDataFrame([Row(v=float(x)) for x in (1, 2, 8, 9)])
+    got = mad_agg(m, "v").collect()[0]
+    # percentile_disc(0.5) of [1,2,8,9] = 2; |x-2| = [1,0,6,7] -> 1
+    assert got.median_v == 2.0 and got.mad == 1.0 and got.n_values == 4

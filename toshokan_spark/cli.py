@@ -17,6 +17,10 @@
                                          [--extended-stats-field F] [--histogram-field F --histogram-bin W]
                                          [--range-field F --range-edges 0,10,100]
                                          [--panel-facet F --panel-stats F [--panel-bin W]]  # one-scan composed panel
+                                         [--composite-by F1,F2 [--composite-after V1,V2] [--composite-size N]]
+                                         [--rare-terms F [--rare-max N]] [--filters 'a=Q;b=Q'] [--multi-terms F1,F2]
+                                         [--pipeline-interval S --pipeline-value F [--moving-window N]]
+                                         [--weighted-avg V,W] [--mad-field F] [--adjacency 'a=Q;b=Q']
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
     python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
@@ -218,6 +222,15 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--weighted-avg", default=None, metavar="V,W",
+                    help="weighted-average aggregation: sum(V*W)/sum(W) "
+                         "over the hit set, decimal-exact moments")
+    ps.add_argument("--mad-field", default=None, metavar="F",
+                    help="median-absolute-deviation of F over the hit "
+                         "set (exact percentile_disc medians)")
+    ps.add_argument("--adjacency", default=None, metavar="NAME=Q;NAME=Q",
+                    help="adjacency-matrix aggregation: N named buckets "
+                         "+ every pairwise intersection, ONE scan")
     ps.add_argument("--sort-by", dest="search_sort", default=None,
                     metavar="F[:desc]",
                     help="deterministic hit ordering by this field "
@@ -466,7 +479,8 @@ def main(argv: list[str] | None = None) -> int:
                     or a.histogram_field or a.range_field
                     or a.significant_terms or a.panel_facet
                     or a.composite_by or a.rare_terms or a.filters
-                    or a.multi_terms or a.pipeline_interval)
+                    or a.multi_terms or a.pipeline_interval
+                    or a.weighted_avg or a.mad_field or a.adjacency)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -616,6 +630,34 @@ def main(argv: list[str] | None = None) -> int:
                     hits_df(), config.time_field, a.pipeline_interval,
                     a.pipeline_value, moving_window=a.moving_window,
                 ).orderBy("bucket_epoch").collect())
+            if a.weighted_avg:
+                from toshokan_spark.search import weighted_avg_agg
+
+                parts = [x.strip() for x in a.weighted_avg.split(",")]
+                if len(parts) != 2:
+                    print("error: --weighted-avg wants VALUE,WEIGHT",
+                          file=sys.stderr)
+                    return 2
+                _emit(weighted_avg_agg(hits_df(), parts[0], parts[1])
+                      .collect())
+            if a.mad_field:
+                from toshokan_spark.search import mad_agg
+
+                _emit(mad_agg(hits_df(), a.mad_field).collect())
+            if a.adjacency:
+                from toshokan_spark.search import adjacency_matrix_agg
+
+                named = {}
+                for pair in a.adjacency.split(";"):
+                    name, _, q = pair.partition("=")
+                    if not q:
+                        print("error: --adjacency wants NAME=QUERY pairs",
+                              file=sys.stderr)
+                        return 2
+                    named[name.strip()] = q
+                _emit(adjacency_matrix_agg(
+                    hits_df(), catalog.get_index(a.index), named
+                ).collect())
             if a.top_hits_per:
                 if not a.order_by:
                     print("error: --top-hits-per requires --order-by",

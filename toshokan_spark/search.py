@@ -1270,3 +1270,99 @@ def pipeline_histogram_agg(
             mov_sum.cast("double") / mov_n.cast("double"), 6
         ).alias("moving_avg"),
     )
+
+
+def weighted_avg_agg(
+    hits: DataFrame, value_col: str, weight_col: str
+) -> DataFrame:
+    """Weighted-average aggregation (ES ``weighted_avg``): Σ(v·w)/Σw
+    over the hit set, both moment sums folded through decimal(38,6)
+    so the result is partition-order-free, the final division done
+    once in double (one IEEE op both engines share). Rows where
+    either side is NULL drop from BOTH sums (ES skips them); a zero
+    total weight yields NULL, not a division error. ONE partial-
+    aggregated pass — same shape as :func:`stats_agg`."""
+    # decimal(18,6) factors: the product is decimal(37,12) — exact
+    # and inside BOTH engines' 38-digit ceiling (38,6 factors would
+    # overflow the multiply and the engines truncate differently)
+    v = F.col(value_col).cast("decimal(18,6)")
+    w = F.col(weight_col).cast("decimal(18,6)")
+    both = v.isNotNull() & w.isNotNull()
+    num = F.sum(F.when(both, v * w))
+    den = F.sum(F.when(both, w))
+    return hits.agg(
+        F.count(F.when(both, F.lit(1))).cast("long").alias("n_values"),
+        F.round(den.cast("double"), 6).alias("total_weight"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("weighted_avg"),
+    )
+
+
+def mad_agg(hits: DataFrame, field: str) -> DataFrame:
+    """Median-absolute-deviation aggregation (ES
+    ``median_absolute_deviation`` — the robust dispersion panel):
+    median(|x - median(x)|), both medians the SQL-standard
+    percentile_disc elements so two engines agree bit-for-bit.
+
+    Two aggregation passes by definition (the inner median must be
+    known before deviations exist): pass 1 reduces to a 1-row median
+    broadcast back into the plan, pass 2 aggregates the deviations —
+    the same 1-row-broadcast discipline as q15/q22, never a window
+    over the hit set. ES serves this from one t-digest pass at a
+    documented error; this exact form is the oracle-provable twin and
+    the hit-set scale caveat matches :func:`percentiles_agg`."""
+    med = hits.agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY `{field}`)"
+        ).cast("double").alias("median_v")
+    )
+    dev = hits.join(F.broadcast(med)).select(
+        F.abs(F.col(field).cast("double") - F.col("median_v")).alias("__d"),
+        "median_v",
+    )
+    return dev.groupBy("median_v").agg(
+        F.count("__d").cast("long").alias("n_values"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY `__d`)"
+        ).cast("double").alias("mad"),
+    )
+
+
+def adjacency_matrix_agg(
+    df: DataFrame,
+    config: "IndexConfig",
+    named_queries: "dict[str, str]",
+) -> DataFrame:
+    """Adjacency-matrix aggregation (ES ``adjacency_matrix``): for N
+    named query buckets, the hit count of every bucket AND of every
+    pairwise intersection — N + N(N-1)/2 conditional aggregates in
+    ONE scan, no join (the same one-pass discipline as
+    :func:`filters_agg`; ES caps N at indices.query.bool.max_clause
+    for the same quadratic reason — callers keep N panel-sized).
+    Intersection keys are ``a&b`` with names in sorted order, ES's
+    convention; empty buckets are kept (count 0) so the matrix shape
+    is stable."""
+    from .query import compile_query as _cq
+
+    cols = set(df.columns)
+    names = sorted(named_queries)
+    preds = {
+        n: F.coalesce(_cq(named_queries[n], config, cols), F.lit(False))
+        for n in names
+    }
+    cells: list[tuple[str, object]] = [(n, preds[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", preds[a] & preds[b]))
+    aggs = [
+        F.sum(F.when(p, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias(key)
+        for key, p in cells
+    ]
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{key}', `{key}`" for key, _ in cells)
+    return one.select(
+        F.expr(f"stack({len(cells)}, {stack}) AS (bucket, n_hits)")
+    )
