@@ -539,6 +539,20 @@ def q_search_pipeline_aggs(spark, sf_dir):
     return pipeline_histogram_agg(hits, "ts", 86400, "value", moving_window=3)
 
 
+def q_search_auto_histogram(spark, sf_dir):
+    """Auto-interval date histogram (ES ``auto_date_histogram``):
+    "about 20 bars" over the purchase hit set — the interval is the
+    smallest ladder rung whose epoch-aligned bucket count fits the
+    target, chosen from a 1-row min/max aggregate (parquet-stat
+    cheap) and mirrored by the identical integer CASE ladder in the
+    oracle, so both engines pick the same rung by construction."""
+    from toshokan_spark.search import auto_date_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return auto_date_histogram(hits, "ts", target_buckets=20, value_col="value")
+
+
 def q_search_weighted_avg(spark, sf_dir):
     """Weighted-average aggregation (ES ``weighted_avg``): purchase
     values weighted by user_id (a synthetic weight — the shape is the
@@ -2788,8 +2802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 26 never-driver-proven (P0) new
-        # entries, then the 24 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 27 never-driver-proven (P0) new
+        # entries, then the 23 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2814,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_weighted_avg": q_search_weighted_avg,
         "search_mad": q_search_mad,
         "search_adjacency": q_search_adjacency,
+        "search_auto_histogram": q_search_auto_histogram,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2843,8 +2858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "rollup_revenue": q_rollup_revenue,
-        "sample_documents": q_sample_documents,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "sample_documents": q_sample_documents,
         # P0b waiting one round (younger records)
         "search_bool": q_search_bool,
         "search_dt_range": q_search_dt_range,
@@ -3047,6 +3062,19 @@ _BM25_SPARK_TABLE_CTE = """base AS (
                  ELSE 0.0 END), 4) AS bm25
               FROM tf, st
               WHERE tf0 > 0 OR tf1 > 0)"""
+
+def _auto_ladder_case(target: int) -> str:
+    """DuckDB CASE mirroring search.auto_date_histogram's ladder walk
+    over the same exact integers (positive epochs: // == floor)."""
+    from toshokan_spark.search import AUTO_HISTOGRAM_LADDER
+
+    arms = "".join(
+        f"WHEN mx // {s * 1_000_000} - mn // {s * 1_000_000} + 1 <= {target} "
+        f"THEN {s} "
+        for s in AUTO_HISTOGRAM_LADDER
+    )
+    return f"CASE {arms}ELSE {AUTO_HISTOGRAM_LADDER[-1]} END"
+
 
 _COS = """
 list_reduce(list_prepend(0.0::DOUBLE,
@@ -3345,6 +3373,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
             HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # search_auto_histogram: ladder-chosen interval (identical
+        # integer CASE) + the standard epoch-aligned histogram
+        "search_auto_histogram": f"""
+            WITH hits AS (
+              SELECT ts, value FROM events WHERE event_type = 'purchase'
+            ), mm AS (
+              SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+              FROM hits
+            ), iv AS (
+              SELECT {_auto_ladder_case(20)} AS i FROM mm
+            )
+            SELECT ((epoch_us(ts) // (i::BIGINT * 1000000)) * i)::BIGINT
+                       AS bucket_epoch,
+                   i::BIGINT AS interval_s,
+                   count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                       AS total_value
+            FROM hits, iv GROUP BY 1, 2
         """,
         # search_weighted_avg: sum(v*w)/sum(w) with decimal(18,6)
         # factors (the product stays inside 38 digits on both engines)

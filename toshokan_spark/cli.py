@@ -222,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--histogram-auto", type=int, default=None,
+                    metavar="N",
+                    help="auto-interval date histogram: pick the "
+                         "smallest ladder interval giving at most N "
+                         "epoch-aligned buckets over the hit set")
     ps.add_argument("--weighted-avg", default=None, metavar="V,W",
                     help="weighted-average aggregation: sum(V*W)/sum(W) "
                          "over the hit set, decimal-exact moments")
@@ -480,7 +485,8 @@ def main(argv: list[str] | None = None) -> int:
                     or a.significant_terms or a.panel_facet
                     or a.composite_by or a.rare_terms or a.filters
                     or a.multi_terms or a.pipeline_interval
-                    or a.weighted_avg or a.mad_field or a.adjacency)
+                    or a.weighted_avg or a.mad_field or a.adjacency
+                    or a.histogram_auto)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -629,6 +635,14 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(pipeline_histogram_agg(
                     hits_df(), config.time_field, a.pipeline_interval,
                     a.pipeline_value, moving_window=a.moving_window,
+                ).orderBy("bucket_epoch").collect())
+            if a.histogram_auto:
+                from toshokan_spark.search import auto_date_histogram
+
+                config = catalog.get_index(a.index)
+                _emit(auto_date_histogram(
+                    hits_df(), config.time_field,
+                    target_buckets=a.histogram_auto,
                 ).orderBy("bucket_epoch").collect())
             if a.weighted_avg:
                 from toshokan_spark.search import weighted_avg_agg
