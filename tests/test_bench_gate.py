@@ -86,6 +86,13 @@ FLOORS = {
     # (sf0.01 warm best-of-3: 1.00/0.67)
     "dedup_incremental": 1.3,
     "dedup_simhash": 0.9,
+    # round-10 additions (sf0.01 warm best-of-3: 3.69/0.64/0.29 —
+    # knn_pq's cost is codegen compile of the literal-codebook
+    # expression tree, a one-time per-plan cost that does not grow
+    # with the corpus; the executed scan is single-pass)
+    "knn_pq": 4.8,
+    "q21_suppliers_kept_waiting": 0.9,
+    "search_panel": 0.4,
 }
 MULTIPLIER = 2.5
 RUNS = 3

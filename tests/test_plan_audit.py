@@ -812,3 +812,72 @@ def test_q21_self_joins_stay_keyed(plans10b):
     assert "LeftSemi" in full and "LeftAnti" in full, full[:1500]
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
+
+
+# -- round 10 batch 3: PQ / metric panels / auto histogram
+
+
+ROUND10C = [
+    "knn_pq",
+    "search_weighted_avg",
+    "search_mad",
+    "search_adjacency",
+    "search_auto_histogram",
+    "c4_line_filters",
+]
+
+
+@pytest.fixture(scope="module")
+def plans10c(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND10C:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_knn_pq_is_one_scan_broadcast_takeordered(plans10c):
+    """PQ encode+ADC: the codebook enters as folded literals (no
+    codebook join), the query is a 1-row broadcast, the cut is a
+    TakeOrdered — the corpus never shuffles before the top-k."""
+    a, phys, full = plans10c["knn_pq"]
+    assert "CartesianProduct" not in full
+    assert "SortMergeJoin" not in full, "corpus shuffled for a 1-row query"
+    assert "TakeOrderedAndProject" in full, "PQ cut is not top-k"
+
+
+def test_metric_panels_single_pass(plans10c):
+    """weighted_avg: one conditional-agg scan, no join. adjacency:
+    one scan regardless of bucket count. c4 line filters: narrow
+    single-scan projection, zero exchanges."""
+    a, phys, _ = plans10c["search_weighted_avg"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    a, phys, _ = plans10c["search_adjacency"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    a, phys, _ = plans10c["c4_line_filters"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert a["exchanges"] == 0, a
+
+
+def test_mad_is_two_pass_broadcast_never_window(plans10c):
+    """MAD needs the inner median first — two scans by definition,
+    the median re-entering by broadcast; a Window over the hit set
+    would serialize it through one task."""
+    a, phys, full = plans10c["search_mad"]
+    assert a["scans"] == 2, a
+    assert "BroadcastHashJoin" in full or "BroadcastNestedLoopJoin" in full, (
+        "median must re-enter as a broadcast")
+    assert "Window" not in full, "hit-set window in the MAD plan"
+
+
+def test_auto_histogram_body_is_one_scan(plans10c):
+    """The RETURNED auto-histogram plan is the standard single-scan
+    histogram (the 1-row min/max rung pick ran at call time)."""
+    a, phys, _ = plans10c["search_auto_histogram"]
+    assert a["scans"] == 1 and a["joins"] == "-", a

@@ -21,6 +21,7 @@
                                          [--rare-terms F [--rare-max N]] [--filters 'a=Q;b=Q'] [--multi-terms F1,F2]
                                          [--pipeline-interval S --pipeline-value F [--moving-window N]]
                                          [--weighted-avg V,W] [--mad-field F] [--adjacency 'a=Q;b=Q']
+                                         [--histogram-auto N]
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
     python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
