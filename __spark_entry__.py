@@ -268,7 +268,10 @@ def _events_stats_index(spark, sf_dir):
             FieldConfig(name="ts", type="datetime"),
             FieldConfig(name="user_id", type="number", number_type="i64"),
             FieldConfig(name="event_type", type="text", tokenizer="raw"),
-            FieldConfig(name="value", type="number", number_type="f64"),
+            FieldConfig(
+                name="value", type="number", number_type="f64",
+                histogram_bin=50.0,
+            ),
         ],
     )
     create_index(catalog, config)
@@ -295,6 +298,24 @@ def q_search_stats_manifest(spark, sf_dir):
     out = manifest_stats(spark, catalog, config, "value")
     if out is None:
         raise RuntimeError("manifest written by this build must carry sums")
+    return out
+
+
+def q_search_histogram_manifest(spark, sf_dir):
+    """The match-all numeric histogram served from the MANIFEST alone
+    — the distribution twin of ``search_stats_manifest``: each of the
+    two segments recorded exact fixed-width (50.0) floor-keyed bin
+    counts at commit (`FieldConfig.histogram_bin` →
+    `indexer.compute_field_histograms`), and the panel is driver-side
+    integer addition over the manifest JSON — zero data scans. Falls
+    back to the scan while deletes pend or at any other width; the
+    oracle proves the recorded bins exact against the data."""
+    from toshokan_spark.search import manifest_histogram
+
+    catalog, config = _events_stats_index(spark, sf_dir)
+    out = manifest_histogram(spark, catalog, config, "value", 50.0)
+    if out is None:
+        raise RuntimeError("manifest written by this build must carry bins")
     return out
 
 
@@ -2802,8 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 27 never-driver-proven (P0) new
-        # entries, then the 23 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 28 never-driver-proven (P0) new
+        # entries, then the 22 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2829,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mad": q_search_mad,
         "search_adjacency": q_search_adjacency,
         "search_auto_histogram": q_search_auto_histogram,
+        "search_histogram_manifest": q_search_histogram_manifest,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2857,8 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
-        "rollup_revenue": q_rollup_revenue,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "rollup_revenue": q_rollup_revenue,
         "sample_documents": q_sample_documents,
         # P0b waiting one round (younger records)
         "search_bool": q_search_bool,
@@ -3373,6 +3395,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             GROUP BY GROUPING SETS ((facet), (bucket_lo), ())
             HAVING NOT (GROUPING(bucket_lo) = 0 AND bucket_lo IS NULL)
+        """,
+        # search_histogram_manifest: the manifest bins must equal the
+        # exact match-all histogram over the data
+        "search_histogram_manifest": """
+            SELECT floor(value / 50.0) * 50.0 AS bucket_lo,
+                   count(*)::BIGINT AS n_hits
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         # search_auto_histogram: ladder-chosen interval (identical
         # integer CASE) + the standard epoch-aligned histogram

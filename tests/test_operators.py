@@ -3882,3 +3882,126 @@ def test_weighted_avg_mad_adjacency_null_semantics(spark):
     got = mad_agg(m, "v").collect()[0]
     # percentile_disc(0.5) of [1,2,8,9] = 2; |x-2| = [1,0,6,7] -> 1
     assert got.median_v == 2.0 and got.mad == 1.0 and got.n_values == 4
+
+
+@pytest.fixture()
+def _hist_index(spark, tmp_path):
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.indexer import write_segment
+    from toshokan_spark.maintenance import create_index
+
+    cat = FsCatalog(str(tmp_path / "cat"))
+    cfg = IndexConfig(
+        name="mhist",
+        path=str(tmp_path / "data" / "mhist"),
+        fields=[
+            FieldConfig(name="id", type="number", number_type="i64"),
+            FieldConfig(
+                name="v", type="number", number_type="f64",
+                histogram_bin=10.0,
+            ),
+        ],
+    )
+    create_index(cat, cfg)
+    write_segment(
+        cat, cfg,
+        spark.createDataFrame(
+            [Row(id=1, v=1.0), Row(id=2, v=15.0), Row(id=3, v=None)]
+        ),
+    )
+    write_segment(
+        cat, cfg,
+        spark.createDataFrame(
+            [Row(id=4, v=-3.0), Row(id=5, v=17.5), Row(id=6, v=101.0)]
+        ),
+    )
+    return cat, cfg
+
+
+def test_manifest_histogram_zero_scans_and_exactness(spark, _hist_index):
+    """Match-all histogram from the manifest equals histogram_agg over
+    the data exactly (bins were computed with ITS floor expression at
+    commit) — and still answers after the data files are DELETED, the
+    proof it never scans."""
+    import shutil
+
+    from toshokan_spark.search import histogram_agg, manifest_histogram
+
+    cat, cfg = _hist_index
+    rows = [
+        Row(v=1.0), Row(v=15.0), Row(v=None),
+        Row(v=-3.0), Row(v=17.5), Row(v=101.0),
+    ]
+    want = sorted(
+        (r.asDict() for r in
+         histogram_agg(spark.createDataFrame(rows), "v", 10.0).collect()),
+        key=lambda d: d["bucket_lo"],
+    )
+    got = sorted(
+        (r.asDict() for r in
+         manifest_histogram(spark, cat, cfg, "v", 10.0).collect()),
+        key=lambda d: d["bucket_lo"],
+    )
+    assert got == want
+    # negative values floor LEFT (-3 -> -10 bucket), nulls dropped
+    assert got[0]["bucket_lo"] == -10.0 and got[0]["n_hits"] == 1
+
+    shutil.rmtree(cfg.path)
+    still = sorted(
+        (r.asDict() for r in
+         manifest_histogram(spark, cat, cfg, "v", 10.0).collect()),
+        key=lambda d: d["bucket_lo"],
+    )
+    assert still == want
+
+
+def test_manifest_histogram_width_mismatch_and_deletes_fall_back(
+    spark, _hist_index
+):
+    """The fast path answers the RECORDED grid or not at all: a
+    different requested width returns None, and pending deletes
+    return None (commit-time bins count masked rows) until a merge
+    materializes them — after which it answers again from the
+    survivor-recorded bins."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import manifest_histogram
+
+    cat, cfg = _hist_index
+    assert manifest_histogram(spark, cat, cfg, "v", 25.0) is None
+    assert manifest_histogram(spark, cat, cfg, "nope", 10.0) is None
+
+    cat.add_delete(cfg.name, "v:>=100")
+    assert manifest_histogram(spark, cat, cfg, "v", 10.0) is None
+
+    merge_segments(spark, cat, cfg.name)
+    got = {
+        r["bucket_lo"]: r["n_hits"]
+        for r in manifest_histogram(spark, cat, cfg, "v", 10.0).collect()
+    }
+    # 101.0 was deleted and materialized away; survivors re-recorded
+    assert 100.0 not in got
+    assert got == {-10.0: 1, 0.0: 1, 10.0: 2}
+
+
+def test_manifest_histogram_merge_combines_bins_additively(
+    spark, _hist_index
+):
+    """A plain (no-delete) merge adds bin counts across inputs —
+    the panel is unchanged across compaction."""
+    from toshokan_spark.maintenance import merge_segments
+    from toshokan_spark.search import manifest_histogram
+
+    cat, cfg = _hist_index
+    before = sorted(
+        (tuple(r) for r in
+         manifest_histogram(spark, cat, cfg, "v", 10.0).collect())
+    )
+    merge_segments(spark, cat, cfg.name)
+    (seg,) = cat.segments(cfg.name)
+    assert seg.field_histograms["v"]["w"] == 10.0
+    after = sorted(
+        (tuple(r) for r in
+         manifest_histogram(spark, cat, cfg, "v", 10.0).collect())
+    )
+    assert after == before

@@ -127,6 +127,14 @@ class SegmentEntry:
     #: combine across segments (and merges) by plain Decimal addition,
     #: order-free. None = old manifest, fall back to scanning.
     field_sums: Optional[dict] = None
+    #: per-configured-NUMBER-field fixed-width histogram recorded at
+    #: write time (``{"value": {"w": 50.0, "bins": {"0.0": 12, ...}}}``
+    #: — bin keys are repr(float) of the floor(v/w)*w lower bound,
+    #: counts exact ints). Additive across segments and merges like
+    #: ``field_sums``; a match-all numeric-histogram panel at the
+    #: recorded width is then a MANIFEST-ONLY read. None = field not
+    #: configured (``FieldConfig.histogram_bin``) or old manifest.
+    field_histograms: Optional[dict] = None
 
 
 @dataclass

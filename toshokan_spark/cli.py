@@ -542,8 +542,21 @@ def main(argv: list[str] | None = None) -> int:
                     print("error: --histogram-field requires --histogram-bin",
                           file=sys.stderr)
                     return 2
-                _emit(histogram_agg(hits_df(), a.histogram_field, a.histogram_bin)
-                      .orderBy("bucket_lo").collect())
+                # match-all at the recorded width: manifest-only (zero
+                # data scans); anything else falls back to the scan
+                out = None
+                if a.query.strip() == "*":
+                    from toshokan_spark.search import manifest_histogram
+
+                    out = manifest_histogram(
+                        spark, catalog, catalog.get_index(a.index),
+                        a.histogram_field, a.histogram_bin,
+                        at_version=a.at_version,
+                    )
+                if out is None:
+                    out = histogram_agg(
+                        hits_df(), a.histogram_field, a.histogram_bin)
+                _emit(out.orderBy("bucket_lo").collect())
             if a.range_field:
                 if not a.range_edges:
                     print("error: --range-field requires --range-edges",

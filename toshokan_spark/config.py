@@ -85,6 +85,15 @@ class FieldConfig:
     tokenizer: Optional[str] = None
     number_type: str = "i64"  # u64 | i64 | f64
     parse_string: bool = True
+    #: scalar NUMBER fields only: record a fixed-width floor-keyed
+    #: histogram of this bin width in the manifest at every segment
+    #: commit. Bins are exact counts and combine additively across
+    #: segments/merges, so a match-all ``--histogram-field`` at this
+    #: exact width answers from the manifest with ZERO data scans
+    #: (the histogram twin of ``field_sums`` — the Delta/Iceberg
+    #: file-statistics pattern extended to distributions). None =
+    #: don't record.
+    histogram_bin: Optional[float] = None
     formats: list[str] = dc_field(default_factory=lambda: ["rfc3339", "timestamp"])
     fields: list["FieldConfig"] = dc_field(default_factory=list)  # static_object
 
@@ -152,6 +161,7 @@ class FieldConfig:
         known = {
             "name", "type", "array", "stored", "indexed", "fast", "tokenizer",
             "number_type", "parse_string", "formats", "fields",
+            "histogram_bin",
         }
         unknown = set(d) - known
         if unknown:
@@ -167,6 +177,8 @@ class FieldConfig:
         if self.type == "number":
             out["number_type"] = self.number_type
             out["parse_string"] = self.parse_string
+            if self.histogram_bin is not None:
+                out["histogram_bin"] = self.histogram_bin
         if self.type == "boolean":
             out["parse_string"] = self.parse_string
         if self.type == "datetime":

@@ -250,6 +250,11 @@ def write_segment(
     written = df.sparkSession.read.parquet(seg_path)
     write_segment_stats(config, seg_name, written)
 
+    # fixed-width histogram stats for configured number fields — the
+    # distribution twin of field_sums (manifest-only match-all
+    # histogram panels); exact counts, additive across merges
+    field_histograms = compute_field_histograms(config, written)
+
     # token Bloom filters for TOKENIZED text fields — the term-query
     # analog of the zone maps above (raw fields already have string
     # zone maps): one tokenize+distinct job per field at commit buys
@@ -282,6 +287,7 @@ def write_segment(
         field_stats=field_stats,
         token_blooms=token_blooms or None,
         field_sums=field_sums,
+        field_histograms=field_histograms,
     )
     # data first, manifest second (`src/commands/mod.rs:178-187`)
     if not catalog.commit_segment(config.name, entry):
@@ -290,3 +296,42 @@ def write_segment(
         catalog.data_storage(config).delete_tree(stats_path(config, seg_name))
         return None
     return entry
+
+
+def compute_field_histograms(config, df) -> "dict | None":
+    """Fixed-width floor-keyed histograms for every scalar NUMBER
+    field with a configured ``histogram_bin`` — the manifest's
+    distribution stats (`catalog.SegmentEntry.field_histograms`).
+
+    One bucket-count-sized groupBy+collect per configured field at
+    commit/merge time (same cost class as the token blooms); the
+    bucket expression is byte-identical to
+    ``search.histogram_agg``'s, so the manifest-served panel is
+    value-identical to the scan-served one by construction. Bin keys
+    serialize as ``repr(float)`` — an exact round-trip through the
+    manifest JSON."""
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    for f in config.fields:
+        if (
+            f.type == "number"
+            and not f.array
+            and f.histogram_bin
+            and f.name in df.columns
+        ):
+            w = float(f.histogram_bin)
+            c = F.col(f.name)
+            rows = (
+                df.where(c.isNotNull())
+                .groupBy(
+                    (F.floor(c / F.lit(w)) * F.lit(w)).alias("b")
+                )
+                .count()
+                .collect()
+            )
+            out[f.name] = {
+                "w": w,
+                "bins": {repr(float(r["b"])): int(r["count"]) for r in rows},
+            }
+    return out or None

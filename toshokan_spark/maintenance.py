@@ -251,6 +251,33 @@ def merge_segments(
             ]
             for n in names
         } or None
+    # histogram stats: additive bin combine when every input recorded
+    # the field at the SAME width; a delete-materializing merge
+    # re-records from the survivors (the field_sums rule — commit-time
+    # bins count rows the rewrite dropped)
+    from toshokan_spark.indexer import compute_field_histograms
+
+    field_histograms = None
+    if deletes:
+        field_histograms = compute_field_histograms(
+            config, spark.read.parquet(seg_path)
+        )
+    elif all(s.field_histograms for s in segs):
+        names = set(segs[0].field_histograms)
+        for s in segs[1:]:
+            names &= set(s.field_histograms)
+        combined: dict = {}
+        for n in names:
+            widths = {s.field_histograms[n]["w"] for s in segs}
+            if len(widths) != 1:
+                continue  # width drift (alter) — conservative drop
+            bins: dict = {}
+            for s in segs:
+                for k, v in s.field_histograms[n]["bins"].items():
+                    bins[k] = bins.get(k, 0) + v
+            combined[n] = {"w": widths.pop(), "bins": bins}
+        field_histograms = combined or None
+
     # recompute the merged segment's BM25 stats before it is
     # manifested (stats follow data through compaction)
     from toshokan_spark.indexer import stats_path, write_segment_stats
@@ -278,6 +305,7 @@ def merge_segments(
         created_at_ms=int(time.time() * 1000),
         min_day=min_day, max_day=max_day, field_stats=field_stats,
         token_blooms=token_blooms, field_sums=field_sums,
+        field_histograms=field_histograms,
     )
     # one atomic manifest write: new in, old out (`merge.rs:63-66`);
     # tombstones this merge materialized clear in the same write

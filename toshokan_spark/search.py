@@ -1420,3 +1420,59 @@ def auto_date_histogram(
         F.lit(interval).cast("long").alias("interval_s"),
         *[c for c in out.columns if c != "bucket_epoch"],
     )
+
+
+def manifest_histogram(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    config: IndexConfig,
+    field: str,
+    interval: float,
+    at_version: Optional[int] = None,
+) -> Optional[DataFrame]:
+    """MATCH-ALL numeric histogram answered from the MANIFEST alone —
+    zero data scans: each segment records, at commit time, exact
+    fixed-width floor-keyed bin counts for every number field with a
+    configured ``histogram_bin`` (`catalog.SegmentEntry.
+    field_histograms`); bins add across segments, so the whole panel
+    is driver-side integer arithmetic — the distribution twin of
+    :func:`manifest_stats`, same Delta/Iceberg file-statistics
+    pattern at 10k-segments-over-100 TB scale.
+
+    Returns ``None`` (caller falls back to :func:`histogram_agg` over
+    a real scan) when deletes pend (commit-time bins count masked
+    rows), any manifested segment lacks the field's histogram, or the
+    REQUESTED interval differs from the recorded width — the fast
+    path answers the exact recorded grid or not at all, never a
+    resampled approximation. Bucket keys were computed at commit with
+    histogram_agg's own floor expression, so the two paths are
+    value-identical by construction."""
+    from pyspark.sql import types as T
+
+    if catalog.deletes(config.name, at_version=at_version):
+        return None
+    segs = catalog.segments(config.name, at_version=at_version)
+    if not segs:
+        rows: list = []
+    else:
+        if any(
+            s.field_histograms is None or field not in s.field_histograms
+            for s in segs
+        ):
+            return None
+        if any(
+            s.field_histograms[field]["w"] != float(interval) for s in segs
+        ):
+            return None
+        bins: dict = {}
+        for s in segs:
+            for k, v in s.field_histograms[field]["bins"].items():
+                bins[k] = bins.get(k, 0) + int(v)
+        rows = [(float(k), v) for k, v in bins.items()]
+    schema = T.StructType(
+        [
+            T.StructField("bucket_lo", T.DoubleType(), True),
+            T.StructField("n_hits", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
