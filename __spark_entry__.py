@@ -574,6 +574,18 @@ def q_search_auto_histogram(spark, sf_dir):
     return auto_date_histogram(hits, "ts", target_buckets=20, value_col="value")
 
 
+def q_search_percentile_ranks(spark, sf_dir):
+    """Percentile-ranks panel (ES ``percentile_ranks`` — the inverse
+    lookup: what percentile would 50/120/250 land at): exact
+    conditional-aggregation counts, one pass, NO value buffering —
+    corpus-scale safe as-is, unlike the forward percentile panel."""
+    from toshokan_spark.search import percentile_ranks_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:error")
+    return percentile_ranks_agg(hits, "value", [50.0, 120.0, 250.0])
+
+
 def q_search_weighted_avg(spark, sf_dir):
     """Weighted-average aggregation (ES ``weighted_avg``): purchase
     values weighted by user_id (a synthetic weight — the shape is the
@@ -2823,8 +2835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 28 never-driver-proven (P0) new
-        # entries, then the 22 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 29 never-driver-proven (P0) new
+        # entries, then the 21 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2851,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_adjacency": q_search_adjacency,
         "search_auto_histogram": q_search_auto_histogram,
         "search_histogram_manifest": q_search_histogram_manifest,
+        "search_percentile_ranks": q_search_percentile_ranks,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2878,8 +2891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
-        "pii_scrub": q_pii_scrub,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "pii_scrub": q_pii_scrub,
         "rollup_revenue": q_rollup_revenue,
         "sample_documents": q_sample_documents,
         # P0b waiting one round (younger records)
@@ -3422,6 +3435,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
                        AS total_value
             FROM hits, iv GROUP BY 1, 2
+        """,
+        # search_percentile_ranks: 100 * count(x <= v) / n per probe
+        "search_percentile_ranks": """
+            WITH one AS (
+              SELECT count(value)::BIGINT AS n,
+                sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)::BIGINT AS le0,
+                sum(CASE WHEN value <= 120.0 THEN 1 ELSE 0 END)::BIGINT AS le1,
+                sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END)::BIGINT AS le2
+              FROM events WHERE event_type = 'error')
+            SELECT 50.0::DOUBLE AS value,
+                   CASE WHEN n > 0
+                        THEN round(100.0 * le0::DOUBLE / n::DOUBLE, 6)
+                   END AS pct_rank FROM one
+            UNION ALL SELECT 120.0::DOUBLE,
+                   CASE WHEN n > 0
+                        THEN round(100.0 * le1::DOUBLE / n::DOUBLE, 6)
+                   END FROM one
+            UNION ALL SELECT 250.0::DOUBLE,
+                   CASE WHEN n > 0
+                        THEN round(100.0 * le2::DOUBLE / n::DOUBLE, 6)
+                   END FROM one
         """,
         # search_weighted_avg: sum(v*w)/sum(w) with decimal(18,6)
         # factors (the product stays inside 38 digits on both engines)

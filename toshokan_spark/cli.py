@@ -223,6 +223,11 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--percentile-ranks", default=None, metavar="F=V1,V2",
+                    help="percentile-ranks aggregation: the percentage "
+                         "of hit-set F values at or below each probe "
+                         "(the inverse of --percentiles-field; exact, "
+                         "one conditional-agg pass)")
     ps.add_argument("--histogram-auto", type=int, default=None,
                     metavar="N",
                     help="auto-interval date histogram: pick the "
@@ -487,7 +492,7 @@ def main(argv: list[str] | None = None) -> int:
                     or a.composite_by or a.rare_terms or a.filters
                     or a.multi_terms or a.pipeline_interval
                     or a.weighted_avg or a.mad_field or a.adjacency
-                    or a.histogram_auto)
+                    or a.histogram_auto or a.percentile_ranks)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -650,6 +655,17 @@ def main(argv: list[str] | None = None) -> int:
                     hits_df(), config.time_field, a.pipeline_interval,
                     a.pipeline_value, moving_window=a.moving_window,
                 ).orderBy("bucket_epoch").collect())
+            if a.percentile_ranks:
+                from toshokan_spark.search import percentile_ranks_agg
+
+                fld, _, vs = a.percentile_ranks.partition("=")
+                if not vs:
+                    print("error: --percentile-ranks wants F=V1,V2,...",
+                          file=sys.stderr)
+                    return 2
+                probes = [float(x) for x in vs.split(",")]
+                _emit(percentile_ranks_agg(hits_df(), fld.strip(), probes)
+                      .orderBy("value").collect())
             if a.histogram_auto:
                 from toshokan_spark.search import auto_date_histogram
 

@@ -1476,3 +1476,42 @@ def manifest_histogram(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def percentile_ranks_agg(
+    hits: DataFrame, field: str, values: "list[float]"
+) -> DataFrame:
+    """Percentile-ranks aggregation (ES ``percentile_ranks`` — the
+    inverse of the percentiles panel): for each caller value v, the
+    percentage of hit-set values <= v. Exact by construction — one
+    conditional-aggregation pass (a count per probe value next to the
+    total), no value buffering at all, so unlike the forward
+    percentile panel this one is corpus-scale safe as-is. Output is
+    long form (value, pct_rank), rank = 100 * count(x <= v) / n in
+    double, NULL when the hit set has no values."""
+    c = F.col(field)
+    n = F.count(c)
+    aggs = [n.cast("long").alias("__n")] + [
+        F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0))
+        .cast("long").alias(f"__le_{i}")
+        for i, v in enumerate(values)
+    ]
+    one = hits.agg(*aggs)
+    stack = ", ".join(
+        f"{float(v)!r}D, `__le_{i}`" for i, v in enumerate(values)
+    )
+    long = one.select(
+        F.col("__n"),
+        F.expr(f"stack({len(values)}, {stack}) AS (value, le)"),
+    )
+    return long.select(
+        F.col("value"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.lit(100.0) * F.col("le").cast("double")
+                / F.col("__n").cast("double"),
+                6,
+            ),
+        ).alias("pct_rank"),
+    )
