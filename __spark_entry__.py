@@ -574,6 +574,37 @@ def q_search_auto_histogram(spark, sf_dir):
     return auto_date_histogram(hits, "ts", target_buckets=20, value_col="value")
 
 
+def q_search_phrase_prefix(spark, sf_dir):
+    """match-phrase-prefix query (ES autocomplete staple, extension):
+    ``text:"key ord"*`` — the phrase words in order with the LAST
+    matched as a prefix. Regex strategy (word boundary chain without
+    the trailing boundary) on non-stemmed fields; a positional
+    startswith chain serves stemmed/array fields."""
+    docs = _t(spark, sf_dir, "documents")
+    out = _search(docs, DOCS_CONFIG, 'text:"key ord"* AND lang:en')
+    return out.select("doc_id", "lang")
+
+
+def q_search_sampler(spark, sf_dir):
+    """Sampler aggregation (ES ``sampler`` analog): the facet panel
+    over a DETERMINISTIC 25% hash sample of the hit set — the
+    poly-hash bucket sample (reproducible across runs/engines/
+    partitionings; a rate increase only ADDS rows) instead of ES's
+    shard-local top-N. At 100 TB this caps any aggregation's input
+    without a separate sampling job: the sample filter fuses into the
+    one hit-set scan (CLI ``--sample-rate R --sample-by F`` composes
+    with every panel flag)."""
+    from toshokan_spark.operators.sampling import sample_by_hash
+    from toshokan_spark.search import facet_counts
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "value:>=50")
+    return facet_counts(
+        sample_by_hash(hits, 0.25, "user_id"), "event_type",
+        k=5, value_col="value",
+    )
+
+
 def q_search_percentile_ranks(spark, sf_dir):
     """Percentile-ranks panel (ES ``percentile_ranks`` — the inverse
     lookup: what percentile would 50/120/250 land at): exact
@@ -2835,8 +2866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 29 never-driver-proven (P0) new
-        # entries, then the 21 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 31 never-driver-proven (P0) new
+        # entries, then the 19 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2864,6 +2895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_auto_histogram": q_search_auto_histogram,
         "search_histogram_manifest": q_search_histogram_manifest,
         "search_percentile_ranks": q_search_percentile_ranks,
+        "search_phrase_prefix": q_search_phrase_prefix,
+        "search_sampler": q_search_sampler,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2889,9 +2922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         "pii_scrub": q_pii_scrub,
         "rollup_revenue": q_rollup_revenue,
         "sample_documents": q_sample_documents,
@@ -3435,6 +3468,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
                        AS total_value
             FROM hits, iv GROUP BY 1, 2
+        """,
+        # search_phrase_prefix: boundary chain WITHOUT the trailing
+        # boundary on the prefix word
+        "search_phrase_prefix": """
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(lower(text),
+                                 '(^|[^a-z0-9])key[^a-z0-9]+ord')
+              AND lang = 'en'
+        """,
+        # search_sampler: the poly-hash 25% bucket sample, then the
+        # usual facet panel
+        "search_sampler": f"""
+            WITH hits AS (
+              SELECT event_type, value FROM events
+              WHERE value >= 50
+                AND ({_poly_sql('user_id::VARCHAR', 1103515245, 0, 1_000_000_007, 5381)})
+                    % 10000 < 2500
+            )
+            SELECT event_type, count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
+            FROM hits GROUP BY event_type
+            ORDER BY n_hits DESC, event_type ASC LIMIT 5
         """,
         # search_percentile_ranks: 100 * count(x <= v) / n per probe
         "search_percentile_ranks": """

@@ -4005,3 +4005,49 @@ def test_manifest_histogram_merge_combines_bins_additively(
          manifest_histogram(spark, cat, cfg, "v", 10.0).collect())
     )
     assert after == before
+
+
+def test_phrase_prefix_positional_paths(spark):
+    """The positional startswith chain on stemmed fields (stems for
+    leading words, UNSTEMMED case-folded prefix) and the raw-field
+    whole-value startswith — branches the driver corpus's default-
+    tokenizer entry never takes."""
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.functions.tokenizers import tokenize
+    from toshokan_spark.ingest import tokens_col
+    from toshokan_spark.query import compile_query
+
+    cfg = IndexConfig(
+        name="pp", path="",
+        fields=[
+            FieldConfig(name="body", type="text", tokenizer="en_stem"),
+            FieldConfig(name="tag", type="text", tokenizer="raw"),
+        ],
+    )
+    # real segments carry the tokenized shadow column (ingest writes
+    # it) — the stem UDF cannot legally appear INSIDE a higher-order
+    # lambda, so the matcher must consume the materialized attribute,
+    # exactly as it does over indexed data
+    df = spark.createDataFrame([
+        Row(body="connections terminating shortly", tag="alpha-one"),
+        Row(body="connection keeps running", tag="beta-two"),
+        Row(body="terminated connection", tag=None),
+    ]).withColumn(tokens_col("body"), tokenize(F.col("body"), "en_stem"))
+    cols = set(df.columns)
+
+    def hits(q):
+        return sorted(r.tag for r in
+                      df.filter(compile_query(q, cfg, cols)).collect()
+                      if r.tag)
+
+    # stems match the lead word; the prefix matches the stem token
+    assert hits('body:"connections term"*') == ["alpha-one"]
+    # adjacency holds: 'keeps' -> stem 'keep', prefix of stem 'run'
+    assert hits('body:"keeps ru"*') == ["beta-two"]
+    # NOT adjacent ('keeps' intervenes) -> no match; and a prefix
+    # longer than the stem ('runn' vs stem 'run') cannot match — the
+    # documented Lucene stemming/prefix interaction
+    assert hits('body:"connection runn"*') == []
+    # raw field: whole-value prefix
+    assert hits('tag:"alpha"*') == ["alpha-one"]
+    assert hits('tag:"alpha-one-x"*') == []

@@ -166,3 +166,13 @@ def test_prefix_and_fuzzy_extension_syntax():
     # composes in boolean structure
     q = parse_query("text:spar* AND lang:en")
     assert q == BoolQuery(must=(Prefix(("text",), "spar"), Term(("lang",), "en")))
+
+
+def test_phrase_prefix_syntax():
+    from toshokan_spark.plans.ast import PhrasePrefix
+
+    assert parse_query('text:"key ord"*') == PhrasePrefix(("text",), "key ord")
+    assert parse_query('"quick bro"*') == PhrasePrefix(None, "quick bro")
+    # slop and prefix are distinct suffixes; no star -> plain phrase
+    assert parse_query('text:"a b"~2') == Phrase(("text",), "a b", 2)
+    assert parse_query('text:"a b"') == Phrase(("text",), "a b", 0)

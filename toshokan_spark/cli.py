@@ -21,7 +21,8 @@
                                          [--rare-terms F [--rare-max N]] [--filters 'a=Q;b=Q'] [--multi-terms F1,F2]
                                          [--pipeline-interval S --pipeline-value F [--moving-window N]]
                                          [--weighted-avg V,W] [--mad-field F] [--adjacency 'a=Q;b=Q']
-                                         [--histogram-auto N]
+                                         [--histogram-auto N] [--percentile-ranks F=V1,V2]
+                                         [--sample-rate R --sample-by F]  # deterministic sampler for any panel
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
     python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
@@ -223,6 +224,14 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--sample-rate", type=float, default=None,
+                    help="sampler aggregation (ES sampler analog): run "
+                         "every requested aggregation over a DETERMINISTIC "
+                         "hash sample of the hit set — same rows every run, "
+                         "rate increases only ADD rows (requires "
+                         "--sample-by)")
+    ps.add_argument("--sample-by", default=None, metavar="F",
+                    help="key field for --sample-rate hashing")
     ps.add_argument("--percentile-ranks", default=None, metavar="F=V1,V2",
                     help="percentile-ranks aggregation: the percentage "
                          "of hit-set F values at or below each probe "
@@ -520,10 +529,18 @@ def main(argv: list[str] | None = None) -> int:
 
             def hits_df():
                 if not _hits_plan:
-                    _hits_plan.append(
-                        search_df(spark, catalog, a.index, a.query,
-                                  limit=None, at_version=a.at_version)
-                    )
+                    df = search_df(spark, catalog, a.index, a.query,
+                                   limit=None, at_version=a.at_version)
+                    if a.sample_rate is not None:
+                        if not a.sample_by:
+                            raise SystemExit(
+                                "error: --sample-rate requires --sample-by")
+                        from toshokan_spark.operators.sampling import (
+                            sample_by_hash,
+                        )
+
+                        df = sample_by_hash(df, a.sample_rate, a.sample_by)
+                    _hits_plan.append(df)
                 return _hits_plan[0]
 
             if a.stats_field:

@@ -65,6 +65,16 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class PhrasePrefix(Node):
+    """``field:"a b"*`` — match-phrase-prefix (ES autocomplete
+    staple; extension like :class:`Prefix`): the phrase words in
+    order, the LAST one matched as a prefix."""
+
+    field: Optional[tuple[str, ...]]
+    text: str  # raw phrase text, '*' stripped
+
+
+@dataclass(frozen=True)
 class Prefix(Node):
     """``field:valu*`` — prefix match against the analyzed token
     stream (quickwit/ES trailing-wildcard syntax; tantivy's PARSER
@@ -344,6 +354,9 @@ def _parse_clause(sc: _Scanner) -> Node:
             return All()
     if c == '"':
         text = sc.read_quoted()
+        if sc.peek() == "*":
+            sc.i += 1
+            return PhrasePrefix(None, text)
         return Phrase(None, text, _read_slop(sc))
 
     fieldp = sc.read_field_path()
@@ -377,6 +390,9 @@ def _parse_clause(sc: _Scanner) -> Node:
         return Cmp(fieldp, op, sc.read_value_word())
     if c == '"':
         text = sc.read_quoted()
+        if sc.peek() == "*":
+            sc.i += 1
+            return PhrasePrefix(fieldp, text)
         return Phrase(fieldp, text, _read_slop(sc))
     if c == "*":
         nxt = sc.s[sc.i + 1] if sc.i + 1 < len(sc.s) else ""

@@ -38,6 +38,7 @@ from toshokan_spark.plans.ast import (
     Node,
     ParseError,
     Phrase,
+    PhrasePrefix,
     Prefix,
     RangeQ,
     Term,
@@ -126,6 +127,56 @@ def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
     return F.when(
         n >= k,
         F.coalesce(F.exists(F.sequence(F.lit(0), n - k), match_at), F.lit(False)),
+    ).otherwise(F.lit(False))
+
+
+def _token_seq_prefix_match(
+    tokens: Column, words: list[str], prefix: str
+) -> Column:
+    """Adjacency chain for *words* followed immediately by a token
+    STARTING WITH *prefix* — the positional form of
+    match-phrase-prefix, needed when index tokens are stems (the
+    regex strategy can miss) or live in a flattened array. Same
+    greedy earliest-match fold as :func:`_token_seq_match` at slop 0,
+    with one startswith step appended."""
+    if not words:
+        return F.coalesce(
+            F.exists(tokens, lambda t: t.startswith(prefix)), F.lit(False)
+        )
+    k = len(words)
+    if k + 1 > MAX_PHRASE_WORDS:
+        raise CompileError(
+            f"phrase has {k + 1} words; the compiled match is capped at "
+            f"{MAX_PHRASE_WORDS}"
+        )
+    n = F.size(tokens)
+    rest = F.array(*[F.lit(w) for w in words[1:]])
+
+    def match_at(i: Column) -> Column:
+        def step(acc: Column, w: Column) -> Column:
+            nxt = F.get(tokens, (acc + 1).cast("int"))
+            return (
+                F.when((acc >= 0) & (nxt == w), acc + 1)
+                .otherwise(F.lit(-1).cast("long"))
+            )
+
+        init = (
+            F.when(F.get(tokens, i) == F.lit(words[0]), i.cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+        )
+        last = F.aggregate(rest, init, step)
+        tail = F.get(tokens, (last + 1).cast("int"))
+        return F.coalesce(
+            (last >= 0) & tail.startswith(prefix), F.lit(False)
+        )
+
+    # the prefix token needs one more position past the k words
+    return F.when(
+        n >= k + 1,
+        F.coalesce(
+            F.exists(F.sequence(F.lit(0), n - k - 1), match_at),
+            F.lit(False),
+        ),
     ).otherwise(F.lit(False))
 
 
@@ -331,6 +382,8 @@ class QueryCompiler:
             return self._compile_fuzzy(node)
         if isinstance(node, Phrase):
             return self._compile_phrase(node)
+        if isinstance(node, PhrasePrefix):
+            return self._compile_phrase_prefix(node)
         if isinstance(node, RangeQ):
             return self._compile_range(node)
         if isinstance(node, Cmp):
@@ -523,6 +576,77 @@ class QueryCompiler:
             return F.lit(False)
         return F.coalesce(
             self._fuzzy_match(t, node.text, node.distance), F.lit(False)
+        )
+
+    def _compile_phrase_prefix(self, node: PhrasePrefix) -> Column:
+        """match-phrase-prefix (ES autocomplete; see
+        plans/ast.py::PhrasePrefix): the phrase's words in order with
+        the LAST matched as a prefix. Leading words analyze with the
+        field's tokenizer; the prefix is case-folded only, never
+        stemmed (the Lucene rule — a stemmed prefix would double-stem
+        against stemmed index tokens). Strategy mirrors _adjacency:
+        word-boundary regex WITHOUT the trailing boundary for slop-0
+        non-stemmed scalars, the positional prefix chain for stemmed
+        fields and flattened arrays. Raw-tokenizer fields treat the
+        whole value as one token: startswith(text)."""
+        if node.field is None:
+            out = F.lit(False)
+            for f in self.config.fields:
+                if f.type == "text" and f.indexed:
+                    out = out | F.coalesce(
+                        self._compile_phrase_prefix(
+                            PhrasePrefix((f.name,), node.text)
+                        ),
+                        F.lit(False),
+                    )
+            return out
+        t = self.resolve(node.field)
+        if t.kind not in ("text", "dynamic"):
+            return F.lit(False)
+        if t.tokenizer == "raw":
+            if t.kind == "text" and t.array:
+                return F.coalesce(
+                    F.exists(t.col, lambda e: e.startswith(node.text)),
+                    F.lit(False),
+                )
+            return F.coalesce(t.col.startswith(node.text), F.lit(False))
+        raw_words = [w for w in node.text.split() if w]
+        if not raw_words:
+            return F.lit(False)
+        lead = analyze_term(" ".join(raw_words[:-1]), t.tokenizer)
+        pfx_toks = analyze_term(raw_words[-1], "default")
+        if not pfx_toks:
+            return F.lit(False)
+        prefix = pfx_toks[-1]
+        lead = lead + pfx_toks[:-1]
+        stemmed = t.tokenizer == "en_stem"
+        if not stemmed and not (t.kind == "text" and t.array):
+            words = lead + [prefix]
+            pat = (
+                f"(^|{_NON_ALNUM_RE})"
+                + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
+            )
+            src_col = t.col
+            if t.kind == "dynamic":
+                return F.coalesce(
+                    F.lower(src_col).rlike(pat), F.lit(False)
+                )
+            return F.coalesce(F.lower(src_col).rlike(pat), F.lit(False))
+        if t.kind == "text" and t.array:
+            return F.coalesce(
+                F.exists(
+                    t.col,
+                    lambda e: _token_seq_prefix_match(
+                        tokenize(e, t.tokenizer), lead, prefix
+                    ),
+                ),
+                F.lit(False),
+            )
+        toks = t.tokens if t.tokens is not None else tokenize(
+            t.col, t.tokenizer or "default"
+        )
+        return F.coalesce(
+            _token_seq_prefix_match(toks, lead, prefix), F.lit(False)
         )
 
     def _compile_phrase(self, node: Phrase) -> Column:
