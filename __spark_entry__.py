@@ -585,6 +585,20 @@ def q_search_phrase_prefix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_search_facets_by_value(spark, sf_dir):
+    """Terms aggregation ordered by a SUB-METRIC (ES ``"order":
+    {"total_value": "desc"}``): top event types by decimal-exact
+    value sum instead of hit count — same partial-agg + distributed
+    TakeOrdered shape, a different sort key."""
+    from toshokan_spark.search import facet_counts
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "user_id:>=50")
+    return facet_counts(
+        hits, "event_type", k=3, value_col="value", order_by="value"
+    )
+
+
 def q_search_sampler(spark, sf_dir):
     """Sampler aggregation (ES ``sampler`` analog): the facet panel
     over a DETERMINISTIC 25% hash sample of the hit set — the
@@ -2866,8 +2880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 31 never-driver-proven (P0) new
-        # entries, then the 19 P0b rotated-out entries with the
+        # -- r10 WINDOW (first 50): 32 never-driver-proven (P0) new
+        # entries, then the 18 P0b rotated-out entries with the
         # OLDEST latest driver record (tools/rotation.py priority;
         # the younger P0b wait one round with their older
         # records + the full local sweep as evidence)
@@ -2897,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_percentile_ranks": q_search_percentile_ranks,
         "search_phrase_prefix": q_search_phrase_prefix,
         "search_sampler": q_search_sampler,
+        "search_facets_by_value": q_search_facets_by_value,
         "search_composite": q_search_composite,
         "search_rare_terms": q_search_rare_terms,
         "search_filters": q_search_filters,
@@ -2921,8 +2936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "knn_lsh": q_knn_lsh,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
@@ -3468,6 +3483,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
                        AS total_value
             FROM hits, iv GROUP BY 1, 2
+        """,
+        # search_facets_by_value: terms ranked by the metric
+        "search_facets_by_value": """
+            SELECT event_type, count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
+            FROM events WHERE user_id >= 50
+            GROUP BY event_type
+            ORDER BY total_value DESC, event_type ASC LIMIT 3
         """,
         # search_phrase_prefix: boundary chain WITHOUT the trailing
         # boundary on the prefix word

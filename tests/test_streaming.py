@@ -1498,3 +1498,59 @@ def test_stream_manifest_stats_fresh_after_each_microbatch(spark, catalog, tmp_p
     assert got == {"n_hits": 3, "n_values": 3, "min_v": -2.5,
                    "max_v": 100.125, "sum_v": 98.875,
                    "avg_v": round(98.875 / 3, 6)}
+
+
+def test_stream_manifest_histogram_fresh_after_each_microbatch(
+    spark, catalog, tmp_path
+):
+    """The histogram twin of the mid-stream stats test: streamed
+    commits go through write_segment, which records the configured
+    fixed-width bins — so the MANIFEST-ONLY histogram panel answers
+    after every micro-batch, combining all committed segments' bins
+    with zero data scans, and keeps falling back cleanly at any other
+    width."""
+    from toshokan_spark.search import manifest_histogram
+
+    # _drain streams into the fixture name "stream-logs"
+    config = IndexConfig(
+        name="stream-logs",
+        path=str(tmp_path / "data" / "stream-logs"),
+        fields=[
+            FieldConfig(name="ts", type="datetime"),
+            FieldConfig(name="level", type="text", tokenizer="raw"),
+            FieldConfig(
+                name="v", type="number", number_type="f64",
+                histogram_bin=10.0,
+            ),
+        ],
+    )
+    create_index(catalog, config)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"ts": 1716822728, "level": "INFO", "v": 1.0}) + "\n"
+        + json.dumps({"ts": 1716822729, "level": "ERROR", "v": 15.0}) + "\n"
+    )
+    _drain(spark.readStream.text(str(indir)), catalog, ckpt)
+    out = manifest_histogram(spark, catalog, config, "v", 10.0)
+    assert out is not None, "histogram fast path must answer mid-stream"
+    assert {(r.bucket_lo, r.n_hits) for r in out.collect()} == {
+        (0.0, 1), (10.0, 1),
+    }
+
+    (indir / "b2.jsonl").write_text(
+        json.dumps({"ts": 1716822730, "level": "INFO", "v": -3.0}) + "\n"
+        + json.dumps({"ts": 1716822731, "level": "INFO", "v": 17.5}) + "\n"
+    )
+    _drain(spark.readStream.text(str(indir)), catalog, ckpt)
+    assert len(catalog.segments("stream-logs")) == 2
+    got = {
+        (r.bucket_lo, r.n_hits)
+        for r in manifest_histogram(spark, catalog, config, "v", 10.0)
+        .collect()
+    }
+    assert got == {(-10.0, 1), (0.0, 1), (10.0, 2)}
+    # other widths keep falling back (None), mid-stream included
+    assert manifest_histogram(spark, catalog, config, "v", 25.0) is None

@@ -131,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="instead of hits, print top facet values of this "
                          "field over the hit set (terms aggregation)")
     ps.add_argument("--facet-k", type=int, default=10)
+    ps.add_argument("--facet-order", choices=["count", "value"],
+                    default="count",
+                    help="terms-agg ranking: by hit count (default) or "
+                         "by the --facet-value sub-metric sum")
+    ps.add_argument("--facet-value", default=None, metavar="F",
+                    help="also sum this numeric field per facet (and "
+                         "rank by it under --facet-order value)")
     ps.add_argument("--histogram-interval", type=int, default=None,
                     help="instead of hits, print a date histogram of the hit "
                          "set over the index time_field at this interval "
@@ -769,7 +776,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 _emit(out.collect())
             if a.facet_by:
-                out = facet_counts(hits_df(), a.facet_by, k=a.facet_k)
+                if a.facet_order == "value" and not a.facet_value:
+                    print("error: --facet-order value requires "
+                          "--facet-value", file=sys.stderr)
+                    return 2
+                out = facet_counts(
+                    hits_df(), a.facet_by, k=a.facet_k,
+                    value_col=a.facet_value, order_by=a.facet_order,
+                )
                 for r in out.collect():
                     # facet keys can be Decimal/datetime — stringify
                     print(json.dumps(r.asDict(), sort_keys=True,

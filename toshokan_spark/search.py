@@ -444,6 +444,7 @@ def facet_counts(
     by: str,
     k: "int | None" = None,
     value_col: "str | None" = None,
+    order_by: str = "count",
 ) -> DataFrame:
     """Terms aggregation over a query's hit set — the Kibana /
     quickwit-style facet panel the reference CLI has no analog for
@@ -465,9 +466,19 @@ def facet_counts(
         )
     out = hits.groupBy(F.col(by)).agg(*aggs)
     if k is not None:
-        out = out.orderBy(
-            F.col("n_hits").desc(), F.col(by).asc()
-        ).limit(k)
+        # ES terms agg supports ordering by a sub-metric ("order":
+        # {"total_value": "desc"}) — same distributed TakeOrdered, a
+        # different sort key; ties still break on the term
+        if order_by == "value":
+            if value_col is None:
+                raise ValueError("order_by='value' needs value_col")
+            out = out.orderBy(
+                F.col("total_value").desc(), F.col(by).asc()
+            ).limit(k)
+        else:
+            out = out.orderBy(
+                F.col("n_hits").desc(), F.col(by).asc()
+            ).limit(k)
     return out
 
 
