@@ -2880,70 +2880,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r10 WINDOW (first 50): 32 never-driver-proven (P0) new
-        # entries, then the 18 P0b rotated-out entries with the
-        # OLDEST latest driver record (tools/rotation.py priority;
-        # the younger P0b wait one round with their older
-        # records + the full local sweep as evidence)
-        "search_panel": q_search_panel,
-        "search_percentiles_approx": q_search_percentiles_approx,
-        "search_percentiles_by_approx": q_search_percentiles_by_approx,
-        "search_cardinality_sketch": q_search_cardinality_sketch,
-        "q4_order_priority": q_q4_order_priority,
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q8_market_share": q_q8_market_share,
-        "q12_late_priority": q_q12_late_priority,
-        "q13_customer_distribution": q_q13_customer_distribution,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
-        "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
-        "knn_pq": q_knn_pq,
-        "c4_line_filters": q_c4_line_filters,
-        "search_prefix": q_search_prefix,
-        "search_fuzzy": q_search_fuzzy,
-        "search_weighted_avg": q_search_weighted_avg,
-        "search_mad": q_search_mad,
-        "search_adjacency": q_search_adjacency,
-        "search_auto_histogram": q_search_auto_histogram,
-        "search_histogram_manifest": q_search_histogram_manifest,
-        "search_percentile_ranks": q_search_percentile_ranks,
-        "search_phrase_prefix": q_search_phrase_prefix,
-        "search_sampler": q_search_sampler,
-        "search_facets_by_value": q_search_facets_by_value,
-        "search_composite": q_search_composite,
-        "search_rare_terms": q_search_rare_terms,
-        "search_filters": q_search_filters,
-        "search_multi_terms": q_search_multi_terms,
-        "search_pipeline_aggs": q_search_pipeline_aggs,
-        # -- P0b fill, oldest-record-first
-        "distinct_users": q_distinct_users,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "hourly_events": q_hourly_events,
-        "user_event_gaps": q_user_event_gaps,
-        "asof_last_click": q_asof_last_click,
-        "click_only_users": q_click_only_users,
-        "customers_without_orders": q_customers_without_orders,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "dedup_minhash_char": q_dedup_minhash_char,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "knn_bruteforce": q_knn_bruteforce,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # -- r12 WINDOW (first 50): no P0 yet at rotation time;
+        # the 50 P0b entries with the OLDEST latest driver
+        # record (r7 cohort then oldest r8, tools/rotation.py
+        # priority). New r12 entries are inserted ABOVE this
+        # block as they land, displacing the youngest below.
         "knn_lsh": q_knn_lsh,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "rollup_revenue": q_rollup_revenue,
         "sample_documents": q_sample_documents,
-        # P0b waiting one round (younger records)
         "search_bool": q_search_bool,
         "search_dt_range": q_search_dt_range,
         "search_range": q_search_range,
@@ -2988,6 +2935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # P0b waiting (younger records first out next round),
+        # then P2 proven-in-r11-window entries
         "quality_classifier": q_quality_classifier,
         "quality_regression": q_quality_regression,
         "search_bm25": q_search_bm25,
@@ -3007,57 +2957,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack_scaled": q_token_budget_pack_scaled,
         "vocab_coverage": q_vocab_coverage,
         "window_top_orders": q_window_top_orders,
-        # P1 (changed since seal, latest record green) + P2
-        "curriculum_order": q_curriculum_order,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "shard_balance": q_shard_balance,
-        "repeat_plan": q_repeat_plan,
-        "epoch_expand": q_epoch_expand,
-        "stratified_sample": q_stratified_sample,
-        "search_facets": q_search_facets,
-        "search_date_histogram": q_search_date_histogram,
-        "search_stats": q_search_stats,
-        "search_percentiles": q_search_percentiles,
-        "search_cardinality": q_search_cardinality,
-        "search_top_hits": q_search_top_hits,
-        "search_stats_manifest": q_search_stats_manifest,
-        "search_extended_stats": q_search_extended_stats,
-        "search_histogram": q_search_histogram,
-        "search_ranges": q_search_ranges,
-        "search_time_travel": q_search_time_travel,
-        "search_significant_terms": q_search_significant_terms,
-        "embedding_covariance": q_embedding_covariance,
+        "ann_recall": q_ann_recall,
         "bitext_margin": q_bitext_margin,
-        "quality_ensemble": q_quality_ensemble,
-        "search_deletes": q_search_deletes,
-        "search_percentiles_by": q_search_percentiles_by,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "containment_pairs": q_containment_pairs,
+        "cube_source_lang": q_cube_source_lang,
+        "curriculum_order": q_curriculum_order,
+        "dsir_select": q_dsir_select,
+        "embedding_covariance": q_embedding_covariance,
+        "epoch_expand": q_epoch_expand,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_exact": q_knn_ivf_exact,
+        "length_histogram": q_length_histogram,
+        "line_dedup": q_line_dedup,
+        "line_dedup_incremental": q_line_dedup_incremental,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "minhash_calibration": q_minhash_calibration,
+        "multimodal_audio_energy": q_multimodal_audio_energy,
+        "normalize_embeddings": q_normalize_embeddings,
+        "normalize_text": q_normalize_text,
+        "pivot_event_days": q_pivot_event_days,
         "q10_returned_items": q_q10_returned_items,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
-        "cube_source_lang": q_cube_source_lang,
-        "pivot_event_days": q_pivot_event_days,
-        "dsir_select": q_dsir_select,
-        "line_dedup": q_line_dedup,
-        "line_dedup_incremental": q_line_dedup_incremental,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "containment_pairs": q_containment_pairs,
-        "multimodal_audio_energy": q_multimodal_audio_energy,
-        "knn_ivf": q_knn_ivf,
-        "lm_quality_buckets": q_lm_quality_buckets,
-        "token_budget_pack": q_token_budget_pack,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "knn_ivf_exact": q_knn_ivf_exact,
-        "normalize_embeddings": q_normalize_embeddings,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "quality_ensemble": q_quality_ensemble,
         "quantize_embeddings": q_quantize_embeddings,
-        "length_histogram": q_length_histogram,
-        "cluster_size_histogram": q_cluster_size_histogram,
-        "zipf_profile": q_zipf_profile,
-        "minhash_calibration": q_minhash_calibration,
-        "normalize_text": q_normalize_text,
+        "repeat_plan": q_repeat_plan,
         "script_profile": q_script_profile,
+        "search_cardinality": q_search_cardinality,
+        "search_date_histogram": q_search_date_histogram,
+        "search_deletes": q_search_deletes,
+        "search_extended_stats": q_search_extended_stats,
+        "search_facets": q_search_facets,
+        "search_histogram": q_search_histogram,
+        "search_percentiles": q_search_percentiles,
+        "search_percentiles_by": q_search_percentiles_by,
+        "search_ranges": q_search_ranges,
+        "search_significant_terms": q_search_significant_terms,
+        "search_stats": q_search_stats,
+        "search_stats_manifest": q_search_stats_manifest,
+        "search_time_travel": q_search_time_travel,
+        "search_top_hits": q_search_top_hits,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "shard_balance": q_shard_balance,
         "snapshot_diff": q_snapshot_diff,
-        "ann_recall": q_ann_recall,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_pack": q_token_budget_pack,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "zipf_profile": q_zipf_profile,
+        "asof_last_click": q_asof_last_click,
+        "c4_line_filters": q_c4_line_filters,
+        "click_only_users": q_click_only_users,
+        "customers_without_orders": q_customers_without_orders,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_minhash_char": q_dedup_minhash_char,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "distinct_users": q_distinct_users,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "hourly_events": q_hourly_events,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_pq": q_knn_pq,
+        "q12_late_priority": q_q12_late_priority,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "search_adjacency": q_search_adjacency,
+        "search_auto_histogram": q_search_auto_histogram,
+        "search_cardinality_sketch": q_search_cardinality_sketch,
+        "search_composite": q_search_composite,
+        "search_facets_by_value": q_search_facets_by_value,
+        "search_filters": q_search_filters,
+        "search_fuzzy": q_search_fuzzy,
+        "search_histogram_manifest": q_search_histogram_manifest,
+        "search_mad": q_search_mad,
+        "search_multi_terms": q_search_multi_terms,
+        "search_panel": q_search_panel,
+        "search_percentile_ranks": q_search_percentile_ranks,
+        "search_percentiles_approx": q_search_percentiles_approx,
+        "search_percentiles_by_approx": q_search_percentiles_by_approx,
+        "search_phrase_prefix": q_search_phrase_prefix,
+        "search_pipeline_aggs": q_search_pipeline_aggs,
+        "search_prefix": q_search_prefix,
+        "search_rare_terms": q_search_rare_terms,
+        "search_sampler": q_search_sampler,
+        "search_weighted_avg": q_search_weighted_avg,
+        "user_event_gaps": q_user_event_gaps,
     }
 
 
