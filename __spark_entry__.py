@@ -94,6 +94,25 @@ def _us(c) -> F.Column:
     return F.unix_micros(c)
 
 
+#: DuckDB side of the shared partsupp derivation (see _partsupp for
+#: the formulae rationale) — prepended as a CTE to the five TPC-H
+#: partsupp oracles. `//` is DuckDB integer division, mirroring
+#: Spark's `div` on the same BIGINT inputs.
+_PARTSUPP_SQL = """
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt
+             AS ps_suppkey,
+         (p_partkey * 7 + i * 131) % 9999 + 1 AS ps_availqty,
+         (p_partkey * 13 + ((p_partkey + i * (s_cnt // 4 +
+             p_partkey // s_cnt)) % s_cnt) * 97) % 99900 + 100
+             AS ps_supplycost_cents
+  FROM part
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS four(i)
+  CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) AS sc
+)"""
+
+
 # index configs over the driver tables, so the search queries go
 # through the real query compiler (parser -> Column), SURVEY §2.4
 EVENTS_CONFIG = IndexConfig(
@@ -1360,6 +1379,298 @@ def q_q22_global_sales_opportunity(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             _dbl(F.sum(_dec(F.col("c_acctbal")))).alias("totacctbal"),
         )
+    )
+
+
+def _partsupp(spark, sf_dir):
+    """Deterministic ``partsupp`` derivation closing TPC-H 22/22
+    (the testdata ships no partsupp table; reference parity needs
+    the five partsupp queries, ``BASELINE.md`` query classes).
+
+    TPC-H dbgen assigns each part 4 suppliers by
+    ``(p + i*(S/4 + p div S)) mod S`` (spec §4.2.3, adapted to the
+    testdata's 0-based keys); dbgen's RANDOM availqty/supplycost are
+    replaced by shared integer formulae so Spark and the DuckDB
+    oracle derive the table bit-identically (the repo's established
+    shared-derivation discipline). ``ps_supplycost`` is carried as
+    integer CENTS so every downstream aggregate stays
+    integer/decimal-exact; queries divide by 100 only at the final
+    presentation column.
+
+    Scale: partsupp is never materialized — it is part x 4 via pure
+    column algebra over the part scan, so at 100 TB it prunes,
+    filters, and broadcasts exactly as the part table does. The
+    supplier count is a 1-row broadcast aggregate, the 4-row ``i``
+    frame a broadcast literal; no shuffle is introduced."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    four = spark.range(4).select(F.col("id").alias("i"))
+    return (
+        part.crossJoin(F.broadcast(four))
+        .crossJoin(F.broadcast(s_cnt))
+        .selectExpr(
+            "p_partkey AS ps_partkey",
+            "(p_partkey + i * (s_cnt div 4 + p_partkey div s_cnt)) % s_cnt"
+            " AS ps_suppkey",
+            "(p_partkey * 7 + i * 131) % 9999 + 1 AS ps_availqty",
+            "(p_partkey * 13 + ((p_partkey + i * (s_cnt div 4 +"
+            " p_partkey div s_cnt)) % s_cnt) * 97) % 99900 + 100"
+            " AS ps_supplycost_cents",
+        )
+    )
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for every '%bolt' part, the
+    EUROPE supplier(s) offering it at the regional minimum cost
+    (p_mfgr / s_address / s_phone / s_comment absent from the
+    testdata — the remaining spec columns are returned). The
+    correlated MIN becomes a groupBy over the region-restricted
+    partsupp joined back on (part, cost) equality; part and the
+    supplier-nation-region dim are broadcast, so the only wide frame
+    is the derived partsupp scan itself."""
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt"))
+        .select("p_partkey", "p_name")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = ps.join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+    mins = elig.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    return (
+        elig.join(
+            F.broadcast(mins),
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cents")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("ps_supplycost_cents") / F.lit(100.0), 6).alias(
+                "supply_cost"
+            ),
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+def q_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): profit by supplier nation and
+    order year over '%gear%' parts —
+    ``l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity``.
+    The LIKE filter broadcasts the surviving part keys into both the
+    lineitem probe and the derived partsupp, so the only shuffle is
+    the lineitem-orders join (both corpus-sized); the cost term is
+    built (10,0)x(8,4)x(3,2) decimal so neither engine overflows
+    precision 38 and every product is exact."""
+    gears = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(gears), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(gears.select(F.col("p_partkey").alias("gk"))),
+        F.col("l_partkey") == F.col("gk"),
+    )
+    j = (
+        li.join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    cost = (
+        F.col("ps_supplycost_cents").cast("decimal(10,0)")
+        * F.col("l_quantity").cast("decimal(8,4)")
+        * F.expr("CAST(0.01 AS DECIMAL(3,2))")
+    )
+    amount = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount")) - cost
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dbl(F.sum(amount)).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def q_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): NATION_0 partsupp
+    value per part, keeping parts above 1/200 of the national total
+    (the spec's 0.0001/SF fraction, tuned to the testdata scale).
+    The HAVING threshold compares integer cent-sums scaled by 200 —
+    no division on either engine until the presentation column. The
+    national total is a 1-row broadcast aggregate, never a window."""
+    supp0 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    nps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supp0), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    total = nps.agg(F.sum("v").alias("tot"))
+    return (
+        nps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("gv"))
+        .join(F.broadcast(total))
+        .filter(F.col("gv") * 200 > F.col("tot"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("gv") / F.lit(100.0), 6).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+def q_q16_part_supplier_relation(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) bucket, excluding one brand, one
+    type prefix, sizes outside an 8-value set, and "complaint"
+    suppliers (s_comment absent — negative account balance is the
+    complaint surrogate, the same adaptation the acctbal queries
+    use). The exclusion list is a broadcast LEFT ANTI; the distinct
+    count partial-aggregates per partition before the final
+    exchange."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 23]))
+    )
+    complainers = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complainers),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def q_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): EUROPE suppliers holding
+    excess stock of 'red%' parts — availqty exceeding half of what
+    they shipped in 1996 (region-wide rather than the spec's single
+    nation: the testdata's ~4 suppliers per nation make a one-nation
+    answer degenerate). The correlated half-sum is a grouped
+    aggregate on the date-pruned, part-filtered lineitem; the
+    membership test is a LEFT SEMI on the supplier key. The compare
+    is decimal-exact: 2*availqty as DECIMAL against the DECIMAL
+    quantity sum — no doubles until output (there are none)."""
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+    )
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(red.select(F.col("p_partkey").alias("rk"))),
+            F.col("ps_partkey") == F.col("rk"),
+        )
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(
+            (F.col("ps_availqty") * 2).cast("decimal(18,4)") > F.col("qty")
+        )
+        .select("ps_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy(F.asc("s_name"))
     )
 
 
@@ -2880,11 +3191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r12 WINDOW (first 50): no P0 yet at rotation time;
-        # the 50 P0b entries with the OLDEST latest driver
-        # record (r7 cohort then oldest r8, tools/rotation.py
-        # priority). New r12 entries are inserted ABOVE this
-        # block as they land, displacing the youngest below.
+        # -- r12 WINDOW (first 50): the never-driver-proven (P0)
+        # r12 additions first, then the P0b entries with the OLDEST
+        # latest driver record (r7 cohort then oldest r8,
+        # tools/rotation.py priority; each new entry displaces the
+        # youngest in-window P0b below the boundary).
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "q11_important_stock": q_q11_important_stock,
+        "q16_part_supplier_relation": q_q16_part_supplier_relation,
+        "q20_potential_promotion": q_q20_potential_promotion,
         "knn_lsh": q_knn_lsh,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
@@ -2930,12 +3246,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_meta": q_multimodal_meta,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # (the five r12 P0 additions displaced these five P0b)
         "multimodal_resize": q_multimodal_resize,
         "priority_counts": q_priority_counts,
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # P0b waiting (younger records first out next round),
         # then P2 proven-in-r11-window entries
         "quality_classifier": q_quality_classifier,
@@ -4436,6 +4753,101 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_nationkey
+        """,
+        # TPC-H partsupp five: the shared-derivation CTE
+        # (_PARTSUPP_SQL) makes the table bit-identical on both
+        # engines; costs stay integer cents until the output column
+        "q2_min_cost_supplier": f"""
+            WITH {_PARTSUPP_SQL}
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(ps_supplycost_cents / 100.0, 6) AS supply_cost
+            FROM partsupp
+            JOIN part ON p_partkey = ps_partkey
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_name LIKE '%bolt' AND r_name = 'EUROPE'
+              AND ps_supplycost_cents = (
+                SELECT min(ps2.ps_supplycost_cents)
+                FROM partsupp ps2
+                JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "q9_product_type_profit": f"""
+            WITH {_PARTSUPP_SQL}
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * CAST(1-l_discount AS DECIMAL(18,4))
+                             - CAST(ps_supplycost_cents AS DECIMAL(10,0))
+                               * CAST(l_quantity AS DECIMAL(8,4))
+                               * CAST(0.01 AS DECIMAL(3,2))), 6)::DOUBLE
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+            ORDER BY nation ASC, o_year DESC
+        """,
+        "q11_important_stock": f"""
+            WITH {_PARTSUPP_SQL},
+            nps AS (
+              SELECT ps_partkey, ps_availqty, ps_supplycost_cents
+              FROM partsupp
+              JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_0')
+            SELECT ps_partkey,
+                   round(sum(ps_supplycost_cents * ps_availqty) / 100.0, 6)
+                       AS value
+            FROM nps
+            GROUP BY ps_partkey
+            HAVING sum(ps_supplycost_cents * ps_availqty) * 200 >
+                   (SELECT sum(ps_supplycost_cents * ps_availqty) FROM nps)
+            ORDER BY value DESC, ps_partkey ASC
+        """,
+        "q16_part_supplier_relation": f"""
+            WITH {_PARTSUPP_SQL}
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+            FROM partsupp JOIN part ON p_partkey = ps_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+              AND ps_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """,
+        "q20_potential_promotion": f"""
+            WITH {_PARTSUPP_SQL},
+            red_parts AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+            shipped AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+              FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2)
+            SELECT s_name
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                SELECT ps_suppkey FROM partsupp
+                JOIN red_parts ON p_partkey = ps_partkey
+                JOIN shipped ON l_partkey = ps_partkey
+                             AND l_suppkey = ps_suppkey
+                WHERE CAST(2 * ps_availqty AS DECIMAL(18,4)) > qty)
+            ORDER BY s_name ASC
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
