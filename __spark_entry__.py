@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from toshokan_spark.config import FieldConfig, IndexConfig
 from toshokan_spark.query import compile_query
-from toshokan_spark.operators import asof, decontaminate, dedup, similarity, text as textops, multimodal
+from toshokan_spark.operators import asof, decontaminate, dedup, similarity, text as textops, multimodal, web
 from toshokan_spark.operators.text import SCRIPT_CLASSES as _SCRIPT_CLASSES
 from toshokan_spark.operators.dedup import words_col as dedup_words
 
@@ -92,6 +92,106 @@ def _dbl(c) -> F.Column:
 
 def _us(c) -> F.Column:
     return F.unix_micros(c)
+
+
+def _url_expr(idiv: str, str_t: str) -> str:
+    """Shared deterministic URL derivation for the web-curation
+    entries (the testdata has no URL column — same shared-derivation
+    discipline as _partsupp). Emitted per dialect: Spark
+    (idiv='div', str_t='STRING') and DuckDB (idiv='//',
+    str_t='VARCHAR'), identical arithmetic and concatenation.
+
+    The derived URLs deliberately exercise every canonicalization
+    rule: mixed-case schemes/hosts, www/news subdomains, default and
+    non-default ports, trailing slashes, tracking params mixed with
+    content params in both orders, and fragments — with collisions so
+    url_dedup finds real clusters (4 docs share each path; case and
+    www/bare variants merge)."""
+    def c(e: str) -> str:
+        return f"CAST({e} AS {str_t})"
+
+    return (
+        "CASE doc_id % 5 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'Https'"
+        " ELSE 'https' END"
+        " || '://'"
+        " || CASE doc_id % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN ''"
+        " ELSE 'news.' END"
+        f" || 'site' || {c('doc_id % 40')}"
+        " || CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END"
+        " || CASE WHEN doc_id % 6 = 0 THEN ':443'"
+        " WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END"
+        f" || '/articles/' || {c(f'doc_id {idiv} 4')}"
+        " || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END"
+        " || CASE doc_id % 8"
+        f" WHEN 0 THEN '?utm_source=feed&utm_campaign=q' || {c('doc_id % 3')}"
+        f" WHEN 1 THEN '?page=' || {c('doc_id % 5')} || '&utm_medium=rss'"
+        " WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?a=1&b=2' ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END"
+    )
+
+
+#: domains excluded by the domain_filter entry (block mode)
+_BLOCKED_DOMAINS = [
+    "site1.com", "site7.com", "site13.com", "site19.com",
+    "site25.com", "site31.com", "site37.com",
+]
+
+
+def _doc_urls(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .selectExpr("doc_id", _url_expr("div", "STRING") + " AS url")
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (operators/web.py::canonical_url): the
+    FineWeb/C4 URL-normalization stage — scheme/host case, default
+    ports, www, trailing slashes, fragments, tracking params, param
+    order. Pure JVM column algebra; the oracle replays each regex
+    step in DuckDB so canonical forms are value-checked."""
+    return (
+        _doc_urls(spark, sf_dir)
+        .select(
+            "doc_id",
+            "url",
+            web.canonical_url(F.col("url")).alias("canonical_url"),
+        )
+        .orderBy("doc_id")
+        .limit(60)
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL dedup on the canonical form
+    (operators/web.py::url_dedup): one row per canonical URL with the
+    first-writer keeper and duplicate count; map-side combine
+    collapses duplicates before the single canonical-URL exchange."""
+    return (
+        web.url_dedup(_doc_urls(spark, sf_dir))
+        .orderBy(F.desc("n_docs"), F.asc("canonical_url"))
+        .limit(50)
+    )
+
+
+def q_domain_filter(spark, sf_dir):
+    """Domain blocklisting (operators/web.py::domain_filter): drop
+    documents whose registered domain is on the broadcast blocklist
+    (LEFT ANTI — the corpus never shuffles), then profile surviving
+    docs per domain."""
+    block = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    kept = web.domain_filter(_doc_urls(spark, sf_dir), block, mode="block")
+    return (
+        kept.select(
+            web.registered_domain(F.col("url"), is_url=True).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("domain"))
+    )
 
 
 #: DuckDB side of the shared partsupp derivation (see _partsupp for
@@ -3196,6 +3296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver record (r7 cohort then oldest r8,
         # tools/rotation.py priority; each new entry displaces the
         # youngest in-window P0b below the boundary).
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "domain_filter": q_domain_filter,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q9_product_type_profit": q_q9_product_type_profit,
         "q11_important_stock": q_q11_important_stock,
@@ -3243,11 +3346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
         "multimodal_dedup": q_multimodal_dedup,
+        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # (the r12 P0 additions displaced these P0b)
         "multimodal_frames": q_multimodal_frames,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_meta": q_multimodal_meta,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
-        # (the five r12 P0 additions displaced these five P0b)
         "multimodal_resize": q_multimodal_resize,
         "priority_counts": q_priority_counts,
         "q1_pricing": q_q1_pricing,
@@ -4848,6 +4951,133 @@ def oracle_sql() -> dict[str, str]:
                              AND l_suppkey = ps_suppkey
                 WHERE CAST(2 * ps_availqty AS DECIMAL(18,4)) > qty)
             ORDER BY s_name ASC
+        """,
+        # web curation three: derived URLs (shared _url_expr), each
+        # canonicalization step replayed with the same regexes
+        "url_canonicalize": f"""
+            WITH urls AS (
+              SELECT doc_id, {_url_expr('//', 'VARCHAR')} AS url
+              FROM documents),
+            p1 AS (
+              SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '') AS no_frag
+              FROM urls),
+            p2 AS (
+              SELECT doc_id, url,
+                     regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+                     CASE WHEN contains(no_frag, '?')
+                          THEN regexp_extract(no_frag, '\\?(.*)$', 1)
+                          ELSE '' END AS query
+              FROM p1),
+            p3 AS (
+              SELECT doc_id, url, query,
+                lower(regexp_extract(base,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+              FROM p2),
+            p4 AS (
+              SELECT *,
+                regexp_extract(after, '^([^/]*)', 1) AS hostport,
+                substring(after,
+                    length(regexp_extract(after, '^([^/]*)', 1)) + 1) AS path
+              FROM p3),
+            p5 AS (
+              SELECT *,
+                regexp_replace(lower(regexp_replace(hostport, ':\\d+$', '')),
+                               '^www\\.', '') AS host,
+                regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+                regexp_replace(path, '/+$', '') AS path_norm,
+                array_to_string(list_sort(list_filter(str_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)='))), '&')
+                    AS params
+              FROM p4)
+            SELECT doc_id, url,
+                   scheme || '://' || host ||
+                   CASE WHEN port <> ''
+                             AND NOT (scheme = 'https' AND port = '443')
+                             AND NOT (scheme = 'http' AND port = '80')
+                        THEN ':' || port ELSE '' END ||
+                   path_norm ||
+                   CASE WHEN params <> '' THEN '?' || params ELSE '' END
+                       AS canonical_url
+            FROM p5
+            ORDER BY doc_id LIMIT 60
+        """,
+        "url_dedup": f"""
+            WITH urls AS (
+              SELECT doc_id, {_url_expr('//', 'VARCHAR')} AS url
+              FROM documents),
+            p1 AS (
+              SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '') AS no_frag
+              FROM urls),
+            p2 AS (
+              SELECT doc_id, url,
+                     regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+                     CASE WHEN contains(no_frag, '?')
+                          THEN regexp_extract(no_frag, '\\?(.*)$', 1)
+                          ELSE '' END AS query
+              FROM p1),
+            p3 AS (
+              SELECT doc_id, url, query,
+                lower(regexp_extract(base,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+              FROM p2),
+            p4 AS (
+              SELECT *,
+                regexp_extract(after, '^([^/]*)', 1) AS hostport,
+                substring(after,
+                    length(regexp_extract(after, '^([^/]*)', 1)) + 1) AS path
+              FROM p3),
+            p5 AS (
+              SELECT *,
+                regexp_replace(lower(regexp_replace(hostport, ':\\d+$', '')),
+                               '^www\\.', '') AS host,
+                regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+                regexp_replace(path, '/+$', '') AS path_norm,
+                array_to_string(list_sort(list_filter(str_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)='))), '&')
+                    AS params
+              FROM p4),
+            canon AS (
+              SELECT doc_id,
+                   scheme || '://' || host ||
+                   CASE WHEN port <> ''
+                             AND NOT (scheme = 'https' AND port = '443')
+                             AND NOT (scheme = 'http' AND port = '80')
+                        THEN ':' || port ELSE '' END ||
+                   path_norm ||
+                   CASE WHEN params <> '' THEN '?' || params ELSE '' END
+                       AS canonical_url
+              FROM p5)
+            SELECT canonical_url, min(doc_id) AS keeper_id,
+                   count(*)::BIGINT AS n_docs
+            FROM canon
+            GROUP BY canonical_url
+            ORDER BY n_docs DESC, canonical_url ASC LIMIT 50
+        """,
+        "domain_filter": f"""
+            WITH urls AS (
+              SELECT doc_id, {_url_expr('//', 'VARCHAR')} AS url
+              FROM documents),
+            doms AS (
+              SELECT doc_id,
+                regexp_extract(
+                  lower(regexp_replace(regexp_extract(url,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                      ':\\d+$', '')),
+                  '([^.]+\\.[^.]+)$', 1) AS domain
+              FROM urls)
+            SELECT domain, count(*)::BIGINT AS n_docs
+            FROM doms
+            WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+            GROUP BY domain
+            ORDER BY n_docs DESC, domain ASC
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

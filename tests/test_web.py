@@ -1,0 +1,92 @@
+"""URL/domain curation operators (operators/web.py) — handcrafted
+canonicalization cases covering every rule, dedup keeper semantics,
+and block/allow domain filtering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from toshokan_spark.operators import web
+
+CASES = [
+    # (raw, canonical)
+    (
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+        "https://example.com/a/b?a=2&z=1",
+    ),
+    ("http://example.com:8080/", "http://example.com:8080"),
+    ("http://Example.com:80/x", "http://example.com/x"),
+    ("https://news.example.com?fbclid=1", "https://news.example.com"),
+    ("https://example.com/path///", "https://example.com/path"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    (
+        "https://example.com/?gclid=g&msclkid=m&mc_eid=e&ref=r&keep=1",
+        "https://example.com?keep=1",
+    ),
+    ("https://example.com/a#x?notquery=1", "https://example.com/a"),
+    ("HTTP://a.b.c.d.com/Z", "http://a.b.c.d.com/Z"),  # path case kept
+    ("https://www.example.com", "https://example.com"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(web.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [c for _, c in CASES]
+
+
+def test_registered_domain(spark):
+    rows = [
+        ("https://WWW.News.Site3.COM:8443/x", "site3.com"),
+        ("http://example.org/", "example.org"),
+        ("https://localhost/x", ""),  # single-label: no registered domain
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [
+        r["d"]
+        for r in df.select(
+            web.registered_domain(F.col("url"), is_url=True).alias("d")
+        ).collect()
+    ]
+    assert got == [d for _, d in rows]
+
+
+def test_url_dedup_keeper_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Example.com/a?utm_source=x"),
+            (2, "https://example.com/a"),
+            (3, "https://example.com/a/"),
+            (4, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["canonical_url"]: (r["keeper_id"], r["n_docs"])
+        for r in web.url_dedup(df).collect()
+    }
+    assert got == {
+        "https://example.com/a": (1, 3),
+        "https://example.com/b": (4, 1),
+    }
+
+
+def test_domain_filter_block_and_allow(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://sub.bad.com/y"),
+            (3, "https://good.org/z"),
+        ],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = web.domain_filter(df, block, mode="block")
+    assert [r["doc_id"] for r in kept.orderBy("doc_id").collect()] == [3]
+    assert kept.columns == ["doc_id", "url"]  # helper column dropped
+    allowed = web.domain_filter(df, block, mode="allow")
+    assert [r["doc_id"] for r in allowed.orderBy("doc_id").collect()] == [1, 2]
+    with pytest.raises(ValueError):
+        web.domain_filter(df, block, mode="nope")

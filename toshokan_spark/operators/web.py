@@ -1,0 +1,148 @@
+"""URL / domain-level curation operators — the FineWeb/C4 URL-filtering
+stage of an LLM training-data pipeline (URL canonicalization, exact URL
+dedup, domain block/allowlisting).
+
+The reference engine has no web-curation surface (it is a log-search
+engine); these operators extend the pipeline the same way the dedup /
+quality families do. Everything here is pure JVM column algebra —
+regexp/split/filter/array_sort built-ins, no Python crossing — so the
+canonicalization runs inside whole-stage codegen at any corpus size,
+and the dedup/domain joins are standard hash/broadcast joins:
+
+* ``canonical_url`` never shuffles (per-row expression);
+* ``url_dedup`` shuffles one (canonical_url)-keyed partial-aggregated
+  groupBy — map-side combine collapses per-partition duplicates before
+  the exchange, so the shuffle carries one row per distinct URL per
+  partition, not one per document;
+* ``domain_filter`` broadcasts the domain list (block/allowlists are
+  dimension-sized — thousands of domains vs billions of documents) and
+  anti/semi-joins it, so the corpus never shuffles at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that carry tracking state, not content identity —
+#: the strip set used by the common web-curation stacks (utm_* click
+#: attribution, Facebook/Google/Microsoft click ids, Mailchimp email
+#: id, bare referrer tags)
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute URL, as one codegen-able column
+    expression:
+
+    1. fragment dropped (``#...``);
+    2. scheme and host lowercased;
+    3. default ports stripped (``:80`` for http, ``:443`` for https);
+       non-default ports kept;
+    4. leading ``www.`` stripped from the host;
+    5. trailing slashes stripped from the path;
+    6. tracking query params dropped (:data:`TRACKING_PARAM_RE`),
+       surviving params sorted by text so param order never
+       distinguishes two URLs; an emptied query drops its ``?``.
+
+    The DuckDB oracle mirrors each step with the same regexes
+    (``__spark_entry__`` ``url_canonicalize``), so canonical forms are
+    value-checked bit-for-bit.
+    """
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.when(
+        no_frag.contains("?"), F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(after, r"^([^/]*)", 1)
+    path = F.substring(after, F.length(hostport) + 1, 1 << 30)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, r":\d+$", "")), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path_norm = F.regexp_replace(path, r"/+$", "")
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path_norm,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(host_or_url: Column, *, is_url: bool = False) -> Column:
+    """Last-two-label registered domain of a host (``news.site3.com``
+    -> ``site3.com``). A public-suffix list would refine multi-label
+    TLDs (``.co.uk``) — out of scope for the synthetic corpus, and the
+    operator's join shape is identical either way."""
+    host = (
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract(
+                    host_or_url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+                ),
+                r":\d+$",
+                "",
+            )
+        )
+        if is_url
+        else host_or_url
+    )
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Exact URL dedup on the canonical form: one row per canonical
+    URL with the keeper (smallest id — first-writer-wins, the same
+    keeper rule the text dedup family uses) and the duplicate count.
+    Partial aggregation collapses duplicates map-side before the one
+    canonical-URL-keyed exchange."""
+    return (
+        df.select(canonical_url(F.col(url_col)).alias("canonical_url"), id_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    domains: DataFrame,
+    url_col: str = "url",
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (``mode='block'``) or keep-only (``mode='allow'``) rows
+    whose URL's registered domain appears in ``domains`` (a 1-column
+    ``domain`` frame). The domain table is broadcast — block/allow
+    lists are dimension-sized — and the membership test is a LEFT
+    ANTI / LEFT SEMI hash join, so the corpus side never shuffles."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    tagged = df.withColumn(
+        "__domain", registered_domain(F.col(url_col), is_url=True)
+    )
+    joined = tagged.join(
+        F.broadcast(domains),
+        tagged["__domain"] == domains["domain"],
+        "left_anti" if mode == "block" else "left_semi",
+    )
+    return joined.drop("__domain")
