@@ -303,6 +303,35 @@ def q_search_date_histogram(spark, sf_dir):
     return date_histogram(hits, "ts", 6 * 3600, value_col="value")
 
 
+def q_search_bucket_selector(spark, sf_dir):
+    """bucket_selector pipeline stage (ES HAVING analog,
+    search.py::bucket_selector): 6-hour purchase histogram, keeping
+    only buckets with >= 15 hits and > 800 total value. The filter
+    runs strictly post-aggregation — same single partial-aggregated
+    exchange as the plain histogram (plan-pinned)."""
+    from toshokan_spark.search import bucket_selector, date_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    hist = date_histogram(hits, "ts", 6 * 3600, value_col="value")
+    return bucket_selector(hist, "n_hits >= 15 AND total_value > 800.0")
+
+
+def q_search_bucket_sort(spark, sf_dir):
+    """bucket_sort pipeline stage (search.py::bucket_sort): the same
+    purchase histogram ordered by descending value (epoch tiebreak)
+    and paged from=3/size=10 — sort and truncation over the
+    aggregated bucket frame only."""
+    from toshokan_spark.search import bucket_sort, date_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    hist = date_histogram(hits, "ts", 6 * 3600, value_col="value")
+    return bucket_sort(
+        hist, "total_value:desc,bucket_epoch:asc", offset=3, size=10
+    )
+
+
 def q_search_stats(spark, sf_dir):
     """Stats aggregation over a query's hit set (search-layer
     ``stats`` panel): count/min/max/sum/avg of ``value`` over the
@@ -3296,6 +3325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver record (r7 cohort then oldest r8,
         # tools/rotation.py priority; each new entry displaces the
         # youngest in-window P0b below the boundary).
+        "search_bucket_selector": q_search_bucket_selector,
+        "search_bucket_sort": q_search_bucket_sort,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
@@ -3344,10 +3375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "knn_quantized": q_knn_quantized,
         "leakage_safe_split": q_leakage_safe_split,
-        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
-        "multimodal_dedup": q_multimodal_dedup,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # (the r12 P0 additions displaced these P0b)
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "multimodal_dedup": q_multimodal_dedup,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_meta": q_multimodal_meta,
@@ -3805,6 +3836,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
+        """,
+        # bucket_selector / bucket_sort: pipeline stages over the
+        # same 6h purchase histogram — HAVING over the rounded value
+        # sum (identical double on both engines), and ORDER BY with
+        # LIMIT/OFFSET paging
+        "search_bucket_selector": """
+            SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS bucket_epoch,
+                   count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+            HAVING count(*) >= 15
+               AND round(sum(value::DECIMAL(38,6))::DOUBLE, 6) > 800.0
+        """,
+        "search_bucket_sort": """
+            SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS bucket_epoch,
+                   count(*)::BIGINT AS n_hits,
+                   round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+            ORDER BY total_value DESC, bucket_epoch ASC
+            LIMIT 10 OFFSET 3
         """,
         # search_stats: one-row count/min/max/sum/avg of value over
         # the purchase hit set, decimal-exact sum, avg derived from it

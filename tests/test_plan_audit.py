@@ -881,3 +881,95 @@ def test_auto_histogram_body_is_one_scan(plans10c):
     histogram (the 1-row min/max rung pick ran at call time)."""
     a, phys, _ = plans10c["search_auto_histogram"]
     assert a["scans"] == 1 and a["joins"] == "-", a
+
+
+# -- round 12: bucket pipeline stages, web curation, TPC-H partsupp
+
+
+ROUND12 = [
+    "search_bucket_selector",
+    "search_bucket_sort",
+    "url_dedup",
+    "domain_filter",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q20_potential_promotion",
+]
+
+
+@pytest.fixture(scope="module")
+def plans12(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND12:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_bucket_selector_is_post_aggregation_filter(plans12):
+    """bucket_selector = HAVING: the metric filter sits ABOVE the
+    final HashAggregate (bucket-sized input) and adds nothing to the
+    histogram's single partial-aggregated exchange — no join, no
+    window, no extra scan."""
+    a, phys, _ = plans12["search_bucket_selector"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert a["exchanges"] == 1, a
+    assert "Window" not in phys, "pipeline stage must not use a window"
+    f = phys.find("Filter")
+    agg = phys.find("HashAggregate")
+    assert f != -1 and agg != -1 and f < agg, (
+        "bucket filter must sit above the aggregate (tree prints "
+        "top-down)")
+
+
+def test_bucket_sort_page_is_takeordered(plans12):
+    """bucket_sort's sort+from/size compiles to one distributed
+    TakeOrdered over the aggregated bucket frame — the bucket table
+    is never globally sorted."""
+    a, phys, _ = plans12["search_bucket_sort"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys, "page cut is not top-k"
+    assert "Sort " not in phys.replace("TakeOrderedAndProject", ""), (
+        "unexpected global sort in the bucket page")
+
+
+def test_url_dedup_single_exchange_partial_agg(plans12):
+    """Canonical-URL dedup: one documents scan, map-side partial
+    aggregation (duplicates collapse before the single canonical-URL
+    exchange), top-k output cut."""
+    a, phys, _ = plans12["url_dedup"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert phys.count("HashAggregate") >= 2, (
+        "missing map-side partial aggregate")
+    assert "TakeOrderedAndProject" in phys, "output cut is not top-k"
+
+
+def test_domain_filter_is_broadcast_anti_never_shuffles_corpus(plans12):
+    """The blocklist membership test is a broadcast LEFT ANTI hash
+    join — the corpus side must not sort-merge (which would shuffle
+    every document by domain)."""
+    a, phys, _ = plans12["domain_filter"]
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys, (
+        "blocklist join is not a broadcast anti join")
+    assert "SortMergeJoin" not in phys, "corpus shuffled for the blocklist"
+
+
+def test_partsupp_queries_broadcast_never_cartesian(plans12):
+    """The TPC-H partsupp trio: derived partsupp's 1-row/4-row cross
+    joins broadcast (BNLJ against a bounded side — the accepted
+    shape); every dim join is a broadcast hash join; nothing
+    sort-merges or cartesians."""
+    for name in ("q2_min_cost_supplier", "q9_product_type_profit",
+                 "q20_potential_promotion"):
+        a, phys, _ = plans12[name]
+        assert "CartesianProduct" not in phys, (name, a)
+        assert "SortMergeJoin" not in phys, (name, a)
+        assert "BroadcastHashJoin" in phys, (name, a)
+    # Q2's 100-row page is a distributed top-k
+    assert "TakeOrderedAndProject" in plans12["q2_min_cost_supplier"][1]

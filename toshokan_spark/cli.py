@@ -20,6 +20,7 @@
                                          [--composite-by F1,F2 [--composite-after V1,V2] [--composite-size N]]
                                          [--rare-terms F [--rare-max N]] [--filters 'a=Q;b=Q'] [--multi-terms F1,F2]
                                          [--pipeline-interval S --pipeline-value F [--moving-window N]]
+                                         [--bucket-selector EXPR] [--bucket-sort 'C:desc[,C2]' [--bucket-from N --bucket-size N]]
                                          [--weighted-avg V,W] [--mad-field F] [--adjacency 'a=Q;b=Q']
                                          [--histogram-auto N] [--percentile-ranks F=V1,V2]
                                          [--sample-rate R --sample-by F]  # deterministic sampler for any panel
@@ -231,6 +232,17 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--bucket-selector", default=None, metavar="EXPR",
+                    help="HAVING-style pipeline stage over --facet-by / "
+                         "--histogram-interval buckets: keep buckets where "
+                         "this SQL boolean over the bucket columns holds "
+                         "(e.g. 'n_hits >= 10')")
+    ps.add_argument("--bucket-sort", default=None, metavar="SPEC",
+                    help="bucket_sort pipeline stage: order buckets by "
+                         "'COL[:asc|desc][,...]', truncated by "
+                         "--bucket-from/--bucket-size")
+    ps.add_argument("--bucket-from", type=int, default=0)
+    ps.add_argument("--bucket-size", type=int, default=None)
     ps.add_argument("--sample-rate", type=float, default=None,
                     help="sampler aggregation (ES sampler analog): run "
                          "every requested aggregation over a DETERMINISTIC "
@@ -775,15 +787,30 @@ def main(argv: list[str] | None = None) -> int:
                     k=a.sig_k, min_doc_count=a.sig_min_doc,
                 )
                 _emit(out.collect())
+            def _bucket_pipeline(out):
+                # post-aggregation pipeline stages, applied in ES
+                # order: selector (HAVING) first, then sort/truncate
+                if a.bucket_selector:
+                    from toshokan_spark.search import bucket_selector
+
+                    out = bucket_selector(out, a.bucket_selector)
+                if a.bucket_sort:
+                    from toshokan_spark.search import bucket_sort
+
+                    out = bucket_sort(out, a.bucket_sort,
+                                      offset=a.bucket_from,
+                                      size=a.bucket_size)
+                return out
+
             if a.facet_by:
                 if a.facet_order == "value" and not a.facet_value:
                     print("error: --facet-order value requires "
                           "--facet-value", file=sys.stderr)
                     return 2
-                out = facet_counts(
+                out = _bucket_pipeline(facet_counts(
                     hits_df(), a.facet_by, k=a.facet_k,
                     value_col=a.facet_value, order_by=a.facet_order,
-                )
+                ))
                 for r in out.collect():
                     # facet keys can be Decimal/datetime — stringify
                     print(json.dumps(r.asDict(), sort_keys=True,
@@ -793,11 +820,13 @@ def main(argv: list[str] | None = None) -> int:
                 if not config.time_field:
                     print("error: index has no time_field", file=sys.stderr)
                     return 2
-                out = date_histogram(
+                out = _bucket_pipeline(date_histogram(
                     hits_df(), config.time_field, a.histogram_interval
-                )
-                for r in sorted(out.collect(),
-                                key=lambda x: x["bucket_epoch"]):
+                ))
+                rows = (out.collect() if a.bucket_sort
+                        else sorted(out.collect(),
+                                    key=lambda x: x["bucket_epoch"]))
+                for r in rows:
                     print(json.dumps(r.asDict(), sort_keys=True,
                                      separators=(",", ":"), default=str))
             return 0

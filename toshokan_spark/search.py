@@ -1283,6 +1283,59 @@ def pipeline_histogram_agg(
     )
 
 
+def bucket_selector(buckets: DataFrame, condition: str) -> DataFrame:
+    """HAVING-style bucket filtering (ES ``bucket_selector`` pipeline
+    stage; the reference's collector has no pipeline stages —
+    ``src/commands/search.rs:188`` is limit-only — so this is an ES
+    parity extension like the other panel aggs): keep only aggregated
+    buckets whose metrics satisfy ``condition``, a SQL boolean
+    expression over the bucket frame's columns (e.g.
+    ``"n_hits >= 10 AND total_value > 500"``).
+
+    Scale: the filter runs on the ALREADY-AGGREGATED bucket frame
+    (bucket-count-sized, never corpus-sized) — strictly
+    post-aggregation, so it adds no exchange, no scan, and no window;
+    the plan keeps the single partial-aggregated groupBy of the host
+    aggregation."""
+    return buckets.filter(F.expr(condition))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort_spec,
+    offset: int = 0,
+    size: "int | None" = None,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline stage: order the aggregated bucket
+    frame by metric columns, with ``from``/``size`` truncation.
+    ``sort_spec`` is ``"col:desc,col2:asc"`` (or a list of
+    ``(column, ascending)`` pairs).
+
+    Scale: sorts the post-aggregation bucket frame only. With
+    ``size`` set and no offset, Catalyst compiles the sort+limit to a
+    distributed TakeOrdered (top-k) — the bucket table is never
+    globally sorted; with an offset the sorted prefix is
+    ``offset+size`` rows, still bucket-sized."""
+    if isinstance(sort_spec, str):
+        pairs = []
+        for part in sort_spec.split(","):
+            col, _, d = part.strip().partition(":")
+            d = (d or "asc").lower()
+            if not col or d not in ("asc", "desc"):
+                raise ValueError(
+                    f"bucket_sort wants COL[:asc|desc][,...], got {part!r}"
+                )
+            pairs.append((col, d == "asc"))
+    else:
+        pairs = list(sort_spec)
+    ordered = buckets.orderBy(
+        *[F.asc(c) if asc else F.desc(c) for c, asc in pairs]
+    )
+    if offset:
+        ordered = ordered.offset(offset)
+    return ordered.limit(size) if size is not None else ordered
+
+
 def weighted_avg_agg(
     hits: DataFrame, value_col: str, weight_col: str
 ) -> DataFrame:
