@@ -303,6 +303,25 @@ def q_search_date_histogram(spark, sf_dir):
     return date_histogram(hits, "ts", 6 * 3600, value_col="value")
 
 
+def q_search_after(spark, sf_dir):
+    """search_after deep pagination (search.py::keyset_page): page 2
+    of the purchase hits ordered by value DESC with event_id as the
+    ascending unique tiebreak, continuing after cursor
+    (500.0, 100). The cursor compiles to a range prune BEFORE the
+    top-k cut — the value < 500 disjunct reaches the scan and the cut
+    is a distributed TakeOrdered (plan-pinned), so page N costs
+    page-1 money."""
+    from toshokan_spark.search import keyset_page
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    page = keyset_page(
+        hits, "value", "event_id",
+        after=(500.0, 100), limit=10, descending=True,
+    )
+    return page.select("event_id", "user_id", "value")
+
+
 def q_search_bucket_selector(spark, sf_dir):
     """bucket_selector pipeline stage (ES HAVING analog,
     search.py::bucket_selector): 6-hour purchase histogram, keeping
@@ -3325,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver record (r7 cohort then oldest r8,
         # tools/rotation.py priority; each new entry displaces the
         # youngest in-window P0b below the boundary).
+        "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_sort": q_search_bucket_sort,
         "url_canonicalize": q_url_canonicalize,
@@ -3374,9 +3394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "knn_graph": q_knn_graph,
         "knn_quantized": q_knn_quantized,
-        "leakage_safe_split": q_leakage_safe_split,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # (the r12 P0 additions displaced these P0b)
+        "leakage_safe_split": q_leakage_safe_split,
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
         "multimodal_dedup": q_multimodal_dedup,
         "multimodal_frames": q_multimodal_frames,
@@ -3836,6 +3856,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
+        """,
+        # search_after: keyset page 2 — cursor strictly-after filter,
+        # value DESC with event_id ASC tiebreak
+        "search_after": """
+            SELECT event_id, user_id, value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND (value < 500.0 OR (value = 500.0 AND event_id > 100))
+            ORDER BY value DESC, event_id ASC
+            LIMIT 10
         """,
         # bucket_selector / bucket_sort: pipeline stages over the
         # same 6h purchase histogram — HAVING over the rounded value

@@ -6,6 +6,7 @@ VERDICT r2 item 9.)
 """
 
 import os
+import re
 import sys
 
 import pytest
@@ -887,6 +888,7 @@ def test_auto_histogram_body_is_one_scan(plans10c):
 
 
 ROUND12 = [
+    "search_after",
     "search_bucket_selector",
     "search_bucket_sort",
     "url_dedup",
@@ -973,3 +975,16 @@ def test_partsupp_queries_broadcast_never_cartesian(plans12):
         assert "BroadcastHashJoin" in phys, (name, a)
     # Q2's 100-row page is a distributed top-k
     assert "TakeOrderedAndProject" in plans12["q2_min_cost_supplier"][1]
+
+
+def test_search_after_cursor_pushes_and_cut_is_takeordered(plans12):
+    """search_after: the keyset cursor is a range prune BEFORE the
+    top-k — the sort-value disjunction reaches the parquet scan's
+    PushedFilters (zone maps skip already-paged data) and the page
+    cut is one distributed TakeOrdered. No global sort, no offset
+    discard."""
+    a, phys, _ = plans12["search_after"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys, "page cut is not top-k"
+    assert re.search(r"PushedFilters: \[.*LessThan\(value,500", phys), (
+        "cursor range did not push to the scan")

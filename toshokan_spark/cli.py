@@ -21,6 +21,7 @@
                                          [--rare-terms F [--rare-max N]] [--filters 'a=Q;b=Q'] [--multi-terms F1,F2]
                                          [--pipeline-interval S --pipeline-value F [--moving-window N]]
                                          [--bucket-selector EXPR] [--bucket-sort 'C:desc[,C2]' [--bucket-from N --bucket-size N]]
+                                         [--sort-by F[:desc] --tiebreak F [--after SORTV,TIEV]]  # search_after keyset paging
                                          [--weighted-avg V,W] [--mad-field F] [--adjacency 'a=Q;b=Q']
                                          [--histogram-auto N] [--percentile-ranks F=V1,V2]
                                          [--sample-rate R --sample-by F]  # deterministic sampler for any panel
@@ -278,6 +279,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--fields", default=None,
                     help="comma-separated output projection; pruned all "
                          "the way into the parquet scan's ReadSchema")
+    ps.add_argument("--after", default=None, metavar="SORTV,TIEV",
+                    help="search_after keyset pagination: the previous "
+                         "page's last (sort, tiebreak) values; needs "
+                         "--sort-by and --tiebreak. Compiles to a range "
+                         "prune BEFORE the top-k cut — page N costs "
+                         "page-1 money")
+    ps.add_argument("--tiebreak", default=None, metavar="F",
+                    help="unique ascending tiebreak field for --after")
     ps.add_argument("--at-version", type=int, default=None,
                     help="time-travel: run against the index snapshot "
                          "at this retained manifest version (see "
@@ -845,6 +854,41 @@ def main(argv: list[str] | None = None) -> int:
                                  sort_keys=True, separators=(",", ":")))
             return 0
         from toshokan_spark.search import search
+
+        if a.after is not None or a.tiebreak is not None:
+            if not (a.search_sort and a.tiebreak):
+                print("error: --after needs --sort-by and --tiebreak",
+                      file=sys.stderr)
+                return 2
+            from toshokan_spark.search import prettify_doc, search_after_df
+
+            sname, _, sorder = a.search_sort.partition(":")
+
+            def _cursor_val(raw):
+                for cast in (int, float):
+                    try:
+                        return cast(raw)
+                    except ValueError:
+                        continue
+                return raw
+
+            after = None
+            if a.after:
+                sv, _, tv = a.after.partition(",")
+                if not tv:
+                    print("error: --after wants SORTV,TIEV",
+                          file=sys.stderr)
+                    return 2
+                after = (_cursor_val(sv), _cursor_val(tv))
+            df = search_after_df(
+                spark, catalog, a.index, a.query, sname, a.tiebreak,
+                after=after, limit=a.limit or 10,
+                descending=(sorder == "desc"), at_version=a.at_version,
+            )
+            config = catalog.get_index(a.index)
+            for r in df.collect():
+                print(prettify_doc(r.asDict(recursive=True), config))
+            return 0
 
         sort_by = None
         if a.search_sort:

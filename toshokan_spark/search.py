@@ -257,6 +257,66 @@ def search_df(
     return out
 
 
+def keyset_page(
+    hits: DataFrame,
+    sort_field: str,
+    tiebreak_field: str,
+    after: "tuple | None" = None,
+    limit: int = 10,
+    descending: bool = False,
+) -> DataFrame:
+    """Deep-hit pagination (ES/quickwit ``search_after`` keyset
+    continuation; the reference's collector is limit-only —
+    ``src/commands/search.rs:188`` — so it cannot paginate at all):
+    return the next ``limit`` hits strictly AFTER the
+    ``(sort_value, tiebreak_value)`` cursor of the previous page's
+    last hit. The tiebreak (a unique doc key) is always ascending;
+    the sort field honours ``descending``.
+
+    Scale: the cursor compiles to a RANGE PRUNE —
+    ``sort > v OR (sort = v AND tie > t)`` — applied BEFORE the
+    top-k cut, so the ``sort > v`` disjunct pushes to the parquet
+    scan (zone maps / row-group stats skip everything already
+    paged past) and the cut itself is a distributed TakeOrdered of
+    ``limit`` rows per partition. Page N costs the same as page 1 —
+    unlike offset pagination, which re-sorts and discards N·k rows."""
+    s, t = F.col(sort_field), F.col(tiebreak_field)
+    if after is not None:
+        av, tv = after
+        sl = F.lit(av).cast(hits.schema[sort_field].dataType)
+        tl = F.lit(tv).cast(hits.schema[tiebreak_field].dataType)
+        beyond = (s < sl) if descending else (s > sl)
+        hits = hits.filter(beyond | ((s == sl) & (t > tl)))
+    return hits.orderBy(
+        s.desc() if descending else s.asc(), t.asc()
+    ).limit(limit)
+
+
+def search_after_df(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    query: str,
+    sort_field: str,
+    tiebreak_field: str,
+    after: "tuple | None" = None,
+    limit: int = 10,
+    descending: bool = False,
+    at_version: Optional[int] = None,
+) -> DataFrame:
+    """Catalog-level ``search_after``: the compiled query's hit frame
+    (manifest-pruned, delete-masked) paged by :func:`keyset_page` —
+    the cursor predicate lands on top of the scan filter, so Catalyst
+    folds both into one pushed conjunction."""
+    base = search_df(
+        spark, catalog, index_name, query, limit=None, at_version=at_version
+    )
+    return keyset_page(
+        base, sort_field, tiebreak_field,
+        after=after, limit=limit, descending=descending,
+    )
+
+
 def scored_search_df(
     spark: SparkSession,
     catalog: FsCatalog,
