@@ -3018,6 +3018,14 @@ def q_text_langid(spark, sf_dir):
     )
 
 
+def q_langid_classifier(spark, sf_dir):
+    """Trained-model language ID (textops.langid_classifier): the
+    fastText-style hashed n-gram linear model over 8 languages —
+    per-language hashed-lexicon scores, argmax prediction, and an
+    exact rational confidence (score share)."""
+    return textops.langid_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textops.fingerprint(docs)
@@ -3344,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver record (r7 cohort then oldest r8,
         # tools/rotation.py priority; each new entry displaces the
         # youngest in-window P0b below the boundary).
+        "langid_classifier": q_langid_classifier,
         "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_sort": q_search_bucket_sort,
@@ -3393,9 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_path_filter": q_json_path_filter,
         "kcenter_select": q_kcenter_select,
         "knn_graph": q_knn_graph,
-        "knn_quantized": q_knn_quantized,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # (the r12 P0 additions displaced these P0b)
+        "knn_quantized": q_knn_quantized,
         "leakage_safe_split": q_leakage_safe_split,
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
         "multimodal_dedup": q_multimodal_dedup,
@@ -3666,6 +3675,75 @@ def _poly_sql(var: str, base: int, add: int, mod: int, init: int = 0) -> str:
     )
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of textops.langid_classifier: the 8-language
+    hashed-lexicon weight table, the shared unigram+bigram hashed
+    feature stream, per-language decimal-exact score sums, and the
+    argmax/score-share math with the SAME left-to-right total
+    association the Spark column expression folds."""
+    langs = sorted(textops.LANG_LEXICONS)
+    values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(textops.LANG_LEXICONS.items())
+        for w in words
+    )
+    poly = _poly_sql("f", 1103515245, 0, 1_000_000_007, 5381)
+    score_cols = ",\n                ".join(
+        f"coalesce(max(CASE WHEN lang = '{lang}' THEN s END), 0.0)"
+        f" AS s_{lang}"
+        for lang in langs
+    )
+    total = "s_" + langs[0]
+    for lang in langs[1:]:
+        total = f"({total} + s_{lang})"
+    pred = "CASE WHEN total = 0.0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = smax THEN '{lang}'" for lang in langs
+    ) + " END"
+    out_scores = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
+    return f"""
+        WITH wt AS (
+          SELECT lang, idx, sum(w) AS w FROM (
+            SELECT lang, ({poly}) % 4096 AS idx, 1.0 AS w
+            FROM (VALUES {values}) t(lang, f)) GROUP BY lang, idx),
+        base AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS ws
+          FROM documents),
+        feats AS (
+          SELECT doc_id, unnest(
+            ws || CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END) AS f
+          FROM base),
+        idxed AS (
+          SELECT doc_id, ({poly}) % 4096 AS idx FROM feats),
+        cnt AS (SELECT doc_id, count(*) AS n_feats FROM idxed GROUP BY 1),
+        per AS (
+          SELECT doc_id, lang, sum(w::DECIMAL(38,18))::DOUBLE AS s
+          FROM idxed JOIN wt USING (idx) GROUP BY 1, 2),
+        piv AS (
+          SELECT doc_id,
+                {score_cols}
+          FROM per GROUP BY doc_id),
+        sc AS (
+          SELECT d.doc_id, coalesce(c.n_feats, 0)::BIGINT AS n_feats,
+                 {", ".join(f"coalesce(p.s_{lang}, 0.0) AS s_{lang}" for lang in langs)}
+          FROM documents d
+          LEFT JOIN cnt c USING (doc_id) LEFT JOIN piv p USING (doc_id)),
+        fin AS (
+          SELECT *, {total} AS total,
+                 greatest({", ".join("s_" + lang for lang in langs)}) AS smax
+          FROM sc)
+        SELECT doc_id, n_feats, {out_scores},
+               {pred} AS lang_pred,
+               round(CASE WHEN total > 0.0 THEN smax / total
+                          ELSE 0.125 END, 6) AS confidence
+        FROM fin
+    """
+
+
 #: 128 KM-combined minhash values from the h1/h2 lists
 _MH_SIGS = ", ".join(
     f"list_min(list_transform(range(1, len(h1)+1), t -> (h1[t] + {i} * h2[t]) % 2147483647))"
@@ -3857,6 +3935,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
         """,
+        "langid_classifier": _langid_oracle_sql(),
         # search_after: keyset page 2 — cursor strictly-after filter,
         # value DESC with event_id ASC tiebreak
         "search_after": """
