@@ -2276,6 +2276,54 @@ def test_bpe_arrow_application_matches_expression(spark):
     assert expr == arrow
 
 
+def test_bpe_arrow_destroys_broadcast_after_materialize(spark, monkeypatch):
+    """The merge-table broadcast must not outlive the call (VERDICT
+    r10 #8): bpe_token_counts_arrow materializes its counts through
+    finalize_cached, then destroys the broadcast — and the returned,
+    already-materialized frame still collects the same values as the
+    expression path afterwards."""
+    import pyspark
+
+    from pyspark.sql import Row
+
+    created = []
+    orig = pyspark.SparkContext.broadcast
+
+    def spy(self, value):
+        bc = orig(self, value)
+        flags = {"destroyed": False}
+        orig_destroy = bc.destroy
+
+        def destroy(*a, **k):
+            flags["destroyed"] = True
+            return orig_destroy(*a, **k)
+
+        bc.destroy = destroy
+        created.append(flags)
+        return bc
+
+    monkeypatch.setattr(pyspark.SparkContext, "broadcast", spy)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low low lower newest"),
+            Row(doc_id=2, text=""),
+        ]
+    )
+    merges = textops.bpe_train(docs, n_merges=4)
+    out = textops.bpe_token_counts_arrow(docs, merges)
+    assert created, "no broadcast was created"
+    assert all(f["destroyed"] for f in created), (
+        "merge-table broadcast leaked past the call")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens) for r in out.collect()
+    }
+    expr = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in textops.bpe_token_counts(docs, merges).collect()
+    }
+    assert got == expr
+
+
 def test_bpe_realistic_merge_count(spark):
     """1,000+ merges must train in driver time and apply without a
     1,000-deep Catalyst expression tree (VERDICT r8 #1 'done'
