@@ -336,6 +336,27 @@ def q_search_bucket_selector(spark, sf_dir):
     return bucket_selector(hist, "n_hits >= 15 AND total_value > 800.0")
 
 
+def q_search_bucket_script(spark, sf_dir):
+    """bucket_script pipeline stage (search.py::bucket_script): add a
+    computed per-bucket metric (mean purchase value) to the 6-hour
+    histogram, then select on it — ES's stage chaining, where the
+    selector references the scripted column. All post-aggregation
+    column algebra."""
+    from toshokan_spark.search import (
+        bucket_script,
+        bucket_selector,
+        date_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    hist = date_histogram(hits, "ts", 6 * 3600, value_col="value")
+    scripted = bucket_script(
+        hist, {"avg_value": "round(total_value / n_hits, 6)"}
+    )
+    return bucket_selector(scripted, "avg_value > 50.0")
+
+
 def q_search_bucket_sort(spark, sf_dir):
     """bucket_sort pipeline stage (search.py::bucket_sort): the same
     purchase histogram ordered by descending value (epoch tiebreak)
@@ -3355,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_classifier": q_langid_classifier,
         "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
+        "search_bucket_script": q_search_bucket_script,
         "search_bucket_sort": q_search_bucket_sort,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
@@ -3401,9 +3423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
         "kcenter_select": q_kcenter_select,
-        "knn_graph": q_knn_graph,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
         # (the r12 P0 additions displaced these P0b)
+        "knn_graph": q_knn_graph,
         "knn_quantized": q_knn_quantized,
         "leakage_safe_split": q_leakage_safe_split,
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
@@ -3958,6 +3980,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING count(*) >= 15
                AND round(sum(value::DECIMAL(38,6))::DOUBLE, 6) > 800.0
+        """,
+        "search_bucket_script": """
+            SELECT * FROM (
+              SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS bucket_epoch,
+                     count(*)::BIGINT AS n_hits,
+                     round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS total_value,
+                     round(round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                           / count(*), 6) AS avg_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1)
+            WHERE avg_value > 50.0
         """,
         "search_bucket_sort": """
             SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS bucket_epoch,

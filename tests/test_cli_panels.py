@@ -1,0 +1,80 @@
+"""CLI bucket pipeline stages (--bucket-script/-selector/-sort) and
+the unqualified -> _dynamic panel-field routing (the same §2.4 rule
+the query compiler applies)."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def panel_index(spark, tmp_path_factory):
+    from toshokan_spark import cli
+
+    tmp = tmp_path_factory.mktemp("cli_panels")
+    rows = [
+        {"timestamp": 1460530013 + i, "tenant_id": i % 3,
+         "severity_text": ("INFO" if i % 2 else "DEBUG")}
+        for i in range(8)
+    ]
+    jsonl = tmp / "docs.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "panels",
+        "path": str(tmp / "data"),
+        "time_field": "timestamp",
+        "schema": {"fields": [
+            {"name": "timestamp", "type": "datetime",
+             "formats": ["timestamp"], "fast": True},
+            {"name": "tenant_id", "type": "number", "number_type": "u64"},
+        ]},
+    }
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "panels", str(jsonl)]) == 0
+    return cat
+
+
+def _run(capsys, argv):
+    from toshokan_spark import cli
+
+    capsys.readouterr()
+    assert cli.main(argv) == 0
+    return [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines() if l]
+
+
+def test_dynamic_field_facet_routes_and_decodes(panel_index, capsys):
+    """severity_text is undeclared -> lives in _dynamic; the facet
+    must route there and decode the JSON-rendered value."""
+    rows = _run(capsys, ["--catalog", panel_index, "search", "panels", "*",
+                         "--facet-by", "severity_text"])
+    got = {r["severity_text"]: r["n_hits"] for r in rows}
+    assert got == {"INFO": 4, "DEBUG": 4}
+
+
+def test_bucket_script_selector_sort_chain(panel_index, capsys):
+    """script adds the computed metric, selector filters on it, sort
+    orders by it — ES stage chaining through the CLI."""
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--facet-by", "tenant_id",
+        "--bucket-script", "triple=n_hits * 3",
+        "--bucket-selector", "triple >= 9",
+        "--bucket-sort", "triple:desc,tenant_id:asc",
+    ])
+    # tenants 0,1 have 3 hits (triple=9), tenant 2 has 2 (triple=6)
+    assert [(r["tenant_id"], r["triple"]) for r in rows] == [
+        ("0", 9), ("1", 9)]
+
+
+def test_bucket_sort_paging(panel_index, capsys):
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--facet-by", "tenant_id",
+        "--bucket-sort", "n_hits:desc,tenant_id:asc",
+        "--bucket-from", "1", "--bucket-size", "1",
+    ])
+    assert len(rows) == 1 and rows[0]["tenant_id"] == "1"

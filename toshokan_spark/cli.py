@@ -20,7 +20,8 @@
                                          [--composite-by F1,F2 [--composite-after V1,V2] [--composite-size N]]
                                          [--rare-terms F [--rare-max N]] [--filters 'a=Q;b=Q'] [--multi-terms F1,F2]
                                          [--pipeline-interval S --pipeline-value F [--moving-window N]]
-                                         [--bucket-selector EXPR] [--bucket-sort 'C:desc[,C2]' [--bucket-from N --bucket-size N]]
+                                         [--bucket-script 'N=EXPR'] [--bucket-selector EXPR]
+                                         [--bucket-sort 'C:desc[,C2]' [--bucket-from N --bucket-size N]]
                                          [--sort-by F[:desc] --tiebreak F [--after SORTV,TIEV]]  # search_after keyset paging
                                          [--weighted-avg V,W] [--mad-field F] [--adjacency 'a=Q;b=Q']
                                          [--histogram-auto N] [--percentile-ranks F=V1,V2]
@@ -233,6 +234,10 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--bucket-script", default=None, metavar="N=EXPR[;...]",
+                    help="bucket_script pipeline stage: add computed "
+                         "metric columns (SQL over the bucket metrics) "
+                         "before --bucket-selector/--bucket-sort")
     ps.add_argument("--bucket-selector", default=None, metavar="EXPR",
                     help="HAVING-style pipeline stage over --facet-by / "
                          "--histogram-interval buckets: keep buckets where "
@@ -555,10 +560,51 @@ def main(argv: list[str] | None = None) -> int:
             # construct a scan over the data files
             _hits_plan: list = []
 
+            def _panel_fields():
+                """Every single-field name the requested panels will
+                reference on the hit frame."""
+                names = [
+                    a.facet_by, a.facet_value, a.stats_field,
+                    a.extended_stats_field, a.histogram_field,
+                    a.range_field, a.percentiles_field, a.cardinality_by,
+                    a.top_hits_per, a.order_by, a.mad_field,
+                    a.rare_terms, a.pipeline_value, a.sample_by,
+                    a.panel_facet, a.panel_stats, a.significant_terms,
+                ]
+                for grouped in (a.multi_terms, a.composite_by):
+                    if grouped:
+                        names.extend(x.strip() for x in grouped.split(","))
+                if a.weighted_avg:
+                    names.extend(
+                        x.strip() for x in a.weighted_avg.split(","))
+                if a.percentile_ranks:
+                    names.append(a.percentile_ranks.partition("=")[0].strip())
+                return [n for n in names if n]
+
             def hits_df():
                 if not _hits_plan:
                     df = search_df(spark, catalog, a.index, a.query,
                                    limit=None, at_version=a.at_version)
+                    # unqualified -> _dynamic routing, the same rule
+                    # the query compiler applies (SURVEY §2.4): a
+                    # panel over a field the schema never declared
+                    # reads it from the _dynamic remainder map (one
+                    # narrow map-extract projection) instead of
+                    # failing analysis
+                    if "_dynamic" in df.columns:
+                        from pyspark.sql import functions as SF
+
+                        for n in _panel_fields():
+                            if n not in df.columns:
+                                # map values are JSON-rendered
+                                # fragments; '$' decodes the scalar
+                                # (strings unquoted, numbers as text)
+                                df = df.withColumn(
+                                    n,
+                                    SF.get_json_object(
+                                        SF.col("_dynamic").getItem(n), "$"
+                                    ),
+                                )
                     if a.sample_rate is not None:
                         if not a.sample_by:
                             raise SystemExit(
@@ -798,7 +844,21 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(out.collect())
             def _bucket_pipeline(out):
                 # post-aggregation pipeline stages, applied in ES
-                # order: selector (HAVING) first, then sort/truncate
+                # order: script (computed metrics) first, then
+                # selector (HAVING, may reference the computed
+                # columns), then sort/truncate
+                if a.bucket_script:
+                    from toshokan_spark.search import bucket_script
+
+                    exprs = {}
+                    for pair in a.bucket_script.split(";"):
+                        name, _, expr = pair.partition("=")
+                        if not expr:
+                            raise SystemExit(
+                                "error: --bucket-script wants "
+                                "NAME=EXPR[;NAME=EXPR]")
+                        exprs[name.strip()] = expr
+                    out = bucket_script(out, exprs)
                 if a.bucket_selector:
                     from toshokan_spark.search import bucket_selector
 

@@ -1360,6 +1360,22 @@ def bucket_selector(buckets: DataFrame, condition: str) -> DataFrame:
     return buckets.filter(F.expr(condition))
 
 
+def bucket_script(buckets: DataFrame, exprs: "dict[str, str]") -> DataFrame:
+    """ES ``bucket_script`` pipeline stage: add computed metric
+    columns — SQL expressions over the existing bucket metrics — to
+    the aggregated bucket frame (e.g.
+    ``{"avg_value": "round(total_value / n_hits, 6)"}``). Composes
+    with :func:`bucket_selector` / :func:`bucket_sort`, which may
+    reference the computed columns (ES's stage-chaining semantics).
+
+    Scale: pure column algebra on the post-aggregation frame — no
+    exchange, no scan, no window."""
+    out = buckets
+    for name, expr in exprs.items():
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
 def bucket_sort(
     buckets: DataFrame,
     sort_spec,
