@@ -862,3 +862,61 @@ def test_cli_delete_validates_without_prior_session(tmp_path):
     s = run("search", "dv", "*", "--limit", "5", "--fields", "id")
     assert d.returncode == 0
     assert [_json.loads(l)["id"] for l in s.stdout.splitlines()] == [2]
+
+
+def test_url_front_gate(spark, tmp_path_factory, capsys):
+    """--url-field: the domain blocklist drops whole sites and
+    canonical-URL dedup keeps one first-writer per canonical form —
+    BEFORE any text stage; the url field is undeclared and resolves
+    from _dynamic."""
+    from toshokan_spark import cli
+
+    tmp = tmp_path_factory.mktemp("curate_url")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight ")
+    rows = []
+    for i in range(12):
+        rows.append({
+            "doc_id": i, "source": "web",
+            "text": base + f"tail{i} " + " ".join(
+                f"w{(i + j) % 7}" for j in range(20)),
+            # ids 0/1 collide post-canonicalization (www + tracking
+            # params vs bare); ids 2-3 are on a blocked domain
+            "url": (
+                "https://WWW.keep.com/a?utm_source=x" if i == 0 else
+                "https://keep.com/a" if i == 1 else
+                f"https://bad.com/p{i}" if i in (2, 3) else
+                f"https://ok{i}.org/page"
+            ),
+        })
+    jsonl = tmp / "docs.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "urlidx",
+        "path": str(tmp / "data"),
+        "schema": {"fields": [
+            {"name": "doc_id", "type": "number", "number_type": "u64"},
+            {"name": "source", "type": "text", "tokenizer": "raw"},
+            {"name": "text", "type": "text"},
+        ]},
+    }
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "urlidx", str(jsonl)]) == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "--catalog", cat, "curate", "urlidx",
+        "--url-field", "url", "--block-domains", "bad.com,unused.net",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    counts = {}
+    for line in out.splitlines():
+        parts = line.split()
+        if len(parts) == 2 and parts[1].isdigit():
+            counts[parts[0]] = int(parts[1])
+    assert counts["ingested"] == 12
+    assert counts["domain_kept"] == 10      # bad.com docs 2,3 dropped
+    assert counts["url_kept"] == 9          # doc 1 lost to keeper 0

@@ -28,7 +28,7 @@
                                          [--sample-rate R --sample-by F]  # deterministic sampler for any panel
     python -m toshokan_spark.cli vacuum  <index>   # extra: orphaned-segment cleanup
     python -m toshokan_spark.cli stats   <index>   # extra: segments + zone maps, manifest-only
-    python -m toshokan_spark.cli curate  <index> [--dsir-target Q] [--output DIR]  # extra: curation recipe
+    python -m toshokan_spark.cli curate  <index> [--url-field F --block-domains D1,D2] [--dsir-target Q] [--output DIR]  # extra: curation recipe
 
 The Postgres ``--db`` flag becomes ``--catalog <dir>`` (env
 ``TOSHOKAN_CATALOG``, default ``./.toshokan``).
@@ -315,6 +315,14 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--text-field", default="text")
     pu.add_argument("--source-field", default=None,
                     help="shard/grouping field (default: whole index is one shard)")
+    pu.add_argument("--url-field", default=None,
+                    help="URL front gate: canonical-URL dedup (and the "
+                    "--block-domains blocklist) runs on this field BEFORE "
+                    "any text stage; undeclared fields resolve from "
+                    "_dynamic")
+    pu.add_argument("--block-domains", default=None,
+                    help="comma-separated registered domains dropped by "
+                    "the URL front gate (needs --url-field)")
     pu.add_argument("--fractions", default="train=0.8,valid=0.1,test=0.1")
     pu.add_argument("--seq-len", type=int, default=2048)
     pu.add_argument("--n-buckets", type=int, default=3)
@@ -981,6 +989,11 @@ def main(argv: list[str] | None = None) -> int:
             id_field=a.id_field,
             text_field=a.text_field,
             source_field=a.source_field,
+            url_field=a.url_field,
+            blocked_domains=(
+                [d.strip() for d in a.block_domains.split(",") if d.strip()]
+                if a.block_domains else None
+            ),
             fractions=fractions,
             seq_len=a.seq_len,
             n_buckets=a.n_buckets,

@@ -1,5 +1,6 @@
 """The curation pipeline as a runnable recipe (VERDICT r8 #5): the
-stage chain `tests/test_pipeline_e2e.py` proves — canonicalize →
+stage chain `tests/test_pipeline_e2e.py` proves — optional URL front
+gate (domain blocklist + canonical-URL dedup) → canonicalize →
 exact dedup → near-dup clusters → quality gate → CCNet thinning →
 optional DSIR ranking → leakage-safe split → sequence packing —
 composed over an ingested index and exposed through the CLI
@@ -58,6 +59,8 @@ def curate(
     id_field: str = "doc_id",
     text_field: str = "text",
     source_field: Optional[str] = "source",
+    url_field: Optional[str] = None,
+    blocked_domains: "Optional[list[str]]" = None,
     fractions: "Optional[dict[str, float]]" = None,
     seq_len: int = 2048,
     n_buckets: int = 3,
@@ -86,6 +89,14 @@ def curate(
 
     ``source_field=None`` treats the whole index as one shard (CCNet
     buckets and sequence packing both group by source).
+
+    ``url_field`` turns on the URL front gate (the FineWeb/C4
+    URL-filtering stage, BEFORE any text work): an optional broadcast
+    domain blocklist (``blocked_domains``) drops whole sites by
+    registered domain, then canonical-URL dedup keeps one first-writer
+    document per canonical form (``operators/web.py``). The field may
+    be undeclared — it then resolves from the ``_dynamic`` remainder
+    like every unqualified query field.
 
     ``quality_model_path`` adds the model-based filter stage after
     the rule-based Gopher gate: a trained ``(idx, w)`` weight-table
@@ -130,19 +141,60 @@ def curate(
         res.counts[name] = value
         say(f"  {name:<18} {value}")
 
-    raw = _logical(search_df(spark, catalog, index_name, "*", limit=None))
+    full = search_df(spark, catalog, index_name, "*", limit=None)
     sel = [F.col(id_field).alias("doc_id"), F.col(text_field).alias("text")]
     if source_field is not None:
         sel.append(F.col(source_field).alias("source"))
     else:
         sel.append(F.lit("all").alias("source"))
-    raw = raw.select(*sel)
+    if url_field is not None:
+        # undeclared url fields live in the _dynamic remainder as
+        # JSON fragments — the same unqualified-field routing the
+        # query compiler applies ('$' decodes the scalar)
+        if url_field in full.columns:
+            sel.append(F.col(url_field).alias("url"))
+        else:
+            sel.append(
+                F.get_json_object(
+                    F.col("_dynamic").getItem(url_field), "$"
+                ).alias("url")
+            )
+    raw = full.select(*sel)  # explicit projection — internals never leak
 
     cached: "list[DataFrame]" = []
     try:
         raw = raw.persist()
         cached.append(raw)
         stage("ingested", raw.count())
+
+        # 0. URL front gate (FineWeb/C4): domain blocklist then
+        # canonical-URL dedup — whole sites and re-crawled URLs drop
+        # before a single text byte is normalized or shingled
+        if url_field is not None:
+            from toshokan_spark.operators import web
+            from toshokan_spark.operators.util import finalize_cached
+
+            if blocked_domains:
+                dom = spark.createDataFrame(
+                    [(d,) for d in blocked_domains], "domain string"
+                )
+                raw = web.domain_filter(raw, dom, url_col="url",
+                                        mode="block").persist()
+                cached.append(raw)
+                stage("domain_kept", raw.count())
+            keepers = web.url_dedup(raw).select(
+                F.col("keeper_id").alias("doc_id")
+            )
+            # finalize_cached, not persist: the gate's canonical-URL
+            # expression tree would otherwise sit at the BASE of every
+            # downstream self-joining stage's logical plan (the
+            # star-contraction rounds double their lineage each pass),
+            # exploding plan strings exponentially; the checkpoint
+            # truncates the lineage to an RDD scan
+            raw = finalize_cached(
+                raw.join(keepers, "doc_id", "left_semi").drop("url")
+            )
+            stage("url_kept", raw.count())
 
         # 1. canonicalize (NFC, control strip, whitespace collapse)
         norm = textops.normalize_text(raw)
