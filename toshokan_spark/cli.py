@@ -55,6 +55,10 @@ def _spark():
         .appName("toshokan_spark")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # plan DEBUG strings default to a ~2 GB cap; deep self-joining
+        # lineages (dedup star-contraction) can OOM the driver just
+        # PRINTING a plan. 1 MB keeps every diagnostic readable.
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .getOrCreate()
     )
 
