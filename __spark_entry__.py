@@ -748,6 +748,20 @@ def q_search_pipeline_aggs(spark, sf_dir):
     return pipeline_histogram_agg(hits, "ts", 86400, "value", moving_window=3)
 
 
+def q_search_serial_diff(spark, sf_dir):
+    """serial_diff pipeline stage (ES seasonality differencing): the
+    daily purchase histogram with its lag-4 value difference alongside
+    the derivative/cumulative/moving-average stages — all windows over
+    the already-aggregated bucket frame."""
+    from toshokan_spark.search import pipeline_histogram_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return pipeline_histogram_agg(
+        hits, "ts", 86400, "value", moving_window=3, serial_diff_lag=4
+    ).select("bucket_epoch", "total_value", "serial_diff")
+
+
 def q_search_auto_histogram(spark, sf_dir):
     """Auto-interval date histogram (ES ``auto_date_histogram``):
     "about 20 bars" over the purchase hit set — the interval is the
@@ -3374,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/rotation.py priority; each new entry displaces the
         # youngest in-window P0b below the boundary).
         "langid_classifier": q_langid_classifier,
+        "search_serial_diff": q_search_serial_diff,
         "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_script": q_search_bucket_script,
@@ -3422,8 +3437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
-        "kcenter_select": q_kcenter_select,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "kcenter_select": q_kcenter_select,
         # (the r12 P0 additions displaced these P0b)
         "knn_graph": q_knn_graph,
         "knn_quantized": q_knn_quantized,
@@ -4380,6 +4395,20 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY bucket_epoch
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                            ))::DOUBLE, 6) AS moving_avg
+            FROM hist
+        """,
+        "search_serial_diff": """
+            WITH hist AS (
+              SELECT ((epoch_us(ts) // 86400000000) * 86400)::BIGINT
+                         AS bucket_epoch,
+                     round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                         AS total_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1)
+            SELECT bucket_epoch, total_value,
+                   round(total_value
+                         - lag(total_value, 4) OVER (ORDER BY bucket_epoch),
+                         6) AS serial_diff
             FROM hist
         """,
         # search_percentiles_approx: SHARED ORACLE with the exact

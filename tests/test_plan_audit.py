@@ -888,6 +888,7 @@ def test_auto_histogram_body_is_one_scan(plans10c):
 
 
 ROUND12 = [
+    "langid_classifier",
     "search_after",
     "search_bucket_selector",
     "search_bucket_sort",
@@ -988,3 +989,15 @@ def test_search_after_cursor_pushes_and_cut_is_takeordered(plans12):
     assert "TakeOrderedAndProject" in phys, "page cut is not top-k"
     assert re.search(r"PushedFilters: \[.*LessThan\(value,500", phys), (
         "cursor range did not push to the scan")
+
+
+def test_langid_classifier_broadcast_model_no_python(plans12):
+    """Trained langid: the weight table re-enters only by broadcast
+    (the corpus never shuffles for the model), there is no
+    per-row Python (the whole path is JVM column algebra), no
+    window, and no sort-merge join anywhere."""
+    a, phys, _ = plans12["langid_classifier"]
+    assert "BroadcastHashJoin" in phys, "model join is not a broadcast"
+    assert "SortMergeJoin" not in phys, phys[:1500]
+    assert "Window" not in phys, "unexpected window in the argmax"
+    assert "EvalPython" not in phys, "Python crept into the langid path"

@@ -238,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--serial-diff-lag", type=int, default=None,
+                    help="add ES serial_diff (lag-N difference) to the "
+                         "--pipeline-interval frame")
     ps.add_argument("--bucket-script", default=None, metavar="N=EXPR[;...]",
                     help="bucket_script pipeline stage: add computed "
                          "metric columns (SQL over the bucket metrics) "
@@ -757,6 +760,7 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(pipeline_histogram_agg(
                     hits_df(), config.time_field, a.pipeline_interval,
                     a.pipeline_value, moving_window=a.moving_window,
+                    serial_diff_lag=a.serial_diff_lag,
                 ).orderBy("bucket_epoch").collect())
             if a.percentile_ranks:
                 from toshokan_spark.search import percentile_ranks_agg

@@ -1301,12 +1301,15 @@ def pipeline_histogram_agg(
     interval_seconds: int,
     value_col: str,
     moving_window: int = 3,
+    serial_diff_lag: "int | None" = None,
 ) -> DataFrame:
     """Pipeline aggregations over a date histogram — ES's
     ``derivative`` / ``cumulative_sum`` / ``moving_fn`` stages in one
     frame: per bucket, the value sum plus its bucket-over-bucket
     delta, running total, and trailing ``moving_window``-bucket
-    moving average.
+    moving average. ``serial_diff_lag=N`` adds ES's ``serial_diff``
+    stage — the lag-``N`` difference (seasonality removal; lag 1
+    coincides with the derivative).
 
     Scale: the pipeline stages are windows ordered by bucket over the
     ALREADY-AGGREGATED histogram frame — its row count is
@@ -1328,10 +1331,10 @@ def pipeline_histogram_agg(
         w.rowsBetween(-(moving_window - 1), 0)
     )
     mov_n = F.count(dsum).over(w.rowsBetween(-(moving_window - 1), 0))
-    return hist.select(
-        "bucket_epoch",
-        "n_hits",
-        "total_value",
+    cols = [
+        F.col("bucket_epoch"),
+        F.col("n_hits"),
+        F.col("total_value"),
         F.round(dsum - prev, 6).alias("derivative"),
         F.round(run.cast("double"), 6).alias("cumulative"),
         # double-side division of the decimal-exact window sum: a
@@ -1340,7 +1343,18 @@ def pipeline_histogram_agg(
         F.round(
             mov_sum.cast("double") / mov_n.cast("double"), 6
         ).alias("moving_avg"),
-    )
+    ]
+    if serial_diff_lag is not None:
+        if serial_diff_lag <= 0:
+            raise ValueError(
+                f"serial_diff_lag must be positive, got {serial_diff_lag}"
+            )
+        cols.append(
+            F.round(dsum - F.lag(dsum, serial_diff_lag).over(w), 6).alias(
+                "serial_diff"
+            )
+        )
+    return hist.select(*cols)
 
 
 def bucket_selector(buckets: DataFrame, condition: str) -> DataFrame:
