@@ -3061,6 +3061,23 @@ def q_langid_classifier(spark, sf_dir):
     return textops.langid_classifier(_t(spark, sf_dir, "documents"))
 
 
+def q_train_quality_classifier(spark, sf_dir):
+    """Classifier TRAINING at scale (textops.train_hashed_classifier
+    — the missing half of the model-based filter: DCLM/fastText
+    pipelines train this on a labeled seed set before filtering):
+    3 batch-GD iterations on hashed unigram+bigram features with
+    lang='en' as the label, then the trained weights applied through
+    the standard hashed_linear_score path. Every training step is
+    rational arithmetic over decimal-exact sums, so the oracle
+    replays the full 3-round descent bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w = textops.train_hashed_classifier(labeled, label_col="y", iters=3)
+    return textops.hashed_linear_score(docs, w)
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textops.fingerprint(docs)
@@ -3388,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/rotation.py priority; each new entry displaces the
         # youngest in-window P0b below the boundary).
         "langid_classifier": q_langid_classifier,
+        "train_quality_classifier": q_train_quality_classifier,
         "search_serial_diff": q_search_serial_diff,
         "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
@@ -3436,8 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stages": q_funnel_stages,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_roundtrip": q_ingest_roundtrip,
-        "json_path_filter": q_json_path_filter,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "json_path_filter": q_json_path_filter,
         "kcenter_select": q_kcenter_select,
         # (the r12 P0 additions displaced these P0b)
         "knn_graph": q_knn_graph,
@@ -3781,6 +3799,75 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _trained_classifier_oracle_sql(iters: int = 3, lr: float = 0.5) -> str:
+    """DuckDB twin of textops.train_hashed_classifier + the
+    hashed_linear_score apply: the full ``iters``-round batch
+    gradient descent unrolled as CTE chains (w1..wN), every step the
+    same rational arithmetic over decimal-exact sums the Spark
+    implementation folds, then the standard apply/sigmoid shape of
+    the quality_classifier oracle."""
+    poly = _poly_sql("f", 1103515245, 0, 1_000_000_007, 5381)
+    head = f"""
+        WITH base AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS ws
+          FROM documents),
+        feats AS (
+          SELECT doc_id, unnest(
+            ws || CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END) AS f
+          FROM base),
+        idxed AS (
+          SELECT doc_id, ({poly}) % 4096 AS idx FROM feats),
+        nc AS (SELECT doc_id, count(*) AS n FROM idxed GROUP BY 1),
+        lab AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents),
+        tb AS (
+          SELECT i.doc_id, i.idx, nc.n, lab.y
+          FROM idxed i JOIN nc USING (doc_id) JOIN lab USING (doc_id)),
+        r1 AS (
+          SELECT doc_id, ((0.0 / n) - y) / n AS r
+          FROM (SELECT DISTINCT doc_id, n, y FROM tb)),
+        g1 AS (
+          SELECT idx, sum(r::DECIMAL(38,18))::DOUBLE AS g
+          FROM tb JOIN r1 USING (doc_id) GROUP BY idx),
+        w1 AS (SELECT idx, -{lr} * g AS w FROM g1)"""
+    rounds = []
+    for t in range(2, iters + 1):
+        rounds.append(f""",
+        s{t} AS (
+          SELECT doc_id, y, n,
+                 sum(coalesce(w, 0.0)::DECIMAL(38,18))::DOUBLE AS wsum
+          FROM tb LEFT JOIN w{t - 1} USING (idx)
+          GROUP BY 1, 2, 3),
+        r{t} AS (SELECT doc_id, ((wsum / n) - y) / n AS r FROM s{t}),
+        g{t} AS (
+          SELECT idx, sum(r::DECIMAL(38,18))::DOUBLE AS g
+          FROM tb JOIN r{t} USING (doc_id) GROUP BY idx),
+        w{t} AS (
+          SELECT g.idx, coalesce(w.w, 0.0) - {lr} * g.g AS w
+          FROM g{t} g LEFT JOIN w{t - 1} w USING (idx))""")
+    tail = f""",
+        agg AS (
+          SELECT doc_id, count(*) AS n_feats,
+                 sum(coalesce(w, 0.0)::DECIMAL(38,18))::DOUBLE AS wsum
+          FROM idxed LEFT JOIN w{iters} USING (idx) GROUP BY doc_id)
+        SELECT b.doc_id,
+          coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+          coalesce(round(1.0 / (1.0 + exp(-(a.wsum / a.n_feats))), 6), 0.0)
+            AS prob,
+          coalesce(round(1.0 / (1.0 + exp(-(a.wsum / a.n_feats))), 6) >= 0.5,
+                   FALSE) AS label
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+    return head + "".join(rounds) + tail
+
+
 #: 128 KM-combined minhash values from the h1/h2 lists
 _MH_SIGS = ", ".join(
     f"list_min(list_transform(range(1, len(h1)+1), t -> (h1[t] + {i} * h2[t]) % 2147483647))"
@@ -3973,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "langid_classifier": _langid_oracle_sql(),
+        "train_quality_classifier": _trained_classifier_oracle_sql(),
         # search_after: keyset page 2 — cursor strictly-after filter,
         # value DESC with event_id ASC tiebreak
         "search_after": """

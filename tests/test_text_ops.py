@@ -30,3 +30,31 @@ def test_langid_classifier_discriminates_eight_languages(spark):
         assert out[i][1] > 0.3, ("confidence too flat", i, out[i])
     assert out[8][0] == "und" and out[8][1] == 0.125
     assert out[8][2] == 7  # 4 unigrams + 3 bigrams still counted
+
+
+def test_train_hashed_classifier_learns_separable_classes(spark):
+    """3 GD rounds on a cleanly word-separable corpus must rank every
+    positive above every negative through the standard apply path
+    (hashed_linear_score on the trained weights)."""
+    from toshokan_spark.operators.text import (
+        hashed_linear_score,
+        train_hashed_classifier,
+    )
+
+    rows = []
+    for i in range(20):
+        good = "signal quality prime excellent useful " * 4
+        bad = "noise junk spam garbage filler " * 4
+        rows.append((i, good if i % 2 == 0 else bad, float(i % 2 == 0)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    w = train_hashed_classifier(df, label_col="y", iters=3)
+    scored = {
+        r["doc_id"]: r["prob"]
+        for r in hashed_linear_score(df, w).collect()
+    }
+    pos = [scored[i] for i in range(20) if i % 2 == 0]
+    neg = [scored[i] for i in range(20) if i % 2 == 1]
+    assert min(pos) > max(neg), (min(pos), max(neg))
+    # and the trained model is deterministic: retrain == same weights
+    w2 = train_hashed_classifier(df, label_col="y", iters=3)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))

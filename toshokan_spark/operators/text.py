@@ -993,6 +993,103 @@ def hashed_linear_score(
     )
 
 
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str = "y",
+    dim: int = 4096,
+    iters: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "poly",
+) -> DataFrame:
+    """TRAIN the hashed linear classifier
+    (:func:`hashed_linear_score`'s missing half — DCLM/fastText-style
+    pipelines train exactly this model on labeled seed sets before
+    filtering the corpus): batch gradient descent on the
+    mean-hashed-feature representation, least-squares residuals.
+
+    Per iteration: score s_i = Σ_f w[h(f)] / n_i, residual
+    r_i = (s_i − y_i)/n_i, gradient g_j = Σ_{occurrences of j} r_i,
+    update w_j ← w_j − lr·g_j. Least squares, not logistic, ON
+    PURPOSE: every step is rational arithmetic over decimal-exact
+    sums, so two engines reproduce the trained weights bit-for-bit
+    (a logistic residual is the same plumbing with sigmoid(s_i) —
+    but iterated ``exp`` puts ulp-amplification inside the value
+    contract). The returned ``(idx, w)`` frame feeds
+    :func:`hashed_linear_score` unchanged (sigmoid at APPLY time is
+    monotone, so the decision boundary is the trained one).
+
+    Scale shape: the feature stream is computed once and persisted;
+    each iteration is one broadcast join against the model-sized
+    weight table, one groupBy(doc) and one groupBy(idx) — gradients
+    and weights are O(dim) frames, lineage-checkpointed per round so
+    ``iters`` never deepens a plan. No window, no UDF, no driver
+    collect."""
+    from toshokan_spark.operators.util import finalize_cached
+
+    feats = _hashed_features(df, id_col, text_col, dim, hash_family)
+    meta = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    n = feats.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    base = feats.join(n, "id").join(meta, "id").persist()
+    try:
+        base.count()
+        w = None
+        for _t in range(iters):
+            if w is None:
+                scored = base.groupBy("id", "y", "n").agg(
+                    F.lit(0.0).alias("wsum")
+                )
+            else:
+                scored = (
+                    base.join(F.broadcast(w), "idx", "left")
+                    .groupBy("id", "y", "n")
+                    .agg(
+                        F.sum(
+                            F.coalesce(F.col("w"), F.lit(0.0)).cast(
+                                "decimal(38,18)"
+                            )
+                        )
+                        .cast("double")
+                        .alias("wsum")
+                    )
+                )
+            r = scored.select(
+                "id",
+                (
+                    (F.col("wsum") / F.col("n") - F.col("y")) / F.col("n")
+                ).alias("r"),
+            )
+            grad = (
+                base.join(r, "id")
+                .groupBy("idx")
+                .agg(
+                    F.sum(F.col("r").cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("g")
+                )
+            )
+            if w is None:
+                w = grad.select(
+                    "idx", (F.lit(-lr) * F.col("g")).alias("w")
+                )
+            else:
+                w = grad.join(w, "idx", "left").select(
+                    "idx",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0))
+                        - F.lit(lr) * F.col("g")
+                    ).alias("w"),
+                )
+            w = finalize_cached(w)  # model-sized; cuts per-round lineage
+        return w
+    finally:
+        base.unpersist()
+
+
 def dsir_log_weights(
     df: DataFrame,
     target: DataFrame,
