@@ -888,6 +888,7 @@ def test_auto_histogram_body_is_one_scan(plans10c):
 
 
 ROUND12 = [
+    "knn_pq_persisted",
     "langid_classifier",
     "search_after",
     "search_bucket_selector",
@@ -1001,3 +1002,13 @@ def test_langid_classifier_broadcast_model_no_python(plans12):
     assert "SortMergeJoin" not in phys, phys[:1500]
     assert "Window" not in phys, "unexpected window in the argmax"
     assert "EvalPython" not in phys, "Python crept into the langid path"
+
+
+def test_knn_pq_persisted_reads_codes_only(plans12):
+    """The persisted-codes ADC query must be ONE scan of the 16-byte
+    code columns — never the vectors: no join (the LUT is literal),
+    a TakeOrdered cut, and no embedding column in any ReadSchema."""
+    a, phys, _ = plans12["knn_pq_persisted"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys, "cut is not top-k"
+    assert "embedding" not in phys, "query-time plan touched the vectors"

@@ -1465,6 +1465,116 @@ def bitext_margin_pairs(
     return out
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    m_subspaces: int = 4,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """The deterministic PQ codebook :func:`knn_pq` trains —
+    ``cw[m][j]`` = codeword ``j``'s subvector in subspace ``m`` (the
+    subvectors of the ``n_codewords`` lowest-id corpus vectors; see
+    knn_pq's docstring for why that sample is the oracle-provable
+    stand-in for a k-means fit). Model-sized driver state."""
+    first = corpus.orderBy(F.col(id_col).asc()).limit(n_codewords)
+    cb_rows = [list(r[0]) for r in first.select(vec_col).collect()]
+    if len(cb_rows) < n_codewords:
+        raise ValueError(
+            f"corpus has {len(cb_rows)} vectors < n_codewords={n_codewords}"
+        )
+    dim = len(cb_rows[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    sub = dim // m_subspaces
+    return [
+        [row[m * sub:(m + 1) * sub] for row in cb_rows]
+        for m in range(m_subspaces)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INDEX-TIME PQ encoding — the persisted-codes half of the
+    100 TB story knn_pq's docstring promises: reduce every vector to
+    ``(id, code_0..code_{M-1})`` (M small ints ≈ 16 bytes vs 256 for
+    a float64[64]), written once at index time so query-time scans
+    read codes, never vectors. One corpus scan, per-row column
+    algebra (the codebook enters as folded literals), no shuffle.
+    Ties in the per-subspace argmin break to the smallest codeword
+    id — identical to knn_pq's inline encode, so scoring persisted
+    codes reproduces its results exactly."""
+    m_subspaces = len(codebook)
+    sub = len(codebook[0][0])
+    n_codewords = len(codebook[0])
+    cols = [F.col(id_col).alias("vec_id")]
+    for m in range(m_subspaces):
+        csub = F.slice(F.col(vec_col), m * sub + 1, sub)
+        cols.append(
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _l2_to_literal(csub, codebook[m][jj]).alias("d"),
+                            F.lit(jj).alias("cid"),
+                        )
+                        for jj in range(n_codewords)
+                    ]
+                )
+            ).getField("cid").alias(f"code_{m}")
+        )
+    return spread(corpus.select(id_col, vec_col)).select(*cols)
+
+
+def knn_pq_from_codes(
+    codes: DataFrame,
+    codebook: "list[list[list[float]]]",
+    query_vec: "list[float]",
+    k: int = 10,
+) -> DataFrame:
+    """QUERY-TIME ADC scoring over a PERSISTED codes table: the
+    query-to-codeword look-up table is M×K floats computed
+    driver-side and folded into the plan as literals, so the whole
+    query is ONE scan of the 16-byte-per-vector codes column + a
+    distributed TakeOrdered — no vector is ever read, no shuffle, no
+    join. Same (adc_dist, vec_id) total order as :func:`knn_pq`."""
+    m_subspaces = len(codebook)
+    n_codewords = len(codebook[0])
+    sub = len(codebook[0][0])
+    lut = [
+        [
+            sum(
+                (query_vec[m * sub + t] - codebook[m][jj][t]) ** 2
+                for t in range(sub)
+            )
+            for jj in range(n_codewords)
+        ]
+        for m in range(m_subspaces)
+    ]
+    score = None
+    for m in range(m_subspaces):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[m]]),
+            F.col(f"code_{m}") + 1,
+        )
+        score = term if score is None else score + term
+    scored = codes.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(m_subspaces)],
+        F.round(score, 6).alias("adc_dist"),
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def knn_pq(
     corpus: DataFrame,
     query_id: int,
