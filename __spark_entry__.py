@@ -748,6 +748,21 @@ def q_search_pipeline_aggs(spark, sf_dir):
     return pipeline_histogram_agg(hits, "ts", 86400, "value", moving_window=3)
 
 
+def q_search_histogram_filled(spark, sf_dir):
+    """Empty-bucket fill (ES ``min_doc_count: 0``): the 6-hour
+    histogram of high-value purchases — a sparse series (~35 of ~116
+    spine buckets populated) — emitted CONTIGUOUSLY, gap buckets as
+    zero counts/sums. The spine is one sequence() explode off the
+    histogram's own 1-row min/max aggregate; corpus work unchanged."""
+    from toshokan_spark.search import date_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "value:>190 AND event_type:purchase")
+    return date_histogram(
+        hits, "ts", 6 * 3600, value_col="value", fill_empty=True
+    )
+
+
 def q_search_serial_diff(spark, sf_dir):
     """serial_diff pipeline stage (ES seasonality differencing): the
     daily purchase histogram with its lag-4 value difference alongside
@@ -3436,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_classifier": q_train_quality_classifier,
         "knn_pq_persisted": q_knn_pq_persisted,
         "search_serial_diff": q_search_serial_diff,
+        "search_histogram_filled": q_search_histogram_filled,
         "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_script": q_search_bucket_script,
@@ -3481,8 +3497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
         "kcenter_select": q_kcenter_select,
@@ -4513,6 +4529,25 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                            ))::DOUBLE, 6) AS moving_avg
             FROM hist
+        """,
+        "search_histogram_filled": """
+            WITH hist AS (
+              SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT
+                         AS bucket_epoch,
+                     count(*)::BIGINT AS n_hits,
+                     round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                         AS total_value
+              FROM events WHERE value > 190 AND event_type = 'purchase'
+              GROUP BY 1),
+            spine AS (
+              SELECT unnest(generate_series(
+                       (SELECT min(bucket_epoch) FROM hist),
+                       (SELECT max(bucket_epoch) FROM hist),
+                       21600))::BIGINT AS bucket_epoch)
+            SELECT s.bucket_epoch,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.total_value, 0.0) AS total_value
+            FROM spine s LEFT JOIN hist h USING (bucket_epoch)
         """,
         "search_serial_diff": """
             WITH hist AS (

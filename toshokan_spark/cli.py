@@ -238,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
                          "sum / trailing --moving-window moving average")
     ps.add_argument("--pipeline-value", default=None, metavar="F")
     ps.add_argument("--moving-window", type=int, default=3)
+    ps.add_argument("--histogram-fill-empty", action="store_true",
+                    help="ES min_doc_count:0 — emit gap buckets with "
+                         "zero counts so the series is contiguous")
     ps.add_argument("--serial-diff-lag", type=int, default=None,
                     help="add ES serial_diff (lag-N difference) to the "
                          "--pipeline-interval frame")
@@ -906,7 +909,8 @@ def main(argv: list[str] | None = None) -> int:
                     print("error: index has no time_field", file=sys.stderr)
                     return 2
                 out = _bucket_pipeline(date_histogram(
-                    hits_df(), config.time_field, a.histogram_interval
+                    hits_df(), config.time_field, a.histogram_interval,
+                    fill_empty=a.histogram_fill_empty,
                 ))
                 rows = (out.collect() if a.bucket_sort
                         else sorted(out.collect(),

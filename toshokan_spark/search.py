@@ -547,13 +547,22 @@ def date_histogram(
     time_col: str,
     interval_seconds: int,
     value_col: "str | None" = None,
+    fill_empty: bool = False,
 ) -> DataFrame:
     """Date-histogram aggregation over a query's hit set (the other
     half of the log-analytics panel): hits bucketed into fixed
     ``interval_seconds`` windows aligned to the epoch, per-bucket hit
     count and optional value sum. One partial-aggregated groupBy on
     the bucket key — bucket count is time-range/interval, never
-    corpus-sized."""
+    corpus-sized.
+
+    ``fill_empty=True`` is ES's ``min_doc_count: 0``: gap buckets
+    between the first and last populated bucket are emitted with zero
+    counts/sums (charting and the pipeline stages want a contiguous
+    series — a derivative across a silent hour should see the dip).
+    The spine is one ``sequence()`` explode off the histogram's own
+    1-row min/max aggregate — metadata-sized, joined back broadcast;
+    the corpus-side work is unchanged."""
     if interval_seconds <= 0:
         raise ValueError(
             f"interval_seconds must be positive, got {interval_seconds}"
@@ -574,7 +583,33 @@ def date_histogram(
                 F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double"), 6
             ).alias("total_value")
         )
-    return hits.groupBy(bucket).agg(*aggs)
+    hist = hits.groupBy(bucket).agg(*aggs)
+    if not fill_empty:
+        return hist
+    spine = (
+        hist.agg(
+            F.min("bucket_epoch").alias("mn"), F.max("bucket_epoch").alias("mx")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("mn"), F.col("mx"), F.lit(interval_seconds).cast("long")
+                )
+            ).alias("bucket_epoch")
+        )
+    )
+    filled = spine.join(hist, "bucket_epoch", "left").select(
+        "bucket_epoch",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        *(
+            [
+                F.coalesce("total_value", F.lit(0.0)).alias("total_value")
+            ]
+            if value_col is not None
+            else []
+        ),
+    )
+    return filled
 
 def stats_agg(hits: DataFrame, field: str) -> DataFrame:
     """Stats aggregation over a query's hit set — the search-layer
