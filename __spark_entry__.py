@@ -748,6 +748,20 @@ def q_search_pipeline_aggs(spark, sf_dir):
     return pipeline_histogram_agg(hits, "ts", 86400, "value", moving_window=3)
 
 
+def q_search_highlight(spark, sf_dir):
+    """Hit highlighting (search.py::highlight — ES/quickwit snippet
+    parity): Spanish docs matching text:spark, the text column with
+    every positive query word <em>-wrapped on case-insensitive word
+    boundaries, trimmed to an 80-char fragment around the first
+    match. One narrow JVM-regex projection."""
+    from toshokan_spark.search import highlight
+
+    docs = _t(spark, sf_dir, "documents")
+    hits = _search(docs, DOCS_CONFIG, "text:spark AND lang:es")
+    return highlight(hits, "text:spark AND lang:es", "text",
+                     fragment_size=80).select("doc_id", "snippet")
+
+
 def q_search_histogram_filled(spark, sf_dir):
     """Empty-bucket fill (ES ``min_doc_count: 0``): the 6-hour
     histogram of high-value purchases — a sparse series (~35 of ~116
@@ -3452,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_persisted": q_knn_pq_persisted,
         "search_serial_diff": q_search_serial_diff,
         "search_histogram_filled": q_search_histogram_filled,
+        "search_highlight": q_search_highlight,
         "search_after": q_search_after,
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_script": q_search_bucket_script,
@@ -3496,8 +3511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
-        "funnel_stages": q_funnel_stages,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "funnel_stages": q_funnel_stages,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
@@ -4529,6 +4544,24 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                            ))::DOUBLE, 6) AS moving_avg
             FROM hist
+        """,
+        # highlight: <em>-wrap positive query words, 80-char fragment
+        # around the first marker (strpos/locate are both 1-based,
+        # 0-when-absent — identical arithmetic)
+        "search_highlight": """
+            WITH hl AS (
+              SELECT doc_id,
+                     regexp_replace(text, '\\b(spark)\\b',
+                                    '<em>\\1</em>', 'ig') AS snip
+              FROM documents
+              WHERE lang = 'es'
+                AND regexp_matches(lower(text),
+                      '(^|[^a-z0-9])spark([^a-z0-9]|$)'))
+            SELECT doc_id,
+                   substring(snip,
+                             greatest(1, strpos(snip, '<em>') - 20),
+                             80) AS snippet
+            FROM hl
         """,
         "search_histogram_filled": """
             WITH hist AS (

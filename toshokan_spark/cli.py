@@ -302,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
                          "page-1 money")
     ps.add_argument("--tiebreak", default=None, metavar="F",
                     help="unique ascending tiebreak field for --after")
+    ps.add_argument("--highlight", default=None, metavar="F",
+                    help="emit hits with this field's positive query "
+                         "words <em>-wrapped (word-boundary, "
+                         "case-insensitive)")
+    ps.add_argument("--highlight-frag", type=int, default=None,
+                    metavar="N",
+                    help="trim the highlighted field to an N-char "
+                         "fragment around the first match")
     ps.add_argument("--at-version", type=int, default=None,
                     help="time-travel: run against the index snapshot "
                          "at this retained manifest version (see "
@@ -934,6 +942,27 @@ def main(argv: list[str] | None = None) -> int:
                                  sort_keys=True, separators=(",", ":")))
             return 0
         from toshokan_spark.search import search
+
+        if a.highlight is not None:
+            from toshokan_spark.search import (
+                highlight,
+                prettify_doc,
+                search_df,
+            )
+
+            df = search_df(spark, catalog, a.index, a.query,
+                           limit=a.limit, at_version=a.at_version)
+            df = highlight(df, a.query, a.highlight,
+                           fragment_size=a.highlight_frag)
+            config = catalog.get_index(a.index)
+            for r in df.collect():
+                d = r.asDict(recursive=True)
+                snip = d.pop("snippet", None)
+                print(json.dumps(
+                    {"snippet": snip,
+                     "doc": json.loads(prettify_doc(d, config))},
+                    sort_keys=True, separators=(",", ":")))
+            return 0
 
         if a.after is not None or a.tiebreak is not None:
             if not (a.search_sort and a.tiebreak):

@@ -257,6 +257,96 @@ def search_df(
     return out
 
 
+def _positive_highlight_words(node, field: str) -> "list[str]":
+    """The POSITIVE query words that target *field* (or are
+    unqualified): Term/Prefix/Phrase/PhrasePrefix under must/should;
+    must_not branches are excluded (ES's highlighter likewise never
+    marks negated terms). Phrases contribute their words."""
+    from toshokan_spark.plans.ast import (
+        BoolQuery,
+        Fuzzy,
+        Phrase,
+        PhrasePrefix,
+        Prefix,
+        Term,
+    )
+
+    out: "list[str]" = []
+
+    def walk(n, negated: bool) -> None:
+        if isinstance(n, BoolQuery):
+            for c in n.must + n.should:
+                walk(c, negated)
+            for c in n.must_not:
+                walk(c, True)
+            return
+        if negated:
+            return
+        tgt = getattr(n, "field", None)
+        if tgt is not None and tgt[0] != field:
+            return
+        if isinstance(n, (Term, Fuzzy)):
+            out.append((n.text, False))
+        elif isinstance(n, Prefix):
+            out.append((n.text, True))
+        elif isinstance(n, (Phrase, PhrasePrefix)):
+            last = isinstance(n, PhrasePrefix)
+            words = n.text.split()
+            for i, w in enumerate(words):
+                out.append((w, last and i == len(words) - 1))
+
+    walk(node, False)
+    return out
+
+
+def highlight(
+    hits: DataFrame,
+    query: str,
+    field: str,
+    pre: str = "<em>",
+    post: str = "</em>",
+    fragment_size: "int | None" = None,
+) -> DataFrame:
+    """ES/quickwit-style hit highlighting (the reference CLI prints
+    raw docs only — search-layer extension like the panel aggs): a
+    ``snippet`` column of *field* with every word the query
+    positively matches wrapped in ``pre``/``post`` markers,
+    case-insensitive on word boundaries; ``fragment_size`` trims to
+    a window around the first match (1-based ``locate`` + substring
+    — the same arithmetic in both engines). Pure JVM regex — one
+    narrow projection, nothing per-row in Python.
+
+    Approximation contract: marking is word-boundary regex over the
+    RAW text (prefixes become ``word\\w*``), not a replay of the
+    tokenizer — stemmed matches ('running' for ``text:run``) are not
+    marked. That is also ES's plain-highlighter behavior."""
+    import re as _re
+
+    # unqualified -> _dynamic routing (the §2.4 query rule): an
+    # undeclared field reads its JSON-decoded remainder value
+    src = F.col(field)
+    if field not in hits.columns and DYNAMIC_FIELD_NAME in hits.columns:
+        src = F.get_json_object(
+            F.col(DYNAMIC_FIELD_NAME).getItem(field), "$"
+        )
+    node = parse_query(query)
+    words = _positive_highlight_words(node, field)
+    if not words:
+        return hits.withColumn("snippet", src)
+    alts = "|".join(
+        _re.escape(w.lower()) + (r"\w*" if is_pre else "")
+        for w, is_pre in dict.fromkeys(words)
+    )
+    pat = r"(?i)\b(" + alts + r")\b"
+    snip = F.regexp_replace(src, pat, pre + "$1" + post)
+    if fragment_size is not None:
+        start = F.greatest(
+            F.lit(1), F.locate(pre, snip) - F.lit(fragment_size // 4)
+        )
+        snip = F.substring(snip, start, fragment_size)
+    return hits.withColumn("snippet", snip)
+
+
 def keyset_page(
     hits: DataFrame,
     sort_field: str,
