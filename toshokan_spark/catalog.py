@@ -513,7 +513,7 @@ class FsCatalog:
         self,
         name: str,
         remove_ids: list[str],
-        add: Optional[SegmentEntry],
+        add: "Optional[SegmentEntry | list[SegmentEntry]]",
         clear_delete_ids: "Optional[list[str]]" = None,
     ) -> None:
         """Atomic replace used by merge/compaction: new segment in, old
@@ -527,7 +527,9 @@ class FsCatalog:
             ver, segs, dels = self._read_versioned_full(name)
             out = [s for s in segs if s.id not in set(remove_ids)]
             if add is not None:
-                out.append(add)
+                # a list swaps several in atomically (the cluster-by
+                # compaction's range-disjoint outputs)
+                out.extend(add if isinstance(add, list) else [add])
             # coverage is re-checked AT SWAP TIME: a segment committed
             # while the merge ran (CAS preserves it in `out`) was never
             # filtered by the merge, so the tombstones must stay

@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
 
     pm = sub.add_parser("merge")
     pm.add_argument("index")
+    pm.add_argument("--cluster-by", default=None, metavar="F",
+                    help="range-clustered compaction: rewrite the index "
+                         "into --clusters value-disjoint segments on this "
+                         "field so manifest zone maps prune range/equality "
+                         "queries (one-dimensional ZORDER analog)")
+    pm.add_argument("--clusters", type=int, default=4)
+    pm.add_argument("--approx-bounds", action="store_true",
+                    help="approx_percentile split bounds (the 100 TB "
+                         "default — bounds only steer placement)")
 
     pa = sub.add_parser(
         "alter",
@@ -493,9 +502,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "merge":
+        spark = _spark()
+        if a.cluster_by:
+            from toshokan_spark.maintenance import cluster_merge_segments
+
+            entries = cluster_merge_segments(
+                spark, catalog, a.index, a.cluster_by,
+                n_clusters=a.clusters,
+                exact_bounds=not a.approx_bounds,
+            )
+            if not entries:
+                print("clustered: pending deletes wiped every row; "
+                      "segments removed")
+            else:
+                for e in entries:
+                    lo, hi = (e.field_stats or {}).get(
+                        a.cluster_by, (None, None))
+                    print(f"clustered segment {e.id} ({e.num_rows} rows, "
+                          f"{a.cluster_by} in [{lo}, {hi}])")
+            return 0
         from toshokan_spark.maintenance import merge_segments
 
-        spark = _spark()
         entry = merge_segments(spark, catalog, a.index)
         if entry is None:
             print("merged: pending deletes wiped every row; segments removed")

@@ -147,6 +147,35 @@ def write_segment(
         # the exactly-once upgrade over the reference's at-least-once
         # contract (`kafka_source.rs:380-394`, SURVEY §2.7)
         return None
+    built = build_segment(
+        catalog, config, typed, target_files=target_files, batch_id=batch_id
+    )
+    if built is None:
+        return None
+    entry, seg_path, seg_name = built
+    # data first, manifest second (`src/commands/mod.rs:178-187`)
+    if not catalog.commit_segment(config.name, entry):
+        # lost the idempotence race — leave no orphan data behind
+        catalog.data_storage(config).delete_tree(seg_path)
+        catalog.data_storage(config).delete_tree(stats_path(config, seg_name))
+        return None
+    return entry
+
+
+def build_segment(
+    catalog: FsCatalog,
+    config: IndexConfig,
+    typed: DataFrame,
+    target_files: Optional[int] = None,
+    batch_id: Optional[str] = None,
+) -> "Optional[tuple[SegmentEntry, str, str]]":
+    """Write a new segment's data + stats and DESCRIBE it (zone maps,
+    day range, additive sums, histograms, BM25 stats, token blooms)
+    WITHOUT manifesting it — returns ``(entry, seg_path, seg_name)``,
+    or None for an empty batch (the data is cleaned up). Callers pick
+    the commit: :func:`write_segment` appends via ``commit_segment``;
+    the cluster-by compaction (`maintenance.cluster_merge_segments`)
+    builds several and swaps them in atomically."""
     seg_id = uuid7()
     seg_name = f"seg-{seg_id}"
     # scheme-preserving join: the same URI drives the Spark write
@@ -289,13 +318,7 @@ def write_segment(
         field_sums=field_sums,
         field_histograms=field_histograms,
     )
-    # data first, manifest second (`src/commands/mod.rs:178-187`)
-    if not catalog.commit_segment(config.name, entry):
-        # lost the idempotence race — leave no orphan data behind
-        catalog.data_storage(config).delete_tree(seg_path)
-        catalog.data_storage(config).delete_tree(stats_path(config, seg_name))
-        return None
-    return entry
+    return entry, seg_path, seg_name
 
 
 def compute_field_histograms(config, df) -> "dict | None":

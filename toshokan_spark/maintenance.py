@@ -325,6 +325,136 @@ def merge_segments(
     return entry
 
 
+def cluster_merge_segments(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    cluster_by: str,
+    n_clusters: int = 4,
+    rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+    exact_bounds: bool = True,
+) -> "list[SegmentEntry]":
+    """Range-clustered compaction: rewrite the WHOLE index into
+    ``n_clusters`` range-disjoint segments on ``cluster_by`` — the
+    data-layout optimization plain :func:`merge_segments` cannot give
+    (it preserves layout; the reference's merge likewise just
+    concatenates, `merge.rs:38-48`).
+
+    Why this matters at 100 TB: the manifest's per-segment zone maps
+    prune BEFORE any plan is built, but they only help if segments are
+    value-disjoint on the queried field. Ingestion order rarely is —
+    every segment spans the full value range and nothing prunes.
+    After clustering, a range/equality query on ``cluster_by``
+    touches ~1/``n_clusters`` of the data at the MANIFEST level —
+    before Spark even lists files. This is the zone-map analog of
+    Delta/Iceberg's ``OPTIMIZE ... ZORDER BY`` with one dimension,
+    where a plain range partition strictly beats a Z-curve.
+
+    Mechanics: one snapshot drives everything (the merge discipline);
+    pending deletes materialize into the rewrite (it covers every
+    segment, so tombstones clear in the same swap); split bounds are
+    the exact ``percentile_disc`` cuts of ``cluster_by``
+    (``exact_bounds=False`` switches to ``approx_percentile`` — the
+    100 TB default, bounds only steer placement so approximation is
+    harmless); the survivor frame is persisted once and each cluster
+    filters + writes through :func:`indexer.build_segment`, which
+    re-records zone maps, day ranges, additive sums, histograms, BM25
+    stats and token blooms per cluster; ONE atomic ``swap_segments``
+    manifests all clusters and retires every input."""
+    from toshokan_spark.indexer import build_segment, stats_path
+    from toshokan_spark.search import apply_deletes, read_segments
+
+    _ver, segs, deletes = catalog.snapshot(index_name)
+    if not segs:
+        raise MergeError("no segments to cluster")
+    if n_clusters < 2:
+        raise MergeError("n_clusters must be >= 2")
+    config = catalog.get_index(index_name)
+    paths = [join_path(config.path, s.file_name) for s in segs]
+    df = read_segments(
+        spark, paths, partitioned=config.time_field is not None
+    )
+    if deletes:
+        df = df.filter(
+            apply_deletes(F.lit(True), config, set(df.columns), deletes)
+        )
+    if cluster_by not in df.columns:
+        raise MergeError(f"unknown cluster field {cluster_by!r}")
+    # the indexer re-derives __day from the time field; feed it rows
+    df = df.drop("__day")
+
+    cuts = [i / n_clusters for i in range(1, n_clusters)]
+    if exact_bounds:
+        bexprs = [
+            f"percentile_disc({c}) WITHIN GROUP (ORDER BY `{cluster_by}`)"
+            for c in cuts
+        ]
+    else:
+        bexprs = [
+            f"approx_percentile(`{cluster_by}`, {c})" for c in cuts
+        ]
+    df = df.persist()
+    try:
+        brow = df.selectExpr(*bexprs).first()
+        bounds = [v for v in (brow[i] for i in range(len(cuts))) if v is not None]
+        bounds = sorted(set(bounds))  # duplicate cuts on skew collapse
+        total_rows = sum(s.num_rows for s in segs)
+        per_cluster_files = max(
+            1, math.ceil(total_rows / max(1, len(bounds) + 1) / rows_per_file)
+        )
+        new_entries: "list[SegmentEntry]" = []
+        new_paths: "list[str]" = []
+        col = F.col(cluster_by)
+        for i in range(len(bounds) + 1):
+            part = df
+            if i > 0:
+                part = part.filter(col >= F.lit(bounds[i - 1]))
+            if i < len(bounds):
+                cond = col < F.lit(bounds[i])
+                if i == 0:
+                    # nulls sort into the FIRST cluster (they fail
+                    # every bound test and would otherwise vanish)
+                    cond = cond | col.isNull()
+                part = part.filter(cond)
+            built = build_segment(
+                catalog, config, part, target_files=per_cluster_files
+            )
+            if built is None:
+                continue  # empty cluster (duplicate-heavy bound)
+            entry, seg_path, _seg_name = built
+            new_entries.append(entry)
+            new_paths.append(seg_path)
+        if not new_entries:
+            # deletes wiped everything: pure removal, like merge
+            catalog.swap_segments(
+                index_name,
+                [s.id for s in segs],
+                None,
+                clear_delete_ids=[d.id for d in deletes] if deletes else None,
+            )
+        else:
+            catalog.swap_segments(
+                index_name,
+                [s.id for s in segs],
+                new_entries,
+                clear_delete_ids=[d.id for d in deletes] if deletes else None,
+            )
+    except Exception:
+        # failed mid-build: remove any unmanifested cluster data
+        st = catalog.data_storage(config)
+        for p in list(locals().get("new_paths") or []):
+            st.delete_tree(p)
+        raise
+    finally:
+        df.unpersist()
+    # best-effort old-data delete; leaks tolerated (`merge.rs:68-71`)
+    st = catalog.data_storage(config)
+    for s, p in zip(segs, paths):
+        st.delete_tree(p)
+        st.delete_tree(stats_path(config, s.file_name))
+    return new_entries
+
+
 def _newest_mtime(st, path: str, depth: int = 6) -> float | None:
     """Newest store-reported mtime across the WHOLE tree under *path*
     (depth-capped). Recursion matters: an active Spark write touches
