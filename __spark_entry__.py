@@ -145,6 +145,20 @@ def _doc_urls(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_url(spark, sf_dir):
+    """Cross-batch canonical-URL dedup (operators/web.py::
+    incremental_url_dedup — the re-crawl path): docs with
+    doc_id % 4 == 0 arrive as the batch, the rest are the standing
+    store; each batch doc reports its canonical form, the standing
+    owner when already ingested, and the keep verdict (unseen AND
+    batch-first-writer)."""
+    urls = _doc_urls(spark, sf_dir)
+    batch = urls.filter(F.col("doc_id") % 4 == 0)
+    corpus = urls.filter(F.col("doc_id") % 4 != 0)
+    store = web.url_store_frame(corpus)
+    return web.incremental_url_dedup(batch, store)
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization (operators/web.py::canonical_url): the
     FineWeb/C4 URL-normalization stage — scheme/host case, default
@@ -192,6 +206,64 @@ def q_domain_filter(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("domain"))
     )
+
+
+def _canon_urls_cte() -> str:
+    """CTE chain ``urls -> ... -> canon(doc_id, url, canonical_url)``
+    — the DuckDB replay of operators/web.py::canonical_url over the
+    derived URL corpus, shared by the incremental URL-dedup oracle
+    (the url_canonicalize / url_dedup oracles spell the same steps
+    inline)."""
+    return f"""
+        urls AS (
+          SELECT doc_id, {_url_expr('//', 'VARCHAR')} AS url
+          FROM documents),
+        p1 AS (
+          SELECT doc_id, url,
+                 regexp_replace(url, '#.*$', '') AS no_frag
+          FROM urls),
+        p2 AS (
+          SELECT doc_id, url,
+                 regexp_extract(no_frag, '^([^?]*)', 1) AS base,
+                 CASE WHEN contains(no_frag, '?')
+                      THEN regexp_extract(no_frag, '\\?(.*)$', 1)
+                      ELSE '' END AS query
+          FROM p1),
+        p3 AS (
+          SELECT doc_id, url, query,
+            lower(regexp_extract(base,
+                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(base,
+                '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+          FROM p2),
+        p4 AS (
+          SELECT *,
+            regexp_extract(after, '^([^/]*)', 1) AS hostport,
+            substring(after,
+                length(regexp_extract(after, '^([^/]*)', 1)) + 1) AS path
+          FROM p3),
+        p5 AS (
+          SELECT *,
+            regexp_replace(lower(regexp_replace(hostport, ':\\d+$', '')),
+                           '^www\\.', '') AS host,
+            regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+            regexp_replace(path, '/+$', '') AS path_norm,
+            array_to_string(list_sort(list_filter(str_split(query, '&'),
+                x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)='))), '&')
+                AS params
+          FROM p4),
+        canon AS (
+          SELECT doc_id, url,
+               scheme || '://' || host ||
+               CASE WHEN port <> ''
+                         AND NOT (scheme = 'https' AND port = '443')
+                         AND NOT (scheme = 'http' AND port = '80')
+                    THEN ':' || port ELSE '' END ||
+               path_norm ||
+               CASE WHEN params <> '' THEN '?' || params ELSE '' END
+                   AS canonical_url
+          FROM p5)"""
 
 
 #: DuckDB side of the shared partsupp derivation (see _partsupp for
@@ -3471,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_script": q_search_bucket_script,
         "search_bucket_sort": q_search_bucket_sort,
+        "dedup_incremental_url": q_dedup_incremental_url,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "domain_filter": q_domain_filter,
@@ -3510,8 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "embedding_outliers": q_embedding_outliers,
         "embedding_stats": q_embedding_stats,
-        "event_conversions": q_event_conversions,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_roundtrip": q_ingest_roundtrip,
@@ -5469,6 +5542,23 @@ def oracle_sql() -> dict[str, str]:
             FROM canon
             GROUP BY canonical_url
             ORDER BY n_docs DESC, canonical_url ASC LIMIT 50
+        """,
+        "dedup_incremental_url": f"""
+            WITH {_canon_urls_cte()},
+            store AS (
+              SELECT canonical_url, min(doc_id) AS o_id
+              FROM canon WHERE doc_id % 4 <> 0 GROUP BY 1),
+            batchc AS (
+              SELECT doc_id, canonical_url
+              FROM canon WHERE doc_id % 4 = 0),
+            firstw AS (
+              SELECT canonical_url, min(doc_id) AS b_first
+              FROM batchc GROUP BY 1)
+            SELECT b.doc_id, b.canonical_url, s.o_id AS owner_id,
+                   (s.o_id IS NULL AND b.doc_id = f.b_first) AS keep
+            FROM batchc b
+            LEFT JOIN store s USING (canonical_url)
+            JOIN firstw f USING (canonical_url)
         """,
         "domain_filter": f"""
             WITH urls AS (

@@ -90,3 +90,46 @@ def test_domain_filter_block_and_allow(spark):
     assert [r["doc_id"] for r in allowed.orderBy("doc_id").collect()] == [1, 2]
     with pytest.raises(ValueError):
         web.domain_filter(df, block, mode="nope")
+
+
+def test_url_store_lifecycle_and_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/x?utm_source=s"),
+            (2, "https://a.com/x"),          # same canonical as 1
+            (3, "https://b.org/y"),
+        ],
+        "doc_id long, url string",
+    )
+    name, path = "url_store_t", str(tmp_path / "url_store")
+    web.write_url_store(corpus, name, path)
+    store = spark.table(name)
+    got = {r["canonical_url"]: r["o_id"] for r in store.collect()}
+    assert got == {"https://a.com/x": 1, "https://b.org/y": 3}
+
+    batch = spark.createDataFrame(
+        [
+            (10, "https://A.com/x/"),         # owned by corpus doc 1
+            (11, "https://new.net/z?b=2&a=1"),
+            (12, "https://new.net/z?a=1&b=2"),  # batch-internal dup of 11
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: (r["owner_id"], r["keep"])
+        for r in web.incremental_url_dedup(batch, store).collect()
+    }
+    assert out == {10: (1, False), 11: (None, True), 12: (None, False)}
+
+    # first-writer-wins growth, idempotent under replay
+    web.append_url_store(batch, name)
+    n1 = spark.table(name).count()
+    web.append_url_store(batch, name)  # replay: nothing new
+    assert spark.table(name).count() == n1 == 3
+    owners = {r["canonical_url"]: r["o_id"]
+              for r in spark.table(name).collect()}
+    assert owners["https://a.com/x"] == 1  # owner never re-assigned
+    assert owners["https://new.net/z?a=1&b=2"] == 11
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -124,6 +124,111 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     )
 
 
+def url_store_frame(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """The standing corpus's ``(canonical_url, o_id)`` table — every
+    canonical URL with its first (min-id) owner; the store side of
+    :func:`incremental_url_dedup` (the URL sibling of
+    ``text.line_store_frame``)."""
+    return (
+        df.select(
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col).alias("o_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.min("o_id").alias("o_id"))
+    )
+
+
+def write_url_store(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 64,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist :func:`url_store_frame` bucketed+sorted on the
+    canonical URL so per-batch probes read the stored side
+    pre-partitioned (no Exchange — the ``write_gram_store`` /
+    ``write_line_store`` discipline, plan-asserted for those)."""
+    (
+        url_store_frame(df, url_col, id_col)
+        .write.bucketBy(buckets, "canonical_url")
+        .sortBy("canonical_url")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def append_url_store(
+    df: DataFrame,
+    table_name: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow the URL store with a batch's NEW canonical URLs (existing
+    ones keep their earlier owner — first writer wins, so ownership
+    never changes once set). Count-free, therefore idempotent under
+    replay: a re-run's URLs all exist, the anti-join yields nothing,
+    zero rows append."""
+    spark = df.sparkSession
+    fresh = url_store_frame(df, url_col, id_col).join(
+        spark.table(table_name).select("canonical_url"),
+        "canonical_url",
+        "left_anti",
+    )
+    fresh.write.format("parquet").insertInto(table_name, overwrite=False)
+
+
+def incremental_url_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arriving-batch URL dedup against the standing store (the
+    re-crawl path: the same page surfaces with fresh tracking params
+    every fetch): per batch document, its canonical URL, the standing
+    owner when the URL was already ingested (``owner_id``, null for
+    unseen), and ``keep`` — unseen AND the batch's own first writer
+    (batch-internal collisions keep one).
+
+    Scale: canonicalization is per-row column algebra; the probe is
+    one equi-join on the canonical key (Exchange-free when the store
+    side is the bucketed table :func:`write_url_store` lays down);
+    the batch-internal tiebreak is a batch-sized groupBy, never a
+    window over the store."""
+    canon = batch.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+    first = canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("__b_first")
+    )
+    return (
+        canon.join(
+            store.select(
+                "canonical_url", F.col("o_id").alias("owner_id")
+            ),
+            "canonical_url",
+            "left",
+        )
+        .join(first, "canonical_url")
+        .select(
+            id_col,
+            "canonical_url",
+            "owner_id",
+            (
+                F.col("owner_id").isNull()
+                & (F.col(id_col) == F.col("__b_first"))
+            ).alias("keep"),
+        )
+    )
+
+
 def domain_filter(
     df: DataFrame,
     domains: DataFrame,
