@@ -920,3 +920,58 @@ def test_url_front_gate(spark, tmp_path_factory, capsys):
     assert counts["ingested"] == 12
     assert counts["domain_kept"] == 10      # bad.com docs 2,3 dropped
     assert counts["url_kept"] == 9          # doc 1 lost to keeper 0
+
+
+def test_train_quality_query_gate(spark, tmp_path_factory, capsys):
+    """--train-quality-query: the in-pipeline DCLM loop — seed-query
+    matches train the hashed classifier, and the gate keeps UNSEEDED
+    documents with seed-like vocabulary (pseudo-label expansion)
+    while dropping junk the model scored at zero evidence."""
+    from toshokan_spark import cli
+
+    tmp = tmp_path_factory.mktemp("curate_train")
+    good = ("careful measured prose with varied useful vocabulary and "
+            "clear structure that reads well throughout the page")
+    junk = ("zz qq xx ww vv kk jj hh gg ff ee dd cc bb aa zz qq xx "
+            "ww vv kk jj hh gg ff ee dd cc bb aa")
+    rows = []
+    for i in range(12):
+        # 6 good docs, only the first 3 carry the seed marker; 6 junk
+        marker = " seedmark" if i < 3 else ""
+        text = (good + marker) if i < 6 else junk
+        rows.append({"doc_id": i, "source": "web",
+                     "text": text + f" tail{i}"})
+    jsonl = tmp / "docs.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = {
+        "name": "trainidx",
+        "path": str(tmp / "data"),
+        "schema": {"fields": [
+            {"name": "doc_id", "type": "number", "number_type": "u64"},
+            {"name": "source", "type": "text", "tokenizer": "raw"},
+            {"name": "text", "type": "text"},
+        ]},
+    }
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(cfg_path)]) == 0
+    assert cli.main(["--catalog", cat, "index", "trainidx", str(jsonl)]) == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "--catalog", cat, "curate", "trainidx",
+        "--train-quality-query", "text:seedmark",
+        "--jaccard-threshold", "0.95",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    counts = {}
+    for line in out.splitlines():
+        parts = line.split()
+        if len(parts) == 2 and parts[1].isdigit():
+            counts[parts[0]] = int(parts[1])
+    # all 6 good docs survive the trained gate (3 seeded + 3 expanded);
+    # junk drops. Upstream gates may already have trimmed the pool, so
+    # assert relative to the gate's input.
+    assert counts["trained_classifier_kept"] <= counts["quality_kept"]
+    assert counts["trained_classifier_kept"] == 6

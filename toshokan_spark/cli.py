@@ -364,6 +364,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="trained (idx, w) weight-table parquet: adds the"
                     " hashed-feature classifier gate after the Gopher rules")
     pu.add_argument("--quality-model-dim", type=int, default=4096)
+    pu.add_argument("--train-quality-query", default=None, metavar="Q",
+                    help="train the hashed classifier IN-pipeline: query "
+                    "matches are the positive seed, the gate keeps docs "
+                    "with strictly positive model evidence (pseudo-label "
+                    "expansion; excludes --quality-model)")
+    pu.add_argument("--train-quality-threshold", type=float, default=None,
+                    help="absolute prob cut (>=) overriding the strict "
+                    "positive-evidence gate")
     pu.add_argument("--ensemble-threshold", type=float, default=None,
                     help="rank-fusion quality-ensemble gate: keep docs whose"
                     " fused normalized rank over (length, diversity, -mean"
@@ -1071,6 +1079,8 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=a.jaccard_threshold,
             quality_model_path=a.quality_model,
             quality_model_dim=a.quality_model_dim,
+            train_quality_query=a.train_quality_query,
+            train_quality_threshold=a.train_quality_threshold,
             ensemble_threshold=a.ensemble_threshold,
             dsir_target_query=a.dsir_target,
             repeat_budget=a.repeat_budget,

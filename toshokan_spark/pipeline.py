@@ -70,6 +70,8 @@ def curate(
     jaccard_threshold: float = 0.5,
     quality_model_path: Optional[str] = None,
     quality_model_dim: int = 4096,
+    train_quality_query: Optional[str] = None,
+    train_quality_threshold: Optional[float] = None,
     ensemble_threshold: Optional[float] = None,
     dsir_target_query: Optional[str] = None,
     dsir_dim: int = 4096,
@@ -103,6 +105,20 @@ def curate(
     parquet (the fastText/DCLM-style hashed-feature linear
     classifier, sparse models fine) — documents whose sigmoid score
     falls below 0.5 are dropped.
+
+    ``train_quality_query`` closes the DCLM loop IN-pipeline instead:
+    documents matching the query (the index's own search syntax) are
+    the positive seed, the rest negatives;
+    :func:`~toshokan_spark.operators.text.train_hashed_classifier`
+    fits the hashed linear model right here. The default gate keeps
+    documents with STRICTLY POSITIVE model evidence (score > 0, i.e.
+    prob > 0.5): least-squares weights start at zero and only
+    features that co-occur with positives ever go positive, so a
+    document sharing NO vocabulary with the seed scores exactly zero
+    and drops, while seed-like documents the literal query missed
+    score positive and survive (pseudo-label expansion, the DCLM
+    recipe). ``train_quality_threshold`` overrides with an absolute
+    prob cut (>=). Mutually exclusive with ``quality_model_path``.
 
     ``repeat_budget`` (tokens) turns on the data-constrained
     repetition stage over the train split: a temperature-
@@ -247,6 +263,48 @@ def curate(
             ).persist()
             cached.append(quality)
             stage("classifier_kept", quality.count())
+
+        # 4b'. self-trained classifier gate (the DCLM loop in one
+        # pipeline): positives = the seed query's matches, train the
+        # hashed linear model here, keep model-positive docs —
+        # pseudo-label expansion past the literal query
+        if train_quality_query is not None:
+            if quality_model_path is not None:
+                raise ValueError(
+                    "train_quality_query and quality_model_path are "
+                    "mutually exclusive"
+                )
+            seed_ids = _logical(
+                search_df(
+                    spark, catalog, index_name, train_quality_query,
+                    limit=None,
+                )
+            ).select(F.col(id_field).alias("doc_id"))
+            labeled = quality.join(
+                seed_ids.withColumn("__pos", F.lit(1.0)), "doc_id", "left"
+            ).withColumn("y", F.coalesce(F.col("__pos"), F.lit(0.0)))
+            w = textops.train_hashed_classifier(
+                labeled, label_col="y", dim=quality_model_dim, iters=3
+            )
+            scored = textops.hashed_linear_score(
+                quality, w, dim=quality_model_dim
+            )
+            # strict positive evidence: s > 0 <=> prob > 0.5. Weights
+            # start at zero and only seed-co-occurring features go
+            # positive, so zero-overlap docs score EXACTLY 0.5 and
+            # drop on the strict compare; magnitudes (which depend on
+            # 1/n_feats^2 scaling) never need calibrating.
+            keep = (
+                F.col("prob") > 0.5
+                if train_quality_threshold is None
+                else F.col("prob") >= train_quality_threshold
+            )
+            quality = quality.join(
+                scored.filter(keep).select("doc_id"),
+                "doc_id",
+            ).persist()
+            cached.append(quality)
+            stage("trained_classifier_kept", quality.count())
 
         # 4c. optional rank-fusion ensemble gate (threshold on the
         # fused normalized rank; signals mirror the quality_ensemble
