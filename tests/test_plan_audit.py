@@ -888,6 +888,11 @@ def test_auto_histogram_body_is_one_scan(plans10c):
 
 
 ROUND12 = [
+    "dedup_incremental_url",
+    "search_serial_diff",
+    "search_histogram_filled",
+    "search_highlight",
+    "train_quality_classifier",
     "knn_pq_persisted",
     "langid_classifier",
     "search_after",
@@ -1012,3 +1017,51 @@ def test_knn_pq_persisted_reads_codes_only(plans12):
     assert a["scans"] == 1 and a["joins"] == "-", a
     assert "TakeOrderedAndProject" in phys, "cut is not top-k"
     assert "embedding" not in phys, "query-time plan touched the vectors"
+
+
+def test_serial_diff_window_is_post_aggregation(plans12):
+    """serial_diff joins the derivative/cumulative windows over the
+    ALREADY AGGREGATED bucket frame: one scan, one exchange, the
+    Window above the HashAggregate."""
+    a, phys, _ = plans12["search_serial_diff"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    w, agg = phys.find("Window"), phys.rfind("HashAggregate")
+    assert w != -1 and agg != -1 and w < agg, "window not post-agg"
+
+
+def test_histogram_fill_spine_is_broadcast(plans12):
+    """The empty-bucket spine (a sequence off the histogram's own
+    1-row min/max) joins back by BROADCAST — gap filling must never
+    sort-merge the bucket frame."""
+    a, phys, _ = plans12["search_histogram_filled"]
+    assert "BroadcastHashJoin" in phys, "spine join is not broadcast"
+    assert "SortMergeJoin" not in phys, phys[:1500]
+    assert "Window" not in phys
+
+
+def test_incremental_url_dedup_no_smj_no_window(plans12):
+    """The store probe and the batch-first tiebreak are hash joins
+    over batch-sized frames — no sort-merge, no window, no Python."""
+    a, phys, _ = plans12["dedup_incremental_url"]
+    assert "SortMergeJoin" not in phys, phys[:1500]
+    assert "Window" not in phys
+    assert "EvalPython" not in phys
+
+
+def test_train_classifier_broadcast_weights_no_python(plans12):
+    """Training + apply: the weight/gradient tables re-enter only by
+    broadcast (O(dim) frames), nothing sort-merges, and the whole
+    descent is JVM column algebra."""
+    a, phys, _ = plans12["train_quality_classifier"]
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys, phys[:1500]
+    assert "EvalPython" not in phys
+
+
+def test_highlight_is_zero_exchange_projection(plans12):
+    """Highlighting is one narrow regex projection over the pushed
+    hit scan — no exchange, no join, no Python."""
+    a, phys, _ = plans12["search_highlight"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert a["exchanges"] == 0, a
+    assert "EvalPython" not in phys
