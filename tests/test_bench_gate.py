@@ -102,6 +102,16 @@ FLOORS = {
     # sf0.01 warm best-of-3 on an idle host: 0.27/0.64.
     "rollup_revenue": 0.5,
     "text_bigram_logprob": 0.9,
+    # round-12 additions (sf0.01 warm best-of-3: 2.40/1.06/2.69/
+    # 0.76/0.88/0.65 — train_quality_classifier is 3 GD rounds +
+    # apply by design; knn_pq_persisted pays the encode+write+LUT
+    # codegen once per plan, the executed query scans 16 B/vector)
+    "train_quality_classifier": 3.2,
+    "langid_classifier": 1.4,
+    "knn_pq_persisted": 3.5,
+    "q2_min_cost_supplier": 1.0,
+    "q9_product_type_profit": 1.2,
+    "dedup_incremental_url": 0.9,
 }
 MULTIPLIER = 2.5
 RUNS = 3
