@@ -3086,6 +3086,21 @@ def q_knn_pq(spark, sf_dir):
     )
 
 
+def q_knn_ivf_pq(spark, sf_dir):
+    """IVF-PQ, the composed FAISS index shape
+    (similarity.knn_ivf_pq): an 8-centroid coarse quantizer narrows
+    the search to 2 probed buckets, and within them vectors score by
+    PQ asymmetric distance against the 4x16 codebook. The query is
+    one scan of the (cid, codes) index layout filtered to the probed
+    cids + a TakeOrdered; the oracle replays seeding, assignment,
+    probes, encoding, LUT and ranking in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf_pq(
+        emb, query_id=0, k=10, num_centroids=8, n_probe=2,
+        m_subspaces=4, n_codewords=16,
+    )
+
+
 def q_knn_pq_persisted(spark, sf_dir):
     """The 100 TB half of knn_pq made real (the r11 verdict's noted
     scale path): pq_encode writes the (vec_id, code_0..3) table to
@@ -3536,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_classifier": q_langid_classifier,
         "train_quality_classifier": q_train_quality_classifier,
         "knn_pq_persisted": q_knn_pq_persisted,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "search_serial_diff": q_search_serial_diff,
         "search_histogram_filled": q_search_histogram_filled,
         "search_highlight": q_search_highlight,
@@ -3582,8 +3598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_crosscheck": q_dedup_crosscheck,
         "dsir_weights": q_dsir_weights,
         "embedding_outliers": q_embedding_outliers,
-        "embedding_stats": q_embedding_stats,
         # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -4542,6 +4558,83 @@ def oracle_sql() -> dict[str, str]:
                               vec_id ASC) AS rank
             FROM scored
             ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+        """,
+        # knn_ivf_pq: the knn_ivf oracle's coarse half (seeded
+        # centroids, nearest-cid assignment, 2 probes for query 0)
+        # composed with the knn_pq oracle's encode/LUT/rank half,
+        # scoring only probed-bucket vectors
+        "knn_ivf_pq": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            cb AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj,
+                     embedding AS cbe
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 16)
+            ), ms AS (SELECT * FROM range(4) t(m)),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            corpus AS (
+              SELECT vec_id, embedding AS ce FROM embeddings
+              WHERE vec_id <> 0
+            ),
+            assigned AS (
+              SELECT c.vec_id,
+                (SELECT ct.cid FROM cent ct
+                 ORDER BY {_L2.format(a="c.ce", b="ct.cv")} ASC, ct.cid ASC
+                 LIMIT 1) AS cid
+              FROM corpus c
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT ct.cid,
+                  row_number() OVER (
+                    ORDER BY {_L2.format(a="q.qe", b="ct.cv")} ASC,
+                             ct.cid ASC) AS pr
+                FROM cent ct, q) WHERE pr <= 2
+            ),
+            pairs AS (
+              SELECT c.vec_id, ms.m, cb.cj,
+                {_L2.format(a="list_slice(c.ce, ms.m*16+1, ms.m*16+16)",
+                            b="list_slice(cb.cbe, ms.m*16+1, ms.m*16+16)")}
+                    AS d
+              FROM corpus c CROSS JOIN ms CROSS JOIN cb
+            ), enc AS (
+              SELECT vec_id, m, cj FROM (
+                SELECT vec_id, m, cj,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, cj ASC) AS rn
+                FROM pairs) WHERE rn = 1
+            ), lut AS (
+              SELECT ms.m, cb.cj,
+                {_L2.format(a="list_slice(q.qe, ms.m*16+1, ms.m*16+16)",
+                            b="list_slice(cb.cbe, ms.m*16+1, ms.m*16+16)")}
+                    AS qd
+              FROM ms CROSS JOIN cb CROSS JOIN q
+            ), scored AS (
+              SELECT e.vec_id,
+                max(CASE WHEN e.m = 0 THEN e.cj END)::INT AS code_0,
+                max(CASE WHEN e.m = 1 THEN e.cj END)::INT AS code_1,
+                max(CASE WHEN e.m = 2 THEN e.cj END)::INT AS code_2,
+                max(CASE WHEN e.m = 3 THEN e.cj END)::INT AS code_3,
+                max(CASE WHEN e.m = 0 THEN l.qd END) AS d0,
+                max(CASE WHEN e.m = 1 THEN l.qd END) AS d1,
+                max(CASE WHEN e.m = 2 THEN l.qd END) AS d2,
+                max(CASE WHEN e.m = 3 THEN l.qd END) AS d3
+              FROM enc e JOIN lut l ON e.m = l.m AND e.cj = l.cj
+              JOIN assigned a ON a.vec_id = e.vec_id
+              WHERE a.cid IN (SELECT cid FROM probes)
+              GROUP BY e.vec_id
+            )
+            SELECT s.vec_id, a.cid, code_0, code_1, code_2, code_3,
+                   round((((d0 + d1) + d2) + d3), 6) AS adc_dist,
+                   row_number() OVER (
+                     ORDER BY round((((d0 + d1) + d2) + d3), 6) ASC,
+                              s.vec_id ASC) AS rank
+            FROM scored s JOIN assigned a ON a.vec_id = s.vec_id
+            ORDER BY adc_dist ASC, s.vec_id ASC LIMIT 10
         """,
         # search_composite: resumable terms pagination — the next 10
         # (event_type, user_id) buckets strictly after ('click', 50)

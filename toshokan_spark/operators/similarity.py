@@ -1562,16 +1562,94 @@ def knn_pq_from_codes(
             F.col(f"code_{m}") + 1,
         )
         score = term if score is None else score + term
-    scored = codes.select(
-        "vec_id",
-        *[f"code_{m}" for m in range(m_subspaces)],
-        F.round(score, 6).alias("adc_dist"),
-    )
+    # withColumn, not a fixed select: the codes table may carry index
+    # metadata beyond the codes (IVF's cid bucket column) that the
+    # caller wants back in the page
+    scored = codes.withColumn("adc_dist", F.round(score, 6))
     w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return (
         scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_centroids: int = 8,
+    n_probe: int = 2,
+    m_subspaces: int = 4,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "Optional[list[tuple[int, list[float]]]]" = None,
+    codebook: "Optional[list[list[list[float]]]]" = None,
+    codes: "Optional[DataFrame]" = None,
+) -> DataFrame:
+    """IVF-PQ — the composed FAISS index shape (Jégou et al. 2011
+    §IV): a coarse IVF quantizer narrows the search to the query's
+    ``n_probe`` nearest buckets, and inside them vectors are scored
+    from their PQ codes by asymmetric distance. Both halves already
+    exist here (:func:`knn_ivf`, :func:`knn_pq`); this composes them
+    on the PERSISTED-index layout: ``codes`` is the
+    ``(vec_id, cid, code_0..M-1)`` table an index build lays down
+    once (pass it to skip the build; built ad hoc otherwise from the
+    deterministic seeded centroids/codebook so the oracle replays
+    everything).
+
+    Scale: the query collects one vector (1-row probe), picks probe
+    buckets and builds the M×K look-up table DRIVER-SIDE against the
+    model-sized centroid/codebook literals, then runs ONE scan of the
+    codes table filtered to ``cid IN probes`` — with the codes table
+    partitioned by ``cid``, that filter is directory pruning, so a
+    query touches ~n_probe/C of a 16-byte-per-vector column and ends
+    in a distributed TakeOrdered. No join, no shuffle, no vector
+    read."""
+    if centroids is None:
+        centroids = seed_ivf_centroids(corpus, num_centroids=num_centroids,
+                                       id_col=id_col, vec_col=vec_col)
+    if codebook is None:
+        codebook = pq_codebook(corpus, m_subspaces=m_subspaces,
+                               n_codewords=n_codewords,
+                               id_col=id_col, vec_col=vec_col)
+    rest = corpus.filter(F.col(id_col) != query_id)
+    if codes is None:
+        assigned = assign_ivf(rest, centroids, id_col=id_col,
+                              vec_col=vec_col)
+        codes = pq_encode(rest, codebook, id_col=id_col,
+                          vec_col=vec_col).join(
+            assigned.select(
+                F.col("neighbor_id").alias("vec_id"), "cid"
+            ),
+            "vec_id",
+        )
+    qvec = [
+        float(x)
+        for x in corpus.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .first()[0]
+    ]
+    # driver-side probe pick: the same 0.0-seeded left-fold L2 the
+    # SQL oracle and the column expressions evaluate, ties to the
+    # lowest cid
+    def _l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    ranked = sorted(
+        ((_l2(qvec, cv), cid) for cid, cv in centroids),
+    )
+    probe_cids = [cid for _d, cid in ranked[:n_probe]]
+    probed = codes.filter(F.col("cid").isin(probe_cids))
+    out = knn_pq_from_codes(probed, codebook, qvec, k=k)
+    return out.select(
+        "vec_id", "cid",
+        *[f"code_{m}" for m in range(len(codebook))],
+        "adc_dist", "rank",
     )
 
 
