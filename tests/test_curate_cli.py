@@ -868,7 +868,10 @@ def test_url_front_gate(spark, tmp_path_factory, capsys):
     """--url-field: the domain blocklist drops whole sites and
     canonical-URL dedup keeps one first-writer per canonical form —
     BEFORE any text stage; the url field is undeclared and resolves
-    from _dynamic."""
+    from _dynamic. Docs with NO url key (null after _dynamic
+    resolution) BYPASS the dedup — they are unknown provenance, not
+    duplicates of each other (ADVICE r12: the naive gate pooled all
+    nulls into one group and kept only the min-id doc)."""
     from toshokan_spark import cli
 
     tmp = tmp_path_factory.mktemp("curate_url")
@@ -888,6 +891,12 @@ def test_url_front_gate(spark, tmp_path_factory, capsys):
                 f"https://bad.com/p{i}" if i in (2, 3) else
                 f"https://ok{i}.org/page"
             ),
+        })
+    for i in (12, 13):  # no url key at all -> null through _dynamic
+        rows.append({
+            "doc_id": i, "source": "web",
+            "text": base + f"tail{i} " + " ".join(
+                f"w{(i + j) % 7}" for j in range(20)),
         })
     jsonl = tmp / "docs.jsonl"
     jsonl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
@@ -917,9 +926,10 @@ def test_url_front_gate(spark, tmp_path_factory, capsys):
         parts = line.split()
         if len(parts) == 2 and parts[1].isdigit():
             counts[parts[0]] = int(parts[1])
-    assert counts["ingested"] == 12
-    assert counts["domain_kept"] == 10      # bad.com docs 2,3 dropped
-    assert counts["url_kept"] == 9          # doc 1 lost to keeper 0
+    assert counts["ingested"] == 14
+    assert counts["domain_kept"] == 12      # bad.com docs 2,3 dropped
+    # doc 1 lost to keeper 0; BOTH null-url docs 12,13 survive
+    assert counts["url_kept"] == 11
 
 
 def test_train_quality_query_gate(spark, tmp_path_factory, capsys):

@@ -4099,3 +4099,64 @@ def test_phrase_prefix_positional_paths(spark):
     # raw field: whole-value prefix
     assert hits('tag:"alpha"*') == ["alpha-one"]
     assert hits('tag:"alpha-one-x"*') == []
+
+
+def test_knn_ivf_pq_persisted_codes_excludes_query(spark):
+    """The persisted-index path must never return the query vector
+    itself (ADVICE r12: only the ad-hoc build filtered it, so an
+    index built over the FULL corpus — the normal persisted layout —
+    put the query at rank 1 and the two documented-equivalent paths
+    disagreed). Both paths must return the identical top-k."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 10) / 10.0
+                                 for j in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows)
+    cents = sim.seed_ivf_centroids(emb, num_centroids=4)
+    cb = sim.pq_codebook(emb, m_subspaces=4, n_codewords=8)
+    # persisted layout: codes over the FULL corpus, query included
+    full_codes = sim.pq_encode(emb, cb).join(
+        sim.assign_ivf(emb, cents).select(
+            F.col("neighbor_id").alias("vec_id"), "cid"
+        ),
+        "vec_id",
+    )
+    persisted = sim.knn_ivf_pq(
+        emb, query_id=5, k=5, centroids=cents, codebook=cb,
+        codes=full_codes,
+    ).collect()
+    adhoc = sim.knn_ivf_pq(
+        emb, query_id=5, k=5, centroids=cents, codebook=cb,
+    ).collect()
+    got_p = [(r.vec_id, r.adc_dist, r.rank) for r in persisted]
+    got_a = [(r.vec_id, r.adc_dist, r.rank) for r in adhoc]
+    assert all(v != 5 for v, _d, _r in got_p)
+    assert got_p == got_a
+
+
+def test_langid_classifier_xxhash_default_model_consistent(spark):
+    """hash_family='xxhash' with the DEFAULT model must build the
+    model in the same hash space (ADVICE r12: the default model was
+    always poly-hashed, so xxhash callers scored documents against
+    mismatched buckets — garbage predictions instead of an error).
+    Both families must discriminate the same obvious documents."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.text import langid_classifier
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the cat and the dog is in that house for it"),
+        Row(doc_id=2, text="der Hund und die Katze ist nicht mit ein Buch"),
+        Row(doc_id=3, text="el perro y la casa de los gatos en un lugar"),
+    ])
+    for fam in ("poly", "xxhash"):
+        got = {
+            r.doc_id: r.lang_pred
+            for r in langid_classifier(docs, hash_family=fam).collect()
+        }
+        assert got == {1: "en", 2: "de", 3: "es"}, fam

@@ -53,6 +53,38 @@ def test_keyset_page_ascending_and_page1(spark):
         (1.0, 8), (1.0, 15), (1.0, 22)]
 
 
+def test_keyset_page_null_sort_values_not_lost(spark):
+    """NULL sort values order LAST and survive the cursor walk
+    (ADVICE r12: the naive cursor predicate is SQL-NULL for null sort
+    values, so every null row vanished after page 1; with nulls
+    sorting first in ascending order, a null cohort larger than page
+    1 was partly unreachable). The chained walk must visit every row
+    exactly once in BOTH directions, crossing into the null tail."""
+    rows = [(i, float(i % 3)) for i in range(8)] + [
+        (i, None) for i in range(8, 14)  # 6 nulls > page size
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+
+    for desc in (False, True):
+        got, after = [], None
+        for _ in range(20):  # bounded walk
+            page = keyset_page(
+                df, "value", "event_id",
+                after=after, limit=4, descending=desc,
+            ).collect()
+            if not page:
+                break
+            got.extend((r["value"], r["event_id"]) for r in page)
+            after = (page[-1]["value"], page[-1]["event_id"])
+        nonnull = sorted(
+            ((v, i) for i, v in rows if v is not None),
+            key=lambda p: (-p[0] if desc else p[0], p[1]),
+        )
+        # nulls last either way, tiebreak ascending within the tail
+        want = nonnull + [(None, i) for i in range(8, 14)]
+        assert got == want, f"descending={desc}"
+
+
 def test_date_histogram_fill_empty_contiguous(spark):
     rows = [(0,), (7200,), (21600,)]  # 2h buckets 0, 2, 6 -> gaps 1,3,4,5
     df = spark.createDataFrame(rows, "sec long").select(

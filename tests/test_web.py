@@ -92,6 +92,23 @@ def test_domain_filter_block_and_allow(spark):
         web.domain_filter(df, block, mode="nope")
 
 
+def test_domain_filter_case_insensitive_list(spark):
+    """A blocklist entry with uppercase (CLI --block-domains
+    Example.COM) must still match — registered_domain output is
+    always lowercased, so the list side is lowercased at the join
+    (ADVICE r12: it previously never matched and blocked sites
+    passed through)."""
+    df = spark.createDataFrame(
+        [(1, "https://www.bad.com/x"), (2, "https://good.org/z")],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("BAD.Com",)], "domain string")
+    kept = web.domain_filter(df, block, mode="block")
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    allowed = web.domain_filter(df, block, mode="allow")
+    assert [r["doc_id"] for r in allowed.collect()] == [1]
+
+
 def test_url_store_lifecycle_and_incremental(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -1644,7 +1644,14 @@ def knn_ivf_pq(
         ((_l2(qvec, cv), cid) for cid, cv in centroids),
     )
     probe_cids = [cid for _d, cid in ranked[:n_probe]]
-    probed = codes.filter(F.col("cid").isin(probe_cids))
+    # exclude the query on the CODES side, not just the ad-hoc build
+    # (ADVICE r12): a caller-supplied persisted index is built over
+    # the FULL corpus, so without this filter the query vector itself
+    # comes back at rank 1 and the two documented-equivalent paths
+    # (persisted vs ad-hoc) return different top-k sets
+    probed = codes.filter(
+        F.col("cid").isin(probe_cids) & (F.col("vec_id") != query_id)
+    )
     out = knn_pq_from_codes(probed, codebook, qvec, k=k)
     return out.select(
         "vec_id", "cid",

@@ -118,7 +118,19 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 }
 
 
-def langid_model(spark, dim: int = 4096) -> DataFrame:
+def _feature_idx(col, dim: int, hash_family: str):
+    """The ONE hashed-feature bucket expression (shared by
+    :func:`_hashed_features` and :func:`langid_model` — the hashing
+    trick demands the model table and the document stream collide
+    identically, so the dispatch lives in exactly one place)."""
+    if hash_family == "xxhash":
+        return F.pmod(F.xxhash64(col), F.lit(dim))
+    if hash_family == "poly":
+        return poly_hash(col, base=1103515245, init=5381) % dim
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def langid_model(spark, dim: int = 4096, hash_family: str = "poly") -> DataFrame:
     """The hashed multi-class langid weight table ``(lang, idx, w)``:
     every lexicon word hashes into ``dim`` buckets with the same
     family :func:`_hashed_features` applies to documents (the hashing
@@ -134,7 +146,7 @@ def langid_model(spark, dim: int = 4096) -> DataFrame:
         for word in words
     ]
     df = spark.createDataFrame(rows, "lang string, f string")
-    idx = poly_hash(F.col("f"), base=1103515245, init=5381) % dim
+    idx = _feature_idx(F.col("f"), dim, hash_family)
     return (
         df.select("lang", idx.alias("idx"), F.lit(1.0).alias("w"))
         .groupBy("lang", "idx")
@@ -175,7 +187,11 @@ def langid_classifier(
     nothing per-language-pass; adding a language adds a pivot column,
     not a scan."""
     if model is None:
-        model = langid_model(df.sparkSession, dim)
+        # thread hash_family through (ADVICE r12): the default model
+        # must hash its lexicon with the SAME family the document
+        # features use, or xxhash callers silently score against
+        # mismatched poly buckets and get garbage predictions
+        model = langid_model(df.sparkSession, dim, hash_family)
     if langs is None:
         langs = sorted(LANG_LEXICONS)
     feats = _hashed_features(df, id_col, text_col, dim, hash_family)
@@ -883,12 +899,7 @@ def _hashed_features(
         ),
     ).otherwise(F.array())
     feats = F.concat(words, bigrams)
-    if hash_family == "xxhash":
-        idx = F.pmod(F.xxhash64(F.col("f")), F.lit(dim))
-    elif hash_family == "poly":
-        idx = poly_hash(F.col("f"), base=1103515245, init=5381) % dim
-    else:
-        raise ValueError(f"unknown hash_family {hash_family!r}")
+    idx = _feature_idx(F.col("f"), dim, hash_family)
     from toshokan_spark.operators.util import spread
 
     # spread BEFORE the per-row-heavy tokenize+explode+hash: a small

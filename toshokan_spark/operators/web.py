@@ -245,9 +245,13 @@ def domain_filter(
     tagged = df.withColumn(
         "__domain", registered_domain(F.col(url_col), is_url=True)
     )
+    # lowercase the LIST side too (ADVICE r12): registered_domain
+    # output is always lowercased, so a blocklist entry with any
+    # uppercase (CLI --block-domains Example.COM) would silently
+    # never match and the blocked site would pass through
     joined = tagged.join(
         F.broadcast(domains),
-        tagged["__domain"] == domains["domain"],
+        tagged["__domain"] == F.lower(domains["domain"]),
         "left_anti" if mode == "block" else "left_semi",
     )
     return joined.drop("__domain")

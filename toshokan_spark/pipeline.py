@@ -198,7 +198,16 @@ def curate(
                                         mode="block").persist()
                 cached.append(raw)
                 stage("domain_kept", raw.count())
-            keepers = web.url_dedup(raw).select(
+            # null URLs bypass dedup entirely (ADVICE r12): a null
+            # canonical_url is "unknown provenance", not "duplicate of
+            # every other unknown" — url_dedup's GROUP BY would pool
+            # all nulls into ONE bucket and keep only the min-id doc,
+            # silently discarding most of the null-URL cohort whenever
+            # url_field is sparse (e.g. resolved from _dynamic where
+            # some docs lack the key)
+            with_url = raw.filter(F.col("url").isNotNull())
+            without_url = raw.filter(F.col("url").isNull())
+            keepers = web.url_dedup(with_url).select(
                 F.col("keeper_id").alias("doc_id")
             )
             # finalize_cached, not persist: the gate's canonical-URL
@@ -208,7 +217,9 @@ def curate(
             # exploding plan strings exponentially; the checkpoint
             # truncates the lineage to an RDD scan
             raw = finalize_cached(
-                raw.join(keepers, "doc_id", "left_semi").drop("url")
+                with_url.join(keepers, "doc_id", "left_semi")
+                .unionByName(without_url)
+                .drop("url")
             )
             stage("url_kept", raw.count())
 

@@ -369,16 +369,33 @@ def keyset_page(
     scan (zone maps / row-group stats skip everything already
     paged past) and the cut itself is a distributed TakeOrdered of
     ``limit`` rows per partition. Page N costs the same as page 1 —
-    unlike offset pagination, which re-sorts and discards N·k rows."""
+    unlike offset pagination, which re-sorts and discards N·k rows.
+
+    NULL sort values are ordered LAST (both directions — ES's
+    ``missing: _last`` default) and the cursor predicate handles them
+    explicitly (ADVICE r12: the naive ``s > v OR (s = v AND t > tc)``
+    evaluates to SQL NULL for null sort values, silently filtering
+    the whole null cohort off every page after the first): a non-null
+    cursor keeps all null-sort rows (they sort after every non-null
+    value), and a null cursor — ``after=(None, t)`` — means the walk
+    has entered the null tail, where only the tiebreak advances."""
     s, t = F.col(sort_field), F.col(tiebreak_field)
     if after is not None:
         av, tv = after
-        sl = F.lit(av).cast(hits.schema[sort_field].dataType)
         tl = F.lit(tv).cast(hits.schema[tiebreak_field].dataType)
-        beyond = (s < sl) if descending else (s > sl)
-        hits = hits.filter(beyond | ((s == sl) & (t > tl)))
+        if av is None:
+            # inside the null tail: nulls are last, so every non-null
+            # row is already paged past — only later-tiebreak nulls
+            # remain
+            hits = hits.filter(s.isNull() & (t > tl))
+        else:
+            sl = F.lit(av).cast(hits.schema[sort_field].dataType)
+            beyond = (s < sl) if descending else (s > sl)
+            hits = hits.filter(
+                beyond | ((s == sl) & (t > tl)) | s.isNull()
+            )
     return hits.orderBy(
-        s.desc() if descending else s.asc(), t.asc()
+        s.desc_nulls_last() if descending else s.asc_nulls_last(), t.asc()
     ).limit(limit)
 
 
