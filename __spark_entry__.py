@@ -3535,6 +3535,102 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
 
 
+def q_search_collapse(spark, sf_dir):
+    """ES field collapsing (search.py::collapse_agg — the reference's
+    limit-only collector cannot, ``src/commands/search.rs:188``): one
+    best hit per user (by value, ties to the smaller event_id),
+    annotated with the group's inner-hit count, the collapsed list
+    ordered by the winning values and cut to 15. Winner and count
+    share ONE window partition key — a single group-keyed exchange
+    with the rank filter running as WindowGroupLimit — then a 15-row
+    TakeOrdered."""
+    from toshokan_spark.search import collapse_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "value:>=50")
+    return collapse_agg(hits, "user_id", "value", "event_id", limit=15)
+
+
+def q_audience_overlap(spark, sf_dir):
+    """KMV sketch set operations (search.py::sketch_set_ops, Beyer et
+    al. 2007): |A ∪ B| and |A ∩ B| for two event audiences estimated
+    from their bottom-64 sketches alone (re-sketch the union of the
+    sketches; the both-sides fraction of the union sketch estimates
+    Jaccard), with the exact four-way ground truth alongside. The
+    sketch inputs are two k-row TakeOrdereds of map-side-deduped
+    hashes — at 100 TB the per-segment sketches are persisted and
+    merged in k rows while the exact panel would shuffle the key
+    space. Audiences chosen so sf0.01 exercises the over-k estimator
+    (112 vs 96 users, 71 shared) and sf0.001 the exact below-k
+    collapse."""
+    from toshokan_spark.search import sketch_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    a = _search(ev, EVENTS_CONFIG, "event_type:click AND value:>=120")
+    b = _search(ev, EVENTS_CONFIG, "event_type:purchase AND value:>=120")
+    return sketch_set_ops(a, b, "user_id", k=64)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negatives — the ANCE-style negative selection
+    step): for each of the 3 lowest-id anchor vectors, the 5
+    most-cosine-similar corpus vectors whose LABEL DIFFERS. The
+    anchor set broadcasts (corpus unshuffled, one scan); the
+    per-anchor top-k is a WindowGroupLimit on the anchor key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.orderBy("vec_id").limit(3)
+    return similarity.hard_negatives(emb, anchors, k=5)
+
+
+def q_knn_pq_rerank(spark, sf_dir):
+    """Two-stage retrieve-and-refine ANN (similarity.knn_pq_rerank —
+    FAISS's IndexRefineFlat shape): PQ ADC over-retrieves 40
+    candidates (one scan of 16-byte codes + TakeOrdered), then ONLY
+    those 40 re-score by exact L2 against raw vectors (the shortlist
+    broadcasts onto one vector scan) and the exact-ranked top 10
+    return. The oracle replays candidate selection and re-ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_pq_rerank(
+        emb, query_id=0, k=10, expand=4, m_subspaces=4, n_codewords=16
+    )
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Domain-authority PageRank (operators/web.py::pagerank) over
+    the deterministic 40-host link graph derived from documents (two
+    arithmetic link rules per doc, self-loops dropped — the same
+    shared-derivation discipline as _url_expr/_partsupp): 5 damped
+    (0.85) power iterations in EXACT int64 fixed-point (rank ×
+    1e12, truncating division), so the result is independent of
+    partition count and reduction order and the DuckDB oracle unrolls
+    the identical integer arithmetic. Per iteration: one edges⋈ranks
+    equi-join + one partial-aggregated groupBy(dst) on the
+    host-sized graph (100 TB of pages aggregates to ~1e7 hosts —
+    the doc→host extraction is the heavy map, the iteration runs on
+    the aggregated graph)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.selectExpr(
+            "doc_id % 40 AS src", "(doc_id * 7 + 11) % 40 AS dst"
+        )
+        .unionByName(
+            docs.selectExpr(
+                "doc_id % 40 AS src", "(doc_id * 13 + 5) % 40 AS dst"
+            )
+        )
+        .filter("src <> dst")
+    )
+    pr = web.pagerank(edges, iterations=5)
+    return pr.select(
+        F.col("node").cast("long").alias("host_id"),
+        F.concat(
+            F.lit("site"), F.col("node").cast("string"), F.lit(".com")
+        ).alias("host"),
+        "rank_e12",
+    ).orderBy(F.desc("rank_e12"), F.asc("host_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -3543,62 +3639,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r12 WINDOW (first 50): the never-driver-proven (P0)
-        # r12 additions first, then the P0b entries with the OLDEST
-        # latest driver record (r7 cohort then oldest r8,
-        # tools/rotation.py priority; each new entry displaces the
-        # youngest in-window P0b below the boundary).
-        "langid_classifier": q_langid_classifier,
-        "train_quality_classifier": q_train_quality_classifier,
-        "knn_pq_persisted": q_knn_pq_persisted,
-        "knn_ivf_pq": q_knn_ivf_pq,
-        "search_serial_diff": q_search_serial_diff,
-        "search_histogram_filled": q_search_histogram_filled,
-        "search_highlight": q_search_highlight,
-        "search_after": q_search_after,
-        "search_bucket_selector": q_search_bucket_selector,
-        "search_bucket_script": q_search_bucket_script,
-        "search_bucket_sort": q_search_bucket_sort,
-        "dedup_incremental_url": q_dedup_incremental_url,
-        "url_canonicalize": q_url_canonicalize,
-        "url_dedup": q_url_dedup,
-        "domain_filter": q_domain_filter,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q9_product_type_profit": q_q9_product_type_profit,
-        "q11_important_stock": q_q11_important_stock,
-        "q16_part_supplier_relation": q_q16_part_supplier_relation,
-        "q20_potential_promotion": q_q20_potential_promotion,
-        "knn_lsh": q_knn_lsh,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "pack_sequences": q_pack_sequences,
-        "pii_scrub": q_pii_scrub,
-        "rollup_revenue": q_rollup_revenue,
-        "sample_documents": q_sample_documents,
-        "search_bool": q_search_bool,
-        "search_dt_range": q_search_dt_range,
-        "search_range": q_search_range,
-        "search_term": q_search_term,
-        "search_topk": q_search_topk,
-        "source_mixture": q_source_mixture,
-        "source_token_profile": q_source_token_profile,
-        "text_fingerprint": q_text_fingerprint,
-        "text_gopher_rules": q_text_gopher_rules,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "user_sessions": q_user_sessions,
-        "weighted_sample": q_weighted_sample,
-        "apply_mixture": q_apply_mixture,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "brand_revenue": q_brand_revenue,
-        "ccnet_select": q_ccnet_select,
-        "chunk_documents": q_chunk_documents,
-        "cohort_retention": q_cohort_retention,
-        "decontaminate": q_decontaminate,
-        "dedup_crosscheck": q_dedup_crosscheck,
-        "dsir_weights": q_dsir_weights,
-        "embedding_outliers": q_embedding_outliers,
-        # -- BELOW THE 50-ENTRY DRIVER WINDOW --
+        # -- r13 WINDOW (first 50): the never-driver-proven (P0)
+        # r13 additions first (knn_pq_rerank, hard_negatives,
+        # domain_pagerank, audience_overlap, search_collapse), then
+        # the P0b entries with the OLDEST latest driver record
+        # (tools/rotation.py priority order; P0b not fitting wait
+        # behind their older record + the local sweep, then P1
+        # changed-since-seal, then P2 proven-unchanged).
+        "knn_pq_rerank": q_knn_pq_rerank,
+        "hard_negatives": q_hard_negatives,
+        "domain_pagerank": q_domain_pagerank,
+        "audience_overlap": q_audience_overlap,
+        "search_collapse": q_search_collapse,
         "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
@@ -3606,7 +3658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
         "kcenter_select": q_kcenter_select,
-        # (the r12 P0 additions displaced these P0b)
         "knn_graph": q_knn_graph,
         "knn_quantized": q_knn_quantized,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3620,8 +3671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
-        # P0b waiting (younger records first out next round),
-        # then P2 proven-in-r11-window entries
         "quality_classifier": q_quality_classifier,
         "quality_regression": q_quality_regression,
         "search_bm25": q_search_bm25,
@@ -3647,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cube_source_lang": q_cube_source_lang,
         "curriculum_order": q_curriculum_order,
+        # ---- window boundary (entries below keep their latest
+        # driver record / local-sweep evidence) ----
         "dsir_select": q_dsir_select,
         "embedding_covariance": q_embedding_covariance,
         "epoch_expand": q_epoch_expand,
@@ -3741,6 +3792,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sampler": q_search_sampler,
         "search_weighted_avg": q_search_weighted_avg,
         "user_event_gaps": q_user_event_gaps,
+        "apply_mixture": q_apply_mixture,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "ccnet_select": q_ccnet_select,
+        "chunk_documents": q_chunk_documents,
+        "decontaminate": q_decontaminate,
+        "dedup_crosscheck": q_dedup_crosscheck,
+        "dedup_incremental_url": q_dedup_incremental_url,
+        "domain_filter": q_domain_filter,
+        "dsir_weights": q_dsir_weights,
+        "embedding_outliers": q_embedding_outliers,
+        "knn_ivf_pq": q_knn_ivf_pq,
+        "knn_lsh": q_knn_lsh,
+        "knn_pq_persisted": q_knn_pq_persisted,
+        "langid_classifier": q_langid_classifier,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "sample_documents": q_sample_documents,
+        "search_after": q_search_after,
+        "search_bucket_script": q_search_bucket_script,
+        "search_bucket_selector": q_search_bucket_selector,
+        "search_bucket_sort": q_search_bucket_sort,
+        "search_highlight": q_search_highlight,
+        "search_histogram_filled": q_search_histogram_filled,
+        "search_serial_diff": q_search_serial_diff,
+        "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
+        "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "train_quality_classifier": q_train_quality_classifier,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "weighted_sample": q_weighted_sample,
+        "brand_revenue": q_brand_revenue,
+        "cohort_retention": q_cohort_retention,
+        "q11_important_stock": q_q11_important_stock,
+        "q16_part_supplier_relation": q_q16_part_supplier_relation,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "rollup_revenue": q_rollup_revenue,
+        "search_bool": q_search_bool,
+        "search_dt_range": q_search_dt_range,
+        "search_range": q_search_range,
+        "search_term": q_search_term,
+        "search_topk": q_search_topk,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -3877,6 +3978,61 @@ def _poly_sql(var: str, base: int, add: int, mod: int, init: int = 0) -> str:
         f"list_filter(string_split({var}, ''), c -> c <> ''), "
         f"c -> ord(c)::BIGINT)), (a, b) -> (a * {base} + b + {add}) % {mod})"
     )
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12,
+                  dn: int = 85, dd: int = 100) -> str:
+    """DuckDB twin of web.pagerank over the deterministic 40-host
+    document link graph: the iterations unroll as CTEs r1..rN with
+    the IDENTICAL int64 fixed-point arithmetic (truncating ``//`` =
+    Spark's ``div`` on the all-positive ranks), so every intermediate
+    is bit-equal — no float ever enters either side."""
+    head = f"""
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 40 AS src, (doc_id * 7 + 11) % 40 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 40, (doc_id * 13 + 5) % 40 FROM documents
+          ) WHERE src <> dst
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), deg AS (
+          SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src
+        ), nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        r0 AS (
+          SELECT node, ({scale}::BIGINT // nn.n)::BIGINT AS r
+          FROM nodes, nn)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(f""",
+        d{i} AS (
+          SELECT coalesce(sum(p.r), 0)::BIGINT AS dm
+          FROM {p} p LEFT JOIN deg ON p.node = deg.src
+          WHERE deg.src IS NULL
+        ), c{i} AS (
+          SELECT e.dst AS node,
+                 sum((p.r * {dn}) // ({dd} * deg.deg))::BIGINT AS inflow
+          FROM e JOIN {p} p ON e.src = p.node
+                 JOIN deg ON e.src = deg.src
+          GROUP BY e.dst
+        ), r{i} AS (
+          SELECT nodes.node,
+                 ((({dd - dn}::BIGINT * {scale}::BIGINT) // ({dd} * nn.n))
+                  + (({dn}::BIGINT * d{i}.dm) // ({dd} * nn.n))
+                  + coalesce(c{i}.inflow, 0))::BIGINT AS r
+          FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+               LEFT JOIN c{i} ON nodes.node = c{i}.node
+        )""")
+    parts.append(f"""
+        SELECT node::BIGINT AS host_id,
+               'site' || node::VARCHAR || '.com' AS host,
+               r AS rank_e12
+        FROM r{iters}
+        ORDER BY rank_e12 DESC, host_id ASC""")
+    return "".join(parts)
 
 
 def _langid_oracle_sql() -> str:
@@ -7713,4 +7869,148 @@ def oracle_sql() -> dict[str, str]:
     d["lm_quality_buckets_scaled"] = d["lm_quality_buckets"]
     d["token_budget_pack_scaled"] = d["token_budget_pack"]
     d["knn_pq_persisted"] = d["knn_pq"]
+    # search_collapse: ES field collapsing — one best hit per user
+    # (value desc, event_id asc) + the group's inner-hit count,
+    # collapsed list ordered by winning values, top 15
+    d["search_collapse"] = """
+        WITH hits AS (SELECT * FROM events WHERE value >= 50),
+        g AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC,
+                                             event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS nig
+          FROM hits)
+        SELECT user_id, event_id, value, nig::BIGINT AS n_in_group
+        FROM g WHERE rn = 1
+        ORDER BY value DESC, event_id ASC LIMIT 15
+    """
+    # audience_overlap: KMV set ops — union the two bottom-64
+    # sketches, re-take bottom-64 (a valid union sketch), estimate
+    # |A∪B| by (k-1)*M/h_k and |A∩B| by the both-sides fraction;
+    # exact four-way ground truth alongside
+    _ph = _poly_sql("user_id::VARCHAR", 1103515245, 0,
+                    1_000_000_007, 5381)
+    d["audience_overlap"] = f"""
+        WITH a AS (SELECT * FROM events
+                   WHERE event_type = 'click' AND value >= 120),
+        b AS (SELECT * FROM events
+              WHERE event_type = 'purchase' AND value >= 120),
+        ha AS (SELECT DISTINCT {_ph} AS h FROM a
+               WHERE user_id IS NOT NULL),
+        hb AS (SELECT DISTINCT {_ph} AS h FROM b
+               WHERE user_id IS NOT NULL),
+        sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        u AS (SELECT h FROM (
+                SELECT DISTINCT h FROM (
+                  SELECT h FROM sa UNION ALL SELECT h FROM sb))
+              ORDER BY h LIMIT 64),
+        sk AS (SELECT count(*)::BIGINT AS kk, max(h) AS hk FROM u),
+        kb AS (SELECT count(*)::BIGINT AS kb FROM u
+               WHERE h IN (SELECT h FROM sa)
+                 AND h IN (SELECT h FROM sb)),
+        ua AS (SELECT DISTINCT user_id AS x FROM a
+               WHERE user_id IS NOT NULL),
+        ub AS (SELECT DISTINCT user_id AS x FROM b
+               WHERE user_id IS NOT NULL),
+        ex AS (SELECT
+          (SELECT count(*) FROM ua)::BIGINT AS n_a,
+          (SELECT count(*) FROM ub)::BIGINT AS n_b,
+          (SELECT count(*) FROM ua JOIN ub USING(x))::BIGINT AS n_inter,
+          (SELECT count(*) FROM (
+             SELECT x FROM ua UNION SELECT x FROM ub))::BIGINT AS n_union)
+        SELECT n_a, n_b, n_inter, n_union,
+          round(CASE WHEN kk < 64 THEN kk::DOUBLE
+                     ELSE round(63 * 1000000007.0 / hk, 6) END,
+                6) AS kmv_union,
+          round((kb::DOUBLE / kk::DOUBLE)
+                * CASE WHEN kk < 64 THEN kk::DOUBLE
+                       ELSE round(63 * 1000000007.0 / hk, 6) END,
+                6) AS kmv_intersection
+        FROM ex, sk, kb
+    """
+    # hard_negatives: cosine top-5 per anchor with the label-mismatch
+    # predicate fused; rank by the unrounded score (score desc,
+    # neighbor asc), round only on output — same order as the entry
+    d["hard_negatives"] = f"""
+        WITH anchors AS (
+          SELECT vec_id AS aid, embedding AS qe, label AS al
+          FROM embeddings ORDER BY vec_id LIMIT 3),
+        scored AS (
+          SELECT a.aid, a.al, c.vec_id AS nid, c.label AS nl,
+                 {_COS.format(a="a.qe", b="c.embedding")} AS score
+          FROM anchors a JOIN embeddings c
+            ON c.vec_id <> a.aid AND c.label <> a.al),
+        ranked AS (
+          SELECT aid, al, nid, nl, score,
+            row_number() OVER (PARTITION BY aid
+                               ORDER BY score DESC, nid ASC) AS rank
+          FROM scored)
+        SELECT aid AS anchor_id, al AS anchor_label,
+               nid AS neighbor_id, nl AS neighbor_label,
+               round(score, 6) AS score, rank
+        FROM ranked WHERE rank <= 5
+    """
+    # knn_pq_rerank: the knn_pq oracle's encode/LUT/score half cut to
+    # the 40-candidate shortlist, then exact full-dim L2 re-rank of
+    # only those rows — FAISS refine, replayed end-to-end
+    d["knn_pq_rerank"] = f"""
+        WITH cb AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj,
+                 embedding AS cbe
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 16)
+        ), ms AS (SELECT * FROM range(4) t(m)),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        corpus AS (
+          SELECT vec_id, embedding AS ce FROM embeddings
+          WHERE vec_id <> 0
+        ), pairs AS (
+          SELECT c.vec_id, ms.m, cb.cj,
+            {_L2.format(a="list_slice(c.ce, ms.m*16+1, ms.m*16+16)",
+                        b="list_slice(cb.cbe, ms.m*16+1, ms.m*16+16)")}
+                AS d
+          FROM corpus c CROSS JOIN ms CROSS JOIN cb
+        ), enc AS (
+          SELECT vec_id, m, cj FROM (
+            SELECT vec_id, m, cj,
+              row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, cj ASC) AS rn
+            FROM pairs) WHERE rn = 1
+        ), lut AS (
+          SELECT ms.m, cb.cj,
+            {_L2.format(a="list_slice(q.qe, ms.m*16+1, ms.m*16+16)",
+                        b="list_slice(cb.cbe, ms.m*16+1, ms.m*16+16)")}
+                AS qd
+          FROM ms CROSS JOIN cb CROSS JOIN q
+        ), scored AS (
+          SELECT e.vec_id,
+            max(CASE WHEN e.m = 0 THEN l.qd END) AS d0,
+            max(CASE WHEN e.m = 1 THEN l.qd END) AS d1,
+            max(CASE WHEN e.m = 2 THEN l.qd END) AS d2,
+            max(CASE WHEN e.m = 3 THEN l.qd END) AS d3
+          FROM enc e JOIN lut l ON e.m = l.m AND e.cj = l.cj
+          GROUP BY e.vec_id
+        ), cands AS (
+          SELECT vec_id,
+                 round((((d0 + d1) + d2) + d3), 6) AS adc_dist
+          FROM scored
+          ORDER BY round((((d0 + d1) + d2) + d3), 6) ASC, vec_id ASC
+          LIMIT 40
+        ), rer AS (
+          SELECT c.vec_id, c.adc_dist,
+                 round({_L2.format(a="e.embedding", b="q.qe")}, 6)
+                     AS exact_l2
+          FROM cands c JOIN embeddings e ON c.vec_id = e.vec_id, q
+        )
+        SELECT vec_id, adc_dist, exact_l2,
+               row_number() OVER (ORDER BY exact_l2 ASC, vec_id ASC)
+                   AS rank
+        FROM rer
+        ORDER BY exact_l2 ASC, vec_id ASC LIMIT 10
+    """
+    # domain_pagerank: 5 unrolled integer fixed-point iterations —
+    # bit-equal to web.pagerank's div/floor arithmetic
+    d["domain_pagerank"] = _pagerank_sql(iters=5)
     return d

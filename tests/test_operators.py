@@ -4160,3 +4160,108 @@ def test_langid_classifier_xxhash_default_model_consistent(spark):
             for r in langid_classifier(docs, hash_family=fam).collect()
         }
         assert got == {1: "en", 2: "de", 3: "es"}, fam
+
+
+def test_hard_negatives_label_mismatch_and_order(spark):
+    """Every mined negative has a different label from its anchor,
+    the anchor itself never appears, and per-anchor ranks are
+    contiguous descending-score order."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 3 + j) % 5) for j in range(4)],
+            label=i % 3)
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows)
+    anchors = emb.filter(F.col("vec_id") < 2)
+    out = sim.hard_negatives(emb, anchors, k=4).collect()
+    by_anchor = {}
+    for r in out:
+        assert r.neighbor_label != r.anchor_label
+        assert r.neighbor_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append((r.rank, r.score))
+    for aid, rs in by_anchor.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        scores = [x[1] for x in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_pq_rerank_subset_of_candidates_and_exact_order(spark):
+    """The refined top-k is drawn from the PQ candidate shortlist and
+    is ordered by EXACT distance (which may disagree with ADC order —
+    the whole point of the refine stage); expand=N/k degenerates to
+    exact brute-force order."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 11) / 11.0
+                                 for j in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows)
+    cands = {
+        r.vec_id
+        for r in sim.knn_pq(emb, 0, k=12, m_subspaces=4,
+                            n_codewords=8).collect()
+    }
+    out = sim.knn_pq_rerank(emb, 0, k=4, expand=3, m_subspaces=4,
+                            n_codewords=8).collect()
+    assert {r.vec_id for r in out} <= cands
+    l2s = [r.exact_l2 for r in sorted(out, key=lambda r: r.rank)]
+    assert l2s == sorted(l2s)
+    # shortlist = whole corpus -> exact brute-force top-k
+    full = sim.knn_pq_rerank(emb, 0, k=3, expand=7, m_subspaces=4,
+                             n_codewords=8).collect()
+    import math
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    q = rows[0].embedding
+    want = sorted(
+        ((round(l2(r.embedding, q), 6), r.vec_id) for r in rows[1:]),
+    )[:3]
+    got = [(r.exact_l2, r.vec_id) for r in sorted(full, key=lambda r: r.rank)]
+    assert got == want
+
+
+def test_sketch_set_ops_exact_below_k_and_disjoint(spark):
+    """Below k the sketches ARE the distinct hash sets: estimates
+    equal exact counts; disjoint audiences estimate zero
+    intersection."""
+    from toshokan_spark.search import sketch_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "user_id long")
+    b = spark.createDataFrame([(i,) for i in range(5, 20)], "user_id long")
+    r = sketch_set_ops(a, b, "user_id", k=64).collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter, r.n_union) == (10, 15, 5, 20)
+    assert r.kmv_union == 20.0
+    assert r.kmv_intersection == 5.0
+    c = spark.createDataFrame([(i,) for i in range(100, 110)],
+                              "user_id long")
+    r2 = sketch_set_ops(a, c, "user_id", k=64).collect()[0]
+    assert r2.n_inter == 0 and r2.kmv_intersection == 0.0
+
+
+def test_collapse_agg_one_per_group_with_counts(spark):
+    """One winner per field value (best sort, id tiebreak), group
+    count carried, collapsed list ordered by winning sort value."""
+    from toshokan_spark.search import collapse_agg
+
+    rows = [
+        (1, 10, 5.0), (2, 10, 9.0), (3, 10, 9.0),   # group 10: winner 2
+        (4, 20, 7.0),                                # group 20: winner 4
+        (5, 30, 8.0), (6, 30, 1.0),                  # group 30: winner 5
+    ]
+    df = spark.createDataFrame(rows, "event_id long, grp long, v double")
+    out = [
+        (r.grp, r.event_id, r.v, r.n_in_group)
+        for r in collapse_agg(df, "grp", "v", "event_id", limit=10).collect()
+    ]
+    assert out == [(10, 2, 9.0, 3), (30, 5, 8.0, 2), (20, 4, 7.0, 1)]

@@ -150,3 +150,53 @@ def test_url_store_lifecycle_and_incremental(spark, tmp_path):
     assert owners["https://a.com/x"] == 1  # owner never re-assigned
     assert owners["https://new.net/z?a=1&b=2"] == 11
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pagerank_exact_integer_arithmetic(spark):
+    """Spark pagerank reproduces a driver-side python model of the
+    SAME int64 fixed-point recurrence bit-for-bit (the property the
+    DuckDB oracle relies on), including dangling-mass redistribution;
+    total mass stays within N truncations of the scale."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.rank_e12
+           for r in web.pagerank(edges, iterations=3).collect()}
+
+    SCALE, dn, dd = 10**12, 85, 100
+    nodes = [0, 1, 2, 3, 4]
+    out_ = {0: [1, 2], 1: [2], 2: [0, 4], 3: [2], 4: []}
+    n = len(nodes)
+    r = {x: SCALE // n for x in nodes}
+    tele = ((dd - dn) * SCALE) // (dd * n)
+    for _ in range(3):
+        dang = sum(r[x] for x in nodes if not out_[x])
+        ds = (dn * dang) // (dd * n)
+        inflow = {x: 0 for x in nodes}
+        for s in nodes:
+            if out_[s]:
+                c = (r[s] * dn) // (dd * len(out_[s]))
+                for dsty in out_[s]:
+                    inflow[dsty] += c
+        r = {x: tele + ds + inflow[x] for x in nodes}
+    assert got == r
+    # mass conservation modulo truncation: each of the N nodes loses
+    # < 1 unit per division, 3 iterations, a handful of divisions
+    assert 0 <= 10**12 - sum(got.values()) < 100 * len(nodes)
+
+
+def test_pagerank_authority_ordering(spark):
+    """A hub every spoke links to (and that links back to every
+    spoke) outranks each spoke at every iteration — the hub collects
+    the four spokes' pooled mass while each spoke receives a quarter
+    of the hub's; symmetric spokes rank identically."""
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, i) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    got = {r.node: r.rank_e12
+           for r in web.pagerank(edges, iterations=10).collect()}
+    assert got[0] == max(got.values())
+    assert got[1] == got[2] == got[3] == got[4]
+    assert got[1] < got[0]

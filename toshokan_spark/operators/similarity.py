@@ -1778,3 +1778,130 @@ def knn_pq(
         .withColumn("rank", F.row_number().over(w))
     )
     return ranked
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    query_id: int,
+    k: int = 10,
+    expand: int = 4,
+    m_subspaces: int = 4,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve-and-refine ANN — FAISS's ``IndexRefineFlat``
+    shape (Jégou et al. 2011 §V.B: PQ recall is codebook-limited, so
+    production indexes over-retrieve by a small factor and re-rank
+    the shortlist with EXACT distances): stage 1 ranks the corpus by
+    PQ asymmetric distance and keeps ``k * expand`` candidates;
+    stage 2 re-scores ONLY those by exact squared L2 against the raw
+    vectors and returns the exact-ranked top ``k``.
+
+    Scale shape: stage 1 is :func:`knn_pq`'s one-scan-of-codes +
+    TakeOrdered (16 bytes/vector read); stage 2's shortlist is
+    ``k * expand`` rows — model-sized — so it BROADCASTS back onto
+    one raw-vector scan (at index scale the shortlist id-set prunes
+    the vector fetch to point lookups; no shuffle either way) and the
+    final cut is a ``k``-row TakeOrdered. The refine step reads
+    ``k * expand`` full vectors instead of N — the whole point: exact
+    quality on a shortlist, quantized cost on the corpus.
+
+    Ties break to the smaller id at BOTH stages (the (dist, id)
+    total order every ANN entry here uses), so the DuckDB oracle
+    replays candidate selection and re-ranking bit-for-bit."""
+    cands = knn_pq(
+        corpus, query_id, k=k * expand,
+        m_subspaces=m_subspaces, n_codewords=n_codewords,
+        id_col=id_col, vec_col=vec_col,
+    ).select("vec_id", "adc_dist")
+    qvec = [
+        float(x)
+        for x in corpus.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .first()[0]
+    ]
+    raw = spread(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+        )
+    )
+    exact = raw.join(F.broadcast(cands), "vec_id").withColumn(
+        "exact_l2", F.round(_l2_to_literal(F.col("__v"), qvec), 6)
+    )
+    w = Window.orderBy(F.col("exact_l2").asc(), F.col("vec_id").asc())
+    return (
+        exact.orderBy(F.col("exact_l2").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "adc_dist", "exact_l2", "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style negative selection step every embedding-model pipeline
+    runs): for each anchor vector, the ``k`` most-similar corpus
+    vectors whose LABEL DIFFERS — maximally confusing non-matches,
+    the examples that actually move a contrastive loss (random
+    negatives are trivially separable and contribute ~zero gradient).
+
+    Shape mirrors :func:`knn_bruteforce` with the label-mismatch
+    predicate fused into the scoring pass: the anchor set is
+    model-sized so it BROADCASTS (the corpus never shuffles), cosine
+    is the sequential-fold exact form, and the per-anchor top-k is a
+    row_number window partitioned by anchor id — anchor-cardinality
+    partitioning, executed as WindowGroupLimit (per-partition partial
+    top-k before the one exchange). Self-pairs are excluded by id, so
+    an anchor drawn from the corpus never mines itself.
+
+    Ties break (score desc, neighbor_id asc) — the deterministic
+    total order the oracle spells out."""
+    q = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("anchor_label"),
+        ).withColumn("__qn2", sq_norm(F.col("__qv")))
+    )
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(label_col).alias("neighbor_label"),
+        )
+    ).withColumn("__cn2", sq_norm(F.col("__cv")))
+    scored = (
+        q.crossJoin(c)
+        .filter(
+            (F.col("anchor_id") != F.col("neighbor_id"))
+            & (F.col("anchor_label") != F.col("neighbor_label"))
+        )
+        .withColumn(
+            "score",
+            dot_product(F.col("__qv"), F.col("__cv"))
+            / F.sqrt(F.col("__qn2") * F.col("__cn2")),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )

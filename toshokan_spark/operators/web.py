@@ -255,3 +255,102 @@ def domain_filter(
         "left_anti" if mode == "block" else "left_semi",
     )
     return joined.drop("__domain")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over a (src, dst) edge list — the domain
+    authority signal web-curation stacks weight sampling by (Common
+    Crawl seed ranking / host-level quality priors): after
+    ``iterations`` rounds of ``r' = (1-d)/N + d * (Σ_in r/deg +
+    dangling/N)``, each node's rank is returned as ``rank_e12``, the
+    rank scaled by ``scale`` in EXACT integer arithmetic.
+
+    Integer fixed-point, not floats, for a reason that matters at
+    scale as much as for the oracle: every per-iteration quantity is
+    a BIGINT computed with truncating division (``div``), so the
+    result is independent of partition count, partition order, and
+    reduction tree shape — a double-summed PageRank drifts run to
+    run, this one is bit-stable (and the DuckDB oracle unrolls the
+    same iterations with ``//``). Bounds: ranks sum to ~scale, so
+    ``rank * damping_num`` tops out near ``scale * damping_den``
+    (1e14 here) — 4 orders of magnitude inside int64.
+
+    Scale shape per iteration: one equi-join of the edge list against
+    the node-sized rank table on ``src`` + one partial-aggregated
+    groupBy on ``dst`` (the contribution sum — exact, longs), plus
+    two 1-row aggregates (dangling mass, for nodes with no out-edges,
+    and N). The edge list partitions by src once and every iteration
+    reuses that layout; ranks are node-sized (hosts, not documents —
+    100 TB of pages aggregates to ~1e7 hosts), so the join broadcasts
+    the rank side when it fits and shuffles only edges otherwise.
+    The doc->host extraction that FEEDS this is the heavy map; the
+    iteration itself runs on the aggregated graph."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # teleport share floor((1-d)*scale / N), identical every round
+    teleport = ((damping_den - damping_num) * scale) // (
+        damping_den * n_nodes
+    )
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "r", "deg")
+        # dangling nodes (no out-edges) leak their damped mass
+        # uniformly — one scalar per iteration
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
+            .first()[0]
+        )
+        dangling_share = (damping_num * dangling) // (
+            damping_den * n_nodes
+        )
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.expr(
+                    f"(r * {damping_num}) div ({damping_den} * deg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(int(teleport + dangling_share)).cast("long")
+                + F.coalesce(F.col("inflow"), F.lit(0))
+            ).cast("long").alias("r"),
+        )
+    out = ranks.select("node", F.col("r").alias("rank_e12"))
+    nodes.unpersist()
+    return out

@@ -1811,3 +1811,141 @@ def percentile_ranks_agg(
             ),
         ).alias("pct_rank"),
     )
+
+
+def collapse_agg(
+    hits: DataFrame,
+    field: str,
+    sort_field: str,
+    id_col: str,
+    limit: int = 10,
+    descending: bool = True,
+) -> DataFrame:
+    """ES field collapsing (``collapse`` in the search body —
+    quickwit/ES both ship it; the reference's limit-only collector
+    cannot, ``src/commands/search.rs:188``): the result list keeps
+    ONE best hit per distinct ``field`` value (best by ``sort_field``,
+    ties to the smaller ``id_col``), annotated with the group's total
+    hit count (the ``inner_hits`` count), and the collapsed list
+    itself is ordered by the winning hits' sort values and cut to
+    ``limit``.
+
+    Scale: both the per-group winner (row_number = 1) and the group
+    count ride ONE window partition key — a single group-keyed
+    exchange, with the rank filter executing as WindowGroupLimit
+    (per-partition partial top-1 before the shuffle); the final cut
+    is a ``limit``-row TakeOrdered, never a global sort."""
+    oc = (
+        F.col(sort_field).desc() if descending else F.col(sort_field).asc()
+    )
+    w = Window.partitionBy(field).orderBy(oc, F.col(id_col).asc())
+    wg = Window.partitionBy(field)
+    top = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_in_group", F.count(F.lit(1)).over(wg))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return top.select(
+        F.col(field),
+        F.col(id_col),
+        F.col(sort_field),
+        F.col("n_in_group").cast("long").alias("n_in_group"),
+    ).orderBy(oc, F.col(id_col).asc()).limit(limit)
+
+
+def sketch_set_ops(
+    hits_a: DataFrame,
+    hits_b: DataFrame,
+    field: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch SET OPERATIONS (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations" — the
+    theta-sketch algebra): estimate ``|A ∪ B|`` and ``|A ∩ B|`` for
+    two audiences from their bottom-k sketches ALONE — the
+    audience-overlap question every event pipeline asks, answered
+    without ever shuffling the raw key space.
+
+    Estimator: union the two bottom-k hash sets and re-take the
+    bottom k — a valid KMV sketch of A ∪ B, so
+    ``est_union = (k-1) * M / h_k`` (the :func:`cardinality_agg`
+    estimator). Of those k union-sketch hashes, the fraction ρ
+    present in BOTH side sketches estimates the Jaccard similarity,
+    and ``est_inter = ρ * est_union``. Below k the sketches are the
+    exact distinct hash sets and the estimates collapse to exact
+    counts (modulo hash collisions, the documented sketch trade).
+
+    The exact four-way ground truth (|A|, |B|, |A ∩ B|, |A ∪ B|) is
+    computed alongside for calibration — at 100 TB you'd keep only
+    the sketch columns, whose inputs are two k-row TakeOrdereds of
+    map-side-deduped int64 hashes (the per-side sketches are what an
+    index would PERSIST per segment and OR together at query time —
+    merging sketches costs k rows, merging audiences costs a
+    shuffle). Hash family is the repo's SQL-auditable poly fold, so
+    the DuckDB oracle replays every estimate bit-for-bit."""
+    from toshokan_spark.operators.dedup import POLY_MOD, poly_hash
+
+    def hashes(hits: DataFrame) -> DataFrame:
+        return (
+            hits.select(
+                poly_hash(
+                    F.col(field).cast("string"), base=1103515245, init=5381
+                ).alias("h")
+            )
+            .where(F.col("h").isNotNull())
+            .distinct()
+        )
+
+    ha, hb = hashes(hits_a), hashes(hits_b)
+    sa = ha.orderBy("h").limit(k).select(F.col("h").alias("ha"))
+    sb = hb.orderBy("h").limit(k).select(F.col("h").alias("hb"))
+    union_sk = (
+        sa.select(F.col("ha").alias("h"))
+        .unionByName(sb.select(F.col("hb").alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    both = union_sk.join(
+        F.broadcast(sa), union_sk["h"] == sa["ha"], "left_semi"
+    ).join(F.broadcast(sb), union_sk["h"] == sb["hb"], "left_semi")
+    sketch = union_sk.agg(
+        F.count(F.lit(1)).alias("kk"), F.max("h").alias("hk")
+    ).crossJoin(both.agg(F.count(F.lit(1)).alias("kb")))
+    est_union = F.when(
+        F.col("kk") < k, F.col("kk").cast("double")
+    ).otherwise(
+        F.round((F.lit(k - 1) * F.lit(float(POLY_MOD))) / F.col("hk"), 6)
+    )
+    exact = (
+        hits_a.select(F.col(field).alias("x"))
+        .where(F.col("x").isNotNull())
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+        .join(
+            hits_b.select(F.col(field).alias("x"))
+            .where(F.col("x").isNotNull())
+            .distinct()
+            .withColumn("in_b", F.lit(1)),
+            "x",
+            "full_outer",
+        )
+        .agg(
+            F.sum(F.coalesce("in_a", F.lit(0))).cast("long").alias("n_a"),
+            F.sum(F.coalesce("in_b", F.lit(0))).cast("long").alias("n_b"),
+            F.sum(
+                F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0))
+            ).cast("long").alias("n_inter"),
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+        )
+    )
+    rho = F.col("kb").cast("double") / F.col("kk").cast("double")
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.round(est_union, 6).alias("kmv_union"),
+        F.round(rho * est_union, 6).alias("kmv_intersection"),
+    )
