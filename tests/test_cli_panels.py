@@ -78,3 +78,22 @@ def test_bucket_sort_paging(panel_index, capsys):
         "--bucket-from", "1", "--bucket-size", "1",
     ])
     assert len(rows) == 1 and rows[0]["tenant_id"] == "1"
+
+
+def test_collapse_by_one_per_group(panel_index, capsys):
+    """--collapse-by: one best hit per tenant (by timestamp desc,
+    ties by the first schema field), annotated with the group's
+    inner-hit count, list ordered by the winning sort values."""
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--collapse-by", "tenant_id", "--order-by", "timestamp",
+        "--limit", "10",
+    ])
+    # 8 docs, tenant = i % 3: group sizes 3 (t0: i=0,3,6), 3 (t1), 2 (t2)
+    assert [(r["tenant_id"], r["n_in_group"]) for r in rows] == [
+        ("1", 3), ("0", 3), ("2", 2)]
+    # winners are each tenant's latest timestamp: i=7 (t1), 6 (t0),
+    # 5 (t2) — the emitter renders datetimes as UTC strings
+    assert [r["timestamp"] for r in rows] == [
+        "2016-04-13 06:47:00", "2016-04-13 06:46:59",
+        "2016-04-13 06:46:58"]

@@ -1065,3 +1065,81 @@ def test_highlight_is_zero_exchange_projection(plans12):
     assert a["scans"] == 1 and a["joins"] == "-", a
     assert a["exchanges"] == 0, a
     assert "EvalPython" not in phys
+
+
+# -- round 13: refine rerank, hard negatives, pagerank, sketch set
+#    ops, field collapsing
+
+
+ROUND13 = [
+    "knn_pq_rerank",
+    "hard_negatives",
+    "audience_overlap",
+    "search_collapse",
+]
+
+
+@pytest.fixture(scope="module")
+def plans13(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND13:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_knn_pq_rerank_shortlist_broadcasts_both_cuts_topk(plans13):
+    """Refine rerank: the 40-row shortlist re-enters the raw-vector
+    scan by BROADCAST (the corpus never shuffles for the refine), the
+    only nested-loop is the 1-row query broadcast, and both stage
+    cuts are distributed TakeOrdereds — no sort-merge join, no
+    global sort."""
+    _a, phys, _ = plans13["knn_pq_rerank"]
+    assert "BroadcastHashJoin" in phys, "shortlist join is not broadcast"
+    assert "SortMergeJoin" not in phys, "corpus shuffled for the refine"
+    assert "CartesianProduct" not in phys
+    assert phys.count("TakeOrderedAndProject") >= 2, (
+        "stage cuts are not distributed top-k")
+
+
+def test_hard_negatives_anchors_broadcast_rank_is_group_limit(plans13):
+    """Hard-negative mining: anchors enter as a broadcast
+    nested-loop (model-sized query set, corpus unshuffled), the
+    per-anchor top-k executes as WindowGroupLimit (partial top-k
+    before the one anchor-keyed exchange), and no Python touches the
+    scoring path."""
+    _a, phys, _ = plans13["hard_negatives"]
+    assert "BroadcastNestedLoopJoin" in phys, "anchors not broadcast"
+    assert "SortMergeJoin" not in phys
+    assert "WindowGroupLimit" in phys, "rank filter not a group limit"
+    assert "EvalPython" not in phys, "Python crept into the scoring"
+
+
+def test_audience_overlap_sketch_paths_are_topk(plans13):
+    """Sketch set ops: every sketch input is a k-row distributed
+    TakeOrdered of deduped hashes (the 100 TB path); the single
+    sort-merge is the exact-calibration full-outer join, which the
+    sketch-only production mode drops."""
+    _a, phys, _ = plans13["audience_overlap"]
+    assert phys.count("TakeOrderedAndProject") >= 3, (
+        "bottom-k sketches are not distributed top-k")
+    assert "EvalPython" not in phys
+    assert phys.count("SortMergeJoin") <= 1, (
+        "only the exact-calibration join may sort-merge")
+
+
+def test_search_collapse_one_exchange_one_window_pass(plans13):
+    """Field collapsing: winner + inner-hit count share ONE
+    group-keyed exchange and one window pass, and the collapsed page
+    is a distributed TakeOrdered — never a global sort."""
+    a, phys, _ = plans13["search_collapse"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert a["exchanges"] == 1, a
+    assert "TakeOrderedAndProject" in phys, "page cut is not top-k"
+    assert "SortMergeJoin" not in phys

@@ -13,7 +13,7 @@
     python -m toshokan_spark.cli search  <index> <query> [--limit 1] [--facet-by F] [--histogram-interval S]
                                          [--stats-field F] [--percentiles-field F [--approx [--approx-accuracy N]]]
                                          [--cardinality-by F [--cardinality-sketch-only]]
-                                         [--top-hits-per F --order-by F [--top-k 3]]
+                                         [--top-hits-per F --order-by F [--top-k 3]] [--collapse-by F --order-by F]
                                          [--extended-stats-field F] [--histogram-field F --histogram-bin W]
                                          [--range-field F --range-edges 0,10,100]
                                          [--panel-facet F --panel-stats F [--panel-bin W]]  # one-scan composed panel
@@ -205,6 +205,12 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--panel-bin", type=float, default=50.0,
                     help="histogram bucket width for --panel-stats "
                          "(default 50)")
+    ps.add_argument("--collapse-by", default=None, metavar="F",
+                    help="ES field collapsing: keep only the best hit per "
+                         "distinct value of F (best by --order-by desc, "
+                         "ties by the first schema field), each annotated "
+                         "with its group's inner-hit count; the collapsed "
+                         "list honours --limit")
     ps.add_argument("--top-hits-per", default=None,
                     help="instead of a global limit, print the top hits "
                          "WITHIN each value of this field (requires "
@@ -589,7 +595,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark()
         agg_mode = (a.facet_by or a.histogram_interval or a.stats_field
                     or a.percentiles_field or a.cardinality_by
-                    or a.top_hits_per or a.extended_stats_field
+                    or a.top_hits_per or a.collapse_by
+                    or a.extended_stats_field
                     or a.histogram_field or a.range_field
                     or a.significant_terms or a.panel_facet
                     or a.composite_by or a.rare_terms or a.filters
@@ -628,7 +635,7 @@ def main(argv: list[str] | None = None) -> int:
                     a.facet_by, a.facet_value, a.stats_field,
                     a.extended_stats_field, a.histogram_field,
                     a.range_field, a.percentiles_field, a.cardinality_by,
-                    a.top_hits_per, a.order_by, a.mad_field,
+                    a.top_hits_per, a.collapse_by, a.order_by, a.mad_field,
                     a.rare_terms, a.pipeline_value, a.sample_by,
                     a.panel_facet, a.panel_stats, a.significant_terms,
                 ]
@@ -854,6 +861,19 @@ def main(argv: list[str] | None = None) -> int:
                     named[name.strip()] = q
                 _emit(adjacency_matrix_agg(
                     hits_df(), catalog.get_index(a.index), named
+                ).collect())
+            if a.collapse_by:
+                if not a.order_by:
+                    print("error: --collapse-by requires --order-by",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import collapse_agg
+
+                config = catalog.get_index(a.index)
+                id_col = config.fields[0].name
+                _emit(collapse_agg(
+                    hits_df(), a.collapse_by, a.order_by, id_col,
+                    limit=a.limit,
                 ).collect())
             if a.top_hits_per:
                 if not a.order_by:

@@ -307,8 +307,14 @@ def pagerank(
         .distinct()
         .persist()
     )
+    # the loop-invariant frames (edges, out-degrees, node set) are
+    # read EVERY iteration — persist once or each round would rescan
+    # and re-dedup the document-derived edge list (5 iterations +
+    # the per-iteration dangling action = 10+ recomputes otherwise)
+    e = e.persist()
+    nodes = nodes
     n_nodes = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # teleport share floor((1-d)*scale / N), identical every round
     teleport = ((damping_den - damping_num) * scale) // (
         damping_den * n_nodes
@@ -316,20 +322,36 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     )
+    # the DANGLING NODE SET is loop-invariant (only the mass on it
+    # changes) — decide once. With no dangling nodes the whole
+    # iteration chain stays LAZY (one linear-depth plan, ONE job at
+    # the final materialization); with them, each round needs the
+    # dangling-mass scalar as a literal, which forces a per-round
+    # action — so only then pay the persist/count/unpersist
+    # lineage-truncation discipline
+    has_dangling = (
+        nodes.join(
+            outdeg, nodes["node"] == outdeg["src"], "left_anti"
+        ).limit(1).count() > 0
+    )
+    prev = None
     for _ in range(iterations):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
-        ).select("node", "r", "deg")
-        # dangling nodes (no out-edges) leak their damped mass
-        # uniformly — one scalar per iteration
-        dangling = (
-            with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
-            .first()[0]
-        )
-        dangling_share = (damping_num * dangling) // (
-            damping_den * n_nodes
-        )
+        if has_dangling:
+            with_deg = ranks.join(
+                outdeg, ranks["node"] == outdeg["src"], "left"
+            ).select("node", "r", "deg")
+            # dangling nodes leak their damped mass uniformly —
+            # one scalar per iteration
+            dangling = (
+                with_deg.where(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
+                .first()[0]
+            )
+            dangling_share = (damping_num * dangling) // (
+                damping_den * n_nodes
+            )
+        else:
+            dangling_share = 0
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -351,6 +373,18 @@ def pagerank(
                 + F.coalesce(F.col("inflow"), F.lit(0))
             ).cast("long").alias("r"),
         )
-    out = ranks.select("node", F.col("r").alias("rank_e12"))
-    nodes.unpersist()
-    return out
+        if has_dangling:
+            # materialize THROUGH the still-cached previous ranks
+            # before releasing them (unpersisting first would cascade
+            # the recompute back to iteration 1)
+            ranks = ranks.persist()
+            ranks.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
+    from toshokan_spark.operators.util import finalize_cached
+
+    cached = [nodes, e, outdeg] + ([prev] if prev is not None else [])
+    return finalize_cached(
+        ranks.select("node", F.col("r").alias("rank_e12")), *cached
+    )

@@ -1832,9 +1832,11 @@ def collapse_agg(
 
     Scale: both the per-group winner (row_number = 1) and the group
     count ride ONE window partition key — a single group-keyed
-    exchange, with the rank filter executing as WindowGroupLimit
-    (per-partition partial top-1 before the shuffle); the final cut
-    is a ``limit``-row TakeOrdered, never a global sort."""
+    exchange and one window pass (the inner-hit count needs every
+    group row, so the rank filter deliberately does NOT split into a
+    WindowGroupLimit — that would add a second window); the final
+    cut is a ``limit``-row TakeOrdered, never a global sort
+    (plan-pinned in tests/test_plan_audit.py)."""
     oc = (
         F.col(sort_field).desc() if descending else F.col(sort_field).asc()
     )
