@@ -3631,6 +3631,62 @@ def q_domain_pagerank(spark, sf_dir):
     ).orderBy(F.desc("rank_e12"), F.asc("host_id"))
 
 
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation audit (similarity.matryoshka_recall,
+    Kusupati et al. 2022): recall@5 of cosine retrieval on the first
+    8/16/32 dimensions vs full-dim ground truth, per query — the
+    report that decides how short stored vectors can get (D/d fewer
+    vector bytes) before retrieval quality pays. One ground-truth
+    pass + one narrow sliced pass per prefix, all WindowGroupLimit
+    cuts; the oracle replays every slice in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.matryoshka_recall(
+        emb, qs, k=5, prefix_dims=(8, 16, 32)
+    )
+
+
+def q_terms_error_bounds(spark, sf_dir):
+    """Sharded terms aggregation with ES's accuracy contract
+    (search.py::terms_with_error_bounds): each shard reports its top
+    3 terms, merged counts carry doc_count_error_upper_bound — the
+    bound on count a term could be hiding under other shards'
+    cut-offs (0 ⇒ the truncation was exact). The 100 TB terms-agg
+    trade made explicit and value-oracled via a deterministic
+    caller-column shard key."""
+    from toshokan_spark.search import terms_with_error_bounds
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "value:>=20").withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    return terms_with_error_bounds(
+        hits, "event_type", "shard", k=5, shard_size=3
+    )
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval (search.py::rank_eval): precision@10,
+    recall@10, MRR and NDCG@10 of label-match relevance over the
+    cosine top-10 for query vector 0 — the retrieval-quality
+    sign-off for an embedding ranker, bit-stable because the NDCG
+    discount table is a shared driver-computed literal and the DCG
+    sum folds through decimal(38,18)."""
+    from toshokan_spark.search import rank_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q0_label = (
+        emb.filter(F.col("vec_id") == 0).select("label").first()[0]
+    )
+    ranked = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).select(F.col("neighbor_id").alias("vec_id"), "rank")
+    judgments = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", (F.col("label") == F.lit(int(q0_label))).alias("relevant")
+    )
+    return rank_eval(ranked, judgments, k=10, id_col="vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -3651,6 +3707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "audience_overlap": q_audience_overlap,
         "search_collapse": q_search_collapse,
+        "matryoshka_recall": q_matryoshka_recall,
+        "terms_error_bounds": q_terms_error_bounds,
+        "rank_eval": q_rank_eval,
         "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
@@ -8013,4 +8072,132 @@ def oracle_sql() -> dict[str, str]:
     # domain_pagerank: 5 unrolled integer fixed-point iterations —
     # bit-equal to web.pagerank's div/floor arithmetic
     d["domain_pagerank"] = _pagerank_sql(iters=5)
+    # matryoshka_recall: prefix-sliced cosine top-5 per (dims, query)
+    # vs full-dim ground truth; DuckDB slices dynamically off the
+    # dims table where Spark runs one narrow pass per prefix
+    d["matryoshka_recall"] = f"""
+        WITH dims AS (SELECT unnest([8, 16, 32]) AS d),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+        exact AS (
+          SELECT qid, nid FROM (
+            SELECT q.qid, c.vec_id AS nid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY {_COS.format(a="q.qe", b="c.embedding")} DESC,
+                         c.vec_id ASC) AS rn
+            FROM q JOIN embeddings c ON c.vec_id <> q.qid)
+          WHERE rn <= 5),
+        approx AS (
+          SELECT d, qid, nid FROM (
+            SELECT dims.d, q.qid, c.vec_id AS nid,
+              row_number() OVER (PARTITION BY dims.d, q.qid
+                ORDER BY {_COS.format(
+                    a="list_slice(q.qe, 1, dims.d)",
+                    b="list_slice(c.embedding, 1, dims.d)")} DESC,
+                         c.vec_id ASC) AS rn
+            FROM dims CROSS JOIN q
+                 JOIN embeddings c ON c.vec_id <> q.qid)
+          WHERE rn <= 5),
+        hits AS (
+          SELECT a.d, a.qid, count(*)::BIGINT AS n
+          FROM approx a JOIN exact e
+            ON a.qid = e.qid AND a.nid = e.nid
+          GROUP BY a.d, a.qid)
+        SELECT dims.d::BIGINT AS dims, q.qid AS query_id,
+               coalesce(h.n, 0)::BIGINT AS n_hits,
+               round(coalesce(h.n, 0) / 5.0::DOUBLE, 6) AS recall
+        FROM dims CROSS JOIN q
+             LEFT JOIN hits h ON h.d = dims.d AND h.qid = q.qid
+    """
+    # terms_error_bounds: sharded top-3 terms merge with ES's
+    # doc_count_error_upper_bound (sum of non-reporting shards'
+    # cut-off counts; a shard that returned all its terms hides 0)
+    d["terms_error_bounds"] = """
+        WITH hits AS (
+          SELECT *, user_id % 4 AS s FROM events WHERE value >= 20),
+        counts AS (
+          SELECT s, event_type, count(*)::BIGINT AS c
+          FROM hits GROUP BY s, event_type),
+        ranked AS (
+          SELECT s, event_type, c,
+            row_number() OVER (PARTITION BY s
+                               ORDER BY c DESC, event_type ASC) AS rn
+          FROM counts),
+        reported AS (SELECT * FROM ranked WHERE rn <= 3),
+        per_shard AS (
+          SELECT s,
+            (CASE WHEN count(*) >= 3
+                  THEN max(CASE WHEN rn = 3 THEN c END)
+                  ELSE 0 END)::BIGINT AS last
+          FROM ranked GROUP BY s),
+        total AS (
+          SELECT coalesce(sum(last), 0)::BIGINT AS t FROM per_shard),
+        merged AS (
+          SELECT r.event_type,
+                 sum(r.c)::BIGINT AS doc_count,
+                 sum(p.last)::BIGINT AS covered
+          FROM reported r JOIN per_shard p USING(s)
+          GROUP BY r.event_type)
+        SELECT event_type, doc_count,
+               (t - covered)::BIGINT AS doc_count_error_upper_bound
+        FROM merged, total
+        ORDER BY doc_count DESC, event_type ASC LIMIT 5
+    """
+    # rank_eval: label-match relevance over the cosine top-10 for
+    # query 0 — discount table interpolated as the SAME driver
+    # literals rank_eval folds, DCG summed in decimal(38,18)
+    from toshokan_spark.search import ndcg_discounts as _nd
+
+    _disc = _nd(10)
+    _cum = []
+    _acc = 0.0
+    for _x in _disc:
+        _acc = _acc + _x
+        _cum.append(_acc)
+    _dl = ", ".join(repr(x) for x in _disc)
+    _cl = ", ".join(repr(x) for x in _cum)
+    d["rank_eval"] = f"""
+        WITH q AS (SELECT embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id = 0),
+        ranked AS (
+          SELECT vec_id, rn AS r FROM (
+            SELECT c.vec_id,
+              row_number() OVER (
+                ORDER BY {_COS.format(a="q.qe", b="c.embedding")} DESC,
+                         c.vec_id ASC) AS rn
+            FROM embeddings c, q WHERE c.vec_id <> 0)
+          WHERE rn <= 10),
+        judg AS (
+          SELECT c.vec_id,
+                 (c.label = q.ql)::INT AS rel
+          FROM embeddings c, q WHERE c.vec_id <> 0),
+        topk AS (
+          SELECT r.r, coalesce(j.rel, 0) AS rel
+          FROM ranked r LEFT JOIN judg j ON r.vec_id = j.vec_id),
+        agg AS (
+          SELECT
+            coalesce(sum(rel), 0)::BIGINT AS n_retrieved_relevant,
+            coalesce(max(CASE WHEN rel = 1
+                          THEN 1.0::DOUBLE / r END), 0.0) AS mrr_raw,
+            (coalesce(sum(CAST(CASE WHEN rel = 1
+                  THEN list_extract([{_dl}], r::INT)
+                  ELSE 0.0::DOUBLE END AS DECIMAL(38,18))),
+                0::DECIMAL(38,18)))::DOUBLE AS dcg
+          FROM topk),
+        nr AS (
+          SELECT coalesce(sum(rel), 0)::BIGINT AS n_relevant FROM judg)
+        SELECT n_relevant, n_retrieved_relevant,
+               round(n_retrieved_relevant / 10.0::DOUBLE, 6)
+                   AS precision_at_k,
+               CASE WHEN n_relevant > 0
+                    THEN round(n_retrieved_relevant
+                               / n_relevant::DOUBLE, 6)
+                    ELSE 0.0 END AS recall_at_k,
+               round(mrr_raw, 6) AS mrr,
+               CASE WHEN n_relevant > 0
+                    THEN round(dcg / list_extract([{_cl}],
+                         least(10, n_relevant)::INT), 6)
+                    ELSE 0.0 END AS ndcg_at_k
+        FROM agg, nr
+    """
     return d

@@ -4265,3 +4265,80 @@ def test_collapse_agg_one_per_group_with_counts(spark):
         for r in collapse_agg(df, "grp", "v", "event_id", limit=10).collect()
     ]
     assert out == [(10, 2, 9.0, 3), (30, 5, 8.0, 2), (20, 4, 7.0, 1)]
+
+
+def test_rank_eval_hand_case(spark):
+    """5-deep ranking, 3 relevant docs (ranks 1 and 3 retrieved):
+    p@5=0.4, recall=2/3, MRR=1, NDCG = (1 + 0.5) / (1 + 1/log2(3) +
+    0.5) — verified against the hand computation."""
+    from toshokan_spark.search import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "rank long, doc_id long")
+    judg = spark.createDataFrame(
+        [(1, True), (3, True), (7, True)], "doc_id long, relevant boolean")
+    r = rank_eval(ranked, judg, k=5).collect()[0]
+    assert (r.n_relevant, r.n_retrieved_relevant) == (3, 2)
+    assert r.precision_at_k == 0.4
+    assert r.recall_at_k == 0.666667
+    assert r.mrr == 1.0
+    import math
+    want = round((1.0 + 0.5) / (1.0 + 1.0 / math.log2(3) + 0.5), 6)
+    assert r.ndcg_at_k == want
+    # no relevant docs at all -> all-zero metrics, no div-by-zero
+    none = spark.createDataFrame([(9, False)], "doc_id long, relevant boolean")
+    z = rank_eval(ranked, none, k=5).collect()[0]
+    assert (z.recall_at_k, z.mrr, z.ndcg_at_k) == (0.0, 0.0, 0.0)
+
+
+def test_terms_error_bounds_semantics(spark):
+    """A term reported by EVERY shard has bound 0 only if every other
+    shard's cut-off is covered; a term missing from a shard's top
+    list is bounded by that shard's cut-off; a shard returning all
+    its terms hides nothing."""
+    from toshokan_spark.search import terms_with_error_bounds
+
+    rows = (
+        # shard 0: a x4, b x3, c x2, d x1  (top-2 = a,b; cut-off 3)
+        [("a", 0)] * 4 + [("b", 0)] * 3 + [("c", 0)] * 2 + [("d", 0)]
+        # shard 1: c x5, a x2 (exactly shard_size terms — CANNOT be
+        # known exhausted, so its cut-off 2 still bounds)
+        + [("c", 1)] * 5 + [("a", 1)] * 2
+        # shard 2: e x1 (FEWER than shard_size -> provably
+        # exhausted, hides nothing)
+        + [("e", 2)]
+    )
+    df = spark.createDataFrame(rows, "term string, s int")
+    got = {
+        r.term: (r.doc_count, r.doc_count_error_upper_bound)
+        for r in terms_with_error_bounds(
+            df, "term", "s", k=5, shard_size=2
+        ).collect()
+    }
+    # shard 0 reports a(4), b(3), cut 3; shard 1 reports c(5), a(2),
+    # cut 2; shard 2 reports e(1), cut 0 (exhausted)
+    # a: reported by 0 and 1, missing only from exhausted shard 2 -> 0
+    # c: missing from shard 0's list -> bound 3
+    # b: missing from shard 1's list -> bound 2 (1 might hide a 'b')
+    # e: missing from both cut shards -> bound 3 + 2 = 5
+    assert got == {"a": (6, 0), "c": (5, 3), "b": (3, 2), "e": (1, 5)}
+
+
+def test_matryoshka_recall_full_prefix_is_perfect(spark):
+    """Recall at the FULL dimensionality is exactly 1.0 for every
+    query (the sliced pass degenerates to ground truth), and every
+    (dims, query) pair appears exactly once."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 5 + j * 2) % 7) for j in range(8)])
+        for i in range(15)
+    ]
+    emb = spark.createDataFrame(rows)
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = sim.matryoshka_recall(emb, qs, k=4, prefix_dims=(4, 8)).collect()
+    assert len(out) == 6
+    full = [r for r in out if r.dims == 8]
+    assert all(r.recall == 1.0 and r.n_hits == 4 for r in full)

@@ -1905,3 +1905,51 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dims: "tuple[int, ...]" = (16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL — the
+    OpenAI/nomic "shortened embeddings" serving trick): per query and
+    per prefix length d, recall@k of cosine retrieval on the FIRST d
+    dimensions against full-dimension ground truth. The report that
+    decides how short the stored vectors can get before retrieval
+    quality pays — the same sign-off role :func:`knn_recall_report`
+    plays for ANN indexes, here for dimensionality instead of index
+    approximation.
+
+    Shape: one full-dim brute-force pass for ground truth + one
+    sliced pass per probed prefix (``F.slice`` is a narrow per-row
+    projection — the scan reads the same vector column; at serving
+    scale the WINNING prefix is what you'd persist, cutting vector
+    bytes by D/d). Each pass broadcasts the query set and cuts with
+    WindowGroupLimit; the recall joins are output-sized."""
+    exact = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    out = None
+    for d in prefix_dims:
+        c_d = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        q_d = queries.select(
+            F.col(query_id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        approx = knn_bruteforce(
+            c_d, q_d, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+        rep = knn_recall_report(approx, exact, k=k).select(
+            F.lit(d).cast("long").alias("dims"),
+            "query_id", "n_hits", "recall",
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

@@ -1951,3 +1951,173 @@ def sketch_set_ops(
         F.round(est_union, 6).alias("kmv_union"),
         F.round(rho * est_union, 6).alias("kmv_intersection"),
     )
+
+
+def terms_with_error_bounds(
+    hits: DataFrame,
+    field: str,
+    shard_col: str,
+    k: int = 5,
+    shard_size: int = 3,
+) -> DataFrame:
+    """ES terms aggregation WITH ACCURACY BOUNDS (the
+    ``doc_count_error_upper_bound`` contract): each shard reports
+    only its top ``shard_size`` terms; merged counts sum what was
+    reported, and every returned term carries an upper bound on how
+    much count it could be missing — the sum, over shards that did
+    NOT report the term, of that shard's last-returned count (a term
+    absent from a shard's top list can hide at most just under the
+    list's cut-off there; a shard that returned FEWER than
+    ``shard_size`` terms is provably exhausted — a missing term truly
+    has count 0 there — and contributes 0; one that returned exactly
+    ``shard_size`` cannot be distinguished from a truncated one, so
+    its cut-off still bounds, exactly ES's conservative rule).
+
+    This is the 100 TB terms-agg reality made explicit: exact terms
+    need the full key-space shuffle, sharded top-N is one partial
+    pass + a k-row merge, and the bound tells the caller whether the
+    truncation could have reordered the tail (bound 0 ⇒ exact). The
+    shard key is a CALLER COLUMN, so results are deterministic and
+    value-oracled — at scale you'd pass the segment/partition id.
+
+    One (shard, term) partial-aggregated exchange, per-shard top
+    lists via WindowGroupLimit, and output-sized merge joins."""
+    counts = (
+        hits.groupBy(F.col(shard_col).alias("__s"), F.col(field))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__s").orderBy(
+        F.col("__c").desc(), F.col(field).asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    reported = ranked.where(F.col("__rn") <= shard_size)
+    # a shard's hiding capacity: its last reported count IF the list
+    # was cut (>= shard_size distinct terms), else 0
+    per_shard = ranked.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n_terms"),
+        F.max(F.when(F.col("__rn") == shard_size, F.col("__c")))
+        .alias("__cut"),
+    ).select(
+        "__s",
+        F.when(F.col("__n_terms") >= shard_size, F.col("__cut"))
+        .otherwise(F.lit(0)).cast("long").alias("__last"),
+    )
+    total_last = per_shard.agg(
+        F.coalesce(F.sum("__last"), F.lit(0)).cast("long").alias("__total")
+    )
+    merged = (
+        reported.join(per_shard, "__s")
+        .groupBy(field)
+        .agg(
+            F.sum("__c").cast("long").alias("doc_count"),
+            F.sum("__last").cast("long").alias("__covered"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(total_last))
+        .select(
+            field,
+            "doc_count",
+            (F.col("__total") - F.col("__covered"))
+            .cast("long").alias("doc_count_error_upper_bound"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+        .limit(k)
+    )
+
+
+def ndcg_discounts(k: int) -> "list[float]":
+    """The NDCG rank-discount table 1/log2(rank+1) for ranks 1..k,
+    computed ONCE driver-side and folded into both engines as
+    identical decimal literals — log2 stays out of the value
+    contract entirely (JVM and libm log2 may differ in the last ulp;
+    a shared literal table cannot)."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def rank_eval(
+    ranked: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    rank_col: str = "rank",
+    id_col: str = "doc_id",
+    rel_col: str = "relevant",
+) -> DataFrame:
+    """ES ``_rank_eval``: score a ranked result list against binary
+    relevance judgments — precision@k, recall@k, MRR, and NDCG@k in
+    one row. The retrieval-quality sign-off every search/RAG pipeline
+    runs before swapping a ranker.
+
+    Exactness: precision/recall/MRR are rational (int counts and one
+    1/rank division); DCG sums the :func:`ndcg_discounts` literals
+    through ``decimal(38,18)`` so the ≤k-row sum is associative-exact
+    and partition-order-free, and the ideal DCG reads the CUMULATIVE
+    literal table at min(k, n_relevant) — both engines consume the
+    same driver-computed constants, so NDCG is bit-stable despite the
+    log2 inside it.
+
+    Shape: the top-k slice is k rows; the judgments join is
+    output-sized; the only corpus-shaped work is whatever produced
+    ``ranked`` and the one n_relevant aggregate."""
+    disc = ndcg_discounts(k)
+    cum = []
+    acc = 0.0
+    for x in disc:
+        acc = acc + x
+        cum.append(acc)
+    j = judgments.select(
+        F.col(id_col),
+        F.col(rel_col).cast("int").alias("__rel"),
+    )
+    topk = (
+        ranked.where(F.col(rank_col) <= k)
+        .select(F.col(rank_col).alias("__r"), F.col(id_col))
+        .join(j, id_col, "left")
+        .select("__r", F.coalesce("__rel", F.lit(0)).alias("__rel"))
+    )
+    wexpr = F.element_at(
+        F.array(*[F.lit(float(x)) for x in disc]),
+        F.col("__r").cast("int"),
+    )
+    agg = topk.agg(
+        F.coalesce(F.sum("__rel"), F.lit(0)).cast("long")
+        .alias("n_retrieved_relevant"),
+        F.coalesce(F.max(
+            F.when(F.col("__rel") == 1, F.lit(1.0) / F.col("__r"))
+        ), F.lit(0.0)).alias("__mrr"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__rel") == 1, wexpr)
+                .otherwise(F.lit(0.0)).cast("decimal(38,18)")
+            ),
+            F.lit(0).cast("decimal(38,18)"),
+        ).cast("double").alias("__dcg"),
+    )
+    n_rel = judgments.agg(
+        F.coalesce(
+            F.sum(F.col(rel_col).cast("long")), F.lit(0)
+        ).cast("long").alias("n_relevant")
+    )
+    cum_arr = F.array(*[F.lit(float(x)) for x in cum])
+    idcg = F.when(
+        F.col("n_relevant") > 0,
+        F.element_at(cum_arr, F.least(F.lit(k), F.col("n_relevant"))
+                     .cast("int")),
+    )
+    return agg.crossJoin(F.broadcast(n_rel)).select(
+        "n_relevant",
+        "n_retrieved_relevant",
+        F.round(
+            F.col("n_retrieved_relevant") / F.lit(float(k)), 6
+        ).alias("precision_at_k"),
+        F.when(F.col("n_relevant") > 0, F.round(
+            F.col("n_retrieved_relevant")
+            / F.col("n_relevant").cast("double"), 6,
+        )).otherwise(F.lit(0.0)).alias("recall_at_k"),
+        F.round(F.col("__mrr"), 6).alias("mrr"),
+        F.when(F.col("n_relevant") > 0, F.round(
+            F.col("__dcg") / idcg, 6
+        )).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+    )
