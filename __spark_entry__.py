@@ -3687,6 +3687,45 @@ def q_rank_eval(spark, sf_dir):
     return rank_eval(ranked, judgments, k=10, id_col="vec_id")
 
 
+def q_search_suggest(spark, sf_dir):
+    """ES completion suggester (search.py::suggest_completions): the
+    top 10 corpus tokens extending the prefix 's', ranked by
+    document frequency (one doc-distinct tokenize pass, prefix filter
+    BEFORE the frequency groupBy, distributed top-k) — the search-box
+    autocomplete panel served from the live vocabulary."""
+    from toshokan_spark.search import suggest_completions
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_completions(docs, "text", "s", k=10)
+
+
+def q_search_spell_correct(spark, sf_dir):
+    """ES term suggester (search.py::spell_correct — "did you
+    mean"): vocabulary tokens within 2 edits of the misspelling
+    'vale', ranked (distance, df desc, token) — 'value' (dist 1)
+    beats the more-frequent 'table' (dist 2); the length band
+    prunes the vocabulary before any levenshtein runs and both
+    engines compute the identical integer distance."""
+    from toshokan_spark.search import spell_correct
+
+    docs = _t(spark, sf_dir, "documents")
+    return spell_correct(docs, "text", "vale", k=5, max_dist=2)
+
+
+def q_search_sibling_aggs(spark, sf_dir):
+    """ES sibling pipeline aggregations (search.py::
+    sibling_bucket_aggs): max/min/avg/sum_bucket over the purchase
+    date histogram in one summary row, extremes carrying their
+    achieving bucket (ties to the earliest). Corpus work is the one
+    histogram exchange; the sibling stage reduces the bucket frame
+    with decimal-exact sums."""
+    from toshokan_spark.search import sibling_bucket_aggs
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    return sibling_bucket_aggs(hits, "ts", 21600, "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -3710,6 +3749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": q_matryoshka_recall,
         "terms_error_bounds": q_terms_error_bounds,
         "rank_eval": q_rank_eval,
+        "search_suggest": q_search_suggest,
+        "search_spell_correct": q_search_spell_correct,
+        "search_sibling_aggs": q_search_sibling_aggs,
         "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
@@ -8199,5 +8241,57 @@ def oracle_sql() -> dict[str, str]:
                          least(10, n_relevant)::INT), 6)
                     ELSE 0.0 END AS ndcg_at_k
         FROM agg, nr
+    """
+    # search_suggest / search_spell_correct: both read the same
+    # doc-distinct default-tokenizer vocabulary (the
+    # significant_terms mirror) — prefix-filtered df ranking and
+    # banded-levenshtein correction ranking
+    _vocab = """
+        WITH base AS (
+          SELECT list_distinct(list_transform(
+            list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                        w -> w <> '' AND strlen(w) <= 40),
+            w -> lower(w))) AS toks
+          FROM documents),
+        vdf AS (
+          SELECT t.term, count(*)::BIGINT AS df
+          FROM (SELECT unnest(toks) AS term FROM base) t
+          GROUP BY 1)
+    """
+    d["search_suggest"] = _vocab + """
+        SELECT term, df FROM vdf
+        WHERE term LIKE 's%'
+        ORDER BY df DESC, term ASC LIMIT 10
+    """
+    d["search_spell_correct"] = _vocab + """
+        SELECT term, levenshtein(term, 'vale')::INT AS dist, df
+        FROM vdf
+        WHERE abs(strlen(term) - 4) <= 2
+          AND term <> 'vale'
+          AND levenshtein(term, 'vale') <= 2
+        ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+    """
+    # search_sibling_aggs: max/min/avg/sum_bucket over the purchase
+    # 6h histogram; extremes by (value, earliest-bucket) total order
+    d["search_sibling_aggs"] = """
+        WITH hits AS (
+          SELECT * FROM events WHERE event_type = 'purchase'),
+        hist AS (
+          SELECT ((epoch_us(ts) // 21600000000) * 21600)::BIGINT AS e,
+                 round(sum(value::DECIMAL(38,6))::DOUBLE, 6) AS tv
+          FROM hits GROUP BY 1)
+        SELECT count(*)::BIGINT AS n_buckets,
+          round(sum(tv::DECIMAL(38,6))::DOUBLE, 6) AS sum_bucket,
+          round(sum(tv::DECIMAL(38,6))::DOUBLE / count(*)::DOUBLE, 6)
+              AS avg_bucket,
+          (SELECT tv FROM hist ORDER BY tv DESC, e ASC LIMIT 1)
+              AS max_bucket_value,
+          (SELECT e FROM hist ORDER BY tv DESC, e ASC LIMIT 1)
+              AS max_bucket_epoch,
+          (SELECT tv FROM hist ORDER BY tv ASC, e ASC LIMIT 1)
+              AS min_bucket_value,
+          (SELECT e FROM hist ORDER BY tv ASC, e ASC LIMIT 1)
+              AS min_bucket_epoch
+        FROM hist
     """
     return d

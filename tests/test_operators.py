@@ -4342,3 +4342,51 @@ def test_matryoshka_recall_full_prefix_is_perfect(spark):
     assert len(out) == 6
     full = [r for r in out if r.dims == 8]
     assert all(r.recall == 1.0 and r.n_hits == 4 for r in full)
+
+
+def test_suggest_and_spell_correct(spark):
+    """Suggest: prefix-filtered df ranking, each doc votes once per
+    distinct token. Spell: distance-first ranking — a closer rare
+    token beats a farther frequent one; the probe term itself never
+    returns."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.search import spell_correct, suggest_completions
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spark spark sort small"),  # spark counted once
+        Row(doc_id=2, text="spark sort"),
+        Row(doc_id=3, text="sort"),
+        Row(doc_id=4, text="value table table"),
+    ])
+    sug = [(r.term, r.df) for r in
+           suggest_completions(docs, "text", "s", k=10).collect()]
+    assert sug == [("sort", 3), ("spark", 2), ("small", 1)]
+    fix = [(r.term, r.dist, r.df) for r in
+           spell_correct(docs, "text", "vale", k=5).collect()]
+    # value: dist 1 (df 1); table: dist 2 (df 1)
+    assert fix == [("value", 1, 1), ("table", 2, 1)]
+    # probe equal to a vocab term: suggests OTHER corrections only
+    fix2 = [r.term for r in spell_correct(docs, "text", "sort", k=5).collect()]
+    assert "sort" not in fix2
+
+
+def test_sibling_bucket_aggs_extremes_and_ties(spark):
+    """max/min carry the achieving bucket with ties to the EARLIEST
+    bucket; avg/sum are decimal-exact over the bucket frame."""
+    from toshokan_spark.search import sibling_bucket_aggs
+
+    rows = [
+        (0, 10.0), (0, 10.0),      # bucket 0: 20
+        (3600, 30.0),              # bucket 3600: 30 (max)
+        (7200, 30.0),              # bucket 7200: 30 (tie -> earlier wins)
+        (10800, 5.0),              # bucket 10800: 5 (min)
+    ]
+    df = spark.createDataFrame(rows, "sec long, value double").select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "value")
+    r = sibling_bucket_aggs(df, "ts", 3600, "value").collect()[0]
+    assert r.n_buckets == 4
+    assert r.sum_bucket == 85.0
+    assert r.avg_bucket == 21.25
+    assert (r.max_bucket_value, r.max_bucket_epoch) == (30.0, 3600)
+    assert (r.min_bucket_value, r.min_bucket_epoch) == (5.0, 10800)

@@ -2121,3 +2121,108 @@ def rank_eval(
             F.col("__dcg") / idcg, 6
         )).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
     )
+
+
+def suggest_completions(
+    hits: DataFrame,
+    field: str,
+    prefix: str,
+    k: int = 10,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """ES completion suggester over the hit set's live vocabulary:
+    the top ``k`` tokens extending ``prefix``, ranked by document
+    frequency (each doc votes once per distinct token — the same df
+    definition the commit-time BM25 stats use). The search-box
+    autocomplete panel, served from the corpus itself.
+
+    Scale: the prefix filter lands BEFORE the frequency groupBy, so
+    the exchange carries only prefix-matching tokens (map-side
+    partial-aggregated), and the cut is a distributed top-k. At index
+    scale the same query reads the commit-time per-term df stats
+    instead of re-tokenizing — this operator IS that plan shape over
+    a live hit set."""
+    df = _doc_frequencies(hits, field, tokenizer)
+    return (
+        df.where(F.col("term").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def spell_correct(
+    hits: DataFrame,
+    field: str,
+    term: str,
+    k: int = 5,
+    max_dist: int = 2,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """ES term suggester ("did you mean"): corpus-vocabulary tokens
+    within ``max_dist`` Levenshtein edits of ``term``, ranked by
+    (distance, document frequency desc, token) — the most popular
+    closest correction first, never the probe term itself.
+
+    Scale: the vocabulary is one distinct-token df pass
+    (vocab-sized, not corpus-sized), a LENGTH band pre-filter
+    (|len(tok) − len(term)| ≤ max_dist — sargable, prunes the
+    vocabulary before any edit distance runs) guards the O(len²)
+    levenshtein, and both engines compute the identical integer
+    distance, so the ranking is exact."""
+    df = _doc_frequencies(hits, field, tokenizer)
+    tl = len(term)
+    cands = df.where(
+        (F.abs(F.length("term") - F.lit(tl)) <= max_dist)
+        & (F.col("term") != term)
+    ).withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+    return (
+        cands.where(F.col("dist") <= max_dist)
+        .orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+        )
+        .limit(k)
+        .select("term", "dist", "df")
+    )
+
+
+def sibling_bucket_aggs(
+    hits: DataFrame,
+    time_col: str,
+    interval_seconds: int,
+    value_col: str,
+) -> DataFrame:
+    """ES sibling pipeline aggregations — ``max_bucket`` /
+    ``min_bucket`` / ``avg_bucket`` / ``sum_bucket`` over a date
+    histogram's per-bucket value sums, in ONE summary row (each
+    extreme carries the bucket key that achieved it, ties to the
+    earliest bucket — ES returns the achieving key list; the
+    deterministic single key keeps the value contract total-ordered).
+
+    Scale: the corpus-sized work is the histogram's one
+    partial-aggregated exchange; the sibling stage aggregates the
+    bucket frame (time_range/interval rows — metadata-sized) to a
+    single row, summing through decimal(38,6) so the cross-bucket
+    totals are partition-order-exact."""
+    hist = date_histogram(hits, time_col, interval_seconds, value_col)
+    v = F.col("total_value")
+    dec = v.cast("decimal(38,6)")
+    return hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum(dec).cast("double"), 6).alias("sum_bucket"),
+        # double-side division of the decimal-exact sum — a
+        # decimal/bigint quotient would carry engine-specific result
+        # scales (the pipeline_histogram_agg moving_avg rule)
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_bucket"),
+        F.max(F.struct(v.alias("v"), (-F.col("bucket_epoch")).alias("ne")))
+        .getField("v").alias("max_bucket_value"),
+        (-F.max(
+            F.struct(v.alias("v"), (-F.col("bucket_epoch")).alias("ne"))
+        ).getField("ne")).cast("long").alias("max_bucket_epoch"),
+        F.min(F.struct(v.alias("v"), F.col("bucket_epoch").alias("e")))
+        .getField("v").alias("min_bucket_value"),
+        F.min(F.struct(v.alias("v"), F.col("bucket_epoch").alias("e")))
+        .getField("e").cast("long").alias("min_bucket_epoch"),
+    )
