@@ -97,3 +97,26 @@ def test_collapse_by_one_per_group(panel_index, capsys):
     assert [r["timestamp"] for r in rows] == [
         "2016-04-13 06:47:00", "2016-04-13 06:46:59",
         "2016-04-13 06:46:58"]
+
+
+def test_suggest_spell_sibling_flags(panel_index, capsys):
+    """--suggest-field/-prefix, --spell-field/-term and
+    --sibling-interval/-value panels through the CLI, fields routed
+    through _dynamic where undeclared."""
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--suggest-field", "severity_text", "--suggest-prefix", "d",
+    ])
+    assert rows == [{"term": "debug", "df": 4}]
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--spell-field", "severity_text", "--spell-term", "indo",
+    ])
+    assert rows == [{"term": "info", "dist": 1, "df": 4}]
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--sibling-interval", "2", "--sibling-value", "tenant_id",
+    ])
+    # timestamps 1460530013..20 at 1 s spacing, 2 s buckets ->
+    # ...012(1 doc), 014(2), 016(2), 018(2), 020(1)
+    assert len(rows) == 1 and rows[0]["n_buckets"] == 5

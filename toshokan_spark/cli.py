@@ -219,6 +219,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="numeric field ranking hits for --top-hits-per "
                          "(descending; ties by the first schema field)")
     ps.add_argument("--top-k", type=int, default=3)
+    ps.add_argument("--suggest-field", default=None, metavar="F",
+                    help="completion suggester: print the top corpus "
+                         "tokens of text field F extending "
+                         "--suggest-prefix, ranked by document frequency")
+    ps.add_argument("--suggest-prefix", default=None, metavar="P")
+    ps.add_argument("--suggest-k", type=int, default=10)
+    ps.add_argument("--spell-field", default=None, metavar="F",
+                    help="term suggester ('did you mean'): corrections "
+                         "for --spell-term from field F's vocabulary, "
+                         "ranked (edit distance, df desc)")
+    ps.add_argument("--spell-term", default=None, metavar="T")
+    ps.add_argument("--spell-max-dist", type=int, default=2)
+    ps.add_argument("--sibling-interval", type=int, default=None,
+                    metavar="S",
+                    help="sibling pipeline aggs: max/min/avg/sum_bucket "
+                         "over the S-second date histogram of "
+                         "--sibling-value (one summary row)")
+    ps.add_argument("--sibling-value", default=None, metavar="F")
     ps.add_argument("--significant-terms", default=None, metavar="F",
                     help="instead of hits, print the JLH-significant terms "
                          "of text field F in the hit set vs the whole index "
@@ -602,7 +620,9 @@ def main(argv: list[str] | None = None) -> int:
                     or a.composite_by or a.rare_terms or a.filters
                     or a.multi_terms or a.pipeline_interval
                     or a.weighted_avg or a.mad_field or a.adjacency
-                    or a.histogram_auto or a.percentile_ranks)
+                    or a.histogram_auto or a.percentile_ranks
+                    or a.suggest_field or a.spell_field
+                    or a.sibling_interval)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -637,6 +657,7 @@ def main(argv: list[str] | None = None) -> int:
                     a.range_field, a.percentiles_field, a.cardinality_by,
                     a.top_hits_per, a.collapse_by, a.order_by, a.mad_field,
                     a.rare_terms, a.pipeline_value, a.sample_by,
+                    a.suggest_field, a.spell_field, a.sibling_value,
                     a.panel_facet, a.panel_stats, a.significant_terms,
                 ]
                 for grouped in (a.multi_terms, a.composite_by):
@@ -899,6 +920,44 @@ def main(argv: list[str] | None = None) -> int:
                         {"rank_in_group": rank,
                          "doc": json.loads(prettify_doc(d, config))},
                         sort_keys=True, separators=(",", ":")))
+            if a.suggest_field:
+                if a.suggest_prefix is None:
+                    print("error: --suggest-field requires "
+                          "--suggest-prefix", file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import suggest_completions
+
+                _emit(suggest_completions(
+                    hits_df(), a.suggest_field, a.suggest_prefix,
+                    k=a.suggest_k,
+                ).collect())
+            if a.spell_field:
+                if a.spell_term is None:
+                    print("error: --spell-field requires --spell-term",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import spell_correct
+
+                _emit(spell_correct(
+                    hits_df(), a.spell_field, a.spell_term,
+                    max_dist=a.spell_max_dist,
+                ).collect())
+            if a.sibling_interval:
+                if not a.sibling_value:
+                    print("error: --sibling-interval requires "
+                          "--sibling-value", file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import sibling_bucket_aggs
+
+                config = catalog.get_index(a.index)
+                if config.time_field is None:
+                    print("error: index has no time_field",
+                          file=sys.stderr)
+                    return 2
+                _emit(sibling_bucket_aggs(
+                    hits_df(), config.time_field, a.sibling_interval,
+                    a.sibling_value,
+                ).collect())
             if a.significant_terms:
                 from toshokan_spark.indexer import stats_path, text_stat_fields
                 from toshokan_spark.search import significant_terms_from_stats
