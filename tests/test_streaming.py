@@ -1554,3 +1554,71 @@ def test_stream_manifest_histogram_fresh_after_each_microbatch(
     assert got == {(-10.0, 1), (0.0, 1), (10.0, 2)}
     # other widths keep falling back (None), mid-stream included
     assert manifest_histogram(spark, catalog, config, "v", 25.0) is None
+
+
+def test_streaming_quantile_histogram_state_and_accuracy(spark, tmp_path):
+    """Mergeable histogram sketch across micro-batches: counts carry
+    (batch 2 adds to batch 1's bins), every quantile estimate is
+    within one bin width of the exact value, out-of-range values
+    saturate into edge bins instead of dropping, and state stays
+    sketch-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from toshokan_spark.streaming import (
+        quantiles_from_histogram,
+        streaming_quantile_histogram,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(F.from_json("value", schema).alias("j")).select(
+            "j.*")
+        q = (
+            streaming_quantile_histogram(
+                parsed, value_col="v", lo=0.0, hi=1000.0,
+                n_bins=100, shards=4,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    # batch 1: 0..1999 scaled to [0,500); batch 2: [500,1000) plus an
+    # out-of-range straggler that must land in the top bin
+    vals1 = [i * 0.25 for i in range(2000)]          # 0 .. 499.75
+    vals2 = [500.0 + i * 0.25 for i in range(2000)]  # 500 .. 999.75
+    (indir / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"v": v}) for v in vals1) + "\n")
+    drain()
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"v": v}) for v in vals2 + [5000.0]) + "\n")
+    drain()
+
+    sink = spark.read.parquet(out)
+    got = quantiles_from_histogram(sink, [0.25, 0.5, 0.9], lo=0.0, hi=1000.0)
+    exact = {0.25: 250.0, 0.5: 500.0, 0.9: 900.0}
+    for q, want in exact.items():
+        assert abs(got[q] - want) <= 10.0 + 1e-9, (q, got[q])  # one bin
+    # state is sketch-sized: 4 shards x 100 bins x 8 bytes
+    latest = sink.join(
+        sink.groupBy("shard").agg(F.max("epoch").alias("epoch")),
+        ["shard", "epoch"],
+    )
+    rows = latest.collect()
+    assert len(rows) <= 4
+    assert all(len(r.counts) == 800 for r in rows)
+    # nothing dropped: merged n equals the 4001 streamed values
+    assert sum(r.n for r in rows) == 4001

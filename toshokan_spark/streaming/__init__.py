@@ -9,6 +9,8 @@ from toshokan_spark.streaming.stateful import (
     streaming_bottomk_sample,
     streaming_distinct_count,
     streaming_heavy_hitters,
+    streaming_quantile_histogram,
+    quantiles_from_histogram,
 )
 from toshokan_spark.streaming.windowed import (
     dedup_stream,
@@ -33,5 +35,7 @@ __all__ = [
     "stream_session_windows",
     "stream_windowed_counts",
     "streaming_heavy_hitters",
+    "streaming_quantile_histogram",
+    "quantiles_from_histogram",
     "windowed_counts",
 ]

@@ -461,3 +461,148 @@ def bottomk_sample_and_estimate(summaries: DataFrame, k: int) -> dict:
         "sample": [it for _, it in kept],
         "distinct_estimate": (k - 1) / frac if frac > 0 else float(k),
     }
+
+
+def streaming_quantile_histogram(
+    events: DataFrame,
+    value_col: str = "v",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Stream-lifetime approximate QUANTILES with bounded state: a
+    fixed-width bin histogram per hash shard, maintained across
+    micro-batches — the percentile sibling of
+    :func:`streaming_distinct_count` (state O(shards × n_bins × 8)
+    bytes forever; quantile error ≤ one bin width of the value
+    range, the classic mergeable-histogram trade).
+
+    Bin assignment runs JVM-side BEFORE the Arrow crossing (a clamp +
+    floor column expression — out-of-range values saturate into the
+    edge bins, so the sketch never drops data, it only widens the
+    edge bins' error). Python folds pre-binned integers into a count
+    array. Counts are ADDITIVE across shards and batches, so the
+    merged histogram equals the one a single global sketch would
+    hold — :func:`quantiles_from_histogram` just sums register files.
+
+    Output per updated shard per micro-batch: ``(shard, epoch, n,
+    counts binary(8 * n_bins, big-endian u64))`` — epoch-stamped like
+    the other stateful sinks so an append sink has a well-defined
+    current summary."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("epoch", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("counts", T.BinaryType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("counts", T.BinaryType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("epoch", T.LongType()),
+        ]
+    )
+    fmt = f">{n_bins}Q"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counts_b, n, epoch = state.get
+            counts = list(_struct.unpack(fmt, counts_b))
+            n, epoch = int(n), int(epoch)
+        else:
+            counts = [0] * n_bins
+            n, epoch = 0, 0
+        for pdf in pdfs:
+            for b in pdf["__bin"]:
+                if b is None:
+                    continue
+                counts[int(b)] += 1
+                n += 1
+        epoch += 1
+        packed = _struct.pack(fmt, *counts)
+        state.update((packed, n, epoch))
+        yield pd.DataFrame(
+            {"shard": [key[0]], "epoch": [epoch], "n": [n],
+             "counts": [packed]}
+        )
+
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")),
+    )
+    ev = events.where(v.isNotNull()).select(
+        bin_.alias("__bin"),
+        F.pmod(F.xxhash64(v.cast("string")), F.lit(shards)).alias("__shard"),
+    )
+    return ev.groupBy("__shard").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def quantiles_from_histogram(
+    summaries: DataFrame,
+    qs: "list[float]",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> "dict[float, float]":
+    """Merge a :func:`streaming_quantile_histogram` sink into
+    quantile estimates: keep each shard's max-epoch counts, ADD the
+    count arrays (valid because bins are value-determined, not
+    shard-determined), then for each q return the UPPER EDGE of the
+    first bin whose cumulative count reaches ``ceil(q * n)`` — every
+    true quantile lies within one bin width below the answer. The
+    read is sketch-sized (shards × n_bins longs), never
+    stream-sized."""
+    import math
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    latest = summaries.join(
+        F.broadcast(
+            summaries.groupBy("shard").agg(F.max("epoch").alias("epoch"))
+        ),
+        ["shard", "epoch"],
+    )
+    rows = latest.select("counts").collect()
+    if not rows:
+        return {q: float("nan") for q in qs}
+    n_bins = len(rows[0].counts) // 8
+    fmt = f">{n_bins}Q"
+    merged = [0] * n_bins
+    for r in rows:
+        for i, c in enumerate(_struct.unpack(fmt, r.counts)):
+            merged[i] += c
+    total = sum(merged)
+    width = (hi - lo) / n_bins
+    out: "dict[float, float]" = {}
+    for q in qs:
+        if total == 0:
+            out[q] = float("nan")
+            continue
+        target = max(1, math.ceil(q * total))
+        acc = 0
+        ans = hi
+        for i, c in enumerate(merged):
+            acc += c
+            if acc >= target:
+                ans = lo + (i + 1) * width
+                break
+        out[q] = ans
+    return out
