@@ -1143,3 +1143,53 @@ def test_search_collapse_one_exchange_one_window_pass(plans13):
     assert a["exchanges"] == 1, a
     assert "TakeOrderedAndProject" in phys, "page cut is not top-k"
     assert "SortMergeJoin" not in phys
+
+
+ROUND13B = ["search_suggest", "search_spell_correct", "search_sibling_aggs"]
+
+
+@pytest.fixture(scope="module")
+def plans13b(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND13B:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_suggest_prefix_filter_before_frequency_exchange(plans13b):
+    """Completion suggester: one scan, the prefix filter sits below
+    the frequency aggregate (only prefix-matching tokens reach the
+    exchange), map-side partial aggregation, top-k output cut."""
+    a, phys, _ = plans13b["search_suggest"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys
+    f = phys.find("Filter")
+    agg = phys.rfind("HashAggregate")
+    assert f != -1 and agg != -1 and f > agg, (
+        "prefix filter must sit below the final aggregate "
+        "(tree prints top-down)")
+
+
+def test_spell_correct_no_join_banded_filter(plans13b):
+    """Term suggester: vocabulary pass + banded levenshtein are one
+    scan with no join at all — the correction never shuffles
+    anything but the vocab-sized frequency exchange."""
+    a, phys, _ = plans13b["search_spell_correct"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_sibling_aggs_two_level_aggregate_no_window(plans13b):
+    """Sibling stage: histogram exchange + a 1-row final aggregate —
+    no window, no join, no sort; the bucket frame reduces in one
+    pass."""
+    a, phys, _ = plans13b["search_sibling_aggs"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "Window" not in phys, "sibling stage must not use a window"
