@@ -112,6 +112,15 @@ FLOORS = {
     "q2_min_cost_supplier": 1.0,
     "q9_product_type_profit": 1.2,
     "dedup_incremental_url": 0.9,
+    # round-13 additions (sf0.01 warm best-of-3: 5.13/2.44/1.84/
+    # 0.82 — knn_pq_rerank composes knn_pq's literal-codebook
+    # codegen cost (see knn_pq note) plus the shortlist refine;
+    # domain_pagerank is 5 chained iterations in one lazy job;
+    # matryoshka_recall is 4 brute-force passes by design)
+    "knn_pq_rerank": 6.7,
+    "domain_pagerank": 3.2,
+    "matryoshka_recall": 2.4,
+    "audience_overlap": 1.1,
 }
 MULTIPLIER = 2.5
 RUNS = 3
