@@ -3726,6 +3726,22 @@ def q_search_sibling_aggs(spark, sf_dir):
     return sibling_bucket_aggs(hits, "ts", 21600, "value")
 
 
+def q_search_regex(spark, sf_dir):
+    """Lucene/ES regexp query (plans/ast.py::Regex, query.py::
+    _compile_regex — tantivy's parser does not expose it, SURVEY §2.8
+    extension): ``field:/pattern/`` full-matches an analyzed token
+    (the whole value under the raw tokenizer), implicitly anchored
+    exactly as Lucene's regexp automaton. Composes with the other
+    clauses' pushdown (the numeric bound reaches the scan; the regex
+    itself runs in whole-stage codegen)."""
+    ev = _t(spark, sf_dir, "events")
+    out = _search(
+        ev, EVENTS_CONFIG, "(event_type:/c.*k/ OR event_type:/s.+p/)"
+        " AND value:>=300"
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -3750,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_error_bounds": q_terms_error_bounds,
         "rank_eval": q_rank_eval,
         "search_suggest": q_search_suggest,
+        "search_regex": q_search_regex,
         "search_spell_correct": q_search_spell_correct,
         "search_sibling_aggs": q_search_sibling_aggs,
         "embedding_stats": q_embedding_stats,
@@ -8257,6 +8274,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT t.term, count(*)::BIGINT AS df
           FROM (SELECT unnest(toks) AS term FROM base) t
           GROUP BY 1)
+    """
+    # search_regex: anchored full-match token regex (DuckDB
+    # regexp_full_match == the ^(?:...)$ wrap on the Spark side)
+    d["search_regex"] = """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE (regexp_full_match(event_type, 'c.*k')
+               OR regexp_full_match(event_type, 's.+p'))
+          AND value >= 300
     """
     d["search_suggest"] = _vocab + """
         SELECT term, df FROM vdf

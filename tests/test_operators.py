@@ -4390,3 +4390,37 @@ def test_sibling_bucket_aggs_extremes_and_ties(spark):
     assert r.avg_bucket == 21.25
     assert (r.max_bucket_value, r.max_bucket_epoch) == (30.0, 3600)
     assert (r.min_bucket_value, r.min_bucket_epoch) == (5.0, 10800)
+
+
+def test_regex_query_semantics(spark):
+    """field:/re/ full-matches (anchored like Lucene's automaton):
+    raw-tokenizer fields match the whole value, default-tokenizer
+    fields match SOME analyzed token, numeric targets match their
+    string rendering, and nulls never match."""
+    import __spark_entry__ as e
+    from toshokan_spark.query import compile_query
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"),
+         (2, "clicked link", "es"),
+         (3, "nothing here", None)],
+        "doc_id long, text string, lang string",
+    )
+    cfg = e.DOCS_CONFIG
+
+    def hit(q):
+        return sorted(
+            r.doc_id for r in
+            docs.filter(compile_query(q, cfg, set(docs.columns))).collect()
+        )
+
+    assert hit("lang:/e[ns]/") == [1, 2]
+    # anchored: 'e' alone must NOT match 'en'/'es'
+    assert hit("lang:/e/") == []
+    # token-level on analyzed text: 'qu.ck' matches doc 1's token
+    assert hit("text:/qu.ck/") == [1]
+    # substring without wildcards does not match a longer token
+    assert hit("text:/lick/") == []
+    assert hit("doc_id:/[12]/") == [1, 2]
+    # composes with must_not
+    assert hit("text:/.*i.*/ AND NOT lang:/es/") == [1, 3]

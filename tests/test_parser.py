@@ -176,3 +176,22 @@ def test_phrase_prefix_syntax():
     # slop and prefix are distinct suffixes; no star -> plain phrase
     assert parse_query('text:"a b"~2') == Phrase(("text",), "a b", 2)
     assert parse_query('text:"a b"') == Phrase(("text",), "a b", 0)
+
+
+def test_regex_query_syntax():
+    from toshokan_spark.plans.ast import ParseError, Regex
+
+    assert parse_query("event_type:/c.*k/") == Regex(("event_type",), "c.*k")
+    # \/ is OUR delimiter escape and unwraps; regex escapes survive
+    assert parse_query(r"path:/a\/b/") == Regex(("path",), "a/b")
+    assert parse_query(r"text:/\d+/") == Regex(("text",), r"\d+")
+    # composes in boolean structure
+    q = parse_query("lang:/e[ns]/ AND source:web")
+    assert q == BoolQuery(
+        must=(Regex(("lang",), "e[ns]"), Term(("source",), "web")))
+    # unterminated / empty literals are parse errors
+    import pytest
+    with pytest.raises(ParseError):
+        parse_query("x:/abc")
+    with pytest.raises(ParseError):
+        parse_query("x://")

@@ -97,6 +97,18 @@ class Fuzzy(Node):
 
 
 @dataclass(frozen=True)
+class Regex(Node):
+    """``field:/pattern/`` — Lucene/ES regexp query: some analyzed
+    token (the whole raw value under the raw tokenizer) FULL-matches
+    the pattern, i.e. the pattern is implicitly anchored at both ends
+    exactly as Lucene's regexp automaton is (extension, same caveat
+    as :class:`Prefix` — tantivy's parser does not expose it)."""
+
+    field: tuple[str, ...]
+    pattern: str
+
+
+@dataclass(frozen=True)
 class RangeQ(Node):
     field: tuple[str, ...]
     lo: Optional[str]  # None == open (*)
@@ -394,6 +406,26 @@ def _parse_clause(sc: _Scanner) -> Node:
             sc.i += 1
             return PhrasePrefix(fieldp, text)
         return Phrase(fieldp, text, _read_slop(sc))
+    if c == "/":
+        sc.i += 1
+        out: list[str] = []
+        while not sc.eof() and sc.s[sc.i] != "/":
+            if sc.s[sc.i] == "\\" and sc.i + 1 < len(sc.s):
+                # keep the escape for the regex engine; only \/ is
+                # OUR delimiter escape and unwraps here
+                if sc.s[sc.i + 1] == "/":
+                    sc.i += 1
+                else:
+                    out.append(sc.s[sc.i])
+                    sc.i += 1
+            out.append(sc.s[sc.i])
+            sc.i += 1
+        if sc.eof():
+            raise ParseError("unterminated regex literal")
+        sc.i += 1
+        if not out:
+            raise ParseError("empty regex literal")
+        return Regex(fieldp, "".join(out))
     if c == "*":
         nxt = sc.s[sc.i + 1] if sc.i + 1 < len(sc.s) else ""
         if not nxt or nxt.isspace() or nxt in ")":

@@ -41,6 +41,7 @@ from toshokan_spark.plans.ast import (
     PhrasePrefix,
     Prefix,
     RangeQ,
+    Regex,
     Term,
     parse_query,
 )
@@ -384,6 +385,8 @@ class QueryCompiler:
             return self._compile_phrase(node)
         if isinstance(node, PhrasePrefix):
             return self._compile_phrase_prefix(node)
+        if isinstance(node, Regex):
+            return self._compile_regex(node)
         if isinstance(node, RangeQ):
             return self._compile_range(node)
         if isinstance(node, Cmp):
@@ -676,6 +679,43 @@ class QueryCompiler:
         if len(words) == 1:
             return F.coalesce(self._token_match(t, words[0]), F.lit(False))
         return F.coalesce(self._adjacency(t, words, node.slop), F.lit(False))
+
+    def _compile_regex(self, node: Regex) -> Column:
+        """Lucene regexp query: the pattern FULL-matches some
+        analyzed token (Lucene's regexp automaton is anchored at both
+        ends, so the pattern is wrapped ``^(?:...)$`` before the JVM
+        engine sees it). Under the raw tokenizer the whole value is
+        the one token; non-text targets match on their string
+        rendering. The match is a per-row JVM ``rlike`` inside
+        whole-stage codegen — no index structure prunes a regexp (the
+        same truth holds in Lucene unless the automaton has a literal
+        prefix), so it composes with OTHER clauses' pushdown rather
+        than bringing its own."""
+        t = self.resolve(node.field)
+        pat = "^(?:" + node.pattern + ")$"
+        if t.kind in ("text", "dynamic"):
+            if t.tokenizer == "raw":
+                if t.kind == "text" and t.array:
+                    return F.coalesce(
+                        F.exists(t.col, lambda e: e.rlike(pat)),
+                        F.lit(False),
+                    )
+                return F.coalesce(t.col.rlike(pat), F.lit(False))
+            toks = (
+                tokenize(t.col, t.tokenizer)
+                if t.kind == "dynamic"
+                else t.tokens
+            )
+            return F.coalesce(
+                F.exists(toks, lambda tok: tok.rlike(pat)), F.lit(False)
+            )
+        target = t.ipkey if t.kind == "ip" else t.col
+        if t.array:
+            return F.coalesce(
+                F.exists(target, lambda e: e.cast("string").rlike(pat)),
+                F.lit(False),
+            )
+        return F.coalesce(target.cast("string").rlike(pat), F.lit(False))
 
     def _compile_range(self, node: RangeQ) -> Column:
         t = self.resolve(node.field)
