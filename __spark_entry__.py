@@ -3742,6 +3742,26 @@ def q_search_regex(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+def q_search_percolate(spark, sf_dir):
+    """ES percolator (search.py::percolate) — search reversed: four
+    standing queries (term+range, term, disjunction, regex) evaluate
+    against the event stream in ONE scan as a width-Q codegen
+    projection (no join, no per-query pass); each event reports every
+    stored query it matches. The alerting/saved-search primitive;
+    a doc can match several monitors (signup hits both the
+    disjunction and the regex)."""
+    from toshokan_spark.search import percolate
+
+    ev = _t(spark, sf_dir, "events")
+    stored = [
+        ("big_click", "event_type:click AND value:>=300"),
+        ("any_error", "event_type:error"),
+        ("sign_or_view", "event_type:signup OR event_type:view"),
+        ("regex_sp", "event_type:/s.+p/"),
+    ]
+    return percolate(ev, stored, EVENTS_CONFIG, "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -3767,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         "search_suggest": q_search_suggest,
         "search_regex": q_search_regex,
+        "search_percolate": q_search_percolate,
         "search_spell_correct": q_search_spell_correct,
         "search_sibling_aggs": q_search_sibling_aggs,
         "embedding_stats": q_embedding_stats,
@@ -8283,6 +8304,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE (regexp_full_match(event_type, 'c.*k')
                OR regexp_full_match(event_type, 's.+p'))
           AND value >= 300
+    """
+    # search_percolate: the four stored monitors as UNION ALL arms
+    d["search_percolate"] = """
+        SELECT event_id, 'big_click' AS query_id FROM events
+        WHERE event_type = 'click' AND value >= 300
+        UNION ALL
+        SELECT event_id, 'any_error' FROM events
+        WHERE event_type = 'error'
+        UNION ALL
+        SELECT event_id, 'sign_or_view' FROM events
+        WHERE event_type IN ('signup', 'view')
+        UNION ALL
+        SELECT event_id, 'regex_sp' FROM events
+        WHERE regexp_full_match(event_type, 's.+p')
     """
     d["search_suggest"] = _vocab + """
         SELECT term, df FROM vdf

@@ -4424,3 +4424,36 @@ def test_regex_query_semantics(spark):
     assert hit("doc_id:/[12]/") == [1, 2]
     # composes with must_not
     assert hit("text:/.*i.*/ AND NOT lang:/es/") == [1, 3]
+
+
+def test_percolate_overlaps_and_nonmatches(spark):
+    """A doc matching several stored queries yields one row per
+    match; a doc matching none yields nothing; bad query syntax
+    surfaces as a parse error at registration, not at scan time."""
+    import pytest as _pytest
+
+    import __spark_entry__ as e
+    from toshokan_spark.plans.ast import ParseError
+    from toshokan_spark.search import percolate
+
+    docs = spark.createDataFrame(
+        [(1, "click", 500.0), (2, "error", 10.0), (3, "view", 20.0)],
+        "event_id long, event_type string, value double",
+    ).withColumn("ts", F.current_timestamp()).withColumn(
+        "user_id", F.lit(1)).withColumn("props", F.lit("{}"))
+    stored = [
+        ("q_click", "event_type:click"),
+        ("q_big", "value:>=100"),
+        ("q_err", "event_type:error"),
+    ]
+    got = sorted(
+        (r.event_id, r.query_id)
+        for r in percolate(docs, stored, e.EVENTS_CONFIG,
+                           "event_id").collect()
+    )
+    assert got == [(1, "q_click"), (1, "q_big"), (2, "q_err")] or got == sorted(
+        [(1, "q_click"), (1, "q_big"), (2, "q_err")])
+    assert (3, "q_click") not in got and all(i != 3 for i, _ in got)
+    with _pytest.raises(ParseError):
+        percolate(docs, [("bad", 'event_type:"unterminated')],
+                  e.EVENTS_CONFIG, "event_id")

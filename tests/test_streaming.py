@@ -1622,3 +1622,62 @@ def test_streaming_quantile_histogram_state_and_accuracy(spark, tmp_path):
     assert all(len(r.counts) == 800 for r in rows)
     # nothing dropped: merged n equals the 4001 streamed values
     assert sum(r.n for r in rows) == 4001
+
+
+def test_streaming_percolation_foreachbatch(spark, tmp_path):
+    """Percolation over a stream: standing monitors evaluate inside
+    foreachBatch against each arriving micro-batch — every batch's
+    matches land in the alert sink exactly once, across restarts of
+    the availableNow drain."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as e
+    from toshokan_spark.search import percolate
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stored = [
+        ("q_click", "event_type:click"),
+        ("q_big", "value:>=100"),
+    ]
+
+    def sink(batch_df, _bid):
+        percolate(
+            batch_df.withColumn("ts", F.current_timestamp())
+            .withColumn("user_id", F.lit(1))
+            .withColumn("props", F.lit("{}")),
+            stored, e.EVENTS_CONFIG, "event_id",
+        ).write.mode("append").parquet(out)
+
+    def drain():
+        raw = spark.readStream.text(str(indir))
+        parsed = raw.select(
+            F.from_json("value", schema).alias("j")).select("j.*")
+        q = (parsed.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        if q.exception():
+            raise AssertionError(q.exception())
+
+    (indir / "b1.jsonl").write_text(json.dumps(
+        {"event_id": 1, "event_type": "click", "value": 500.0}) + "\n")
+    drain()
+    (indir / "b2.jsonl").write_text("\n".join([
+        json.dumps({"event_id": 2, "event_type": "error", "value": 10.0}),
+        json.dumps({"event_id": 3, "event_type": "view", "value": 200.0}),
+    ]) + "\n")
+    drain()
+    drain()  # nothing new: no duplicate alerts
+
+    got = sorted((r.event_id, r.query_id)
+                 for r in spark.read.parquet(out).collect())
+    assert got == [(1, "q_big"), (1, "q_click"), (3, "q_big")]

@@ -2226,3 +2226,41 @@ def sibling_bucket_aggs(
         F.min(F.struct(v.alias("v"), F.col("bucket_epoch").alias("e")))
         .getField("e").cast("long").alias("min_bucket_epoch"),
     )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: "list[tuple[str, str]]",
+    config,
+    id_col: str,
+) -> DataFrame:
+    """ES percolator — search REVERSED: the index stores QUERIES and
+    every arriving document reports which stored queries it matches
+    (the alerting / saved-search / routing primitive: monitors
+    registered once, evaluated against the ingest stream forever).
+    ``queries`` is ``[(query_id, query_string)]`` in the engine's own
+    search syntax; output is one ``(id_col, query_id)`` row per
+    match.
+
+    Scale shape: stored queries are DIMENSION-sized (an alerting
+    system holds thousands), so every query compiles driver-side to
+    a boolean column and ALL of them evaluate in ONE document scan —
+    a width-Q projection inside whole-stage codegen, no join, no
+    shuffle, no per-query pass. The match list materializes as an
+    array column compacted and exploded to (doc, query) pairs, so a
+    doc matching nothing costs zero output rows. Per-batch streaming
+    percolation is this exact function inside ``foreachBatch``."""
+    from toshokan_spark.query import compile_query
+
+    cols = set(docs.columns)
+    flags = [
+        F.when(
+            F.coalesce(compile_query(q, config, cols), F.lit(False)),
+            F.lit(qid),
+        )
+        for qid, q in queries
+    ]
+    matched = F.array_compact(F.array(*flags))
+    return docs.select(
+        F.col(id_col), F.explode(matched).alias("query_id")
+    )
