@@ -4426,6 +4426,47 @@ def test_regex_query_semantics(spark):
     assert hit("text:/.*i.*/ AND NOT lang:/es/") == [1, 3]
 
 
+def test_wildcard_query_semantics(spark):
+    """field:w?ldc*rd lowers to the anchored token regex: ? is one
+    char, * any run, every other metachar literal; uppercase glob
+    text case-folds like a term; unfielded globs fan out over the
+    indexed text fields plus _dynamic."""
+    import __spark_entry__ as e
+    from toshokan_spark.query import compile_query
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"),
+         (2, "clicked link", "es"),
+         (3, "nothing here", None)],
+        "doc_id long, text string, lang string",
+    )
+    cfg = e.DOCS_CONFIG
+
+    def hit(q):
+        return sorted(
+            r.doc_id for r in
+            docs.filter(compile_query(q, cfg, set(docs.columns))).collect()
+        )
+
+    assert hit("text:qu?ck") == [1]
+    assert hit("text:cl*ed") == [2]
+    # anchored: the glob must cover the WHOLE token
+    assert hit("text:lick*") == []
+    assert hit("text:*lick*") == [2]
+    # ? is exactly one char, not zero
+    assert hit("text:quic?k") == []
+    # glob text case-folds against lowercased index tokens...
+    assert hit("text:QU?CK") == [1]
+    assert hit("lang:e?") == [1, 2]
+    # ...but stays exact-case on raw (keyword) fields, matching the
+    # field's term-query semantics
+    assert hit("lang:E?") == []
+    # a dot in the glob is literal, not regex-any
+    assert hit("text:qu.ck") == []
+    # composes in boolean structure
+    assert hit("text:*o*n* AND NOT lang:e?") == [3]
+
+
 def test_percolate_overlaps_and_nonmatches(spark):
     """A doc matching several stored queries yields one row per
     match; a doc matching none yields nothing; bad query syntax

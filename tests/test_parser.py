@@ -155,9 +155,17 @@ def test_prefix_and_fuzzy_extension_syntax():
     assert parse_query("spar*") == Prefix(None, "spar")
     assert parse_query("text:clck~1") == Fuzzy(("text",), "clck", 1)
     assert parse_query("clck~2") == Fuzzy(None, "clck", 2)
-    # bare star stays match-all; inner stars stay literal terms
+    # bare star stays match-all; inner stars become wildcard queries
+    from toshokan_spark.plans.ast import Wildcard
+
     assert parse_query("*") == All()
-    assert parse_query("x:a*b") == Term(("x",), "a*b")
+    assert parse_query("x:a*b") == Wildcard(("x",), "a*b")
+    assert parse_query("x:a?b") == Wildcard(("x",), "a?b")
+    assert parse_query("s?gnup") == Wildcard(None, "s?gnup")
+    # trailing-star-with-? still wildcard, pure trailing star is Prefix
+    assert parse_query("x:a?c*") == Wildcard(("x",), "a?c*")
+    # glob -> regex lowering escapes every other metachar
+    assert Wildcard(None, "a*b?c.d").to_regex() == "a.*b.c\\.d"
     # tilde without digits stays a literal term (file~name)
     assert parse_query("x:a~b") == Term(("x",), "a~b")
     # field:* stays the exists-range form, not a prefix

@@ -109,6 +109,35 @@ class Regex(Node):
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """``field:w?ldc*rd`` — Lucene/ES wildcard query: some analyzed
+    token (the whole raw value under the raw tokenizer) matches the
+    glob, where ``*`` spans any run and ``?`` exactly one character,
+    anchored at both ends like Lucene's wildcard automaton
+    (extension, same caveat as :class:`Prefix` — tantivy's parser
+    does not expose it). A pure TRAILING star still parses as
+    :class:`Prefix` (`startswith` beats a regex in codegen)."""
+
+    field: Optional[tuple[str, ...]]
+    pattern: str
+
+    def to_regex(self) -> str:
+        """The glob as an (unanchored) JVM regex — every regex
+        metachar except our two wildcards is escaped literally."""
+        out: list[str] = []
+        for ch in self.pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            elif ch in r"\.[]{}()<>+-=!^$|":
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+
+@dataclass(frozen=True)
 class RangeQ(Node):
     field: tuple[str, ...]
     lo: Optional[str]  # None == open (*)
@@ -136,8 +165,9 @@ _SPECIAL = set('()[]{}"')
 
 def _value_node(fieldp: Optional[tuple[str, ...]], word: str) -> Node:
     """Classify a bare value word: ``pre*`` -> Prefix, ``term~N`` ->
-    Fuzzy, else Term. Only a single TRAILING star is a prefix (inner
-    stars stay literal — IPv6/globs keep parsing as plain terms)."""
+    Fuzzy, any other ``*``/``?`` placement -> Wildcard (Lucene
+    wildcard-query semantics), else Term. A single TRAILING star
+    stays the cheaper Prefix form."""
     if (
         len(word) >= 3
         and word[-1].isdigit()
@@ -146,8 +176,10 @@ def _value_node(fieldp: Optional[tuple[str, ...]], word: str) -> Node:
         base, _, digits = word.rpartition("~")
         if base and digits.isdigit():
             return Fuzzy(fieldp, base, int(digits))
-    if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+    if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] and "?" not in word:
         return Prefix(fieldp, word[:-1])
+    if "*" in word or "?" in word:
+        return Wildcard(fieldp, word)
     return Term(fieldp, word)
 
 

@@ -43,6 +43,7 @@ from toshokan_spark.plans.ast import (
     RangeQ,
     Regex,
     Term,
+    Wildcard,
     parse_query,
 )
 
@@ -387,6 +388,8 @@ class QueryCompiler:
             return self._compile_phrase_prefix(node)
         if isinstance(node, Regex):
             return self._compile_regex(node)
+        if isinstance(node, Wildcard):
+            return self._compile_wildcard(node)
         if isinstance(node, RangeQ):
             return self._compile_range(node)
         if isinstance(node, Cmp):
@@ -418,11 +421,17 @@ class QueryCompiler:
         return out
 
     def _token_match(self, t: _Target, text: str) -> Column:
-        """Term match against an analyzed text/dynamic target."""
+        """Term match against an analyzed text/dynamic target.
+
+        Raw scalar equality compiles null-safe (``<=>``): identical
+        truth table to ``coalesce(col = lit, false)`` but translatable
+        to a parquet EqualNullSafe source filter — at index scale the
+        term predicate then prunes row groups instead of running only
+        in codegen."""
         if t.tokenizer == "raw":
             if t.kind == "text" and t.array:
                 return F.array_contains(t.col, text)
-            return t.col == text
+            return t.col.eqNullSafe(F.lit(text))
         toks = analyze_term(text, t.tokenizer)
         if not toks:
             return F.lit(False)
@@ -483,7 +492,9 @@ class QueryCompiler:
         target = t.ipkey if t.kind == "ip" else t.col
         if t.array:
             return F.coalesce(F.array_contains(target, lit), F.lit(False))
-        return F.coalesce(target == lit, F.lit(False))
+        # null-safe equality == coalesce(= , false) but pushes to the
+        # scan as an EqualNullSafe source filter
+        return target.eqNullSafe(lit)
 
     def _analyzed_probe(self, t: _Target, text: str) -> str:
         """Normalize a prefix/fuzzy probe the way the field's index
@@ -667,7 +678,9 @@ class QueryCompiler:
             return out
         t = self.resolve(node.field)
         if t.tokenizer == "raw" and t.kind == "text":
-            return F.coalesce(t.col == node.text, F.lit(False))
+            # a phrase on a raw field is whole-value equality; the
+            # null-safe form pushes to the scan (see _token_match)
+            return t.col.eqNullSafe(F.lit(node.text))
         # analyze with the FIELD's tokenizer (tantivy QueryParser
         # behavior) — on an en_stem field the phrase words are stemmed
         # to match the stemmed index tokens
@@ -679,6 +692,45 @@ class QueryCompiler:
         if len(words) == 1:
             return F.coalesce(self._token_match(t, words[0]), F.lit(False))
         return F.coalesce(self._adjacency(t, words, node.slop), F.lit(False))
+
+    def _compile_wildcard(self, node: "Wildcard") -> Column:
+        """Lucene/ES wildcard query (plans/ast.py::Wildcard): the glob
+        is lowered to an anchored token regex and compiled by the
+        regexp machinery — one translation site, so wildcard and
+        regexp stay behaviorally identical (full-match on analyzed
+        tokens, raw tokenizer == whole value). The glob text is
+        normalized like a prefix/fuzzy probe (``_analyzed_probe``):
+        case-folded for the lowercasing tokenizers so ``CL*CK``
+        matches the lowercased index tokens, left exact-case on raw
+        fields (a keyword field matches exact case, same as its term
+        queries). Unfielded globs fan out over the indexed text
+        fields plus the _dynamic remainder exactly like Prefix."""
+        if node.field is None:
+            out = F.lit(False)
+            for f in self.config.fields:
+                if f.type != "text" or not f.indexed:
+                    continue
+                out = out | F.coalesce(
+                    self._compile_wildcard(Wildcard((f.name,), node.pattern)),
+                    F.lit(False),
+                )
+            anchored = "^(?:" + node.to_regex().lower() + ")$"
+            vals = F.map_values(F.col(DYNAMIC_FIELD_NAME))
+            out = out | F.coalesce(
+                F.exists(
+                    vals,
+                    lambda v: F.exists(
+                        tokenize(v, "default"), lambda tok: tok.rlike(anchored)
+                    ),
+                ),
+                F.lit(False),
+            )
+            return out
+        t = self.resolve(node.field)
+        pat = node.to_regex()
+        if t.tokenizer in ("default", "en_stem"):
+            pat = pat.lower()
+        return self._compile_regex(Regex(node.field, pat))
 
     def _compile_regex(self, node: Regex) -> Column:
         """Lucene regexp query: the pattern FULL-matches some
@@ -770,7 +822,14 @@ class QueryCompiler:
         out = lo_c if lo_c is not None else hi_c
         if lo_c is not None and hi_c is not None:
             out = lo_c & hi_c
-        return F.coalesce(out, F.lit(False))
+        # deliberately NOT coalesce-wrapped: under filter semantics a
+        # null compare result drops the row exactly like false (the
+        # NOT-free Kleene monotone-substitution equivalence), the one
+        # negation site (_compile_bool's must_not) coalesces its child
+        # itself, and the bare comparisons push down to the parquet
+        # scan — a coalesce(...) wrapper has no source-filter
+        # translation and would disable row-group pruning.
+        return out
 
     def _default_fields_match(self, text: str) -> Column:
         """Unqualified term: OR over every indexed field that can
