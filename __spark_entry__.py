@@ -20,6 +20,7 @@ auditable families exercise the identical pipeline shapes.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -297,6 +298,21 @@ EVENTS_CONFIG = IndexConfig(
         FieldConfig(name="event_type", type="text", tokenizer="raw"),
         FieldConfig(name="value", type="number", number_type="f64"),
         FieldConfig(name="props", type="text", tokenizer="raw"),
+    ],
+)
+
+#: EVENTS_CONFIG + a derived ip field (q_search_ip_range) — the ip
+#: type's range semantics gated through the oracle like any entry
+EVENTS_IP_CONFIG = IndexConfig(
+    name="events_ip",
+    path="",
+    fields=[
+        FieldConfig(name="event_id", type="number", number_type="i64"),
+        FieldConfig(name="ts", type="datetime"),
+        FieldConfig(name="user_id", type="number", number_type="i64"),
+        FieldConfig(name="event_type", type="text", tokenizer="raw"),
+        FieldConfig(name="value", type="number", number_type="f64"),
+        FieldConfig(name="ip", type="ip"),
     ],
 )
 
@@ -3762,6 +3778,303 @@ def q_search_percolate(spark, sf_dir):
     return percolate(ev, stored, EVENTS_CONFIG, "event_id")
 
 
+def q_search_more_like_this(spark, sf_dir):
+    """ES/Lucene more_like_this (operators/relevance.py::
+    more_like_this — the reference exposes only tantivy's parser
+    surface, src/commands/search.rs:188, so this is a SURVEY §2.8
+    extension): seed doc 7's characteristic terms by seed-tf · BM25-idf
+    (tf≥2, df≥5, top 5, ties to the smaller term), then one BM25 pass
+    over those terms, seed excluded, top 10 by (score, id). The term
+    probes are model-sized (one document + a 1-row stats agg); the
+    scorer is the proven one-scan with_bm25 shape."""
+    from toshokan_spark.operators.relevance import more_like_this
+
+    docs = _t(spark, sf_dir, "documents")
+    return more_like_this(
+        docs, 7, max_query_terms=5, min_term_freq=2, min_doc_freq=5, k=10
+    )
+
+
+def q_search_multi_match(spark, sf_dir):
+    """ES multi_match best_fields (relevance.py::multi_match): the
+    query 'spark src3' BM25-scored independently per field (text and
+    source — each with its own corpus statistics, the Lucene
+    fields-as-independent-indexes rule), combined max +
+    0.3·(sum−max); top 10 by (score, id). Two one-scan score
+    projections joined on the id — the joined sides are match sets,
+    not the corpus."""
+    from toshokan_spark.operators.relevance import multi_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return multi_match(
+        docs, "spark src3", [("text", "default"), ("source", "default")],
+        mode="best_fields", tie_breaker=0.3, k=10,
+    )
+
+
+def q_search_dis_max(spark, sf_dir):
+    """ES dis_max (relevance.py::dis_max): clauses 'spark table' and
+    'query filter' scored independently over text, document score =
+    best clause + 0.2 × the rest; top 10 by (score, id)."""
+    from toshokan_spark.operators.relevance import dis_max
+
+    docs = _t(spark, sf_dir, "documents")
+    return dis_max(
+        docs, ["spark table", "query filter"], tie_breaker=0.2, k=10
+    )
+
+
+def q_search_function_score(spark, sf_dir):
+    """ES function_score (relevance.py::gauss_decay ×
+    field_value_factor): purchases scored by a 7-day-scale gaussian
+    recency decay around 2024-01-15 (1-day flat offset, decay 0.5 at
+    origin+scale) times ln1p(value); top 20 by (score, event_id).
+    Pure column algebra in whole-stage codegen — the decay constants
+    fold to literals shared verbatim with the oracle."""
+    from toshokan_spark.operators.relevance import (
+        field_value_factor,
+        gauss_decay,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:purchase")
+    d_days = (
+        F.abs(F.unix_micros(F.col("ts")) - F.lit(_FS_ORIGIN_US)).cast("double")
+        / F.lit(86400000000.0)
+    )
+    score = F.round(
+        gauss_decay(d_days, scale=7.0, offset=1.0, decay=0.5)
+        * field_value_factor(F.col("value"), 1.0, "ln1p"),
+        6,
+    )
+    return (
+        hits.select("event_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+def q_search_terms_set(spark, sf_dir):
+    """ES terms_set query (relevance.py::terms_set_match — Lucene
+    CoveringQuery): documents whose analyzed token set contains ≥3 of
+    {spark, query, data, join}, with the distinct-match count. One
+    scan, the term list folds into an array_intersect against the
+    token array — no explode."""
+    from toshokan_spark.operators.relevance import terms_set_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return terms_set_match(
+        docs, ["spark", "query", "data", "join"], min_match=3
+    )
+
+
+def q_search_wildcard(spark, sf_dir):
+    """Lucene/ES wildcard query (plans/ast.py::Wildcard, query.py::
+    _compile_wildcard — SURVEY §2.8 extension like Regex): ``?`` is
+    exactly one character, inner ``*`` any run, lowered to the
+    anchored token regex at one site so wildcard ≡ regexp
+    behaviorally. Composes with the numeric clause's scan pushdown."""
+    ev = _t(spark, sf_dir, "events")
+    out = _search(
+        ev, EVENTS_CONFIG,
+        "(event_type:s?gnup OR event_type:cl*ck) AND value:>=250",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+#: function_score decay constants — Python-computed once, inlined as
+#: literals into BOTH engines' plans (repr round-trips doubles
+#: exactly), so the arithmetic is shared verbatim.
+_FS_ORIGIN_US = 1705276800000000  # 2024-01-15T00:00:00Z in epoch micros
+_FS_TWO_SIGMA2 = 2.0 * (-(7.0 * 7.0) / (2.0 * math.log(0.5)))
+
+
+def q_search_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality (search.py::
+    cumulative_cardinality_agg): distinct viewers accumulated over
+    daily buckets via the first-seen decomposition — ONE groupBy(key)
+    finds each user's first bucket, its histogram broadcast-joins the
+    bucket spine, and the running integer sum IS the cumulative
+    distinct count (exact; the naive form unions a sketch per bucket).
+    Every output is an integer, so cross-engine equality is exact."""
+    from toshokan_spark.search import cumulative_cardinality_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:view")
+    return cumulative_cardinality_agg(hits, "ts", 86400, "user_id")
+
+
+def q_search_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D (search.py::ks_test_agg, the
+    ES bucket_count_ks_test shape): purchase vs click value
+    distributions on a shared width-50 grid. One conditional-
+    aggregation scan, ECDFs over the metadata-sized bucket frame,
+    integer counts + one shared double division per ECDF point."""
+    from toshokan_spark.search import ks_test_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_test_agg(
+        ev, "value", "event_type:purchase", "event_type:click",
+        EVENTS_CONFIG, 50.0,
+    )
+
+
+def q_search_ip_range(spark, sf_dir):
+    """IP range query through the sortable-key machinery
+    (functions/ip.py — reference parity: tantivy ip fields,
+    tests/config.rs:90): a deterministic per-user IPv4 derived in
+    BOTH engines, range-compiled on the IPv6-mapped hex key. The
+    oracle checks the SEMANTICS independently (the ip range maps
+    back to a user_id band), so a key-construction bug cannot
+    self-confirm."""
+    from toshokan_spark.functions.ip import ip_sort_key
+
+    ev = _t(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        (F.floor(F.col("event_id") / 256) % 256).cast("long").cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    df = ev.withColumn("ip", ip).withColumn(
+        "__ipkey__ip", ip_sort_key(F.col("ip"))
+    )
+    # the range CROSSES the .3 -> .4 octet boundary: a plain string
+    # compare on the dotted quad would get it wrong, the hex key
+    # orders it correctly
+    out = _search(
+        df, EVENTS_IP_CONFIG,
+        "ip:[10.3.200.0 TO 10.4.55.255] AND event_type:purchase",
+    )
+    return out.select("event_id", "user_id", "ip")
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversified retrieval
+    (operators/similarity.py::mmr_rerank — Carbonell & Goldstein
+    1998): greedy λ=0.7 pick of 5 from the top-12 cosine pool of
+    query vector 0. Corpus work is the proven broadcast-query scan +
+    TakeOrdered pool cut; the greedy runs over the constant
+    pool×pool similarity matrix in one Arrow-batched pandas group
+    (every similarity rounded to 6 BEFORE the greedy — the
+    cross-engine contract; the oracle replays the identical greedy
+    as k chained SQL steps)."""
+    from toshokan_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, 0, k=5, pool=12, lam=0.7)
+
+
+def q_knn_filtered(spark, sf_dir):
+    """Filtered vector search (ES kNN `filter` / Quickwit-style
+    pre-filter): exact top-10 cosine neighbors of query vector 0
+    among label=3 candidates only. The filter lands BELOW the
+    scoring crossJoin (pushed to the scan — a post-filter would
+    score then discard; pre-filtering is the recall-correct ES
+    semantics), so the broadcast-query scan reads only the
+    candidate stripe."""
+    from toshokan_spark.operators.dedup import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cands = emb.filter(
+        (F.col("label") == 3) & (F.col("vec_id") != 0)
+    )
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_search_categorize_text(spark, sf_dir):
+    """ES categorize_text aggregation (the log-pattern grouper):
+    documents bucketed by their leading 3-token signature, top 10
+    buckets by (count desc, signature asc) with an example doc id
+    (the earliest — deterministic). One scan, one signature-keyed
+    exchange carrying (signature, partial count, min id)."""
+    docs = _t(spark, sf_dir, "documents")
+    from toshokan_spark.functions.tokenizers import tokenize
+
+    sig = F.array_join(
+        F.slice(tokenize(F.col("text"), "default"), 1, 3), " "
+    )
+    return (
+        docs.groupBy(sig.alias("signature"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("signature").asc())
+        .limit(10)
+    )
+
+
+def q_search_boxplot(spark, sf_dir):
+    """ES boxplot aggregation (search.py::boxplot_agg): quartiles
+    (exact percentile_disc — stricter than ES's t-digest), min/max,
+    IQR and the 1.5·IQR whiskers as actual data elements, over the
+    click hit set. Two partial-aggregated passes over the HIT SET
+    with a 1-row broadcast between (the fences depend on q1/q3)."""
+    from toshokan_spark.search import boxplot_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:click")
+    return boxplot_agg(hits, "value")
+
+
+def q_search_string_stats(spark, sf_dir):
+    """ES string_stats (search.py::string_stats_agg): length moments
+    (decimal-exact avg) plus Shannon entropy of the corpus character
+    distribution — the char explode hash-aggregates map-side so the
+    exchange is alphabet-sized, and the entropy fold runs ORDERED
+    over the sorted frequency table (the cross-engine float
+    contract)."""
+    from toshokan_spark.search import string_stats_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return string_stats_agg(docs, "text")
+
+
+def q_search_t_test(spark, sf_dir):
+    """ES t_test aggregation (search.py::t_test_agg, Welch's): the t
+    statistic between purchase and click values in ONE conditional-
+    aggregation scan; moment sums decimal-exact, sample variances
+    derived in double arithmetic shared verbatim with the oracle."""
+    from toshokan_spark.search import t_test_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return t_test_agg(
+        ev, "value", "event_type:purchase", "event_type:click",
+        EVENTS_CONFIG,
+    )
+
+
+def q_search_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler (search.py::diversified_sampler_agg):
+    top 25 view events by (value, id) with at most 2 per user — the
+    de-biased sample guard. Per-user quota is a WindowGroupLimit,
+    the final cut a distributed TakeOrdered; nothing global-sorts."""
+    from toshokan_spark.search import diversified_sampler_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:view")
+    return diversified_sampler_agg(
+        hits, "user_id", "value", "event_id",
+        max_per_group=2, shard_size=25,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -3777,6 +4090,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/rotation.py priority order; P0b not fitting wait
         # behind their older record + the local sweep, then P1
         # changed-since-seal, then P2 proven-unchanged).
+        "search_cumulative_cardinality": q_search_cumulative_cardinality,
+        "search_ks_test": q_search_ks_test,
+        "search_ip_range": q_search_ip_range,
+        "mmr_rerank": q_mmr_rerank,
+        "knn_filtered": q_knn_filtered,
+        "search_categorize_text": q_search_categorize_text,
+        "search_boxplot": q_search_boxplot,
+        "search_string_stats": q_search_string_stats,
+        "search_t_test": q_search_t_test,
+        "search_diversified_sampler": q_search_diversified_sampler,
+        "search_more_like_this": q_search_more_like_this,
+        "search_multi_match": q_search_multi_match,
+        "search_dis_max": q_search_dis_max,
+        "search_function_score": q_search_function_score,
+        "search_terms_set": q_search_terms_set,
+        "search_wildcard": q_search_wildcard,
         "knn_pq_rerank": q_knn_pq_rerank,
         "hard_negatives": q_hard_negatives,
         "domain_pagerank": q_domain_pagerank,
@@ -4068,6 +4397,93 @@ _BM25_SPARK_TABLE_CTE = """base AS (
                  ELSE 0.0 END), 4) AS bm25
               FROM tf, st
               WHERE tf0 > 0 OR tf1 > 0)"""
+
+def _bm25_field_cte(alias: str, field: str, terms: list[str], out: str) -> str:
+    """A DuckDB CTE chain computing with_bm25's per-document score for
+    *terms* over documents.*field*: identical tokenizer lambda, the
+    identical left-to-right CASE-arm sum, round 4 — the generalized
+    form of ``_BM25_SPARK_TABLE_CTE`` for any field/term list (the
+    multi_match / dis_max oracles score several fields or clauses)."""
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    arms = "\n + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.2)"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))"
+        f" ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    anyhit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""{alias}b AS (
+          SELECT doc_id,
+            list_transform(
+              list_filter(string_split_regex({field}, '[^a-zA-Z0-9]+'),
+                          w -> w <> '' AND strlen(w) <= 40),
+              w -> lower(w)) AS toks
+          FROM documents),
+        {alias}b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM {alias}b),
+        {alias}st AS (SELECT count(*) AS n, sum(dl) AS sumdl, {dfs} FROM {alias}b2),
+        {alias}tf AS (SELECT doc_id, dl, {tfs} FROM {alias}b2),
+        {alias}sc AS (
+          SELECT doc_id, round({arms}, 4) AS {out}
+          FROM {alias}tf, {alias}st
+          WHERE {anyhit})"""
+
+
+def _mmr_oracle_sql(query_id=0, k=5, pool=12, lam=0.7) -> str:
+    """The MMR greedy replayed as *k* chained SQL steps: pool cut,
+    pool×pool similarity matrix (every similarity rounded to 6 —
+    the same pre-greedy rounding the Spark side applies), then each
+    step picks argmax(λ·rel − (1−λ)·max-sim-to-selected) with ties
+    to the smaller id. The weight constants are the same Python
+    doubles inlined via repr."""
+    wl, wd = repr(float(lam)), repr(1.0 - float(lam))
+    cos_qc = _COS.format(a="c.embedding", b="q0.qv")
+    cos_ab = _COS.format(a="a.v", b="b.v")
+    parts = [
+        f"""q0 AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {query_id}),
+        cand AS (
+          SELECT c.vec_id AS id, round({cos_qc}, 6) AS rel,
+                 c.embedding AS v
+          FROM embeddings c, q0 WHERE c.vec_id <> {query_id}
+          ORDER BY rel DESC, id ASC LIMIT {pool}),
+        pr AS (
+          SELECT a.id AS ia, b.id AS ib, round({cos_ab}, 6) AS s
+          FROM cand a, cand b WHERE a.id <> b.id),
+        sel1 AS (
+          SELECT id, 1 AS rank, rel, {wl} * rel - {wd} * 0.0 AS mmr
+          FROM cand ORDER BY mmr DESC, id ASC LIMIT 1),
+        tot1 AS (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""sel{i} AS (
+          SELECT c.id, {i} AS rank, c.rel,
+                 {wl} * c.rel - {wd} * max(pr.s) AS mmr
+          FROM cand c
+          JOIN pr ON pr.ia = c.id
+                 AND pr.ib IN (SELECT id FROM tot{i - 1})
+          WHERE c.id NOT IN (SELECT id FROM tot{i - 1})
+          GROUP BY c.id, c.rel
+          ORDER BY mmr DESC, c.id ASC LIMIT 1),
+        tot{i} AS (SELECT * FROM tot{i - 1}
+                   UNION ALL SELECT * FROM sel{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT id AS vec_id, rank, rel AS relevance,
+               round(mmr, 6) AS mmr
+        FROM tot{k}"""
+    )
+
 
 def _auto_ladder_case(target: int) -> str:
     """DuckDB CASE mirroring search.auto_date_histogram's ladder walk
@@ -8354,5 +8770,306 @@ def oracle_sql() -> dict[str, str]:
           (SELECT e FROM hist ORDER BY tv ASC, e ASC LIMIT 1)
               AS min_bucket_epoch
         FROM hist
+    """
+    # search_more_like_this: Lucene MLT — seed-term selection by
+    # seed-tf · BM25-idf (tf≥2, df≥5, top 5, term-asc ties on the
+    # round-6 key), then the standard BM25 arithmetic over the
+    # selected terms with the sum ORDERED by selection rank
+    # (list_reduce over an ordered list == Spark's left-to-right
+    # term-order chain; +0.0 terms drop out exactly in IEEE)
+    d["search_more_like_this"] = """
+        WITH base AS (
+          SELECT doc_id,
+            list_transform(
+              list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                          w -> w <> '' AND strlen(w) <= 40),
+              w -> lower(w)) AS toks
+          FROM documents),
+        b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+        st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM b2),
+        seedtf AS (
+          SELECT t.term, count(*)::BIGINT AS tf
+          FROM (SELECT unnest(toks) AS term FROM b2 WHERE doc_id = 7) t
+          GROUP BY 1 HAVING count(*) >= 2),
+        dfs AS (
+          SELECT s.term, s.tf,
+            (SELECT count(*) FROM b2 b
+             WHERE list_contains(b.toks, s.term))::BIGINT AS df
+          FROM seedtf s),
+        sel AS (
+          SELECT term, df,
+            row_number() OVER (
+              ORDER BY round(tf * ln(1.0 + (st.n - df + 0.5) / (df + 0.5)), 6)
+                           DESC,
+                       term ASC) AS rank
+          FROM dfs, st WHERE df >= 5
+          ORDER BY 3 LIMIT 5),
+        comp AS (
+          SELECT b.doc_id, s.rank,
+            ln(1.0 + (st.n - s.df + 0.5) / (s.df + 0.5))
+              * (len(list_filter(b.toks, x -> x = s.term)) * 2.2)
+              / (len(list_filter(b.toks, x -> x = s.term))
+                 + 1.2 * (0.25 + 0.75 * b.dl / (st.sumdl / st.n))) AS c
+          FROM b2 b, sel s, st
+          WHERE list_contains(b.toks, s.term)),
+        scored AS (
+          SELECT doc_id,
+            round(list_reduce(
+              list_prepend(0.0::DOUBLE, list(c ORDER BY rank)),
+              (x, y) -> x + y), 4) AS mlt
+          FROM comp GROUP BY doc_id)
+        SELECT doc_id, mlt FROM scored
+        WHERE doc_id <> 7
+        ORDER BY mlt DESC, doc_id ASC LIMIT 10
+    """
+    # search_multi_match: per-field BM25 (independent corpus stats),
+    # best_fields combine = max + 0.3·(sum − max)
+    d["search_multi_match"] = f"""
+        WITH {_bm25_field_cte("mt", "text", ["spark", "src3"], "s_text")},
+        {_bm25_field_cte("ms", "source", ["spark", "src3"], "s_source")},
+        j AS (
+          SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+                 coalesce(t.s_text, 0.0) AS s_text,
+                 coalesce(s.s_source, 0.0) AS s_source
+          FROM mtsc t FULL OUTER JOIN mssc s ON t.doc_id = s.doc_id)
+        SELECT doc_id, s_text, s_source,
+          round(greatest(s_text, s_source)
+                + 0.3 * ((s_text + s_source) - greatest(s_text, s_source)),
+                6) AS score
+        FROM j ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # search_dis_max: per-clause BM25 over text, best + 0.2·rest
+    d["search_dis_max"] = f"""
+        WITH {_bm25_field_cte("da", "text", ["spark", "table"], "s_q0")},
+        {_bm25_field_cte("db", "text", ["query", "filter"], "s_q1")},
+        j AS (
+          SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 coalesce(a.s_q0, 0.0) AS s_q0,
+                 coalesce(b.s_q1, 0.0) AS s_q1
+          FROM dasc a FULL OUTER JOIN dbsc b ON a.doc_id = b.doc_id)
+        SELECT doc_id, s_q0, s_q1,
+          round(greatest(s_q0, s_q1)
+                + 0.2 * ((s_q0 + s_q1) - greatest(s_q0, s_q1)), 6) AS score
+        FROM j ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # search_function_score: gauss recency decay × ln1p(value); the
+    # decay constants are the SAME Python doubles inlined via repr
+    d["search_function_score"] = f"""
+        WITH hits AS (
+          SELECT event_id, value,
+            abs(epoch_us(ts) - {_FS_ORIGIN_US})::DOUBLE / 86400000000.0 AS dd
+          FROM events WHERE event_type = 'purchase'),
+        sc AS (
+          SELECT event_id,
+            round(exp((-(greatest(dd - 1.0, 0.0) * greatest(dd - 1.0, 0.0)))
+                      / {_FS_TWO_SIGMA2!r})
+                  * ln(1.0 + value * 1.0), 6) AS score
+          FROM hits)
+        SELECT event_id, score FROM sc
+        ORDER BY score DESC, event_id ASC LIMIT 20
+    """
+    # search_terms_set: ≥3 distinct matches of the 4 query terms
+    d["search_terms_set"] = """
+        WITH base AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                          w -> w <> '' AND strlen(w) <= 40),
+              w -> lower(w))) AS toks
+          FROM documents)
+        SELECT doc_id,
+          len(list_intersect(toks, ['spark', 'query', 'data', 'join']))::INT
+              AS n_matched
+        FROM base
+        WHERE len(list_intersect(toks, ['spark', 'query', 'data', 'join'])) >= 3
+    """
+    # search_wildcard: glob -> anchored regex (s?gnup -> s.gnup,
+    # cl*ck -> cl.*ck), same composition rule as search_regex
+    d["search_wildcard"] = """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE (regexp_full_match(event_type, 's.gnup')
+               OR regexp_full_match(event_type, 'cl.*ck'))
+          AND value >= 250
+    """
+    # search_boxplot: exact quartiles + 1.5·IQR whiskers as actual
+    # data elements (conditional min/max against the fences)
+    d["search_boxplot"] = """
+        WITH hits AS (
+          SELECT value::DOUBLE AS v FROM events WHERE event_type = 'click'),
+        q AS (
+          SELECT count(*)::BIGINT AS n_values,
+            min(v) AS min_v, max(v) AS max_v,
+            (percentile_disc(0.25) WITHIN GROUP (ORDER BY v))::DOUBLE AS q1,
+            (percentile_disc(0.5) WITHIN GROUP (ORDER BY v))::DOUBLE AS q2,
+            (percentile_disc(0.75) WITHIN GROUP (ORDER BY v))::DOUBLE AS q3
+          FROM hits)
+        SELECT n_values, min_v, max_v, q1, q2, q3,
+          round(q3 - q1, 6) AS iqr,
+          (SELECT min(v) FROM hits WHERE v >= q.q1 - 1.5 * (q.q3 - q.q1))
+              AS lower,
+          (SELECT max(v) FROM hits WHERE v <= q.q3 + 1.5 * (q.q3 - q.q1))
+              AS upper
+        FROM q
+    """
+    # search_string_stats: length moments + ordered-fold Shannon
+    # entropy over the corpus character distribution
+    d["search_string_stats"] = """
+        WITH lens AS (
+          SELECT count(*)::BIGINT AS n_values,
+            min(length(text))::BIGINT AS min_length,
+            max(length(text))::BIGINT AS max_length,
+            round(sum(length(text)::DECIMAL(38,6))::DOUBLE / count(*), 6)
+                AS avg_length
+          FROM documents),
+        cc AS (
+          SELECT t.ch, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(text, '')) AS ch
+                FROM documents) t
+          WHERE t.ch <> ''
+          GROUP BY 1),
+        tot AS (SELECT sum(cnt)::BIGINT AS tot FROM cc),
+        ent AS (
+          SELECT round(list_reduce(
+            list_prepend(0.0::DOUBLE,
+              list(-(cnt / tot.tot) * log2(cnt / tot.tot) ORDER BY ch)),
+            (x, y) -> x + y), 6) AS entropy
+          FROM cc, tot)
+        SELECT n_values, min_length, max_length, avg_length, entropy
+        FROM lens, ent
+    """
+    # search_t_test: Welch's t from one conditional-aggregation pass,
+    # decimal-exact moments, sample (n-1) variances
+    d["search_t_test"] = """
+        WITH m AS (
+          SELECT
+            count(CASE WHEN event_type = 'purchase' THEN value END)::BIGINT
+                AS n_a,
+            sum((CASE WHEN event_type = 'purchase' THEN value
+                 END)::DECIMAL(38,6)) AS s1_a,
+            sum((CASE WHEN event_type = 'purchase' THEN value * value
+                 END)::DECIMAL(38,6)) AS s2_a,
+            count(CASE WHEN event_type = 'click' THEN value END)::BIGINT
+                AS n_b,
+            sum((CASE WHEN event_type = 'click' THEN value
+                 END)::DECIMAL(38,6)) AS s1_b,
+            sum((CASE WHEN event_type = 'click' THEN value * value
+                 END)::DECIMAL(38,6)) AS s2_b
+          FROM events),
+        s AS (
+          SELECT n_a, n_b,
+            s1_a::DOUBLE / n_a AS mean_a,
+            s1_b::DOUBLE / n_b AS mean_b,
+            greatest((s2_a::DOUBLE - s1_a::DOUBLE * s1_a::DOUBLE / n_a)
+                     / (n_a - 1), 0.0) AS var_a,
+            greatest((s2_b::DOUBLE - s1_b::DOUBLE * s1_b::DOUBLE / n_b)
+                     / (n_b - 1), 0.0) AS var_b
+          FROM m)
+        SELECT n_a, n_b,
+          round(mean_a, 6) AS mean_a,
+          round(mean_b, 6) AS mean_b,
+          round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+              AS t_stat
+        FROM s
+    """
+    # search_cumulative_cardinality: first-seen decomposition, all
+    # integers
+    d["search_cumulative_cardinality"] = """
+        WITH hits AS (
+          SELECT * FROM events WHERE event_type = 'view'),
+        spine AS (
+          SELECT ((epoch_us(ts) // 1000000)
+                  - ((epoch_us(ts) // 1000000) % 86400))::BIGINT
+                     AS bucket_epoch,
+                 count(*)::BIGINT AS n_hits
+          FROM hits GROUP BY 1),
+        firstb AS (
+          SELECT user_id,
+            min(((epoch_us(ts) // 1000000)
+                 - ((epoch_us(ts) // 1000000) % 86400))::BIGINT) AS fb
+          FROM hits GROUP BY 1),
+        nk AS (
+          SELECT fb AS bucket_epoch, count(*)::BIGINT AS new_keys
+          FROM firstb GROUP BY 1)
+        SELECT s.bucket_epoch, s.n_hits,
+          coalesce(nk.new_keys, 0)::BIGINT AS new_keys,
+          sum(coalesce(nk.new_keys, 0))
+              OVER (ORDER BY s.bucket_epoch
+                    ROWS UNBOUNDED PRECEDING)::BIGINT
+              AS cumulative_cardinality
+        FROM spine s LEFT JOIN nk ON s.bucket_epoch = nk.bucket_epoch
+    """
+    # search_ks_test: shared-grid two-sample KS D
+    d["search_ks_test"] = """
+        WITH hist AS (
+          SELECT floor(value / 50.0)::BIGINT AS bucket,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                AS ca,
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                AS cb
+          FROM events
+          WHERE event_type = 'purchase' OR event_type = 'click'
+          GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+            sum(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS cum_a,
+            sum(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS cum_b
+          FROM hist),
+        tot AS (
+          SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM hist)
+        SELECT n_a, n_b,
+          round(max(abs(cum_a / n_a - cum_b / n_b)), 6) AS ks_d
+        FROM cum, tot GROUP BY n_a, n_b
+    """
+    # search_ip_range: the ip band maps back to a user_id band — an
+    # INDEPENDENT derivation, so a key bug cannot self-confirm
+    d["search_ip_range"] = """
+        SELECT event_id, user_id,
+          '10.' || ((event_id // 256) % 256)::VARCHAR || '.'
+               || (event_id % 256)::VARCHAR || '.1' AS ip
+        FROM events
+        WHERE event_type = 'purchase'
+          AND event_id % 65536 >= 968 AND event_id % 65536 <= 1079
+    """
+    # mmr_rerank: the greedy replayed as chained SQL steps
+    d["mmr_rerank"] = _mmr_oracle_sql(query_id=0, k=5, pool=12, lam=0.7)
+    # knn_filtered: pre-filtered exact cosine top-10 (ES kNN filter)
+    d["knn_filtered"] = f"""
+        WITH q0 AS (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT c.vec_id, c.label,
+               round({_COS.format(a="c.embedding", b="q0.qv")}, 6)
+                   AS cos_sim
+        FROM embeddings c, q0
+        WHERE c.label = 3 AND c.vec_id <> 0
+        ORDER BY cos_sim DESC, c.vec_id ASC LIMIT 10
+    """
+    # search_categorize_text: leading 3-token signature buckets
+    d["search_categorize_text"] = """
+        WITH base AS (
+          SELECT doc_id,
+            array_to_string(list_transform(
+              list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                          w -> w <> '' AND strlen(w) <= 40),
+              w -> lower(w))[1:3], ' ') AS signature
+          FROM documents)
+        SELECT signature, count(*)::BIGINT AS n_docs,
+               min(doc_id) AS example_doc
+        FROM base GROUP BY 1
+        ORDER BY n_docs DESC, signature ASC LIMIT 10
+    """
+    # search_diversified_sampler: ≤2 per user, global top-25 by
+    # (value desc, id asc)
+    d["search_diversified_sampler"] = """
+        WITH ranked AS (
+          SELECT event_id, user_id, value,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id ASC) AS r
+          FROM events WHERE event_type = 'view')
+        SELECT event_id, user_id, value FROM ranked
+        WHERE r <= 2
+        ORDER BY value DESC, event_id ASC LIMIT 25
     """
     return d

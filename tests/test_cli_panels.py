@@ -120,3 +120,92 @@ def test_suggest_spell_sibling_flags(panel_index, capsys):
     # timestamps 1460530013..20 at 1 s spacing, 2 s buckets ->
     # ...012(1 doc), 014(2), 016(2), 018(2), 020(1)
     assert len(rows) == 1 and rows[0]["n_buckets"] == 5
+
+
+def test_boxplot_string_stats_t_test_diversify_flags(panel_index, capsys):
+    """--boxplot-field, --string-stats-field, --t-test and
+    --diversify-by panels through the CLI; string/t-test fields route
+    through _dynamic where undeclared."""
+    import math
+
+    # tenant_id values sorted: [0,0,0,1,1,1,2,2] -> q1=0 q2=1 q3=1,
+    # fences [-1.5, 2.5] keep everything
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--boxplot-field", "tenant_id",
+    ])
+    assert rows == [{
+        "n_values": 8, "min_v": 0.0, "max_v": 2.0,
+        "q1": 0.0, "q2": 1.0, "q3": 1.0, "iqr": 1.0,
+        "lower": 0.0, "upper": 2.0,
+    }]
+
+    # DEBUG x4 + INFO x4 = 36 chars; the nine distinct letters
+    # (B D E F G I N O U) each appear exactly 4 times -> the
+    # distribution is uniform and the entropy is log2(9)
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--string-stats-field", "severity_text",
+    ])
+    p = 4.0 / 36.0
+    ent = 0.0
+    for _ in range(9):  # ordered fold over the sorted chars
+        ent = ent - p * math.log2(p)
+    assert rows == [{
+        "n_values": 8, "min_length": 4, "max_length": 5,
+        "avg_length": 4.5, "entropy": round(ent, 6),
+    }]
+    assert rows[0]["entropy"] == pytest.approx(math.log2(9), abs=1e-6)
+
+    # Welch's t between the DEBUG tenant values [0,2,1,0] and the
+    # INFO tenant values [1,0,2,1]
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--t-test", "tenant_id;severity_text:debug;severity_text:info",
+    ])
+    a, b = [0.0, 2.0, 1.0, 0.0], [1.0, 0.0, 2.0, 1.0]
+    ma, mb = sum(a) / 4, sum(b) / 4
+    va = (sum(x * x for x in a) - sum(a) ** 2 / 4) / 3
+    vb = (sum(x * x for x in b) - sum(b) ** 2 / 4) / 3
+    t = (ma - mb) / math.sqrt(va / 4 + vb / 4)
+    assert rows == [{
+        "n_a": 4, "n_b": 4, "mean_a": round(ma, 6),
+        "mean_b": round(mb, 6), "t_stat": round(t, 6),
+    }]
+
+    # diversified sample: best timestamp per tenant, top 2 overall
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--diversify-by", "tenant_id", "--order-by", "timestamp",
+        "--diversify-max", "1", "--sample-size", "2",
+    ])
+    # u64 fields are decimal-typed and JSON-render via default=str
+    assert [int(r["tenant_id"]) for r in rows] == [1, 0]
+
+
+def test_cumulative_cardinality_and_ks_flags(panel_index, capsys):
+    """--cumulative-cardinality (first-seen decomposition) and
+    --ks-test through the CLI."""
+    # 8 docs, 1 s apart, tenants 0,1,2 cycling; epoch-aligned 2 s
+    # buckets: ...012 holds only i=0 (tenant 0), ...014 holds i=1,2
+    # (tenants 1 and 2) — so new_keys = [1, 2, 0, ...]
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--cumulative-cardinality", "tenant_id", "--cum-interval", "2",
+    ])
+    assert [r["new_keys"] for r in rows][:2] == [1, 2]
+    assert rows[-1]["cumulative_cardinality"] == 3
+    assert sum(r["n_hits"] for r in rows) == 8
+    # identical populations -> D = 0
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--ks-test",
+        "tenant_id;severity_text:debug;severity_text:debug;1",
+    ])
+    assert rows == [{"n_a": 4, "n_b": 4, "ks_d": 0.0}]
+    # disjoint distributions -> D climbs toward 1 (tenant 0 vs 2)
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--ks-test", "tenant_id;tenant_id:0;tenant_id:2;1",
+    ])
+    assert rows[0]["ks_d"] == 1.0

@@ -701,6 +701,54 @@ def test_reindex_cli_blue_green_with_deletes(spark, tmp_path, capsys):
     assert len(capsys.readouterr().out.splitlines()) == 2
 
 
+def test_reindex_at_version_is_snapshot_restore(spark, tmp_path, capsys):
+    """reindex --at-version materializes a time-travel read into a
+    fresh index — the ES snapshot-restore analog: rows deleted AFTER
+    the snapshot version come back in the copy."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    src = {"name": "snapsrc", "path": str(tmp_path / "d" / "snapsrc"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    dst = _json.loads(_json.dumps(src))
+    dst["name"] = "snapdst"
+    dst["path"] = str(tmp_path / "d" / "snapdst")
+    (tmp_path / "s.json").write_text(_json.dumps(src))
+    (tmp_path / "t.json").write_text(_json.dumps(dst))
+    rows = [{"id": 1, "sev": "INFO"}, {"id": 2, "sev": "ERROR"},
+            {"id": 3, "sev": "INFO"}]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cat = str(tmp_path / "cat")
+    for step in (["create", str(tmp_path / "s.json")],
+                 ["index", "snapsrc", str(tmp_path / "r.jsonl")],
+                 # version 2 == the post-ingest snapshot
+                 ["delete", "snapsrc", "sev:ERROR"],
+                 ["create", str(tmp_path / "t.json")],
+                 ["reindex", "snapsrc", "snapdst", "--at-version", "2"]):
+        assert cli.main(["--catalog", cat] + step) == 0
+    capsys.readouterr()
+    # the restore resurrects the row deleted after the snapshot
+    assert cli.main(["--catalog", cat, "search", "snapdst", "*",
+                     "--limit", "10"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert sorted(d["id"] for d in docs) == [1, 2, 3]
+    # a plain reindex (head version) copies only live rows
+    assert cli.main(["--catalog", cat, "drop", "snapdst"]) == 0
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "t.json")]) == 0
+    assert cli.main(["--catalog", cat, "reindex", "snapsrc",
+                     "snapdst"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "snapdst", "*",
+                     "--limit", "10"]) == 0
+    docs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert sorted(d["id"] for d in docs) == [1, 3]
+
+
 def test_search_cli_sort_and_projection(spark, tmp_path, capsys):
     """--sort-by orders hits deterministically (asc default, :desc
     suffix); --fields projects the output AND prunes the scan schema;

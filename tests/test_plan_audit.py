@@ -1193,3 +1193,293 @@ def test_sibling_aggs_two_level_aggregate_no_window(plans13b):
     a, phys, _ = plans13b["search_sibling_aggs"]
     assert a["scans"] == 1 and a["joins"] == "-", a
     assert "Window" not in phys, "sibling stage must not use a window"
+
+
+ROUND13C = [
+    "search_more_like_this",
+    "search_multi_match",
+    "search_dis_max",
+    "search_function_score",
+    "search_terms_set",
+    "search_wildcard",
+]
+
+
+@pytest.fixture(scope="module")
+def plans13c(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND13C:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_more_like_this_is_one_scored_scan(plans13c):
+    """MLT's scored plan is the proven with_bm25 shape: ONE corpus
+    scan joined to a 1-row broadcast stats aggregate, output cut by
+    TakeOrdered — the interesting-term probes run as separate
+    model-sized jobs and never appear here."""
+    a, phys, _ = plans13c["search_more_like_this"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert phys.count("BroadcastNestedLoopJoin") <= 2, (
+        "only the 1-row stats broadcast may cross-join")
+    assert "SortMergeJoin" not in phys
+    assert "TakeOrderedAndProject" in phys, "top-k must not global-sort"
+
+
+def test_multi_match_and_dis_max_join_match_sets(plans13c):
+    """Per-field / per-clause score projections each scan once and
+    broadcast their 1-row stats; the combiner joins MATCH SETS (not
+    the corpus) and the final cut is TakeOrdered."""
+    for name in ("search_multi_match", "search_dis_max"):
+        a, phys, _ = plans13c[name]
+        assert "CartesianProduct" not in a["joins"], (name, a)
+        assert "TakeOrderedAndProject" in phys, name
+        # exactly two scored sides -> at most one non-broadcast join
+        assert phys.count("SortMergeJoin") <= 1, name
+
+
+def test_function_score_single_pass_no_join(plans13c):
+    """Decay × factor scoring is pure column algebra: one scan, zero
+    joins, TakeOrdered output — and the event_type filter reaches
+    the parquet scan."""
+    a, phys, _ = plans13c["search_function_score"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualNullSafe\(event_type,purchase", phys
+    ), "event_type filter must push to the scan"
+
+
+def test_terms_set_zero_exchange(plans13c):
+    """terms_set folds the term list into an array_intersect: one
+    scan, no join, no exchange at all."""
+    a, phys, _ = plans13c["search_terms_set"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "Exchange" not in phys, "terms_set must not shuffle"
+
+
+def test_wildcard_composes_with_pushdown(plans13c):
+    """The glob clause runs in codegen; the numeric clause still
+    reaches the scan as a pushed filter (same composition rule the
+    regexp query pins)."""
+    a, phys, _ = plans13c["search_wildcard"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(value,250", phys), (
+        "value bound must push to the scan")
+
+
+def test_compiled_term_and_range_leaves_push_to_scan(spark, sf_dir):
+    """The query compiler emits pushdown-translatable leaves: raw
+    term equality as EqualNullSafe (identical truth table to
+    coalesce(=, false)) and range bounds as bare comparisons — both
+    must reach the parquet scan's PushedFilters so row-group pruning
+    works at index scale. A coalesce() wrapper here would silently
+    disable source filtering repo-wide."""
+    import __spark_entry__ as entry
+
+    import io
+    from contextlib import redirect_stdout
+
+    ev = entry._t(spark, sf_dir, "events")
+    df = entry._search(
+        ev, entry.EVENTS_CONFIG,
+        "event_type:purchase AND value:[100 TO 200}",
+    )
+    df.collect()
+    # formatted mode prints the FULL PushedFilters list (the plain
+    # toString truncates long filter lists mid-entry)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    phys = buf.getvalue()
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualNullSafe\(event_type,purchase", phys
+    ), phys
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(value,100", phys
+    ), phys
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(value,200", phys), phys
+
+
+ROUND13D = [
+    "search_boxplot",
+    "search_string_stats",
+    "search_t_test",
+    "search_diversified_sampler",
+]
+
+
+@pytest.fixture(scope="module")
+def plans13d(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND13D:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_boxplot_two_passes_one_row_broadcast(plans13d):
+    """Boxplot: the quartile row re-enters as a 1-row broadcast for
+    the whisker pass — no sort-merge join, no cartesian against an
+    unbounded side."""
+    a, phys, _ = plans13d["search_boxplot"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "SortMergeJoin" not in phys
+    assert "BroadcastNestedLoopJoin" in phys, "quartile row must broadcast"
+
+
+def test_string_stats_alphabet_sized_exchange(plans13d):
+    """string_stats: the char distribution hash-aggregates map-side
+    (partial_count below the exchange) so the shuffle carries at most
+    |alphabet| rows per partition; the entropy fold is a 1-row
+    post-aggregation projection."""
+    a, phys, _ = plans13d["search_string_stats"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "SortMergeJoin" not in phys
+    assert phys.count("partial_count") >= 1 or "partial" in phys, (
+        "char counts must partial-aggregate map-side")
+
+
+def test_t_test_is_one_conditional_scan(plans13d):
+    """t_test: both populations' moments come from ONE conditional-
+    aggregation pass — one scan, zero joins."""
+    a, phys, _ = plans13d["search_t_test"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+
+
+def test_diversified_sampler_quota_is_group_limit(plans13d):
+    """diversified_sampler: the per-group quota plans as a
+    WindowGroupLimit (rank<=K inside the window operator) and the
+    final cut is a distributed TakeOrdered — nothing global-sorts
+    the hit set."""
+    a, phys, _ = plans13d["search_diversified_sampler"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "WindowGroupLimit" in phys, "quota must push into the window"
+    assert "TakeOrderedAndProject" in phys
+
+
+ROUND13E = ["mmr_rerank", "knn_filtered", "search_categorize_text"]
+
+
+@pytest.fixture(scope="module")
+def plans13e(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND13E:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_mmr_greedy_stage_is_pool_sized(plans13e):
+    """MMR: corpus work is the broadcast-query scan + TakeOrdered
+    pool cut; the pandas greedy runs AFTER the pool cut (input is
+    pool×pool, never corpus-sized) and every join is a broadcast."""
+    a, phys, _ = plans13e["mmr_rerank"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "SortMergeJoin" not in phys
+    assert "TakeOrderedAndProject" in phys, "pool cut must be top-k"
+    assert "FlatMapGroupsInPandas" in phys, "greedy must be the Arrow stage"
+    # the pandas stage consumes the limited pool, not the scan:
+    # TakeOrdered appears below it in the printed tree
+    assert phys.find("FlatMapGroupsInPandas") < phys.find(
+        "TakeOrderedAndProject"
+    )
+
+
+def test_knn_filtered_prefilters_at_scan(plans13e):
+    """Filtered vector search: the label filter reaches the parquet
+    scan (pre-filter, the recall-correct ES kNN semantics) and the
+    only cross shape is the 1-row query broadcast."""
+    a, phys, _ = plans13e["knn_filtered"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3", phys), (
+        "label pre-filter must push to the scan")
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_categorize_text_one_signature_exchange(plans13e):
+    """categorize_text: one scan, the signature groupBy partial-
+    aggregates map-side, output cut is TakeOrdered."""
+    a, phys, _ = plans13e["search_categorize_text"]
+    assert a["scans"] == 1 and a["joins"] == "-", a
+    assert "TakeOrderedAndProject" in phys
+
+
+ROUND13F = [
+    "search_cumulative_cardinality",
+    "search_ks_test",
+    "search_ip_range",
+]
+
+
+@pytest.fixture(scope="module")
+def plans13f(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in ROUND13F:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        phys = plan.split("== Initial Plan ==")[0]
+        out[name] = (audit(phys), phys, plan)
+    return out
+
+
+def test_cumulative_cardinality_first_seen_shape(plans13f):
+    """cumulative_cardinality: the first-seen decomposition — one
+    key-space exchange (the honest cardinality cost) whose histogram
+    broadcast-joins the bucket spine; NO per-bucket distinct union,
+    no sort-merge join."""
+    a, phys, _ = plans13f["search_cumulative_cardinality"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "SortMergeJoin" not in phys
+    assert "BroadcastHashJoin" in phys, "spine join must broadcast"
+    assert "expand" not in phys.lower(), "no distinct-expand fallback"
+
+
+def test_ks_test_one_conditional_scan(plans13f):
+    """KS: both populations' bucket counts from ONE conditional scan;
+    the ECDF window runs over the metadata-sized bucket frame and the
+    totals re-enter as a 1-row broadcast."""
+    a, phys, _ = plans13f["search_ks_test"]
+    assert "CartesianProduct" not in a["joins"], a
+    assert "SortMergeJoin" not in phys
+    assert phys.count("Scan parquet") <= 2, a
+
+
+def test_ip_range_compiles_on_the_hex_key(plans13f):
+    """The ip range must compile against the IPv6-mapped hex key
+    (totally ordered — a dotted-quad string compare would misorder
+    the cross-octet range), and the term clause must push to the
+    scan BELOW the Arrow key stage so only matching rows pay the
+    Python crossing."""
+    a, phys, _ = plans13f["search_ip_range"]
+    # the bounds are the ipv6-mapped literals of 10.3.200.0 / 10.4.55.255
+    assert "ffff0a03c800" in phys, "lo bound must be the hex key literal"
+    assert "ffff0a0437ff" in phys, "hi bound must be the hex key literal"
+    assert a["joins"] == "-", a
+    arrow = phys.find("ArrowEvalPython")
+    scan_filter = phys.find("<=> purchase")
+    assert arrow != -1 and scan_filter != -1 and scan_filter > arrow, (
+        "term filter must evaluate below the Arrow key stage")

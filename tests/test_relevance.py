@@ -1,0 +1,202 @@
+"""Semantics of the ES relevance-query family
+(toshokan_spark/operators/relevance.py): more_like_this term
+selection and scoring, multi_match / dis_max combining, function_score
+decay curves, terms_set counting."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from toshokan_spark.operators.relevance import (
+    dis_max,
+    exp_decay,
+    field_value_factor,
+    gauss_decay,
+    linear_decay,
+    mlt_select_terms,
+    more_like_this,
+    multi_match,
+    terms_set_match,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "alpha alpha beta beta gamma", "en"),
+        (1, "alpha beta", "en"),
+        (2, "alpha gamma delta", "en"),
+        (3, "beta beta beta", "en"),
+        (4, "delta epsilon", "fr"),
+        (5, "alpha beta gamma", "fr"),
+        (6, "zeta zeta", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_mlt_select_terms_filters_and_ranks(corpus):
+    # seed 0 repeats alpha and beta (tf=2 each); gamma has tf=1 and is
+    # cut by min_term_freq. alpha df=4, beta df=4 -> equal tf*idf ->
+    # term-asc tie: alpha first.
+    terms = mlt_select_terms(
+        corpus, 0, min_term_freq=2, min_doc_freq=1, max_query_terms=5
+    )
+    assert terms == ["alpha", "beta"]
+    # min_doc_freq cuts candidates rarer than the floor
+    assert mlt_select_terms(corpus, 0, min_term_freq=2, min_doc_freq=5) == []
+    # max_query_terms truncates after ranking
+    assert mlt_select_terms(
+        corpus, 0, min_term_freq=2, min_doc_freq=1, max_query_terms=1
+    ) == ["alpha"]
+    # absent seed -> no terms
+    assert mlt_select_terms(corpus, 99) == []
+
+
+def test_more_like_this_excludes_seed_and_ranks(corpus):
+    out = more_like_this(
+        corpus, 0, min_term_freq=2, min_doc_freq=1, max_query_terms=5, k=10
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert 0 not in ids
+    # every returned doc contains alpha or beta
+    assert set(ids) <= {1, 2, 3, 5}
+    # scores are sorted (desc), ties by id asc
+    scores = [r.mlt for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # doc 3 (beta x3) must outscore doc 2 (alpha x1): higher tf, shorter dl
+    s = {r.doc_id: r.mlt for r in out}
+    assert s[3] > s[2]
+    # no selectable terms -> empty frame with the contract columns
+    empty = more_like_this(corpus, 6, min_term_freq=3, min_doc_freq=1)
+    assert empty.columns == ["doc_id", "mlt"] and empty.count() == 0
+
+
+def test_multi_match_best_vs_most_fields(corpus):
+    docs = corpus.withColumn("lang", F.col("lang"))
+    best = multi_match(
+        docs, "alpha en", [("text", "default"), ("lang", "default")],
+        mode="best_fields", tie_breaker=0.0, k=10,
+    ).collect()
+    most = multi_match(
+        docs, "alpha en", [("text", "default"), ("lang", "default")],
+        mode="most_fields", tie_breaker=0.0, k=10,
+    ).collect()
+    b = {r.doc_id: r for r in best}
+    m = {r.doc_id: r for r in most}
+    # doc 0 matches both fields: best == max, most == sum
+    assert b[0].score == pytest.approx(max(b[0].s_text, b[0].s_lang), abs=1e-9)
+    assert m[0].score == pytest.approx(m[0].s_text + m[0].s_lang, abs=1e-9)
+    assert m[0].score > b[0].score
+    # tie_breaker interpolates between the two
+    mid = multi_match(
+        docs, "alpha en", [("text", "default"), ("lang", "default")],
+        mode="best_fields", tie_breaker=0.5, k=10,
+    ).collect()
+    md = {r.doc_id: r for r in mid}
+    assert b[0].score < md[0].score < m[0].score
+    # a doc matching only one field (doc 3: lang=en, no alpha in
+    # text) scores that field alone in every mode
+    assert b[3].s_text == 0.0
+    assert b[3].score == pytest.approx(b[3].s_lang, abs=1e-9)
+    assert m[3].score == pytest.approx(b[3].score, abs=1e-9)
+
+
+def test_dis_max_takes_best_clause(corpus):
+    out = dis_max(
+        corpus, ["alpha", "zeta"], tie_breaker=0.0, k=10
+    ).collect()
+    d = {r.doc_id: r for r in out}
+    # doc 6 matches only clause 1; its score is exactly s_q1
+    assert d[6].score == pytest.approx(d[6].s_q1, abs=1e-9)
+    assert d[6].s_q0 == 0.0
+    # every score == max(clauses) when tie_breaker=0
+    for r in out:
+        assert r.score == pytest.approx(max(r.s_q0, r.s_q1), abs=1e-9)
+
+
+def test_decay_curves(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (8.0,), (12.0,), (15.0,), (100.0,)], "d double"
+    )
+    rows = df.select(
+        "d",
+        gauss_decay(F.col("d"), scale=7.0, offset=1.0, decay=0.5).alias("g"),
+        exp_decay(F.col("d"), scale=7.0, offset=1.0, decay=0.5).alias("e"),
+        linear_decay(F.col("d"), scale=7.0, offset=1.0, decay=0.5).alias("l"),
+    ).collect()
+    by = {r.d: r for r in rows}
+    # inside the offset every curve scores 1.0
+    for c in ("g", "e", "l"):
+        assert by[0.0][c] == pytest.approx(1.0)
+        assert by[1.0][c] == pytest.approx(1.0)
+    # at offset+scale every curve scores exactly `decay`
+    for c in ("g", "e", "l"):
+        assert by[8.0][c] == pytest.approx(0.5, rel=1e-9)
+    # gauss falls fastest beyond the scale, exp slowest (well inside
+    # the linear support)...
+    assert by[12.0].g < by[12.0].l < by[12.0].e
+    # ...and linear hits exactly 0 at offset + scale/(1-decay) = 15
+    assert by[15.0].l == 0.0
+    assert by[100.0].l == 0.0
+    assert 0.0 < by[100.0].e < 1e-3
+
+
+def test_field_value_factor_modifiers(spark):
+    df = spark.createDataFrame([(9.0,)], "v double")
+    r = df.select(
+        field_value_factor(F.col("v"), 1.0, "none").alias("n"),
+        field_value_factor(F.col("v"), 1.0, "log1p").alias("lg"),
+        field_value_factor(F.col("v"), 1.0, "ln1p").alias("ln"),
+        field_value_factor(F.col("v"), 4.0, "sqrt").alias("sq"),
+        field_value_factor(F.col("v"), 2.0, "square").alias("s2"),
+    ).collect()[0]
+    assert r.n == 9.0
+    assert r.lg == pytest.approx(1.0)  # log10(10)
+    assert r.ln == pytest.approx(math.log(10.0))
+    assert r.sq == pytest.approx(6.0)
+    assert r.s2 == pytest.approx(324.0)
+    with pytest.raises(ValueError):
+        field_value_factor(F.col("v"), 1.0, "reciprocal")
+
+
+def test_terms_set_counts_distinct_matches(corpus):
+    out = terms_set_match(
+        corpus, ["alpha", "beta", "gamma"], min_match=2
+    ).collect()
+    got = {r.doc_id: r.n_matched for r in out}
+    # repeats don't inflate the count: doc 0 has alpha x2 beta x2
+    # gamma x1 -> 3 distinct
+    assert got == {0: 3, 1: 2, 2: 2, 5: 3}
+    # query terms are analyzed (case-folded) like any term
+    up = terms_set_match(corpus, ["ALPHA", "Beta"], min_match=2).collect()
+    assert {r.doc_id for r in up} == {0, 1, 5}
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """MMR demotes a near-duplicate of an already-selected hit; with
+    λ=1 the greedy degenerates to pure relevance order."""
+    from toshokan_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.10, 0.0]),    # most relevant
+        (2, [0.98, 0.11, 0.0]),    # near-duplicate of 1
+        (3, [0.70, 0.70, 0.0]),    # diverse, less relevant
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = mmr_rerank(emb, 0, k=3, pool=3, lam=0.3).collect()
+    order = [r.vec_id for r in out]
+    assert order[0] == 1            # best relevance first
+    assert order[1] == 3            # diversity beats the near-dup
+    assert order[2] == 2
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # λ=1: pure relevance order, mmr == lam·relevance
+    pure = mmr_rerank(emb, 0, k=3, pool=3, lam=1.0).collect()
+    assert [r.vec_id for r in pure] == [1, 2, 3]
+    for r in pure:
+        assert r.mmr == pytest.approx(r.relevance, abs=2e-6)
+    # k > pool truncates to the pool
+    assert mmr_rerank(emb, 0, k=10, pool=2).count() == 2

@@ -108,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     pr.add_argument("src")
     pr.add_argument("dst")
+    pr.add_argument("--at-version", type=int, default=None, metavar="V",
+                    help="read src AS OF catalog version V — the "
+                         "snapshot-restore path: rows deleted after the "
+                         "snapshot come back in the copy")
 
     pal = sub.add_parser(
         "alias",
@@ -237,6 +241,37 @@ def main(argv: list[str] | None = None) -> int:
                          "over the S-second date histogram of "
                          "--sibling-value (one summary row)")
     ps.add_argument("--sibling-value", default=None, metavar="F")
+    ps.add_argument("--boxplot-field", default=None, metavar="F",
+                    help="ES boxplot agg: quartiles (exact), min/max, IQR "
+                         "and the 1.5*IQR whiskers of numeric field F over "
+                         "the hit set (one summary row)")
+    ps.add_argument("--string-stats-field", default=None, metavar="F",
+                    help="ES string_stats: length moments + Shannon entropy "
+                         "of field F's character distribution over the hit "
+                         "set")
+    ps.add_argument("--t-test", default=None, metavar="F;QA;QB",
+                    help="ES t_test agg (Welch's): t statistic of numeric "
+                         "field F between the populations matching queries "
+                         "QA and QB (engine query syntax, ';'-separated), "
+                         "computed in one conditional-aggregation scan over "
+                         "the hit set")
+    ps.add_argument("--diversify-by", default=None, metavar="F",
+                    help="ES diversified_sampler: the top --sample-size "
+                         "hits by (--order-by desc, first schema field) "
+                         "with at most --diversify-max per distinct value "
+                         "of F (requires --order-by)")
+    ps.add_argument("--diversify-max", type=int, default=1)
+    ps.add_argument("--sample-size", type=int, default=100)
+    ps.add_argument("--cumulative-cardinality", default=None, metavar="F",
+                    help="ES cumulative_cardinality: exact distinct count "
+                         "of field F accumulated over --cum-interval-second "
+                         "buckets of the index time_field (first-seen "
+                         "decomposition — no per-bucket sketch unions)")
+    ps.add_argument("--cum-interval", type=int, default=86400, metavar="S")
+    ps.add_argument("--ks-test", default=None, metavar="F;QA;QB;W",
+                    help="two-sample Kolmogorov-Smirnov D between the "
+                         "field-F distributions of queries QA and QB on a "
+                         "shared width-W grid (one conditional scan)")
     ps.add_argument("--significant-terms", default=None, metavar="F",
                     help="instead of hits, print the JLH-significant terms "
                          "of text field F in the hit set vs the whole index "
@@ -485,7 +520,8 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _spark()
         entry = reindex(
-            spark, catalog, catalog.resolve(a.src), catalog.resolve(a.dst)
+            spark, catalog, catalog.resolve(a.src), catalog.resolve(a.dst),
+            at_version=a.at_version,
         )
         if entry is None:
             print("reindexed 0 live rows (nothing committed)")
@@ -622,7 +658,9 @@ def main(argv: list[str] | None = None) -> int:
                     or a.weighted_avg or a.mad_field or a.adjacency
                     or a.histogram_auto or a.percentile_ranks
                     or a.suggest_field or a.spell_field
-                    or a.sibling_interval)
+                    or a.sibling_interval or a.boxplot_field
+                    or a.string_stats_field or a.t_test or a.diversify_by
+                    or a.cumulative_cardinality or a.ks_test)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -658,6 +696,10 @@ def main(argv: list[str] | None = None) -> int:
                     a.top_hits_per, a.collapse_by, a.order_by, a.mad_field,
                     a.rare_terms, a.pipeline_value, a.sample_by,
                     a.suggest_field, a.spell_field, a.sibling_value,
+                    a.boxplot_field, a.string_stats_field, a.diversify_by,
+                    a.cumulative_cardinality,
+                    (a.t_test or "").split(";")[0].strip() or None,
+                    (a.ks_test or "").split(";")[0].strip() or None,
                     a.panel_facet, a.panel_stats, a.significant_terms,
                 ]
                 for grouped in (a.multi_terms, a.composite_by):
@@ -957,6 +999,65 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(sibling_bucket_aggs(
                     hits_df(), config.time_field, a.sibling_interval,
                     a.sibling_value,
+                ).collect())
+            if a.boxplot_field:
+                from toshokan_spark.search import boxplot_agg
+
+                _emit(boxplot_agg(hits_df(), a.boxplot_field).collect())
+            if a.string_stats_field:
+                from toshokan_spark.search import string_stats_agg
+
+                _emit(string_stats_agg(
+                    hits_df(), a.string_stats_field).collect())
+            if a.t_test:
+                parts = a.t_test.split(";")
+                if len(parts) != 3:
+                    print("error: --t-test wants F;QUERY_A;QUERY_B",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import t_test_agg
+
+                _emit(t_test_agg(
+                    hits_df(), parts[0].strip(), parts[1], parts[2],
+                    catalog.get_index(a.index),
+                ).collect())
+            if a.cumulative_cardinality:
+                from toshokan_spark.search import cumulative_cardinality_agg
+
+                config = catalog.get_index(a.index)
+                if config.time_field is None:
+                    print("error: index has no time_field",
+                          file=sys.stderr)
+                    return 2
+                _emit(cumulative_cardinality_agg(
+                    hits_df(), config.time_field, a.cum_interval,
+                    a.cumulative_cardinality,
+                ).orderBy("bucket_epoch").collect())
+            if a.ks_test:
+                parts = a.ks_test.split(";")
+                if len(parts) != 4:
+                    print("error: --ks-test wants F;QUERY_A;QUERY_B;WIDTH",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import ks_test_agg
+
+                _emit(ks_test_agg(
+                    hits_df(), parts[0].strip(), parts[1], parts[2],
+                    catalog.get_index(a.index), float(parts[3]),
+                ).collect())
+            if a.diversify_by:
+                if not a.order_by:
+                    print("error: --diversify-by requires --order-by",
+                          file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import diversified_sampler_agg
+
+                config = catalog.get_index(a.index)
+                id_field = config.fields[0].name
+                _emit(diversified_sampler_agg(
+                    hits_df(), a.diversify_by, a.order_by, id_field,
+                    max_per_group=a.diversify_max,
+                    shard_size=a.sample_size,
                 ).collect())
             if a.significant_terms:
                 from toshokan_spark.indexer import stats_path, text_stat_fields

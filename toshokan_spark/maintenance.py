@@ -543,6 +543,7 @@ def reindex(
     catalog: FsCatalog,
     src: str,
     dst: str,
+    at_version: "int | None" = None,
 ) -> SegmentEntry | None:
     """Copy every LIVE row of *src* into *dst* as one new segment —
     the rebuild half of the blue/green pattern (build ``dst`` fresh,
@@ -555,7 +556,14 @@ def reindex(
     (their tokenized/IP shadow columns are carried as-is, which is
     only sound under identical options); dst-only fields null-fill at
     read like any additive evolution; src-only fields drop. Returns
-    the committed entry, or None when src has no live rows."""
+    the committed entry, or None when src has no live rows.
+
+    ``at_version`` reads src AS OF that catalog version — the ES
+    snapshot-restore analog on the CAS manifest chain: every manifest
+    version is already an immutable snapshot, so "restore" is just a
+    time-travel read materialized into a fresh index (rows deleted
+    after the snapshot come back; segments merged away since are read
+    via their pre-merge manifest entries)."""
     from dataclasses import asdict
 
     from toshokan_spark.catalog import CatalogError
@@ -573,7 +581,7 @@ def reindex(
                 f"reindex needs shared field {f.name!r} byte-identical in "
                 f"both schemas (shadow columns are carried, not rebuilt)"
             )
-    df = search_df(spark, catalog, src, "*", limit=None)
+    df = search_df(spark, catalog, src, "*", limit=None, at_version=at_version)
     shared = {f.name for f in dst_cfg.fields} & set(df.columns)
     dst_dynamic = any(f.type == "dynamic_object" for f in dst_cfg.fields)
     keep = [

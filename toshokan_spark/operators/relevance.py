@@ -1,0 +1,312 @@
+"""ES relevance-query family: more_like_this / multi_match / dis_max
+/ function_score / terms_set — compositions over the BM25 scorer.
+
+The reference exposes only tantivy's QueryParser surface with one
+implicit BM25 ranking (`/root/reference/src/commands/search.rs:188`);
+these are the ES/Lucene query-DSL features a search user expects next,
+built Spark-first as documented extensions (SURVEY §2.8):
+
+* ``more_like_this`` — Lucene's MLT: pick the seed document's most
+  characteristic terms by tf·idf, then BM25-rank the corpus against
+  them (`MoreLikeThis#retrieveInterestingTerms` semantics).
+* ``multi_match`` — one analyzed query scored per field, combined
+  ``best_fields`` (max + tie_breaker·rest) or ``most_fields`` (sum).
+* ``dis_max`` — the same combiner over arbitrary sub-queries.
+* ``function_score`` building blocks — ``gauss_decay`` /
+  ``exp_decay`` / ``linear_decay`` on a numeric/datetime distance and
+  ``field_value_factor``, multiplied into (or replacing) the query
+  score.
+* ``terms_set_match`` — match documents containing at least
+  ``min_match`` of the given terms (ES ``terms_set`` query).
+
+Scale shape (100 TB): every scorer is one corpus scan + a 1-row
+broadcast of corpus statistics (the `with_bm25` shape — no per-term
+shuffle, no explode); MLT adds only model-sized probes of the single
+seed document (≤ max_query_terms literals fold into the plan exactly
+like the PQ codebooks in operators/similarity.py). Combiners join the
+per-field/per-clause score projections on the id — each side is
+already the match set, orders of magnitude below the corpus. Decay /
+factor scoring is pure column algebra in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from toshokan_spark.functions.bm25 import with_bm25
+from toshokan_spark.functions.tokenizers import analyze_term, tokenize
+
+__all__ = [
+    "more_like_this",
+    "mlt_select_terms",
+    "multi_match",
+    "dis_max",
+    "gauss_decay",
+    "exp_decay",
+    "linear_decay",
+    "field_value_factor",
+    "terms_set_match",
+]
+
+
+def mlt_select_terms(
+    docs: DataFrame,
+    seed_id,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    max_query_terms: int = 5,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+) -> list[str]:
+    """The seed document's ``max_query_terms`` most characteristic
+    terms, Lucene-MLT style: candidates are the seed's analyzed terms
+    with tf ≥ min_term_freq, kept when corpus df ≥ min_doc_freq,
+    ranked by seed-tf · BM25-idf (rounded to 6 decimals — the
+    cross-engine-stable comparison key), ties to the lexicographically
+    smaller term.
+
+    Returns a plain list (model-sized: one document's vocabulary cut
+    to a handful) so the scorer can fold the terms into the plan as
+    literals — the same folding discipline as the PQ codebooks.
+    """
+    seed = (
+        docs.filter(F.col(id_col) == F.lit(seed_id))
+        .select(tokenize(F.col(text_col), tokenizer).alias("__toks"))
+        .limit(1)
+    )
+    seed_rows = seed.collect()  # one row — the seed document probe
+    if not seed_rows or not seed_rows[0]["__toks"]:
+        return []
+    tf: dict[str, int] = {}
+    for t in seed_rows[0]["__toks"]:
+        tf[t] = tf.get(t, 0) + 1
+    cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cands:
+        return []
+
+    toks = tokenize(F.col(text_col), tokenizer)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.array_contains(toks, F.lit(t)).cast("int")).alias(f"__df{i}")
+            for i, t in enumerate(cands)
+        ],
+    ).collect()[0]  # 1-row corpus-stats probe
+    n = stats["__n"]
+    scored = []
+    for i, t in enumerate(cands):
+        df = stats[f"__df{i}"] or 0
+        if df < min_doc_freq:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scored.append((round(tf[t] * idf, 6), t))
+    scored.sort(key=lambda p: (-p[0], p[1]))
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_id,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    max_query_terms: int = 5,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """ES/Lucene ``more_like_this``: (id, mlt) for the top *k*
+    documents most similar to the seed, scored by BM25 over the
+    selected interesting terms, the seed itself excluded. Ranking is
+    the repo-standard cross-engine total order (rounded score desc,
+    id asc)."""
+    terms = mlt_select_terms(
+        docs, seed_id, id_col, text_col, tokenizer,
+        max_query_terms, min_term_freq, min_doc_freq,
+    )
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    if not terms:
+        return base.select(
+            F.col("id").alias(id_col), F.lit(0.0).alias("mlt")
+        ).limit(0)
+    scored = with_bm25(
+        base, " ".join(terms), text_col=text_col,
+        out_col="mlt", tokenizer=tokenizer,
+    )
+    return (
+        scored.filter(F.col("id") != F.lit(seed_id))
+        .orderBy(F.col("mlt").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "mlt")
+    )
+
+
+def _combine_scores(
+    parts: list[DataFrame],
+    id_col: str,
+    mode: str,
+    tie_breaker: float,
+) -> DataFrame:
+    """Full-outer join the (id, score_i) projections and combine:
+    ``best_fields`` = max + tie_breaker·(sum − max), ``most_fields``
+    = sum. Each part is a match set (already orders of magnitude
+    below the corpus), so the join is cheap; absent sides contribute
+    0."""
+    assert mode in ("best_fields", "most_fields"), mode
+    out = parts[0]
+    for i, p in enumerate(parts[1:], start=1):
+        out = out.join(p, on=id_col, how="full_outer")
+    score_cols = [c for c in out.columns if c != id_col]
+    vals = [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols]
+    total = vals[0]
+    for v in vals[1:]:
+        total = total + v
+    if mode == "most_fields":
+        combined = total
+    else:
+        best = F.greatest(*vals) if len(vals) > 1 else vals[0]
+        combined = best + F.lit(tie_breaker) * (total - best)
+    return out.select(
+        id_col,
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in score_cols],
+        F.round(combined, 6).alias("score"),
+    )
+
+
+def multi_match(
+    docs: DataFrame,
+    query: str,
+    fields: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    mode: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``multi_match``: the analyzed query BM25-scored per field
+    (each with its own tokenizer and per-field corpus statistics —
+    Lucene scores fields as independent inverted indexes), combined
+    ``best_fields``/``most_fields``. Output: id, per-field scores
+    (``s_<field>``), combined ``score``; top *k* by (score desc, id
+    asc)."""
+    parts = []
+    for col, tok in fields:
+        scored = with_bm25(
+            docs.select(F.col(id_col).alias("__id"), F.col(col)),
+            query, text_col=col, out_col=f"s_{col}", tokenizer=tok,
+        ).select(F.col("__id").alias(id_col), f"s_{col}")
+        parts.append(scored)
+    out = _combine_scores(parts, id_col, mode, tie_breaker)
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def dis_max(
+    docs: DataFrame,
+    queries: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``dis_max``: each sub-query scored independently over the
+    same field, a document's score = its best clause + tie_breaker ×
+    the rest. Output: id, ``s_q0..s_q{n-1}``, ``score``; top *k* by
+    (score desc, id asc)."""
+    parts = []
+    for i, q in enumerate(queries):
+        scored = with_bm25(
+            docs.select(F.col(id_col).alias("__id"), F.col(text_col)),
+            q, text_col=text_col, out_col=f"s_q{i}", tokenizer=tokenizer,
+        ).select(F.col("__id").alias(id_col), f"s_q{i}")
+        parts.append(scored)
+    out = _combine_scores(parts, id_col, "best_fields", tie_breaker)
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _decay_sigma2(scale: float, decay: float) -> float:
+    # ES GaussDecayFunction: sigma^2 = -scale^2 / (2 ln(decay))
+    return -(scale * scale) / (2.0 * math.log(decay))
+
+
+def gauss_decay(
+    dist: Column, scale: float, offset: float = 0.0, decay: float = 0.5
+) -> Column:
+    """ES ``gauss`` decay on an absolute distance column (caller
+    supplies ``|field − origin|`` in whatever unit *scale*/*offset*
+    are in): exp(−max(0, d−offset)² / 2σ²), σ² = −scale²/(2·ln decay).
+    Scores 1.0 inside the offset, *decay* at offset+scale."""
+    d = F.greatest(dist - F.lit(offset), F.lit(0.0))
+    return F.exp(-(d * d) / F.lit(2.0 * _decay_sigma2(scale, decay)))
+
+
+def exp_decay(
+    dist: Column, scale: float, offset: float = 0.0, decay: float = 0.5
+) -> Column:
+    """ES ``exp`` decay: exp(λ·max(0, d−offset)), λ = ln(decay)/scale."""
+    lam = math.log(decay) / scale
+    d = F.greatest(dist - F.lit(offset), F.lit(0.0))
+    return F.exp(F.lit(lam) * d)
+
+
+def linear_decay(
+    dist: Column, scale: float, offset: float = 0.0, decay: float = 0.5
+) -> Column:
+    """ES ``linear`` decay: max(0, (s − d)/s), s = scale/(1 − decay),
+    clamped at 0 beyond the support (ES's piecewise-linear ramp)."""
+    s = scale / (1.0 - decay)
+    d = F.greatest(dist - F.lit(offset), F.lit(0.0))
+    return F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+
+
+def field_value_factor(
+    col: Column, factor: float = 1.0, modifier: str = "none"
+) -> Column:
+    """ES ``field_value_factor``: modifier(factor · value). Supported
+    modifiers: none / log1p / ln1p / sqrt / square (the deterministic
+    subset)."""
+    v = col.cast("double") * F.lit(factor)
+    if modifier == "none":
+        return v
+    if modifier == "log1p":
+        return F.log10(F.lit(1.0) + v)
+    if modifier == "ln1p":
+        return F.log(F.lit(1.0) + v)
+    if modifier == "sqrt":
+        return F.sqrt(v)
+    if modifier == "square":
+        return v * v
+    raise ValueError(f"unsupported modifier: {modifier}")
+
+
+def terms_set_match(
+    docs: DataFrame,
+    terms: list[str],
+    min_match: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+) -> DataFrame:
+    """ES ``terms_set`` query: documents whose analyzed token set
+    contains at least *min_match* of the (analyzed) query terms.
+    Output: (id, n_matched) — n_matched counts DISTINCT matched
+    terms, the Lucene CoveringQuery semantics. One scan, the term
+    list folds into an ``array_intersect`` against the token array —
+    no explode, no shuffle beyond the caller's."""
+    analyzed = list(dict.fromkeys(
+        t for q in terms for t in analyze_term(q, tokenizer)
+    ))
+    toks = tokenize(F.col(text_col), tokenizer)
+    n_matched = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(t) for t in analyzed]),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), n_matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= F.lit(min_match))
+    )

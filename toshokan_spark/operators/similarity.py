@@ -1953,3 +1953,95 @@ def matryoshka_recall(
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998
+    — the diversity-aware retrieval staple): greedily pick *k* of the
+    top-*pool* cosine candidates, each step maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)``; ties to the
+    smaller id. Output: (vec_id, rank, relevance, mmr).
+
+    Scale shape: the corpus-sized work is the ONE broadcast-query
+    scan + distributed TakeOrdered pool cut (the proven
+    knn_bruteforce shape); the greedy stage touches only the
+    pool×pool similarity matrix (constant-sized) in a single
+    Arrow-batched pandas group — no driver collect, no iteration
+    over corpus data. Cross-engine determinism: every similarity is
+    rounded to 6 decimals BEFORE the greedy, and the MMR arithmetic
+    runs on those identical doubles with Python-computed weight
+    constants shared verbatim with the oracle's literals."""
+    import pandas as pd  # noqa: F401
+
+    q = emb.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("__qv")
+    )
+    cands = (
+        emb.filter(F.col(id_col) != F.lit(query_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.round(cosine_sim(F.col(vec_col), F.col("__qv")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(pool)
+    )
+    pa_side = cands.select(
+        F.col("id").alias("ia"), F.col("rel").alias("rel_a"),
+        F.col("v").alias("va"),
+    )
+    pb_side = cands.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    pairs = pa_side.crossJoin(F.broadcast(pb_side)).select(
+        "ia", "rel_a", "ib",
+        F.when(
+            F.col("ia") == F.col("ib"), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+        ).alias("s"),
+    )
+
+    wl, wd = float(lam), 1.0 - float(lam)
+    kk = int(k)
+
+    def greedy(pdf):
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.ia] = r.rel_a
+            if r.ia != r.ib:
+                sim[(r.ia, r.ib)] = r.s
+        remaining = sorted(rel)
+        selected = []
+        rows = []
+        for rank in range(1, min(kk, len(remaining)) + 1):
+            best_id, best_score = None, None
+            for cid in remaining:
+                d = max(sim[(cid, s)] for s in selected) if selected else 0.0
+                score = wl * rel[cid] - wd * d
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            rows.append((best_id, rank, rel[best_id], best_score))
+        return pd.DataFrame(
+            rows, columns=["vec_id", "rank", "relevance", "mmr"]
+        )
+
+    out = pairs.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        greedy,
+        schema="vec_id long, rank int, relevance double, mmr double",
+    )
+    return out.select(
+        "vec_id", "rank", "relevance", F.round("mmr", 6).alias("mmr")
+    )

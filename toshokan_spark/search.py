@@ -2264,3 +2264,286 @@ def percolate(
     return docs.select(
         F.col(id_col), F.explode(matched).alias("query_id")
     )
+
+
+def boxplot_agg(hits: DataFrame, field: str) -> DataFrame:
+    """ES ``boxplot`` aggregation: n / min / max / q1 / q2 / q3 plus
+    the 1.5·IQR whiskers (``lower``/``upper`` = the farthest actual
+    values inside the fences — the ES semantics, so the whiskers are
+    always elements of the data). Quartiles are ``percentile_disc``
+    like :func:`percentiles_agg` (exact, engine-stable — ES itself
+    uses t-digest; our exact form is the stricter contract).
+
+    Two passes over the HIT SET (not the corpus): the quartile row is
+    1 row broadcast back for the conditional whisker min/max — the
+    fences depend on q1/q3, so no single aggregation can compute
+    them. Both passes are partial-aggregated single scans."""
+    c = F.col(field)
+    q = hits.agg(
+        F.count(c).cast("long").alias("n_values"),
+        F.min(c).cast("double").alias("min_v"),
+        F.max(c).cast("double").alias("max_v"),
+        F.expr(f"percentile_disc(0.25) WITHIN GROUP (ORDER BY `{field}`)")
+        .cast("double").alias("q1"),
+        F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY `{field}`)")
+        .cast("double").alias("q2"),
+        F.expr(f"percentile_disc(0.75) WITHIN GROUP (ORDER BY `{field}`)")
+        .cast("double").alias("q3"),
+    )
+    j = hits.select(c.cast("double").alias("__v")).crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    lo_fence = F.col("q1") - F.lit(1.5) * iqr
+    hi_fence = F.col("q3") + F.lit(1.5) * iqr
+    return j.groupBy("n_values", "min_v", "max_v", "q1", "q2", "q3").agg(
+        F.min(F.when(F.col("__v") >= lo_fence, F.col("__v"))).alias("lower"),
+        F.max(F.when(F.col("__v") <= hi_fence, F.col("__v"))).alias("upper"),
+    ).select(
+        "n_values", "min_v", "max_v", "q1", "q2", "q3",
+        F.round(iqr, 6).alias("iqr"), "lower", "upper",
+    )
+
+
+def string_stats_agg(hits: DataFrame, field: str) -> DataFrame:
+    """ES ``string_stats``: count / min_length / max_length /
+    avg_length (characters) plus the Shannon entropy (−Σ p·log2 p)
+    of the field's global character distribution.
+
+    Scale shape: the length moments are one partial-aggregated pass
+    (decimal-exact sum). The character distribution explodes to
+    single chars but hash-aggregates MAP-SIDE, so the exchange
+    carries at most |alphabet| rows per partition; the entropy sum
+    then runs over the alphabet-sized frequency table as an ORDERED
+    fold (sorted by character) — float addition is order-sensitive,
+    and the fold order is the cross-engine contract."""
+    c = F.col(field)
+    lens = hits.agg(
+        F.count(c).cast("long").alias("n_values"),
+        F.min(F.length(c)).cast("long").alias("min_length"),
+        F.max(F.length(c)).cast("long").alias("max_length"),
+        F.round(
+            F.sum(F.length(c).cast("decimal(38,6)")).cast("double")
+            / F.count(c),
+            6,
+        ).alias("avg_length"),
+    )
+    counts = (
+        hits.select(F.explode(F.split(c, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ent = counts.agg(
+        F.sum("cnt").alias("__tot"),
+        F.sort_array(F.collect_list(F.struct("ch", "cnt"))).alias("__a"),
+    ).select(
+        F.round(
+            F.aggregate(
+                "__a",
+                F.lit(0.0),
+                lambda acc, x: acc
+                - (x["cnt"] / F.col("__tot"))
+                * F.log2(x["cnt"] / F.col("__tot")),
+            ),
+            6,
+        ).alias("entropy")
+    )
+    return lens.crossJoin(F.broadcast(ent))
+
+
+def t_test_agg(
+    df: DataFrame,
+    field: str,
+    query_a: str,
+    query_b: str,
+    config,
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch's, the ES
+    default): the t statistic between the *field* values of two
+    query-filtered populations. ONE scan — both populations'
+    moments come from conditional aggregation (the
+    :func:`filters_agg` discipline), sums decimal-exact, variances
+    the sample (n−1) form derived from the exact sums in double
+    arithmetic, so an oracle repeating the formula agrees
+    bit-for-bit."""
+    from .query import compile_query as _cq
+
+    cols = set(df.columns)
+    pa = F.coalesce(_cq(query_a, config, cols), F.lit(False))
+    pb = F.coalesce(_cq(query_b, config, cols), F.lit(False))
+    c = F.col(field)
+
+    def side(p, tag):
+        return [
+            F.count(F.when(p, c)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(p, c).cast("decimal(38,6)")).alias(f"s1_{tag}"),
+            F.sum(F.when(p, c * c).cast("decimal(38,6)")).alias(f"s2_{tag}"),
+        ]
+
+    m = df.agg(*side(pa, "a"), *side(pb, "b"))
+
+    def stats(tag):
+        n = F.col(f"n_{tag}")
+        s1 = F.col(f"s1_{tag}").cast("double")
+        s2 = F.col(f"s2_{tag}").cast("double")
+        mean = s1 / n
+        var = F.greatest(
+            (s2 - s1 * s1 / n) / (n - F.lit(1)), F.lit(0.0)
+        )
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    t = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return m.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+def diversified_sampler_agg(
+    hits: DataFrame,
+    diversity_field: str,
+    sort_field: str,
+    id_col: str,
+    max_per_group: int,
+    shard_size: int,
+) -> DataFrame:
+    """ES ``diversified_sampler``: the top *shard_size* hits by
+    (sort_field desc, id asc) with at most *max_per_group* per
+    diversity-field value — the de-biased sample feeding downstream
+    sub-aggregations (ES's guard against one user/domain flooding a
+    significant-terms panel).
+
+    Scale shape: the per-group quota is a WindowGroupLimit (rank ≤ K
+    pushed into the window operator — no full materialization of
+    per-group ranks), and the final cut is a distributed TakeOrdered;
+    nothing global-sorts the hit set."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(diversity_field).orderBy(
+        F.col(sort_field).desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.lit(max_per_group))
+        .drop("__r")
+        .orderBy(F.col(sort_field).desc(), F.col(id_col).asc())
+        .limit(shard_size)
+        .select(*dict.fromkeys([id_col, diversity_field, sort_field]))
+    )
+
+
+def cumulative_cardinality_agg(
+    hits: DataFrame,
+    ts_field: str,
+    interval_s: int,
+    key_col: str,
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per date-
+    histogram bucket, the number of distinct *key_col* values seen in
+    the hit set UP TO that bucket (the "total unique users so far"
+    panel), plus the per-bucket increment (ES's companion
+    ``derivative`` reading).
+
+    Scale shape — the first-seen decomposition: a naive per-bucket
+    distinct-union is quadratic in buckets and ES pays an HLL union
+    chain; instead ONE groupBy(key) computes each key's first-seen
+    bucket (shuffle keyed by the key space, the honest cardinality
+    cost), its bucket-histogram left-joins the plain bucket spine
+    (bucket-frame-sized, broadcast), and the running integer sum over
+    the bucket frame IS the cumulative cardinality — exact, no
+    sketches, no re-scans, and every number is an integer so the
+    cross-engine match is trivial."""
+    sec = (F.unix_micros(F.col(ts_field)) / F.lit(1_000_000)).cast("long")
+    bucket = (sec - (sec % F.lit(interval_s))).alias("bucket_epoch")
+    spine = hits.groupBy(bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    firstb = (
+        hits.groupBy(key_col)
+        .agg(F.min(sec - (sec % F.lit(interval_s))).alias("bucket_epoch"))
+        .groupBy("bucket_epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_keys"))
+    )
+    w = Window.orderBy("bucket_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(F.broadcast(firstb), "bucket_epoch", "left")
+        .withColumn("new_keys", F.coalesce(F.col("new_keys"), F.lit(0)))
+        .select(
+            "bucket_epoch",
+            "n_hits",
+            F.col("new_keys").cast("long").alias("new_keys"),
+            F.sum("new_keys").over(w).cast("long").alias(
+                "cumulative_cardinality"
+            ),
+        )
+    )
+
+
+def ks_test_agg(
+    df: DataFrame,
+    field: str,
+    query_a: str,
+    query_b: str,
+    config,
+    bin_width: float,
+) -> DataFrame:
+    """ES ``bucket_count_ks_test``-style two-sample Kolmogorov–
+    Smirnov statistic: D = max |ECDF_a − ECDF_b| between the *field*
+    distributions of two query-defined populations, evaluated on a
+    shared ``bin_width`` histogram grid (the bucketed form both ES
+    and any streaming system actually compute).
+
+    ONE conditional-aggregation scan produces both populations'
+    bucket counts; the ECDF difference runs over the bucket frame
+    (metadata-sized window). Counts are integers and each ECDF value
+    is one integer-over-integer double division, so the oracle
+    agrees bit-for-bit before the final rounding."""
+    from .query import compile_query as _cq
+
+    cols = set(df.columns)
+    pa = F.coalesce(_cq(query_a, config, cols), F.lit(False))
+    pb = F.coalesce(_cq(query_b, config, cols), F.lit(False))
+    c = F.col(field).cast("double")
+    b = F.floor(c / F.lit(float(bin_width))).cast("long")
+    hist = (
+        df.filter(pa | pb)
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.sum(pa.cast("long")).alias("ca"),
+            F.sum(pb.cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.col("n_a")
+                        - F.col("cum_b") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+        )
+    )
