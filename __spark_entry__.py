@@ -3889,6 +3889,25 @@ _FS_ORIGIN_US = 1705276800000000  # 2024-01-15T00:00:00Z in epoch micros
 _FS_TWO_SIGMA2 = 2.0 * (-(7.0 * 7.0) / (2.0 * math.log(0.5)))
 
 
+def q_search_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester (search.py::phrase_suggest — "did you
+    mean" for whole queries): per-word vocabulary candidates within
+    1 edit, candidate phrases scored by the corpus add-one bigram LM
+    (the bigram_logprob formula), top 3 by (score, phrase). The
+    sequence model picks the correction that forms the most probable
+    PHRASE — 'sart' and 'hast' each have TWO 1-edit candidates
+    ({sort, part} / {hash, fast}) and only the bigram LM can rank
+    the four corrected phrases; pure per-word correction cannot. Corpus work =
+    the two LM count passes; candidates and the phrase cross product
+    are model-sized."""
+    from toshokan_spark.search import phrase_suggest
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_suggest(
+        docs, "text", "the sart hast", k=3, max_dist=1, per_word=5
+    )
+
+
 def q_search_cumulative_cardinality(spark, sf_dir):
     """ES cumulative_cardinality (search.py::
     cumulative_cardinality_agg): distinct viewers accumulated over
@@ -4090,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/rotation.py priority order; P0b not fitting wait
         # behind their older record + the local sweep, then P1
         # changed-since-seal, then P2 proven-unchanged).
+        "search_phrase_suggest": q_search_phrase_suggest,
         "search_cumulative_cardinality": q_search_cumulative_cardinality,
         "search_ks_test": q_search_ks_test,
         "search_ip_range": q_search_ip_range,
@@ -4434,6 +4454,65 @@ def _bm25_field_cte(alias: str, field: str, terms: list[str], out: str) -> str:
           SELECT doc_id, round({arms}, 4) AS {out}
           FROM {alias}tf, {alias}st
           WHERE {anyhit})"""
+
+
+def _phrase_suggest_oracle_sql(
+    words: list[str], k=3, max_dist=1, per_word=5
+) -> str:
+    """The phrase suggester replayed in SQL: per-word candidate CTEs
+    (banded levenshtein, (dist, cu desc, w) rank), the candidate-
+    phrase cross product, add-one bigram LM scoring with the lnA+lnB
+    left-associated sum (== Spark's position-ordered fold)."""
+    cands = ",\n".join(
+        f"""cand{i} AS (
+          SELECT w, cu FROM (
+            SELECT w, cu, row_number() OVER (
+              ORDER BY levenshtein(w, '{w}') ASC, cu DESC, w ASC) AS r
+            FROM uni
+            WHERE abs(length(w) - {len(w)}) <= {max_dist}
+              AND levenshtein(w, '{w}') <= {max_dist})
+          WHERE r <= {per_word})"""
+        for i, w in enumerate(words)
+    )
+    n = len(words)
+    sel = ", ".join(
+        f"c{i}.w AS p{i}, c{i}.cu AS cu{i}" for i in range(n)
+    )
+    srcs = ", ".join(f"cand{i} c{i}" for i in range(n))
+    joins = "\n".join(
+        f"LEFT JOIN bg b{i} ON b{i}.w1 = p{i} AND b{i}.w2 = p{i + 1}"
+        for i in range(n - 1)
+    )
+    comps = " + ".join(
+        f"ln((coalesce(b{i}.cb, 0) + 1.0) / (cu{i} + vq.vv))"
+        for i in range(n - 1)
+    )
+    phrase = " || ' ' || ".join(f"p{i}" for i in range(n))
+    return f"""
+        WITH st AS (
+          SELECT list_transform(
+            list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                        x -> x <> '' AND strlen(x) <= 40),
+            x -> lower(x)) AS w
+          FROM documents),
+        uni AS (
+          SELECT t.w, count(*)::BIGINT AS cu
+          FROM (SELECT unnest(w) AS w FROM st) t GROUP BY 1),
+        bgsrc AS (
+          SELECT unnest(list_transform(
+            range(1, len(w)), i -> [w[i], w[i + 1]])) AS pr
+          FROM st WHERE len(w) >= 2),
+        bg AS (
+          SELECT pr[1] AS w1, pr[2] AS w2, count(*)::BIGINT AS cb
+          FROM bgsrc GROUP BY 1, 2),
+        vq AS (SELECT count(*)::DOUBLE AS vv FROM uni),
+        {cands},
+        phr AS (SELECT {sel} FROM {srcs})
+        SELECT {phrase} AS phrase,
+          round({comps}, 6) AS score
+        FROM phr CROSS JOIN vq
+        {joins}
+        ORDER BY score DESC, phrase ASC LIMIT {k}"""
 
 
 def _mmr_oracle_sql(query_id=0, k=5, pool=12, lam=0.7) -> str:
@@ -8972,6 +9051,10 @@ def oracle_sql() -> dict[str, str]:
               AS t_stat
         FROM s
     """
+    # search_phrase_suggest: the phrase-suggester pipeline in SQL
+    d["search_phrase_suggest"] = _phrase_suggest_oracle_sql(
+        ["the", "sart", "hast"], k=3, max_dist=1, per_word=5
+    )
     # search_cumulative_cardinality: first-seen decomposition, all
     # integers
     d["search_cumulative_cardinality"] = """

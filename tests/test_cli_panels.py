@@ -209,3 +209,43 @@ def test_cumulative_cardinality_and_ks_flags(panel_index, capsys):
         "--ks-test", "tenant_id;tenant_id:0;tenant_id:2;1",
     ])
     assert rows[0]["ks_d"] == 1.0
+
+
+def test_runtime_fields_feed_every_panel(panel_index, capsys):
+    """--runtime-field defines a computed column usable by any panel
+    flag (ES runtime mappings): facet and stats over an expression
+    that never exists in the index."""
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--runtime-field", "is_even=CAST(tenant_id % 2 = 0 AS STRING)",
+        "--facet-by", "is_even",
+    ])
+    # tenants [0,1,2,0,1,2,0,1]: even (0,2) x5, odd (1) x3
+    assert {r["is_even"]: r["n_hits"] for r in rows} == {
+        "true": 5, "false": 3}
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--runtime-field", "double_tenant=tenant_id * 2",
+        "--stats-field", "double_tenant",
+    ])
+    assert rows[0]["n_values"] == 8 and rows[0]["max_v"] == 4.0
+    # malformed spec fails fast
+    from toshokan_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--catalog", panel_index, "search", "panels", "*",
+                  "--runtime-field", "nonsense",
+                  "--facet-by", "nonsense"])
+
+
+def test_phrase_suggest_flag_prefers_probable_sequence(panel_index, capsys):
+    """--phrase-suggest: the bigram LM ranks whole corrected phrases.
+    severity values are DEBUG/INFO; the typo 'indo' corrects to
+    'info' and the result phrase must be a real corpus sequence."""
+    rows = _run(capsys, [
+        "--catalog", panel_index, "search", "panels", "*",
+        "--phrase-suggest-field", "severity_text",
+        "--phrase-suggest-text", "indo indo",
+    ])
+    assert rows and rows[0]["phrase"] == "info info"
+    assert all(isinstance(r["score"], float) for r in rows)

@@ -1483,3 +1483,20 @@ def test_ip_range_compiles_on_the_hex_key(plans13f):
     scan_filter = phys.find("<=> purchase")
     assert arrow != -1 and scan_filter != -1 and scan_filter > arrow, (
         "term filter must evaluate below the Arrow key stage")
+
+
+def test_phrase_suggest_counts_stay_distributed(spark, sf_dir):
+    """phrase_suggest: the LM count tables are restricted to the
+    candidate pairs BEFORE broadcasting (the bigram table is
+    vocabulary-squared-sized at corpus scale) — every join in the
+    scoring chain must be a broadcast, nothing sort-merges."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_phrase_suggest"](spark, sf_dir)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastHashJoin" in phys
+    assert "TakeOrderedAndProject" in phys

@@ -814,3 +814,71 @@ def test_stats_cli_reports_manifest_overview(spark, catalog, tmp_path, capsys):
     assert "n:[0..0]" in seg_lines[0] and "n:[10..10]" in seg_lines[1]
     # the tokenized text field carries a bloom with its byte size
     assert "blooms=body(" in seg_lines[0]
+
+
+def test_raw_prefix_and_wildcard_bounds():
+    """Prefix queries — and the literal prefix of a wildcard glob —
+    produce string zone-map bounds on raw fields (the Lucene
+    literal-prefix trick): [p, succ(p)], intersected across must
+    conjuncts; a bare-star glob contributes nothing."""
+    from toshokan_spark.plans.ast import parse_query
+    from toshokan_spark.query import _prefix_hi, raw_term_bounds
+
+    assert raw_term_bounds(parse_query("sev:err*"), "sev") == ("err", "ers")
+    # wildcard literal prefix: everything before the first meta char
+    assert raw_term_bounds(parse_query("sev:erro?"), "sev") == ("erro", "errp")
+    assert raw_term_bounds(parse_query("sev:er*or"), "sev") == ("er", "es")
+    # leading star: no literal prefix, no bound
+    assert raw_term_bounds(parse_query("sev:*ror"), "sev") == (None, None)
+    # conjunct intersection with an equality term
+    assert raw_term_bounds(
+        parse_query("sev:err* AND sev:error"), "sev") == ("error", "error")
+    # successor edge: a last codepoint at the ceiling drops the hi
+    assert _prefix_hi("a\U0010FFFF") is None
+    assert _prefix_hi("") is None
+
+
+def test_prefix_query_prunes_segments_by_zone_map(spark, tmp_path):
+    """End-to-end: two segments with disjoint raw-field zones; a
+    prefix query prunes the wrong one at the MANIFEST level (before
+    any scan plan exists), a wildcard with the same literal prefix
+    prunes identically, and a leading-star glob keeps both."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.search import _pruned_segments
+    from toshokan_spark.plans.ast import parse_query
+
+    cfg = {"name": "pfx", "path": str(tmp_path / "d"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    a = [{"id": 1, "sev": "alpha"}, {"id": 2, "sev": "beta"}]
+    b = [{"id": 3, "sev": "warn"}, {"id": 4, "sev": "zeta"}]
+    (tmp_path / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in a) + "\n")
+    (tmp_path / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in b) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "pfx",
+                     str(tmp_path / "a.jsonl")]) == 0
+    assert cli.main(["--catalog", cat, "index", "pfx",
+                     str(tmp_path / "b.jsonl")]) == 0
+    c = FsCatalog(cat)
+    config = c.get_index("pfx")
+    segs = c.segments("pfx")
+    assert len(segs) == 2
+
+    def survivors(q):
+        _, _, out = _pruned_segments(config, segs, parse_query(q))
+        return len(out)
+
+    assert survivors("sev:w*") == 1          # prefix prunes the a/b seg
+    assert survivors("sev:wa?n") == 1        # wildcard literal prefix too
+    assert survivors("sev:al*a") == 1        # prunes the w/z segment
+    assert survivors("sev:*arn") == 2        # leading star: keep all
+    assert survivors("sev:q*") == 0          # nothing in [q, r)

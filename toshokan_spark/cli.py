@@ -235,6 +235,13 @@ def main(argv: list[str] | None = None) -> int:
                          "ranked (edit distance, df desc)")
     ps.add_argument("--spell-term", default=None, metavar="T")
     ps.add_argument("--spell-max-dist", type=int, default=2)
+    ps.add_argument("--phrase-suggest-field", default=None, metavar="F",
+                    help="ES phrase suggester: correct the whole "
+                         "--phrase-suggest-text using per-word vocabulary "
+                         "candidates ranked by the corpus bigram language "
+                         "model (the sequence-aware 'did you mean')")
+    ps.add_argument("--phrase-suggest-text", default=None, metavar="T")
+    ps.add_argument("--phrase-suggest-k", type=int, default=3)
     ps.add_argument("--sibling-interval", type=int, default=None,
                     metavar="S",
                     help="sibling pipeline aggs: max/min/avg/sum_bucket "
@@ -272,6 +279,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="two-sample Kolmogorov-Smirnov D between the "
                          "field-F distributions of queries QA and QB on a "
                          "shared width-W grid (one conditional scan)")
+    ps.add_argument("--runtime-field", action="append", default=None,
+                    metavar="NAME=EXPR",
+                    help="ES runtime mapping: define NAME as a Spark SQL "
+                         "expression over the hit frame, usable by every "
+                         "panel flag (repeatable; computed in codegen at "
+                         "query time, never materialized in the index)")
     ps.add_argument("--significant-terms", default=None, metavar="F",
                     help="instead of hits, print the JLH-significant terms "
                          "of text field F in the hit set vs the whole index "
@@ -660,7 +673,8 @@ def main(argv: list[str] | None = None) -> int:
                     or a.suggest_field or a.spell_field
                     or a.sibling_interval or a.boxplot_field
                     or a.string_stats_field or a.t_test or a.diversify_by
-                    or a.cumulative_cardinality or a.ks_test)
+                    or a.cumulative_cardinality or a.ks_test
+                    or a.phrase_suggest_field)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -697,7 +711,7 @@ def main(argv: list[str] | None = None) -> int:
                     a.rare_terms, a.pipeline_value, a.sample_by,
                     a.suggest_field, a.spell_field, a.sibling_value,
                     a.boxplot_field, a.string_stats_field, a.diversify_by,
-                    a.cumulative_cardinality,
+                    a.cumulative_cardinality, a.phrase_suggest_field,
                     (a.t_test or "").split(";")[0].strip() or None,
                     (a.ks_test or "").split(";")[0].strip() or None,
                     a.panel_facet, a.panel_stats, a.significant_terms,
@@ -716,6 +730,18 @@ def main(argv: list[str] | None = None) -> int:
                 if not _hits_plan:
                     df = search_df(spark, catalog, a.index, a.query,
                                    limit=None, at_version=a.at_version)
+                    # runtime fields FIRST: a runtime name then looks
+                    # declared to the _dynamic routing below (ES
+                    # runtime mappings shadow dynamic lookups too);
+                    # pure codegen expressions, never materialized
+                    for spec in (a.runtime_field or []):
+                        name, _, expr = spec.partition("=")
+                        if not expr:
+                            raise SystemExit(
+                                "error: --runtime-field wants NAME=EXPR")
+                        from pyspark.sql import functions as SF
+
+                        df = df.withColumn(name.strip(), SF.expr(expr))
                     # unqualified -> _dynamic routing, the same rule
                     # the query compiler applies (SURVEY §2.4): a
                     # panel over a field the schema never declared
@@ -999,6 +1025,17 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(sibling_bucket_aggs(
                     hits_df(), config.time_field, a.sibling_interval,
                     a.sibling_value,
+                ).collect())
+            if a.phrase_suggest_field:
+                if not a.phrase_suggest_text:
+                    print("error: --phrase-suggest-field requires "
+                          "--phrase-suggest-text", file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import phrase_suggest
+
+                _emit(phrase_suggest(
+                    hits_df(), a.phrase_suggest_field,
+                    a.phrase_suggest_text, k=a.phrase_suggest_k,
                 ).collect())
             if a.boxplot_field:
                 from toshokan_spark.search import boxplot_agg

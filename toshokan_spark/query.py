@@ -896,7 +896,7 @@ def _interval_bounds(node: Node, field: str, leaf) -> tuple:
     disjunct without a bound kills that side entirely. ``must_not``
     never produces bounds. Returning (None, None) means "cannot
     prune", never "prune everything"."""
-    if isinstance(node, (Term, RangeQ, Cmp)) and node.field == (field,):
+    if isinstance(node, (Term, RangeQ, Cmp, Prefix, Wildcard)) and node.field == (field,):
         return leaf(node)
     if isinstance(node, BoolQuery):
         if node.must:
@@ -936,7 +936,9 @@ def _range_cmp_leaf(parse, terms: bool = False):
             lo = parse(node.lo) if node.lo is not None else None
             hi = parse(node.hi) if node.hi is not None else None
             return lo, hi
-        v = parse(node.value)  # Cmp
+        if not isinstance(node, Cmp):
+            return None, None  # Prefix/Wildcard: no bound in this domain
+        v = parse(node.value)
         if v is None:
             return None, None
         return (v, None) if node.op.startswith(">") else (None, v)
@@ -977,16 +979,34 @@ def numeric_bounds(node: Node, field: str):
     return _interval_bounds(node, field, _range_cmp_leaf(_num_lit, terms=True))
 
 
+def _prefix_hi(p: str) -> "Optional[str]":
+    """A string ≥ every value with prefix *p* (exclusive successor
+    ``p[:-1] + chr(ord(p[-1])+1)`` — safe as an INCLUSIVE manifest
+    bound since keeping the boundary value is merely conservative);
+    None when the last codepoint cannot increment."""
+    if not p or ord(p[-1]) >= 0x10FFFF:
+        return None
+    return p[:-1] + chr(ord(p[-1]) + 1)
+
+
 def raw_term_bounds(node: Node, field: str):
     """Conservative (lo, hi) STRING bounds on a scalar raw-tokenizer
-    text *field* — equality terms only (a raw term compiles to exact
-    equality; ranges/comparisons on text are left unbounded to avoid
-    collation subtleties). UTF-8 byte order (Spark min/max) and Python
-    codepoint order agree, so manifest comparisons are safe."""
+    text *field*: equality terms bound both ends; prefix queries —
+    and the literal prefix of a wildcard glob, the Lucene trick —
+    bound ``[p, succ(p)]`` (text ranges/comparisons are left unbounded
+    to avoid collation subtleties). UTF-8 byte order (Spark min/max)
+    and Python codepoint order agree, so manifest comparisons are
+    safe."""
 
     def leaf(node):
         if isinstance(node, Term):
             return node.text, node.text
+        if isinstance(node, Prefix) and node.text:
+            return node.text, _prefix_hi(node.text)
+        if isinstance(node, Wildcard):
+            lit = node.pattern.split("*")[0].split("?")[0]
+            if lit:
+                return lit, _prefix_hi(lit)
         return None, None
 
     return _interval_bounds(node, field, leaf)

@@ -2547,3 +2547,133 @@ def ks_test_agg(
             ).alias("ks_d"),
         )
     )
+
+
+def phrase_suggest(
+    docs: DataFrame,
+    text_col: str,
+    phrase: str,
+    k: int = 3,
+    max_dist: int = 1,
+    per_word: int = 5,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """ES *phrase* suggester ("did you mean" for whole queries): each
+    input word generates vocabulary candidates within *max_dist*
+    edits (ranked distance asc / term-frequency desc / token asc,
+    capped at *per_word*), and every candidate phrase is scored by
+    the corpus add-one-smoothed bigram language model — the same
+    ``p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)`` as
+    :func:`toshokan_spark.operators.text.bigram_logprob` — so the
+    correction that forms the most probable SEQUENCE wins even when a
+    rarer word is closer in edits. Output: (phrase, score), top *k*
+    by (score desc, phrase asc).
+
+    Scale shape: unigram and bigram counts are two partial-aggregated
+    corpus passes (the LM-training cost, shared with the quality
+    ops); per-word candidate selection is a banded-levenshtein filter
+    over the VOCABULARY with a distributed top-``per_word`` cut, and
+    only those model-sized lists are collected. The candidate-phrase
+    cross product (≤ per_word^n rows, n = query words ≤ 4) scores in
+    one small broadcast join chain against the counts — the corpus
+    never re-scans per candidate."""
+    from toshokan_spark.functions.tokenizers import analyze_term, tokenize
+
+    words = analyze_term(phrase, tokenizer)
+    if not 2 <= len(words) <= 4:
+        raise ValueError("phrase_suggest wants 2-4 analyzed words")
+
+    toks = tokenize(F.col(text_col), tokenizer)
+    staged = docs.select(toks.alias("__w")).withColumn(
+        "__n", F.size("__w")
+    )
+    uni = (
+        staged.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bg = (
+        staged.filter(F.col("__n") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__w"), i).alias("w1"),
+                        F.element_at(F.col("__w"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .groupBy("t.w1", "t.w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    vv = uni.count()  # |V| — one scalar
+
+    cands: list[list[tuple[str, int]]] = []
+    for w in words:
+        lim = F.lit(int(max_dist))
+        cand = (
+            uni.filter(F.abs(F.length("w") - F.lit(len(w))) <= lim)
+            .withColumn("__d", F.levenshtein(F.col("w"), F.lit(w)))
+            .filter(F.col("__d") <= lim)
+            .orderBy(F.col("__d").asc(), F.col("cu").desc(), F.col("w").asc())
+            .limit(per_word)
+        )
+        rows = cand.collect()  # model-sized: ≤ per_word vocabulary rows
+        cands.append([(r["w"], r["__d"]) for r in rows])
+    if any(not c for c in cands):
+        spark = docs.sparkSession
+        return spark.createDataFrame([], "phrase string, score double")
+
+    import itertools
+
+    phrases = []
+    trans = []
+    for pid, combo in enumerate(itertools.product(*cands)):
+        ws = [w for w, _ in combo]
+        phrases.append((pid, " ".join(ws)))
+        for pos in range(len(ws) - 1):
+            trans.append((pid, pos, ws[pos], ws[pos + 1]))
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame(phrases, "pid long, phrase string")
+    tdf = spark.createDataFrame(
+        trans, "pid long, pos int, w1 string, w2 string"
+    )
+    # restrict the corpus count tables to the candidate pairs BEFORE
+    # broadcasting: the bigram table is corpus-vocabulary-sized, the
+    # filtered slice is ≤ |firsts|x|seconds| rows
+    firsts = sorted({a for _, _, a, _ in trans})
+    seconds = sorted({b for _, _, _, b in trans})
+    bg_f = bg.filter(F.col("w1").isin(firsts) & F.col("w2").isin(seconds))
+    uni_f = uni.filter(F.col("w").isin(firsts))
+    scored = (
+        tdf.join(F.broadcast(bg_f), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_f.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("cu", "cu1")), "w1")
+        .select(
+            "pid",
+            "pos",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                / (F.col("cu1") + F.lit(float(vv)))
+            ).alias("__c"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "__c"))),
+                    lambda s: s["__c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__s")
+        )
+    )
+    return (
+        pdf.join(scored, "pid")
+        .select("phrase", F.round("__s", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(k)
+    )
