@@ -3889,6 +3889,19 @@ _FS_ORIGIN_US = 1705276800000000  # 2024-01-15T00:00:00Z in epoch micros
 _FS_TWO_SIGMA2 = 2.0 * (-(7.0 * 7.0) / (2.0 * math.log(0.5)))
 
 
+def q_text_char_entropy(spark, sf_dir):
+    """Per-document character-entropy quality gate (operators/
+    text.py::char_entropy_profile — the gibberish/binary-noise
+    filter): run-length over the sorted char array entirely in
+    codegen HOFs — ONE narrow pass, zero shuffle, no explode; the
+    −Σ(l/n)·ln(l/n) fold runs in run (alphabetical) order so the
+    oracle replays it bit-for-bit."""
+    from toshokan_spark.operators.text import char_entropy_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy_profile(docs, low=2.0, high=4.5)
+
+
 def q_search_phrase_suggest(spark, sf_dir):
     """ES phrase suggester (search.py::phrase_suggest — "did you
     mean" for whole queries): per-word vocabulary candidates within
@@ -4109,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/rotation.py priority order; P0b not fitting wait
         # behind their older record + the local sweep, then P1
         # changed-since-seal, then P2 proven-unchanged).
+        "text_char_entropy": q_text_char_entropy,
         "search_phrase_suggest": q_search_phrase_suggest,
         "search_cumulative_cardinality": q_search_cumulative_cardinality,
         "search_ks_test": q_search_ks_test,
@@ -9050,6 +9064,39 @@ def oracle_sql() -> dict[str, str]:
           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
               AS t_stat
         FROM s
+    """
+    # text_char_entropy: run-length entropy over sorted chars, fold
+    # in run order; 0.0 - sum avoids the -0.0 representation split
+    d["text_char_entropy"] = """
+        WITH b AS (
+          SELECT doc_id, length(text)::BIGINT AS n_chars_text,
+            list_sort(string_split(text, '')) AS s,
+            len(string_split(text, '')) AS n
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars_text, n,
+            list_filter(range(1, n + 1),
+                        i -> i = 1 OR s[i] <> s[i - 1]) AS starts
+          FROM b),
+        l AS (
+          SELECT doc_id, n_chars_text, n,
+            list_transform(range(1, len(starts) + 1),
+              j -> (CASE WHEN j < len(starts) THEN starts[j + 1]
+                    ELSE n + 1 END) - starts[j]) AS lens
+          FROM r),
+        e AS (
+          SELECT doc_id, n_chars_text,
+            round(CASE WHEN n > 0 THEN
+              0.0 - list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(lens, x -> (x / n) * ln(x / n))),
+                (a, b) -> a + b)
+              ELSE 0.0 END, 6) AS entropy
+          FROM l)
+        SELECT doc_id, n_chars_text, entropy,
+          CASE WHEN entropy < 2.0 THEN 'low'
+               WHEN entropy > 4.5 THEN 'high'
+               ELSE 'ok' END AS entropy_band
+        FROM e
     """
     # search_phrase_suggest: the phrase-suggester pipeline in SQL
     d["search_phrase_suggest"] = _phrase_suggest_oracle_sql(

@@ -121,6 +121,20 @@ FLOORS = {
     "domain_pagerank": 3.2,
     "matryoshka_recall": 2.4,
     "audience_overlap": 1.1,
+    # round-13 second-session additions (warm best-of-3 on this
+    # config: 1.81/1.21/0.96/0.87/0.72/0.41/0.45/0.39).
+    # text_char_entropy's floor specifically guards the HOF-staging
+    # rule: un-staging the sorted char array re-sorts it per element
+    # (interpreted O(n²)/row — measured minutes, not seconds, at
+    # sf0.1) and would blow straight through this bound.
+    "search_phrase_suggest": 2.4,
+    "search_more_like_this": 1.6,
+    "search_multi_match": 1.3,
+    "search_dis_max": 1.2,
+    "mmr_rerank": 1.0,
+    "search_string_stats": 0.6,
+    "search_cumulative_cardinality": 0.6,
+    "text_char_entropy": 0.6,
 }
 MULTIPLIER = 2.5
 RUNS = 3

@@ -58,3 +58,38 @@ def test_train_hashed_classifier_learns_separable_classes(spark):
     # and the trained model is deterministic: retrain == same weights
     w2 = train_hashed_classifier(df, label_col="y", iters=3)
     assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_char_entropy_profile(spark):
+    """Run-length char entropy: uniform text scores ln(alphabet),
+    single-char padding scores 0 (and lands in the 'low' band), and
+    the value matches an independent Counter-based computation."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from toshokan_spark.operators.text import char_entropy_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "aaaaaaaaaa"),
+        (3, "abcd"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in char_entropy_profile(df).collect()}
+
+    def ref(t):
+        n = len(t)
+        if not n:
+            return 0.0
+        c = Counter(t)
+        return round(-sum((v / n) * math.log(v / n) for v in c.values()), 6)
+
+    assert got[1].entropy == pytest.approx(ref("hello world"), abs=1e-6)
+    assert got[2].entropy == 0.0 and got[2].entropy_band == "low"
+    assert got[3].entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert got[4].entropy == 0.0 and got[4].n_chars_text == 0
+    # repr stability: never -0.0 (the driver hash stringifies floats)
+    assert repr(got[2].entropy) == "0.0"

@@ -2176,3 +2176,83 @@ def c4_line_filters(
             & (n_kept >= 1)
         ).alias("passes"),
     )
+
+
+def char_entropy_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low: float = 2.0,
+    high: float = 4.5,
+) -> DataFrame:
+    """(id, n_chars, entropy, entropy_band) per document: Shannon
+    entropy (natural log) of the CHARACTER distribution — the classic
+    gibberish/binary-noise filter signal (low = repeated-char
+    padding, high = base64-ish noise; prose sits in a narrow band).
+
+    Computed WITHOUT exploding: run-length over the sorted char array
+    entirely in higher-order functions — sort the chars, find run
+    starts by comparing neighbours, difference consecutive starts
+    into run lengths, fold −Σ (l/n)·ln(l/n) in run (= alphabetical)
+    order. One narrow pass, zero shuffle, and the fold order is
+    deterministic so an oracle replays it exactly.
+
+    Every intermediate array is STAGED as a real column (the repo's
+    HOF-staging rule, see the evaluation-cost note on
+    :func:`text_quality_signals`): ``element_at(expr, i)`` inside a
+    lambda re-evaluates *expr* per element in the interpreted HOF
+    path — unstaged, the sorted-array lookup turns O(n) runs into an
+    O(n²) re-sort per document (measured: a 5k-doc pass went from
+    seconds to tens of minutes at sf0.1)."""
+    staged = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars_text"),
+        F.array_sort(
+            F.filter(F.split(F.col(text_col), ""), lambda x: x != F.lit(""))
+        ).alias("__s"),
+    ).withColumn("__n", F.size("__s"))
+    s_col, n_col = F.col("__s"), F.col("__n")
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of yielding an
+    # empty array, and element_at errors on index 0 — both guards are
+    # for the empty-document row
+    def _idx(n):
+        return F.when(
+            n >= F.lit(1), F.sequence(F.lit(1), n)
+        ).otherwise(F.array().cast("array<int>"))
+
+    staged = staged.withColumn(
+        "__starts",
+        F.filter(
+            _idx(n_col),
+            lambda i: (i == F.lit(1))
+            | (
+                F.element_at(s_col, i)
+                != F.element_at(s_col, F.greatest(i - F.lit(1), F.lit(1)))
+            ),
+        ),
+    ).withColumn("__m", F.size("__starts"))
+    st_col, m_col = F.col("__starts"), F.col("__m")
+    staged = staged.withColumn(
+        "__lens",
+        F.transform(
+            _idx(m_col),
+            lambda j: F.when(j < m_col, F.element_at(st_col, j + F.lit(1)))
+            .otherwise(n_col + F.lit(1))
+            - F.element_at(st_col, j),
+        ),
+    )
+    raw = F.lit(0.0) - F.aggregate(
+        F.col("__lens"),
+        F.lit(0.0),
+        lambda acc, x: acc + (x / n_col) * F.log(x / n_col),
+    )
+    ent = F.round(F.when(n_col > 0, raw).otherwise(F.lit(0.0)), 6)
+    return staged.select(
+        F.col(id_col),
+        "n_chars_text",
+        ent.alias("entropy"),
+        F.when(ent < F.lit(low), F.lit("low"))
+        .when(ent > F.lit(high), F.lit("high"))
+        .otherwise(F.lit("ok"))
+        .alias("entropy_band"),
+    )
