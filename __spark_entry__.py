@@ -3889,6 +3889,18 @@ _FS_ORIGIN_US = 1705276800000000  # 2024-01-15T00:00:00Z in epoch micros
 _FS_TWO_SIGMA2 = 2.0 * (-(7.0 * 7.0) / (2.0 * math.log(0.5)))
 
 
+def q_search_explain_score(spark, sf_dir):
+    """ES _explain API for the BM25 ranking (functions/bm25.py::
+    bm25_explain): the top-3 hits for 'spark table' decomposed into
+    one row per (doc, term) with tf / dl / df / idf / contribution
+    and the total — same one-scan + 1-row-broadcast plan as the
+    scorer, the decomposition exploding AFTER the top-k cut."""
+    from toshokan_spark.functions.bm25 import bm25_explain
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_explain(docs, "spark table", k=3)
+
+
 def q_text_char_entropy(spark, sf_dir):
     """Per-document character-entropy quality gate (operators/
     text.py::char_entropy_profile — the gibberish/binary-noise
@@ -4122,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/rotation.py priority order; P0b not fitting wait
         # behind their older record + the local sweep, then P1
         # changed-since-seal, then P2 proven-unchanged).
+        "search_explain_score": q_search_explain_score,
         "text_char_entropy": q_text_char_entropy,
         "search_phrase_suggest": q_search_phrase_suggest,
         "search_cumulative_cardinality": q_search_cumulative_cardinality,
@@ -9064,6 +9077,42 @@ def oracle_sql() -> dict[str, str]:
           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
               AS t_stat
         FROM s
+    """
+    # search_explain_score: the BM25 CTE's arms re-emitted per term
+    # for the top-3 hits (ES _explain)
+    d["search_explain_score"] = f"""
+        WITH {_BM25_SPARK_TABLE_CTE},
+        fullsc AS (
+          SELECT t.doc_id, t.dl, t.tf0, t.tf1, s.n, s.sumdl, s.df0, s.df1,
+            round(
+              (CASE WHEN tf0 > 0 THEN
+                 ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                 / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+               ELSE 0.0 END)
+              +
+              (CASE WHEN tf1 > 0 THEN
+                 ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+               ELSE 0.0 END), 4) AS bm25
+          FROM tf t, st s WHERE tf0 > 0 OR tf1 > 0),
+        top AS (
+          SELECT * FROM fullsc ORDER BY bm25 DESC, doc_id ASC LIMIT 3)
+        SELECT doc_id, 'spark' AS term, tf0::INT AS tf, dl::INT AS dl,
+          df0::BIGINT AS df,
+          round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)), 6) AS idf,
+          round(CASE WHEN tf0 > 0 THEN
+            ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+            / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+          ELSE 0.0 END, 6) AS contribution, bm25
+        FROM top
+        UNION ALL
+        SELECT doc_id, 'table', tf1::INT, dl::INT, df1::BIGINT,
+          round(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)), 6),
+          round(CASE WHEN tf1 > 0 THEN
+            ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+            / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+          ELSE 0.0 END, 6), bm25
+        FROM top
     """
     # text_char_entropy: run-length entropy over sorted chars, fold
     # in run order; 0.0 - sum avoids the -0.0 representation split

@@ -1033,3 +1033,137 @@ def test_train_quality_query_gate(spark, tmp_path_factory, capsys):
     # assert relative to the gate's input.
     assert counts["trained_classifier_kept"] <= counts["quality_kept"]
     assert counts["trained_classifier_kept"] == 6
+
+
+def test_multi_index_pattern_search(spark, tmp_path, capsys):
+    """ES index-pattern search: globs and comma lists fan out over
+    matching indexes (each searched with its OWN config — private
+    pruning, deletes, schemas), hits union with missing columns
+    dropped per-schema and every row tagged _index; unknown exact
+    names fail, empty glob matches return nothing."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import CatalogError
+
+    def mk(name, extra_field=False):
+        cfg = {"name": name, "path": str(tmp_path / "d" / name),
+               "schema": {"fields": [
+                   {"name": "id", "type": "number"},
+                   {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+        if extra_field:
+            cfg["schema"]["fields"].append(
+                {"name": "cost", "type": "number", "number_type": "f64"})
+        p = tmp_path / f"{name}.json"
+        p.write_text(_json.dumps(cfg))
+        return str(p)
+
+    cat = str(tmp_path / "cat")
+    rows_a = [{"id": 1, "sev": "INFO"}, {"id": 2, "sev": "ERROR"}]
+    rows_b = [{"id": 3, "sev": "INFO", "cost": 1.5}]
+    rows_m = [{"id": 9, "sev": "INFO"}]
+    (tmp_path / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows_a) + "\n")
+    (tmp_path / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b) + "\n")
+    (tmp_path / "m.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows_m) + "\n")
+    for step in (["create", mk("logs-a")],
+                 ["create", mk("logs-b", extra_field=True)],
+                 ["create", mk("metrics")],
+                 ["index", "logs-a", str(tmp_path / "a.jsonl")],
+                 ["index", "logs-b", str(tmp_path / "b.jsonl")],
+                 ["index", "metrics", str(tmp_path / "m.jsonl")],
+                 ["delete", "logs-a", "sev:ERROR"]):
+        assert cli.main(["--catalog", cat] + step) == 0
+    capsys.readouterr()
+
+    def run(pattern, query="*"):
+        assert cli.main(["--catalog", cat, "search", pattern, query,
+                         "--limit", "50"]) == 0
+        return [_json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines() if l]
+
+    # glob: both logs indexes, per-index deletes applied, metrics out
+    hits = run("logs-*")
+    assert sorted((h["_index"], h["doc"]["id"]) for h in hits) == [
+        ("logs-a", 1), ("logs-b", 3)]
+    # per-schema output: logs-b rows carry cost, logs-a rows don't
+    by_idx = {h["_index"]: h["doc"] for h in hits}
+    assert "cost" in by_idx["logs-b"] and "cost" not in by_idx["logs-a"]
+    # comma list mixes globs and exact names
+    assert len(run("logs-*,metrics")) == 3
+    # the query compiles per index against each schema
+    assert [h["doc"]["id"] for h in run("logs-*,metrics", "sev:INFO")
+            ] == [1, 3, 9]
+    # a glob matching nothing is legal and empty
+    assert run("nope-*") == []
+    # an unknown EXACT name raises
+    from toshokan_spark.search import expand_index_pattern
+    from toshokan_spark.catalog import FsCatalog
+
+    with _pytest.raises(CatalogError):
+        expand_index_pattern(FsCatalog(cat), "missing-index")
+
+
+def test_rollover_lifecycle(spark, tmp_path, capsys):
+    """ES rollover through the CLI: below threshold nothing moves;
+    past --max-docs the alias re-points to the next -NNNNNN
+    generation with the same config; writers through the alias fill
+    the new generation; the base-* pattern searches ALL generations;
+    a second rollover increments the sequence."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    cfg = {"name": "logs-000001", "path": str(tmp_path / "d" / "logs-000001"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    rows = [{"id": i, "sev": "INFO"} for i in range(5)]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cat = str(tmp_path / "cat")
+    for step in (["create", str(tmp_path / "c.json")],
+                 ["index", "logs-000001", str(tmp_path / "r.jsonl")],
+                 ["alias", "logs", "logs-000001"]):
+        assert cli.main(["--catalog", cat] + step) == 0
+    capsys.readouterr()
+
+    # below threshold: no-op
+    assert cli.main(["--catalog", cat, "rollover", "logs",
+                     "--max-docs", "100"]) == 0
+    assert "conditions not met" in capsys.readouterr().out
+    c = FsCatalog(cat)
+    assert c.resolve("logs") == "logs-000001"
+
+    # past threshold: next generation, alias re-pointed, same schema
+    assert cli.main(["--catalog", cat, "rollover", "logs",
+                     "--max-docs", "5"]) == 0
+    assert "logs-000001 -> logs-000002" in capsys.readouterr().out
+    assert c.resolve("logs") == "logs-000002"
+    assert {f.name for f in c.get_index("logs-000002").fields} == {
+        "id", "sev"}
+
+    # writers through the alias land in the new generation
+    (tmp_path / "r2.jsonl").write_text(
+        _json.dumps({"id": 100, "sev": "WARN"}) + "\n")
+    assert cli.main(["--catalog", cat, "index", "logs",
+                     str(tmp_path / "r2.jsonl")]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "logs-000002", "*",
+                     "--limit", "10"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1
+    # the pattern search covers every generation
+    assert cli.main(["--catalog", cat, "search", "logs-*", "*",
+                     "--limit", "50"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 6
+
+    # second rollover increments the sequence (1 doc >= max-docs 1)
+    assert cli.main(["--catalog", cat, "rollover", "logs",
+                     "--max-docs", "1"]) == 0
+    assert "logs-000002 -> logs-000003" in capsys.readouterr().out

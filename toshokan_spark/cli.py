@@ -122,6 +122,18 @@ def main(argv: list[str] | None = None) -> int:
     pal.add_argument("index", nargs="?", default=None)
     pal.add_argument("--drop", action="store_true")
 
+    prl = sub.add_parser(
+        "rollover",
+        help="ES rollover: when the index behind ALIAS exceeds "
+             "--max-docs rows or --max-segments segments, create the "
+             "next -NNNNNN generation with the same config and "
+             "atomically re-point the alias (manifest reads only; "
+             "older generations stay queryable via <base>-*)",
+    )
+    prl.add_argument("alias")
+    prl.add_argument("--max-docs", type=int, default=None)
+    prl.add_argument("--max-segments", type=int, default=None)
+
     pdel = sub.add_parser(
         "delete",
         help="record a delete-by-query tombstone: every read masks "
@@ -279,6 +291,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="two-sample Kolmogorov-Smirnov D between the "
                          "field-F distributions of queries QA and QB on a "
                          "shared width-W grid (one conditional scan)")
+    ps.add_argument("--explain-top", type=int, default=None, metavar="K",
+                    help="with --score-field: instead of hits, print the "
+                         "ES _explain breakdown of the top K BM25 hits — "
+                         "one row per (doc, query term) with tf/dl/df/idf "
+                         "and the term's contribution")
     ps.add_argument("--runtime-field", action="append", default=None,
                     metavar="NAME=EXPR",
                     help="ES runtime mapping: define NAME as a Spark SQL "
@@ -542,6 +559,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"reindexed into segment {entry.id} ({entry.num_rows} rows)")
         return 0
 
+    if a.cmd == "rollover":
+        if a.max_docs is None and a.max_segments is None:
+            print("error: rollover needs --max-docs and/or --max-segments",
+                  file=sys.stderr)
+            return 2
+        from toshokan_spark.maintenance import rollover
+
+        rolled, old, new = rollover(
+            catalog, a.alias, max_docs=a.max_docs,
+            max_segments=a.max_segments,
+        )
+        if rolled:
+            print(f"rolled over {a.alias}: {old} -> {new}")
+        else:
+            print(f"conditions not met; {a.alias} stays on {old}")
+        return 0
+
     if a.cmd == "alias":
         if a.drop:
             catalog.drop_alias(a.alias)
@@ -656,6 +690,33 @@ def main(argv: list[str] | None = None) -> int:
                     f"{k}({v['m'] // 8}B)" for k, v in sorted(s.token_blooms.items())
                 )
             print(f"  {s.file_name} rows={s.num_rows}{days}{zm}{bl}")
+        return 0
+
+    if a.cmd == "search" and (
+        "," in a.index or any(ch in a.index for ch in "*?[")
+    ):
+        # ES index-pattern search: logs-*,metrics — plain hits only
+        # (panels aggregate one schema; run them per index)
+        from toshokan_spark.search import multi_search_df, prettify_doc
+
+        spark = _spark()
+        df, names = multi_search_df(
+            spark, catalog, a.index, a.query,
+            limit=a.limit, at_version=a.at_version,
+        )
+        configs = {n: catalog.get_index(n) for n in names}
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            idx = d.pop("_index")
+            doc = {
+                k: v for k, v in d.items()
+                if k in {f.name for f in configs[idx].fields}
+                or k == "_dynamic"
+            }
+            print(json.dumps(
+                {"_index": idx,
+                 "doc": json.loads(prettify_doc(doc, configs[idx]))},
+                sort_keys=True, separators=(",", ":")))
         return 0
 
     if a.cmd == "search":
@@ -1178,6 +1239,21 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows:
                     print(json.dumps(r.asDict(), sort_keys=True,
                                      separators=(",", ":"), default=str))
+            return 0
+        if a.score_field and a.explain_top:
+            from toshokan_spark.functions.bm25 import bm25_explain
+            from toshokan_spark.search import search_df
+
+            config = catalog.get_index(a.index)
+            docs = search_df(spark, catalog, a.index, "*", limit=None,
+                             at_version=a.at_version)
+            out = bm25_explain(
+                docs, a.query, id_col=config.fields[0].name,
+                text_col=a.score_field, k=a.explain_top,
+            )
+            for r in out.collect():
+                print(json.dumps(r.asDict(), sort_keys=True,
+                                 separators=(",", ":"), default=str))
             return 0
         if a.score_field:
             from toshokan_spark.search import prettify_doc, scored_search_df

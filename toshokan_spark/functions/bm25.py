@@ -229,3 +229,96 @@ def bm25_topk(
     double could flip rows on last-ulp library differences)."""
     scored = bm25_scores(docs, query, id_col=id_col, text_col=text_col, tokenizer=tokenizer)
     return scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(k)
+
+
+def bm25_explain(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = K1,
+    b: float = B,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """ES ``_explain`` API for the BM25 ranking: the top-*k* hits
+    decomposed into one row per (doc, query term) carrying the whole
+    per-term arithmetic — tf, dl, df, idf, the term's contribution —
+    plus the doc's total, so a relevance engineer can see WHY a hit
+    ranked where it did.
+
+    Same plan shape as :func:`with_bm25` (one scan + a 1-row
+    broadcast stats aggregate + TakeOrdered); the per-term
+    decomposition is a literal-folded array exploded AFTER the top-k
+    cut, so the explain costs k×|terms| extra rows, not a second
+    scan."""
+    terms = list(dict.fromkeys(analyze_term(query, tokenizer)))
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, term string, tf int, dl int, df long,"
+                " idf double, contribution double, bm25 double"
+        )
+    base = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__toks", tokenize(F.col(text_col), tokenizer)
+    ).withColumn("__dl", F.size("__toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum(F.array_contains("__toks", F.lit(t)).cast("int")).alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl") / F.col("__n")
+
+    def parts(i: int, t: str):
+        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+        dfreq = F.col(f"__df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("__n") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        contrib = F.when(
+            tf > 0,
+            idf * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)),
+        ).otherwise(F.lit(0.0))
+        return tf, dfreq, idf, contrib
+
+    contribs = [parts(i, t) for i, t in enumerate(terms)]
+    total = contribs[0][3]
+    for _, _, _, c in contribs[1:]:
+        total = total + c
+    arms = F.array(*[
+        F.struct(
+            F.lit(t).alias("term"),
+            tf.cast("int").alias("tf"),
+            dfreq.cast("long").alias("df"),
+            F.round(idf, 6).alias("idf"),
+            F.round(c, 6).alias("contribution"),
+        )
+        for t, (tf, dfreq, idf, c) in zip(terms, contribs)
+    ])
+    top = (
+        j.withColumn("__s", total)
+        .filter(F.col("__s") > 0)
+        .select(
+            F.col(id_col), F.col("__dl").cast("int").alias("dl"),
+            F.round("__s", 4).alias("bm25"), arms.alias("__arms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    e = top.select(
+        id_col, "dl", "bm25", F.explode("__arms").alias("x")
+    )
+    return e.select(
+        id_col,
+        F.col("x.term").alias("term"),
+        F.col("x.tf").alias("tf"),
+        "dl",
+        F.col("x.df").alias("df"),
+        F.col("x.idf").alias("idf"),
+        F.col("x.contribution").alias("contribution"),
+        "bm25",
+    )

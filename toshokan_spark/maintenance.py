@@ -593,3 +593,56 @@ def reindex(
         or (c == DYNAMIC_FIELD_NAME and dst_dynamic)
     ]
     return write_segment(catalog, dst_cfg, df.select(*keep))
+
+
+def rollover(
+    catalog: FsCatalog,
+    alias: str,
+    max_docs: "int | None" = None,
+    max_segments: "int | None" = None,
+) -> "tuple[bool, str, str]":
+    """ES rollover API (the write-path half of index lifecycle
+    management): when the index behind *alias* has grown past
+    ``max_docs`` live-manifest rows or ``max_segments`` segments,
+    create a fresh SAME-CONFIG index with the next ``-NNNNNN``
+    sequence suffix (the ES naming convention) and atomically
+    re-point the alias, so writers targeting the alias start filling
+    the new generation while every older generation stays queryable
+    (individually, or together via the ``<base>-*`` index-pattern
+    search). Returns (rolled, old_index, new_index).
+
+    Condition checks are MANIFEST reads (segment row counts — the
+    same commit-time stats every panel uses): no data scan, no Spark
+    session. The create + alias re-point are the existing atomic
+    catalog operations; a crash between them leaves a created-but-
+    unaliased index, which a rerun adopts (idempotent recovery, same
+    stance as the data-first/manifest-second ingest commit)."""
+    import re
+
+    from toshokan_spark.catalog import CatalogError
+
+    target = catalog.resolve(alias)
+    if target == alias and not catalog.index_exists(alias):
+        raise CatalogError(f"no such alias or index {alias!r}")
+    segs = catalog.segments(target)
+    n_docs = sum(s.num_rows for s in segs)
+    met = (max_docs is not None and n_docs >= max_docs) or (
+        max_segments is not None and len(segs) >= max_segments
+    )
+    if not met:
+        return False, target, target
+    m = re.match(r"^(.*)-(\d{6})$", target)
+    base, seq = (m.group(1), int(m.group(2))) if m else (target, 0)
+    new_name = f"{base}-{seq + 1:06d}"
+    cfg = catalog.get_index(target)
+    from dataclasses import replace
+
+    if not catalog.index_exists(new_name):
+        new_path = (
+            cfg.path.rstrip("/") + f"-rollover-{seq + 1:06d}"
+            if not m or not cfg.path.rstrip("/").endswith(target)
+            else cfg.path.rstrip("/")[: -len(target)] + new_name
+        )
+        catalog.create_index(replace(cfg, name=new_name, path=new_path))
+    catalog.set_alias(alias, new_name)
+    return True, target, new_name

@@ -2677,3 +2677,70 @@ def phrase_suggest(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(k)
     )
+
+
+def expand_index_pattern(catalog, pattern: str) -> "list[str]":
+    """ES index-pattern resolution: comma-separated names, aliases
+    and ``fnmatch`` globs (``logs-*``) against the catalog's live
+    indexes and aliases; exact names resolve through the alias hop.
+    Returns sorted unique index names; unknown EXACT names raise (a
+    glob matching nothing is legal and returns empty, the ES
+    behavior with allow_no_indices)."""
+    import fnmatch
+
+    names: set[str] = set()
+    live = catalog.list_indexes()
+    aliases = catalog.aliases()
+    for t in (x.strip() for x in pattern.split(",")):
+        if not t:
+            continue
+        if any(ch in t for ch in "*?["):
+            names.update(n for n in live if fnmatch.fnmatchcase(n, t))
+            names.update(
+                tgt for a, tgt in aliases.items()
+                if fnmatch.fnmatchcase(a, t)
+            )
+        else:
+            resolved = catalog.resolve(t)
+            if resolved not in live:
+                from toshokan_spark.catalog import CatalogError
+
+                raise CatalogError(f"no such index {t!r}")
+            names.add(resolved)
+    return sorted(names)
+
+
+def multi_search_df(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    pattern: str,
+    query: str,
+    limit: Optional[int] = None,
+    at_version: Optional[int] = None,
+) -> "tuple[DataFrame, list[str]]":
+    """ES multi-index search (``GET /logs-*,metrics/_search``): every
+    index matching *pattern* is searched with its OWN config — each
+    side keeps its private pruning, query compilation, delete masks
+    and day-partition cuts — and the hit frames union by column name
+    with missing columns null-filled, each row tagged ``_index``
+    (the ES response convention). Returns (frame, matched names).
+
+    Scale shape: the union is a plan-level concatenation (no shuffle
+    — Spark unions are free), so N indexes cost N pruned scans, and
+    a global ``limit`` becomes a LocalLimit under each scan plus one
+    final cut, exactly how ES fans a size-k search out to every
+    matched index and trims on the coordinator."""
+    names = expand_index_pattern(catalog, pattern)
+    out = None
+    for n in names:
+        df = search_df(
+            spark, catalog, n, query, limit=limit, at_version=at_version
+        ).withColumn("_index", F.lit(n))
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    if out is None:
+        return spark.createDataFrame([], "_index string"), names
+    if limit is not None:
+        out = out.limit(limit)
+    return out, names
