@@ -3889,6 +3889,20 @@ _FS_ORIGIN_US = 1705276800000000  # 2024-01-15T00:00:00Z in epoch micros
 _FS_TWO_SIGMA2 = 2.0 * (-(7.0 * 7.0) / (2.0 * math.log(0.5)))
 
 
+def q_search_span_near(spark, sf_dir):
+    """ES/Lucene span_near, unordered (operators/relevance.py::
+    span_near): documents where 'slow' and 'query' occur within 2
+    intervening tokens in EITHER order — the case an (ordered)
+    sloppy phrase cannot express — plus the minimum gap over all
+    occurrence pairs. One staged-HOF codegen scan; the pair probe
+    runs over the tiny per-term positions arrays."""
+    from toshokan_spark.operators.relevance import span_near
+
+    docs = _t(spark, sf_dir, "documents")
+    out = span_near(docs, "text", "slow", "query", slop=2, in_order=False)
+    return out.select("doc_id", "span_gap")
+
+
 def q_search_explain_score(spark, sf_dir):
     """ES _explain API for the BM25 ranking (functions/bm25.py::
     bm25_explain): the top-3 hits for 'spark table' decomposed into
@@ -4134,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/rotation.py priority order; P0b not fitting wait
         # behind their older record + the local sweep, then P1
         # changed-since-seal, then P2 proven-unchanged).
+        "search_span_near": q_search_span_near,
         "search_explain_score": q_search_explain_score,
         "text_char_entropy": q_text_char_entropy,
         "search_phrase_suggest": q_search_phrase_suggest,
@@ -9077,6 +9092,30 @@ def oracle_sql() -> dict[str, str]:
           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
               AS t_stat
         FROM s
+    """
+    # search_span_near: min intervening gap over occurrence pairs
+    # (integers — min is fold-order-free)
+    d["search_span_near"] = """
+        WITH b AS (
+          SELECT doc_id,
+            list_transform(
+              list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                          w -> w <> '' AND strlen(w) <= 40),
+              w -> lower(w)) AS toks
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            list_filter(range(1, len(toks) + 1),
+                        i -> toks[i] = 'slow') AS pa,
+            list_filter(range(1, len(toks) + 1),
+                        i -> toks[i] = 'query') AS pb
+          FROM b),
+        g AS (
+          SELECT doc_id,
+            list_min(flatten(list_transform(pa,
+              x -> list_transform(pb, y -> abs(x - y) - 1))))::INT AS span_gap
+          FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+        SELECT doc_id, span_gap FROM g WHERE span_gap <= 2
     """
     # search_explain_score: the BM25 CTE's arms re-emitted per term
     # for the top-3 hits (ES _explain)

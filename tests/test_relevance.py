@@ -200,3 +200,35 @@ def test_mmr_diversifies_vs_pure_relevance(spark):
         assert r.mmr == pytest.approx(r.relevance, abs=2e-6)
     # k > pool truncates to the pool
     assert mmr_rerank(emb, 0, k=10, pool=2).count() == 2
+
+
+def test_span_near_ordered_and_unordered(spark):
+    """span_near: slop counts INTERVENING tokens; unordered accepts
+    either direction, ordered only a-then-b; span_gap is the minimum
+    over all occurrence pairs."""
+    from toshokan_spark.operators.relevance import span_near
+
+    rows = [
+        (1, "alpha x beta"),          # gap 1, a before b
+        (2, "beta alpha"),            # gap 0, b before a
+        (3, "alpha x y z beta"),      # gap 3
+        (4, "alpha only here"),       # no beta
+        (5, "beta z alpha q beta"),   # pairs: gaps 1 and 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    un = {r.doc_id: r.span_gap for r in span_near(
+        df, "text", "alpha", "beta", slop=1).collect()}
+    assert un == {1: 1, 2: 0, 5: 1}
+    # ordered: doc 2 (b-then-a) drops; doc 5 keeps the a->b pair
+    o = {r.doc_id: r.span_gap for r in span_near(
+        df, "text", "alpha", "beta", slop=1, in_order=True).collect()}
+    assert o == {1: 1, 5: 1}
+    # widening the slop admits the distant pair
+    assert 3 in {r.doc_id for r in span_near(
+        df, "text", "alpha", "beta", slop=3).collect()}
+    # multi-token clauses are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        span_near(df, "text", "alpha beta", "x", slop=1)

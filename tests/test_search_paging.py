@@ -123,3 +123,46 @@ def test_highlight_marks_prefix_and_skips_negated(spark):
     # the negated term is never marked
     assert out == ("<em>Sparkly</em> <em>spark</em> <em>sparks</em> "
                    "NOSPARK dull")
+
+
+def test_sliced_scroll_partitions_exactly(spark, tmp_path, capsys):
+    """--slice I:M: the M slices are disjoint, their union is the
+    full hit set, and re-running a slice is stable (hash-determined,
+    no randomness)."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    cfg = {"name": "sl", "path": str(tmp_path / "d"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    rows = [{"id": i, "sev": "INFO" if i % 2 else "DEBUG"}
+            for i in range(40)]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "sl",
+                     str(tmp_path / "r.jsonl")]) == 0
+    capsys.readouterr()
+
+    def ids(slice_spec):
+        assert cli.main(["--catalog", cat, "search", "sl", "sev:INFO",
+                         "--slice", slice_spec, "--limit", "100"]) == 0
+        return sorted(
+            _json.loads(l)["id"]
+            for l in capsys.readouterr().out.strip().splitlines() if l)
+
+    s0, s1, s2 = ids("0:3"), ids("1:3"), ids("2:3")
+    allids = sorted(s0 + s1 + s2)
+    assert allids == [i for i in range(40) if i % 2]  # the INFO half
+    assert not (set(s0) & set(s1)) and not (set(s1) & set(s2))
+    assert ids("0:3") == s0  # stable
+    # bad specs fail fast
+    assert cli.main(["--catalog", cat, "search", "sl", "*",
+                     "--slice", "3:3"]) == 2
+    assert cli.main(["--catalog", cat, "search", "sl", "*",
+                     "--slice", "x:y"]) == 2

@@ -291,6 +291,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="two-sample Kolmogorov-Smirnov D between the "
                          "field-F distributions of queries QA and QB on a "
                          "shared width-W grid (one conditional scan)")
+    ps.add_argument("--slice", default=None, metavar="I:M",
+                    help="ES sliced scroll: return slice I of M by the "
+                         "doc-id hash — M workers with distinct I values "
+                         "partition the hit set exactly (parallel export)")
     ps.add_argument("--explain-top", type=int, default=None, metavar="K",
                     help="with --score-field: instead of hits, print the "
                          "ES _explain breakdown of the top K BM25 hits — "
@@ -1336,6 +1340,39 @@ def main(argv: list[str] | None = None) -> int:
                 SF.col(name).desc() if order == "desc" else SF.col(name).asc()
             ]
         fields = a.fields.split(",") if a.fields else None
+        if a.slice:
+            # ES sliced scroll: slice i of m by the doc-id hash — m
+            # workers each run `--slice i:m --limit 0...` and the
+            # slices partition the hit set exactly (the parallel
+            # export path; ES slices a PIT the same way)
+            si, _, sm = a.slice.partition(":")
+            try:
+                si, sm = int(si), int(sm)
+            except ValueError:
+                si, sm = -1, 0
+            if not (sm >= 2 and 0 <= si < sm):
+                print("error: --slice wants I:M with 0 <= I < M, M >= 2",
+                      file=sys.stderr)
+                return 2
+            from pyspark.sql import functions as SF
+
+            from toshokan_spark.search import prettify_doc, search_df
+
+            config = catalog.get_index(a.index)
+            id_field = config.fields[0].name
+            df = search_df(spark, catalog, a.index, a.query, limit=None,
+                           at_version=a.at_version)
+            df = df.filter(
+                SF.pmod(SF.xxhash64(SF.col(id_field)), SF.lit(sm))
+                == SF.lit(si)
+            )
+            if sort_by:
+                df = df.orderBy(*sort_by)
+            if a.limit is not None:
+                df = df.limit(a.limit)
+            for r in df.collect():
+                print(prettify_doc(r.asDict(recursive=True), config))
+            return 0
         for line in search(spark, catalog, a.index, a.query, limit=a.limit,
                            at_version=a.at_version, sort_by=sort_by,
                            fields=fields):

@@ -310,3 +310,78 @@ def terms_set_match(
         docs.select(F.col(id_col), n_matched.alias("n_matched"))
         .filter(F.col("n_matched") >= F.lit(min_match))
     )
+
+
+def span_near(
+    docs: DataFrame,
+    text_col: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 0,
+    in_order: bool = False,
+    tokenizer: str = "default",
+) -> DataFrame:
+    """ES/Lucene ``span_near`` for a two-clause span: documents where
+    *term_a* and *term_b* occur within *slop* intervening token
+    positions — ``in_order=False`` accepts either order (the case a
+    sloppy PHRASE cannot express: our phrase slop, like the
+    reference's, is ordered). Terms are analyzed with the field's
+    tokenizer. Returns the matching rows plus ``span_gap``, the
+    MINIMUM intervening-token count over all occurrence pairs.
+
+    One narrow scan in whole-stage codegen: token and position
+    arrays are STAGED as real columns (the HOF-staging rule — an
+    inlined tokenize expression would re-split the document per
+    probed position), and the pair probe is exists×exists over the
+    two positions arrays (occurrences-per-term-sized, tiny)."""
+    from toshokan_spark.functions.tokenizers import analyze_term, tokenize
+
+    ta = analyze_term(term_a, tokenizer)
+    tb = analyze_term(term_b, tokenizer)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("span_near wants single-token clauses")
+    wa, wb = ta[0], tb[0]
+    cols = docs.columns
+    staged = docs.withColumn(
+        "__toks", tokenize(F.col(text_col), tokenizer)
+    ).withColumn("__n", F.size("__toks"))
+    t_col, n_col = F.col("__toks"), F.col("__n")
+    idx = F.when(
+        n_col >= F.lit(1), F.sequence(F.lit(1), n_col)
+    ).otherwise(F.array().cast("array<int>"))
+    staged = staged.withColumn(
+        "__pa",
+        F.filter(idx, lambda i: F.element_at(t_col, i) == F.lit(wa)),
+    ).withColumn(
+        "__pb",
+        F.filter(idx, lambda i: F.element_at(t_col, i) == F.lit(wb)),
+    )
+    pa, pb = F.col("__pa"), F.col("__pb")
+    big = F.lit(1 << 30)
+    if in_order:
+        # only a-then-b pairs are valid; reversed pairs contribute
+        # neither to the match nor to the reported minimum gap
+        gap_of = lambda x, y: F.when(  # noqa: E731
+            y > x, y - x - F.lit(1)
+        ).otherwise(big)
+        ok = lambda x, y: (y > x) & (y - x - F.lit(1) <= F.lit(slop))  # noqa: E731
+    else:
+        gap_of = lambda x, y: F.abs(x - y) - F.lit(1)  # noqa: E731
+        ok = lambda x, y: F.abs(x - y) - F.lit(1) <= F.lit(slop)  # noqa: E731
+    hit = F.exists(pa, lambda x: F.exists(pb, lambda y: ok(x, y)))
+    # minimum intervening gap over the (tiny) occurrence-pair cross:
+    # fold over pa of the per-x minimum over pb
+    min_gap = F.aggregate(
+        pa,
+        big,
+        lambda acc, x: F.least(
+            acc,
+            F.aggregate(
+                pb, big, lambda a2, y: F.least(a2, gap_of(x, y))
+            ),
+        ),
+    )
+    return (
+        staged.filter(hit)
+        .select(*cols, min_gap.cast("int").alias("span_gap"))
+    )
