@@ -356,6 +356,15 @@ def span_near(
         "__pb",
         F.filter(idx, lambda i: F.element_at(t_col, i) == F.lit(wb)),
     )
+    # optimizer barrier: the match filter below must NOT push through
+    # these projections — PushPredicateThroughNonJoin substitutes the
+    # staged aliases back into the condition, and an inlined __pb
+    # re-tokenizes the document for EVERY probed __pa element
+    # (measured 15.8 s -> ~1 s at sf0.1). A nondeterministic field in
+    # the projection blocks both the pushdown and CollapseProject,
+    # keeping __pa/__pb bound attributes; it is dropped before
+    # returning.
+    staged = staged.withColumn("__nd", F.monotonically_increasing_id())
     pa, pb = F.col("__pa"), F.col("__pb")
     big = F.lit(1 << 30)
     if in_order:
