@@ -135,6 +135,14 @@ FLOORS = {
     "search_string_stats": 0.6,
     "search_cumulative_cardinality": 0.6,
     "text_char_entropy": 0.6,
+    # round-14: span_near rebuilt as a single linear aggregate fold
+    # over the token array (sf0.01 warm best-of-3: 0.55; sf0.1:
+    # 0.7-1.1 s vs 18-23 s for the r13 staged-positions plan, whose
+    # filter Catalyst pushed through the staging projections,
+    # inlining the tokenizer per probed position — O(positions x
+    # tokens) per row). This floor plus the plan pin in
+    # test_plan_audit.py guards against that shape returning.
+    "search_span_near": 0.7,
 }
 MULTIPLIER = 2.5
 RUNS = 3

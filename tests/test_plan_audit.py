@@ -1500,3 +1500,26 @@ def test_phrase_suggest_counts_stay_distributed(spark, sf_dir):
     assert "CartesianProduct" not in phys
     assert "BroadcastHashJoin" in phys
     assert "TakeOrderedAndProject" in phys
+
+
+def test_span_near_plan_is_linear(spark, sf_dir):
+    """span_near (r14 rebuild): the executed plan must contain the
+    single-pass aggregate fold, NOT the r13 staged-positions shape
+    whose pushed filter re-tokenized the document per probed
+    position. Pins: zero `element_at` probes (the quadratic marker)
+    and a bounded tokenize count — the fold tokenizes once per
+    expression evaluation (filter + project), never per position."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_span_near"](spark, sf_dir)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "element_at(" not in phys, "positional re-probe is back"
+    n_split = phys.count("split(")
+    assert 1 <= n_split <= 4, (
+        f"tokenize appears {n_split}x — expected a constant count "
+        "(one per expression evaluation), not one per position"
+    )
+    assert "CartesianProduct" not in phys
+    assert phys.count("Exchange") == 0, "span_near must be shuffle-free"

@@ -232,3 +232,26 @@ def test_span_near_ordered_and_unordered(spark):
 
     with _pytest.raises(ValueError):
         span_near(df, "text", "alpha beta", "x", slop=1)
+
+
+def test_span_near_same_term_needs_two_spans(spark):
+    """Lucene SpanNearQuery parity (ADVICE r13): with term_a ==
+    term_b, a clause pair needs TWO distinct, non-overlapping
+    occurrences — one occurrence must not match itself in unordered
+    mode. The fold computes each gap against the PREVIOUS occurrence
+    before updating state, so self-pairs never form."""
+    from toshokan_spark.operators.relevance import span_near
+
+    rows = [
+        (1, "x alone here"),     # single occurrence: no match
+        (2, "x y x"),            # two occurrences, gap 1
+        (3, "q x x r"),          # adjacent pair, gap 0
+        (4, "no hits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    un = {r.doc_id: r.span_gap for r in span_near(
+        df, "text", "x", "x", slop=1).collect()}
+    assert un == {2: 1, 3: 0}
+    o = {r.doc_id: r.span_gap for r in span_near(
+        df, "text", "x", "x", slop=1, in_order=True).collect()}
+    assert o == {2: 1, 3: 0}

@@ -329,11 +329,25 @@ def span_near(
     tokenizer. Returns the matching rows plus ``span_gap``, the
     MINIMUM intervening-token count over all occurrence pairs.
 
-    One narrow scan in whole-stage codegen: token and position
-    arrays are STAGED as real columns (the HOF-staging rule — an
-    inlined tokenize expression would re-split the document per
-    probed position), and the pair probe is exists×exists over the
-    two positions arrays (occurrences-per-term-sized, tiny)."""
+    One narrow scan, O(tokens) per document: a single ``aggregate``
+    fold walks the token array once carrying (position, last-seen
+    position of each term, running minimum gap) — the classic
+    min-distance scan. The minimal pair always involves the LAST
+    occurrence of the other term before the current one, so the fold
+    finds the exact pairwise minimum without materializing position
+    arrays or probing pairs. This shape is robust to Catalyst's
+    predicate-pushdown substitution: even fully inlined into the
+    source filter, each evaluation is one linear pass (the earlier
+    staged-positions variant degraded to O(positions x tokens)
+    re-tokenization when the optimizer substituted the staging
+    aliases through — see tests/test_plan_audit.py, which pins the
+    tokenize count in the executed plan).
+
+    Lucene ``SpanNearQuery`` parity: two clauses must be distinct,
+    non-overlapping spans, so with ``term_a == term_b`` a document
+    needs TWO occurrences — the fold computes each gap against the
+    PREVIOUS occurrence before updating state, which excludes
+    self-matches in both modes."""
     from toshokan_spark.functions.tokenizers import analyze_term, tokenize
 
     ta = analyze_term(term_a, tokenizer)
@@ -342,55 +356,42 @@ def span_near(
         raise ValueError("span_near wants single-token clauses")
     wa, wb = ta[0], tb[0]
     cols = docs.columns
-    staged = docs.withColumn(
-        "__toks", tokenize(F.col(text_col), tokenizer)
-    ).withColumn("__n", F.size("__toks"))
-    t_col, n_col = F.col("__toks"), F.col("__n")
-    idx = F.when(
-        n_col >= F.lit(1), F.sequence(F.lit(1), n_col)
-    ).otherwise(F.array().cast("array<int>"))
-    staged = staged.withColumn(
-        "__pa",
-        F.filter(idx, lambda i: F.element_at(t_col, i) == F.lit(wa)),
-    ).withColumn(
-        "__pb",
-        F.filter(idx, lambda i: F.element_at(t_col, i) == F.lit(wb)),
-    )
-    # optimizer barrier: the match filter below must NOT push through
-    # these projections — PushPredicateThroughNonJoin substitutes the
-    # staged aliases back into the condition, and an inlined __pb
-    # re-tokenizes the document for EVERY probed __pa element
-    # (measured 15.8 s -> ~1 s at sf0.1). A nondeterministic field in
-    # the projection blocks both the pushdown and CollapseProject,
-    # keeping __pa/__pb bound attributes; it is dropped before
-    # returning.
-    staged = staged.withColumn("__nd", F.monotonically_increasing_id())
-    pa, pb = F.col("__pa"), F.col("__pb")
-    big = F.lit(1 << 30)
-    if in_order:
-        # only a-then-b pairs are valid; reversed pairs contribute
-        # neither to the match nor to the reported minimum gap
-        gap_of = lambda x, y: F.when(  # noqa: E731
-            y > x, y - x - F.lit(1)
+    big = F.lit(1 << 30).cast("long")
+    neg = F.lit(-1).cast("long")
+
+    def _step(acc, tok):
+        i = acc["i"] + F.lit(1).cast("long")  # 1-based position of tok
+        is_a, is_b = tok == F.lit(wa), tok == F.lit(wb)
+        # gaps against the PREVIOUS state (pre-update), so a token
+        # never pairs with itself when term_a == term_b
+        gap_ab = F.when(
+            is_b & (acc["la"] >= F.lit(0)), i - acc["la"] - F.lit(1)
         ).otherwise(big)
-        ok = lambda x, y: (y > x) & (y - x - F.lit(1) <= F.lit(slop))  # noqa: E731
-    else:
-        gap_of = lambda x, y: F.abs(x - y) - F.lit(1)  # noqa: E731
-        ok = lambda x, y: F.abs(x - y) - F.lit(1) <= F.lit(slop)  # noqa: E731
-    hit = F.exists(pa, lambda x: F.exists(pb, lambda y: ok(x, y)))
-    # minimum intervening gap over the (tiny) occurrence-pair cross:
-    # fold over pa of the per-x minimum over pb
+        if in_order:
+            g = F.least(acc["g"], gap_ab)
+        else:
+            gap_ba = F.when(
+                is_a & (acc["lb"] >= F.lit(0)), i - acc["lb"] - F.lit(1)
+            ).otherwise(big)
+            g = F.least(acc["g"], gap_ab, gap_ba)
+        return F.struct(
+            i.alias("i"),
+            F.when(is_a, i).otherwise(acc["la"]).alias("la"),
+            F.when(is_b, i).otherwise(acc["lb"]).alias("lb"),
+            g.alias("g"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        neg.alias("la"),
+        neg.alias("lb"),
+        big.alias("g"),
+    )
     min_gap = F.aggregate(
-        pa,
-        big,
-        lambda acc, x: F.least(
-            acc,
-            F.aggregate(
-                pb, big, lambda a2, y: F.least(a2, gap_of(x, y))
-            ),
-        ),
+        tokenize(F.col(text_col), tokenizer), init, _step, lambda a: a["g"]
     )
     return (
-        staged.filter(hit)
-        .select(*cols, min_gap.cast("int").alias("span_gap"))
+        docs.withColumn("span_gap", min_gap)
+        .filter(F.col("span_gap") <= F.lit(slop))
+        .select(*cols, F.col("span_gap").cast("int").alias("span_gap"))
     )
