@@ -4141,63 +4141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r13 WINDOW (first 50): the never-driver-proven (P0)
-        # r13 additions first (knn_pq_rerank, hard_negatives,
-        # domain_pagerank, audience_overlap, search_collapse), then
-        # the P0b entries with the OLDEST latest driver record
-        # (tools/rotation.py priority order; P0b not fitting wait
-        # behind their older record + the local sweep, then P1
-        # changed-since-seal, then P2 proven-unchanged).
-        "search_span_near": q_search_span_near,
-        "search_explain_score": q_search_explain_score,
-        "text_char_entropy": q_text_char_entropy,
-        "search_phrase_suggest": q_search_phrase_suggest,
-        "search_cumulative_cardinality": q_search_cumulative_cardinality,
-        "search_ks_test": q_search_ks_test,
-        "search_ip_range": q_search_ip_range,
-        "mmr_rerank": q_mmr_rerank,
-        "knn_filtered": q_knn_filtered,
-        "search_categorize_text": q_search_categorize_text,
-        "search_boxplot": q_search_boxplot,
-        "search_string_stats": q_search_string_stats,
-        "search_t_test": q_search_t_test,
-        "search_diversified_sampler": q_search_diversified_sampler,
-        "search_more_like_this": q_search_more_like_this,
-        "search_multi_match": q_search_multi_match,
-        "search_dis_max": q_search_dis_max,
-        "search_function_score": q_search_function_score,
-        "search_terms_set": q_search_terms_set,
-        "search_wildcard": q_search_wildcard,
-        "knn_pq_rerank": q_knn_pq_rerank,
-        "hard_negatives": q_hard_negatives,
-        "domain_pagerank": q_domain_pagerank,
-        "audience_overlap": q_audience_overlap,
-        "search_collapse": q_search_collapse,
-        "matryoshka_recall": q_matryoshka_recall,
-        "terms_error_bounds": q_terms_error_bounds,
-        "rank_eval": q_rank_eval,
-        "search_suggest": q_search_suggest,
-        "search_regex": q_search_regex,
-        "search_percolate": q_search_percolate,
-        "search_spell_correct": q_search_spell_correct,
-        "search_sibling_aggs": q_search_sibling_aggs,
-        "embedding_stats": q_embedding_stats,
-        "event_conversions": q_event_conversions,
-        "funnel_stages": q_funnel_stages,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "ingest_roundtrip": q_ingest_roundtrip,
-        "json_path_filter": q_json_path_filter,
-        "kcenter_select": q_kcenter_select,
-        "knn_graph": q_knn_graph,
-        "knn_quantized": q_knn_quantized,
-        "leakage_safe_split": q_leakage_safe_split,
-        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
-        "multimodal_dedup": q_multimodal_dedup,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "priority_counts": q_priority_counts,
+        # -- r14 WINDOW (first 50): zero never-proven (P0) entries
+        # this round; the window is the 50 STALEST P0b entries —
+        # rotated out of the latest driver record, oldest latest-
+        # record round first (r8-r9 vintage; VERDICT r13 directive
+        # 2). P0b that do not fit wait behind their older record +
+        # the full local sweep, then P1 changed-since-seal (the
+        # span_near rebuild + relevance-family index wiring), then
+        # P2 proven-unchanged.
         "q1_pricing": q_q1_pricing,
         "q3_top_revenue": q_q3_top_revenue,
         "q5_region_revenue": q_q5_region_revenue,
@@ -4226,8 +4177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cube_source_lang": q_cube_source_lang,
         "curriculum_order": q_curriculum_order,
-        # ---- window boundary (entries below keep their latest
-        # driver record / local-sweep evidence) ----
         "dsir_select": q_dsir_select,
         "embedding_covariance": q_embedding_covariance,
         "epoch_expand": q_epoch_expand,
@@ -4250,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": q_quality_ensemble,
         "quantize_embeddings": q_quantize_embeddings,
         "repeat_plan": q_repeat_plan,
+        # ---- window boundary (driver records the 50 above) ----
         "script_profile": q_script_profile,
         "search_cardinality": q_search_cardinality,
         "search_date_histogram": q_search_date_histogram,
@@ -4325,8 +4275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_mixture": q_apply_mixture,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "brand_revenue": q_brand_revenue,
         "ccnet_select": q_ccnet_select,
         "chunk_documents": q_chunk_documents,
+        "cohort_retention": q_cohort_retention,
         "decontaminate": q_decontaminate,
         "dedup_crosscheck": q_dedup_crosscheck,
         "dedup_incremental_url": q_dedup_incremental_url,
@@ -4340,14 +4292,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
+        "q11_important_stock": q_q11_important_stock,
+        "q16_part_supplier_relation": q_q16_part_supplier_relation,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "rollup_revenue": q_rollup_revenue,
         "sample_documents": q_sample_documents,
         "search_after": q_search_after,
+        "search_bool": q_search_bool,
         "search_bucket_script": q_search_bucket_script,
         "search_bucket_selector": q_search_bucket_selector,
         "search_bucket_sort": q_search_bucket_sort,
+        "search_dt_range": q_search_dt_range,
         "search_highlight": q_search_highlight,
         "search_histogram_filled": q_search_histogram_filled,
+        "search_range": q_search_range,
         "search_serial_diff": q_search_serial_diff,
+        "search_term": q_search_term,
+        "search_topk": q_search_topk,
         "source_mixture": q_source_mixture,
         "source_token_profile": q_source_token_profile,
         "text_fingerprint": q_text_fingerprint,
@@ -4357,21 +4320,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_classifier": q_train_quality_classifier,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
-        "weighted_sample": q_weighted_sample,
-        "brand_revenue": q_brand_revenue,
-        "cohort_retention": q_cohort_retention,
-        "q11_important_stock": q_q11_important_stock,
-        "q16_part_supplier_relation": q_q16_part_supplier_relation,
-        "q20_potential_promotion": q_q20_potential_promotion,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q9_product_type_profit": q_q9_product_type_profit,
-        "rollup_revenue": q_rollup_revenue,
-        "search_bool": q_search_bool,
-        "search_dt_range": q_search_dt_range,
-        "search_range": q_search_range,
-        "search_term": q_search_term,
-        "search_topk": q_search_topk,
         "user_sessions": q_user_sessions,
+        "weighted_sample": q_weighted_sample,
+        "search_span_near": q_search_span_near,
+        "search_more_like_this": q_search_more_like_this,
+        "search_multi_match": q_search_multi_match,
+        "search_dis_max": q_search_dis_max,
+        "search_function_score": q_search_function_score,
+        "search_terms_set": q_search_terms_set,
+        "knn_quantized": q_knn_quantized,
+        "search_explain_score": q_search_explain_score,
+        "text_char_entropy": q_text_char_entropy,
+        "search_phrase_suggest": q_search_phrase_suggest,
+        "search_cumulative_cardinality": q_search_cumulative_cardinality,
+        "search_ks_test": q_search_ks_test,
+        "search_ip_range": q_search_ip_range,
+        "mmr_rerank": q_mmr_rerank,
+        "knn_filtered": q_knn_filtered,
+        "search_categorize_text": q_search_categorize_text,
+        "search_boxplot": q_search_boxplot,
+        "search_string_stats": q_search_string_stats,
+        "search_t_test": q_search_t_test,
+        "search_diversified_sampler": q_search_diversified_sampler,
+        "search_wildcard": q_search_wildcard,
+        "knn_pq_rerank": q_knn_pq_rerank,
+        "hard_negatives": q_hard_negatives,
+        "domain_pagerank": q_domain_pagerank,
+        "audience_overlap": q_audience_overlap,
+        "search_collapse": q_search_collapse,
+        "matryoshka_recall": q_matryoshka_recall,
+        "terms_error_bounds": q_terms_error_bounds,
+        "rank_eval": q_rank_eval,
+        "search_suggest": q_search_suggest,
+        "search_regex": q_search_regex,
+        "search_percolate": q_search_percolate,
+        "search_spell_correct": q_search_spell_correct,
+        "search_sibling_aggs": q_search_sibling_aggs,
+        "embedding_stats": q_embedding_stats,
+        "event_conversions": q_event_conversions,
+        "funnel_stages": q_funnel_stages,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "ingest_roundtrip": q_ingest_roundtrip,
+        "json_path_filter": q_json_path_filter,
+        "kcenter_select": q_kcenter_select,
+        "knn_graph": q_knn_graph,
+        "leakage_safe_split": q_leakage_safe_split,
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "multimodal_dedup": q_multimodal_dedup,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "priority_counts": q_priority_counts,
     }
 
 
