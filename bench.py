@@ -46,6 +46,13 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 222 queries in one JVM: the ContextCleaner's reference-
+        # tracking queue (broadcasts, shuffles, cached blocks) drains
+        # lazily by default and its backlog taxes late queries; a
+        # periodic full GC bounds it (see BENCH_REMEASURE_r14.json —
+        # the r13 1.14x late-suite drift reverted in a fresh session
+        # with identical code).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1167,3 +1167,81 @@ def test_rollover_lifecycle(spark, tmp_path, capsys):
     assert cli.main(["--catalog", cat, "rollover", "logs",
                      "--max-docs", "1"]) == 0
     assert "logs-000002 -> logs-000003" in capsys.readouterr().out
+
+
+def test_rollover_bare_index_rejected_early(spark, tmp_path, capsys):
+    """Rolling over a bare INDEX name (not an alias) must fail
+    before creating anything: the new generation could never be
+    adopted (set_alias may not shadow an existing index name), so
+    the old behavior left an orphan -000002 index behind and every
+    rerun failed identically (ADVICE r13). ES likewise requires
+    rollover targets to be aliases."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import CatalogError, FsCatalog
+    from toshokan_spark.maintenance import rollover
+
+    cfg = {"name": "solo-000001",
+           "path": str(tmp_path / "d" / "solo-000001"),
+           "schema": {"fields": [{"name": "id", "type": "number"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i}) for i in range(3)) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "solo-000001",
+                     str(tmp_path / "r.jsonl")]) == 0
+    c = FsCatalog(cat)
+    with _pytest.raises(CatalogError, match="requires an alias"):
+        rollover(c, "solo-000001", max_docs=1)
+    # no orphan generation was created
+    assert "solo-000002" not in c.list_indexes()
+    # a truly unknown name still reports not-found, not the alias hint
+    with _pytest.raises(CatalogError, match="no such alias or index"):
+        rollover(c, "ghost", max_docs=1)
+
+
+def test_multi_index_pattern_rejects_panel_flags(spark, tmp_path, capsys):
+    """Index-pattern search returns plain hits only; combining a
+    pattern with a panel/score/sort/slice flag must ERROR instead of
+    silently printing hits as if the aggregation ran (ADVICE r13).
+    And per-index manifest versions make a shared --at-version
+    meaningless across 2+ indexes — that raises too."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from toshokan_spark import cli
+
+    cat = str(tmp_path / "cat")
+    for n in ("ml-a", "ml-b"):
+        cfg = {"name": n, "path": str(tmp_path / "d" / n),
+               "schema": {"fields": [{"name": "id", "type": "number"}]}}
+        p = tmp_path / f"{n}.json"
+        p.write_text(_json.dumps(cfg))
+        assert cli.main(["--catalog", cat, "create", str(p)]) == 0
+        r = tmp_path / f"{n}.jsonl"
+        r.write_text(_json.dumps({"id": 1}) + "\n")
+        assert cli.main(["--catalog", cat, "index", n, str(r)]) == 0
+    capsys.readouterr()
+    rc = cli.main(["--catalog", cat, "search", "ml-*", "*",
+                   "--facet-by", "id"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "plain hits only" in captured.err
+    assert "--facet-by" in captured.err
+
+    from toshokan_spark.catalog import FsCatalog
+    from toshokan_spark.search import multi_search_df
+
+    with _pytest.raises(ValueError, match="per-index version"):
+        multi_search_df(spark, FsCatalog(cat), "ml-*", "*", at_version=1)
+    # single-index pattern + at_version stays legal (version 2 is
+    # the post-ingest manifest; version 1 is the empty created state)
+    df, names = multi_search_df(
+        spark, FsCatalog(cat), "ml-a", "*", at_version=2)
+    assert names == ["ml-a"] and df.count() == 1

@@ -255,3 +255,32 @@ def test_span_near_same_term_needs_two_spans(spark):
     o = {r.doc_id: r.span_gap for r in span_near(
         df, "text", "x", "x", slop=1, in_order=True).collect()}
     assert o == {2: 1, 3: 0}
+
+
+def test_empty_query_frames_carry_caller_id_type(spark):
+    """bm25_explain's empty-query fallback and mmr_rerank's output
+    must derive the id column's type from the input frame — a
+    string-typed id corpus previously got a hardcoded long id in the
+    empty/grouped frame, breaking unions against populated results
+    (ADVICE r13)."""
+    from toshokan_spark.functions.bm25 import bm25_explain
+    from toshokan_spark.operators.similarity import mmr_rerank
+
+    docs = spark.createDataFrame(
+        [("d-1", "alpha beta"), ("d-2", "beta gamma")],
+        "doc_id string, text string",
+    )
+    empty = bm25_explain(docs, "???", k=2)  # analyzes to no terms
+    assert empty.count() == 0
+    assert empty.schema["doc_id"].dataType.simpleString() == "string"
+    populated = bm25_explain(docs, "alpha", k=2)
+    # the union the finding called out: schemas must line up
+    empty.unionByName(populated).collect()
+
+    emb = spark.createDataFrame(
+        [("v-0", [1.0, 0.0]), ("v-1", [0.9, 0.1]), ("v-2", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = mmr_rerank(emb, "v-0", k=2, pool=2)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert out.count() == 2

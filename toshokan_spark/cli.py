@@ -568,12 +568,17 @@ def main(argv: list[str] | None = None) -> int:
             print("error: rollover needs --max-docs and/or --max-segments",
                   file=sys.stderr)
             return 2
+        from toshokan_spark.catalog import CatalogError
         from toshokan_spark.maintenance import rollover
 
-        rolled, old, new = rollover(
-            catalog, a.alias, max_docs=a.max_docs,
-            max_segments=a.max_segments,
-        )
+        try:
+            rolled, old, new = rollover(
+                catalog, a.alias, max_docs=a.max_docs,
+                max_segments=a.max_segments,
+            )
+        except CatalogError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if rolled:
             print(f"rolled over {a.alias}: {old} -> {new}")
         else:
@@ -700,7 +705,58 @@ def main(argv: list[str] | None = None) -> int:
         "," in a.index or any(ch in a.index for ch in "*?[")
     ):
         # ES index-pattern search: logs-*,metrics — plain hits only
-        # (panels aggregate one schema; run them per index)
+        # (panels aggregate one schema; run them per index). Flags
+        # the pattern path cannot honor must ERROR, not silently
+        # print plain hits as if the aggregation ran (ADVICE r13).
+        _pattern_unsupported = [
+            flag for flag, val in (
+                ("--facet-by", a.facet_by),
+                ("--facet-value", a.facet_value),
+                ("--histogram-interval", a.histogram_interval),
+                ("--stats-field", a.stats_field),
+                ("--extended-stats-field", a.extended_stats_field),
+                ("--histogram-field", a.histogram_field),
+                ("--range-field", a.range_field),
+                ("--percentiles-field", a.percentiles_field),
+                ("--cardinality-by", a.cardinality_by),
+                ("--top-hits-per", a.top_hits_per),
+                ("--collapse-by", a.collapse_by),
+                ("--significant-terms", a.significant_terms),
+                ("--panel-facet", a.panel_facet),
+                ("--composite-by", a.composite_by),
+                ("--rare-terms", a.rare_terms),
+                ("--filters", a.filters),
+                ("--multi-terms", a.multi_terms),
+                ("--pipeline-interval", a.pipeline_interval),
+                ("--weighted-avg", a.weighted_avg),
+                ("--mad-field", a.mad_field),
+                ("--adjacency", a.adjacency),
+                ("--histogram-auto", a.histogram_auto),
+                ("--percentile-ranks", a.percentile_ranks),
+                ("--suggest-field", a.suggest_field),
+                ("--spell-field", a.spell_field),
+                ("--sibling-interval", a.sibling_interval),
+                ("--boxplot-field", a.boxplot_field),
+                ("--string-stats-field", a.string_stats_field),
+                ("--t-test", a.t_test),
+                ("--diversify-by", a.diversify_by),
+                ("--cumulative-cardinality", a.cumulative_cardinality),
+                ("--ks-test", a.ks_test),
+                ("--phrase-suggest-field", a.phrase_suggest_field),
+                ("--score-field", a.score_field),
+                ("--order-by", a.order_by),
+                ("--fields", a.fields),
+                ("--slice", a.slice),
+            ) if val
+        ]
+        if _pattern_unsupported:
+            print(
+                "error: index patterns return plain hits only; "
+                f"{', '.join(_pattern_unsupported)} aggregate one "
+                "schema — run them against a single index",
+                file=sys.stderr,
+            )
+            return 2
         from toshokan_spark.search import multi_search_df, prettify_doc
 
         spark = _spark()

@@ -254,10 +254,25 @@ def bm25_explain(
     scan."""
     terms = list(dict.fromkeys(analyze_term(query, tokenizer)))
     if not terms:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, term string, tf int, dl int, df long,"
-                " idf double, contribution double, bm25 double"
+        # the empty frame must carry the CALLER's id type (string ids
+        # are legal) or downstream unions against populated results
+        # schema-mismatch (ADVICE r13)
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, LongType, StringType, StructField,
+            StructType,
         )
+
+        schema = StructType([
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("term", StringType()),
+            StructField("tf", IntegerType()),
+            StructField("dl", IntegerType()),
+            StructField("df", LongType()),
+            StructField("idf", DoubleType()),
+            StructField("contribution", DoubleType()),
+            StructField("bm25", DoubleType()),
+        ])
+        return docs.sparkSession.createDataFrame([], schema)
     base = docs.select(F.col(id_col), F.col(text_col)).withColumn(
         "__toks", tokenize(F.col(text_col), tokenizer)
     ).withColumn("__dl", F.size("__toks"))

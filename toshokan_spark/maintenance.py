@@ -622,8 +622,21 @@ def rollover(
     from toshokan_spark.catalog import CatalogError
 
     target = catalog.resolve(alias)
-    if target == alias and not catalog.index_exists(alias):
-        raise CatalogError(f"no such alias or index {alias!r}")
+    if target == alias:
+        if not catalog.index_exists(alias):
+            raise CatalogError(f"no such alias or index {alias!r}")
+        # *alias* names a real index, not an alias. Rolling over a
+        # bare index can never complete: after the new -NNNNNN
+        # generation is created, set_alias would have to shadow the
+        # existing index name, which the catalog (correctly) rejects
+        # — leaving an orphan generation behind and failing the same
+        # way on every rerun. ES likewise requires rollover targets
+        # to be aliases (or data streams); fail BEFORE creating
+        # anything (ADVICE r13).
+        raise CatalogError(
+            f"rollover requires an alias, but {alias!r} is an index — "
+            f"create an alias pointing at it and roll that over"
+        )
     segs = catalog.segments(target)
     n_docs = sum(s.num_rows for s in segs)
     met = (max_docs is not None and n_docs >= max_docs) or (

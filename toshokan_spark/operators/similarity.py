@@ -2038,9 +2038,20 @@ def mmr_rerank(
             rows, columns=["vec_id", "rank", "relevance", "mmr"]
         )
 
+    # the output id column carries the CALLER's id type (string ids
+    # are legal), not a hardcoded long (ADVICE r13)
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("vec_id", emb.schema[id_col].dataType),
+        StructField("rank", IntegerType()),
+        StructField("relevance", DoubleType()),
+        StructField("mmr", DoubleType()),
+    ])
     out = pairs.groupBy(F.lit(0).alias("__g")).applyInPandas(
-        greedy,
-        schema="vec_id long, rank int, relevance double, mmr double",
+        greedy, schema=out_schema
     )
     return out.select(
         "vec_id", "rank", "relevance", F.round("mmr", 6).alias("mmr")

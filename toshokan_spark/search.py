@@ -2725,12 +2725,26 @@ def multi_search_df(
     with missing columns null-filled, each row tagged ``_index``
     (the ES response convention). Returns (frame, matched names).
 
+    ``at_version`` is a PER-INDEX manifest version, not a
+    catalog-global snapshot — each index's version counter advances
+    independently, so one V names different points in time on
+    different indexes, and raises for any matched index whose history
+    lacks V. Time travel therefore only composes with single-index
+    patterns; passing it with a pattern matching 2+ indexes raises
+    up front rather than silently mixing epochs (ADVICE r13).
+
     Scale shape: the union is a plan-level concatenation (no shuffle
     — Spark unions are free), so N indexes cost N pruned scans, and
     a global ``limit`` becomes a LocalLimit under each scan plus one
     final cut, exactly how ES fans a size-k search out to every
     matched index and trims on the coordinator."""
     names = expand_index_pattern(catalog, pattern)
+    if at_version is not None and len(names) > 1:
+        raise ValueError(
+            f"at_version={at_version} is a per-index version, but pattern "
+            f"{pattern!r} matched {len(names)} indexes ({names}); time "
+            "travel requires a single-index pattern"
+        )
     out = None
     for n in names:
         df = search_df(
