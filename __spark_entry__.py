@@ -3779,19 +3779,38 @@ def q_search_percolate(spark, sf_dir):
 
 
 def q_search_more_like_this(spark, sf_dir):
-    """ES/Lucene more_like_this (operators/relevance.py::
-    more_like_this — the reference exposes only tantivy's parser
-    surface, src/commands/search.rs:188, so this is a SURVEY §2.8
-    extension): seed doc 7's characteristic terms by seed-tf · BM25-idf
-    (tf≥2, df≥5, top 5, ties to the smaller term), then one BM25 pass
-    over those terms, seed excluded, top 10 by (score, id). The term
-    probes are model-sized (one document + a 1-row stats agg); the
-    scorer is the proven one-scan with_bm25 shape."""
+    """ES/Lucene more_like_this over the INDEX path (operators/
+    relevance.py::more_like_this — the reference exposes only
+    tantivy's parser surface, src/commands/search.rs:188, so this is
+    a SURVEY §2.8 extension): seed doc 7's characteristic terms by
+    seed-tf · BM25-idf (tf≥2, df≥5, top 5, ties to the smaller term),
+    then one BM25 pass over those terms, seed excluded, top 10 by
+    (score, id). BOTH statistics consumers — the term-selection df
+    probe and the scorer's N/Σdl/df — read the index's commit-time
+    per-segment stats parquets via merged_stats_provider (integer
+    sums, exact; the oracle recomputes from the raw corpus and must
+    hash-match), so at scale the per-query corpus work is one seed
+    fetch (id filter pushed to the scan) plus one scoring scan
+    (VERDICT r13 directive 5). Plan pinned by
+    tests/test_plan_audit.py::test_more_like_this_reads_manifest_stats."""
+    from toshokan_spark.functions.bm25 import merged_stats_provider
+    from toshokan_spark.indexer import stats_path
     from toshokan_spark.operators.relevance import more_like_this
+    from toshokan_spark.search import read_segments
+    from toshokan_spark.storage import join_path
 
-    docs = _t(spark, sf_dir, "documents")
+    catalog, config = _docs_bm25_index(spark, sf_dir)
+    segs = catalog.segments("docs_bm25")
+    provider = merged_stats_provider(
+        spark, [stats_path(config, s.file_name) for s in segs], "text"
+    )
+    docs = read_segments(
+        spark, [join_path(config.path, s.file_name) for s in segs],
+        partitioned=False,
+    )
     return more_like_this(
-        docs, 7, max_query_terms=5, min_term_freq=2, min_doc_freq=5, k=10
+        docs, 7, max_query_terms=5, min_term_freq=2, min_doc_freq=5,
+        k=10, stats_provider=provider,
     )
 
 

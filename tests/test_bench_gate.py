@@ -143,6 +143,10 @@ FLOORS = {
     # tokens) per row). This floor plus the plan pin in
     # test_plan_audit.py guards against that shape returning.
     "search_span_near": 0.7,
+    # percolator: width-4 standing-query projection, one scan
+    # (sf0.01 warm best-of-3: 0.35). The width-500 cliff guard lives
+    # in tests/test_cli_panels.py::test_percolate_500_standing_queries.
+    "search_percolate": 0.5,
 }
 MULTIPLIER = 2.5
 RUNS = 3

@@ -249,3 +249,72 @@ def test_phrase_suggest_flag_prefers_probable_sequence(panel_index, capsys):
     ])
     assert rows and rows[0]["phrase"] == "info info"
     assert all(isinstance(r["score"], float) for r in rows)
+
+
+def test_span_near_flag(spark, tmp_path_factory, capsys):
+    """--span-near F:A,B,SLOP[,ordered]: proximity filtering over the
+    hit set through the CLI, reusing the span_near operator (VERDICT
+    r13 directive 7 — the query-string surface stops at ordered
+    phrase slop; this exposes the unordered case). Output is one
+    line per hit with the minimum intervening gap."""
+    from toshokan_spark import cli
+
+    tmp = tmp_path_factory.mktemp("span_cli")
+    rows = [
+        {"id": 1, "body": "slow painful query"},
+        {"id": 2, "body": "query was slow"},
+        {"id": 3, "body": "slow parser but a very fast query engine"},
+        {"id": 4, "body": "nothing here"},
+    ]
+    (tmp / "d.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = {"name": "spans", "path": str(tmp / "data"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "body", "type": "text"}]}}
+    (tmp / "c.json").write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "spans",
+                     str(tmp / "d.jsonl")]) == 0
+
+    out = _run(capsys, ["--catalog", cat, "search", "spans", "*",
+                        "--span-near", "body:slow,query,2", "--limit", "10"])
+    got = {o["doc"]["id"]: o["span_gap"] for o in out}
+    # doc 1: gap 1 ordered; doc 2: reversed gap 1 (unordered accepts);
+    # doc 3: gap 5 exceeds slop; doc 4: no terms
+    assert got == {1: 1, 2: 1}
+
+    out = _run(capsys, ["--catalog", cat, "search", "spans", "*",
+                        "--span-near", "body:slow,query,2,ordered",
+                        "--limit", "10"])
+    assert {o["doc"]["id"] for o in out} == {1}
+
+    # the hit-set query composes: restrict to id>=2 first
+    out = _run(capsys, ["--catalog", cat, "search", "spans", "id:>=2",
+                        "--span-near", "body:slow,query,6", "--limit", "10"])
+    assert {o["doc"]["id"] for o in out} == {2, 3}
+
+    # malformed specs error cleanly
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "spans", "*",
+                     "--span-near", "body:slow,query"]) == 2
+    assert "wants F:A,B,SLOP" in capsys.readouterr().err
+    # an undeclared field routes to _dynamic (same rule as panels):
+    # no such key -> no matches, not an error
+    out = _run(capsys, ["--catalog", cat, "search", "spans", "*",
+                        "--span-near", "nope:slow,query,2",
+                        "--limit", "10"])
+    assert out == []
+
+
+def test_span_near_flag_routes_dynamic_fields(panel_index, capsys):
+    """--span-near on a field the schema never declared routes to the
+    _dynamic remainder map (the same SURVEY §2.4 rule the query
+    compiler and panels apply) instead of failing."""
+    rows = _run(capsys, ["--catalog", panel_index, "search", "panels", "*",
+                         "--span-near", "severity_text:info,info,0",
+                         "--limit", "10"])
+    # severity_text is a single token; same-term span needs two
+    # occurrences, so nothing matches — but the routing resolves
+    assert rows == []

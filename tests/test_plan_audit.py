@@ -1523,3 +1523,25 @@ def test_span_near_plan_is_linear(spark, sf_dir):
     )
     assert "CartesianProduct" not in phys
     assert phys.count("Exchange") == 0, "span_near must be shuffle-free"
+
+
+def test_more_like_this_reads_manifest_stats(spark, sf_dir):
+    """The more_like_this DRIVER ENTRY must take the manifest-stats
+    path (VERDICT r13 directive 5): the returned plan reads the
+    commit-time ``_stats`` parquets (fixed read schema) for N/Σdl/df
+    and runs exactly ONE corpus scan — the scoring pass. The seed
+    fetch and term-selection df probe are separate model-sized jobs
+    that also answer from the stats parquets (asserted indirectly:
+    were they corpus aggs, the oracle timing gate and this scan count
+    would both break)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_more_like_this"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_stats = plan.count("struct<field:string,term:string")
+    assert n_stats == 1, "entry did not read the stats parquets"
+    assert plan.count("FileScan") == 2, (
+        "expected exactly one data scan + one stats scan"
+    )

@@ -159,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
     # rank matches by BM25 of the query's term literals against FIELD
     # (the reference's relevance ordering, globally re-ranked)
     ps.add_argument("--score-field", default=None)
+    ps.add_argument("--span-near", default=None, metavar="F:A,B,SLOP[,ordered]",
+                    help="Lucene span_near proximity over the hit set: "
+                         "keep hits where terms A and B occur within SLOP "
+                         "intervening tokens of field F (either order "
+                         "unless ',ordered'); prints each hit with its "
+                         "minimum span_gap")
     ps.add_argument("--facet-by", default=None,
                     help="instead of hits, print top facet values of this "
                          "field over the hit set (terms aggregation)")
@@ -744,6 +750,7 @@ def main(argv: list[str] | None = None) -> int:
                 ("--ks-test", a.ks_test),
                 ("--phrase-suggest-field", a.phrase_suggest_field),
                 ("--score-field", a.score_field),
+                ("--span-near", a.span_near),
                 ("--order-by", a.order_by),
                 ("--fields", a.fields),
                 ("--slice", a.slice),
@@ -1314,6 +1321,69 @@ def main(argv: list[str] | None = None) -> int:
             for r in out.collect():
                 print(json.dumps(r.asDict(), sort_keys=True,
                                  separators=(",", ":"), default=str))
+            return 0
+        if a.span_near:
+            # --span-near F:A,B,SLOP[,ordered] — the hit set (a.query,
+            # '*' for the whole index) filtered by token proximity on
+            # field F, reusing operators/relevance.py::span_near (the
+            # linear min-distance fold; one narrow scan, shuffle-free)
+            from toshokan_spark.operators.relevance import span_near
+            from toshokan_spark.search import prettify_doc, search_df
+
+            field, _, spec = a.span_near.partition(":")
+            parts = [p.strip() for p in spec.split(",")]
+            if not field or len(parts) not in (3, 4) or (
+                len(parts) == 4 and parts[3] != "ordered"
+            ):
+                print("error: --span-near wants F:A,B,SLOP[,ordered]",
+                      file=sys.stderr)
+                return 2
+            try:
+                slop = int(parts[2])
+            except ValueError:
+                print("error: --span-near SLOP must be an integer",
+                      file=sys.stderr)
+                return 2
+            config = catalog.get_index(a.index)
+            fmap = {f.name: f for f in config.fields}
+            df = search_df(spark, catalog, a.index, a.query,
+                           limit=None, at_version=a.at_version)
+            span_col = field
+            if field in fmap:
+                tok = fmap[field].tokenizer or "default"
+            elif "_dynamic" in df.columns:
+                # unqualified -> _dynamic routing, the same rule the
+                # query compiler and panels apply (SURVEY §2.4):
+                # extract the JSON-rendered scalar to a staging
+                # column, analyzed with the default tokenizer
+                from pyspark.sql import functions as SF
+
+                tok = "default"
+                span_col = "__span_text"
+                df = df.withColumn(
+                    span_col,
+                    SF.get_json_object(
+                        SF.col("_dynamic").getItem(field), "$"
+                    ),
+                )
+            else:
+                print(f"error: no such field {field!r}", file=sys.stderr)
+                return 2
+            out = span_near(
+                df, span_col, parts[0], parts[1], slop=slop,
+                in_order=(len(parts) == 4), tokenizer=tok,
+            )
+            if span_col != field:
+                out = out.drop(span_col)
+            if a.limit:
+                out = out.limit(a.limit)
+            for r in out.collect():
+                d = r.asDict(recursive=True)
+                gap = d.pop("span_gap")
+                print(json.dumps(
+                    {"span_gap": gap,
+                     "doc": json.loads(prettify_doc(d, config))},
+                    sort_keys=True, separators=(",", ":")))
             return 0
         if a.score_field:
             from toshokan_spark.search import prettify_doc, scored_search_df

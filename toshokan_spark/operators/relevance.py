@@ -61,6 +61,7 @@ def mlt_select_terms(
     max_query_terms: int = 5,
     min_term_freq: int = 2,
     min_doc_freq: int = 5,
+    stats_provider=None,
 ) -> list[str]:
     """The seed document's ``max_query_terms`` most characteristic
     terms, Lucene-MLT style: candidates are the seed's analyzed terms
@@ -68,6 +69,13 @@ def mlt_select_terms(
     ranked by seed-tf · BM25-idf (rounded to 6 decimals — the
     cross-engine-stable comparison key), ties to the lexicographically
     smaller term.
+
+    ``stats_provider`` (the :func:`~toshokan_spark.functions.bm25.
+    merged_stats_provider` contract) sources N and per-candidate df
+    from the index's commit-time stats parquets instead of a corpus
+    aggregation — at index scale the df probe becomes a
+    metadata-sized read, and only the one seed document is fetched
+    from data files (its id filter pushes to the scan).
 
     Returns a plain list (model-sized: one document's vocabulary cut
     to a handful) so the scorer can fold the terms into the plan as
@@ -88,14 +96,19 @@ def mlt_select_terms(
     if not cands:
         return []
 
-    toks = tokenize(F.col(text_col), tokenizer)
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.array_contains(toks, F.lit(t)).cast("int")).alias(f"__df{i}")
-            for i, t in enumerate(cands)
-        ],
-    ).collect()[0]  # 1-row corpus-stats probe
+    if stats_provider is not None:
+        # metadata path: N and df come from the merged commit-time
+        # segment stats (same column contract as with_bm25's provider)
+        stats = stats_provider(cands).collect()[0]
+    else:
+        toks = tokenize(F.col(text_col), tokenizer)
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.array_contains(toks, F.lit(t)).cast("int")).alias(f"__df{i}")
+                for i, t in enumerate(cands)
+            ],
+        ).collect()[0]  # 1-row corpus-stats probe
     n = stats["__n"]
     scored = []
     for i, t in enumerate(cands):
@@ -118,15 +131,22 @@ def more_like_this(
     min_term_freq: int = 2,
     min_doc_freq: int = 5,
     k: int = 10,
+    stats_provider=None,
 ) -> DataFrame:
     """ES/Lucene ``more_like_this``: (id, mlt) for the top *k*
     documents most similar to the seed, scored by BM25 over the
     selected interesting terms, the seed itself excluded. Ranking is
     the repo-standard cross-engine total order (rounded score desc,
-    id asc)."""
+    id asc).
+
+    With ``stats_provider`` both statistics consumers — the
+    term-selection df probe and the BM25 scorer — answer from the
+    index's commit-time stats parquets, so the only corpus-sized
+    work left is the single scoring scan."""
     terms = mlt_select_terms(
         docs, seed_id, id_col, text_col, tokenizer,
         max_query_terms, min_term_freq, min_doc_freq,
+        stats_provider=stats_provider,
     )
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
     if not terms:
@@ -136,6 +156,7 @@ def more_like_this(
     scored = with_bm25(
         base, " ".join(terms), text_col=text_col,
         out_col="mlt", tokenizer=tokenizer,
+        stats_provider=stats_provider,
     )
     return (
         scored.filter(F.col("id") != F.lit(seed_id))
