@@ -4152,6 +4152,54 @@ def q_search_diversified_sampler(spark, sf_dir):
     )
 
 
+def q_search_rank_feature(spark, sf_dir):
+    """ES rank_feature query (operators/relevance.py::
+    rank_feature_score): BM25 for 'spark table' plus 2.0 x the
+    saturation x/(x+500) of n_chars — longer documents get a bounded
+    static boost, the ES rank-feature 'should' clause. One scan: the
+    feature function fuses into the BM25 codegen projection; top 10
+    by (rounded score desc, id)."""
+    from toshokan_spark.operators.relevance import rank_feature_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return rank_feature_score(
+        docs, "spark table", "n_chars", function="saturation",
+        pivot=500.0, boost=2.0, k=10,
+    )
+
+
+def q_search_distance_feature(spark, sf_dir):
+    """ES distance_feature query (relevance.py::
+    distance_feature_score): BM25 for 'query filter' plus
+    1.5·150/(150+|n_chars-800|) — full boost at length 800, half at
+    150 away (the recency/proximity primitive, numeric form). Same
+    one-scan fused-projection shape as rank_feature."""
+    from toshokan_spark.operators.relevance import distance_feature_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return distance_feature_score(
+        docs, "query filter", origin=800.0, distance_col="n_chars",
+        pivot=150.0, boost=1.5, k=10,
+    )
+
+
+def q_search_pinned(spark, sf_dir):
+    """ES pinned query (relevance.py::pinned_query): ids 42, 7, 3
+    rank first in LIST order regardless of organic match (curated
+    promotions), then the organic 'spark table' BM25 matches minus
+    the pinned set; pinned rows keep their organic score (0 for
+    non-matches) but owe their rank to the pin. One scoring scan;
+    the pin order folds in as a literal map."""
+    from toshokan_spark.operators.relevance import pinned_query
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pinned_query(docs, "spark table", [42, 7, 3], k=10)
+    return out.select(
+        "doc_id", "score", F.col("pinned").cast("int").alias("pinned")
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -4160,8 +4208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r14 WINDOW (first 50): zero never-proven (P0) entries
-        # this round; the window is the 50 STALEST P0b entries —
+        # -- r14 WINDOW (first 50): the three r14 additions are P0
+        # (never driver-proven) and lead; the rest of the window is
+        # the STALEST P0b entries —
+        "search_rank_feature": q_search_rank_feature,
+        "search_distance_feature": q_search_distance_feature,
+        "search_pinned": q_search_pinned,
+        # the 50 STALEST P0b entries follow —
         # rotated out of the latest driver record, oldest latest-
         # record round first (r8-r9 vintage; VERDICT r13 directive
         # 2). P0b that do not fit wait behind their older record +
@@ -4215,10 +4268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        # ---- window boundary (driver records the 50 above) ----
         "quality_ensemble": q_quality_ensemble,
         "quantize_embeddings": q_quantize_embeddings,
         "repeat_plan": q_repeat_plan,
-        # ---- window boundary (driver records the 50 above) ----
         "script_profile": q_script_profile,
         "search_cardinality": q_search_cardinality,
         "search_date_histogram": q_search_date_histogram,
@@ -9112,6 +9165,44 @@ def oracle_sql() -> dict[str, str]:
               AS t_stat
         FROM s
     """
+    # search_rank_feature: BM25('spark table') + 2.0 * saturation of
+    # n_chars at pivot 500 (x/(x+500)); matches keep >=1 term
+    d["search_rank_feature"] = f"""
+        WITH {_BM25_SPARK_TABLE_CTE}
+        SELECT l.doc_id,
+          round(l.bm25 + 2.0 * (greatest(d.n_chars::DOUBLE, 0.0)
+              / (greatest(d.n_chars::DOUBLE, 0.0) + 500.0)), 6) AS score
+        FROM lexsc l JOIN documents d USING (doc_id)
+        ORDER BY score DESC, l.doc_id ASC LIMIT 10
+    """
+    # search_distance_feature: BM25('query filter') +
+    # 1.5 * 150/(150 + |n_chars - 800|)
+    d["search_distance_feature"] = f"""
+        WITH {_bm25_field_cte("dfq", "text", ["query", "filter"], "s")}
+        SELECT q.doc_id,
+          round(q.s + CASE WHEN d.n_chars IS NOT NULL THEN
+              1.5 * 150.0 / (150.0 + abs(d.n_chars::DOUBLE - 800.0))
+            ELSE 0.0 END, 6) AS score
+        FROM dfqsc q JOIN documents d USING (doc_id)
+        ORDER BY score DESC, q.doc_id ASC LIMIT 10
+    """
+    # search_pinned: ids 42,7,3 first in list order (organic score
+    # kept, 0 for non-matches), then organic matches minus the pins
+    d["search_pinned"] = f"""
+        WITH {_BM25_SPARK_TABLE_CTE},
+        organic AS (
+          SELECT d.doc_id, round(coalesce(l.bm25, 0.0), 6) AS score
+          FROM documents d LEFT JOIN lexsc l USING (doc_id)),
+        p AS (
+          SELECT doc_id, score,
+            CASE doc_id WHEN 42 THEN 0 WHEN 7 THEN 1 WHEN 3 THEN 2
+              ELSE 3 END AS pin
+          FROM organic)
+        SELECT doc_id, score, (pin < 3)::INT AS pinned
+        FROM p WHERE pin < 3 OR score > 0
+        ORDER BY pin ASC, score DESC, doc_id ASC LIMIT 10
+    """
+
     # search_span_near: min intervening gap over occurrence pairs
     # (integers — min is fold-order-free)
     d["search_span_near"] = """

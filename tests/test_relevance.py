@@ -284,3 +284,58 @@ def test_empty_query_frames_carry_caller_id_type(spark):
     out = mmr_rerank(emb, "v-0", k=2, pool=2)
     assert out.schema["vec_id"].dataType.simpleString() == "string"
     assert out.count() == 2
+
+
+def test_rank_feature_functions_and_pinned_promotion(spark):
+    """rank_feature: saturation/log/sigmoid are monotone boosts added
+    to the BM25 score, negatives clamp to 0; distance_feature decays
+    symmetrically around the origin with nulls contributing zero;
+    pinned: listed ids rank first IN LIST ORDER even as organic
+    non-matches (score 0), organic matches follow, pinned never
+    duplicate."""
+    from toshokan_spark.operators.relevance import (
+        distance_feature_score,
+        pinned_query,
+        rank_feature_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 100), (2, "alpha beta", 900),
+         (3, "alpha", 900), (4, "nothing", 900), (5, "alpha", None)],
+        "doc_id long, text string, stars long",
+    )
+    sat = {r.doc_id: r.score for r in rank_feature_score(
+        docs, "alpha", "stars", pivot=100.0, k=10).collect()}
+    # same text => same bm25; doc 2's larger feature must outrank 1
+    assert sat[2] > sat[1]
+    # null feature clamps to 0 => no boost, but doc still matches
+    assert 5 in sat
+    assert set(sat) == {1, 2, 3, 5}  # doc 4 never matches
+    logs = {r.doc_id: r.score for r in rank_feature_score(
+        docs, "alpha", "stars", function="log",
+        scaling_factor=1.0, k=10).collect()}
+    assert logs[2] > logs[1]
+    sig = {r.doc_id: r.score for r in rank_feature_score(
+        docs, "alpha", "stars", function="sigmoid",
+        pivot=100.0, exponent=2.0, k=10).collect()}
+    assert sig[2] > sig[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rank_feature_score(docs, "alpha", "stars", function="nope")
+
+    dist = {r.doc_id: r.score for r in distance_feature_score(
+        docs, "alpha", origin=100.0, distance_col="stars",
+        pivot=50.0, k=10).collect()}
+    # doc 1 sits AT the origin: full boost; doc 2 is 800 away
+    assert dist[1] > dist[2]
+    assert 5 in dist  # null distance: zero boost, match kept
+
+    out = pinned_query(docs, "alpha", [4, 2], k=10).collect()
+    ids = [r.doc_id for r in out]
+    # 4 is an organic NON-match yet pins first with score 0
+    assert ids[:2] == [4, 2]
+    assert out[0].score == 0.0 and out[0].pinned
+    assert not out[2].pinned
+    # organic remainder excludes the pinned ids and keeps matches only
+    assert set(ids[2:]) == {1, 3, 5}

@@ -49,6 +49,9 @@ __all__ = [
     "linear_decay",
     "field_value_factor",
     "terms_set_match",
+    "rank_feature_score",
+    "distance_feature_score",
+    "pinned_query",
 ]
 
 
@@ -416,3 +419,176 @@ def span_near(
         .filter(F.col("span_gap") <= F.lit(slop))
         .select(*cols, F.col("span_gap").cast("int").alias("span_gap"))
     )
+
+
+def rank_feature_score(
+    docs: DataFrame,
+    query: str,
+    feature_col: str,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    k: int = 10,
+    stats_provider=None,
+) -> DataFrame:
+    """ES ``rank_feature`` query as a scoring ``should`` clause: the
+    BM25 text relevance plus ``boost`` times a monotone function of a
+    numeric feature field —
+
+    * ``saturation``: x / (x + pivot)   (ES default; pivot defaults
+      to the corpus MEAN of the feature, a deterministic stand-in for
+      ES's approximate geometric-mean default)
+    * ``log``:        log(scaling_factor + x)
+    * ``sigmoid``:    x^exp / (x^exp + pivot^exp)
+
+    Output: top-*k* ``(id_col, score)`` by (rounded score desc, id
+    asc). One corpus scan: the feature function is a pure column
+    expression fused into the same whole-stage-codegen projection as
+    the BM25 arithmetic; the optional pivot default costs a 1-row
+    aggregate probe (model-sized, like the MLT stats probe).
+
+    Negative/null features clamp to 0 (ES requires positive features;
+    clamping keeps the operator total rather than erroring mid-scan).
+    """
+    if function not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"unknown rank_feature function {function!r}")
+    if function in ("saturation", "sigmoid") and pivot is None:
+        row = docs.agg(F.avg(F.col(feature_col))).first()
+        pivot = float(row[0] or 1.0)  # 1-row pivot-default probe
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col), F.col(feature_col)
+    )
+    scored = with_bm25(
+        base, query, text_col=text_col, out_col="__bm25",
+        tokenizer=tokenizer, stats_provider=stats_provider,
+    )
+    x = F.greatest(
+        F.coalesce(F.col(feature_col).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    if function == "saturation":
+        feat = x / (x + F.lit(float(pivot)))
+    elif function == "log":
+        feat = F.log(F.lit(float(scaling_factor)) + x)
+    else:
+        xp = F.pow(x, F.lit(float(exponent)))
+        feat = xp / (xp + F.lit(float(pivot) ** float(exponent)))
+    out = scored.select(
+        "id",
+        F.round(F.col("__bm25") + F.lit(float(boost)) * feat, 6)
+        .alias("score"),
+    )
+    return (
+        out.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
+def distance_feature_score(
+    docs: DataFrame,
+    query: str,
+    origin,
+    distance_col: str,
+    pivot: float,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    k: int = 10,
+    stats_provider=None,
+) -> DataFrame:
+    """ES ``distance_feature`` query: BM25 text relevance plus
+    ``boost · pivot / (pivot + |field − origin|)`` — full boost at
+    the origin, half at ``pivot`` away, monotonically decaying. The
+    recency/proximity ranking primitive (ES supports date and
+    numeric/geo fields; this is the numeric form — pass epoch
+    seconds for dates, with ``origin``/``pivot`` in the same unit).
+
+    One corpus scan, same fused-projection shape as
+    :func:`rank_feature_score`; null distances contribute zero boost
+    (ES skips docs missing the field — a zero contribution keeps the
+    text match in the ranking, which is the ``should``-clause
+    reading)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col), F.col(distance_col)
+    )
+    scored = with_bm25(
+        base, query, text_col=text_col, out_col="__bm25",
+        tokenizer=tokenizer, stats_provider=stats_provider,
+    )
+    dist = F.abs(F.col(distance_col).cast("double") - F.lit(float(origin)))
+    contrib = F.when(
+        F.col(distance_col).isNotNull(),
+        F.lit(float(boost)) * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + dist),
+    ).otherwise(F.lit(0.0))
+    out = scored.select(
+        "id", F.round(F.col("__bm25") + contrib, 6).alias("score")
+    )
+    return (
+        out.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
+def pinned_query(
+    docs: DataFrame,
+    query: str,
+    pinned_ids: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    k: int = 10,
+    stats_provider=None,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed ids rank first IN LIST ORDER
+    (whether or not they match the organic query — ES promotes pinned
+    docs unconditionally), followed by the organic BM25 matches minus
+    the pinned set. Output: top-*k* ``(id_col, rank, score)`` where
+    pinned rows carry their organic score (0.0 for non-matches) but
+    owe their rank to the pin.
+
+    One scoring scan plus an id-list literal fold: the pinned list is
+    curation-sized (ES caps it at 100), so its order index folds into
+    the plan as a CASE chain — no join, no second scan; the final cut
+    is a distributed TakeOrdered on (pin_order, score, id)."""
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    scored = with_bm25(
+        base, query, text_col=text_col, out_col="__bm25",
+        tokenizer=tokenizer, stats_provider=stats_provider,
+    ).select("id", F.round(F.col("__bm25"), 6).alias("score"))
+    # pinned non-matches still surface: left-join the pinned ids over
+    # the FULL doc-id projection, scores defaulting to 0.0
+    pin_order = F.create_map(
+        *[x for i, p in enumerate(pinned_ids)
+          for x in (F.lit(p), F.lit(i))]
+    )
+    all_ids = docs.select(F.col(id_col).alias("id"))
+    organic = all_ids.join(scored, "id", "left").select(
+        "id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
+    )
+    ordered = organic.select(
+        "id", "score",
+        F.coalesce(
+            pin_order[F.col("id")], F.lit(len(pinned_ids))
+        ).alias("__pin"),
+    ).filter(
+        # unpinned rows must actually match the organic query
+        (F.col("__pin") < F.lit(len(pinned_ids))) | (F.col("score") > 0)
+    )
+    out = (
+        ordered.orderBy(
+            F.col("__pin").asc(), F.col("score").desc(), F.col("id").asc()
+        )
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score",
+                (F.col("__pin") < F.lit(len(pinned_ids))).alias("pinned"))
+    )
+    return out
