@@ -4200,6 +4200,58 @@ def q_search_pinned(spark, sf_dir):
 
 
 
+def q_search_matrix_stats(spark, sf_dir):
+    """ES matrix_stats (search.py::matrix_stats_agg): pairwise
+    covariance/correlation over (value, user_id) on the purchase hit
+    set, plus per-field count/mean/variance — the ES matrix
+    flattened to one row per ordered pair. All moments are exact
+    DECIMAL sums in ONE 1-row aggregate (no per-pair pass); the
+    double arithmetic runs on those exact sums so both engines agree
+    bit-for-bit. Exact-statistic contract: ES's streaming skewness/
+    kurtosis are not reproduced (the percentiles-over-t-digest
+    stance)."""
+    from toshokan_spark.search import matrix_stats_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = ev.filter(F.col("event_type") == "purchase")
+    return matrix_stats_agg(hits, ["value", "user_id"])
+
+
+def q_search_top_metrics(spark, sf_dir):
+    """ES top_metrics (search.py::top_metrics_agg): per event_type,
+    the value carried by the LATEST event (max ts, ties to the larger
+    event_id — an explicit total order where ES leaves ties
+    unspecified). One exchange: max(struct(sort, id, metrics)) rides
+    map-side combine — no window, no per-bucket sort."""
+    from toshokan_spark.search import top_metrics_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = top_metrics_agg(ev, "event_type", "ts", ["value"], "event_id")
+    return out.select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id", "value",
+    )
+
+
+def q_search_rate(spark, sf_dir):
+    """ES rate aggregation (search.py::rate_agg): per calendar month,
+    the value sum normalized to a per-DAY rate using the month's
+    actual length (28-day February divides by 28 — the reason ES
+    added rate over a manual sum/length pipeline). The testdata spans
+    one month, so the entry buckets by DAY at a per-HOUR rate for a
+    30-bucket check; the month/variable-length path is unit-tested.
+    One partial-aggregated scan; decimal-exact sums."""
+    from toshokan_spark.search import rate_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = rate_agg(ev, "ts", value_col="value", bucket="day",
+                   unit_seconds=3600)
+    return out.select(
+        F.unix_micros(F.col("bucket")).alias("bucket_us"), "n_hits", "rate"
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -4212,6 +4264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-proven) and lead; the rest of the window is
         # the STALEST P0b entries —
         "search_rank_feature": q_search_rank_feature,
+        "search_matrix_stats": q_search_matrix_stats,
+        "search_top_metrics": q_search_top_metrics,
+        "search_rate": q_search_rate,
         "search_distance_feature": q_search_distance_feature,
         "search_pinned": q_search_pinned,
         # the 50 STALEST P0b entries follow —
@@ -4265,10 +4320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "pivot_event_days": q_pivot_event_days,
         "q10_returned_items": q_q10_returned_items,
+        # ---- window boundary (driver records the 50 above) ----
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
         "q6_forecast_revenue": q_q6_forecast_revenue,
-        # ---- window boundary (driver records the 50 above) ----
         "quality_ensemble": q_quality_ensemble,
         "quantize_embeddings": q_quantize_embeddings,
         "repeat_plan": q_repeat_plan,
@@ -9165,6 +9220,82 @@ def oracle_sql() -> dict[str, str]:
               AS t_stat
         FROM s
     """
+    # search_matrix_stats: exact-decimal moment sums (18,6 inputs ->
+    # 37,12 products), double arithmetic on the exact sums, round 6
+    d["search_matrix_stats"] = """
+        WITH h AS (SELECT value, user_id FROM events
+                   WHERE event_type = 'purchase'),
+        s AS (SELECT count(*) AS n,
+          sum(value::DECIMAL(18,6)) AS s_v,
+          sum(user_id::DECIMAL(18,6)) AS s_u,
+          sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS p_vv,
+          sum(value::DECIMAL(18,6) * user_id::DECIMAL(18,6)) AS p_vu,
+          sum(user_id::DECIMAL(18,6) * user_id::DECIMAL(18,6)) AS p_uu
+         FROM h)
+        SELECT 'value' AS field, 'value' AS other, n::BIGINT AS n_values,
+      round(s_v::DOUBLE / n, 6) AS mean,
+      round(p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n), 6) AS variance,
+      round(p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n), 6) AS covariance,
+      round(CASE WHEN (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n)) > 0
+                  AND (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n)) > 0
+        THEN (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n))
+             / sqrt((p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n))
+                  * (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n)))
+        END, 6) AS correlation
+      FROM s UNION ALL SELECT 'value' AS field, 'user_id' AS other, n::BIGINT AS n_values,
+      round(s_v::DOUBLE / n, 6) AS mean,
+      round(p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n), 6) AS variance,
+      round(p_vu::DOUBLE / n - (s_v::DOUBLE / n) * (s_u::DOUBLE / n), 6) AS covariance,
+      round(CASE WHEN (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n)) > 0
+                  AND (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n)) > 0
+        THEN (p_vu::DOUBLE / n - (s_v::DOUBLE / n) * (s_u::DOUBLE / n))
+             / sqrt((p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n))
+                  * (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n)))
+        END, 6) AS correlation
+      FROM s UNION ALL SELECT 'user_id' AS field, 'value' AS other, n::BIGINT AS n_values,
+      round(s_u::DOUBLE / n, 6) AS mean,
+      round(p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n), 6) AS variance,
+      round(p_vu::DOUBLE / n - (s_u::DOUBLE / n) * (s_v::DOUBLE / n), 6) AS covariance,
+      round(CASE WHEN (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n)) > 0
+                  AND (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n)) > 0
+        THEN (p_vu::DOUBLE / n - (s_u::DOUBLE / n) * (s_v::DOUBLE / n))
+             / sqrt((p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n))
+                  * (p_vv::DOUBLE / n - (s_v::DOUBLE / n) * (s_v::DOUBLE / n)))
+        END, 6) AS correlation
+      FROM s UNION ALL SELECT 'user_id' AS field, 'user_id' AS other, n::BIGINT AS n_values,
+      round(s_u::DOUBLE / n, 6) AS mean,
+      round(p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n), 6) AS variance,
+      round(p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n), 6) AS covariance,
+      round(CASE WHEN (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n)) > 0
+                  AND (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n)) > 0
+        THEN (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n))
+             / sqrt((p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n))
+                  * (p_uu::DOUBLE / n - (s_u::DOUBLE / n) * (s_u::DOUBLE / n)))
+        END, 6) AS correlation
+      FROM s
+    """
+    # search_top_metrics: latest value per event_type, ties to the
+    # larger event_id (the explicit total order)
+    d["search_top_metrics"] = """
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+        FROM (SELECT event_type, ts, event_id, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """
+    # search_rate: per-day value sum normalized to a per-hour rate
+    # (fixed 86400-second buckets / 3600-second unit = 24)
+    d["search_rate"] = """
+        WITH g AS (SELECT date_trunc('day', ts) AS bucket,
+                     count(*)::BIGINT AS n_hits,
+                     sum(value::DECIMAL(38,6)) AS s
+                   FROM events GROUP BY 1)
+        SELECT epoch_us(bucket) AS bucket_us, n_hits,
+          round(s::DOUBLE / (86400.0 / 3600.0), 6) AS rate
+        FROM g
+    """
+
     # search_rank_feature: BM25('spark table') + 2.0 * saturation of
     # n_chars at pivot 500 (x/(x+500)); matches keep >=1 term
     d["search_rank_feature"] = f"""

@@ -4551,3 +4551,61 @@ def test_percolate_500_standing_queries(spark, sf_dir):
         qid, q = stored[i]
         expect = ev.filter(compile_query(q, e.EVENTS_CONFIG, cols)).count()
         assert per_query.get(qid, 0) == expect, (qid, q)
+
+
+def test_matrix_stats_top_metrics_rate(spark):
+    """ES matrix_stats / top_metrics / rate semantics on a hand-sized
+    frame: population moments with exact-decimal sums; latest-per-
+    group with explicit id tie-break; variable-length month buckets
+    dividing by their own day count."""
+    from datetime import datetime
+
+    from toshokan_spark.search import (
+        matrix_stats_agg,
+        rate_agg,
+        top_metrics_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double")
+    m = {(r.field, r.other): r for r in
+         matrix_stats_agg(df, ["x", "y"]).collect()}
+    assert m[("x", "x")].n_values == 3
+    assert m[("x", "x")].mean == 2.0
+    # population variance of {1,2,3} = 2/3
+    assert m[("x", "x")].variance == pytest.approx(2 / 3, abs=1e-6)
+    # y = 2x exactly: correlation 1, covariance 2*var(x)
+    assert m[("x", "y")].correlation == pytest.approx(1.0, abs=1e-6)
+    assert m[("x", "y")].covariance == pytest.approx(4 / 3, abs=1e-6)
+    # constant column: zero variance -> correlation NULL
+    cdf = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    cm = {(r.field, r.other): r for r in
+          matrix_stats_agg(cdf, ["x", "y"]).collect()}
+    assert cm[("x", "y")].correlation is None
+
+    ev = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1, 10.0),
+         ("a", datetime(2024, 1, 3), 2, 20.0),
+         ("a", datetime(2024, 1, 3), 3, 30.0),   # ts tie -> larger id
+         ("b", datetime(2024, 1, 2), 4, 40.0)],
+        "g string, ts timestamp, id long, v double")
+    top = {r.g: r for r in
+           top_metrics_agg(ev, "g", "ts", ["v"], "id").collect()}
+    assert top["a"].id == 3 and top["a"].v == 30.0
+    assert top["b"].id == 4
+    asc = {r.g: r for r in top_metrics_agg(
+        ev, "g", "ts", ["v"], "id", descending=False).collect()}
+    assert asc["a"].id == 1 and asc["a"].v == 10.0
+
+    # rate: January (31d) and February 2024 (29d, leap) normalize by
+    # their own lengths
+    rdf = spark.createDataFrame(
+        [(datetime(2024, 1, 10), 31.0), (datetime(2024, 1, 20), 31.0),
+         (datetime(2024, 2, 5), 58.0)],
+        "ts timestamp, v double")
+    rates = {r.bucket.month: r.rate for r in
+             rate_agg(rdf, "ts", value_col="v", bucket="month").collect()}
+    assert rates[1] == pytest.approx(2.0, abs=1e-6)   # 62 over 31 days
+    assert rates[2] == pytest.approx(2.0, abs=1e-6)   # 58 over 29 days
+    with pytest.raises(ValueError):
+        rate_agg(rdf, "ts", bucket="week")

@@ -2758,3 +2758,166 @@ def multi_search_df(
     if limit is not None:
         out = out.limit(limit)
     return out, names
+
+
+def matrix_stats_agg(hits: DataFrame, fields: "list[str]") -> DataFrame:
+    """ES ``matrix_stats``: pairwise covariance and correlation over
+    2+ numeric fields, plus each field's count/mean/variance — one
+    row per ordered (field, other) pair (the ES response's matrix
+    flattened; the diagonal carries variance and correlation 1).
+
+    Engine-stable contract: every moment is an EXACT DECIMAL sum —
+    inputs quantized to DECIMAL(18,6) so the cross product lands at
+    DECIMAL(37,12) WITHOUT tripping Spark's decimal-precision-loss
+    rescale (a (38,6)x(38,6) product would exceed precision 38 and
+    silently truncate back to scale 6) — and the covariance/
+    correlation arithmetic runs in double on those exact sums, so
+    partition order can never flip a ulp. ES's streaming skewness/
+    kurtosis are NOT reproduced — same stance as the exact
+    percentiles replacing t-digest (SURVEY §2.8): where ES ships an
+    approximation we ship the exact statistic, and this matrix is
+    the exact subset both engines can agree on bit-for-bit.
+
+    One partial-aggregated scan for ALL pairs: the k·(k+1)/2 sums
+    land in a single 1-row aggregate — no per-pair pass, no shuffle
+    beyond the one-row combine. Population (biased, /n) moments —
+    the ES definition."""
+    cols = {f: F.col(f).cast("double").cast("decimal(18,6)") for f in fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        aggs.append(F.sum(cols[f]).alias(f"__s_{f}"))
+    for i, a in enumerate(fields):
+        for b in fields[i:]:
+            aggs.append(
+                F.sum(cols[a] * cols[b]).alias(f"__p_{a}_{b}")
+            )
+    row = hits.agg(*aggs)
+    spark = hits.sparkSession
+
+    def pkey(a: str, b: str) -> str:
+        i, j = fields.index(a), fields.index(b)
+        return f"__p_{a}_{b}" if i <= j else f"__p_{b}_{a}"
+
+    n = F.col("__n").cast("double")
+    out = None
+    for a in fields:
+        mean_a = F.col(f"__s_{a}").cast("double") / n
+        var_a = F.col(pkey(a, a)).cast("double") / n - mean_a * mean_a
+        for b in fields:
+            mean_b = F.col(f"__s_{b}").cast("double") / n
+            var_b = F.col(pkey(b, b)).cast("double") / n - mean_b * mean_b
+            cov = F.col(pkey(a, b)).cast("double") / n - mean_a * mean_b
+            corr = F.when(
+                (var_a > 0) & (var_b > 0), cov / F.sqrt(var_a * var_b)
+            )
+            part = row.select(
+                F.lit(a).alias("field"),
+                F.lit(b).alias("other"),
+                F.col("__n").cast("long").alias("n_values"),
+                F.round(mean_a, 6).alias("mean"),
+                F.round(var_a, 6).alias("variance"),
+                F.round(cov, 6).alias("covariance"),
+                F.round(corr, 6).alias("correlation"),
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
+def top_metrics_agg(
+    hits: DataFrame,
+    group_by: str,
+    sort_field: str,
+    metrics: "list[str]",
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """ES ``top_metrics``: per bucket, the metric values taken from
+    the single top document by *sort_field* (the "latest value per
+    group" primitive that replaced ES's painful top_hits+script
+    pattern). Ties on the sort value break by the LARGEST (desc) /
+    smallest (asc) *id_col* — an explicit total order, where ES
+    leaves ties unspecified.
+
+    One exchange: ``max(struct(sort, id, metrics...))`` rides the
+    partial-aggregation path (map-side combine), so each partition
+    contributes one candidate struct per bucket — no window, no
+    per-bucket sort, no row_number shuffle."""
+    sort_c = F.col(sort_field)
+    id_c = F.col(id_col)
+    if not descending:
+        # struct max picks the lexicographic maximum; negate-by-sort
+        # is type-dependent, so flip via a descending-rank trick:
+        # max over (negated comparable) requires numeric — instead
+        # use min(struct(...)) for ascending
+        top = F.min(
+            F.struct(
+                sort_c.alias("__sort"), id_c.alias("__id"),
+                *[F.col(m).alias(f"__m_{m}") for m in metrics],
+            )
+        ).alias("__top")
+    else:
+        top = F.max(
+            F.struct(
+                sort_c.alias("__sort"), id_c.alias("__id"),
+                *[F.col(m).alias(f"__m_{m}") for m in metrics],
+            )
+        ).alias("__top")
+    g = hits.groupBy(F.col(group_by)).agg(top)
+    return g.select(
+        group_by,
+        F.col("__top.__sort").alias(sort_field),
+        F.col("__top.__id").alias(id_col),
+        *[F.col(f"__top.__m_{m}").alias(m) for m in metrics],
+    )
+
+
+def rate_agg(
+    hits: DataFrame,
+    ts_field: str,
+    value_col: "str | None" = None,
+    bucket: str = "month",
+    unit_seconds: int = 86400,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per calendar
+    *bucket*, the sum of *value_col* (or the doc count) normalized to
+    a per-*unit* rate using the bucket's ACTUAL length — a 28-day
+    February and a 31-day January divide by their own day counts,
+    which is exactly why ES added rate over a manual
+    sum/bucket-length pipeline.
+
+    One partial-aggregated scan; the bucket length is calendar
+    arithmetic on the bucket key (no second pass). Decimal-exact
+    value sums, double division at the end, round 6."""
+    if bucket not in ("month", "day", "hour"):
+        raise ValueError(f"unsupported rate bucket {bucket!r}")
+    b = F.date_trunc(bucket, F.col(ts_field))
+    val = (
+        F.col(value_col).cast("decimal(38,6)")
+        if value_col is not None else None
+    )
+    g = hits.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        *([F.sum(val).alias("__sum")] if val is not None else []),
+    )
+    # bucket length from the KEY (calendar arithmetic, no data pass)
+    if bucket == "month":
+        span = (
+            F.unix_timestamp(F.add_months(F.col("bucket"), 1))
+            - F.unix_timestamp(F.col("bucket"))
+        ).cast("double")
+    elif bucket == "day":
+        span = F.lit(86400.0)
+    else:
+        span = F.lit(3600.0)
+    g = g.withColumn("__span", span)
+    total = (
+        F.col("__sum").cast("double") if value_col is not None
+        else F.col("n_hits").cast("double")
+    )
+    return g.select(
+        F.col("bucket").cast("timestamp").alias("bucket"),
+        "n_hits",
+        F.round(
+            total / (F.col("__span") / F.lit(float(unit_seconds))), 6
+        ).alias("rate"),
+    ).orderBy("bucket")
