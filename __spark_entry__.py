@@ -4252,6 +4252,21 @@ def q_search_rate(spark, sf_dir):
 
 
 
+def q_search_boosting(spark, sf_dir):
+    """ES boosting query (operators/relevance.py::boosting_query):
+    'spark table' relevance with documents also containing 'slow' or
+    'legacy' DEMOTED to 0.4x — not excluded, the point over a
+    must_not. One scan: the negative test is an arrays_overlap
+    against literal terms fused into the scoring projection."""
+    from toshokan_spark.operators.relevance import boosting_query
+
+    docs = _t(spark, sf_dir, "documents")
+    return boosting_query(
+        docs, "spark table", "slow legacy", negative_boost=0.4, k=10
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records only the FIRST 50 entries
     # (VERDICT r5 §1). tools/rotation.py computes the priority classes
@@ -4263,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r14 WINDOW (first 50): the three r14 additions are P0
         # (never driver-proven) and lead; the rest of the window is
         # the STALEST P0b entries —
+        "search_boosting": q_search_boosting,
         "search_rank_feature": q_search_rank_feature,
         "search_matrix_stats": q_search_matrix_stats,
         "search_top_metrics": q_search_top_metrics,
@@ -4319,8 +4335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_embeddings": q_normalize_embeddings,
         "normalize_text": q_normalize_text,
         "pivot_event_days": q_pivot_event_days,
-        "q10_returned_items": q_q10_returned_items,
         # ---- window boundary (driver records the 50 above) ----
+        "q10_returned_items": q_q10_returned_items,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -9220,6 +9236,22 @@ def oracle_sql() -> dict[str, str]:
               AS t_stat
         FROM s
     """
+    # search_boosting: positive BM25 x (0.4 when any negative term
+    # present else 1)
+    d["search_boosting"] = f"""
+        WITH {_BM25_SPARK_TABLE_CTE},
+        neg AS (
+          SELECT doc_id,
+            (list_contains(toks, 'slow') OR list_contains(toks, 'legacy'))
+              AS hit
+          FROM base)
+        SELECT l.doc_id,
+          round(l.bm25 * CASE WHEN n.hit THEN 0.4 ELSE 1.0 END, 6) AS score,
+          (CASE WHEN n.hit THEN 1 ELSE 0 END)::INT AS demoted
+        FROM lexsc l JOIN neg n USING (doc_id)
+        ORDER BY score DESC, l.doc_id ASC LIMIT 10
+    """
+
     # search_matrix_stats: exact-decimal moment sums (18,6 inputs ->
     # 37,12 products), double arithmetic on the exact sums, round 6
     d["search_matrix_stats"] = """

@@ -339,3 +339,24 @@ def test_rank_feature_functions_and_pinned_promotion(spark):
     assert not out[2].pinned
     # organic remainder excludes the pinned ids and keeps matches only
     assert set(ids[2:]) == {1, 3, 5}
+
+
+def test_boosting_query_demotes_not_excludes(spark):
+    """boosting: negative matches stay in the result with score x
+    negative_boost; an empty negative analysis is a no-op factor."""
+    from toshokan_spark.operators.relevance import boosting_query
+
+    # docs 1 and 2 have identical length and tf so their base BM25
+    # matches; only the negative term differs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta legacy"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in boosting_query(
+        docs, "alpha", "legacy", negative_boost=0.5, k=10).collect()}
+    assert set(out) == {1, 2}          # demoted, never excluded
+    assert out[2].demoted == 1 and out[1].demoted == 0
+    assert out[2].score == pytest.approx(out[1].score * 0.5, abs=1e-6)
+    noneg = {r.doc_id: r.score for r in boosting_query(
+        docs, "alpha", "???", negative_boost=0.5, k=10).collect()}
+    assert noneg[2] == pytest.approx(out[1].score, abs=1e-6)

@@ -52,6 +52,7 @@ __all__ = [
     "rank_feature_score",
     "distance_feature_score",
     "pinned_query",
+    "boosting_query",
 ]
 
 
@@ -592,3 +593,53 @@ def pinned_query(
                 (F.col("__pin") < F.lit(len(pinned_ids))).alias("pinned"))
     )
     return out
+
+
+def boosting_query(
+    docs: DataFrame,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "default",
+    k: int = 10,
+    stats_provider=None,
+) -> DataFrame:
+    """ES ``boosting`` query: rank by the *positive* query's BM25,
+    DEMOTING (not excluding — the whole point over a must_not) any
+    document that also matches the *negative* query by multiplying
+    its score with ``negative_boost`` (0..1). The match set is the
+    positive query's; the negative side only reweights.
+
+    One scan: the negative match is an ``arrays_overlap`` against the
+    negative term literals on the SAME token array the scorer already
+    staged, so the demotion test is a fused column predicate — no
+    second tokenize, no join, no subquery."""
+    neg_terms = list(dict.fromkeys(analyze_term(negative, tokenizer)))
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    scored = with_bm25(
+        base, positive, text_col=text_col, out_col="__bm25",
+        tokenizer=tokenizer, stats_provider=stats_provider,
+    )
+    if neg_terms:
+        neg_hit = F.arrays_overlap(
+            tokenize(F.col(text_col), tokenizer),
+            F.array(*[F.lit(t) for t in neg_terms]),
+        )
+        factor = F.when(neg_hit, F.lit(float(negative_boost))).otherwise(
+            F.lit(1.0)
+        )
+    else:
+        factor = F.lit(1.0)
+    out = scored.select(
+        "id",
+        F.round(F.col("__bm25") * factor, 6).alias("score"),
+        (factor < F.lit(1.0)).alias("demoted"),
+    )
+    return (
+        out.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score",
+                F.col("demoted").cast("int").alias("demoted"))
+    )
