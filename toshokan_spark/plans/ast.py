@@ -168,13 +168,16 @@ def _value_node(fieldp: Optional[tuple[str, ...]], word: str) -> Node:
     Fuzzy, any other ``*``/``?`` placement -> Wildcard (Lucene
     wildcard-query semantics), else Term. A single TRAILING star
     stays the cheaper Prefix form."""
+    # ASCII digits only: str.isdigit() accepts unicode digit-LIKE
+    # characters ('²', '³') that int() rejects (hypothesis-found);
+    # Lucene's fuzzy distance is plain 0-9 anyway
     if (
         len(word) >= 3
-        and word[-1].isdigit()
+        and word[-1] in "0123456789"
         and "~" in word[:-1]
     ):
         base, _, digits = word.rpartition("~")
-        if base and digits.isdigit():
+        if base and all(c in "0123456789" for c in digits):
             return Fuzzy(fieldp, base, int(digits))
     if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] and "?" not in word:
         return Prefix(fieldp, word[:-1])
