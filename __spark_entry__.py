@@ -1097,10 +1097,13 @@ def _docs_bm25_index(spark, sf_dir):
         fields=[
             FieldConfig(name="doc_id", type="number", number_type="i64"),
             FieldConfig(name="text", type="text"),
+            # second scored field: multi_match reads per-field
+            # commit-time stats (Lucene fields-as-independent-indexes)
+            FieldConfig(name="source", type="text"),
         ],
     )
     create_index(catalog, config)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     write_segment(catalog, config, docs)
     _BM25_INDEX_CACHE[key] = (catalog, config)
     return catalog, config
@@ -3815,19 +3818,37 @@ def q_search_more_like_this(spark, sf_dir):
 
 
 def q_search_multi_match(spark, sf_dir):
-    """ES multi_match best_fields (relevance.py::multi_match): the
-    query 'spark src3' BM25-scored independently per field (text and
-    source — each with its own corpus statistics, the Lucene
-    fields-as-independent-indexes rule), combined max +
-    0.3·(sum−max); top 10 by (score, id). Two one-scan score
-    projections joined on the id — the joined sides are match sets,
-    not the corpus."""
+    """ES multi_match best_fields over the INDEX path
+    (relevance.py::multi_match): the query 'spark src3' BM25-scored
+    independently per field (text and source — each with its OWN
+    commit-time corpus statistics read from the index's per-segment
+    stats parquets, the Lucene fields-as-independent-indexes rule),
+    combined max + 0.3·(sum−max); top 10 by (score, id). Two one-scan
+    score projections joined on the id — the joined sides are match
+    sets, not the corpus; the oracle recomputes both fields' stats
+    from the raw corpus, proving the commit-time stats exact
+    per-field. Plan pinned by tests/test_plan_audit.py."""
+    from toshokan_spark.functions.bm25 import merged_stats_provider
+    from toshokan_spark.indexer import stats_path
     from toshokan_spark.operators.relevance import multi_match
+    from toshokan_spark.search import read_segments
+    from toshokan_spark.storage import join_path
 
-    docs = _t(spark, sf_dir, "documents")
+    catalog, config = _docs_bm25_index(spark, sf_dir)
+    segs = catalog.segments("docs_bm25")
+    paths = [stats_path(config, s.file_name) for s in segs]
+    providers = {
+        "text": merged_stats_provider(spark, paths, "text"),
+        "source": merged_stats_provider(spark, paths, "source"),
+    }
+    docs = read_segments(
+        spark, [join_path(config.path, s.file_name) for s in segs],
+        partitioned=False,
+    )
     return multi_match(
         docs, "spark src3", [("text", "default"), ("source", "default")],
         mode="best_fields", tie_breaker=0.3, k=10,
+        stats_providers=providers,
     )
 
 

@@ -318,3 +318,46 @@ def test_span_near_flag_routes_dynamic_fields(panel_index, capsys):
     # severity_text is a single token; same-term span needs two
     # occurrences, so nothing matches — but the routing resolves
     assert rows == []
+
+
+def test_more_like_this_flag(spark, tmp_path_factory, capsys):
+    """--more-like-this SEED: index-path MLT through the CLI — the
+    seed's characteristic terms rank the rest of the index, seed
+    excluded, stats from the commit-time parquets, deletes honored."""
+    from toshokan_spark import cli
+
+    tmp = tmp_path_factory.mktemp("mlt_cli")
+    rows = [
+        {"id": 1, "body": "spark spark table join join scan"},
+        {"id": 2, "body": "spark table join scan filter merge"},
+        {"id": 3, "body": "window sort order group batch stream"},
+        {"id": 4, "body": "spark join table scan scan scan"},
+        {"id": 5, "body": "totally unrelated words here now"},
+        {"id": 6, "body": "spark join spark join spark join"},
+        {"id": 7, "body": "table scan table scan filter"},
+        {"id": 8, "body": "join table spark merge filter scan"},
+    ]
+    (tmp / "d.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = {"name": "mlt", "path": str(tmp / "data"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "body", "type": "text"}]}}
+    (tmp / "c.json").write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "mlt",
+                     str(tmp / "d.jsonl")]) == 0
+
+    out = _run(capsys, ["--catalog", cat, "search", "mlt", "*",
+                        "--more-like-this", "1", "--limit", "3"])
+    ids = {o["doc"]["id"] for o in out}
+    assert 1 not in ids                # seed excluded
+    assert ids and ids <= {2, 4, 6, 7, 8}  # similar docs, never doc 3/5
+    assert all(o["score"] > 0 for o in out)
+
+    # a non-numeric seed against a numeric id errors cleanly
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "search", "mlt", "*",
+                     "--more-like-this", "abc"]) == 2
+    capsys.readouterr()

@@ -1545,3 +1545,22 @@ def test_more_like_this_reads_manifest_stats(spark, sf_dir):
     assert plan.count("FileScan") == 2, (
         "expected exactly one data scan + one stats scan"
     )
+
+
+def test_multi_match_reads_per_field_manifest_stats(spark, sf_dir):
+    """multi_match DRIVER ENTRY over the index path: each scored
+    field reads its OWN rows from the commit-time ``_stats`` parquets
+    (two stats scans, one per field) and runs one corpus scan per
+    field — no full-corpus tokenize+agg for statistics anywhere in
+    the plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_multi_match"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_stats = plan.count("struct<field:string,term:string")
+    assert n_stats == 2, f"expected 2 per-field stats scans, saw {n_stats}"
+    assert plan.count("FileScan") == 4, (
+        "expected 2 data scans (one per scored field) + 2 stats scans"
+    )

@@ -159,6 +159,13 @@ def main(argv: list[str] | None = None) -> int:
     # rank matches by BM25 of the query's term literals against FIELD
     # (the reference's relevance ordering, globally re-ranked)
     ps.add_argument("--score-field", default=None)
+    ps.add_argument("--more-like-this", default=None, metavar="SEED_ID",
+                    help="instead of running the query, return the "
+                         "documents most similar to the given seed doc "
+                         "id (BM25 over the seed's characteristic "
+                         "terms, commit-time stats); --mlt-field picks "
+                         "the text field (default: first text field)")
+    ps.add_argument("--mlt-field", default=None)
     ps.add_argument("--span-near", default=None, metavar="F:A,B,SLOP[,ordered]",
                     help="Lucene span_near proximity over the hit set: "
                          "keep hits where terms A and B occur within SLOP "
@@ -750,6 +757,7 @@ def main(argv: list[str] | None = None) -> int:
                 ("--ks-test", a.ks_test),
                 ("--phrase-suggest-field", a.phrase_suggest_field),
                 ("--score-field", a.score_field),
+                ("--more-like-this", a.more_like_this),
                 ("--span-near", a.span_near),
                 ("--order-by", a.order_by),
                 ("--fields", a.fields),
@@ -1321,6 +1329,36 @@ def main(argv: list[str] | None = None) -> int:
             for r in out.collect():
                 print(json.dumps(r.asDict(), sort_keys=True,
                                  separators=(",", ":"), default=str))
+            return 0
+        if a.more_like_this is not None:
+            from toshokan_spark.search import mlt_search_df, prettify_doc
+
+            config = catalog.get_index(a.index)
+            # the seed id is typed like the index's id field: ints for
+            # number ids, the raw string otherwise
+            seed = a.more_like_this
+            if config.fields[0].type == "number":
+                try:
+                    seed = int(seed)
+                except ValueError:
+                    print("error: --more-like-this wants a numeric id "
+                          f"for index {a.index!r}", file=sys.stderr)
+                    return 2
+            try:
+                df = mlt_search_df(
+                    spark, catalog, a.index, seed, mlt_field=a.mlt_field,
+                    k=a.limit or 10, at_version=a.at_version,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            for r in df.collect():
+                d = r.asDict(recursive=True)
+                score = d.pop("_score", None)
+                print(json.dumps(
+                    {"score": score,
+                     "doc": json.loads(prettify_doc(d, config))},
+                    sort_keys=True, separators=(",", ":")))
             return 0
         if a.span_near:
             # --span-near F:A,B,SLOP[,ordered] — the hit set (a.query,

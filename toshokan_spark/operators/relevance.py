@@ -210,18 +210,27 @@ def multi_match(
     mode: str = "best_fields",
     tie_breaker: float = 0.0,
     k: int = 10,
+    stats_providers=None,
 ) -> DataFrame:
     """ES ``multi_match``: the analyzed query BM25-scored per field
     (each with its own tokenizer and per-field corpus statistics —
     Lucene scores fields as independent inverted indexes), combined
     ``best_fields``/``most_fields``. Output: id, per-field scores
     (``s_<field>``), combined ``score``; top *k* by (score desc, id
-    asc)."""
+    asc).
+
+    ``stats_providers`` maps field name → a ``merged_stats_provider``
+    so each field's N/Σdl/df come from the index's commit-time stats
+    parquets (its own rows — per-field statistics are exactly what
+    the stats parquet keys on); fields absent from the map fall back
+    to the corpus aggregation."""
     parts = []
     for col, tok in fields:
+        provider = (stats_providers or {}).get(col)
         scored = with_bm25(
             docs.select(F.col(id_col).alias("__id"), F.col(col)),
             query, text_col=col, out_col=f"s_{col}", tokenizer=tok,
+            stats_provider=provider,
         ).select(F.col("__id").alias(id_col), f"s_{col}")
         parts.append(scored)
     out = _combine_scores(parts, id_col, mode, tie_breaker)

@@ -2921,3 +2921,70 @@ def rate_agg(
             total / (F.col("__span") / F.lit(float(unit_seconds))), 6
         ).alias("rate"),
     ).orderBy("bucket")
+
+
+def mlt_search_df(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    seed_id,
+    mlt_field: "str | None" = None,
+    k: int = 10,
+    at_version: Optional[int] = None,
+) -> DataFrame:
+    """ES ``more_like_this`` over an INDEX (the `_mlt` API the CLI
+    exposes as ``--more-like-this SEED``): documents most similar to
+    the seed document, ranked by BM25 over the seed's characteristic
+    terms, seed excluded, delete masks honored. Corpus statistics —
+    both the term-selection df probe and the scorer's N/Σdl/df — come
+    from the commit-time per-segment stats parquets when every
+    manifested segment has one (the :func:`scored_search_df` rule);
+    pre-stats segments fall back to the corpus aggregation.
+
+    Returns the top-*k* full documents plus their ``_score`` — the
+    rank join is k-sized (broadcast), so the display join never
+    shuffles the index."""
+    from toshokan_spark.functions.bm25 import merged_stats_provider
+    from toshokan_spark.indexer import stats_path, text_stat_fields
+    from toshokan_spark.operators.relevance import more_like_this
+    from toshokan_spark.storage import join_path
+
+    config = catalog.get_index(index_name)
+    segs = catalog.segments(index_name, at_version=at_version)
+    id_col = config.fields[0].name
+    fld = mlt_field or next(
+        (f.name for f in config.fields if f.type == "text"), None
+    )
+    if fld is None:
+        raise ValueError(f"index {index_name!r} has no text field")
+    paths = [join_path(config.path, s.file_name) for s in segs]
+    if not paths:
+        return (
+            spark.createDataFrame([], config.spark_schema())
+            .withColumn("_score", F.lit(0.0))
+        )
+    df = read_segments(
+        spark, paths, partitioned=config.time_field is not None
+    )
+    pred = compile_query("*", config, set(df.columns))
+    pred = apply_deletes(
+        pred, config, set(df.columns),
+        catalog.deletes(index_name, at_version=at_version),
+    )
+    live = df.filter(pred)
+
+    provider = None
+    if any(n == fld for n, _ in text_stat_fields(config)):
+        st = catalog.data_storage(config)
+        spaths = [stats_path(config, s.file_name) for s in segs]
+        if spaths and all(st.exists(p) for p in spaths):
+            provider = merged_stats_provider(spark, spaths, fld)
+    fcfg = next((f for f in config.fields if f.name == fld), None)
+    tok = getattr(fcfg, "tokenizer", None) or "default"
+    ranked = more_like_this(
+        live, seed_id, id_col=id_col, text_col=fld, tokenizer=tok,
+        k=k, stats_provider=provider,
+    ).withColumnRenamed("mlt", "_score")
+    return live.join(F.broadcast(ranked), id_col).select(
+        *live.columns, "_score"
+    )
