@@ -3853,14 +3853,30 @@ def q_search_multi_match(spark, sf_dir):
 
 
 def q_search_dis_max(spark, sf_dir):
-    """ES dis_max (relevance.py::dis_max): clauses 'spark table' and
-    'query filter' scored independently over text, document score =
-    best clause + 0.2 × the rest; top 10 by (score, id)."""
+    """ES dis_max over the INDEX path (relevance.py::dis_max):
+    clauses 'spark table' and 'query filter' scored independently
+    over text with commit-time stats (one field, one provider —
+    every clause reads the same per-segment stats parquets),
+    document score = best clause + 0.2 × the rest; top 10 by
+    (score, id)."""
+    from toshokan_spark.functions.bm25 import merged_stats_provider
+    from toshokan_spark.indexer import stats_path
     from toshokan_spark.operators.relevance import dis_max
+    from toshokan_spark.search import read_segments
+    from toshokan_spark.storage import join_path
 
-    docs = _t(spark, sf_dir, "documents")
+    catalog, config = _docs_bm25_index(spark, sf_dir)
+    segs = catalog.segments("docs_bm25")
+    provider = merged_stats_provider(
+        spark, [stats_path(config, s.file_name) for s in segs], "text"
+    )
+    docs = read_segments(
+        spark, [join_path(config.path, s.file_name) for s in segs],
+        partitioned=False,
+    )
     return dis_max(
-        docs, ["spark table", "query filter"], tie_breaker=0.2, k=10
+        docs, ["spark table", "query filter"], tie_breaker=0.2, k=10,
+        stats_provider=provider,
     )
 
 

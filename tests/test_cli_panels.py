@@ -361,3 +361,59 @@ def test_more_like_this_flag(spark, tmp_path_factory, capsys):
     assert cli.main(["--catalog", cat, "search", "mlt", "*",
                      "--more-like-this", "abc"]) == 2
     capsys.readouterr()
+
+
+def test_percolator_register_and_percolate(spark, tmp_path_factory, capsys):
+    """ES percolator through the CLI: register standing queries
+    (validated at registration), list them, percolate a JSONL batch
+    (one (doc, query_id) line per match — overlaps allowed, non-
+    matches emit nothing), drop a monitor, and die with the index."""
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    tmp = tmp_path_factory.mktemp("perc_cli")
+    cfg = {"name": "mon", "path": str(tmp / "data"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"},
+               {"name": "msg", "type": "text"}]}}
+    (tmp / "c.json").write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "percolator", "mon",
+                     "errors", "sev:ERROR"]) == 0
+    assert cli.main(["--catalog", cat, "percolator", "mon",
+                     "disk_full", "msg:disk AND msg:full"]) == 0
+    # a syntactically broken monitor is rejected AT registration
+    assert cli.main(["--catalog", cat, "percolator", "mon",
+                     "broken", "sev:(unclosed"]) == 2
+    capsys.readouterr()
+    rows = _run(capsys, ["--catalog", cat, "percolator", "mon", "--list"])
+    assert {r["query_id"] for r in rows} == {"errors", "disk_full"}
+
+    docs = [
+        {"id": 1, "sev": "ERROR", "msg": "disk almost full on node"},
+        {"id": 2, "sev": "INFO", "msg": "all good"},
+        {"id": 3, "sev": "ERROR", "msg": "timeout"},
+    ]
+    (tmp / "batch.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in docs) + "\n")
+    rows = _run(capsys, ["--catalog", cat, "percolate", "mon",
+                         str(tmp / "batch.jsonl")])
+    got = {(r["id"], r["query_id"]) for r in rows}
+    assert got == {(1, "errors"), (1, "disk_full"), (3, "errors")}
+
+    assert cli.main(["--catalog", cat, "percolator", "mon",
+                     "--drop", "disk_full"]) == 0
+    capsys.readouterr()
+    rows = _run(capsys, ["--catalog", cat, "percolator", "mon", "--list"])
+    assert {r["query_id"] for r in rows} == {"errors"}
+    # monitors die with the index
+    assert cli.main(["--catalog", cat, "drop", "mon"]) == 0
+    capsys.readouterr()
+    assert FsCatalog(cat).percolators.__self__ is not None
+    c2 = FsCatalog(cat)
+    import pytest as _pytest
+    from toshokan_spark.catalog import CatalogError
+    with _pytest.raises(CatalogError):
+        c2.register_percolator("mon", "x", "sev:A")

@@ -249,6 +249,58 @@ class FsCatalog:
     def _alias_path(self, name: str) -> str:
         return join_path(self.root, "aliases", f"{name}.json")
 
+    # ------------------------------------------------------------------
+    # percolators — standing queries registered against an index (the
+    # ES percolator stores queries in an index and matches arriving
+    # documents against ALL of them; see search.py::percolate). One
+    # atomic JSON file per index, alias-style: monitors are catalog
+    # metadata like aliases, not snapshot-versioned data — a monitor
+    # registered mid-ingest applies to the next percolation, which is
+    # the alerting contract.
+    # ------------------------------------------------------------------
+
+    def _percolator_path(self, name: str) -> str:
+        return join_path(self.root, "percolators", f"{name}.json")
+
+    def percolators(self, name: str) -> "dict[str, str]":
+        """query_id -> query string for *name* (resolved), registration
+        order preserved (JSON object order round-trips)."""
+        resolved = self.resolve(name)
+        p = self._percolator_path(resolved)
+        if not self._st.exists(p):
+            return {}
+        return json.loads(self._st.read_text(p))
+
+    def register_percolator(self, name: str, query_id: str, query: str) -> None:
+        """Add or REPLACE one standing query (ES PUT semantics). The
+        query must parse against the index's config — a monitor that
+        can never compile should fail at registration, not at the
+        first percolation."""
+        resolved = self.resolve(name)
+        if not self._st.exists(self._config_path(resolved)):
+            raise CatalogError(f"unknown index {name!r}")
+        from toshokan_spark.plans.ast import parse_query
+
+        parse_query(query)  # raises on syntax errors
+        self._st.mkdirs(join_path(self.root, "percolators"))
+        cur = self.percolators(resolved)
+        cur[query_id] = query
+        self._st.write_text_atomic(
+            self._percolator_path(resolved), json.dumps(cur, indent=1)
+        )
+
+    def drop_percolator(self, name: str, query_id: str) -> None:
+        resolved = self.resolve(name)
+        cur = self.percolators(resolved)
+        if query_id not in cur:
+            raise CatalogError(
+                f"no percolator {query_id!r} on index {name!r}"
+            )
+        del cur[query_id]
+        self._st.write_text_atomic(
+            self._percolator_path(resolved), json.dumps(cur, indent=1)
+        )
+
     def set_alias(self, alias: str, index: str) -> None:
         """Point *alias* at *index* (create or ATOMIC re-point — the
         zero-downtime reindex pattern: build the new index under a
@@ -316,6 +368,9 @@ class FsCatalog:
         for alias, target in self.aliases().items():
             if target == name:
                 self._st.delete_file(self._alias_path(alias))
+        # registered monitors die with their index
+        if self._st.exists(self._percolator_path(name)):
+            self._st.delete_file(self._percolator_path(name))
         if config.path:
             self.data_storage(config).delete_tree(config.path)
 

@@ -437,6 +437,30 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("index")
     pe.add_argument("query")
 
+    pp = sub.add_parser(
+        "percolator",
+        help="manage standing queries (ES percolator): register a "
+             "query id, --drop one, or --list the registered set",
+    )
+    pp.add_argument("index")
+    pp.add_argument("query_id", nargs="?", default=None)
+    pp.add_argument("query", nargs="?", default=None)
+    pp.add_argument("--drop", default=None, metavar="QUERY_ID")
+    pp.add_argument("--list", action="store_true", dest="list_monitors")
+
+    ppc = sub.add_parser(
+        "percolate",
+        help="match a JSONL batch of documents against the index's "
+             "registered standing queries (search REVERSED — the "
+             "alerting primitive); prints one (doc, query_id) line "
+             "per match",
+    )
+    ppc.add_argument("index")
+    ppc.add_argument("file")
+    ppc.add_argument("--id-field", default=None,
+                     help="document field echoed per match (default: "
+                          "the index's first schema field)")
+
     pu = sub.add_parser(
         "curate",
         help="run the curation recipe over an ingested index: canonicalize"
@@ -1586,6 +1610,56 @@ def main(argv: list[str] | None = None) -> int:
         if a.output:
             write_outputs(result, a.output)
             print(f"wrote {a.output}/documents (per split) and {a.output}/packed")
+        return 0
+
+    if a.cmd == "percolator":
+        from toshokan_spark.catalog import CatalogError
+
+        try:
+            if a.list_monitors:
+                for qid, q in catalog.percolators(a.index).items():
+                    print(json.dumps({"query_id": qid, "query": q},
+                                     sort_keys=True, separators=(",", ":")))
+                return 0
+            if a.drop:
+                catalog.drop_percolator(a.index, a.drop)
+                print(f"dropped percolator {a.drop}")
+                return 0
+            if not a.query_id or a.query is None:
+                print("error: percolator wants QUERY_ID QUERY, --drop "
+                      "QUERY_ID, or --list", file=sys.stderr)
+                return 2
+            catalog.register_percolator(a.index, a.query_id, a.query)
+            print(f"registered percolator {a.query_id}")
+            return 0
+        except CatalogError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"error: bad percolator query: {e}", file=sys.stderr)
+            return 2
+
+    if a.cmd == "percolate":
+        from toshokan_spark.ingest import ingest_projection
+        from toshokan_spark.search import percolate
+
+        config = catalog.get_index(a.index)
+        stored = list(catalog.percolators(a.index).items())
+        if not stored:
+            print("error: no percolators registered on "
+                  f"{a.index!r}", file=sys.stderr)
+            return 2
+        id_field = a.id_field or config.fields[0].name
+        spark = _spark()
+        typed = ingest_projection(spark.read.text(a.file), config)
+        if id_field not in typed.columns:
+            print(f"error: no such field {id_field!r}", file=sys.stderr)
+            return 2
+        out = percolate(typed, stored, config, id_field)
+        for r in out.collect():
+            print(json.dumps(
+                {id_field: r[id_field], "query_id": r["query_id"]},
+                sort_keys=True, separators=(",", ":"), default=str))
         return 0
 
     if a.cmd == "explain":

@@ -245,16 +245,20 @@ def dis_max(
     tokenizer: str = "default",
     tie_breaker: float = 0.0,
     k: int = 10,
+    stats_provider=None,
 ) -> DataFrame:
     """ES ``dis_max``: each sub-query scored independently over the
     same field, a document's score = its best clause + tie_breaker ×
     the rest. Output: id, ``s_q0..s_q{n-1}``, ``score``; top *k* by
-    (score desc, id asc)."""
+    (score desc, id asc). ``stats_provider`` (one field, so one
+    provider) routes every clause's N/Σdl/df to the index's
+    commit-time stats parquets."""
     parts = []
     for i, q in enumerate(queries):
         scored = with_bm25(
             docs.select(F.col(id_col).alias("__id"), F.col(text_col)),
             q, text_col=text_col, out_col=f"s_q{i}", tokenizer=tokenizer,
+            stats_provider=stats_provider,
         ).select(F.col("__id").alias(id_col), f"s_q{i}")
         parts.append(scored)
     out = _combine_scores(parts, id_col, "best_fields", tie_breaker)
