@@ -1681,3 +1681,51 @@ def test_streaming_percolation_foreachbatch(spark, tmp_path):
     got = sorted((r.event_id, r.query_id)
                  for r in spark.read.parquet(out).collect())
     assert got == [(1, "q_big"), (1, "q_click"), (3, "q_big")]
+
+
+def test_stream_percolates_stored_monitors(spark, catalog, tmp_path):
+    """Streaming percolation against CATALOG-stored monitors
+    (alerts_dir): each micro-batch matches the registered standing
+    queries and appends (id, query_id, batch_id) alert rows; monitors
+    registered mid-stream apply from the next batch; the segment path
+    stays exactly-once."""
+    config = _config(tmp_path)
+    create_index(catalog, config)
+    catalog.register_percolator("stream-logs", "errs", "level:ERROR")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    alerts = str(tmp_path / "alerts")
+
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"ts": 1716822728, "level": "INFO", "msg": "fine"})
+        + "\n"
+        + json.dumps({"ts": 1716822729, "level": "ERROR", "msg": "disk full"})
+        + "\n"
+    )
+    q = stream_index(
+        spark.readStream.text(str(indir)), catalog, "stream-logs",
+        checkpoint_dir=ckpt, available_now=True, alerts_dir=alerts,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.read.parquet(alerts)
+    rows = {(r["query_id"],) for r in got.select("query_id").collect()}
+    assert rows == {("errs",)}
+    assert got.count() == 1
+
+    # a monitor registered mid-stream fires on the NEXT batch only
+    catalog.register_percolator("stream-logs", "warns", "level:WARN")
+    (indir / "b2.jsonl").write_text(
+        json.dumps({"ts": 1716822730, "level": "WARN", "msg": "later"}) + "\n"
+    )
+    q = stream_index(
+        spark.readStream.text(str(indir)), catalog, "stream-logs",
+        checkpoint_dir=ckpt, available_now=True, alerts_dir=alerts,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.read.parquet(alerts)
+    assert {r["query_id"] for r in got.collect()} == {"errs", "warns"}
+    # segments unaffected by the alert sink
+    assert [s.num_rows for s in catalog.segments("stream-logs")] == [2, 1]

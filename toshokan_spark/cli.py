@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--stream", action="store_true")
     # reference default 30 s (`src/args.rs:71-79`)
     pi.add_argument("--commit-interval", type=float, default=30.0)
+    pi.add_argument("--alerts-dir", default=None,
+                    help="with --stream: percolate each micro-batch "
+                         "against the index's registered standing "
+                         "queries (see the `percolator` command) and "
+                         "append (id, query_id, batch_id) matches as "
+                         "Parquet here")
 
     pm = sub.add_parser("merge")
     pm.add_argument("index")
@@ -566,6 +572,7 @@ def main(argv: list[str] | None = None) -> int:
                     a.index,
                     checkpoint_dir=join_path(a.catalog, "checkpoints", a.index),
                     commit_interval=f"{a.commit_interval} seconds",
+                    alerts_dir=a.alerts_dir,
                 )
                 q.awaitTermination()
                 return 0

@@ -41,6 +41,7 @@ def stream_index(
     commit_interval: str = "30 seconds",
     query_name: Optional[str] = None,
     available_now: bool = False,
+    alerts_dir: Optional[str] = None,
 ) -> StreamingQuery:
     """Start the stream; returns the StreamingQuery handle.
 
@@ -49,7 +50,17 @@ def stream_index(
     everything currently available then stops (used by tests and
     catch-up runs); otherwise micro-batches fire every
     *commit_interval* like the reference's ``--stream`` loop.
-    """
+
+    ``alerts_dir`` turns on streaming PERCOLATION: each micro-batch is
+    additionally matched against the index's registered standing
+    queries (``catalog.percolators`` — the stored-monitor set the
+    ``percolator`` CLI manages) and the (id, query_id, batch)
+    matches append as Parquet under *alerts_dir*. Monitors are
+    re-read per batch, so a registration mid-stream applies from the
+    next micro-batch — the alerting contract. The percolation is one
+    extra width-Q projection over the already-projected batch (the
+    batch is percolated, never the index), and an empty monitor set
+    costs nothing."""
     config = catalog.get_index(index_name)
     # idempotence keys are scoped to the checkpoint: batch ids are only
     # unique within one checkpoint lineage (a fresh checkpoint restarts
@@ -58,6 +69,23 @@ def stream_index(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         typed = ingest_projection(batch_df, config)
+        if alerts_dir is not None:
+            stored = list(catalog.percolators(index_name).items())
+            if stored:
+                from pyspark.sql import functions as F
+
+                from toshokan_spark.search import percolate
+
+                id_field = config.fields[0].name
+                matches = percolate(typed, stored, config, id_field)
+                # append-mode alerts: a replayed micro-batch may
+                # re-emit its alerts (at-least-once alerting — alert
+                # consumers dedup on (id, query_id, batch_id) if they
+                # need exactly-once; the SEGMENT path stays exactly
+                # once via the manifest batch_id)
+                matches.withColumn(
+                    "batch_id", F.lit(f"{ckpt_scope}:{batch_id}")
+                ).write.mode("append").parquet(alerts_dir)
         # write_segment suppresses empty batches and appends the
         # manifest entry only after the Parquet data is durable; the
         # batch_id makes a checkpoint-replayed micro-batch a no-op
