@@ -1245,3 +1245,49 @@ def test_multi_index_pattern_rejects_panel_flags(spark, tmp_path, capsys):
     df, names = multi_search_df(
         spark, FsCatalog(cat), "ml-a", "*", at_version=2)
     assert names == ["ml-a"] and df.count() == 1
+
+
+def test_count_and_validate_commands(spark, tmp_path, capsys):
+    """ES _count: match-all answers from the manifest alone; filters
+    and pending tombstones take the scan path. ES _validate/query:
+    parse-only with the dynamic-routing note, errors exit 1."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    cfg = {"name": "cnt", "path": str(tmp_path / "d" / "cnt"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    rows = [{"id": i, "sev": "INFO" if i % 2 else "DEBUG"}
+            for i in range(6)]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "cnt",
+                     str(tmp_path / "r.jsonl")]) == 0
+    capsys.readouterr()
+
+    def one(argv):
+        assert cli.main(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    d = one(["--catalog", cat, "count", "cnt"])
+    assert d == {"count": 6, "source": "manifest"}
+    d = one(["--catalog", cat, "count", "cnt", "sev:INFO"])
+    assert d == {"count": 3, "source": "scan"}
+    # pending tombstones force even match-all onto the scan path
+    assert cli.main(["--catalog", cat, "delete", "cnt", "sev:DEBUG"]) == 0
+    capsys.readouterr()
+    d = one(["--catalog", cat, "count", "cnt"])
+    assert d == {"count": 3, "source": "scan"}
+
+    d = one(["--catalog", cat, "validate", "cnt", "sev:INFO AND body:x"])
+    assert d["valid"] and d["dynamic_routed_fields"] == ["body"]
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "validate", "cnt", "sev:("]) == 1
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["valid"] is False and "error" in out

@@ -443,6 +443,25 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("index")
     pe.add_argument("query")
 
+    pcn = sub.add_parser(
+        "count",
+        help="ES _count: the number of documents matching a query. "
+             "Match-all answers from the manifest alone (zero data "
+             "scan, delete-aware only when no tombstones are pending)",
+    )
+    pcn.add_argument("index")
+    pcn.add_argument("query", nargs="?", default="*")
+    pcn.add_argument("--at-version", type=int, default=None)
+
+    pvq = sub.add_parser(
+        "validate",
+        help="ES _validate/query: parse a query against an index's "
+             "schema without running it; prints the parsed tree or "
+             "the error",
+    )
+    pvq.add_argument("index")
+    pvq.add_argument("query")
+
     pp = sub.add_parser(
         "percolator",
         help="manage standing queries (ES percolator): register a "
@@ -1617,6 +1636,62 @@ def main(argv: list[str] | None = None) -> int:
         if a.output:
             write_outputs(result, a.output)
             print(f"wrote {a.output}/documents (per split) and {a.output}/packed")
+        return 0
+
+    if a.cmd == "count":
+        from toshokan_spark.plans.ast import All, parse_query
+
+        node = parse_query(a.query)
+        dels = catalog.deletes(a.index, at_version=a.at_version)
+        if isinstance(node, All) and not dels:
+            # manifest fast path: commit-time row counts are additive
+            # and exact; pending tombstones force the scan path (their
+            # mask needs the data)
+            segs = catalog.segments(a.index, at_version=a.at_version)
+            print(json.dumps({"count": sum(s.num_rows for s in segs),
+                              "source": "manifest"},
+                             sort_keys=True, separators=(",", ":")))
+            return 0
+        from toshokan_spark.search import search_df
+
+        spark = _spark()
+        n = search_df(spark, catalog, a.index, a.query,
+                      limit=None, at_version=a.at_version).count()
+        print(json.dumps({"count": n, "source": "scan"},
+                         sort_keys=True, separators=(",", ":")))
+        return 0
+
+    if a.cmd == "validate":
+        from toshokan_spark.plans.ast import ParseError, parse_query
+
+        config = catalog.get_index(a.index)
+        declared = {f.name for f in config.fields}
+        try:
+            node = parse_query(a.query)
+        except (ParseError, ValueError) as e:
+            print(json.dumps({"valid": False, "error": str(e)},
+                             sort_keys=True, separators=(",", ":")))
+            return 1
+        # field routing note, ES-style explanation: undeclared fields
+        # are legal (they route to _dynamic) but worth surfacing
+        def fields_of(n):
+            out = set()
+            for attr in ("field",):
+                fp = getattr(n, attr, None)
+                if fp:
+                    out.add(fp[0])
+            for attr in ("must", "should", "must_not", "children"):
+                for c in getattr(n, attr, []) or []:
+                    out |= fields_of(c)
+            sub = getattr(n, "child", None)
+            if sub is not None:
+                out |= fields_of(sub)
+            return out
+        dyn = sorted(f for f in fields_of(node) if f not in declared)
+        doc = {"valid": True, "parsed": repr(node)}
+        if dyn:
+            doc["dynamic_routed_fields"] = dyn
+        print(json.dumps(doc, sort_keys=True, separators=(",", ":")))
         return 0
 
     if a.cmd == "percolator":
