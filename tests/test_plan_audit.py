@@ -1564,3 +1564,18 @@ def test_multi_match_reads_per_field_manifest_stats(spark, sf_dir):
     assert plan.count("FileScan") == 4, (
         "expected 2 data scans (one per scored field) + 2 stats scans"
     )
+
+
+def test_matrix_stats_is_one_scan(spark, sf_dir):
+    """matrix_stats: all k(k+1)/2 moment sums land in ONE aggregate
+    over ONE scan, and the pair matrix derives from that single row
+    via explode — a per-pair union would re-plan the aggregation per
+    branch (3 scans observed before the fix)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_matrix_stats"](spark, sf_dir)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert phys.count("FileScan") == 1
+    assert phys.count("Union") == 0
