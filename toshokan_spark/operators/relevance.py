@@ -569,41 +569,51 @@ def pinned_query(
     pinned rows carry their organic score (0.0 for non-matches) but
     owe their rank to the pin.
 
-    One scoring scan plus an id-list literal fold: the pinned list is
-    curation-sized (ES caps it at 100), so its order index folds into
-    the plan as a CASE chain — no join, no second scan; the final cut
-    is a distributed TakeOrdered on (pin_order, score, id)."""
+    Scale shape: ONE full scoring scan (the match set), the pin order
+    folded in as a literal map (no join), plus pinned NON-matches
+    recovered through an id-IN-pruned scan (reads the pins' row
+    groups, not the corpus) anti-joined against the ≤|pins| matched
+    pins — every join side is pin-list-sized and broadcast. The
+    earlier shape left-joined the match set onto a corpus-wide id
+    projection, which at index scale is a corpus shuffle."""
+    npin = len(pinned_ids)
+    pin_order = F.create_map(
+        *[x for i, p in enumerate(pinned_ids)
+          for x in (F.lit(p), F.lit(i))]
+    )
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
     scored = with_bm25(
         base, query, text_col=text_col, out_col="__bm25",
         tokenizer=tokenizer, stats_provider=stats_provider,
     ).select("id", F.round(F.col("__bm25"), 6).alias("score"))
-    # pinned non-matches still surface: left-join the pinned ids over
-    # the FULL doc-id projection, scores defaulting to 0.0
-    pin_order = F.create_map(
-        *[x for i, p in enumerate(pinned_ids)
-          for x in (F.lit(p), F.lit(i))]
-    )
-    all_ids = docs.select(F.col(id_col).alias("id"))
-    organic = all_ids.join(scored, "id", "left").select(
-        "id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
-    )
-    ordered = organic.select(
+    matched = scored.select(
         "id", "score",
-        F.coalesce(
-            pin_order[F.col("id")], F.lit(len(pinned_ids))
-        ).alias("__pin"),
-    ).filter(
-        # unpinned rows must actually match the organic query
-        (F.col("__pin") < F.lit(len(pinned_ids))) | (F.col("score") > 0)
+        F.coalesce(pin_order[F.col("id")], F.lit(npin)).alias("__pin"),
     )
+    if pinned_ids:
+        # pinned docs that did NOT match organically: the id filter
+        # pushes to the scan (pin-sized read), the anti join's build
+        # side is the matched pins (≤ |pins| rows, broadcast)
+        matched_pins = matched.filter(
+            F.col("id").isin(list(pinned_ids))
+        ).select("id")
+        missing = (
+            docs.filter(F.col(id_col).isin(list(pinned_ids)))
+            .select(F.col(id_col).alias("id"))
+            .join(F.broadcast(matched_pins), "id", "left_anti")
+            .select(
+                "id", F.lit(0.0).alias("score"),
+                pin_order[F.col("id")].alias("__pin"),
+            )
+        )
+        matched = matched.unionByName(missing)
     out = (
-        ordered.orderBy(
+        matched.orderBy(
             F.col("__pin").asc(), F.col("score").desc(), F.col("id").asc()
         )
         .limit(k)
         .select(F.col("id").alias(id_col), "score",
-                (F.col("__pin") < F.lit(len(pinned_ids))).alias("pinned"))
+                (F.col("__pin") < F.lit(npin)).alias("pinned"))
     )
     return out
 
