@@ -4609,3 +4609,27 @@ def test_matrix_stats_top_metrics_rate(spark):
     assert rates[2] == pytest.approx(2.0, abs=1e-6)   # 58 over 29 days
     with pytest.raises(ValueError):
         rate_agg(rdf, "ts", bucket="week")
+
+
+def test_rate_agg_uses_actual_bucket_seconds(spark):
+    """Review finding: every rate granularity divides by the bucket's
+    ACTUAL elapsed seconds. On a DST-transition day the day bucket is
+    23 h, so the per-hour rate divides by 23, not 24."""
+    from datetime import datetime
+
+    from toshokan_spark.search import rate_agg
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rdf = spark.createDataFrame(
+            [(datetime(2024, 3, 10, 12, 0), 23.0),   # 23-hour DST day
+             (datetime(2024, 3, 11, 12, 0), 24.0)],  # normal day
+            "ts timestamp, v double")
+        rates = {r.bucket.day: r.rate for r in rate_agg(
+            rdf, "ts", value_col="v", bucket="day",
+            unit_seconds=3600).collect()}
+        assert rates[10] == pytest.approx(1.0, abs=1e-6)
+        assert rates[11] == pytest.approx(1.0, abs=1e-6)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

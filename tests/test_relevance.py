@@ -360,3 +360,33 @@ def test_boosting_query_demotes_not_excludes(spark):
     noneg = {r.doc_id: r.score for r in boosting_query(
         docs, "alpha", "???", negative_boost=0.5, k=10).collect()}
     assert noneg[2] == pytest.approx(out[1].score, abs=1e-6)
+
+
+def test_review_r14_hardening(spark):
+    """Round-14 review findings: duplicate pinned ids dedup silently
+    (ES behavior) instead of raising Spark's duplicate-map-key error;
+    a negative corpus mean never becomes the rank_feature pivot (zero
+    denominator / complex exponent); explicit non-positive pivots are
+    rejected."""
+    from toshokan_spark.operators.relevance import (
+        pinned_query,
+        rank_feature_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", -10), (2, "alpha", -2), (3, "gamma", -5)],
+        "doc_id long, text string, delta long",
+    )
+    out = pinned_query(docs, "alpha", [3, 3, 1], k=10).collect()
+    assert [r.doc_id for r in out][:2] == [3, 1]
+    # all-negative feature: pivot default must clamp to a positive
+    sat = rank_feature_score(docs, "alpha", "delta", k=10).collect()
+    assert all(r.score is not None for r in sat)
+    sig = rank_feature_score(
+        docs, "alpha", "delta", function="sigmoid", exponent=0.5, k=10
+    ).collect()
+    assert all(r.score is not None for r in sig)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        rank_feature_score(docs, "alpha", "delta", pivot=-1.0)

@@ -252,54 +252,84 @@ class FsCatalog:
     # ------------------------------------------------------------------
     # percolators — standing queries registered against an index (the
     # ES percolator stores queries in an index and matches arriving
-    # documents against ALL of them; see search.py::percolate). One
-    # atomic JSON file per index, alias-style: monitors are catalog
-    # metadata like aliases, not snapshot-versioned data — a monitor
-    # registered mid-ingest applies to the next percolation, which is
-    # the alerting contract.
+    # documents against ALL of them; see search.py::percolate). ONE
+    # atomic JSON file PER MONITOR (percolators/<index>/<id>.json):
+    # concurrent registrations of different monitors touch different
+    # files, so there is no shared read-modify-write to lose updates
+    # (the lesson of the manifest CAS chain, without needing versions
+    # — monitors are catalog metadata like aliases, not snapshot
+    # data). Listing orders by (created_at_ms, query_id) so the
+    # percolation output is registration-deterministic.
     # ------------------------------------------------------------------
 
-    def _percolator_path(self, name: str) -> str:
-        return join_path(self.root, "percolators", f"{name}.json")
+    def _percolator_dir(self, name: str) -> str:
+        return join_path(self.root, "percolators", name)
 
     def percolators(self, name: str) -> "dict[str, str]":
-        """query_id -> query string for *name* (resolved), registration
-        order preserved (JSON object order round-trips)."""
+        """query_id -> query string for *name* (resolved), ordered by
+        registration time then id."""
         resolved = self.resolve(name)
-        p = self._percolator_path(resolved)
-        if not self._st.exists(p):
+        d = self._percolator_dir(resolved)
+        try:
+            files = self._st.list_names(d)
+        except StorageNotFound:
             return {}
-        return json.loads(self._st.read_text(p))
+        rows = []
+        for n in files:
+            if n.endswith(".json"):
+                doc = json.loads(self._st.read_text(join_path(d, n)))
+                rows.append(
+                    (doc.get("created_at_ms", 0), n[:-5], doc["query"])
+                )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return {qid: q for _ts, qid, q in rows}
 
     def register_percolator(self, name: str, query_id: str, query: str) -> None:
         """Add or REPLACE one standing query (ES PUT semantics). The
-        query must parse against the index's config — a monitor that
-        can never compile should fail at registration, not at the
-        first percolation."""
+        query must parse AND compile against the index's schema — a
+        monitor that can never compile must fail here, not halt the
+        first percolation (or the ingest stream carrying it)."""
         resolved = self.resolve(name)
         if not self._st.exists(self._config_path(resolved)):
             raise CatalogError(f"unknown index {name!r}")
+        if "/" in query_id or query_id in ("", ".", ".."):
+            raise CatalogError(f"bad percolator id {query_id!r}")
+        config = self.get_index(resolved)
         from toshokan_spark.plans.ast import parse_query
 
-        parse_query(query)  # raises on syntax errors
-        self._st.mkdirs(join_path(self.root, "percolators"))
-        cur = self.percolators(resolved)
-        cur[query_id] = query
+        parse_query(query)  # syntax always checked
+        # FULL compilation against the index's column set — the same
+        # environment percolate() evaluates in — so a monitor that can
+        # never compile (range on an object field, bad value coercion)
+        # fails HERE, not by halting the first percolation or the
+        # ingest stream carrying it. Column construction needs a JVM:
+        # callers with a session (the CLI starts one for registration)
+        # get the full check; session-less library callers get syntax
+        # only.
+        from pyspark.sql import SparkSession
+
+        if SparkSession.getActiveSession() is not None:
+            from toshokan_spark.query import compile_query
+
+            cols = set(config.spark_schema().fieldNames())
+            compile_query(query, config, cols)  # raises on compile errors
+        self._st.mkdirs(self._percolator_dir(resolved))
         self._st.write_text_atomic(
-            self._percolator_path(resolved), json.dumps(cur, indent=1)
+            join_path(self._percolator_dir(resolved), f"{query_id}.json"),
+            json.dumps({
+                "query": query,
+                "created_at_ms": int(time.time() * 1000),
+            }),
         )
 
     def drop_percolator(self, name: str, query_id: str) -> None:
         resolved = self.resolve(name)
-        cur = self.percolators(resolved)
-        if query_id not in cur:
+        p = join_path(self._percolator_dir(resolved), f"{query_id}.json")
+        if not self._st.exists(p):
             raise CatalogError(
                 f"no percolator {query_id!r} on index {name!r}"
             )
-        del cur[query_id]
-        self._st.write_text_atomic(
-            self._percolator_path(resolved), json.dumps(cur, indent=1)
-        )
+        self._st.delete_file(p)
 
     def set_alias(self, alias: str, index: str) -> None:
         """Point *alias* at *index* (create or ATOMIC re-point — the
@@ -369,8 +399,10 @@ class FsCatalog:
             if target == name:
                 self._st.delete_file(self._alias_path(alias))
         # registered monitors die with their index
-        if self._st.exists(self._percolator_path(name)):
-            self._st.delete_file(self._percolator_path(name))
+        try:
+            self._st.delete_tree(self._percolator_dir(name))
+        except Exception:
+            pass  # best-effort, like data deletion below
         if config.path:
             self.data_storage(config).delete_tree(config.path)
 

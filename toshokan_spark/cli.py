@@ -1463,7 +1463,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             if span_col != field:
                 out = out.drop(span_col)
-            if a.limit:
+            if a.limit is not None:
+                # limit 0 means ZERO rows, like every other search
+                # path — a falsy-zero check here would print (and
+                # collect) the whole hit set instead
                 out = out.limit(a.limit)
             for r in out.collect():
                 d = r.asDict(recursive=True)
@@ -1711,6 +1714,7 @@ def main(argv: list[str] | None = None) -> int:
                 print("error: percolator wants QUERY_ID QUERY, --drop "
                       "QUERY_ID, or --list", file=sys.stderr)
                 return 2
+            _spark()  # registration compiles the monitor (needs a JVM)
             catalog.register_percolator(a.index, a.query_id, a.query)
             print(f"registered percolator {a.query_id}")
             return 0

@@ -474,6 +474,14 @@ def rank_feature_score(
     if function in ("saturation", "sigmoid") and pivot is None:
         row = docs.agg(F.avg(F.col(feature_col))).first()
         pivot = float(row[0] or 1.0)  # 1-row pivot-default probe
+        # features are clamped to >= 0 at scoring, so the pivot must
+        # be positive too: a negative corpus mean would put a zero in
+        # saturation's denominator and a complex number under
+        # sigmoid's fractional exponent
+        if pivot <= 0.0:
+            pivot = 1.0
+    if pivot is not None and float(pivot) <= 0.0:
+        raise ValueError("rank_feature pivot must be positive")
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col), F.col(feature_col)
     )
@@ -576,6 +584,9 @@ def pinned_query(
     pins — every join side is pin-list-sized and broadcast. The
     earlier shape left-joined the match set onto a corpus-wide id
     projection, which at index scale is a corpus shuffle."""
+    # ES dedups pinned ids silently; without this, a duplicate key in
+    # the literal map raises Spark's duplicate-map-key error mid-query
+    pinned_ids = list(dict.fromkeys(pinned_ids))
     npin = len(pinned_ids)
     pin_order = F.create_map(
         *[x for i, p in enumerate(pinned_ids)
@@ -635,24 +646,32 @@ def boosting_query(
     its score with ``negative_boost`` (0..1). The match set is the
     positive query's; the negative side only reweights.
 
-    One scan: the negative match is an ``arrays_overlap`` against the
-    negative term literals on the SAME token array the scorer already
-    staged, so the demotion test is a fused column predicate — no
-    second tokenize, no join, no subquery."""
+    One scan, no join, no subquery: the negative match is an
+    ``arrays_overlap`` against the negative term literals, staged as
+    a column in the same scan projection the scorer reads. It costs
+    one extra linear tokenize per row (with_bm25 does not expose its
+    internal token array, so the two tokenizes are independent —
+    constant work per row, evaluated once because the predicate is
+    staged before the scorer rather than recomputed in a pushed
+    filter)."""
     neg_terms = list(dict.fromkeys(analyze_term(negative, tokenizer)))
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    if neg_terms:
+        base = base.withColumn(
+            "__neg",
+            F.arrays_overlap(
+                tokenize(F.col(text_col), tokenizer),
+                F.array(*[F.lit(t) for t in neg_terms]),
+            ),
+        )
     scored = with_bm25(
         base, positive, text_col=text_col, out_col="__bm25",
         tokenizer=tokenizer, stats_provider=stats_provider,
     )
     if neg_terms:
-        neg_hit = F.arrays_overlap(
-            tokenize(F.col(text_col), tokenizer),
-            F.array(*[F.lit(t) for t in neg_terms]),
-        )
-        factor = F.when(neg_hit, F.lit(float(negative_boost))).otherwise(
-            F.lit(1.0)
-        )
+        factor = F.when(
+            F.col("__neg"), F.lit(float(negative_boost))
+        ).otherwise(F.lit(1.0))
     else:
         factor = F.lit(1.0)
     out = scored.select(

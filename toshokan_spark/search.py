@@ -2903,16 +2903,19 @@ def rate_agg(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         *([F.sum(val).alias("__sum")] if val is not None else []),
     )
-    # bucket length from the KEY (calendar arithmetic, no data pass)
-    if bucket == "month":
-        span = (
-            F.unix_timestamp(F.add_months(F.col("bucket"), 1))
-            - F.unix_timestamp(F.col("bucket"))
-        ).cast("double")
-    elif bucket == "day":
-        span = F.lit(86400.0)
-    else:
-        span = F.lit(3600.0)
+    # bucket length from the KEY (calendar arithmetic, no data pass).
+    # Every granularity uses the bucket's ACTUAL elapsed seconds —
+    # calendar-aware timestampadd, so a 23-hour DST-transition day or
+    # a 28-day February divides by its own length (the ES rate
+    # contract; hours are fixed 3600 s but go through the same path
+    # for uniformity).
+    unit_sql = {"month": "MONTH", "day": "DAY", "hour": "HOUR"}[bucket]
+    span = (
+        F.unix_timestamp(
+            F.expr(f"timestampadd({unit_sql}, 1, bucket)")
+        )
+        - F.unix_timestamp(F.col("bucket"))
+    ).cast("double")
     g = g.withColumn("__span", span)
     total = (
         F.col("__sum").cast("double") if value_col is not None
@@ -2989,6 +2992,10 @@ def mlt_search_df(
         live, seed_id, id_col=id_col, text_col=fld, tokenizer=tok,
         k=k, stats_provider=provider,
     ).withColumnRenamed("mlt", "_score")
-    return live.join(F.broadcast(ranked), id_col).select(
-        *live.columns, "_score"
+    # the display join is unordered — restore the ranking before
+    # returning (ES hits are always rank-ordered)
+    return (
+        live.join(F.broadcast(ranked), id_col)
+        .select(*live.columns, "_score")
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
     )
