@@ -1291,3 +1291,60 @@ def test_count_and_validate_commands(spark, tmp_path, capsys):
     assert cli.main(["--catalog", cat, "validate", "cnt", "sev:("]) == 1
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["valid"] is False and "error" in out
+
+
+def test_analyze_fields_msearch_commands(spark, tmp_path, capsys):
+    """ES _analyze / _field_caps / _msearch through the CLI: tokens
+    via the REAL tokenizer expressions (field-routed or explicit),
+    per-field capability lines incl. commit-time stats presence, and
+    a query batch in one session with per-line error isolation."""
+    import json as _json
+
+    from toshokan_spark import cli
+
+    cfg = {"name": "caps", "path": str(tmp_path / "d" / "caps"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "body", "type": "text", "tokenizer": "en_stem"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "body": f"running fast {i}"})
+                  for i in range(4)) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "caps",
+                     str(tmp_path / "r.jsonl")]) == 0
+    capsys.readouterr()
+
+    def lines(argv, rc=0):
+        assert cli.main(argv) == rc
+        return [_json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines() if l]
+
+    # field-routed analyze uses the field's en_stem tokenizer
+    d = lines(["--catalog", cat, "analyze", "caps", "body",
+               "Running QUICKLY"])[0]
+    assert d == {"tokenizer": "en_stem", "tokens": ["run", "quick"]}
+    d = lines(["--catalog", cat, "analyze", "caps", "Keep-Going",
+               "--tokenizer", "whitespace"])[0]
+    assert d["tokens"] == ["Keep-Going"]
+    assert cli.main(["--catalog", cat, "analyze", "caps", "nofield"]) == 2
+    capsys.readouterr()
+
+    rows = lines(["--catalog", cat, "fields", "caps"])
+    by = {r["field"]: r for r in rows}
+    assert by["body"]["tokenizer"] == "en_stem"
+    assert by["body"]["stats"] is True   # commit-time stats written
+    assert by["_dynamic"]["type"] == "dynamic_object"
+
+    (tmp_path / "q.txt").write_text(
+        'id:>=2\n{"query": "body:running", "limit": 3}\nbroken:(\n')
+    rows = lines(["--catalog", cat, "msearch", "caps",
+                  str(tmp_path / "q.txt"), "--limit", "1"])
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["q"], []).append(r)
+    assert len(byq[0]) == 1            # plain line takes --limit
+    assert len(byq[1]) == 3            # JSON line overrides limit
+    assert "error" in byq[2][0]        # parse error isolated per line

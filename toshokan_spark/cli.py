@@ -443,6 +443,38 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("index")
     pe.add_argument("query")
 
+    pan = sub.add_parser(
+        "analyze",
+        help="ES _analyze: show how a text analyzes under a field's "
+             "tokenizer (or an explicit --tokenizer), one token per "
+             "output element",
+    )
+    pan.add_argument("index")
+    pan.add_argument("field_or_text")
+    pan.add_argument("text", nargs="?", default=None)
+    pan.add_argument("--tokenizer", default=None,
+                     choices=["default", "raw", "whitespace", "en_stem"])
+
+    pfc = sub.add_parser(
+        "fields",
+        help="ES _field_caps: every declared field's type, tokenizer, "
+             "fast flag and whether commit-time stats exist for it",
+    )
+    pfc.add_argument("index")
+
+    pms = sub.add_parser(
+        "msearch",
+        help="ES _msearch: run a file of queries (one per line, or "
+             "JSON lines {query, limit}) against an index in ONE "
+             "session — amortizes JVM startup across the batch; "
+             "output lines are tagged with the 0-based query number",
+    )
+    pms.add_argument("index")
+    pms.add_argument("file")
+    pms.add_argument("--limit", type=int, default=1,
+                     help="default per-query limit (JSON lines may "
+                          "override)")
+
     pcn = sub.add_parser(
         "count",
         help="ES _count: the number of documents matching a query. "
@@ -1639,6 +1671,100 @@ def main(argv: list[str] | None = None) -> int:
         if a.output:
             write_outputs(result, a.output)
             print(f"wrote {a.output}/documents (per split) and {a.output}/packed")
+        return 0
+
+    if a.cmd == "analyze":
+        # field form: `analyze idx field text...`; explicit form:
+        # `analyze idx text... --tokenizer T`. One 1-row frame through
+        # the REAL tokenizer expressions — a pure-Python shadow would
+        # drift from what queries and stats actually see.
+        from toshokan_spark.functions.tokenizers import tokenize
+        from pyspark.sql import functions as SF
+
+        config = catalog.get_index(a.index)
+        fmap = {f.name: f for f in config.fields}
+        if a.tokenizer is not None:
+            text = (
+                f"{a.field_or_text} {a.text}" if a.text is not None
+                else a.field_or_text
+            )
+            tok = a.tokenizer
+        else:
+            if a.text is None or a.field_or_text not in fmap:
+                print("error: analyze wants FIELD TEXT (or TEXT "
+                      "--tokenizer T)", file=sys.stderr)
+                return 2
+            tok = fmap[a.field_or_text].tokenizer or "default"
+            text = a.text
+        spark = _spark()
+        row = spark.createDataFrame([(text,)], "t string").select(
+            tokenize(SF.col("t"), tok).alias("tokens")
+        ).first()
+        print(json.dumps({"tokenizer": tok, "tokens": row["tokens"]},
+                         sort_keys=True, separators=(",", ":")))
+        return 0
+
+    if a.cmd == "fields":
+        from toshokan_spark.indexer import stats_path, text_stat_fields
+
+        config = catalog.get_index(a.index)
+        stat_fields = {n for n, _ in text_stat_fields(config)}
+        segs = catalog.segments(a.index)
+        st = catalog.data_storage(config)
+        have_stats = bool(segs) and all(
+            st.exists(stats_path(config, s.file_name)) for s in segs
+        )
+        for f in config.fields:
+            doc = {"field": f.name, "type": f.type}
+            if f.type in ("text", "dynamic_object"):
+                doc["tokenizer"] = f.tokenizer or "default"
+            if getattr(f, "fast", False):
+                doc["fast"] = True
+            if f.name == config.time_field:
+                doc["time_field"] = True
+            if f.name in stat_fields:
+                doc["stats"] = have_stats
+            print(json.dumps(doc, sort_keys=True, separators=(",", ":")))
+        print(json.dumps({"field": "_dynamic", "type": "dynamic_object",
+                          "tokenizer": "raw"},
+                         sort_keys=True, separators=(",", ":")))
+        return 0
+
+    if a.cmd == "msearch":
+        from toshokan_spark.search import prettify_doc, search_df
+
+        config = catalog.get_index(a.index)
+        specs = []
+        with open(a.file) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("{"):
+                    doc = json.loads(line)
+                    specs.append((doc["query"],
+                                  int(doc.get("limit", a.limit))))
+                else:
+                    specs.append((line, a.limit))
+        if not specs:
+            print("error: empty msearch file", file=sys.stderr)
+            return 2
+        spark = _spark()
+        for qi, (q, lim) in enumerate(specs):
+            try:
+                rows = search_df(
+                    spark, catalog, a.index, q, limit=lim
+                ).collect()
+            except Exception as e:
+                print(json.dumps({"q": qi, "error": str(e)},
+                                 sort_keys=True, separators=(",", ":")))
+                continue
+            for r in rows:
+                print(json.dumps(
+                    {"q": qi,
+                     "doc": json.loads(
+                         prettify_doc(r.asDict(recursive=True), config))},
+                    sort_keys=True, separators=(",", ":")))
         return 0
 
     if a.cmd == "count":
