@@ -497,3 +497,71 @@ def test_bpe_minrank_encode_equals_replay(word_counts, n_merges):
         for a, b in merges:          # replay in training order
             syms = _bpe_merge_word(syms, a, b)
         assert _bpe_encode_len(w, ranks, {}) == len(syms), (w, merges)
+
+
+def test_compile_query_total_over_fuzz(spark):
+    """Compile totality (companion to the parse fuzz): any query that
+    PARSES either compiles against a representative schema or raises
+    CompileError — never an arbitrary exception mid-plan. Exercises
+    every field type, dotted static-object paths, dynamic routing,
+    unknown fields, ranges, negations, fuzzy/regex/wildcard leaves.
+    (A 100k-example run of this plus the parser fuzz was clean at
+    round 14; the committed budget keeps the suite fast.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from toshokan_spark.config import FieldConfig, IndexConfig
+    from toshokan_spark.query import CompileError, compile_query
+
+    cfg = IndexConfig(
+        name="fz", path="/tmp/fz", time_field="ts",
+        fields=[
+            FieldConfig(name="ts", type="datetime",
+                        formats=["rfc3339", "timestamp"], fast=True),
+            FieldConfig(name="n", type="number", number_type="u64"),
+            FieldConfig(name="t", type="text"),
+            FieldConfig(name="r", type="text", tokenizer="raw"),
+            FieldConfig(name="b", type="boolean"),
+            FieldConfig(name="ip", type="ip"),
+            FieldConfig(name="obj", type="static_object",
+                        fields=[FieldConfig(name="c", type="text")]),
+            FieldConfig(name="dyn", type="dynamic_object"),
+        ],
+    )
+    cols = set(cfg.spark_schema().fieldNames())
+    fields = st.sampled_from(
+        ["ts", "n", "t", "r", "b", "ip", "obj.c", "dyn.k", "nope",
+         "_dynamic"])
+    vals = st.one_of(
+        st.text(max_size=12),
+        st.integers(-2**66, 2**66).map(str),
+        st.sampled_from(
+            ["*", "true", "false", "1.5", "2024-01-01T00:00:00Z", "::1",
+             "10.0.0.1", "a?c*", "/a.+/", '"x y"~2', "term~2"]),
+    )
+    leaf = st.tuples(fields, vals).map(lambda fv: f"{fv[0]}:{fv[1]}")
+    q = st.one_of(
+        leaf,
+        st.text(max_size=30),
+        st.tuples(leaf, st.sampled_from([" AND ", " OR ", " "]), leaf)
+        .map(lambda x: x[0] + x[1] + x[2]),
+        leaf.map(lambda s: f"NOT {s}"),
+        leaf.map(lambda s: f"-{s}"),
+        st.tuples(fields, vals, vals)
+        .map(lambda x: f"{x[0]}:[{x[1]} TO {x[2]}]"),
+    )
+
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(q)
+    def run(s):
+        try:
+            parse_query(s)
+        except ParseError:
+            return
+        try:
+            compile_query(s, cfg, cols)
+        except CompileError:
+            pass
+
+    run()
