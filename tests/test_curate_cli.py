@@ -1348,3 +1348,46 @@ def test_analyze_fields_msearch_commands(spark, tmp_path, capsys):
     assert len(byq[0]) == 1            # plain line takes --limit
     assert len(byq[1]) == 3            # JSON line overrides limit
     assert "error" in byq[2][0]        # parse error isolated per line
+
+
+def test_concurrent_percolator_registrations_both_survive(spark, tmp_path):
+    """Review-fix proof: registrations of DIFFERENT monitors touch
+    different files, so two concurrent writers can never lose each
+    other's update (the old shared-JSON read-modify-write could)."""
+    import json as _json
+    import threading
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    cfg = {"name": "conc", "path": str(tmp_path / "d" / "conc"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    c = FsCatalog(cat)
+
+    n, per = 8, 5
+    errs = []
+
+    def worker(w):
+        try:
+            for i in range(per):
+                c.register_percolator("conc", f"m{w}_{i}", f"id:>{w * 10 + i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    got = c.percolators("conc")
+    assert len(got) == n * per, f"lost registrations: {n*per - len(got)}"
+    # re-registration REPLACES (ES PUT semantics)
+    c.register_percolator("conc", "m0_0", "id:>999")
+    assert c.percolators("conc")["m0_0"] == "id:>999"
