@@ -417,3 +417,23 @@ def test_percolator_register_and_percolate(spark, tmp_path_factory, capsys):
     from toshokan_spark.catalog import CatalogError
     with _pytest.raises(CatalogError):
         c2.register_percolator("mon", "x", "sev:A")
+
+
+def test_search_template_params(panel_index, capsys):
+    """ES _search/template: {{NAME}} placeholders substitute before
+    parsing; unresolved placeholders error instead of silently
+    matching everything."""
+    from toshokan_spark import cli
+
+    rows = _run(capsys, ["--catalog", panel_index, "search", "panels",
+                         "tenant_id:>={{lo}} AND severity_text:{{sev}}",
+                         "--param", "lo=1", "--param", "sev=INFO",
+                         "--limit", "10"])
+    assert rows and all(r["tenant_id"] >= 1 for r in rows)
+    capsys.readouterr()
+    assert cli.main(["--catalog", panel_index, "search", "panels",
+                     "tenant_id:{{missing}}", "--param", "x=1"]) == 2
+    assert "unresolved template params" in capsys.readouterr().err
+    assert cli.main(["--catalog", panel_index, "search", "panels",
+                     "x", "--param", "noequals"]) == 2
+    capsys.readouterr()

@@ -165,6 +165,12 @@ def main(argv: list[str] | None = None) -> int:
     # rank matches by BM25 of the query's term literals against FIELD
     # (the reference's relevance ordering, globally re-ranked)
     ps.add_argument("--score-field", default=None)
+    ps.add_argument("--param", action="append", default=None,
+                    metavar="NAME=VALUE",
+                    help="ES search template: substitute {{NAME}} "
+                         "placeholders in the query (repeatable; plain "
+                         "substitution like _search/template — quote "
+                         "structure in the template itself)")
     ps.add_argument("--more-like-this", default=None, metavar="SEED_ID",
                     help="instead of running the query, return the "
                          "documents most similar to the given seed doc "
@@ -795,6 +801,25 @@ def main(argv: list[str] | None = None) -> int:
                 )
             print(f"  {s.file_name} rows={s.num_rows}{days}{zm}{bl}")
         return 0
+
+    if a.cmd == "search" and a.param:
+        # ES _search/template: plain {{NAME}} substitution, applied
+        # before any query parsing; unresolved placeholders are an
+        # error (a half-filled template silently matching everything
+        # is worse than failing)
+        import re as _re
+
+        for spec in a.param:
+            name, sep, value = spec.partition("=")
+            if not sep or not name:
+                print("error: --param wants NAME=VALUE", file=sys.stderr)
+                return 2
+            a.query = a.query.replace("{{" + name + "}}", value)
+        left = _re.findall(r"\{\{(\w+)\}\}", a.query)
+        if left:
+            print(f"error: unresolved template params: {sorted(set(left))}",
+                  file=sys.stderr)
+            return 2
 
     if a.cmd == "search" and (
         "," in a.index or any(ch in a.index for ch in "*?[")
