@@ -90,7 +90,11 @@ FLOORS = {
     # knn_pq's cost is codegen compile of the literal-codebook
     # expression tree, a one-time per-plan cost that does not grow
     # with the corpus; the executed scan is single-pass)
-    "knn_pq": 4.8,
+    # r14: PQ encode/LUT expressions now build as ONE parsed SQL
+    # string instead of ~1500 py4j Column calls — plan construction
+    # fell from 4.5s to 0.01s per query, floors re-measured (sf0.01
+    # warm best-of-3: 1.65/1.43/1.92)
+    "knn_pq": 2.0,
     "q21_suppliers_kept_waiting": 0.9,
     "search_panel": 0.4,
     # round-12: seals the r10 watch pair as ENVIRONMENTAL (VERDICT
@@ -108,7 +112,7 @@ FLOORS = {
     # codegen once per plan, the executed query scans 16 B/vector)
     "train_quality_classifier": 3.2,
     "langid_classifier": 1.4,
-    "knn_pq_persisted": 3.5,
+    "knn_pq_persisted": 1.8,
     "q2_min_cost_supplier": 1.0,
     "q9_product_type_profit": 1.2,
     "dedup_incremental_url": 0.9,
@@ -117,7 +121,7 @@ FLOORS = {
     # codegen cost (see knn_pq note) plus the shortlist refine;
     # domain_pagerank is 5 chained iterations in one lazy job;
     # matryoshka_recall is 4 brute-force passes by design)
-    "knn_pq_rerank": 6.7,
+    "knn_pq_rerank": 2.4,
     "domain_pagerank": 3.2,
     "matryoshka_recall": 2.4,
     "audience_overlap": 1.1,

@@ -4633,3 +4633,41 @@ def test_rate_agg_uses_actual_bucket_seconds(spark):
         assert rates[11] == pytest.approx(1.0, abs=1e-6)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_pq_sql_expression_equivalence(spark):
+    """The SQL-string PQ expression builders must produce byte-
+    identical results to the Column-API fold they replaced (the
+    rewrite bought a ~450x plan-construction speedup; this pins that
+    it bought nothing else)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from toshokan_spark.operators.similarity import (
+        _argmin_code_sql,
+        _l2_sql,
+        _l2_to_literal,
+    )
+
+    rng = random.Random(99)
+    cw = [[rng.uniform(-2, 2) for _ in range(4)] for _ in range(6)]
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-2, 2) for _ in range(4)]) for i in range(50)],
+        "id long, v array<double>",
+    )
+    old_d = _l2_to_literal(F.col("v"), cw[0])
+    new_d = F.expr(_l2_sql("v", cw[0]))
+    old_code = F.array_min(F.array(*[
+        F.struct(_l2_to_literal(F.col("v"), c).alias("d"),
+                 F.lit(j).alias("cid"))
+        for j, c in enumerate(cw)
+    ])).getField("cid")
+    new_code = F.expr(_argmin_code_sql("v", cw))
+    rows = df.select(
+        "id", old_d.alias("od"), new_d.alias("nd"),
+        old_code.alias("oc"), new_code.alias("nc"),
+    ).collect()
+    for r in rows:
+        assert r.od == r.nd          # bit-identical doubles
+        assert r.oc == r.nc
