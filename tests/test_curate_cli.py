@@ -1391,3 +1391,60 @@ def test_concurrent_percolator_registrations_both_survive(spark, tmp_path):
     # re-registration REPLACES (ES PUT semantics)
     c.register_percolator("conc", "m0_0", "id:>999")
     assert c.percolators("conc")["m0_0"] == "id:>999"
+
+
+def test_snapshot_restore_across_catalogs(spark, tmp_path, capsys):
+    """ES snapshot/restore to a repository: the snapshot directory is
+    self-contained (config + manifest metadata + pending deletes +
+    segment data + stats parquets) and restores into a DIFFERENT
+    catalog under a new name with delete masks, manifest-stats fast
+    paths, and time-partition pruning intact."""
+    import json as _json
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    cfg = {"name": "src", "path": str(tmp_path / "d" / "src"),
+           "time_field": "ts",
+           "schema": {"fields": [
+               {"name": "ts", "type": "datetime", "formats": ["timestamp"],
+                "fast": True},
+               {"name": "n", "type": "number", "number_type": "u64"},
+               {"name": "sev", "type": "text", "tokenizer": "raw"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    rows = [{"ts": 1716822728 + i * 86400, "n": i,
+             "sev": "INFO" if i % 2 else "DEBUG"} for i in range(6)]
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "src",
+                     str(tmp_path / "r.jsonl")]) == 0
+    assert cli.main(["--catalog", cat, "delete", "src", "sev:DEBUG"]) == 0
+    assert cli.main(["--catalog", cat, "snapshot", "src",
+                     str(tmp_path / "snap")]) == 0
+    capsys.readouterr()
+
+    cat2 = str(tmp_path / "cat2")
+    assert cli.main(["--catalog", cat2, "restore", str(tmp_path / "snap"),
+                     "--as", "copy", "--path",
+                     str(tmp_path / "d2" / "copy")]) == 0
+    capsys.readouterr()
+    c2 = FsCatalog(cat2)
+    segs = c2.segments("copy")
+    assert len(segs) == 1 and segs[0].num_rows == 6
+    # manifest metadata (zone maps, day ranges) transferred verbatim
+    assert segs[0].min_day is not None
+    assert segs[0].field_stats and "n" in segs[0].field_stats
+    # pending delete restored: DEBUG rows masked
+    assert cli.main(["--catalog", cat2, "count", "copy"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"count": 3, "source": "scan"}
+    # search + time pruning still work on the restored index
+    assert cli.main(["--catalog", cat2, "search", "copy", "sev:INFO",
+                     "--limit", "10"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+    # a non-snapshot dir errors cleanly
+    assert cli.main(["--catalog", cat2, "restore", str(tmp_path)]) == 2
+    capsys.readouterr()

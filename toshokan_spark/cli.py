@@ -449,6 +449,33 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("index")
     pe.add_argument("query")
 
+    pls = sub.add_parser(
+        "list",
+        help="every index and alias with segment/row/pending-delete "
+             "counts — manifest reads only, no Spark session",
+    )
+
+    psn = sub.add_parser(
+        "snapshot",
+        help="copy an index's current state (config, manifest "
+             "metadata, pending deletes, segment data + stats) into a "
+             "self-contained directory any catalog can restore from",
+    )
+    psn.add_argument("index")
+    psn.add_argument("dest")
+
+    prs = sub.add_parser(
+        "restore",
+        help="register a snapshot directory into this catalog "
+             "(optionally under --as NAME beside a live original); "
+             "pending deletes restore with it",
+    )
+    prs.add_argument("snapshot_dir")
+    prs.add_argument("--as", dest="as_name", default=None)
+    prs.add_argument("--path", default=None,
+                     help="data path for the restored index (default: "
+                          "derived from the snapshot's path and --as)")
+
     pan = sub.add_parser(
         "analyze",
         help="ES _analyze: show how a text analyzes under a field's "
@@ -1696,6 +1723,46 @@ def main(argv: list[str] | None = None) -> int:
         if a.output:
             write_outputs(result, a.output)
             print(f"wrote {a.output}/documents (per split) and {a.output}/packed")
+        return 0
+
+    if a.cmd == "list":
+        aliases = catalog.aliases()
+        for n in sorted(catalog.list_indexes()):
+            segs = catalog.segments(n)
+            dels = catalog.deletes(n)
+            als = sorted(al for al, tgt in aliases.items() if tgt == n)
+            doc = {"index": n, "segments": len(segs),
+                   "rows": sum(s.num_rows for s in segs)}
+            if dels:
+                doc["pending_deletes"] = len(dels)
+            if als:
+                doc["aliases"] = als
+            print(json.dumps(doc, sort_keys=True, separators=(",", ":")))
+        return 0
+
+    if a.cmd == "snapshot":
+        from toshokan_spark.maintenance import snapshot_index
+
+        spark = _spark()
+        n_segs, n_rows = snapshot_index(spark, catalog, a.index, a.dest)
+        print(f"snapshotted {a.index}: {n_segs} segment(s), "
+              f"{n_rows} row(s) -> {a.dest}")
+        return 0
+
+    if a.cmd == "restore":
+        from toshokan_spark.catalog import CatalogError
+        from toshokan_spark.maintenance import restore_snapshot
+
+        spark = _spark()
+        try:
+            name, n_rows = restore_snapshot(
+                spark, catalog, a.snapshot_dir,
+                new_name=a.as_name, new_path=a.path,
+            )
+        except CatalogError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"restored {name}: {n_rows} row(s)")
         return 0
 
     if a.cmd == "analyze":

@@ -659,3 +659,134 @@ def rollover(
         catalog.create_index(replace(cfg, name=new_name, path=new_path))
     catalog.set_alias(alias, new_name)
     return True, target, new_name
+
+
+def snapshot_index(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    dest_root: str,
+) -> "tuple[int, int]":
+    """ES snapshot-to-repository: copy an index's CURRENT state —
+    config, manifest entries (with their zone maps / blooms /
+    additive stats), pending delete tombstones, per-segment data AND
+    commit-time stats parquets — into a self-contained directory that
+    :func:`restore_snapshot` can register into ANY catalog. The
+    in-catalog ``reindex --at-version`` path restores a RETAINED
+    version inside one catalog; this is the cross-catalog /
+    off-machine backup half.
+
+    The copy is semantic, not byte-level: each segment is read and
+    rewritten through Spark (a DISTRIBUTED copy — at 100 TB the
+    cluster moves the data, never the driver), preserving the
+    ``__day=`` partition layout so restored manifests prune exactly
+    like the originals. Manifest metadata (row counts, day ranges,
+    zone maps, blooms, decimal sums, histograms) describes CONTENT,
+    not file bytes, so it transfers verbatim.
+
+    Snapshot layout: ``snapshot.json`` (config + entries + deletes)
+    beside one directory per segment plus its ``_stats`` twin.
+    Returns (num_segments, num_rows)."""
+    import json as _json
+    from dataclasses import asdict
+
+    from toshokan_spark.indexer import STATS_DIR, stats_path
+    from toshokan_spark.storage import storage_for
+
+    config = catalog.get_index(index_name)
+    segs = catalog.segments(index_name)
+    dels = catalog.deletes(index_name)
+    st_src = catalog.data_storage(config)
+    st_dst = storage_for(dest_root, spark)
+    st_dst.mkdirs(dest_root)
+
+    partitioned = config.time_field is not None
+    for s in segs:
+        src = join_path(config.path, s.file_name)
+        dst = join_path(dest_root, s.file_name)
+        df = spark.read.parquet(src)
+        w = df.write.mode("overwrite")
+        if partitioned and "__day" in df.columns:
+            w = w.partitionBy("__day")
+        w.parquet(dst)
+        sp = stats_path(config, s.file_name)
+        if st_src.exists(sp):
+            spark.read.parquet(sp).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(join_path(dest_root, STATS_DIR, s.file_name))
+    doc = {
+        "config": config.to_dict(),
+        "segments": [asdict(s) for s in segs],
+        "deletes": [asdict(d) for d in dels],
+        "created_at_ms": int(time.time() * 1000),
+    }
+    st_dst.write_text_atomic(
+        join_path(dest_root, "snapshot.json"), _json.dumps(doc, indent=1)
+    )
+    return len(segs), sum(s.num_rows for s in segs)
+
+
+def restore_snapshot(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    snap_root: str,
+    new_name: "str | None" = None,
+    new_path: "str | None" = None,
+) -> "tuple[str, int]":
+    """Register a :func:`snapshot_index` directory into *catalog* —
+    optionally under a new name/path (restoring beside a live
+    original). Segments, their stats parquets, manifest metadata and
+    PENDING DELETE tombstones all come back: a snapshot taken with a
+    delete pending restores with the same rows masked.
+
+    Returns (index_name, num_rows restored)."""
+    import json as _json
+
+    from toshokan_spark.catalog import CatalogError, DeleteEntry
+    from toshokan_spark.indexer import STATS_DIR
+    from toshokan_spark.storage import storage_for
+
+    st_snap = storage_for(snap_root, spark)
+    try:
+        doc = _json.loads(
+            st_snap.read_text(join_path(snap_root, "snapshot.json"))
+        )
+    except Exception as e:
+        raise CatalogError(f"not a snapshot directory: {snap_root} ({e})")
+    config = IndexConfig.from_dict(doc["config"])
+    from dataclasses import replace
+
+    if new_name:
+        if new_path is None:
+            base = config.path.rstrip("/")
+            new_path = (
+                base[: -len(config.name)] + new_name
+                if base.endswith(config.name)
+                else base + "-" + new_name
+            )
+        config = replace(config, name=new_name, path=new_path)
+    create_index(catalog, config)
+    st_dst = catalog.data_storage(config)
+    partitioned = config.time_field is not None
+    total = 0
+    for sdoc in doc["segments"]:
+        entry = SegmentEntry(**sdoc)
+        src = join_path(snap_root, entry.file_name)
+        df = spark.read.parquet(src)
+        w = df.write.mode("error")
+        if partitioned and "__day" in df.columns:
+            w = w.partitionBy("__day")
+        w.parquet(join_path(config.path, entry.file_name))
+        ssrc = join_path(snap_root, STATS_DIR, entry.file_name)
+        if st_snap.exists(ssrc):
+            spark.read.parquet(ssrc).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(join_path(config.path, STATS_DIR, entry.file_name))
+        catalog.commit_segment(config.name, entry)
+        total += entry.num_rows
+    for ddoc in doc.get("deletes", []):
+        # re-record with the ORIGINAL id/query (add_delete would mint
+        # a new id; replaying the stored entries keeps audit parity)
+        entry = DeleteEntry(**ddoc)
+        catalog.add_delete(config.name, entry.query)
+    return config.name, total
