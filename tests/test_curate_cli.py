@@ -1448,3 +1448,61 @@ def test_snapshot_restore_across_catalogs(spark, tmp_path, capsys):
     # a non-snapshot dir errors cleanly
     assert cli.main(["--catalog", cat2, "restore", str(tmp_path)]) == 2
     capsys.readouterr()
+
+
+def test_verify_index_fsck(spark, tmp_path, capsys):
+    """verify: a healthy index reports healthy; deleting a segment's
+    data, planting an orphan seg dir, and corrupting a manifest row
+    count each surface as typed findings with exit 1."""
+    import json as _json
+    import os
+    import shutil
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    cfg = {"name": "fsck", "path": str(tmp_path / "d" / "fsck"),
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "body", "type": "text"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    (tmp_path / "r.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "body": f"doc {i}"})
+                  for i in range(5)) + "\n")
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "fsck",
+                     str(tmp_path / "r.jsonl")]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat, "verify", "fsck"]) == 0
+    out = [_json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out == [{"index": "fsck", "healthy": True}]
+
+    # plant an orphan directory (crash leftover)
+    os.makedirs(tmp_path / "d" / "fsck" / "seg-orphan0001")
+    # corrupt the manifest row count of the real segment
+    c = FsCatalog(cat)
+    seg = c.segments("fsck")[0]
+    import glob as _glob
+    mpath = sorted(_glob.glob(str(tmp_path / "cat" / "manifests" /
+                                  "fsck" / "v*.json")))[-1]
+    doc = _json.loads(open(mpath).read())
+    doc["segments"][0]["num_rows"] = 99
+    open(mpath, "w").write(_json.dumps(doc))
+    assert cli.main(["--catalog", cat, "verify", "fsck"]) == 1
+    kinds = {f["kind"] for f in
+             (_json.loads(l) for l in
+              capsys.readouterr().out.strip().splitlines())}
+    assert kinds == {"row_count_mismatch", "orphan_segment"}
+
+    # delete the data dir entirely -> missing_segment (and the check
+    # without row counts still catches it, Spark-free)
+    shutil.rmtree(tmp_path / "d" / "fsck" / seg.file_name)
+    assert cli.main(["--catalog", cat, "verify", "fsck",
+                     "--no-count"]) == 1
+    kinds = {f["kind"] for f in
+             (_json.loads(l) for l in
+              capsys.readouterr().out.strip().splitlines())}
+    assert "missing_segment" in kinds

@@ -449,6 +449,18 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("index")
     pe.add_argument("query")
 
+    pvi = sub.add_parser(
+        "verify",
+        help="index integrity check (fsck): manifested segments exist "
+             "and match their manifest row counts, zone maps are "
+             "consistent, stats parquets present, orphan seg-* dirs "
+             "listed; exit 1 when findings exist",
+    )
+    pvi.add_argument("index")
+    pvi.add_argument("--no-count", action="store_true",
+                     help="skip the per-segment parquet row counts "
+                          "(manifest/storage checks only, no Spark)")
+
     pls = sub.add_parser(
         "list",
         help="every index and alias with segment/row/pending-delete "
@@ -1724,6 +1736,21 @@ def main(argv: list[str] | None = None) -> int:
             write_outputs(result, a.output)
             print(f"wrote {a.output}/documents (per split) and {a.output}/packed")
         return 0
+
+    if a.cmd == "verify":
+        from toshokan_spark.maintenance import verify_index
+
+        spark = None if a.no_count else _spark()
+        findings = verify_index(
+            spark, catalog, a.index, count_rows=not a.no_count
+        )
+        for f in findings:
+            print(json.dumps(f, sort_keys=True, separators=(",", ":")))
+        if not findings:
+            print(json.dumps({"index": a.index, "healthy": True},
+                             sort_keys=True, separators=(",", ":")))
+            return 0
+        return 1
 
     if a.cmd == "list":
         aliases = catalog.aliases()

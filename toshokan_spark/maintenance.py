@@ -790,3 +790,75 @@ def restore_snapshot(
         entry = DeleteEntry(**ddoc)
         catalog.add_delete(config.name, entry.query)
     return config.name, total
+
+
+def verify_index(
+    spark: SparkSession,
+    catalog: FsCatalog,
+    index_name: str,
+    count_rows: bool = True,
+) -> "list[dict]":
+    """Integrity check — the fsck every storage engine grows:
+
+    * every manifested segment's data directory exists;
+    * (``count_rows``) each segment's parquet row count equals its
+      manifest ``num_rows`` (one distributed count per segment — cheap
+      metadata-only parquet jobs, no column reads);
+    * zone maps are internally consistent (min <= max);
+    * commit-time stats parquets exist where the config promises them;
+    * orphan ``seg-*`` directories on storage that no manifest entry
+      references (crash leftovers — harmless by the data-first commit
+      order, listed so a vacuum can reclaim them).
+
+    Returns a list of finding dicts (empty = healthy). Read-only:
+    never mutates the catalog or data."""
+    from toshokan_spark.indexer import stats_path, text_stat_fields
+
+    config = catalog.get_index(index_name)
+    segs = catalog.segments(index_name)
+    st = catalog.data_storage(config)
+    findings: "list[dict]" = []
+
+    for s in segs:
+        path = join_path(config.path, s.file_name)
+        if not st.exists(path):
+            findings.append({"kind": "missing_segment",
+                             "segment": s.file_name})
+            continue
+        if count_rows:
+            try:
+                n = spark.read.parquet(path).count()
+            except Exception as e:
+                findings.append({"kind": "unreadable_segment",
+                                 "segment": s.file_name, "error": str(e)})
+                continue
+            if n != s.num_rows:
+                findings.append({
+                    "kind": "row_count_mismatch", "segment": s.file_name,
+                    "manifest": s.num_rows, "parquet": n,
+                })
+        for f, bounds in (s.field_stats or {}).items():
+            lo, hi = bounds
+            if lo is not None and hi is not None and str(lo) > str(hi) \
+                    and not isinstance(lo, (int, float)):
+                findings.append({"kind": "zone_map_inverted",
+                                 "segment": s.file_name, "field": f})
+            elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)) and lo > hi:
+                findings.append({"kind": "zone_map_inverted",
+                                 "segment": s.file_name, "field": f})
+        if text_stat_fields(config) and not st.exists(
+            stats_path(config, s.file_name)
+        ):
+            findings.append({"kind": "missing_stats",
+                             "segment": s.file_name})
+
+    manifested = {s.file_name for s in segs}
+    try:
+        on_disk = [n for n in st.list_names(config.path)
+                   if n.startswith("seg-")]
+    except Exception:
+        on_disk = []
+    for n in on_disk:
+        if n not in manifested:
+            findings.append({"kind": "orphan_segment", "segment": n})
+    return findings
