@@ -1579,3 +1579,49 @@ def test_matrix_stats_is_one_scan(spark, sf_dir):
         "== Initial Plan ==")[0]
     assert phys.count("FileScan") == 1
     assert phys.count("Union") == 0
+
+
+def test_boosting_tokenizes_once(spark, sf_dir):
+    """boosting_query (r15 fix, VERDICT r14 directive 6): the
+    negative-match predicate and the BM25 scorer must read the SAME
+    staged token array (``with_bm25(tokens_col=...)``) — the r14
+    shape tokenized every row twice (once for ``arrays_overlap``,
+    once inside the scorer), a full second pass over every text cell
+    at corpus scale. Pin: the executed plan evaluates tokenize at
+    most twice (one staged expression x filter+project evaluation),
+    not 2x that."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_boosting"](spark, sf_dir)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    n_split = phys.count("split(")
+    assert 1 <= n_split <= 2, (
+        f"tokenize appears {n_split}x — the negative predicate must "
+        "reuse the scorer's token column, not re-tokenize"
+    )
+    assert "CartesianProduct" not in phys
+
+
+def test_rank_distance_pinned_single_tokenize_audit(spark, sf_dir):
+    """The rest of the r14 relevance family (rank_feature,
+    distance_feature, pinned) each call the scorer exactly once and
+    stage no token-array predicate of their own, so their plans must
+    show the same bounded tokenize count as boosting — this is the
+    VERDICT r14 directive-6 audit, pinned so a future feature
+    expression can't quietly add a second per-row tokenize."""
+    import __spark_entry__ as entry
+
+    # pinned's bound is 3: its matched-pins anti-join branch
+    # re-evaluates the scorer, but over the id-IN-pruned scan — a
+    # pin-list-sized row set, not a second corpus pass
+    for name, bound in (("search_rank_feature", 2),
+                        ("search_distance_feature", 2),
+                        ("search_pinned", 3)):
+        df = entry.queries()[name](spark, sf_dir)
+        df.collect()
+        phys = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan ==")[0]
+        n_split = phys.count("split(")
+        assert 1 <= n_split <= bound, f"{name}: tokenize appears {n_split}x"

@@ -42,6 +42,7 @@ def with_bm25(
     tokenizer: str = "default",
     corpus: DataFrame | None = None,
     stats_provider=None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """All original columns + a ``out_col`` BM25 score (rounded to 4
     decimals), keeping only rows matching ≥ 1 analyzed query term.
@@ -63,15 +64,32 @@ def with_bm25(
     :func:`segment_field_stats`). At index scale this turns every
     scored query's full-corpus tokenize+agg into a metadata-sized
     stats read.
+
+    ``tokens_col`` names a column on *docs* that ALREADY holds the
+    tokenized text (``tokenize(text_col, tokenizer)``); the scorer
+    reads it instead of tokenizing again. Callers that stage their
+    own predicate over the same token array (e.g.
+    :func:`~toshokan_spark.operators.relevance.boosting_query`'s
+    negative match) pass it so the executed plan tokenizes each row
+    exactly once (VERDICT r14 directive 6). The column is consumed:
+    it is dropped from the output so the scored frame matches the
+    no-``tokens_col`` shape.
     """
-    cols = docs.columns
     terms = list(dict.fromkeys(analyze_term(query, tokenizer)))
     if not terms:
-        return docs.withColumn(out_col, F.lit(0.0)).limit(0)
+        out = docs.withColumn(out_col, F.lit(0.0)).limit(0)
+        return out.drop(tokens_col) if tokens_col else out
 
-    base = docs.withColumn(
-        "__toks", tokenize(F.col(text_col), tokenizer)
-    ).withColumn("__dl", F.size("__toks"))
+    if tokens_col is not None:
+        cols = [c for c in docs.columns if c != tokens_col]
+        base = docs.withColumn("__toks", F.col(tokens_col)).drop(
+            tokens_col
+        ).withColumn("__dl", F.size("__toks"))
+    else:
+        cols = docs.columns
+        base = docs.withColumn(
+            "__toks", tokenize(F.col(text_col), tokenizer)
+        ).withColumn("__dl", F.size("__toks"))
 
     if stats_provider is not None:
         stats = stats_provider(terms)

