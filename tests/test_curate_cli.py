@@ -1240,6 +1240,14 @@ def test_multi_index_pattern_rejects_panel_flags(spark, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="per-index version"):
         multi_search_df(spark, FsCatalog(cat), "ml-*", "*", at_version=1)
+    # the CLI wraps that ValueError in its error convention — message
+    # to stderr + exit 2, never a traceback (ADVICE r14)
+    rc = cli.main(["--catalog", cat, "search", "ml-*", "*",
+                   "--at-version", "1"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert captured.err.startswith("error:")
+    assert "per-index version" in captured.err
     # single-index pattern + at_version stays legal (version 2 is
     # the post-ingest manifest; version 1 is the empty created state)
     df, names = multi_search_df(
@@ -1393,6 +1401,42 @@ def test_concurrent_percolator_registrations_both_survive(spark, tmp_path):
     assert c.percolators("conc")["m0_0"] == "id:>999"
 
 
+def test_percolator_registration_warns_without_session(
+        spark, tmp_path, monkeypatch):
+    """A session-less (library) registration can only syntax-check
+    the monitor — the schema compilation the docstring promises needs
+    a JVM. That downgrade must be LOUD (ADVICE r14): silent
+    syntax-only acceptance lets an uncompilable monitor through to
+    halt the first percolation or the ingest stream carrying it."""
+    import json as _json
+    import warnings as _warnings
+
+    from pyspark.sql import SparkSession
+
+    from toshokan_spark import cli
+    from toshokan_spark.catalog import FsCatalog
+
+    cfg = {"name": "warny", "path": str(tmp_path / "d" / "warny"),
+           "schema": {"fields": [{"name": "id", "type": "number"}]}}
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    cat = str(tmp_path / "cat")
+    assert cli.main(["--catalog", cat, "create",
+                     str(tmp_path / "c.json")]) == 0
+    c = FsCatalog(cat)
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        c.register_percolator("warny", "m1", "id:>5")
+    assert any("compilation SKIPPED" in str(w.message) for w in caught)
+    # with the session visible again, full compilation runs silently
+    monkeypatch.undo()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        c.register_percolator("warny", "m2", "id:>6")
+    assert not [w for w in caught if "SKIPPED" in str(w.message)]
+
+
 def test_snapshot_restore_across_catalogs(spark, tmp_path, capsys):
     """ES snapshot/restore to a repository: the snapshot directory is
     self-contained (config + manifest metadata + pending deletes +
@@ -1448,6 +1492,22 @@ def test_snapshot_restore_across_catalogs(spark, tmp_path, capsys):
     # a non-snapshot dir errors cleanly
     assert cli.main(["--catalog", cat2, "restore", str(tmp_path)]) == 2
     capsys.readouterr()
+    # audit parity (ADVICE r14): the restored tombstone is the STORED
+    # entry verbatim — same id and created_at_ms as the source
+    # catalog's, not a freshly minted one
+    src_dels = FsCatalog(cat).deletes("src")
+    copy_dels = c2.deletes("copy")
+    assert [(d.id, d.created_at_ms, d.query) for d in src_dels] == [
+        (d.id, d.created_at_ms, d.query) for d in copy_dels]
+    # idempotent retry (ADVICE r14): a restore into a FRESH catalog
+    # but the SAME data path (the leftover of a partially failed
+    # attempt) must overwrite the stale segment dirs, not die on them
+    cat3 = str(tmp_path / "cat3")
+    assert cli.main(["--catalog", cat3, "restore", str(tmp_path / "snap"),
+                     "--as", "copy", "--path",
+                     str(tmp_path / "d2" / "copy")]) == 0
+    capsys.readouterr()
+    assert FsCatalog(cat3).segments("copy")[0].num_rows == 6
 
 
 def test_verify_index_fsck(spark, tmp_path, capsys):

@@ -4582,6 +4582,12 @@ def test_matrix_stats_top_metrics_rate(spark):
     cm = {(r.field, r.other): r for r in
           matrix_stats_agg(cdf, ["x", "y"]).collect()}
     assert cm[("x", "y")].correlation is None
+    # ADVICE r14 guards: an empty hit set yields ZERO pair rows (not
+    # k*k nulls from 0/0 moments); duplicate field names would
+    # corrupt the positional pair-key lookup, so they're rejected
+    assert matrix_stats_agg(df.limit(0), ["x", "y"]).count() == 0
+    with pytest.raises(ValueError, match="repeat"):
+        matrix_stats_agg(df, ["x", "x"])
 
     ev = spark.createDataFrame(
         [("a", datetime(2024, 1, 1), 1, 10.0),

@@ -313,6 +313,20 @@ class FsCatalog:
 
             cols = set(config.spark_schema().fieldNames())
             compile_query(query, config, cols)  # raises on compile errors
+        else:
+            # a session-less registration got syntax-only validation:
+            # say so loudly, because a monitor that parses but can
+            # never COMPILE (range on an object field, bad coercion)
+            # will otherwise surface by halting the first percolation
+            # or the ingest stream carrying it (ADVICE r14)
+            import warnings
+
+            warnings.warn(
+                f"percolator {query_id!r} on {name!r}: no active Spark "
+                "session, schema compilation SKIPPED — the query was "
+                "only syntax-checked and may still fail at percolation",
+                stacklevel=2,
+            )
         self._st.mkdirs(self._percolator_dir(resolved))
         self._st.write_text_atomic(
             join_path(self._percolator_dir(resolved), f"{query_id}.json"),
@@ -563,12 +577,22 @@ class FsCatalog:
             ) from None
         return [DeleteEntry(**d) for d in doc.get("deletes", [])]
 
-    def add_delete(self, name: str, query: str) -> DeleteEntry:
+    def add_delete(
+        self, name: str, query: str, *, entry: "DeleteEntry | None" = None
+    ) -> DeleteEntry:
         """Record a delete-by-query tombstone (one CAS manifest write;
-        see :class:`DeleteEntry` for the read/merge semantics)."""
-        entry = DeleteEntry(
-            id=uuid7(), query=query, created_at_ms=int(time.time() * 1000)
-        )
+        see :class:`DeleteEntry` for the read/merge semantics).
+
+        *entry* commits a STORED tombstone verbatim — original id and
+        ``created_at_ms`` preserved — the snapshot-restore replay path
+        (audit parity: the restored manifest shows the delete exactly
+        as the snapshotted one did). Without it a fresh id/timestamp
+        is minted."""
+        if entry is None:
+            entry = DeleteEntry(
+                id=uuid7(), query=query,
+                created_at_ms=int(time.time() * 1000),
+            )
         for _ in range(self.CAS_RETRIES):
             ver, segs, dels = self._read_versioned_full(name)
             if self._try_write_version(name, ver + 1, segs, dels + [entry]):

@@ -921,10 +921,16 @@ def main(argv: list[str] | None = None) -> int:
         from toshokan_spark.search import multi_search_df, prettify_doc
 
         spark = _spark()
-        df, names = multi_search_df(
-            spark, catalog, a.index, a.query,
-            limit=a.limit, at_version=a.at_version,
-        )
+        try:
+            df, names = multi_search_df(
+                spark, catalog, a.index, a.query,
+                limit=a.limit, at_version=a.at_version,
+            )
+        except ValueError as e:
+            # --at-version over a 2+-index pattern is ambiguous (whose
+            # version?); surface the CLI convention, not a traceback
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         configs = {n: catalog.get_index(n) for n in names}
         for r in df.collect():
             d = r.asDict(recursive=True)

@@ -772,23 +772,35 @@ def restore_snapshot(
     for sdoc in doc["segments"]:
         entry = SegmentEntry(**sdoc)
         src = join_path(snap_root, entry.file_name)
-        df = spark.read.parquet(src)
-        w = df.write.mode("error")
-        if partitioned and "__day" in df.columns:
-            w = w.partitionBy("__day")
-        w.parquet(join_path(config.path, entry.file_name))
-        ssrc = join_path(snap_root, STATS_DIR, entry.file_name)
-        if st_snap.exists(ssrc):
-            spark.read.parquet(ssrc).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(join_path(config.path, STATS_DIR, entry.file_name))
+        # overwrite (matching the stats write below): a retry after a
+        # partially failed restore must replace the leftover segment
+        # dir, not die on it — restores are idempotent (ADVICE r14)
+        try:
+            df = spark.read.parquet(src)
+            w = df.write.mode("overwrite")
+            if partitioned and "__day" in df.columns:
+                w = w.partitionBy("__day")
+            w.parquet(join_path(config.path, entry.file_name))
+            ssrc = join_path(snap_root, STATS_DIR, entry.file_name)
+            if st_snap.exists(ssrc):
+                spark.read.parquet(ssrc).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(
+                    join_path(config.path, STATS_DIR, entry.file_name)
+                )
+        except Exception as e:
+            raise CatalogError(
+                f"restore of segment {entry.file_name!r} failed: {e}"
+            ) from e
         catalog.commit_segment(config.name, entry)
         total += entry.num_rows
     for ddoc in doc.get("deletes", []):
-        # re-record with the ORIGINAL id/query (add_delete would mint
-        # a new id; replaying the stored entries keeps audit parity)
-        entry = DeleteEntry(**ddoc)
-        catalog.add_delete(config.name, entry.query)
+        # replay the STORED tombstone verbatim — original id and
+        # created_at_ms — via the manifest CAS path (add_delete would
+        # otherwise mint a fresh id/timestamp and lose audit parity)
+        catalog.add_delete(
+            config.name, ddoc["query"], entry=DeleteEntry(**ddoc)
+        )
     return config.name, total
 
 

@@ -2781,7 +2781,15 @@ def matrix_stats_agg(hits: DataFrame, fields: "list[str]") -> DataFrame:
     One partial-aggregated scan for ALL pairs: the k·(k+1)/2 sums
     land in a single 1-row aggregate — no per-pair pass, no shuffle
     beyond the one-row combine. Population (biased, /n) moments —
-    the ES definition."""
+    the ES definition.
+
+    Duplicate names in *fields* are rejected (the pair-key lookup is
+    positional and a duplicate would silently corrupt it), and an
+    EMPTY hit set yields an EMPTY result — not k² rows of
+    null-divided-by-zero moments (ADVICE r14)."""
+    if len(set(fields)) != len(fields):
+        dupes = sorted({f for f in fields if fields.count(f) > 1})
+        raise ValueError(f"matrix_stats fields repeat: {dupes}")
     cols = {f: F.col(f).cast("double").cast("decimal(18,6)") for f in fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in fields:
@@ -2822,9 +2830,13 @@ def matrix_stats_agg(hits: DataFrame, fields: "list[str]") -> DataFrame:
                 F.round(cov, 6).alias("covariance"),
                 F.round(corr, 6).alias("correlation"),
             ))
-    return row.select(
-        F.explode(F.array(*pair_structs)).alias("__pair")
-    ).select("__pair.*")
+    return (
+        # n = 0 (no hits) must produce zero pair rows, not a matrix
+        # of nulls from the 0/0 moments
+        row.filter(F.col("__n") > 0)
+        .select(F.explode(F.array(*pair_structs)).alias("__pair"))
+        .select("__pair.*")
+    )
 
 
 def top_metrics_agg(
