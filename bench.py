@@ -15,6 +15,14 @@ the query's cost. Entries whose first run exceeds HEAVY_SECS get a
 third run — a burst long enough to span two runs of a heavy query
 otherwise stands as the recorded number (round-5 recorded
 dedup_minhash_char at ~2x its real warm cost that way).
+
+Best-of-N still cannot reject a SUSTAINED stall spanning all runs of
+adjacent queries (r14: kmeans_embeddings recorded 23.7 s, 8x its real
+cost, plus four embeddings-family neighbors drifted the same way), so
+after the suite every entry whose recorded best exceeds its bound
+(the committed bench-gate bound floor x 2.5, else 2.5x its last
+committed per-round map value) is re-measured in a FRESH pass; both
+numbers are recorded and the final map takes the min.
 """
 
 from __future__ import annotations
@@ -118,6 +126,90 @@ def main() -> int:
         if best > 0:
             total += best
 
+    # ---- post-suite stall re-measure (VERDICT r14 directive 1) ----
+    # Best-of-N cannot reject a host I/O stall that spans EVERY run of
+    # adjacent queries (r14 recorded kmeans_embeddings at 23.7 s — 8x
+    # its real warm cost — because all three runs sat in one sustained
+    # stall). After the suite, any entry whose recorded best exceeds
+    # its bound — the committed bench-gate bound (FLOOR x MULTIPLIER,
+    # tests/test_bench_gate.py) or 2.5x its last committed per-round
+    # map value — gets a FRESH best-of-2 pass here, minutes away from
+    # the original stall window. Both numbers are recorded
+    # ("remeasured" in the artifact + a headline count); the final map
+    # takes the min, since for a fixed plan the lower wall time is
+    # strictly closer to the query's true cost.
+    bounds: dict[str, float] = {}
+    try:
+        import glob
+        import re as _re
+
+        maps = sorted(
+            glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_LOCAL_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", p).group(1)),
+        )
+        if maps:
+            with open(maps[-1]) as f:
+                prior = json.load(f).get("queries", {})
+            for n, v in prior.items():
+                if isinstance(v, (int, float)) and v > 0:
+                    bounds[n] = 2.5 * float(v)
+    except Exception as e:
+        print(f"# prior-map bounds unavailable: {e}", file=sys.stderr)
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_gate", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "test_bench_gate.py"))
+        gate = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gate)
+        for n, floor in gate.FLOORS.items():
+            b = floor * gate.MULTIPLIER
+            bounds[n] = max(bounds.get(n, 0.0), b)
+    except Exception as e:
+        print(f"# gate bounds unavailable: {e}", file=sys.stderr)
+
+    suspects = sorted(
+        (n for n, v in results.items()
+         if v > 0 and n in bounds and v > bounds[n]),
+        key=lambda n: -(results[n] / bounds[n]),
+    )[:20]  # slowest-excess first; cap the extra passes
+    remeasured: dict[str, dict] = {}
+    if suspects:
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        for name in suspects:
+            fresh = -1.0
+            f_runs: list[float] = []
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite").save()
+                    dt = time.time() - t0
+                except Exception as e:
+                    print(f"# remeasure {name} failed: {e}",
+                          file=sys.stderr)
+                    break
+                f_runs.append(round(dt, 3))
+                fresh = dt if fresh < 0 else min(fresh, dt)
+            if fresh > 0:
+                remeasured[name] = {
+                    "recorded": results[name],
+                    "fresh": round(fresh, 3),
+                    "bound": round(bounds[name], 3),
+                    "runs": f_runs,
+                }
+                if fresh < results[name]:
+                    total -= results[name] - fresh
+                    results[name] = round(fresh, 3)
+
     # Raw per-run times go to stderr on their own line: the harness that
     # records the bench keeps only the last ~2000 chars of output and
     # parses the final JSON line, so the headline line must stay compact
@@ -141,6 +233,7 @@ def main() -> int:
                     "unit": "sec",
                     "queries": results,
                     "raw_runs": raw_runs,
+                    "remeasured": remeasured,
                     "sf": sf,
                 },
                 f,
@@ -171,6 +264,7 @@ def main() -> int:
                 "n_queries": len(results),
                 "n_failed": len(failed),
                 "failed": failed[:10],
+                "n_remeasured": len(remeasured),
                 "full_map": os.path.basename(local_path),
                 "queries": dict(sorted(slowest[:n_slow])),
             }
