@@ -437,3 +437,193 @@ def test_search_template_params(panel_index, capsys):
     assert cli.main(["--catalog", panel_index, "search", "panels",
                      "x", "--param", "noequals"]) == 2
     capsys.readouterr()
+
+
+@pytest.fixture(scope="module")
+def relevance_index(spark, tmp_path_factory):
+    """An index with a numeric id, a text body, and a numeric feature
+    — the surface the r15 relevance-family flags score against."""
+    from toshokan_spark import cli
+
+    tmp = tmp_path_factory.mktemp("rel_cli")
+    rows = [
+        {"id": 1, "body": "spark table scan", "stars": 10,
+         "ts": 1716822728},
+        {"id": 2, "body": "spark spark table", "stars": 0,
+         "ts": 1716822728 + 3600},
+        {"id": 3, "body": "slow spark table", "stars": 50,
+         "ts": 1716822728 + 7200},
+        {"id": 4, "body": "nothing relevant", "stars": 99,
+         "ts": 1716822728 + 10800},
+    ]
+    (tmp / "d.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = {"name": "rel", "path": str(tmp / "data"),
+           "time_field": "ts",
+           "schema": {"fields": [
+               {"name": "id", "type": "number"},
+               {"name": "body", "type": "text"},
+               {"name": "stars", "type": "number"},
+               {"name": "ts", "type": "datetime",
+                "formats": ["timestamp"], "fast": True}]}}
+    (tmp / "c.json").write_text(json.dumps(cfg))
+    cat = str(tmp / "cat")
+    assert cli.main(["--catalog", cat, "create", str(tmp / "c.json")]) == 0
+    assert cli.main(["--catalog", cat, "index", "rel",
+                     str(tmp / "d.jsonl")]) == 0
+    return cat
+
+
+def test_boosting_flag_demotes_not_excludes(relevance_index, capsys):
+    """--boosting NEG[:FACTOR]: hits matching the negative terms are
+    DEMOTED by the factor, never dropped (the point over a must_not);
+    colon-less specs default the factor to 0.5."""
+    from toshokan_spark import cli
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "spark table", "--boosting", "slow:0.1",
+                        "--limit", "10"])
+    byid = {o["id"]: o for o in out}
+    assert byid[3]["demoted"] == 1 and byid[1]["demoted"] == 0
+    # doc 3 matches the organic query but ranks LAST among matches
+    ranked = [o["id"] for o in out]
+    assert 3 in ranked and ranked[-1] == 3
+    # default factor applies without an explicit :FACTOR
+    out2 = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                         "spark table", "--boosting", "slow",
+                         "--limit", "10"])
+    d3 = next(o for o in out2 if o["id"] == 3)
+    assert d3["score"] > byid[3]["score"] > 0
+    # out-of-range factor errors
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "spark table", "--boosting", "slow:7"]) == 2
+    assert "must be in [0,1]" in capsys.readouterr().err
+
+
+def test_pinned_flag_promotes_in_list_order(relevance_index, capsys):
+    """--pinned IDS: listed ids lead in LIST order — including a doc
+    that never matches the organic query (score 0) — then organic
+    matches minus the pinned set."""
+    from toshokan_spark import cli
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "spark table", "--pinned", "4,2", "--limit", "10"])
+    ids = [o["id"] for o in out]
+    assert ids[:2] == [4, 2]
+    assert out[0]["pinned"] is True and out[0]["score"] == 0.0
+    assert all(not o["pinned"] for o in out[2:])
+    # non-numeric ids for a numeric id field error cleanly
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "spark table", "--pinned", "x,y"]) == 2
+    assert "numeric ids" in capsys.readouterr().err
+    # the family's flags are mutually exclusive
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "spark table", "--pinned", "4",
+                     "--boosting", "slow"]) == 2
+    assert "exclusive" in capsys.readouterr().err
+
+
+def test_rank_and_distance_feature_flags(relevance_index, capsys):
+    """--rank-feature F[:FN[:PIVOT]] and --distance-feature
+    F:PIVOT[:ORIGIN]: BM25 plus the feature boost, reusing the
+    operators; undeclared fields error, malformed numbers exit 2."""
+    from toshokan_spark import cli
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "spark table", "--rank-feature",
+                        "stars:saturation:10", "--limit", "10"])
+    assert [set(o) for o in out] == [{"id", "score"}] * len(out)
+    # doc 3 (stars 50) outranks doc 1 (stars 10) under a strong boost
+    byid = {o["id"]: o["score"] for o in out}
+    assert byid[3] > 0 and byid[1] > 0
+    # distance_feature: origin at doc 2's ts epoch on the stars axis
+    out2 = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                         "spark table", "--distance-feature",
+                         "stars:25:0", "--limit", "10"])
+    b2 = {o["id"]: o["score"] for o in out2}
+    # stars=0 sits AT the origin: doc 2 gets the full distance boost
+    assert b2[2] > b2[1]
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "spark table", "--rank-feature", "stars:log:zzz"]) == 2
+    assert "PIVOT" in capsys.readouterr().err
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "spark table", "--distance-feature", "stars"]) == 2
+    assert "F:PIVOT" in capsys.readouterr().err
+    # unknown rank_feature function surfaces the operator's error
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "spark table", "--rank-feature", "stars:cube"]) == 2
+    assert "unknown rank_feature" in capsys.readouterr().err
+
+
+def test_matrix_stats_top_metrics_rate_flags(relevance_index, capsys):
+    """The r14 aggregations through the CLI: --matrix-stats pairwise
+    moments, --top-metrics latest-by-sort values (bucketed and
+    whole-set), --rate calendar-normalized rates on the time_field."""
+    from toshokan_spark import cli
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--matrix-stats", "id,stars"])
+    pairs = {(o["field"], o["other"]): o for o in out}
+    assert pairs[("id", "id")]["n_values"] == 4
+    assert pairs[("id", "id")]["mean"] == 2.5
+    assert pairs[("id", "stars")]["covariance"] == \
+        pairs[("stars", "id")]["covariance"]
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel", "*",
+                     "--matrix-stats", "id"]) == 2
+    assert "2+ numeric fields" in capsys.readouterr().err
+
+    # whole-hit-set top_metrics: the latest row by ts carries stars 99
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--top-metrics", "ts:stars"])
+    assert len(out) == 1 and out[0]["stars"] == 99 and out[0]["id"] == 4
+    # ascending + bucketed by a dynamic-routed... stars is declared;
+    # bucket by id parity via runtime field
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--runtime-field", "par=id % 2",
+                        "--top-metrics", "ts:stars:asc",
+                        "--top-metrics-by", "par"])
+    got = {o["par"]: o["stars"] for o in out}
+    assert got == {0: 0, 1: 10}  # earliest per parity bucket
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel", "*",
+                     "--top-metrics", "ts"]) == 2
+    assert "SORT:M1" in capsys.readouterr().err
+
+    # rate: 4 docs in one hour-bucket each, value=stars, per-hour unit
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--rate", "hour", "--rate-field", "stars",
+                        "--rate-unit", "3600"])
+    assert [o["rate"] for o in out] == [10.0, 0.0, 50.0, 99.0]
+    assert all(o["n_hits"] == 1 for o in out)
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel", "*",
+                     "--rate", "week"]) == 2
+    assert "unsupported rate bucket" in capsys.readouterr().err
+
+
+def test_relevance_flags_route_dynamic_fields(panel_index, capsys):
+    """The r15 flags apply the same undeclared-field -> _dynamic
+    routing as panels: a --score-field / feature / matrix field the
+    schema never declared reads from the remainder map."""
+    from toshokan_spark import cli
+
+    # severity_text is undeclared; boosting scores it and demotes
+    # the 'debug' rows (the organic query matches both tokens)
+    out = _run(capsys, ["--catalog", panel_index, "search", "panels",
+                        "info debug", "--score-field", "severity_text",
+                        "--boosting", "debug:0.1", "--limit", "10"])
+    assert len(out) == 8
+    demoted = [o for o in out if o["demoted"] == 1]
+    assert len(demoted) == 4
+    assert all(o["score"] < min(x["score"] for x in out
+                                if not x["demoted"]) for o in demoted)
+    # matrix-stats over one declared + one runtime-staged numeric
+    out = _run(capsys, ["--catalog", panel_index, "search", "panels",
+                        "*", "--runtime-field", "t2=tenant_id * 2",
+                        "--matrix-stats", "tenant_id,t2"])
+    pairs = {(o["field"], o["other"]): o for o in out}
+    assert pairs[("tenant_id", "t2")]["correlation"] == 1.0

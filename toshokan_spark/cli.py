@@ -184,6 +184,49 @@ def main(argv: list[str] | None = None) -> int:
                          "intervening tokens of field F (either order "
                          "unless ',ordered'); prints each hit with its "
                          "minimum span_gap")
+    # -- ES relevance-query family (VERDICT r14 directive 3): QUERY is
+    # the organic/positive free text, scored BM25 over --score-field
+    # (default: the first text field); top --limit by score ----------
+    ps.add_argument("--pinned", default=None, metavar="ID1,ID2[,..]",
+                    help="ES pinned query: the listed ids rank first in "
+                         "LIST order (matching or not), then the organic "
+                         "QUERY matches minus the pinned set")
+    ps.add_argument("--boosting", default=None, metavar="NEG[:FACTOR]",
+                    help="ES boosting query: rank by QUERY relevance, "
+                         "DEMOTING (not excluding) hits that also match "
+                         "the NEG terms by FACTOR (default 0.5)")
+    ps.add_argument("--rank-feature", default=None,
+                    metavar="F[:FN[:PIVOT]]",
+                    help="ES rank_feature: QUERY relevance plus a "
+                         "monotone function of numeric field F — FN one "
+                         "of saturation (default; PIVOT defaults to the "
+                         "corpus mean), log, sigmoid")
+    ps.add_argument("--distance-feature", default=None,
+                    metavar="F:PIVOT[:ORIGIN]",
+                    help="ES distance_feature: QUERY relevance plus "
+                         "pivot/(pivot+|F-origin|) — full boost at "
+                         "ORIGIN (default 0), half at PIVOT away")
+    # -- ES aggregation additions (same directive): panels over the
+    # hit set, like --facet-by / --stats-field -----------------------
+    ps.add_argument("--matrix-stats", default=None, metavar="F1,F2[,..]",
+                    help="ES matrix_stats: pairwise covariance and "
+                         "correlation over 2+ numeric fields of the hit "
+                         "set (one row per ordered pair)")
+    ps.add_argument("--top-metrics", default=None,
+                    metavar="SORT:M1[,M2..][:asc]",
+                    help="ES top_metrics: the metric values carried by "
+                         "the top document by SORT (desc unless ':asc'); "
+                         "per --top-metrics-by bucket, else whole hit set")
+    ps.add_argument("--top-metrics-by", default=None, metavar="GROUP")
+    ps.add_argument("--rate", default=None, metavar="month|day|hour",
+                    help="ES rate aggregation: per calendar bucket of "
+                         "the index time_field, the --rate-field sum "
+                         "(default doc count) normalized to a "
+                         "per---rate-unit rate by the bucket's ACTUAL "
+                         "length")
+    ps.add_argument("--rate-field", default=None)
+    ps.add_argument("--rate-unit", type=int, default=86400,
+                    metavar="SECONDS")
     ps.add_argument("--facet-by", default=None,
                     help="instead of hits, print top facet values of this "
                          "field over the hit set (terms aggregation)")
@@ -905,6 +948,13 @@ def main(argv: list[str] | None = None) -> int:
                 ("--score-field", a.score_field),
                 ("--more-like-this", a.more_like_this),
                 ("--span-near", a.span_near),
+                ("--pinned", a.pinned),
+                ("--boosting", a.boosting),
+                ("--rank-feature", a.rank_feature),
+                ("--distance-feature", a.distance_feature),
+                ("--matrix-stats", a.matrix_stats),
+                ("--top-metrics", a.top_metrics),
+                ("--rate", a.rate),
                 ("--order-by", a.order_by),
                 ("--fields", a.fields),
                 ("--slice", a.slice),
@@ -962,7 +1012,8 @@ def main(argv: list[str] | None = None) -> int:
                     or a.sibling_interval or a.boxplot_field
                     or a.string_stats_field or a.t_test or a.diversify_by
                     or a.cumulative_cardinality or a.ks_test
-                    or a.phrase_suggest_field)
+                    or a.phrase_suggest_field or a.matrix_stats
+                    or a.top_metrics or a.rate)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -1003,10 +1054,19 @@ def main(argv: list[str] | None = None) -> int:
                     (a.t_test or "").split(";")[0].strip() or None,
                     (a.ks_test or "").split(";")[0].strip() or None,
                     a.panel_facet, a.panel_stats, a.significant_terms,
+                    a.top_metrics_by, a.rate_field,
                 ]
-                for grouped in (a.multi_terms, a.composite_by):
+                for grouped in (a.multi_terms, a.composite_by,
+                                a.matrix_stats):
                     if grouped:
                         names.extend(x.strip() for x in grouped.split(","))
+                if a.top_metrics:
+                    sort_f, _, rest = a.top_metrics.partition(":")
+                    names.append(sort_f.strip())
+                    names.extend(
+                        m.strip()
+                        for m in rest.split(":")[0].split(",") if m.strip()
+                    )
                 if a.weighted_avg:
                     names.extend(
                         x.strip() for x in a.weighted_avg.split(","))
@@ -1409,6 +1469,74 @@ def main(argv: list[str] | None = None) -> int:
                     k=a.sig_k, min_doc_count=a.sig_min_doc,
                 )
                 _emit(out.collect())
+            if a.matrix_stats:
+                from toshokan_spark.search import matrix_stats_agg
+
+                flds = [x.strip() for x in a.matrix_stats.split(",")
+                        if x.strip()]
+                if len(flds) < 2:
+                    print("error: --matrix-stats wants 2+ numeric fields",
+                          file=sys.stderr)
+                    return 2
+                try:
+                    out = matrix_stats_agg(hits_df(), flds)
+                except ValueError as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+                _emit(out.collect())
+            if a.top_metrics:
+                from pyspark.sql import functions as SF
+
+                from toshokan_spark.search import top_metrics_agg
+
+                parts = a.top_metrics.split(":")
+                ascending = parts[-1].strip() == "asc"
+                if ascending:
+                    parts = parts[:-1]
+                if len(parts) != 2 or not parts[0].strip():
+                    print("error: --top-metrics wants "
+                          "SORT:M1[,M2..][:asc]", file=sys.stderr)
+                    return 2
+                sort_f = parts[0].strip()
+                metrics = [m.strip() for m in parts[1].split(",")
+                           if m.strip()]
+                if not metrics:
+                    print("error: --top-metrics wants >=1 metric",
+                          file=sys.stderr)
+                    return 2
+                config = catalog.get_index(a.index)
+                df = hits_df()
+                group = a.top_metrics_by
+                if group is None:
+                    # no bucket field: the whole hit set is ONE bucket
+                    # (ES top_metrics outside a terms agg)
+                    group = "__all"
+                    df = df.withColumn(group, SF.lit(0))
+                out = top_metrics_agg(
+                    df, group, sort_f, metrics, config.fields[0].name,
+                    descending=not ascending,
+                )
+                if a.top_metrics_by is None:
+                    out = out.drop("__all")
+                _emit(out.collect())
+            if a.rate:
+                from toshokan_spark.search import rate_agg
+
+                config = catalog.get_index(a.index)
+                if not config.time_field:
+                    print("error: --rate needs an index with a "
+                          "time_field", file=sys.stderr)
+                    return 2
+                try:
+                    out = rate_agg(
+                        hits_df(), config.time_field,
+                        value_col=a.rate_field, bucket=a.rate,
+                        unit_seconds=a.rate_unit,
+                    )
+                except ValueError as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+                _emit(sorted(out.collect(), key=lambda r: r["bucket"]))
             def _bucket_pipeline(out):
                 # post-aggregation pipeline stages, applied in ES
                 # order: script (computed metrics) first, then
@@ -1578,6 +1706,174 @@ def main(argv: list[str] | None = None) -> int:
                      "doc": json.loads(prettify_doc(d, config))},
                     sort_keys=True, separators=(",", ":")))
             return 0
+        if a.pinned or a.boosting or a.rank_feature or a.distance_feature:
+            # ES relevance-query family (VERDICT r14 directive 3):
+            # QUERY is the organic/positive free text; the corpus is
+            # the whole index (deletes honored), BM25 over the
+            # resolved text field with the commit-time manifest stats
+            # when every segment carries them (the scored_search_df
+            # rule). Undeclared fields route to _dynamic like panels.
+            chosen = [f for f, v in (
+                ("--pinned", a.pinned), ("--boosting", a.boosting),
+                ("--rank-feature", a.rank_feature),
+                ("--distance-feature", a.distance_feature)) if v]
+            if len(chosen) > 1:
+                print(f"error: {' and '.join(chosen)} are exclusive",
+                      file=sys.stderr)
+                return 2
+            from pyspark.sql import functions as SF
+
+            from toshokan_spark.search import search_df
+
+            config = catalog.get_index(a.index)
+            id_col = config.fields[0].name
+            fmap = {f.name: f for f in config.fields}
+            text_field = a.score_field or next(
+                (f.name for f in config.fields if f.type == "text"), None)
+            if text_field is None:
+                print("error: no text field to score — pass "
+                      "--score-field", file=sys.stderr)
+                return 2
+            docs = search_df(spark, catalog, a.index, "*", limit=None,
+                             at_version=a.at_version)
+
+            def _resolve(col):
+                """Declared column, or a _dynamic-routed staging
+                column (the SURVEY §2.4 rule panels/span-near use)."""
+                nonlocal docs
+                if col in docs.columns:
+                    return col
+                if "_dynamic" in docs.columns:
+                    staged = f"__rel_{col}"
+                    docs = docs.withColumn(
+                        staged,
+                        SF.get_json_object(
+                            SF.col("_dynamic").getItem(col), "$"),
+                    )
+                    return staged
+                print(f"error: no such field {col!r}", file=sys.stderr)
+                return None
+
+            text_col = _resolve(text_field)
+            if text_col is None:
+                return 2
+            tok = (fmap[text_field].tokenizer or "default") \
+                if text_field in fmap else "default"
+            provider = None
+            if text_col == text_field:
+                from toshokan_spark.functions.bm25 import (
+                    merged_stats_provider,
+                )
+                from toshokan_spark.indexer import (
+                    stats_path,
+                    text_stat_fields,
+                )
+
+                segs = catalog.segments(a.index, at_version=a.at_version)
+                if segs and any(
+                    n == text_field for n, _ in text_stat_fields(config)
+                ):
+                    st = catalog.data_storage(config)
+                    spaths = [stats_path(config, s.file_name)
+                              for s in segs]
+                    if all(st.exists(p) for p in spaths):
+                        provider = merged_stats_provider(
+                            spark, spaths, text_field)
+            k = a.limit if a.limit is not None else 10
+            common = dict(id_col=id_col, text_col=text_col,
+                          tokenizer=tok, k=k, stats_provider=provider)
+            if a.pinned:
+                from toshokan_spark.operators.relevance import pinned_query
+
+                raw_ids = [x.strip() for x in a.pinned.split(",")
+                           if x.strip()]
+                if fmap[id_col].type == "number":
+                    try:
+                        ids = [int(x) for x in raw_ids]
+                    except ValueError:
+                        print("error: --pinned wants numeric ids for "
+                              f"index {a.index!r}", file=sys.stderr)
+                        return 2
+                else:
+                    ids = raw_ids
+                out = pinned_query(docs, a.query, ids, **common)
+            elif a.boosting:
+                from toshokan_spark.operators.relevance import (
+                    boosting_query,
+                )
+
+                neg, _, fac = a.boosting.rpartition(":")
+                factor = 0.5
+                if neg:
+                    try:
+                        factor = float(fac)
+                    except ValueError:
+                        neg = a.boosting  # the whole string is NEG
+                else:
+                    neg = fac
+                if not (0.0 <= factor <= 1.0):
+                    print("error: --boosting FACTOR must be in [0,1]",
+                          file=sys.stderr)
+                    return 2
+                out = boosting_query(
+                    docs, a.query, neg, negative_boost=factor, **common)
+            elif a.rank_feature:
+                from toshokan_spark.operators.relevance import (
+                    rank_feature_score,
+                )
+
+                parts = [p.strip() for p in a.rank_feature.split(":")]
+                fn = parts[1] if len(parts) > 1 and parts[1] else \
+                    "saturation"
+                pivot = None
+                if len(parts) > 2:
+                    try:
+                        pivot = float(parts[2])
+                    except ValueError:
+                        print("error: --rank-feature PIVOT must be a "
+                              "number", file=sys.stderr)
+                        return 2
+                feat = _resolve(parts[0])
+                if feat is None:
+                    return 2
+                try:
+                    out = rank_feature_score(
+                        docs, a.query, feat, function=fn, pivot=pivot,
+                        **common)
+                except ValueError as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+            else:
+                from toshokan_spark.operators.relevance import (
+                    distance_feature_score,
+                )
+
+                parts = [p.strip() for p in a.distance_feature.split(":")]
+                if len(parts) not in (2, 3) or not parts[0]:
+                    print("error: --distance-feature wants "
+                          "F:PIVOT[:ORIGIN]", file=sys.stderr)
+                    return 2
+                try:
+                    pivot = float(parts[1])
+                    origin = float(parts[2]) if len(parts) == 3 else 0.0
+                except ValueError:
+                    print("error: --distance-feature PIVOT/ORIGIN must "
+                          "be numbers", file=sys.stderr)
+                    return 2
+                feat = _resolve(parts[0])
+                if feat is None:
+                    return 2
+                out = distance_feature_score(
+                    docs, a.query, origin, feat, pivot, **common)
+            for r in out.collect():
+                d = r.asDict(recursive=True)
+                # staged _dynamic ids keep the public field name
+                if id_col not in d and "id" in d:
+                    d[id_col] = d.pop("id")
+                print(json.dumps(d, sort_keys=True,
+                                 separators=(",", ":"), default=str))
+            return 0
+
         if a.score_field:
             from toshokan_spark.search import prettify_doc, scored_search_df
 
