@@ -4312,67 +4312,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r14 WINDOW (first 50): the three r14 additions are P0
-        # (never driver-proven) and lead; the rest of the window is
-        # the STALEST P0b entries —
-        "search_boosting": q_search_boosting,
-        "search_rank_feature": q_search_rank_feature,
-        "search_matrix_stats": q_search_matrix_stats,
-        "search_top_metrics": q_search_top_metrics,
-        "search_rate": q_search_rate,
-        "search_distance_feature": q_search_distance_feature,
-        "search_pinned": q_search_pinned,
-        # the 50 STALEST P0b entries follow —
-        # rotated out of the latest driver record, oldest latest-
-        # record round first (r8-r9 vintage; VERDICT r13 directive
-        # 2). P0b that do not fit wait behind their older record +
-        # the full local sweep, then P1 changed-since-seal (the
-        # span_near rebuild + relevance-family index wiring), then
+        # -- r15 WINDOW (first 50): no P0 this round; the window is
+        # the 50 STALEST P0b entries — rotated out of the latest
+        # driver record, oldest latest-record round first (29 of r9
+        # vintage, 21 of r11 — VERDICT r14 directive 2). P0b that do
+        # not fit wait behind their older record + the full local
+        # sweep; then P1 changed-since-seal (the r15 relevance/
+        # search/cli edits reclassified most of the r14 window), then
         # P2 proven-unchanged.
-        "q1_pricing": q_q1_pricing,
-        "q3_top_revenue": q_q3_top_revenue,
-        "q5_region_revenue": q_q5_region_revenue,
-        "quality_classifier": q_quality_classifier,
-        "quality_regression": q_quality_regression,
-        "search_bm25": q_search_bm25,
-        "search_phrase": q_search_phrase,
-        "search_text_term": q_search_text_term,
-        "select_training_set": q_select_training_set,
-        "semantic_clusters": q_semantic_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "source_drift": q_source_drift,
-        "source_quality_curves": q_source_quality_curves,
-        "substring_spans": q_substring_spans,
-        "substring_spans_incremental": q_substring_spans_incremental,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "text_dup_ngrams": q_text_dup_ngrams,
-        "text_token_stats": q_text_token_stats,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "token_budget_pack_scaled": q_token_budget_pack_scaled,
-        "vocab_coverage": q_vocab_coverage,
-        "window_top_orders": q_window_top_orders,
-        "ann_recall": q_ann_recall,
-        "bitext_margin": q_bitext_margin,
-        "cluster_size_histogram": q_cluster_size_histogram,
-        "containment_pairs": q_containment_pairs,
-        "cube_source_lang": q_cube_source_lang,
-        "curriculum_order": q_curriculum_order,
-        "dsir_select": q_dsir_select,
-        "embedding_covariance": q_embedding_covariance,
-        "epoch_expand": q_epoch_expand,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_exact": q_knn_ivf_exact,
-        "length_histogram": q_length_histogram,
-        "line_dedup": q_line_dedup,
-        "line_dedup_incremental": q_line_dedup_incremental,
-        "lm_quality_buckets": q_lm_quality_buckets,
-        "minhash_calibration": q_minhash_calibration,
-        "multimodal_audio_energy": q_multimodal_audio_energy,
-        "normalize_embeddings": q_normalize_embeddings,
-        "normalize_text": q_normalize_text,
-        "pivot_event_days": q_pivot_event_days,
-        # ---- window boundary (driver records the 50 above) ----
         "q10_returned_items": q_q10_returned_items,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
@@ -4423,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "q12_late_priority": q_q12_late_priority,
         "q13_customer_distribution": q_q13_customer_distribution,
+        # ---- window boundary (driver records the 50 above) ----
         "q15_top_supplier": q_q15_top_supplier,
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
@@ -4502,56 +4450,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "user_sessions": q_user_sessions,
         "weighted_sample": q_weighted_sample,
-        "search_span_near": q_search_span_near,
-        "search_more_like_this": q_search_more_like_this,
-        "search_multi_match": q_search_multi_match,
-        "search_dis_max": q_search_dis_max,
-        "search_function_score": q_search_function_score,
-        "search_terms_set": q_search_terms_set,
-        "knn_quantized": q_knn_quantized,
-        "search_explain_score": q_search_explain_score,
-        "text_char_entropy": q_text_char_entropy,
-        "search_phrase_suggest": q_search_phrase_suggest,
-        "search_cumulative_cardinality": q_search_cumulative_cardinality,
-        "search_ks_test": q_search_ks_test,
-        "search_ip_range": q_search_ip_range,
-        "mmr_rerank": q_mmr_rerank,
-        "knn_filtered": q_knn_filtered,
-        "search_categorize_text": q_search_categorize_text,
-        "search_boxplot": q_search_boxplot,
-        "search_string_stats": q_search_string_stats,
-        "search_t_test": q_search_t_test,
-        "search_diversified_sampler": q_search_diversified_sampler,
-        "search_wildcard": q_search_wildcard,
-        "knn_pq_rerank": q_knn_pq_rerank,
-        "hard_negatives": q_hard_negatives,
-        "domain_pagerank": q_domain_pagerank,
         "audience_overlap": q_audience_overlap,
-        "search_collapse": q_search_collapse,
-        "matryoshka_recall": q_matryoshka_recall,
-        "terms_error_bounds": q_terms_error_bounds,
-        "rank_eval": q_rank_eval,
-        "search_suggest": q_search_suggest,
-        "search_regex": q_search_regex,
-        "search_percolate": q_search_percolate,
-        "search_spell_correct": q_search_spell_correct,
-        "search_sibling_aggs": q_search_sibling_aggs,
+        "domain_pagerank": q_domain_pagerank,
         "embedding_stats": q_embedding_stats,
         "event_conversions": q_event_conversions,
         "funnel_stages": q_funnel_stages,
+        "hard_negatives": q_hard_negatives,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_roundtrip": q_ingest_roundtrip,
         "json_path_filter": q_json_path_filter,
         "kcenter_select": q_kcenter_select,
+        "knn_filtered": q_knn_filtered,
         "knn_graph": q_knn_graph,
+        "knn_pq_rerank": q_knn_pq_rerank,
+        "knn_quantized": q_knn_quantized,
         "leakage_safe_split": q_leakage_safe_split,
         "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "matryoshka_recall": q_matryoshka_recall,
+        "mmr_rerank": q_mmr_rerank,
         "multimodal_dedup": q_multimodal_dedup,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "priority_counts": q_priority_counts,
+        "rank_eval": q_rank_eval,
+        "search_boxplot": q_search_boxplot,
+        "search_categorize_text": q_search_categorize_text,
+        "search_collapse": q_search_collapse,
+        "search_cumulative_cardinality": q_search_cumulative_cardinality,
+        "search_dis_max": q_search_dis_max,
+        "search_diversified_sampler": q_search_diversified_sampler,
+        "search_explain_score": q_search_explain_score,
+        "search_function_score": q_search_function_score,
+        "search_ip_range": q_search_ip_range,
+        "search_ks_test": q_search_ks_test,
+        "search_more_like_this": q_search_more_like_this,
+        "search_multi_match": q_search_multi_match,
+        "search_percolate": q_search_percolate,
+        "search_phrase_suggest": q_search_phrase_suggest,
+        "search_regex": q_search_regex,
+        "search_sibling_aggs": q_search_sibling_aggs,
+        "search_span_near": q_search_span_near,
+        "search_spell_correct": q_search_spell_correct,
+        "search_string_stats": q_search_string_stats,
+        "search_suggest": q_search_suggest,
+        "search_t_test": q_search_t_test,
+        "search_terms_set": q_search_terms_set,
+        "search_wildcard": q_search_wildcard,
+        "terms_error_bounds": q_terms_error_bounds,
+        "text_char_entropy": q_text_char_entropy,
+        # ---- P1: changed since the r14 seal ----
+        "ann_recall": q_ann_recall,
+        "bitext_margin": q_bitext_margin,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "containment_pairs": q_containment_pairs,
+        "curriculum_order": q_curriculum_order,
+        "dsir_select": q_dsir_select,
+        "embedding_covariance": q_embedding_covariance,
+        "epoch_expand": q_epoch_expand,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_exact": q_knn_ivf_exact,
+        "length_histogram": q_length_histogram,
+        "line_dedup": q_line_dedup,
+        "line_dedup_incremental": q_line_dedup_incremental,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "minhash_calibration": q_minhash_calibration,
+        "multimodal_audio_energy": q_multimodal_audio_energy,
+        "normalize_embeddings": q_normalize_embeddings,
+        "normalize_text": q_normalize_text,
+        "quality_classifier": q_quality_classifier,
+        "quality_regression": q_quality_regression,
+        "search_bm25": q_search_bm25,
+        "search_boosting": q_search_boosting,
+        "search_distance_feature": q_search_distance_feature,
+        "search_matrix_stats": q_search_matrix_stats,
+        "search_phrase": q_search_phrase,
+        "search_pinned": q_search_pinned,
+        "search_rank_feature": q_search_rank_feature,
+        "search_rate": q_search_rate,
+        "search_text_term": q_search_text_term,
+        "search_top_metrics": q_search_top_metrics,
+        "select_training_set": q_select_training_set,
+        "semantic_clusters": q_semantic_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "source_drift": q_source_drift,
+        "source_quality_curves": q_source_quality_curves,
+        "substring_spans": q_substring_spans,
+        "substring_spans_incremental": q_substring_spans_incremental,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "text_dup_ngrams": q_text_dup_ngrams,
+        "text_token_stats": q_text_token_stats,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "token_budget_pack_scaled": q_token_budget_pack_scaled,
+        "vocab_coverage": q_vocab_coverage,
+        # ---- P2: proven in the latest record, unchanged ----
+        "cube_source_lang": q_cube_source_lang,
+        "pivot_event_days": q_pivot_event_days,
+        "q1_pricing": q_q1_pricing,
+        "q3_top_revenue": q_q3_top_revenue,
+        "q5_region_revenue": q_q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
     }
 
 
