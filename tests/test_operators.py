@@ -4508,9 +4508,15 @@ def test_percolate_500_standing_queries(spark, sf_dir):
     Spark works around by splitting generated methods (or falling
     back to interpreted eval); either way the plan must COMPLETE and
     stay one scan. 500 mixed-shape queries over events: bounded
-    wall time (recorded: 8-11s at sf0.01 on local[32], bound 60s for
-    CI headroom), no join/exchange in the plan, and the width-Q
-    result agrees with per-query filters on a sample."""
+    wall time, no join/exchange in the plan, and the width-Q result
+    agrees with per-query filters on a sample.
+
+    Build-vs-execute split (VERDICT r14 directive 5): the r14 shape
+    compiled 500 Column trees at ~27 s of py4j-bound plan
+    CONSTRUCTION against ~1.5 s execution at sf0.01 on local[32];
+    with the SQL-text backend (query_sql.py, one parsed F.expr)
+    construction measured 0.3-1.0 s — total recorded 2-3 s warm.
+    Bound stays 60 s for CI headroom on a stalling host."""
     import time
 
     import __spark_entry__ as e

@@ -679,7 +679,14 @@ class QueryCompiler:
         t = self.resolve(node.field)
         if t.tokenizer == "raw" and t.kind == "text":
             # a phrase on a raw field is whole-value equality; the
-            # null-safe form pushes to the scan (see _token_match)
+            # null-safe form pushes to the scan (see _token_match).
+            # Raw ARRAYS match on some element — the _token_match
+            # rule; eqNullSafe(array, string) would kill the whole
+            # query at analysis (hit by an UNQUALIFIED phrase fanning
+            # out over every text field, r15 renderer-equivalence
+            # find)
+            if t.array:
+                return F.array_contains(t.col, node.text)
             return t.col.eqNullSafe(F.lit(node.text))
         # analyze with the FIELD's tokenizer (tantivy QueryParser
         # behavior) — on an en_stem field the phrase words are stemmed

