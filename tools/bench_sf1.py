@@ -1,0 +1,117 @@
+"""sf1 scale probe (VERDICT r14 directive 4): run the heaviest bench
+entries once at sf0.1 (the driver testdata) and once at sf1
+(tools/gen_sf.py output, 10x the synthetic documents/embeddings/
+events volume) in ONE session, and record per-entry times + the
+scaling ratio to BENCH_SF1.json.
+
+The 2x bench gate runs at sf0.1; every 100x-design claim above 600k
+rows was argued from plans until this probe. A ratio at or below the
+10x data ratio (plus fixed scheduling overhead, which SHRINKS
+relatively with volume) is the "scales ≲ linearly" evidence; a
+superlinear entry is a finding to fix or explain.
+
+Usage: python tools/bench_sf1.py [sf1_dir]  (default .sf1data)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: the heaviest builder-map entries (BENCH_LOCAL_r14.json top cohort,
+#: VERDICT r14 directive 4's list) — all on the synthetic tables the
+#: generator scales
+HEAVY = [
+    "train_quality_classifier", "quality_ensemble",
+    "select_training_set", "dedup_minhash_lsh", "dsir_select",
+    "cluster_size_histogram", "dedup_canonical", "minhash_calibration",
+    "dedup_incremental_minhash", "semantic_clusters",
+    "leakage_safe_split", "dsir_weights", "lm_quality_buckets_scaled",
+    "dedup_clusters", "kmeans_embeddings", "knn_graph",
+    "curriculum_order", "dedup_minhash_char",
+]
+
+
+def main() -> int:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".sf1data")
+    sf01_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
+        print(f"run tools/gen_sf.py 1.0 {sf1_dir} first",
+              file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("toshokan_spark_sf1_probe")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        best = -1.0
+        for _ in range(2):  # best-of-2 against host bursts
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+            best = dt if best < 0 else min(best, dt)
+        return round(best, 3)
+
+    # warmup (JVM/codegen)
+    qs[HEAVY[0]](spark, sf01_dir).write.format("noop").mode(
+        "overwrite").save()
+
+    out: dict[str, dict] = {}
+    for name in HEAVY:
+        try:
+            t_small = run(name, sf01_dir)
+            t_big = run(name, sf1_dir)
+        except Exception as e:
+            out[name] = {"error": str(e)[:300]}
+            print(f"{name}: FAILED {e}", file=sys.stderr)
+            continue
+        ratio = round(t_big / t_small, 2) if t_small > 0 else None
+        out[name] = {"sf0.1_sec": t_small, "sf1_sec": t_big,
+                     "ratio": ratio}
+        print(f"{name}: sf0.1 {t_small}s  sf1 {t_big}s  x{ratio}")
+
+    doc = {
+        "metric": "sf1_scale_probe",
+        "data_ratio": 10.0,
+        "note": ("per-entry best-of-2, one session, local[32]; "
+                 "sf1 tables from tools/gen_sf.py (50k docs / 20k "
+                 "embeddings / 1M events)"),
+        "entries": out,
+    }
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(json.dumps({"metric": "sf1_scale_probe",
+                      "n": len(out),
+                      "superlinear": [
+                          n for n, v in out.items()
+                          if v.get("ratio") and v["ratio"] > 10.0]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
