@@ -144,12 +144,16 @@ RENDERED_QUERIES = [
     "body:spork~1",            # fuzzy
     "sev:INFp~1",
     "body:qu*",
+    "body:/sp.rk/",            # regexp: full-match on a token
+    "sev:/INF./",
+    "body:t?ble",              # wildcard -> anchored token regex
+    "id:/4./",                 # non-text regex: string rendering
+    "tags:/[xy]/",
+    "nums:/[0-9]/",
 ]
 
 FALLBACK_QUERIES = [
     '"spark table"~2',         # slop needs the positional fold
-    "body:/sp.rk/",            # regexp
-    "body:t?ble",              # wildcard
     'body:"spark tab"*',       # phrase prefix
     "spark",                   # unqualified -> default-fields OR
 ]

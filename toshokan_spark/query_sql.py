@@ -47,7 +47,9 @@ from toshokan_spark.plans.ast import (
     Phrase,
     Prefix,
     RangeQ,
+    Regex,
     Term,
+    Wildcard,
     parse_query,
 )
 from toshokan_spark.query import _NON_ALNUM_RE, QueryCompiler
@@ -261,6 +263,16 @@ class SqlQueryRenderer:
             return self._render_prefix(node)
         if isinstance(node, Fuzzy):
             return self._render_fuzzy(node)
+        if isinstance(node, Regex):
+            return self._render_regex(node)
+        if isinstance(node, Wildcard):
+            if node.field is None:
+                raise _Unrenderable
+            t = self.resolve(node.field)
+            pat = node.to_regex()
+            if t.tokenizer in ("default", "en_stem"):
+                pat = pat.lower()
+            return self._render_regex(Regex(node.field, pat))
         if isinstance(node, RangeQ):
             return self._render_range(node)
         if isinstance(node, Cmp):
@@ -404,6 +416,32 @@ class SqlQueryRenderer:
                 f"AND levenshtein(__t, {_s(p)}) <= {d})"
             )
         return f"coalesce(({m}), false)"
+
+    def _render_regex(self, node: Regex) -> str:
+        """QueryCompiler._compile_regex: full-match on some analyzed
+        token (``^(?:...)$`` anchors), raw == whole value, non-text
+        on the string rendering."""
+        t = self.resolve(node.field)
+        pat = _s("^(?:" + node.pattern + ")$")
+        if t.kind in ("text", "dynamic"):
+            if t.tokenizer == "raw":
+                if t.kind == "text" and t.array:
+                    m = f"exists({t.col}, __e -> __e RLIKE {pat})"
+                else:
+                    m = f"{t.col} RLIKE {pat}"
+                return f"coalesce(({m}), false)"
+            arr = (_tok_sql(t.col, t.tokenizer)
+                   if t.kind == "dynamic" else t.tokens)
+            if arr is None:
+                raise _Unrenderable
+            return (f"coalesce(exists({arr}, "
+                    f"__t -> __t RLIKE {pat}), false)")
+        target = t.ipkey if t.kind == "ip" else t.col
+        if t.array:
+            return (f"coalesce(exists({target}, __e -> "
+                    f"CAST(__e AS STRING) RLIKE {pat}), false)")
+        return (f"coalesce(CAST({target} AS STRING) RLIKE {pat}, "
+                f"false)")
 
     def _render_range(self, node: RangeQ) -> str:
         t = self.resolve(node.field)
