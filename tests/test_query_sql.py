@@ -150,12 +150,15 @@ RENDERED_QUERIES = [
     "id:/4./",                 # non-text regex: string rendering
     "tags:/[xy]/",
     "nums:/[0-9]/",
+    "spark",                   # unqualified -> default-fields OR
+    "hello",                   # unqualified hit only via _dynamic
+    "5",                       # unqualified numeric literal
+    "true",                    # unqualified boolean literal
 ]
 
 FALLBACK_QUERIES = [
     '"spark table"~2',         # slop needs the positional fold
     'body:"spark tab"*',       # phrase prefix
-    "spark",                   # unqualified -> default-fields OR
 ]
 
 
@@ -249,3 +252,23 @@ def test_phrase_on_raw_array_field_matches_elements(spark, mixed_df):
     c2 = compile_query('"spark table"~2', config, cols)
     ids = sorted(r.id for r in mixed_df.filter(c2).select("id").collect())
     assert 1 in ids
+
+
+def test_unqualified_queries_skip_absent_columns(spark, mixed_df):
+    """Regression (r15): an unqualified term / prefix / fuzzy /
+    wildcard over a config with a DECLARED-BUT-ABSENT column (ghost,
+    the post-alter pre-ingest state) or a frame WITHOUT _dynamic must
+    compile and run — the absent field contributes no clause — in
+    BOTH backends, with equal results."""
+    config = _mixed_config()
+    cols = set(mixed_df.columns)
+    nodyn = mixed_df.drop("_dynamic")
+    ncols = set(nodyn.columns)
+    for q in ("spark", "5", "spa*", "spork~1", "sp?rk"):
+        col = compile_query(q, config, cols)
+        assert mixed_df.filter(col).count() >= 0  # compiles + runs
+        col2 = compile_query(q, config, ncols)
+        n2 = nodyn.filter(col2).count()
+        sql2 = render_query_sql(q, config, ncols)
+        if sql2 is not None:
+            assert nodyn.filter(F.expr(sql2)).count() == n2, q

@@ -549,10 +549,14 @@ class QueryCompiler:
             for f in self.config.fields:
                 if f.type != "text" or not f.indexed:
                     continue
+                if not self._have(f.name):
+                    continue  # absent declared field: no clause
                 t = self._leaf_target(f, F.col(f.name), shadow_ok=True)
                 out = out | F.coalesce(
                     self._prefix_match(t, node.text), F.lit(False)
                 )
+            if not self._have(DYNAMIC_FIELD_NAME):
+                return out
             vals = F.map_values(F.col(DYNAMIC_FIELD_NAME))
             p = node.text.lower()
             out = out | F.coalesce(
@@ -579,6 +583,8 @@ class QueryCompiler:
             for f in self.config.fields:
                 if f.type != "text" or not f.indexed:
                     continue
+                if not self._have(f.name):
+                    continue  # absent declared field: no clause
                 t = self._leaf_target(f, F.col(f.name), shadow_ok=True)
                 out = out | F.coalesce(
                     self._fuzzy_match(t, node.text, node.distance),
@@ -721,6 +727,8 @@ class QueryCompiler:
                     self._compile_wildcard(Wildcard((f.name,), node.pattern)),
                     F.lit(False),
                 )
+            if not self._have(DYNAMIC_FIELD_NAME):
+                return out
             anchored = "^(?:" + node.to_regex().lower() + ")$"
             vals = F.map_values(F.col(DYNAMIC_FIELD_NAME))
             out = out | F.coalesce(
@@ -846,6 +854,13 @@ class QueryCompiler:
         for f in self.config.fields:
             if not f.indexed or f.type in ("static_object", "dynamic_object"):
                 continue
+            if not self._have(f.name):
+                # declared but absent from every scanned segment:
+                # every predicate on it is unsatisfied (resolve()'s
+                # typed-null rule) — contribute no clause instead of
+                # an unresolved-column crash (r15 renderer-
+                # equivalence find)
+                continue
             t = self._leaf_target(f, F.col(f.name), shadow_ok=True)
             if f.type == "text":
                 out = out | F.coalesce(self._token_match(t, text), F.lit(False))
@@ -863,6 +878,11 @@ class QueryCompiler:
     def _dynamic_any_term(self, text: str) -> Column:
         toks = analyze_term(text, "default")
         if not toks:
+            return F.lit(False)
+        if not self._have(DYNAMIC_FIELD_NAME):
+            # a frame without the remainder map (e.g. percolated
+            # documents): the dynamic arm matches nothing, it must
+            # not crash the whole unqualified query
             return F.lit(False)
         vals = F.map_values(F.col(DYNAMIC_FIELD_NAME))
         if len(toks) == 1:

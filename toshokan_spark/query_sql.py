@@ -12,12 +12,14 @@ slow, fixed the same way — render the expression as one parsed SQL
 string, `operators/similarity.py`).
 
 This module renders the SAME semantics as ``QueryCompiler`` for the
-bulk of the query language — term/range/cmp/bool/exists/prefix/fuzzy
-over declared scalar and array fields of every type, static-object
-paths, ``_dynamic`` routing — and returns ``None`` for the shapes it
-does not cover (en_stem fields without a shadow tokens column, ip
-fields without a shadow key column, phrase/slop, regexp, wildcard,
-phrase-prefix, unqualified terms). Callers fall back to the Column
+bulk of the query language — term (qualified AND unqualified)/
+phrase-0/range/cmp/bool/exists/prefix/fuzzy/regexp/wildcard over
+declared scalar and array fields of every type, static-object paths,
+``_dynamic`` routing — and returns ``None`` for the shapes it does
+not cover (en_stem fields without a shadow tokens column, ip
+comparisons without a shadow key column, slop phrases,
+phrase-prefix, unqualified prefix/fuzzy/phrase). Callers fall back
+to the Column
 backend per query, so coverage gaps cost speed, never correctness.
 ``tests/test_query_sql.py`` pins bit-equivalence against
 ``compile_query`` row-for-row across every rendered shape.
@@ -66,6 +68,17 @@ def _q(name: str) -> str:
 def _s(text: str) -> str:
     """Single-quote a SQL string literal (backslash escapes on)."""
     return "'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ip_target(t: "_SqlTarget") -> str:
+    """The comparison target: the hex ip key for ip fields (raises
+    when the shadow key column is unavailable — that comparison needs
+    the pandas-UDF key, Column backend only), else the value."""
+    if t.kind == "ip":
+        if t.ipkey is None:
+            raise _Unrenderable
+        return t.ipkey
+    return t.col
 
 
 def _dbl(v: float) -> str:
@@ -186,8 +199,10 @@ class SqlQueryRenderer:
             shadow = ipkey_col(fc.name)
             if shadow_ok and self._have(shadow):
                 ipkey = _q(shadow)
-            else:
-                raise _Unrenderable  # pandas-UDF key
+            # else: leave None — the pandas-UDF key is unrenderable,
+            # but only a clause that actually COMPARES the ip needs
+            # it (an unqualified term whose literal isn't an IP skips
+            # the field entirely, like the Column backend)
         return _SqlTarget(
             kind=fc.type, col=col, tokenizer=fc.tokenizer,
             array=fc.array, number_type=fc.number_type,
@@ -336,14 +351,14 @@ class SqlQueryRenderer:
 
     def _render_term(self, node: Term) -> str:
         if node.field is None:
-            raise _Unrenderable  # default-fields OR — Column backend
+            return self._default_fields_match(node.text)
         t = self.resolve(node.field)
         if t.kind in ("text", "dynamic"):
             return f"coalesce(({self._token_match(t, node.text)}), false)"
         lit = self._typed_lit(t, node.text)
         if lit is None:
             return "false"
-        target = t.ipkey if t.kind == "ip" else t.col
+        target = _ip_target(t)
         if t.array:
             return f"coalesce(array_contains({target}, {lit}), false)"
         return f"{target} <=> {lit}"
@@ -366,6 +381,58 @@ class SqlQueryRenderer:
             return (f"coalesce(({self._token_match(t, words[0])}), "
                     f"false)")
         return f"coalesce(({self._adjacency(t, words)}), false)"
+
+    def _default_fields_match(self, text: str) -> str:
+        """QueryCompiler._default_fields_match: unqualified term — OR
+        over every indexed scalar/array field that can interpret the
+        literal, plus the ``_dynamic`` remainder. Note the plain
+        ``=`` (not ``<=>``) inside coalesce, matching the Column
+        backend exactly."""
+        parts = ["false"]
+        for f in self.config.fields:
+            if not f.indexed or f.type in ("static_object",
+                                           "dynamic_object"):
+                continue
+            if not self._have(f.name):
+                continue  # absent declared field: no clause
+            t = self._leaf_target(f, _q(f.name), shadow_ok=True)
+            if f.type == "text":
+                parts.append(
+                    f"coalesce(({self._token_match(t, text)}), false)")
+            else:
+                lit = self._typed_lit(t, text)
+                if lit is not None:
+                    tgt = _ip_target(t)
+                    if f.array:
+                        parts.append(
+                            f"coalesce(array_contains({tgt}, {lit}), "
+                            f"false)")
+                    else:
+                        parts.append(
+                            f"coalesce(({tgt} = {lit}), false)")
+        parts.append(self._dynamic_any_term(text))
+        return " OR ".join(f"({p})" for p in parts)
+
+    def _dynamic_any_term(self, text: str) -> str:
+        toks = analyze_term(text, "default")
+        if not toks:
+            return "false"
+        if not self._have(DYNAMIC_FIELD_NAME):
+            return "false"  # no remainder map on this frame
+        vals = f"map_values({_q(DYNAMIC_FIELD_NAME)})"
+        if len(toks) == 1:
+            arr = _tok_sql("__v", "default")
+            return (
+                f"coalesce(exists({vals}, __v -> "
+                f"array_contains({arr}, {_s(toks[0])})), false)"
+            )
+        pat = (
+            f"(^|{_NON_ALNUM_RE})"
+            + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in toks)
+            + f"({_NON_ALNUM_RE}|$)"
+        )
+        return (f"coalesce(exists({vals}, __v -> "
+                f"lower(__v) RLIKE {_s(pat)}), false)")
 
     def _analyzed_probe(self, t: _SqlTarget, text: str) -> str:
         return (text.lower()
@@ -436,7 +503,7 @@ class SqlQueryRenderer:
                 raise _Unrenderable
             return (f"coalesce(exists({arr}, "
                     f"__t -> __t RLIKE {pat}), false)")
-        target = t.ipkey if t.kind == "ip" else t.col
+        target = _ip_target(t)
         if t.array:
             return (f"coalesce(exists({target}, __e -> "
                     f"CAST(__e AS STRING) RLIKE {pat}), false)")
@@ -445,7 +512,7 @@ class SqlQueryRenderer:
 
     def _render_range(self, node: RangeQ) -> str:
         t = self.resolve(node.field)
-        target = t.ipkey if t.kind == "ip" else t.col
+        target = _ip_target(t)
         if t.kind == "dynamic":
             bounds_num = [
                 QueryCompiler._num(b)
