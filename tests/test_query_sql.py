@@ -154,11 +154,21 @@ RENDERED_QUERIES = [
     "hello",                   # unqualified hit only via _dynamic
     "5",                       # unqualified numeric literal
     "true",                    # unqualified boolean literal
+    'body:"spark table"~1',    # slop phrase -> positional fold
+    'body:"spark scan"~1',     # slop 1 bridges the middle word
+    'body:"spark scan"~0',     # ...slop 0 does not
+    'body:"table spark"~3',    # order matters even with slop
+    'toks:"big data"',         # phrase on a text ARRAY (per element)
+    'ws:"A b"',                # whitespace tokenizer phrase
+    'body:"spark tab"*',       # phrase prefix (boundary regex)
+    'body:"spark t"*',
+    'sev:"IN"*',               # raw: whole-value startswith
+    'toks:"big da"*',          # array: positional prefix chain
+    'extra:"hello wo"*',       # dynamic phrase prefix
 ]
 
 FALLBACK_QUERIES = [
-    '"spark table"~2',         # slop needs the positional fold
-    'body:"spark tab"*',       # phrase prefix
+    '"spark table"~2',         # UNQUALIFIED phrase fan-out
 ]
 
 

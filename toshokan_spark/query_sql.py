@@ -12,14 +12,15 @@ slow, fixed the same way — render the expression as one parsed SQL
 string, `operators/similarity.py`).
 
 This module renders the SAME semantics as ``QueryCompiler`` for the
-bulk of the query language — term (qualified AND unqualified)/
-phrase-0/range/cmp/bool/exists/prefix/fuzzy/regexp/wildcard over
-declared scalar and array fields of every type, static-object paths,
-``_dynamic`` routing — and returns ``None`` for the shapes it does
-not cover (en_stem fields without a shadow tokens column, ip
-comparisons without a shadow key column, slop phrases,
-phrase-prefix, unqualified prefix/fuzzy/phrase). Callers fall back
-to the Column
+whole query language except a few fan-outs — term (qualified AND
+unqualified)/phrase (any slop, the positional fold included)/
+phrase-prefix/range/cmp/bool/exists/prefix/fuzzy/regexp/wildcard
+over declared scalar and array fields of every type, static-object
+paths, ``_dynamic`` routing — and returns ``None`` for the shapes it
+does not cover (en_stem fields without a shadow tokens column, ip
+comparisons without a shadow key column, unqualified
+prefix/fuzzy/phrase/wildcard fan-outs). Callers fall back to the
+Column
 backend per query, so coverage gaps cost speed, never correctness.
 ``tests/test_query_sql.py`` pins bit-equivalence against
 ``compile_query`` row-for-row across every rendered shape.
@@ -47,6 +48,7 @@ from toshokan_spark.plans.ast import (
     Fuzzy,
     Node,
     Phrase,
+    PhrasePrefix,
     Prefix,
     RangeQ,
     Regex,
@@ -117,6 +119,48 @@ class _Unrenderable(Exception):
     """Internal signal: this query needs the Column backend."""
 
 
+def _token_seq_match_sql(toks: str, words: list, slop: int) -> str:
+    """SQL text of ``query._token_seq_match`` — the greedy
+    earliest-match in-order proximity fold (exact for in-order
+    proximity; O(k) nodes). Same MAX_* clamps; beyond them the
+    renderer falls back so the Column backend raises the user-facing
+    CompileError."""
+    from toshokan_spark.query import MAX_PHRASE_WORDS, MAX_SLOP
+
+    k = len(words)
+    slop = min(max(slop, 0), MAX_SLOP)
+    if k == 1:
+        return f"array_contains({toks}, {_s(words[0])})"
+    if k > MAX_PHRASE_WORDS:
+        raise _Unrenderable
+    n = f"size({toks})"
+    rest = "array(" + ",".join(_s(w) for w in words[1:]) + ")"
+    lim = k - 1 + slop
+    window = (
+        f"slice({toks}, CAST(__acc + 2 AS INT), "
+        f"CAST(greatest(least(CAST(__i + {lim} AS BIGINT) - __acc, "
+        f"CAST({n} AS BIGINT)), CAST(0 AS BIGINT)) AS INT))"
+    )
+    rel = f"array_position({window}, __w)"
+    step = (
+        f"CASE WHEN (__acc >= 0) AND ({rel} > 0) THEN __acc + {rel} "
+        f"ELSE CAST(-1 AS BIGINT) END"
+    )
+    init = (
+        f"CASE WHEN get({toks}, __i) = {_s(words[0])} "
+        f"THEN CAST(__i AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+    )
+    match_at = (
+        f"coalesce(aggregate({rest}, {init}, "
+        f"(__acc, __w) -> {step}) >= 0, false)"
+    )
+    return (
+        f"CASE WHEN {n} >= {k} THEN "
+        f"coalesce(exists(sequence(0, {n} - {k}), __i -> {match_at}), "
+        f"false) ELSE false END"
+    )
+
+
 @dataclass
 class _SqlTarget:
     kind: str  # text|number|boolean|datetime|ip|dynamic
@@ -126,6 +170,47 @@ class _SqlTarget:
     number_type: str = "i64"
     tokens: Optional[str] = None  # SQL text of the analyzed array
     ipkey: Optional[str] = None
+
+
+def _token_seq_prefix_match_sql(toks: str, words: list,
+                                prefix: str) -> str:
+    """SQL text of ``query._token_seq_prefix_match``: the slop-0
+    adjacency chain with one startswith step appended."""
+    from toshokan_spark.query import MAX_PHRASE_WORDS
+
+    if not words:
+        return (f"coalesce(exists({toks}, __t2 -> "
+                f"startswith(__t2, {_s(prefix)})), false)")
+    k = len(words)
+    if k + 1 > MAX_PHRASE_WORDS:
+        raise _Unrenderable
+    n = f"size({toks})"
+    if len(words) > 1:
+        rest = "array(" + ",".join(_s(w) for w in words[1:]) + ")"
+    else:
+        # an empty literal array() is ARRAY<VOID>; the fold needs
+        # string elements (the Column backend's F.array() of zero
+        # string literals resolves the same way via the lambda)
+        rest = "CAST(array() AS ARRAY<STRING>)"
+    nxt = f"get({toks}, CAST(__acc + 1 AS INT))"
+    step = (
+        f"CASE WHEN (__acc >= 0) AND ({nxt} = __w) THEN __acc + 1 "
+        f"ELSE CAST(-1 AS BIGINT) END"
+    )
+    init = (
+        f"CASE WHEN get({toks}, __i) = {_s(words[0])} "
+        f"THEN CAST(__i AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+    )
+    last = f"aggregate({rest}, {init}, (__acc, __w) -> {step})"
+    match_at = (
+        f"coalesce(({last} >= 0) AND startswith("
+        f"get({toks}, CAST({last} + 1 AS INT)), {_s(prefix)}), false)"
+    )
+    return (
+        f"CASE WHEN {n} >= {k + 1} THEN "
+        f"coalesce(exists(sequence(0, {n} - {k + 1}), "
+        f"__i -> {match_at}), false) ELSE false END"
+    )
 
 
 class SqlQueryRenderer:
@@ -274,6 +359,8 @@ class SqlQueryRenderer:
             return self._render_term(node)
         if isinstance(node, Phrase):
             return self._render_phrase(node)
+        if isinstance(node, PhrasePrefix):
+            return self._render_phrase_prefix(node)
         if isinstance(node, Prefix):
             return self._render_prefix(node)
         if isinstance(node, Fuzzy):
@@ -333,21 +420,34 @@ class SqlQueryRenderer:
             return f"array_contains({t.tokens}, {_s(toks[0])})"
         return self._adjacency(t, toks)
 
-    def _adjacency(self, t: _SqlTarget, words: list) -> str:
-        """slop-0 adjacency on non-stemmed targets — the regex
-        strategy (QueryCompiler._adjacency); stemmed needs the
-        positional HOF fold, not rendered."""
-        if t.tokenizer == "en_stem":
-            raise _Unrenderable
-        pat = (
-            f"(^|{_NON_ALNUM_RE})"
-            + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
-            + f"({_NON_ALNUM_RE}|$)"
-        )
+    def _adjacency(self, t: _SqlTarget, words: list,
+                   slop: int = 0) -> str:
+        """QueryCompiler._adjacency: regex strategy for slop-0 on
+        non-stemmed targets, the positional fold otherwise."""
+        stemmed = t.tokenizer == "en_stem"
+        if slop == 0 and not stemmed:
+            pat = (
+                f"(^|{_NON_ALNUM_RE})"
+                + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
+                + f"({_NON_ALNUM_RE}|$)"
+            )
+            if t.kind == "text" and t.array:
+                return (f"exists({t.col}, "
+                        f"__e -> lower(__e) RLIKE {_s(pat)})")
+            return f"lower({t.col}) RLIKE {_s(pat)}"
+        # positional path (required for stems and any nonzero slop)
         if t.kind == "text" and t.array:
-            return (f"exists({t.col}, "
-                    f"__e -> lower(__e) RLIKE {_s(pat)})")
-        return f"lower({t.col}) RLIKE {_s(pat)}"
+            elem = _tok_sql("__el", t.tokenizer)
+            if elem is None:
+                raise _Unrenderable
+            return (f"exists({t.col}, __el -> "
+                    f"{_token_seq_match_sql(elem, words, slop)})")
+        if t.kind == "text" and t.tokens is not None:
+            return _token_seq_match_sql(t.tokens, words, slop)
+        arr = _tok_sql(t.col, t.tokenizer or "default")
+        if arr is None:
+            raise _Unrenderable
+        return _token_seq_match_sql(arr, words, slop)
 
     def _render_term(self, node: Term) -> str:
         if node.field is None:
@@ -364,9 +464,9 @@ class SqlQueryRenderer:
         return f"{target} <=> {lit}"
 
     def _render_phrase(self, node: Phrase) -> str:
-        """QueryCompiler._compile_phrase, slop-0 non-stemmed only —
-        nonzero slop takes the positional HOF fold (Column backend)."""
-        if node.field is None or node.slop:
+        """QueryCompiler._compile_phrase (qualified; the unqualified
+        fan-out stays on the Column backend)."""
+        if node.field is None:
             raise _Unrenderable
         t = self.resolve(node.field)
         if t.tokenizer == "raw" and t.kind == "text":
@@ -380,7 +480,8 @@ class SqlQueryRenderer:
         if len(words) == 1:
             return (f"coalesce(({self._token_match(t, words[0])}), "
                     f"false)")
-        return f"coalesce(({self._adjacency(t, words)}), false)"
+        return (f"coalesce(({self._adjacency(t, words, node.slop)}), "
+                f"false)")
 
     def _default_fields_match(self, text: str) -> str:
         """QueryCompiler._default_fields_match: unqualified term — OR
@@ -433,6 +534,55 @@ class SqlQueryRenderer:
         )
         return (f"coalesce(exists({vals}, __v -> "
                 f"lower(__v) RLIKE {_s(pat)}), false)")
+
+    def _render_phrase_prefix(self, node: PhrasePrefix) -> str:
+        """QueryCompiler._compile_phrase_prefix (qualified): words in
+        order, the LAST matched as a case-folded-only prefix —
+        boundary regex without the trailing anchor for slop-0
+        non-stemmed scalars, the positional prefix chain for stems
+        and flattened arrays, startswith for raw fields."""
+        if node.field is None:
+            raise _Unrenderable
+        t = self.resolve(node.field)
+        if t.kind not in ("text", "dynamic"):
+            return "false"
+        if t.tokenizer == "raw":
+            if t.kind == "text" and t.array:
+                return (f"coalesce(exists({t.col}, __e -> "
+                        f"startswith(__e, {_s(node.text)})), false)")
+            return (f"coalesce(startswith({t.col}, {_s(node.text)}), "
+                    f"false)")
+        raw_words = [w for w in node.text.split() if w]
+        if not raw_words:
+            return "false"
+        lead = analyze_term(" ".join(raw_words[:-1]), t.tokenizer)
+        pfx_toks = analyze_term(raw_words[-1], "default")
+        if not pfx_toks:
+            return "false"
+        prefix = pfx_toks[-1]
+        lead = lead + pfx_toks[:-1]
+        stemmed = t.tokenizer == "en_stem"
+        if not stemmed and not (t.kind == "text" and t.array):
+            words = lead + [prefix]
+            pat = (
+                f"(^|{_NON_ALNUM_RE})"
+                + f"{_NON_ALNUM_RE}+".join(re.escape(w) for w in words)
+            )
+            return (f"coalesce(lower({t.col}) RLIKE {_s(pat)}, "
+                    f"false)")
+        if t.kind == "text" and t.array:
+            elem = _tok_sql("__el", t.tokenizer)
+            if elem is None:
+                raise _Unrenderable
+            body = _token_seq_prefix_match_sql(elem, lead, prefix)
+            return (f"coalesce(exists({t.col}, __el -> {body}), "
+                    f"false)")
+        toks = t.tokens if t.tokens is not None else _tok_sql(
+            t.col, t.tokenizer or "default")
+        if toks is None:
+            raise _Unrenderable
+        return (f"coalesce(({_token_seq_prefix_match_sql(toks, lead, prefix)}), "
+                f"false)")
 
     def _analyzed_probe(self, t: _SqlTarget, text: str) -> str:
         return (text.lower()
