@@ -4270,6 +4270,37 @@ def q_search_top_metrics(spark, sf_dir):
     )
 
 
+def q_search_change_point(spark, sf_dir):
+    """ES change_point aggregation (search.py::change_point_agg):
+    detect where the daily purchase-value series changes — typed
+    step_change / spike / dip, or stationary when the best exact
+    least-squares candidate explains <25% of the series variance.
+    Deterministic exact form (ES samples test statistics; we ship the
+    decimal-exact SSE decomposition both engines agree on
+    bit-for-bit). One partial-aggregated corpus scan builds the
+    bucket series; the split search is a bounded pass over B date
+    buckets."""
+    from toshokan_spark.search import change_point_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = ev.filter(F.col("event_type") == "purchase")
+    return change_point_agg(hits, "ts", value_col="value", bucket="day")
+
+
+def q_search_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets aggregation (search.py::
+    frequent_item_sets_agg): per-user transactions over event_type,
+    every item and item pair in >=30% of transactions. Exact (ES
+    approximates with sampled ECLAT); pairs HOF-explode from each
+    transaction's sorted item array — one exchange builds the
+    transactions, no self-join over the corpus."""
+    from toshokan_spark.search import frequent_item_sets_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return frequent_item_sets_agg(
+        ev, "user_id", "event_type", min_support=0.3)
+
+
 def q_search_rate(spark, sf_dir):
     """ES rate aggregation (search.py::rate_agg): per calendar month,
     the value sum normalized to a per-DAY rate using the month's
@@ -4312,14 +4343,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r15 WINDOW (first 50): no P0 this round; the window is
-        # the 50 STALEST P0b entries — rotated out of the latest
-        # driver record, oldest latest-record round first (29 of r9
-        # vintage, 21 of r11 — VERDICT r14 directive 2). P0b that do
-        # not fit wait behind their older record + the full local
-        # sweep; then P1 changed-since-seal (the r15 relevance/
-        # search/cli edits reclassified most of the r14 window), then
-        # P2 proven-unchanged.
+        # -- r15 WINDOW (first 50): the two r15 additions are P0
+        # (never driver-proven) and lead; the rest is the STALEST
+        # P0b cohort — rotated out of the latest driver record,
+        # oldest latest-record round first (29 of r9 vintage, then
+        # r11 — VERDICT r14 directive 2). P0b that do not fit wait
+        # behind their older record + the full local sweep; then P1
+        # changed-since-seal (the r15 relevance/search/cli edits
+        # reclassified most of the r14 window), then P2
+        # proven-unchanged.
+        "search_change_point": q_search_change_point,
+        "search_frequent_item_sets": q_search_frequent_item_sets,
         "q10_returned_items": q_q10_returned_items,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_orders": q_q18_large_orders,
@@ -4368,9 +4402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": q_hourly_events,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_pq": q_knn_pq,
+        # ---- window boundary (driver records the 50 above) ----
         "q12_late_priority": q_q12_late_priority,
         "q13_customer_distribution": q_q13_customer_distribution,
-        # ---- window boundary (driver records the 50 above) ----
         "q15_top_supplier": q_q15_top_supplier,
         "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
@@ -9363,6 +9397,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT epoch_us(bucket) AS bucket_us, n_hits,
           round(s::DOUBLE / (86400.0 / 3600.0), 6) AS rate
         FROM g
+    """
+
+    # search_change_point: exact least-squares change detection on
+    # the daily purchase-value series — same decimal-exact bucket
+    # sums, same double expression order, same rounded-score argmax
+    # and tie-breaks as search.py::change_point_agg
+    d["search_change_point"] = """
+        WITH g AS (
+          SELECT date_trunc('day', ts) AS bucket,
+            CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))),
+                          0) AS DECIMAL(18,6)) AS v
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        s AS (
+          -- v2 via an explicit (19,6)x(18,6) -> (37,12) product:
+          -- duckdb does not widen a decimal product the way the
+          -- engine does, and the bare square overflows width 18
+          SELECT bucket, v,
+            CAST(v AS DECIMAL(19,6)) * v AS v2,
+            row_number() OVER (ORDER BY bucket) AS k,
+            sum(v) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS cv,
+            sum(CAST(v AS DECIMAL(19,6)) * v) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS cv2,
+            epoch_us(bucket) AS ts,
+            lead(epoch_us(bucket)) OVER (ORDER BY bucket) AS nts
+          FROM g),
+        tot AS (SELECT count(*)::BIGINT AS nb,
+                  count(*)::DOUBLE AS n,
+                  sum(v)::DOUBLE AS t,
+                  sum(CAST(v AS DECIMAL(19,6)) * v)::DOUBLE AS t2
+                FROM g),
+        c AS (SELECT s.*, tot.nb, tot.n, tot.t, tot.t2,
+                tot.t2 - tot.t * tot.t / tot.n AS sse0
+              FROM s, tot),
+        cand AS (
+          SELECT CASE WHEN sse0 > 0 THEN round(1.0 -
+              ((cv2::DOUBLE - cv::DOUBLE * cv::DOUBLE / k::DOUBLE)
+               + ((t2 - cv2::DOUBLE)
+                  - (t - cv::DOUBLE) * (t - cv::DOUBLE)
+                    / (n - k::DOUBLE))) / sse0, 9)
+            ELSE 0.0 END AS score,
+            1 AS prio, -nts AS negts, 'step_change' AS kind,
+            nts AS ts2
+          FROM c WHERE k < nb AND nb >= 3
+          UNION ALL
+          SELECT CASE WHEN sse0 > 0 THEN round(1.0 -
+              ((t2 - v::DOUBLE * v::DOUBLE)
+               - (t - v::DOUBLE) * (t - v::DOUBLE) / (n - 1.0))
+              / sse0, 9) ELSE 0.0 END,
+            0, -ts,
+            CASE WHEN v::DOUBLE > (t - v::DOUBLE) / (n - 1.0)
+              THEN 'spike' ELSE 'dip' END,
+            ts
+          FROM c WHERE nb >= 3),
+        best AS (SELECT * FROM cand
+                 ORDER BY score DESC, prio DESC, negts DESC LIMIT 1)
+        SELECT
+          CASE WHEN b.score IS NULL OR b.score < 0.25
+            THEN 'stationary' ELSE b.kind END AS type,
+          CASE WHEN b.score IS NOT NULL AND b.score >= 0.25
+            THEN b.ts2 END AS bucket_us,
+          round(coalesce(b.score, 0.0), 6) AS score,
+          (SELECT nb FROM tot) AS n_buckets
+        FROM (SELECT 1 AS one) LEFT JOIN best b ON true
+    """
+
+    # search_frequent_item_sets: per-user transactions over
+    # event_type, items + pairs at support >= 0.3 (events hold <=5
+    # distinct types per user, far under the operator's 64-item
+    # transaction cap, so the exact join form is identical)
+    d["search_frequent_item_sets"] = """
+        WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+        tx AS (SELECT user_id FROM du GROUP BY user_id),
+        n AS (SELECT count(*)::DOUBLE AS ntx FROM tx),
+        u AS (
+          SELECT event_type AS item_a, NULL::VARCHAR AS item_b FROM du
+          UNION ALL
+          SELECT x.event_type, y.event_type
+          FROM du x JOIN du y ON x.user_id = y.user_id
+            AND x.event_type < y.event_type),
+        c AS (SELECT item_a, item_b, count(*)::BIGINT AS support_count
+              FROM u GROUP BY 1, 2)
+        SELECT item_a, item_b,
+          (CASE WHEN item_b IS NULL THEN 1 ELSE 2 END)::INT
+            AS set_size,
+          support_count,
+          round(support_count::DOUBLE / (SELECT ntx FROM n), 6)
+            AS support
+        FROM c
+        WHERE round(support_count::DOUBLE / (SELECT ntx FROM n), 6)
+          >= 0.3
     """
 
     # search_rank_feature: BM25('spark table') + 2.0 * saturation of

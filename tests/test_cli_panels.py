@@ -627,3 +627,35 @@ def test_relevance_flags_route_dynamic_fields(panel_index, capsys):
                         "--matrix-stats", "tenant_id,t2"])
     pairs = {(o["field"], o["other"]): o for o in out}
     assert pairs[("tenant_id", "t2")]["correlation"] == 1.0
+
+
+def test_change_point_and_frequent_item_sets_flags(relevance_index,
+                                                   capsys):
+    """--change-point and --frequent-item-sets through the CLI: the
+    4-doc fixture's stars series spikes at 99, per-id transactions of
+    one body token each pair within the hit set; malformed specs and
+    a missing time_field exit 2."""
+    from toshokan_spark import cli
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--change-point", "hour",
+                        "--change-point-field", "stars"])
+    assert len(out) == 1
+    # series 10, 0, 50, 99 over 4 hourly buckets: best exact split is
+    # after bucket 2 (means 5 vs 74.5) -> step_change at bucket 3
+    assert out[0]["type"] == "step_change"
+    assert out[0]["n_buckets"] == 4
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--frequent-item-sets", "id:body"])
+    # every body is a distinct full string per id: 4 transactions,
+    # each 1 item -> all supports 0.25, above the default 0.1
+    assert len(out) == 4
+    assert all(o["set_size"] == 1 and o["support"] == 0.25
+               for o in out)
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "*", "--change-point", "week"]) == 2
+    assert "month|day|hour" in capsys.readouterr().err
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "*", "--frequent-item-sets", "only_group"]) == 2
+    assert "GROUP:ITEM" in capsys.readouterr().err

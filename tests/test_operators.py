@@ -4683,3 +4683,72 @@ def test_pq_sql_expression_equivalence(spark):
     for r in rows:
         assert r.od == r.nd          # bit-identical doubles
         assert r.oc == r.nc
+
+
+def test_change_point_and_frequent_item_sets(spark):
+    """ES change_point / frequent_item_sets semantics on hand-sized
+    frames: exact least-squares step/spike/dip typing with the ES
+    first-changed-bucket convention, stationarity below the variance
+    threshold and under 3 buckets; exact item/pair supports over
+    per-group distinct transactions."""
+    from datetime import datetime
+
+    from toshokan_spark.search import (
+        change_point_agg,
+        frequent_item_sets_agg,
+    )
+
+    def series(vals):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, d + 1, 12), float(v))
+             for d, v in enumerate(vals)],
+            "ts timestamp, value double")
+
+    # step: level shift after day 5 -> change point IS day 6
+    r = change_point_agg(
+        series([10] * 5 + [50] * 5), "ts", "value", "day").first()
+    assert r.type == "step_change" and r.score == 1.0
+    assert r.bucket_us == int(
+        datetime(2024, 1, 6).timestamp() * 1_000_000)
+    # spike / dip: one anomalous bucket
+    r = change_point_agg(
+        series([10, 10, 10, 100, 10, 10, 10, 10, 10, 10]),
+        "ts", "value", "day").first()
+    assert r.type == "spike" and r.bucket_us == int(
+        datetime(2024, 1, 4).timestamp() * 1_000_000)
+    r = change_point_agg(
+        series([10, 10, 10, 10, 10, 10, 1, 10, 10, 10]),
+        "ts", "value", "day").first()
+    assert r.type == "dip"
+    # stationary: alternating noise explains <25% variance; and a
+    # 2-bucket series can never report a change
+    r = change_point_agg(
+        series([10, 11] * 5), "ts", "value", "day").first()
+    assert r.type == "stationary" and r.bucket_us is None
+    r = change_point_agg(series([1, 2]), "ts", "value", "day").first()
+    assert r.type == "stationary" and r.n_buckets == 2
+    # doc-count mode (value_col None)
+    r = change_point_agg(
+        series([1] * 10), "ts", None, "day").first()
+    assert r.type == "stationary" and r.score == 0.0
+
+    tx = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup collapses
+         (2, "a"), (2, "b"), (3, "a"), (4, "a"), (4, "b")],
+        "g long, item string")
+    got = {(r.item_a, r.item_b): r for r in
+           frequent_item_sets_agg(tx, "g", "item", 0.5).collect()}
+    assert got[("a", None)].support_count == 4
+    assert got[("a", None)].support == 1.0
+    assert got[("a", "b")].support_count == 3
+    assert got[("a", "b")].set_size == 2
+    assert ("c", None) not in got          # support 0.25 < 0.5
+    assert ("b", "a") not in got           # pairs are ordered once
+    # transaction cap: a basket wider than the cap truncates to the
+    # smallest items deterministically
+    wide = spark.createDataFrame(
+        [(1, f"i{j:02d}") for j in range(10)] + [(2, "i00")],
+        "g long, item string")
+    got = {r.item_a for r in frequent_item_sets_agg(
+        wide, "g", "item", 0.9, max_items_per_group=3).collect()}
+    assert got == {"i00"}  # i00..i02 kept for g=1; only i00 in both

@@ -227,6 +227,20 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--rate-field", default=None)
     ps.add_argument("--rate-unit", type=int, default=86400,
                     metavar="SECONDS")
+    ps.add_argument("--change-point", default=None,
+                    metavar="month|day|hour",
+                    help="ES change_point: detect where the bucketed "
+                         "series of --change-point-field (default doc "
+                         "count) over the index time_field changes — "
+                         "step_change / spike / dip / stationary, "
+                         "exact least-squares form")
+    ps.add_argument("--change-point-field", default=None)
+    ps.add_argument("--frequent-item-sets", default=None,
+                    metavar="GROUP:ITEM[:MINSUP]",
+                    help="ES frequent_item_sets (sizes 1-2, exact): "
+                         "GROUP values are transactions of distinct "
+                         "ITEM values; report sets with support >= "
+                         "MINSUP (default 0.1)")
     ps.add_argument("--facet-by", default=None,
                     help="instead of hits, print top facet values of this "
                          "field over the hit set (terms aggregation)")
@@ -955,6 +969,8 @@ def main(argv: list[str] | None = None) -> int:
                 ("--matrix-stats", a.matrix_stats),
                 ("--top-metrics", a.top_metrics),
                 ("--rate", a.rate),
+                ("--change-point", a.change_point),
+                ("--frequent-item-sets", a.frequent_item_sets),
                 ("--order-by", a.order_by),
                 ("--fields", a.fields),
                 ("--slice", a.slice),
@@ -1013,7 +1029,8 @@ def main(argv: list[str] | None = None) -> int:
                     or a.string_stats_field or a.t_test or a.diversify_by
                     or a.cumulative_cardinality or a.ks_test
                     or a.phrase_suggest_field or a.matrix_stats
-                    or a.top_metrics or a.rate)
+                    or a.top_metrics or a.rate or a.change_point
+                    or a.frequent_item_sets)
         if agg_mode:
             from toshokan_spark.search import (
                 cardinality_agg,
@@ -1055,7 +1072,12 @@ def main(argv: list[str] | None = None) -> int:
                     (a.ks_test or "").split(";")[0].strip() or None,
                     a.panel_facet, a.panel_stats, a.significant_terms,
                     a.top_metrics_by, a.rate_field,
+                    a.change_point_field,
                 ]
+                if a.frequent_item_sets:
+                    names.extend(
+                        x.strip()
+                        for x in a.frequent_item_sets.split(":")[:2])
                 for grouped in (a.multi_terms, a.composite_by,
                                 a.matrix_stats):
                     if grouped:
@@ -1518,6 +1540,44 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if a.top_metrics_by is None:
                     out = out.drop("__all")
+                _emit(out.collect())
+            if a.change_point:
+                from toshokan_spark.search import change_point_agg
+
+                config = catalog.get_index(a.index)
+                if not config.time_field:
+                    print("error: --change-point needs an index with "
+                          "a time_field", file=sys.stderr)
+                    return 2
+                if a.change_point not in ("month", "day", "hour"):
+                    print("error: --change-point wants month|day|hour",
+                          file=sys.stderr)
+                    return 2
+                out = change_point_agg(
+                    hits_df(), config.time_field,
+                    value_col=a.change_point_field,
+                    bucket=a.change_point,
+                )
+                _emit(out.collect())
+            if a.frequent_item_sets:
+                from toshokan_spark.search import frequent_item_sets_agg
+
+                parts = [p.strip()
+                         for p in a.frequent_item_sets.split(":")]
+                if len(parts) not in (2, 3) or not all(parts[:2]):
+                    print("error: --frequent-item-sets wants "
+                          "GROUP:ITEM[:MINSUP]", file=sys.stderr)
+                    return 2
+                minsup = 0.1
+                if len(parts) == 3:
+                    try:
+                        minsup = float(parts[2])
+                    except ValueError:
+                        print("error: --frequent-item-sets MINSUP "
+                              "must be a number", file=sys.stderr)
+                        return 2
+                out = frequent_item_sets_agg(
+                    hits_df(), parts[0], parts[1], min_support=minsup)
                 _emit(out.collect())
             if a.rate:
                 from toshokan_spark.search import rate_agg

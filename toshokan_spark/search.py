@@ -2977,6 +2977,228 @@ def rate_agg(
     ).orderBy("bucket")
 
 
+def change_point_agg(
+    hits: DataFrame,
+    ts_field: str,
+    value_col: "str | None" = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """ES ``change_point`` aggregation (8.x) on a date-histogram
+    metric series: detect the bucket where the series changes, typed
+    ``step_change`` (sustained mean shift), ``spike``/``dip`` (one
+    anomalous bucket), or ``stationary`` (nothing significant).
+
+    Deterministic exact form (the repo's percentiles-over-t-digest
+    stance — ES uses sampled test statistics and p-values, we ship
+    the exact least-squares decomposition both engines reproduce
+    bit-for-bit): per bucket, the metric is the decimal-exact sum of
+    *value_col* (or the doc count); the STEP candidate is the split
+    minimizing within-segment SSE (classic one-change-point
+    mean-shift), the SPIKE/DIP candidate the single bucket whose
+    exclusion minimizes remaining SSE. Each scores
+    ``1 - SSE/SSE_total`` (variance explained, in [0,1]); the best
+    rounded score wins (ties: step before point, then the earliest
+    bucket), and below 0.25 — or with under 3 buckets — the series
+    reports stationary.
+
+    Scale shape: ONE partial-aggregated corpus scan builds the bucket
+    series; everything after operates on the bucket-count-bounded
+    frame (the deliberate bounded pass every pipeline agg here takes
+    — cumulative sums over B date buckets, then one 1-row argmax
+    aggregate). Output: one row
+    ``(type, bucket, score, n_buckets)``."""
+    from pyspark.sql.window import Window
+
+    b = F.date_trunc(bucket, F.col(ts_field))
+    val = (
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        if value_col is not None
+        else F.count(F.lit(1)).cast("decimal(18,6)")
+    )
+    # bucket sums re-quantized to DECIMAL(18,6): the engine widens a
+    # decimal SUM's precision, and an (unbounded)x(unbounded) square
+    # would trip the precision-loss rescale — the matrix_stats
+    # contract (bucket magnitudes above 1e12 are out of scope)
+    g = hits.groupBy(b.alias("bucket")).agg(
+        F.coalesce(val, F.lit(0).cast("decimal(18,6)"))
+        .cast("decimal(18,6)").alias("__v")
+    )
+    # bounded pass: B buckets (cumulative sums need the series order)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    s = (
+        g.withColumn("__v2", (F.col("__v") * F.col("__v")))
+        .withColumn("__k", F.count(F.lit(1)).over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__cv", F.sum("__v").over(w))
+        .withColumn("__cv2", F.sum("__v2").over(w))
+        # the step CHANGE POINT is the first bucket of the new
+        # regime (the ES reading), i.e. the row after the split
+        .withColumn(
+            "__nts",
+            F.lead(F.unix_micros(F.col("bucket").cast("timestamp")))
+            .over(Window.orderBy("bucket")),
+        )
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__t"),
+        F.sum("__v2").alias("__t2"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    n = F.col("__n").cast("double")
+    t = F.col("__t").cast("double")
+    t2 = F.col("__t2").cast("double")
+    sse0 = t2 - t * t / n
+    k = F.col("__k").cast("double")
+    cv = F.col("__cv").cast("double")
+    cv2 = F.col("__cv2").cast("double")
+    v = F.col("__v").cast("double")
+    # step split AFTER this bucket (rows 1..n-1)
+    sse_step = (
+        (cv2 - cv * cv / k)
+        + ((t2 - cv2) - (t - cv) * (t - cv) / (n - k))
+    )
+    # this bucket excluded (needs n >= 2)
+    sse_point = (t2 - v * v) - (t - v) * (t - v) / (n - F.lit(1.0))
+    score_of = lambda sse: F.when(  # noqa: E731
+        sse0 > 0, F.round(F.lit(1.0) - sse / sse0, 9)
+    ).otherwise(F.lit(0.0))
+    epoch = F.unix_micros(F.col("bucket").cast("timestamp"))
+    # candidates as structs; argmax by (score, kind priority
+    # step>point, earliest bucket) in ONE aggregate
+    step_c = F.when(
+        (F.col("__k") < F.col("__n")) & (F.col("__n") >= 3),
+        F.struct(
+            score_of(sse_step).alias("score"),
+            F.lit(1).alias("prio"),
+            (-F.col("__nts")).alias("negts"),
+            F.lit("step_change").alias("kind"),
+            F.col("__nts").alias("ts"),
+            (v / k).alias("vref"),
+        ),
+    )
+    mean_others = (t - v) / (n - F.lit(1.0))
+    point_c = F.when(
+        F.col("__n") >= 3,
+        F.struct(
+            score_of(sse_point).alias("score"),
+            F.lit(0).alias("prio"),
+            (-epoch).alias("negts"),
+            F.when(v > mean_others, F.lit("spike"))
+            .otherwise(F.lit("dip")).alias("kind"),
+            epoch.alias("ts"),
+            v.alias("vref"),
+        ),
+    )
+    best = j.agg(
+        F.max(step_c).alias("__s"),
+        F.max(point_c).alias("__p"),
+        F.max("__n").alias("__nb"),
+    )
+    win = F.when(
+        F.col("__p").isNull()
+        | (F.col("__s").isNotNull()
+           & (F.struct(F.col("__s.score"), F.col("__s.prio"),
+                       F.col("__s.negts"))
+              >= F.struct(F.col("__p.score"), F.col("__p.prio"),
+                          F.col("__p.negts")))),
+        F.col("__s"),
+    ).otherwise(F.col("__p"))
+    return best.select(
+        F.when(
+            win.isNull() | (win["score"] < 0.25), F.lit("stationary")
+        ).otherwise(win["kind"]).alias("type"),
+        F.when(
+            win.isNotNull() & (win["score"] >= 0.25), win["ts"]
+        ).alias("bucket_us"),
+        F.round(F.coalesce(win["score"], F.lit(0.0)), 6).alias("score"),
+        F.col("__nb").cast("long").alias("n_buckets"),
+    )
+
+
+def frequent_item_sets_agg(
+    hits: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: float = 0.1,
+    max_items_per_group: int = 64,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (8.x), sizes 1 and 2:
+    treat each *group_col* value as a transaction holding its DISTINCT
+    *item_col* values, and report every item and ordered item pair
+    whose support (fraction of transactions containing it) reaches
+    *min_support*. ES runs approximate ECLAT with sampling; this is
+    the exact form on the same contract (the repo's exact-statistic
+    stance), capped at pair sets — the size ES defaults to.
+
+    Scale shape: one partial-aggregated exchange builds the
+    transaction set (``collect_set`` per group — bounded by
+    *max_items_per_group*, the runaway-transaction guard ES enforces
+    with its own limit; larger baskets are truncated to the smallest
+    items, deterministically, and counted against the cap); pairs
+    explode from each transaction's sorted item array via HOFs — no
+    self-join, no second shuffle over the corpus. Output:
+    ``(item_a, item_b, set_size, support_count, support)`` with
+    ``item_b`` null for singletons."""
+    tx = (
+        hits.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.collect_set(F.col(item_col).cast("string")).alias("__items"))
+        .select(
+            F.slice(
+                F.array_sort("__items"), 1, int(max_items_per_group)
+            ).alias("__items")
+        )
+    )
+    n_tx = tx.agg(F.count(F.lit(1)).cast("long").alias("__ntx"))
+    # size-1 and size-2 sets from the sorted array, HOF-generated
+    singles = tx.select(
+        F.explode("__items").alias("item_a"),
+        F.lit(None).cast("string").alias("item_b"),
+    )
+    pairs = tx.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__items",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("__items"), i + F.lit(2),
+                            F.size("__items"),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select(
+        F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+    )
+    counts = (
+        singles.unionByName(pairs)
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
+    )
+    out = counts.crossJoin(F.broadcast(n_tx)).select(
+        "item_a", "item_b",
+        F.when(F.col("item_b").isNull(), F.lit(1))
+        .otherwise(F.lit(2)).cast("int").alias("set_size"),
+        "support_count",
+        F.round(
+            F.col("support_count").cast("double")
+            / F.col("__ntx").cast("double"), 6
+        ).alias("support"),
+    )
+    return out.filter(
+        F.col("support") >= F.lit(float(min_support))
+    ).orderBy(
+        F.col("support_count").desc(), F.col("item_a").asc(),
+        F.col("item_b").asc_nulls_first(),
+    )
+
+
 def mlt_search_df(
     spark: SparkSession,
     catalog: FsCatalog,
