@@ -1625,3 +1625,37 @@ def test_rank_distance_pinned_single_tokenize_audit(spark, sf_dir):
             "== Initial Plan ==")[0]
         n_split = phys.count("split(")
         assert 1 <= n_split <= bound, f"{name}: tokenize appears {n_split}x"
+
+
+def test_frequent_item_sets_no_corpus_self_join(spark, sf_dir):
+    """frequent_item_sets: pairs HOF-explode from each transaction's
+    sorted item array — the executed plan must contain no join at all
+    (a corpus self-join on group is the shape this operator exists to
+    avoid) and exactly one scan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_frequent_item_sets"](spark, sf_dir)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in phys
+    assert "ShuffledHashJoin" not in phys
+    assert "CartesianProduct" not in phys
+    assert phys.count("FileScan") == 1
+
+
+def test_change_point_one_scan_bounded_window(spark, sf_dir):
+    """change_point: ONE corpus scan builds the bucket series; the
+    split search is windows + one argmax aggregate over the
+    bucket-count-bounded frame (the deliberate bounded pass every
+    pipeline agg takes), never a second scan or a join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["search_change_point"](spark, sf_dir)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert phys.count("FileScan") == 1
+    assert "SortMergeJoin" not in phys
+    assert "BroadcastNestedLoopJoin" in phys or \
+        "CartesianProduct" not in phys  # 1-row totals broadcast only

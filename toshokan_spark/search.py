@@ -3151,37 +3151,45 @@ def frequent_item_sets_agg(
             ).alias("__items")
         )
     )
-    n_tx = tx.agg(F.count(F.lit(1)).cast("long").alias("__ntx"))
-    # size-1 and size-2 sets from the sorted array, HOF-generated
-    singles = tx.select(
-        F.explode("__items").alias("item_a"),
-        F.lit(None).cast("string").alias("item_b"),
-    )
-    pairs = tx.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "__items",
-                    lambda a, i: F.transform(
-                        F.slice(
-                            F.col("__items"), i + F.lit(2),
-                            F.size("__items"),
-                        ),
-                        lambda b: F.struct(
-                            a.alias("a"), b.alias("b")),
+    # ALL itemsets from ONE HOF expression and ONE explode: a
+    # (NULL, NULL) sentinel per transaction (collect_set never emits
+    # nulls, so it cannot collide with a real item) carries the
+    # transaction count through the same aggregation — a
+    # singles/pairs union would re-plan (and re-run) the heavy
+    # collect_set exchange once per branch, the matrix_stats
+    # per-branch re-scan defect all over again
+    null_s = F.lit(None).cast("string")
+    sets = F.concat(
+        F.array(F.struct(null_s.alias("a"), null_s.alias("b"))),
+        F.transform(
+            "__items",
+            lambda a: F.struct(a.alias("a"), null_s.alias("b")),
+        ),
+        F.flatten(
+            F.transform(
+                "__items",
+                lambda a, i: F.transform(
+                    F.slice(
+                        F.col("__items"), i + F.lit(2),
+                        F.size("__items"),
                     ),
-                )
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
             )
-        ).alias("__p")
-    ).select(
-        F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+        ),
     )
     counts = (
-        singles.unionByName(pairs)
-        .groupBy("item_a", "item_b")
+        tx.select(F.explode(sets).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("item_a"),
+            F.col("__p.b").alias("item_b"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
     )
-    out = counts.crossJoin(F.broadcast(n_tx)).select(
+    n_tx = counts.filter(F.col("item_a").isNull()).select(
+        F.col("support_count").alias("__ntx"))
+    out = counts.filter(F.col("item_a").isNotNull()).crossJoin(
+        F.broadcast(n_tx)).select(
         "item_a", "item_b",
         F.when(F.col("item_b").isNull(), F.lit(1))
         .otherwise(F.lit(2)).cast("int").alias("set_size"),
