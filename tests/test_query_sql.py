@@ -165,11 +165,19 @@ RENDERED_QUERIES = [
     'sev:"IN"*',               # raw: whole-value startswith
     'toks:"big da"*',          # array: positional prefix chain
     'extra:"hello wo"*',       # dynamic phrase prefix
+    '"spark table"~2',         # UNQUALIFIED slop phrase fan-out
+    '"slow query"',            # unqualified exact phrase
+    "spar*",                   # unqualified prefix (text + dynamic)
+    "hell*",                   # unqualified prefix via _dynamic only
+    "spork~1",                 # unqualified fuzzy
+    "sp?rk",                   # unqualified wildcard
+    "hel*o",                   # unqualified wildcard via _dynamic
 ]
 
-FALLBACK_QUERIES = [
-    '"spark table"~2',         # UNQUALIFIED phrase fan-out
-]
+#: shapes the renderer intentionally leaves to the Column backend
+#: today: NONE at the node level — only environment-driven gaps
+#: remain (en_stem / ip without shadow columns), asserted below
+FALLBACK_QUERIES: list = []
 
 
 def test_rendered_queries_match_column_backend(spark, mixed_df):

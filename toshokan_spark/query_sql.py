@@ -12,15 +12,15 @@ slow, fixed the same way — render the expression as one parsed SQL
 string, `operators/similarity.py`).
 
 This module renders the SAME semantics as ``QueryCompiler`` for the
-whole query language except a few fan-outs — term (qualified AND
-unqualified)/phrase (any slop, the positional fold included)/
-phrase-prefix/range/cmp/bool/exists/prefix/fuzzy/regexp/wildcard
-over declared scalar and array fields of every type, static-object
-paths, ``_dynamic`` routing — and returns ``None`` for the shapes it
-does not cover (en_stem fields without a shadow tokens column, ip
-comparisons without a shadow key column, unqualified
-prefix/fuzzy/phrase/wildcard fan-outs). Callers fall back to the
-Column
+WHOLE query language — term/phrase (any slop, the positional fold
+included)/phrase-prefix/range/cmp/bool/exists/prefix/fuzzy/regexp/
+wildcard, qualified and unqualified (the default-fields fan-outs
+with their ``_dynamic`` remainder arms), over declared scalar and
+array fields of every type, static-object paths, ``_dynamic``
+routing. ``None`` remains only for environment-driven gaps: en_stem
+fields without a shadow tokens column (the stemmer is a pandas UDF)
+and ip comparisons without a shadow key column. Callers fall back to
+the Column
 backend per query, so coverage gaps cost speed, never correctness.
 ``tests/test_query_sql.py`` pins bit-equivalence against
 ``compile_query`` row-for-row across every rendered shape.
@@ -369,7 +369,26 @@ class SqlQueryRenderer:
             return self._render_regex(node)
         if isinstance(node, Wildcard):
             if node.field is None:
-                raise _Unrenderable
+                # QueryCompiler._compile_wildcard's fan-out: indexed
+                # text fields + the case-folded anchored glob over
+                # the _dynamic remainder's default tokens
+                parts = ["false"]
+                for f in self.config.fields:
+                    if f.type != "text" or not f.indexed:
+                        continue
+                    parts.append(
+                        f"coalesce(({self.render(Wildcard((f.name,), node.pattern))}), false)"
+                    )
+                if self._have(DYNAMIC_FIELD_NAME):
+                    anchored = "^(?:" + node.to_regex().lower() + ")$"
+                    vals = f"map_values({_q(DYNAMIC_FIELD_NAME)})"
+                    arr = _tok_sql("__v", "default")
+                    parts.append(
+                        f"coalesce(exists({vals}, __v -> "
+                        f"exists({arr}, __t3 -> __t3 RLIKE "
+                        f"{_s(anchored)})), false)"
+                    )
+                return " OR ".join(f"({p})" for p in parts)
             t = self.resolve(node.field)
             pat = node.to_regex()
             if t.tokenizer in ("default", "en_stem"):
@@ -464,10 +483,17 @@ class SqlQueryRenderer:
         return f"{target} <=> {lit}"
 
     def _render_phrase(self, node: Phrase) -> str:
-        """QueryCompiler._compile_phrase (qualified; the unqualified
-        fan-out stays on the Column backend)."""
+        """QueryCompiler._compile_phrase, including the unqualified
+        fan-out (every indexed text field + the _dynamic remainder)."""
         if node.field is None:
-            raise _Unrenderable
+            parts = ["false"]
+            for f in self.config.fields:
+                if f.type == "text" and f.indexed:
+                    parts.append(
+                        f"coalesce(({self._render_phrase(Phrase((f.name,), node.text, node.slop))}), false)"
+                    )
+            parts.append(self._dynamic_any_term(node.text))
+            return " OR ".join(f"({p})" for p in parts)
         t = self.resolve(node.field)
         if t.tokenizer == "raw" and t.kind == "text":
             if t.array:
@@ -590,7 +616,27 @@ class SqlQueryRenderer:
 
     def _render_prefix(self, node: Prefix) -> str:
         if node.field is None:
-            raise _Unrenderable
+            # QueryCompiler._compile_prefix's fan-out: indexed text
+            # fields (absent ones contribute no clause) + the
+            # _dynamic remainder probed with the default tokenizer
+            parts = ["false"]
+            for f in self.config.fields:
+                if f.type != "text" or not f.indexed:
+                    continue
+                if not self._have(f.name):
+                    continue
+                parts.append(
+                    f"coalesce(({self._render_prefix(Prefix((f.name,), node.text))}), false)"
+                )
+            if self._have(DYNAMIC_FIELD_NAME):
+                vals = f"map_values({_q(DYNAMIC_FIELD_NAME)})"
+                arr = _tok_sql("__v", "default")
+                lp = node.text.lower()
+                parts.append(
+                    f"coalesce(exists({vals}, __v -> exists({arr}, "
+                    f"__t3 -> startswith(__t3, {_s(lp)}))), false)"
+                )
+            return " OR ".join(f"({p})" for p in parts)
         t = self.resolve(node.field)
         if t.kind not in ("text", "dynamic"):
             return "false"
@@ -610,7 +656,18 @@ class SqlQueryRenderer:
 
     def _render_fuzzy(self, node: Fuzzy) -> str:
         if node.field is None:
-            raise _Unrenderable
+            # QueryCompiler._compile_fuzzy's fan-out: indexed text
+            # fields only (no dynamic arm, matching the backend)
+            parts = ["false"]
+            for f in self.config.fields:
+                if f.type != "text" or not f.indexed:
+                    continue
+                if not self._have(f.name):
+                    continue
+                parts.append(
+                    f"coalesce(({self._render_fuzzy(Fuzzy((f.name,), node.text, node.distance))}), false)"
+                )
+            return " OR ".join(f"({p})" for p in parts)
         t = self.resolve(node.field)
         if t.kind not in ("text", "dynamic"):
             return "false"
