@@ -52,6 +52,12 @@ FLOORS = {
     "lm_quality_buckets_scaled": 1.6,
     "token_budget_pack_scaled": 0.9,
     "search_bm25": 0.6,              # manifest-stats path (post-build)
+    # round-15 additions (warm best-of-3 on this config: 2.71/0.89 —
+    # change_point's cost is stage-scheduling overhead across its
+    # groupBy/window/broadcast/argmax chain, not data: at sf0.1 on
+    # local[32] it runs 0.85 s)
+    "search_change_point": 3.5,
+    "search_frequent_item_sets": 1.2,
     # round-8 batch-2 operators (warm best: 0.98/1.39/0.56/0.60/0.93/
     # 0.37/0.81/1.56/0.95/0.90)
     "knn_graph": 1.3,
