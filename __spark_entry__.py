@@ -9468,7 +9468,8 @@ def oracle_sql() -> dict[str, str]:
     # distinct types per user, far under the operator's 64-item
     # transaction cap, so the exact join form is identical)
     d["search_frequent_item_sets"] = """
-        WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+        WITH du AS (SELECT DISTINCT user_id, event_type FROM events
+                    WHERE user_id IS NOT NULL),
         tx AS (SELECT user_id FROM du GROUP BY user_id),
         n AS (SELECT count(*)::DOUBLE AS ntx FROM tx),
         u AS (

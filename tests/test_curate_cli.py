@@ -1508,6 +1508,26 @@ def test_snapshot_restore_across_catalogs(spark, tmp_path, capsys):
                      str(tmp_path / "d2" / "copy")]) == 0
     capsys.readouterr()
     assert FsCatalog(cat3).segments("copy")[0].num_rows == 6
+    # idempotent retry into the SAME catalog (ADVICE r15): the index
+    # already exists with the snapshot's exact config — the retry
+    # resumes instead of dying on "already exists", and skips the
+    # already-committed segments/tombstones (no duplicates)
+    assert cli.main(["--catalog", cat3, "restore", str(tmp_path / "snap"),
+                     "--as", "copy", "--path",
+                     str(tmp_path / "d2" / "copy")]) == 0
+    capsys.readouterr()
+    assert len(FsCatalog(cat3).segments("copy")) == 1
+    assert len(FsCatalog(cat3).deletes("copy")) == 1
+    # ...but a name held by a DIFFERENT config refuses (the name is
+    # taken by something else, not a partial restore)
+    assert cli.main(["--catalog", cat2, "restore", str(tmp_path / "snap"),
+                     "--as", "src2", "--path",
+                     str(tmp_path / "d2" / "copy")]) == 0
+    capsys.readouterr()
+    assert cli.main(["--catalog", cat2, "restore", str(tmp_path / "snap"),
+                     "--as", "copy"]) == 2  # copy exists, path differs
+    err = capsys.readouterr()
+    assert "different config" in (err.err + err.out)
 
 
 def test_verify_index_fsck(spark, tmp_path, capsys):

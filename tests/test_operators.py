@@ -4752,3 +4752,12 @@ def test_change_point_and_frequent_item_sets(spark):
     got = {r.item_a for r in frequent_item_sets_agg(
         wide, "g", "item", 0.9, max_items_per_group=3).collect()}
     assert got == {"i00"}  # i00..i02 kept for g=1; only i00 in both
+    # NULL group rows are NOT a transaction (ES excludes docs missing
+    # the group field) — support fractions must not deflate
+    nulls = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (None, "b")],
+        "g long, item string")
+    got = {(r.item_a, r.item_b): r for r in
+           frequent_item_sets_agg(nulls, "g", "item", 0.5).collect()}
+    assert got[("a", None)].support == 1.0    # 2/2, not 2/3
+    assert ("b", None) not in got             # null-group item dropped

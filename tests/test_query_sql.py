@@ -131,6 +131,9 @@ RENDERED_QUERIES = [
     "nums:5",
     "nums:[2 TO 3]",
     "nums:>8",
+    "nums:[abc TO 5]",         # uncoercible array bound -> false
+    "nums:[1 TO abc]",
+    "nums:>abc",
     "ghost:1",                 # declared but absent -> typed null
     "ghost:[1 TO 2]",
     "sev:INFO AND body:spark",

@@ -765,12 +765,32 @@ def restore_snapshot(
                 else base + "-" + new_name
             )
         config = replace(config, name=new_name, path=new_path)
-    create_index(catalog, config)
+    try:
+        create_index(catalog, config)
+        have_segs: set = set()
+        have_dels: set = set()
+    except CatalogError:
+        # retry after a partially failed restore: tolerate an existing
+        # index ONLY when its config is byte-identical to the snapshot's
+        # — then the already-committed segments/tombstones are skipped
+        # below and the restore resumes where it died. A config
+        # mismatch means the name is taken by something else: refuse.
+        existing = catalog.get_index(config.name)
+        if existing.to_dict() != config.to_dict():
+            raise CatalogError(
+                f"index {config.name!r} exists with a different config; "
+                f"drop it (or restore under --rename) first"
+            )
+        have_segs = {s.id for s in catalog.segments(config.name)}
+        have_dels = {d.id for d in catalog.deletes(config.name)}
     st_dst = catalog.data_storage(config)
     partitioned = config.time_field is not None
     total = 0
     for sdoc in doc["segments"]:
         entry = SegmentEntry(**sdoc)
+        if entry.id in have_segs:
+            total += entry.num_rows
+            continue
         src = join_path(snap_root, entry.file_name)
         # overwrite (matching the stats write below): a retry after a
         # partially failed restore must replace the leftover segment
@@ -795,6 +815,8 @@ def restore_snapshot(
         catalog.commit_segment(config.name, entry)
         total += entry.num_rows
     for ddoc in doc.get("deletes", []):
+        if ddoc.get("id") in have_dels:
+            continue
         # replay the STORED tombstone verbatim — original id and
         # created_at_ms — via the manifest CAS path (add_delete would
         # otherwise mint a fresh id/timestamp and lose audit parity)

@@ -754,6 +754,13 @@ class SqlQueryRenderer:
             return f"{target} IS NOT NULL"
         if t.array and lo_c is not None and hi_c is not None:
             litlo, lithi = mk(node.lo), mk(node.hi)
+            if litlo is None or lithi is None:
+                # A non-coercible bound (e.g. ``nums:[abc TO 5]``)
+                # matches nothing — mirror bound()'s "false" instead of
+                # interpolating Python ``None`` into the SQL text
+                # (which would raise UNRESOLVED_COLUMN and, fused into
+                # one percolate F.expr, kill the whole batch).
+                return "false"
             lo_op = ">=" if node.lo_inc else ">"
             hi_op = "<=" if node.hi_inc else "<"
             return (

@@ -3141,9 +3141,13 @@ def frequent_item_sets_agg(
     explode from each transaction's sorted item array via HOFs — no
     self-join, no second shuffle over the corpus. Output:
     ``(item_a, item_b, set_size, support_count, support)`` with
-    ``item_b`` null for singletons."""
+    ``item_b`` null for singletons. Rows whose *group_col* is NULL
+    are excluded before grouping — ES does not count documents
+    missing the group field as a transaction, and counting them
+    would deflate every support fraction."""
     tx = (
-        hits.groupBy(F.col(group_col).alias("__g"))
+        hits.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
         .agg(F.collect_set(F.col(item_col).cast("string")).alias("__items"))
         .select(
             F.slice(
