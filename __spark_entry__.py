@@ -4343,66 +4343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r15 WINDOW (first 50): the two r15 additions are P0
-        # (never driver-proven) and lead; the rest is the STALEST
-        # P0b cohort — rotated out of the latest driver record,
-        # oldest latest-record round first (29 of r9 vintage, then
-        # r11 — VERDICT r14 directive 2). P0b that do not fit wait
-        # behind their older record + the full local sweep; then P1
-        # changed-since-seal (the r15 relevance/search/cli edits
-        # reclassified most of the r14 window), then P2
-        # proven-unchanged.
-        "search_change_point": q_search_change_point,
-        "search_frequent_item_sets": q_search_frequent_item_sets,
-        "q10_returned_items": q_q10_returned_items,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q18_large_orders": q_q18_large_orders,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "quality_ensemble": q_quality_ensemble,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repeat_plan": q_repeat_plan,
-        "script_profile": q_script_profile,
-        "search_cardinality": q_search_cardinality,
-        "search_date_histogram": q_search_date_histogram,
-        "search_deletes": q_search_deletes,
-        "search_extended_stats": q_search_extended_stats,
-        "search_facets": q_search_facets,
-        "search_histogram": q_search_histogram,
-        "search_percentiles": q_search_percentiles,
-        "search_percentiles_by": q_search_percentiles_by,
-        "search_ranges": q_search_ranges,
-        "search_significant_terms": q_search_significant_terms,
-        "search_stats": q_search_stats,
-        "search_stats_manifest": q_search_stats_manifest,
-        "search_time_travel": q_search_time_travel,
-        "search_top_hits": q_search_top_hits,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "shard_balance": q_shard_balance,
-        "snapshot_diff": q_snapshot_diff,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_pack": q_token_budget_pack,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "zipf_profile": q_zipf_profile,
-        "asof_last_click": q_asof_last_click,
-        "c4_line_filters": q_c4_line_filters,
-        "click_only_users": q_click_only_users,
-        "customers_without_orders": q_customers_without_orders,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "dedup_minhash_char": q_dedup_minhash_char,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "distinct_users": q_distinct_users,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "hourly_events": q_hourly_events,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_pq": q_knn_pq,
-        # ---- window boundary (driver records the 50 above) ----
+        # -- r16 WINDOW (first 50): no P0 this round-start; the
+        # window is the STALEST P0b cohort per VERDICT r15
+        # directive 1 — ranked by the last CORRECTNESS_r*.json
+        # each entry appears in (31 of r11 vintage, then 19 of
+        # r12, alphabetical within a round). P0b that do not fit
+        # wait behind their older record + the full local sweep.
         "q12_late_priority": q_q12_late_priority,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q15_top_supplier": q_q15_top_supplier,
@@ -4453,6 +4399,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_classifier": q_langid_classifier,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "pack_sequences": q_pack_sequences,
+        "search_change_point": q_search_change_point,
+        "search_frequent_item_sets": q_search_frequent_item_sets,
+        "q10_returned_items": q_q10_returned_items,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "quality_ensemble": q_quality_ensemble,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repeat_plan": q_repeat_plan,
+        "script_profile": q_script_profile,
+        "search_cardinality": q_search_cardinality,
+        "search_date_histogram": q_search_date_histogram,
+        "search_deletes": q_search_deletes,
+        "search_extended_stats": q_search_extended_stats,
+        "search_facets": q_search_facets,
+        "search_histogram": q_search_histogram,
+        "search_percentiles": q_search_percentiles,
+        "search_percentiles_by": q_search_percentiles_by,
+        "search_ranges": q_search_ranges,
+        "search_significant_terms": q_search_significant_terms,
+        "search_stats": q_search_stats,
+        "search_stats_manifest": q_search_stats_manifest,
+        "search_time_travel": q_search_time_travel,
+        "search_top_hits": q_search_top_hits,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "shard_balance": q_shard_balance,
+        "snapshot_diff": q_snapshot_diff,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_pack": q_token_budget_pack,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "zipf_profile": q_zipf_profile,
+        "asof_last_click": q_asof_last_click,
+        "c4_line_filters": q_c4_line_filters,
+        "click_only_users": q_click_only_users,
+        "customers_without_orders": q_customers_without_orders,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_minhash_char": q_dedup_minhash_char,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "distinct_users": q_distinct_users,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "hourly_events": q_hourly_events,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_pq": q_knn_pq,
         "pii_scrub": q_pii_scrub,
         "q11_important_stock": q_q11_important_stock,
         "q16_part_supplier_relation": q_q16_part_supplier_relation,
@@ -4534,7 +4530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": q_search_wildcard,
         "terms_error_bounds": q_terms_error_bounds,
         "text_char_entropy": q_text_char_entropy,
-        # ---- P1: changed since the r14 seal ----
         "ann_recall": q_ann_recall,
         "bitext_margin": q_bitext_margin,
         "cluster_size_histogram": q_cluster_size_histogram,
@@ -4579,7 +4574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "token_budget_pack_scaled": q_token_budget_pack_scaled,
         "vocab_coverage": q_vocab_coverage,
-        # ---- P2: proven in the latest record, unchanged ----
         "cube_source_lang": q_cube_source_lang,
         "pivot_event_days": q_pivot_event_days,
         "q1_pricing": q_q1_pricing,

@@ -139,6 +139,7 @@ def main() -> int:
     # takes the min, since for a fixed plan the lower wall time is
     # strictly closer to the query's true cost.
     bounds: dict[str, float] = {}
+    drift_bounds: dict[str, float] = {}
     try:
         import glob
         import re as _re
@@ -155,6 +156,23 @@ def main() -> int:
             for n, v in prior.items():
                 if isinstance(v, (int, float)) and v > 0:
                     bounds[n] = 2.5 * float(v)
+        # drift trigger (VERDICT r15 directive 3): the 2.5x stall bound
+        # let nine 1.5-1.9x drifts on byte-identical code into the r15
+        # sealed map. Any entry >1.5x its best COMMITTED per-round map
+        # value (min across all sealed maps — "what this plan has
+        # proven it can do on this host") also gets the fresh pass; an
+        # absolute 0.1 s slack keeps sub-noise entries (0.05 -> 0.09 s)
+        # from burning re-measure slots.
+        best_committed: dict[str, float] = {}
+        for mp in maps:
+            with open(mp) as f:
+                for n, v in json.load(f).get("queries", {}).items():
+                    if isinstance(v, (int, float)) and v > 0:
+                        b = best_committed.get(n)
+                        best_committed[n] = (
+                            float(v) if b is None else min(b, float(v)))
+        for n, b in best_committed.items():
+            drift_bounds[n] = max(1.5 * b, b + 0.1)
     except Exception as e:
         print(f"# prior-map bounds unavailable: {e}", file=sys.stderr)
     try:
@@ -172,11 +190,19 @@ def main() -> int:
     except Exception as e:
         print(f"# gate bounds unavailable: {e}", file=sys.stderr)
 
+    def _trigger(n: str) -> float:
+        """The tightest bound this entry exceeds (inf if none)."""
+        cands = [b for b in (bounds.get(n), drift_bounds.get(n))
+                 if b is not None]
+        return min(cands) if cands else float("inf")
+
     suspects = sorted(
         (n for n, v in results.items()
-         if v > 0 and n in bounds and v > bounds[n]),
-        key=lambda n: -(results[n] / bounds[n]),
-    )[:20]  # slowest-excess first; cap the extra passes
+         if v > 0 and v > _trigger(n)),
+        key=lambda n: -(results[n] / _trigger(n)),
+    )[:40]  # slowest-excess first; cap the extra passes (raised from
+    # 20 with the r16 drift trigger — a re-measure is a cheap
+    # best-of-2, and 9 drifts + real stalls must all fit)
     remeasured: dict[str, dict] = {}
     if suspects:
         try:
@@ -203,7 +229,10 @@ def main() -> int:
                 remeasured[name] = {
                     "recorded": results[name],
                     "fresh": round(fresh, 3),
-                    "bound": round(bounds[name], 3),
+                    "bound": round(_trigger(name), 3),
+                    "trigger": ("stall" if name in bounds
+                                and results[name] > bounds[name]
+                                else "drift"),
                     "runs": f_runs,
                 }
                 if fresh < results[name]:
