@@ -5078,8 +5078,12 @@ def _simhash_sig_sql() -> str:
 
 
 def _lsh_dot_sql(vec: str, p: int) -> str:
+    # per-plane affine constants baked as literals — the same
+    # lsh_plane_constants(p) the Spark side folds into its plan
+    # (similarity.py r16 family fix: distinct multipliers per plane)
+    _a, _c = similarity.lsh_plane_constants(p)
     comp = (
-        f"(CASE WHEN ((1103515245 * ({p} * 1024 + (i-1)) + 12345) % 2147483648)"
+        f"(CASE WHEN (({_a} * (i-1) + {_c}) % 2147483648)"
         f" < 1073741824 THEN 1.0 ELSE -1.0 END)"
     )
     return (
@@ -5088,11 +5092,62 @@ def _lsh_dot_sql(vec: str, p: int) -> str:
     )
 
 
-def _lsh_sig_sql(vec: str, planes: int = 8) -> str:
-    # MSB-first: plane p contributes 2^(planes-1-p), matching the
-    # out*2+bit fold in similarity.hyperplane_signature
+def _lsh_refine_ctes(cap: int = 1000, planes: int = 8) -> str:
+    """Shared CTE chain mirroring knn_graph's density-adaptive
+    refinement (similarity.py r16): base signature buckets, the
+    integer-derived extra-plane count e (smallest 1..8 with
+    max_occupancy <= cap*2^e; 0 when nothing is hot), sub-bucket ids
+    ``rb`` = bucket<<e | top-e-bits(extra signature) for hot-bucket
+    vectors, radius-1 multiprobe refined the same way, and the
+    still-over-cap drop backstop ``rhot``. Exposes CTEs ``ref``
+    (vec_id, embedding, rb), ``probes`` (query_id, qv, rb), and
+    ``rhot`` (rb)."""
+    extra8 = _lsh_sig_sql("s.embedding", 8, offset=planes)
+    flips = ", ".join(f"xor(bucket, {1 << i})" for i in range(planes))
+    return f"""sigged AS (
+              SELECT vec_id, embedding,
+                     ({_lsh_sig_sql('embedding', planes)}) AS bucket
+              FROM embeddings),
+            occ AS (
+              SELECT bucket, count(*) AS n FROM sigged GROUP BY bucket),
+            prm AS (
+              SELECT CASE WHEN max(n) <= {cap} THEN 0
+                          WHEN max(n) <= {cap * 2} THEN 1
+                          WHEN max(n) <= {cap * 4} THEN 2
+                          WHEN max(n) <= {cap * 8} THEN 3
+                          WHEN max(n) <= {cap * 16} THEN 4
+                          WHEN max(n) <= {cap * 32} THEN 5
+                          WHEN max(n) <= {cap * 64} THEN 6
+                          WHEN max(n) <= {cap * 128} THEN 7
+                          ELSE 8 END AS e
+              FROM occ),
+            hot AS (SELECT bucket FROM occ WHERE n > {cap}),
+            ref AS (
+              SELECT s.vec_id, s.embedding,
+                (s.bucket * (1::BIGINT << prm.e)) +
+                (CASE WHEN s.bucket IN (SELECT bucket FROM hot)
+                      THEN ({extra8}) // (1::BIGINT << (8 - prm.e))
+                      ELSE 0 END) AS rb
+              FROM sigged s, prm),
+            probes AS (
+              SELECT s.query_id, s.qv,
+                (s.pb * (1::BIGINT << prm.e)) +
+                (CASE WHEN s.pb IN (SELECT bucket FROM hot)
+                      THEN ({_lsh_sig_sql("s.qv", 8, offset=planes)}) // (1::BIGINT << (8 - prm.e))
+                      ELSE 0 END) AS rb
+              FROM (SELECT vec_id AS query_id, embedding AS qv,
+                      unnest([bucket, {flips}]) AS pb
+                    FROM sigged) s, prm),
+            rhot AS (
+              SELECT rb FROM ref GROUP BY rb HAVING count(*) > {cap})"""
+
+
+def _lsh_sig_sql(vec: str, planes: int = 8, offset: int = 0) -> str:
+    # MSB-first: plane offset+p contributes 2^(planes-1-p), matching
+    # the out*2+bit fold in similarity.hyperplane_signature (with its
+    # plane_offset for the knn_graph refinement signature)
     return " + ".join(
-        f"(CASE WHEN {_lsh_dot_sql(vec, p)} > 0 THEN {1 << (planes - 1 - p)} ELSE 0 END)"
+        f"(CASE WHEN {_lsh_dot_sql(vec, offset + p)} > 0 THEN {1 << (planes - 1 - p)} ELSE 0 END)"
         for p in range(planes)
     )
 
@@ -8068,23 +8123,13 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY rank
         """,
         "semantic_clusters": f"""
-            WITH RECURSIVE sigged AS (
-              SELECT vec_id, embedding,
-                     ({_lsh_sig_sql('embedding', 8)}) AS bucket
-              FROM embeddings),
-            hot AS (
-              SELECT bucket FROM sigged GROUP BY bucket
-              HAVING count(*) > 1000),
-            probes AS (
-              SELECT vec_id AS query_id, embedding AS qv,
-                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
-              FROM sigged),
+            WITH RECURSIVE {_lsh_refine_ctes()},
             scored AS (
               SELECT p.query_id, s.vec_id AS neighbor_id,
                      {_COS.format(a="p.qv", b="s.embedding")} AS score
-              FROM probes p JOIN sigged s ON p.bucket = s.bucket
+              FROM probes p JOIN ref s ON p.rb = s.rb
               WHERE p.query_id <> s.vec_id
-                AND p.bucket NOT IN (SELECT bucket FROM hot)),
+                AND p.rb NOT IN (SELECT rb FROM rhot)),
             g AS (
               SELECT query_id, neighbor_id, score FROM (
                 SELECT query_id, neighbor_id, score,
@@ -8109,23 +8154,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e LEFT JOIN clus c ON c.id = e.vec_id
         """,
         "knn_graph": f"""
-            WITH sigged AS (
-              SELECT vec_id, embedding,
-                     ({_lsh_sig_sql('embedding', 8)}) AS bucket
-              FROM embeddings),
-            hot AS (
-              SELECT bucket FROM sigged GROUP BY bucket
-              HAVING count(*) > 1000),
-            probes AS (
-              SELECT vec_id AS query_id, embedding AS qv,
-                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS bucket
-              FROM sigged),
+            WITH {_lsh_refine_ctes()},
             scored AS (
               SELECT p.query_id, s.vec_id AS neighbor_id,
                      {_COS.format(a="p.qv", b="s.embedding")} AS score
-              FROM probes p JOIN sigged s ON p.bucket = s.bucket
+              FROM probes p JOIN ref s ON p.rb = s.rb
               WHERE p.query_id <> s.vec_id
-                AND p.bucket NOT IN (SELECT bucket FROM hot))
+                AND p.rb NOT IN (SELECT rb FROM rhot))
             SELECT query_id, neighbor_id, round(score, 6) AS score, rank
             FROM (
               SELECT query_id, neighbor_id, score,

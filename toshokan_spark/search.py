@@ -38,7 +38,8 @@ from pyspark.sql.window import Window
 from toshokan_spark.catalog import FsCatalog
 from toshokan_spark.config import DYNAMIC_FIELD_NAME, IndexConfig
 from toshokan_spark.ingest import is_internal
-from toshokan_spark.query import QueryCompiler, compile_query, time_bounds
+from toshokan_spark.query import QueryCompiler, time_bounds
+from toshokan_spark.query_sql import compile_query_fast
 from toshokan_spark.plans.ast import parse_query
 
 
@@ -204,7 +205,7 @@ def apply_deletes(pred, config: IndexConfig, columns: set, deletes) -> "object":
     way queries do."""
     for d in deletes:
         pred = pred & ~F.coalesce(
-            compile_query(d.query, config, columns), F.lit(False)
+            compile_query_fast(d.query, config, columns), F.lit(False)
         )
     return pred
 
@@ -492,7 +493,7 @@ def scored_search_df(
     tokenizer = getattr(fld, "tokenizer", None) or "default"
 
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
-    pred = compile_query(query, config, set(df.columns))
+    pred = compile_query_fast(query, config, set(df.columns))
     pred = apply_deletes(
         pred, config, set(df.columns),
         catalog.deletes(index_name, at_version=at_version),
@@ -1398,7 +1399,7 @@ def filters_agg(
     single aggregate row, so the unpivot costs nothing (N is panel-
     sized). Scale: the one scan reads only columns the predicates
     reference; at 100 TB this replaces N search round-trips."""
-    from .query import compile_query as _cq
+    from .query_sql import compile_query_fast as _cq
 
     cols = set(df.columns)
     names = sorted(named_queries)
@@ -1640,7 +1641,7 @@ def adjacency_matrix_agg(
     Intersection keys are ``a&b`` with names in sorted order, ES's
     convention; empty buckets are kept (count 0) so the matrix shape
     is stable."""
-    from .query import compile_query as _cq
+    from .query_sql import compile_query_fast as _cq
 
     cols = set(df.columns)
     names = sorted(named_queries)
@@ -2400,7 +2401,7 @@ def t_test_agg(
     the sample (n−1) form derived from the exact sums in double
     arithmetic, so an oracle repeating the formula agrees
     bit-for-bit."""
-    from .query import compile_query as _cq
+    from .query_sql import compile_query_fast as _cq
 
     cols = set(df.columns)
     pa = F.coalesce(_cq(query_a, config, cols), F.lit(False))
@@ -2539,7 +2540,7 @@ def ks_test_agg(
     (metadata-sized window). Counts are integers and each ECDF value
     is one integer-over-integer double division, so the oracle
     agrees bit-for-bit before the final rounding."""
-    from .query import compile_query as _cq
+    from .query_sql import compile_query_fast as _cq
 
     cols = set(df.columns)
     pa = F.coalesce(_cq(query_a, config, cols), F.lit(False))
@@ -3254,7 +3255,7 @@ def mlt_search_df(
     df = read_segments(
         spark, paths, partitioned=config.time_field is not None
     )
-    pred = compile_query("*", config, set(df.columns))
+    pred = compile_query_fast("*", config, set(df.columns))
     pred = apply_deletes(
         pred, config, set(df.columns),
         catalog.deletes(index_name, at_version=at_version),
