@@ -5099,9 +5099,10 @@ def _lsh_refine_ctes(cap: int = 1000, planes: int = 8) -> str:
     max_occupancy <= cap*2^e; 0 when nothing is hot), sub-bucket ids
     ``rb`` = bucket<<e | top-e-bits(extra signature) for hot-bucket
     vectors, radius-1 multiprobe refined the same way, and the
-    still-over-cap drop backstop ``rhot``. Exposes CTEs ``ref``
-    (vec_id, embedding, rb), ``probes`` (query_id, qv, rb), and
-    ``rhot`` (rb)."""
+    still-over-cap STRATIFIED backstop (id-strata of ceil(n/cap),
+    pairing within strata). Exposes CTEs ``ref``
+    (vec_id, embedding, rb, st) and ``probes`` (query_id, qv, rb,
+    st)."""
     extra8 = _lsh_sig_sql("s.embedding", 8, offset=planes)
     flips = ", ".join(f"xor(bucket, {1 << i})" for i in range(planes))
     return f"""sigged AS (
@@ -5111,25 +5112,26 @@ def _lsh_refine_ctes(cap: int = 1000, planes: int = 8) -> str:
             occ AS (
               SELECT bucket, count(*) AS n FROM sigged GROUP BY bucket),
             prm AS (
+              -- e = (smallest i with max_occ <= cap*2^i) + 1 margin
+              -- plane, capped at 8 (similarity.knn_graph r16)
               SELECT CASE WHEN max(n) <= {cap} THEN 0
-                          WHEN max(n) <= {cap * 2} THEN 1
-                          WHEN max(n) <= {cap * 4} THEN 2
-                          WHEN max(n) <= {cap * 8} THEN 3
-                          WHEN max(n) <= {cap * 16} THEN 4
-                          WHEN max(n) <= {cap * 32} THEN 5
-                          WHEN max(n) <= {cap * 64} THEN 6
-                          WHEN max(n) <= {cap * 128} THEN 7
+                          WHEN max(n) <= {cap * 2} THEN 2
+                          WHEN max(n) <= {cap * 4} THEN 3
+                          WHEN max(n) <= {cap * 8} THEN 4
+                          WHEN max(n) <= {cap * 16} THEN 5
+                          WHEN max(n) <= {cap * 32} THEN 6
+                          WHEN max(n) <= {cap * 64} THEN 7
                           ELSE 8 END AS e
               FROM occ),
             hot AS (SELECT bucket FROM occ WHERE n > {cap}),
-            ref AS (
+            ref0 AS (
               SELECT s.vec_id, s.embedding,
                 (s.bucket * (1::BIGINT << prm.e)) +
                 (CASE WHEN s.bucket IN (SELECT bucket FROM hot)
                       THEN ({extra8}) // (1::BIGINT << (8 - prm.e))
                       ELSE 0 END) AS rb
               FROM sigged s, prm),
-            probes AS (
+            probes0 AS (
               SELECT s.query_id, s.qv,
                 (s.pb * (1::BIGINT << prm.e)) +
                 (CASE WHEN s.pb IN (SELECT bucket FROM hot)
@@ -5138,8 +5140,19 @@ def _lsh_refine_ctes(cap: int = 1000, planes: int = 8) -> str:
               FROM (SELECT vec_id AS query_id, embedding AS qv,
                       unnest([bucket, {flips}]) AS pb
                     FROM sigged) s, prm),
-            rhot AS (
-              SELECT rb FROM ref GROUP BY rb HAVING count(*) > {cap})"""
+            smap AS (
+              -- stratified backstop: still-over-cap sub-buckets pair
+              -- within ceil(n/cap) id-strata (similarity.py r16)
+              SELECT rb, (count(*) + {cap - 1}) // {cap} AS s
+              FROM ref0 GROUP BY rb HAVING count(*) > {cap}),
+            ref AS (
+              SELECT r.vec_id, r.embedding, r.rb,
+                     r.vec_id % coalesce(m.s, 1) AS st
+              FROM ref0 r LEFT JOIN smap m USING (rb)),
+            probes AS (
+              SELECT p.query_id, p.qv, p.rb,
+                     p.query_id % coalesce(m.s, 1) AS st
+              FROM probes0 p LEFT JOIN smap m USING (rb))"""
 
 
 def _lsh_sig_sql(vec: str, planes: int = 8, offset: int = 0) -> str:
@@ -8127,9 +8140,9 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT p.query_id, s.vec_id AS neighbor_id,
                      {_COS.format(a="p.qv", b="s.embedding")} AS score
-              FROM probes p JOIN ref s ON p.rb = s.rb
-              WHERE p.query_id <> s.vec_id
-                AND p.rb NOT IN (SELECT rb FROM rhot)),
+              FROM probes p JOIN ref s
+                ON p.rb = s.rb AND p.st = s.st
+              WHERE p.query_id <> s.vec_id),
             g AS (
               SELECT query_id, neighbor_id, score FROM (
                 SELECT query_id, neighbor_id, score,
@@ -8158,9 +8171,9 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT p.query_id, s.vec_id AS neighbor_id,
                      {_COS.format(a="p.qv", b="s.embedding")} AS score
-              FROM probes p JOIN ref s ON p.rb = s.rb
-              WHERE p.query_id <> s.vec_id
-                AND p.rb NOT IN (SELECT rb FROM rhot))
+              FROM probes p JOIN ref s
+                ON p.rb = s.rb AND p.st = s.st
+              WHERE p.query_id <> s.vec_id)
             SELECT query_id, neighbor_id, round(score, 6) AS score, rank
             FROM (
               SELECT query_id, neighbor_id, score,

@@ -2366,13 +2366,15 @@ def test_bpe_realistic_merge_count(spark):
 
 
 def test_knn_graph_bucket_occupancy_cap(spark, caplog):
-    """The degenerate-bucket guard (VERDICT r8 #2, refined r16): a
+    """The degenerate-bucket guard (VERDICT r8 #2, rebuilt r16): a
     low-variance embedding region lands every vector in ONE signature
     bucket, and the bucket self-join goes quadratic no matter how
     num_planes was sized. IDENTICAL vectors are the worst case — no
     extra plane separates them, so density-adaptive refinement
-    produces one still-over-cap sub-bucket and the DROP backstop
-    fires (logged); vectors in other buckets keep their edges, and
+    produces one still-over-cap sub-bucket and the STRATIFIED
+    backstop fires (logged): the mass pairs within ceil(60/50)=2
+    id-strata, so every vector keeps direct edges while candidates
+    stay bounded by the cap. Other buckets keep their edges and
     semantic_clusters inherits the guard."""
     import logging
 
@@ -2390,8 +2392,8 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
         max_bucket_occupancy=None,
     )
     assert un.filter(F.col("query_id") < 60).count() == 60 * 3
-    # capped below the group size: the hot bucket is dropped, the
-    # join completes, and only the healthy bucket's edges remain
+    # capped below the group size: refinement cannot split identical
+    # vectors, so the mass is stratified by id parity (s=2)
     ds: dict = {}
     with caplog.at_level(
         logging.WARNING, logger="toshokan_spark.operators.similarity"
@@ -2403,20 +2405,36 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
     assert any(
         "over-occupancy" in r.message and "60 vectors" in r.message
         for r in caplog.records
-    ), "drop was not logged with bucket/vector counts"
+    ), "refinement was not logged with bucket/vector counts"
+    assert any(
+        "stratifying" in r.message for r in caplog.records
+    ), "stratified backstop was not logged"
     # programmatic surface (ADVICE r9): callers detect degraded recall
     # without scraping the log. Identical vectors: refinement was
-    # attempted (1 extra plane: 60 <= 50*2) but cannot split them, so
-    # the whole mass lands in the drop backstop
+    # attempted (e = 1 margin + smallest split of 60 under 50*2 = 2
+    # planes) but cannot split them, so the whole mass lands in the
+    # stratified backstop
     assert ds == {
-        "refined_buckets": 1, "refined_vectors": 60, "extra_planes": 1,
-        "dropped_buckets": 1, "dropped_vectors": 60,
+        "refined_buckets": 1, "refined_vectors": 60, "extra_planes": 2,
+        "stratified_buckets": 1, "stratified_vectors": 60,
     }
     got = {(r.query_id, r.neighbor_id) for r in capped}
     assert (100, 101) in got and (101, 100) in got
-    assert all(q >= 100 for q, _n in got), "hot-bucket edges survived the cap"
-    # semantic_clusters inherits: hot vectors become singletons, the
-    # healthy pair still fuses
+    # every hot vector keeps direct edges (the r8..r15 drop zeroed
+    # them) — but only to SAME-STRATUM mates (id parity at s=2), so
+    # per-vector candidates stay bounded by the cap
+    hot_edges = {(q, n) for q, n in got if q < 100}
+    assert {q for q, _n in hot_edges} == set(range(60))
+    assert all((q - n) % 2 == 0 for q, n in hot_edges), (
+        "cross-stratum pair leaked through the backstop")
+    # score-1.0 ties break by neighbor id: query 0 links 2,4,6
+    assert {n for q, n in hot_edges if q == 0} == {2, 4, 6}
+    # semantic_clusters inherits: the identical mass now fuses WITHIN
+    # strata where mutuality holds (top-3 lists at score 1.0 are the
+    # 3 lowest same-parity ids, so only ids 0-7 are mutually ranked;
+    # higher ids rank the low ids unreciprocated and stay singletons)
+    # — the r8..r15 drop made ALL 60 singletons — and the healthy
+    # pair still fuses
     labels = {
         r.vec_id: r.cluster_id
         for r in similarity.semantic_clusters(
@@ -2425,7 +2443,8 @@ def test_knn_graph_bucket_occupancy_cap(spark, caplog):
         ).collect()
     }
     assert labels[100] == labels[101] == 100
-    assert all(labels[i] == i for i in range(60))
+    assert all(labels[i] == i % 2 for i in range(8))
+    assert all(labels[i] == i for i in range(8, 60))
 
 
 def test_knn_graph_density_adaptive_refinement(spark):
@@ -2442,9 +2461,9 @@ def test_knn_graph_density_adaptive_refinement(spark):
 
     # 120 8-dim vectors around one dominant direction with seeded
     # sinusoid jitter: all share ONE 2-plane bucket (verified by the
-    # premise assert below), but the first extra plane splits them
-    # 62/58 — both sides under cap 70, so nothing reaches the drop
-    # backstop
+    # premise assert below), but the margin'd e=2 extra planes split
+    # them 55/45/13/7 — all under cap 70, so nothing reaches the
+    # drop backstop
     vecs = [
         [1.0 + 0.35 * math.sin(i * 0.7 + j * 1.3) for j in range(8)]
         for i in range(120)
@@ -2464,8 +2483,9 @@ def test_knn_graph_density_adaptive_refinement(spark):
             f"premise broken: no bucket exceeded the cap ({ds})")
     assert ds["refined_vectors"] == 120
     assert ds["extra_planes"] >= 1
-    assert ds["dropped_vectors"] == 0, (
-        "separable vectors hit the drop backstop — refinement failed")
+    assert ds["stratified_vectors"] == 0, (
+        "separable vectors hit the stratified backstop — "
+        "refinement failed")
     # recall@1 against EXACT brute-force ground truth (cosine,
     # highest-score lowest-id tie-break, computed driver-side on the
     # same 120 vectors): the old whole-bucket drop scored 0/120 here;
@@ -2483,6 +2503,56 @@ def test_knn_graph_density_adaptive_refinement(spark):
     nn = {r.query_id: r.neighbor_id for r in got}
     hits = sum(1 for i in range(120) if nn.get(i) == truth[i])
     assert hits >= 108, f"recall@1 {hits}/120 < 0.9 after refinement"
+
+
+def test_knn_graph_density_oracle_parity(spark):
+    """VERDICT r15 directive 5 (density-dependent paths never
+    value-checked where they bind): run the FULL knn_graph entry
+    semantics (k=5, 8 planes, lcg, default cap) on a synthetic corpus
+    dense enough to trigger BOTH the adaptive refinement and the
+    stratified backstop, and compare row-for-row against the driver's
+    own DuckDB oracle SQL on the same data. The sf0.01/sf0.1 sweeps
+    never reach these branches; this pins them at density."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from toshokan_spark.operators import similarity
+
+    # 1200 IDENTICAL vectors (one hot bucket; no plane splits it ->
+    # refinement leaves 1200 > 1000 -> stratified s=2) + 600 jittered
+    # around another direction (refinement splits) + 300 spread
+    vecs = (
+        [[1.0, 0.5, 0.25, 0.125, 1.0, 0.5, 0.25, 0.125]] * 1200
+        + [[-1.0 + 0.3 * math.sin(i * 0.9 + j * 1.7) for j in range(8)]
+           for i in range(600)]
+        + [[math.cos(i * 0.31 + j) for j in range(8)]
+           for i in range(300)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": vecs})
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    ds: dict = {}
+    got = similarity.knn_graph(
+        emb, k=5, num_planes=8, hash_family="lcg", drop_stats=ds,
+    ).collect()
+    assert ds["refined_vectors"] >= 1200, f"premise broken: {ds}"
+    assert ds["stratified_vectors"] >= 1200, f"premise broken: {ds}"
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.sql(entry.oracle_sql()["knn_graph"]).fetchall()
+    s_rows = sorted(
+        (r.query_id, r.neighbor_id, round(float(r.score), 6), r.rank)
+        for r in got)
+    d_rows = sorted(
+        (int(q), int(n), round(float(sc), 6), int(rk))
+        for q, n, sc, rk in want)
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows
 
 
 def test_first_moments_rejects_ragged_vectors(spark):

@@ -34,7 +34,55 @@ HEAVY = [
     "leakage_safe_split", "dsir_weights", "lm_quality_buckets_scaled",
     "dedup_clusters", "kmeans_embeddings", "knn_graph",
     "curriculum_order", "dedup_minhash_char",
+    # search/aggregation surface (VERDICT r15 directive 6): the r14/r15
+    # probes were all LLM-pipeline heavies; these run on the scaled
+    # documents/events tables too
+    "search_significant_terms", "search_panel", "search_composite",
+    "search_span_near",
 ]
+
+
+def _percolate_q500_probe(spark, sf_dir: str) -> dict:
+    """percolate at Q=500 (VERDICT r15 directive 6): 500 deterministic
+    monitors over the documents table mixing the cheap shapes
+    (term, term+range, disjunction) with the exotic ones (slop
+    phrase, prefix, regexp) at the r15 ratio. Records CONSTRUCTION
+    (driver-side compile of all 500 into one fused expression) and
+    EXECUTION (one width-Q scan) separately — the two costs the r15
+    SQL-text backend split apart."""
+    import __spark_entry__ as entry
+    from toshokan_spark.search import percolate
+
+    vocab = (
+        "spark table scan query filter join group agg sort hash line "
+        "column order part value key stream window batch vector fast "
+        "slow small customer supplier region nation segment index "
+        "merge commit shard token"
+    ).split()
+    nv = len(vocab)
+    mons: "list[tuple[str, str]]" = []
+    for i in range(500):
+        w1, w2 = vocab[i % nv], vocab[(i * 7 + 3) % nv]
+        shape = i % 5
+        if shape == 0:
+            q = f"text:{w1}"
+        elif shape == 1:
+            q = f"text:{w1} AND n_chars:>={(i % 40) * 10}"
+        elif shape == 2:
+            q = f'text:"{w1} {w2}"~1'
+        elif shape == 3:
+            q = f"text:{w1}* OR lang:en"
+        else:
+            q = f"text:/{w1[:3]}.*/"
+        mons.append((f"m{i:03d}", q))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    out = percolate(docs, mons, entry.DOCS_CONFIG, "doc_id")
+    t_build = time.time() - t0
+    t0 = time.time()
+    out.write.format("noop").mode("overwrite").save()
+    t_exec = time.time() - t0
+    return {"build_sec": round(t_build, 3), "exec_sec": round(t_exec, 3)}
 
 
 def main() -> int:
@@ -92,6 +140,16 @@ def main() -> int:
         out[name] = {"sf0.1_sec": t_small, "sf1_sec": t_big,
                      "ratio": ratio}
         print(f"{name}: sf0.1 {t_small}s  sf1 {t_big}s  x{ratio}")
+
+    # percolate Q=500: build + exec at both scales (documents table)
+    perc = {}
+    for tag, d in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
+        try:
+            perc[tag] = _percolate_q500_probe(spark, d)
+        except Exception as e:
+            perc[tag] = {"error": str(e)[:300]}
+    out["percolate_q500"] = perc
+    print(f"percolate_q500: {perc}")
 
     doc = {
         "metric": "sf1_scale_probe",

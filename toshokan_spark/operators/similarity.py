@@ -815,6 +815,7 @@ def knn_graph(
     hash_family: str = "xxhash",
     max_bucket_occupancy: Optional[int] = 1000,
     drop_stats: Optional[dict] = None,
+    multiprobe_radius: int = 1,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus — every vector is
     its own query. This is the all-nodes sibling of :func:`knn_lsh`
@@ -838,7 +839,13 @@ def knn_graph(
     ``hash_family='lcg'`` makes the bucketing integer-exact for the
     DuckDB oracle (driver entry ``knn_graph``); 'xxhash' is the
     production default. Size ``num_planes`` so 2^planes tracks
-    corpus_size / target_bucket_size.
+    corpus_size / target_bucket_size, and ``multiprobe_radius`` for
+    the recall target: radius r probes every bucket within Hamming
+    distance r of the signature (1 + sum C(P, i) probes). The sf1
+    recall report (ANN_RECALL_SF1.json) measures the trade-off at
+    20k vectors: radius is the recall lever — it moves recall@5 far
+    more than the occupancy guard — at a candidate-volume cost
+    linear in the probe count.
 
     ``max_bucket_occupancy`` (ON by default) is the same degenerate-
     bucket guard the MinHash band join carries (``max_band_freq``):
@@ -856,19 +863,24 @@ def knn_graph(
     ``max_occupancy <= cap * 2^e`` — so expected sub-bucket size
     lands under the cap while angularly-close pairs stay together
     with probability ``(1 - θ/π)^e`` per extra plane (the Charikar
-    collision bound; near-duplicates survive almost surely). Non-hot
-    buckets are untouched (their sub-bucket id is the bucket
-    shifted). A DROP backstop remains for sub-buckets STILL over the
-    cap — reachable only by signature-indistinguishable masses
-    (vectors no plane of the extended family separates), where the
-    bound must win over recall; it logs, and multi-probe pairs
-    remain.
+    collision bound; near-duplicates survive almost surely); the
+    lowest candidate e gets +1 margin plane because real splits are
+    uneven (the sf1 report measured 1239/1063 on a 2302 bucket).
+    Non-hot buckets are untouched (their sub-bucket id is the bucket
+    shifted). Sub-buckets STILL over the cap — reachable only by
+    signature-indistinguishable masses (vectors no plane of the
+    extended family separates) — fall to the STRATIFIED backstop:
+    the mass is partitioned into ``ceil(n/cap)`` id-strata and pairs
+    within strata only, so candidates stay bounded by the cap while
+    every vector keeps direct edges (near-identical masses score any
+    stratum-mate near-equally, so metric recall survives where the
+    r8..r15 whole-bucket drop zeroed it).
 
     Pass a dict as ``drop_stats`` for the counts PROGRAMMATICALLY:
     ``refined_buckets`` / ``refined_vectors`` (over-cap buckets
     sub-bucketed and the vectors in them), ``extra_planes`` (e, 0
-    when nothing was hot), and ``dropped_buckets`` /
-    ``dropped_vectors`` (the backstop; 0 in all but degenerate
+    when nothing was hot), and ``stratified_buckets`` /
+    ``stratified_vectors`` (the backstop; 0 in all but degenerate
     spaces). ``max_bucket_occupancy=None`` keeps exact-LSH behavior.
     """
     base = spread(
@@ -884,9 +896,21 @@ def knn_graph(
         F.col("n2").alias("qn2"), "bucket",
     )
     if multiprobe:
+        # radius-r probing: flip every subset of up to r signature
+        # bits. r=1 (default) is the classic 1+P fan-out; r=2 adds
+        # C(P,2) probes — the recall/cost lever at FIXED num_planes
+        # (ANN_RECALL_SF1.json: radius drives recall far more than
+        # the occupancy guard does). Probe sets are pairwise-distinct
+        # values, so pair dedup stays unnecessary at any radius.
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << i for i in c)
+            for r in range(1, max(1, int(multiprobe_radius)) + 1)
+            for c in combinations(range(num_planes), r)
+        ]
         probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
         )
         left = left.withColumn("bucket", F.explode(probes))
     right = base.select(
@@ -894,6 +918,7 @@ def knn_graph(
         F.col("n2").alias("cn2"), "bucket",
     )
     cached = [base]
+    join_keys = ["bucket"]
     if max_bucket_occupancy is not None:
         # hot-key list is bounded by 2^num_planes distinct buckets; the
         # stats roll up to ONE row, so the guard's driver cost is one
@@ -910,13 +935,17 @@ def knn_graph(
             F.coalesce(F.sum("__bn"), F.lit(0)).alias("nd"),
             F.coalesce(F.max("__bn"), F.lit(0)).alias("mx"),
         ).collect()[0]
-        # e: smallest 1..8 with max_occupancy <= cap * 2^e — INTEGER
-        # comparisons only, so the DuckDB oracle derives the identical
-        # e without float log2 edge cases
-        e = next(
-            (i for i in range(1, 9)
-             if int(stats["mx"]) <= max_bucket_occupancy << i), 8,
-        ) if stats["nb"] else 0
+        # e: (smallest i >= 0 with max_occupancy <= cap * 2^i) + 1
+        # margin plane, capped at 8 — INTEGER comparisons only, so the
+        # DuckDB oracle derives the identical e without float log2
+        # edge cases. The margin absorbs uneven splits: the sf1 report
+        # measured a 2302-vector bucket splitting 1239/1063 under the
+        # no-margin e=1, leaving one side above cap and in the drop
+        # backstop (ANN_RECALL_SF1.json, pre-margin run)
+        e = min(8, 1 + next(
+            (i for i in range(0, 8)
+             if int(stats["mx"]) <= max_bucket_occupancy << i), 7,
+        )) if stats["nb"] else 0
         if drop_stats is not None:
             drop_stats["refined_buckets"] = int(stats["nb"])
             drop_stats["refined_vectors"] = int(stats["nd"])
@@ -957,13 +986,12 @@ def knn_graph(
         if stats["nb"]:
             left = refine(left, "qv")
             right = refine(right, "cv")
-            # DROP backstop: sub-buckets still over the cap hold
-            # vectors the whole extended plane family cannot separate;
-            # only there does the wall-time bound beat recall.
-            # Occupancy is measured on each vector's HOME sub-bucket
-            # (the right side). Skipped entirely — along with the
-            # refinement join itself — when nothing was hot, so the
-            # cold path costs exactly what it did pre-refinement.
+            # backstop occupancy check: sub-buckets still over the
+            # cap after refinement, measured on each vector's HOME
+            # sub-bucket (the right side). Skipped entirely — along
+            # with the refinement join itself — when nothing was hot,
+            # so the cold path costs exactly what it did
+            # pre-refinement.
             rhot = (
                 right.groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("__rn"))
@@ -976,30 +1004,56 @@ def knn_graph(
                 F.coalesce(F.sum("__rn"), F.lit(0)).alias("nd"),
             ).collect()[0]
             if drop_stats is not None:
-                drop_stats["dropped_buckets"] = int(rstats["nb"])
-                drop_stats["dropped_vectors"] = int(rstats["nd"])
+                drop_stats["stratified_buckets"] = int(rstats["nb"])
+                drop_stats["stratified_vectors"] = int(rstats["nd"])
             if rstats["nb"]:
+                # STRATIFIED backstop (r16, replaces the drop): a
+                # sub-bucket still over cap after refinement holds
+                # vectors the extended plane family cannot separate —
+                # a near-identical mass. Partition it into
+                # s = ceil(n / cap) id-strata and pair WITHIN strata:
+                # candidates stay <= cap per vector, and because the
+                # mass is near-identical, any stratum-mate is a
+                # near-equally-scoring neighbor — bounded cost without
+                # excluding anyone (the r8..r15 drop zeroed these
+                # vectors' direct edges). Integer arithmetic
+                # ((n + cap - 1) div cap, id mod s) so the DuckDB
+                # oracle replays the strata exactly. s-map is
+                # over-cap-bucket-keyed: <= 2^(P+e) rows, broadcast.
                 _LOG.warning(
-                    "knn_graph: dropping %d signature-degenerate "
-                    "sub-bucket(s) holding %d vectors after refinement; "
-                    "affected vectors pair only via multi-probe buckets",
+                    "knn_graph: stratifying %d signature-degenerate "
+                    "sub-bucket(s) holding %d vectors after refinement "
+                    "(in-bucket id-strata pairing, candidates <= cap)",
                     rstats["nb"], rstats["nd"],
                 )
-                rhot_keys = F.broadcast(rhot.select("bucket"))
-                left = left.join(rhot_keys, "bucket", "left_anti")
-                right = right.join(rhot_keys, "bucket", "left_anti")
+                cap_l = F.lit(int(max_bucket_occupancy)).cast("long")
+                smap = F.broadcast(rhot.select(
+                    "bucket",
+                    ((F.col("__rn") + cap_l - F.lit(1)) / cap_l)
+                    .cast("long").alias("__s"),
+                ))
+                left = left.join(smap, "bucket", "left").withColumn(
+                    "__st",
+                    F.col("query_id") % F.coalesce(F.col("__s"), F.lit(1)),
+                ).drop("__s")
+                right = right.join(smap, "bucket", "left").withColumn(
+                    "__st",
+                    F.col("neighbor_id")
+                    % F.coalesce(F.col("__s"), F.lit(1)),
+                ).drop("__s")
+                join_keys = ["bucket", "__st"]
         elif drop_stats is not None:
-            drop_stats["dropped_buckets"] = 0
-            drop_stats["dropped_vectors"] = 0
+            drop_stats["stratified_buckets"] = 0
+            drop_stats["stratified_vectors"] = 0
     else:
         if drop_stats is not None:
             drop_stats["refined_buckets"] = 0
             drop_stats["refined_vectors"] = 0
             drop_stats["extra_planes"] = 0
-            drop_stats["dropped_buckets"] = 0
-            drop_stats["dropped_vectors"] = 0
+            drop_stats["stratified_buckets"] = 0
+            drop_stats["stratified_vectors"] = 0
     scored = (
-        left.join(right, "bucket")
+        left.join(right, join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
