@@ -2256,12 +2256,13 @@ def percolate(
     Column trees pays ~Q·50 py4j round trips — measured 27 s of pure
     construction at Q=500 against 1.5 s of execution. Queries the
     SQL-text backend covers (:mod:`toshokan_spark.query_sql` — the
-    bulk of the language; bit-equivalence pinned by
+    WHOLE language since r15, slop phrases/regexp/wildcard/
+    unqualified fan-outs included; bit-equivalence pinned by
     ``tests/test_query_sql.py``) render driver-side into ONE SQL
-    string parsed by a single ``F.expr`` call; only the remainder
-    (slop phrases, regexp/wildcard, unqualified terms, en_stem
-    without shadows) builds Columns. The Q=500 profile after this
-    change is recorded in ``tests/test_operators.py``'s width test."""
+    string parsed by a single ``F.expr`` call; only the
+    environment-driven remainder (en_stem / ip without shadow
+    columns) builds Columns. The Q=500 profile after this change is
+    recorded in ``tests/test_operators.py``'s width test."""
     from toshokan_spark.query import compile_query
     from toshokan_spark.query_sql import render_query_sql
 
