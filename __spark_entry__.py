@@ -9367,15 +9367,18 @@ def oracle_sql() -> dict[str, str]:
 
     # search_matrix_stats: exact-decimal moment sums (18,6 inputs ->
     # 37,12 products), double arithmetic on the exact sums, round 6
+    # products widened to DECIMAL(19,6)*DECIMAL(18,6): DuckDB does
+    # not auto-widen decimal multiplication and sf0.1 magnitudes
+    # (1.5e9 squared) overflow width 18 (CORRECTNESS_SF01_r16)
     d["search_matrix_stats"] = """
         WITH h AS (SELECT value, user_id FROM events
                    WHERE event_type = 'purchase'),
         s AS (SELECT count(*) AS n,
           sum(value::DECIMAL(18,6)) AS s_v,
           sum(user_id::DECIMAL(18,6)) AS s_u,
-          sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS p_vv,
-          sum(value::DECIMAL(18,6) * user_id::DECIMAL(18,6)) AS p_vu,
-          sum(user_id::DECIMAL(18,6) * user_id::DECIMAL(18,6)) AS p_uu
+          sum(value::DECIMAL(19,6) * value::DECIMAL(18,6)) AS p_vv,
+          sum(value::DECIMAL(19,6) * user_id::DECIMAL(18,6)) AS p_vu,
+          sum(user_id::DECIMAL(19,6) * user_id::DECIMAL(18,6)) AS p_uu
          FROM h)
         SELECT 'value' AS field, 'value' AS other, n::BIGINT AS n_values,
       round(s_v::DOUBLE / n, 6) AS mean,
