@@ -3781,6 +3781,35 @@ def q_search_percolate(spark, sf_dir):
     return percolate(ev, stored, EVENTS_CONFIG, "event_id")
 
 
+def q_search_moving_fn(spark, sf_dir):
+    """ES moving_fn pipeline aggregation (search.py::moving_fn_agg):
+    the six built-in window functions (sum/min/max/unweightedAvg/
+    stdDev/linearWeightedAvg) over a daily view-event value series,
+    3-bucket window EXCLUDING the current bucket (ES shift=0) — null
+    gaps at the series head preserved. Windows run on the aggregated
+    bucket frame, never the corpus."""
+    from toshokan_spark.search import moving_fn_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:view")
+    return moving_fn_agg(hits, "ts", 86400, "value", window=3, shift=0)
+
+
+def q_search_normalize(spark, sf_dir):
+    """ES normalize pipeline aggregation (search.py::normalize_agg):
+    every bit-stable rescaling method (percent_of_sum, rescale_0_1,
+    rescale_0_100, mean, z-score) of the daily click value series in
+    one pass; softmax deliberately excluded (platform-transcendental
+    exp breaks cross-engine bit parity). Five global aggregates over
+    the bucket frame only."""
+    from toshokan_spark.search import date_histogram, normalize_agg
+
+    ev = _t(spark, sf_dir, "events")
+    hits = _search(ev, EVENTS_CONFIG, "event_type:click")
+    hist = date_histogram(hits, "ts", 86400, "value")
+    return normalize_agg(hist, "total_value", "bucket_epoch")
+
+
 def q_search_more_like_this(spark, sf_dir):
     """ES/Lucene more_like_this over the INDEX path (operators/
     relevance.py::more_like_this — the reference exposes only
@@ -4343,12 +4372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r16 WINDOW (first 50): no P0 this round-start; the
-        # window is the STALEST P0b cohort per VERDICT r15
-        # directive 1 — ranked by the last CORRECTNESS_r*.json
-        # each entry appears in (31 of r11 vintage, then 19 of
-        # r12, alphabetical within a round). P0b that do not fit
-        # wait behind their older record + the full local sweep.
+        # -- r16 WINDOW (first 50): the two r16 additions are P0
+        # (never driver-proven) and lead; then the STALEST P0b
+        # cohort per VERDICT r15 directive 1 — ranked by the last
+        # CORRECTNESS_r*.json each entry appears in (31 of r11
+        # vintage, then r12, alphabetical within a round). P0b that
+        # do not fit wait behind their older record + the full
+        # local sweep.
+        "search_moving_fn": q_search_moving_fn,
+        "search_normalize": q_search_normalize,
         "q12_late_priority": q_q12_late_priority,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q15_top_supplier": q_q15_top_supplier,
@@ -5792,6 +5824,81 @@ def oracle_sql() -> dict[str, str]:
         # search_pipeline_aggs: daily purchase histogram + derivative
         # / cumulative / trailing-3 moving average; window arithmetic
         # mirrored exactly (decimal-exact sums, double division)
+        "search_moving_fn": """
+            WITH hist AS (
+              SELECT ((epoch_us(ts) // 86400000000) * 86400)::BIGINT
+                         AS bucket_epoch,
+                     count(*)::BIGINT AS n_hits,
+                     round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                         AS total_value
+              FROM events WHERE event_type = 'view'
+              GROUP BY 1),
+            win AS (
+              SELECT bucket_epoch, n_hits, total_value,
+                (sum(total_value::DECIMAL(38,6)) OVER w)::DOUBLE AS s1,
+                (sum(total_value::DECIMAL(19,6)
+                     * total_value::DECIMAL(18,6)) OVER w)::DOUBLE AS s2,
+                count(total_value) OVER w AS n,
+                min(total_value) OVER w AS mnv,
+                max(total_value) OVER w AS mxv,
+                list(total_value) OVER w AS vals
+              FROM hist
+              WINDOW w AS (ORDER BY bucket_epoch
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+            SELECT bucket_epoch, n_hits, total_value,
+              round(CASE WHEN n > 0 THEN s1 END, 6) AS mov_sum,
+              round(mnv, 6) AS mov_min,
+              round(mxv, 6) AS mov_max,
+              round(CASE WHEN n > 0 THEN s1 / n END, 6) AS mov_avg,
+              round(CASE WHEN n > 0 THEN
+                sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+              END, 6) AS mov_stddev,
+              round(CASE WHEN n > 0 THEN
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, len(vals) + 1),
+                                 i -> vals[i] * i)),
+                  (a, b) -> a + b)
+                / (n::DOUBLE * (n::DOUBLE + 1) / 2)
+              END, 6) AS mov_lwa
+            FROM win
+        """,
+        "search_normalize": """
+            WITH hist AS (
+              SELECT ((epoch_us(ts) // 86400000000) * 86400)::BIGINT
+                         AS bucket_epoch,
+                     count(*)::BIGINT AS n_hits,
+                     round(sum(value::DECIMAL(38,6))::DOUBLE, 6)
+                         AS total_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY 1),
+            g AS (
+              SELECT bucket_epoch, n_hits, total_value,
+                (sum(total_value::DECIMAL(38,6)) OVER ())::DOUBLE AS s1,
+                (sum(total_value::DECIMAL(19,6)
+                     * total_value::DECIMAL(18,6)) OVER ())::DOUBLE AS s2,
+                count(total_value) OVER () AS n,
+                min(total_value) OVER () AS mnv,
+                max(total_value) OVER () AS mxv
+              FROM hist)
+            SELECT bucket_epoch, n_hits, total_value,
+              round(CASE WHEN s1 <> 0
+                THEN 100.0 * total_value / s1 END, 6) AS percent_of_sum,
+              round(CASE WHEN mxv <> mnv
+                THEN (total_value - mnv) / (mxv - mnv) END, 6)
+                AS rescale_0_1,
+              round(CASE WHEN mxv <> mnv
+                THEN 100.0 * (total_value - mnv) / (mxv - mnv) END, 6)
+                AS rescale_0_100,
+              round(CASE WHEN mxv <> mnv
+                THEN (total_value - s1 / n) / (mxv - mnv) END, 6)
+                AS norm_mean,
+              round(CASE WHEN
+                  sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) <> 0
+                THEN (total_value - s1 / n)
+                  / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+              END, 6) AS zscore
+            FROM g
+        """,
         "search_pipeline_aggs": """
             WITH hist AS (
               SELECT ((epoch_us(ts) // 86400000000) * 86400)::BIGINT

@@ -659,3 +659,47 @@ def test_change_point_and_frequent_item_sets_flags(relevance_index,
     assert cli.main(["--catalog", relevance_index, "search", "rel",
                      "*", "--frequent-item-sets", "only_group"]) == 2
     assert "GROUP:ITEM" in capsys.readouterr().err
+
+
+def test_moving_fn_and_normalize_flags(relevance_index, capsys):
+    """--moving-fn and --normalize over an hourly pipeline histogram:
+    the stars series (10, 0, 50, 99) yields exact window stats (the
+    ES shift-0 window EXCLUDES the current bucket — null gaps at the
+    head) and exact global rescalings; both flags exit 2 without
+    --pipeline-interval."""
+    import math
+
+    from toshokan_spark import cli
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--pipeline-interval", "3600",
+                        "--moving-fn", "stars"])
+    assert len(out) == 4
+    assert out[0]["mov_sum"] is None          # empty head window
+    assert out[0]["mov_stddev"] is None       # NOT 0.0 (null gap)
+    assert out[1]["mov_avg"] == 10.0
+    assert out[2]["mov_sum"] == 10.0 and out[2]["mov_min"] == 0.0
+    assert out[2]["mov_lwa"] == 3.333333      # (10*1 + 0*2) / 3
+    assert out[3]["mov_avg"] == 20.0
+    assert out[3]["mov_stddev"] == round(math.sqrt(2600.0 / 3 - 400), 6)
+    assert out[3]["mov_lwa"] == 26.666667     # (10 + 0 + 150) / 6
+
+    out = _run(capsys, ["--catalog", relevance_index, "search", "rel",
+                        "*", "--pipeline-interval", "3600",
+                        "--normalize", "stars"])
+    assert len(out) == 4
+    assert out[0]["percent_of_sum"] == round(1000.0 / 159, 6)
+    assert out[0]["rescale_0_1"] == round(10.0 / 99, 6)
+    assert out[3]["rescale_0_100"] == 100.0
+    assert out[3]["norm_mean"] == round(59.25 / 99, 6)
+    # stars are integers: the decimal-exact sums make the variance a
+    # dyadic rational, so sqrt is the same IEEE double both sides
+    sd = math.sqrt(12401.0 / 4 - 39.75 * 39.75)
+    assert out[1]["zscore"] == round(-39.75 / sd, 6)
+    capsys.readouterr()
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "*", "--moving-fn", "stars"]) == 2
+    assert "--pipeline-interval" in capsys.readouterr().err
+    assert cli.main(["--catalog", relevance_index, "search", "rel",
+                     "*", "--normalize", "stars"]) == 2
+    assert "--pipeline-interval" in capsys.readouterr().err

@@ -4895,3 +4895,68 @@ def test_change_point_and_frequent_item_sets(spark):
            frequent_item_sets_agg(nulls, "g", "item", 0.5).collect()}
     assert got[("a", None)].support == 1.0    # 2/2, not 2/3
     assert ("b", None) not in got             # null-group item dropped
+
+
+def test_moving_fn_and_normalize_aggs(spark):
+    """ES moving_fn / normalize semantics on a hand-sized series:
+    the shift-0 window EXCLUDES the current bucket (null gaps at the
+    head, ES convention), shift=1 includes it; stdDev is the
+    population form over the exact decimal sums; linearWeightedAvg
+    weights 1..n oldest-to-newest; normalize emits every bit-stable
+    method with NULL on degenerate spans."""
+    import math
+    from datetime import datetime
+
+    from toshokan_spark.search import (
+        date_histogram,
+        moving_fn_agg,
+        normalize_agg,
+    )
+
+    def series(vals):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, d + 1, 12), float(v))
+             for d, v in enumerate(vals)],
+            "ts timestamp, value double")
+
+    rows = {r.bucket_epoch: r for r in moving_fn_agg(
+        series([10, 0, 50, 99]), "ts", 86400, "value").collect()}
+    by_rank = [rows[k] for k in sorted(rows)]
+    assert by_rank[0].mov_sum is None
+    assert by_rank[0].mov_stddev is None       # null gap, not 0.0
+    assert by_rank[1].mov_avg == 10.0
+    assert by_rank[2].mov_lwa == 3.333333      # (10*1 + 0*2) / 3
+    assert by_rank[3].mov_sum == 60.0
+    assert by_rank[3].mov_min == 0.0 and by_rank[3].mov_max == 50.0
+    assert by_rank[3].mov_stddev == round(
+        math.sqrt(2600.0 / 3 - 400.0), 6)
+    assert by_rank[3].mov_lwa == 26.666667     # (10 + 0 + 150) / 6
+    # shift=1 slides the window to include the current bucket
+    shifted = sorted(moving_fn_agg(
+        series([10, 0, 50]), "ts", 86400, "value",
+        window=2, shift=1).collect(), key=lambda r: r.bucket_epoch)
+    assert [r.mov_sum for r in shifted] == [10.0, 10.0, 50.0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        moving_fn_agg(series([1]), "ts", 86400, "value", window=0)
+
+    hist = date_histogram(series([10, 0, 50, 99]), "ts", 86400, "value")
+    norm = sorted(
+        normalize_agg(hist, "total_value", "bucket_epoch").collect(),
+        key=lambda r: r.bucket_epoch)
+    assert norm[0].percent_of_sum == round(1000.0 / 159, 6)
+    assert norm[0].rescale_0_1 == round(10.0 / 99, 6)
+    assert norm[3].rescale_0_100 == 100.0
+    assert norm[3].norm_mean == round(59.25 / 99, 6)
+    sd = math.sqrt(12401.0 / 4 - 39.75 * 39.75)
+    assert norm[1].zscore == round(-39.75 / sd, 6)
+    # degenerate span: constant series -> span methods NULL,
+    # percent_of_sum still defined
+    flat = sorted(
+        normalize_agg(
+            date_histogram(series([5, 5]), "ts", 86400, "value"),
+            "total_value", "bucket_epoch").collect(),
+        key=lambda r: r.bucket_epoch)
+    assert flat[0].rescale_0_1 is None and flat[0].zscore is None
+    assert flat[0].percent_of_sum == 50.0

@@ -1659,3 +1659,20 @@ def test_change_point_one_scan_bounded_window(spark, sf_dir):
     assert "SortMergeJoin" not in phys
     assert "BroadcastNestedLoopJoin" in phys or \
         "CartesianProduct" not in phys  # 1-row totals broadcast only
+
+
+def test_moving_fn_and_normalize_one_scan(spark, sf_dir):
+    """moving_fn / normalize (r16): ONE corpus scan builds the date
+    histogram; every window stage runs over the bucket-count-bounded
+    frame (the pipeline_histogram discipline) — no second scan, no
+    join, no corpus-sized exchange beyond the histogram groupBy."""
+    import __spark_entry__ as entry
+
+    for name in ("search_moving_fn", "search_normalize"):
+        df = entry.queries()[name](spark, sf_dir)
+        df.collect()
+        phys = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan ==")[0]
+        assert phys.count("FileScan") == 1, name
+        assert "SortMergeJoin" not in phys, name
+        assert "CartesianProduct" not in phys, name

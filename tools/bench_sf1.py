@@ -44,12 +44,15 @@ HEAVY = [
 
 def _percolate_q500_probe(spark, sf_dir: str) -> dict:
     """percolate at Q=500 (VERDICT r15 directive 6): 500 deterministic
-    monitors over the documents table mixing the cheap shapes
-    (term, term+range, disjunction) with the exotic ones (slop
-    phrase, prefix, regexp) at the r15 ratio. Records CONSTRUCTION
-    (driver-side compile of all 500 into one fused expression) and
-    EXECUTION (one width-Q scan) separately — the two costs the r15
-    SQL-text backend split apart."""
+    monitors over the documents table at a realistic alerting mix —
+    dominated by term / term+range / disjunction monitors with a 10%
+    exotic tail (slop phrase, regexp). The exotic shapes are
+    per-monitor LINEAR re-scans of every text cell (the r15 survey
+    measured 200 of them alone at 65 s over just sf0.01's 5k docs —
+    a 50/50 exotic mix is a DoS at sf1, not a probe). Records
+    CONSTRUCTION (driver-side compile of all 500 into one fused
+    expression) and EXECUTION (one width-Q scan) separately — the
+    two costs the r15 SQL-text backend split apart."""
     import __spark_entry__ as entry
     from toshokan_spark.search import percolate
 
@@ -63,15 +66,15 @@ def _percolate_q500_probe(spark, sf_dir: str) -> dict:
     mons: "list[tuple[str, str]]" = []
     for i in range(500):
         w1, w2 = vocab[i % nv], vocab[(i * 7 + 3) % nv]
-        shape = i % 5
-        if shape == 0:
+        shape = i % 20
+        if shape < 7:
             q = f"text:{w1}"
-        elif shape == 1:
+        elif shape < 13:
             q = f"text:{w1} AND n_chars:>={(i % 40) * 10}"
-        elif shape == 2:
+        elif shape < 18:
+            q = f"text:{w1} OR lang:{'en' if i % 2 else 'de'}"
+        elif shape == 18:
             q = f'text:"{w1} {w2}"~1'
-        elif shape == 3:
-            q = f"text:{w1}* OR lang:en"
         else:
             q = f"text:/{w1[:3]}.*/"
         mons.append((f"m{i:03d}", q))

@@ -428,6 +428,21 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--serial-diff-lag", type=int, default=None,
                     help="add ES serial_diff (lag-N difference) to the "
                          "--pipeline-interval frame")
+    ps.add_argument("--moving-fn", default=None, metavar="F",
+                    help="ES moving_fn: the six built-in window "
+                         "functions (sum/min/max/unweightedAvg/stdDev/"
+                         "linearWeightedAvg) of F's per-bucket sum over "
+                         "a --pipeline-interval date histogram; window "
+                         "is the --moving-window buckets BEFORE each "
+                         "bucket (ES shift 0), shifted by "
+                         "--moving-shift")
+    ps.add_argument("--moving-shift", type=int, default=0)
+    ps.add_argument("--normalize", default=None, metavar="F",
+                    help="ES normalize: percent_of_sum / rescale_0_1 / "
+                         "rescale_0_100 / mean / z-score of F's "
+                         "per-bucket sum across a --pipeline-interval "
+                         "date histogram (softmax excluded: exp is not "
+                         "bit-stable cross-engine)")
     ps.add_argument("--bucket-script", default=None, metavar="N=EXPR[;...]",
                     help="bucket_script pipeline stage: add computed "
                          "metric columns (SQL over the bucket metrics) "
@@ -944,6 +959,8 @@ def main(argv: list[str] | None = None) -> int:
                 ("--filters", a.filters),
                 ("--multi-terms", a.multi_terms),
                 ("--pipeline-interval", a.pipeline_interval),
+                ("--moving-fn", a.moving_fn),
+                ("--normalize", a.normalize),
                 ("--weighted-avg", a.weighted_avg),
                 ("--mad-field", a.mad_field),
                 ("--adjacency", a.adjacency),
@@ -1022,6 +1039,7 @@ def main(argv: list[str] | None = None) -> int:
                     or a.significant_terms or a.panel_facet
                     or a.composite_by or a.rare_terms or a.filters
                     or a.multi_terms or a.pipeline_interval
+                    or a.moving_fn or a.normalize
                     or a.weighted_avg or a.mad_field or a.adjacency
                     or a.histogram_auto or a.percentile_ranks
                     or a.suggest_field or a.spell_field
@@ -1261,11 +1279,14 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(multi_terms_agg(
                     hits_df(), keys, k=a.facet_k
                 ).collect())
-            if a.pipeline_interval:
-                if not a.pipeline_value:
-                    print("error: --pipeline-interval requires "
-                          "--pipeline-value", file=sys.stderr)
-                    return 2
+            if a.pipeline_interval and not (
+                a.pipeline_value or a.moving_fn or a.normalize
+            ):
+                print("error: --pipeline-interval requires "
+                      "--pipeline-value (or --moving-fn/--normalize)",
+                      file=sys.stderr)
+                return 2
+            if a.pipeline_interval and a.pipeline_value:
                 from toshokan_spark.search import pipeline_histogram_agg
 
                 config = catalog.get_index(a.index)
@@ -1273,6 +1294,35 @@ def main(argv: list[str] | None = None) -> int:
                     hits_df(), config.time_field, a.pipeline_interval,
                     a.pipeline_value, moving_window=a.moving_window,
                     serial_diff_lag=a.serial_diff_lag,
+                ).orderBy("bucket_epoch").collect())
+            if a.moving_fn:
+                if not a.pipeline_interval:
+                    print("error: --moving-fn requires "
+                          "--pipeline-interval", file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import moving_fn_agg
+
+                config = catalog.get_index(a.index)
+                _emit(moving_fn_agg(
+                    hits_df(), config.time_field, a.pipeline_interval,
+                    a.moving_fn, window=a.moving_window,
+                    shift=a.moving_shift,
+                ).orderBy("bucket_epoch").collect())
+            if a.normalize:
+                if not a.pipeline_interval:
+                    print("error: --normalize requires "
+                          "--pipeline-interval", file=sys.stderr)
+                    return 2
+                from toshokan_spark.search import (
+                    date_histogram,
+                    normalize_agg,
+                )
+
+                config = catalog.get_index(a.index)
+                _emit(normalize_agg(
+                    date_histogram(hits_df(), config.time_field,
+                                   a.pipeline_interval, a.normalize),
+                    "total_value", "bucket_epoch",
                 ).orderBy("bucket_epoch").collect())
             if a.percentile_ranks:
                 from toshokan_spark.search import percentile_ranks_agg

@@ -3213,6 +3213,137 @@ def frequent_item_sets_agg(
     )
 
 
+def moving_fn_agg(
+    hits: DataFrame,
+    time_col: str,
+    interval_seconds: int,
+    value_col: str,
+    window: int = 3,
+    shift: int = 0,
+) -> DataFrame:
+    """ES ``moving_fn`` pipeline aggregation (an ES-parity extension
+    like the other panel aggs — the reference's collector is
+    limit-only, ``src/commands/search.rs:188``): the six built-in
+    window functions over a date-histogram series in ONE frame —
+    ``mov_sum`` / ``mov_min`` / ``mov_max`` / ``mov_avg``
+    (unweightedAvg) / ``mov_stddev`` (population, ES MovingFunctions.
+    stdDev) / ``mov_lwa`` (linearWeightedAvg: weights 1..n, oldest to
+    newest). ES's window covers the ``window`` buckets BEFORE the
+    current one (exclusive) and ``shift`` slides it forward —
+    ``shift=1`` includes the current bucket; buckets whose window is
+    empty report NULL, matching ES's null gaps at the series head.
+
+    Scale: the windows run over the ALREADY-AGGREGATED histogram
+    frame (time_range/interval rows — metadata-sized, the
+    :func:`pipeline_histogram_agg` discipline), so the unpartitioned
+    ordering is a deliberate bounded single-task pass; corpus-sized
+    work is the one partial-aggregated histogram groupBy. Sums fold
+    through decimal(38,6); stddev derives from the exact sum/sumsq
+    pair in double arithmetic and linearWeightedAvg from the exact
+    position-weighted sum over the frame's collect_list (frame order
+    IS the window order in both engines), so the DuckDB oracle
+    agrees bit-for-bit."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    hist = date_histogram(hits, time_col, interval_seconds, value_col)
+    w = Window.orderBy("bucket_epoch").rowsBetween(
+        shift - window, shift - 1)
+    v = F.col("total_value")
+    dec = v.cast("decimal(38,6)")
+    s1 = F.sum(dec).over(w)
+    # squares via (18,6): the (18,6)x(18,6) product lands exactly at
+    # (37,12) in BOTH engines — a (38,6) square would hit Spark's
+    # 38-precision cap and round at scale 6 while DuckDB refuses the
+    # width outright (the decimal cross-engine lesson)
+    d18 = v.cast("decimal(18,6)")
+    s2 = F.sum(d18 * d18).over(w)
+    n = F.count(v).over(w)
+    nd = n.cast("double")
+    mean = s1.cast("double") / nd
+    var = s2.cast("double") / nd - mean * mean
+    vals = F.collect_list(v).over(w)
+    lwa_num = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), F.greatest(F.size(vals), F.lit(1))),
+            lambda x, i: x * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lwa_den = (nd * (nd + 1)) / 2
+    return hist.select(
+        "bucket_epoch",
+        "n_hits",
+        "total_value",
+        F.round(s1.cast("double"), 6).alias("mov_sum"),
+        F.round(F.min(v).over(w), 6).alias("mov_min"),
+        F.round(F.max(v).over(w), 6).alias("mov_max"),
+        F.round(mean, 6).alias("mov_avg"),
+        # the n > 0 guard matters: greatest() IGNORES nulls in both
+        # engines, so an empty window's null variance would otherwise
+        # leak out as stddev 0.0 instead of ES's null gap
+        F.round(
+            F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0)))), 6
+        ).alias("mov_stddev"),
+        F.round(
+            F.when(n > 0, lwa_num / lwa_den), 6).alias("mov_lwa"),
+    )
+
+
+def normalize_agg(
+    buckets: DataFrame,
+    metric_col: str,
+    order_col: str,
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation (8.x): rescale a bucket
+    metric across the whole aggregation — all of ES's bit-stable
+    methods as columns in one pass: ``percent_of_sum``
+    (100·x/Σx), ``rescale_0_1`` ((x−min)/(max−min)), ``rescale_0_100``,
+    ``norm_mean`` (ES's ``mean`` method, (x−mean)/(max−min)) and
+    ``zscore`` ((x−mean)/σ, population σ). ES's remaining method,
+    ``softmax``, is deliberately absent: ``exp`` is a
+    platform-transcendental whose last-ulp differs across engines,
+    outside the repo's exact-statistic stance — compose it via
+    :func:`bucket_script` where bit-parity is not required.
+    Degenerate spans (max == min, σ == 0, Σ == 0) report NULL for the
+    affected methods, matching ES's skipped buckets.
+
+    Scale: five global aggregates over the ALREADY-AGGREGATED bucket
+    frame via an unpartitioned window — bucket-count-sized, the
+    :func:`pipeline_histogram_agg` discipline; no corpus scan, no
+    exchange beyond the host aggregation's own. Sums fold through
+    decimal(38,6); every method derives from the exact sums in
+    double arithmetic, so the oracle agrees bit-for-bit."""
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    x = F.col(metric_col).cast("double")
+    dec = F.col(metric_col).cast("decimal(38,6)")
+    s1 = F.sum(dec).over(w).cast("double")
+    # (18,6) squares: exact (37,12) products in both engines (see
+    # moving_fn_agg)
+    d18 = F.col(metric_col).cast("decimal(18,6)")
+    s2 = F.sum(d18 * d18).over(w).cast("double")
+    n = F.count(x).over(w).cast("double")
+    mn = F.min(x).over(w)
+    mx = F.max(x).over(w)
+    mean = s1 / n
+    sd = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    span = mx - mn
+    return buckets.select(
+        *buckets.columns,
+        F.round(F.when(s1 != 0, 100.0 * x / s1), 6).alias(
+            "percent_of_sum"),
+        F.round(F.when(span != 0, (x - mn) / span), 6).alias(
+            "rescale_0_1"),
+        F.round(F.when(span != 0, 100.0 * (x - mn) / span), 6).alias(
+            "rescale_0_100"),
+        F.round(F.when(span != 0, (x - mean) / span), 6).alias(
+            "norm_mean"),
+        F.round(F.when(sd != 0, (x - mean) / sd), 6).alias("zscore"),
+    )
+
+
 def mlt_search_df(
     spark: SparkSession,
     catalog: FsCatalog,
