@@ -126,8 +126,15 @@ def _token_seq_match(tokens: Column, words: list[str], slop: int = 0) -> Column:
         )
         return F.coalesce(F.aggregate(rest, init, step) >= 0, F.lit(False))
 
+    # containment pre-guard (r16, mirrors _token_seq_match_sql): the
+    # positional scan is O(n·k·window) per row — k cheap
+    # array_contains conjuncts short-circuit it for every row missing
+    # any phrase word (postings-intersection-then-verify)
+    guard = F.lit(True)
+    for w in words:
+        guard = guard & F.array_contains(tokens, w)
     return F.when(
-        n >= k,
+        (n >= k) & guard,
         F.coalesce(F.exists(F.sequence(F.lit(0), n - k), match_at), F.lit(False)),
     ).otherwise(F.lit(False))
 

@@ -155,8 +155,17 @@ def _token_seq_match_sql(toks: str, words: list, slop: int) -> str:
         f"coalesce(aggregate({rest}, {init}, "
         f"(__acc, __w) -> {step}) >= 0, false)"
     )
+    # containment pre-guard (r16): the positional scan is
+    # O(n·k·window) per row, and in a width-Q percolation every slop
+    # monitor pays it on EVERY document — measured 0.8 s per monitor
+    # per 5k docs. A doc missing ANY phrase word can never match, so
+    # k cheap array_contains conjuncts short-circuit the fold for the
+    # overwhelming majority of rows (the inverted-index discipline:
+    # intersect postings first, verify positions on candidates only).
+    guard = " AND ".join(
+        f"array_contains({toks}, {_s(w)})" for w in words)
     return (
-        f"CASE WHEN {n} >= {k} THEN "
+        f"CASE WHEN {n} >= {k} AND {guard} THEN "
         f"coalesce(exists(sequence(0, {n} - {k}), __i -> {match_at}), "
         f"false) ELSE false END"
     )

@@ -2266,6 +2266,27 @@ def percolate(
     from toshokan_spark.query import compile_query
     from toshokan_spark.query_sql import render_query_sql
 
+    # Stage each analyzed text field's token array ONCE per document
+    # (r16 — the boosting one-tokenize lesson generalized): arriving
+    # documents lack the ingest shadow columns, so every
+    # phrase/slop/fuzzy monitor would otherwise re-tokenize the same
+    # cell inline — and tokenize is an interpreted HOF chain, paid
+    # per monitor per row. Both compile backends prefer the shadow
+    # array when it is in available_columns; Catalyst prunes the
+    # staged column away when no monitor reads it.
+    from toshokan_spark.functions.tokenizers import tokenize
+    from toshokan_spark.ingest import tokens_col
+
+    for f in config.fields:
+        if (
+            f.type == "text" and f.indexed and f.tokenizer != "raw"
+            and not f.array and f.name in docs.columns
+            and tokens_col(f.name) not in docs.columns
+        ):
+            docs = docs.withColumn(
+                tokens_col(f.name),
+                tokenize(F.col(f.name), f.tokenizer),
+            )
     cols = set(docs.columns)
     rendered: "list[tuple[str, str]]" = []
     fallback: "list" = []
