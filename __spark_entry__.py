@@ -2347,10 +2347,15 @@ def q_bpe_token_counts(spark, sf_dir):
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: how English-target-like is every
     document's hashed n-gram profile (target = lang='en' docs, raw =
-    the whole pool; add-1 smoothing over 4096 hashed buckets)."""
+    the whole pool; add-1 smoothing over 4096 hashed buckets). The
+    target is a filtered subset of the pool, so it rides the one
+    persisted feature stream as a predicate flag (target_pred) —
+    identical counts, one feature-extraction pass fewer (r16)."""
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return textops.dsir_log_weights(docs, target, dim=4096, alpha=1.0)
+    return textops.dsir_log_weights(
+        docs, None, dim=4096, alpha=1.0,
+        target_pred=(F.col("lang") == "en"),
+    )
 
 
 def q_dsir_select(spark, sf_dir):
@@ -2359,8 +2364,10 @@ def q_dsir_select(spark, sf_dir):
     replacement — the composed selection step, value-proven like
     ccnet_select is for the perplexity path."""
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return textops.dsir_select(docs, target, k=50, dim=4096, alpha=1.0)
+    return textops.dsir_select(
+        docs, None, k=50, dim=4096, alpha=1.0,
+        target_pred=(F.col("lang") == "en"),
+    )
 
 
 def q_line_dedup(spark, sf_dir):

@@ -93,3 +93,62 @@ def test_char_entropy_profile(spark):
     assert got[4].entropy == 0.0 and got[4].n_chars_text == 0
     # repr stability: never -0.0 (the driver hash stringifies floats)
     assert repr(got[2].entropy) == "0.0"
+
+
+def test_hashed_features_staged_matches_exploded_spec(spark):
+    """The r16 staged formulation of _hashed_features (feature array
+    -> transform-hash -> explode, with optional passthrough columns
+    and per-doc count) must emit exactly the rows of the original
+    explode-then-hash-per-occurrence formulation — the executable
+    spec the DuckDB oracles mirror. Covers empty text, whitespace
+    runs, BMP unicode, mixed case, long docs (bigrams included by
+    construction), both hash families, and the with_n count."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from toshokan_spark.operators.text import (
+        _feature_idx,
+        _hashed_features,
+        _lower_words,
+    )
+
+    texts = [
+        "", "one", "a b c d e", "  spaced   out  text here ",
+        "h\u00e9llo w\u00f6rld \u00fcn\u00efcode tokens again", "x " * 200,
+        "Mixed CASE Text tokens", "a b c " * 50,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    words = _lower_words("text")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array())
+    for family in ("poly", "xxhash"):
+        got = sorted(
+            (r["id"], r["idx"])
+            for r in _hashed_features(
+                df, "doc_id", "text", 4096, family
+            ).collect()
+        )
+        spec = sorted(
+            (r["id"], r["idx"])
+            for r in df.select(
+                F.col("doc_id").alias("id"),
+                F.explode(F.concat(words, bigrams)).alias("f"),
+            )
+            .select("id", _feature_idx(F.col("f"), 4096, family).alias("idx"))
+            .collect()
+        )
+        assert got == spec and len(got) > 300, family
+    # extra_cols passthrough rides the explode unchanged
+    rows = _hashed_features(
+        df, "doc_id", "text", 4096, "poly",
+        extra_cols=[F.length("text").alias("tl")],
+    ).collect()
+    tl = {i: len(s) for i, s in enumerate(texts)}
+    assert rows and all(r["tl"] == tl[r["id"]] for r in rows)

@@ -194,6 +194,11 @@ def langid_classifier(
         model = langid_model(df.sparkSession, dim, hash_family)
     if langs is None:
         langs = sorted(LANG_LEXICONS)
+    # the stream is read twice (per-doc count + scoring join) and
+    # deliberately NOT persisted: an r16 persist experiment measured
+    # the extra materialization costing more than the second feature
+    # pass (2.33 s → 2.85 s at sf0.1) — the unigram_logprob
+    # recompute-beats-cache finding
     feats = _hashed_features(df, id_col, text_col, dim, hash_family)
     counts = feats.groupBy("id").agg(F.count(F.lit(1)).alias("n_feats"))
     per = (
@@ -478,6 +483,13 @@ def bigram_logprob(
     have no transitions and no output row."""
     from toshokan_spark.operators.util import spread
 
+    # three consumers (unigram counts, bigram counts, the scoring
+    # probe) each re-run the tokenize — deliberately NOT persisted:
+    # the r16 persist experiment measured 1.99 s → 2.35 s at sf0.1
+    # (eager materialization + cache write of the token arrays costs
+    # more than the re-scans), and at 100 TB a cached corpus-token
+    # stream is a full serialize/spill/re-read of more bytes than the
+    # raw text (see unigram_logprob)
     staged = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__w")
     ).withColumn("__n", F.size("__w"))
@@ -661,7 +673,14 @@ def unigram_logprob(
 
     # spread before the tokenize+explode (single-split serialization,
     # see _hashed_features); the corpus total comes from summing the
-    # vocabulary-sized frequency table, never a second token pass
+    # vocabulary-sized frequency table, never a second token pass.
+    # The token stream is deliberately NOT persisted even though the
+    # plan reads it twice (frequency build + scoring probe): an r16
+    # measurement showed persist + eager materialization costing more
+    # than the second tokenize (1.37 s → 1.82 s at sf0.1), and at
+    # 100 TB a cached corpus-token-sized stream is itself a full
+    # serialize/spill/re-read of MORE bytes than the raw text, where
+    # the second tokenize is a plain re-scan.
     toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("w")
     )
@@ -877,6 +896,7 @@ def script_profile(
 def _hashed_features(
     df: DataFrame, id_col: str, text_col: str, dim: int,
     hash_family: str = "poly",
+    extra_cols: "Sequence[Column] | None" = None,
 ) -> DataFrame:
     """(id, idx) hashed unigram+bigram features (one row per feature
     OCCURRENCE — count-weighted by construction), shared by
@@ -889,7 +909,17 @@ def _hashed_features(
     spread — see poly_hash's docstring warning); ``'xxhash'`` is the
     JVM-intrinsic production family, ~3-5× faster on the feature
     stream — a model is tied to ONE family (train and apply must
-    collide identically), so pick per model, not per call."""
+    collide identically), so pick per model, not per call. (An r16
+    Arrow-batched UDF twin of the poly fold was measured 4-5× SLOWER
+    than the interpreted HOF fold and reverted: one cheap fold per
+    feature cannot amortize shipping every feature string through the
+    Arrow boundary — unlike the MinHash signature UDF, which does 128
+    folds per shingle. Guide §4's boundary-cost warning, in reverse.)
+
+    ``extra_cols``: aliased Columns over *df* carried through the
+    explode (the bpe_token_counts pattern) — downstream groupings
+    then need no corpus join back for their keys.
+    """
     words = _lower_words(text_col)
     bigrams = F.when(
         F.size(words) >= 2,
@@ -899,16 +929,30 @@ def _hashed_features(
         ),
     ).otherwise(F.array())
     feats = F.concat(words, bigrams)
-    idx = _feature_idx(F.col("f"), dim, hash_family)
     from toshokan_spark.operators.util import spread
 
     # spread BEFORE the per-row-heavy tokenize+explode+hash: a small
     # parquet arrives as ONE split and would serialize the whole
     # feature pass on a single core (measured 5.3s -> sub-second at
     # sf0.1 on local[32])
-    return spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.explode(feats).alias("f")
-    ).select("id", idx.alias("idx"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col), *(extra_cols or [])
+    )
+    passthrough = [c for c in base.columns if c not in ("id", text_col)]
+    # explode the feature expression DIRECTLY (no staged array
+    # column): two r16 alternatives were measured 4-5× slower and
+    # reverted — hashing inside a ``transform`` lambda runs nested
+    # HOFs fully interpreted, and staging the array as a named column
+    # lets InferFiltersFromGenerate + predicate pushdown clone the
+    # whole tokenize expression into a Filter at the scan, evaluated
+    # per row BEFORE the spread exchange (i.e. on one core for a
+    # small input). Direct explode infers no such filter.
+    return spread(base).select(
+        "id", *passthrough, F.explode(feats).alias("f")
+    ).select(
+        "id", *passthrough,
+        _feature_idx(F.col("f"), dim, hash_family).alias("idx"),
+    )
 
 
 def lcg_weight_table(spark, dim: int = 4096, seed: int = 1) -> DataFrame:
@@ -1031,41 +1075,57 @@ def train_hashed_classifier(
     :func:`hashed_linear_score` unchanged (sigmoid at APPLY time is
     monotone, so the decision boundary is the trained one).
 
-    Scale shape: the feature stream is computed once and persisted;
-    each iteration is one broadcast join against the model-sized
-    weight table, one groupBy(doc) and one groupBy(idx) — gradients
-    and weights are O(dim) frames, lineage-checkpointed per round so
-    ``iters`` never deepens a plan. No window, no UDF, no driver
-    collect."""
+    Scale shape: the feature stream is computed once — the label
+    rides the SAME projection (``extra_cols``) and the per-doc
+    feature count falls out of the per-doc scoring aggregate as
+    ``count(1)`` (the former count-aggregate + self-join recomputed
+    the whole feature pass and shuffled it twice before training
+    even started) — then hash-partitioned by doc id ONCE and
+    persisted:
+    every iteration's per-doc aggregation and residual join are
+    satisfied by that partitioning (guide §2.4 — two ops keyed the
+    same way share one exchange), so an iteration costs ONE
+    model-sized groupBy(idx) shuffle instead of two
+    corpus-occurrence-sized exchanges. Each iteration is one
+    broadcast join against the model-sized weight table, one
+    groupBy(doc) and one groupBy(idx) — gradients and weights are
+    O(dim) frames, lineage-checkpointed per round so ``iters`` never
+    deepens a plan. No window, no driver collect."""
     from toshokan_spark.operators.util import finalize_cached
 
-    feats = _hashed_features(df, id_col, text_col, dim, hash_family)
-    meta = df.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).cast("double").alias("y"),
+    feats = _hashed_features(
+        df, id_col, text_col, dim, hash_family,
+        extra_cols=[F.col(label_col).cast("double").alias("y")],
     )
-    n = feats.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    base = feats.join(n, "id").join(meta, "id").persist()
+    base = feats.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("id")
+    ).persist()
     try:
         base.count()
         w = None
         for _t in range(iters):
+            # n_i (the doc's feature-occurrence count) is count(1) of
+            # the same aggregate that sums the weights — the left
+            # broadcast join preserves row count, so no separate
+            # count-aggregate/join is ever needed
             if w is None:
-                scored = base.groupBy("id", "y", "n").agg(
-                    F.lit(0.0).alias("wsum")
+                scored = base.groupBy("id", "y").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.lit(0.0).alias("wsum"),
                 )
             else:
                 scored = (
                     base.join(F.broadcast(w), "idx", "left")
-                    .groupBy("id", "y", "n")
+                    .groupBy("id", "y")
                     .agg(
+                        F.count(F.lit(1)).alias("n"),
                         F.sum(
                             F.coalesce(F.col("w"), F.lit(0.0)).cast(
                                 "decimal(38,18)"
                             )
                         )
                         .cast("double")
-                        .alias("wsum")
+                        .alias("wsum"),
                     )
                 )
             r = scored.select(
@@ -1109,6 +1169,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "poly",
+    target_pred: "Column | None" = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169):
@@ -1139,12 +1200,32 @@ def dsir_log_weights(
     one broadcast join + groupBy per raw doc. Model state is O(dim);
     nothing quadratic, no window. ``hash_family='xxhash'`` swaps the
     auditable per-char fold for the JVM intrinsic (see
-    :func:`_hashed_features`)."""
+    :func:`_hashed_features`).
+
+    ``target_pred``: when the target is a FILTERED SUBSET of *df*
+    (the common "more like this labeled slice" shape), pass the
+    predicate instead of a separate *target* frame (which is then
+    ignored and may be None): the target's feature counts come from
+    the one persisted raw stream carrying the predicate as a flag,
+    instead of a second full feature-extraction pass over the target
+    slice — identical counts (feature extraction is per-doc), one
+    corpus pass fewer."""
     spark = df.sparkSession
-    raw_f = _hashed_features(df, id_col, text_col, dim, hash_family).persist()
-    tgt_f = _hashed_features(target, id_col, text_col, dim, hash_family)
+    if target_pred is not None:
+        raw_f = _hashed_features(
+            df, id_col, text_col, dim, hash_family,
+            extra_cols=[target_pred.cast("boolean").alias("__t")],
+        ).persist()
+        tgt_c = (
+            raw_f.filter(F.col("__t"))
+            .groupBy("idx")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+    else:
+        raw_f = _hashed_features(df, id_col, text_col, dim, hash_family).persist()
+        tgt_f = _hashed_features(target, id_col, text_col, dim, hash_family)
+        tgt_c = tgt_f.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
     raw_c = raw_f.groupBy("idx").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_c = tgt_f.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
     # totals from the dim-sized count tables — NOT a second corpus
     # scan; coalesced so an EMPTY corpus (sum -> NULL) still yields
     # finite smoothed ratios like the oracle's count(*) = 0
@@ -1205,6 +1286,7 @@ def dsir_select(
     text_col: str = "text",
     hash_family: str = "poly",
     seed: int = 0,
+    target_pred: "Column | None" = None,
 ) -> DataFrame:
     """The full DSIR selection (Xie et al. 2023 §2.2): compute
     importance log-weights with :func:`dsir_log_weights`, then sample
@@ -1232,6 +1314,7 @@ def dsir_select(
     lw = dsir_log_weights(
         df, target, dim=dim, alpha=alpha, id_col=id_col,
         text_col=text_col, hash_family=hash_family,
+        target_pred=target_pred,
     )
     picked = weighted_sample(
         lw.withColumn("__w", F.exp(F.col("log_weight"))),
@@ -2071,10 +2154,21 @@ def quality_ensemble(
     """
     from toshokan_spark.operators.util import grouped_prefix
 
-    cur = df.withColumn("__g", F.lit(0))
+    # SLIM projection before the rank passes (guide §2.3 — project
+    # before the exchange): grouped_prefix persists, windows and
+    # checkpoints the frame it is handed K+1 times; handing it the
+    # full document frame made every one of those carry text. All K
+    # signal expressions are evaluated in ONE narrow pass over the
+    # corpus here, and everything after runs on (id, K doubles).
+    cur = df.select(
+        F.col(id_col),
+        F.lit(0).alias("__g"),
+        *[
+            col.cast("double").alias(f"__s_{name}")
+            for name, col in signals
+        ],
+    )
     names = []
-    for name, col in signals:
-        cur = cur.withColumn(f"__s_{name}", col.cast("double"))
     for name, _ in signals:
         s = F.col(f"__s_{name}")
         cur = grouped_prefix(

@@ -2642,6 +2642,17 @@ def phrase_suggest(
         raise ValueError("phrase_suggest wants 2-4 analyzed words")
 
     toks = tokenize(F.col(text_col), tokenizer)
+    # The VOCABULARY table is persisted (r16): |V| is needed as a
+    # scalar and every query word's candidate scan reads the
+    # vocabulary — un-persisted, each of those actions re-tokenized
+    # and re-aggregated the whole corpus (5-7 full text passes
+    # measured at sf0.1; at 100 TB each is a linear scan of every
+    # text cell). The vocab cache is model-sized and released as soon
+    # as the candidates (with their own frequencies) are collected;
+    # the corpus token arrays themselves stay un-persisted (caching
+    # them measured slower than the one extra tokenize the bigram
+    # pass pays — see unigram_logprob), so the whole suggester costs
+    # two corpus passes: vocabulary build + bigram counts.
     staged = docs.select(toks.alias("__w")).withColumn(
         "__n", F.size("__w")
     )
@@ -2649,7 +2660,7 @@ def phrase_suggest(
         staged.select(F.explode("__w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
-    )
+    ).persist()
     bg = (
         staged.filter(F.col("__n") >= 2)
         .select(
@@ -2666,22 +2677,43 @@ def phrase_suggest(
         .groupBy("t.w1", "t.w2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-    vv = uni.count()  # |V| — one scalar
+    vv = uni.count()  # |V| — one scalar; the action fills the vocab cache
 
-    cands: list[list[tuple[str, int]]] = []
-    for w in words:
-        lim = F.lit(int(max_dist))
-        cand = (
-            uni.filter(F.abs(F.length("w") - F.lit(len(w))) <= lim)
-            .withColumn("__d", F.levenshtein(F.col("w"), F.lit(w)))
-            .filter(F.col("__d") <= lim)
-            .orderBy(F.col("__d").asc(), F.col("cu").desc(), F.col("w").asc())
-            .limit(per_word)
+    # per-word candidate selection: ONE job over the cached vocabulary
+    # for all 2-4 query words (banded levenshtein + per-word
+    # top-per_word via row_number — same (dist asc, freq desc, token
+    # asc) total order as the former per-word orderBy/limit, so the
+    # selected sets and their order are identical), instead of one
+    # corpus-rescanning job per query word.
+    spark = docs.sparkSession
+    lim = int(max_dist)
+    wq = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "wi int, qw string"
+    )
+    cw = Window.partitionBy("wi").orderBy(
+        F.col("__d").asc(), F.col("cu").desc(), F.col("w").asc()
+    )
+    crows = (
+        uni.join(
+            F.broadcast(wq),
+            F.abs(F.length("w") - F.length("qw")) <= F.lit(lim),
         )
-        rows = cand.collect()  # model-sized: ≤ per_word vocabulary rows
-        cands.append([(r["w"], r["__d"]) for r in rows])
+        .withColumn("__d", F.levenshtein(F.col("w"), F.col("qw")))
+        .filter(F.col("__d") <= F.lit(lim))
+        .withColumn("__rn", F.row_number().over(cw))
+        .filter(F.col("__rn") <= per_word)
+        .select("wi", "w", "__d", "__rn", "cu")
+        .collect()  # model-sized: ≤ len(words) × per_word rows
+    )
+    cands: list[list[tuple[str, int]]] = [[] for _ in words]
+    cu_of: dict[str, int] = {}
+    for r in sorted(crows, key=lambda r: (r["wi"], r["__rn"])):
+        cands[r["wi"]].append((r["w"], r["__d"]))
+        cu_of[r["w"]] = r["cu"]
+    # the vocabulary cache has now served |V|, every candidate scan
+    # AND the candidates' own frequencies — nothing else reads it
+    uni.unpersist()
     if any(not c for c in cands):
-        spark = docs.sparkSession
         return spark.createDataFrame([], "phrase string, score double")
 
     import itertools
@@ -2693,7 +2725,6 @@ def phrase_suggest(
         phrases.append((pid, " ".join(ws)))
         for pos in range(len(ws) - 1):
             trans.append((pid, pos, ws[pos], ws[pos + 1]))
-    spark = docs.sparkSession
     pdf = spark.createDataFrame(phrases, "pid long, phrase string")
     tdf = spark.createDataFrame(
         trans, "pid long, pos int, w1 string, w2 string"
@@ -2704,7 +2735,13 @@ def phrase_suggest(
     firsts = sorted({a for _, _, a, _ in trans})
     seconds = sorted({b for _, _, _, b in trans})
     bg_f = bg.filter(F.col("w1").isin(firsts) & F.col("w2").isin(seconds))
-    uni_f = uni.filter(F.col("w").isin(firsts))
+    # the candidates' unigram counts were collected WITH the
+    # candidates, so the scorer's unigram side is a literal frame —
+    # no third corpus pass (the former uni_f re-ran tokenize+explode+
+    # aggregate a third time just to re-read ≤ 20 counts)
+    uni_f = spark.createDataFrame(
+        [(w, cu_of[w]) for w in firsts], "w string, cu long"
+    )
     scored = (
         tdf.join(F.broadcast(bg_f), ["w1", "w2"], "left")
         .join(F.broadcast(uni_f.withColumnRenamed("w", "w1")
