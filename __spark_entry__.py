@@ -2338,9 +2338,15 @@ def q_bpe_merges(spark, sf_dir):
 
 def q_bpe_token_counts(spark, sf_dir):
     """Apply the learned 6-merge BPE model: per-doc token count after
-    replaying the merges over each word (plus the whitespace count)."""
+    replaying the merges over each word (plus the whitespace count).
+    Training uses the driver-local scale path (value-equal to the
+    distributed per-round fold, property-tested
+    test_bpe_train_local_matches_distributed; the distributed
+    trainer itself stays value-oracled via the bpe_merges entry) —
+    one vocabulary job instead of one Spark job per merge round
+    (r16, the tokenizer_fertility precedent)."""
     docs = _t(spark, sf_dir, "documents")
-    merges = textops.bpe_train(docs, n_merges=6)
+    merges = textops.bpe_train_local(docs, n_merges=6)
     return textops.bpe_token_counts(docs, merges)
 
 

@@ -200,3 +200,21 @@ def test_pagerank_authority_ordering(spark):
     assert got[0] == max(got.values())
     assert got[1] == got[2] == got[3] == got[4]
     assert got[1] < got[0]
+
+
+def test_pagerank_local_matches_distributed(spark):
+    """The driver-local fast path (edge list under local_threshold)
+    must be bit-equal to the distributed iteration loop — same int64
+    truncating-division recurrence, including dangling-mass
+    redistribution (node 4 has no out-edges) and nodes with no
+    inflow. local_threshold=0 forces the distributed path on the
+    same input."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4),
+             (5, 0), (5, 1), (6, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    local = {r.node: r.rank_e12
+             for r in web.pagerank(edges, iterations=4).collect()}
+    dist = {r.node: r.rank_e12
+            for r in web.pagerank(
+                edges, iterations=4, local_threshold=0).collect()}
+    assert local == dist and len(local) == 7

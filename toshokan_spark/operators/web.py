@@ -257,6 +257,40 @@ def domain_filter(
     return joined.drop("__domain")
 
 
+def _pagerank_local(
+    edge_pairs: "list[tuple[int, int]]",
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+) -> "list[tuple[int, int]]":
+    """Driver-local twin of the distributed iteration in
+    :func:`pagerank` — the same exact int64 fixed-point recurrence
+    (truncating division, identical evaluation order per term), so
+    the two paths are bit-equal for any shared input (property-
+    tested). Runs on the DISTINCT (src, dst) edge list."""
+    nodes = sorted({s for s, _ in edge_pairs} | {d for _, d in edge_pairs})
+    n = len(nodes)
+    if n == 0:
+        return []
+    outdeg: dict = {}
+    for s, _ in edge_pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in outdeg)
+        dangling_share = (damping_num * dangling) // (damping_den * n)
+        inflow: dict = {}
+        for s, d in edge_pairs:
+            c = (ranks[s] * damping_num) // (damping_den * outdeg[s])
+            inflow[d] = inflow.get(d, 0) + c
+        ranks = {
+            v: teleport + dangling_share + inflow.get(v, 0) for v in nodes
+        }
+    return [(v, ranks[v]) for v in nodes]
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -265,6 +299,7 @@ def pagerank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a (src, dst) edge list — the domain
     authority signal web-curation stacks weight sampling by (Common
@@ -301,18 +336,38 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    # the loop-invariant frames (edges, out-degrees, node set) are
+    # read EVERY iteration — persist once or each round would rescan
+    # and re-dedup the document-derived edge list (5 iterations +
+    # the per-iteration dangling action = 10+ recomputes otherwise)
+    e = e.persist()
+    n_edges = e.count()
+    # Hybrid execution (the duplicate_clusters / bpe_train_local
+    # discipline): the AGGREGATED graph is host-sized (100 TB of
+    # pages -> ~1e7 hosts), so once the distinct edge list fits the
+    # driver (≤ ~16 MB of long pairs at the default 10⁶) the 5
+    # damped iterations run as a Python loop over dicts with the
+    # IDENTICAL truncating integer arithmetic (// == Spark's `div`
+    # on the non-negative ranks) — bit-equality is property-tested
+    # against the distributed loop. The distributed path's per-
+    # iteration join + groupBy chain costs ~15 sequential shuffle
+    # stages, pure scheduling overhead for a model-sized graph; it
+    # remains the path for graphs that exceed the threshold.
+    if n_edges <= local_threshold:
+        rows = e.collect()
+        out_rows = _pagerank_local(
+            [(r["src"], r["dst"]) for r in rows],
+            iterations, damping_num, damping_den, scale,
+        )
+        e.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame(out_rows, "node long, rank_e12 long")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    # the loop-invariant frames (edges, out-degrees, node set) are
-    # read EVERY iteration — persist once or each round would rescan
-    # and re-dedup the document-derived edge list (5 iterations +
-    # the per-iteration dangling action = 10+ recomputes otherwise)
-    e = e.persist()
-    nodes = nodes
     n_nodes = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # teleport share floor((1-d)*scale / N), identical every round
