@@ -13,12 +13,16 @@ ANSI-ish SQL so the DuckDB oracle can verify values bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from toshokan_spark.operators.dedup import poly_hash, words_col
+
+_LOG = logging.getLogger(__name__)
 
 # small marker-word lists per language for the n-gram/stopword
 # heuristic (shared verbatim with the SQL oracle)
@@ -2152,52 +2156,119 @@ def quality_ensemble(
     The doc count rides a 1-row broadcast. K signals cost K ranked
     passes; the output adds K rank columns plus the fused score.
     """
-    from toshokan_spark.operators.util import grouped_prefix
+    from toshokan_spark.operators.util import finalize_cached
 
     # SLIM projection before the rank passes (guide §2.3 — project
-    # before the exchange): grouped_prefix persists, windows and
-    # checkpoints the frame it is handed K+1 times; handing it the
-    # full document frame made every one of those carry text. All K
-    # signal expressions are evaluated in ONE narrow pass over the
-    # corpus here, and everything after runs on (id, K doubles).
-    cur = df.select(
+    # before the exchange): the rank machinery persists, windows and
+    # checkpoints the frame it works on; handing it the full document
+    # frame made every one of those carry text. All K signal
+    # expressions are evaluated in ONE narrow pass over the corpus
+    # here, and everything after runs on (id, K doubles).
+    #
+    # FUSED multi-signal ranking (r16): the former implementation ran
+    # :func:`~toshokan_spark.operators.util.grouped_prefix` once per
+    # signal — K sequential (bounds-collect + materialize +
+    # checkpoint) rounds, ~3 jobs each. All K rank computations share
+    # one frame, so this inlines the same two-level decomposition
+    # with the per-signal work fused: ONE aggregation job computes
+    # every signal's coarse-bucket boundaries (K percentile sketches
+    # in one pass), the K coarse-bucketed rank windows chain inside
+    # ONE plan (each is its own exchange — unavoidable, the partition
+    # keys differ — but no intermediate materialization), and the
+    # per-bucket offset frames are tiny broadcasts. 3 jobs total
+    # instead of ~3K, identical ranks (same boundary sketch, same
+    # (signal asc, id asc) total order, same null routing as
+    # grouped_prefix's defaults).
+    names = [name for name, _ in signals]
+    slim = df.select(
         F.col(id_col),
-        F.lit(0).alias("__g"),
         *[
             col.cast("double").alias(f"__s_{name}")
             for name, col in signals
         ],
     )
-    names = []
-    for name, _ in signals:
-        s = F.col(f"__s_{name}")
-        cur = grouped_prefix(
-            cur,
-            "__g",
-            s,
-            [s.asc(), F.col(id_col).asc()],
-            n_coarse=n_coarse,
-            rank_col=f"__r_{name}",
-            materialize=materialize,
+    if materialize:
+        slim = slim.persist()
+    cached = [slim] if materialize else []
+    try:
+        qs = [i / n_coarse for i in range(1, n_coarse)]
+        bnd = slim.agg(*[
+            F.percentile_approx(F.col(f"__s_{n}"), qs, 10000).alias(f"__b_{n}")
+            for n in names
+        ])
+        if materialize:
+            brows = bnd.collect()
+            floor = min(max(2, n_coarse // 8), len(qs))
+            for n in names:
+                bs = brows[0][f"__b_{n}"] or []
+                if len(set(bs)) < floor:
+                    _LOG.warning(
+                        "quality_ensemble: signal %r has only %d distinct "
+                        "coarse boundaries (< %d) — near-constant signal, "
+                        "one bucket holds ~the whole corpus and the rank "
+                        "window loses its parallelism there",
+                        n, len(set(bs)), floor,
+                    )
+            bnd = df.sparkSession.createDataFrame(brows, bnd.schema)
+        d = slim.crossJoin(F.broadcast(bnd))
+        for n in names:
+            s = F.col(f"__s_{n}")
+            d = d.withColumn(
+                f"__coarse_{n}",
+                F.when(s.isNull(), F.lit(n_coarse))
+                .otherwise(
+                    F.lit(1)
+                    + F.size(F.filter(F.col(f"__b_{n}"), lambda b: b < s))
+                )
+                .cast("int"),
+            )
+        d = d.drop(*[f"__b_{n}" for n in names])
+        for n in names:
+            w = Window.partitionBy(f"__coarse_{n}").orderBy(
+                F.col(f"__s_{n}").asc(), F.col(id_col).asc()
+            )
+            d = d.withColumn(f"__lr_{n}", F.row_number().over(w))
+        if materialize:
+            d = d.persist()
+            cached.append(d)
+        out = d
+        for n in names:
+            tot = d.groupBy(F.col(f"__coarse_{n}").alias("__c")).agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            a, b = tot.alias("a"), tot.alias("b")
+            off = (
+                a.join(F.broadcast(b), F.col("b.__c") < F.col("a.__c"), "left")
+                .groupBy(F.col("a.__c").alias(f"__coarse_{n}"))
+                .agg(
+                    F.coalesce(F.sum("b.__cnt"), F.lit(0))
+                    .cast("long")
+                    .alias(f"__off_{n}")
+                )
+            )
+            out = out.join(F.broadcast(off), f"__coarse_{n}")
+        n1 = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        out = out.crossJoin(F.broadcast(n1))
+        rank = lambda nm: F.col(f"__off_{nm}") + F.col(f"__lr_{nm}")
+        norm = lambda nm: F.when(
+            F.col("__n") > 1,
+            (rank(nm) - F.lit(1)) / (F.col("__n") - F.lit(1)),
+        ).otherwise(F.lit(0.5))
+        fused = norm(names[0])
+        for nm in names[1:]:
+            fused = fused + norm(nm)
+        result = out.select(
+            F.col(id_col),
+            *[rank(nm).cast("long").alias(f"rank_{nm}") for nm in names],
+            F.round(fused / F.lit(float(len(names))), 6).alias("ensemble"),
         )
-        names.append(name)
-    n1 = cur.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    cur = cur.crossJoin(F.broadcast(n1))
-    norm = lambda nm: F.when(
-        F.col("__n") > 1,
-        (F.col(f"__r_{nm}") - F.lit(1)) / (F.col("__n") - F.lit(1)),
-    ).otherwise(F.lit(0.5))
-    fused = norm(names[0])
-    for nm in names[1:]:
-        fused = fused + norm(nm)
-    return cur.select(
-        F.col(id_col),
-        *[
-            F.col(f"__r_{nm}").cast("long").alias(f"rank_{nm}")
-            for nm in names
-        ],
-        F.round(fused / F.lit(float(len(names))), 6).alias("ensemble"),
-    )
+        if not materialize:
+            return result
+        return finalize_cached(result, *cached)
+    except BaseException:
+        for c in cached:
+            c.unpersist()
+        raise
 
 
 def c4_line_filters(
