@@ -1176,15 +1176,22 @@ def q_quality_ensemble(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     t = F.coalesce(F.col("text"), F.lit(""))
-    w = words_col(t)
+    # stage the word array: the lambda-bearing tokenize gets no
+    # subexpression elimination, and div/mwl reference it four times
+    # in the ensemble's signal projection (r16)
+    staged = docs.select(
+        "doc_id", "n_chars", words_col(t).alias("__w"),
+        F.length(t).alias("__tl"),
+    )
+    w = F.col("__w")
     div = F.when(
         F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)
     ).otherwise(F.lit(0.0))
-    mwl = F.when(F.size(w) > 0, F.length(t) / F.size(w)).otherwise(
+    mwl = F.when(F.size(w) > 0, F.col("__tl") / F.size(w)).otherwise(
         F.lit(0.0)
     )
     return quality_ensemble(
-        docs,
+        staged,
         [("len", F.col("n_chars")), ("div", div), ("mwl", -mwl)],
     )
 
@@ -2322,10 +2329,13 @@ def q_source_quality_curves(spark, sf_dir):
     from toshokan_spark.operators import stats
 
     docs = _t(spark, sf_dir, "documents")
-    w = dedup_words(F.col("text"))
-    x = F.log(F.size(w).cast("double"))
-    y = F.size(F.array_distinct(w)) / F.size(w)
-    return stats.grouped_linear_fit(docs, "source", x, y)
+    # staged word array — see q_quality_regression (r16)
+    staged = docs.select(
+        "source", dedup_words(F.col("text")).alias("__w")
+    )
+    x = F.log(F.size("__w").cast("double"))
+    y = F.size(F.array_distinct("__w")) / F.size("__w")
+    return stats.grouped_linear_fit(staged, "source", x, y)
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -2579,10 +2589,15 @@ def q_quality_regression(spark, sf_dir):
     from toshokan_spark.operators import stats
 
     docs = _t(spark, sf_dir, "documents")
-    w = dedup_words(F.col("text"))
-    x = F.log(F.size(w).cast("double"))
-    y = F.size(F.array_distinct(w)) / F.size(w)
-    return stats.linear_residuals(docs, x, y, id_col="doc_id")
+    # stage the word array: the lambda-bearing tokenize gets no
+    # subexpression elimination, and x/y reference it three times per
+    # projection (r16 — the staged_shingles discipline)
+    staged = docs.select(
+        "doc_id", dedup_words(F.col("text")).alias("__w")
+    )
+    x = F.log(F.size("__w").cast("double"))
+    y = F.size(F.array_distinct("__w")) / F.size("__w")
+    return stats.linear_residuals(staged, x, y, id_col="doc_id")
 
 
 def q_dedup_crosscheck(spark, sf_dir):

@@ -79,15 +79,32 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         stop_score = least(stop_ratio*4, 1)
         quality    = round(0.4*len + 0.3*div + 0.3*stop, 6)
     """
-    w = words_col(F.lower(F.col(text_col)))
-    n = F.size(w)
-    ndist = F.size(F.array_distinct(w))
-    nstop = F.size(F.filter(w, lambda t: t.isin(*EN_STOPWORDS)))
+    # STAGED evaluation (r16, the staged_shingles discipline): the
+    # word array bears a lambda, so it is excluded from subexpression
+    # elimination — the former single-projection formulation
+    # re-tokenized the document once per reference (~8 evaluations
+    # per row across n/ndist/nstop and every derived score). Staging
+    # the array, then the three integer stats, makes each level
+    # evaluate once (CollapseProject leaves multi-referenced
+    # non-cheap aliases alone).
+    staged = df.select(
+        F.col(id_col),
+        words_col(F.lower(F.col(text_col))).alias("__w"),
+    )
+    m = staged.select(
+        F.col(id_col),
+        F.size("__w").alias("__n"),
+        F.size(F.array_distinct("__w")).alias("__nd"),
+        F.size(
+            F.filter(F.col("__w"), lambda t: t.isin(*EN_STOPWORDS))
+        ).alias("__ns"),
+    )
+    n, ndist, nstop = F.col("__n"), F.col("__nd"), F.col("__ns")
     len_score = F.least(n / F.lit(32.0), F.lit(1.0))
     diversity = ndist / n
     stop_score = F.least(nstop / n * 4.0, F.lit(1.0))
     q = F.round(0.4 * len_score + 0.3 * diversity + 0.3 * stop_score, 6)
-    return df.select(
+    return m.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(diversity, 6).alias("diversity"),
