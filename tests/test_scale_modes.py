@@ -381,3 +381,55 @@ def test_curriculum_order_null_difficulty_matches_window(spark):
     )
     got = {r["doc_id"]: (r["stage"], r["position"]) for r in out.collect()}
     assert got == want
+
+
+def test_grouped_prefix_total_col_and_fixed_bounds(spark):
+    """The r16 job-count options: *total_col* must equal the plain
+    per-group count for every row, and *fixed_bounds* (literal
+    monotone boundaries instead of the percentile sketch) must leave
+    rank and cumsum bit-identical to the sketch path — including a
+    boundary list that buckets badly (exactness never depended on
+    boundary placement) and null proxies routed first/last."""
+    from pyspark.sql.window import Window
+
+    rows = [
+        Row(g="a", k=i, s=None if i % 7 == 0 else float(i * 13 % 50), w=i % 4)
+        for i in range(60)
+    ] + [Row(g="b", k=i, s=float(i % 5), w=1) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, k int, s double, w int")
+    order = [F.col("s").asc_nulls_last(), F.col("k").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    expect = df.withColumn("__rank", F.row_number().over(w)).withColumn(
+        "__cumsum",
+        F.sum("w").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    want = {
+        (r.g, r.k): (r["__rank"], r["__cumsum"]) for r in expect.collect()
+    }
+    counts = {"a": 60, "b": 9}
+    for bounds in ([10.0, 20.0, 30.0, 40.0], [2.0, 2.0, 47.0], [999.0]):
+        out = grouped_prefix(
+            df, "g", F.col("s"), order,
+            value=F.col("w"), fixed_bounds=bounds, total_col="__n",
+        )
+        got = {
+            (r.g, r.k): (r["__rank"], r["__cumsum"]) for r in out.collect()
+        }
+        assert got == want, f"fixed_bounds={bounds}"
+        assert all(
+            r["__n"] == counts[r.g] for r in out.collect()
+        ), f"total_col wrong for fixed_bounds={bounds}"
+    # sketch path with total_col, nulls routed FIRST (plain asc order)
+    order_nf = [F.col("s").asc(), F.col("k").asc()]
+    w_nf = Window.partitionBy("g").orderBy(*order_nf)
+    expect_nf = df.withColumn("__rank", F.row_number().over(w_nf))
+    out_nf = grouped_prefix(
+        df, "g", F.col("s"), order_nf,
+        n_coarse=4, nulls_last=False, total_col="__n",
+    )
+    got_nf = {(r.g, r.k): r["__rank"] for r in out_nf.collect()}
+    want_nf = {(r.g, r.k): r["__rank"] for r in expect_nf.collect()}
+    assert got_nf == want_nf
+    assert all(r["__n"] == counts[r.g] for r in out_nf.collect())

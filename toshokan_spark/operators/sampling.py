@@ -522,8 +522,11 @@ def curriculum_order(
     if n_stages <= 0:
         raise ValueError(f"n_stages must be positive, got {n_stages}")
     slim = df.select(F.col(id_col), difficulty.alias("__d"))
-    nfr = slim.agg(F.count(F.lit(1)).cast("long").alias("__N"))
 
+    # total_col rides the rank out of the same per-bucket-totals
+    # broadcast join — a separate count() aggregation here would be a
+    # SECOND full pass over slim (its plan does not match the cached
+    # fragment inside grouped_prefix, so it re-scans the corpus)
     ranked = grouped_prefix(
         slim.withColumn("__g", F.lit(1)),
         "__g",
@@ -536,7 +539,8 @@ def curriculum_order(
         # reference (null = unknown difficulty = easiest stage)
         nulls_last=False,
         materialize=materialize,
-    ).crossJoin(F.broadcast(nfr))
+        total_col="__N",
+    )
 
     k = F.lit(n_stages).cast("long")
     q = (F.col("__N") / k).cast("long")  # floor: both non-negative
@@ -560,6 +564,11 @@ def curriculum_order(
         sample_key(F.col(id_col).cast("string"), seed).alias("__b"),
     )
 
+    # __b is a hash in [0, SAMPLE_BUCKETS): equal-width literal
+    # boundaries bucket as evenly as a percentile sketch would (rank
+    # exactness never depended on boundary placement, only on the
+    # bucketing being monotone), and the sketch's boundary-aggregation
+    # pass over the staged frame disappears
     within = grouped_prefix(
         staged,
         "stage",
@@ -569,6 +578,9 @@ def curriculum_order(
         rank_col="__wr",
         nulls_last=False,
         materialize=materialize,
+        fixed_bounds=[
+            SAMPLE_BUCKETS * i / n_coarse for i in range(1, n_coarse)
+        ],
     )
     s = F.col("stage")
     q2 = (F.col("__N") / k).cast("long")

@@ -2055,6 +2055,10 @@ def lm_quality_buckets(
         )
     from toshokan_spark.operators.util import grouped_prefix
 
+    # total_col: the per-group N the ntile arithmetic needs falls out
+    # of grouped_prefix's own per-bucket-totals broadcast join — the
+    # former separate groupBy+broadcast over the ranked checkpoint
+    # was an extra aggregation job per call
     ranked = grouped_prefix(
         scored,
         group_col,
@@ -2062,9 +2066,7 @@ def lm_quality_buckets(
         [F.col("avg_logprob").desc(), F.col(id_col).asc()],
         n_coarse=n_coarse,
         materialize=materialize,
-    )
-    n_per_group = ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("__n")
+        total_col="__n",
     )
     r, n, k = F.col("__rank"), F.col("__n"), F.lit(n_buckets)
     f = F.floor(n / k)  # base bucket size; first (n % k) buckets get +1
@@ -2075,14 +2077,11 @@ def lm_quality_buckets(
     bucket = F.when(
         r <= m * (f + 1), F.floor((r - 1) / (f + 1)) + 1
     ).otherwise(m + F.floor((r - m * (f + 1) - 1) / f) + 1)
-    return (
-        ranked.join(F.broadcast(n_per_group), group_col)
-        .select(
-            id_col,
-            group_col,
-            "avg_logprob",
-            bucket.cast("integer").alias("bucket"),
-        )
+    return ranked.select(
+        id_col,
+        group_col,
+        "avg_logprob",
+        bucket.cast("integer").alias("bucket"),
     )
 
 

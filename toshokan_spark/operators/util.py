@@ -232,6 +232,8 @@ def grouped_prefix(
     cumsum_col: str = "__cumsum",
     materialize: bool = True,
     nulls_last: bool = True,
+    total_col: str | None = None,
+    fixed_bounds: "Sequence[float] | None" = None,
 ) -> DataFrame:
     """Exact per-group rank (and optional running sum) WITHOUT a
     per-group window — the scale-safe replacement for
@@ -279,10 +281,31 @@ def grouped_prefix(
     they spill per ``MEMORY_AND_DISK`` instead of recomputing.
     ``materialize=False`` returns the lazy plan un-persisted (for
     plan-shape tests; production callers keep the default).
+
+    *total_col*, when given, adds the per-group ROW COUNT as a long
+    column — it falls out of the same tiny per-bucket-totals
+    broadcast join that computes the rank offsets (the group total is
+    the sum over ALL of the group's buckets, the offset over the
+    PRECEDING ones), so callers that need N alongside the rank (ntile
+    arithmetic) skip a whole extra counting pass over the input.
+
+    *fixed_bounds*, when given (an ascending numeric list, length
+    n_coarse-1 by convention), replaces the per-group percentile
+    sketch: every group buckets against these literal boundaries and
+    the boundary-aggregation job disappears, as does the input
+    persist (with one pass over *df* nothing references it twice).
+    Ranks are EXACT for any monotone bucketing — boundary placement
+    only affects balance — so this is for proxies with a known
+    uniform domain (hash keys): equal-width literals are as balanced
+    as a sketch and one corpus pass cheaper.
     """
-    if materialize:
+    if materialize and fixed_bounds is None:
+        # fixed_bounds leaves df single-referenced (no boundary pass):
+        # the windowed frame's persist covers it
         df = df.persist()
-    cached = [df] if materialize else []
+        cached = [df]
+    else:
+        cached = []
     # any exception between persist() and finalize_cached() — e.g. a
     # bad order/proxy expression resolving at action time — must not
     # leak CacheManager entries for the session lifetime (the
@@ -293,6 +316,7 @@ def grouped_prefix(
             n_coarse=n_coarse, accuracy=accuracy, rank_col=rank_col,
             cumsum_col=cumsum_col, materialize=materialize,
             nulls_last=nulls_last, cached=cached,
+            total_col=total_col, fixed_bounds=fixed_bounds,
         )
     except BaseException:
         for c in cached:
@@ -303,8 +327,33 @@ def grouped_prefix(
 def _grouped_prefix_body(
     df, group_col, proxy, order_cols, *, value, n_coarse, accuracy,
     rank_col, cumsum_col, materialize, nulls_last, cached,
+    total_col, fixed_bounds,
 ):
     from pyspark.sql.window import Window
+
+    if fixed_bounds is not None:
+        d = df.withColumn("__proxy", proxy).withColumn(
+            "__coarse",
+            F.when(
+                F.col("__proxy").isNull(),
+                F.lit(len(fixed_bounds) + 1 if nulls_last else 1),
+            )
+            .otherwise(
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.array(*[F.lit(b) for b in fixed_bounds]),
+                        lambda b: b < F.col("__proxy"),
+                    )
+                )
+            )
+            .cast("int"),
+        ).drop("__proxy")
+        return _grouped_prefix_rank(
+            d, group_col, order_cols, value=value, rank_col=rank_col,
+            cumsum_col=cumsum_col, materialize=materialize,
+            cached=cached, total_col=total_col,
+        )
 
     qs = [i / n_coarse for i in range(1, n_coarse)]
     bounds = df.groupBy(group_col).agg(
@@ -360,6 +409,22 @@ def _grouped_prefix_body(
         )
         .drop("__bounds", "__proxy")
     )
+    return _grouped_prefix_rank(
+        d, group_col, order_cols, value=value, rank_col=rank_col,
+        cumsum_col=cumsum_col, materialize=materialize, cached=cached,
+        total_col=total_col,
+    )
+
+
+def _grouped_prefix_rank(
+    d, group_col, order_cols, *, value, rank_col, cumsum_col,
+    materialize, cached, total_col,
+):
+    """Stages 3–5 of :func:`grouped_prefix`, given the coarse-bucketed
+    frame *d* (carrying ``__coarse``): per-(group, coarse) window,
+    per-bucket totals, broadcast offsets, global rank/cumsum."""
+    from pyspark.sql.window import Window
+
     wr = Window.partitionBy(group_col, "__coarse").orderBy(*order_cols)
     d = d.withColumn("__lrank", F.row_number().over(wr))
     aggs = [F.count(F.lit(1)).alias("__cnt")]
@@ -372,18 +437,40 @@ def _grouped_prefix_body(
         cached.append(d)
     tot = d.groupBy(group_col, "__coarse").agg(*aggs)
     a, b = tot.alias("a"), tot.alias("b")
-    offs = [
-        F.coalesce(F.sum("b.__cnt"), F.lit(0)).cast("long").alias("__off_cnt")
-    ]
-    if value is not None:
-        offs.append(F.coalesce(F.sum("b.__vsum"), F.lit(0)).alias("__off_sum"))
-    off = (
-        a.join(
-            F.broadcast(b),
-            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-            & (F.col("b.__coarse") < F.col("a.__coarse")),
-            "left",
+    preceding = F.col("b.__coarse") < F.col("a.__coarse")
+    if total_col is None:
+        offs = [
+            F.coalesce(F.sum("b.__cnt"), F.lit(0)).cast("long").alias("__off_cnt")
+        ]
+        if value is not None:
+            offs.append(
+                F.coalesce(F.sum("b.__vsum"), F.lit(0)).alias("__off_sum")
+            )
+        cond = (
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}")) & preceding
         )
+        how = "left"
+    else:
+        # group-wide join (every a-row matches at least itself):
+        # the offset restricts to PRECEDING buckets inside the
+        # aggregate, the group total sums ALL buckets — same tiny
+        # G x n_coarse broadcast self-join, one extra column
+        offs = [
+            F.sum(F.when(preceding, F.col("b.__cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("__off_cnt"),
+            F.sum("b.__cnt").cast("long").alias(total_col),
+        ]
+        if value is not None:
+            offs.append(
+                F.sum(
+                    F.when(preceding, F.col("b.__vsum")).otherwise(F.lit(0))
+                ).alias("__off_sum")
+            )
+        cond = F.col(f"a.{group_col}") == F.col(f"b.{group_col}")
+        how = "inner"
+    off = (
+        a.join(F.broadcast(b), cond, how)
         .groupBy(F.col(f"a.{group_col}"), F.col("a.__coarse"))
         .agg(*offs)
     )
