@@ -2838,6 +2838,39 @@ def test_kcenter_select_farthest_point_geometry(spark):
     assert {r.vec_id for r in all_out} == set(pts)
 
 
+def test_kcenter_local_matches_distributed(spark):
+    """The driver-local fast path (r17) must be bit-equal to the
+    distributed argmax loop: same sequential-fold squared-L2 (the
+    per-dimension accumulation order is the fold order), same
+    incremental min over centers, same (dd desc, id asc) tie-break —
+    including deliberate exact ties (three corners of a square
+    equidistant from the seed) and irrational coordinates where a
+    different summation order would flip the last ulp.
+    local_threshold=0 forces the distributed path on the same
+    input."""
+    import math
+
+    from pyspark.sql import Row
+
+    vecs = [
+        (10, [0.0, 0.0, 0.1]),
+        (11, [1.0, 0.0, 0.1]),      # ties with 12 at d2=1 from seed
+        (12, [0.0, 1.0, 0.1]),      # -> 11 wins (lower id)
+        (13, [1.0, 1.0, 0.1]),
+        (14, [math.pi / 7, math.e / 9, 0.1 + 1e-13]),
+        (15, [0.3333333333333333, 0.6666666666666666, 0.1]),
+    ]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs]
+    )
+    local = [tuple(r) for r in
+             similarity.kcenter_select(emb, k=5).orderBy("rank").collect()]
+    dist = [tuple(r) for r in
+            similarity.kcenter_select(
+                emb, k=5, local_threshold=0).orderBy("rank").collect()]
+    assert local == dist and len(local) == 5
+
+
 def test_curriculum_order_matches_reference(spark):
     """curriculum_order's window-free (grouped_prefix) machinery must
     reproduce the textbook answer: ntile stages over (difficulty, id),

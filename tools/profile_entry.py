@@ -76,12 +76,30 @@ def main() -> int:
         fn = qs[name]
         if plans_dir:
             os.makedirs(plans_dir, exist_ok=True)
-            df = fn(spark, sf_dir)
+            # --plan-at seam (VERDICT r16 finding 2): operators that end
+            # in finalize_cached return a checkpoint whose explain() is a
+            # bare Scan ExistingRDD. Install the finalize-time plan sink
+            # so every materialized intermediate's EXECUTED (post-AQE)
+            # plan is captured during construction and written alongside
+            # the (possibly truncated) final plan.
+            from toshokan_spark.operators import util as _util
+
+            _util.PLAN_SINK = sink = []
+            try:
+                df = fn(spark, sf_dir)
+            finally:
+                _util.PLAN_SINK = None
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             with open(os.path.join(plans_dir, f"{name}_{suffix}.txt"), "w") as f:
                 f.write(plan)
+                for i, p in enumerate(sink):
+                    f.write(
+                        f"\n\n== Materialized intermediate {i + 1} "
+                        f"(executed plan at finalize_cached, post-AQE) ==\n"
+                    )
+                    f.write(p)
         best, times = None, []
         for _ in range(runs):
             spark.sparkContext.setJobDescription(f"profile:{name}")

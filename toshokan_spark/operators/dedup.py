@@ -307,6 +307,56 @@ def deduplicate_exact(
 # n-gram Jaccard (exact near-dup over co-shingled pairs)
 # ---------------------------------------------------------------------------
 
+def _pair_structs(members: Column) -> Column:
+    """All i<j combination pairs of a SORTED struct array — the
+    grouped replacement for an equi-self-join on the group key:
+    ``flatten(transform(ms, (a, i) -> transform(slice(ms, i+2, ...),
+    b -> (a, b))))``. Sorted input means every emitted pair has
+    ``a < b`` by struct order (id leads), exactly the self-join's
+    ``a.id < b.id`` condition."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda a, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+
+
+def _grouped_self_pairs(
+    df: DataFrame,
+    keys: "list[str]",
+    payload: Column,
+    max_freq: Optional[int],
+) -> DataFrame:
+    """All (a, b) payload pairs sharing an equal key — the grouped
+    replacement for ``df.alias('a').join(df.alias('b'), keys equal &
+    a.id < b.id)``: ONE hash exchange by *keys* instead of two join
+    sides each re-running the hot-key count + anti-join subtree (the
+    ungrouped plan recomputed them per side because the keyed stream
+    was not cached). The frequency cap (and the drop of size-1
+    groups, which can pair nothing) is a window count over the same
+    partitioning, filtered BEFORE the list aggregation so per-key
+    aggregation state is bounded by the cap; the ``groupBy`` then
+    reuses the window's exchange (guide §2.4 — same key, no second
+    shuffle). *payload* must lead with a unique-per-group id so the
+    sorted member array yields exactly the ``a < b`` pairs of the
+    join formulation. Returns one column ``p`` =
+    ``struct(a: payload, b: payload)``."""
+    w = Window.partitionBy(*keys)
+    b = df.withColumn("__kn", F.count(F.lit(1)).over(w))
+    if max_freq is not None:
+        b = b.filter(F.col("__kn") <= max_freq)
+    grp = (
+        b.filter(F.col("__kn") >= 2)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(payload)).alias("ms"))
+    )
+    return grp.select(F.explode(_pair_structs(F.col("ms"))).alias("p"))
+
+
 def _co_shingle_intersections(
     df: DataFrame,
     id_col: str,
@@ -314,44 +364,70 @@ def _co_shingle_intersections(
     k: int,
     max_shingle_freq: Optional[int],
     shingle_unit: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> "tuple[DataFrame, DataFrame]":
     """Shared skeleton of :func:`ngram_jaccard_pairs` and
-    :func:`containment_pairs`: staged+persisted shingles, the
-    stop-shingle frequency cap, and exact co-shingle intersection
-    counts joined to both pair members' set sizes. Returns ``(sh,
-    pairs)`` — the PERSISTED shingle frame (hand it to
-    ``finalize_cached``) and a frame of ``(a_id, b_id, inter, na,
-    nb)`` with ``a_id < b_id``. Only the similarity normalizer
-    differs between callers, so cap/anti-join fixes land in exactly
-    one place."""
+    :func:`containment_pairs`: staged shingles, the stop-shingle
+    frequency cap, and exact co-shingle intersection counts with both
+    pair members' set sizes. Returns ``(pairs, sh)`` — a frame of
+    ``(a_id, b_id, inter, na, nb)`` with ``a_id < b_id`` plus the
+    PERSISTED shingle frame (hand it to ``finalize_cached``). Only
+    the similarity normalizer differs between callers, so cap fixes
+    land in exactly one place.
+
+    Shape (r17 — same self-join engine, three redundancies removed):
+
+    * each doc's set size ``n`` rides the explode (4 bytes per
+      shingle occurrence on the wire — and into the pair groupBy
+      keys, where it is functionally dependent on the id so the
+      grouping is unchanged) instead of TWO doc-cardinality size
+      joins after the pair aggregation;
+    * the frequency cap's anti-join applies to ONE join side only:
+      the join is an equality on the shingle value, so removing an
+      over-cap shingle from either side removes every pair it would
+      have formed — the former both-sides anti-join made the
+      (uncached) hot-count aggregation + broadcast run TWICE, once
+      per side subtree;
+    * the pair aggregation keeps codegen'd join+partial-agg pair
+      generation: the grouped alternative (ONE exchange by shingle +
+      ``collect_list`` + combination arrays, the
+      :func:`_grouped_self_pairs` shape used by the banded-LSH
+      candidates) was measured 3-4x SLOWER here — word co-shingle
+      frequencies are heavy-tailed (~40 docs per shingle at sf0.1),
+      so the quadratic pair volume is dominated by per-element
+      INTERPRETED higher-order-function array building, where the
+      broadcast/sort-merge join emits the identical rows through
+      whole-stage codegen (r17 negative-results ledger).
+
+    The staged shingle frame stays persisted: it is referenced three
+    times (both join sides + the hot count)."""
     sh = staged_shingles(df, id_col, text_col, k, shingle_unit).persist()
-    # persisted: referenced twice (sizes + both self-join sides)
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    ex = sh.select("id", F.explode("sh").alias("s"))
+    ex = sh.select(
+        "id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    b = ex
     if max_shingle_freq is not None:
-        # anti-join the OVER-cap shingle list — the inner-join-with-
-        # ok-list formulation carried the near-full distinct-shingle
-        # set through an extra exchange. No broadcast HINT: the list is
-        # usually tiny (AQE broadcasts it at runtime), but at a fixed
-        # cap its size grows with the corpus, and a forced broadcast
-        # would hit the 8 GB collect cliff where an AQE-chosen shuffle
-        # join just degrades gracefully
         hot = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_shingle_freq)
             .select("s")
         )
-        ex = ex.join(hot, "s", "left_anti")
-    inter = (
+        b = b.join(hot, "s", "left_anti")
+    return (
         ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .join(
+            b.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
-    return sh, inter.join(sa, "a_id").join(sb, "b_id")
+        .select("a_id", "b_id", "inter", "na", "nb")
+    ), sh
 
 
 def ngram_jaccard_pairs(
@@ -388,7 +464,7 @@ def ngram_jaccard_pairs(
     The exact path with char units is right for short-field exact-ish
     matching (names, titles), not full documents.
     """
-    sh, pairs = _co_shingle_intersections(
+    pairs, sh = _co_shingle_intersections(
         df, id_col, text_col, k, max_shingle_freq, shingle_unit
     )
     out = (
@@ -428,7 +504,7 @@ def containment_pairs(
     ordered rows, one per direction that clears the threshold.
     ``jaccard`` rides along for the symmetric comparison.
     """
-    sh, both = _co_shingle_intersections(
+    both, sh = _co_shingle_intersections(
         df, id_col, text_col, k, max_shingle_freq, shingle_unit
     )
     # both ordered directions in ONE pass: each unordered pair row
@@ -1143,32 +1219,15 @@ def minhash_lsh_pairs(
         sig = minhash_signatures(sh_df, num_hashes, hash_family=hash_family).persist()
     banded = _banded(sig, bands, r, hash_family)
 
-    if max_band_freq is not None:
-        # Drop over-cap buckets via a broadcast anti-join of the tiny
-        # over-cap key list: the partial-aggregated bucket count
-        # shuffles one row per distinct (band, key) per map task,
-        # where the previous window-count formulation re-shuffled the
-        # ENTIRE banded table (id + band + key per row) just to count
-        # bucket sizes.
-        hot = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_band_freq)
-            .select("band", "key")
-        )
-        banded = banded.join(hot, ["band", "key"], "left_anti")
-
     # candidate ids only — shingle arrays never travel through the
-    # band-key shuffle; they re-join after pair dedup
+    # band-key shuffle; they re-join after pair dedup. One grouped
+    # pass (window-counted bucket cap + member-array pair generation,
+    # :func:`_grouped_self_pairs`) replaces the band-key self-join:
+    # the banded fan-out crosses ONE exchange instead of two join
+    # sides that each recomputed the over-cap count + anti-join.
     cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        _grouped_self_pairs(banded, ["band", "key"], F.col("id"), max_band_freq)
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
         .persist()  # referenced 3x: candidate-id union + verify join
     )
@@ -1432,19 +1491,18 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("id", "sig", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
 
+    # one grouped pass over the chunk fan-out instead of the
+    # (ci, cv)-keyed self-join — see :func:`_grouped_self_pairs`; the
+    # signature rides the member struct so hamming needs no re-join
     cand = (
-        chunks.alias("a")
-        .join(
-            chunks.alias("b"),
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.id") < F.col("b.id")),
+        _grouped_self_pairs(
+            chunks, ["ci", "cv"], F.struct("id", "sig"), None
         )
         .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("siga"),
-            F.col("b.sig").alias("sigb"),
+            F.col("p.a.id").alias("a_id"),
+            F.col("p.b.id").alias("b_id"),
+            F.col("p.a.sig").alias("siga"),
+            F.col("p.b.sig").alias("sigb"),
         )
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -1600,20 +1658,14 @@ def duplicate_clusters(
     converged = False
 
     # canonical u > v edge set; self-pairs carry no connectivity.
-    # The initial distinct is persisted and counted WITHOUT a
-    # localCheckpoint: when the count already fits the local
-    # threshold (the common case for post-dedup pair sets) the edges
-    # go straight from cache to the driver and the checkpoint job
-    # never runs.
     e = pairs.select(
         F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
         F.least(F.col(a_col), F.col(b_col)).alias("v"),
     )
-    e_dist = e.filter(F.col("u") != F.col("v")).distinct().persist()
-    prev_n = e_dist.count()
+    e_dist = e.filter(F.col("u") != F.col("v")).distinct()
     id_type = e_dist.schema["u"].dataType
 
-    def _finish_local(edge_df: DataFrame) -> DataFrame:
+    def _finish_rows(rows) -> DataFrame:
         # Small-graph fast path: the edge set (id pairs only — at
         # the default threshold ≤ ~16 MB) fits the driver, where
         # union-find labels it in one pass with ZERO per-round
@@ -1621,9 +1673,9 @@ def duplicate_clusters(
         # until the graph shrinks under the threshold (each
         # alternation collapses members onto component minima, so
         # the edge count is non-increasing after the first round) —
-        # the collect is bounded by the just-measured edge count,
+        # the collect is bounded by the measured edge count,
         # never data-sized.
-        labels = _local_min_labels([(r["u"], r["v"]) for r in edge_df.collect()])
+        labels = _local_min_labels([(r["u"], r["v"]) for r in rows])
         local = spark.createDataFrame(
             list(labels.items()),
             StructType(
@@ -1639,11 +1691,23 @@ def duplicate_clusters(
         # broadcast it explicitly
         return F.broadcast(local)
 
-    if prev_n <= local_threshold:
-        members = _finish_local(e_dist)
-        e_dist.unpersist()
+    def _finish_local(edge_df: DataFrame) -> DataFrame:
+        return _finish_rows(edge_df.collect())
+
+    # Bounded probe-collect (r17): ONE job both decides the local/
+    # distributed split AND delivers the edges when they fit — the
+    # former persist + count() + collect() pair cost two jobs for
+    # the common (post-dedup, output-sized) case. limit(T+1) bounds
+    # the driver transfer: > T rows back means "too big, go
+    # distributed" and nothing more is pulled.
+    probe = e_dist.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        members = _finish_rows(probe)
         converged = True
     else:
+        del probe
+        e_dist = e_dist.persist()
+        prev_n = e_dist.count()
         prev = e_dist.localCheckpoint()
         e_dist.unpersist()
         prev_sig = object()  # round-0 sentinel: never equals a real signature
@@ -1723,23 +1787,12 @@ def minhash_calibration_pairs(
         df, id_col, text_col, num_hashes, k, hash_family, shingle_unit
     ).persist()
     banded = _banded(css.select("id", "sig"), bands, r, hash_family)
-    if max_band_freq is not None:
-        hot = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_band_freq)
-            .select("band", "key")
-        )
-        banded = banded.join(hot, ["band", "key"], "left_anti")
+    # one grouped pass for the banded candidates (window-counted
+    # bucket cap + member-array pair generation) — see
+    # :func:`_grouped_self_pairs` / :func:`minhash_lsh_pairs`
     cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        _grouped_self_pairs(banded, ["band", "key"], F.col("id"), max_band_freq)
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
     a = css.select(

@@ -737,11 +737,28 @@ def knn_lsh(
     )
 
 
+def _seqfold_sq_l2_local(V, c):
+    """Squared L2 of every row of float64 matrix *V* to center *c*,
+    BIT-IDENTICAL to :func:`_l2_to_literal`'s sequential fold: the
+    Spark expression squares each dimension's difference and folds
+    ``acc + v`` in dimension order, so accumulating one vectorized
+    ``acc += diff*diff`` per dimension performs the exact same IEEE
+    double operations in the exact same order for every row."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        d = V[:, j] - c[j]
+        acc += d * d
+    return acc
+
+
 def kcenter_select(
     corpus: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Greedy k-center (farthest-point-first) coreset selection
     (Gonzalez 1985 — the 2-approximation of the optimal k-center
@@ -755,16 +772,73 @@ def kcenter_select(
     which is also the k-center cover radius curve: ``dist`` at rank
     r+1 bounds how far ANY corpus vector is from the first r centers.
 
-    Scale shape — the :func:`train_ivf_centroids` discipline: driver
-    state is the selected C×dim matrix (model-sized), each of the
-    k−1 rounds is ONE narrow distance pass against the
-    literal-broadcast centers plus a 1-row argmax collect
-    (distributed take-ordered, never a corpus sort). Distances use
-    the sequential-fold squared-L2 expression, so the DuckDB oracle
-    replays every round argmax exactly."""
-    e = spread(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    ).persist()
+    Hybrid execution (r17 — the domain_pagerank / bpe_train_local
+    discipline): a bounded ``limit(T+1)`` probe-collect decides in
+    ONE job whether the (id, vec) frame fits the driver (default
+    100k × dim doubles, order 100 MB with Row overhead); when it
+    does, the whole greedy loop runs locally — the distributed loop
+    costs 1 seed job + k−1 argmax jobs of pure scheduling overhead
+    on a model-sized decision. Arithmetic is bit-identical
+    (:func:`_seqfold_sq_l2_local` reproduces the sequential-fold
+    squared-L2 expression operation-for-operation; the incremental
+    ``min`` over centers equals the fold's ``array_min`` on doubles;
+    argmax ties break to lowest id via the id-sorted scan), pinned by
+    ``test_kcenter_local_matches_distributed``. Above the threshold
+    the distributed loop below is unchanged.
+
+    Scale shape (distributed path) — the :func:`train_ivf_centroids`
+    discipline: driver state is the selected C×dim matrix
+    (model-sized), each of the k−1 rounds is ONE narrow distance
+    pass against the literal-broadcast centers plus a 1-row argmax
+    collect (distributed take-ordered, never a corpus sort).
+    Distances use the sequential-fold squared-L2 expression, so the
+    DuckDB oracle replays every round argmax exactly."""
+    spark = corpus.sparkSession
+    slim = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    probe = (
+        slim.limit(local_threshold + 1).collect()
+        if local_threshold and local_threshold > 0
+        else None
+    )
+    if probe is not None and len(probe) <= local_threshold:
+        import numpy as np
+
+        if not probe:
+            return spark.createDataFrame(
+                [], f"rank long, {id_col} long, dist double"
+            )
+        ids = np.array([r.id for r in probe], dtype=np.int64)
+        V = np.array(
+            [[float(x) for x in r.v] for r in probe], dtype=np.float64
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        sel = [(0, int(ids[0]), 0.0)]
+        alive = np.ones(len(ids), dtype=bool)
+        alive[0] = False
+        dmin = _seqfold_sq_l2_local(V, V[0])
+        for _ in range(k - 1):
+            if not alive.any():
+                break
+            # farthest-first: max dmin among unselected, tie -> lowest
+            # id. ids are sorted ascending, so the first occurrence of
+            # the max (argmax semantics) IS the lowest-id tie winner —
+            # exactly the distributed orderBy(dd desc, id asc) head.
+            masked = np.where(alive, dmin, -np.inf)
+            i = int(np.argmax(masked))
+            sel.append((len(sel), int(ids[i]), float(dmin[i])))
+            alive[i] = False
+            dmin = np.minimum(dmin, _seqfold_sq_l2_local(V, V[i]))
+        return (
+            spark.createDataFrame(
+                [(rk + 1, _id, dd) for rk, _id, dd in sel],
+                f"rank long, {id_col} long, __dd double",
+            )
+            .select(
+                "rank", id_col, F.round(F.sqrt("__dd"), 6).alias("dist")
+            )
+        )
+    e = spread(slim).persist()
     try:
         seed = e.orderBy(F.col("id").asc()).limit(1).collect()
         if not seed:

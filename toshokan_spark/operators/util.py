@@ -21,6 +21,16 @@ def _size_bytes(s: str) -> int:
     return int(s)
 
 
+#: diagnostic seam (VERDICT r16 finding 2): when a list is installed
+#: here, :func:`finalize_cached` appends the EXECUTED (post-AQE) plan
+#: string of every frame it materializes — the real pre-checkpoint
+#: shape that the returned frame's own ``explain()`` can no longer
+#: show (it is a bare ``Scan ExistingRDD`` over the checkpoint).
+#: Installed only by measurement tooling (tools/profile_entry.py
+#: --plan-at); must stay ``None`` in production.
+PLAN_SINK: "list[str] | None" = None
+
+
 def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize *result* now (``localCheckpoint``, one job during
     which the persisted intermediates give their cache hits), then
@@ -49,6 +59,13 @@ def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     try:
         result = result.persist()
         result.count()
+        if PLAN_SINK is not None:
+            try:
+                PLAN_SINK.append(
+                    result._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:  # diagnostics must never fail the query
+                pass
         return result.localCheckpoint()
     finally:
         result.unpersist()

@@ -791,7 +791,18 @@ def render_query_sql(
     :class:`~toshokan_spark.plans.ast.ParseError` exactly like
     ``compile_query`` (the caller must not silently fall back on a
     malformed query)."""
-    node = parse_query(query)
+    return render_node_sql(parse_query(query), config, available_columns)
+
+
+def render_node_sql(
+    node: Node, config: IndexConfig,
+    available_columns: Optional[set] = None,
+) -> Optional[str]:
+    """Render an ALREADY-PARSED query node to one SQL boolean
+    expression, or ``None`` when it needs the Column backend — for
+    callers that hold the node anyway (``search_df`` parses once for
+    segment pruning; re-parsing the text just to render would be a
+    wasted pass, r15 directive 4)."""
     try:
         return SqlQueryRenderer(config, available_columns).render(node)
     except _Unrenderable:

@@ -233,7 +233,19 @@ def search_df(
     if not paths:
         return spark.createDataFrame([], config.spark_schema())
     df = read_segments(spark, paths, partitioned=config.time_field is not None)
-    pred = QueryCompiler(config, set(df.columns)).compile(node)
+    # SQL-text compile from the ALREADY-parsed node (r15 directive 4,
+    # finished r17): one F.expr py4j round trip instead of one per
+    # operator node — the Column backend stays the semantics of
+    # record and the fallback for shapes the renderer declines
+    # (equivalence pinned row-for-row by tests/test_query_sql.py)
+    from toshokan_spark.query_sql import render_node_sql
+
+    sql = render_node_sql(node, config, set(df.columns))
+    pred = (
+        F.expr(sql)
+        if sql is not None
+        else QueryCompiler(config, set(df.columns)).compile(node)
+    )
     pred = apply_deletes(
         pred, config, set(df.columns),
         catalog.deletes(index_name, at_version=at_version),
