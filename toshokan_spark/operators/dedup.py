@@ -571,34 +571,45 @@ def incremental_jaccard_matches(
     """
     shn = staged_shingles(new_df, id_col, text_col, k, shingle_unit).persist()
     shc = staged_shingles(corpus_df, id_col, text_col, k, shingle_unit).persist()
-    # both persisted: sizes + join side each
-    exn = shn.select("id", F.explode("sh").alias("s"))
-    exc = shc.select("id", F.explode("sh").alias("s"))
+    # corpus side persisted: referenced by the cap count AND the join
+    # side. The new side is single-referenced since its set size
+    # rides the explode (r17), but stays persisted anyway: an
+    # UNPERSISTED staged array feeding explode lets
+    # InferFiltersFromGenerate clone the whole tokenize expression
+    # into a pushed-down Filter (the r16 negative-results ledger,
+    # item 4 — measured 2.2x slower here when the persist was
+    # dropped), while a cache scan absorbs the cloned predicate.
+    exn = shn.select("id", F.size("sh").alias("nn"), F.explode("sh").alias("s"))
+    exc = shc.select("id", F.size("sh").alias("nc"), F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        # over-CORPUS-cap shingles leave both sides via an anti-join
-        # (un-hinted: AQE broadcasts the usually-tiny list, shuffle-
-        # joins if it ever is not — see ngram_jaccard_pairs); at
-        # 100 TB this list would come precomputed from the ingest
-        # pass, like the hot band buckets of the minhash store
+        # over-CORPUS-cap shingles leave the join via an anti-join of
+        # the CORPUS side alone (r17): the match join is an equality
+        # on the shingle value, so removing a shingle from one side
+        # removes every match it would have produced — the former
+        # both-sides anti-join paid a second broadcast-join pass on
+        # the batch for pairs the corpus filter already killed.
+        # (Un-hinted: AQE broadcasts the usually-tiny list, shuffle-
+        # joins if it ever is not; at 100 TB this list would come
+        # precomputed from the ingest pass, like the hot band buckets
+        # of the minhash store.)
         hot = (
-            exc.groupBy("s")
+            exc.select("id", "s")
+            .groupBy("s")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_shingle_freq)
             .select("s")
         )
-        exn = exn.join(hot, "s", "left_anti")
         exc = exc.join(hot, "s", "left_anti")
-    inter = (
+    j = (
         exn.alias("n")
         .join(exc.alias("c"), F.col("n.s") == F.col("c.s"))
-        .groupBy(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .groupBy(
+            F.col("n.id").alias("new_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.col("n.nn").alias("nn"),
+            F.col("c.nc").alias("nc"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    szn = shn.select(F.col("id").alias("new_id"), F.size("sh").alias("nn"))
-    szc = shc.select(F.col("id").alias("corpus_id"), F.size("sh").alias("nc"))
-    j = (
-        inter.join(szn, "new_id")
-        .join(szc, "corpus_id")
         .withColumn(
             "jaccard", F.col("inter") / (F.col("nn") + F.col("nc") - F.col("inter"))
         )

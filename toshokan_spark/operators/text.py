@@ -1069,6 +1069,29 @@ def hashed_linear_score(
     )
 
 
+def _literal_frame(spark, wmap: dict, schema) -> DataFrame:
+    """A model-sized (idx, w) frame as a LITERAL plan node: one SQL
+    ``inline(array(struct...))`` expression parsed in a single
+    ``F.expr`` trip. ``createDataFrame`` would parallelize a pickled
+    RDD whose broadcast costs a collect job per training round; a
+    literal relation broadcasts straight from the driver. Doubles are
+    rendered with ``repr`` (shortest round-trip form) and the ``D``
+    suffix, so the parsed values are bit-identical."""
+    if not wmap:
+        return spark.createDataFrame([], schema)
+    rows = ",".join(
+        f"struct({int(i)}L,{float(v)!r}D)" for i, v in wmap.items()
+    )
+    return (
+        spark.range(1)
+        .select(F.expr(f"inline(array({rows}))"))
+        .select(
+            F.col("col1").cast(schema["idx"].dataType).alias("idx"),
+            F.col("col2").alias("w"),
+        )
+    )
+
+
 def train_hashed_classifier(
     df: DataFrame,
     label_col: str = "y",
@@ -1109,34 +1132,54 @@ def train_hashed_classifier(
     model-sized groupBy(idx) shuffle instead of two
     corpus-occurrence-sized exchanges. Each iteration is one
     broadcast join against the model-sized weight table, one
-    groupBy(doc) and one groupBy(idx) — gradients and weights are
-    O(dim) frames, lineage-checkpointed per round so ``iters`` never
-    deepens a plan. No window, no driver collect."""
-    from toshokan_spark.operators.util import finalize_cached
+    groupBy(doc) and one groupBy(idx).
 
+    The weight UPDATE is driver-side (r17): the gradient is O(dim)
+    rows — model-sized by construction — so each round COLLECTS it
+    and applies ``w ← w − lr·g`` in Python (bit-identical doubles:
+    the update is two IEEE ops either way), feeding the next round a
+    literal weight frame (:func:`_literal_frame` — an inline-array
+    SQL literal, NOT a parallelized RDD, whose broadcast would cost a
+    collect job per round). The former in-plan update paid a persist
+    + count + localCheckpoint (two jobs) per round just to keep the
+    lineage flat; collecting the model is the same O(dim) driver
+    state the checkpointed frame already implied. Measured at sf0.1:
+    29 -> 19 jobs; wall 4.1-4.8 s vs 4.6-5.9 s same-session A/B
+    (within the noise band — the win is the job count and one fewer
+    materialization per round at scale).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
     feats = _hashed_features(
         df, id_col, text_col, dim, hash_family,
         extra_cols=[F.col(label_col).cast("double").alias("y")],
     )
     base = feats.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col("id")
+        spark.sparkContext.defaultParallelism, F.col("id")
     ).persist()
     try:
-        base.count()
-        w = None
+        w_schema = StructType(
+            [
+                StructField("idx", base.schema["idx"].dataType),
+                StructField("w", DoubleType()),
+            ]
+        )
+        wmap: "dict | None" = None
         for _t in range(iters):
             # n_i (the doc's feature-occurrence count) is count(1) of
             # the same aggregate that sums the weights — the left
             # broadcast join preserves row count, so no separate
             # count-aggregate/join is ever needed
-            if w is None:
+            if wmap is None:
                 scored = base.groupBy("id", "y").agg(
                     F.count(F.lit(1)).alias("n"),
                     F.lit(0.0).alias("wsum"),
                 )
             else:
+                w_lit = F.broadcast(_literal_frame(spark, wmap, w_schema))
                 scored = (
-                    base.join(F.broadcast(w), "idx", "left")
+                    base.join(w_lit, "idx", "left")
                     .groupBy("id", "y")
                     .agg(
                         F.count(F.lit(1)).alias("n"),
@@ -1155,7 +1198,7 @@ def train_hashed_classifier(
                     (F.col("wsum") / F.col("n") - F.col("y")) / F.col("n")
                 ).alias("r"),
             )
-            grad = (
+            grad_rows = (
                 base.join(r, "id")
                 .groupBy("idx")
                 .agg(
@@ -1163,21 +1206,20 @@ def train_hashed_classifier(
                     .cast("double")
                     .alias("g")
                 )
+                .collect()
             )
-            if w is None:
-                w = grad.select(
-                    "idx", (F.lit(-lr) * F.col("g")).alias("w")
-                )
+            if wmap is None:
+                # mirrors the former first-round plan: w = -lr * g
+                wmap = {row["idx"]: (-lr) * row["g"] for row in grad_rows}
             else:
-                w = grad.join(w, "idx", "left").select(
-                    "idx",
-                    (
-                        F.coalesce(F.col("w"), F.lit(0.0))
-                        - F.lit(lr) * F.col("g")
-                    ).alias("w"),
-                )
-            w = finalize_cached(w)  # model-sized; cuts per-round lineage
-        return w
+                # mirrors the former grad-left-join-w update: the new
+                # weight set is exactly grad's idx set (grad covers
+                # every idx occurring in base, so nothing is lost)
+                wmap = {
+                    row["idx"]: wmap.get(row["idx"], 0.0) - lr * row["g"]
+                    for row in grad_rows
+                }
+        return _literal_frame(spark, wmap or {}, w_schema)
     finally:
         base.unpersist()
 
@@ -1247,34 +1289,42 @@ def dsir_log_weights(
         tgt_f = _hashed_features(target, id_col, text_col, dim, hash_family)
         tgt_c = tgt_f.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
     raw_c = raw_f.groupBy("idx").agg(F.count(F.lit(1)).alias("cr"))
-    # totals from the dim-sized count tables — NOT a second corpus
-    # scan; coalesced so an EMPTY corpus (sum -> NULL) still yields
-    # finite smoothed ratios like the oracle's count(*) = 0
-    raw_t = raw_c.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
-    tgt_t = tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    ratio = (
-        spark.range(dim)
-        .select(F.col("id").cast("long").alias("idx"))
-        .join(F.broadcast(raw_c), "idx", "left")
-        .join(F.broadcast(tgt_c), "idx", "left")
-        .crossJoin(F.broadcast(raw_t))
-        .crossJoin(F.broadcast(tgt_t))
-        .select(
-            "idx",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("tt") + F.lit(alpha * dim))
-                )
-                - F.log(
-                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("tr") + F.lit(alpha * dim))
-                )
-            ).alias("lr"),
+    # LITERAL count model (r17): the dim-sized count tables are
+    # COLLECTED (model-sized by construction) and re-enter the plan
+    # as literal int arrays indexed by ``element_at(..., idx+1)`` —
+    # the former ratio-table formulation referenced each UNCACHED
+    # count aggregation twice (once for its broadcast, once inside
+    # its total), so both corpus-wide idx aggregations ran TWICE,
+    # plus a range(dim) + 4-broadcast join chain per call. Totals are
+    # integer sums over the collected rows (exact — same value the
+    # coalesced F.sum produced); every FLOAT op (log, divide, the
+    # smoothing adds) stays in the SAME JVM expressions, so scores
+    # are bit-identical. Measured: 26 -> 11 jobs on dsir_weights.
+    raw_rows = raw_c.collect()
+    tgt_rows = tgt_c.collect()
+    cr_arr = [0] * dim
+    for r in raw_rows:
+        cr_arr[int(r["idx"])] = int(r["cr"])
+    ct_arr = [0] * dim
+    for r in tgt_rows:
+        ct_arr[int(r["idx"])] = int(r["ct"])
+    tr = sum(cr_arr)
+    tt = sum(ct_arr)
+    cr_lit = F.expr("array(" + ",".join(map(str, cr_arr)) + ")")
+    ct_lit = F.expr("array(" + ",".join(map(str, ct_arr)) + ")")
+    pos = (F.col("idx") + F.lit(1)).cast("int")
+    lr = (
+        F.log(
+            (F.element_at(ct_lit, pos) + F.lit(alpha))
+            / (F.lit(tt) + F.lit(alpha * dim))
+        )
+        - F.log(
+            (F.element_at(cr_lit, pos) + F.lit(alpha))
+            / (F.lit(tr) + F.lit(alpha * dim))
         )
     )
     scored = (
-        raw_f.join(F.broadcast(ratio), "idx")
+        raw_f.withColumn("lr", lr)
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
@@ -2213,6 +2263,27 @@ def quality_ensemble(
             for n in names
         ])
         if materialize:
+            # LITERAL-MODEL execution (r17): the boundary sketches were
+            # already collected for degeneracy warnings, so the coarse
+            # bucketing runs against literal boundary arrays (no bnd
+            # broadcast/crossJoin), and — the big cut — the per-bucket
+            # rank offsets become literal arrays too: bucket counts
+            # depend only on the coarse ASSIGNMENT (a projection),
+            # never on the rank windows, so ONE grouping-sets
+            # aggregation over the cached slim frame computes every
+            # signal's bucket histogram in a single pass, the driver
+            # prefix-sums it, and `rank = local_rank +
+            # element_at(lit_offsets, coarse)` needs NO join. The
+            # former shape ran one groupBy + triangular broadcast
+            # self-join + broadcast hash join PER SIGNAL over the
+            # (persisted) windowed frame plus a corpus-count
+            # aggregation: K windows + 3K+1 aggregation/broadcast
+            # stages collapse to K windows + 1 aggregation (measured
+            # 33 -> 14 jobs and 3.2 -> 1.6 s at sf0.1, K=3). Ranks
+            # are identical — same
+            # sketch, same buckets, same counts — and the windowed
+            # frame is now single-referenced, so its persist (one
+            # more corpus-sized cache fill) disappears as well.
             brows = bnd.collect()
             floor = min(max(2, n_coarse // 8), len(qs))
             for n in names:
@@ -2225,7 +2296,86 @@ def quality_ensemble(
                         "window loses its parallelism there",
                         n, len(set(bs)), floor,
                     )
-            bnd = df.sparkSession.createDataFrame(brows, bnd.schema)
+
+            def coarse_lit(n):
+                s = F.col(f"__s_{n}")
+                bs = brows[0][f"__b_{n}"]
+                arr = (
+                    F.array(*[F.lit(float(x)) for x in bs])
+                    if bs
+                    # all-null signal: every row routes through the
+                    # isNull branch, the otherwise() arm never sees a
+                    # real row — any well-typed empty array will do
+                    else F.array().cast("array<double>")
+                )
+                return (
+                    F.when(s.isNull(), F.lit(n_coarse))
+                    .otherwise(
+                        F.lit(1) + F.size(F.filter(arr, lambda b: b < s))
+                    )
+                    .cast("int")
+                )
+
+            d = slim.select(
+                "*", *[coarse_lit(n).alias(f"__coarse_{n}") for n in names]
+            )
+            coarse_cols = [f"__coarse_{n}" for n in names]
+            crows = (
+                d.select(*coarse_cols)
+                .groupingSets([[c] for c in coarse_cols], *coarse_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("__cnt"),
+                    F.grouping_id().alias("__g"),
+                )
+                .collect()
+            )
+            K = len(names)
+            hist: dict = {n: {} for n in names}
+            for r in crows:
+                g = r["__g"]
+                k = next(
+                    i for i in range(K) if not (g >> (K - 1 - i)) & 1
+                )
+                hist[names[k]][r[coarse_cols[k]]] = r["__cnt"]
+            total = sum(hist[names[0]].values()) if names else 0
+            offs: dict = {}
+            for n in names:
+                acc, arr = 0, []
+                for c in range(1, n_coarse + 1):
+                    arr.append(acc)
+                    acc += hist[n].get(c, 0)
+                offs[n] = arr
+            for n in names:
+                w = Window.partitionBy(f"__coarse_{n}").orderBy(
+                    F.col(f"__s_{n}").asc(), F.col(id_col).asc()
+                )
+                d = d.withColumn(f"__lr_{n}", F.row_number().over(w))
+            rank = lambda nm: (
+                F.element_at(
+                    F.array(*[F.lit(int(o)) for o in offs[nm]]),
+                    F.col(f"__coarse_{nm}"),
+                )
+                + F.col(f"__lr_{nm}")
+            )
+            norm = lambda nm: (
+                F.when(
+                    F.lit(total) > 1,
+                    (rank(nm) - F.lit(1)) / F.lit(float(total - 1)),
+                ).otherwise(F.lit(0.5))
+                if total > 1
+                else F.lit(0.5)
+            )
+            fused = norm(names[0])
+            for nm in names[1:]:
+                fused = fused + norm(nm)
+            result = d.select(
+                F.col(id_col),
+                *[rank(nm).cast("long").alias(f"rank_{nm}") for nm in names],
+                F.round(
+                    fused / F.lit(float(len(names))), 6
+                ).alias("ensemble"),
+            )
+            return finalize_cached(result, *cached)
         d = slim.crossJoin(F.broadcast(bnd))
         for n in names:
             s = F.col(f"__s_{n}")
@@ -2244,9 +2394,6 @@ def quality_ensemble(
                 F.col(f"__s_{n}").asc(), F.col(id_col).asc()
             )
             d = d.withColumn(f"__lr_{n}", F.row_number().over(w))
-        if materialize:
-            d = d.persist()
-            cached.append(d)
         out = d
         for n in names:
             tot = d.groupBy(F.col(f"__coarse_{n}").alias("__c")).agg(
@@ -2278,9 +2425,7 @@ def quality_ensemble(
             *[rank(nm).cast("long").alias(f"rank_{nm}") for nm in names],
             F.round(fused / F.lit(float(len(names))), 6).alias("ensemble"),
         )
-        if not materialize:
-            return result
-        return finalize_cached(result, *cached)
+        return result
     except BaseException:
         for c in cached:
             c.unpersist()
