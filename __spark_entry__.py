@@ -4400,13 +4400,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the class-priority filling (P0 never-proven > P0b rotated-out >
     # P1 changed-since-seal > P2 proven-unchanged).
     return {
-        # -- r16 WINDOW (first 50): the two r16 additions are P0
-        # (never driver-proven) and lead; then the STALEST P0b
-        # cohort per VERDICT r15 directive 1 — ranked by the last
-        # CORRECTNESS_r*.json each entry appears in (31 of r11
-        # vintage, then r12, alphabetical within a round). P0b that
-        # do not fit wait behind their older record + the full
-        # local sweep.
+        # -- r17 WINDOW (first 50): no P0 this round; the STALEST
+        # P0b cohort per VERDICT r16 directive 7 — ranked by the last
+        # CORRECTNESS_r*.json each entry appears in (33 of r12
+        # vintage, then 17 of r13, alphabetical within a round;
+        # computed by tools/rotation.py + the staleness rank in
+        # OPTIMIZATION_r17.md). P0b that do not fit wait behind
+        # their older record + the full local sweep.
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "q11_important_stock": q_q11_important_stock,
+        "q16_part_supplier_relation": q_q16_part_supplier_relation,
+        "q20_potential_promotion": q_q20_potential_promotion,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_type_profit": q_q9_product_type_profit,
+        "rollup_revenue": q_rollup_revenue,
+        "sample_documents": q_sample_documents,
+        "search_after": q_search_after,
+        "search_bool": q_search_bool,
+        "search_bucket_script": q_search_bucket_script,
+        "search_bucket_selector": q_search_bucket_selector,
+        "search_bucket_sort": q_search_bucket_sort,
+        "search_dt_range": q_search_dt_range,
+        "search_highlight": q_search_highlight,
+        "search_histogram_filled": q_search_histogram_filled,
+        "search_range": q_search_range,
+        "search_serial_diff": q_search_serial_diff,
+        "search_term": q_search_term,
+        "search_topk": q_search_topk,
+        "source_mixture": q_source_mixture,
+        "source_token_profile": q_source_token_profile,
+        "text_fingerprint": q_text_fingerprint,
+        "text_gopher_rules": q_text_gopher_rules,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "train_quality_classifier": q_train_quality_classifier,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "user_sessions": q_user_sessions,
+        "weighted_sample": q_weighted_sample,
+        "audience_overlap": q_audience_overlap,
+        "domain_pagerank": q_domain_pagerank,
+        "embedding_stats": q_embedding_stats,
+        "event_conversions": q_event_conversions,
+        "funnel_stages": q_funnel_stages,
+        "hard_negatives": q_hard_negatives,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "ingest_roundtrip": q_ingest_roundtrip,
+        "json_path_filter": q_json_path_filter,
+        "kcenter_select": q_kcenter_select,
+        "knn_filtered": q_knn_filtered,
+        "knn_graph": q_knn_graph,
+        "knn_pq_rerank": q_knn_pq_rerank,
+        "knn_quantized": q_knn_quantized,
+        "leakage_safe_split": q_leakage_safe_split,
+        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
+        "matryoshka_recall": q_matryoshka_recall,
+        # -- beyond the driver window --
         "search_moving_fn": q_search_moving_fn,
         "search_normalize": q_search_normalize,
         "q12_late_priority": q_q12_late_priority,
@@ -4457,8 +4508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_pq_persisted": q_knn_pq_persisted,
         "langid_classifier": q_langid_classifier,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "pack_sequences": q_pack_sequences,
         "search_change_point": q_search_change_point,
         "search_frequent_item_sets": q_search_frequent_item_sets,
         "q10_returned_items": q_q10_returned_items,
@@ -4509,54 +4558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": q_hourly_events,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_pq": q_knn_pq,
-        "pii_scrub": q_pii_scrub,
-        "q11_important_stock": q_q11_important_stock,
-        "q16_part_supplier_relation": q_q16_part_supplier_relation,
-        "q20_potential_promotion": q_q20_potential_promotion,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q9_product_type_profit": q_q9_product_type_profit,
-        "rollup_revenue": q_rollup_revenue,
-        "sample_documents": q_sample_documents,
-        "search_after": q_search_after,
-        "search_bool": q_search_bool,
-        "search_bucket_script": q_search_bucket_script,
-        "search_bucket_selector": q_search_bucket_selector,
-        "search_bucket_sort": q_search_bucket_sort,
-        "search_dt_range": q_search_dt_range,
-        "search_highlight": q_search_highlight,
-        "search_histogram_filled": q_search_histogram_filled,
-        "search_range": q_search_range,
-        "search_serial_diff": q_search_serial_diff,
-        "search_term": q_search_term,
-        "search_topk": q_search_topk,
-        "source_mixture": q_source_mixture,
-        "source_token_profile": q_source_token_profile,
-        "text_fingerprint": q_text_fingerprint,
-        "text_gopher_rules": q_text_gopher_rules,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "train_quality_classifier": q_train_quality_classifier,
-        "url_canonicalize": q_url_canonicalize,
-        "url_dedup": q_url_dedup,
-        "user_sessions": q_user_sessions,
-        "weighted_sample": q_weighted_sample,
-        "audience_overlap": q_audience_overlap,
-        "domain_pagerank": q_domain_pagerank,
-        "embedding_stats": q_embedding_stats,
-        "event_conversions": q_event_conversions,
-        "funnel_stages": q_funnel_stages,
-        "hard_negatives": q_hard_negatives,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "ingest_roundtrip": q_ingest_roundtrip,
-        "json_path_filter": q_json_path_filter,
-        "kcenter_select": q_kcenter_select,
-        "knn_filtered": q_knn_filtered,
-        "knn_graph": q_knn_graph,
-        "knn_pq_rerank": q_knn_pq_rerank,
-        "knn_quantized": q_knn_quantized,
-        "leakage_safe_split": q_leakage_safe_split,
-        "lm_quality_buckets_scaled": q_lm_quality_buckets_scaled,
-        "matryoshka_recall": q_matryoshka_recall,
         "mmr_rerank": q_mmr_rerank,
         "multimodal_dedup": q_multimodal_dedup,
         "multimodal_frames": q_multimodal_frames,

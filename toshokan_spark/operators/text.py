@@ -1274,6 +1274,14 @@ def dsir_log_weights(
     slice — identical counts (feature extraction is per-doc), one
     corpus pass fewer."""
     spark = df.sparkSession
+    if target_pred is not None and target is not None:
+        # a caller passing both would silently get predicate
+        # semantics with the frame ignored (ADVICE r16) — refuse
+        raise ValueError(
+            "dsir_log_weights: pass either a target frame or "
+            "target_pred, not both (target_pred scores the predicate "
+            "subset of df; the target frame would be ignored)"
+        )
     if target_pred is not None:
         raw_f = _hashed_features(
             df, id_col, text_col, dim, hash_family,

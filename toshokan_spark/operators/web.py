@@ -336,32 +336,38 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    # Hybrid execution (the duplicate_clusters / bpe_train_local
+    # discipline): the AGGREGATED graph is host-sized (100 TB of
+    # pages -> ~1e7 hosts), so once the distinct edge list fits the
+    # driver the 5 damped iterations run as a Python loop over dicts
+    # with the IDENTICAL truncating integer arithmetic (// == Spark's
+    # `div` on the non-negative ranks) — bit-equality is property-
+    # tested against the distributed loop. The distributed path's
+    # per-iteration join + groupBy chain costs ~15 sequential shuffle
+    # stages, pure scheduling overhead for a model-sized graph; it
+    # remains the path for graphs that exceed the threshold.
+    # Bounded probe-collect (r17, the duplicate_clusters shape): ONE
+    # job decides the split and delivers the edges when they fit —
+    # no persist before the split, so nothing can leak (ADVICE r16).
+    # Driver memory at the default 10⁶ threshold is dominated by the
+    # collected Row objects (order 100s of MB transiently), not the
+    # 16 bytes/edge the long pairs themselves need — lower the
+    # threshold for memory-tight drivers.
+    probe = e.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        out_rows = _pagerank_local(
+            [(r["src"], r["dst"]) for r in probe],
+            iterations, damping_num, damping_den, scale,
+        )
+        del probe
+        spark = edges.sparkSession
+        return spark.createDataFrame(out_rows, "node long, rank_e12 long")
+    del probe
     # the loop-invariant frames (edges, out-degrees, node set) are
     # read EVERY iteration — persist once or each round would rescan
     # and re-dedup the document-derived edge list (5 iterations +
     # the per-iteration dangling action = 10+ recomputes otherwise)
     e = e.persist()
-    n_edges = e.count()
-    # Hybrid execution (the duplicate_clusters / bpe_train_local
-    # discipline): the AGGREGATED graph is host-sized (100 TB of
-    # pages -> ~1e7 hosts), so once the distinct edge list fits the
-    # driver (≤ ~16 MB of long pairs at the default 10⁶) the 5
-    # damped iterations run as a Python loop over dicts with the
-    # IDENTICAL truncating integer arithmetic (// == Spark's `div`
-    # on the non-negative ranks) — bit-equality is property-tested
-    # against the distributed loop. The distributed path's per-
-    # iteration join + groupBy chain costs ~15 sequential shuffle
-    # stages, pure scheduling overhead for a model-sized graph; it
-    # remains the path for graphs that exceed the threshold.
-    if n_edges <= local_threshold:
-        rows = e.collect()
-        out_rows = _pagerank_local(
-            [(r["src"], r["dst"]) for r in rows],
-            iterations, damping_num, damping_den, scale,
-        )
-        e.unpersist()
-        spark = edges.sparkSession
-        return spark.createDataFrame(out_rows, "node long, rank_e12 long")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -2689,42 +2689,49 @@ def phrase_suggest(
         .groupBy("t.w1", "t.w2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-    vv = uni.count()  # |V| — one scalar; the action fills the vocab cache
+    # persist-to-unpersist span under try/finally (ADVICE r16): a
+    # raise from the count, the candidate collect, or the wq
+    # createDataFrame must not leak the vocab cache entry for the
+    # session lifetime
+    try:
+        vv = uni.count()  # |V| — one scalar; the action fills the cache
 
-    # per-word candidate selection: ONE job over the cached vocabulary
-    # for all 2-4 query words (banded levenshtein + per-word
-    # top-per_word via row_number — same (dist asc, freq desc, token
-    # asc) total order as the former per-word orderBy/limit, so the
-    # selected sets and their order are identical), instead of one
-    # corpus-rescanning job per query word.
-    spark = docs.sparkSession
-    lim = int(max_dist)
-    wq = spark.createDataFrame(
-        [(i, w) for i, w in enumerate(words)], "wi int, qw string"
-    )
-    cw = Window.partitionBy("wi").orderBy(
-        F.col("__d").asc(), F.col("cu").desc(), F.col("w").asc()
-    )
-    crows = (
-        uni.join(
-            F.broadcast(wq),
-            F.abs(F.length("w") - F.length("qw")) <= F.lit(lim),
+        # per-word candidate selection: ONE job over the cached
+        # vocabulary for all 2-4 query words (banded levenshtein +
+        # per-word top-per_word via row_number — same (dist asc, freq
+        # desc, token asc) total order as the former per-word
+        # orderBy/limit, so the selected sets and their order are
+        # identical), instead of one corpus-rescanning job per query
+        # word.
+        spark = docs.sparkSession
+        lim = int(max_dist)
+        wq = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "wi int, qw string"
         )
-        .withColumn("__d", F.levenshtein(F.col("w"), F.col("qw")))
-        .filter(F.col("__d") <= F.lit(lim))
-        .withColumn("__rn", F.row_number().over(cw))
-        .filter(F.col("__rn") <= per_word)
-        .select("wi", "w", "__d", "__rn", "cu")
-        .collect()  # model-sized: ≤ len(words) × per_word rows
-    )
-    cands: list[list[tuple[str, int]]] = [[] for _ in words]
-    cu_of: dict[str, int] = {}
-    for r in sorted(crows, key=lambda r: (r["wi"], r["__rn"])):
-        cands[r["wi"]].append((r["w"], r["__d"]))
-        cu_of[r["w"]] = r["cu"]
-    # the vocabulary cache has now served |V|, every candidate scan
-    # AND the candidates' own frequencies — nothing else reads it
-    uni.unpersist()
+        cw = Window.partitionBy("wi").orderBy(
+            F.col("__d").asc(), F.col("cu").desc(), F.col("w").asc()
+        )
+        crows = (
+            uni.join(
+                F.broadcast(wq),
+                F.abs(F.length("w") - F.length("qw")) <= F.lit(lim),
+            )
+            .withColumn("__d", F.levenshtein(F.col("w"), F.col("qw")))
+            .filter(F.col("__d") <= F.lit(lim))
+            .withColumn("__rn", F.row_number().over(cw))
+            .filter(F.col("__rn") <= per_word)
+            .select("wi", "w", "__d", "__rn", "cu")
+            .collect()  # model-sized: ≤ len(words) × per_word rows
+        )
+        cands: list[list[tuple[str, int]]] = [[] for _ in words]
+        cu_of: dict[str, int] = {}
+        for r in sorted(crows, key=lambda r: (r["wi"], r["__rn"])):
+            cands[r["wi"]].append((r["w"], r["__d"]))
+            cu_of[r["w"]] = r["cu"]
+    finally:
+        # the vocabulary cache has served |V|, every candidate scan
+        # AND the candidates' own frequencies — nothing else reads it
+        uni.unpersist()
     if any(not c for c in cands):
         return spark.createDataFrame([], "phrase string, score double")
 
