@@ -39,6 +39,12 @@ HEAVY = [
     # documents/events tables too
     "search_significant_terms", "search_panel", "search_composite",
     "search_span_near",
+    # r17-touched entries (VERDICT r16 directive 2: every optimization
+    # claim carries an sf1 before/after)
+    "dedup_ngram_jaccard", "containment_pairs", "dedup_incremental",
+    "dedup_simhash", "dedup_crosscheck", "kcenter_select",
+    "domain_pagerank", "token_budget_pack_scaled",
+    "search_phrase_suggest",
 ]
 
 
@@ -99,10 +105,17 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # $SPARK_GRAFT_CPUS honors the driver's scaling protocol: an sf1
+    # run at 8 vs 32 cores is the parallel-scaling evidence the sf0.1
+    # bench can no longer provide (r16 scaling block: at sf0.1 every
+    # entry is job-floor-bound and 8 cores BEAT 32)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SF1_OUT", os.path.join(REPO, "BENCH_SF1.json"))
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("toshokan_spark_sf1_probe")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
@@ -157,12 +170,14 @@ def main() -> int:
     doc = {
         "metric": "sf1_scale_probe",
         "data_ratio": 10.0,
-        "note": ("per-entry best-of-2, one session, local[32]; "
+        "cpus": int(cpus),
+        "note": ("per-entry best-of-2, one session, "
+                 f"local[{cpus}]; "
                  "sf1 tables from tools/gen_sf.py (50k docs / 20k "
-                 "embeddings / 1M events)"),
+                 "embeddings / 1M events, x10 each at sf1)"),
         "entries": out,
     }
-    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=2)
         f.write("\n")
     print(json.dumps({"metric": "sf1_scale_probe",
