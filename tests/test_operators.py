@@ -2598,6 +2598,46 @@ def test_knn_graph_default_cap_no_op_on_small_corpus(spark):
     assert a == b
 
 
+def test_knn_graph_auto_planes(spark):
+    """num_planes=None derives P from corpus size (guide §2 scale-
+    adaptive partitioning): the formula grows one plane per corpus
+    doubling past the 100-occupancy target, and the auto path's
+    output is bit-identical to passing the derived P explicitly."""
+    import math
+
+    from toshokan_spark.operators import similarity
+
+    # formula: smallest P with n/2^P <= 100, clamped to [4, 20]
+    assert similarity._auto_planes(0) == 4
+    assert similarity._auto_planes(100) == 4
+    assert similarity._auto_planes(1_600) == 4
+    assert similarity._auto_planes(1_601) == 5
+    assert similarity._auto_planes(2_000) == 5
+    assert similarity._auto_planes(20_000) == 8   # the sf1 density ->
+    #   exactly the measured default (ANN_RECALL_SF1.json continuity)
+    assert similarity._auto_planes(40_000) == 9
+    assert similarity._auto_planes(10**12) == 20  # hi clamp
+
+    rows = [
+        (i, [math.cos(i * 0.41), math.sin(i * 0.41), 0.2 * (i % 3), 1.0])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ds: dict = {}
+    auto = sorted(
+        map(tuple, similarity.knn_graph(
+            emb, k=3, num_planes=None, hash_family="lcg", drop_stats=ds,
+        ).collect())
+    )
+    assert ds["num_planes"] == 4  # 60 rows -> lo clamp
+    explicit = sorted(
+        map(tuple, similarity.knn_graph(
+            emb, k=3, num_planes=4, hash_family="lcg"
+        ).collect())
+    )
+    assert auto == explicit
+
+
 def test_strip_boilerplate_lines(spark):
     """Line-level dedup: a line verbatim in >= min_doc_freq docs is
     stripped everywhere, order and unique content survive, blank

@@ -879,12 +879,32 @@ def kcenter_select(
         e.unpersist()
 
 
+def _auto_planes(
+    n: int, target_occupancy: int = 100, lo: int = 4, hi: int = 20,
+) -> int:
+    """Scale-adaptive LSH plane count: smallest P with expected bucket
+    occupancy ``n / 2^P <= target_occupancy``, clamped to [lo, hi].
+
+    Why (guide §2 — make partitioning scale-adaptive): at FIXED P the
+    bucket self-join's candidate volume is Θ(n²/2^P) — the KNN_SCALE
+    _PROBE measured exactly that law (sf1→sf2: 3.44× wall at 2× data
+    with P=8). Growing P by one per corpus doubling keeps occupancy —
+    and so candidates per query, (1+P)·occupancy — bounded, making
+    total candidate volume O(n·P) = O(n log n). target_occupancy=100
+    keeps the per-probe recall continuous with the measured default:
+    at the sf1 density (20k vectors) auto picks P=8, the exact
+    configuration ANN_RECALL_SF1.json measured at 0.71 recall@5."""
+    m = (max(0, n) + target_occupancy - 1) // target_occupancy
+    p = (m - 1).bit_length() if m > 0 else 0
+    return max(lo, min(hi, p))
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: Optional[int] = 8,
     multiprobe: bool = True,
     hash_family: str = "xxhash",
     max_bucket_occupancy: Optional[int] = 1000,
@@ -956,7 +976,31 @@ def knn_graph(
     when nothing was hot), and ``stratified_buckets`` /
     ``stratified_vectors`` (the backstop; 0 in all but degenerate
     spaces). ``max_bucket_occupancy=None`` keeps exact-LSH behavior.
+
+    ``num_planes=None`` (r17) derives P from the corpus size via
+    :func:`_auto_planes` — one column-pruned ``count()`` job, then
+    the smallest P keeping expected occupancy ≤ 100. The
+    KNN_SCALE_PROBE measured why fixed P cannot scale: candidate
+    volume is Θ(n²/2^P), i.e. 3.44× wall at 2× data (sf1→sf2, P=8),
+    and the auto path restores ~linear growth. Declared oracle
+    entries pin ``num_planes=8`` explicitly, so their results are
+    unchanged.
+
+    Radius default DECISION (r17, closes the r16 question): stays
+    ``multiprobe_radius=1``. Measured at two densities
+    (KNN_SCALE_PROBE.json), radius 2 costs 2.1–2.4× wall at every
+    scale (sf1: 16.1→34.4 s, sf2: 55.4→134.4 s) for the 0.71 → 0.92
+    recall@5 gain ANN_RECALL_SF1.json measured; recall-sensitive
+    callers opt in per call, the default keeps the graph build
+    affordable at corpus scale.
     """
+    if num_planes is None:
+        num_planes = _auto_planes(corpus.count())
+        if drop_stats is not None:
+            # recorded only on the auto path — explicit callers
+            # already know P, and the stats dict is pinned exactly by
+            # the cap tests
+            drop_stats["num_planes"] = int(num_planes)
     base = spread(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).select(
@@ -1154,7 +1198,7 @@ def semantic_clusters(
     min_score: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: Optional[int] = 8,
     multiprobe: bool = True,
     hash_family: str = "xxhash",
     max_bucket_occupancy: Optional[int] = 1000,
