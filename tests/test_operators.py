@@ -4369,6 +4369,33 @@ def test_langid_classifier_xxhash_default_model_consistent(spark):
         assert got == {1: "en", 2: "de", 3: "es"}, fam
 
 
+def test_langid_classifier_persist_features_identical(spark):
+    """persist_features=True (the production setting at scale —
+    NEGRESULT_SF1.json measured the r16 recompute-beats-cache finding
+    flipping at sf1) only changes execution, never results: the two
+    paths are row-identical, and the feature cache is released (no
+    CacheManager leak)."""
+    from pyspark.sql import Row
+
+    from toshokan_spark.operators.text import langid_classifier
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the cat and the dog is in that house for it"),
+        Row(doc_id=2, text="der Hund und die Katze ist nicht mit ein Buch"),
+        Row(doc_id=3, text="el perro y la casa de los gatos en un lugar"),
+        Row(doc_id=4, text=""),
+    ])
+    plain = sorted(map(tuple, langid_classifier(docs).collect()))
+    cached = sorted(map(tuple, langid_classifier(
+        docs, persist_features=True).collect()))
+    assert plain == cached
+    # the repo's r8 leak discipline is about CacheManager entries
+    # (the localCheckpoint's RDD blocks are plan-referenced and freed
+    # by the ContextCleaner, so they don't count)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "feature cache leaked a CacheManager entry"
+
+
 def test_hard_negatives_label_mismatch_and_order(spark):
     """Every mined negative has a different label from its anchor,
     the anchor itself never appears, and per-anchor ranks are

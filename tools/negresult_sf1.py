@@ -82,12 +82,21 @@ def main() -> int:
             for f in frames:
                 f.unpersist()
 
+    def run_param() -> float:
+        # the SHIPPED persist_features=True path (persist +
+        # finalize_cached release) — what production actually runs
+        t0 = time.time()
+        text.langid_classifier(docs, persist_features=True).write.format(
+            "noop").mode("overwrite").save()
+        return time.time() - t0
+
     # warmup, then interleaved best-of-3 so host drift hits both arms
     run_shipped()
-    a, b = [], []
+    a, b, c = [], [], []
     for _ in range(3):
         a.append(run_shipped())
         b.append(run_persisted())
+        c.append(run_param())
 
     doc = {
         "metric": "negative_result_sf1_recheck",
@@ -97,8 +106,10 @@ def main() -> int:
         "sf1": {
             "no_persist_sec": round(min(a), 3),
             "persist_sec": round(min(b), 3),
+            "persist_features_param_sec": round(min(c), 3),
             "no_persist_runs": [round(x, 3) for x in a],
             "persist_runs": [round(x, 3) for x in b],
+            "persist_features_param_runs": [round(x, 3) for x in c],
         },
     }
     doc["sf1"]["holds"] = doc["sf1"]["no_persist_sec"] <= \

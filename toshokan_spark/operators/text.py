@@ -183,6 +183,7 @@ def langid_classifier(
     text_col: str = "text",
     hash_family: str = "poly",
     langs: "list[str] | None" = None,
+    persist_features: bool = False,
 ) -> DataFrame:
     """Trained-model language ID (the fastText-style upgrade of
     :func:`lang_id`'s 4-language marker heuristic — VERDICT r10
@@ -215,12 +216,20 @@ def langid_classifier(
         model = langid_model(df.sparkSession, dim, hash_family)
     if langs is None:
         langs = sorted(LANG_LEXICONS)
-    # the stream is read twice (per-doc count + scoring join) and
-    # deliberately NOT persisted: an r16 persist experiment measured
-    # the extra materialization costing more than the second feature
-    # pass (2.33 s → 2.85 s at sf0.1) — the unigram_logprob
-    # recompute-beats-cache finding
+    # the stream is read twice (per-doc count + scoring join). The
+    # default does NOT persist it: an r16 experiment measured the
+    # extra materialization costing more than the second feature pass
+    # at sf0.1 (2.33 s → 2.85 s — the unigram_logprob recompute-
+    # beats-cache finding). The r17 re-measure at sf1 (NEGRESULT_SF1.
+    # json, directive 8) shows the trade-off FLIPS once scans cost
+    # something: persist wins 3.0 vs 4.0 s at 10× data. So it is a
+    # scale-dependent knob, not a constant: persist_features=True is
+    # the production setting wherever the corpus scan dominates (any
+    # real deployment); the False default keeps the toy-SF bench
+    # comparable. Released via finalize_cached, never leaked.
     feats = _hashed_features(df, id_col, text_col, dim, hash_family)
+    if persist_features:
+        feats = feats.persist()
     counts = feats.groupBy("id").agg(F.count(F.lit(1)).alias("n_feats"))
     per = (
         feats.join(F.broadcast(model), "idx")
@@ -243,7 +252,7 @@ def langid_classifier(
     conf = F.round(
         F.when(total > 0.0, smax / total).otherwise(1.0 / len(langs)), 6
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(counts, "id", "left")
         .join(pivoted, "id", "left")
@@ -255,6 +264,11 @@ def langid_classifier(
             conf.alias("confidence"),
         )
     )
+    if persist_features:
+        from toshokan_spark.operators.util import finalize_cached
+
+        return finalize_cached(out, feats)
+    return out
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
