@@ -344,7 +344,15 @@ def _grouped_self_pairs(
     shuffle). *payload* must lead with a unique-per-group id so the
     sorted member array yields exactly the ``a < b`` pairs of the
     join formulation. Returns one column ``p`` =
-    ``struct(a: payload, b: payload)``."""
+    ``struct(a: payload, b: payload)``.
+
+    CALLERS MUST BE CAP-BOUNDED (``max_freq`` set): the combination
+    arrays are built by per-element INTERPRETED higher-order
+    functions, so an unbounded heavy-tailed group goes quadratic
+    where the join formulation's codegen would not —
+    :func:`simhash_near_pairs` (full-recall blocking, no cap
+    possible) measured 2.3× slower at sf1 through this shape and was
+    reverted to the join (r17 ledger)."""
     w = Window.partitionBy(*keys)
     b = df.withColumn("__kn", F.count(F.lit(1)).over(w))
     if max_freq is not None:
@@ -1502,18 +1510,30 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("id", "sig", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
 
-    # one grouped pass over the chunk fan-out instead of the
-    # (ci, cv)-keyed self-join — see :func:`_grouped_self_pairs`; the
-    # signature rides the member struct so hamming needs no re-join
+    # (ci, cv)-keyed SELF-JOIN, deliberately NOT the grouped
+    # `_grouped_self_pairs` shape (r17 ledger): chunk blocking must be
+    # FULL-RECALL for the hamming<=3 pigeonhole guarantee, so there is
+    # no frequency cap to bound group sizes — and simhash chunk values
+    # are heavy-tailed (template docs share chunks), so the grouped
+    # rewrite's per-element INTERPRETED combination arrays went
+    # quadratic with density: the sf1 A/B measured it at 8.6 s vs
+    # 3.8 s for this join (2.3× regression the sf0.1 job count hid;
+    # BENCH_SF1 + /tmp A/B r17). The join generates identical pairs
+    # through whole-stage codegen; both sides read the PERSISTED sig
+    # frame, so the fan-out is not recomputed per side.
     cand = (
-        _grouped_self_pairs(
-            chunks, ["ci", "cv"], F.struct("id", "sig"), None
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("p.a.id").alias("a_id"),
-            F.col("p.b.id").alias("b_id"),
-            F.col("p.a.sig").alias("siga"),
-            F.col("p.b.sig").alias("sigb"),
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("siga"),
+            F.col("b.sig").alias("sigb"),
         )
         .dropDuplicates(["a_id", "b_id"])
     )
