@@ -433,3 +433,32 @@ def test_grouped_prefix_total_col_and_fixed_bounds(spark):
     want_nf = {(r.g, r.k): r["__rank"] for r in expect_nf.collect()}
     assert got_nf == want_nf
     assert all(r["__n"] == counts[r.g] for r in out_nf.collect())
+
+
+def test_grouped_prefix_literal_map_adversarial_group_names(spark):
+    """The materialize path re-enters boundaries/offsets as SQL-text
+    literal maps (one F.expr parse — r17); group names containing
+    quotes, backslashes and unicode must round-trip the rendering
+    exactly, and unrenderable key types must fall back to the join
+    path rather than mis-render. Ranks must equal the single-window
+    answers either way."""
+    from pyspark.sql.window import Window
+
+    names = ["pl'ain", 'dq"uote', "back\\slash", "uni·中文", "  ", ""]
+    rows = [
+        Row(g=g, k=i, s=float((i * 7 + j) % 5))
+        for j, g in enumerate(names)
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows)
+    out = grouped_prefix(
+        df, "g", F.col("s"), [F.col("s").asc(), F.col("k").asc()],
+        n_coarse=4,
+    )
+    w = Window.partitionBy("g").orderBy(F.col("s").asc(), F.col("k").asc())
+    want = {
+        (r.g, r.k): r["__rank"]
+        for r in df.withColumn("__rank", F.row_number().over(w)).collect()
+    }
+    got = {(r.g, r.k): r["__rank"] for r in out.collect()}
+    assert got == want

@@ -173,3 +173,42 @@ def test_catalog_sees_transient_as_failure_not_empty(catalog):
             catalog.segments("any_index")
     finally:
         st._fs = orig
+
+
+def test_catalog_retries_torn_manifest_read(catalog):
+    """Both filesystem backends make a version file VISIBLE at
+    create() and write the payload after, so a reader landing inside
+    that window sees an empty JSON doc (the observed stream-poll
+    flake). The versioned read must retry — the in-flight writer
+    closes within milliseconds — and only a doc that STAYS
+    unparseable (a writer that died mid-create) may raise."""
+    from toshokan_spark.catalog import CatalogError
+
+    catalog._st.mkdirs(catalog._manifest_dir("torn"))
+    assert catalog._try_write_version("torn", 1, [])
+
+    st = catalog._st
+    orig = st.read_text
+    calls = {"n": 0}
+
+    def torn_once(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return ""  # reader inside the create()..write window
+        return orig(path)
+
+    st.read_text = torn_once
+    try:
+        assert catalog.segments("torn") == []
+        assert calls["n"] >= 2, "torn read was not retried"
+    finally:
+        st.read_text = orig
+
+    # a permanently torn latest must still fail loudly, not read as
+    # an empty manifest
+    st.read_text = lambda path: ""
+    try:
+        with pytest.raises(CatalogError):
+            catalog.segments("torn")
+    finally:
+        st.read_text = orig

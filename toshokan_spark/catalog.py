@@ -452,12 +452,23 @@ class FsCatalog:
         empty manifest (``StorageNotFound``); any other storage
         failure propagates — a transient auth/network error must not
         silently turn ``segments()`` into 0 rows. The list->read pair
-        retries: a reader stalled more than KEEP_VERSIONS commits
-        between listing and reading can find its listed latest
-        GC'd — re-listing observes a strictly newer latest."""
+        retries two transient races: a reader stalled more than
+        KEEP_VERSIONS commits between listing and reading can find its
+        listed latest GC'd (re-listing observes a strictly newer
+        latest), and on filesystem backends ``write_text_exclusive``
+        makes the version file VISIBLE at create() with the payload
+        written after — a reader landing inside that window sees an
+        empty/partial JSON doc (observed as a suite flake: json
+        ``Expecting value`` on a manifest the stream was committing
+        that instant). The in-flight writer closes within
+        milliseconds, so a short backoff and re-read resolves it; a
+        doc still unparseable after the retries (a writer that died
+        mid-create) raises, exactly as it always did."""
         d = self._manifest_dir(name)
         last_exc: Optional[Exception] = None
-        for _ in range(5):
+        for attempt in range(5):
+            if attempt:
+                time.sleep(0.05 * attempt)
             try:
                 names = self._st.list_names(d)
             except StorageNotFound:
@@ -474,14 +485,17 @@ class FsCatalog:
             except StorageNotFound as e:
                 last_exc = e
                 continue
+            except json.JSONDecodeError as e:
+                last_exc = e
+                continue
             return (
                 ver,
                 [SegmentEntry(**s) for s in doc.get("segments", [])],
                 [DeleteEntry(**d) for d in doc.get("deletes", [])],
             )
         raise CatalogError(
-            f"manifest for {name!r} kept disappearing between list and "
-            f"read (GC race persisted across retries)"
+            f"manifest for {name!r} stayed unreadable across retries "
+            f"(GC race, or a torn concurrent write that never completed)"
         ) from last_exc
 
     def _try_write_version(

@@ -33,7 +33,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from toshokan_spark.operators.util import finalize_cached, spread
@@ -1707,19 +1714,43 @@ def duplicate_clusters(
         # the collect is bounded by the measured edge count,
         # never data-sized.
         labels = _local_min_labels([(r["u"], r["v"]) for r in rows])
-        local = spark.createDataFrame(
-            list(labels.items()),
-            StructType(
-                [
-                    StructField("doc_id", id_type),
-                    StructField("cluster_id", id_type),
-                ]
-            ),
+        items = list(labels.items())
+        schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
         )
-        # createDataFrame parallelizes an RDD with UNKNOWN size stats,
-        # so the final label join would plan a sort-merge exchange of
-        # all_ids; the label table is bounded by local_threshold —
-        # broadcast it explicitly
+        if (
+            items
+            and len(items) <= 65536
+            and isinstance(id_type, (LongType, IntegerType))
+            and all(
+                isinstance(x, int) for kv in items for x in kv
+            )
+        ):
+            # integral label table as a LITERAL relation (the
+            # _literal_frame recipe): createDataFrame parallelizes a
+            # pickled RDD whose broadcast build runs its own collect
+            # job; a literal LocalRelation broadcasts straight from
+            # the driver. Capped at 64k pairs so the parsed expression
+            # stays small — larger graphs fall back to the RDD, whose
+            # one extra job is noise at that size.
+            body = ",".join(f"struct({d}L,{c}L)" for d, c in items)
+            local = (
+                spark.range(1)
+                .select(F.expr(f"inline(array({body}))"))
+                .select(
+                    F.col("col1").cast(id_type).alias("doc_id"),
+                    F.col("col2").cast(id_type).alias("cluster_id"),
+                )
+            )
+        else:
+            # createDataFrame parallelizes an RDD with UNKNOWN size
+            # stats, so the final label join would plan a sort-merge
+            # exchange of all_ids; the label table is bounded by
+            # local_threshold — broadcast it explicitly
+            local = spark.createDataFrame(items, schema)
         return F.broadcast(local)
 
     def _finish_local(edge_df: DataFrame) -> DataFrame:

@@ -341,6 +341,36 @@ def grouped_prefix(
         raise
 
 
+def _sql_lit(v) -> "str | None":
+    """Render a collected Python scalar as a bit-exact SQL literal —
+    the one-``F.expr``-trip trick of ``text._literal_frame``: a
+    driver-side map built from thousands of ``F.lit``/``create_map``
+    Column calls costs one py4j round trip PER node (measured ~13 s of
+    pure driver time for a 20-group × 64-bucket offset map), where a
+    rendered string parses in a single trip. Returns None for types
+    without an exact rendering (callers fall back to the join path).
+    Doubles use ``repr`` (shortest round-trip form) + the ``D``
+    suffix, so parsed values are bit-identical; strings are
+    backslash-escaped for Spark's default (non-legacy) literal
+    parser."""
+    import math
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"{v!r}D"
+    if isinstance(v, str):
+        s = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    return None
+
+
 def _grouped_prefix_body(
     df, group_col, proxy, order_cols, *, value, n_coarse, accuracy,
     rank_col, cumsum_col, materialize, nulls_last, cached,
@@ -376,6 +406,8 @@ def _grouped_prefix_body(
     bounds = df.groupBy(group_col).agg(
         F.percentile_approx(proxy, qs, accuracy).alias("__bounds")
     )
+    bounds_arr = F.col("__bounds")
+    attach_literal = None
     if materialize:
         # Collapsed-boundary detection (VERDICT r8 #3): a
         # near-constant proxy collapses the percentile boundaries,
@@ -383,9 +415,11 @@ def _grouped_prefix_body(
         # silently reverts to the single-task window it exists to
         # avoid. The boundary frame is tiny (G × n_coarse, group
         # cardinality is low by contract), so collect it, warn per
-        # degenerate group, and rebuild the broadcast side from the
-        # collected rows — which also saves the second aggregation
-        # job the join would otherwise run.
+        # degenerate group, and re-enter the boundaries as a LITERAL
+        # group→bounds map — the former createDataFrame(rows)
+        # broadcast side parallelized a pickled RDD whose broadcast
+        # cost its own collect job, where a literal map is a plain
+        # expression in the data pass (the _literal_frame rationale).
         rows = bounds.collect()
         # cap the floor by the number of REQUESTED boundaries (len(qs)
         # = n_coarse - 1): at n_coarse=2 a group has one boundary, so
@@ -404,10 +438,49 @@ def _grouped_prefix_body(
                     "mode buys no parallelism there",
                     r[group_col], distinct, floor,
                 )
-        bounds = df.sparkSession.createDataFrame(rows, bounds.schema)
+        gdt = df.schema[group_col].dataType
+        bdt = bounds.schema["__bounds"].dataType
+        entries = []
+        for r in rows:
+            if r[group_col] is None:
+                # the former inner join on group_col dropped
+                # null-group rows; the literal path mirrors that with
+                # an explicit filter below, so a null key never enters
+                # the map (ANSI map literals reject it anyway)
+                continue
+            gl = _sql_lit(r[group_col])
+            bs = r["__bounds"]
+            if bs is None:
+                arr = "NULL"
+            else:
+                parts = [_sql_lit(x) for x in bs]
+                arr = (
+                    f"array({','.join(parts)})"
+                    if all(p is not None for p in parts)
+                    else None
+                )
+            if gl is None or arr is None:
+                entries = []
+                break  # unrenderable type: keep the join path
+            entries.append(f"{gl},{arr}")
+        if entries:
+            # ONE parsed expression (see _sql_lit) — the CAST pins the
+            # exact key/element types so element_at and the boundary
+            # comparisons see the same types the joined column had
+            bmap = F.expr(
+                f"CAST(map({','.join(entries)}) AS "
+                f"MAP<{gdt.simpleString()},{bdt.simpleString()}>)"
+            )
+            bounds_arr = F.element_at(bmap, F.col(group_col))
+            attach_literal = True
+        # no non-null groups at all (empty input) or an unrenderable
+        # group/boundary type: fall through to the lazy join
+    if attach_literal:
+        base = df.filter(F.col(group_col).isNotNull())
+    else:
+        base = df.join(F.broadcast(bounds), group_col)
     d = (
-        df.withColumn("__proxy", proxy)
-        .join(F.broadcast(bounds), group_col)
+        base.withColumn("__proxy", proxy)
         .withColumn(
             "__coarse",
             F.when(
@@ -418,13 +491,13 @@ def _grouped_prefix_body(
                 F.lit(1)
                 + F.size(
                     F.filter(
-                        F.col("__bounds"), lambda b: b < F.col("__proxy")
+                        bounds_arr, lambda b: b < F.col("__proxy")
                     )
                 )
             )
             .cast("int"),
         )
-        .drop("__bounds", "__proxy")
+        .drop(*(["__proxy"] if attach_literal else ["__bounds", "__proxy"]))
     )
     return _grouped_prefix_rank(
         d, group_col, order_cols, value=value, rank_col=rank_col,
@@ -453,6 +526,92 @@ def _grouped_prefix_rank(
         d = d.persist()
         cached.append(d)
     tot = d.groupBy(group_col, "__coarse").agg(*aggs)
+    if materialize:
+        # The per-bucket totals are G × n_coarse — model-sized by
+        # contract — so collect them (one job, which also fills d's
+        # cache) and prefix-sum in the driver: the rank/cumsum offsets
+        # and the group totals re-enter as LITERAL group→coarse maps,
+        # deleting the triangular broadcast self-join AND the second
+        # broadcast join that attached its output (two broadcast
+        # exchanges, each its own job under AQE; at scale two
+        # model-sized shuffle stages). Counts are longs and the
+        # driver sums are exact; a non-integer *value* falls back to
+        # the join path below — reassociating float bucket sums in
+        # the driver could drift the committed cumsum in the last
+        # ulp, and no current caller pays that fallback.
+        rows = tot.collect()
+        literal_ok = bool(rows) and (
+            value is None
+            or all(isinstance(r["__vsum"], int) for r in rows)
+        )
+        if literal_ok:
+            gdt = d.schema[group_col].dataType
+            gsql = gdt.simpleString()
+            per: dict = {}
+            for r in rows:
+                if r[group_col] is None:
+                    # the join path's inner equi-join dropped
+                    # null-group rows; mirrored by the filter below
+                    continue
+                per.setdefault(r[group_col], {})[r["__coarse"]] = r
+            # rendered as SQL text, one F.expr parse per map — NOT
+            # per-node Column calls (see _sql_lit)
+            cnt_entries, tot_entries, sum_entries = [], [], []
+            for g, sub in per.items():
+                gl = _sql_lit(g)
+                if gl is None:
+                    literal_ok = False
+                    break
+                run_c, run_v = 0, 0
+                inner_cnt, inner_sum = [], []
+                for c in sorted(sub):
+                    inner_cnt.append(f"{c},{run_c}L")
+                    if value is not None:
+                        inner_sum.append(f"{c},{run_v}L")
+                    run_c += sub[c]["__cnt"]
+                    if value is not None:
+                        run_v += sub[c]["__vsum"]
+                cnt_entries.append(f"{gl},map({','.join(inner_cnt)})")
+                if total_col is not None:
+                    tot_entries.append(f"{gl},{run_c}L")
+                if value is not None:
+                    sum_entries.append(f"{gl},map({','.join(inner_sum)})")
+        if literal_ok:
+            def _mapexpr(items, vsql):
+                return F.expr(
+                    f"CAST(map({','.join(items)}) AS MAP<{gsql},{vsql}>)"
+                )
+
+            gk, ck = F.col(group_col), F.col("__coarse")
+            off_cnt = F.element_at(
+                F.element_at(
+                    _mapexpr(cnt_entries, "MAP<INT,BIGINT>"), gk
+                ),
+                ck,
+            )
+            out = d.filter(gk.isNotNull()).withColumn(
+                rank_col, (off_cnt + F.col("__lrank")).cast("long")
+            )
+            if total_col is not None:
+                out = out.withColumn(
+                    total_col,
+                    F.element_at(_mapexpr(tot_entries, "BIGINT"), gk),
+                )
+            if value is not None:
+                out = out.withColumn(
+                    cumsum_col,
+                    F.element_at(
+                        F.element_at(
+                            _mapexpr(sum_entries, "MAP<INT,BIGINT>"), gk
+                        ),
+                        ck,
+                    )
+                    + F.col("__lsum"),
+                ).drop("__lsum")
+            out = out.drop("__coarse", "__lrank")
+            return finalize_cached(out, *cached)
+        # fall through (empty input or float value sums): the lazy
+        # broadcast-join path below is the semantics of record
     a, b = tot.alias("a"), tot.alias("b")
     preceding = F.col("b.__coarse") < F.col("a.__coarse")
     if total_col is None:

@@ -2705,8 +2705,22 @@ def phrase_suggest(
         # word.
         spark = docs.sparkSession
         lim = int(max_dist)
-        wq = spark.createDataFrame(
-            [(i, w) for i, w in enumerate(words)], "wi int, qw string"
+        # query words as a LITERAL relation (the _literal_frame
+        # recipe): createDataFrame parallelizes a pickled RDD whose
+        # broadcast build runs its own collect job; F.lit keeps
+        # arbitrary token bytes out of SQL-text escaping
+        wq = spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("wi"),
+                            F.lit(w).alias("qw"),
+                        )
+                        for i, w in enumerate(words)
+                    ]
+                )
+            )
         )
         cw = Window.partitionBy("wi").orderBy(
             F.col("__d").asc(), F.col("cu").desc(), F.col("w").asc()
@@ -2758,8 +2772,20 @@ def phrase_suggest(
     # candidates, so the scorer's unigram side is a literal frame —
     # no third corpus pass (the former uni_f re-ran tokenize+explode+
     # aggregate a third time just to re-read ≤ 20 counts)
-    uni_f = spark.createDataFrame(
-        [(w, cu_of[w]) for w in firsts], "w string, cu long"
+    # literal relation for the same reason as wq above: the ≤ |firsts|
+    # collected counts broadcast straight from the driver
+    uni_f = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("w"),
+                        F.lit(cu_of[w]).cast("long").alias("cu"),
+                    )
+                    for w in firsts
+                ]
+            )
+        )
     )
     scored = (
         tdf.join(F.broadcast(bg_f), ["w1", "w2"], "left")
